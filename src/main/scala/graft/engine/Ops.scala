@@ -1,0 +1,125 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row-shaping, join, and aggregation operators (SURVEY §2.2-§2.4).
+  *
+  * Each function re-expresses one arcpy dataflow operator from
+  * /root/reference/src/wins_transform_staging.py as a pure, lazy
+  * `DataFrame => DataFrame` transform. Nothing here materializes; the caller
+  * composes one Catalyst plan per output table (SURVEY §3.3), so the whole
+  * reference pipeline fuses into a handful of stages instead of the
+  * reference's ~15 eager FGDB writes.
+  */
+object Ops {
+
+  /** R1 — schema-lenient append (`Append_management(..., "NO_TEST")`,
+    * wins_transform_staging.py:151-155,254,264): rows matched to the target
+    * schema by column NAME; source columns missing from the target are
+    * dropped, target columns missing from the source become NULL. Output
+    * schema is exactly the target's.
+    */
+  def appendNoTest(target: DataFrame, src: DataFrame): DataFrame = {
+    val targetCols = target.columns
+    val shared = src.columns.filter(targetCols.contains(_))
+    val pruned = src.select(shared.map(col).toIndexedSeq: _*)
+    target.unionByName(pruned, allowMissingColumns = true)
+  }
+
+  /** R3 — attribute selection (`SelectLayerByAttribute`, :168-170,190,249).
+    * A "selection set" is just a predicate; subsequent ops thread it through
+    * as a filter or a `when` guard — no runtime selection state needed
+    * (SURVEY §7.4.3).
+    */
+  def select(df: DataFrame, pred: Column): DataFrame = df.filter(pred)
+
+  /** R4 — conditional constant assignment (`CalculateField` on a layer with
+    * an active selection, :168-171,197,209): set `field` to `value` on rows
+    * matching `pred`, keep the prior value elsewhere.
+    */
+  def calcWhen(df: DataFrame, field: String, pred: Column, value: Column): DataFrame =
+    df.withColumn(field, when(pred, value).otherwise(col(field)))
+
+  /** R4 (unconditional form, :197,209). */
+  def calc(df: DataFrame, field: String, value: Column): DataFrame =
+    df.withColumn(field, value)
+
+  /** R5 — blank→NULL normalization (:190-192,216-220,228-232). The reference
+    * selects `tag = ''` then `CalculateField(tag, 'None')`; arcpy Python
+    * `None` writes SQL NULL, not the string "None" (SURVEY §1.2).
+    */
+  def blankToNull(df: DataFrame, field: String): DataFrame =
+    df.withColumn(field, when(col(field) === lit(""), lit(null)).otherwise(col(field)))
+
+  /** R6 — delete selected rows (`DeleteFeatures_management`, :255,265): keep
+    * the complement of the selection. SQL where-clause semantics: a row is
+    * selected only when `pred` is TRUE, so NULL-predicate rows survive the
+    * delete (hence coalesce, not plain negation).
+    */
+  def deleteWhere(df: DataFrame, pred: Column): DataFrame =
+    df.filter(!coalesce(pred, lit(false)))
+
+  /** Deterministic first-match reduction of a join's right side (SURVEY
+    * §7.3): ArcGIS `AddJoin` keeps only the FIRST matching right record per
+    * key, so the left row count never multiplies (:176-179). FGDB "first" is
+    * OID insertion order, which has no Spark analog; we pin it to
+    * `row_number() == 1` over an explicit, caller-supplied ordering so the
+    * result (and the DuckDB oracle) is reproducible.
+    */
+  def firstMatch(right: DataFrame, key: String, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order.toIndexedSeq: _*)
+    right.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** J1/J2 — left-outer first-match equi-join + field copy
+    * (AddJoin KEEP_ALL → CalculateField → RemoveJoin, :176-179,200-204).
+    *
+    * `copies` maps destination (left) column → source (right) column. ArcGIS
+    * `CalculateField` after a KEEP_ALL join writes the joined value into
+    * EVERY left row — NULL for unmatched rows, overwriting any prior value —
+    * so this is a plain overwrite, NOT coalesce (SURVEY §7.3, pinned by
+    * OpsSpec).
+    *
+    * Scale note: the right side is projected down to key+copied columns
+    * before the join and broadcast when `broadcastRight` (the reference's
+    * dimension snapshot at :174 is tiny); for a non-broadcastable right side
+    * Catalyst falls back to a shuffled hash/sort-merge join on the key.
+    */
+  def joinEnrich(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      rightOrder: Seq[Column],
+      copies: Map[String, String],
+      broadcastRight: Boolean = true): DataFrame = {
+    val needed = (rightKey +: copies.values.toSeq).distinct
+    val pruned = firstMatch(right.select(needed.map(col).toIndexedSeq: _*), rightKey, rightOrder)
+    val renamed = pruned.toDF(pruned.columns.map("__r_" + _).toIndexedSeq: _*)
+    val r = if (broadcastRight) broadcast(renamed) else renamed
+    val joined = left.join(r, left(leftKey) === r("__r_" + rightKey), "left")
+    val copied = copies.foldLeft(joined) { case (d, (dst, srcCol)) =>
+      d.withColumn(dst, col("__r_" + srcCol))
+    }
+    copied.drop(renamed.columns.toIndexedSeq: _*)
+  }
+
+  /** A1 — Frequency (`Frequency_analysis`, :240-243): distinct key
+    * combinations + count, optionally summing numeric fields (the tool's full
+    * surface; the reference uses the single-key count form). Map-side partial
+    * aggregation makes this a single shuffle on the group keys at any scale.
+    */
+  def frequency(df: DataFrame, keys: Seq[String], sums: Seq[String] = Nil): DataFrame = {
+    val aggs = count(lit(1)).as("FREQUENCY") +: sums.map(c => sum(col(c)).as(s"SUM_$c"))
+    df.groupBy(keys.map(col).toIndexedSeq: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A2 — selected-row count (`Describe(layer).FIDSet`, :251-253,261-263):
+    * the engine's only forced materialization besides sink writes.
+    */
+  def countSelected(df: DataFrame, pred: Column): Long = df.filter(pred).count()
+}

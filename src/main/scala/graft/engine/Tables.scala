@@ -1,0 +1,23 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source connectors (SURVEY §2.1 S2/S6).
+  *
+  * The reference ingests feature classes by server-side FGDB export + download
+  * (/root/reference/src/wins_transform_staging.py:118-135) and snapshots an SDE
+  * (Oracle) view locally before joining (:55-58,174). Here both become columnar
+  * Parquet scans: Catalyst pushes predicates and prunes columns into the scan,
+  * which is the 100 TB-scale replacement for the reference's manual local
+  * snapshot + attribute indexes (:156-161).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** S2: scan one fixture table. `dir` is an sf directory like
+    * /root/testdata/sf0.01. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
