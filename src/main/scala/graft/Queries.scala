@@ -1,0 +1,361 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Ops, Qa, Tables}
+
+/** The verified operator inventory (SURVEY §2): every query key maps one
+  * engine operator onto the shared Parquet fixtures, paired with ANSI SQL the
+  * driver runs in DuckDB over the same tables. Conventions (SURVEY §5.2):
+  * every query ends in an explicit orderBy on a key; all output column names
+  * are lowercase and identical between the Spark plan and the oracle SQL;
+  * double aggregates are rounded on both sides; counts are int64 on both
+  * sides.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- sources
+
+  /** S2 — parquet scan with projection (pushdown-verified in plans). */
+  val scanParquet: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** S6 — dimension snapshot (the reference's SDE view pull, :174). */
+  val scanPod: Q = (s, d) =>
+    t(s, d, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+
+  // ------------------------------------------------------------ row shaping
+
+  /** R1 — NO_TEST append: shared columns by name, missing -> NULL, extra
+    * dropped. */
+  val appendUnion: Q = (s, d) => {
+    val target = t(s, d, "orders").select(
+      col("o_orderkey").as("id"), col("o_totalprice").as("val"),
+      col("o_orderstatus").as("status"))
+    val src = t(s, d, "lineitem").select(
+      col("l_orderkey").as("id"), col("l_extendedprice").as("val"),
+      col("l_tax").as("extra"))
+    Ops.appendNoTest(target, src).orderBy("id", "val", "status")
+  }
+
+  /** R3 — LIKE-prefix selection (:168,170). */
+  val filterLike: Q = (s, d) =>
+    Ops.select(t(s, d, "part"), col("p_type").like("PROMO%"))
+      .select("p_partkey", "p_name", "p_type").orderBy("p_partkey")
+
+  /** R3 — `= ''` selection (:190,216,228); empty string is NOT null. */
+  val filterEmpty: Q = (s, d) => {
+    val df = t(s, d, "orders").withColumn(
+      "tag", when(col("o_orderpriority") === "3-MEDIUM", lit(""))
+        .otherwise(col("o_orderpriority")))
+    Ops.select(df, col("tag") === "").select("o_orderkey", "tag").orderBy("o_orderkey")
+  }
+
+  /** R4 — ordered conditional constant assignment (:168-171): rows matching
+    * no rule keep their prior value. */
+  val calcConstConditional: Q = (s, d) => {
+    val base = t(s, d, "part").withColumn("feature_code", col("p_brand"))
+    val r1 = Ops.calcWhen(base, "feature_code", col("p_type").like("PROMO%"), lit("EA83030000"))
+    val r2 = Ops.calcWhen(r1, "feature_code", col("p_type").like("ECONOMY%"), lit("EA83040000"))
+    r2.select("p_partkey", "feature_code").orderBy("p_partkey")
+  }
+
+  /** R5 — blank->NULL normalization (:190-192). */
+  val blankToNull: Q = (s, d) => {
+    val df = t(s, d, "orders").withColumn(
+      "tag", when(col("o_orderstatus") === "P", lit("")).otherwise(col("o_orderstatus")))
+    Ops.blankToNull(df, "tag").select("o_orderkey", "tag").orderBy("o_orderkey")
+  }
+
+  /** R6 — delete selected rows; NULL-predicate rows survive (SQL where
+    * semantics). */
+  val deleteSelected: Q = (s, d) => {
+    val df = t(s, d, "lineitem").withColumn(
+      "tag", when(col("l_returnflag") === "N", lit(null).cast("double"))
+        .otherwise(col("l_quantity")))
+    Ops.deleteWhere(df, col("tag") > 30)
+      .select("l_orderkey", "l_linenumber", "tag")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ------------------------------------------------------------------ joins
+
+  /** J1 — left-outer first-match equi-join + field copy; right side has
+    * duplicate keys (many customers per nation), first match pinned by
+    * c_custkey order. */
+  val joinEnrichDescr: Q = (s, d) =>
+    Ops.joinEnrich(
+      t(s, d, "supplier"), t(s, d, "customer"),
+      leftKey = "s_nationkey", rightKey = "c_nationkey",
+      rightOrder = Seq(col("c_custkey")),
+      copies = Map("descr" -> "c_name"))
+      .select("s_suppkey", "s_name", "descr").orderBy("s_suppkey")
+
+  /** J2 — enrichment OVERWRITES the destination column on every left row
+    * (NULL when unmatched), not coalesce (SURVEY §7.3). */
+  val joinEnrichStream: Q = (s, d) => {
+    val left = t(s, d, "orders").withColumn("stream_name", col("o_orderpriority"))
+    val dim = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    Ops.joinEnrich(left, dim, "o_custkey", "c_custkey",
+      Seq(col("c_custkey")), Map("stream_name" -> "c_name"))
+      .select("o_orderkey", "stream_name").orderBy("o_orderkey")
+  }
+
+  /** AddJoin KEEP_COMMON — plain inner join. */
+  val joinInner: Q = (s, d) => {
+    val n = t(s, d, "nation"); val r = t(s, d, "region")
+    n.join(r, n("n_regionkey") === r("r_regionkey"), "inner")
+      .select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey")
+  }
+
+  /** J3 — rows in duplicate-key groups via window count (replaces the
+    * reference's join-back-to-Frequency idiom, :246-250). */
+  val dupTags: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+    t(s, d, "lineitem").withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") > 1)
+      .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** J4 — left anti: rows whose key has no dimension match (:258-260). */
+  val antiUnmatched: Q = (s, d) => {
+    val dim = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = t(s, d, "orders")
+    o.join(broadcast(dim), o("o_custkey") === dim("c_custkey"), "left_anti")
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+  }
+
+  /** J5 — left semi: the complement of J4. */
+  val semiMatched: Q = (s, d) => {
+    val dim = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = t(s, d, "orders")
+    o.join(broadcast(dim), o("o_custkey") === dim("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+  }
+
+  // ------------------------------------------------------------ aggregation
+
+  /** A1 — Frequency, single-key count form (:240-243). */
+  val freqCount: Q = (s, d) =>
+    Ops.frequency(t(s, d, "lineitem"), Seq("l_returnflag"))
+      .withColumnRenamed("FREQUENCY", "frequency").orderBy("l_returnflag")
+
+  /** A1 — Frequency, multi-key + summary-field form (the tool's full
+    * surface). */
+  val freqMulti: Q = (s, d) =>
+    Ops.frequency(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      .withColumnRenamed("FREQUENCY", "frequency")
+      .withColumn("sum_qty", round(col("SUM_l_quantity"), 2)).drop("SUM_l_quantity")
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2 — selected-row count (Describe(...).FIDSet, :251-253). */
+  val countSelected: Q = (s, d) =>
+    t(s, d, "lineitem").filter(col("l_quantity") > 30).agg(count(lit(1)).as("n"))
+
+  // --------------------------------------------------------------------- QA
+
+  /** Q1 — duplicate-key split, keep side (unique key groups survive). */
+  val qaDupSplit: Q = (s, d) =>
+    Qa.dupSplit(t(s, d, "lineitem"), Seq("l_partkey", "l_suppkey"), "dup").keep
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q2 — referential split, reject side with reason column. */
+  val qaRefSplit: Q = (s, d) =>
+    Qa.refSplit(t(s, d, "orders"),
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+      "o_custkey", "c_custkey", "no match in customer dim").rejects
+      .select(col("o_orderkey"), col(Qa.FlagCol).as("reject_flag"))
+      .orderBy("o_orderkey")
+
+  /** Q3 — sequential rules + accumulated reject routing with first-reason
+    * precedence (:254-269): rule 2 only sees rule 1's keep side. */
+  val qaRoute: Q = (s, d) => {
+    val base = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    val seed = base.select("o_orderkey").withColumn("reject_flag", lit("")).limit(0)
+    val dim = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val out = Qa.runRules(base, seed, Seq(
+      df => Qa.dupSplit(df, Seq("o_custkey", "o_orderpriority"), "dup tag"),
+      df => Qa.refSplit(df, dim, "o_custkey", "c_custkey", "tag not found")))
+    out.rejects.select("o_orderkey", "reject_flag").orderBy("o_orderkey", "reject_flag")
+  }
+
+  // ------------------------------------------------------ scalar functions
+
+  /** String expression surface (like/startswith/concat/substr/length). */
+  val exprStrings: Q = (s, d) =>
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      upper(col("o_orderstatus")).as("s_up"),
+      substring(col("o_orderpriority"), 1, 1).as("pri1"),
+      length(col("o_orderpriority")).as("pri_len"),
+      concat(col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("tag"),
+      col("o_orderpriority").startsWith("1").as("is_urgent"))
+      .orderBy("o_orderkey")
+
+  /** Date/timestamp expression surface (UTC session timezone both sides). */
+  val exprDates: Q = (s, d) =>
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mon"),
+      date_trunc("month", col("o_orderdate")).as("mstart"))
+      .orderBy("o_orderkey")
+
+  /** JSON extraction over a JSON-in-string column (events.props). */
+  val exprJson: Q = (s, d) =>
+    t(s, d, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+      .orderBy("event_id")
+
+  /** Top-k with deterministic tie-break. */
+  val topk: Q = (s, d) =>
+    t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "scan_pod" -> scanPod,
+    "append_union" -> appendUnion,
+    "filter_like" -> filterLike,
+    "filter_empty" -> filterEmpty,
+    "calc_const_conditional" -> calcConstConditional,
+    "blank_to_null" -> blankToNull,
+    "delete_selected" -> deleteSelected,
+    "join_enrich_descr" -> joinEnrichDescr,
+    "join_enrich_stream" -> joinEnrichStream,
+    "join_inner" -> joinInner,
+    "dup_tags" -> dupTags,
+    "anti_unmatched" -> antiUnmatched,
+    "semi_matched" -> semiMatched,
+    "freq_count" -> freqCount,
+    "freq_multi" -> freqMulti,
+    "count_selected" -> countSelected,
+    "qa_dup_split" -> qaDupSplit,
+    "qa_ref_split" -> qaRefSplit,
+    "qa_route" -> qaRoute,
+    "expr_strings" -> exprStrings,
+    "expr_dates" -> exprDates,
+    "expr_json" -> exprJson,
+    "topk" -> topk,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_pod" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "append_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS id, o_totalprice AS val, o_orderstatus AS status FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey, l_extendedprice, NULL FROM lineitem
+        |) ORDER BY id, val, status""".stripMargin,
+    "filter_like" ->
+      "SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE 'PROMO%' ORDER BY p_partkey",
+    "filter_empty" ->
+      """SELECT o_orderkey, tag FROM (
+        |  SELECT o_orderkey, CASE WHEN o_orderpriority = '3-MEDIUM' THEN '' ELSE o_orderpriority END AS tag FROM orders
+        |) WHERE tag = '' ORDER BY o_orderkey""".stripMargin,
+    "calc_const_conditional" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_type LIKE 'PROMO%' THEN 'EA83030000'
+        |       WHEN p_type LIKE 'ECONOMY%' THEN 'EA83040000'
+        |       ELSE p_brand END AS feature_code
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "blank_to_null" ->
+      """SELECT o_orderkey, CASE WHEN tag = '' THEN NULL ELSE tag END AS tag FROM (
+        |  SELECT o_orderkey, CASE WHEN o_orderstatus = 'P' THEN '' ELSE o_orderstatus END AS tag FROM orders
+        |) ORDER BY o_orderkey""".stripMargin,
+    "delete_selected" ->
+      """SELECT l_orderkey, l_linenumber, tag FROM (
+        |  SELECT l_orderkey, l_linenumber, CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_quantity END AS tag FROM lineitem
+        |) WHERE NOT coalesce(tag > 30, false) ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_enrich_descr" ->
+      """SELECT s_suppkey, s_name, c_name AS descr FROM supplier s
+        |LEFT JOIN (
+        |  SELECT c_nationkey, c_name FROM (
+        |    SELECT c_nationkey, c_name, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn FROM customer
+        |  ) WHERE rn = 1
+        |) c ON s.s_nationkey = c.c_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "join_enrich_stream" ->
+      """SELECT o_orderkey, c_name AS stream_name FROM orders o
+        |LEFT JOIN (
+        |  SELECT c_custkey, c_name FROM (
+        |    SELECT c_custkey, c_name, row_number() OVER (PARTITION BY c_custkey ORDER BY c_custkey) AS rn
+        |    FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  ) WHERE rn = 1
+        |) c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_inner" ->
+      "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
+    "dup_tags" ->
+      """SELECT l_orderkey, l_linenumber FROM (
+        |  SELECT l_orderkey, l_linenumber, count(*) OVER (PARTITION BY l_orderkey) AS n FROM lineitem
+        |) WHERE n > 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "anti_unmatched" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "semi_matched" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "freq_count" ->
+      "SELECT l_returnflag, count(*) AS frequency FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "freq_multi" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS frequency, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "count_selected" ->
+      "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 30",
+    "qa_dup_split" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, count(*) OVER (PARTITION BY l_partkey, l_suppkey) AS n FROM lineitem
+        |) WHERE n = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "qa_ref_split" ->
+      """SELECT o_orderkey, 'no match in customer dim' AS reject_flag FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "qa_route" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders),
+        |t AS (SELECT *, count(*) OVER (PARTITION BY o_custkey, o_orderpriority) AS n FROM base),
+        |r1 AS (SELECT o_orderkey, 'dup tag' AS reject_flag FROM t WHERE n > 1),
+        |k1 AS (SELECT o_orderkey, o_custkey FROM t WHERE n = 1),
+        |r2 AS (SELECT o_orderkey, 'tag not found' AS reject_flag FROM k1
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = k1.o_custkey AND c.c_mktsegment = 'BUILDING'))
+        |SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) ORDER BY o_orderkey, reject_flag""".stripMargin,
+    "expr_strings" ->
+      """SELECT o_orderkey, upper(o_orderstatus) AS s_up, substr(o_orderpriority, 1, 1) AS pri1,
+        |  CAST(length(o_orderpriority) AS INTEGER) AS pri_len,
+        |  concat(o_orderstatus, '/', o_orderpriority) AS tag,
+        |  starts_with(o_orderpriority, '1') AS is_urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "expr_dates" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mon,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "expr_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+    "topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+  )
+}

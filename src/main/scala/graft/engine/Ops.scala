@@ -22,9 +22,12 @@ object Ops {
     * schema is exactly the target's.
     */
   def appendNoTest(target: DataFrame, src: DataFrame): DataFrame = {
-    val targetCols = target.columns
-    val shared = src.columns.filter(targetCols.contains(_))
-    val pruned = src.select(shared.map(col).toIndexedSeq: _*)
+    // NO_TEST (and Spark's unionByName) match column names case-insensitively;
+    // rename shared source columns to the target's exact spelling so a column
+    // differing only in case is appended, not dropped and null-filled.
+    val targetByLower = target.columns.map(c => c.toLowerCase -> c).toMap
+    val shared = src.columns.filter(c => targetByLower.contains(c.toLowerCase))
+    val pruned = src.select(shared.map(c => col(c).as(targetByLower(c.toLowerCase))).toIndexedSeq: _*)
     target.unionByName(pruned, allowMissingColumns = true)
   }
 
@@ -98,7 +101,12 @@ object Ops {
       copies: Map[String, String],
       broadcastRight: Boolean = true): DataFrame = {
     val needed = (rightKey +: copies.values.toSeq).distinct
-    val pruned = firstMatch(right.select(needed.map(col).toIndexedSeq: _*), rightKey, rightOrder)
+    // firstMatch runs on the UNprojected right side: rightOrder may reference
+    // columns (e.g. an OID/insertion-order column) that are not copied, and
+    // projecting first would drop them. Catalyst's ColumnPruning still narrows
+    // the scan to key + order + copied columns, so nothing extra is read.
+    val pruned = firstMatch(right, rightKey, rightOrder)
+      .select(needed.map(col).toIndexedSeq: _*)
     val renamed = pruned.toDF(pruned.columns.map("__r_" + _).toIndexedSeq: _*)
     val r = if (broadcastRight) broadcast(renamed) else renamed
     val joined = left.join(r, left(leftKey) === r("__r_" + rightKey), "left")

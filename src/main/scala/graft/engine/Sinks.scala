@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
 /** Sinks / publish (SURVEY §2.1 S4/S7/S8).
@@ -7,10 +8,10 @@ import org.apache.spark.sql.DataFrame
   * The reference deletes-then-recreates every output (`Exists` +
   * `Delete_management`, wins_transform_staging.py:137-140,241-242) and
   * publishes by copying the whole upload gdb over the staging gdb
-  * (:280-286). Spark's overwrite mode subsumes the manual delete; "publish"
-  * is an overwrite into the staging directory — at cluster scale a
-  * write-to-tmp + atomic rename, here the Hadoop committer already gives
-  * task-level atomicity.
+  * (:280-286) — one copy step, so readers never observe a half-published
+  * set. `publish` reproduces that: every table is written to a temp
+  * directory first, and only after all writes succeed is the temp dir
+  * swapped into place with filesystem renames.
   */
 object Sinks {
 
@@ -18,7 +19,25 @@ object Sinks {
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
-  /** S8 — staged publish of a set of named tables into a staging dir. */
-  def publish(tables: Map[String, DataFrame], stagingDir: String): Unit =
-    tables.foreach { case (name, df) => write(df, s"$stagingDir/$name") }
+  /** S8 — staged publish of a set of named tables into a staging dir.
+    * All-or-nothing: a mid-run failure leaves the current staging dir
+    * untouched (the partial output stays in `<stagingDir>.tmp`).
+    */
+  def publish(tables: Map[String, DataFrame], stagingDir: String): Unit = {
+    require(tables.nonEmpty, "publish: no tables")
+    val spark = tables.head._2.sparkSession
+    val fs = new Path(stagingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(stagingDir + ".tmp")
+    val live = new Path(stagingDir)
+    val old = new Path(stagingDir + ".old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    tables.foreach { case (name, df) => write(df, s"$stagingDir.tmp/$name") }
+    // swap: live -> .old, tmp -> live, drop .old (rename is atomic per path
+    // on HDFS/posix; the window with no live dir is two metadata ops, vs the
+    // reference's full recopy window)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live)) { require(fs.rename(live, old), s"publish: rename $live -> $old failed") }
+    require(fs.rename(tmp, live), s"publish: rename $tmp -> $live failed")
+    fs.delete(old, true): Unit
+  }
 }

@@ -17,7 +17,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** S2: scan one fixture table. `dir` is an sf directory like
-    * /root/testdata/sf0.01. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    * /root/testdata/sf0.01.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in Parquet, which Spark 4 rejects
+    * outright (PARQUET_TYPE_ILLEGAL); `nanosAsLong` reads it as epoch-nanos
+    * int64 instead, and [[loadEvents]] converts to a µs TimestampType the
+    * same way DuckDB does (truncation), so oracle comparisons line up.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events` with `ts` as a proper µs TimestampType column. */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
 }
