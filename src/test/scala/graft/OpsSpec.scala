@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.engine.Ops
+
+/** Pins the sharp-edge semantics of SURVEY §2.2-§2.4 / §7.3 — especially the
+  * arcpy behaviors that differ from the "obvious" Spark translation. */
+class OpsSpec extends SparkSpec {
+  import sqlContext.implicits._
+
+  test("appendNoTest: missing target columns null-filled, extra source columns dropped") {
+    val target = Seq(("t1", "a", 1)).toDF("tag", "descr", "n")
+    val src = Seq(("s1", 9, "junk")).toDF("tag", "n", "extra")
+    val out = Ops.appendNoTest(target, src)
+    assert(out.columns.toSeq == Seq("tag", "descr", "n"))
+    val rows = out.orderBy("tag").collect().toSeq
+    assert(rows == Seq(Row("s1", null, 9), Row("t1", "a", 1)))
+  }
+
+  test("appendNoTest: column names match case-insensitively (NO_TEST / unionByName rules)") {
+    val target = Seq(("t1", "a")).toDF("TRRR_TAG", "descr")
+    val src = Seq(("s1", "b")).toDF("trrr_tag", "DESCR")
+    val out = Ops.appendNoTest(target, src).orderBy("TRRR_TAG").collect().toSeq
+    assert(out == Seq(Row("s1", "b"), Row("t1", "a")))
+  }
+
+  test("calcWhen: only selected rows assigned; ordered rules leave non-matching rows' prior value") {
+    // reference :168-171 — RV% then RS%; a tag matching neither keeps its
+    // appended FEATURE_CODE
+    val df = Seq(("RV1", "old"), ("RS2", "old"), ("XX3", "old"))
+      .toDF("TRRR_TAG", "FEATURE_CODE")
+    val r1 = Ops.calcWhen(df, "FEATURE_CODE", col("TRRR_TAG").like("RV%"), lit("EA83030000"))
+    val r2 = Ops.calcWhen(r1, "FEATURE_CODE", col("TRRR_TAG").like("RS%"), lit("EA83040000"))
+    assert(r2.orderBy("TRRR_TAG").collect().toSeq == Seq(
+      Row("RS2", "EA83040000"), Row("RV1", "EA83030000"), Row("XX3", "old")))
+  }
+
+  test("blankToNull: '' becomes NULL; NULL and populated values untouched") {
+    val df = Seq(Some(""), Some("x"), None).toDF("tag")
+    val out = Ops.blankToNull(df, "tag").collect().map(_.get(0)).toSet
+    assert(out == Set(null, "x"))
+    assert(Ops.blankToNull(df, "tag").filter(col("tag").isNull).count() == 2)
+  }
+
+  test("deleteWhere: NULL-predicate rows survive (SQL where semantics)") {
+    val df = Seq(Some(40.0), Some(10.0), None).toDF("v")
+    val out = Ops.deleteWhere(df, col("v") > 30).collect().map(_.get(0)).toSet
+    assert(out == Set(10.0, null)) // 40 deleted; NULL row kept
+  }
+
+  test("firstMatch: duplicate right keys reduced to row_number()==1 over explicit order") {
+    val right = Seq(("k1", "b", 2), ("k1", "a", 1), ("k2", "c", 3)).toDF("key", "v", "oid")
+    val out = Ops.firstMatch(right, "key", Seq(col("oid"))).orderBy("key")
+      .select("key", "v").collect().toSeq
+    assert(out == Seq(Row("k1", "a"), Row("k2", "c")))
+  }
+
+  test("joinEnrich: left row count never multiplies; copy OVERWRITES prior value incl. NULL for unmatched") {
+    // reference :176-179 — CalculateField after KEEP_ALL writes the joined
+    // value into EVERY left row; unmatched rows get NULL, not their old value
+    val left = Seq(("k1", "prior1"), ("k3", "prior3")).toDF("tag", "DESCRIPTION")
+    val right = Seq(("k1", "d1", 1), ("k1", "d2", 2)).toDF("code", "PNTS_DESCR", "oid")
+    val out = Ops.joinEnrich(left, right, "tag", "code",
+      rightOrder = Seq(col("oid")), copies = Map("DESCRIPTION" -> "PNTS_DESCR"))
+    assert(out.count() == 2) // dup right keys don't multiply
+    val m = out.collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(m("k1") == "d1")  // first match by oid
+    assert(m("k3") == null)  // overwrite, NOT coalesce
+  }
+
+  test("joinEnrich: rightOrder may reference columns outside the copied set") {
+    // regression: ordering column (OID) pruned away before firstMatch
+    val left = Seq(("k1", "x")).toDF("tag", "dst")
+    val right = Seq(("k1", "late", 9), ("k1", "early", 1)).toDF("code", "v", "OID")
+    val out = Ops.joinEnrich(left, right, "tag", "code",
+      rightOrder = Seq(col("OID")), copies = Map("dst" -> "v"))
+    assert(out.collect().head.getString(1) == "early")
+  }
+
+  test("frequency: multi-key count + summary sums, FREQUENCY is int64") {
+    val df = Seq(("a", "x", 1.0), ("a", "x", 2.0), ("b", "y", 3.0)).toDF("k1", "k2", "v")
+    val out = Ops.frequency(df, Seq("k1", "k2"), Seq("v")).orderBy("k1").collect().toSeq
+    assert(out == Seq(Row("a", "x", 2L, 3.0), Row("b", "y", 1L, 3.0)))
+  }
+}
