@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators.{Dedup, Events, MultiModal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline extension queries (SURVEY §7.6): dedup family,
+  * similarity search, text analysis, multimodal plumbing, event windows.
+  * Same conventions as [[Queries]]; keys without an oracle (simhash / LSH —
+  * xxhash64 has no DuckDB twin) get the driver's rows-only check and are
+  * instead verified structurally in DedupSpec/SimilaritySpec.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------ dedup
+
+  val dedupExact: Q = (s, d) =>
+    Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text").orderBy("keep_id")
+
+  /** MinHash LSH candidates with the md5 hash family (DuckDB-mirrorable);
+    * production default is xxhash64 (DedupSpec pins identical candidates). */
+  val dedupMinhash: Q = (s, d) =>
+    Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
+      numHashes = 4, bands = 2, shingleN = 3, hashFn = Dedup.md5Hash)
+      .orderBy("a_id", "b_id")
+
+  /** SimHash candidates (xxhash64 bit votes — rows-only check; semantics
+    * pinned in DedupSpec). */
+  val dedupSimhash: Q = (s, d) =>
+    Dedup.simhashCandidates(t(s, d, "documents"), "doc_id", "text",
+      maxHamming = 10).orderBy("a_id", "b_id")
+
+  val dedupNgram: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy("a_id", "b_id")
+
+  val dedupEmbed: Q = (s, d) =>
+    Dedup.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.45)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("a_id", "b_id")
+
+  // ------------------------------------------------------------- similarity
+
+  /** Exact cosine top-10 for the first 5 vectors as queries. */
+  val topkSim: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("q_id", "rank")
+  }
+
+  /** LSH-bucketed ANN (rows-only check; recall vs brute force pinned in
+    * SimilaritySpec). */
+  val annTopk: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    Similarity.annLsh(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 10, numPlanes = 12, probeBits = 4)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  val langId: Q = (s, d) =>
+    TextAnalysis.withLangId(t(s, d, "documents"), "text")
+      .select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+  val textQuality: Q = (s, d) =>
+    TextAnalysis.withQualityScore(t(s, d, "documents"), "text")
+      .select("doc_id", "quality_score").orderBy("doc_id")
+
+  val textTokens: Q = (s, d) =>
+    TextAnalysis.withTokenStats(t(s, d, "documents"), "text")
+      .select("doc_id", "n_tok", "n_distinct", "n_bpeish").orderBy("doc_id")
+
+  val textFingerprint: Q = (s, d) =>
+    TextAnalysis.withFingerprint(t(s, d, "documents"), "text")
+      .select("doc_id", "fingerprint").orderBy("doc_id")
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Binary-column plumbing: text bytes stand in for media payloads; the
+    * stubbed decode runs in mapPartitions (real plumbing, fake codec), and
+    * the oracle checks the SQL-expressible output columns. */
+  val multimodalMeta: Q = (s, d) => {
+    val media = MultiModal.fromText(s, t(s, d, "documents"), "doc_id", "text")
+    MultiModal.extractFeatures(media).toDF()
+      .select("media_id", "modality", "n_bytes").orderBy("media_id")
+  }
+
+  // ----------------------------------------------------------------- events
+
+  val jsonExtract: Q = (s, d) =>
+    t(s, d, "events").select(
+      col("event_id"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k"))
+      .orderBy("event_id")
+
+  val tumblingCounts: Q = (s, d) =>
+    Events.tumblingCounts(Tables.loadEvents(s, d), "ts", "event_type", "hour")
+      .orderBy("win", "event_type")
+
+  val sessionizeQ: Q = (s, d) =>
+    Events.sessionize(Tables.loadEvents(s, d), "user_id", "ts", "event_id")
+      .select("event_id", "user_id", "session_id").orderBy("event_id")
+
+  val sessionStats: Q = (s, d) =>
+    Events.sessionStats(
+      Events.sessionize(Tables.loadEvents(s, d), "user_id", "ts", "event_id"),
+      "user_id", "ts")
+      .orderBy("user_id", "session_id")
+
+  // --------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram" -> dedupNgram,
+    "dedup_embed" -> dedupEmbed,
+    "topk_sim" -> topkSim,
+    "ann_topk" -> annTopk,
+    "lang_id" -> langId,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "multimodal_meta" -> multimodalMeta,
+    "json_extract" -> jsonExtract,
+    "tumbling_counts" -> tumblingCounts,
+    "sessionize" -> sessionizeQ,
+    "session_stats" -> sessionStats,
+  )
+
+  private val cosExpr =
+    """list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))]) /
+      |(sqrt(list_sum([a.v[i]*a.v[i] for i in generate_series(1, len(a.v))])) *
+      | sqrt(list_sum([b.v[i]*b.v[i] for i in generate_series(1, len(b.v))])))""".stripMargin
+
+  private val sessionizeSql =
+    """SELECT event_id, user_id, ts,
+      |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      |         WHEN date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800 THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM events)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(shingles, s -> md5(concat('0|', s)))) AS h0,
+        |    list_min(list_transform(shingles, s -> md5(concat('1|', s)))) AS h1,
+        |    list_min(list_transform(shingles, s -> md5(concat('2|', s)))) AS h2,
+        |    list_min(list_transform(shingles, s -> md5(concat('3|', s)))) AS h3
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, concat_ws('|', h0, h1) AS band_val FROM hs
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band_idx, concat_ws('|', h2, h3) AS band_val FROM hs)
+        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM bands a JOIN bands b
+        |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |WHERE a.band_val <> ''
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, round(i / (na.n + nb.n - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sz na ON na.doc_id = a_id
+        |JOIN sz nb ON nb.doc_id = b_id
+        |WHERE i / (na.n + nb.n - i) >= 0.5e0
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cosExpr AS cos
+         |  FROM (SELECT vec_id, v FROM e) a(vec_id, v)
+         |  JOIN (SELECT vec_id, v FROM e) b(vec_id, v) ON a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, round(cos, 4) AS cos FROM p WHERE cos >= 0.45e0
+         |ORDER BY a_id, b_id""".stripMargin,
+    "topk_sim" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, $cosExpr AS cos
+         |  FROM (SELECT vec_id, v FROM e) a(vec_id, v)
+         |  CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 5) b(vec_id, v)),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN greatest(e, de, es, fr, zh) = 0 THEN 'und'
+        |       WHEN e  = greatest(e, de, es, fr, zh) THEN 'en'
+        |       WHEN de = greatest(e, de, es, fr, zh) THEN 'de'
+        |       WHEN es = greatest(e, de, es, fr, zh) THEN 'es'
+        |       WHEN fr = greatest(e, de, es, fr, zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS e,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','ein'))) AS de,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','los','una'))) AS es,
+        |    len(list_filter(toks, t -> t IN ('le','la','les','des','une'))) AS fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','在','了','和'))) AS zh
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  round(0.4e0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok)
+        |      + 0.4e0 * least(n_tok / 100.0e0, 1.0e0)
+        |      + 0.2e0 * (CASE WHEN (length(text) - (n_tok - 1)) / n_tok BETWEEN 3.0e0 AND 8.0e0
+        |                      THEN 1.0e0 ELSE 0.5e0 END), 4) AS quality_score
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS modality,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "tumbling_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sessionize" ->
+      s"""SELECT event_id, user_id, session_id FROM ($sessionizeSql)
+         |ORDER BY event_id""".stripMargin,
+    "session_stats" ->
+      s"""SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events
+         |FROM ($sessionizeSql)
+         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+  )
+}

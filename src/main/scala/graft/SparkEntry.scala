@@ -32,10 +32,12 @@ object SparkEntry {
         qa.rejects.groupBy(col(Qa.FlagCol).as("disposition")).count())
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.6
+    * training-data extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ ExtQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ ExtQueries.oracles
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the training-data pipeline operators (SURVEY §7.6).
+  *
+  * All of these are pure column expressions built from Spark's codegen'd
+  * built-ins (split/transform/slice/aggregate/filter) — no UDFs — so they
+  * stay inside whole-stage codegen and run map-side at any scale.
+  */
+object TextFns {
+
+  /** Whitespace tokenization (the fixture corpus is space-joined word bags). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-count heuristic: words plus punctuation/digit runs as
+    * separate tokens — a regex approximation of byte-pair tokenizer output
+    * length, computable without any model artifact. */
+  def bpeishTokens(text: Column): Column =
+    filter(split(text, """(?<=\W)|(?=\W)"""), t => trim(t) =!= "")
+
+  /** Word n-gram shingles ("w1 w2 w3" strings). Docs shorter than n shingle
+    * to an empty array (matches the DuckDB oracle's empty comprehension). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Canonical document fingerprint: hash of the sorted distinct token set —
+    * invariant to token order and repetition (bag-of-words identity). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** 64-bit rolling-style content hash (cheap xxhash64 over the raw text). */
+  def contentHash64(text: Column): Column = xxhash64(text)
+
+  /** How many of the given stopwords occur in the token array (with
+    * multiplicity) — the building block of the language-ID heuristic. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => stopwords.map(t === _).reduce(_ || _)))
+
+  /** N-gram language-ID heuristic: vote per language by stopword hits; ties
+    * broken by the fixed language order; no hits => "und" (undetermined). */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val t = tokens(text)
+    val hits = profiles.map { case (lang, sw) => lang -> stopwordHits(t, sw) }
+    val best = hits.foldLeft((lit("und"), lit(0))) { case ((bl, bh), (lang, h)) =>
+      (when(h > bh, lit(lang)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    best._1
+  }
+
+  /** Default stopword profiles for the fixture corpus languages. */
+  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+}

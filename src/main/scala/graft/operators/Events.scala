@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-table operators: tumbling-window aggregation and gap-based
+  * sessionization (SURVEY §7.6). Batch forms here; the streaming twins live
+  * in graft.streaming.EventStreams over the same column expressions.
+  */
+object Events {
+
+  /** Tumbling time-window counts per key: one shuffle on (window, key),
+    * partial aggregation map-side. */
+  def tumblingCounts(df: DataFrame, tsCol: String, keyCol: String, unit: String): DataFrame =
+    df.groupBy(date_trunc(unit, col(tsCol)).as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMinutes`. Session ids are
+    * a running sum of session-start flags per user — one shuffle on
+    * user_id (the window partition key); ties on ts break by event id so
+    * the assignment is deterministic. */
+  def sessionize(
+      df: DataFrame, userCol: String, tsCol: String, idCol: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val prevTs = lag(col(tsCol), 1).over(byUser)
+    val isNew = when(prevTs.isNull, 1L).otherwise(
+      when(unix_timestamp(col(tsCol)) - unix_timestamp(prevTs) > gapMinutes * 60L, 1L)
+        .otherwise(0L))
+    df.withColumn("session_id", sum(isNew).over(byUser))
+  }
+
+  /** Session-level rollup: bounds + event count per (user, session). */
+  def sessionStats(sessionized: DataFrame, userCol: String, tsCol: String): DataFrame =
+    sessionized.groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+}

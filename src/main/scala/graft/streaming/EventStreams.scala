@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch event operators (SURVEY §2.7:
+  * the reference is batch-only; this is the engine's streaming surface for
+  * the same semantics, built on watermarks + windowed aggregation and
+  * mapGroupsWithState — no custom sinks/sources).
+  *
+  * Works on any streaming DataFrame with (event_id long, ts timestamp,
+  * user_id long, event_type string) — e.g. readStream over the events table
+  * layout, or a MemoryStream in tests.
+  */
+object EventStreams {
+
+  /** Tumbling windowed counts with a watermark: late rows beyond
+    * `lateness` are dropped, state is bounded (the window is eligible for
+    * eviction once the watermark passes). Append-mode friendly. */
+  def tumblingCounts(
+      stream: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win"), col("event_type"), col("n"))
+
+  case class Evt(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+  case class SessionState(sessionId: Long, lastTs: Long)
+  case class SessionizedEvt(event_id: Long, user_id: Long, session_id: Long)
+
+  /** Stateful gap sessionization: per-user state carries (current session
+    * id, last event time); a gap above `gapMinutes` starts a new session.
+    * State expires via processing-time timeout so abandoned users don't
+    * accumulate. Batch twin: graft.operators.Events.sessionize. */
+  def sessionize(events: Dataset[Evt], gapMinutes: Int = 30): Dataset[SessionizedEvt] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+      (user: Long, it: Iterator[Evt], state: GroupState[SessionState]) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val gap = e.ts.getTime - s.lastTs
+            val sid = if (s.lastTs == Long.MinValue || gap > gapMinutes * 60000L)
+              s.sessionId + 1 else s.sessionId
+            s = SessionState(sid, e.ts.getTime)
+            SessionizedEvt(e.event_id, user, sid)
+          }
+          state.update(s)
+          state.setTimeoutDuration(s"${gapMinutes * 4} minutes")
+          out.iterator
+        }
+      })
+  }
+}
