@@ -64,7 +64,7 @@ object ExtQueries {
     val e = t(s, d, "embeddings")
     Similarity.annLsh(e, "vec_id", "embedding",
       e.filter(col("vec_id") < 5), "vec_id", "embedding",
-      k = 10, numPlanes = 12, probeBits = 4)
+      k = 10, numPlanes = 4, probeBits = 4) // recall@10 ≈ 0.54 vs brute force (SimilaritySpec)
       .withColumn("cos", round(col("cos"), 4))
       .orderBy("q_id", "rank")
   }

@@ -34,12 +34,22 @@ object EventStreams {
 
   /** Stateful gap sessionization: per-user state carries (current session
     * id, last event time); a gap above `gapMinutes` starts a new session.
-    * State expires via processing-time timeout so abandoned users don't
-    * accumulate. Batch twin: graft.operators.Events.sessionize. */
-  def sessionize(events: Dataset[Evt], gapMinutes: Int = 30): Dataset[SessionizedEvt] = {
+    * Batch twin: graft.operators.Events.sessionize.
+    *
+    * `expireState = true` adds a processing-time timeout that evicts
+    * abandoned users' state — turn it on for long-running production
+    * queries. Note the timeout makes Spark trigger continuous empty
+    * micro-batches to process expirations, so `processAllAvailable` (used
+    * by tests) never settles with it on. */
+  def sessionize(
+      events: Dataset[Evt], gapMinutes: Int = 30,
+      expireState: Boolean = false): Dataset[SessionizedEvt] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (expireState) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id).flatMapGroupsWithState(
-      OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+      OutputMode.Append(), timeoutConf)(
       (user: Long, it: Iterator[Evt], state: GroupState[SessionState]) => {
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
@@ -52,7 +62,7 @@ object EventStreams {
             SessionizedEvt(e.event_id, user, sid)
           }
           state.update(s)
-          state.setTimeoutDuration(s"${gapMinutes * 4} minutes")
+          if (expireState) state.setTimeoutDuration(s"${gapMinutes * 4} minutes")
           out.iterator
         }
       })

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for the named queries
+  * (or all) so scan pushdown (PushedFilters/ReadSchema), join strategies
+  * (BroadcastHashJoin vs SortMergeJoin), and WholeStageCodegen spans can be
+  * inspected — the SURVEY's "is this the plan you'd want at 100 TB" loop. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wanted = if (args.isEmpty) graft.SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+    wanted.foreach { name =>
+      graft.SparkEntry.queries.get(name).foreach { fn =>
+        println(s"\n========== $name ==========")
+        try fn(spark, dir).explain("formatted")
+        catch { case e: Throwable => println(s"[plans] $name failed: $e") }
+      }
+    }
+    spark.stop()
+  }
+}

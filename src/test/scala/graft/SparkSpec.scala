@@ -17,6 +17,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark 4.1's checksum checkpoint manager shells out (hadoop readLink)
+      // on every state-store commit; the subprocess wedges under the forked
+      // test JVM in this container. Plain checkpoint files are fine here.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

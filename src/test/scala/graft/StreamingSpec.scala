@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Evt
+
+/** Structured-Streaming twins driven through MemoryStream — real streaming
+  * micro-batches, not batch DataFrames. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("tumblingCounts: watermarked windowed counts emit on watermark advance") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val counts = EventStreams.tumblingCounts(mem.toDF(), "1 hour", "10 minutes")
+    val q = counts.writeStream.format("memory").queryName("tc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Evt(1, ts(5), 1, "click"), Evt(2, ts(20), 1, "click"), Evt(3, ts(30), 2, "view"))
+      q.processAllAvailable()
+      // watermark still inside hour 0 -> nothing final yet; push it past
+      mem.addData(Evt(4, ts(200), 1, "click"))
+      q.processAllAvailable()
+      mem.addData(Evt(5, ts(400), 1, "click"))
+      q.processAllAvailable()
+      // window() aligns to epoch hour boundaries, not to the first event
+      val win0 = ts(0).getTime - ts(0).getTime % 3600000L
+      val rows = spark.table("tc").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains((win0, "click", 2L)))
+      assert(rows.contains((win0, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize: per-user gap sessions across micro-batches") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val sess = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Evt(1, ts(0), 7, "click"), Evt(2, ts(10), 7, "click"))
+      q.processAllAvailable()
+      mem.addData(Evt(3, ts(50), 7, "click")) // state carried across batches
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, MultiModal, TextAnalysis}
+
+/** Text analysis, batch event ops, and multimodal plumbing. */
+class TextEventsSpec extends SparkSpec {
+  import sqlContext.implicits._
+
+  test("langId: stopword votes pick the language; no hits -> und; tie -> first profile") {
+    val docs = Seq(
+      (1L, "the cat and the dog"),       // en
+      (2L, "der hund und die katze"),    // de
+      (3L, "xyzzy plugh quux"),          // und
+      (4L, "la the")                     // 1 en hit vs 1 es/fr hit -> en (first profile wins ties)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(docs, "text")
+      .select("doc_id", "lang_pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "en"))
+  }
+
+  test("token stats: bpe-ish regex splits punctuation that whitespace tokens miss") {
+    val docs = Seq((1L, "hello, world! 42 end")).toDF("doc_id", "text")
+    val r = TextAnalysis.withTokenStats(docs, "text")
+      .select("n_tok", "n_distinct", "n_bpeish").collect().head
+    assert(r.getLong(0) == 4)      // whitespace tokens: "hello," "world!" "42" "end"
+    assert(r.getLong(1) == 4)
+    assert(r.getLong(2) == 6)      // hello , world ! 42 end
+  }
+
+  test("sessionize: gap > 30min starts a new session per user; ids deterministic") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 7L), (2L, ts(10), 7L), (3L, ts(50), 7L), // user 7: s1,s1,s2
+      (4L, ts(0), 8L), (5L, ts(31), 8L)                     // user 8: s1,s2 (31min gap)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Events.sessionize(events, "user_id", "ts", "event_id")
+      .select("event_id", "session_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+    val stats = Events.sessionStats(
+      Events.sessionize(events, "user_id", "ts", "event_id"), "user_id", "ts")
+    assert(stats.count() == 4)
+    assert(stats.filter(col("user_id") === 7 && col("session_id") === 1)
+      .select("n_events").as[Long].head() == 2)
+  }
+
+  test("multimodal: stub decode is deterministic, partition-parallel, and frame sampling strides") {
+    val docs = Seq((1L, "payload-one"), (2L, "payload-two")).toDF("doc_id", "text")
+    val media = MultiModal.fromText(spark, docs, "doc_id", "text", modality = "video")
+    val f1 = MultiModal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = MultiModal.extractFeatures(media.repartition(4)).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq) // partitioning never changes features
+    assert(f1.forall(f => f.n_bytes == 11 && f.width >= 64 && f.height >= 64))
+    val frames = MultiModal.sampleFrames(
+      MultiModal.extractFeatures(media).toDF(), stride = 10)
+    val perId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    f1.foreach { f =>
+      assert(perId(f.media_id) == (f.n_frames + 9) / 10) // ceil(n/stride)
+    }
+  }
+}
