@@ -10,7 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm up the session (codegen, parquet footer reads, executor pool)
+    // so the first measured query doesn't absorb ~5s of JVM startup.
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
+    // Optional args = subset of query names (local iteration); driver
+    // invokes with no args = full suite.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.contains).toMap
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -27,7 +27,7 @@ object ExtQueries {
     * production default is xxhash64 (DedupSpec pins identical candidates). */
   val dedupMinhash: Q = (s, d) =>
     Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
-      numHashes = 4, bands = 2, shingleN = 3, hashFn = Dedup.md5Hash)
+      numHashes = 4, bands = 2, shingleN = 3, family = Dedup.Md5Family)
       .orderBy("a_id", "b_id")
 
   /** SimHash candidates (xxhash64 bit votes — rows-only check; semantics
@@ -143,10 +143,17 @@ object ExtQueries {
     "session_stats" -> sessionStats,
   )
 
-  private val cosExpr =
-    """list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))]) /
-      |(sqrt(list_sum([a.v[i]*a.v[i] for i in generate_series(1, len(a.v))])) *
-      | sqrt(list_sum([b.v[i]*b.v[i] for i in generate_series(1, len(b.v))])))""".stripMargin
+  /** Unit-normalized corpus CTE + plain dot product — mirrors
+    * VectorFns.unitize + dot exactly (same op order, so doubles match). */
+  private val unitCte =
+    """e AS (
+      |  SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM (
+      |    SELECT vec_id, v0, sqrt(list_sum([x * x for x in v0])) AS nrm FROM (
+      |      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+      |      FROM embeddings)))""".stripMargin
+
+  private val dotExpr =
+    "list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))])"
 
   private val sessionizeSql =
     """SELECT event_id, user_id, ts,
@@ -198,17 +205,17 @@ object ExtQueries {
         |WHERE i / (na.n + nb.n - i) >= 0.5e0
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embed" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH $unitCte,
          |p AS (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cosExpr AS cos
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dotExpr AS cos
          |  FROM (SELECT vec_id, v FROM e) a(vec_id, v)
          |  JOIN (SELECT vec_id, v FROM e) b(vec_id, v) ON a.vec_id < b.vec_id)
          |SELECT a_id, b_id, round(cos, 4) AS cos FROM p WHERE cos >= 0.45e0
          |ORDER BY a_id, b_id""".stripMargin,
     "topk_sim" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH $unitCte,
          |scored AS (
-         |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, $cosExpr AS cos
+         |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, $dotExpr AS cos
          |  FROM (SELECT vec_id, v FROM e) a(vec_id, v)
          |  CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 5) b(vec_id, v)),
          |ranked AS (

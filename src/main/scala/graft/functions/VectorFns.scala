@@ -24,10 +24,59 @@ object VectorFns {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-normalize once so downstream cosine is a single dot product.
+    * For any pairwise/top-k workload this moves the two norm computations
+    * from per-PAIR to per-ROW — at n rows and n² pairs, 3n² aggregate
+    * passes become n² + n (measured 40s -> 14s on the sf0.1 bench). */
+  def unitize(v: Column): Column = {
+    val n = norm(v)
+    transform(v, x => x / n)
+  }
+
   /** Signed projection against a fixed plane (literal weights) — the
     * random-hyperplane LSH bit primitive. */
   def projectBit(v: Column, weights: Seq[Double]): Column = {
     val w = array(weights.map(lit): _*)
     when(dot(v, w) >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  // -------------------------------------------------------- fast JVM path
+  //
+  // The Column-expression forms above are composable and oracle-mirrorable,
+  // but Spark evaluates higher-order functions interpreted (not codegen'd):
+  // on the sf0.1 bench the all-pairs cosine spent 14s in lambda evals.
+  // These UDF twins run the SAME arithmetic in the SAME order (float→double
+  // cast, sequential left-to-right accumulation), so results are bit-equal
+  // to the expression forms and to the DuckDB oracle — just ~10x faster.
+
+  /** float array -> unit-length double array (norm computed per ROW).
+    * Output is Array[Double] (containsNull=false) so downstream UDFs get
+    * primitive-array converters, not per-element boxing. */
+  val unitizeUdf = udf { (v: Seq[Float]) =>
+    if (v == null) null
+    else {
+      val d = new Array[Double](v.length)
+      var i = 0
+      while (i < d.length) { d(i) = v(i).toDouble; i += 1 }
+      var s = 0.0
+      i = 0
+      while (i < d.length) { s += d(i) * d(i); i += 1 }
+      val n = math.sqrt(s)
+      i = 0
+      while (i < d.length) { d(i) = d(i) / n; i += 1 }
+      d
+    }
+  }
+
+  /** Sequential dot product. Declared over Array[Double] — Catalyst then
+    * converts via toDoubleArray (no boxing); with Seq[Double] every pair
+    * boxed 2x64 doubles and the all-pairs bench ran 30% SLOWER than the
+    * interpreted expression it replaced. */
+  val dotUdf = udf { (a: Array[Double], b: Array[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
   }
 }

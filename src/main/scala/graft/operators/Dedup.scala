@@ -27,41 +27,90 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** Family of hash functions indexed by i. */
-  type HashFn = (Int, Column) => Column
+  /** Hash family for minhash signatures. */
+  sealed trait HashFamily
+  /** md5 hex strings with an `"i|"` prefix per hash index — DuckDB can
+    * mirror this exactly (lexicographic min over hex strings), so the
+    * differential oracle uses it. */
+  case object Md5Family extends HashFamily
+  /** 64-bit FNV-1a with the same prefixing — the fast production default
+    * (no cryptographic digest per shingle). Verified against Md5Family's
+    * candidate behavior in DedupSpec. */
+  case object Fnv64Family extends HashFamily
 
-  /** Differential-testable variant: DuckDB has md5, so the oracle can mirror
-    * this exactly (lexicographic min over hex strings). */
-  val md5Hash: HashFn = (i, c) => md5(concat(lit(s"$i|"), c))
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = "0123456789abcdef"
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < b.length) {
+      sb.append(hex.charAt((b(i) >> 4) & 0xf)).append(hex.charAt(b(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
 
-  /** Production variant: 64-bit xxhash64 — 4x fewer signature bytes and no
-    * hex-string materialization. Not DuckDB-mirrorable; verified against the
-    * md5 variant's candidate recall in DedupSpec. */
-  val xxHash: HashFn = (i, c) => xxhash64(lit(i), c)
+  /** One UDF computes the k per-hash minima AND folds them into the b band
+    * values — a single JVM pass per document. (The earlier higher-order-
+    * expression formulation evaluated k interpreted array passes per doc:
+    * 5.6s at sf0.1 vs ~1s for this form. A single band-array output also
+    * guarantees one evaluation — k separate signature columns over one UDF
+    * invite Catalyst to duplicate the call per projection.)
+    * Returns null when the doc has no shingles -> explode emits nothing ->
+    * the doc matches no one, same as the oracle's empty-list list_min. */
+  private def bandsUdf(numHashes: Int, bands: Int, shingleN: Int, family: HashFamily) = {
+    val r = numHashes / bands
+    udf { (text: String) =>
+      if (text == null) null
+      else {
+        val toks = text.split(" ", -1)
+        if (toks.length < shingleN) null
+        else {
+          val mins = Array.fill(numHashes)(null: String)
+          var t = 0
+          val last = toks.length - shingleN
+          while (t <= last) {
+            val s = if (shingleN == 1) toks(t) else toks.slice(t, t + shingleN).mkString(" ")
+            var i = 0
+            while (i < numHashes) {
+              val h = family match {
+                case Md5Family => md5hex(i.toString + "|" + s)
+                case Fnv64Family => java.lang.Long.toHexString(fnv64(i.toString + "|" + s))
+              }
+              if (mins(i) == null || h < mins(i)) mins(i) = h
+              i += 1
+            }
+            t += 1
+          }
+          Array.tabulate(bands)(j => mins.slice(j * r, (j + 1) * r).mkString("|"))
+        }
+      }
+    }
+  }
 
-  /** Per-doc MinHash signature columns `mh_0..mh_{k-1}` over word
-    * n-gram shingles. Map-side only. */
+  /** Per-doc MinHash signature columns `mh_0..mh_{k-1}` over word n-gram
+    * shingles (bands of width 1 from [[bandsUdf]]). Map-side only. */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
       numHashes: Int,
       shingleN: Int = 3,
-      hashFn: HashFn = xxHash): DataFrame = {
-    val sh = TextFns.shingles(col(textCol), shingleN)
-    val withSh = df.withColumn("__sh", sh)
-    val out = (0 until numHashes).foldLeft(withSh) { (d, i) =>
-      d.withColumn(s"mh_$i", array_min(transform(col("__sh"), s => hashFn(i, s))))
-    }
-    out.drop("__sh")
+      family: HashFamily = Fnv64Family): DataFrame = {
+    val arr = bandsUdf(numHashes, numHashes, shingleN, family)(col(textCol))
+    val withArr = df.withColumn("__mhs", arr)
+    (0 until numHashes).foldLeft(withArr) { (d, i) =>
+      d.withColumn(s"mh_$i", element_at(col("__mhs"), i + 1))
+    }.drop("__mhs")
   }
 
   /** LSH banding: candidate pairs (a_id < b_id) that agree on at least one
-    * band of `rowsPerBand` consecutive minhash values.
+    * band of `numHashes / bands` consecutive minhash values.
     *
     * The bands are EXPLODED into (band_idx, band_val) rows and self-joined
     * once on that composite key — one pass over the signatures and one
     * shuffle, rather than one join per band. Docs with no shingles (shorter
-    * than the shingle width) produce NULL bands and match nothing. */
+    * than the shingle width) produce no band rows and match nothing. */
   def minhashCandidates(
       df: DataFrame,
       idCol: String,
@@ -69,19 +118,11 @@ object Dedup {
       numHashes: Int = 4,
       bands: Int = 2,
       shingleN: Int = 3,
-      hashFn: HashFn = xxHash): DataFrame = {
+      family: HashFamily = Fnv64Family): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
-    val sigs = minhashSignatures(df, textCol, numHashes, shingleN, hashFn)
-    val bandCols = (0 until bands).map { j =>
-      val hs = (j * r until (j + 1) * r).map(i => col(s"mh_$i").cast("string"))
-      concat_ws("|", hs: _*)
-    }
-    // concat_ws skips NULLs: an all-NULL band (no shingles) becomes '' — map
-    // it back to NULL so it cannot join.
-    val banded = sigs
-      .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-      .filter(col("band_val") =!= "")
+    val banded = df.select(col(idCol),
+        posexplode(bandsUdf(numHashes, bands, shingleN, family)(col(textCol)))
+          .as(Seq("band_idx", "band_val")))
     val a = banded.toDF("a_id", "band_idx", "band_val")
     val b = banded.toDF("b_id", "band_idx", "band_val")
     a.join(b, Seq("band_idx", "band_val"))
@@ -91,23 +132,52 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
+  /** 64-bit FNV-1a of a UTF-16 string — the shingle hash behind simhash.
+    * Plain JVM code: only internal consistency matters (there is no DuckDB
+    * twin to mirror), so the hash family is free to be fast. */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** 64-bit SimHash over word shingles: per-bit majority vote of shingle
-    * hashes. Pure map-side SQL-lambda expression (no UDF). */
+    * hashes.
+    *
+    * Implemented as a scalar UDF rather than SQL lambda expressions:
+    * the higher-order-function formulation evaluates 64 interpreted
+    * aggregate passes per document (~32M lambda evals on the sf0.1 bench,
+    * 16.7s); one JVM call per row with tight loops does the same work in
+    * well under a second. The codegen-friendly preference (SURVEY §4) loses
+    * to measurement here — higher-order fns are interpreted, not codegen'd.
+    */
   def simhash(df: DataFrame, textCol: String, shingleN: Int = 1): DataFrame = {
-    val sh = if (shingleN == 1) TextFns.tokens(col(textCol))
-             else TextFns.shingles(col(textCol), shingleN)
-    df.withColumn("__hs", transform(sh, s => xxhash64(s)))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  transform(sequence(0, 63),
-          |    b -> aggregate(__hs, 0L,
-          |           (acc, h) -> acc + CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END)),
-          |  named_struct('acc', 0L, 'b', 0),
-          |  (s, v) -> named_struct(
-          |    'acc', s.acc + CASE WHEN v > 0 THEN shiftleft(1L, s.b) ELSE 0L END,
-          |    'b', s.b + 1),
-          |  s -> s.acc)""".stripMargin))
-      .drop("__hs")
+    val f = udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        val toks = text.split(" ", -1)
+        val votes = new Array[Int](64)
+        val last = toks.length - shingleN
+        var t = 0
+        while (t <= last) {
+          val s = if (shingleN == 1) toks(t)
+                  else toks.slice(t, t + shingleN).mkString(" ")
+          val h = fnv64(s)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+          t += 1
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+        sig
+      }
+    }
+    df.withColumn("simhash", f(col(textCol)))
   }
 
   /** SimHash near-dup candidates: 4 chunks of 16 bits — any pair within
@@ -155,7 +225,7 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFns.shingles(col(textCol), shingleN))).as("s"))
+        explode(array_distinct(TextFns.shinglesUdf(shingleN)(col(textCol)))).as("s"))
     val filtered = maxShingleDf match {
       case Some(m) =>
         import org.apache.spark.sql.expressions.Window
@@ -180,7 +250,10 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs above a threshold. This is the
     * exact (quadratic) baseline: an optional blocking column bounds the
-    * product; the scale path is [[Similarity.annLsh]] bucketing. */
+    * product; the scale path is [[Similarity.annLsh]] bucketing.
+    *
+    * Vectors are unit-normalized BEFORE the pair product, so each pair
+    * costs one dot product instead of dot + two norms. */
   def cosinePairs(
       df: DataFrame,
       idCol: String,
@@ -189,12 +262,12 @@ object Dedup {
       blockCol: Option[String] = None): DataFrame = {
     val e = df.select(
       col(idCol).as("id"),
-      VectorFns.toDoubles(col(vecCol)).as("v"),
+      VectorFns.unitizeUdf(col(vecCol)).as("v"),
       (blockCol.map(col).getOrElse(lit(0))).as("blk"))
     val a = e.toDF("a_id", "a_v", "blk")
     val b = e.toDF("b_id", "b_v", "blk")
     a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", VectorFns.cosine(col("a_v"), col("b_v")))
+      .withColumn("cos", VectorFns.dotUdf(col("a_v"), col("b_v")))
       .filter(col("cos") >= minCosine)
       .select("a_id", "b_id", "cos")
   }

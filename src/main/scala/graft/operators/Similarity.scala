@@ -32,10 +32,12 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(corpusId).as("n_id"), VectorFns.toDoubles(col(corpusVec)).as("n_v"))
-    val q = queries.select(col(queryId).as("q_id"), VectorFns.toDoubles(col(queryVec)).as("q_v"))
+    val c = corpus.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeUdf(col(corpusVec)).as("n_v"))
+    val q = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeUdf(col(queryVec)).as("q_v"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos", VectorFns.cosine(col("q_v"), col("n_v")))
+      .withColumn("cos", VectorFns.dotUdf(col("q_v"), col("n_v")))
     val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -67,9 +69,11 @@ object Similarity {
       k: Int, numPlanes: Int = 12, dim: Int = 64,
       probeBits: Int = 4, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
-    val c = corpus.select(col(corpusId).as("n_id"), VectorFns.toDoubles(col(corpusVec)).as("n_v"))
+    val c = corpus.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeUdf(col(corpusVec)).as("n_v"))
       .withColumn("bucket", lshBucket(col("n_v"), planes))
-    val q0 = queries.select(col(queryId).as("q_id"), VectorFns.toDoubles(col(queryVec)).as("q_v"))
+    val q0 = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeUdf(col(queryVec)).as("q_v"))
       .withColumn("bucket", lshBucket(col("q_v"), planes))
     // base bucket plus single-bit flips of the first probeBits planes:
     val flipped = (0 until probeBits).map(i =>
@@ -77,7 +81,7 @@ object Similarity {
     val qAll = flipped.foldLeft(q0.withColumn("probe", col("bucket")))(_ unionByName _)
       .select("q_id", "q_v", "probe").dropDuplicates("q_id", "probe")
     val joined = c.join(broadcast(qAll), c("bucket") === qAll("probe"))
-      .withColumn("cos", VectorFns.cosine(col("q_v"), col("n_v")))
+      .withColumn("cos", VectorFns.dotUdf(col("q_v"), col("n_v")))
     val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("n_id"))
     joined.select("q_id", "n_id", "cos").dropDuplicates("q_id", "n_id")
       .withColumn("rank", row_number().over(w))

@@ -23,9 +23,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash: exact dups always candidates; both hash families agree on them; short docs never match") {
-    for (fn <- Seq(Dedup.md5Hash, Dedup.xxHash)) {
+    for (fam <- Seq(Dedup.Md5Family, Dedup.Fnv64Family)) {
       val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
-        numHashes = 4, bands = 2, shingleN = 3, hashFn = fn)
+        numHashes = 4, bands = 2, shingleN = 3, family = fam)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pairs.contains((1L, 2L))) // identical signatures -> same bands
       assert(!pairs.exists { case (a, b) => a == 5L || b == 5L }) // no shingles -> no band
