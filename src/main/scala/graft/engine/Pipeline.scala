@@ -1,0 +1,86 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-table pipeline composition (SURVEY §3.3): the reference's ~15 eager
+  * arcpy statements per feature class
+  * (/root/reference/src/wins_transform_staging.py:143-273) become ONE lazy
+  * Catalyst plan per output table — append, ordered field calculations,
+  * blank normalization, join enrichment, QA split — with actions only at
+  * the QA counts and sink writes.
+  */
+object Pipeline {
+
+  /** One conditional assignment (R3+R4): set `field` to `value` where
+    * `pred`; order matters — later rules see earlier rules' output. */
+  final case class CalcRule(field: String, pred: Column, value: Column)
+
+  /** J1/J2 enrichment config. */
+  final case class Enrich(
+      dim: DataFrame, leftKey: String, rightKey: String,
+      rightOrder: Seq[Column], copies: Map[String, String])
+
+  /** The two reference QA rules, parameterized (SURVEY §2.5). */
+  final case class QaRules(
+      dupKeys: Seq[String], dupReason: String,
+      refDim: DataFrame, refLeftKey: String, refRightKey: String,
+      refReason: String)
+
+  /** What the reference logs per table (:253,263) plus the final counts. */
+  final case class RunReport(
+      table: String, inputRows: Long, keptRows: Long,
+      rejectsByReason: Map[String, Long])
+
+  final case class TableResult(keep: DataFrame, rejects: DataFrame, report: RunReport)
+
+  /** Run the full §3.3 trace for one table. `template` fixes the output
+    * schema (S5 — NO_TEST append into the template's column set). */
+  def runTable(
+      name: String,
+      download: DataFrame,
+      template: DataFrame,
+      calcRules: Seq[CalcRule],
+      blankToNullFields: Seq[String],
+      enrich: Option[Enrich],
+      qa: Option[QaRules]): TableResult = {
+
+    // R1: land the download in the template schema
+    val appended = Ops.appendNoTest(template, download)
+    // R3+R4: ordered conditional calcs
+    val calced = calcRules.foldLeft(appended) { (df, r) =>
+      Ops.calcWhen(df, r.field, r.pred, r.value)
+    }
+    // R5: '' -> NULL
+    val blanked = blankToNullFields.foldLeft(calced)(Ops.blankToNull)
+    // J1/J2: first-match enrichment
+    val enriched = enrich.fold(blanked) { e =>
+      Ops.joinEnrich(blanked, e.dim, e.leftKey, e.rightKey, e.rightOrder, e.copies)
+    }
+    // Q1..Q3: sequential split + routed rejects
+    val result = qa match {
+      case Some(q) =>
+        val seed = enriched.limit(0).withColumn(Qa.FlagCol, lit(""))
+        Qa.runRules(enriched, seed, Seq(
+          df => Qa.dupSplit(df, q.dupKeys, q.dupReason),
+          df => Qa.refSplit(df, q.refDim, q.refLeftKey, q.refRightKey, q.refReason)))
+      case None =>
+        Qa.QaSplit(enriched, enriched.limit(0).withColumn(Qa.FlagCol, lit("")))
+    }
+    // A2-style forced counts — the engine's only actions besides sinks
+    val rejectCounts = result.rejects.groupBy(Qa.FlagCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val report = RunReport(name, appended.count(), result.keep.count(), rejectCounts)
+    TableResult(result.keep, result.rejects, report)
+  }
+
+  /** Run many tables and publish keeps + one merged reject table atomically
+    * (S8). Reject schemas are reconciled NO_TEST-style into the widest. */
+  def runAndPublish(
+      tables: Seq[(String, TableResult)], stagingDir: String): Seq[RunReport] = {
+    val keeps = tables.map { case (n, t) => n -> t.keep }.toMap
+    val rejects = tables.map(_._2.rejects).reduceLeft(Ops.appendNoTest)
+    Sinks.publish(keeps + ("rejects" -> rejects), stagingDir)
+    tables.map(_._2.report)
+  }
+}

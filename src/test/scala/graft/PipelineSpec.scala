@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Pipeline, Qa, Sinks}
+import graft.engine.Pipeline.{CalcRule, Enrich, QaRules}
+
+/** End-to-end golden test mirroring the reference trace for
+  * RESERVES_AND_RESTRICTIONS (SURVEY §3.3; FIXTURES.md §B edge rows):
+  * every required edge case rides through one pipeline run. */
+class PipelineSpec extends SparkSpec {
+  import sqlContext.implicits._
+
+  // FIXTURES §B: tags '' vs populated; RV%/RS%/neither; duplicate TRRR_TAG
+  // group; tags with 0, 1, 2+ POD matches; a row hit by both QA rules.
+  private def download = Seq(
+    ("RV01", "appended", "none"),  // RV rule, 1 POD match
+    ("RS02", "appended", "none"),  // RS rule, 2 POD matches (first-match)
+    ("XX03", "appended", "none"),  // no calc rule, 1 POD match
+    ("DUP4", "appended", "none"),  // duplicate pair -> rule 1...
+    ("DUP4", "appended", "none"),  //   ...both rows rejected
+    ("MISS", "appended", "none"),  // 1 POD match? no -> rule 2 reject
+    ("", "appended", "none")       // blank -> NULL -> no POD match -> rule 2
+  ).toDF("TRRR_TAG", "FEATURE_CODE", "extra_col")
+
+  private def template =
+    Seq.empty[(String, String, String)].toDF("TRRR_TAG", "FEATURE_CODE", "DESCRIPTION")
+
+  private def pod = Seq(
+    ("RV01", "rv descr", 1), ("RS02", "rs descr A", 2), ("RS02", "rs descr B", 3),
+    ("XX03", "xx descr", 4), ("DUP4", "dup descr", 5), ("UNUSED", "no tag", 6)
+  ).toDF("PNTS_CODE", "PNTS_DESCR", "OID")
+
+  private def run() = Pipeline.runTable(
+    name = "RESERVES_AND_RESTRICTIONS",
+    download = download,
+    template = template,
+    calcRules = Seq(
+      CalcRule("FEATURE_CODE", col("TRRR_TAG").like("RV%"), lit("EA83030000")),
+      CalcRule("FEATURE_CODE", col("TRRR_TAG").like("RS%"), lit("EA83040000"))),
+    blankToNullFields = Seq("TRRR_TAG"),
+    enrich = Some(Enrich(pod, "TRRR_TAG", "PNTS_CODE", Seq(col("OID")),
+      Map("DESCRIPTION" -> "PNTS_DESCR"))),
+    qa = Some(QaRules(
+      Seq("TRRR_TAG"), "Duplicate TRRR_TAG",
+      pod, "TRRR_TAG", "PNTS_CODE", "TRRR_TAG not found in Water POD Table")))
+
+  test("e2e golden: counts, calc rules, first-match enrichment, QA routing") {
+    val r = run()
+    assert(r.report.inputRows == 7)
+    assert(r.report.keptRows == 3) // RV01, RS02, XX03
+    assert(r.report.rejectsByReason == Map(
+      "Duplicate TRRR_TAG" -> 2,
+      "TRRR_TAG not found in Water POD Table" -> 2)) // MISS + blank->NULL
+
+    val keep = r.keep.select("TRRR_TAG", "FEATURE_CODE", "DESCRIPTION")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2))).toSet
+    assert(keep == Set(
+      ("RV01", "EA83030000", "rv descr"),
+      ("RS02", "EA83040000", "rs descr A"), // first match by OID, row never multiplied
+      ("XX03", "appended", "xx descr")))    // untouched by calc rules
+    // extra_col dropped by NO_TEST append; template schema + flag on rejects
+    assert(r.keep.columns.toSeq == Seq("TRRR_TAG", "FEATURE_CODE", "DESCRIPTION"))
+    assert(r.rejects.columns.contains(Qa.FlagCol))
+    // dup rows rejected by rule 1 carry rule 1's reason even though DUP4
+    // also has a POD match state (reason precedence, reference :268)
+    val dupReasons = r.rejects.filter(col("TRRR_TAG") === "DUP4")
+      .select(Qa.FlagCol).as[String].collect().toSet
+    assert(dupReasons == Set("Duplicate TRRR_TAG"))
+  }
+
+  test("publish: atomic staging swap; failed run leaves previous staging intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString + "/staged"
+    val r = run()
+    Pipeline.runAndPublish(Seq("RRR" -> r), dir)
+    val published = spark.read.parquet(s"$dir/RRR")
+    assert(published.count() == 3)
+    assert(spark.read.parquet(s"$dir/rejects").count() == 4)
+
+    // second publish with a poisoned table: staging must keep version 1
+    val boom = udf { (s: String) =>
+      if (s != null) throw new RuntimeException("decode failure"); s
+    }
+    val poisoned = r.keep.withColumn("TRRR_TAG", boom(col("TRRR_TAG")))
+    intercept[Exception] {
+      Sinks.publish(Map("RRR" -> poisoned), dir)
+    }
+    assert(spark.read.parquet(s"$dir/RRR").count() == 3) // old version intact
+  }
+}
