@@ -130,4 +130,33 @@ object Ops {
     * the engine's only forced materialization besides sink writes.
     */
   def countSelected(df: DataFrame, pred: Column): Long = df.filter(pred).count()
+
+  /** Skew-safe shuffled equi-join: salt the (skewed) left side into
+    * `salts` sub-keys and replicate the right side once per salt, so a hot
+    * key's rows spread over `salts` reducers instead of one straggler.
+    *
+    * Semantically identical to `left.join(right, leftKey === rightKey,
+    * joinType)` (pinned in OpsSpec). Use when AQE's skew-join splitting
+    * can't help — e.g. the skewed side feeds an aggregation, or the
+    * runtime stats miss the skew. Right side grows `salts`x: keep it the
+    * dimension side. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // right/full outer would emit `salts` copies of unmatched right rows
+    // (they exist once per replica): restrict to the safe types.
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins, not $joinType")
+    val sl = left.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val sr = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    sl.join(sr, sl(leftKey) === sr(rightKey) && sl("__salt") === sr("__salt"), joinType)
+      .drop("__salt")
+  }
 }

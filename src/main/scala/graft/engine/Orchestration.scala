@@ -1,0 +1,71 @@
+package graft.engine
+
+import scala.collection.mutable
+
+/** Non-relational orchestration surface (SURVEY §2.8) — the parts of the
+  * reference around the dataflow: YAML config + env credentials
+  * (/root/reference/src/wins_transform_staging.py:26-52,69-78), a captured
+  * run log returned to the caller (:80-92,292), and a pluggable notifier
+  * for the emailed SUCCESS/FAILURE report (:294-319).
+  */
+object Orchestration {
+
+  /** Minimal flat/2-level YAML subset parser — exactly the shape of the
+    * reference's app.yml (scalars and one level of nesting; no lists, no
+    * anchors). No external dependency, fail-fast on malformed lines. */
+  def parseYamlish(text: String): Map[String, String] = {
+    val out = mutable.LinkedHashMap[String, String]()
+    var prefix = ""
+    text.linesIterator.filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
+      .foreach { line =>
+        val indented = line.startsWith(" ") || line.startsWith("\t")
+        val t = line.trim
+        val idx = t.indexOf(':')
+        require(idx > 0, s"malformed config line: '$t'")
+        val (k, v) = (t.substring(0, idx).trim, t.substring(idx + 1).trim)
+        val value = v.stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'")
+        if (!indented) {
+          if (value.isEmpty) prefix = s"$k." else { prefix = ""; out(k) = value }
+        } else {
+          require(prefix.nonEmpty, s"indented line outside a section: '$t'")
+          out(prefix + k) = value
+        }
+      }
+    out.toMap
+  }
+
+  /** Credential lookup: env first (the reference reads an INI outside the
+    * repo — env is the container-era equivalent), fail fast when absent. */
+  def secret(name: String, env: Map[String, String] = sys.env): String =
+    env.getOrElse(name, throw new IllegalStateException(s"missing credential: $name"))
+
+  /** Captured run log: the reference attaches a StringIO handler and mails
+    * the whole buffer. Same idea, typed. */
+  final class RunLog {
+    private val lines = mutable.ArrayBuffer[String]()
+    def info(msg: String): Unit = lines += s"INFO $msg"
+    def error(msg: String): Unit = lines += s"ERROR $msg"
+    def dump: String = lines.mkString("\n")
+  }
+
+  /** Where the reference sends email (:294-306). Side-effecting boundary —
+    * keep implementations trivial and tested only for routing. */
+  trait Notifier { def notify(success: Boolean, subject: String, body: String): Unit }
+
+  object ConsoleNotifier extends Notifier {
+    def notify(success: Boolean, subject: String, body: String): Unit =
+      println(s"[${if (success) "SUCCESS" else "FAILURE"}] $subject\n$body")
+  }
+
+  /** Run a pipeline body with the reference's report contract: exceptions
+    * are captured into the log (the reference swallows them, :289-290 — we
+    * additionally surface the outcome in the return value). */
+  def reportedRun(notifier: Notifier, subject: String)(body: RunLog => Unit): (Boolean, String) = {
+    val log = new RunLog
+    val ok =
+      try { body(log); true }
+      catch { case e: Throwable => log.error(s"run failed: ${e.getMessage}"); false }
+    notifier.notify(ok, subject, log.dump)
+    (ok, log.dump)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Ops, Orchestration}
+
+class OrchestrationSpec extends AnyFunSuite {
+
+  test("parseYamlish: flat keys, one nesting level, quotes, comments — the app.yml shape") {
+    val cfg = Orchestration.parseYamlish(
+      """# comment
+        |staging_path: /data/staging
+        |feature_services:
+        |  reserves: "abc123"
+        |  hydro: 'def456'
+        |smtp_host: mail.example
+        |""".stripMargin)
+    assert(cfg == Map(
+      "staging_path" -> "/data/staging",
+      "feature_services.reserves" -> "abc123",
+      "feature_services.hydro" -> "def456",
+      "smtp_host" -> "mail.example"))
+  }
+
+  test("secret: env lookup fails fast when absent") {
+    assert(Orchestration.secret("U", Map("U" -> "x")) == "x")
+    intercept[IllegalStateException](Orchestration.secret("MISSING", Map()))
+  }
+
+  test("reportedRun: captures log + failure, notifies with outcome") {
+    var delivered: Option[(Boolean, String)] = None
+    val n = new Orchestration.Notifier {
+      def notify(ok: Boolean, subject: String, body: String): Unit =
+        delivered = Some((ok, body))
+    }
+    val (ok, log) = Orchestration.reportedRun(n, "wins run") { l =>
+      l.info("step 1"); throw new RuntimeException("boom")
+    }
+    assert(!ok && log.contains("INFO step 1") && log.contains("ERROR run failed: boom"))
+    assert(delivered.contains((false, log)))
+  }
+}
+
+class SaltedJoinSpec extends SparkSpec {
+  import sqlContext.implicits._
+
+  test("saltedJoin: identical result to the plain join for inner and left, incl. unmatched keys") {
+    val left = (1 to 200).map(i => (s"k${i % 5}", i)).toDF("k", "v") // heavy skew: 5 keys
+    val right = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("kX", "z")).toDF("rk", "rv")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Int, String)] =
+      df.select("k", "v", "rv").collect()
+        .map(r => (r.getString(0), r.getInt(1), String.valueOf(r.get(2)))).toSeq.sorted
+    for (jt <- Seq("inner", "left")) {
+      val plain = rows(left.join(right, left("k") === right("rk"), jt))
+      val salted = rows(Ops.saltedJoin(left, right, "k", "rk", salts = 8, joinType = jt))
+      assert(salted == plain)
+    }
+  }
+}
