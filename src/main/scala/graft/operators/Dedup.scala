@@ -224,8 +224,13 @@ object Dedup {
       shingleN: Int = 3,
       minJaccard: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFns.shinglesUdf(shingleN)(col(textCol)))).as("s"))
+    // |A| per doc is a map-side expression over the shingle array — no
+    // shuffle (an earlier groupBy over the exploded rows added two extra
+    // aggregate+broadcast stages and tripled the query's wall clock).
+    val base = df.select(col(idCol).as("doc_id"),
+      array_distinct(TextFns.shinglesUdf(shingleN)(col(textCol))).as("ss"))
+    val sizes = base.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
+    val sh = base.select(col("doc_id"), explode(col("ss")).as("s"))
     val filtered = maxShingleDf match {
       case Some(m) =>
         import org.apache.spark.sql.expressions.Window
@@ -233,7 +238,6 @@ object Dedup {
           .filter(col("__df") <= m).drop("__df")
       case None => sh
     }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = filtered.toDF("a_id", "s")
     val b = filtered.toDF("b_id", "s")
     val inter = a.join(b, "s").filter(col("a_id") < col("b_id"))
