@@ -69,6 +69,17 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-bucketed ANN (rows-only check; recall floor 0.59 vs brute force in
+    * SimilaritySpec). */
+  val annIvfTopk: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    Similarity.annIvf(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 10, nLists = 16, nProbe = 4)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("q_id", "rank")
+  }
+
   // ---------------------------------------------------------- text analysis
 
   val langId: Q = (s, d) =>
@@ -132,6 +143,7 @@ object ExtQueries {
     "dedup_embed" -> dedupEmbed,
     "topk_sim" -> topkSim,
     "ann_topk" -> annTopk,
+    "ann_ivf" -> annIvfTopk,
     "lang_id" -> langId,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,

@@ -87,4 +87,75 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus into
+    * `nLists` cells; queries search only their `nProbe` nearest cells.
+    *
+    * Centroids are a deterministic corpus sample (every ⌈N/nLists⌉-th row by
+    * id — no RNG, reproducible across runs) refined by one Lloyd step, all
+    * as DataFrame ops:
+    *  1. assign every vector to its nearest seed (broadcast seeds),
+    *  2. average per cell -> refined centroids (collected: nLists × dim
+    *     doubles — a few KB; the CORPUS never leaves executors),
+    *  3. final cell assignment (map-side vs broadcast refined centroids),
+    *  4. query × top-nProbe cells -> equi-join on cell id -> exact rerank.
+    *
+    * At 100 TB the corpus-side work is two map passes + one shuffle-free
+    * equi-join probe; cell stats (step 2) are one partial-aggregated
+    * shuffle of nLists rows. */
+  def annIvf(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeUdf(col(corpusVec)).as("n_v"))
+
+    // deterministic pseudo-random seeds WITHOUT collecting the corpus:
+    // distributed top-nLists by id hash (TakeOrdered — only nLists rows
+    // ever reach the driver side of the plan)
+    val seeds = c.orderBy(xxhash64(col("n_id")), col("n_id")).limit(nLists)
+      .withColumnRenamed("n_id", "cell").withColumnRenamed("n_v", "cv")
+
+    def nearestCell(df: DataFrame, vCol: String, cells: DataFrame): DataFrame = {
+      val scored = df.crossJoin(broadcast(cells))
+        .withColumn("__d", VectorFns.dotUdf(col(vCol), col("cv")))
+      val w = Window.partitionBy(df.columns.head).orderBy(col("__d").desc, col("cell"))
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn", "__d", "cv")
+    }
+
+    // one Lloyd refinement: mean vector per cell (positional avg),
+    // renormalized. Only nLists × dim doubles are collected.
+    val assigned0 = nearestCell(c, "n_v", seeds)
+    val sums = assigned0
+      .select(col("cell"), posexplode(col("n_v")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg("x").as("m"))
+      .groupBy("cell").agg(map_from_arrays(collect_list("i"), collect_list("m")).as("mm"))
+      .collect().map { r =>
+        val m = r.getMap[Int, Double](1)
+        val arr = Array.tabulate(m.keys.max + 1)(i => m.getOrElse(i, 0.0))
+        val n = math.sqrt(arr.map(x => x * x).sum)
+        (r.getLong(0), arr.map(_ / math.max(n, 1e-12)))
+      }
+    import spark.implicits._
+    val centroids = sums.toSeq.toDF("cell", "cv")
+
+    val assigned = nearestCell(c, "n_v", centroids)
+    val q = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeUdf(col(queryVec)).as("q_v"))
+    // top-nProbe cells per query
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("__d", VectorFns.dotUdf(col("q_v"), col("cv")))
+    val wq = Window.partitionBy("q_id").orderBy(col("__d").desc, col("cell"))
+    val probes = qCells.withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe).select("q_id", "q_v", "cell")
+    // probe: equi-join on cell, exact rerank inside the probed cells
+    val cand = assigned.join(broadcast(probes), "cell")
+      .withColumn("cos", VectorFns.dotUdf(col("q_v"), col("n_v")))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("n_id"))
+    cand.select("q_id", "n_id", "cos")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

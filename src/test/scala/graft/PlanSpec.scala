@@ -1,0 +1,37 @@
+package graft
+
+/** Physical-plan regression guards (SURVEY §4): the optimizations we rely
+  * on at scale must actually appear in the executed plan — a silent fall
+  * back to SortMergeJoin on a dimension or a lost parquet filter is a perf
+  * bug even while results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filters and projections reach the parquet scan") {
+    val p = plan("filter_like")
+    assert(p.contains("PushedFilters: [IsNotNull(p_type), StringStartsWith(p_type,PROMO)]"), p)
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_type:string>"), p)
+  }
+
+  test("dimension joins broadcast (enrich, anti, semi)") {
+    for (q <- Seq("join_enrich_descr", "anti_unmatched", "semi_matched")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to SortMergeJoin:\n$p")
+    }
+  }
+
+  test("column pruning pierces the first-match window (only key+order+copied cols read)") {
+    val p = plan("join_enrich_descr")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_nationkey:int>"), p)
+  }
+
+  test("frequency aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("freq_count")
+    // partial agg appears below the exchange: HashAggregate(keys, partial_count)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+}

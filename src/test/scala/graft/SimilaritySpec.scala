@@ -38,4 +38,18 @@ class SimilaritySpec extends SparkSpec {
     val selfs = approx.count { case (q, n) => q == n }
     assert(selfs == 10)
   }
+
+  test("annIvf: recall@10 vs brute force clears the floor; self always found") {
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annIvf(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nLists = 16, nProbe = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.3f")
+    assert(recall >= 0.4, s"IVF recall@10 $recall below floor")
+    assert(approx.count { case (q, n) => q == n } == 10) // own cell always probed
+  }
 }

@@ -37,6 +37,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: tumbling counts agree with the batch twin on the fixture events") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val batchEvents = graft.engine.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+      .limit(300).select("event_id", "ts", "user_id", "event_type")
+    val rows = batchEvents.as[Evt].collect().toSeq
+    val batch = graft.operators.Events
+      .tumblingCounts(batchEvents, "ts", "event_type", "hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val mem = MemoryStream[Evt]
+    val q = EventStreams.tumblingCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("parity")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("parity").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionize: per-user gap sessions across micro-batches") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
