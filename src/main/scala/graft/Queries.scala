@@ -229,6 +229,86 @@ object Queries {
     t(s, d, "orders").select("o_orderkey", "o_totalprice")
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
 
+  /** Math expression surface (rounded where libm implementations could
+    * differ in the last ulp). */
+  val exprMath: Q = (s, d) =>
+    t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_discount") - col("l_tax")).as("adiff"),
+      ceil(col("l_quantity")).as("qceil"),
+      floor(col("l_extendedprice")).as("pfloor"),
+      round(sqrt(col("l_quantity")), 6).as("qsqrt"),
+      round(log(col("l_extendedprice") + 1), 6).as("pln"),
+      pmod(col("l_orderkey"), lit(97)).as("kmod"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Regex surface: extract group, replace, rlike. */
+  val exprRegex: Q = (s, d) =>
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      regexp_extract(col("o_orderpriority"), "(\\d)-(\\w+)", 2).as("pri_word"),
+      regexp_replace(col("o_orderstatus"), "[FO]", "_").as("status_masked"),
+      col("o_orderpriority").rlike("^[12]-").as("is_high"))
+      .orderBy("o_orderkey")
+
+  /** Array function surface over tokenized text (split/sort/distinct/
+    * element access/contains). */
+  val exprArrays: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    t(s, d, "documents").select(
+      col("doc_id"),
+      size(toks).as("n"),
+      element_at(array_sort(array_distinct(toks)), 1).as("first_tok"),
+      array_contains(toks, "data").as("has_data"))
+      .orderBy("doc_id")
+  }
+
+  /** Set operations: EXCEPT and INTERSECT (distinct semantics both
+    * engines). */
+  val setOps: Q = (s, d) => {
+    val building = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_nationkey")
+    val machinery = t(s, d, "customer").filter(col("c_mktsegment") === "MACHINERY")
+      .select("c_nationkey")
+    building.except(machinery).withColumn("op", lit("except"))
+      .unionByName(building.intersect(machinery).withColumn("op", lit("intersect")))
+      .orderBy("op", "c_nationkey")
+  }
+
+  /** Window function family: ranking + offsets + framed aggregate. */
+  val windowFuncs: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(w).as("rn"),
+      rank().over(Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))).as("rnk"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      round(sum(col("o_totalprice")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("run_total"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Grouping sets via ROLLUP with grouping() to disambiguate NULL keys. */
+  val aggRollup: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Exact + distinct aggregation (count distinct, min/max/avg). */
+  val aggDistinct: Q = (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      countDistinct(col("l_partkey")).as("nd_part"),
+      countDistinct(col("l_suppkey")).as("nd_supp"),
+      min(col("l_quantity")).as("qmin"),
+      max(col("l_quantity")).as("qmax"),
+      round(avg(col("l_quantity")), 6).as("qavg"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -256,6 +336,13 @@ object Queries {
     "expr_dates" -> exprDates,
     "expr_json" -> exprJson,
     "topk" -> topk,
+    "expr_math" -> exprMath,
+    "expr_regex" -> exprRegex,
+    "expr_arrays" -> exprArrays,
+    "set_ops" -> setOps,
+    "window_funcs" -> windowFuncs,
+    "agg_rollup" -> aggRollup,
+    "agg_distinct" -> aggDistinct,
   )
 
   val oracles: Map[String, String] = Map(
@@ -359,5 +446,60 @@ object Queries {
         |FROM events ORDER BY event_id""".stripMargin,
     "topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "expr_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - l_tax) AS adiff,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS pfloor,
+        |  round(sqrt(l_quantity), 6) AS qsqrt,
+        |  round(ln(l_extendedprice + 1), 6) AS pln,
+        |  l_orderkey % 97 AS kmod
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "expr_regex" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '(\d)-(\w+)', 2) AS pri_word,
+        |  regexp_replace(o_orderstatus, '[FO]', '_', 'g') AS status_masked,
+        |  regexp_matches(o_orderpriority, '^[12]-') AS is_high
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "expr_arrays" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n,
+        |  list_sort(list_distinct(string_split(text, ' ')))[1] AS first_tok,
+        |  list_contains(string_split(text, ' '), 'data') AS has_data
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "set_ops" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey, 'except' AS op FROM (
+        |    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    EXCEPT
+        |    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |  UNION ALL
+        |  SELECT c_nationkey, 'intersect' AS op FROM (
+        |    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    INTERSECT
+        |    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |) ORDER BY op, c_nationkey""".stripMargin,
+    "window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey) AS INTEGER) AS rnk,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        |  CAST(CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END AS INTEGER) AS g_flag,
+        |  CAST(CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp,
+        |  min(l_quantity) AS qmin,
+        |  max(l_quantity) AS qmax,
+        |  round(avg(l_quantity), 6) AS qavg
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -38,6 +38,14 @@ def main():
                 print(f"FAIL  {name}: columns {s_cols} vs {d_cols}")
                 n_fail += 1
                 continue
+            s_types = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+            d_types = dict(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
+            tmis = [f"{c}: spark={s_types[c]} duck={d_types[c]}"
+                    for c in s_cols if s_types[c] != d_types.get(c, s_types[c])]
+            if tmis:
+                print(f"FAIL  {name}: dtype mismatch {tmis}")
+                n_fail += 1
+                continue
             s_rows = con.sql(
                 "SELECT " + ", ".join(f'"{c}"' for c in s_cols)
                 + f" FROM spark_rel").fetchall()
