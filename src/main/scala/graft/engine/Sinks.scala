@@ -19,6 +19,26 @@ object Sinks {
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned layout: readers filtering on `cols` prune
+    * whole directories (PartitionFilters in the scan) — the at-rest
+    * analog of the reference's attribute indexes (:156-161), but one that
+    * scales: a 100 TB table partitioned by day/tag reads only the
+    * partitions a query names. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed + sorted table for co-located joins: two tables bucketed on
+    * the same key join WITHOUT a shuffle (no Exchange in the plan —
+    * pinned in SinksSpec). This is the Spark answer to the reference's
+    * secondary indexes for its repeated tag-key joins: pay the
+    * partitioning once at write, reuse it across every downstream join.
+    * Requires a catalog table (bucket metadata lives in the metastore). */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table) // managed: under warehouse dir
+
   /** S8 — staged publish of a set of named tables into a staging dir.
     * All-or-nothing: a mid-run failure leaves the current staging dir
     * untouched (the partial output stays in `<stagingDir>.tmp`).

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Sinks
+
+/** At-rest layout strategies must show up in the read plans: partition
+  * pruning for partitioned layout, no Exchange for bucketed joins. */
+class SinksSpec extends SparkSpec {
+  import sqlContext.implicits._
+
+  test("writePartitioned: partition filter prunes directories at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
+    val df = Seq(("A", 1), ("A", 2), ("B", 3), ("C", 4)).toDF("tag", "v")
+    Sinks.writePartitioned(df, dir, Seq("tag"))
+    val read = spark.read.parquet(dir).filter(col("tag") === "A")
+    assert(read.count() == 2)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tag"), plan)
+    // the data filter does NOT appear as a parquet PushedFilter — it was
+    // consumed entirely by partition pruning
+    assert(!plan.contains("PushedFilters: [IsNotNull(tag)"), plan)
+  }
+
+  test("writeBucketed: join of two tables bucketed on the key runs without a shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      val facts = (1 to 1000).map(i => (s"k${i % 50}", i)).toDF("tag", "v")
+      val dims = (0 until 50).map(i => (s"k$i", s"d$i")).toDF("tag", "descr")
+      Sinks.writeBucketed(facts, "b_facts", "tag", 8)
+      Sinks.writeBucketed(dims, "b_dims", "tag", 8)
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "tag")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

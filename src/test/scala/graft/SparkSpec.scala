@@ -21,6 +21,10 @@ object SparkSpec {
       // on every state-store commit; the subprocess wedges under the forked
       // test JVM in this container. Plain checkpoint files are fine here.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // static conf: managed (bucketed) test tables go to a temp warehouse
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.catalogImplementation", "in-memory")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
