@@ -109,6 +109,27 @@ object ExtQueries {
       .select("media_id", "modality", "n_bytes").orderBy("media_id")
   }
 
+  /** The training-data pipeline showcase: language filter -> quality gate
+    * -> exact dedup (keep min id per content hash) -> n-gram near-dup
+    * removal (drop the larger id of each candidate pair). One lazy plan
+    * composed entirely from the verified library operators. */
+  val pipelineDocs: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val en = TextAnalysis.withLangId(docs, "text").filter(col("lang_pred") === "en")
+    val good = TextAnalysis.withQualityScore(en, "text")
+      .filter(col("quality_score") >= 0.5)
+    val exact = good
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val nearDupLosers = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5)
+      .select(col("b_id").as("doc_id")).distinct()
+    exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------------- events
 
   val jsonExtract: Q = (s, d) =>
@@ -149,6 +170,7 @@ object ExtQueries {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "multimodal_meta" -> multimodalMeta,
+    "pipeline_docs" -> pipelineDocs,
     "json_extract" -> jsonExtract,
     "tumbling_counts" -> tumblingCounts,
     "sessionize" -> sessionizeQ,
@@ -276,6 +298,40 @@ object ExtQueries {
       """SELECT doc_id AS media_id, 'image' AS modality,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    "pipeline_docs" ->
+      """WITH d0 AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
+        |sc AS (SELECT doc_id, lang, text, tk,
+        |    len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS e,
+        |    len(list_filter(tk, t -> t IN ('der','die','und','das','ein'))) AS de,
+        |    len(list_filter(tk, t -> t IN ('el','la','de','los','una'))) AS es,
+        |    len(list_filter(tk, t -> t IN ('le','la','les','des','une'))) AS fr,
+        |    len(list_filter(tk, t -> t IN ('的','是','在','了','和'))) AS zh,
+        |    CAST(len(tk) AS DOUBLE) AS n_tok
+        |  FROM d0),
+        |en AS (SELECT doc_id, lang, text, tk, n_tok FROM sc
+        |       WHERE greatest(e, de, es, fr, zh) > 0 AND e = greatest(e, de, es, fr, zh)),
+        |qual AS (SELECT doc_id, lang, text, tk FROM en
+        |  WHERE round(0.4e0 * (CAST(len(list_distinct(tk)) AS DOUBLE) / n_tok)
+        |            + 0.4e0 * least(n_tok / 100.0e0, 1.0e0)
+        |            + 0.2e0 * (CASE WHEN (length(text) - (n_tok - 1)) / n_tok BETWEEN 3.0e0 AND 8.0e0
+        |                            THEN 1.0e0 ELSE 0.5e0 END), 4) >= 0.5e0),
+        |exact AS (SELECT doc_id, lang, text, tk FROM (
+        |    SELECT doc_id, lang, text, tk,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM qual
+        |  ) WHERE rn = 1),
+        |shn AS (SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS s
+        |  FROM exact),
+        |sz AS (SELECT doc_id,
+        |    CAST(len(list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)])) AS DOUBLE) AS n
+        |  FROM exact),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
+        |  FROM shn a JOIN shn b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT b_id AS doc_id FROM inter
+        |  JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+        |  WHERE i / (na.n + nb.n - i) >= 0.5e0)
+        |SELECT doc_id, lang FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,

@@ -28,6 +28,14 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win"), col("event_type"), col("n"))
 
+  /** Streaming exactly-once-per-id dedup with bounded state: duplicate
+    * event ids arriving within the watermark window are dropped; state for
+    * ids older than the watermark is evicted (unbounded plain
+    * dropDuplicates would leak state forever on an infinite stream). */
+  def dedupEvents(stream: DataFrame, lateness: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Evt(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
   case class SessionState(sessionId: Long, lastTs: Long)
   case class SessionizedEvt(event_id: Long, user_id: Long, session_id: Long)

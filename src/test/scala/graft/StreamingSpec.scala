@@ -60,6 +60,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate event ids across micro-batches emit once") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val q = EventStreams.dedupEvents(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Evt(1, ts(0), 1, "click"), Evt(1, ts(1), 1, "click"), Evt(2, ts(2), 1, "view"))
+      q.processAllAvailable()
+      mem.addData(Evt(2, ts(3), 1, "view"), Evt(3, ts(4), 2, "click")) // dup id 2 again
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stateful sessionize: per-user gap sessions across micro-batches") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
