@@ -79,4 +79,10 @@ object VectorFns {
     while (i < n) { s += a(i) * b(i); i += 1 }
     s
   }
+
+  /** Native Catalyst dot product (graft.plans.DotProduct): codegen'd,
+    * reads unsafe array buffers with zero per-row copies. Identical math
+    * to [[dotUdf]] (DotProductSpec pins bit-equality) — the preferred form
+    * in the pairwise hot paths. */
+  def dotNative(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
 }

@@ -271,7 +271,7 @@ object Dedup {
     val a = e.toDF("a_id", "a_v", "blk")
     val b = e.toDF("b_id", "b_v", "blk")
     a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", VectorFns.dotUdf(col("a_v"), col("b_v")))
+      .withColumn("cos", VectorFns.dotNative(col("a_v"), col("b_v")))
       .filter(col("cos") >= minCosine)
       .select("a_id", "b_id", "cos")
   }

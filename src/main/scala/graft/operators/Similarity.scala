@@ -37,7 +37,7 @@ object Similarity {
     val q = queries.select(col(queryId).as("q_id"),
       VectorFns.unitizeUdf(col(queryVec)).as("q_v"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos", VectorFns.dotUdf(col("q_v"), col("n_v")))
+      .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
     val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -81,7 +81,7 @@ object Similarity {
     val qAll = flipped.foldLeft(q0.withColumn("probe", col("bucket")))(_ unionByName _)
       .select("q_id", "q_v", "probe").dropDuplicates("q_id", "probe")
     val joined = c.join(broadcast(qAll), c("bucket") === qAll("probe"))
-      .withColumn("cos", VectorFns.dotUdf(col("q_v"), col("n_v")))
+      .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
     val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("n_id"))
     joined.select("q_id", "n_id", "cos").dropDuplicates("q_id", "n_id")
       .withColumn("rank", row_number().over(w))
@@ -119,7 +119,7 @@ object Similarity {
 
     def nearestCell(df: DataFrame, vCol: String, cells: DataFrame): DataFrame = {
       val scored = df.crossJoin(broadcast(cells))
-        .withColumn("__d", VectorFns.dotUdf(col(vCol), col("cv")))
+        .withColumn("__d", VectorFns.dotNative(col(vCol), col("cv")))
       val w = Window.partitionBy(df.columns.head).orderBy(col("__d").desc, col("cell"))
       scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .drop("__rn", "__d", "cv")
@@ -146,13 +146,13 @@ object Similarity {
       VectorFns.unitizeUdf(col(queryVec)).as("q_v"))
     // top-nProbe cells per query
     val qCells = q.crossJoin(broadcast(centroids))
-      .withColumn("__d", VectorFns.dotUdf(col("q_v"), col("cv")))
+      .withColumn("__d", VectorFns.dotNative(col("q_v"), col("cv")))
     val wq = Window.partitionBy("q_id").orderBy(col("__d").desc, col("cell"))
     val probes = qCells.withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nProbe).select("q_id", "q_v", "cell")
     // probe: equi-join on cell, exact rerank inside the probed cells
     val cand = assigned.join(broadcast(probes), "cell")
-      .withColumn("cos", VectorFns.dotUdf(col("q_v"), col("n_v")))
+      .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
     val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("n_id"))
     cand.select("q_id", "n_id", "cos")
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst dot product over two `array<double>` columns.
+  *
+  * The one place (SURVEY §4.3/§7.5) where the engine drops below the
+  * DataFrame API: the similarity operators' innermost loop. A scalar UDF
+  * must copy each ArrayData into a JVM Array per call; this expression
+  * participates in whole-stage codegen and reads the unsafe array buffers
+  * directly — no per-row allocation at all.
+  *
+  * Elements must be non-null (embedding vectors); behavior matches
+  * VectorFns.dotUdf bit-for-bit (same sequential double accumulation), so
+  * the DuckDB oracles are unaffected by which path an operator uses.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  // note: return type inferred — AbstractDataType itself is private[sql]
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double graftS = 0.0;
+         |for (int graftI = 0; graftI < graftN; graftI++) {
+         |  graftS += $a.getDouble(graftI) * $b.getDouble(graftI);
+         |}
+         |${ev.value} = graftS;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftshim.Bridge
+
+  /** Column wrapper (classic-mode bridge). */
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+}
