@@ -58,6 +58,18 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Same contract as topk_sim through the bounded TopKAggregator — the
+    * physical shape that survives a billion-row corpus (partial top-k
+    * map-side instead of a per-query candidate sort). Shares topk_sim's
+    * oracle: identical results required. */
+  val topkSimAgg: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    graft.operators.TopK.bruteForceTopKAgg(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("q_id", "rank")
+  }
+
   /** LSH-bucketed ANN (rows-only check; recall vs brute force pinned in
     * SimilaritySpec). */
   val annTopk: Q = (s, d) => {
@@ -163,6 +175,7 @@ object ExtQueries {
     "dedup_ngram" -> dedupNgram,
     "dedup_embed" -> dedupEmbed,
     "topk_sim" -> topkSim,
+    "topk_sim_agg" -> topkSimAgg,
     "ann_topk" -> annTopk,
     "ann_ivf" -> annIvfTopk,
     "lang_id" -> langId,
@@ -199,7 +212,7 @@ object ExtQueries {
       |         ELSE 0 END AS is_new
       |  FROM events)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
@@ -347,4 +360,9 @@ object ExtQueries {
          |FROM ($sessionizeSql)
          |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
   )
+
+  /** The aggregator path shares topk_sim's oracle verbatim: identical
+    * results are the contract. */
+  val oracles: Map[String, String] =
+    oraclesBase + ("topk_sim_agg" -> oraclesBase("topk_sim"))
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+
+/** Bounded top-k accumulation (SURVEY §7.5's one flagged custom-code
+  * candidate).
+  *
+  * The window formulation (`row_number().over(partitionBy(q).orderBy(...))`)
+  * SORTS every candidate of a query on one reducer before discarding all
+  * but k. This Aggregator keeps only k elements per partition and merges
+  * k-sized buffers map-side (partial aggregation), so the shuffle carries
+  * `partitions x k` rows instead of every candidate — the difference
+  * between feasible and not at a billion-row corpus.
+  *
+  * Ordering matches the verified window form exactly: (rounded cosine
+  * desc, neighbor id asc) — same results, same oracle.
+  */
+class TopKAggregator(k: Int)
+  extends Aggregator[(Long, Long, Double), Seq[(Double, Long, Double)], Seq[(Double, Long, Double)]] {
+  // element = (orderKey = round(cos, 6), n_id, raw cos)
+
+  private def insert(
+      buf: Seq[(Double, Long, Double)],
+      e: (Double, Long, Double)): Seq[(Double, Long, Double)] = {
+    // k is small (10-100): sorted-seq insertion is fine; swap for a heap if
+    // k grows large
+    val merged = (buf :+ e).sortBy(t => (-t._1, t._2))
+    if (merged.size > k) merged.take(k) else merged
+  }
+
+  override def zero: Seq[(Double, Long, Double)] = Seq.empty
+
+  override def reduce(
+      b: Seq[(Double, Long, Double)], in: (Long, Long, Double)): Seq[(Double, Long, Double)] = {
+    // HALF_UP to match Spark's round() exactly (rint would be HALF_EVEN)
+    val e = (BigDecimal(in._3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      in._2, in._3)
+    // skip insertion when the buffer is full and e is not better than the tail
+    if (b.size == k && {
+      val t = b.last; t._1 > e._1 || (t._1 == e._1 && t._2 < e._2)
+    }) b else insert(b, e)
+  }
+
+  override def merge(
+      a: Seq[(Double, Long, Double)], b: Seq[(Double, Long, Double)]): Seq[(Double, Long, Double)] =
+    (a ++ b).sortBy(t => (-t._1, t._2)).take(k)
+
+  override def finish(r: Seq[(Double, Long, Double)]): Seq[(Double, Long, Double)] = r
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long, Double)]] =
+    ExpressionEncoder[Seq[(Double, Long, Double)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long, Double)]] =
+    ExpressionEncoder[Seq[(Double, Long, Double)]]()
+}
+
+object TopK {
+
+  /** Exact cosine top-k via the bounded aggregator — same contract and
+    * results as Similarity.bruteForceTopK (equality pinned in
+    * SimilaritySpec), different physical shape: partial top-k map-side,
+    * k-row merges, no full candidate sort. */
+  def bruteForceTopKAgg(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeUdf(col(corpusVec)).as("n_v"))
+    val q = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeUdf(col(queryVec)).as("q_v"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        VectorFns.dotNative(col("q_v"), col("n_v")).as("cos"))
+      .as[(Long, Long, Double)]
+    val agg = new TopKAggregator(k).toColumn
+    scored.groupByKey(_._1).agg(agg)
+      .flatMap { case (qId, tops) =>
+        tops.zipWithIndex.map { case ((_, nId, raw), i) => (qId, nId, i + 1, raw) }
+      }
+      .toDF("q_id", "n_id", "rank", "cos")
+  }
+}

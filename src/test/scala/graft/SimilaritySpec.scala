@@ -39,6 +39,18 @@ class SimilaritySpec extends SparkSpec {
     assert(selfs == 10)
   }
 
+  test("TopKAggregator path returns exactly the window path's results") {
+    val win = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 7)
+      .select("q_id", "n_id", "rank", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val agg = graft.operators.TopK.bruteForceTopKAgg(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 7)
+      .select("q_id", "n_id", "rank", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(agg == win)
+  }
+
   test("annIvf: recall@10 vs brute force clears the floor; self always found") {
     val k = 10
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
