@@ -28,6 +28,16 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win"), col("event_type"), col("n"))
 
+  /** Production streaming source: tail a directory of event parquet files
+    * (the schema events.parquet uses after loadEvents' ts conversion).
+    * Files dropped into `dir` become micro-batches; combine with
+    * [[tumblingCounts]]/[[sessionize]]/[[dedupEvents]] and a sink. */
+  def fromParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", 8)
+      .parquet(dir)
+
   /** Streaming exactly-once-per-id dedup with bounded state: duplicate
     * event ids arriving within the watermark window are dropped; state for
     * ids older than the watermark is evicted (unbounded plain

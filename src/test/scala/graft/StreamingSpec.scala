@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Evt
@@ -57,6 +58,27 @@ class StreamingSpec extends SparkSpec {
       val streamed = spark.table("parity").collect()
         .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("file source: events dropped into a directory flow through the windowed count") {
+    import sqlContext.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val batch1 = Seq(Evt(1, ts(5), 1, "click"), Evt(2, ts(20), 2, "view"))
+    batch1.toDF().coalesce(1).write.mode("append").parquet(dir)
+    val q = EventStreams.tumblingCounts(
+        EventStreams.fromParquetDir(spark, dir), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("filesrc")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("filesrc").count() == 2) // click@h0, view@h0... distinct types
+      // drop a second file -> next micro-batch picks it up
+      Seq(Evt(3, ts(25), 1, "click")).toDF().coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val clicks = spark.table("filesrc")
+        .filter(col("event_type") === "click").select("n").as[Long].collect()
+      assert(clicks.toSeq == Seq(2L))
     } finally q.stop()
   }
 
