@@ -240,7 +240,10 @@ object Dedup {
     }
     val a = filtered.toDF("a_id", "s")
     val b = filtered.toDF("b_id", "s")
-    val inter = a.join(b, "s").filter(col("a_id") < col("b_id"))
+    // shuffle-hash hint: the exploded shingle sides are the same size, so
+    // there is no small side to broadcast (AQE otherwise broadcasts one
+    // whole exploded corpus) and no point sorting both (SMJ)
+    val inter = a.join(b.hint("shuffle_hash"), "s").filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).cast("double").as("i"))
     inter
       .join(sizes.toDF("a_id", "na"), "a_id")
