@@ -299,6 +299,18 @@ object Queries {
         grouping(col("l_linestatus")).cast("int").as("g_status"))
       .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
 
+  /** Statistical aggregates: exact interpolated percentiles, sample
+    * stddev/variance, correlation/covariance. */
+  val aggStats: Q = (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+      round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+      round(stddev_samp(col("l_quantity")), 6).as("qsd"),
+      round(var_samp(col("l_quantity")), 6).as("qvar"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+      round(covar_samp(col("l_discount"), col("l_tax")), 8).as("dt_cov"))
+      .orderBy("l_returnflag")
+
   /** Exact + distinct aggregation (count distinct, min/max/avg). */
   val aggDistinct: Q = (s, d) =>
     t(s, d, "lineitem").groupBy("l_returnflag").agg(
@@ -343,6 +355,7 @@ object Queries {
     "window_funcs" -> windowFuncs,
     "agg_rollup" -> aggRollup,
     "agg_distinct" -> aggDistinct,
+    "agg_stats" -> aggStats,
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,6 +506,15 @@ object Queries {
         |  CAST(CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS INTEGER) AS g_status
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  round(stddev_samp(l_quantity), 6) AS qsd,
+        |  round(var_samp(l_quantity), 6) AS qvar,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+        |  round(covar_samp(l_discount, l_tax), 8) AS dt_cov
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS nd_part,
