@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.operators.{Dedup, Events, MultiModal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, MultiModal, Similarity, Temporal, TextAnalysis}
 
 /** Training-data-pipeline extension queries (SURVEY §7.6): dedup family,
   * similarity search, text analysis, multimodal plumbing, event windows.
@@ -160,6 +160,31 @@ object ExtQueries {
     Events.sessionize(Tables.loadEvents(s, d), "user_id", "ts", "event_id")
       .select("event_id", "user_id", "session_id").orderBy("event_id")
 
+  /** As-of join: each purchase picks up its user's latest prior-or-equal
+    * click (union + running-window implementation, no range explosion).
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val joinAsof: Q = (s, d) => {
+    val ev = Tables.loadEvents(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+    Temporal.asofJoin(purchases, clicks, "user_id", "ts",
+      Map("click_id" -> "click_id", "click_value" -> "value"))
+      .select(col("event_id"), col("click_id"), round(col("click_value"), 4).as("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** Range join: click -> purchases of the same user within 5 minutes. */
+  val joinRange: Q = (s, d) => {
+    val ev = Tables.loadEvents(s, d)
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    Temporal.rangeJoin(clicks, purchases, "user_id", "ts", "INTERVAL 5 MINUTES")
+      .select(col("l_event_id").as("a_id"), col("r_event_id").as("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   val sessionStats: Q = (s, d) =>
     Events.sessionStats(
       Events.sessionize(Tables.loadEvents(s, d), "user_id", "ts", "event_id"),
@@ -188,6 +213,8 @@ object ExtQueries {
     "tumbling_counts" -> tumblingCounts,
     "sessionize" -> sessionizeQ,
     "session_stats" -> sessionStats,
+    "join_asof" -> joinAsof,
+    "join_range" -> joinRange,
   )
 
   /** Unit-normalized corpus CTE + plain dot product — mirrors
@@ -348,6 +375,18 @@ object ExtQueries {
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "join_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, c.click_id, round(c.value, 4) AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "join_range" ->
+      """SELECT e.event_id AS a_id, f.event_id AS b_id FROM events e
+        |JOIN events f ON e.user_id = f.user_id
+        |  AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 5 MINUTE
+        |WHERE e.event_type = 'click' AND f.event_type = 'purchase'
+        |ORDER BY a_id, b_id""".stripMargin,
     "tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

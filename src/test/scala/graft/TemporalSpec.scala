@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import sqlContext.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("asofJoin: latest at-or-before match per key; inclusive ties; unmatched -> NULL") {
+    val left = Seq(
+      (1L, 7L, ts(10)),  // matches right@5
+      (2L, 7L, ts(20)),  // matches right@20 (tie is inclusive)
+      (3L, 7L, ts(3)),   // before any right row -> NULL
+      (4L, 8L, ts(10))   // other key, no right rows -> NULL
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (7L, ts(5), "r5"), (7L, ts(20), "r20"), (7L, ts(30), "r30")
+    ).toDF("k", "t", "v")
+    val out = Temporal.asofJoin(left, right, "k", "t", Map("matched" -> "v"))
+      .select("id", "matched").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(out == Map(1L -> "r5", 2L -> "r20", 3L -> null, 4L -> null))
+  }
+
+  test("asofJoin: left row count preserved regardless of right history depth") {
+    val left = (1 to 50).map(i => (i.toLong, 1L, ts(i))).toDF("id", "k", "t")
+    val right = (1 to 500).map(i => (1L, ts(i / 10), s"v$i")).toDF("k", "t", "v")
+    // dedup right per (k, t): keep first by v for determinism
+    val r1 = graft.engine.Ops.firstMatch(
+      right.withColumn("kt", concat(col("k"), col("t").cast("string"))), "kt", Seq(col("v")))
+      .drop("kt")
+    val out = Temporal.asofJoin(left, r1, "k", "t", Map("m" -> "v"))
+    assert(out.count() == 50)
+  }
+
+  test("rangeJoin: only pairs inside the (exclusive, inclusive] window") {
+    val l = Seq((1L, 7L, ts(0)), (2L, 7L, ts(100))).toDF("id", "k", "t")
+    val r = Seq((10L, 7L, ts(0)), (11L, 7L, ts(3)), (12L, 7L, ts(5)), (13L, 7L, ts(6)))
+      .toDF("id", "k", "t")
+    val pairs = Temporal.rangeJoin(l, r, "k", "t", "INTERVAL 5 MINUTES")
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // ts(0) excluded (not strictly after), ts(3)/ts(5) in, ts(6) out
+    assert(pairs == Set((1L, 11L), (1L, 12L)))
+  }
+}
