@@ -34,10 +34,12 @@ object VectorFns {
   }
 
   /** Signed projection against a fixed plane (literal weights) — the
-    * random-hyperplane LSH bit primitive. */
+    * random-hyperplane LSH bit primitive. Uses the native DotProduct
+    * expression (one codegen'd loop per plane instead of an interpreted
+    * aggregate pass). */
   def projectBit(v: Column, weights: Seq[Double]): Column = {
     val w = array(weights.map(lit): _*)
-    when(dot(v, w) >= 0, lit(1)).otherwise(lit(0))
+    when(graft.plans.DotProduct.dot(v, w) >= 0, lit(1)).otherwise(lit(0))
   }
 
   // -------------------------------------------------------- fast JVM path
