@@ -15,6 +15,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
     // Optional args = subset of query names (local iteration); driver
     // invokes with no args = full suite.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} (a typo would otherwise bench an empty suite)")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap

@@ -152,8 +152,13 @@ object Ops {
     // (they exist once per replica): restrict to the safe types.
     require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins, not $joinType")
+    // the salt must be DETERMINISTIC per row: a nondeterministic source
+    // (row id, rand) used as a join key can lose/duplicate rows when a
+    // stage retry recomputes different salts than the first attempt saw.
+    // Hash the full row content instead — identical rows share a salt,
+    // which is harmless (they share the join key anyway).
     val sl = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)).cast("int"))
     val sr = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     sl.join(sr, sl(leftKey) === sr(rightKey) && sl("__salt") === sr("__salt"), joinType)

@@ -22,8 +22,21 @@ object Orchestration {
         val t = line.trim
         val idx = t.indexOf(':')
         require(idx > 0, s"malformed config line: '$t'")
-        val (k, v) = (t.substring(0, idx).trim, t.substring(idx + 1).trim)
-        val value = v.stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'")
+        val k = t.substring(0, idx).trim
+        val v = t.substring(idx + 1).trim
+        // unquoted values: strip a trailing inline comment; quoted values:
+        // require the closing quote (an unbalanced quote fails fast rather
+        // than being silently half-stripped)
+        val value =
+          if (v.startsWith("\"") || v.startsWith("'")) {
+            val q = v.charAt(0)
+            val end = v.indexOf(q, 1)
+            require(end > 0, s"unbalanced quote in config line: '$t'")
+            v.substring(1, end)
+          } else v.indexOf(" #") match {
+            case -1 => v
+            case c => v.substring(0, c).trim
+          }
         if (!indented) {
           if (value.isEmpty) prefix = s"$k." else { prefix = ""; out(k) = value }
         } else {

@@ -67,19 +67,25 @@ object Pipeline {
       case None =>
         Qa.QaSplit(enriched, enriched.limit(0).withColumn(Qa.FlagCol, lit("")))
     }
-    // A2-style forced counts — the engine's only actions besides sinks
+    // A2-style forced counts — the engine's only actions besides sinks.
+    // keep/rejects partition the input (QaSpec property), so keptRows is
+    // derived instead of recomputing the whole plan a third time.
     val rejectCounts = result.rejects.groupBy(Qa.FlagCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val report = RunReport(name, appended.count(), result.keep.count(), rejectCounts)
+    val inputRows = appended.count()
+    val report = RunReport(name, inputRows, inputRows - rejectCounts.values.sum, rejectCounts)
     TableResult(result.keep, result.rejects, report)
   }
 
   /** Run many tables and publish keeps + one merged reject table atomically
-    * (S8). Reject schemas are reconciled NO_TEST-style into the widest. */
+    * (S8). The merged reject schema is the UNION of all reject schemas
+    * (missing columns null-filled) — appendNoTest would project onto the
+    * first table's columns and silently drop later tables' payloads. */
   def runAndPublish(
       tables: Seq[(String, TableResult)], stagingDir: String): Seq[RunReport] = {
     val keeps = tables.map { case (n, t) => n -> t.keep }.toMap
-    val rejects = tables.map(_._2.rejects).reduceLeft(Ops.appendNoTest)
+    val rejects = tables.map(_._2.rejects)
+      .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
     Sinks.publish(keeps + ("rejects" -> rejects), stagingDir)
     tables.map(_._2.report)
   }

@@ -31,9 +31,15 @@ object Temporal {
       tsCol: String,
       copies: Map[String, String]): DataFrame = {
     val payload = struct(copies.values.toSeq.distinct.map(col): _*)
-    val r = right.select(
-      col(key).as("__k"), col(tsCol).as("__ts"),
-      lit(0).as("__side"), payload.as("__payload"))
+    // ASOF semantics: a NULL key or NULL ts on the right matches nothing
+    // (SQL comparison is never true). Without this filter Spark's
+    // nulls-first ordering would sort NULL-ts right rows before every left
+    // row and leak their payload into unmatched rows.
+    val r = right
+      .filter(col(key).isNotNull && col(tsCol).isNotNull)
+      .select(
+        col(key).as("__k"), col(tsCol).as("__ts"),
+        lit(0).as("__side"), payload.as("__payload"))
     val payloadType = r.schema("__payload").dataType
     val l = left
       .withColumn("__k", col(key)).withColumn("__ts", col(tsCol))

@@ -23,12 +23,28 @@ class TopKAggregator(k: Int)
   extends Aggregator[(Long, Long, Double), Seq[(Double, Long, Double)], Seq[(Double, Long, Double)]] {
   // element = (orderKey = round(cos, 6), n_id, raw cos)
 
+  /** Matches the window twin's ordering exactly, including NaN: Spark sorts
+    * NaN as the LARGEST double (so desc puts NaN first), which is what
+    * java.lang.Double.compare gives; Scala's sortBy(-x) would send NaN to
+    * the back instead. */
+  private val ord: Ordering[(Double, Long, Double)] =
+    (x: (Double, Long, Double), y: (Double, Long, Double)) => {
+      val c = java.lang.Double.compare(y._1, x._1) // desc, NaN greatest-first
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+
+  /** HALF_UP to match Spark's round() exactly (rint would be HALF_EVEN);
+    * round() passes NaN/inf through and so do we (BigDecimal would throw). */
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private def insert(
       buf: Seq[(Double, Long, Double)],
       e: (Double, Long, Double)): Seq[(Double, Long, Double)] = {
     // k is small (10-100): sorted-seq insertion is fine; swap for a heap if
     // k grows large
-    val merged = (buf :+ e).sortBy(t => (-t._1, t._2))
+    val merged = (buf :+ e).sorted(ord)
     if (merged.size > k) merged.take(k) else merged
   }
 
@@ -36,18 +52,14 @@ class TopKAggregator(k: Int)
 
   override def reduce(
       b: Seq[(Double, Long, Double)], in: (Long, Long, Double)): Seq[(Double, Long, Double)] = {
-    // HALF_UP to match Spark's round() exactly (rint would be HALF_EVEN)
-    val e = (BigDecimal(in._3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      in._2, in._3)
-    // skip insertion when the buffer is full and e is not better than the tail
-    if (b.size == k && {
-      val t = b.last; t._1 > e._1 || (t._1 == e._1 && t._2 < e._2)
-    }) b else insert(b, e)
+    val e = (round6(in._3), in._2, in._3)
+    // skip insertion when the buffer is full and e sorts after the tail
+    if (b.size == k && ord.compare(b.last, e) <= 0) b else insert(b, e)
   }
 
   override def merge(
       a: Seq[(Double, Long, Double)], b: Seq[(Double, Long, Double)]): Seq[(Double, Long, Double)] =
-    (a ++ b).sortBy(t => (-t._1, t._2)).take(k)
+    (a ++ b).sorted(ord).take(k)
 
   override def finish(r: Seq[(Double, Long, Double)]): Seq[(Double, Long, Double)] = r
 

@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dot requires exactly 2 arguments, got ${children.length}")
+        DotProduct(children.head, children(1))
+      }))
   }
 }

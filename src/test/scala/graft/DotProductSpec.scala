@@ -32,6 +32,34 @@ class DotProductSpec extends SparkSpec {
     assert(!projLine.toLowerCase.contains("scalaudf"), projLine)
   }
 
+  test("two DotProducts in one projection codegen cleanly (freshName locals)") {
+    import sqlContext.implicits._
+    // non-nullable array children: nullSafeCodeGen inlines without an
+    // if-block, so duplicated local names would collide in one method scope
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val r = df.select(
+      VectorFns.dotNative(col("a"), col("b")).as("d1"),
+      VectorFns.dotNative(col("a"), col("a")).as("d2")).head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+  }
+
+  test("aggregator and window top-k agree even with a degenerate zero vector (NaN cosine)") {
+    import sqlContext.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f)), // zero norm -> NaN cosine against everything
+      (4L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val win = rows(graft.operators.Similarity.bruteForceTopK(
+      vecs, "vec_id", "embedding", q, "vec_id", "embedding", k = 4))
+    val agg = rows(graft.operators.TopK.bruteForceTopKAgg(
+      vecs, "vec_id", "embedding", q, "vec_id", "embedding", k = 4))
+    assert(agg == win) // incl. the NaN row's position
+  }
+
   test("graft_dot registered for SQL via GraftExtensions") {
     val prev = spark // keep the shared session restorable
     SparkSession.clearActiveSession()

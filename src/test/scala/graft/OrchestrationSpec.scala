@@ -22,6 +22,14 @@ class OrchestrationSpec extends AnyFunSuite {
       "smtp_host" -> "mail.example"))
   }
 
+  test("parseYamlish: inline comments stripped from unquoted values; unbalanced quote fails fast") {
+    val cfg = Orchestration.parseYamlish(
+      "smtp_host: mail.example  # prod relay\nquoted: \"with # inside\"\n")
+    assert(cfg == Map("smtp_host" -> "mail.example", "quoted" -> "with # inside"))
+    intercept[IllegalArgumentException](
+      Orchestration.parseYamlish("bad: \"unbalanced\n"))
+  }
+
   test("secret: env lookup fails fast when absent") {
     assert(Orchestration.secret("U", Map("U" -> "x")) == "x")
     intercept[IllegalStateException](Orchestration.secret("MISSING", Map()))

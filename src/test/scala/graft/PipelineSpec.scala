@@ -68,6 +68,23 @@ class PipelineSpec extends SparkSpec {
     assert(dupReasons == Set("Duplicate TRRR_TAG"))
   }
 
+  test("runAndPublish: merged reject table keeps the UNION of all reject schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-staging2").toString + "/staged"
+    val r1 = Pipeline.TableResult(
+      Seq("a1").toDF("TRRR_TAG"),
+      Seq(("a1", "colA", "dup")).toDF("TRRR_TAG", "only_in_t1", Qa.FlagCol),
+      Pipeline.RunReport("t1", 2, 1, Map("dup" -> 1)))
+    val r2 = Pipeline.TableResult(
+      Seq("b1").toDF("TNTH_TAG"),
+      Seq(("b1", "colB", "ref")).toDF("TNTH_TAG", "only_in_t2", Qa.FlagCol),
+      Pipeline.RunReport("t2", 2, 1, Map("ref" -> 1)))
+    Pipeline.runAndPublish(Seq("t1" -> r1, "t2" -> r2), dir)
+    val rejects = spark.read.parquet(s"$dir/rejects")
+    assert(rejects.columns.toSet ==
+      Set("TRRR_TAG", "only_in_t1", Qa.FlagCol, "TNTH_TAG", "only_in_t2"))
+    assert(rejects.count() == 2) // neither table's payload dropped
+  }
+
   test("publish: atomic staging swap; failed run leaves previous staging intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString + "/staged"
     val r = run()

@@ -25,6 +25,20 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(1L -> "r5", 2L -> "r20", 3L -> null, 4L -> null))
   }
 
+  test("asofJoin: right rows with NULL ts or NULL key never match (ASOF comparison semantics)") {
+    import org.apache.spark.sql.types._
+    val left = Seq((1L, 7L, ts(10))).toDF("id", "k", "t")
+    val right = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(7L, null, "null-ts"),            // NULL ts: must not leak into unmatched rows
+        Row(null, ts(5), "null-key")),       // NULL key: matches nothing
+      StructType(Seq(
+        StructField("k", LongType), StructField("t", TimestampType),
+        StructField("v", StringType))))
+    val out = Temporal.asofJoin(left, right, "k", "t", Map("m" -> "v")).collect()
+    assert(out.length == 1 && out.head.getAs[String]("m") == null)
+  }
+
   test("asofJoin: left row count preserved regardless of right history depth") {
     val left = (1 to 50).map(i => (i.toLong, 1L, ts(i))).toDF("id", "k", "t")
     val right = (1 to 500).map(i => (1L, ts(i / 10), s"v$i")).toDF("k", "t", "v")

@@ -38,10 +38,12 @@ def main():
                 print(f"FAIL  {name}: columns {s_cols} vs {d_cols}")
                 n_fail += 1
                 continue
-            s_types = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
-            d_types = dict(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
-            tmis = [f"{c}: spark={s_types[c]} duck={d_types[c]}"
-                    for c in s_cols if s_types[c] != d_types.get(c, s_types[c])]
+            s_types = {c.lower(): str(t)
+                       for c, t in zip(spark_rel.columns, spark_rel.types)}
+            d_types = {c.lower(): str(t)
+                       for c, t in zip(duck_rel.columns, duck_rel.types)}
+            tmis = [f"{c}: spark={s_types[c.lower()]} duck={d_types[c.lower()]}"
+                    for c in s_cols if s_types[c.lower()] != d_types[c.lower()]]
             if tmis:
                 print(f"FAIL  {name}: dtype mismatch {tmis}")
                 n_fail += 1
