@@ -46,6 +46,27 @@ object EventStreams {
     stream.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: pair each left event with right events
+    * of the same user within `(l.ts, l.ts + window]` — the streaming twin
+    * of operators.Temporal.rangeJoin. Watermarks on BOTH sides bound the
+    * join state: Spark can discard buffered rows once the other side's
+    * watermark passes the interval, so state stays proportional to
+    * `rate x (window + lateness)`, not the stream's history. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      windowExpr: String = "INTERVAL 5 MINUTES",
+      lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(windowExpr))
+      .select("l_id", "r_id", "l_ts", "r_ts")
+  }
+
   case class Evt(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
   case class SessionState(sessionId: Long, lastTs: Long)
   case class SessionizedEvt(event_id: Long, user_id: Long, session_id: Long)

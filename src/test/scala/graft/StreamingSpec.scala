@@ -99,6 +99,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: same-user pairs within the window, across batches") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Evt]
+    val buys = MemoryStream[Evt]
+    val joined = EventStreams.intervalJoin(clicks.toDF(), buys.toDF(), "INTERVAL 5 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Evt(1, ts(0), 7, "click"), Evt(2, ts(100), 7, "click"))
+      buys.addData(Evt(10, ts(3), 7, "purchase"),   // within 5min of click 1
+        Evt(11, ts(30), 7, "purchase"),             // matches nothing
+        Evt(12, ts(3), 8, "purchase"))              // other user
+      q.processAllAvailable()
+      buys.addData(Evt(13, ts(104), 7, "purchase")) // second batch joins click 2
+      q.processAllAvailable()
+      val pairs = spark.table("ssj").select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 10L), (2L, 13L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionize: per-user gap sessions across micro-batches") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
