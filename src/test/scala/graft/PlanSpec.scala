@@ -34,4 +34,15 @@ class PlanSpec extends SparkSpec {
     // partial agg appears below the exchange: HashAggregate(keys, partial_count)
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
+
+  test("asof join is the union+window plan: no nested-loop/cartesian range explosion") {
+    val p = plan("join_asof")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("minhash candidates use one equi-join on bands, never a cross product") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
