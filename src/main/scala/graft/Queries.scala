@@ -311,6 +311,17 @@ object Queries {
       round(covar_samp(col("l_discount"), col("l_tax")), 8).as("dt_cov"))
       .orderBy("l_returnflag")
 
+  /** Sketch aggregates: HyperLogLog++ distinct counts and t-digest-style
+    * approximate percentiles — the constant-memory path for cardinality
+    * and quantiles at 100 TB (exact twins: agg_distinct / agg_stats).
+    * No DuckDB oracle: sketch algorithms differ across engines; accuracy
+    * vs the exact values is property-tested in SketchSpec. */
+  val aggSketch: Q = (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("nd_part_approx"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"))
+      .orderBy("l_returnflag")
+
   /** Exact + distinct aggregation (count distinct, min/max/avg). */
   val aggDistinct: Q = (s, d) =>
     t(s, d, "lineitem").groupBy("l_returnflag").agg(
@@ -356,6 +367,7 @@ object Queries {
     "agg_rollup" -> aggRollup,
     "agg_distinct" -> aggDistinct,
     "agg_stats" -> aggStats,
+    "agg_sketch" -> aggSketch,
   )
 
   val oracles: Map[String, String] = Map(
