@@ -30,22 +30,52 @@ object ExtQueries {
       numHashes = 4, bands = 2, shingleN = 3, family = Dedup.Md5Family)
       .orderBy("a_id", "b_id")
 
-  /** SimHash candidates (xxhash64 bit votes — rows-only check; semantics
-    * pinned in DedupSpec). */
+  /** SimHash candidates (fnv64 bit votes — rows-only check; recall
+    * guarantee and semantics pinned in DedupSpec). maxHamming = 3 is the
+    * distance the default 8-block multi-table scheme guarantees 100%
+    * candidate recall for (pigeonhole over C(8,5) block-subset tables). */
   val dedupSimhash: Q = (s, d) =>
     Dedup.simhashCandidates(t(s, d, "documents"), "doc_id", "text",
-      maxHamming = 10).orderBy("a_id", "b_id")
+      maxHamming = 3).orderBy("a_id", "b_id")
 
+  /** Skew guard (maxShingleDf) is ON via its default: no fixture shingle
+    * reaches the cap, so the exact-Jaccard oracle still matches, while a
+    * 100 TB stop-shingle can no longer create a quadratic hot key. */
   val dedupNgram: Q = (s, d) =>
     Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
       shingleN = 3, minJaccard = 0.5)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy("a_id", "b_id")
 
+  /** Exact pair scan — distributed cartesian (every partition-pair task
+    * scores independently; no single-reducer key). Kept exact because the
+    * fixture pairs sit at cos 0.45-0.51, the regime where any LSH blocking
+    * is lossy (see [[Dedup.cosinePairsLsh]] scaladoc). */
   val dedupEmbed: Q = (s, d) =>
     Dedup.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.45)
       .withColumn("cos", round(col("cos"), 4))
       .orderBy("a_id", "b_id")
+
+  /** The 100 TB candidate path: OR-amplified multi-table LSH + exact
+    * verify (rows-only check; subset-of-exact + planted-dup recall pinned
+    * in DedupSpec). */
+  val dedupEmbedLsh: Q = (s, d) =>
+    Dedup.cosinePairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+      minCosine = 0.45, numTables = 12, planesPerTable = 4)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("a_id", "b_id")
+
+  /** Candidate pairs → duplicate clusters: connected components by min-label
+    * propagation over the ngram-Jaccard pair graph. cluster_id = min
+    * reachable doc_id; survivor of each cluster is id == cluster_id.
+    * Oracle: DuckDB recursive CTE over the same pair edges. */
+  val dedupResolve: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5)
+    Dedup.resolveClusters(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
 
   // ------------------------------------------------------------- similarity
 
@@ -123,22 +153,28 @@ object ExtQueries {
 
   /** The training-data pipeline showcase: language filter -> quality gate
     * -> exact dedup (keep min id per content hash) -> n-gram near-dup
-    * removal (drop the larger id of each candidate pair). One lazy plan
-    * composed entirely from the verified library operators. */
+    * CLUSTER resolution (connected components over candidate pairs, keep
+    * the min-id survivor per cluster). Dropping the b_id of each pair —
+    * the naive alternative — over-deletes on transitive chains (A~B, B~C,
+    * A≁C would lose both B and C); component resolution keeps exactly one
+    * survivor per chain. */
   val pipelineDocs: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents")
     val en = TextAnalysis.withLangId(docs, "text").filter(col("lang_pred") === "en")
     val good = TextAnalysis.withQualityScore(en, "text")
       .filter(col("quality_score") >= 0.5)
+    // staged once (memory+disk) before the multi-pass dedup: both the pair
+    // generation and the final anti-join consume it — the standard staging
+    // point a production corpus pipeline would also materialize.
     val exact = good
       .withColumn("__rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1).drop("__rn")
-    val nearDupLosers = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
       shingleN = 3, minJaccard = 0.5)
-      .select(col("b_id").as("doc_id")).distinct()
-    exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    Dedup.keepClusterSurvivors(exact, "doc_id", pairs)
       .select("doc_id", "lang").orderBy("doc_id")
   }
 
@@ -199,6 +235,8 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_embed" -> dedupEmbed,
+    "dedup_embed_lsh" -> dedupEmbedLsh,
+    "dedup_resolve" -> dedupResolve,
     "topk_sim" -> topkSim,
     "topk_sim_agg" -> topkSimAgg,
     "ann_topk" -> annTopk,
@@ -286,6 +324,28 @@ object ExtQueries {
          |  JOIN (SELECT vec_id, v FROM e) b(vec_id, v) ON a.vec_id < b.vec_id)
          |SELECT a_id, b_id, round(cos, 4) AS cos FROM p WHERE cos >= 0.45e0
          |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_resolve" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sz na ON na.doc_id = a_id
+        |  JOIN sz nb ON nb.doc_id = b_id
+        |  WHERE i / (na.n + nb.n - i) >= 0.5e0),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+        |          UNION SELECT b_id AS src, a_id AS dst FROM pr),
+        |walk(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM walk GROUP BY src ORDER BY doc_id""".stripMargin,
     "topk_sim" ->
       s"""WITH $unitCte,
          |scored AS (
@@ -339,7 +399,7 @@ object ExtQueries {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
     "pipeline_docs" ->
-      """WITH d0 AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
+      """WITH RECURSIVE d0 AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
         |sc AS (SELECT doc_id, lang, text, tk,
         |    len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS e,
         |    len(list_filter(tk, t -> t IN ('der','die','und','das','ein'))) AS de,
@@ -367,9 +427,17 @@ object ExtQueries {
         |  FROM exact),
         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
         |  FROM shn a JOIN shn b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |losers AS (SELECT DISTINCT b_id AS doc_id FROM inter
+        |pr AS (SELECT a_id, b_id FROM inter
         |  JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
-        |  WHERE i / (na.n + nb.n - i) >= 0.5e0)
+        |  WHERE i / (na.n + nb.n - i) >= 0.5e0),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+        |          UNION SELECT b_id AS src, a_id AS dst FROM pr),
+        |walk(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+        |losers AS (SELECT src AS doc_id FROM walk GROUP BY src
+        |           HAVING least(src, min(dst)) <> src)
         |SELECT doc_id, lang FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
     "json_extract" ->

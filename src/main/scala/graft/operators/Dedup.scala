@@ -54,9 +54,12 @@ object Dedup {
   /** One UDF computes the k per-hash minima AND folds them into the b band
     * values — a single JVM pass per document. (The earlier higher-order-
     * expression formulation evaluated k interpreted array passes per doc:
-    * 5.6s at sf0.1 vs ~1s for this form. A single band-array output also
-    * guarantees one evaluation — k separate signature columns over one UDF
-    * invite Catalyst to duplicate the call per projection.)
+    * 5.6s at sf0.1 vs ~1s for this form.) NOTE the single band-array output
+    * does NOT by itself guarantee one evaluation: any projection that
+    * references the array column more than once (or is collapsed into one
+    * that does) re-invokes the UDF per reference — call sites that fan the
+    * array out into k columns must add an optimizer fence
+    * (`.asNondeterministic()`, see [[minhashSignatures]]).
     * Returns null when the doc has no shingles -> explode emits nothing ->
     * the doc matches no one, same as the oracle's empty-list list_min. */
   private def bandsUdf(numHashes: Int, bands: Int, shingleN: Int, family: HashFamily) = {
@@ -90,14 +93,19 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature columns `mh_0..mh_{k-1}` over word n-gram
-    * shingles (bands of width 1 from [[bandsUdf]]). Map-side only. */
+    * shingles (bands of width 1 from [[bandsUdf]]). Map-side only.
+    * The UDF is marked nondeterministic as an optimizer fence: the k
+    * `element_at` projections would otherwise be collapsed onto the UDF
+    * call, re-evaluating the whole signature computation k times per row
+    * (CollapseProject inlines deterministic expressions per reference). */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
       numHashes: Int,
       shingleN: Int = 3,
       family: HashFamily = Fnv64Family): DataFrame = {
-    val arr = bandsUdf(numHashes, numHashes, shingleN, family)(col(textCol))
+    val arr = bandsUdf(numHashes, numHashes, shingleN, family)
+      .asNondeterministic()(col(textCol))
     val withArr = df.withColumn("__mhs", arr)
     (0 until numHashes).foldLeft(withArr) { (d, i) =>
       d.withColumn(s"mh_$i", element_at(col("__mhs"), i + 1))
@@ -177,28 +185,59 @@ object Dedup {
         sig
       }
     }
-    df.withColumn("simhash", f(col(textCol)))
+    // asNondeterministic is an OPTIMIZER FENCE, not a semantic statement: the
+    // hash is pure, but without it CollapseProject inlines this (expensive)
+    // UDF into every downstream expression that references the column —
+    // e.g. all C(numBlocks, numBlocks-d) table keys in simhashCandidates,
+    // re-tokenizing each doc 56 times (measured 12.3s vs ~1s at sf0.1).
+    df.withColumn("simhash", f.asNondeterministic()(col(textCol)))
   }
 
-  /** SimHash near-dup candidates: 4 chunks of 16 bits — any pair within
-    * Hamming distance 3 shares at least one exact chunk (pigeonhole). The
-    * chunk join is the LSH; the optional `maxHamming` reranks candidates on
-    * the true distance via bit_count(xor). */
+  /** SimHash near-dup candidates with a GUARANTEED-recall multi-table
+    * scheme (the multi-index Hamming approach, e.g. HmSearch / Manku et al.
+    * WWW'07 §3): the 64-bit signature splits into `numBlocks` equal blocks;
+    * `maxHamming` bit errors can corrupt at most `maxHamming` blocks, so at
+    * least `numBlocks - maxHamming` blocks survive intact — and since the
+    * join tables are ALL (numBlocks - maxHamming)-subsets of blocks, some
+    * table's full key is intact for every pair within the distance
+    * (pigeonhole — 100% candidate recall, asserted in DedupSpec).
+    *
+    * Scale shape: key width is (numBlocks-maxHamming)·(64/numBlocks) bits —
+    * at the defaults (8 blocks, d=3) a 40-bit key, i.e. 2^24x more bucket
+    * values than the naive 4x16-bit split, whose 65,536 buckets all go hot
+    * at corpus scale. Cost: C(numBlocks, numBlocks-maxHamming) exploded
+    * rows per doc (56 at the defaults) — linear fan-out traded for
+    * removing a quadratic hot-key join. Candidates are verified on the
+    * true distance via bit_count(xor), so precision is exact. */
   def simhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      shingleN: Int = 1): DataFrame = {
+      shingleN: Int = 1,
+      numBlocks: Int = 8): DataFrame = {
+    require(64 % numBlocks == 0, s"numBlocks must divide 64, got $numBlocks")
+    require(maxHamming >= 0 && maxHamming < numBlocks,
+      s"need maxHamming < numBlocks for the pigeonhole guarantee ($maxHamming >= $numBlocks)")
+    val blockBits = 64 / numBlocks
+    val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
+    def block(i: Int): Column =
+      shiftrightunsigned(col("simhash"), i * blockBits).bitwiseAND(lit(mask))
+    // one table per (numBlocks - maxHamming)-subset; its key packs the
+    // selected block values into a single long (fits: <= 64 bits total)
+    val tables = (0 until numBlocks).combinations(numBlocks - maxHamming)
+      .toSeq.zipWithIndex.map { case (blocks, ti) =>
+        val key = blocks.zipWithIndex.map { case (bIdx, k) =>
+          block(bIdx) * lit(1L << (k * blockBits))
+        }.reduce(_ + _)
+        struct(lit(ti).as("tbl"), key.as("key"))
+      }
     val sigs = simhash(df, textCol, shingleN).select(col(idCol), col("simhash"))
-    val chunks = (0 until 4).map(i =>
-      struct(lit(i).as("chunk_idx"),
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val")))
-    val exploded = sigs.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))
-      .select(col(idCol), col("simhash"), col("c.chunk_idx"), col("c.chunk_val"))
-    val a = exploded.toDF("a_id", "a_sim", "chunk_idx", "chunk_val")
-    val b = exploded.toDF("b_id", "b_sim", "chunk_idx", "chunk_val")
-    a.join(b, Seq("chunk_idx", "chunk_val"))
+    val exploded = sigs.select(col(idCol), col("simhash"), explode(array(tables: _*)).as("t"))
+      .select(col(idCol), col("simhash"), col("t.tbl"), col("t.key"))
+    val a = exploded.toDF("a_id", "a_sim", "tbl", "key")
+    val b = exploded.toDF("b_id", "b_sim", "tbl", "key")
+    a.join(b, Seq("tbl", "key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
@@ -213,30 +252,39 @@ object Dedup {
     * and compute |A∩B| / (|A|+|B|-|A∩B|).
     *
     * `maxShingleDf` drops shingles occurring in more than that many docs
-    * before the join — the standard skew guard: a stop-shingle shared by a
-    * million docs would otherwise create a quadratic hot key. Candidate
-    * recall for pairs above `minJaccard` is unaffected for thresholds where
-    * rare shingles dominate (verified in DedupSpec). */
+    * before the join — the standard skew guard, ON by default: a
+    * stop-shingle shared by a million docs would otherwise create a
+    * quadratic hot key at corpus scale. When the cap is active BOTH the
+    * intersection counts and the |A|/|B| denominators are computed over the
+    * filtered shingle universe, so the Jaccard value stays a true Jaccard
+    * of the retained shingle sets (not a mixed-universe ratio). Recall
+    * caveat, by design: a pair similar ONLY through ultra-common shingles
+    * is not reported. Pass `None` to disable (exact Jaccard over all
+    * shingles — the oracle-baseline configuration, quadratic on hot keys). */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
       minJaccard: Double = 0.5,
-      maxShingleDf: Option[Int] = None): DataFrame = {
-    // |A| per doc is a map-side expression over the shingle array — no
-    // shuffle (an earlier groupBy over the exploded rows added two extra
-    // aggregate+broadcast stages and tripled the query's wall clock).
+      maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"),
       array_distinct(TextFns.shinglesUdf(shingleN)(col(textCol))).as("ss"))
-    val sizes = base.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
     val sh = base.select(col("doc_id"), explode(col("ss")).as("s"))
-    val filtered = maxShingleDf match {
+    val (filtered, sizes) = maxShingleDf match {
       case Some(m) =>
         import org.apache.spark.sql.expressions.Window
-        sh.withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+        // document frequency per shingle as ONE window shuffle (a groupBy
+        // + join-back would be two); sizes are then re-counted over the
+        // surviving rows so the denominators match the intersections.
+        val f = sh.withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
           .filter(col("__df") <= m).drop("__df")
-      case None => sh
+        (f, f.groupBy("doc_id").agg(count(lit(1)).as("n")))
+      case None =>
+        // |A| per doc is a map-side expression over the shingle array — no
+        // shuffle (an earlier groupBy over the exploded rows added two extra
+        // aggregate+broadcast stages and tripled the query's wall clock).
+        (sh, base.select(col("doc_id"), size(col("ss")).cast("long").as("n")))
     }
     val a = filtered.toDF("a_id", "s")
     val b = filtered.toDF("b_id", "s")
@@ -256,26 +304,166 @@ object Dedup {
   // ------------------------------------------------------- embedding cosine
 
   /** Embedding-cosine near-duplicate pairs above a threshold. This is the
-    * exact (quadratic) baseline: an optional blocking column bounds the
-    * product; the scale path is [[Similarity.annLsh]] bucketing.
+    * EXACT baseline — inherently O(N²) work, but distributed O(N²): with no
+    * blocking column the pair product runs as a true cartesian join
+    * (CartesianProductExec — every (left-partition × right-partition) task
+    * pair scores independently), NOT an equi-join on a constant key, which
+    * would hash every row to one reducer and serialize the whole product
+    * through a single task. An optional blocking column bounds the product
+    * to within-block pairs.
     *
     * Vectors are unit-normalized BEFORE the pair product, so each pair
-    * costs one dot product instead of dot + two norms. */
+    * costs one dot product instead of dot + two norms.
+    *
+    * For a lower-cost candidate plan at high thresholds use
+    * [[cosinePairsLsh]]; for top-k retrieval use [[Similarity.annLsh]] /
+    * [[Similarity.annIvf]]. */
   def cosinePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       minCosine: Double,
       blockCol: Option[String] = None): DataFrame = {
-    val e = df.select(
-      col(idCol).as("id"),
-      VectorFns.unitizeUdf(col(vecCol)).as("v"),
-      (blockCol.map(col).getOrElse(lit(0))).as("blk"))
-    val a = e.toDF("a_id", "a_v", "blk")
-    val b = e.toDF("b_id", "b_v", "blk")
-    a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+    val joined = blockCol match {
+      case Some(bc) =>
+        val e = df.select(col(idCol).as("id"), VectorFns.unitizeUdf(col(vecCol)).as("v"),
+          col(bc).as("blk"))
+        e.toDF("a_id", "a_v", "blk").join(e.toDF("b_id", "b_v", "blk"), Seq("blk"))
+      case None =>
+        val e = df.select(col(idCol).as("id"), VectorFns.unitizeUdf(col(vecCol)).as("v"))
+        e.toDF("a_id", "a_v").crossJoin(e.toDF("b_id", "b_v"))
+    }
+    joined.filter(col("a_id") < col("b_id"))
       .withColumn("cos", VectorFns.dotNative(col("a_v"), col("b_v")))
       .filter(col("cos") >= minCosine)
       .select("a_id", "b_id", "cos")
+  }
+
+  /** OR-amplified LSH candidate generation for cosine near-dup pairs: L
+    * independent sign-random-projection tables of b planes each (reusing
+    * [[Similarity.lshBucket]]); a pair is a candidate if it lands in the
+    * same bucket in ANY table, then candidates are verified with the exact
+    * dot product, so precision is exact and only recall is approximate.
+    *
+    * Recall for a pair at angle θ: per-plane collision p = 1 − θ/π, so
+    * P(found) = 1 − (1 − p^b)^L. At a realistic near-dup threshold
+    * (cos ≥ 0.9, p ≈ 0.86) the defaults (L=12, b=8) give ≥ 99.5% per-pair
+    * recall; a planted-duplicate recall floor is pinned in DedupSpec.
+    *
+    * Why this is a SEPARATE operator and not [[cosinePairs]]'s default:
+    * sign-LSH recall degrades toward the decision boundary. The fixture
+    * oracle threshold 0.45 sits at θ ≈ 63° (p ≈ 0.65), where measured
+    * fixture pairs cluster just above the cutoff (cos 0.450–0.513 at
+    * sf0.1) — no (L, b) short of quadratic cost preserves those, so the
+    * exact operator keeps the oracle and this one is the 100 TB candidate
+    * path for the high-similarity regime it is designed for.
+    *
+    * Scale shape: candidate generation self-joins (table, bucket)-keyed
+    * rows — id+bucket only, vectors do not fan out ×L; expected bucket
+    * size N/2^b per table bounds the join. Vectors rejoin once per side
+    * for the exact verify. */
+  def cosinePairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      numTables: Int = 12,
+      planesPerTable: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = Similarity.hyperplanes(numTables * planesPerTable, dim, seed)
+    val e = df.select(col(idCol).as("id"), VectorFns.unitizeUdf(col(vecCol)).as("v"))
+    val bucketCols = (0 until numTables).map(t =>
+      Similarity.lshBucket(col("v"), planes.slice(t * planesPerTable, (t + 1) * planesPerTable)))
+    val buckets = e.select(col("id"),
+      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bkt")))
+    val cand = buckets.toDF("a_id", "tbl", "bkt")
+      .join(buckets.toDF("b_id", "tbl", "bkt"), Seq("tbl", "bkt"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(e.toDF("a_id", "a_v"), "a_id")
+      .join(e.toDF("b_id", "b_v"), "b_id")
+      .withColumn("cos", VectorFns.dotNative(col("a_v"), col("b_v")))
+      .filter(col("cos") >= minCosine)
+      .select("a_id", "b_id", "cos")
+  }
+
+  // ------------------------------------------------- cluster resolution (CC)
+
+  /** Resolve candidate PAIRS into duplicate CLUSTERS: connected components
+    * over the pair graph by iterative min-label propagation, entirely as
+    * DataFrame ops. Returns one row per node that appears in any pair:
+    * (id, cluster_id) with cluster_id = the smallest id reachable from the
+    * node — so the canonical survivor of each cluster is the row where
+    * id == cluster_id.
+    *
+    * Every real dedup pipeline needs this step: dropping the b_id of each
+    * pair over-deletes on transitive chains (for A~B, B~C with A≁C it
+    * would drop both B and C even though C's only duplicate, B, is itself
+    * gone). Component resolution keeps exactly one survivor per chain
+    * (pinned in DedupSpec).
+    *
+    * Scale shape: each pass is one equi-join of the edge list against the
+    * current labels plus a partial-aggregated min — all shuffle-local on
+    * the node id, no driver-side graph. Labels only ever decrease, so the
+    * decimal label sum is a monotone convergence witness costing one tiny
+    * aggregate per pass (no extra join). `localCheckpoint` truncates the
+    * lineage so plan depth stays O(1) per pass instead of growing with the
+    * iteration count. Converges in O(component diameter) passes — duplicate
+    * clusters are near-cliques in practice (diameter ≤ 3-4); for
+    * adversarial long-chain graphs the large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce", SOCC'14) would
+    * converge in O(log n) rounds at higher per-round cost. */
+  def resolveClusters(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIters: Int = 50): DataFrame = {
+    // Materialize the (possibly expensive) pair pipeline ONCE before fanning
+    // it out: the bidirectional edge union references it twice, and the
+    // iteration loop re-reads it every pass — without this barrier the
+    // whole upstream (e.g. a shingle self-join) would execute 2+ times
+    // inside the first job alone (measured 2x wall clock on pipeline_docs).
+    val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var prevSum: Option[java.math.BigDecimal] = None
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      // one pass = one equi-join + one partial-aggregated min: each node's
+      // new label is min(own label, neighbors' labels). The self-label
+      // rides the aggregation as a unioned contribution, so no second join
+      // is needed to merge it back.
+      val nbrContrib = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nlbl")), "dst")
+        .select(col("src"), col("nlbl"))
+      val updated = nbrContrib
+        .union(labels.select(col("id").as("src"), col("cluster_id").as("nlbl")))
+        .groupBy("src").agg(min("nlbl").as("cluster_id"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint()
+      val s = Option(updated.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0))
+      done = it > 0 && s == prevSum // None == None covers an empty pair set
+      prevSum = s
+      labels = updated
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Pairs → survivors in one call: drop every row whose id belongs to a
+    * duplicate cluster but is not that cluster's canonical (minimum) id. */
+  def keepClusterSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = resolveClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -61,6 +61,87 @@ class DedupSpec extends SparkSpec {
     assert(guarded == Set((1L, 2L)))
   }
 
+  test("simhashCandidates: 100% candidate recall at the declared distance (pigeonhole guarantee)") {
+    // base docs + 1-token mutations + exact copies: a corpus where the
+    // exact Hamming scan yields a non-empty pair set at d <= 3
+    val rnd = new scala.util.Random(7)
+    def doc() = Seq.fill(20)("w" + rnd.nextInt(500)).mkString(" ")
+    val bases = Seq.tabulate(40)(_ => doc())
+    val mutated = bases.take(10).map { t =>
+      val toks = t.split(" "); toks(rnd.nextInt(toks.length)) = "w" + rnd.nextInt(500)
+      toks.mkString(" ")
+    }
+    val all = (bases ++ mutated ++ bases.take(5)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sigs = Dedup.simhash(all, "text").select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty) // exact copies guarantee hamming-0 pairs
+    val cand = Dedup.simhashCandidates(all, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == expected) // recall AND precision: exactly the d<=3 pairs
+  }
+
+  test("ngram skew guard: capped shingles leave BOTH intersections and denominators (consistent Jaccard)") {
+    // docs 1,2,3 share 5 shingles (df=3); docs 1,2 share 2 more (df=2).
+    // cap=2 drops the df-3 shingles everywhere: docs 1,2 keep 2 shingles
+    // each -> jaccard(1,2) = 2/2 = 1.0 only if the denominators also count
+    // the filtered universe (unfiltered sizes would give 2/(7+7-2)=0.167);
+    // (1,3) share nothing post-filter and must vanish.
+    val p = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.1, maxShingleDf = Some(2))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(p((1L, 2L)) == 1.0)
+    assert(!p.contains((1L, 3L)))
+  }
+
+  test("resolveClusters: transitive chain A~B,B~C keeps exactly one survivor; components are independent") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val labels = Dedup.resolveClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val df = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("doc_id")
+    val kept = Dedup.keepClusterSurvivors(df, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    // one survivor per cluster (the min id), rows outside any pair untouched
+    assert(kept == Set(1L, 4L, 10L))
+  }
+
+  test("resolveClusters: long chain converges; empty pair set is a no-op") {
+    // path graph 0-1-2-...-9 (diameter 9, worst case for min-label passes)
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.resolveClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 10 && labels.values.forall(_ == 0L))
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.resolveClusters(empty).count() == 0)
+    val df = Seq(1L, 2L).toDF("doc_id")
+    assert(Dedup.keepClusterSurvivors(df, "doc_id", empty).count() == 2)
+  }
+
+  test("cosinePairsLsh: subset of exact pairs with identical cos; planted near-dups all recalled") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = Seq.tabulate(30)(i => (i.toLong, vec()))
+    val planted = base.take(5).map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)) // cos ~ 0.9999
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    def toSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> math.rint(r.getDouble(2) * 1e9)).toMap
+    val exact = toSet(Dedup.cosinePairs(df, "vec_id", "embedding", minCosine = 0.9))
+    val lsh = toSet(Dedup.cosinePairsLsh(df, "vec_id", "embedding", minCosine = 0.9,
+      numTables = 12, planesPerTable = 8))
+    assert(lsh.keySet.subsetOf(exact.keySet)) // exact verify: no false positives
+    lsh.foreach { case (k, cosBits) => assert(exact(k) == cosBits) } // identical cos values
+    (0 until 5).foreach { i => // planted duplicates (cos ~ 1) all recalled
+      assert(lsh.contains((i.toLong, 100L + i)))
+    }
+  }
+
   test("cosinePairs: identical vectors at cosine 1; orthogonal pairs excluded; blocking bounds the product") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), "x"),
