@@ -79,7 +79,14 @@ object ExtQueries {
 
   // ------------------------------------------------------------- similarity
 
-  /** Exact cosine top-10 for the first 5 vectors as queries. */
+  /** Exact cosine top-10 for the first 5 vectors as queries.
+    *
+    * Scale note: the `row_number() <= k` window is NOT a full per-query
+    * reducer sort — Spark's InferWindowGroupLimit inserts a partial
+    * WindowGroupLimit before the exchange, so each map task forwards only
+    * k rows per query (PlanSpec asserts the node is present). The
+    * [[topkSimAgg]] twin keeps the explicitly-bounded Aggregator shape;
+    * both are scale-safe. */
   val topkSim: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     Similarity.bruteForceTopK(e, "vec_id", "embedding",
@@ -267,13 +274,17 @@ object ExtQueries {
   private val dotExpr =
     "list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))])"
 
+  /** Gap compare in integer MICROSECONDS (epoch_us), exactly mirroring the
+    * Spark side's unix_micros — every fixture event has sub-second
+    * components, so a seconds-truncated comparison would diverge near the
+    * 30-minute boundary. */
   private val sessionizeSql =
     """SELECT event_id, user_id, ts,
       |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
       |FROM (
       |  SELECT event_id, user_id, ts,
       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
-      |         WHEN date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800 THEN 1
+      |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1
       |         ELSE 0 END AS is_new
       |  FROM events)""".stripMargin
 
@@ -386,10 +397,15 @@ object ExtQueries {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
+      // n_bpeish mirrors the Spark regex tokenizer exactly without RE2
+      // lookarounds (Spark splits at every \w|\W boundary, isolating each
+      // \W char, then drops whitespace tokens): token count = maximal \w
+      // runs + non-space non-word characters.
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_bpeish
+        |  CAST(len(list_filter(string_split_regex(text, '\W+'), x -> x <> ''))
+        |       + length(regexp_replace(text, '[\w ]', '', 'g')) AS BIGINT) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint

@@ -27,6 +27,14 @@ object Ops {
     // differing only in case is appended, not dropped and null-filled.
     val targetByLower = target.columns.map(c => c.toLowerCase -> c).toMap
     val shared = src.columns.filter(c => targetByLower.contains(c.toLowerCase))
+    // two source columns differing only in case would collapse onto the same
+    // target spelling and emit a duplicate column — fail with the column
+    // names instead of a downstream ambiguous-reference error
+    val collided = shared.groupBy(_.toLowerCase).collect {
+      case (_, cs) if cs.length > 1 => cs.mkString("/")
+    }
+    require(collided.isEmpty,
+      s"appendNoTest: source columns differ only in case: ${collided.mkString(", ")}")
     val pruned = src.select(shared.map(c => col(c).as(targetByLower(c.toLowerCase))).toIndexedSeq: _*)
     target.unionByName(pruned, allowMissingColumns = true)
   }

@@ -32,7 +32,13 @@ object Pipeline {
       table: String, inputRows: Long, keptRows: Long,
       rejectsByReason: Map[String, Long])
 
-  final case class TableResult(keep: DataFrame, rejects: DataFrame, report: RunReport)
+  final case class TableResult(
+      keep: DataFrame, rejects: DataFrame, report: RunReport,
+      private val staged: Option[DataFrame] = None) {
+    /** Release the QA input cached by [[runTable]] once keep/rejects have
+      * been written to their sinks. */
+    def unpersist(): Unit = staged.foreach(_.unpersist())
+  }
 
   /** Run the full §3.3 trace for one table. `template` fixes the output
     * schema (S5 — NO_TEST append into the template's column set). */
@@ -53,10 +59,15 @@ object Pipeline {
     }
     // R5: '' -> NULL
     val blanked = blankToNullFields.foldLeft(calced)(Ops.blankToNull)
-    // J1/J2: first-match enrichment
+    // J1/J2: first-match enrichment. The result is persisted (memory+disk)
+    // because THREE consumers evaluate it: the input count, the reject-count
+    // action, and the caller's keep/rejects sink writes — without the cache
+    // the whole upstream (scan+append+calcs+join) executes once per
+    // consumer. Single evaluation is pinned by a PipelineSpec accumulator
+    // test; callers release it via TableResult.unpersist() after writing.
     val enriched = enrich.fold(blanked) { e =>
       Ops.joinEnrich(blanked, e.dim, e.leftKey, e.rightKey, e.rightOrder, e.copies)
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Q1..Q3: sequential split + routed rejects
     val result = qa match {
       case Some(q) =>
@@ -68,13 +79,16 @@ object Pipeline {
         Qa.QaSplit(enriched, enriched.limit(0).withColumn(Qa.FlagCol, lit("")))
     }
     // A2-style forced counts — the engine's only actions besides sinks.
-    // keep/rejects partition the input (QaSpec property), so keptRows is
-    // derived instead of recomputing the whole plan a third time.
+    // append/calc/blank/enrich are all row-preserving (first-match join
+    // never multiplies), so counting the PERSISTED frame both materializes
+    // the cache and yields the input count in one pass; keep/rejects
+    // partition the input (QaSpec property), so keptRows is derived instead
+    // of recomputing the whole plan a third time.
+    val inputRows = enriched.count()
     val rejectCounts = result.rejects.groupBy(Qa.FlagCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val inputRows = appended.count()
     val report = RunReport(name, inputRows, inputRows - rejectCounts.values.sum, rejectCounts)
-    TableResult(result.keep, result.rejects, report)
+    TableResult(result.keep, result.rejects, report, staged = Some(enriched))
   }
 
   /** Run many tables and publish keeps + one merged reject table atomically

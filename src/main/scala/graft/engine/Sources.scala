@@ -47,4 +47,53 @@ object Sources {
     }
     df
   }
+
+  /** S6 — the production SDE/BCGW view pull
+    * (/root/reference/src/wins_transform_staging.py:55-58,174: an Oracle
+    * view snapshot over an SDE connection file) as a partitioned JDBC read
+    * with the same schema validation as the parquet path.
+    *
+    * Scale notes:
+    *  - `partitionColumn` + `bounds` + `numPartitions` split the pull into
+    *    range-strided concurrent reads (one DB cursor per partition) — the
+    *    difference between a single-threaded snapshot and saturating the
+    *    DB's read capacity. Skip them for genuinely small dimension views.
+    *  - Catalyst pushes filters and column pruning into the generated SQL
+    *    (`PushedFilters` on the JDBC scan — spec-asserted), so a downstream
+    *    `.filter`/`.select` never transfers dead rows/columns.
+    *  - `fetchsize` defaults to 10k rows per round trip (driver defaults
+    *    are 10 for Oracle — pathological for bulk pulls).
+    *
+    * `options` passes through any other DataSource option (`driver`,
+    * `sessionInitStatement`, `queryTimeout`, ...). */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: Option[String] = None,
+      bounds: Option[(Long, Long)] = None,
+      numPartitions: Int = 1,
+      options: Map[String, String] = Map.empty,
+      expected: Option[StructType] = None): DataFrame = {
+    require(partitionColumn.isDefined == bounds.isDefined,
+      "partitionColumn and bounds must be supplied together")
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("fetchsize", options.getOrElse("fetchsize", "10000"))
+      .options(options)
+    val reader = (partitionColumn, bounds) match {
+      case (Some(col), Some((lo, hi))) =>
+        base.option("partitionColumn", col)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", numPartitions)
+      case _ => base
+    }
+    val df = reader.load()
+    expected.foreach { e =>
+      val problems = diff(e, df.schema)
+      if (problems.nonEmpty) throw SchemaMismatch(table, problems)
+    }
+    df
+  }
 }

@@ -25,7 +25,14 @@ object Tables {
     * same way DuckDB does (truncation), so oracle comparisons line up.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session-level by necessity (the flag is consulted at scan execution,
+    // so a set-and-restore around the read would break the later action),
+    // but scoped to the one table that needs it: reading any OTHER fixture
+    // table no longer flips session-wide parquet semantics as a side
+    // effect, and the flag's effect is limited to nanos-typed columns,
+    // which only events has.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -20,14 +20,22 @@ object Events {
     * previous event of the same user exceeds `gapMinutes`. Session ids are
     * a running sum of session-start flags per user — one shuffle on
     * user_id (the window partition key); ties on ts break by event id so
-    * the assignment is deterministic. */
+    * the assignment is deterministic.
+    *
+    * Gaps are measured at MICROSECOND precision (`unix_micros`, the full
+    * resolution of TimestampType) — identical to the streaming twin
+    * (EventStreams.sessionize) and to the DuckDB oracle's `epoch_us`
+    * comparison. A second-truncated gap would assign events with
+    * sub-second components near the boundary to different sessions than
+    * the streaming path (parity pinned in StreamingSpec). */
   def sessionize(
       df: DataFrame, userCol: String, tsCol: String, idCol: String,
       gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
     val prevTs = lag(col(tsCol), 1).over(byUser)
+    val gapMicros = gapMinutes * 60L * 1000000L
     val isNew = when(prevTs.isNull, 1L).otherwise(
-      when(unix_timestamp(col(tsCol)) - unix_timestamp(prevTs) > gapMinutes * 60L, 1L)
+      when(unix_micros(col(tsCol)) - unix_micros(prevTs) > gapMicros, 1L)
         .otherwise(0L))
     df.withColumn("session_id", sum(isNew).over(byUser))
   }

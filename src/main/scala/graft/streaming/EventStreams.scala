@@ -73,7 +73,9 @@ object EventStreams {
 
   /** Stateful gap sessionization: per-user state carries (current session
     * id, last event time); a gap above `gapMinutes` starts a new session.
-    * Batch twin: graft.operators.Events.sessionize.
+    * Batch twin: graft.operators.Events.sessionize — both measure the gap
+    * at MICROSECOND precision (full TimestampType resolution; batch/stream
+    * parity on sub-second boundaries pinned in StreamingSpec).
     *
     * `expireState = true` adds a processing-time timeout that evicts
     * abandoned users' state — turn it on for long-running production
@@ -92,12 +94,16 @@ object EventStreams {
       (user: Long, it: Iterator[Evt], state: GroupState[SessionState]) => {
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
+          // microsecond epoch (Timestamp.getTime is ms-truncated; nanos
+          // carries the rest) — must match the batch twin's unix_micros
+          def micros(t: Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
           var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-            val gap = e.ts.getTime - s.lastTs
-            val sid = if (s.lastTs == Long.MinValue || gap > gapMinutes * 60000L)
+          val out = it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+            val gap = micros(e.ts) - s.lastTs
+            val sid = if (s.lastTs == Long.MinValue || gap > gapMinutes * 60000000L)
               s.sessionId + 1 else s.sessionId
-            s = SessionState(sid, e.ts.getTime)
+            s = SessionState(sid, micros(e.ts))
             SessionizedEvt(e.event_id, user, sid)
           }
           state.update(s)

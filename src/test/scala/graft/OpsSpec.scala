@@ -25,6 +25,13 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(Row("s1", "b"), Row("t1", "a")))
   }
 
+  test("appendNoTest: source columns differing only in case fail fast with an explicit message") {
+    val target = Seq(("t1", "a")).toDF("tag", "descr")
+    val src = Seq(("s1", "S1", "b")).toDF("TAG", "Tag", "descr")
+    val e = intercept[IllegalArgumentException](Ops.appendNoTest(target, src))
+    assert(e.getMessage.contains("differ only in case") && e.getMessage.contains("TAG/Tag"))
+  }
+
   test("calcWhen: only selected rows assigned; ordered rules leave non-matching rows' prior value") {
     // reference :168-171 — RV% then RS%; a tag matching neither keeps its
     // appended FEATURE_CODE

@@ -68,6 +68,29 @@ class PipelineSpec extends SparkSpec {
     assert(dupReasons == Set("Duplicate TRRR_TAG"))
   }
 
+  test("runTable: the QA input is evaluated once across counts and both sink reads (persisted split)") {
+    val acc = spark.sparkContext.longAccumulator("source-evals")
+    // the fence (asNondeterministic) stops Catalyst duplicating the tick
+    // into each downstream reference; with the persist in runTable the
+    // column is then evaluated exactly once per source row regardless of
+    // how many consumers read the split
+    val tick = udf { (s: String) => acc.add(1L); s }.asNondeterministic()
+    val r = Pipeline.runTable(
+      name = "tick",
+      download = download.withColumn("TRRR_TAG", tick(col("TRRR_TAG"))),
+      template = template,
+      calcRules = Seq(CalcRule("FEATURE_CODE", col("TRRR_TAG").like("RV%"), lit("X"))),
+      blankToNullFields = Seq("TRRR_TAG"),
+      enrich = Some(Enrich(pod, "TRRR_TAG", "PNTS_CODE", Seq(col("OID")),
+        Map("DESCRIPTION" -> "PNTS_DESCR"))),
+      qa = Some(QaRules(
+        Seq("TRRR_TAG"), "dup", pod, "TRRR_TAG", "PNTS_CODE", "ref")))
+    r.keep.count()    // sink read 1
+    r.rejects.count() // sink read 2
+    assert(acc.value == 7) // one evaluation per source row, total — not 3x
+    r.unpersist()
+  }
+
   test("runAndPublish: merged reject table keeps the UNION of all reject schemas") {
     val dir = java.nio.file.Files.createTempDirectory("graft-staging2").toString + "/staged"
     val r1 = Pipeline.TableResult(

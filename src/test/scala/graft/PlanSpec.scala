@@ -45,4 +45,31 @@ class PlanSpec extends SparkSpec {
     val p = plan("dedup_minhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("topk_sim window ranking is group-limited before the shuffle (WindowGroupLimit)") {
+    // row_number() <= k over the per-query window triggers Spark's
+    // InferWindowGroupLimit: each map task keeps only k rows per query
+    // before the exchange, so the 'full sort per reducer' concern does not
+    // materialize — the window variant shares the bounded-aggregator
+    // variant's scale shape for the partial step.
+    val p = plan("topk_sim")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("simhash candidate join is equi on (table, packed key): no cross product, no hot constant key") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("embed LSH candidates join on (table, bucket); exact embed baseline is a distributed cartesian") {
+    val lsh = plan("dedup_embed_lsh")
+    assert(!lsh.contains("CartesianProduct"), lsh)
+    // the exact baseline MUST be a distributed product (cartesian across
+    // partition pairs, or broadcast-nested-loop when one side fits under
+    // the broadcast threshold) — NOT an equi-join funneling every row
+    // through one constant-key reducer
+    val exact = plan("dedup_embed")
+    assert(exact.contains("CartesianProduct") || exact.contains("BroadcastNestedLoopJoin"), exact)
+    assert(!exact.contains("HashJoin") && !exact.contains("SortMergeJoin"), exact)
+  }
 }

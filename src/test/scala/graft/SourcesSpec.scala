@@ -22,4 +22,53 @@ class SourcesSpec extends SparkSpec {
     assert(e.problems.exists(_.startsWith("missing column: l_orderkey")))
     assert(e.problems.exists(_.startsWith("unexpected column: o_orderkey")))
   }
+
+  // ---- S6 production JDBC path, end-to-end against embedded Derby (the
+  // sandbox stand-in for the reference's Oracle/SDE view).
+
+  private val derbyUrl = "jdbc:derby:memory:graftpod;create=true"
+
+  private def seedDerby(): Unit = {
+    val conn = java.sql.DriverManager.getConnection(derbyUrl)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE pod") catch { case _: java.sql.SQLException => () }
+      st.execute("CREATE TABLE pod (pnts_code VARCHAR(10), pnts_descr VARCHAR(50), oid INT)")
+      (1 to 6).foreach { i =>
+        st.execute(s"INSERT INTO pod VALUES ('TAG$i', 'descr $i', $i)")
+      }
+      st.close()
+    } finally conn.close()
+  }
+
+  test("jdbc: partitioned read returns the view with the requested parallelism") {
+    seedDerby()
+    val df = Sources.jdbc(spark, derbyUrl, "pod",
+      partitionColumn = Some("oid"), bounds = Some((1L, 6L)), numPartitions = 3)
+    assert(df.rdd.getNumPartitions == 3) // one DB cursor per range stripe
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(2))).toSet
+    assert(rows == (1 to 6).map(i => (s"TAG$i", i)).toSet)
+  }
+
+  test("jdbc: filters are pushed into the database scan, not applied in Spark") {
+    seedDerby()
+    val df = Sources.jdbc(spark, derbyUrl, "pod")
+      .filter(org.apache.spark.sql.functions.col("oid") > 3)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.toUpperCase.contains("GREATERTHAN(OID,3)"),
+      s"expected pushed OID filter in:\n$physical")
+    assert(df.count() == 3)
+  }
+
+  test("jdbc: schema validation applies to JDBC sources exactly as to parquet") {
+    seedDerby()
+    import org.apache.spark.sql.types._
+    val wrong = StructType(Seq(
+      StructField("pnts_code", StringType), StructField("pnts_descr", StringType),
+      StructField("oid", StringType))) // oid is INT in the view
+    val e = intercept[Sources.SchemaMismatch] {
+      Sources.jdbc(spark, derbyUrl, "pod", expected = Some(wrong))
+    }
+    assert(e.problems.exists(_.startsWith("column oid")))
+  }
 }

@@ -121,6 +121,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: sessionize agrees on sub-second gaps at the 30-minute boundary") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1700000000000L
+    // gaps straddling 30min with millisecond components: 1799.9s (same
+    // session), 1800.001s (new session) — a seconds-truncated comparison
+    // would misclassify both
+    val evts = Seq(
+      Evt(1, new Timestamp(base + 100), 7, "click"),
+      Evt(2, new Timestamp(base + 100 + 1799900), 7, "click"),         // +1799.900s: same
+      Evt(3, new Timestamp(base + 100 + 1799900 + 1800001), 7, "click"), // +1800.001s: new
+      Evt(4, new Timestamp(base), 8, "view"))
+    val batch = graft.operators.Events
+      .sessionize(evts.toDF(), "user_id", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+
+    val mem = MemoryStream[Evt]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessparity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(evts)
+      q.processAllAvailable()
+      val streamed = spark.table("sessparity").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(streamed == batch)
+      assert(batch(1L) == batch(2L) && batch(2L) != batch(3L)) // the boundary semantics themselves
+    } finally q.stop()
+  }
+
   test("stateful sessionize: per-user gap sessions across micro-batches") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
