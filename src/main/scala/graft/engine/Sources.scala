@@ -96,4 +96,35 @@ object Sources {
     }
     df
   }
+
+  /** Delimited-text source with a REQUIRED schema: at scale, schema
+    * inference is a full extra pass over the data before the real read —
+    * the fixed-schema contract (reference template semantics, S5) makes it
+    * both safe and single-pass. `mode=FAILFAST` surfaces malformed rows as
+    * errors instead of silent nulls, matching the reference's assert-based
+    * ingest (/root/reference/src/wins_transform_staging.py:121,129). */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = true,
+      delimiter: String = ",",
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header).option("delimiter", delimiter)
+      .option("mode", options.getOrElse("mode", "FAILFAST"))
+      .options(options)
+      .csv(path)
+
+  /** JSON-lines source with a REQUIRED schema (same rationale as [[csv]]:
+    * no inference pass, malformed rows fail fast). */
+  def json(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", options.getOrElse("mode", "FAILFAST"))
+      .options(options)
+      .json(path)
 }

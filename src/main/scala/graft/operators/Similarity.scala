@@ -106,8 +106,9 @@ object Similarity {
   def annIvf(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nLists: Int = 16, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.select(col(corpusId).as("n_id"),
       VectorFns.unitizeUdf(col(corpusVec)).as("n_v"))
 
@@ -125,21 +126,25 @@ object Similarity {
         .drop("__rn", "__d", "cv")
     }
 
-    // one Lloyd refinement: mean vector per cell (positional avg),
-    // renormalized. Only nLists × dim doubles are collected.
-    val assigned0 = nearestCell(c, "n_v", seeds)
-    val sums = assigned0
-      .select(col("cell"), posexplode(col("n_v")).as(Seq("i", "x")))
-      .groupBy("cell", "i").agg(avg("x").as("m"))
-      .groupBy("cell").agg(map_from_arrays(collect_list("i"), collect_list("m")).as("mm"))
-      .collect().map { r =>
-        val m = r.getMap[Int, Double](1)
-        val arr = Array.tabulate(m.keys.max + 1)(i => m.getOrElse(i, 0.0))
-        val n = math.sqrt(arr.map(x => x * x).sum)
-        (r.getLong(0), arr.map(_ / math.max(n, 1e-12)))
-      }
-    import spark.implicits._
-    val centroids = sums.toSeq.toDF("cell", "cv")
+    // Lloyd refinement: mean vector per cell (positional avg), renormalized.
+    // Each iteration is one corpus map pass + a partial-aggregated shuffle
+    // of nLists×dim cell statistics; only nLists × dim doubles are ever
+    // collected, the corpus never leaves the executors.
+    var centroids = seeds
+    for (_ <- 0 until lloydIters) {
+      val assigned0 = nearestCell(c, "n_v", centroids)
+      val sums = assigned0
+        .select(col("cell"), posexplode(col("n_v")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg("x").as("m"))
+        .groupBy("cell").agg(map_from_arrays(collect_list("i"), collect_list("m")).as("mm"))
+        .collect().map { r =>
+          val m = r.getMap[Int, Double](1)
+          val arr = Array.tabulate(m.keys.max + 1)(i => m.getOrElse(i, 0.0))
+          val n = math.sqrt(arr.map(x => x * x).sum)
+          (r.getLong(0), arr.map(_ / math.max(n, 1e-12)))
+        }
+      centroids = sums.toSeq.toDF("cell", "cv")
+    }
 
     val assigned = nearestCell(c, "n_v", centroids)
     val q = queries.select(col(queryId).as("q_id"),

@@ -67,6 +67,27 @@ object EventStreams {
       .select("l_id", "r_id", "l_ts", "r_ts")
   }
 
+  /** Session-level rollup on Spark's NATIVE session windows
+    * (`session_window`): the state store merges overlapping per-event
+    * windows, the watermark closes and evicts sessions whose gap has
+    * passed — bounded state with no custom mapGroupsWithState code. The
+    * batch twin is Events.sessionize + sessionStats.
+    *
+    * Semantics note: an event at EXACTLY gap after its predecessor starts
+    * a new session here (half-open window [ts, ts+gap)) but continues the
+    * session in the batch twin (`gap > threshold`); the divergence is a
+    * measure-zero boundary (parity on the fixture pinned in
+    * StreamingSpec). */
+  def sessionWindowStats(
+      stream: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+
   case class Evt(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
   case class SessionState(sessionId: Long, lastTs: Long)
   case class SessionizedEvt(event_id: Long, user_id: Long, session_id: Long)

@@ -60,6 +60,33 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("csv/json: declared-schema reads round-trip the nation table exactly (no inference pass)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val nation = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.coalesce(1).write.option("header", true).csv(s"$dir/nation_csv")
+    nation.coalesce(1).write.json(s"$dir/nation_json")
+    val schema = nation.schema
+    val viaCsv = Sources.csv(spark, s"$dir/nation_csv", schema)
+    val viaJson = Sources.json(spark, s"$dir/nation_json", schema)
+    val expect = nation.orderBy("n_nationkey").collect().toSeq
+    assert(viaCsv.orderBy("n_nationkey").collect().toSeq == expect)
+    assert(viaJson.orderBy("n_nationkey").collect().toSeq == expect)
+    assert(viaCsv.schema == schema) // declared, not inferred
+  }
+
+  test("csv: malformed rows fail fast (FAILFAST), not silent nulls") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-badcsv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.csv"),
+      "k,v\n1,ok\nnot_a_number,boom\n")
+    val schema = StructType(Seq(StructField("k", IntegerType), StructField("v", StringType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Sources.csv(spark, dir, schema).collect()
+    }
+    assert(e.getMessage.contains("MALFORMED") || e.getCondition != null)
+  }
+
   test("jdbc: schema validation applies to JDBC sources exactly as to parquet") {
     seedDerby()
     import org.apache.spark.sql.types._

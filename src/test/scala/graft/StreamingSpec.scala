@@ -151,6 +151,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window stats match the batch sessionize+stats twin on fixture events") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val batchEvents = graft.engine.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+      .limit(300).select("event_id", "ts", "user_id", "event_type")
+    val batch = graft.operators.Events.sessionStats(
+        graft.operators.Events.sessionize(batchEvents, "user_id", "ts", "event_id"),
+        "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+
+    val mem = MemoryStream[Evt]
+    val q = EventStreams.sessionWindowStats(mem.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("swstats")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(batchEvents.as[Evt].collect().toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("swstats").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionize: per-user gap sessions across micro-batches") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
