@@ -171,14 +171,18 @@ object ExtQueries {
     val en = TextAnalysis.withLangId(docs, "text").filter(col("lang_pred") === "en")
     val good = TextAnalysis.withQualityScore(en, "text")
       .filter(col("quality_score") >= 0.5)
-    // staged once (memory+disk) before the multi-pass dedup: both the pair
-    // generation and the final anti-join consume it — the standard staging
-    // point a production corpus pipeline would also materialize.
+    // staged once before the multi-pass dedup: both the pair generation and
+    // the final anti-join consume it — the standard staging point a
+    // production corpus pipeline would also materialize. localCheckpoint
+    // (not persist): a registered query function has no unpersist hook, and
+    // checkpoint blocks are reclaimed by the ContextCleaner once the
+    // returned plan is unreferenced, where a CacheManager entry would pin
+    // the session's memory for good.
     val exact = good
       .withColumn("__rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1).drop("__rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
       shingleN = 3, minJaccard = 0.5)
     Dedup.keepClusterSurvivors(exact, "doc_id", pairs)

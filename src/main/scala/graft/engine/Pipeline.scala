@@ -100,7 +100,8 @@ object Pipeline {
     val keeps = tables.map { case (n, t) => n -> t.keep }.toMap
     val rejects = tables.map(_._2.rejects)
       .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
-    Sinks.publish(keeps + ("rejects" -> rejects), stagingDir)
+    try Sinks.publish(keeps + ("rejects" -> rejects), stagingDir)
+    finally tables.foreach(_._2.unpersist()) // release runTable's QA caches
     tables.map(_._2.report)
   }
 }

@@ -77,6 +77,12 @@ object Sources {
       expected: Option[StructType] = None): DataFrame = {
     require(partitionColumn.isDefined == bounds.isDefined,
       "partitionColumn and bounds must be supplied together")
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
+    // a parallelism request without a partition column would silently run a
+    // single-cursor pull — exactly what the caller asked to avoid
+    require(numPartitions == 1 || partitionColumn.isDefined,
+      s"numPartitions=$numPartitions requires partitionColumn + bounds (a JDBC " +
+        "read cannot be split without a stride column)")
     val base = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)

@@ -224,12 +224,14 @@ object Dedup {
     def block(i: Int): Column =
       shiftrightunsigned(col("simhash"), i * blockBits).bitwiseAND(lit(mask))
     // one table per (numBlocks - maxHamming)-subset; its key packs the
-    // selected block values into a single long (fits: <= 64 bits total)
+    // selected block values into a single long via shift+OR — disjoint bit
+    // ranges, so no arithmetic that could overflow under ANSI mode when
+    // the packed width reaches the full 64 bits (maxHamming = 0)
     val tables = (0 until numBlocks).combinations(numBlocks - maxHamming)
       .toSeq.zipWithIndex.map { case (blocks, ti) =>
         val key = blocks.zipWithIndex.map { case (bIdx, k) =>
-          block(bIdx) * lit(1L << (k * blockBits))
-        }.reduce(_ + _)
+          shiftleft(block(bIdx), k * blockBits)
+        }.reduce(_ bitwiseOR _)
         struct(lit(ti).as("tbl"), key.as("key"))
       }
     val sigs = simhash(df, textCol, shingleN).select(col(idCol), col("simhash"))
@@ -372,6 +374,13 @@ object Dedup {
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val planes = Similarity.hyperplanes(numTables * planesPerTable, dim, seed)
+    // the dot product truncates to min(length), so a dim mismatch would
+    // silently bucket on a prefix of each vector and void the recall
+    // formula — validate against the data (one-row bounded action)
+    df.select(size(col(vecCol))).take(1).foreach { r =>
+      require(r.getInt(0) == dim,
+        s"cosinePairsLsh: dim=$dim but '$vecCol' vectors have length ${r.getInt(0)}")
+    }
     val e = df.select(col(idCol).as("id"), VectorFns.unitizeUdf(col(vecCol)).as("v"))
     val bucketCols = (0 until numTables).map(t =>
       Similarity.lshBucket(col("v"), planes.slice(t * planesPerTable, (t + 1) * planesPerTable)))
@@ -455,6 +464,13 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // an unconverged result is NOT a usable approximation: it splits true
+    // components, so a caller deduplicating on it silently under-deletes.
+    // Fail loudly instead — raise maxIters (passes scale with component
+    // diameter) or pre-contract pathological chains.
+    if (!done) throw new IllegalStateException(
+      s"resolveClusters did not converge in $maxIters passes — component " +
+        "diameter exceeds maxIters; raise it (passes are O(diameter))")
     labels
   }
 

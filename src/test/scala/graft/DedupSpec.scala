@@ -110,6 +110,31 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 10L))
   }
 
+  test("resolveClusters: non-convergence raises instead of returning split clusters") {
+    // path 0-1-...-9 needs ~9 passes; maxIters=3 must fail loudly, not
+    // silently return a multi-survivor labeling of one true component
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException](Dedup.resolveClusters(chain, maxIters = 3))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("simhashCandidates: maxHamming=0 (full 64-bit packed keys) finds exactly the identical-signature pairs") {
+    // packing all 8 blocks exercises the full-width shift+OR key: bit 63
+    // set on ~half of signatures would overflow an arithmetic packing
+    // under ANSI mode
+    val c = Dedup.simhashCandidates(corpus, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(c == Map((1L, 2L) -> 0)) // docs 1,2 identical; nothing else at d=0
+  }
+
+  test("cosinePairsLsh: dim mismatch fails fast instead of bucketing on a vector prefix") {
+    val vecs = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Dedup.cosinePairsLsh(vecs, "vec_id", "embedding", minCosine = 0.9).collect())
+    assert(e.getMessage.contains("length 8"))
+  }
+
   test("resolveClusters: long chain converges; empty pair set is a no-op") {
     // path graph 0-1-2-...-9 (diameter 9, worst case for min-label passes)
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")

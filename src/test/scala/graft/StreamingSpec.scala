@@ -41,11 +41,14 @@ class StreamingSpec extends SparkSpec {
   test("batch/streaming parity: tumbling counts agree with the batch twin on the fixture events") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
-    val batchEvents = graft.engine.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    // collect ONCE: limit() on a multi-partition scan has no ordering
+    // guarantee, so two evaluations could see different 300-row subsets —
+    // both sides of the parity check must come from the same collected rows
+    val rows = graft.engine.Tables.loadEvents(spark, "/root/testdata/sf0.001")
       .limit(300).select("event_id", "ts", "user_id", "event_type")
-    val rows = batchEvents.as[Evt].collect().toSeq
+      .as[Evt].collect().toSeq
     val batch = graft.operators.Events
-      .tumblingCounts(batchEvents, "ts", "event_type", "hour")
+      .tumblingCounts(rows.toDF(), "ts", "event_type", "hour")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
     val mem = MemoryStream[Evt]
@@ -154,10 +157,12 @@ class StreamingSpec extends SparkSpec {
   test("native session_window stats match the batch sessionize+stats twin on fixture events") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
-    val batchEvents = graft.engine.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    // single collect for both sides (unordered limit — see tumbling parity)
+    val rows = graft.engine.Tables.loadEvents(spark, "/root/testdata/sf0.001")
       .limit(300).select("event_id", "ts", "user_id", "event_type")
+      .as[Evt].collect().toSeq
     val batch = graft.operators.Events.sessionStats(
-        graft.operators.Events.sessionize(batchEvents, "user_id", "ts", "event_id"),
+        graft.operators.Events.sessionize(rows.toDF(), "user_id", "ts", "event_id"),
         "user_id", "ts")
       .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
 
@@ -166,7 +171,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("swstats")
       .outputMode(OutputMode.Complete()).start()
     try {
-      mem.addData(batchEvents.as[Evt].collect().toSeq)
+      mem.addData(rows)
       q.processAllAvailable()
       val streamed = spark.table("swstats").collect()
         .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
