@@ -70,6 +70,29 @@ object Orchestration {
       println(s"[${if (success) "SUCCESS" else "FAILURE"}] $subject\n$body")
   }
 
+  /** SMTP notifier with the reference's exact message contract
+    * (/root/reference/src/wins_transform_staging.py:294-306: a raw
+    * `Subject:`/`To:` header block, and :310-315: a SUCCESS/FAILURE heading
+    * prepended to the run log). The wire transport is injectable —
+    * `(host, from, recipients, message) => Unit` — so the formatting and
+    * routing logic is spec-testable in a network-less sandbox and the
+    * production transport is a three-line `javax.mail`/socket send. */
+  final class SmtpNotifier(
+      host: String,
+      sender: String,
+      recipients: Seq[String],
+      transport: (String, String, Seq[String], String) => Unit)
+    extends Notifier {
+    require(recipients.nonEmpty, "SmtpNotifier needs at least one recipient")
+    def notify(success: Boolean, subject: String, body: String): Unit = {
+      val heading =
+        if (success) s"$subject SUCCESS\n This is an automated email from the $subject application\n"
+        else s"$subject FAILURE\n This is an automated email from the $subject application\n"
+      val msg = s"Subject: $subject \r\nTo: ${recipients.mkString(", ")} \r\n\r\n\r\n$heading$body"
+      transport(host, sender, recipients, msg)
+    }
+  }
+
   /** Run a pipeline body with the reference's report contract: exceptions
     * are captured into the log (the reference swallows them, :289-290 — we
     * additionally surface the outcome in the return value). */

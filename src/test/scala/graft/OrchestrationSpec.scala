@@ -47,6 +47,23 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(!ok && log.contains("INFO step 1") && log.contains("ERROR run failed: boom"))
     assert(delivered.contains((false, log)))
   }
+
+  test("SmtpNotifier: reference message contract (header block, heading, routing) via injected transport") {
+    var sent: Option[(String, String, Seq[String], String)] = None
+    val n = new Orchestration.SmtpNotifier(
+      "smtp.gov.local", "noreply@local", Seq("a@local", "b@local"),
+      (host, from, to, msg) => sent = Some((host, from, to, msg)))
+    n.notify(success = false, "Quick WINS STAGING", "line1\nline2")
+    val (host, from, to, msg) = sent.get
+    assert(host == "smtp.gov.local" && from == "noreply@local" && to == Seq("a@local", "b@local"))
+    // raw header block exactly as the reference formats it (:300), heading
+    // prepended to the log (:312-315), recipients comma-joined in To:
+    assert(msg.startsWith("Subject: Quick WINS STAGING \r\nTo: a@local, b@local \r\n\r\n\r\n"))
+    assert(msg.contains("Quick WINS STAGING FAILURE\n This is an automated email"))
+    assert(msg.endsWith("line1\nline2"))
+    intercept[IllegalArgumentException](
+      new Orchestration.SmtpNotifier("h", "f", Nil, (_, _, _, _) => ()))
+  }
 }
 
 class SaltedJoinSpec extends SparkSpec {
