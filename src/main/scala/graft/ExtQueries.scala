@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.operators.{Dedup, Events, MultiModal, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, MultiModal, Similarity, Temporal, TextAnalysis}
 
 /** Training-data-pipeline extension queries (SURVEY §7.6): dedup family,
   * similarity search, text analysis, multimodal plumbing, event windows.
@@ -189,6 +189,21 @@ object ExtQueries {
       .select("doc_id", "lang").orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- curation
+
+  /** Deterministic content-hash train/val/test split (80/10/10). */
+  val curateSplit: Q = (s, d) =>
+    Curation.assignSplits(t(s, d, "documents"), "doc_id")
+      .select("doc_id", "split").orderBy("doc_id")
+
+  /** Sequence-packing index: per-language token-budget bins of 2048. */
+  val packIndexQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    Curation.packIndex(docs, "doc_id", "n_tok", 2048L, Seq("lang"))
+      .select("doc_id", "lang", "pack_id").orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------------- events
 
   val jsonExtract: Q = (s, d) =>
@@ -257,6 +272,8 @@ object ExtQueries {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "multimodal_meta" -> multimodalMeta,
+    "curate_split" -> curateSplit,
+    "pack_index" -> packIndexQ,
     "pipeline_docs" -> pipelineDocs,
     "json_extract" -> jsonExtract,
     "tumbling_counts" -> tumblingCounts,
@@ -459,6 +476,19 @@ object ExtQueries {
         |losers AS (SELECT src AS doc_id FROM walk GROUP BY src
         |           HAVING least(src, min(dst)) <> src)
         |SELECT doc_id, lang FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+    "curate_split" ->
+      // thresholds: 80% -> 0xcccc, 90% -> 0xe666 of the 4-hex-char space
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pack_index" ->
+      """SELECT doc_id, lang,
+        |  CAST(floor((sum(n) OVER (PARTITION BY lang ORDER BY doc_id) - n) / 2048.0e0) AS BIGINT) AS pack_id
+        |FROM (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Dataset-curation semantics: hash-stable splits, packing indices. */
+class CurationSpec extends SparkSpec {
+  import sqlContext.implicits._
+
+  test("assignSplits: deterministic under reordering/partitioning; proportions near the cuts") {
+    val ids = (1L to 1000L).toDF("doc_id")
+    val a = Curation.assignSplits(ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same assignment regardless of row order and partition count
+    val b = Curation.assignSplits(ids.orderBy(rand(7)).repartition(13), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val bySplit = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit("train") > 750 && bySplit("train") < 850) // ~80% of 1000
+    assert(bySplit("val") > 60 && bySplit("val") < 140)
+    assert(bySplit("test") > 60 && bySplit("test") < 140)
+    // hash stability: growing the corpus never migrates existing ids
+    val grown = Curation.assignSplits((1L to 2000L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("assignSplits: percents must sum to 100") {
+    intercept[IllegalArgumentException](
+      Curation.assignSplits(Seq(1L).toDF("doc_id"), "doc_id", Seq("a" -> 50, "b" -> 40)))
+  }
+
+  test("packIndex: bins by starting token offset per partition; partitions restart at 0") {
+    val docs = Seq(
+      (1L, "en", 1000L), (2L, "en", 1000L), (3L, "en", 1000L),
+      (4L, "en", 1000L), (5L, "en", 1000L),
+      (10L, "de", 3000L), (11L, "de", 100L))
+      .toDF("doc_id", "lang", "n_tok")
+    val packs = Curation.packIndex(docs, "doc_id", "n_tok", 2048L, Seq("lang"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // en start offsets 0,1000,2000,3000,4000 -> bins 0,0,0,1,1
+    assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L,
+      10L -> 0L, 11L -> 1L)) // de restarts: offsets 0, 3000
+    intercept[IllegalArgumentException](
+      Curation.packIndex(docs, "doc_id", "n_tok", 0L, Seq("lang")))
+  }
+}
