@@ -38,6 +38,19 @@ object ExtQueries {
     Dedup.simhashCandidates(t(s, d, "documents"), "doc_id", "text",
       maxHamming = 3).orderBy("a_id", "b_id")
 
+  /** Incremental ingest shape: odd doc_ids play the NEW daily batch, even
+    * ids the stored corpus band index — candidates cross the boundary only,
+    * corpus text never re-hashed. md5 family for the DuckDB mirror. */
+  val dedupMinhashIncr: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val newBands = Dedup.minhashBands(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", numHashes = 4, bands = 2, shingleN = 3, family = Dedup.Md5Family)
+    val corpusBands = Dedup.minhashBands(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", numHashes = 4, bands = 2, shingleN = 3, family = Dedup.Md5Family)
+    Dedup.minhashCandidatesAgainst(newBands, corpusBands)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Skew guard (maxShingleDf) is ON via its default: no fixture shingle
     * reaches the cap, so the exact-Jaccard oracle still matches, while a
     * 100 TB stop-shingle can no longer create a quadratic hot key. */
@@ -258,6 +271,7 @@ object ExtQueries {
   val all: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_incr" -> dedupMinhashIncr,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_embed" -> dedupEmbed,
@@ -333,6 +347,26 @@ object ExtQueries {
         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
         |WHERE a.band_val <> ''
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_minhash_incr" ->
+      """WITH sh AS (
+        |  SELECT doc_id, [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(shingles, s -> md5(concat('0|', s)))) AS h0,
+        |    list_min(list_transform(shingles, s -> md5(concat('1|', s)))) AS h1,
+        |    list_min(list_transform(shingles, s -> md5(concat('2|', s)))) AS h2,
+        |    list_min(list_transform(shingles, s -> md5(concat('3|', s)))) AS h3
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, concat_ws('|', h0, h1) AS band_val FROM hs
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band_idx, concat_ws('|', h2, h3) AS band_val FROM hs)
+        |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+        |FROM bands a JOIN bands b
+        |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND a.band_val <> ''
+        |ORDER BY new_id, corpus_id""".stripMargin,
     "dedup_ngram" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,

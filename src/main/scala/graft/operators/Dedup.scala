@@ -112,14 +112,13 @@ object Dedup {
     }.drop("__mhs")
   }
 
-  /** LSH banding: candidate pairs (a_id < b_id) that agree on at least one
-    * band of `numHashes / bands` consecutive minhash values.
-    *
-    * The bands are EXPLODED into (band_idx, band_val) rows and self-joined
-    * once on that composite key — one pass over the signatures and one
-    * shuffle, rather than one join per band. Docs with no shingles (shorter
-    * than the shingle width) produce no band rows and match nothing. */
-  def minhashCandidates(
+  /** Exploded (doc_id, band_idx, band_val) band rows — the STORED form of
+    * a minhash index: write once (ideally bucketed on the band columns,
+    * Sinks.writeBucketed) and reuse across incremental ingest batches via
+    * [[minhashCandidatesAgainst]] instead of re-hashing the corpus. Docs
+    * with no shingles (shorter than the shingle width) produce no band
+    * rows and match nothing. */
+  def minhashBands(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -128,14 +127,48 @@ object Dedup {
       shingleN: Int = 3,
       family: HashFamily = Fnv64Family): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val banded = df.select(col(idCol),
-        posexplode(bandsUdf(numHashes, bands, shingleN, family)(col(textCol)))
-          .as(Seq("band_idx", "band_val")))
+    df.select(col(idCol).as("doc_id"),
+      posexplode(bandsUdf(numHashes, bands, shingleN, family)(col(textCol)))
+        .as(Seq("band_idx", "band_val")))
+  }
+
+  /** LSH banding: candidate pairs (a_id < b_id) that agree on at least one
+    * band of `numHashes / bands` consecutive minhash values.
+    *
+    * The bands are EXPLODED into (band_idx, band_val) rows and self-joined
+    * once on that composite key — one pass over the signatures and one
+    * shuffle, rather than one join per band. */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 4,
+      bands: Int = 2,
+      shingleN: Int = 3,
+      family: HashFamily = Fnv64Family): DataFrame = {
+    val banded = minhashBands(df, idCol, textCol, numHashes, bands, shingleN, family)
     val a = banded.toDF("a_id", "band_idx", "band_val")
     val b = banded.toDF("b_id", "band_idx", "band_val")
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+  }
+
+  /** Incremental dedup: candidates between a NEW batch's bands and a
+    * stored corpus band index — (new_id, corpus_id) pairs sharing at least
+    * one band, without recomputing or reshuffling the corpus text. This is
+    * the steady-state shape at 100 TB: the corpus index is written once
+    * (bucketed on the band key, so this join needs no corpus-side
+    * exchange) and each daily increment joins against it; compose with
+    * [[minhashCandidates]] on the new batch alone for intra-batch dups.
+    * Equivalence with the full-corpus self-join restricted to cross pairs
+    * is pinned in DedupSpec. */
+  def minhashCandidatesAgainst(newBands: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val a = newBands.toDF("new_id", "band_idx", "band_val")
+    val b = corpusBands.toDF("corpus_id", "band_idx", "band_val")
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id").distinct()
   }
 
   // ---------------------------------------------------------------- simhash

@@ -33,6 +33,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashCandidatesAgainst: cross-batch candidates equal the full self-join restricted to cross pairs") {
+    val nb = Dedup.minhashBands(corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      numHashes = 4, bands = 2, shingleN = 3)
+    val cb = Dedup.minhashBands(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      numHashes = 4, bands = 2, shingleN = 3)
+    val incr = Dedup.minhashCandidatesAgainst(nb, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      numHashes = 4, bands = 2, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = full.collect { case (a, b) if a % 2 != b % 2 =>
+      if (a % 2 == 1) (a, b) else (b, a)
+    }
+    assert(incr == cross)
+    assert(incr.contains((1L, 2L))) // exact dup crossing the batch boundary
+  }
+
   test("simhash: identical text -> identical hash; near-dup hamming < unrelated hamming") {
     val h = Dedup.simhash(corpus, "text").select("doc_id", "simhash")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
