@@ -56,14 +56,26 @@ object TextFns {
     size(filter(toks, t => stopwords.map(t === _).reduce(_ || _)))
 
   /** N-gram language-ID heuristic: vote per language by stopword hits; ties
-    * broken by the fixed language order; no hits => "und" (undetermined). */
+    * broken by the fixed language order; no hits => "und" (undetermined).
+    *
+    * Implemented as `greatest` over (hits, -order, lang) structs so each
+    * language's stopword filter appears in the expression tree exactly ONCE.
+    * The obvious alternative — a foldLeft of `when(h > best, ..)` pairs —
+    * embeds the accumulator twice per step, DOUBLING the tree per language:
+    * 2^|profiles| copies of the interpreted filter lambdas after
+    * CollapseProject inlines the column into downstream filters. At 5
+    * languages that shape was measured as multi-second Catalyst planning
+    * (`canCollapseExpressions` walks) plus ~30x per-row eval cost in the
+    * benchmark — a driver-side stall that would only worsen with more
+    * profiles. The `und` sentinel (0, 1, "und") loses to any hit count >= 1
+    * and wins all-zero ties because 1 > -i for every profile index i. */
   def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
     val t = tokens(text)
-    val hits = profiles.map { case (lang, sw) => lang -> stopwordHits(t, sw) }
-    val best = hits.foldLeft((lit("und"), lit(0))) { case ((bl, bh), (lang, h)) =>
-      (when(h > bh, lit(lang)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    val cands = profiles.zipWithIndex.map { case ((lang, sw), i) =>
+      struct(stopwordHits(t, sw).as("h"), lit(-i).as("p"), lit(lang).as("l"))
     }
-    best._1
+    val und = struct(lit(0).as("h"), lit(1).as("p"), lit("und").as("l"))
+    greatest((und +: cands): _*).getField("l")
   }
 
   /** Default stopword profiles for the fixture corpus languages. */
