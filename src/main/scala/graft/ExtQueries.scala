@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.operators.{Curation, Dedup, Events, MultiModal, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, MultiModal, Privacy, Similarity, Temporal, TextAnalysis}
 
 /** Training-data-pipeline extension queries (SURVEY §7.6): dedup family,
   * similarity search, text analysis, multimodal plumbing, event windows.
@@ -217,6 +217,48 @@ object ExtQueries {
       .select("doc_id", "lang", "pack_id").orderBy("doc_id")
   }
 
+  /** PII redaction. The fixture corpus is a PII-free word bag, so the query
+    * plants one email, one phone, and one IP per row DETERMINISTICALLY from
+    * doc_id (the oracle builds the identical string), making the
+    * differential exercise real matches — substitution behavior, counts,
+    * and non-matches over the surrounding words — not just a no-op pass. */
+  val piiRedact: Q = (s, d) => {
+    val id = col("doc_id").cast("string")
+    val planted = concat(
+      lit("u"), id, lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com "),
+      col("text"),
+      lit(" call "), (col("doc_id") % 900 + 100).cast("string"),
+      lit("-555-"), (col("doc_id") % 9000 + 1000).cast("string"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
+    val withPii = t(s, d, "documents").select(col("doc_id"), planted.as("pii_text"))
+    Privacy.redactPii(withPii, "pii_text")
+      .select(col("doc_id"), col("pii_text_redacted").as("red"),
+        col("n_email"), col("n_ip"), col("n_phone"))
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition ratios (boilerplate/spam signal). */
+  val textRepetition: Q = (s, d) =>
+    TextAnalysis.withRepetition(t(s, d, "documents"), "text")
+      .select("doc_id", "dup_token_ratio", "dup_bigram_ratio").orderBy("doc_id")
+
+  /** Benchmark-contamination sweep: every 100th document plays the held-out
+    * benchmark; contamination = fraction of each doc's distinct 3-gram
+    * shingles that appear anywhere in the benchmark set. */
+  val contaminationQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Curation.contamination(docs, docs.filter(col("doc_id") % 100 === 0),
+      "doc_id", "text", shingleN = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Hash-stable stratified sample: 50% of en, 25% of de, 10% elsewhere. */
+  val curateSample: Q = (s, d) =>
+    Curation.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+      .select("doc_id", "lang").orderBy("doc_id")
+
   // ----------------------------------------------------------------- events
 
   val jsonExtract: Q = (s, d) =>
@@ -287,7 +329,11 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprint,
     "multimodal_meta" -> multimodalMeta,
     "curate_split" -> curateSplit,
+    "curate_sample" -> curateSample,
     "pack_index" -> packIndexQ,
+    "pii_redact" -> piiRedact,
+    "text_repetition" -> textRepetition,
+    "contamination" -> contaminationQ,
     "pipeline_docs" -> pipelineDocs,
     "json_extract" -> jsonExtract,
     "tumbling_counts" -> tumblingCounts,
@@ -510,6 +556,67 @@ object ExtQueries {
         |losers AS (SELECT src AS doc_id FROM walk GROUP BY src
         |           HAVING least(src, min(dst)) <> src)
         |SELECT doc_id, lang FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      // Same deterministic PII planting as the Spark side, then the same
+      // RE2-safe pattern chain: emails replaced first, IP count measured on
+      // the email-redacted text, phone count on the IP-redacted text —
+      // mirroring Privacy.redactPii's running-text count semantics.
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'u' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.com ' || text
+        |      || ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |      || '-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t0
+        |  FROM documents),
+        |r1 AS (SELECT doc_id, t0,
+        |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |r2 AS (SELECT doc_id, t0, t1,
+        |    regexp_replace(t1, '\b(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})(\.(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}\b', '<IP>', 'g') AS t2
+        |  FROM r1)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g') AS red,
+        |  CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t1, '\b(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})(\.(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t2, '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b')) AS BIGINT) AS n_phone
+        |FROM r2 ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(tk) > 0
+        |       THEN round(1.0e0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4)
+        |       ELSE 0.0e0 END AS dup_token_ratio,
+        |  CASE WHEN len(bg) > 0
+        |       THEN round(1.0e0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+        |       ELSE 0.0e0 END AS dup_bigram_ratio
+        |FROM (SELECT doc_id, tk,
+        |        [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)] AS bg
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "contamination" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |hit AS (SELECT sh.doc_id, count(*) AS h FROM sh JOIN b ON sh.s = b.s GROUP BY sh.doc_id)
+        |SELECT d.doc_id,
+        |  round(coalesce(CAST(h AS DOUBLE) / n, 0.0e0), 4) AS contamination
+        |FROM documents d
+        |LEFT JOIN tot ON tot.doc_id = d.doc_id
+        |LEFT JOIN hit ON hit.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "curate_sample" ->
+      // thresholds: round(rate * 65536) as 4 hex chars — en 50% -> '8000',
+      // de 25% -> '4000', default 10% -> '199a'
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN lang = 'en' THEN '8000'
+        |       WHEN lang = 'de' THEN '4000'
+        |       ELSE '199a' END
         |ORDER BY doc_id""".stripMargin,
     "curate_split" ->
       // thresholds: 80% -> 0xcccc, 90% -> 0xe666 of the 4-hex-char space

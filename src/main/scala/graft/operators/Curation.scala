@@ -39,6 +39,68 @@ object Curation {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic stratified sampling: within each stratum (e.g.
+    * language), keep a hash-stable fraction of rows. Same md5-bucket
+    * mechanics as [[assignSplits]] — the sample is reproducible across
+    * runs, cluster sizes and row orders, and membership never flips as the
+    * corpus grows (no `rand()`, no `TABLESAMPLE`, both of which resample
+    * per run). `rates` maps stratum value -> keep fraction; strata not in
+    * the map use `defaultRate`. Map-side only: the stratum rate lookup is
+    * a small when-chain, no shuffle, no join.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0,1]: $rates default=$defaultRate")
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    // rate 1.0 must beat every 4-hex-digit draw: 65536 formats as the
+    // 5-char "10000", which sorts BELOW "ffff" as a string — use "g000"
+    // (g > f in every hex position) as the all-pass sentinel instead
+    def threshold(r: Double) =
+      if (r >= 1.0) "g000" else f"${math.round(r * 65536).toInt}%04x"
+    val rate = rates.foldLeft(lit(threshold(defaultRate))) {
+      case (rest, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(threshold(r))).otherwise(rest)
+    }
+    df.filter(h < rate)
+  }
+
+  /** Benchmark-contamination ratio per document: the fraction of the
+    * document's distinct word n-gram shingles that also appear anywhere in
+    * the benchmark set — the standard eval-set leakage check run before
+    * training. Returns (idCol, contamination DOUBLE in [0,1]); documents
+    * too short to shingle score 0.0.
+    *
+    * Scale shape: the benchmark side collapses to a DISTINCT shingle set —
+    * tiny next to the corpus (eval benchmarks are thousands of documents,
+    * not billions) — so Spark broadcasts it and the per-document hit count
+    * is a map-side semi-match + one aggregation by doc id. The corpus is
+    * never self-joined and never crosses the wire beyond its own
+    * (doc_id, shingle) aggregation.
+    */
+  def contamination(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    import graft.functions.TextFns
+    def shingleRows(df: DataFrame, withId: Boolean) = {
+      val ss = array_distinct(TextFns.shinglesUdf(shingleN)(col(textCol)))
+      if (withId) df.select(col(idCol), explode(ss).as("s"))
+      else df.select(explode(ss).as("s"))
+    }
+    val bench = shingleRows(benchmark, withId = false).distinct()
+    val sh = shingleRows(corpus, withId = true)
+    val hits = sh.join(broadcast(bench), "s")
+      .groupBy(idCol).agg(count(lit(1)).as("__hits"))
+    val totals = sh.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    // left join: zero-hit and zero-shingle docs still get a row
+    corpus.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("__hits") / col("__n"), lit(0.0)), 4).as("contamination"))
+  }
+
   /** Sequence-packing index (GPT-style concat-and-split pretraining prep):
     * within each partition (e.g. language or shard), documents ordered by
     * id are concatenated conceptually and cut every `tokenBudget` tokens;

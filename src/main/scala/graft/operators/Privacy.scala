@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training-data pipelines: regex-based
+  * scrubbing of emails, IPv4 addresses, and phone-shaped numbers from a
+  * text column, with per-category hit counts for audit/filter decisions.
+  *
+  * Scale shape: pure map-side column expressions (`regexp_replace` /
+  * `regexp_count` are codegen'd) — a single pass over the corpus, no
+  * shuffle, no UDFs. Patterns are RE2-compatible (no lookaround, no
+  * backreferences) so the same pattern strings run identically in Spark
+  * (java.util.regex) and in RE2-based engines — which is also what keeps
+  * the DuckDB oracle an exact mirror.
+  *
+  * Replacement ORDER matters and is fixed: emails first (their domain part
+  * would otherwise partially match the IP pattern), then IPs, then phones.
+  */
+object Privacy {
+
+  /** (category name, RE2-safe pattern, replacement token). */
+  type PiiPattern = (String, String, String)
+
+  /** Default patterns. Deliberately conservative: each shape requires its
+    * full anchored-by-\b structure, so free text of words/numbers does not
+    * false-positive (pinned in PrivacySpec against the word-bag corpus). */
+  val defaultPatterns: Seq[PiiPattern] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ip", """\b(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})(\.(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}\b""", "<IP>"),
+    ("phone", """\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b""", "<PHONE>"))
+
+  /** Adds `<textCol>_redacted` plus one `n_<category>` BIGINT count column
+    * per pattern. Counts are measured on the text as seen by THAT pattern
+    * (i.e. after the earlier patterns' replacements), matching what the
+    * redaction actually removed. */
+  def redactPii(
+      df: DataFrame,
+      textCol: String,
+      patterns: Seq[PiiPattern] = defaultPatterns): DataFrame = {
+    require(patterns.nonEmpty, "at least one PII pattern required")
+    val names = patterns.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate PII categories: $names")
+    // fold the replacement chain and the count columns in one projection:
+    // counts evaluate on the running (partially redacted) text, then the
+    // next replacement is applied to it
+    val (redacted, counts) =
+      patterns.foldLeft((col(textCol), Seq.empty[Column])) {
+        case ((cur, acc), (name, pat, repl)) =>
+          (regexp_replace(cur, pat, repl),
+            acc :+ regexp_count(cur, lit(pat)).cast("long").as(s"n_$name"))
+      }
+    val newCols: Seq[(String, Column)] =
+      (s"${textCol}_redacted" -> redacted) +:
+        patterns.zip(counts).map { case ((n, _, _), c) => s"n_$n" -> c }
+    df.withColumns(newCols.toMap)
+  }
+}

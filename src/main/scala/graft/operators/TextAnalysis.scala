@@ -37,6 +37,24 @@ object TextAnalysis {
   def withLangId(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", TextFns.langId(col(textCol), TextFns.defaultProfiles))
 
+  /** Repetition scoring — the standard boilerplate/spam signal for corpus
+    * filtering: `dup_token_ratio` = 1 - distinct/total tokens and
+    * `dup_bigram_ratio` = 1 - distinct/total word 2-grams. Both are O(n)
+    * map-side array expressions (no shuffle, no per-token self-scan), so
+    * the cost per document is linear in its length — the shape that holds
+    * at corpus scale. Documents with fewer than 1 token (resp. 2 tokens
+    * for bigrams) score 0.0 by definition. */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val bigrams = TextFns.shingles(col(textCol), 2)
+    def dupRatio(arr: org.apache.spark.sql.Column) = {
+      val n = size(arr).cast("double")
+      when(n > 0, round(lit(1.0) - size(array_distinct(arr)) / n, 4)).otherwise(0.0)
+    }
+    df.withColumn("dup_token_ratio", dupRatio(toks))
+      .withColumn("dup_bigram_ratio", dupRatio(bigrams))
+  }
+
   /** Canonical bag-of-words fingerprint + fast 64-bit content hash. */
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", TextFns.fingerprint(col(textCol)))

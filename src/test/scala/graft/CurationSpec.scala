@@ -30,6 +30,43 @@ class CurationSpec extends SparkSpec {
       Curation.assignSplits(Seq(1L).toDF("doc_id"), "doc_id", Seq("a" -> 50, "b" -> 40)))
   }
 
+  test("stratifiedSample: per-stratum rates hold; membership hash-stable; 0 and 1 are exact") {
+    val docs = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val kept = Curation.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang("en") > 850 && byLang("en") < 1150)  // ~50% of 2000
+    assert(byLang("de") > 120 && byLang("de") < 280)   // ~10% of 2000
+    // hash-stable: growing the corpus never flips existing membership
+    val grownIds = Curation.stratifiedSample(
+      (1L to 8000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang"),
+      "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.1))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._1).toSet == grownIds.filter(_ <= 4000L))
+    // boundary rates are exact, including the 1.0 sentinel above 'ffff'
+    assert(Curation.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.0, "de" -> 0.0))
+      .collect().map(r => r.getString(1)).toSet == Set("en"))
+    assert(Curation.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.0), defaultRate = 1.0)
+      .count() == 4000L)
+    intercept[IllegalArgumentException](
+      Curation.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
+  }
+
+  test("contamination: fraction of distinct doc shingles present in the benchmark set") {
+    val corpus = Seq(
+      (1L, "a b c d e"),     // shingles {abc,bcd,cde}
+      (2L, "x y z w v"),     // disjoint from benchmark
+      (3L, "a b c q r s"),   // {abc,bcq,cqr,qrs}: 1 of 4 in benchmark
+      (4L, "too short")      // no 3-gram shingles -> 0.0
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val out = Curation.contamination(corpus, benchmark, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.25, 4L -> 0.0))
+  }
+
   test("packIndex: bins by starting token offset per partition; partitions restart at 0") {
     val docs = Seq(
       (1L, "en", 1000L), (2L, "en", 1000L), (3L, "en", 1000L),

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Privacy
+
+/** PII redaction semantics: true/false positives, replacement order,
+  * running-text count measurement. */
+class PrivacySpec extends SparkSpec {
+  import sqlContext.implicits._
+
+  private def redactOne(text: String): (String, Long, Long, Long) = {
+    val r = Privacy.redactPii(Seq((1L, text)).toDF("id", "t"), "t")
+      .select("t_redacted", "n_email", "n_ip", "n_phone").collect().head
+    (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("redactPii: each category replaced with its token and counted") {
+    val (red, e, ip, ph) = redactOne(
+      "mail bob.smith+x@corp.example.org then 192.168.0.1 then 604-555-1234 done")
+    assert(red == "mail <EMAIL> then <IP> then <PHONE> done")
+    assert((e, ip, ph) == (1L, 1L, 1L))
+  }
+
+  test("redactPii: plain words and free numbers do not false-positive") {
+    val cases = Seq(
+      "the quick brown fox 42 times",
+      "version 1.2 of 3.4.5 rc",          // too few octets for the IP shape
+      "item 1234 5678 calls 12-34-56",    // wrong digit-group shapes for phone
+      "price 999.999.999.999 overflow")   // octets > 255
+    cases.foreach { t =>
+      val (red, e, ip, ph) = redactOne(t)
+      assert(red == t, s"false positive on: $t -> $red")
+      assert((e, ip, ph) == (0L, 0L, 0L), s"nonzero counts on: $t")
+    }
+  }
+
+  test("redactPii: multiple hits per category all replaced and counted") {
+    val (red, e, ip, ph) = redactOne("a@b.co c@d.io at 10.0.0.1 and 10.0.0.2")
+    assert(red == "<EMAIL> <EMAIL> at <IP> and <IP>")
+    assert((e, ip, ph) == (2L, 2L, 0L))
+  }
+
+  test("redactPii: counts measure the running text (email eats its domain before IP pass)") {
+    // the email's host ends in digits-dot-digits? no — construct a case where
+    // removing the email removes what would otherwise IP-match downstream:
+    // 'x@1.2.3.44.com' is one email match; after <EMAIL> no IP remains.
+    val (red, e, ip, _) = redactOne("ping x@1.2.3.44.com now")
+    assert(red == "ping <EMAIL> now")
+    assert(e == 1L && ip == 0L)
+  }
+
+  test("redactPii: duplicate category names rejected") {
+    val df = Seq((1L, "t")).toDF("id", "t")
+    intercept[IllegalArgumentException](
+      Privacy.redactPii(df, "t", Seq(("x", "a", "<A>"), ("x", "b", "<B>"))))
+    intercept[IllegalArgumentException](Privacy.redactPii(df, "t", Seq.empty))
+  }
+}

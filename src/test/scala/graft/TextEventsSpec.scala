@@ -29,6 +29,20 @@ class TextEventsSpec extends SparkSpec {
     assert(r.getLong(2) == 6)      // hello , world ! 42 end
   }
 
+  test("repetition ratios: duplicated tokens/bigrams raise the scores; short docs score 0") {
+    val docs = Seq(
+      (1L, "a a a b"),            // 4 toks / 2 distinct -> 0.5; bigrams [a a, a a, a b] -> 1-2/3
+      (2L, "w x y z"),            // all unique -> 0.0, 0.0
+      (3L, "solo")                // 1 token -> 0.0; no bigrams -> 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetition(docs, "text")
+      .select("doc_id", "dup_token_ratio", "dup_bigram_ratio")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((0.5, 0.3333)))
+    assert(out(2L) == ((0.0, 0.0)))
+    assert(out(3L) == ((0.0, 0.0)))
+  }
+
   test("sessionize: gap > 30min starts a new session per user; ids deterministic") {
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
     val events = Seq(
