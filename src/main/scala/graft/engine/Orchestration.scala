@@ -85,9 +85,9 @@ object Orchestration {
     extends Notifier {
     require(recipients.nonEmpty, "SmtpNotifier needs at least one recipient")
     def notify(success: Boolean, subject: String, body: String): Unit = {
+      val outcome = if (success) "SUCCESS" else "FAILURE"
       val heading =
-        if (success) s"$subject SUCCESS\n This is an automated email from the $subject application\n"
-        else s"$subject FAILURE\n This is an automated email from the $subject application\n"
+        s"$subject $outcome\n This is an automated email from the $subject application\n"
       val msg = s"Subject: $subject \r\nTo: ${recipients.mkString(", ")} \r\n\r\n\r\n$heading$body"
       transport(host, sender, recipients, msg)
     }

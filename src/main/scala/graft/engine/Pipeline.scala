@@ -38,10 +38,21 @@ object Pipeline {
     /** Release the QA input cached by [[runTable]] once keep/rejects have
       * been written to their sinks. */
     def unpersist(): Unit = staged.foreach(_.unpersist())
+    /** Whether this result is holding a persisted frame that [[unpersist]]
+      * must release. */
+    def isCached: Boolean = staged.nonEmpty
   }
 
   /** Run the full §3.3 trace for one table. `template` fixes the output
-    * schema (S5 — NO_TEST append into the template's column set). */
+    * schema (S5 — NO_TEST append into the template's column set).
+    *
+    * CACHE CONTRACT: the returned [[TableResult]] holds the enriched frame
+    * persisted at `cache` (default MEMORY_AND_DISK) because three consumers
+    * evaluate it; callers that use `runTable` directly MUST call
+    * `TableResult.unpersist()` after writing keep/rejects, or route through
+    * [[runAndPublish]], which releases it. Pass
+    * `cache = StorageLevel.NONE` to opt out (each consumer then re-runs the
+    * upstream plan). */
   def runTable(
       name: String,
       download: DataFrame,
@@ -49,7 +60,9 @@ object Pipeline {
       calcRules: Seq[CalcRule],
       blankToNullFields: Seq[String],
       enrich: Option[Enrich],
-      qa: Option[QaRules]): TableResult = {
+      qa: Option[QaRules],
+      cache: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): TableResult = {
 
     // R1: land the download in the template schema
     val appended = Ops.appendNoTest(template, download)
@@ -59,15 +72,17 @@ object Pipeline {
     }
     // R5: '' -> NULL
     val blanked = blankToNullFields.foldLeft(calced)(Ops.blankToNull)
-    // J1/J2: first-match enrichment. The result is persisted (memory+disk)
-    // because THREE consumers evaluate it: the input count, the reject-count
-    // action, and the caller's keep/rejects sink writes — without the cache
-    // the whole upstream (scan+append+calcs+join) executes once per
-    // consumer. Single evaluation is pinned by a PipelineSpec accumulator
-    // test; callers release it via TableResult.unpersist() after writing.
-    val enriched = enrich.fold(blanked) { e =>
+    // J1/J2: first-match enrichment. The result is persisted (see the cache
+    // contract in the scaladoc) because THREE consumers evaluate it: the
+    // input count, the reject-count action, and the caller's keep/rejects
+    // sink writes — without the cache the whole upstream
+    // (scan+append+calcs+join) executes once per consumer. Single
+    // evaluation is pinned by a PipelineSpec accumulator test.
+    val cached = cache != org.apache.spark.storage.StorageLevel.NONE
+    val joined = enrich.fold(blanked) { e =>
       Ops.joinEnrich(blanked, e.dim, e.leftKey, e.rightKey, e.rightOrder, e.copies)
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val enriched = if (cached) joined.persist(cache) else joined
     // Q1..Q3: sequential split + routed rejects
     val result = qa match {
       case Some(q) =>
@@ -88,7 +103,8 @@ object Pipeline {
     val rejectCounts = result.rejects.groupBy(Qa.FlagCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val report = RunReport(name, inputRows, inputRows - rejectCounts.values.sum, rejectCounts)
-    TableResult(result.keep, result.rejects, report, staged = Some(enriched))
+    TableResult(result.keep, result.rejects, report,
+      staged = if (cached) Some(enriched) else None)
   }
 
   /** Run many tables and publish keeps + one merged reject table atomically

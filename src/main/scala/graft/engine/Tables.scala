@@ -28,9 +28,12 @@ object Tables {
     // Session-level by necessity (the flag is consulted at scan execution,
     // so a set-and-restore around the read would break the later action),
     // but scoped to the one table that needs it: reading any OTHER fixture
-    // table no longer flips session-wide parquet semantics as a side
-    // effect, and the flag's effect is limited to nanos-typed columns,
-    // which only events has.
+    // table never flips it. NOTE the flag is a one-way latch: once events
+    // has been loaded it stays set for the session, so a LATER direct read
+    // of an external nanos-typed parquet silently gets long columns instead
+    // of PARQUET_TYPE_ILLEGAL — load-order dependent, unavoidable short of
+    // a per-read flag Spark doesn't offer; the flag only affects
+    // nanos-typed columns, which no other fixture table has.
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")

@@ -23,6 +23,12 @@ object Curation {
     * Spark and DuckDB, so the oracle mirrors exactly).
     *
     * `cuts` are (name, percent) with percents summing to 100.
+    *
+    * NULL ids get a NULL split (not silently the last cut — md5(NULL) is
+    * NULL, and without the explicit guard every null-id row would fall
+    * through the when-chain into the final `otherwise`, concentrating
+    * malformed rows in the eval split). Callers wanting them out filter
+    * `split IS NOT NULL`.
     */
   def assignSplits(
       df: DataFrame, idCol: String,
@@ -36,7 +42,7 @@ object Curation {
     val expr = cuts.init.map(_._1).zip(thresholds).foldRight(lit(cuts.last._1): Column) {
       case ((name, t), rest) => when(h < lit(t), lit(name)).otherwise(rest)
     }
-    df.withColumn("split", expr)
+    df.withColumn("split", when(col(idCol).isNotNull, expr))
   }
 
   /** Deterministic stratified sampling: within each stratum (e.g.
@@ -47,6 +53,9 @@ object Curation {
     * per run). `rates` maps stratum value -> keep fraction; strata not in
     * the map use `defaultRate`. Map-side only: the stratum rate lookup is
     * a small when-chain, no shuffle, no join.
+    *
+    * NULL ids are always dropped (a NULL hash draw can never pass a
+    * threshold) — the sampling analog of [[assignSplits]]'s NULL split.
     */
   def stratifiedSample(
       df: DataFrame, idCol: String, stratumCol: String,
@@ -54,11 +63,15 @@ object Curation {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       s"rates must be in [0,1]: $rates default=$defaultRate")
     val h = substring(md5(col(idCol).cast("string")), 1, 4)
-    // rate 1.0 must beat every 4-hex-digit draw: 65536 formats as the
-    // 5-char "10000", which sorts BELOW "ffff" as a string — use "g000"
-    // (g > f in every hex position) as the all-pass sentinel instead
-    def threshold(r: Double) =
-      if (r >= 1.0) "g000" else f"${math.round(r * 65536).toInt}%04x"
+    // an all-pass rate must beat every 4-hex-digit draw, but 65536 formats
+    // as the 5-char "10000", which sorts BELOW "ffff" as a string — use
+    // "g000" (g > f in every hex position) as the sentinel. Gate on the
+    // ROUNDED value, not r >= 1.0: rates in [0.9999924, 1.0) also round to
+    // 65536 and would otherwise silently keep ~6% instead of ~100%.
+    def threshold(r: Double) = {
+      val v = math.round(r * 65536).toInt
+      if (v >= 65536) "g000" else f"$v%04x"
+    }
     val rate = rates.foldLeft(lit(threshold(defaultRate))) {
       case (rest, (stratum, r)) =>
         when(col(stratumCol) === stratum, lit(threshold(r))).otherwise(rest)

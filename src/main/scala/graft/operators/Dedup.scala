@@ -409,12 +409,15 @@ object Dedup {
     val planes = Similarity.hyperplanes(numTables * planesPerTable, dim, seed)
     // the dot product truncates to min(length), so a dim mismatch would
     // silently bucket on a prefix of each vector and void the recall
-    // formula — validate against the data (one-row bounded action)
-    df.select(size(col(vecCol))).take(1).foreach { r =>
-      require(r.getInt(0) == dim,
-        s"cosinePairsLsh: dim=$dim but '$vecCol' vectors have length ${r.getInt(0)}")
-    }
-    val e = df.select(col(idCol).as("id"), VectorFns.unitizeUdf(col(vecCol)).as("v"))
+    // formula. Guard EVERY row map-side (a first-row-only check misses
+    // ragged corpora and NPEs on a null first vector): one size comparison
+    // per row, negligible next to the unitize that follows it.
+    val len = size(col(vecCol))
+    val checked = when(col(vecCol).isNotNull && len === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"cosinePairsLsh: '$vecCol' must be non-null with dim=$dim, got length "),
+        coalesce(len.cast("string"), lit("NULL")))))
+    val e = df.select(col(idCol).as("id"), VectorFns.unitizeUdf(checked).as("v"))
     val bucketCols = (0 until numTables).map(t =>
       Similarity.lshBucket(col("v"), planes.slice(t * planesPerTable, (t + 1) * planesPerTable)))
     val buckets = e.select(col("id"),
@@ -446,17 +449,24 @@ object Dedup {
     * gone). Component resolution keeps exactly one survivor per chain
     * (pinned in DedupSpec).
     *
+    * Works for ANY orderable id type (long, string UUID, …): labels stay in
+    * the ids' native type and "smallest" is that type's ordering — no cast
+    * to long, which would null out string ids (non-ANSI) or throw
+    * CAST_INVALID_INPUT (ANSI) on the common UUID-keyed corpus.
+    *
     * Scale shape: each pass is one equi-join of the edge list against the
     * current labels plus a partial-aggregated min — all shuffle-local on
-    * the node id, no driver-side graph. Labels only ever decrease, so the
-    * decimal label sum is a monotone convergence witness costing one tiny
-    * aggregate per pass (no extra join). `localCheckpoint` truncates the
-    * lineage so plan depth stays O(1) per pass instead of growing with the
-    * iteration count. Converges in O(component diameter) passes — duplicate
-    * clusters are near-cliques in practice (diameter ≤ 3-4); for
-    * adversarial long-chain graphs the large-star/small-star variant
-    * (Kiveris et al., "Connected Components in MapReduce", SOCC'14) would
-    * converge in O(log n) rounds at higher per-round cost. */
+    * the node id, no driver-side graph. Convergence is witnessed by a
+    * changed-label count: the node's OWN previous label already rides the
+    * aggregation as a tagged contribution, so the count is a cheap scan of
+    * the pass's checkpointed output — no extra join, and exact for any id
+    * type. `localCheckpoint` truncates the lineage so plan depth stays O(1)
+    * per pass instead of growing with the iteration count. Converges in
+    * O(component diameter) passes — duplicate clusters are near-cliques in
+    * practice (diameter ≤ 3-4); for adversarial long-chain graphs the
+    * large-star/small-star variant (Kiveris et al., "Connected Components
+    * in MapReduce", SOCC'14) would converge in O(log n) rounds at higher
+    * per-round cost. */
   def resolveClusters(
       pairs: DataFrame,
       aCol: String = "a_id",
@@ -467,33 +477,34 @@ object Dedup {
     // iteration loop re-reads it every pass — without this barrier the
     // whole upstream (e.g. a shingle self-join) would execute 2+ times
     // inside the first job alone (measured 2x wall clock on pipeline_docs).
-    val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint()
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst"))).persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
-    var prevSum: Option[java.math.BigDecimal] = None
     var it = 0
     var done = false
     while (!done && it < maxIters) {
       // one pass = one equi-join + one partial-aggregated min: each node's
       // new label is min(own label, neighbors' labels). The self-label
-      // rides the aggregation as a unioned contribution, so no second join
-      // is needed to merge it back.
+      // rides the aggregation as a unioned contribution tagged `own`, so no
+      // second join is needed to merge it back — and keeping it visible as
+      // max(own label) gives the previous label for the convergence check.
       val nbrContrib = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nlbl")), "dst")
-        .select(col("src"), col("nlbl"))
+        .select(col("src"), col("nlbl"), lit(false).as("own"))
       val updated = nbrContrib
-        .union(labels.select(col("id").as("src"), col("cluster_id").as("nlbl")))
-        .groupBy("src").agg(min("nlbl").as("cluster_id"))
+        .union(labels.select(col("id").as("src"), col("cluster_id").as("nlbl"),
+          lit(true).as("own")))
+        .groupBy("src").agg(
+          min("nlbl").as("cluster_id"),
+          // exactly one own-tagged row per node, so max picks it out
+          max(when(col("own"), col("nlbl"))).as("prev"))
         .withColumnRenamed("src", "id")
         .localCheckpoint()
-      val s = Option(updated.agg(sum(col("cluster_id").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0))
-      done = it > 0 && s == prevSum // None == None covers an empty pair set
-      prevSum = s
-      labels = updated
+      done = updated.filter(col("cluster_id") =!= col("prev")).count() == 0L
+      labels = updated.select("id", "cluster_id")
       it += 1
     }
     edges.unpersist()

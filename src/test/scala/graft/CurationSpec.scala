@@ -30,6 +30,27 @@ class CurationSpec extends SparkSpec {
       Curation.assignSplits(Seq(1L).toDF("doc_id"), "doc_id", Seq("a" -> 50, "b" -> 40)))
   }
 
+  test("null ids: assignSplits gives NULL split (not the last cut); stratifiedSample drops them") {
+    val docs = Seq(Some(1L), None, Some(2L)).toDF("doc_id")
+    val splits = Curation.assignSplits(docs, "doc_id")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        Option(r.getString(1))).toMap
+    assert(splits(None).isEmpty)         // null id -> null split, row kept
+    assert(splits(Some(1L)).nonEmpty && splits(Some(2L)).nonEmpty)
+    val sampled = Curation.stratifiedSample(
+      docs.withColumn("lang", lit("en")), "doc_id", "lang", Map("en" -> 1.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled == Set(1L, 2L))       // null id never passes the draw
+  }
+
+  test("stratifiedSample: rates just below 1.0 keep ~everything (rounding to 65536 is all-pass)") {
+    // 0.999995 * 65536 rounds to 65536; formatting that as "10000" would
+    // string-sort below most draws and silently keep ~6%
+    val docs = (1L to 2000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    assert(Curation.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.999995))
+      .count() == 2000L)
+  }
+
   test("stratifiedSample: per-stratum rates hold; membership hash-stable; 0 and 1 are exact") {
     val docs = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

@@ -147,9 +147,39 @@ class DedupSpec extends SparkSpec {
   test("cosinePairsLsh: dim mismatch fails fast instead of bucketing on a vector prefix") {
     val vecs = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(1.0f)))
       .toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[Exception](
       Dedup.cosinePairsLsh(vecs, "vec_id", "embedding", minCosine = 0.9).collect())
-    assert(e.getMessage.contains("length 8"))
+    assert(e.getMessage.contains("got length 8"))
+  }
+
+  test("cosinePairsLsh: ragged rows AFTER the first and null vectors also fail, not truncate") {
+    // first row has the right dim — a first-row-only validation would pass
+    // and silently prefix-truncate the short row in bucketing + verify
+    val ragged = Seq((1L, Array.fill(64)(1.0f)), (2L, Array.fill(32)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception](
+      Dedup.cosinePairsLsh(ragged, "vec_id", "embedding", minCosine = 0.0).collect())
+    assert(e1.getMessage.contains("got length 32"))
+    val withNull = Seq((1L, Array.fill(64)(1.0f)), (2L, null: Array[Float]))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception](
+      Dedup.cosinePairsLsh(withNull, "vec_id", "embedding", minCosine = 0.0).collect())
+    assert(e2.getMessage.contains("got length NULL"))
+  }
+
+  test("resolveClusters: string UUID ids resolve natively (no long cast nulling/throwing)") {
+    // lexicographic min is the canonical: "a..." < "b..." < "c..."
+    val pairs = Seq(("b-7f3a", "a-19c2"), ("b-7f3a", "c-04d1"), ("z-9", "y-8"))
+      .toDF("a_id", "b_id")
+    val labels = Dedup.resolveClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map(
+      "a-19c2" -> "a-19c2", "b-7f3a" -> "a-19c2", "c-04d1" -> "a-19c2",
+      "y-8" -> "y-8", "z-9" -> "y-8"))
+    val docs = Seq("a-19c2", "b-7f3a", "c-04d1", "m-5", "y-8", "z-9").toDF("doc_id")
+    val kept = Dedup.keepClusterSurvivors(docs, "doc_id", pairs)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("a-19c2", "m-5", "y-8"))
   }
 
   test("resolveClusters: long chain converges; empty pair set is a no-op") {

@@ -91,6 +91,16 @@ class PipelineSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("runTable: cache = NONE opts out of the persist (no pinned entry to leak)") {
+    val r = Pipeline.runTable(
+      name = "uncached", download = download, template = template,
+      calcRules = Nil, blankToNullFields = Nil, enrich = None, qa = None,
+      cache = org.apache.spark.storage.StorageLevel.NONE)
+    assert(r.keep.count() == 7)
+    assert(!r.isCached) // nothing persisted, unpersist() is a no-op
+    r.unpersist()
+  }
+
   test("runAndPublish: merged reject table keeps the UNION of all reject schemas") {
     val dir = java.nio.file.Files.createTempDirectory("graft-staging2").toString + "/staged"
     val r1 = Pipeline.TableResult(
