@@ -472,17 +472,34 @@ object Dedup {
       aCol: String = "a_id",
       bCol: String = "b_id",
       maxIters: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint persists its backing RDD OUTSIDE the CacheManager, so
+    // Dataset.unpersist() can't release the blocks and the ContextCleaner
+    // only reclaims them at some future GC. An iterative loop that leaks one
+    // checkpoint per pass degrades every LATER query in the session (storage
+    // pool pressure) — so each pass frees its predecessor explicitly. The
+    // RDD ids are captured by diffing sc.getPersistentRDDs around the
+    // checkpoint call (the only persist running in this thread; concurrent
+    // jobs in other threads could mis-attribute ids, which is harmless here:
+    // worst case a block is freed early and recomputes from its own plan).
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint()
+      (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // Materialize the (possibly expensive) pair pipeline ONCE before fanning
     // it out: the bidirectional edge union references it twice, and the
     // iteration loop re-reads it every pass — without this barrier the
     // whole upstream (e.g. a shingle self-join) would execute 2+ times
     // inside the first job alone (measured 2x wall clock on pipeline_docs).
-    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint()
+    val (half, halfIds) = checkpointTracked(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id")))
     var it = 0
     var done = false
     while (!done && it < maxIters) {
@@ -494,20 +511,22 @@ object Dedup {
       val nbrContrib = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nlbl")), "dst")
         .select(col("src"), col("nlbl"), lit(false).as("own"))
-      val updated = nbrContrib
+      val (updated, updatedIds) = checkpointTracked(nbrContrib
         .union(labels.select(col("id").as("src"), col("cluster_id").as("nlbl"),
           lit(true).as("own")))
         .groupBy("src").agg(
           min("nlbl").as("cluster_id"),
           // exactly one own-tagged row per node, so max picks it out
           max(when(col("own"), col("nlbl"))).as("prev"))
-        .withColumnRenamed("src", "id")
-        .localCheckpoint()
+        .withColumnRenamed("src", "id"))
       done = updated.filter(col("cluster_id") =!= col("prev")).count() == 0L
+      free(labelIds) // the superseded pass's blocks — nothing references them
       labels = updated.select("id", "cluster_id")
+      labelIds = updatedIds
       it += 1
     }
     edges.unpersist()
+    free(halfIds) // the returned labels reference only their OWN checkpoint
     // an unconverged result is NOT a usable approximation: it splits true
     // components, so a caller deduplicating on it silently under-deletes.
     // Fail loudly instead — raise maxIters (passes scale with component
