@@ -472,69 +472,80 @@ object Dedup {
       aCol: String = "a_id",
       bCol: String = "b_id",
       maxIters: Int = 50): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
     // localCheckpoint persists its backing RDD OUTSIDE the CacheManager, so
     // Dataset.unpersist() can't release the blocks and the ContextCleaner
     // only reclaims them at some future GC. An iterative loop that leaks one
     // checkpoint per pass degrades every LATER query in the session (storage
     // pool pressure) — so each pass frees its predecessor explicitly. The
-    // RDD ids are captured by diffing sc.getPersistentRDDs around the
-    // checkpoint call (the only persist running in this thread; concurrent
-    // jobs in other threads could mis-attribute ids, which is harmless here:
-    // worst case a block is freed early and recomputes from its own plan).
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
+    // checkpointed RDD is captured PRECISELY from the returned Dataset's own
+    // analyzed plan (a LogicalRDD wrapping exactly the RDD localCheckpoint
+    // persisted) — never by diffing global sc.getPersistentRDDs, which races
+    // with lazy cache registration in this thread (the edges persist below)
+    // and with concurrent jobs, and unpersisting a FOREIGN local checkpoint
+    // is fatal (lineage is truncated; later actions on it cannot recompute).
+    import org.apache.spark.sql.execution.LogicalRDD
+    def checkpointTracked(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
       val cp = df.localCheckpoint()
-      (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+      (cp, cp.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd })
     }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def free(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdd.foreach(_.unpersist(blocking = false))
     // Materialize the (possibly expensive) pair pipeline ONCE before fanning
     // it out: the bidirectional edge union references it twice, and the
     // iteration loop re-reads it every pass — without this barrier the
     // whole upstream (e.g. a shingle self-join) would execute 2+ times
     // inside the first job alone (measured 2x wall clock on pipeline_docs).
-    val (half, halfIds) = checkpointTracked(
+    val (half, halfRdd) = checkpointTracked(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    var (labels, labelIds) = checkpointTracked(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("cluster_id")))
-    var it = 0
+    var labelRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     var done = false
-    while (!done && it < maxIters) {
-      // one pass = one equi-join + one partial-aggregated min: each node's
-      // new label is min(own label, neighbors' labels). The self-label
-      // rides the aggregation as a unioned contribution tagged `own`, so no
-      // second join is needed to merge it back — and keeping it visible as
-      // max(own label) gives the previous label for the convergence check.
-      val nbrContrib = edges
-        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nlbl")), "dst")
-        .select(col("src"), col("nlbl"), lit(false).as("own"))
-      val (updated, updatedIds) = checkpointTracked(nbrContrib
-        .union(labels.select(col("id").as("src"), col("cluster_id").as("nlbl"),
-          lit(true).as("own")))
-        .groupBy("src").agg(
-          min("nlbl").as("cluster_id"),
-          // exactly one own-tagged row per node, so max picks it out
-          max(when(col("own"), col("nlbl"))).as("prev"))
-        .withColumnRenamed("src", "id"))
-      done = updated.filter(col("cluster_id") =!= col("prev")).count() == 0L
-      free(labelIds) // the superseded pass's blocks — nothing references them
-      labels = updated.select("id", "cluster_id")
-      labelIds = updatedIds
-      it += 1
+    // try/finally so a failing pass (or non-convergence) cannot leak the
+    // edges cache, the half checkpoint, or the in-flight labels checkpoint.
+    try {
+      var labels = {
+        val (l, r) = checkpointTracked(
+          edges.select(col("src").as("id")).distinct()
+            .select(col("id"), col("id").as("cluster_id")))
+        labelRdd = r; l
+      }
+      var it = 0
+      while (!done && it < maxIters) {
+        // one pass = one equi-join + one partial-aggregated min: each node's
+        // new label is min(own label, neighbors' labels). The self-label
+        // rides the aggregation as a unioned contribution tagged `own`, so no
+        // second join is needed to merge it back — and keeping it visible as
+        // max(own label) gives the previous label for the convergence check.
+        val nbrContrib = edges
+          .join(labels.select(col("id").as("dst"), col("cluster_id").as("nlbl")), "dst")
+          .select(col("src"), col("nlbl"), lit(false).as("own"))
+        val (updated, updatedRdd) = checkpointTracked(nbrContrib
+          .union(labels.select(col("id").as("src"), col("cluster_id").as("nlbl"),
+            lit(true).as("own")))
+          .groupBy("src").agg(
+            min("nlbl").as("cluster_id"),
+            // exactly one own-tagged row per node, so max picks it out
+            max(when(col("own"), col("nlbl"))).as("prev"))
+          .withColumnRenamed("src", "id"))
+        done = updated.filter(col("cluster_id") =!= col("prev")).count() == 0L
+        free(labelRdd) // the superseded pass's blocks — nothing references them
+        labels = updated.select("id", "cluster_id")
+        labelRdd = updatedRdd
+        it += 1
+      }
+      // an unconverged result is NOT a usable approximation: it splits true
+      // components, so a caller deduplicating on it silently under-deletes.
+      // Fail loudly instead — raise maxIters (passes scale with component
+      // diameter) or pre-contract pathological chains.
+      if (!done) throw new IllegalStateException(
+        s"resolveClusters did not converge in $maxIters passes — component " +
+          "diameter exceeds maxIters; raise it (passes are O(diameter))")
+      labels
+    } finally {
+      edges.unpersist(blocking = false)
+      free(halfRdd) // the returned labels reference only their OWN checkpoint
+      if (!done) free(labelRdd) // failure exit — the result is never returned
     }
-    edges.unpersist()
-    free(halfIds) // the returned labels reference only their OWN checkpoint
-    // an unconverged result is NOT a usable approximation: it splits true
-    // components, so a caller deduplicating on it silently under-deletes.
-    // Fail loudly instead — raise maxIters (passes scale with component
-    // diameter) or pre-contract pathological chains.
-    if (!done) throw new IllegalStateException(
-      s"resolveClusters did not converge in $maxIters passes — component " +
-        "diameter exceeds maxIters; raise it (passes are O(diameter))")
-    labels
   }
 
   /** Pairs → survivors in one call: drop every row whose id belongs to a

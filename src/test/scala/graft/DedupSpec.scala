@@ -135,6 +135,28 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("resolveClusters: frees every intermediate block, never a caller's cache; failure path leaks nothing") {
+    val sc = spark.sparkContext
+    val ext = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id").persist()
+    ext.count() // materialize the caller's cache BEFORE the call
+    val before = sc.getPersistentRDDs.keySet
+    val out = Dedup.resolveClusters(ext)
+    assert(out.count() == 3)
+    val added = sc.getPersistentRDDs.keySet -- before
+    // only the returned labels checkpoint may remain registered
+    assert(added.size <= 1, s"leaked intermediate blocks: $added")
+    // the caller's cache must be untouched (a diff-window capture would have
+    // freed it — fatal if the caller's block were itself a local checkpoint)
+    assert(before.subsetOf(sc.getPersistentRDDs.keySet), "caller cache was freed")
+    assert(ext.count() == 2)
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val before2 = sc.getPersistentRDDs.keySet
+    intercept[IllegalStateException](Dedup.resolveClusters(chain, maxIters = 2))
+    val added2 = sc.getPersistentRDDs.keySet -- before2
+    assert(added2.isEmpty, s"failure path leaked: $added2")
+    ext.unpersist()
+  }
+
   test("simhashCandidates: maxHamming=0 (full 64-bit packed keys) finds exactly the identical-signature pairs") {
     // packing all 8 blocks exercises the full-width shift+OR key: bit 63
     // set on ~half of signatures would overflow an arithmetic packing
