@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.operators.{Curation, Dedup, Events, MultiModal, Privacy, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Fuzzy, MultiModal, Privacy, Similarity, Temporal, TextAnalysis}
 
 /** Training-data-pipeline extension queries (SURVEY §7.6): dedup family,
   * similarity search, text analysis, multimodal plumbing, event windows.
@@ -310,7 +310,37 @@ object ExtQueries {
 
   // --------------------------------------------------------------- registry
 
+  /** Per-doc top-3 salient terms by TF-IDF (rounded-score ranking, term
+    * tie-break — deterministic and engine-portable). */
+  val tfidfTopTerms: Q = (s, d) =>
+    TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** Edit-distance≤1 pairs over the corpus VOCABULARY (distinct tokens)
+    * via the length-blocked plan — never the all-pairs product. */
+  val fuzzyJoin: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    Fuzzy.levenshteinPairs(toks, "tok", maxDist = 1)
+      .orderBy("a", "b")
+  }
+
+  /** Gap-filled hourly event counts per user: empty hours inside each
+    * user's active span appear with n = 0. */
+  val resampleFill: Q = (s, d) =>
+    Events.resampleHourly(Tables.loadEvents(s, d), "user_id", "ts")
+      .orderBy("user_id", "hour")
+
+  /** Per-label embedding centroids in long (label, pos, c) form. */
+  val embedCentroids: Q = (s, d) =>
+    Similarity.centroidsLong(t(s, d, "embeddings"), "label", "embedding")
+      .orderBy("grp", "pos")
+
   val all: Map[String, Q] = Map(
+    "tfidf_topterms" -> tfidfTopTerms,
+    "fuzzy_join" -> fuzzyJoin,
+    "resample_fill" -> resampleFill,
+    "embed_centroids" -> embedCentroids,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_incr" -> dedupMinhashIncr,
@@ -370,6 +400,46 @@ object ExtQueries {
       |  FROM events)""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
+    "tfidf_topterms" ->
+      """WITH tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+        |  FROM s) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "fuzzy_join" ->
+      """WITH v AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS s FROM documents)
+        |SELECT a.s AS a, b.s AS b,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM v a, v b
+        |WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1
+        |ORDER BY a, b""".stripMargin,
+    "resample_fill" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        |c AS (SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+        |      FROM events GROUP BY user_id, date_trunc('hour', ts))
+        |SELECT h.user_id, h.hour, COALESCE(c.n, 0) AS n
+        |FROM h LEFT JOIN c ON h.user_id = c.user_id AND h.hour = c.hour
+        |ORDER BY h.user_id, h.hour""".stripMargin,
+    "embed_centroids" ->
+      """SELECT label AS grp, pos, round(avg(x), 6) AS c FROM (
+        |  SELECT label,
+        |         CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |GROUP BY label, pos ORDER BY grp, pos""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -332,6 +332,66 @@ object Queries {
       round(avg(col("l_quantity")), 6).as("qavg"))
       .orderBy("l_returnflag")
 
+  /** Pivot (long→wide): order totals by priority, one column per status.
+    * Pivot values are DECLARED, not discovered — the two-pass
+    * values-scan Spark otherwise runs is a full extra shuffle, and at
+    * scale an unbounded pivot is a schema explosion. */
+  val pivotStatus: Q = (s, d) =>
+    t(s, d, "orders").groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .select(col("o_orderpriority"), col("F").as("total_f"),
+        col("O").as("total_o"), col("P").as("total_p"))
+      .orderBy("o_orderpriority")
+
+  /** Unpivot/melt (wide→long): pure map-side row expansion, no shuffle. */
+  val unpivotMelt: Q = (s, d) =>
+    t(s, d, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "val")
+      .orderBy("p_partkey", "metric")
+
+  /** Full CUBE over two keys with grouping() disambiguation (the rollup
+    * twin covers the hierarchical subset). */
+  val aggCube: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Deterministic MODE per group: most frequent value, smallest value on
+    * ties — built from a counted groupBy + ranked window instead of the
+    * built-in `mode()`, whose tie-break is engine-defined and therefore
+    * not differential-testable. */
+  val aggMode: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag").orderBy(col("cnt").desc, col("l_quantity"))
+    counts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt").as("mode_n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Keyed upsert (CDC merge) via Ops.upsert: updated rows replace
+    * whole-row, new keys insert. Updates here are derived deterministically
+    * from the base so the oracle can rebuild the identical delta. */
+  val mergeUpsert: Q = (s, d) => {
+    val base = t(s, d, "customer")
+    val updates = base.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 1000.0, 2))
+      .withColumn("c_mktsegment", lit("UPSERTED"))
+      .unionByName(base.filter(col("c_custkey") % 1000 === 1)
+        .withColumn("c_custkey", col("c_custkey") + 1000000))
+    Ops.upsert(base, updates, Seq("c_custkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -368,6 +428,11 @@ object Queries {
     "agg_distinct" -> aggDistinct,
     "agg_stats" -> aggStats,
     "agg_sketch" -> aggSketch,
+    "pivot_status" -> pivotStatus,
+    "unpivot_melt" -> unpivotMelt,
+    "agg_cube" -> aggCube,
+    "agg_mode" -> aggMode,
+    "merge_upsert" -> mergeUpsert,
   )
 
   val oracles: Map[String, String] = Map(
@@ -535,5 +600,44 @@ object Queries {
         |  max(l_quantity) AS qmax,
         |  round(avg(l_quantity), 6) AS qavg
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS total_f,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS total_o,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS total_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "unpivot_melt" ->
+      """SELECT * FROM (
+        |  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+        |) ORDER BY p_partkey, metric""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        |  CAST(CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END AS INTEGER) AS g_flag,
+        |  CAST(CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "agg_mode" ->
+      """SELECT l_returnflag, mode_qty, mode_n FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS mode_n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity
+        |) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "merge_upsert" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal + 1000.0e0, 2) AS c_acctbal,
+        |         'UPSERTED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 1000 = 1)
+        |SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+        |FROM customer b FULL JOIN u ON b.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -172,4 +172,27 @@ object Ops {
     sl.join(sr, sl(leftKey) === sr(rightKey) && sl("__salt") === sr("__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Keyed upsert (CDC merge): rows in `updates` replace same-key rows in
+    * `base` WHOLE-ROW — an update with a NULL column nulls the target, it
+    * does not coalesce back to the base value — and keys absent from
+    * `base` are inserted. Both sides must share the schema (matched by
+    * name; order-insensitive).
+    *
+    * Scale shape: one full-outer shuffle join on the key columns — the
+    * standard merge plan. The non-key payload rides each side as a single
+    * struct, so the width of the table adds no join-key cost and the
+    * presence test (`updates side matched?`) is one null check on the
+    * struct, not per-column logic. */
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsert requires identical schemas: base=${base.columns.sorted.mkString(",")} " +
+        s"updates=${updates.columns.sorted.mkString(",")}")
+    val dataCols = base.columns.filterNot(keyCols.contains).toSeq
+    val b = base.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as("__b"): _*)
+    val u = updates.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as("__u"): _*)
+    b.join(u, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ dataCols.map(c =>
+        when(col("__u").isNotNull, col(s"__u.$c")).otherwise(col(s"__b.$c")).as(c)): _*)
+  }
 }

@@ -46,4 +46,27 @@ object Events {
       .agg(min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
+
+  /** Hourly resample with gap filling: per key, one row for EVERY hour
+    * between that key's first and last event — empty hours appear with
+    * n = 0 (the time-series densification every downstream rate/trend
+    * computation needs; a plain groupBy silently skips them).
+    *
+    * Scale shape: the hour spine is generated DISTRIBUTED via
+    * sequence+explode from each key's (min, max) aggregate — no driver
+    * loop, no calendar table collect; output volume is bounded by
+    * keys × span-hours. The spine-to-counts join is an equi-join on
+    * (key, hour) between two aggregates of the same relation, so both
+    * sides arrive hash-partitioned compatibly. */
+  def resampleHourly(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val spine = df.groupBy(col(keyCol))
+      .agg(date_trunc("hour", min(col(tsCol))).as("__h0"),
+        date_trunc("hour", max(col(tsCol))).as("__h1"))
+      .select(col(keyCol),
+        explode(sequence(col("__h0"), col("__h1"), expr("interval 1 hour"))).as("hour"))
+    val counts = df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq(keyCol, "hour"), "left")
+      .na.fill(0L, Seq("n"))
+  }
 }

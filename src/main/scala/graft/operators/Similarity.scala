@@ -163,4 +163,19 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Per-group embedding centroid in LONG form: one row per
+    * (group, dimension-position) with the mean component, rounded.
+    *
+    * Scale shape: posexplode + ONE partial-aggregated shuffle keyed on
+    * (group, pos) — groups × dim keys, each carrying running (sum, count)
+    * map-side, so a billion-vector group costs the same reducer state as
+    * a ten-vector group. Never a per-group collect_list of vectors (which
+    * would buffer a whole group's vectors in one reducer). Long form also
+    * keeps the result joinable/aggregatable without array surgery; pivot
+    * back to arrays at the edge if needed. */
+  def centroidsLong(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("grp", "pos")
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
 }

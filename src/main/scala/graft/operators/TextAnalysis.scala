@@ -59,4 +59,30 @@ object TextAnalysis {
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", TextFns.fingerprint(col(textCol)))
       .withColumn("content_hash", TextFns.contentHash64(col(textCol)))
+
+  /** Per-document top-k terms by TF-IDF (tf × ln(N/df)) — the standard
+    * keyword/salience extraction over a corpus.
+    *
+    * Scale shape: term frequencies and document frequencies are two
+    * partial-aggregated shuffles over (doc, term) / (term); the corpus
+    * size joins in as a broadcast 1-row aggregate (never a driver-side
+    * count baked into the plan); the per-doc top-k window benefits from
+    * WindowGroupLimit, so map tasks forward at most k rows per doc.
+    * Ranking is on the ROUNDED score with the term as tie-break, making
+    * the selection deterministic and engine-portable. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(TextFns.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf already holds one row per (doc, term), so df(term) is a plain count
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("doc_id", "term", "tfidf", "rank")
+  }
 }

@@ -90,4 +90,22 @@ class OpsSpec extends SparkSpec {
     val out = Ops.frequency(df, Seq("k1", "k2"), Seq("v")).orderBy("k1").collect().toSeq
     assert(out == Seq(Row("a", "x", 2L, 3.0), Row("b", "y", 1L, 3.0)))
   }
+
+  test("upsert: whole-row replace (update NULL nulls the target), insert, untouched base row") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+    val updates = Seq((2L, null.asInstanceOf[String], 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val out = Ops.upsert(base, updates, Seq("k")).orderBy("k").collect().toSeq
+    // key 2: WHOLE ROW replaced — name becomes NULL, not coalesced back to "b"
+    assert(out == Seq(Row(1L, "a", 10.0), Row(2L, null, 99.0),
+      Row(3L, "c", 30.0), Row(4L, "d", 40.0)))
+  }
+
+  test("upsert: column order insensitive; schema mismatch fails fast") {
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val reordered = Seq(("z", 1L)).toDF("name", "k")
+    assert(Ops.upsert(base, reordered, Seq("k")).collect().toSeq == Seq(Row(1L, "z")))
+    val bad = Seq((1L, "a", 0.0)).toDF("k", "name", "extra")
+    val e = intercept[IllegalArgumentException](Ops.upsert(base, bad, Seq("k")))
+    assert(e.getMessage.contains("identical schemas"))
+  }
 }

@@ -59,6 +59,33 @@ class TextEventsSpec extends SparkSpec {
       .select("n_events").as[Long].head() == 2)
   }
 
+  test("tfIdfTopTerms: corpus-wide terms score ln(1)=0, rare terms rank first, term breaks ties") {
+    val docs = Seq(
+      (1L, "shared rare1 rare1"),   // rare1 tf=2
+      (2L, "shared rare2"),
+      (3L, "shared zeta alpha")     // tie between zeta/alpha -> alpha first
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getDouble(2))).toMap
+    val ln3 = math.BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // "shared" appears in every doc: idf = ln(3/3) = 0 -> never beats a rare term
+    assert(out((1L, 1)) == ("rare1", 2 * ln3))
+    assert(out((2L, 1)) == ("rare2", ln3))
+    assert(out((3L, 1)) == ("alpha", ln3)) // equal score: lexicographic term order
+    assert(out((3L, 2)) == ("zeta", ln3))
+  }
+
+  test("resampleHourly: interior empty hours fill with 0; spans are per-key") {
+    val ts = (h: Int, m: Int) => Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      (1L, ts(1, 10)), (1L, ts(1, 50)), (1L, ts(4, 0)), // user 1: hours 1..4, 2+3 empty
+      (2L, ts(2, 5))                                    // user 2: single hour
+    ).toDF("user_id", "ts")
+    val out = Events.resampleHourly(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getHours, r.getLong(2))).toSet
+    assert(out == Set((1L, 1, 2L), (1L, 2, 0L), (1L, 3, 0L), (1L, 4, 1L), (2L, 2, 1L)))
+  }
+
   test("multimodal: stub decode is deterministic, partition-parallel, and frame sampling strides") {
     val docs = Seq((1L, "payload-one"), (2L, "payload-two")).toDF("doc_id", "text")
     val media = MultiModal.fromText(spark, docs, "doc_id", "text", modality = "video")
