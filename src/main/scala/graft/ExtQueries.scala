@@ -316,12 +316,14 @@ object ExtQueries {
     TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
-  /** Edit-distance≤1 pairs over the corpus VOCABULARY (distinct tokens)
-    * via the length-blocked plan — never the all-pairs product. */
+  /** Edit-distance≤2 pairs over the corpus VOCABULARY (distinct tokens)
+    * via the length-blocked plan — never the all-pairs product. d=2 (not
+    * 1) so the fixture vocabulary yields nonzero pairs and the oracle
+    * check is non-degenerate. */
   val fuzzyJoin: Q = (s, d) => {
     val toks = t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
-    Fuzzy.levenshteinPairs(toks, "tok", maxDist = 1)
+    Fuzzy.levenshteinPairs(toks, "tok", maxDist = 2)
       .orderBy("a", "b")
   }
 
@@ -420,7 +422,7 @@ object ExtQueries {
         |SELECT a.s AS a, b.s AS b,
         |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
         |FROM v a, v b
-        |WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1
+        |WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 2
         |ORDER BY a, b""".stripMargin,
     "resample_fill" ->
       """WITH b AS (

@@ -179,15 +179,35 @@ object Ops {
     * `base` are inserted. Both sides must share the schema (matched by
     * name; order-insensitive).
     *
+    * PRECONDITION: `keyCols` must be unique on EACH side. A duplicate key
+    * would turn the full-outer join into a row-multiplying product instead
+    * of a merge (SQL MERGE raises "multiple matches" here). The check is a
+    * full groupBy-count pass per side, so it is opt-in via `validateKeys`
+    * — enable it in debug/QA runs, skip it when uniqueness is already
+    * enforced upstream (e.g. by a QA dup split).
+    *
     * Scale shape: one full-outer shuffle join on the key columns — the
     * standard merge plan. The non-key payload rides each side as a single
     * struct, so the width of the table adds no join-key cost and the
     * presence test (`updates side matched?`) is one null check on the
     * struct, not per-column logic. */
-  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def upsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      validateKeys: Boolean = false): DataFrame = {
     require(base.columns.sorted.sameElements(updates.columns.sorted),
       s"upsert requires identical schemas: base=${base.columns.sorted.mkString(",")} " +
         s"updates=${updates.columns.sorted.mkString(",")}")
+    if (validateKeys) {
+      Seq("base" -> base, "updates" -> updates).foreach { case (side, df) =>
+        val dup = df.groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"upsert requires unique keys per side; $side has duplicate key " +
+            dup.head.toSeq.init.mkString("(", ",", ")"))
+      }
+    }
     val dataCols = base.columns.filterNot(keyCols.contains).toSeq
     val b = base.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as("__b"): _*)
     val u = updates.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as("__u"): _*)

@@ -527,10 +527,15 @@ object Dedup {
             // exactly one own-tagged row per node, so max picks it out
             max(when(col("own"), col("nlbl"))).as("prev"))
           .withColumnRenamed("src", "id"))
-        done = updated.filter(col("cluster_id") =!= col("prev")).count() == 0L
-        free(labelRdd) // the superseded pass's blocks — nothing references them
-        labels = updated.select("id", "cluster_id")
+        // localCheckpoint above is EAGER, so `updated` no longer references
+        // the prior pass's blocks — free them and take ownership of this
+        // pass's checkpoint BEFORE the convergence count, so a throwing
+        // action frees the new checkpoint in the finally block instead of
+        // leaking it.
+        free(labelRdd)
         labelRdd = updatedRdd
+        labels = updated.select("id", "cluster_id")
+        done = updated.filter(col("cluster_id") =!= col("prev")).count() == 0L
         it += 1
       }
       // an unconverged result is NOT a usable approximation: it splits true

@@ -108,4 +108,19 @@ class OpsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Ops.upsert(base, bad, Seq("k")))
     assert(e.getMessage.contains("identical schemas"))
   }
+
+  test("upsert: validateKeys rejects duplicate keys on either side") {
+    val base = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("k", "name")
+    val updates = Seq((2L, "B")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException](
+      Ops.upsert(base, updates, Seq("k"), validateKeys = true))
+    assert(e.getMessage.contains("unique keys") && e.getMessage.contains("base"))
+    val e2 = intercept[IllegalArgumentException](
+      Ops.upsert(updates, base, Seq("k"), validateKeys = true))
+    assert(e2.getMessage.contains("updates"))
+    // clean sides pass validation and merge normally
+    val ok = Ops.upsert(Seq((1L, "a")).toDF("k", "name"), updates, Seq("k"),
+      validateKeys = true).orderBy("k").collect().toSeq
+    assert(ok == Seq(Row(1L, "a"), Row(2L, "B")))
+  }
 }
