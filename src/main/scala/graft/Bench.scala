@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Lower-median: robust to one GC/JIT outlier, and for even sample counts
+    * picks a time that actually occurred rather than an average of two. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.size - 1) / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Repeats per query (median reported): single-shot timing on a shared
+    // local JVM swings 3-4x on sub-second queries with JIT/GC ordering, which
+    // made round-over-round comparison meaningless. 3 back-to-back runs per
+    // query cost ~3x wall but make per-query deltas adjudicable.
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,22 +36,32 @@ object Bench {
     // deterministic (sorted) execution order: per-query times are
     // comparable round over round instead of depending on Map hashing
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      val times = Seq.newBuilder[Double]
       // a failed query must surface as an error, not masquerade as a fast
       // time: record the exception per query and keep the run going
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      var err: Option[String] = None
+      var i = 0
+      while (i < repeats && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+        times += (System.nanoTime() - t0) / 1e9
+        i += 1
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, times.result(), err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, ts, _) => s"\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
+    val samples = results.map { case (k, ts, _) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       s"${JsonStr.quote(k)}:${JsonStr.quote(m)}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.map { case (_, ts, _) => median(ts) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"samples":$samples,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

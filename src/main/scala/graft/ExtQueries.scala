@@ -317,9 +317,9 @@ object ExtQueries {
       .orderBy("doc_id", "rank")
 
   /** Edit-distance≤2 pairs over the corpus VOCABULARY (distinct tokens)
-    * via the length-blocked plan — never the all-pairs product. d=2 (not
-    * 1) so the fixture vocabulary yields nonzero pairs and the oracle
-    * check is non-degenerate. */
+    * via the pigeonhole segment-blocked plan — never the all-pairs
+    * product. d=2 (not 1) so the fixture vocabulary yields nonzero pairs
+    * and the oracle check is non-degenerate. */
   val fuzzyJoin: Q = (s, d) => {
     val toks = t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))

@@ -201,8 +201,10 @@ object Ops {
         s"updates=${updates.columns.sorted.mkString(",")}")
     if (validateKeys) {
       Seq("base" -> base, "updates" -> updates).foreach { case (side, df) =>
-        val dup = df.groupBy(keyCols.map(col): _*).count()
-          .filter(col("count") > 1).limit(1).collect()
+        // count(lit(1)).as("__cnt"), not .count(): a key column literally named
+        // "count" would otherwise make the filter an ambiguous reference.
+        val dup = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > 1).limit(1).collect()
         require(dup.isEmpty,
           s"upsert requires unique keys per side; $side has duplicate key " +
             dup.head.toSeq.init.mkString("(", ",", ")"))

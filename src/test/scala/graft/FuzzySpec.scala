@@ -42,4 +42,32 @@ class FuzzySpec extends SparkSpec {
   test("levenshteinPairs is empty when nothing is within distance") {
     assert(pairs(Seq("alpha", "zebra9", "qqqqqqqq"), maxDist = 1) === Set.empty)
   }
+
+  test("levenshteinPairs matches all-pairs brute force on a random vocabulary (d=0,1,2)") {
+    // 3-letter alphabet, lengths 1-8: dense with near pairs, and lengths
+    // below maxDist+1 exercise the empty-segment (short string) path.
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq.fill(150)(
+      Seq.fill(1 + rnd.nextInt(8))("abc"(rnd.nextInt(3))).mkString).distinct
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    for (d <- 0 to 2) {
+      val expected = (for {
+        a <- vocab; b <- vocab if a < b
+        dist = lev(a, b) if dist <= d
+      } yield (a, b, dist)).toSet
+      assert(pairs(vocab, d) === expected, s"mismatch at maxDist=$d")
+    }
+  }
 }

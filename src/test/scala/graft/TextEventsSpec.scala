@@ -67,12 +67,15 @@ class TextEventsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
       .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getDouble(2))).toMap
-    val ln3 = math.BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Round the PRODUCT tf*idf (what the operator and the DuckDB oracle do),
+    // not the factor: round(2*ln3) = 2.197225, but 2*round(ln3) = 2.197224.
+    val score = (tf: Int) =>
+      BigDecimal(tf * math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // "shared" appears in every doc: idf = ln(3/3) = 0 -> never beats a rare term
-    assert(out((1L, 1)) == ("rare1", 2 * ln3))
-    assert(out((2L, 1)) == ("rare2", ln3))
-    assert(out((3L, 1)) == ("alpha", ln3)) // equal score: lexicographic term order
-    assert(out((3L, 2)) == ("zeta", ln3))
+    assert(out((1L, 1)) == ("rare1", score(2)))
+    assert(out((2L, 1)) == ("rare2", score(1)))
+    assert(out((3L, 1)) == ("alpha", score(1))) // equal score: lexicographic term order
+    assert(out((3L, 2)) == ("zeta", score(1)))
   }
 
   test("resampleHourly: interior empty hours fill with 0; spans are per-key") {
