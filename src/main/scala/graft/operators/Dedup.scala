@@ -461,35 +461,36 @@ object Dedup {
     * aggregation as a tagged contribution, so the count is a cheap scan of
     * the pass's checkpointed output — no extra join, and exact for any id
     * type. `localCheckpoint` truncates the lineage so plan depth stays O(1)
-    * per pass instead of growing with the iteration count. Converges in
-    * O(component diameter) passes — duplicate clusters are near-cliques in
-    * practice (diameter ≤ 3-4); for adversarial long-chain graphs the
-    * large-star/small-star variant (Kiveris et al., "Connected Components
-    * in MapReduce", SOCC'14) would converge in O(log n) rounds at higher
-    * per-round cost. */
+    * per pass instead of growing with the iteration count.
+    *
+    * Two algorithms:
+    *  - `"minlabel"` (default) — label propagation; converges in
+    *    O(component diameter) passes with ONE cheap join per pass.
+    *    Duplicate clusters are near-cliques in practice (diameter ≤ 3-4),
+    *    which makes this the right default.
+    *  - `"star"` — alternating large-star/small-star edge contraction
+    *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    *    SOCC'14): converges in O(log n) rounds at ~2x the per-round cost,
+    *    for adversarial long-chain/high-diameter graphs where min-label's
+    *    O(diameter) bound would blow past maxIters. Equivalence to
+    *    min-label is property-tested on random graphs in DedupSpec. */
   def resolveClusters(
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
-      maxIters: Int = 50): DataFrame = {
-    // localCheckpoint persists its backing RDD OUTSIDE the CacheManager, so
-    // Dataset.unpersist() can't release the blocks and the ContextCleaner
-    // only reclaims them at some future GC. An iterative loop that leaks one
-    // checkpoint per pass degrades every LATER query in the session (storage
-    // pool pressure) — so each pass frees its predecessor explicitly. The
-    // checkpointed RDD is captured PRECISELY from the returned Dataset's own
-    // analyzed plan (a LogicalRDD wrapping exactly the RDD localCheckpoint
-    // persisted) — never by diffing global sc.getPersistentRDDs, which races
-    // with lazy cache registration in this thread (the edges persist below)
-    // and with concurrent jobs, and unpersisting a FOREIGN local checkpoint
-    // is fatal (lineage is truncated; later actions on it cannot recompute).
-    import org.apache.spark.sql.execution.LogicalRDD
-    def checkpointTracked(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
-      val cp = df.localCheckpoint()
-      (cp, cp.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd })
-    }
-    def free(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
-      rdd.foreach(_.unpersist(blocking = false))
+      maxIters: Int = 50,
+      algorithm: String = "minlabel"): DataFrame = algorithm match {
+    case "minlabel" => resolveMinLabel(pairs, aCol, bCol, maxIters)
+    case "star"     => resolveStar(pairs, aCol, bCol, maxIters)._1
+    case other => throw new IllegalArgumentException(
+      s"unknown algorithm '$other' (expected 'minlabel' or 'star')")
+  }
+
+  private def resolveMinLabel(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int): DataFrame = {
     // Materialize the (possibly expensive) pair pipeline ONCE before fanning
     // it out: the bidirectional edge union references it twice, and the
     // iteration loop re-reads it every pass — without this barrier the
@@ -550,6 +551,105 @@ object Dedup {
       edges.unpersist(blocking = false)
       free(halfRdd) // the returned labels reference only their OWN checkpoint
       if (!done) free(labelRdd) // failure exit — the result is never returned
+    }
+  }
+
+  // localCheckpoint persists its backing RDD OUTSIDE the CacheManager, so
+  // Dataset.unpersist() can't release the blocks and the ContextCleaner
+  // only reclaims them at some future GC. An iterative loop that leaks one
+  // checkpoint per pass degrades every LATER query in the session (storage
+  // pool pressure) — so each pass frees its predecessor explicitly. The
+  // checkpointed RDD is captured PRECISELY from the returned Dataset's own
+  // analyzed plan (a LogicalRDD wrapping exactly the RDD localCheckpoint
+  // persisted) — never by diffing global sc.getPersistentRDDs, which races
+  // with lazy cache registration in this thread (e.g. resolveMinLabel's
+  // edges persist) and with concurrent jobs, and unpersisting a FOREIGN
+  // local checkpoint is fatal (lineage is truncated; later actions on it
+  // cannot recompute).
+  private def checkpointTracked(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+    val cp = df.localCheckpoint()
+    (cp, cp.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    })
+  }
+  private def free(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+    rdd.foreach(_.unpersist(blocking = false))
+
+  /** Large-star/small-star connected components (Kiveris et al., SOCC'14).
+    *
+    * One round = large-star then small-star, each a groupBy-min plus a
+    * co-partitioned rejoin on the grouping key (partial-aggregated min,
+    * AQE-skew-safe join — a window min would buffer a hot root's whole
+    * adjacency in one task):
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m = min(N(u) ∪ u) — long chains halve toward the minimum;
+    *  - small-star(u) over (bigger, smaller) edges: every smaller neighbor
+    *    and u itself point to the group minimum — pointer doubling.
+    * The edge set contracts to one star per component rooted at its
+    * minimum id in O(log n) rounds. Convergence witness is exact, not a
+    * checksum: the contracted set equals the previous one iff the counts
+    * match AND new∖old = ∅ (both sides distinct), one count + one
+    * anti-join probe per round on the checkpointed edges.
+    *
+    * Returns (labels, rounds); rounds is exposed for DedupSpec's
+    * O(log n) convergence pin. */
+  private[graft] def resolveStar(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int): (DataFrame, Int) = {
+    // every id occurring in any pair gets a label, incl. self-pair ids
+    // whose canonical edges vanish below
+    val (nodes, nodesRdd) = checkpointTracked(
+      pairs.select(col(aCol).as("id"))
+        .union(pairs.select(col(bCol).as("id"))).distinct())
+    var (edges, edgesRdd) = checkpointTracked(
+      pairs.select(greatest(col(aCol), col(bCol)).as("u"),
+          least(col(aCol), col(bCol)).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var prevCount = edges.count()
+    var it = 0
+    var done = false
+    try {
+      while (!done && it < maxIters) {
+        val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        val lMin = bidir.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        // emit (v, m) for v > u only: exactly one row per undirected edge,
+        // and v > u >= m keeps the (bigger, smaller) orientation invariant
+        val large = bidir.join(lMin, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+        val sMin = large.groupBy("u").agg(min("v").as("m")) // m < u always
+        val small = large.join(sMin, "u")
+          .select(col("v").as("u"), col("m").as("v")) // nbr -> group min
+          .union(sMin.select(col("u"), col("m").as("v"))) // u -> group min
+          .filter(col("u") =!= col("v"))
+        val (next, nextRdd) = checkpointTracked(small.distinct())
+        val nextCount = next.count()
+        done = nextCount == prevCount &&
+          next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0L
+        free(edgesRdd)
+        edges = next
+        edgesRdd = nextRdd
+        prevCount = nextCount
+        it += 1
+      }
+      if (!done) throw new IllegalStateException(
+        s"resolveClusters(star) did not converge in $maxIters rounds — " +
+          "rounds are O(log n), so raise maxIters only for astronomically " +
+          "large components")
+      // at the fixed point each component is a star (u -> root=min); roots
+      // and self-pair-only ids label themselves
+      val (labels, _) = checkpointTracked(
+        nodes.join(edges.select(col("u").as("id"), col("v").as("cl")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("cl"), col("id")).as("cluster_id")))
+      // the returned labels reference only their OWN checkpoint; the final
+      // edges/nodes checkpoints are freed below in both exit paths
+      (labels, it)
+    } finally {
+      free(nodesRdd)
+      free(edgesRdd)
     }
   }
 

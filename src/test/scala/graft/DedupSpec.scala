@@ -216,6 +216,53 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.keepClusterSurvivors(df, "doc_id", empty).count() == 2)
   }
 
+  test("resolveClusters(star): equals min-label and union-find on random graphs; ids stay native") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val es = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // brute-force union-find ground truth (min id per component)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = (es.map(_._1) ++ es.map(_._2)).distinct
+      val expected = ids.map(i => i -> find(i.toInt).toLong).toMap
+      val pairs = es.toDF("a_id", "b_id")
+      val star = Dedup.resolveClusters(pairs, algorithm = "star")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val minlbl = Dedup.resolveClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === expected, s"star vs union-find, trial $trial")
+      assert(minlbl === expected, s"minlabel vs union-find, trial $trial")
+    }
+    // self-pairs still label themselves; string ids resolve natively
+    val strPairs = Seq(("b", "a"), ("c", "b"), ("x", "x")).toDF("a_id", "b_id")
+    val got = Dedup.resolveClusters(strPairs, algorithm = "star")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x"))
+  }
+
+  test("resolveClusters(star): long chain converges in O(log n) rounds, not O(diameter)") {
+    val n = 256
+    val chain = (0L until (n - 1L)).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (labels, rounds) = Dedup.resolveStar(chain, "a_id", "b_id", maxIters = 50)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only the returned labels checkpoint may remain registered
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"star run leaked intermediate blocks: $added")
+    assert(got.size == n && got.values.forall(_ == 0L))
+    // diameter 255; log2(256) = 8. Allow slack for the contraction constant
+    // and the final no-change detection round.
+    assert(rounds <= 14, s"expected O(log n) rounds, got $rounds")
+    // min-label on the same graph would need ~255 passes: pin that the star
+    // variant is the one that survives maxIters=20 here
+    intercept[IllegalStateException](Dedup.resolveClusters(chain, maxIters = 20))
+  }
+
   test("cosinePairsLsh: subset of exact pairs with identical cos; planted near-dups all recalled") {
     val rnd = new scala.util.Random(11)
     def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
