@@ -48,6 +48,16 @@ object Bench {
             err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
         times += (System.nanoTime() - t0) / 1e9
+        // OUTSIDE the timed window: drop blocks the run left behind
+        // (localCheckpoint RDDs from resolveClusters/pipeline staging, cached
+        // tables). They otherwise linger until the JVM GCs the RDD object and
+        // ContextCleaner catches up, so later runs pay the previous run's
+        // storage debt — measured: pipeline_docs back-to-back samples went
+        // 4.5s → 9.3s → 9.3s without this, and round 6's single-shot "+66%
+        // regression" was this same pollution from the queries before it.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
         i += 1
       }
       (name, times.result(), err)

@@ -7,9 +7,13 @@ import graft.operators.{Curation, Dedup, Events, Fuzzy, MultiModal, Privacy, Sim
 
 /** Training-data-pipeline extension queries (SURVEY §7.6): dedup family,
   * similarity search, text analysis, multimodal plumbing, event windows.
-  * Same conventions as [[Queries]]; keys without an oracle (simhash / LSH —
-  * xxhash64 has no DuckDB twin) get the driver's rows-only check and are
-  * instead verified structurally in DedupSpec/SimilaritySpec.
+  * Same conventions as [[Queries]]. Operators whose result set has no SQL
+  * mirror (simhash / the LSH variants — the hash or the hyperplanes ARE the
+  * operator) register a DIFFERENTIAL query instead: the Spark side compares
+  * the operator against an exact baseline and emits flags plus a value
+  * DuckDB recomputes independently, so a regression flips a driver-visible
+  * pass rather than hiding behind a rows-only check. Unit-level guarantees
+  * stay in DedupSpec/SimilaritySpec.
   */
 object ExtQueries {
 
@@ -30,13 +34,36 @@ object ExtQueries {
       numHashes = 4, bands = 2, shingleN = 3, family = Dedup.Md5Family)
       .orderBy("a_id", "b_id")
 
-  /** SimHash candidates (fnv64 bit votes — rows-only check; recall
-    * guarantee and semantics pinned in DedupSpec). maxHamming = 3 is the
-    * distance the default 8-block multi-table scheme guarantees 100%
-    * candidate recall for (pigeonhole over C(8,5) block-subset tables). */
-  val dedupSimhash: Q = (s, d) =>
-    Dedup.simhashCandidates(t(s, d, "documents"), "doc_id", "text",
-      maxHamming = 3).orderBy("a_id", "b_id")
+  /** SimHash candidates (fnv64 bit votes). The candidate SET has no SQL
+    * mirror (the signature is a Scala hash), so the REGISTERED query is a
+    * completeness differential the driver can hash-adjudicate: compare the
+    * multi-table candidates against a brute-force all-pairs Hamming scan
+    * over the same signatures and emit one row with flags for the two
+    * theorems the operator rests on — pigeonhole recall (every pair within
+    * maxHamming is a candidate) and exact-verify precision (no pair beyond
+    * it survives). DuckDB recomputes n_docs from the fixture and pins both
+    * flags. The brute-force side is fixture-scale harness code (O(n²) on a
+    * cheap bit_count expression, distributed cartesian); the operator under
+    * test stays the equi-join multi-table plan. maxHamming = 3 is the
+    * distance the default 8-block scheme guarantees 100% recall for
+    * (pigeonhole over C(8,5) block-subset tables); DedupSpec pins the same
+    * guarantee at the unit level. */
+  val dedupSimhash: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val cand = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id")
+    val sigs = Dedup.simhash(docs, "text").select(col("doc_id"), col("simhash"))
+    val exact = sigs.toDF("a_id", "a_sim").crossJoin(sigs.toDF("b_id", "b_sim"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= 3)
+      .select("a_id", "b_id")
+    val missed = exact.except(cand).agg(count(lit(1)).as("n_missed"))
+    val extra = cand.except(exact).agg(count(lit(1)).as("n_extra"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(missed).crossJoin(extra)
+      .select(col("n_docs"),
+        when(col("n_missed") === 0, 1).otherwise(0).as("recall_complete"),
+        when(col("n_extra") === 0, 1).otherwise(0).as("precision_ok"))
+  }
 
   /** Incremental ingest shape: odd doc_ids play the NEW daily batch, even
     * ids the stored corpus band index — candidates cross the boundary only,
@@ -70,13 +97,33 @@ object ExtQueries {
       .orderBy("a_id", "b_id")
 
   /** The 100 TB candidate path: OR-amplified multi-table LSH + exact
-    * verify (rows-only check; subset-of-exact + planted-dup recall pinned
-    * in DedupSpec). */
-  val dedupEmbedLsh: Q = (s, d) =>
-    Dedup.cosinePairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+    * verify. The candidate set is sampling-dependent (the hyperplanes are
+    * the operator), so the REGISTERED query is a differential against the
+    * exact pair scan — the same plan whose full result `dedup_embed`
+    * hash-verifies against DuckDB: emit n_exact (DuckDB recomputes it from
+    * the fixture), subset_ok (exact verify ⇒ every LSH pair is a true
+    * pair), and floor_met (recall ≥ 0.5 as integer arithmetic,
+    * 2·hits ≥ n_exact). Measured recall 0.857/0.857/0.917 at
+    * sf0.001/0.01/0.1 — the 0.5 floor keeps ≥ 70% margin; the fixture
+    * threshold 0.45 is the
+    * near-boundary regime where sign-LSH is weakest (see
+    * [[Dedup.cosinePairsLsh]] scaladoc), so the floor is deliberately
+    * loose. Tighter planted-dup recall floors stay in DedupSpec. */
+  val dedupEmbedLsh: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val exact = Dedup.cosinePairs(e, "vec_id", "embedding", minCosine = 0.45)
+      .select("a_id", "b_id")
+    val lsh = Dedup.cosinePairsLsh(e, "vec_id", "embedding",
       minCosine = 0.45, numTables = 12, planesPerTable = 4)
-      .withColumn("cos", round(col("cos"), 4))
-      .orderBy("a_id", "b_id")
+      .select("a_id", "b_id")
+    val hits = exact.join(lsh, Seq("a_id", "b_id")).agg(count(lit(1)).as("n_hits"))
+    val extra = lsh.join(exact, Seq("a_id", "b_id"), "left_anti")
+      .agg(count(lit(1)).as("n_extra"))
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits).crossJoin(extra)
+      .select(col("n_exact"),
+        when(col("n_extra") === 0, 1).otherwise(0).as("subset_ok"),
+        when(col("n_hits") * 2 >= col("n_exact"), 1).otherwise(0).as("floor_met"))
+  }
 
   /** Candidate pairs → duplicate clusters: connected components by min-label
     * propagation over the ngram-Jaccard pair graph. cluster_id = min
@@ -436,6 +483,26 @@ object ExtQueries {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
         |  CAST(10 AS INTEGER) AS k, CAST(15 AS INTEGER) AS hits_floor,
         |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
+    // dedup_simhash: DuckDB pins n_docs plus the two structural flags
+    // (pigeonhole recall, exact-verify precision) — see dedupSimhash.
+    "dedup_simhash" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(1 AS INTEGER) AS recall_complete,
+        |  CAST(1 AS INTEGER) AS precision_ok
+        |FROM documents""".stripMargin,
+    // dedup_embed_lsh: DuckDB recomputes the exact pair count with the
+    // same unit-normalized dot-product SQL that dedup_embed hash-verifies,
+    // and pins the subset/recall-floor flags — see dedupEmbedLsh.
+    "dedup_embed_lsh" ->
+      s"""WITH $unitCte,
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dotExpr AS cos
+         |  FROM (SELECT vec_id, v FROM e) a(vec_id, v)
+         |  JOIN (SELECT vec_id, v FROM e) b(vec_id, v) ON a.vec_id < b.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(1 AS INTEGER) AS subset_ok,
+         |  CAST(1 AS INTEGER) AS floor_met
+         |FROM p WHERE cos >= 0.45e0""".stripMargin,
     "tfidf_topterms" ->
       """WITH tfc AS (
         |  SELECT doc_id, term, count(*) AS tf FROM (

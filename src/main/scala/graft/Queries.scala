@@ -314,12 +314,32 @@ object Queries {
   /** Sketch aggregates: HyperLogLog++ distinct counts and t-digest-style
     * approximate percentiles — the constant-memory path for cardinality
     * and quantiles at 100 TB (exact twins: agg_distinct / agg_stats).
-    * No DuckDB oracle: sketch algorithms differ across engines; accuracy
-    * vs the exact values is property-tested in SketchSpec. */
+    *
+    * Sketch algorithms differ across engines, so the raw estimates have no
+    * DuckDB mirror; the REGISTERED query is instead a tolerance differential
+    * the driver can hash-adjudicate (same pattern as the ANN recall checks):
+    * compute approx and exact in one aggregation, emit the exact values
+    * (which DuckDB recomputes) plus a within-tolerance flag per sketch.
+    * Tolerances: HLL++ rsd = 0.02 → |approx−exact| ≤ 3·rsd·exact (3σ);
+    * percentile_approx accuracy = 10000 over ≤25k rows/group → rank error
+    * ≤ n/accuracy ≈ 3 ranks, bounded loosely by 1% relative. A sketch
+    * regression flips a driver-visible pass instead of hiding behind
+    * `no_oracle`. Raw estimates stay out of the output — QuantileSummaries
+    * merge order could perturb them; the flags are stable. Tighter accuracy
+    * property-tests live in SketchSpec. */
   val aggSketch: Q = (s, d) =>
     t(s, d, "lineitem").groupBy("l_returnflag").agg(
-      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("nd_part_approx"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"))
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("nd_approx"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+      countDistinct(col("l_partkey")).as("nd_part"),
+      expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+      .select(col("l_returnflag"),
+        col("nd_part"),
+        round(col("p50_exact"), 4).as("p50"),
+        when(abs(col("nd_approx") - col("nd_part")) <= col("nd_part") * 0.06, 1)
+          .otherwise(0).as("nd_ok"),
+        when(abs(col("p50_approx") - col("p50_exact")) <= abs(col("p50_exact")) * 0.01, 1)
+          .otherwise(0).as("p50_ok"))
       .orderBy("l_returnflag")
 
   /** Exact + distinct aggregation (count distinct, min/max/avg). */
@@ -583,6 +603,15 @@ object Queries {
         |  CAST(CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS INTEGER) AS g_status
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    // agg_sketch: DuckDB recomputes the exact values and pins both
+    // within-tolerance flags to 1 (see aggSketch scaladoc for the bounds).
+    "agg_sketch" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  CAST(1 AS INTEGER) AS nd_ok,
+        |  CAST(1 AS INTEGER) AS p50_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Ops, Tables}
+import graft.operators.{Events, Profile, TextAnalysis}
+
+/** Round-7 scale-operator queries: profiling (histogram, heavy hitters with
+  * CMS validation), Bloom-prefiltered semi-join, windowed funnel analysis,
+  * and native-expression text normalization. Same conventions as
+  * [[Queries]]/[[ExtQueries]]: every key has a DuckDB oracle; sketch checks
+  * follow the flag-differential pattern (exact values oracle-recomputed,
+  * within-tolerance flags pinned to 1).
+  */
+object ScaleQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 20-bin equi-width histogram of lineitem prices. The oracle mirrors
+    * the bin arithmetic token-for-token (see
+    * [[Profile.equiWidthHistogram]] on FP operation order). */
+  val histBins: Q = (s, d) =>
+    Profile.equiWidthHistogram(t(s, d, "lineitem"), "l_extendedprice", nBins = 20)
+      .orderBy("bin")
+
+  /** Exact heavy hitters (users with ≥ 75 events) cross-checked against a
+    * Count-Min Sketch: exact counts oracle-recomputed, `cms_ok` pins the
+    * sketch contract (cnt ≤ est ≤ cnt + ⌈eps·N⌉) — deterministic for the
+    * fixed seed; verified 1 across sf0.001/0.01/0.1. */
+  val heavyHitters: Q = (s, d) =>
+    Profile.heavyHittersChecked(Tables.loadEvents(s, d), "user_id", minCount = 75)
+      .orderBy("user_id")
+
+  /** Bloom-prefiltered semi-join: orders of BUILDING-segment customers.
+    * Result must equal the plain semi-join (the oracle IS the plain
+    * semi-join); the Bloom prefilter only changes the physical shape.
+    * expectedItems sized for the sf0.1 fixture x10 headroom. */
+  val bloomSemi: Q = (s, d) => {
+    val dim = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    Ops.bloomSemiJoin(t(s, d, "orders"), dim, "o_custkey", "c_custkey",
+      expectedItems = 200000L, fpp = 0.01)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** view → click → purchase funnel with a 24h conversion window —
+    * differentiating on the fixture (reach 1500/536/217 at sf0.1), unlike
+    * the unwindowed funnel where every user converts. */
+  val funnelSteps: Q = (s, d) =>
+    Events.funnelReach(Tables.loadEvents(s, d), "user_id", "ts", "event_type",
+      steps = Seq("view", "click", "purchase"), windowMinutes = 24 * 60)
+      .orderBy("step")
+
+  /** NFC + lowercase + whitespace-collapse normalization over documents,
+    * through the native [[graft.plans.NfcNormalize]] expression. The
+    * fixture is pure ASCII (NFC is identity there — the lower/collapse
+    * steps carry the oracle signal); non-ASCII NFC semantics are pinned in
+    * PlanSpec against crafted composed/decomposed strings. */
+  val textNormalize: Q = (s, d) =>
+    TextAnalysis.withNormalizedText(t(s, d, "documents"), "text")
+      .select("doc_id", "text_norm").orderBy("doc_id")
+
+  val all: Map[String, Q] = Map(
+    "hist_bins" -> histBins,
+    "heavy_hitters" -> heavyHitters,
+    "bloom_semi" -> bloomSemi,
+    "funnel_steps" -> funnelSteps,
+    "text_normalize" -> textNormalize,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "hist_bins" ->
+      """WITH b AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |  ELSE least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19)
+        |  END AS INTEGER) AS bin, count(*) AS n
+        |FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "heavy_hitters" ->
+      """SELECT user_id, count(*) AS cnt, CAST(1 AS INTEGER) AS cms_ok
+        |FROM events GROUP BY user_id HAVING count(*) >= 75
+        |ORDER BY user_id""".stripMargin,
+    "bloom_semi" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "funnel_steps" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(s1.t)
+        |    AND epoch_us(e.ts) - epoch_us(s1.t) <= 86400000000 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(s2.t)
+        |    AND epoch_us(e.ts) - epoch_us(s2.t) <= 86400000000 GROUP BY e.user_id)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -173,6 +173,43 @@ object Ops {
       .drop("__salt")
   }
 
+  /** Bloom-prefiltered semi-join: keep fact rows whose key appears in
+    * `dim`, pre-filtering the fact side with a compact Bloom filter of the
+    * dim keys BEFORE the exact semi-join removes the false positives.
+    * Result is exactly `fact SEMI JOIN dim` (pinned by the DuckDB oracle
+    * and OpsSpec); only the physical shape changes.
+    *
+    * Scale rationale — this is the manual form of Spark's runtime Bloom
+    * pruning (`spark.sql.optimizer.runtime.bloomFilter.enabled`), for when
+    * the planner can't inject it (dim computed in the same stage, non-AQE
+    * paths, or a persisted filter reused across queries): a dim side too
+    * big to broadcast as a hash relation (hundreds of millions of keys)
+    * still fits as a Bloom filter (~1.2 GB at 10⁹ keys / 1% fpp, built with
+    * a tree-aggregated constant-memory pass), and the map-side prefilter
+    * cuts the fact side's shuffle volume from |fact| to
+    * |matches| + fpp·|fact| before the exchange — at a 1% match rate,
+    * a ~50x smaller shuffle for one extra scan of the dim keys.
+    *
+    * Keys are hashed as strings (cast once on both build and probe) so any
+    * key type gets identical Bloom hashing; NULL fact keys never match
+    * (semi-join semantics). `expectedItems` sizes the filter — overshoot
+    * is wasted memory, undershoot inflates fpp, correctness is unaffected
+    * either way. */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = dim.select(col(dimKey).cast("string").as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+    val bcast = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: String) => k != null && bcast.value.mightContainString(k))
+    fact.filter(might(col(factKey).cast("string")))
+      .join(dim.select(col(dimKey)), fact(factKey) === dim(dimKey), "left_semi")
+  }
+
   /** Keyed upsert (CDC merge): rows in `updates` replace same-key rows in
     * `base` WHOLE-ROW — an update with a NULL column nulls the target, it
     * does not coalesce back to the base value — and keys absent from

@@ -47,6 +47,46 @@ object Events {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
 
+  /** Ordered-funnel reach with a conversion window: for the step sequence
+    * (s₁…sₖ), a user reaches step i when an sᵢ event occurs STRICTLY after
+    * their step-(i−1) time and within `windowMinutes` of it; the step time
+    * is the EARLIEST such event. Returns one row per step:
+    * (step, step_name, n_users).
+    *
+    * Times compare at microsecond precision (`unix_micros`, matching
+    * [[sessionize]] and the DuckDB oracle's `epoch_us`) — fixture events
+    * carry sub-second components, so a seconds-truncated window flips
+    * users near the boundary.
+    *
+    * Scale shape: step i is one equi-join on the user key between the
+    * (type-filtered, so already pruned at the scan) event table and the
+    * previous step's per-user single-row aggregate, followed by a
+    * partial-aggregated min — k−1 joins against ever-shrinking sides, no
+    * window over full event history, no per-user event collection. The
+    * per-step counts are k single-row aggregates unioned into one result —
+    * all declarative, nothing collected. */
+  def funnelReach(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], windowMinutes: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMinutes > 0, "windowMinutes must be positive")
+    val winMicros = windowMinutes * 60L * 1000000L
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      val p = prev.select(col(userCol).as("__u"), col("__t"))
+      df.filter(col(typeCol) === step)
+        .join(p, col(userCol) === col("__u"))
+        .filter(unix_micros(col(tsCol)) > unix_micros(col("__t")) &&
+          unix_micros(col(tsCol)) - unix_micros(col("__t")) <= winMicros)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    }
+    steps.zip(reached).zipWithIndex.map { case ((name, stepDf), i) =>
+      stepDf.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Hourly resample with gap filling: per key, one row for EVERY hour
     * between that key's first and last event — empty hours appear with
     * n = 0 (the time-series densification every downstream rate/trend

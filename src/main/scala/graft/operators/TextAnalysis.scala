@@ -55,6 +55,19 @@ object TextAnalysis {
       .withColumn("dup_bigram_ratio", dupRatio(bigrams))
   }
 
+  /** Canonical text normalization — the pass every text pipeline runs
+    * before hashing, shingling, or tokenizing: Unicode NFC (composed and
+    * decomposed forms of the same grapheme become byte-identical — via the
+    * native [[graft.plans.NfcNormalize]] expression, since Spark has no
+    * built-in normalizer), lowercase, whitespace runs collapsed to one
+    * space, and trimmed. Pure map-side, fully codegen'd (the NFC step is a
+    * native expression, not a UDF); NULL in → NULL out. Mirrored
+    * step-for-step by DuckDB's nfc_normalize/lower/regexp_replace/trim in
+    * the oracle. */
+  def withNormalizedText(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("text_norm",
+      trim(regexp_replace(lower(graft.plans.NfcNormalize.nfc(col(textCol))), "\\s+", " ")))
+
   /** Canonical bag-of-words fingerprint + fast 64-bit content hash. */
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", TextFns.fingerprint(col(textCol)))

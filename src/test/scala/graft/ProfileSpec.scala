@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Ops, Tables}
+import graft.operators.{Events, Profile, TextAnalysis}
+
+/** Profiling, Bloom semi-join, funnel, and text-normalization operators
+  * (round-7 scale family). */
+class ProfileSpec extends SparkSpec {
+  import sqlContext.implicits._
+
+  // ------------------------------------------------------------- histogram
+
+  test("equiWidthHistogram matches a hand-computed reference incl. max-in-last-bin") {
+    // 10 values in [0, 10], 5 bins of width 2; 10.0 must close into bin 4
+    val df = Seq(0.0, 0.5, 1.9, 2.0, 3.9, 4.0, 6.0, 8.0, 9.9, 10.0).toDF("x")
+    val got = Profile.equiWidthHistogram(df, "x", 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 3L, 1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 3L))
+  }
+
+  test("equiWidthHistogram: NULLs excluded, degenerate column lands in bin 0") {
+    val withNulls = Seq[java.lang.Double](1.0, null, 1.0, null).toDF("x")
+    val got = Profile.equiWidthHistogram(withNulls, "x", 4).collect()
+    assert(got.length == 1 && got.head.getInt(0) == 0 && got.head.getLong(1) == 2L)
+  }
+
+  test("histogram bin counts sum to the non-null row count (no row lost at boundaries)") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val total = li.filter(col("l_extendedprice").isNotNull).count()
+    val binned = Profile.equiWidthHistogram(li, "l_extendedprice", 20)
+      .agg(sum("n")).as[Long].head()
+    assert(binned == total)
+  }
+
+  // --------------------------------------------------------- heavy hitters
+
+  test("heavyHittersChecked: exact counts match a plain groupBy and every cms_ok = 1") {
+    val ev = Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    val got = Profile.heavyHittersChecked(ev, "user_id", minCount = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map(t => t._1 -> t._2).toMap == expected)
+    assert(got.nonEmpty && got.forall(_._3 == 1),
+      s"CMS contract violated for ${got.filter(_._3 == 0).mkString(",")}")
+  }
+
+  test("heavyHitters output is bounded: no key below minCount appears") {
+    val ev = Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    val below = Profile.heavyHitters(ev, "user_id", minCount = 70)
+      .filter(col("cnt") < 70).count()
+    assert(below == 0)
+  }
+
+  // ------------------------------------------------------- bloom semi-join
+
+  test("bloomSemiJoin equals the plain left-semi join on the fixture") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val dim = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val viaBloom = Ops.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey",
+      expectedItems = 10000L)
+    val plain = orders.join(dim.select("c_custkey"),
+      orders("o_custkey") === dim("c_custkey"), "left_semi")
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+  }
+
+  test("bloomSemiJoin: high-fpp filter still yields exact results (verify join removes FPs)") {
+    val fact = (1 to 1000).map(i => i.toLong).toDF("k")
+    val dim = Seq(1L, 500L, 999L).toDF("d")
+    // fpp 0.5 guarantees plenty of Bloom false positives at this size
+    val got = Ops.bloomSemiJoin(fact, dim, "k", "d", expectedItems = 3L, fpp = 0.5)
+      .as[Long].collect().sorted
+    assert(got.sameElements(Array(1L, 500L, 999L)))
+  }
+
+  test("bloomSemiJoin: NULL fact keys never match") {
+    val fact = Seq[java.lang.Long](1L, null, 2L).toDF("k")
+    val dim = Seq(1L).toDF("d")
+    val got = Ops.bloomSemiJoin(fact, dim, "k", "d", expectedItems = 10L)
+      .as[Long].collect()
+    assert(got.sameElements(Array(1L)))
+  }
+
+  // ---------------------------------------------------------------- funnel
+
+  test("funnelReach: window, strict ordering, and earliest-event semantics") {
+    val ts = (m: Int) => new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(
+      // u1 converts fully inside the 10-minute window
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(9), "buy"),
+      // u2: click outside the window after first view
+      (2L, ts(0), "view"), (2L, ts(20), "click"), (2L, ts(21), "buy"),
+      // u3: buy BEFORE click — order violated, reaches step 2 only
+      (3L, ts(0), "view"), (3L, ts(2), "buy"), (3L, ts(4), "click"),
+      // u4: click at the SAME instant as view — strictly-after excludes it
+      (4L, ts(0), "view"), (4L, ts(0), "click"),
+      // u5: two views; the EARLIEST anchors the window, so the late click misses
+      (5L, ts(0), "view"), (5L, ts(8), "view"), (5L, ts(15), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.funnelReach(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "buy"), windowMinutes = 10)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.sameElements(Array((1, "view", 5L), (2, "click", 2L), (3, "buy", 1L))))
+  }
+
+  test("funnelReach on the fixture matches the independently computed reach") {
+    val ev = Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    val got = Events.funnelReach(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowMinutes = 24 * 60)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(got.sameElements(Array(15L, 6L, 3L))) // pinned vs DuckDB (see oracle)
+  }
+
+  // -------------------------------------------------- text normalization
+
+  test("NfcNormalize: decomposed and composed forms become identical; NULL passes through") {
+    val composed = "café"            // é as U+00E9
+    val decomposed = "café"         // e + combining acute
+    assert(composed != decomposed)   // distinct byte sequences going in
+    val df = Seq(composed, decomposed, null).toDF("t")
+    val got = df.select(graft.plans.NfcNormalize.nfc(col("t")).as("n"))
+      .as[String].collect()
+    assert(got(0) == composed && got(1) == composed && got(2) == null)
+  }
+
+  test("NfcNormalize is codegen'd (no ScalaUDF in the plan)") {
+    // parquet-backed input: a local Seq would constant-fold the whole
+    // projection into a LocalTableScan and hide the expression
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = df.select(graft.plans.NfcNormalize.nfc(col("text")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nfc"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+
+  test("withNormalizedText lowers, collapses whitespace, trims, and NFC-normalizes") {
+    val df = Seq("  Hello\t\tWORLD  café \n", "ok").toDF("text")
+    val got = TextAnalysis.withNormalizedText(df, "text")
+      .select("text_norm").as[String].collect()
+    assert(got(0) == "hello world café")
+    assert(got(1) == "ok")
+  }
+}
