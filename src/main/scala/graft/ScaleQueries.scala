@@ -63,8 +63,29 @@ object ScaleQueries {
     TextAnalysis.withNormalizedText(t(s, d, "documents"), "text")
       .select("doc_id", "text_norm").orderBy("doc_id")
 
+  /** Equi-depth (quartile) histogram of order totals — percentile-cut
+    * binning, never a global-sort ntile (see
+    * [[Profile.equiDepthHistogram]]). */
+  val histQuantile: Q = (s, d) =>
+    Profile.equiDepthHistogram(t(s, d, "orders"), "o_totalprice", nBins = 4)
+      .orderBy("bin")
+
+  /** One-pass ANALYZE-style column profile of the orders table. */
+  val profileCols: Q = (s, d) =>
+    Profile.columnProfile(t(s, d, "orders"),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
+      .orderBy("col_name")
+
+  /** Hash-stable 20-per-source document sample (balanced subset). */
+  val sampleGroup: Q = (s, d) =>
+    Profile.sampleKPerGroup(t(s, d, "documents"), "doc_id", "source", k = 20)
+      .select("doc_id", "source").orderBy("source", "doc_id")
+
   val all: Map[String, Q] = Map(
     "hist_bins" -> histBins,
+    "hist_quantile" -> histQuantile,
+    "profile_cols" -> profileCols,
+    "sample_group" -> sampleGroup,
     "heavy_hitters" -> heavyHitters,
     "bloom_semi" -> bloomSemi,
     "funnel_steps" -> funnelSteps,
@@ -111,5 +132,45 @@ object ScaleQueries {
       """SELECT doc_id,
         |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // hist_quantile: same rounded-cut comparison as the Spark side — both
+    // engines bin against identical 4-decimal cut values, so interpolation
+    // ulps can't flip a bin (the agg_stats-proven rounding equivalence).
+    "hist_quantile" ->
+      """WITH c AS (
+        |  SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS c1,
+        |         round(quantile_cont(o_totalprice, 0.5), 4) AS c2,
+        |         round(quantile_cont(o_totalprice, 0.75), 4) AS c3
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT (CASE WHEN o_totalprice > c1 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > c2 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > c3 THEN 1 ELSE 0 END) AS bin,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders, c WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "profile_cols" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    count(DISTINCT o_custkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*),
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderpriority) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*),
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_totalprice) FROM orders
+        |) ORDER BY col_name""".stripMargin,
+    "sample_group" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin,
   )
 }

@@ -39,6 +39,103 @@ object Profile {
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }
 
+  /** Equi-DEPTH histogram (quantile binning): `nBins` buckets holding
+    * roughly equal row counts, bounded by exact-percentile cut points.
+    *
+    * Deliberately NOT `ntile` over a global `Window.orderBy` — that window
+    * has no partition key, so every row funnels through ONE task (the
+    * classic global-sort trap; fine at 60k rows, dead at 100 TB). Instead:
+    * one aggregation computes the nBins−1 exact percentile cuts (single
+    * row, broadcast back), and each row's bin is the count of cuts
+    * strictly below it — a map-side expression. Two scans, no global sort,
+    * no single-task stage.
+    *
+    * Cuts are ROUNDED to 4 decimals before comparing: Spark `percentile`
+    * and DuckDB `quantile_cont` agree on linear interpolation only to
+    * ~1e-12 ulps, but both engines then compare against the SAME rounded
+    * cut, so binning is identical (the rounding equivalence is the
+    * already-hash-verified agg_stats pattern). Bins differ from ntile's on
+    * heavy ties — cut-bounded bins are the statistically meaningful ones
+    * (a value never straddles two bins).
+    *
+    * `approxAccuracy`: the default exact `percentile` buffers the group's
+    * distinct values in the aggregation — fine at fixture scale and
+    * required for the engine-exact oracle, but a single-group exact
+    * percentile over 100 TB is a memory hazard. Pass
+    * `approxAccuracy = Some(n)` to compute the cuts with
+    * `percentile_approx` instead (constant-memory sketch, rank error
+    * ≤ rows/n) — identical plan shape, bin semantics unchanged, cuts
+    * within sketch tolerance (equivalence at the fixture pinned in
+    * ProfileSpec). */
+  def equiDepthHistogram(
+      df: DataFrame, valueCol: String, nBins: Int,
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    require(nBins > 1, s"nBins must be > 1, got $nBins")
+    val x = col(valueCol)
+    val nonNull = df.filter(x.isNotNull)
+    val cutCols = (1 until nBins).map { i =>
+      val p = i.toDouble / nBins
+      val cut = approxAccuracy match {
+        case Some(acc) => percentile_approx(x, lit(p), lit(acc))
+        case None => expr(s"percentile($valueCol, $p)")
+      }
+      round(cut, 4).as(s"__c$i")
+    }
+    val cuts = nonNull.agg(cutCols.head, cutCols.tail: _*)
+    val bin = (1 until nBins).map(i => when(x > col(s"__c$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    nonNull.crossJoin(broadcast(cuts))
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min(x).as("lo"), max(x).as("hi"))
+  }
+
+  /** One-pass column profile — the ANALYZE-TABLE analog run before any
+    * curation decision: per column, total rows, NULL count, and exact
+    * distinct count, unpivoted to one row per column.
+    *
+    * Scale shape: a SINGLE aggregation carries every measure (the multiple
+    * exact count-distincts plan as one Expand-based aggregate — one
+    * shuffle over the expanded rows, still partial-aggregated map-side),
+    * then the 1-row result explodes into |cols| rows driver-free. Counts
+    * only, deliberately: min/max would need engine-identical value→string
+    * formatting across types, which doubles don't give. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val measures = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+    }
+    df.agg(measures.head, measures.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+          col(s"__nulls_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"))
+      }: _*)).as("s"))
+      .select("s.*")
+  }
+
+  /** Deterministic k-per-group sample: within each stratum, keep the k
+    * rows with the smallest md5(id) draw — a hash-stable balanced subset
+    * (the class-balancing companion to [[Curation.stratifiedSample]]'s
+    * rate-based sampling): reproducible across runs, cluster sizes, and
+    * row orders, and a kept row stays kept when the corpus grows unless a
+    * smaller draw displaces it.
+    *
+    * Scale shape: `row_number ≤ k` over the stratum window is rewritten
+    * by WindowGroupLimit (asserted in PlanSpec), so map tasks forward at
+    * most k rows per group to the shuffle — the window never sees full
+    * groups. The id tie-break keeps the selection total even under md5
+    * collisions. */
+  def sampleKPerGroup(
+      df: DataFrame, idCol: String, stratumCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Exact heavy hitters: keys occurring at least `minCount` times. One
     * shuffle with map-side partial aggregation; output bounded by
     * N/minCount keys regardless of corpus size. */

@@ -33,6 +33,69 @@ class ProfileSpec extends SparkSpec {
     assert(binned == total)
   }
 
+  test("equiDepthHistogram: bins are cut-bounded, exhaustive, and roughly equal-depth") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val n = orders.filter(col("o_totalprice").isNotNull).count()
+    val rows = graft.operators.Profile.equiDepthHistogram(orders, "o_totalprice", 4)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getInt(0)).sameElements(Array(0, 1, 2, 3)))
+    assert(rows.map(_.getLong(1)).sum == n)
+    // equal depth within the tie-tolerance: each bin holds 25% +- 5%
+    rows.foreach(r => assert(math.abs(r.getLong(1) - n / 4.0) < n * 0.05, r))
+    // bins don't overlap: hi of bin i <= lo of bin i+1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2), s"$a vs $b")
+    }
+  }
+
+  test("equiDepthHistogram approx path (the 100 TB cut computation) matches exact at high accuracy") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val exact = graft.operators.Profile.equiDepthHistogram(orders, "o_totalprice", 4)
+      .orderBy("bin").collect()
+    val approx = graft.operators.Profile.equiDepthHistogram(
+        orders, "o_totalprice", 4, approxAccuracy = Some(100000))
+      .orderBy("bin").collect()
+    // at accuracy >= group size the sketch is lossless: identical bins
+    assert(exact.map(_.toSeq).sameElements(approx.map(_.toSeq)))
+  }
+
+  test("equiDepthHistogram is not a global-sort plan (no single-partition window)") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val plan = graft.operators.Profile.equiDepthHistogram(orders, "o_totalprice", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan) // binning is a map-side expression
+  }
+
+  test("columnProfile counts match per-column queries incl. a NULL-bearing column") {
+    val df = Seq(("a", java.lang.Long.valueOf(1L)), ("b", null),
+      ("a", java.lang.Long.valueOf(2L)), ("c", java.lang.Long.valueOf(2L)))
+      .toDF("s", "v")
+    val got = graft.operators.Profile.columnProfile(df, Seq("s", "v"))
+      .orderBy("col_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sameElements(Array(("s", 4L, 0L, 3L), ("v", 4L, 1L, 2L))))
+  }
+
+  test("sampleKPerGroup: exactly k per stratum, deterministic, stable under row order") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val s1 = graft.operators.Profile.sampleKPerGroup(docs, "doc_id", "source", 10)
+      .select("doc_id").as[Long].collect().sorted
+    val s2 = graft.operators.Profile.sampleKPerGroup(
+        docs.orderBy(rand(7)), "doc_id", "source", 10)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1.sameElements(s2)) // row order cannot change the sample
+    val perGroup = graft.operators.Profile.sampleKPerGroup(docs, "doc_id", "source", 10)
+      .groupBy("source").count().select("count").as[Long].collect()
+    assert(perGroup.forall(_ == 10L))
+  }
+
+  test("sampleKPerGroup plan carries WindowGroupLimit (map-side k-row forwarding)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = graft.operators.Profile.sampleKPerGroup(docs, "doc_id", "source", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   // --------------------------------------------------------- heavy hitters
 
   test("heavyHittersChecked: exact counts match a plain groupBy and every cms_ok = 1") {
