@@ -39,6 +39,54 @@ object Sinks {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table) // managed: under warehouse dir
 
+  /** Z-order clustered layout: rows sorted by the interleaved-bit value of
+    * TWO normalized key columns, so per-file min/max ranges stay narrow on
+    * BOTH dimensions at once — parquet row-group/file skipping then prunes
+    * point and range filters on either column. A plain single-column sort
+    * gives the second column full-range stats in every file; partitioning
+    * by both columns explodes into small files. Z-order is the standard
+    * middle path for 100 TB multi-dimension scan pruning.
+    *
+    * Mechanics: each key is min/max-normalized to `bits` bits in one
+    * 1-row aggregate (broadcast back, no collect), the z-value interleaves
+    * the bit positions as a pure column expression (codegen'd shifts/ORs,
+    * no UDF), and `repartitionByRange(nFiles, zv)` + in-partition sort
+    * lays files out along the curve. The z column itself is dropped from
+    * the written schema — it is a layout device, not data.
+    *
+    * NULL keys normalize to bucket 0 (they cluster together in the first
+    * files rather than scattering everywhere). Narrow-range proof is in
+    * SinksSpec: per-file ranges of BOTH columns, vs a one-column sort. */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nFiles > 0 && bits > 0 && bits <= 31, s"bad nFiles=$nFiles bits=$bits")
+    val maxVal = (1L << bits) - 1
+    def norm(c: String, lo: String, hi: String) = {
+      val x = col(c).cast("double")
+      coalesce(
+        when(col(hi) === col(lo), lit(0L)).otherwise(
+          floor((x - col(lo)) * maxVal / (col(hi) - col(lo))).cast("long")),
+        lit(0L))
+    }
+    val bounds = df.agg(
+      min(col(colA).cast("double")).as("__loA"), max(col(colA).cast("double")).as("__hiA"),
+      min(col(colB).cast("double")).as("__loB"), max(col(colB).cast("double")).as("__hiB"))
+    val a = norm(colA, "__loA", "__hiA")
+    val b = norm(colB, "__loB", "__hiB")
+    val zv = (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__zv", zv)
+      .repartitionByRange(nFiles, col("__zv"))
+      .sortWithinPartitions("__zv")
+      .drop("__zv", "__loA", "__hiA", "__loB", "__hiB")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** S8 — staged publish of a set of named tables into a staging dir.
     * All-or-nothing: a mid-run failure leaves the current staging dir
     * untouched (the partial output stays in `<stagingDir>.tmp`).

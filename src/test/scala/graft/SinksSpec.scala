@@ -39,4 +39,36 @@ class SinksSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("writeZOrdered: per-file ranges stay narrow on BOTH dims; 1-col sort does not") {
+    import org.apache.spark.sql.DataFrame
+    // uniform 2-d grid: the adversarial case for any single-column layout
+    val df = (0 until 4096).map(i => (i % 64, i / 64)).toDF("xa", "xb")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString + "/t"
+    val sDir = java.nio.file.Files.createTempDirectory("graft-s").toString + "/t"
+    Sinks.writeZOrdered(df, zDir, "xa", "xb", nFiles = 16)
+    df.repartitionByRange(16, col("xa")).sortWithinPartitions("xa")
+      .write.mode("overwrite").parquet(sDir)
+    // mean per-FILE normalized range of a column (parquet footer min/max
+    // proxy: each file read individually)
+    def meanRange(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+        (r.getInt(1) - r.getInt(0)) / 63.0
+      }
+      spans.sum / spans.length
+    }
+    // z-order: both dims well under half range per file; the rows read for
+    // a point/range predicate on EITHER column shrink accordingly
+    assert(meanRange(zDir, "xa") < 0.5, s"zo xa=${meanRange(zDir, "xa")}")
+    assert(meanRange(zDir, "xb") < 0.5, s"zo xb=${meanRange(zDir, "xb")}")
+    // single-column sort: xa is narrow but xb spans ~everything per file
+    assert(meanRange(sDir, "xa") < 0.2)
+    assert(meanRange(sDir, "xb") > 0.9, s"sorted xb=${meanRange(sDir, "xb")}")
+    // layout must not change the data
+    val back: DataFrame = spark.read.parquet(zDir)
+    assert(back.count() == 4096 && back.exceptAll(df).isEmpty)
+  }
 }
