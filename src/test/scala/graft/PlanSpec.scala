@@ -57,12 +57,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("simhash candidate join is equi on (table, packed key): no cross product, no hot constant key") {
-    val p = plan("dedup_simhash")
+    // assert on the OPERATOR plan, not the registered query: since round 7
+    // the registered key is a completeness differential whose brute-force
+    // exact side is a deliberate (fixture-scale) cartesian harness
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    val p = graft.operators.Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("embed LSH candidates join on (table, bucket); exact embed baseline is a distributed cartesian") {
-    val lsh = plan("dedup_embed_lsh")
+    // operator plan, not the registered differential (see simhash note)
+    val e = graft.engine.Tables.load(spark, dir, "embeddings")
+    val lsh = graft.operators.Dedup.cosinePairsLsh(e, "vec_id", "embedding",
+      minCosine = 0.45, numTables = 12, planesPerTable = 4)
+      .queryExecution.executedPlan.toString
     assert(!lsh.contains("CartesianProduct"), lsh)
     // the exact baseline MUST be a distributed product (cartesian across
     // partition pairs, or broadcast-nested-loop when one side fits under

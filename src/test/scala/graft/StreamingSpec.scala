@@ -196,4 +196,28 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
     } finally q.stop()
   }
+
+  test("upsertSink: streamed CDC records maintain a keyed table via the batch upsert") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val table = s"$base/t"
+    val q = EventStreams.upsertSink(
+      mem.toDF().toDF("k", "v", "seq"), table, Seq("k"), "seq", s"$base/ckpt")
+    try {
+      // batch 1: two inserts + an intra-batch duplicate key (seq 2 wins)
+      mem.addData((1L, "a", 1L), (2L, "b", 1L), (1L, "a2", 2L))
+      q.processAllAvailable()
+      val t1 = spark.read.parquet(table).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(t1 == Map(1L -> "a2", 2L -> "b"))
+      // batch 2: update one key, insert another — non-updated key survives
+      mem.addData((2L, "b9", 3L), (3L, "c", 3L))
+      q.processAllAvailable()
+      val t2 = spark.read.parquet(table).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(t2 == Map(1L -> "a2", 2L -> "b9", 3L -> "c"))
+    } finally q.stop()
+  }
 }
