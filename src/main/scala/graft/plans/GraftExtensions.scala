@@ -21,5 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot requires exactly 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_nfc requires exactly 1 argument, got ${children.length}")
+        NfcNormalize(children.head)
+      }))
   }
 }

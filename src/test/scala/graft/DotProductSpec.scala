@@ -73,6 +73,9 @@ class DotProductSpec extends SparkSpec {
       val d = s2.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .head().getDouble(0)
       assert(d == 11.0)
+      // graft_nfc rides the same extension: decomposed e+U+0301 composes
+      val n = s2.sql("SELECT graft_nfc('café') AS n").head().getString(0)
+      assert(n == "café")
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
