@@ -81,7 +81,15 @@ object ScaleQueries {
     Profile.sampleKPerGroup(t(s, d, "documents"), "doc_id", "source", k = 20)
       .select("doc_id", "source").orderBy("source", "doc_id")
 
+  /** Hourly event-rate anomalies per type at |z| ≥ 2 (97/138/165 flagged
+    * type-hours at sf0.001/0.01/0.1 — nondegenerate everywhere; closest
+    * fixture z to the threshold is 0.003 away, far above FP noise). */
+  val rateAnomaly: Q = (s, d) =>
+    Events.rateAnomalies(Tables.loadEvents(s, d), "ts", "event_type")
+      .orderBy("event_type", "hour")
+
   val all: Map[String, Q] = Map(
+    "rate_anomaly" -> rateAnomaly,
     "hist_bins" -> histBins,
     "hist_quantile" -> histQuantile,
     "profile_cols" -> profileCols,
@@ -93,6 +101,17 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rate_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, hour, n,
+        |    round((n - avg(n) OVER (PARTITION BY event_type))
+        |          / stddev_samp(n) OVER (PARTITION BY event_type), 4) AS z
+        |  FROM c)
+        |SELECT event_type, hour, n, z FROM s WHERE abs(z) >= 2.0
+        |ORDER BY event_type, hour""".stripMargin,
     "hist_bins" ->
       """WITH b AS (
         |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi

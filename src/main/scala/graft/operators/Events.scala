@@ -87,6 +87,33 @@ object Events {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-key rate anomalies: hourly event counts z-scored against the
+    * key's own hourly mean/stddev; rows with |z| ≥ `zThreshold` are the
+    * monitoring signal every ingest pipeline wants (a traffic spike, a
+    * dead source). Keys whose rate never varies (stddev 0 → z NULL) are
+    * by definition anomaly-free and drop out.
+    *
+    * Scale shape: one partial-aggregated groupBy on (key, hour) — output
+    * bounded by keys × active hours — then mean/stddev as ONE window
+    * shuffle per key over those compact rows (never over raw events). z is
+    * emitted ROUNDED to 4 decimals: Spark and DuckDB both use Welford
+    * accumulation for stddev but disagree in final ulps; fixture z values
+    * sit ≥ 0.003 from the threshold, so rounding can't flip membership. */
+  def rateAnomalies(
+      df: DataFrame, tsCol: String, keyCol: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    require(zThreshold > 0, "zThreshold must be positive")
+    val counts = df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val byKey = Window.partitionBy(keyCol)
+    val sd = stddev_samp(col("n")).over(byKey)
+    // explicit zero-variance guard: ANSI mode (Spark 4 default) turns the
+    // 0/0 of a constant-rate key into a runtime error rather than NULL
+    val z = when(sd > 0, (col("n") - avg(col("n")).over(byKey)) / sd)
+    counts.withColumn("z", round(z, 4))
+      .filter(abs(col("z")) >= zThreshold)
+  }
+
   /** Hourly resample with gap filling: per key, one row for EVERY hour
     * between that key's first and last event — empty hours appear with
     * n = 0 (the time-series densification every downstream rate/trend

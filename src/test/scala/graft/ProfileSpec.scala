@@ -177,6 +177,21 @@ class ProfileSpec extends SparkSpec {
     assert(got.sameElements(Array(15L, 6L, 3L))) // pinned vs DuckDB (see oracle)
   }
 
+  test("rateAnomalies: spike hour flagged, steady key drops out (stddev 0)") {
+    val base = 1700000000000L
+    val hourTs = (h: Int, i: Int) => new java.sql.Timestamp(base + h * 3600000L + i * 1000L)
+    val spiky = (0 until 9).flatMap(h => (0 until 2).map(i => (hourTs(h, i), "spiky"))) ++
+      (0 until 20).map(i => (hourTs(9, i), "spiky"))
+    val steady = (0 until 10).flatMap(h => (0 until 3).map(i => (hourTs(h, i), "steady")))
+    val ev = (spiky ++ steady).toDF("ts", "event_type")
+    val got = graft.operators.Events.rateAnomalies(ev, "ts", "event_type", zThreshold = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    // counts 2x9 + one 20-spike: mean 3.8, sd ~5.69 -> z ~ 2.847; steady sd=0
+    assert(got.length == 1)
+    assert(got.head._1 == "spiky" && got.head._2 == 20L)
+    assert(math.abs(got.head._3 - 2.8460) < 0.001, got.head.toString)
+  }
+
   // -------------------------------------------------- text normalization
 
   test("NfcNormalize: decomposed and composed forms become identical; NULL passes through") {
