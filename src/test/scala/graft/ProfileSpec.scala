@@ -214,6 +214,31 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
 
+  test("NfcNormalize properties: idempotent, ASCII-identity, JDK-equivalent (seeded gen)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // mixed ascii / latin-1 / combining marks / CJK — the NFC-interesting space
+    val charGen = Gen.frequency(
+      6 -> Gen.choose(32.toChar, 126.toChar),
+      2 -> Gen.choose(0x00C0.toChar, 0x017F.toChar),
+      2 -> Gen.choose(0x0300.toChar, 0x036F.toChar),
+      1 -> Gen.choose(0x4E00.toChar, 0x4E80.toChar))
+    val strGen = Gen.listOfN(40, charGen).map(_.mkString)
+    val strings = (1 to 64).map(i =>
+      strGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val asciiOnly = strings.map(_.filter(_ < 127.toChar))
+    val df = (strings ++ asciiOnly).toDF("t")
+      .select(col("t"), graft.plans.NfcNormalize.nfc(col("t")).as("n"))
+      .select(col("t"), col("n"), graft.plans.NfcNormalize.nfc(col("n")).as("nn"))
+    df.collect().foreach { r =>
+      val (t, n, nn) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(nn == n, s"not idempotent on: $t")
+      assert(n == java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC),
+        s"diverges from JDK on: $t")
+      if (t.forall(_ < 127.toChar)) assert(n == t, s"ASCII changed: $t")
+    }
+  }
+
   test("withNormalizedText lowers, collapses whitespace, trims, and NFC-normalizes") {
     val df = Seq("  Hello\t\tWORLD  café \n", "ok").toDF("text")
     val got = TextAnalysis.withNormalizedText(df, "text")
