@@ -87,6 +87,34 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes / targetFileBytes⌉ files. Streaming sinks, frequent small
+    * upserts, and over-parallel writes all accrete thousands of tiny files
+    * whose open/footer costs eventually dominate scans (the operational
+    * "small files problem"); periodic compaction is the standard fix.
+    *
+    * The rewrite fully materializes into a `.tmp` sibling first, then
+    * swaps via rename — readers see the old layout or the new one, never
+    * a partial directory (same publish discipline as [[publish]]).
+    * Round-trip equality and file-count reduction pinned in SinksSpec. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new Path(path)).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new Path(path + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(path + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(new Path(path), old), s"compact: rename $path -> $old failed")
+    require(fs.rename(tmp, new Path(path)), s"compact: rename $tmp -> $path failed")
+    fs.delete(old, true): Unit
+  }
+
   /** S8 — staged publish of a set of named tables into a staging dir.
     * All-or-nothing: a mid-run failure leaves the current staging dir
     * untouched (the partial output stays in `<stagingDir>.tmp`).

@@ -40,6 +40,20 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("compact: many small files collapse, data identical, old layout removed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    df.repartition(64).write.parquet(dir) // the small-files accretion
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 64)
+    Sinks.compact(spark, dir) // 64 tiny files are far under one target file
+    assert(parquetFiles() == 1, s"got ${parquetFiles()} files")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000 && back.exceptAll(df).isEmpty)
+    assert(!new java.io.File(dir + ".tmp").exists && !new java.io.File(dir + ".old").exists)
+  }
+
   test("writeZOrdered: per-file ranges stay narrow on BOTH dims; 1-col sort does not") {
     import org.apache.spark.sql.DataFrame
     // uniform 2-d grid: the adversarial case for any single-column layout
