@@ -158,7 +158,11 @@ object Profile {
     * the groupBy — and this operator is its accuracy harness over the keys
     * that matter most (the heavy ones, where relative error is smallest).
     * Keys are sketched as strings (cast once on both build and probe) so
-    * any orderable key type gets identical hashing. The sketch itself is
+    * any orderable key type gets identical hashing. NULL keys are excluded
+    * on BOTH sides (a NULL cannot be sketched — estimating it would NPE;
+    * excluding it from the exact side too keeps the sides comparable. A
+    * heavily-NULL key column is a data-quality finding for
+    * [[columnProfile]], not a frequency one). The sketch itself is
     * driver-held and broadcast — bounded by (eps, confidence), never by
     * data size. Deterministic for a fixed seed. */
   def heavyHittersChecked(
@@ -169,11 +173,12 @@ object Profile {
       confidence: Double = 0.999,
       seed: Int = 42): DataFrame = {
     val keyed = df.select(col(keyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
     val cms = keyed.stat.countMinSketch("__k", eps, confidence, seed)
     val slack = math.ceil(eps * cms.totalCount()).toLong
     val bcast = df.sparkSession.sparkContext.broadcast(cms)
     val est = udf((k: String) => bcast.value.estimateCount(k))
-    heavyHitters(df, keyCol, minCount)
+    heavyHitters(df.filter(col(keyCol).isNotNull), keyCol, minCount)
       .withColumn("__est", est(col(keyCol).cast("string")))
       .select(col(keyCol), col("cnt"),
         when(col("__est") >= col("cnt") && col("__est") <= col("cnt") + slack, 1)

@@ -110,6 +110,14 @@ class ProfileSpec extends SparkSpec {
       s"CMS contract violated for ${got.filter(_._3 == 0).mkString(",")}")
   }
 
+  test("heavyHittersChecked: NULL keys excluded, no NPE even when NULL is heavy") {
+    val df = (Seq.fill(50)(Option.empty[Long]) ++ (1 to 50).map(_ => Some(7L)))
+      .toDF("k")
+    val got = graft.operators.Profile.heavyHittersChecked(df, "k", minCount = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.sameElements(Array((7L, 50L, 1))))
+  }
+
   test("heavyHitters output is bounded: no key below minCount appears") {
     val ev = Tables.loadEvents(spark, "/root/testdata/sf0.001")
     val below = Profile.heavyHitters(ev, "user_id", minCount = 70)
