@@ -96,12 +96,21 @@ object Sinks {
     * The rewrite fully materializes into a `.tmp` sibling first, then
     * swaps via rename — readers see the old layout or the new one, never
     * a partial directory (same publish discipline as [[publish]]).
-    * Round-trip equality and file-count reduction pinned in SinksSpec. */
+    * Round-trip equality and file-count reduction pinned in SinksSpec.
+    *
+    * Refuses Hive-partitioned directories (`k=v` subdirs): a flat rewrite
+    * would silently demote the partition columns from prunable directory
+    * structure to plain data columns. Compact those per-partition. */
   def compact(
       spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitioned = fs.listStatus(new Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.contains("="))
+    require(partitioned.isEmpty,
+      s"compact: $path is Hive-partitioned (${partitioned.take(3).mkString(", ")}…) — " +
+        "a flat rewrite would lose the partition layout; compact each partition dir instead")
     val bytes = fs.getContentSummary(new Path(path)).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new Path(path + ".tmp")

@@ -54,6 +54,14 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".tmp").exists && !new java.io.File(dir + ".old").exists)
   }
 
+  test("compact refuses a Hive-partitioned directory (layout would be lost)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cpart").toString + "/t"
+    Seq(("A", 1), ("B", 2)).toDF("tag", "v")
+      .write.partitionBy("tag").parquet(dir)
+    val e = intercept[IllegalArgumentException](Sinks.compact(spark, dir))
+    assert(e.getMessage.contains("Hive-partitioned"), e.getMessage)
+  }
+
   test("writeZOrdered: per-file ranges stay narrow on BOTH dims; 1-col sort does not") {
     import org.apache.spark.sql.DataFrame
     // uniform 2-d grid: the adversarial case for any single-column layout
