@@ -173,14 +173,19 @@ object EventStreams {
             graft.engine.Ops.upsert(
               spark.read.parquet(tablePath), lastPerKey, keyCols)
           else lastPerKey
-        // write-then-rename: the read above is fully materialized before
-        // the swap, and a reader never observes a partial table
-        val tmp = tablePath + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
-        require(fs.rename(
-          new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(tablePath)),
-          s"upsertSink: swap into $tablePath failed")
+        // write-then-swap (same discipline as Sinks.publish/compact): the
+        // merged table fully materializes into .tmp, then two metadata
+        // renames swap it live — never a delete-first window whose length
+        // scales with table size
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+        val live = new org.apache.hadoop.fs.Path(tablePath)
+        val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(live)) require(fs.rename(live, old),
+          s"upsertSink: rename $live -> $old failed")
+        require(fs.rename(tmp, live), s"upsertSink: swap into $tablePath failed")
+        fs.delete(old, true)
         (): Unit
       }
       .start()
