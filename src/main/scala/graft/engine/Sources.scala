@@ -133,4 +133,23 @@ object Sources {
       .option("mode", options.getOrElse("mode", "FAILFAST"))
       .options(options)
       .json(path)
+
+  /** ORC source with the same declared-schema validation as [[parquet]]:
+    * the file's footer schema must contain every expected column at the
+    * expected type, surfaced as one aggregated SchemaMismatch instead of a
+    * mid-job cast failure. ORC carries the same columnar pushdown/pruning
+    * contract as parquet (PushedFilters asserted in SourcesSpec), so
+    * corpora arriving in ORC read through an identical plan shape. */
+  def orc(
+      spark: SparkSession,
+      path: String,
+      expected: Option[StructType] = None,
+      table: String = "orc"): DataFrame = {
+    val df = spark.read.orc(path)
+    expected.foreach { e =>
+      val problems = diff(e, df.schema)
+      if (problems.nonEmpty) throw SchemaMismatch(table, problems)
+    }
+    df
+  }
 }

@@ -75,6 +75,27 @@ class SourcesSpec extends SparkSpec {
     assert(viaCsv.schema == schema) // declared, not inferred
   }
 
+  test("orc: round-trip, schema validation, and filter pushdown into the ORC scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val nation = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.orc(s"$dir/nation_orc")
+    val viaOrc = Sources.orc(spark, s"$dir/nation_orc", Some(nation.schema), "nation")
+    assert(viaOrc.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // wrong expected schema -> aggregated column-level failure, not a cast crash
+    val e = intercept[Sources.SchemaMismatch] {
+      Sources.orc(spark, s"$dir/nation_orc",
+        Some(graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "region").schema),
+        "nation")
+    }
+    assert(e.problems.nonEmpty)
+    // same pushdown contract as parquet
+    val plan = viaOrc.filter(col("n_nationkey") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"), plan)
+  }
+
   test("csv: malformed rows fail fast (FAILFAST), not silent nulls") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-badcsv").toString
