@@ -81,9 +81,8 @@ object ScaleQueries {
     Profile.sampleKPerGroup(t(s, d, "documents"), "doc_id", "source", k = 20)
       .select("doc_id", "source").orderBy("source", "doc_id")
 
-  /** Hourly event-rate anomalies per type at |z| ≥ 2 (97/138/165 flagged
-    * type-hours at sf0.001/0.01/0.1 — nondegenerate everywhere; closest
-    * fixture z to the threshold is 0.003 away, far above FP noise). */
+  /** Hourly event-rate anomalies per type at |z| ≥ 2, gap hours
+    * zero-filled (so a silent source is flaggable, not invisible). */
   val rateAnomaly: Q = (s, d) =>
     Events.rateAnomalies(Tables.loadEvents(s, d), "ts", "event_type")
       .orderBy("event_type", "hour")
@@ -102,14 +101,25 @@ object ScaleQueries {
 
   val oracles: Map[String, String] = Map(
     "rate_anomaly" ->
-      """WITH c AS (
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', min(ts)) AS h0
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT date_trunc('hour', max(ts)) AS h1 FROM events),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM b, g),
+        |c AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
         |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT spine.event_type, spine.hour, coalesce(c.n, 0) AS n
+        |  FROM spine LEFT JOIN c
+        |    ON spine.event_type = c.event_type AND spine.hour = c.hour),
         |s AS (
         |  SELECT event_type, hour, n,
         |    round((n - avg(n) OVER (PARTITION BY event_type))
         |          / stddev_samp(n) OVER (PARTITION BY event_type), 4) AS z
-        |  FROM c)
+        |  FROM f)
         |SELECT event_type, hour, n, z FROM s WHERE abs(z) >= 2.0
         |ORDER BY event_type, hour""".stripMargin,
     "hist_bins" ->

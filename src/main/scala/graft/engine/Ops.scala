@@ -190,11 +190,17 @@ object Ops {
     * |matches| + fpp·|fact| before the exchange — at a 1% match rate,
     * a ~50x smaller shuffle for one extra scan of the dim keys.
     *
-    * Keys are hashed as strings (cast once on both build and probe) so any
-    * key type gets identical Bloom hashing; NULL fact keys never match
-    * (semi-join semantics). `expectedItems` sizes the filter — overshoot
-    * is wasted memory, undershoot inflates fpp, correctness is unaffected
-    * either way. */
+    * Keys are hashed as strings so any key type gets identical Bloom
+    * hashing — and the dim key is first cast to the FACT key's type, so
+    * both sides render the same value identically (a LONG 7 probe and a
+    * DECIMAL(12,2) 7.00 build would otherwise hash "7" vs "7.00" and the
+    * prefilter would drop a row the exact join matches; casting the build
+    * side to the probe type makes the Bloom a superset of the coerced
+    * join's matches — lossy casts can only add false positives, which the
+    * exact semi-join removes). NULL fact keys never match (semi-join
+    * semantics). `expectedItems` sizes the filter — overshoot is wasted
+    * memory, undershoot inflates fpp, correctness is unaffected either
+    * way. */
   def bloomSemiJoin(
       fact: DataFrame,
       dim: DataFrame,
@@ -202,7 +208,8 @@ object Ops {
       dimKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
-    val bf = dim.select(col(dimKey).cast("string").as("__k"))
+    val factType = fact.schema(factKey).dataType
+    val bf = dim.select(col(dimKey).cast(factType).cast("string").as("__k"))
       .stat.bloomFilter("__k", expectedItems, fpp)
     val bcast = fact.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: String) => k != null && bcast.value.mightContainString(k))

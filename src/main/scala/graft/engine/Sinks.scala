@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 
 /** Sinks / publish (SURVEY §2.1 S4/S7/S8).
@@ -18,6 +18,38 @@ object Sinks {
   /** S4/S7 — idempotent materialize. */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Restore `live` from `<live>.old` if a previous [[swapInto]] crashed
+    * between its two renames (live missing, `.old` holding the only copy).
+    * Any caller that READS `live` before staging a rewrite must call this
+    * first — otherwise a replay after such a crash reads an absent table
+    * as empty and the subsequent swap deletes the `.old` survivor. */
+  def recoverSwap(fs: FileSystem, live: Path): Unit = {
+    val old = new Path(live.toString + ".old")
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"swap recovery: rename $old -> $live failed")
+  }
+
+  /** Swap a fully-materialized `<live>.tmp` into `live`: recover any
+    * half-finished prior swap, then rename live -> `.old`, `.tmp` -> live,
+    * and drop `.old`. Each rename is a single atomic metadata op on
+    * HDFS/posix, but a crash CAN land between the two — the previous
+    * contents then survive at `.old`, and the next recoverSwap/swapInto
+    * restores them. So the table is never lost, though readers see a
+    * missing path until recovery runs; the window is two metadata ops,
+    * independent of table size. Shared by publish / compact / the
+    * streaming upsert sink so the discipline cannot drift. */
+  def swapInto(fs: FileSystem, live: Path): Unit = {
+    val tmp = new Path(live.toString + ".tmp")
+    val old = new Path(live.toString + ".old")
+    recoverSwap(fs, live)
+    require(fs.exists(tmp), s"swapInto: staged dir $tmp missing")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"swapInto: rename $live -> $old failed")
+    require(fs.rename(tmp, live), s"swapInto: rename $tmp -> $live failed")
+    fs.delete(old, true): Unit
+  }
 
   /** Hive-style partitioned layout: readers filtering on `cols` prune
     * whole directories (PartitionFilters in the scan) — the at-rest
@@ -94,9 +126,11 @@ object Sinks {
     * "small files problem"); periodic compaction is the standard fix.
     *
     * The rewrite fully materializes into a `.tmp` sibling first, then
-    * swaps via rename — readers see the old layout or the new one, never
-    * a partial directory (same publish discipline as [[publish]]).
-    * Round-trip equality and file-count reduction pinned in SinksSpec.
+    * swaps via [[swapInto]] — readers see the old layout or the new one,
+    * never a partial directory (a crash between the swap's two renames
+    * leaves the path briefly absent, with the data intact at `.old` and
+    * restored by the next compact/[[recoverSwap]]). Round-trip equality
+    * and file-count reduction pinned in SinksSpec.
     *
     * Refuses Hive-partitioned directories (`k=v` subdirs): a flat rewrite
     * would silently demote the partition columns from prunable directory
@@ -106,6 +140,7 @@ object Sinks {
       targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, new Path(path)) // we read `path` below; restore a half-swapped table first
     val partitioned = fs.listStatus(new Path(path))
       .filter(_.isDirectory).map(_.getPath.getName).filter(_.contains("="))
     require(partitioned.isEmpty,
@@ -117,11 +152,7 @@ object Sinks {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(path + ".old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(new Path(path), old), s"compact: rename $path -> $old failed")
-    require(fs.rename(tmp, new Path(path)), s"compact: rename $tmp -> $path failed")
-    fs.delete(old, true): Unit
+    swapInto(fs, new Path(path))
   }
 
   /** S8 — staged publish of a set of named tables into a staging dir.
@@ -133,16 +164,8 @@ object Sinks {
     val spark = tables.head._2.sparkSession
     val fs = new Path(stagingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(stagingDir + ".tmp")
-    val live = new Path(stagingDir)
-    val old = new Path(stagingDir + ".old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     tables.foreach { case (name, df) => write(df, s"$stagingDir.tmp/$name") }
-    // swap: live -> .old, tmp -> live, drop .old (rename is atomic per path
-    // on HDFS/posix; the window with no live dir is two metadata ops, vs the
-    // reference's full recopy window)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live)) { require(fs.rename(live, old), s"publish: rename $live -> $old failed") }
-    require(fs.rename(tmp, live), s"publish: rename $tmp -> $live failed")
-    fs.delete(old, true): Unit
+    swapInto(fs, new Path(stagingDir))
   }
 }

@@ -90,21 +90,39 @@ object Events {
   /** Per-key rate anomalies: hourly event counts z-scored against the
     * key's own hourly mean/stddev; rows with |z| ≥ `zThreshold` are the
     * monitoring signal every ingest pipeline wants (a traffic spike, a
-    * dead source). Keys whose rate never varies (stddev 0 → z NULL) are
-    * by definition anomaly-free and drop out.
+    * dead source). Hours with NO events are zero-filled first, on a
+    * spine running from each key's own first hour to the DATASET's last
+    * hour — without the fill, a key that goes silent simply produces no
+    * (key, hour) rows and the outage is invisible to the z-score; and
+    * the global (not per-key) upper bound is what makes the dead-source
+    * case detectable at all, since a dead key's own max(ts) is its last
+    * healthy event. The gap hours are genuine n=0 observations that both
+    * depress the mean and surface as low-z rows (pinned in ProfileSpec's
+    * dead-source test). Keys whose rate never varies (stddev 0 →
+    * z NULL) are by definition anomaly-free and drop out.
     *
-    * Scale shape: one partial-aggregated groupBy on (key, hour) — output
-    * bounded by keys × active hours — then mean/stddev as ONE window
-    * shuffle per key over those compact rows (never over raw events). z is
-    * emitted ROUNDED to 4 decimals: Spark and DuckDB both use Welford
-    * accumulation for stddev but disagree in final ulps; fixture z values
-    * sit ≥ 0.003 from the threshold, so rounding can't flip membership. */
+    * Scale shape: one partial-aggregated groupBy on (key, hour) plus the
+    * spine equi-join — output bounded by keys × span-hours — then
+    * mean/stddev as ONE window shuffle per key over those compact rows
+    * (never over raw events). z is emitted ROUNDED to 4 decimals: Spark
+    * and DuckDB both use Welford accumulation for stddev but disagree in
+    * final ulps; fixture z values sit well clear of the threshold, so
+    * rounding can't flip membership (ProfileSpec pins the margin). */
   def rateAnomalies(
       df: DataFrame, tsCol: String, keyCol: String,
       zThreshold: Double = 2.0): DataFrame = {
     require(zThreshold > 0, "zThreshold must be positive")
-    val counts = df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+    // spine: per-key first hour -> GLOBAL last hour (1-row agg, broadcast)
+    val h1 = df.agg(date_trunc("hour", max(col(tsCol))).as("__h1"))
+    val spine = df.groupBy(col(keyCol))
+      .agg(date_trunc("hour", min(col(tsCol))).as("__h0"))
+      .crossJoin(broadcast(h1))
+      .select(col(keyCol),
+        explode(sequence(col("__h0"), col("__h1"), expr("interval 1 hour"))).as("hour"))
+    val raw = df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n"))
+    val counts = spine.join(raw, Seq(keyCol, "hour"), "left")
+      .na.fill(0L, Seq("n"))
     val byKey = Window.partitionBy(keyCol)
     val sd = stddev_samp(col("n")).over(byKey)
     // explicit zero-variance guard: ANSI mode (Spark 4 default) turns the

@@ -77,7 +77,9 @@ object Profile {
       val p = i.toDouble / nBins
       val cut = approxAccuracy match {
         case Some(acc) => percentile_approx(x, lit(p), lit(acc))
-        case None => expr(s"percentile($valueCol, $p)")
+        // Column-based, not expr() text: a name like "a-b" would parse as
+        // an arithmetic expression, one with spaces wouldn't parse at all
+        case None => percentile(x, lit(p))
       }
       round(cut, 4).as(s"__c$i")
     }

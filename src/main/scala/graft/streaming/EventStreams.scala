@@ -143,10 +143,14 @@ object EventStreams {
     * foreachBatch is the standard pattern for merge sinks on plain
     * parquet (streaming writers are append-only; MERGE needs a
     * read-modify-write): each batch is deduped to its LAST record per key
-    * (by `seqCol`, ties broken by largest — later wins, and a batch
-    * replaying the same data converges), merged, and atomically swapped
-    * in via rename so readers never see a half-written table. Exactly-once
-    * per batch comes from the swap being idempotent under replay.
+    * (by `seqCol` descending, ties broken by the remaining columns'
+    * values — a TOTAL order, so a replayed batch picks the same winner),
+    * merged, and swapped in via [[graft.engine.Sinks.swapInto]] so readers
+    * never see a half-written table. Replay safety needs the recovery
+    * step too: a crash between the swap's two renames leaves the table
+    * only at `.old`, and re-running the batch against a missing live path
+    * would rebuild the table from the batch alone — so the batch calls
+    * recoverSwap BEFORE reading.
     *
     * Scale shape: the merge is one full-outer join per micro-batch keyed
     * on `keyCols` — batch-side small, table-side the live state; on a real
@@ -162,14 +166,19 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark: SparkSession = batch.sparkSession
+        // seq desc, then every remaining column: a total order, so ties on
+        // (key, seq) resolve identically when the batch replays
+        val tiebreak = batch.columns.toSeq
+          .filterNot(c => keyCols.contains(c) || c == seqCol).map(col(_).desc)
         val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(seqCol).desc)
+          .orderBy(col(seqCol).desc +: tiebreak: _*)
         val lastPerKey = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val fs = new org.apache.hadoop.fs.Path(tablePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val live = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.engine.Sinks.recoverSwap(fs, live) // we read `live` next
         val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(tablePath)))
+          if (fs.exists(live))
             graft.engine.Ops.upsert(
               spark.read.parquet(tablePath), lastPerKey, keyCols)
           else lastPerKey
@@ -177,15 +186,8 @@ object EventStreams {
         // merged table fully materializes into .tmp, then two metadata
         // renames swap it live — never a delete-first window whose length
         // scales with table size
-        val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
-        val live = new org.apache.hadoop.fs.Path(tablePath)
-        val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(old)) fs.delete(old, true)
-        if (fs.exists(live)) require(fs.rename(live, old),
-          s"upsertSink: rename $live -> $old failed")
-        require(fs.rename(tmp, live), s"upsertSink: swap into $tablePath failed")
-        fs.delete(old, true)
+        merged.write.mode("overwrite").parquet(tablePath + ".tmp")
+        graft.engine.Sinks.swapInto(fs, live)
         (): Unit
       }
       .start()

@@ -147,6 +147,20 @@ class ProfileSpec extends SparkSpec {
     assert(got.sameElements(Array(1L, 500L, 999L)))
   }
 
+  test("bloomSemiJoin: mismatched key types (LONG fact vs DECIMAL dim) match exactly") {
+    // the Bloom build renders the dim key through the FACT key's type:
+    // without that cast, dim 7.00 hashes "7.00" while fact 7 probes "7",
+    // and the prefilter drops a row the coercing semi-join matches
+    val fact = (1L to 100L).toDF("k")
+    val dim = Seq("7.00", "42.00", "3.50").toDF("s")
+      .select(col("s").cast("decimal(12,2)").as("d"))
+    val got = Ops.bloomSemiJoin(fact, dim, "k", "d", expectedItems = 10L)
+      .as[Long].collect().sorted
+    val plain = fact.join(dim, fact("k") === dim("d"), "left_semi")
+      .as[Long].collect().sorted
+    assert(got.sameElements(plain) && got.sameElements(Array(7L, 42L)))
+  }
+
   test("bloomSemiJoin: NULL fact keys never match") {
     val fact = Seq[java.lang.Long](1L, null, 2L).toDF("k")
     val dim = Seq(1L).toDF("d")
@@ -198,6 +212,23 @@ class ProfileSpec extends SparkSpec {
     assert(got.length == 1)
     assert(got.head._1 == "spiky" && got.head._2 == 20L)
     assert(math.abs(got.head._3 - 2.8460) < 0.001, got.head.toString)
+  }
+
+  test("rateAnomalies: a dead source's silent trailing hours are zero-filled and flagged") {
+    val base = 1700000000000L
+    val hourTs = (h: Int, i: Int) => new java.sql.Timestamp(base + h * 3600000L + i * 1000L)
+    // 'dead' runs at 10/hour for hours 0-9 then stops; 'alive' runs through
+    // hour 11, extending the global spine past dead's last event
+    val dead = (0 until 10).flatMap(h => (0 until 10).map(i => (hourTs(h, i), "dead")))
+    val alive = (0 until 12).flatMap(h => (0 until 3).map(i => (hourTs(h, i), "alive")))
+    val ev = (dead ++ alive).toDF("ts", "event_type")
+    val got = graft.operators.Events.rateAnomalies(ev, "ts", "event_type", zThreshold = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    // dead's counts: ten 10s + two zero-filled hours -> mean 8.333,
+    // sd 3.8925, z(0) = -2.1411; alive is constant-rate (sd 0, drops out)
+    assert(got.length == 2, got.mkString(","))
+    assert(got.forall(r => r._1 == "dead" && r._2 == 0L && math.abs(r._3 + 2.1411) < 0.001),
+      got.mkString(","))
   }
 
   // -------------------------------------------------- text normalization

@@ -54,6 +54,32 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".tmp").exists && !new java.io.File(dir + ".old").exists)
   }
 
+  test("recoverSwap: a crash between the swap's two renames is recovered, data never lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-swap").toString + "/t"
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, "v1")).toDF("k", "v").write.parquet(dir)
+    // simulate the crash window: live renamed to .old, second rename never ran
+    require(fs.rename(live, new org.apache.hadoop.fs.Path(dir + ".old")))
+    assert(!fs.exists(live))
+    Sinks.recoverSwap(fs, live)
+    assert(spark.read.parquet(dir).collect().map(_.getString(1)).sameElements(Array("v1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+  }
+
+  test("swapInto recovers a half-finished prior swap, then installs the new contents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-swap2").toString + "/t"
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, "v1")).toDF("k", "v").write.parquet(dir)
+    require(fs.rename(live, new org.apache.hadoop.fs.Path(dir + ".old"))) // crashed swap
+    Seq((1L, "v2")).toDF("k", "v").write.parquet(dir + ".tmp") // the retry's staging
+    Sinks.swapInto(fs, live)
+    assert(spark.read.parquet(dir).collect().map(_.getString(1)).sameElements(Array("v2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".tmp")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+  }
+
   test("compact refuses a Hive-partitioned directory (layout would be lost)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cpart").toString + "/t"
     Seq(("A", 1), ("B", 2)).toDF("tag", "v")

@@ -218,6 +218,14 @@ class StreamingSpec extends SparkSpec {
       val t2 = spark.read.parquet(table).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(t2 == Map(1L -> "a2", 2L -> "b9", 3L -> "c"))
+      // batch 3: same key AND same seq — the tiebreak is a total order over
+      // the remaining columns (desc), so "y" wins deterministically and a
+      // replay of this batch would pick the same winner
+      mem.addData((4L, "x", 5L), (4L, "y", 5L))
+      q.processAllAvailable()
+      val t3 = spark.read.parquet(table).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(t3 == Map(1L -> "a2", 2L -> "b9", 3L -> "c", 4L -> "y"))
     } finally q.stop()
   }
 }
