@@ -42,14 +42,16 @@ object Bench {
       var err: Option[String] = None
       var i = 0
       // adaptive extension: a transiently loaded host can inflate single
-      // samples 10x (observed 4.5s vs 37.8s back-to-back on an otherwise
-      // idle 32-core box). If the spread after the base repeats exceeds 3x,
-      // take up to 2 extra samples so the reported lower-median reflects
-      // the query, not the interference.
+      // samples 10-70x (observed 0.8s vs 57.8s back-to-back, and bursts
+      // spanning several consecutive queries). If the spread after the base
+      // repeats exceeds 3x, take up to 4 extra samples: with a multi-sample
+      // interference burst, 2 extras still left the lower-median inflated
+      // (sorted [3.0,3.4,9.9,16.1,44.8] reports 9.9 for a ~3s query); 4
+      // extras let the clean samples reclaim the median once the burst ends.
       def spreadTooWide(ts: Seq[Double]): Boolean =
         ts.nonEmpty && ts.max / math.max(ts.min, 1e-9) > 3.0
       def maxRuns(ts: Seq[Double]): Int =
-        if (spreadTooWide(ts)) repeats + 2 else repeats
+        if (spreadTooWide(ts)) repeats + 4 else repeats
       while (i < maxRuns(times.result()) && err.isEmpty) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

@@ -87,7 +87,30 @@ object ScaleQueries {
     Events.rateAnomalies(Tables.loadEvents(s, d), "ts", "event_type")
       .orderBy("event_type", "hour")
 
+  /** Day-cohort retention matrix over the events fixture (who is still
+    * active N days after their first-seen day). */
+  val cohortRetention: Q = (s, d) =>
+    Events.cohortRetention(Tables.loadEvents(s, d), "user_id", "ts", period = "day")
+      .orderBy("cohort", "period_offset")
+
+  /** Per-source document-length quartiles + p95 — the distribution check
+    * behind any length-based curation threshold. */
+  val groupQuantiles: Q = (s, d) =>
+    Profile.groupQuantiles(t(s, d, "documents"), "source", "n_chars",
+      ps = Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy("source")
+
+  /** 2-hour windows sliding every 30 minutes per event type — each event
+    * in 4 overlapping windows (the bounded Expand fan-out, no self-join). */
+  val slidingCounts: Q = (s, d) =>
+    Events.slidingCounts(Tables.loadEvents(s, d), "ts", "event_type",
+      widthMinutes = 120, slideMinutes = 30)
+      .orderBy("win_start", "event_type")
+
   val all: Map[String, Q] = Map(
+    "cohort_retention" -> cohortRetention,
+    "sliding_counts" -> slidingCounts,
+    "group_quantiles" -> groupQuantiles,
     "rate_anomaly" -> rateAnomaly,
     "hist_bins" -> histBins,
     "hist_quantile" -> histQuantile,
@@ -100,6 +123,41 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cohort_retention" ->
+      """WITH first AS (
+        |  -- CAST: duckdb's date_trunc('day') yields DATE, spark's TIMESTAMP
+        |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort
+        |  FROM events GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS p
+        |  FROM events)
+        |SELECT cohort, CAST(date_diff('day', cohort, p) AS INTEGER) AS period_offset,
+        |  count(*) AS n_users
+        |FROM active JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "group_quantiles" ->
+      """SELECT source,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_chars, 0.50), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // sliding windows mirrored in integer microsecond arithmetic: window
+    // starts are the k*slide with start ∈ (t-width, t], i.e. k from
+    // (t-width)//slide + 1 (written (t-width+slide)//slide, exact for the
+    // divisible boundary too) through t//slide — integer `//`, no FP ceil
+    "sliding_counts" ->
+      """WITH starts AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(
+        |      (epoch_us(ts) - 7200000000 + 1800000000) // 1800000000,
+        |      epoch_us(ts) // 1800000000)) AS k
+        |  FROM events)
+        |SELECT make_timestamp(k * 1800000000) AS win_start,
+        |  make_timestamp(k * 1800000000 + 7200000000) AS win_end,
+        |  event_type, count(*) AS n
+        |FROM starts GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "rate_anomaly" ->
       """WITH b AS (
         |  SELECT event_type, date_trunc('hour', min(ts)) AS h0

@@ -16,6 +16,30 @@ object Events {
     df.groupBy(date_trunc(unit, col(tsCol)).as("win"), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Sliding (hopping) window counts per key: each event lands in every
+    * window of `widthMinutes` whose epoch-aligned start (multiple of
+    * `slideMinutes`, UTC session tz) lies in (t − width, t] — Spark's
+    * `window(ts, width, slide)` semantics, window = [start, start+width).
+    *
+    * Scale shape: the built-in `window()` expands each row into its
+    * ⌈width/slide⌉ overlapping windows (a bounded, constant fan-out Expand
+    * — never a self-join or range join), then one partial-aggregated
+    * shuffle on (window, key). Same plan family as the streaming
+    * windowed-agg twin, so batch and stream sliding counts share
+    * semantics. */
+  def slidingCounts(
+      df: DataFrame, tsCol: String, keyCol: String,
+      widthMinutes: Long, slideMinutes: Long): DataFrame = {
+    require(widthMinutes > 0 && slideMinutes > 0 && slideMinutes <= widthMinutes,
+      s"need 0 < slide <= width, got width=$widthMinutes slide=$slideMinutes")
+    df.groupBy(
+        window(col(tsCol), s"$widthMinutes minutes", s"$slideMinutes minutes"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col(keyCol), col("n"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. Session ids are
     * a running sum of session-start flags per user — one shuffle on
@@ -130,6 +154,40 @@ object Events {
     val z = when(sd > 0, (col("n") - avg(col("n")).over(byKey)) / sd)
     counts.withColumn("z", round(z, 4))
       .filter(abs(col("z")) >= zThreshold)
+  }
+
+  /** Cohort retention matrix: each user belongs to the cohort of their
+    * FIRST active period (day/hour truncation), and the matrix counts how
+    * many of each cohort's users were active again N periods later — the
+    * standard growth/retention analysis; for a training-data pipeline,
+    * the freshness profile of a source (how long a crawl cohort keeps
+    * contributing new activity).
+    *
+    * Scale shape: first-seen is one partial-aggregated user-key shuffle;
+    * active periods are one (user, period) DISTINCT — the count of
+    * retained users never materializes per-cohort sets, because after the
+    * distinct each user contributes exactly one row per active period and
+    * cohort is functionally determined by user, so a plain count IS the
+    * distinct-user count. The user-key equi-join joins two aggregates of
+    * the same relation; the final rollup is one partial agg bounded by
+    * cohorts × offsets. No windows over raw history, nothing collected. */
+  def cohortRetention(
+      df: DataFrame, userCol: String, tsCol: String,
+      period: String = "day"): DataFrame = {
+    require(Set("day", "hour")(period), s"period must be day|hour: $period")
+    val first = df.groupBy(col(userCol))
+      .agg(date_trunc(period, min(col(tsCol))).as("cohort"))
+    val active = df.select(col(userCol), date_trunc(period, col(tsCol)).as("__p"))
+      .distinct()
+    val offset = (period match {
+      case "day" => datediff(col("__p"), col("cohort"))
+      case "hour" =>
+        ((unix_micros(col("__p")) - unix_micros(col("cohort"))) / 3600000000L)
+          .cast("int")
+    }).as("period_offset")
+    active.join(first, userCol)
+      .groupBy(col("cohort"), offset)
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Hourly resample with gap filling: per key, one row for EVERY hour

@@ -116,6 +116,37 @@ object Profile {
       .select("s.*")
   }
 
+  /** Per-group exact quantiles: one row per key with a `pNN` column per
+    * requested quantile — the per-source length/score distribution check
+    * run before any curation threshold is chosen.
+    *
+    * Scale shape: a single partial-aggregated groupBy carries every
+    * quantile; nothing is sorted globally and nothing leaves the
+    * executors but the |keys| result rows. The default exact `percentile`
+    * buffers each group's values in its aggregation buffer — fine for
+    * bounded groups and required for the engine-exact oracle; for 100 TB
+    * groups pass `approxAccuracy = Some(n)` to switch to the
+    * constant-memory `percentile_approx` sketch (same plan shape, cuts
+    * within rank error ≤ rows/n). Quantiles are ROUNDED to 4 decimals —
+    * the established cross-engine FP discipline (see
+    * [[equiDepthHistogram]]). NULL values are excluded (both engines
+    * skip NULLs inside the aggregate; the explicit filter keeps
+    * groups that are all-NULL from emitting a NULL-quantile row). */
+  def groupQuantiles(
+      df: DataFrame, keyCol: String, valueCol: String, ps: Seq[Double],
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1), s"ps must be in (0,1): $ps")
+    val x = col(valueCol)
+    val aggs = ps.map { p =>
+      val q = approxAccuracy match {
+        case Some(acc) => percentile_approx(x, lit(p), lit(acc))
+        case None => percentile(x, lit(p))
+      }
+      round(q, 4).as("p" + math.round(p * 100))
+    }
+    df.filter(x.isNotNull).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Deterministic k-per-group sample: within each stratum, keep the k
     * rows with the smallest md5(id) draw — a hash-stable balanced subset
     * (the class-balancing companion to [[Curation.stratifiedSample]]'s

@@ -231,6 +231,48 @@ class ProfileSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("groupQuantiles: exact per-group cuts; approx path agrees on small groups") {
+    val df = ((1 to 5).map(i => ("a", i.toLong)) ++ Seq(("b", 7L), ("b", 7L)))
+      .toDF("g", "v")
+    val exact = graft.operators.Profile.groupQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.75))
+      .orderBy("g").collect()
+    // a: 1..5 -> linear-interpolated quartiles 2, 3, 4; b: constant 7
+    assert(exact(0).getString(0) == "a" &&
+      (1 to 3).map(exact(0).getDouble) == Seq(2.0, 3.0, 4.0))
+    assert(exact(1).getString(0) == "b" &&
+      (1 to 3).map(exact(1).getDouble) == Seq(7.0, 7.0, 7.0))
+    // at accuracy >= group size the sketch is exact too — same rows
+    val approx = graft.operators.Profile.groupQuantiles(df, "g", "v",
+      Seq(0.25, 0.5, 0.75), approxAccuracy = Some(10000))
+      .orderBy("g").collect()
+    assert(exact.map(_.toSeq).toSeq == approx.map(_.toSeq).toSeq)
+  }
+
+  test("slidingCounts: an event lands in exactly width/slide epoch-aligned windows") {
+    // :45 event with 60-min windows sliding every 30: starts :00 and :30 only
+    val h = 1700000000000L - (1700000000000L % 3600000L)
+    val ev = Seq((new java.sql.Timestamp(h + 45 * 60000L), "a")).toDF("ts", "event_type")
+    val got = graft.operators.Events.slidingCounts(ev, "ts", "event_type", 60, 30)
+      .orderBy("win_start").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime, r.getLong(3)))
+    assert(got.toSeq == Seq((h, h + 3600000L, 1L), (h + 1800000L, h + 5400000L, 1L)),
+      got.mkString(","))
+  }
+
+  test("cohortRetention: users land in their first-seen day's cohort, retention counted per offset") {
+    val day0 = 1700000000000L - (1700000000000L % 86400000L) // midnight-aligned
+    val at = (day: Int, h: Int) => new java.sql.Timestamp(day0 + day * 86400000L + h * 3600000L)
+    // u1 first on day 0, returns day 1; u2 only day 0 (twice — distinct
+    // collapses); u3 first on day 1
+    val ev = Seq((1L, at(0, 1)), (1L, at(1, 2)), (2L, at(0, 3)), (2L, at(0, 9)),
+      (3L, at(1, 5))).toDF("user_id", "ts")
+    val got = graft.operators.Events.cohortRetention(ev, "user_id", "ts", "day")
+      .orderBy("cohort", "period_offset").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2)))
+    val d0 = day0; val d1 = day0 + 86400000L
+    assert(got.toSeq == Seq((d0, 0, 2L), (d0, 1, 1L), (d1, 0, 1L)), got.mkString(","))
+  }
+
   // -------------------------------------------------- text normalization
 
   test("NfcNormalize: decomposed and composed forms become identical; NULL passes through") {
