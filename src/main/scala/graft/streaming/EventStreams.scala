@@ -28,6 +28,22 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win"), col("event_type"), col("n"))
 
+  /** Sliding windowed counts with a watermark — the streaming twin of
+    * [[graft.operators.Events.slidingCounts]]: the same built-in
+    * `window()` expansion (each event lands in ⌈width/slide⌉ overlapping
+    * epoch-aligned windows) over the state store, with the watermark
+    * bounding state to the still-open windows. Batch/stream parity is
+    * pinned in StreamingSpec. */
+  def slidingCounts(
+      stream: DataFrame, width: String, slide: String,
+      lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"))
+
   /** Production streaming source: tail a directory of event parquet files
     * (the schema events.parquet uses after loadEvents' ts conversion).
     * Files dropped into `dir` become micro-batches; combine with

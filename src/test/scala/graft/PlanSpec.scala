@@ -81,4 +81,22 @@ class PlanSpec extends SparkSpec {
     assert(exact.contains("CartesianProduct") || exact.contains("BroadcastNestedLoopJoin"), exact)
     assert(!exact.contains("HashJoin") && !exact.contains("SortMergeJoin"), exact)
   }
+
+  test("sliding windows are the bounded Expand fan-out, never a join") {
+    val p = plan("sliding_counts")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("cohort retention reads only (ts, user_id) and never windows raw history") {
+    val p = plan("cohort_retention")
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("group quantiles aggregate partially map-side in one pass (no join, no window)") {
+    val p = plan("group_quantiles")
+    assert(p.contains("partial_percentile"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
 }

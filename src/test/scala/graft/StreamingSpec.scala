@@ -64,6 +64,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: sliding counts agree with the batch twin on the fixture events") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = graft.engine.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+      .limit(300).select("event_id", "ts", "user_id", "event_type")
+      .as[Evt].collect().toSeq
+    val batch = graft.operators.Events
+      .slidingCounts(rows.toDF(), "ts", "event_type", widthMinutes = 120, slideMinutes = 30)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3))).toSet
+    val mem = MemoryStream[Evt]
+    val q = EventStreams.slidingCounts(mem.toDF(), "2 hours", "30 minutes")
+      .writeStream.format("memory").queryName("sparity")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("sparity").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("file source: events dropped into a directory flow through the windowed count") {
     import sqlContext.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
