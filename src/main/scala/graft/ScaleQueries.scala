@@ -107,9 +107,23 @@ object ScaleQueries {
       widthMinutes = 120, slideMinutes = 30)
       .orderBy("win_start", "event_type")
 
+  /** Top-50 adjacent-token collocations by PMI (pair count ≥ 25). */
+  val pmiCollocations: Q = (s, d) =>
+    TextAnalysis.pmiCollocations(t(s, d, "documents"), "text",
+      minPairCount = 25, k = 50)
+
+  /** Per-source winsorization of document lengths to [p5, p95]. */
+  val winsorizeLen: Q = (s, d) =>
+    Profile.winsorize(t(s, d, "documents"), "source", "n_chars",
+      pLo = 0.05, pHi = 0.95)
+      .select("doc_id", "source", "n_chars", "n_chars_clipped")
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
     "cohort_retention" -> cohortRetention,
     "sliding_counts" -> slidingCounts,
+    "pmi_collocations" -> pmiCollocations,
+    "winsorize_len" -> winsorizeLen,
     "group_quantiles" -> groupQuantiles,
     "rate_anomaly" -> rateAnomaly,
     "hist_bins" -> histBins,
@@ -143,6 +157,41 @@ object ScaleQueries {
         |  round(quantile_cont(n_chars, 0.95), 4) AS p95
         |FROM documents WHERE n_chars IS NOT NULL
         |GROUP BY source ORDER BY source""".stripMargin,
+    // PMI mirrored with the same double operation order as the Spark side
+    // (divide by totals first, then the ratio, then ln, then round 4);
+    // bigrams via list_zip of the token list against its own tail
+    "pmi_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |words AS (SELECT unnest(ts) AS w FROM toks),
+        |uni AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+        |pairs AS (
+        |  SELECT p[1] AS w1, p[2] AS w2
+        |  FROM (SELECT unnest(list_zip(ts[1:-2], ts[2:])) AS p
+        |        FROM toks WHERE len(ts) > 1)),
+        |bigall AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n1 FROM uni),
+        |n2 AS (SELECT CAST(sum(c12) AS DOUBLE) AS n2 FROM bigall)
+        |SELECT b.w1, b.w2, b.c12,
+        |  round(ln((CAST(b.c12 AS DOUBLE) / n2) /
+        |    ((CAST(u1.c AS DOUBLE) / n1) * (CAST(u2.c AS DOUBLE) / n1))), 4) AS pmi
+        |FROM bigall b
+        |JOIN uni u1 ON u1.w = b.w1
+        |JOIN uni u2 ON u2.w = b.w2
+        |CROSS JOIN n1 CROSS JOIN n2
+        |WHERE b.c12 >= 25
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    "winsorize_len" ->
+      """WITH q AS (
+        |  SELECT source,
+        |    round(quantile_cont(n_chars, 0.05), 4) AS lo,
+        |    round(quantile_cont(n_chars, 0.95), 4) AS hi
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY source)
+        |SELECT doc_id, source, n_chars,
+        |  CASE WHEN n_chars IS NULL THEN NULL
+        |    ELSE round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 4)
+        |  END AS n_chars_clipped
+        |FROM documents d JOIN q USING (source)
+        |ORDER BY doc_id""".stripMargin,
     // sliding windows mirrored in integer microsecond arithmetic: window
     // starts are the k*slide with start ∈ (t-width, t], i.e. k from
     // (t-width)//slide + 1 (written (t-width+slide)//slide, exact for the

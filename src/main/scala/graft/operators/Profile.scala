@@ -147,6 +147,36 @@ object Profile {
     df.filter(x.isNotNull).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Winsorize: clip a value column to its own group's [pLo, pHi]
+    * quantiles — the outlier-trimming step run before any mean/variance
+    * statistic or length-based mixing weight is computed from heavy-tailed
+    * document measures. Adds `<valueCol>_clipped` (DOUBLE, rounded to 4
+    * decimals per the cross-engine FP discipline); NULL values stay NULL;
+    * rows whose group has no non-NULL values are dropped with the inner
+    * join (there is no quantile to clip against).
+    *
+    * Scale shape: the cuts are one [[groupQuantiles]] pass (|keys| rows,
+    * broadcast back), then the clip is a map-side least/greatest — the
+    * corpus is scanned twice and shuffled never. `approxAccuracy` passes
+    * through for unbounded groups. */
+  def winsorize(
+      df: DataFrame, keyCol: String, valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99,
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    require(pLo < pHi, s"need pLo < pHi, got $pLo >= $pHi")
+    val loName = "p" + math.round(pLo * 100)
+    val hiName = "p" + math.round(pHi * 100)
+    require(loName != hiName, s"pLo and pHi round to the same column $loName")
+    val cuts = groupQuantiles(df, keyCol, valueCol, Seq(pLo, pHi), approxAccuracy)
+      .select(col(keyCol), col(loName).as("__lo"), col(hiName).as("__hi"))
+    val x = col(valueCol)
+    df.join(broadcast(cuts), keyCol)
+      .withColumn(s"${valueCol}_clipped",
+        when(x.isNotNull,
+          round(least(greatest(x.cast("double"), col("__lo")), col("__hi")), 4)))
+      .drop("__lo", "__hi")
+  }
+
   /** Deterministic k-per-group sample: within each stratum, keep the k
     * rows with the smallest md5(id) draw — a hash-stable balanced subset
     * (the class-balancing companion to [[Curation.stratifiedSample]]'s

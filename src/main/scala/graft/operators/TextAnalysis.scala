@@ -68,6 +68,52 @@ object TextAnalysis {
     df.withColumn("text_norm",
       trim(regexp_replace(lower(graft.plans.NfcNormalize.nfc(col(textCol))), "\\s+", " ")))
 
+  /** Top-k collocations by pointwise mutual information over ADJACENT
+    * token pairs — the standard corpus-level phrase/collocation miner
+    * ("new york"-style units a tokenizer should learn as one piece).
+    * PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with pair probability over the
+    * bigram total and word probabilities over the token total; pairs
+    * below `minPairCount` are dropped FIRST (PMI is notoriously noisy on
+    * rare pairs, and the floor is also what bounds the join).
+    *
+    * Scale shape: unigram and bigram counts are two partial-aggregated
+    * shuffles (bigrams via zip_with of the token array against its own
+    * tail — map-side, never a self-join); the count floor prunes the
+    * bigram side BEFORE its two equi-joins against the unigram counts;
+    * the totals ride in as broadcast 1-row aggregates; the final top-k is
+    * a TakeOrderedAndProject (bounded k, no global sort materialized).
+    * The PMI double is computed with the exact same operation order as
+    * the DuckDB oracle and ROUNDED to 4 decimals; ordering ties break on
+    * (w1, w2), so the k selection is deterministic and engine-portable. */
+  def pmiCollocations(
+      df: DataFrame, textCol: String,
+      minPairCount: Long = 25, k: Int = 50): DataFrame = {
+    require(minPairCount >= 1 && k >= 1, s"bad minPairCount=$minPairCount k=$k")
+    val toks = df.select(TextFns.tokens(col(textCol)).as("ts"))
+    val words = toks.select(explode(col("ts")).as("w"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val z = zip_with(
+      slice(col("ts"), lit(1), size(col("ts")) - 1),
+      slice(col("ts"), lit(2), size(col("ts")) - 1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val pairs = toks.filter(size(col("ts")) > 1)
+      .select(explode(z).as("p")).select(col("p.w1"), col("p.w2"))
+    val bigAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val n1 = uni.agg(sum(col("c")).cast("double").as("__n1"))
+    val n2 = bigAll.agg(sum(col("c12")).cast("double").as("__n2"))
+    bigAll.filter(col("c12") >= minPairCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi", round(log(
+        (col("c12").cast("double") / col("__n2")) /
+          ((col("c1").cast("double") / col("__n1")) *
+            (col("c2").cast("double") / col("__n1")))), 4))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "c12", "pmi")
+  }
+
   /** Canonical bag-of-words fingerprint + fast 64-bit content hash. */
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", TextFns.fingerprint(col(textCol)))

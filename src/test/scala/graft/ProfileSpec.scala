@@ -259,6 +259,19 @@ class ProfileSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("winsorize: values clip to the group's own quantiles; NULLs pass through") {
+    val df = ((1 to 100).map(i => ("g", java.lang.Long.valueOf(i.toLong))) :+
+      ("g", null.asInstanceOf[java.lang.Long])).toDF("k", "v")
+    val got = graft.operators.Profile.winsorize(df, "k", "v", pLo = 0.05, pHi = 0.95)
+      .collect().map(r => (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // quantile_cont over 1..100: p5 = 5.95, p95 = 95.05 (linear interpolation)
+    assert(got(Some(1L)) == Some(5.95))
+    assert(got(Some(100L)) == Some(95.05))
+    assert(got(Some(50L)) == Some(50.0))
+    assert(got(None).isEmpty) // NULL value -> NULL clipped, row retained
+  }
+
   test("cohortRetention: users land in their first-seen day's cohort, retention counted per offset") {
     val day0 = 1700000000000L - (1700000000000L % 86400000L) // midnight-aligned
     val at = (day: Int, h: Int) => new java.sql.Timestamp(day0 + day * 86400000L + h * 3600000L)

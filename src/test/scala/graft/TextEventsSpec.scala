@@ -20,6 +20,23 @@ class TextEventsSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "en"))
   }
 
+  test("pmiCollocations: hand-computed PMI, min-count floor, deterministic tie order") {
+    // corpus: "a b", "a b", "a c" -> unigrams a:3 b:2 c:1 (N1=6),
+    // bigrams (a,b):2 (a,c):1 (N2=3)
+    // pmi(a,b) = ln((2/3)/((3/6)(2/6))) = ln 4; pmi(a,c) = ln((1/3)/((3/6)(1/6))) = ln 4
+    // equal rounded scores -> tiebreak on (w1, w2)
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", minPairCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ln4 = BigDecimal(math.log(4.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("a", "b", 2L, ln4), ("a", "c", 1L, ln4)), got.mkString(","))
+    // the count floor prunes rare pairs before scoring
+    val floored = TextAnalysis.pmiCollocations(docs, "text", minPairCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(floored.toSeq == Seq(("a", "b")))
+  }
+
   test("token stats: bpe-ish regex splits punctuation that whitespace tokens miss") {
     val docs = Seq((1L, "hello, world! 42 end")).toDF("doc_id", "text")
     val r = TextAnalysis.withTokenStats(docs, "text")
