@@ -119,11 +119,26 @@ object ScaleQueries {
       .select("doc_id", "source", "n_chars", "n_chars_clipped")
       .orderBy("doc_id")
 
+  /** Per-document OOV rate against the corpus's own top-500 token vocab
+    * (deterministic: count desc, token asc). Self-referential on purpose —
+    * no external vocab table needed, and the oracle derives the identical
+    * vocab from the identical total order. */
+  val vocabCoverage: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val vocab = docs
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(500)
+    TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocab, "w")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "cohort_retention" -> cohortRetention,
     "sliding_counts" -> slidingCounts,
     "pmi_collocations" -> pmiCollocations,
     "winsorize_len" -> winsorizeLen,
+    "vocab_coverage" -> vocabCoverage,
     "group_quantiles" -> groupQuantiles,
     "rate_anomaly" -> rateAnomaly,
     "hist_bins" -> histBins,
@@ -157,6 +172,20 @@ object ScaleQueries {
         |  round(quantile_cont(n_chars, 0.95), 4) AS p95
         |FROM documents WHERE n_chars IS NOT NULL
         |GROUP BY source ORDER BY source""".stripMargin,
+    // CAST(sum AS BIGINT): duckdb sums integers into HUGEINT; spark into LONG
+    "vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS c FROM toks GROUP BY 1
+        |    ORDER BY c DESC, w LIMIT 500))
+        |SELECT t.doc_id, count(*) AS n_tok,
+        |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 4) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // PMI mirrored with the same double operation order as the Spark side
     // (divide by totals first, then the ratio, then ln, then round 4);
     // bigrams via list_zip of the token list against its own tail

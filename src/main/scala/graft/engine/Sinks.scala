@@ -155,6 +155,35 @@ object Sinks {
     swapInto(fs, new Path(path))
   }
 
+  /** JDBC write-back — the push side of the reference's staging-database
+    * flow (`Sources.jdbc` is the pull side): each partition writes through
+    * one connection with `batchSize`-row executeBatch round trips, so
+    * `numPartitions` IS the concurrent-connection count — cap it to what
+    * the database tolerates rather than letting a 2000-partition corpus
+    * open 2000 cursors. `overwrite` TRUNCATEs instead of drop/recreate
+    * (Spark's `truncate` option), preserving grants and indexes the DBA
+    * defined on the target — the reference's delete-then-reload pattern
+    * without destroying the table. Round-trip + append + re-overwrite
+    * pinned in SinksSpec against embedded Derby. */
+  def jdbc(
+      df: DataFrame, url: String, table: String,
+      mode: String = "overwrite",
+      numPartitions: Option[Int] = None,
+      batchSize: Int = 10000,
+      options: Map[String, String] = Map.empty): Unit = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(numPartitions.forall(_ > 0), s"numPartitions must be positive: $numPartitions")
+    val out = numPartitions.map(df.repartition(_)).getOrElse(df)
+    out.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .option("truncate", "true")
+      .options(options)
+      .mode(mode)
+      .save()
+  }
+
   /** S8 — staged publish of a set of named tables into a staging dir.
     * All-or-nothing: a mid-run failure leaves the current staging dir
     * untouched (the partial output stays in `<stagingDir>.tmp`).

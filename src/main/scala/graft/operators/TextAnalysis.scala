@@ -114,6 +114,30 @@ object TextAnalysis {
       .select("w1", "w2", "c12", "pmi")
   }
 
+  /** Vocabulary coverage per document: token count, out-of-vocabulary
+    * count, and OOV rate against a reference vocabulary — the tokenizer/
+    * vocab QA step run before committing to a tokenizer (a rising OOV rate
+    * on new data means the vocab no longer fits the corpus).
+    *
+    * Scale shape: the corpus explodes to (doc, token) map-side; the vocab
+    * collapses to a DISTINCT word set — vocabularies are ≤ a few hundred
+    * thousand rows next to a corpus, so it broadcasts and membership is a
+    * map-side left join; the per-doc rollup is one partial-aggregated
+    * shuffle on doc id. The corpus is never self-joined. */
+  def vocabCoverage(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, wordCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("__w"))
+    val v = vocab.select(col(wordCol).as("__w")).distinct()
+      .withColumn("__in", lit(1))
+    toks.join(broadcast(v), Seq("__w"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tok"), 4))
+  }
+
   /** Canonical bag-of-words fingerprint + fast 64-bit content hash. */
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", TextFns.fingerprint(col(textCol)))

@@ -54,6 +54,20 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".tmp").exists && !new java.io.File(dir + ".old").exists)
   }
 
+  test("jdbc sink: overwrite truncates and reloads, append adds, round-trip exact") {
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Sinks.jdbc(df, url, "t", mode = "overwrite")
+    def readBack() = graft.engine.Sources.jdbc(spark, url, "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(readBack() == Seq(1L -> "a", 2L -> "b"))
+    Sinks.jdbc(Seq((3L, "c")).toDF("k", "v"), url, "t", mode = "append")
+    assert(readBack() == Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    // overwrite again: truncate-and-reload, not accumulate
+    Sinks.jdbc(df, url, "t", mode = "overwrite", numPartitions = Some(2))
+    assert(readBack() == Seq(1L -> "a", 2L -> "b"))
+  }
+
   test("recoverSwap: a crash between the swap's two renames is recovered, data never lost") {
     val dir = java.nio.file.Files.createTempDirectory("graft-swap").toString + "/t"
     val live = new org.apache.hadoop.fs.Path(dir)

@@ -37,6 +37,14 @@ class TextEventsSpec extends SparkSpec {
     assert(floored.toSeq == Seq(("a", "b")))
   }
 
+  test("vocabCoverage: OOV tokens counted against the reference vocab, rate rounded") {
+    val docs = Seq((1L, "a b c"), (2L, "c c")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "a").toDF("w") // dup collapses via distinct
+    val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocab, "w")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(1L -> ((3L, 1L, 0.3333)), 2L -> ((2L, 2L, 1.0))), got)
+  }
+
   test("token stats: bpe-ish regex splits punctuation that whitespace tokens miss") {
     val docs = Seq((1L, "hello, world! 42 end")).toDF("doc_id", "text")
     val r = TextAnalysis.withTokenStats(docs, "text")
