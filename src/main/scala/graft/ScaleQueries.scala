@@ -133,7 +133,14 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  /** Language × source contingency with per-cell chi-square contributions
+    * — the corpus-composition independence check. */
+  val chiSquareLs: Q = (s, d) =>
+    Profile.chiSquare(t(s, d, "documents"), "lang", "source")
+      .orderBy("lang", "source")
+
   val all: Map[String, Q] = Map(
+    "chi_square" -> chiSquareLs,
     "cohort_retention" -> cohortRetention,
     "sliding_counts" -> slidingCounts,
     "pmi_collocations" -> pmiCollocations,
@@ -152,6 +159,22 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // expected/chi2 doubles mirror the Spark operation order exactly:
+    // rt*ct/n first, then (obs-e)^2/e, then round 4. sums cast to BIGINT
+    // inside the CTEs (duckdb sums integers into HUGEINT, spark into LONG)
+    "chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(obs) AS DOUBLE) AS n FROM cells)
+        |SELECT c.lang, c.source, c.obs,
+        |  round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n, 4) AS expected,
+        |  round((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)
+        |        * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)
+        |        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n), 4) AS chi2
+        |FROM cells c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+        |ORDER BY lang, source""".stripMargin,
     "cohort_retention" ->
       """WITH first AS (
         |  -- CAST: duckdb's date_trunc('day') yields DATE, spark's TIMESTAMP

@@ -147,6 +147,36 @@ object Profile {
     df.filter(x.isNotNull).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Chi-square contingency table over two categorical columns: per
+    * (a, b) cell the observed count, the independence-expected count
+    * (row-total × col-total / N), and the cell's chi-square contribution
+    * ((obs − exp)² / exp) — the corpus-composition skew check (is language
+    * independent of source, or does one source dominate a language?).
+    * Summing `chi2` over cells gives the test statistic.
+    *
+    * Scale shape: one partial-aggregated groupBy on (a, b) — output
+    * bounded by the category-pair cardinality — then the marginals are
+    * two aggregations OVER THE CELL COUNTS (never re-scanning the
+    * corpus), joined back by their single keys; N rides in as a broadcast
+    * 1-row aggregate. Expected/chi2 doubles are computed in the same
+    * operation order as the DuckDB oracle and rounded to 4 decimals.
+    * NULL categories participate as their own cell only if present —
+    * callers wanting them out filter first (the registered query's
+    * fixture has none). */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum(col("obs")).as("__rt"))
+    val colT = cells.groupBy(col(bCol)).agg(sum(col("obs")).as("__ct"))
+    val n = cells.agg(sum(col("obs")).cast("double").as("__n"))
+    val e = col("__rt").cast("double") * col("__ct").cast("double") / col("__n")
+    cells.join(rowT, aCol).join(colT, bCol)
+      .crossJoin(broadcast(n))
+      .withColumn("expected", round(e, 4))
+      .withColumn("chi2", round(
+        (col("obs").cast("double") - e) * (col("obs").cast("double") - e) / e, 4))
+      .select(col(aCol), col(bCol), col("obs"), col("expected"), col("chi2"))
+  }
+
   /** Winsorize: clip a value column to its own group's [pLo, pHi]
     * quantiles — the outlier-trimming step run before any mean/variance
     * statistic or length-based mixing weight is computed from heavy-tailed

@@ -259,6 +259,21 @@ class ProfileSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("chiSquare: hand-computed 2x2 contingency (obs, expected, contribution)") {
+    // cells: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=50; N=100
+    // rt: x=40 y=60; ct: p=40 q=60
+    // e(x,p)=16, chi2=(30-16)^2/16=12.25; e(x,q)=24, chi2=(10-24)^2/24=8.1667
+    // e(y,p)=24, chi2=8.1667; e(y,q)=36, chi2=(50-36)^2/36=5.4444
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(50)(("y", "q"))
+    val got = graft.operators.Profile.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("x", "p", 30L, 16.0, 12.25), ("x", "q", 10L, 24.0, 8.1667),
+      ("y", "p", 10L, 24.0, 8.1667), ("y", "q", 50L, 36.0, 5.4444)), got.mkString(","))
+  }
+
   test("winsorize: values clip to the group's own quantiles; NULLs pass through") {
     val df = ((1 to 100).map(i => ("g", java.lang.Long.valueOf(i.toLong))) :+
       ("g", null.asInstanceOf[java.lang.Long])).toDF("k", "v")
