@@ -277,7 +277,7 @@ object ScaleQueries {
         |s AS (
         |  SELECT event_type, hour, n,
         |    round((n - avg(n) OVER (PARTITION BY event_type))
-        |          / stddev_samp(n) OVER (PARTITION BY event_type), 4) AS z
+        |          / NULLIF(stddev_samp(n) OVER (PARTITION BY event_type), 0), 4) AS z
         |  FROM f)
         |SELECT event_type, hour, n, z FROM s WHERE abs(z) >= 2.0
         |ORDER BY event_type, hour""".stripMargin,

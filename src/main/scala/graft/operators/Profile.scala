@@ -160,9 +160,12 @@ object Profile {
     * corpus), joined back by their single keys; N rides in as a broadcast
     * 1-row aggregate. Expected/chi2 doubles are computed in the same
     * operation order as the DuckDB oracle and rounded to 4 decimals.
-    * NULL categories participate as their own cell only if present —
-    * callers wanting them out filter first (the registered query's
-    * fixture has none). */
+    * NULL categories are EXCLUDED from the output: the marginal joins
+    * below are plain equality joins and NULL never equals NULL, so a
+    * NULL-keyed cell finds no row/column total and drops (the DuckDB
+    * oracle's JOIN USING behaves identically, so both engines agree).
+    * Callers wanting NULL as a real category should fill a sentinel
+    * first (the registered query's fixture has no NULLs). */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("obs"))
     val rowT = cells.groupBy(col(aCol)).agg(sum(col("obs")).as("__rt"))

@@ -160,9 +160,18 @@ object EventStreams {
     * parquet (streaming writers are append-only; MERGE needs a
     * read-modify-write): each batch is deduped to its LAST record per key
     * (by `seqCol` descending, ties broken by the remaining columns'
-    * values — a TOTAL order, so a replayed batch picks the same winner),
-    * merged, and swapped in via [[graft.engine.Sinks.swapInto]] so readers
-    * never see a half-written table. Replay safety needs the recovery
+    * values), merged, and swapped in via [[graft.engine.Sinks.swapInto]]
+    * so readers never see a half-written table.
+    *
+    * Replay determinism contract: every non-key column must be of an
+    * ORDERABLE type (no MapType, no VariantType) — validated eagerly at
+    * sink construction with a clear error, not inside the first
+    * micro-batch. Given that, the (seq desc, remaining columns desc)
+    * sort is a total order over distinct records, so a replayed batch
+    * picks the same winner; two fully IDENTICAL records tie harmlessly
+    * (either pick is byte-equal), and NaN doubles order by Spark's own
+    * NaN-greatest rule, which is at least self-consistent across a
+    * replay on the same engine. Replay safety needs the recovery
     * step too: a crash between the swap's two renames leaves the table
     * only at `.old`, and re-running the batch against a missing live path
     * would rebuild the table from the batch alone — so the batch calls
@@ -178,6 +187,18 @@ object EventStreams {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.expressions.Window
+    // fail at construction, not inside foreachBatch: the tiebreak sorts by
+    // every non-key column, which throws at runtime for unorderable types
+    locally {
+      val unorderable = stream.schema.fields
+        .filterNot(f => keyCols.contains(f.name) || f.name == seqCol)
+        .filterNot(f =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      require(unorderable.isEmpty,
+        "upsertSink requires every non-key column to be orderable (the replay-" +
+          "deterministic tiebreak sorts by them); unorderable: " +
+          unorderable.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>

@@ -251,4 +251,19 @@ class StreamingSpec extends SparkSpec {
       assert(t3 == Map(1L -> "a2", 2L -> "b9", 3L -> "c", 4L -> "y"))
     } finally q.stop()
   }
+
+  test("upsertSink: unorderable non-key column fails eagerly at construction") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    // a MapType column cannot participate in the replay-deterministic
+    // tiebreak sort — the sink must refuse at construction with the column
+    // named, not blow up inside the first micro-batch
+    val withMap = mem.toDF().toDF("k", "v", "seq")
+      .withColumn("m", org.apache.spark.sql.functions.map(col("v"), col("v")))
+    val ex = intercept[IllegalArgumentException] {
+      EventStreams.upsertSink(withMap, "/tmp/graft-never", Seq("k"), "seq", "/tmp/graft-never-ckpt")
+    }
+    assert(ex.getMessage.contains("m: map<string,string>"))
+  }
 }
