@@ -103,7 +103,22 @@ object Bench {
       s"${JsonStr.quote(k)}:${JsonStr.quote(m)}"
     }.mkString("{", ",", "}")
     val total = results.map { case (_, ts, _) => median(ts) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"samples":$samples,"errors":$errs,"budget_exceeded":${elapsedSec > budgetSec},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repeats,"samples":$samples,"errors":$errs,"budget_exceeded":${elapsedSec > budgetSec},"sf":"$sfDir"}"""
+    // Stop Spark BEFORE emitting: its shutdown logs otherwise land after the
+    // JSON line, and every driver-side BENCH_r*.json through round 8 came
+    // back `parsed: null` because the line rode sbt's [info] prefix inside a
+    // noisy log. Belt and braces: also persist the line to known files so
+    // the driver/judge can read it without scraping stdout at all.
     spark.stop()
+    val outPaths = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"),
+      "/tmp/bench.json")
+    outPaths.distinct.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () } // an unwritable path must not kill the run
+    }
+    println(json)
+    System.out.flush()
   }
 }

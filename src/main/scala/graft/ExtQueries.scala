@@ -112,14 +112,21 @@ object ExtQueries {
   val dedupEmbedLsh: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val exact = Dedup.cosinePairs(e, "vec_id", "embedding", minCosine = 0.45)
-      .select("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), lit(1).as("in_exact"))
     val lsh = Dedup.cosinePairsLsh(e, "vec_id", "embedding",
       minCosine = 0.45, numTables = 12, planesPerTable = 4)
-      .select("a_id", "b_id")
-    val hits = exact.join(lsh, Seq("a_id", "b_id")).agg(count(lit(1)).as("n_hits"))
-    val extra = lsh.join(exact, Seq("a_id", "b_id"), "left_anti")
-      .agg(count(lit(1)).as("n_extra"))
-    exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits).crossJoin(extra)
+      .select(col("a_id"), col("b_id"), lit(1).as("in_lsh"))
+    // ONE full-outer join + one aggregate: the previous three-branch shape
+    // (hits join, anti join, count agg) re-executed the exact O(n²) pair
+    // scan three times and the 12-table LSH twice — it was the slowest
+    // bench query (7.5 s at sf0.1) for plan-shape reasons alone. Here each
+    // side is scanned exactly once.
+    exact.join(lsh, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(col("in_exact")).as("n_exact"),
+        sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
+          .otherwise(0L)).as("n_hits"),
+        sum(when(col("in_exact").isNull, 1L).otherwise(0L)).as("n_extra"))
       .select(col("n_exact"),
         when(col("n_extra") === 0, 1).otherwise(0).as("subset_ok"),
         when(col("n_hits") * 2 >= col("n_exact"), 1).otherwise(0).as("floor_met"))

@@ -69,13 +69,32 @@ object Schemas {
       "l_discount" -> DoubleType, "l_tax" -> DoubleType,
       "l_returnflag" -> StringType, "l_linestatus" -> StringType,
       "l_shipdate" -> TimestampNTZType),
-    // ts is TIMESTAMP(NANOS) in parquet -> epoch-nanos int64 under the
-    // nanosAsLong read (Tables.load); loadEvents converts to TimestampType
-    "events" -> s("event_id" -> LongType, "ts" -> LongType,
+    // ts is TIMESTAMP(MICROS, tz=false) in the current fixture -> Spark
+    // reads TIMESTAMP_NTZ; Tables.loadEvents normalizes it (and the legacy
+    // nanos-as-long encoding, accepted via fixtureAlternatives) to
+    // TimestampType
+    "events" -> s("event_id" -> LongType, "ts" -> TimestampNTZType,
       "user_id" -> LongType, "event_type" -> StringType,
       "value" -> DoubleType, "props" -> StringType),
     "documents" -> s("doc_id" -> LongType, "text" -> StringType,
       "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
     "embeddings" -> s("vec_id" -> LongType,
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+
+  /** Alternative on-disk encodings a fixture regeneration has historically
+    * produced. [[Sources.loadValidated]] accepts a table whose raw schema
+    * matches the primary declaration OR any alternative; normalization to
+    * one canonical in-memory shape is the loader's job (Tables.loadEvents),
+    * not the validator's. events.ts: the round-8 fixture switch from
+    * TIMESTAMP(NANOS) (read as int64 under nanosAsLong) to
+    * TIMESTAMP(MICROS) broke 11 queries at analysis time — the validator
+    * accepting both turns the next silent regeneration into a non-event. */
+  val fixtureAlternatives: Map[String, Seq[StructType]] = Map(
+    "events" -> Seq(
+      s("event_id" -> LongType, "ts" -> LongType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      s("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType)))
 }

@@ -19,10 +19,13 @@ object Tables {
   /** S2: scan one fixture table. `dir` is an sf directory like
     * /root/testdata/sf0.01.
     *
-    * `events.ts` is TIMESTAMP(NANOS) in Parquet, which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL); `nanosAsLong` reads it as epoch-nanos
-    * int64 instead, and [[loadEvents]] converts to a µs TimestampType the
-    * same way DuckDB does (truncation), so oracle comparisons line up.
+    * The `events.ts` fixture encoding has changed across regenerations:
+    * currently TIMESTAMP(MICROS, tz=false) (Spark reads TIMESTAMP_NTZ);
+    * historically TIMESTAMP(NANOS), which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless `nanosAsLong` reads it as epoch-nanos
+    * int64. [[loadEvents]] normalizes whichever encoding arrives to a µs
+    * TimestampType so downstream operators and oracle comparisons never
+    * depend on how the fixture was last written.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Session-level by necessity (the flag is consulted at scan execution,
@@ -33,15 +36,31 @@ object Tables {
     // of an external nanos-typed parquet silently gets long columns instead
     // of PARQUET_TYPE_ILLEGAL — load-order dependent, unavoidable short of
     // a per-read flag Spark doesn't offer; the flag only affects
-    // nanos-typed columns, which no other fixture table has.
+    // nanos-typed columns, which the current micros-typed fixture doesn't
+    // even have (it's a no-op there, kept so a regeneration back to nanos
+    // degrades to a working read instead of an analysis error).
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events` with `ts` as a proper µs TimestampType column. */
-  def loadEvents(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** `events` with `ts` normalized to a µs TimestampType column regardless
+    * of the fixture's on-disk encoding (see [[load]]): epoch-nanos int64 →
+    * truncating div (matching DuckDB), TIMESTAMP_NTZ/TIMESTAMP → cast
+    * (value-preserving under the UTC session timezone all entrypoints set).
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected int64 epoch-nanos or a timestamp)")
+    }
+  }
 }

@@ -90,7 +90,7 @@ class PlanSpec extends SparkSpec {
 
   test("cohort retention reads only (ts, user_id) and never windows raw history") {
     val p = plan("cohort_retention")
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"), p)
     assert(!p.contains("Window"), p)
   }
 

@@ -23,6 +23,29 @@ class SourcesSpec extends SparkSpec {
     assert(e.problems.exists(_.startsWith("unexpected column: o_orderkey")))
   }
 
+  test("events.ts: both historical fixture encodings normalize to TimestampType") {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.functions.col
+    // (1) the real fixture (currently TIMESTAMP(MICROS) -> TIMESTAMP_NTZ raw)
+    val real = graft.engine.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    assert(real.schema("ts").dataType == TimestampType)
+    Sources.loadValidated(spark, "/root/testdata/sf0.001", "events") // must not throw
+    // (2) the legacy epoch-nanos int64 encoding (what TIMESTAMP(NANOS) looked
+    // like under the nanosAsLong read) — a regeneration back to it must load,
+    // validate, and yield the same timestamps.
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-long").toString
+    import spark.implicits._
+    val micros = 1715000000000000L // 2024-05-06T13:33:20Z in epoch-µs
+    Seq((1L, micros * 1000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    Sources.loadValidated(spark, dir, "events") // alternative encoding accepted
+    val legacy = graft.engine.Tables.loadEvents(spark, dir)
+    assert(legacy.schema("ts").dataType == TimestampType)
+    val got = legacy.select(org.apache.spark.sql.functions.unix_micros(col("ts"))).head.getLong(0)
+    assert(got == micros)
+  }
+
   // ---- S6 production JDBC path, end-to-end against embedded Derby (the
   // sandbox stand-in for the reference's Oracle/SDE view).
 
