@@ -65,10 +65,40 @@ object ScaleQueries {
 
   /** Equi-depth (quartile) histogram of order totals — percentile-cut
     * binning, never a global-sort ntile (see
-    * [[Profile.equiDepthHistogram]]). */
-  val histQuantile: Q = (s, d) =>
-    Profile.equiDepthHistogram(t(s, d, "orders"), "o_totalprice", nBins = 4)
+    * [[Profile.equiDepthHistogram]]).
+    *
+    * REGISTERED with the approx-sketch cut path — the 100 TB configuration
+    * (exact single-group `percentile` buffers every distinct value in one
+    * aggregator; 1.6–2.0 s at sf0.1 and a memory hazard beyond it). Approx
+    * cuts are sketch-dependent, so like agg_sketch/heavy_hitters this is a
+    * tolerance differential rather than a row-identical dump:
+    *   - n_total — exact non-null row count summed over bins; DuckDB
+    *     recomputes it (row conservation is cut-independent, so this stays
+    *     an EXACT pin: no row lost or duplicated by binning);
+    *   - depth_ok — each quartile bin holds N/4 ± (4·N/accuracy + 4) rows,
+    *     the GK-sketch rank-error bound (ε = 1/accuracy per cut, two cuts
+    *     bound a bin) with a small integer slack;
+    *   - span_ok — lo ≤ hi within the bin.
+    * Exact ≡ approx cut equivalence at the fixture stays pinned in
+    * ProfileSpec; the exact path remains the library default
+    * (`approxAccuracy = None`). */
+  val histQuantile: Q = (s, d) => {
+    val acc = 10000
+    val binned = Profile.equiDepthHistogram(
+      t(s, d, "orders"), "o_totalprice", nBins = 4, approxAccuracy = Some(acc))
+    // window-sum over the 4-row aggregate, NOT a count-agg + crossJoin: a
+    // second aggregate branch would re-execute the whole histogram; this
+    // "global" window sees exactly nBins rows, so the single-task stage the
+    // operator itself avoids is harmless here
+    binned.withColumn("n_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select(col("bin"), col("n_total"),
+        when(abs(col("n") - col("n_total") / 4)
+          <= col("n_total") * 4 / acc + 4, 1).otherwise(0).as("depth_ok"),
+        when(col("lo") <= col("hi"), 1).otherwise(0).as("span_ok"))
       .orderBy("bin")
+  }
 
   /** One-pass ANALYZE-style column profile of the orders table. */
   val profileCols: Q = (s, d) =>
@@ -320,21 +350,17 @@ object ScaleQueries {
       """SELECT doc_id,
         |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // hist_quantile: same rounded-cut comparison as the Spark side — both
-    // engines bin against identical 4-decimal cut values, so interpolation
-    // ulps can't flip a bin (the agg_stats-proven rounding equivalence).
+    // hist_quantile: tolerance differential (see ScaleQueries.histQuantile)
+    // — DuckDB pins the exact non-null row count (row conservation holds
+    // for ANY cuts) and the invariant flags; the four-row shape itself
+    // enforces bin exhaustiveness via rows_match.
     "hist_quantile" ->
-      """WITH c AS (
-        |  SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS c1,
-        |         round(quantile_cont(o_totalprice, 0.5), 4) AS c2,
-        |         round(quantile_cont(o_totalprice, 0.75), 4) AS c3
-        |  FROM orders WHERE o_totalprice IS NOT NULL)
-        |SELECT (CASE WHEN o_totalprice > c1 THEN 1 ELSE 0 END
-        |      + CASE WHEN o_totalprice > c2 THEN 1 ELSE 0 END
-        |      + CASE WHEN o_totalprice > c3 THEN 1 ELSE 0 END) AS bin,
-        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
-        |FROM orders, c WHERE o_totalprice IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT t.bin, n.n_total,
+        |  CAST(1 AS INTEGER) AS depth_ok, CAST(1 AS INTEGER) AS span_ok
+        |FROM (VALUES (0), (1), (2), (3)) t(bin)
+        |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_total
+        |            FROM orders WHERE o_totalprice IS NOT NULL) n
+        |ORDER BY t.bin""".stripMargin,
     "profile_cols" ->
       """SELECT * FROM (
         |  SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
