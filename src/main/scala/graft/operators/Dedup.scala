@@ -474,14 +474,24 @@ object Dedup {
     *    for adversarial long-chain/high-diameter graphs where min-label's
     *    O(diameter) bound would blow past maxIters. Equivalence to
     *    min-label is property-tested on random graphs in DedupSpec. */
+  /** `reliableCheckpoints`: the default `localCheckpoint` stores pass
+    * results in executor block storage — fast, but NOT executor-loss-safe:
+    * lineage is truncated, so on a real cluster a lost executor makes the
+    * whole resolve unrecoverable (fine on local[n], where executor loss is
+    * process death anyway). For production cluster runs set
+    * `spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)` and pass
+    * `reliableCheckpoints = true`: each pass checkpoints to the reliable
+    * store instead, and each pass's files are deleted as soon as the next
+    * pass supersedes them (same lifecycle the local path gives blocks). */
   def resolveClusters(
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
       maxIters: Int = 50,
-      algorithm: String = "minlabel"): DataFrame = algorithm match {
-    case "minlabel" => resolveMinLabel(pairs, aCol, bCol, maxIters)
-    case "star"     => resolveStar(pairs, aCol, bCol, maxIters)._1
+      algorithm: String = "minlabel",
+      reliableCheckpoints: Boolean = false): DataFrame = algorithm match {
+    case "minlabel" => resolveMinLabel(pairs, aCol, bCol, maxIters, reliableCheckpoints)
+    case "star"     => resolveStar(pairs, aCol, bCol, maxIters, reliableCheckpoints)._1
     case other => throw new IllegalArgumentException(
       s"unknown algorithm '$other' (expected 'minlabel' or 'star')")
   }
@@ -490,7 +500,9 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIters: Int): DataFrame = {
+      maxIters: Int,
+      reliable: Boolean = false): DataFrame = {
+    def checkpointTracked(df: DataFrame) = Dedup.checkpointTracked(df, reliable)
     // Materialize the (possibly expensive) pair pipeline ONCE before fanning
     // it out: the bidirectional edge union references it twice, and the
     // iteration loop re-reads it every pass — without this barrier the
@@ -566,14 +578,32 @@ object Dedup {
   // edges persist) and with concurrent jobs, and unpersisting a FOREIGN
   // local checkpoint is fatal (lineage is truncated; later actions on it
   // cannot recompute).
-  private def checkpointTracked(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
-    val cp = df.localCheckpoint()
+  private def checkpointTracked(
+      df: DataFrame, reliable: Boolean): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+    if (reliable) require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoints = true requires spark.sparkContext.setCheckpointDir " +
+        "(an HDFS/object-store path on a real cluster)")
+    val cp = if (reliable) df.checkpoint() else df.localCheckpoint()
     (cp, cp.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     })
   }
   private def free(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
-    rdd.foreach(_.unpersist(blocking = false))
+    rdd.foreach { r =>
+      r.unpersist(blocking = false)
+      // reliable checkpoints additionally leave files in the checkpoint dir;
+      // Spark only deletes them via the ContextCleaner (and only with
+      // cleanCheckpoints=true, at some future GC) — an iterative loop must
+      // reclaim each superseded pass eagerly or a long resolve accumulates
+      // one full edge/label snapshot per pass in durable storage.
+      // Best-effort: a failed delete costs disk, never correctness.
+      r.getCheckpointFile.foreach { p =>
+        try {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(r.context.hadoopConfiguration).delete(path, true)
+        } catch { case _: java.io.IOException => () }
+      }
+    }
 
   /** Large-star/small-star connected components (Kiveris et al., SOCC'14).
     *
@@ -597,7 +627,9 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIters: Int): (DataFrame, Int) = {
+      maxIters: Int,
+      reliable: Boolean = false): (DataFrame, Int) = {
+    def checkpointTracked(df: DataFrame) = Dedup.checkpointTracked(df, reliable)
     // every id occurring in any pair gets a label, incl. self-pair ids
     // whose canonical edges vanish below
     val (nodes, nodesRdd) = checkpointTracked(

@@ -187,16 +187,32 @@ object EventStreams {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.expressions.Window
-    // fail at construction, not inside foreachBatch: the tiebreak sorts by
-    // every non-key column, which throws at runtime for unorderable types
+    // name comparison must track the session's caseSensitive setting (Spark
+    // resolves columns case-insensitively by default): a differently-cased
+    // key or seq name would otherwise be classified as a tiebreak column by
+    // the sort while the engine still resolves it as the key/seq
+    val caseSensitive = stream.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def sameName(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+    // fail at construction, not inside foreachBatch: EVERY column
+    // participates at runtime — keyCols partition the window and key the
+    // merge join, seqCol leads the orderBy, and the remaining columns form
+    // the replay-deterministic tiebreak sort — so each must resolve and be
+    // orderable (orderable also covers grouping/join legality: the
+    // ungroupable types, map and variant, are exactly the unorderable ones)
     locally {
-      val unorderable = stream.schema.fields
-        .filterNot(f => keyCols.contains(f.name) || f.name == seqCol)
-        .filterNot(f =>
-          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      val fields = stream.schema.fields
+      (keyCols :+ seqCol).foreach { c =>
+        require(fields.exists(f => sameName(f.name, c)),
+          s"upsertSink: column '$c' not found in the stream schema " +
+            s"(${fields.map(_.name).mkString(", ")})")
+      }
+      val unorderable = fields.filterNot(f =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
       require(unorderable.isEmpty,
-        "upsertSink requires every non-key column to be orderable (the replay-" +
-          "deterministic tiebreak sorts by them); unorderable: " +
+        "upsertSink requires every column to be orderable (keys partition and " +
+          "join, seqCol orders, remaining columns form the replay-deterministic " +
+          "tiebreak); unorderable: " +
           unorderable.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
     }
     stream.writeStream
@@ -206,7 +222,8 @@ object EventStreams {
         // seq desc, then every remaining column: a total order, so ties on
         // (key, seq) resolve identically when the batch replays
         val tiebreak = batch.columns.toSeq
-          .filterNot(c => keyCols.contains(c) || c == seqCol).map(col(_).desc)
+          .filterNot(c => keyCols.exists(sameName(_, c)) || sameName(seqCol, c))
+          .map(col(_).desc)
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col(seqCol).desc +: tiebreak: _*)
         val lastPerKey = batch.withColumn("__rn", row_number().over(w))

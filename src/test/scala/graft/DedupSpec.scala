@@ -157,6 +157,37 @@ class DedupSpec extends SparkSpec {
     ext.unpersist()
   }
 
+  test("resolveClusters: reliable checkpoints resolve identically and reclaim superseded pass files") {
+    // without a checkpoint dir the reliable path must fail fast at the
+    // first pass, not deep inside an iteration
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val noDir = intercept[IllegalArgumentException](
+      Dedup.resolveClusters(pairs, reliableCheckpoints = true))
+    assert(noDir.getMessage.contains("setCheckpointDir"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-cp")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      // a 6-node chain forces several passes, so superseded-pass cleanup
+      // actually has checkpoints to reclaim
+      val chain = (0L until 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      for (algo <- Seq("minlabel", "star")) {
+        val labels = Dedup.resolveClusters(chain, algorithm = algo,
+          reliableCheckpoints = true)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(labels == (0L to 6L).map(_ -> 0L).toMap, s"algo=$algo")
+      }
+      // each pass frees its predecessor's checkpoint files eagerly: only
+      // the final labels' checkpoints (one per algo run) may remain of the
+      // ~7+ written across both runs
+      def rddDirs = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .count(_.getFileName.toString.startsWith("rdd-"))
+      }
+      assert(rddDirs <= 2, s"superseded checkpoint files not reclaimed: $rddDirs dirs remain")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("simhashCandidates: maxHamming=0 (full 64-bit packed keys) finds exactly the identical-signature pairs") {
     // packing all 8 blocks exercises the full-width shift+OR key: bit 63
     // set on ~half of signatures would overflow an arithmetic packing

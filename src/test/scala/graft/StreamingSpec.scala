@@ -266,4 +266,47 @@ class StreamingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("m: map<string,string>"))
   }
+
+  test("upsertSink: unorderable seqCol/key and missing columns also fail eagerly; case-insensitive names classify as key/seq") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    def freshMap() = {
+      val mem = MemoryStream[(Long, String, Long)]
+      mem.toDF().toDF("k", "v", "seq")
+        .withColumn("m", org.apache.spark.sql.functions.map(col("v"), col("v")))
+    }
+    // a map-typed SEQ column breaks the orderBy exactly like a tiebreak one
+    // and must be named at construction, not inside the first micro-batch
+    val exSeq = intercept[IllegalArgumentException] {
+      EventStreams.upsertSink(freshMap(), "/tmp/graft-never", Seq("k"), "m", "/tmp/graft-never-ckpt")
+    }
+    assert(exSeq.getMessage.contains("m: map<string,string>"))
+    // a map-typed KEY breaks Window.partitionBy and the merge join
+    val exKey = intercept[IllegalArgumentException] {
+      EventStreams.upsertSink(freshMap(), "/tmp/graft-never", Seq("m"), "seq", "/tmp/graft-never-ckpt")
+    }
+    assert(exKey.getMessage.contains("m: map<string,string>"))
+    // a key/seq name that resolves to nothing fails with the name spelled out
+    val mem2 = MemoryStream[(Long, String, Long)]
+    val plain = mem2.toDF().toDF("k", "v", "seq")
+    val exMissing = intercept[IllegalArgumentException] {
+      EventStreams.upsertSink(plain, "/tmp/graft-never", Seq("nope"), "seq", "/tmp/graft-never-ckpt")
+    }
+    assert(exMissing.getMessage.contains("'nope' not found"))
+    // differently-cased key/seq names resolve (Spark's default analysis is
+    // case-insensitive) and the sink still upserts correctly end-to-end:
+    // the last record per key must win, proving "K"/"SEQ" were classified
+    // as key/seq and not demoted to tiebreak columns
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-ci").toString
+    val mem3 = MemoryStream[(Long, String, Long)]
+    val q = EventStreams.upsertSink(mem3.toDF().toDF("k", "v", "seq"),
+      s"$dir/table", Seq("K"), "SEQ", s"$dir/ckpt")
+    try {
+      mem3.addData((1L, "old", 1L), (1L, "new", 2L), (2L, "only", 1L))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/table")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Map(1L -> "new", 2L -> "only"))
+    } finally q.stop()
+  }
 }
