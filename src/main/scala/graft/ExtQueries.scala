@@ -132,6 +132,27 @@ object ExtQueries {
         when(col("n_hits") * 2 >= col("n_exact"), 1).otherwise(0).as("floor_met"))
   }
 
+  /** Quality-first survivor selection over the same ngram-Jaccard cluster
+    * graph as `dedup_resolve`: each duplicate cluster keeps its
+    * longest member (`n_chars` max, ties → min doc_id) instead of the
+    * arbitrary min-id copy; unpaired documents pass through. Oracle:
+    * recursive-CTE clusters + window argmax in DuckDB. */
+  val dedupSurvivor: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5)
+    Dedup.keepClusterSurvivorsBy(docs, "doc_id", pairs, "n_chars")
+      .select("doc_id", "n_chars").orderBy("doc_id")
+  }
+
+  /** Temperature-balanced language downsampling (alpha = 0.5) — see
+    * [[Curation.temperatureSample]]. Deterministic md5-bucket membership
+    * with data-derived per-language rates, so DuckDB replicates the exact
+    * row set from the same arithmetic. */
+  val sampleTemperature: Q = (s, d) =>
+    Curation.temperatureSample(t(s, d, "documents"), "doc_id", "lang", alpha = 0.5)
+      .select("doc_id", "lang").orderBy("doc_id")
+
   /** Candidate pairs → duplicate clusters: connected components by min-label
     * propagation over the ngram-Jaccard pair graph. cluster_id = min
     * reachable doc_id; survivor of each cluster is id == cluster_id.
@@ -426,6 +447,8 @@ object ExtQueries {
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_resolve" -> dedupResolve,
+    "dedup_survivor" -> dedupSurvivor,
+    "sample_temperature" -> sampleTemperature,
     "topk_sim" -> topkSim,
     "topk_sim_agg" -> topkSimAgg,
     "ann_topk" -> annTopk,
@@ -461,6 +484,29 @@ object ExtQueries {
 
   private val dotExpr =
     "list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))])"
+
+  /** ngram-Jaccard pair edges → transitive closure, shared by the
+    * dedup_resolve / dedup_survivor oracles (use inside WITH RECURSIVE). */
+  private val clusterWalkCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT a_id, b_id FROM inter
+      |  JOIN sz na ON na.doc_id = a_id
+      |  JOIN sz nb ON nb.doc_id = b_id
+      |  WHERE i / (na.n + nb.n - i) >= 0.5e0),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+      |          UNION SELECT b_id AS src, a_id AS dst FROM pr),
+      |walk(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src)""".stripMargin
 
   /** Gap compare in integer MICROSECONDS (epoch_us), exactly mirroring the
     * Spark side's unix_micros — every fixture event has sub-second
@@ -617,27 +663,42 @@ object ExtQueries {
          |SELECT a_id, b_id, round(cos, 4) AS cos FROM p WHERE cos >= 0.45e0
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_resolve" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pr AS (
-        |  SELECT a_id, b_id FROM inter
-        |  JOIN sz na ON na.doc_id = a_id
-        |  JOIN sz nb ON nb.doc_id = b_id
-        |  WHERE i / (na.n + nb.n - i) >= 0.5e0),
-        |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
-        |          UNION SELECT b_id AS src, a_id AS dst FROM pr),
-        |walk(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |FROM walk GROUP BY src ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterWalkCte
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM walk GROUP BY src ORDER BY doc_id""".stripMargin,
+    // dedup_survivor: same transitive-closure clusters, then the per-cluster
+    // argmax (n_chars desc, doc_id asc) picks the survivor; documents in no
+    // pair survive by definition.
+    "dedup_survivor" ->
+      s"""WITH RECURSIVE $clusterWalkCte,
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM walk GROUP BY src),
+         |rk AS (
+         |  SELECT l.doc_id,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |                       ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+         |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM rk WHERE rn <> 1)
+         |ORDER BY d.doc_id""".stripMargin,
+    // sample_temperature: per-language keep rate (nmin/n)^(1-alpha) rounded
+    // to 6 decimals before bucketing (pow may differ in the last ulp across
+    // engines; both land on the same integer threshold after rounding), then
+    // the same md5-bucket membership draw as curate_split/curate_sample.
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT lang,
+        |        round(pow(CAST(nmin AS DOUBLE) / n, 0.5e0), 6) AS rate
+        |      FROM c CROSS JOIN m),
+        |t AS (SELECT lang,
+        |        CASE WHEN CAST(round(rate * 65536) AS BIGINT) >= 65536 THEN 'g000'
+        |             ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT)) END AS thr
+        |      FROM r)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr
+        |ORDER BY d.doc_id""".stripMargin,
     "topk_sim" ->
       s"""WITH $unitCte,
          |scored AS (

@@ -79,6 +79,51 @@ object Curation {
     df.filter(h < rate)
   }
 
+  /** Temperature-balanced downsampling across strata (the standard
+    * multilingual-corpus rebalancing step: sample language l with
+    * probability ∝ share_l^alpha, alpha < 1 flattening the distribution so
+    * head languages stop drowning out the tail — the exponent-smoothed
+    * sampling used by multilingual pretraining recipes).
+    *
+    * Downsample-only formulation: keep rate
+    * `r_l = (n_min / n_l)^(1-alpha)` — the smallest stratum keeps 100%,
+    * larger strata shrink toward balance; resulting counts are
+    * ∝ n_l^alpha. `alpha = 1` keeps everything, `alpha = 0` fully
+    * balances down to ~n_min per stratum. Upsampling (duplication) is
+    * deliberately out of scope: repeats are an epoch-schedule concern,
+    * not a corpus transform.
+    *
+    * Membership is the same hash-stable md5-bucket draw as
+    * [[stratifiedSample]] (reproducible across runs/partitionings, never
+    * flips as unrelated strata grow), but the per-stratum RATE is computed
+    * from the data: one tiny groupBy (|strata| rows) broadcast back, then
+    * a map-side threshold compare — no window over the corpus, no second
+    * shuffle. The rate is rounded to 6 decimals BEFORE bucketing so both
+    * engines land on the same integer threshold (pow may differ in the
+    * last ulp across engines; the established agg_stats rounding
+    * equivalence), and the threshold string uses the same `g000` all-pass
+    * sentinel as [[stratifiedSample]]. NULL stratum rows form their own
+    * "stratum" via null-safe grouping; NULL ids always drop. */
+  def temperatureSample(
+      df: DataFrame, idCol: String, stratumCol: String, alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val nMin = min(col("__n")).over(Window.rowsBetween(Long.MinValue, Long.MaxValue))
+    val rate = round(pow(nMin.cast("double") / col("__n"), 1.0 - alpha), 6)
+    val thrV = round(rate * 65536).cast("long")
+    val thr = when(thrV >= 65536, lit("g000"))
+      .otherwise(format_string("%04x", thrV)).as("__thr")
+    // |strata| rows: the window-min and the join are both on a relation the
+    // size of the stratum count, so broadcast is always right
+    val thresholds = counts.select(col(stratumCol).as("__stratum"), thr)
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    // null-safe join: a NULL stratum is a legitimate group (it got a rate
+    // from the groupBy above) and must not silently vanish here
+    df.join(broadcast(thresholds), col(stratumCol) <=> col("__stratum"))
+      .filter(h < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
   /** Benchmark-contamination ratio per document: the fraction of the
     * document's distinct word n-gram shingles that also appear anywhere in
     * the benchmark set — the standard eval-set leakage check run before

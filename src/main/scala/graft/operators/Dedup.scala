@@ -693,4 +693,31 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Survivor selection by QUALITY, not id: within each duplicate cluster
+    * keep the row maximizing `scoreCol` (ties broken by minimum id, so the
+    * pick is deterministic). The real-pipeline variant of
+    * [[keepClusterSurvivors]] — when near-dups differ (boilerplate vs
+    * clean extraction of the same page), keeping the arbitrary min-id copy
+    * throws away the better text; production dedup recipes keep the
+    * longest/highest-quality member of each cluster.
+    *
+    * Scale shape: the window ranks over the LABELS join (one row per node
+    * that appears in any pair — the duplicate subset, typically a few
+    * percent of the corpus), never over `df` itself; partitioned by
+    * cluster_id, so no global sort and no skew beyond the largest cluster.
+    * The corpus is touched only by one broadcast-able anti-join against
+    * the loser ids. Rows outside every pair pass through untouched. */
+  def keepClusterSurvivorsBy(
+      df: DataFrame, idCol: String, pairs: DataFrame, scoreCol: String): DataFrame = {
+    val labels = resolveClusters(pairs) // (id, cluster_id), paired nodes only
+    val scored = labels.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("__score").desc, col("id").asc)
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -88,6 +88,41 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.25, 4L -> 0.0))
   }
 
+  test("temperatureSample: head stratum shrinks toward n^alpha, min stratum keeps all, deterministic, NULL stratum survives") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val out = Curation.temperatureSample(docs, "doc_id", "lang", alpha = 0.5)
+    val kept = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (lang, n) =>
+      val expected = n * math.sqrt(nMin.toDouble / n)
+      // md5 buckets are a uniform draw: allow 5 binomial standard deviations
+      val p = math.sqrt(nMin.toDouble / n)
+      val tol = 5 * math.sqrt(n * p * (1 - p)) + 1
+      assert(math.abs(kept.getOrElse(lang, 0L) - expected) <= tol,
+        s"$lang: kept ${kept.getOrElse(lang, 0L)}, expected ~$expected ± $tol")
+    }
+    // the smallest stratum's rate is exactly 1 -> every row kept
+    assert(kept(counts.minBy(_._2)._1) == nMin)
+    // hash-stable: a second evaluation selects the identical row set
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.temperatureSample(docs, "doc_id", "lang", alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // alpha = 1 is the identity (rate 1 for every stratum)
+    assert(Curation.temperatureSample(docs, "doc_id", "lang", alpha = 1.0).count()
+      == docs.count())
+    // a NULL stratum is a group, not a silent drop: as the smallest stratum
+    // here it keeps all its rows even at full flattening
+    val withNull = Seq((1L, Some("en")), (2L, Some("en")), (3L, Some("en")),
+      (4L, None), (5L, None)).toDF("doc_id", "lang")
+    val gotNull = Curation.temperatureSample(withNull, "doc_id", "lang", alpha = 0.0)
+      .filter(col("lang").isNull).count()
+    assert(gotNull == 2L, s"NULL-stratum rows dropped: kept $gotNull of 2")
+  }
+
   test("packIndex: bins by starting token offset per partition; partitions restart at 0") {
     val docs = Seq(
       (1L, "en", 1000L), (2L, "en", 1000L), (3L, "en", 1000L),

@@ -157,6 +157,24 @@ class DedupSpec extends SparkSpec {
     ext.unpersist()
   }
 
+  test("keepClusterSurvivorsBy: per-cluster max score survives, ties break to min id, unpaired rows untouched") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 7L),   // chain cluster: 2 has the top score
+      (10L, 4L), (11L, 4L),           // tie -> min id 10
+      (4L, 1L)                        // in no pair: always kept
+    ).toDF("doc_id", "score")
+    val kept = Dedup.keepClusterSurvivorsBy(docs, "doc_id", pairs, "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 10L, 4L))
+    // min-id survivor selection is the scoreless special case: constant
+    // score ties everywhere, so every cluster falls back to its min id
+    val constScore = docs.withColumn("score", lit(0L))
+    val keptConst = Dedup.keepClusterSurvivorsBy(constScore, "doc_id", pairs, "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptConst == Set(1L, 10L, 4L))
+  }
+
   test("resolveClusters: reliable checkpoints resolve identically and reclaim superseded pass files") {
     // without a checkpoint dir the reliable path must fail fast at the
     // first pass, not deep inside an iteration
