@@ -87,4 +87,10 @@ object VectorFns {
     * to [[dotUdf]] (DotProductSpec pins bit-equality) — the preferred form
     * in the pairwise hot paths. */
   def dotNative(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
+
+  /** Native Catalyst unit-normalization (graft.plans.UnitizeVector):
+    * codegen'd, no SerDe boundary in the scan projection. Identical math
+    * to [[unitizeUdf]] (DotProductSpec pins bit-equality) — the preferred
+    * form wherever a corpus is normalized before pairwise work. */
+  def unitizeNative(v: Column): Column = graft.plans.UnitizeVector.unitize(v)
 }

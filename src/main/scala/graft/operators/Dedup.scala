@@ -361,11 +361,11 @@ object Dedup {
       blockCol: Option[String] = None): DataFrame = {
     val joined = blockCol match {
       case Some(bc) =>
-        val e = df.select(col(idCol).as("id"), VectorFns.unitizeUdf(col(vecCol)).as("v"),
+        val e = df.select(col(idCol).as("id"), VectorFns.unitizeNative(col(vecCol)).as("v"),
           col(bc).as("blk"))
         e.toDF("a_id", "a_v", "blk").join(e.toDF("b_id", "b_v", "blk"), Seq("blk"))
       case None =>
-        val e = df.select(col(idCol).as("id"), VectorFns.unitizeUdf(col(vecCol)).as("v"))
+        val e = df.select(col(idCol).as("id"), VectorFns.unitizeNative(col(vecCol)).as("v"))
         e.toDF("a_id", "a_v").crossJoin(e.toDF("b_id", "b_v"))
     }
     joined.filter(col("a_id") < col("b_id"))
@@ -417,7 +417,7 @@ object Dedup {
       .otherwise(raise_error(concat(
         lit(s"cosinePairsLsh: '$vecCol' must be non-null with dim=$dim, got length "),
         coalesce(len.cast("string"), lit("NULL")))))
-    val e = df.select(col(idCol).as("id"), VectorFns.unitizeUdf(checked).as("v"))
+    val e = df.select(col(idCol).as("id"), VectorFns.unitizeNative(checked).as("v"))
     val bucketCols = (0 until numTables).map(t =>
       Similarity.lshBucket(col("v"), planes.slice(t * planesPerTable, (t + 1) * planesPerTable)))
     val buckets = e.select(col("id"),

@@ -33,9 +33,9 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
     val c = corpus.select(col(corpusId).as("n_id"),
-      VectorFns.unitizeUdf(col(corpusVec)).as("n_v"))
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
     val q = queries.select(col(queryId).as("q_id"),
-      VectorFns.unitizeUdf(col(queryVec)).as("q_v"))
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
     val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("n_id"))
@@ -70,10 +70,10 @@ object Similarity {
       probeBits: Int = 4, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
     val c = corpus.select(col(corpusId).as("n_id"),
-      VectorFns.unitizeUdf(col(corpusVec)).as("n_v"))
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
       .withColumn("bucket", lshBucket(col("n_v"), planes))
     val q0 = queries.select(col(queryId).as("q_id"),
-      VectorFns.unitizeUdf(col(queryVec)).as("q_v"))
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
       .withColumn("bucket", lshBucket(col("q_v"), planes))
     // base bucket plus single-bit flips of the first probeBits planes:
     val flipped = (0 until probeBits).map(i =>
@@ -110,7 +110,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(corpusId).as("n_id"),
-      VectorFns.unitizeUdf(col(corpusVec)).as("n_v"))
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
 
     // deterministic pseudo-random seeds WITHOUT collecting the corpus:
     // distributed top-nLists by id hash (TakeOrdered — only nLists rows
@@ -148,7 +148,7 @@ object Similarity {
 
     val assigned = nearestCell(c, "n_v", centroids)
     val q = queries.select(col(queryId).as("q_id"),
-      VectorFns.unitizeUdf(col(queryVec)).as("q_v"))
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
     // top-nProbe cells per query
     val qCells = q.crossJoin(broadcast(centroids))
       .withColumn("__d", VectorFns.dotNative(col("q_v"), col("cv")))

@@ -82,9 +82,9 @@ object TopK {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(corpusId).as("n_id"),
-      VectorFns.unitizeUdf(col(corpusVec)).as("n_v"))
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
     val q = queries.select(col(queryId).as("q_id"),
-      VectorFns.unitizeUdf(col(queryVec)).as("q_v"))
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("q_id"), col("n_id"),
         VectorFns.dotNative(col("q_v"), col("n_v")).as("cos"))

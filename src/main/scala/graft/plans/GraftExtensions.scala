@@ -22,6 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_unitize"),
+      new ExpressionInfo(classOf[UnitizeVector].getName, "graft_unitize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_unitize requires exactly 1 argument, got ${children.length}")
+        UnitizeVector(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => {

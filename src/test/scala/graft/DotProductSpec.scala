@@ -60,6 +60,37 @@ class DotProductSpec extends SparkSpec {
     assert(agg == win) // incl. the NaN row's position
   }
 
+  test("unitizeNative == unitizeUdf bit-for-bit on the fixture embeddings; NaN zero-vector parity") {
+    val e = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val diff = e.select(
+        VectorFns.unitizeNative(col("embedding")).as("u1"),
+        VectorFns.unitizeUdf(col("embedding")).as("u2"))
+      .filter(col("u1") =!= col("u2")) // array equality, exact not tolerance
+      .count()
+    assert(diff == 0)
+    import sqlContext.implicits._
+    // a zero vector divides 0/0 in both paths: elementwise NaN, not an error
+    val z = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("embedding")
+      .select(VectorFns.unitizeNative(col("embedding")).as("u"))
+      .head().getSeq[Double](0)
+    assert(z.forall(_.isNaN))
+  }
+
+  test("unitizeNative is codegen'd and keeps the whole projection UDF-free") {
+    val e = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = e.select(VectorFns.unitizeNative(col("embedding")).as("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_unitize"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    // composed with graft_dot: the full similarity projection stays native
+    val both = e.select(VectorFns.dotNative(
+        VectorFns.unitizeNative(col("embedding")),
+        VectorFns.unitizeNative(col("embedding"))).as("d"))
+    assert(!both.queryExecution.executedPlan.toString.toLowerCase.contains("scalaudf"))
+    // and evaluates: unit vector dotted with itself is 1 (to fp rounding)
+    assert(math.abs(both.head().getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("graft_dot registered for SQL via GraftExtensions") {
     val prev = spark // keep the shared session restorable
     SparkSession.clearActiveSession()
@@ -73,6 +104,10 @@ class DotProductSpec extends SparkSpec {
       val d = s2.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .head().getDouble(0)
       assert(d == 11.0)
+      // graft_unitize rides the same extension (3-4-5 triangle normalizes)
+      val u = s2.sql("SELECT graft_unitize(array(3.0D, 4.0D)) AS u")
+        .head().getSeq[Double](0)
+      assert(u == Seq(0.6, 0.8))
       // graft_nfc rides the same extension: decomposed e+U+0301 composes
       val n = s2.sql("SELECT graft_nfc('café') AS n").head().getString(0)
       assert(n == "café")
