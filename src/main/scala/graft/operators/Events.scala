@@ -131,18 +131,37 @@ object Events {
     * (never over raw events). z is emitted ROUNDED to 4 decimals: Spark
     * and DuckDB both use Welford accumulation for stddev but disagree in
     * final ulps; fixture z values sit well clear of the threshold, so
-    * rounding can't flip membership (ProfileSpec pins the margin). */
+    * rounding can't flip membership (ProfileSpec pins the margin).
+    *
+    * `maxSpineHours` bounds the per-key zero-fill fan-out: the spine emits
+    * (span ÷ 1 hour) rows PER KEY, so one key whose first event predates
+    * the dataset's last hour by decades (a bad-clock record, an epoch-0
+    * default) would alone explode the spine — and silently truncating it
+    * would change every z-score. Exceeding the bound fails loudly
+    * map-side instead (default 5 years of hourly rows per key); raise it
+    * deliberately for genuinely longer histories, or pre-filter the
+    * out-of-range timestamps. */
   def rateAnomalies(
       df: DataFrame, tsCol: String, keyCol: String,
-      zThreshold: Double = 2.0): DataFrame = {
+      zThreshold: Double = 2.0,
+      maxSpineHours: Int = 43800): DataFrame = {
     require(zThreshold > 0, "zThreshold must be positive")
+    require(maxSpineHours > 0, "maxSpineHours must be positive")
     // spine: per-key first hour -> GLOBAL last hour (1-row agg, broadcast)
     val h1 = df.agg(date_trunc("hour", max(col(tsCol))).as("__h1"))
+    val spanHours = expr("timestampdiff(HOUR, __h0, __h1)")
+    val guardedH0 = when(spanHours <= maxSpineHours, col("__h0"))
+      .otherwise(raise_error(concat(
+        lit(s"rateAnomalies: key "), col(keyCol).cast("string"),
+        lit(s" spans "), spanHours.cast("string"),
+        lit(s" hours, over maxSpineHours=$maxSpineHours — a zero-fill spine " +
+          "this long is almost always a corrupt timestamp; pre-filter it or " +
+          "raise maxSpineHours"))))
     val spine = df.groupBy(col(keyCol))
       .agg(date_trunc("hour", min(col(tsCol))).as("__h0"))
       .crossJoin(broadcast(h1))
       .select(col(keyCol),
-        explode(sequence(col("__h0"), col("__h1"), expr("interval 1 hour"))).as("hour"))
+        explode(sequence(guardedH0, col("__h1"), expr("interval 1 hour"))).as("hour"))
     val raw = df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n"))
     val counts = spine.join(raw, Seq(keyCol, "hour"), "left")

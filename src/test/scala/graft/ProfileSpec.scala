@@ -214,6 +214,28 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(got.head._3 - 2.8460) < 0.001, got.head.toString)
   }
 
+  test("rateAnomalies: a corrupt-timestamp key over maxSpineHours fails loudly, never silently explodes the spine") {
+    val base = 1700000000000L
+    val hourTs = (h: Int, i: Int) => new java.sql.Timestamp(base + h * 3600000L + i * 1000L)
+    val normal = (0 until 5).flatMap(h => (0 until 3).map(i => (hourTs(h, i), "ok")))
+    // one epoch-adjacent record: its key's spine would span ~54 years of hours
+    val corrupt = Seq((new java.sql.Timestamp(1000L), "bad"), (hourTs(4, 0), "bad"))
+    val ev = (normal ++ corrupt).toDF("ts", "event_type")
+    val e = intercept[Exception] {
+      graft.operators.Events.rateAnomalies(ev, "ts", "event_type").collect()
+    }
+    // Spark wraps raise_error in a SparkRuntimeException; the message must
+    // name the key and the remedy
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("bad") && m.contains("maxSpineHours")),
+      msgs(e).mkString("\n"))
+    // a raised bound admits the span again (8 hours fits in the default too)
+    val ok = graft.operators.Events.rateAnomalies(ev.filter(col("event_type") === "ok"),
+      "ts", "event_type", maxSpineHours = 10)
+    assert(ok.count() >= 0)
+  }
+
   test("rateAnomalies: a dead source's silent trailing hours are zero-filled and flagged") {
     val base = 1700000000000L
     val hourTs = (h: Int, i: Int) => new java.sql.Timestamp(base + h * 3600000L + i * 1000L)
