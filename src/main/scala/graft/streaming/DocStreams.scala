@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Streaming twins of the document-dedup operators: continuous-ingest
+  * near-dup detection against a stored corpus index — the steady-state
+  * shape of dedup at 100 TB, where the corpus is hashed ONCE (bands
+  * written bucketed on the band key, [[graft.engine.Sinks.writeBucketed]])
+  * and every arriving micro-batch of new documents joins against it
+  * instead of re-hashing petabytes per day. Batch/streaming parity with
+  * [[Dedup.minhashCandidatesAgainst]] is pinned in StreamingSpec.
+  */
+object DocStreams {
+
+  /** Near-dup candidate stream: each micro-batch's documents are minhash-
+    * banded MAP-SIDE (the signature UDF runs on the stream side only; the
+    * corpus text is never touched) and equi-joined against the stored
+    * band index — a stateless stream-static inner join, so no watermark
+    * and no state store are involved.
+    *
+    * Emits (new_id, corpus_id, band_idx) matches in append mode. A pair
+    * agreeing on several bands emits once PER BAND, and a document
+    * re-ingested in a later batch re-emits its matches: band-level
+    * multiplicity is deliberate (a streaming global `distinct` would
+    * accumulate unbounded state). Exactly-once PAIR semantics belong to
+    * the downstream merge — e.g. a foreachBatch that `distinct`s the
+    * batch and upserts into a pair table ([[EventStreams.upsertSink]]
+    * pattern), which is also where batch parity is asserted in spec.
+    *
+    * Scale notes: the static side should be persisted (or read from a
+    * bucketed table) — Spark re-plans the static scan each micro-batch,
+    * and a bucketed layout on (band_idx, band_val) makes the per-batch
+    * join exchange-free on the corpus side; the stream side of each batch
+    * is small by construction. */
+  def nearDupCandidates(
+      stream: DataFrame,
+      corpusBands: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 4,
+      bands: Int = 2,
+      shingleN: Int = 3,
+      family: Dedup.HashFamily = Dedup.Fnv64Family): DataFrame = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!corpusBands.isStreaming, "corpusBands must be a static band index")
+    val sb = Dedup.minhashBands(stream, idCol, textCol, numHashes, bands, shingleN, family)
+      .toDF("new_id", "band_idx", "band_val")
+    val cb = corpusBands.toDF("corpus_id", "band_idx", "band_val")
+    sb.join(cb, Seq("band_idx", "band_val"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id", "band_idx")
+  }
+}

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.EventStreams
+import graft.streaming.{DocStreams, EventStreams}
 import graft.streaming.EventStreams.Evt
 
 /** Structured-Streaming twins driven through MemoryStream — real streaming
@@ -249,6 +249,44 @@ class StreamingSpec extends SparkSpec {
       val t3 = spark.read.parquet(table).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(t3 == Map(1L -> "a2", 2L -> "b9", 3L -> "c", 4L -> "y"))
+    } finally q.stop()
+  }
+
+  test("batch/streaming parity: near-dup candidates vs a stored band index agree with minhashCandidatesAgainst") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    // corpus: hashed once into a static band index (the 100 TB steady state)
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "an entirely different document about spark engines"),
+      (102L, "short")).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.minhashBands(corpus, "doc_id", "text")
+    // new batches: one exact dup of 100, one unrelated, one dup of 101
+    val arrivals = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "unrelated text that matches nothing in the corpus today"),
+      (3L, "an entirely different document about spark engines"))
+    val batchPairs = graft.operators.Dedup.minhashCandidatesAgainst(
+        graft.operators.Dedup.minhashBands(arrivals.toDF("doc_id", "text"), "doc_id", "text"),
+        index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val cand = DocStreams.nearDupCandidates(
+      mem.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+    val q = cand.writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // split across two micro-batches: the stream-static join is stateless,
+      // so each batch matches independently
+      mem.addData(arrivals.take(1)); q.processAllAvailable()
+      mem.addData(arrivals.drop(1)); q.processAllAvailable()
+      val streamed = spark.table("neardup")
+        .select("new_id", "corpus_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchPairs, s"streamed $streamed vs batch $batchPairs")
+      assert(batchPairs.contains((1L, 100L)) && batchPairs.contains((3L, 101L)))
+      assert(!batchPairs.exists(_._1 == 2L))
     } finally q.stop()
   }
 
