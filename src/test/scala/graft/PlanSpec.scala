@@ -94,6 +94,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("sample_temperature: broadcast threshold join, no window over the corpus") {
+    val p = plan("sample_temperature")
+    // the per-stratum thresholds (|strata| rows) broadcast back to the scan;
+    // the corpus side must never sort-merge or window
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"thresholds not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
+  test("dedup_survivor: the ranking window runs over the labels join, never the corpus scan") {
+    val raw = SparkEntry.queries("dedup_survivor")(spark, dir)
+    val p = raw.queryExecution.executedPlan.toString
+    // corpus participates only via the final anti-join (broadcast at this SF)
+    assert(p.contains("LeftAnti"), p)
+    // the row_number window must partition by cluster_id (the labels side),
+    // not appear unpartitioned (global sort) anywhere
+    assert(p.contains("cluster_id"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")), s"global window:\n$p")
+  }
+
   test("group quantiles aggregate partially map-side in one pass (no join, no window)") {
     val p = plan("group_quantiles")
     assert(p.contains("partial_percentile"), p)
