@@ -157,4 +157,45 @@ object Sources {
     }
     df
   }
+
+  /** Schema-evolution parquet read: a long-lived corpus directory holds
+    * files written at different pipeline vintages — early files lack the
+    * columns later ones added. A plain `spark.read.parquet` takes ONE
+    * file's footer as the schema (which subset you get depends on
+    * listing order), silently dropping newer columns or failing on older
+    * files at scan time. This reader pins the DECLARED schema instead:
+    * every file's columns must be a subset of it at matching types
+    * (verified once from the mergeSchema union, not per-row mid-job), and
+    * columns a vintage lacks read as NULL of the declared type — so a
+    * query over the directory always sees exactly the declared shape,
+    * whichever vintage each partition came from.
+    *
+    * Scale notes: `mergeSchema` reads FOOTERS (a driver-side metadata
+    * pass, parallelized by Spark over a small job), never data; the
+    * per-file scan then prunes/pushes down against the declared columns as
+    * usual. Genuinely conflicting vintages (same column, different type)
+    * fail fast with the aggregated column-level report — the alternative
+    * is a mid-job cast error on whichever task hits the old file first. */
+  def evolvingParquet(
+      spark: SparkSession,
+      path: String,
+      declared: StructType,
+      table: String = "parquet"): DataFrame = {
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    val act = merged.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dec = declared.fields.map(f => f.name -> f.dataType).toMap
+    val problems =
+      act.keys.filterNot(dec.contains).toSeq.sorted
+        .map(c => s"unexpected column: $c") ++
+      dec.keys.filter(c => act.contains(c) && act(c) != dec(c)).toSeq.sorted
+        .map(c => s"column $c: expected ${dec(c)}, found ${act(c)}")
+    if (problems.nonEmpty) throw SchemaMismatch(table, problems)
+    // declared-but-absent columns (no file has them yet): NULL of the
+    // declared type, same contract as a vintage that predates the column
+    val cols = declared.fields.map { f =>
+      if (act.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }
+    merged.select(cols.toSeq: _*)
+  }
 }

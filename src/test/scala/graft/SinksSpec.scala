@@ -133,4 +133,55 @@ class SinksSpec extends SparkSpec {
     val back: DataFrame = spark.read.parquet(zDir)
     assert(back.count() == 4096 && back.exceptAll(df).isEmpty)
   }
+
+  test("overwritePartitions: only the written day is replaced; static overwrite semantics restored after") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dynpart").toString + "/t"
+    val days = Seq(
+      (1L, "d01"), (2L, "d01"),
+      (3L, "d02"), (4L, "d03")).toDF("id", "day")
+    Sinks.writePartitioned(days, dir, Seq("day"))
+    // backfill day 2 with corrected rows: days 1 and 3 must survive
+    val fix = Seq((30L, "d02"), (31L, "d02")).toDF("id", "day")
+    Sinks.overwritePartitions(fix, dir, Seq("day"))
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "d01"), (2L, "d01"),
+      (30L, "d02"), (31L, "d02"), (4L, "d03")), got.toString)
+    // the conf is restored: a plain partitioned overwrite afterwards is
+    // STATIC again (whole-table replace), proving no leaked session state
+    Sinks.writePartitioned(fix, dir, Seq("day"))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("evolvingParquet: mixed-vintage directory reads as the declared schema, conflicts fail fast") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString + "/corpus"
+    // vintage 1: (doc_id, text); vintage 2 adds lang
+    Seq((1L, "old doc")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "new doc", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    val declared = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("score", DoubleType)))
+    val df = graft.engine.Sources.evolvingParquet(spark, dir, declared)
+    assert(df.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      declared.fields.map(f => f.name -> f.dataType).toSeq)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)), r.isNullAt(3))).toSet
+    // the old vintage's missing columns are NULL, not dropped rows or errors;
+    // score (declared, in no file yet) is NULL everywhere at the right type
+    assert(rows == Set((1L, "old doc", None, true), (2L, "new doc", Some("en"), true)))
+    // an undeclared column in the data fails with the aggregated report
+    val less = StructType(declared.fields.dropRight(2))
+    val e = intercept[graft.engine.Sources.SchemaMismatch](
+      graft.engine.Sources.evolvingParquet(spark, dir, less))
+    assert(e.problems.exists(_.startsWith("unexpected column: lang")))
+    // a type conflict vs the declaration names the column and both types
+    val conflict = StructType(declared.fields.map(f =>
+      if (f.name == "lang") StructField("lang", IntegerType) else f))
+    val e2 = intercept[graft.engine.Sources.SchemaMismatch](
+      graft.engine.Sources.evolvingParquet(spark, dir, conflict))
+    assert(e2.problems.exists(p => p.contains("lang") && p.contains("expected")))
+  }
 }
