@@ -261,4 +261,34 @@ object Ops {
       .select(keyCols.map(col) ++ dataCols.map(c =>
         when(col("__u").isNotNull, col(s"__u.$c")).otherwise(col(s"__b.$c")).as(c)): _*)
   }
+
+  /** Full CDC merge: [[upsert]] plus DELETES. `changes` carries the base
+    * schema PLUS `opCol`; rows with op `"D"`/`"d"` remove their key from
+    * the table, every other op value (including NULL — a feed that only
+    * marks deletes) upserts whole-row. The op column never reaches the
+    * result schema.
+    *
+    * Same uniqueness precondition as [[upsert]], now per CHANGE BATCH:
+    * one row per key, so "delete then re-insert in one batch" is
+    * ill-defined by construction rather than order-dependent (collapse
+    * the feed to its last record per key first — the streaming sink
+    * does exactly that by `seqCol`).
+    *
+    * Scale shape: the delete pass is one broadcast-able left-anti join on
+    * the (typically tiny) delete key set; the remainder is [[upsert]]'s
+    * single full-outer merge join. */
+  def applyCdc(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String = "op",
+      validateKeys: Boolean = false): DataFrame = {
+    require(changes.columns.contains(opCol),
+      s"applyCdc: op column '$opCol' not in changes (${changes.columns.mkString(",")})")
+    val dels = changes.filter(upper(col(opCol)) === "D")
+      .select(keyCols.map(col): _*)
+    val ups = changes.filter(upper(col(opCol)).isNull || upper(col(opCol)) =!= "D")
+      .drop(opCol)
+    upsert(base.join(dels, keyCols, "left_anti"), ups, keyCols, validateKeys)
+  }
 }

@@ -182,9 +182,14 @@ object EventStreams {
     * deployment the table would be bucketed on the key to make the
     * per-batch join shuffle-free (see [[graft.engine.Sinks.writeBucketed]]).
     * Returns the query; callers own lifecycle. */
+  /** `opCol`: optional CDC op column — when set, batch records whose op is
+    * `"D"` DELETE their key from the table (via [[graft.engine.Ops.applyCdc]])
+    * and every other op value upserts; the op column itself never reaches
+    * the maintained table. Without it, every record is an upsert. */
   def upsertSink(
       stream: DataFrame, tablePath: String, keyCols: Seq[String], seqCol: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String,
+      opCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.expressions.Window
     // name comparison must track the session's caseSensitive setting (Spark
@@ -202,7 +207,7 @@ object EventStreams {
     // ungroupable types, map and variant, are exactly the unorderable ones)
     locally {
       val fields = stream.schema.fields
-      (keyCols :+ seqCol).foreach { c =>
+      (keyCols ++ Seq(seqCol) ++ opCol).foreach { c =>
         require(fields.exists(f => sameName(f.name, c)),
           s"upsertSink: column '$c' not found in the stream schema " +
             s"(${fields.map(_.name).mkString(", ")})")
@@ -231,11 +236,19 @@ object EventStreams {
         val live = new org.apache.hadoop.fs.Path(tablePath)
         val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
         graft.engine.Sinks.recoverSwap(fs, live) // we read `live` next
-        val merged =
-          if (fs.exists(live))
+        val merged = (fs.exists(live), opCol) match {
+          case (true, Some(oc)) =>
+            graft.engine.Ops.applyCdc(
+              spark.read.parquet(tablePath), lastPerKey, keyCols, oc)
+          case (true, None) =>
             graft.engine.Ops.upsert(
               spark.read.parquet(tablePath), lastPerKey, keyCols)
-          else lastPerKey
+          // no table yet: the first batch bootstraps it — with CDC ops,
+          // deletes of never-seen keys are no-ops and must not land as rows
+          case (false, Some(oc)) =>
+            lastPerKey.filter(upper(col(oc)).isNull || upper(col(oc)) =!= "D").drop(oc)
+          case (false, None) => lastPerKey
+        }
         // write-then-swap (same discipline as Sinks.publish/compact): the
         // merged table fully materializes into .tmp, then two metadata
         // renames swap it live — never a delete-first window whose length

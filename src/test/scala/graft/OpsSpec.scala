@@ -109,6 +109,24 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("identical schemas"))
   }
 
+  test("applyCdc: deletes remove keys, other ops (incl. NULL) upsert, op column never lands") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val changes = Seq(
+      (2L, "ignored", "D"),                      // delete key 2
+      (3L, "C", null.asInstanceOf[String]),      // NULL op -> upsert
+      (4L, "d", "i")                             // lowercase insert op
+    ).toDF("k", "name", "op")
+    val out = Ops.applyCdc(base, changes, Seq("k")).orderBy("k").collect().toSeq
+    assert(out == Seq(Row(1L, "a"), Row(3L, "C"), Row(4L, "d")))
+    // deleting a never-seen key is a no-op, not an error or a ghost row
+    val delMissing = Seq((99L, "x", "d")).toDF("k", "name", "op")
+    assert(Ops.applyCdc(base, delMissing, Seq("k")).count() == 3)
+    // missing op column names itself
+    val e = intercept[IllegalArgumentException](
+      Ops.applyCdc(base, base, Seq("k"), opCol = "op"))
+    assert(e.getMessage.contains("'op'"))
+  }
+
   test("upsert: validateKeys rejects duplicate keys on either side") {
     val base = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("k", "name")
     val updates = Seq((2L, "B")).toDF("k", "name")

@@ -252,6 +252,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink with opCol: streamed deletes remove keys; bootstrap batch drops delete-only keys") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-del").toString
+    val table = s"$base/t"
+    val q = EventStreams.upsertSink(
+      mem.toDF().toDF("k", "v", "seq", "op"), table, Seq("k"), "seq", s"$base/ckpt",
+      opCol = Some("op"))
+    try {
+      // bootstrap batch: an insert plus a delete of a never-seen key — the
+      // delete must not materialize as a row in the new table
+      mem.addData((1L, "a", 1L, "I"), (9L, "zz", 1L, "D"))
+      q.processAllAvailable()
+      val t1 = spark.read.parquet(table).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(t1 == Map(1L -> "a"))
+      assert(!spark.read.parquet(table).columns.contains("op"))
+      // live batch: insert one, delete key 1; last-record-per-key applies
+      // BEFORE ops, so (1,U,seq2) then (1,D,seq3) nets to a delete
+      mem.addData((2L, "b", 2L, "U"), (1L, "a2", 2L, "U"), (1L, "x", 3L, "D"))
+      q.processAllAvailable()
+      val t2 = spark.read.parquet(table).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(t2 == Map(2L -> "b"))
+    } finally q.stop()
+  }
+
   test("batch/streaming parity: near-dup candidates vs a stored band index agree with minhashCandidatesAgainst") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
