@@ -308,12 +308,19 @@ object Dedup {
     val sh = base.select(col("doc_id"), explode(col("ss")).as("s"))
     val (filtered, sizes) = maxShingleDf match {
       case Some(m) =>
-        import org.apache.spark.sql.expressions.Window
-        // document frequency per shingle as ONE window shuffle (a groupBy
-        // + join-back would be two); sizes are then re-counted over the
-        // surviving rows so the denominators match the intersections.
-        val f = sh.withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
-          .filter(col("__df") <= m).drop("__df")
+        // the guard only needs the HOT shingles (df > m) — a tiny set by
+        // definition — so compute them with one partial-aggregated groupBy
+        // and remove them with a broadcast anti-join (map-side). The
+        // earlier window formulation (count over partitionBy(s)) sorted
+        // and shuffled EVERY exploded occurrence row just to read a count
+        // the map-side-combined aggregate gets from far fewer bytes.
+        // Sizes are then re-counted over the surviving rows so the
+        // denominators match the intersections.
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > m).select("s")
+        // re-select positionally: the USING join moves the key column first,
+        // and the band sides below rename by POSITION (toDF)
+        val f = sh.join(broadcast(hot), Seq("s"), "left_anti").select("doc_id", "s")
         (f, f.groupBy("doc_id").agg(count(lit(1)).as("n")))
       case None =>
         // |A| per doc is a map-side expression over the shingle array — no
