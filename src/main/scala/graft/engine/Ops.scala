@@ -291,4 +291,72 @@ object Ops {
       .drop(opCol)
     upsert(base.join(dels, keyCols, "left_anti"), ups, keyCols, validateKeys)
   }
+
+  /** Slowly-changing-dimension TYPE 2 merge: where [[upsert]]/[[applyCdc]]
+    * overwrite history, this VERSIONS it. The dimension carries
+    * `valid_from` / `valid_to` / `is_current` bookkeeping columns; each
+    * change row (key + payload + its effective timestamp) closes the key's
+    * current version (`valid_to` = effective, `is_current` = false) and
+    * appends a new open version. Keys without a change pass through
+    * untouched, closed history rows are never revisited, and brand-new
+    * keys open their first version. Every change creates a version —
+    * suppressing no-op payloads is the feed's concern (diff upstream),
+    * not the merge's, which must stay deterministic under replays.
+    *
+    * `changes` must be unique per key (same precondition and rationale as
+    * [[upsert]]; collapse a multi-event feed to last-per-key first). An
+    * effective timestamp at or before the current version's `valid_from`
+    * fails fast — it would write a zero-or-negative-length interval and
+    * silently corrupt as-of lookups (the usual symptom of an unordered
+    * feed replaying an old batch).
+    *
+    * Scale shape: history rows never shuffle (one union); only the
+    * CURRENT slice joins the (small) change batch — the standard
+    * current/history partition split makes that slice cheap to scan at
+    * rest. As-of reads compose with [[graft.operators.Temporal]]'s as-of
+    * join against (`valid_from`, `valid_to`) intervals. */
+  def scd2Apply(
+      dim: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      effectiveCol: String,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      currentFlag: String = "is_current"): DataFrame = {
+    val book = Seq(validFrom, validTo, currentFlag)
+    book.foreach(c => require(dim.columns.contains(c),
+      s"scd2Apply: dimension lacks bookkeeping column '$c'"))
+    require(changes.columns.contains(effectiveCol),
+      s"scd2Apply: changes lack effective-timestamp column '$effectiveCol'")
+    val payload = dim.columns.filterNot((keyCols ++ book).contains).toSeq
+    require(changes.columns.sorted.sameElements((keyCols ++ payload :+ effectiveCol).sorted),
+      s"scd2Apply: changes must carry exactly key + payload + $effectiveCol; " +
+        s"got ${changes.columns.sorted.mkString(",")}")
+    val hist = dim.filter(!col(currentFlag))
+    val cur = dim.filter(col(currentFlag))
+    val eff = changes.select(
+      (keyCols.map(col) :+ col(effectiveCol).as("__eff")): _*)
+    // close the matched current versions; guard interval sanity map-side
+    val closed = cur.join(eff, keyCols, "left")
+      .withColumn("__eff", when(col("__eff").isNull || col("__eff") > col(validFrom),
+        col("__eff"))
+        .otherwise(raise_error(concat(
+          lit("scd2Apply: effective timestamp "), col("__eff").cast("string"),
+          lit(" is not after the current version's " + validFrom + " "),
+          col(validFrom).cast("string"),
+          lit(" — out-of-order feed (replayed old batch?)")))))
+      .select(
+        (keyCols.map(col) ++ payload.map(col) :+ col(validFrom)) ++ Seq(
+          coalesce(col("__eff"), col(validTo)).as(validTo),
+          col("__eff").isNull.as(currentFlag)): _*)
+    // open the new versions (covers brand-new keys too)
+    val opened = changes.select(
+      (keyCols.map(col) ++ payload.map(col)) ++ Seq(
+        col(effectiveCol).as(validFrom),
+        lit(null).cast(dim.schema(validTo).dataType).as(validTo),
+        lit(true).as(currentFlag)): _*)
+    hist.select(dim.columns.map(col): _*)
+      .unionByName(closed.select(dim.columns.map(col): _*))
+      .unionByName(opened.select(dim.columns.map(col): _*))
+  }
 }

@@ -127,6 +127,44 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("'op'"))
   }
 
+  test("scd2Apply: versions close and open correctly; history untouched; out-of-order feed fails fast") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dim = Seq(
+      // key 1: one closed + one current version
+      (1L, "v1", ts("2026-01-01 00:00:00"), ts("2026-03-01 00:00:00"), false),
+      (1L, "v2", ts("2026-03-01 00:00:00"), null.asInstanceOf[java.sql.Timestamp], true),
+      // key 2: a single current version that this batch does not touch
+      (2L, "w1", ts("2026-02-01 00:00:00"), null.asInstanceOf[java.sql.Timestamp], true)
+    ).toDF("k", "name", "valid_from", "valid_to", "is_current")
+    val changes = Seq(
+      (1L, "v3", ts("2026-08-01 00:00:00")),  // new version of key 1
+      (3L, "x1", ts("2026-08-01 00:00:00"))   // brand-new key
+    ).toDF("k", "name", "eff")
+    val out = Ops.scd2Apply(dim, changes, Seq("k"), "eff")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, "v1", ts("2026-01-01 00:00:00"), Some(ts("2026-03-01 00:00:00")), false),
+      (1L, "v2", ts("2026-03-01 00:00:00"), Some(ts("2026-08-01 00:00:00")), false),
+      (1L, "v3", ts("2026-08-01 00:00:00"), None, true),
+      (2L, "w1", ts("2026-02-01 00:00:00"), None, true),
+      (3L, "x1", ts("2026-08-01 00:00:00"), None, true)), out.mkString("\n"))
+    // exactly one current version per key survives a second application
+    val again = Ops.scd2Apply(out.toDF("k", "name", "valid_from", "valid_to", "is_current"),
+      Seq((2L, "w2", ts("2026-09-01 00:00:00"))).toDF("k", "name", "eff"),
+      Seq("k"), "eff")
+    val currents = again.filter(col("is_current")).groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(currents == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a replayed old batch (effective <= current valid_from) fails loudly
+    val stale = Seq((1L, "old", ts("2026-03-01 00:00:00"))).toDF("k", "name", "eff")
+    val e = intercept[Exception](Ops.scd2Apply(dim, stale, Seq("k"), "eff").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("out-of-order feed")), msgs(e).mkString("\n"))
+  }
+
   test("upsert: validateKeys rejects duplicate keys on either side") {
     val base = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("k", "name")
     val updates = Seq((2L, "B")).toDF("k", "name")
