@@ -412,6 +412,37 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** CDC merge WITH deletes via Ops.applyCdc: negative-balance decile
+    * customers delete, the rest of the decile update — both derived
+    * deterministically from the base so DuckDB rebuilds the same feed. */
+  val mergeCdc: Q = (s, d) => {
+    val base = t(s, d, "customer")
+    val changes = base.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_name", upper(col("c_name")))
+      .withColumn("op", when(col("c_acctbal") < 0, "D").otherwise("U"))
+    Ops.applyCdc(base, changes, Seq("c_custkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** SCD type-2 versioning via Ops.scd2Apply: the customer table seeds a
+    * current-only dimension (epoch valid_from), every 7th key receives a
+    * renamed version effective 2026-08-01; the result exposes the full
+    * version history. Timestamps are TIMESTAMP_NTZ so the parquet dump
+    * reads back as plain TIMESTAMP in DuckDB. */
+  val scd2Versions: Q = (s, d) => {
+    val dim = t(s, d, "customer").select(
+      col("c_custkey"), col("c_name"),
+      lit("2026-01-01 00:00:00").cast("timestamp_ntz").as("valid_from"),
+      lit(null).cast("timestamp_ntz").as("valid_to"),
+      lit(true).as("is_current"))
+    val changes = t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), concat(col("c_name"), lit(" v2")).as("c_name"),
+        lit("2026-08-01 00:00:00").cast("timestamp_ntz").as("eff"))
+    Ops.scd2Apply(dim, changes, Seq("c_custkey"), "eff")
+      .orderBy("c_custkey", "valid_from")
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -453,6 +484,8 @@ object Queries {
     "agg_cube" -> aggCube,
     "agg_mode" -> aggMode,
     "merge_upsert" -> mergeUpsert,
+    "merge_cdc" -> mergeCdc,
+    "scd2_versions" -> scd2Versions,
   )
 
   val oracles: Map[String, String] = Map(
@@ -668,5 +701,32 @@ object Queries {
         |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
         |FROM customer b FULL JOIN u ON b.c_custkey = u.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    // merge_cdc: deletes drop the key, updates replace whole-row; the
+    // change feed is the %10 decile with op = D on negative balance
+    "merge_cdc" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+        |  c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_custkey % 10 = 0 AND c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
+    // scd2_versions: unchanged keys keep their open seed version; %7 keys
+    // get the seed version closed at the effective ts plus a new open one
+    "scd2_versions" ->
+      """WITH seed AS (
+        |  SELECT c_custkey, c_name,
+        |    TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_name, valid_from,
+        |    CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2026-08-01 00:00:00' END AS valid_to,
+        |    c_custkey % 7 <> 0 AS is_current
+        |  FROM seed
+        |  UNION ALL
+        |  SELECT c_custkey, c_name || ' v2', TIMESTAMP '2026-08-01 00:00:00',
+        |    CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM seed WHERE c_custkey % 7 = 0)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
   )
 }
