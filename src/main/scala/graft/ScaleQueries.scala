@@ -100,6 +100,20 @@ object ScaleQueries {
       .orderBy("bin")
   }
 
+  /** Distribution drift (PSI) between two deterministic halves of the
+    * orders table — the corpus-version drift check (see
+    * [[Profile.psiDrift]]); the even/odd orderkey split gives two
+    * same-distribution samples, so the interesting pin is the arithmetic,
+    * not a large PSI. */
+  val driftPsi: Q = (s, d) => {
+    val orders = t(s, d, "orders")
+    Profile.psiDrift(
+      orders.filter(col("o_orderkey") % 2 === 0),
+      orders.filter(col("o_orderkey") % 2 === 1),
+      "o_totalprice", nBins = 10)
+      .orderBy("bin")
+  }
+
   /** One-pass ANALYZE-style column profile of the orders table. */
   val profileCols: Q = (s, d) =>
     Profile.columnProfile(t(s, d, "orders"),
@@ -181,6 +195,7 @@ object ScaleQueries {
     "hist_bins" -> histBins,
     "hist_quantile" -> histQuantile,
     "profile_cols" -> profileCols,
+    "drift_psi" -> driftPsi,
     "sample_group" -> sampleGroup,
     "heavy_hitters" -> heavyHitters,
     "bloom_semi" -> bloomSemi,
@@ -320,6 +335,37 @@ object ScaleQueries {
         |  END AS INTEGER) AS bin, count(*) AS n
         |FROM lineitem, b WHERE l_extendedprice IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // drift_psi: bins over the REFERENCE (even-key) side's range, B-side
+    // values clamped into edge bins; shares floored at 1e-6 and rounded 6
+    // BEFORE the log term so both engines compute the identical ratio
+    "drift_psi" ->
+      """WITH b AS (
+        |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+        |ra AS (
+        |  SELECT CAST(CASE WHEN hi = lo THEN 0
+        |    ELSE greatest(least(floor((o_totalprice - lo) * 10 / (hi - lo)), 9), 0)
+        |    END AS INTEGER) AS bin, count(*) AS n_ref
+        |  FROM orders, b WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |rb AS (
+        |  SELECT CAST(CASE WHEN hi = lo THEN 0
+        |    ELSE greatest(least(floor((o_totalprice - lo) * 10 / (hi - lo)), 9), 0)
+        |    END AS INTEGER) AS bin, count(*) AS n_cmp
+        |  FROM orders, b WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ra.bin, rb.bin) AS bin,
+        |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cmp, 0) AS n_cmp
+        |  FROM ra FULL JOIN rb ON ra.bin = rb.bin),
+        |p AS (
+        |  SELECT bin,
+        |    round(greatest(CAST(n_ref AS DOUBLE) / sum(n_ref) OVER (), 1e-6), 6) AS p_ref,
+        |    round(greatest(CAST(n_cmp AS DOUBLE) / sum(n_cmp) OVER (), 1e-6), 6) AS p_cmp
+        |  FROM j)
+        |SELECT bin, p_ref, p_cmp,
+        |  round((p_ref - p_cmp) * ln(p_ref / p_cmp), 4) AS psi_term
+        |FROM p ORDER BY bin""".stripMargin,
     "heavy_hitters" ->
       """SELECT user_id, count(*) AS cnt, CAST(1 AS INTEGER) AS cms_ok
         |FROM events GROUP BY user_id HAVING count(*) >= 75

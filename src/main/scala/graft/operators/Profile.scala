@@ -39,6 +39,52 @@ object Profile {
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }
 
+  /** Population-stability index between two snapshots of a column — the
+    * standard drift monitor run between corpus versions before retraining
+    * (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 retrain-worthy).
+    *
+    * Bins are equi-width over the REFERENCE side's [min, max] (same FP
+    * arithmetic as [[equiWidthHistogram]], so the DuckDB oracle mirrors
+    * token-for-token); values of the comparison side outside that range
+    * clamp into the edge bins — out-of-range mass IS drift signal and
+    * must not be dropped. Each side's bin share is floored at `eps`
+    * before the log ratio (the standard empty-bin smoothing: PSI is
+    * undefined at p = 0), and per-bin terms round to 4 decimals so the
+    * differential is FP-order-stable.
+    *
+    * Returns one row per occupied bin: (bin, p_ref, p_cmp, psi_term) —
+    * `sum(psi_term)` is the PSI. Scale shape: one partial-aggregated
+    * groupBy per side over map-side bin expressions, a full-outer join of
+    * two ≤nBins-row aggregates, window-sums over those same tiny rows;
+    * the snapshots themselves are never joined or windowed. */
+  def psiDrift(
+      ref: DataFrame, cmp: DataFrame, valueCol: String,
+      nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(eps > 0, s"eps must be positive, got $eps")
+    val x = col(valueCol).cast("double")
+    val bounds = ref.filter(col(valueCol).isNotNull)
+      .agg(min(x).as("__lo"), max(x).as("__hi"))
+    def binned(df: DataFrame, n: String) = df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(greatest(least(
+            floor((x - col("__lo")) * nBins / (col("__hi") - col("__lo"))),
+            lit(nBins - 1)), lit(0))).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(n))
+    val joined = binned(ref, "n_ref").join(binned(cmp, "n_cmp"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cmp"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val pRef = greatest(col("n_ref") / sum(col("n_ref")).over(all), lit(eps))
+    val pCmp = greatest(col("n_cmp") / sum(col("n_cmp")).over(all), lit(eps))
+    joined.select(col("bin"),
+        round(pRef, 6).as("p_ref"), round(pCmp, 6).as("p_cmp"))
+      .withColumn("psi_term",
+        round((col("p_ref") - col("p_cmp")) * log(col("p_ref") / col("p_cmp")), 4))
+  }
+
   /** Equi-DEPTH histogram (quantile binning): `nBins` buckets holding
     * roughly equal row counts, bounded by exact-percentile cut points.
     *

@@ -199,6 +199,31 @@ class ProfileSpec extends SparkSpec {
     assert(got.sameElements(Array(15L, 6L, 3L))) // pinned vs DuckDB (see oracle)
   }
 
+  test("psiDrift: identical snapshots score ~0; a shifted snapshot's mass lands in edge bins, not dropped") {
+    val ref = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    // identical distribution: every per-bin term is 0 after rounding
+    val same = graft.operators.Profile.psiDrift(ref, ref, "v", nBins = 10)
+      .collect().map(_.getDouble(3))
+    assert(same.forall(_ == 0.0), same.mkString(","))
+    // comparison side entirely ABOVE the reference range: clamps into the
+    // top bin (bin 9), which then carries essentially all comparison mass
+    val shifted = (1 to 100).map(i => Tuple1(1000.0 + i)).toDF("v")
+    val rows = graft.operators.Profile.psiDrift(ref, shifted, "v", nBins = 10)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows(9)._2 == 1.0, rows.toString)         // all cmp mass in bin 9
+    assert(rows(9)._1 == 0.1)                        // ref still uniform
+    // total PSI is large (drift) and every bin's term is finite (eps floor)
+    val terms = graft.operators.Profile.psiDrift(ref, shifted, "v", nBins = 10)
+      .collect().map(_.getDouble(3))
+    assert(terms.sum > 0.25, terms.sum.toString)
+    assert(terms.forall(t => !t.isNaN && !t.isInfinite))
+    // NULLs excluded on both sides, not binned as zeros
+    val withNull = (ref.collect().map(_.getDouble(0)).map(Option(_)) :+ None)
+      .toSeq.toDF("v")
+    assert(graft.operators.Profile.psiDrift(withNull, withNull, "v", nBins = 10)
+      .agg(org.apache.spark.sql.functions.sum("psi_term")).head.getDouble(0) == 0.0)
+  }
+
   test("rateAnomalies: spike hour flagged, steady key drops out (stddev 0)") {
     val base = 1700000000000L
     val hourTs = (h: Int, i: Int) => new java.sql.Timestamp(base + h * 3600000L + i * 1000L)
