@@ -114,6 +114,17 @@ object ScaleQueries {
       .orderBy("bin")
   }
 
+  /** Categorical drift: language-mix PSI between the even/odd doc_id
+    * halves of the documents table (see [[Profile.psiDriftCategorical]]). */
+  val driftLang: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Profile.psiDriftCategorical(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "lang")
+      .orderBy("lang")
+  }
+
   /** One-pass ANALYZE-style column profile of the orders table. */
   val profileCols: Q = (s, d) =>
     Profile.columnProfile(t(s, d, "orders"),
@@ -196,6 +207,7 @@ object ScaleQueries {
     "hist_quantile" -> histQuantile,
     "profile_cols" -> profileCols,
     "drift_psi" -> driftPsi,
+    "drift_lang" -> driftLang,
     "sample_group" -> sampleGroup,
     "heavy_hitters" -> heavyHitters,
     "bloom_semi" -> bloomSemi,
@@ -366,6 +378,23 @@ object ScaleQueries {
         |SELECT bin, p_ref, p_cmp,
         |  round((p_ref - p_cmp) * ln(p_ref / p_cmp), 4) AS psi_term
         |FROM p ORDER BY bin""".stripMargin,
+    "drift_lang" ->
+      """WITH ra AS (
+        |  SELECT lang, count(*) AS n_ref FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |rb AS (
+        |  SELECT lang, count(*) AS n_cmp FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ra.lang, rb.lang) AS lang,
+        |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cmp, 0) AS n_cmp
+        |  FROM ra FULL JOIN rb ON ra.lang IS NOT DISTINCT FROM rb.lang),
+        |p AS (
+        |  SELECT lang,
+        |    round(greatest(CAST(n_ref AS DOUBLE) / sum(n_ref) OVER (), 1e-6), 6) AS p_ref,
+        |    round(greatest(CAST(n_cmp AS DOUBLE) / sum(n_cmp) OVER (), 1e-6), 6) AS p_cmp
+        |  FROM j)
+        |SELECT lang, p_ref, p_cmp,
+        |  round((p_ref - p_cmp) * ln(p_ref / p_cmp), 4) AS psi_term
+        |FROM p ORDER BY lang""".stripMargin,
     "heavy_hitters" ->
       """SELECT user_id, count(*) AS cnt, CAST(1 AS INTEGER) AS cms_ok
         |FROM events GROUP BY user_id HAVING count(*) >= 75

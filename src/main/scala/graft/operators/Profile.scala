@@ -85,6 +85,35 @@ object Profile {
         round((col("p_ref") - col("p_cmp")) * log(col("p_ref") / col("p_cmp")), 4))
   }
 
+  /** Categorical [[psiDrift]]: PSI over a discrete column's value shares
+    * (language mix, source mix, label mix between corpus versions) — no
+    * binning, each distinct value is its own cell; values present in only
+    * one snapshot get the other side's share floored at `eps`, so
+    * appearing/disappearing categories surface as large terms instead of
+    * being dropped. Same output contract as [[psiDrift]] with the value
+    * in place of the bin. NULL is a category here (an encoding change
+    * that NULLs a field is exactly the drift to catch) — null-safe
+    * full-outer join on the value. */
+  def psiDriftCategorical(
+      ref: DataFrame, cmp: DataFrame, keyCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val a = ref.groupBy(col(keyCol)).agg(count(lit(1)).as("n_ref"))
+    val b = cmp.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("n_cmp"))
+    val joined = a.join(b, col(keyCol) <=> col("__k"), "full_outer")
+      .select(coalesce(col(keyCol), col("__k")).as(keyCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cmp"), lit(0L)).as("n_cmp"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val pRef = greatest(col("n_ref") / sum(col("n_ref")).over(all), lit(eps))
+    val pCmp = greatest(col("n_cmp") / sum(col("n_cmp")).over(all), lit(eps))
+    joined.select(col(keyCol),
+        round(pRef, 6).as("p_ref"), round(pCmp, 6).as("p_cmp"))
+      .withColumn("psi_term",
+        round((col("p_ref") - col("p_cmp")) * log(col("p_ref") / col("p_cmp")), 4))
+  }
+
   /** Equi-DEPTH histogram (quantile binning): `nBins` buckets holding
     * roughly equal row counts, bounded by exact-percentile cut points.
     *

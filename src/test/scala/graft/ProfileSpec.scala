@@ -224,6 +224,26 @@ class ProfileSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("psi_term")).head.getDouble(0) == 0.0)
   }
 
+  test("psiDriftCategorical: vanished and appeared categories surface via eps; NULL is a category") {
+    val ref = (Seq.fill(50)("en") ++ Seq.fill(30)("de") ++ Seq.fill(20)("fr"))
+      .map(Tuple1(_)).toDF("lang")
+    val cmp = (Seq.fill(50)("en") ++ Seq.fill(30)("de") ++ Seq.fill(20)("zh"))
+      .map(Tuple1(_)).toDF("lang")
+    val rows = graft.operators.Profile.psiDriftCategorical(ref, cmp, "lang")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("en", "de", "fr", "zh"))
+    assert(rows("en")._3 == 0.0 && rows("de")._3 == 0.0)
+    // fr vanished, zh appeared: both get the eps floor on the absent side
+    // and a large positive term — (0.2 - 1e-6) * ln(0.2/1e-6) ~ 2.4412
+    assert(rows("fr") == (0.2, 1.0e-6, 2.4412), rows("fr").toString)
+    assert(rows("zh") == (1.0e-6, 0.2, 2.4412), rows("zh").toString)
+    // NULL category participates instead of silently dropping
+    val withNull = (Seq.fill(99)(Some("en")) :+ None).toDF("lang")
+    val nn = graft.operators.Profile.psiDriftCategorical(ref, withNull, "lang")
+      .filter(col("lang").isNull).count()
+    assert(nn == 1L)
+  }
+
   test("rateAnomalies: spike hour flagged, steady key drops out (stddev 0)") {
     val base = 1700000000000L
     val hourTs = (h: Int, i: Int) => new java.sql.Timestamp(base + h * 3600000L + i * 1000L)
