@@ -145,6 +145,14 @@ object ExtQueries {
       .select("doc_id", "n_chars").orderBy("doc_id")
   }
 
+  /** Overlapping 200-char chunks with 40-char overlap — the pre-embedding
+    * window split (see [[TextAnalysis.chunkDocs]]); DuckDB mirrors the
+    * chunk-count and substring arithmetic exactly. */
+  val chunkDocsQ: Q = (s, d) =>
+    TextAnalysis.chunkDocs(t(s, d, "documents"), "doc_id", "text",
+      chunkChars = 200, overlapChars = 40)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Temperature-balanced language downsampling (alpha = 0.5) — see
     * [[Curation.temperatureSample]]. Deterministic md5-bucket membership
     * with data-derived per-language rates, so DuckDB replicates the exact
@@ -449,6 +457,7 @@ object ExtQueries {
     "dedup_resolve" -> dedupResolve,
     "dedup_survivor" -> dedupSurvivor,
     "sample_temperature" -> sampleTemperature,
+    "chunk_docs" -> chunkDocsQ,
     "topk_sim" -> topkSim,
     "topk_sim_agg" -> topkSimAgg,
     "ann_topk" -> annTopk,
@@ -682,6 +691,20 @@ object ExtQueries {
          |SELECT d.doc_id, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM rk WHERE rn <> 1)
          |ORDER BY d.doc_id""".stripMargin,
+    // chunk_docs: chunk count = ceil((len-overlap)/step) (1 below one
+    // chunk), chunk i = substring at i*step+1, mirrored 1-based both sides
+    "chunk_docs" ->
+      """SELECT doc_id,
+        |  CAST(i AS INTEGER) AS chunk_idx,
+        |  substring(text, CAST(i AS INTEGER) * 160 + 1, 200) AS chunk_text
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CASE WHEN length(text) <= 200 THEN 0
+        |           ELSE CAST(ceil(CAST(length(text) - 40 AS DOUBLE) / 160) AS BIGINT) - 1
+        |      END)) AS i
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // sample_temperature: per-language keep rate (nmin/n)^(1-alpha) rounded
     // to 6 decimals before bucketing (pow may differ in the last ulp across
     // engines; both land on the same integer threshold after rounding), then

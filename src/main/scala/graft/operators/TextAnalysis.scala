@@ -168,4 +168,36 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("doc_id", "term", "tfidf", "rank")
   }
+
+  /** Fixed-size overlapping character chunks — the pre-embedding window
+    * split every retrieval/training pipeline runs before vectorizing long
+    * documents. Chunk i covers `[i·step, i·step + chunkChars)` with
+    * `step = chunkChars − overlapChars`; the chunk count is the minimum
+    * that covers the text (`ceil((len − overlap) / step)`, 1 for texts at
+    * or under one chunk), so the final chunk may be short but no suffix
+    * is ever dropped. NULL or empty texts produce no chunks.
+    *
+    * Pure map-side built-ins (sequence → explode → substring): no UDF, no
+    * shuffle, codegen throughout — at 100 TB chunking is a projection,
+    * not a job. Returns (idCol, chunk_idx INT, chunk_text). Character
+    * windows, deliberately: token-budgeted packing is [[graft.operators.Curation.packIndex]]'s
+    * job, and byte-exact token splits belong to the tokenizer. */
+  def chunkDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlapChars: Int = 0): DataFrame = {
+    require(chunkChars > 0, s"chunkChars must be positive, got $chunkChars")
+    require(overlapChars >= 0 && overlapChars < chunkChars,
+      s"overlapChars must be in [0, chunkChars), got $overlapChars")
+    val step = chunkChars - overlapChars
+    val len = length(col(textCol))
+    val nChunks = when(len <= chunkChars, lit(1))
+      .otherwise(ceil((len - overlapChars).cast("double") / step).cast("int"))
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        // Column-start substr (the 3-arg `substring` fn only takes Ints)
+        col(textCol).substr(col("chunk_idx") * step + 1, lit(chunkChars))
+          .as("chunk_text"))
+  }
 }

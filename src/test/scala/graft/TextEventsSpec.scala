@@ -129,4 +129,28 @@ class TextEventsSpec extends SparkSpec {
       assert(perId(f.media_id) == (f.n_frames + 9) / 10) // ceil(n/stride)
     }
   }
+
+  test("chunkDocs: full coverage with overlap, short final chunk, one chunk at/below size, empty drops") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a" * 10),   // len 10 > 5: step 3, ceil(8/3)=3 chunks
+      (2L, "b" * 5),    // exactly one chunk
+      (3L, "c" * 2),    // under one chunk
+      (4L, ""),         // empty: no chunks
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, "doc_id", "text", chunkChars = 5, overlapChars = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toList.sorted
+    assert(out == List(
+      (1L, 0, "aaaaa"), (1L, 1, "aaaaa"), (1L, 2, "aaaa"), // starts 0,3,6; last short
+      (2L, 0, "bbbbb"), (3L, 0, "cc")), out.mkString(","))
+    // overlap: consecutive chunks share exactly overlapChars characters
+    val t10 = "0123456789"
+    val chunks = TextAnalysis.chunkDocs(Seq((1L, t10)).toDF("doc_id", "text"), "doc_id", "text", 5, 2)
+      .orderBy("chunk_idx").collect().map(_.getString(2))
+    assert(chunks.toSeq == Seq("01234", "34567", "6789"))
+    assert(chunks.sliding(2).forall { case Array(a, b) => a.takeRight(2) == b.take(2); case _ => true })
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkDocs(docs, "doc_id", "text", 5, 5))
+  }
 }
