@@ -26,6 +26,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like every other entrypoint: loadEvents casts the fixture's
+      // TIMESTAMP_NTZ ts through the session timezone, so a host-local
+      // zone here would shift hour buckets and make bench numbers (and
+      // per-query row counts) host-timezone-dependent
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

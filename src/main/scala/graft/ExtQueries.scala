@@ -123,10 +123,13 @@ object ExtQueries {
     // side is scanned exactly once.
     exact.join(lsh, Seq("a_id", "b_id"), "full_outer")
       .agg(
-        sum(col("in_exact")).as("n_exact"),
-        sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
-          .otherwise(0L)).as("n_hits"),
-        sum(when(col("in_exact").isNull, 1L).otherwise(0L)).as("n_extra"))
+        // coalesce: over an EMPTY pair set every sum is NULL, which would
+        // turn the vacuously-true invariants into (NULL, 0, 0) vs the
+        // oracle's (0, 1, 1)
+        coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+        coalesce(sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_hits"),
+        coalesce(sum(when(col("in_exact").isNull, 1L).otherwise(0L)), lit(0L)).as("n_extra"))
       .select(col("n_exact"),
         when(col("n_extra") === 0, 1).otherwise(0).as("subset_ok"),
         when(col("n_hits") * 2 >= col("n_exact"), 1).otherwise(0).as("floor_met"))
@@ -719,7 +722,8 @@ object ExtQueries {
         |        CASE WHEN CAST(round(rate * 65536) AS BIGINT) >= 65536 THEN 'g000'
         |             ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT)) END AS thr
         |      FROM r)
-        |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr
         |ORDER BY d.doc_id""".stripMargin,
     "topk_sim" ->

@@ -332,8 +332,18 @@ object Ops {
     require(changes.columns.sorted.sameElements((keyCols ++ payload :+ effectiveCol).sorted),
       s"scd2Apply: changes must carry exactly key + payload + $effectiveCol; " +
         s"got ${changes.columns.sorted.mkString(",")}")
-    val hist = dim.filter(!col(currentFlag))
-    val cur = dim.filter(col(currentFlag))
+    // a NULL flag row would match NEITHER filter below and silently vanish
+    // from the result — fail loudly instead, consistent with the rest of
+    // this function's contract (a backfilled-as-NULL flag column is a real
+    // upstream defect, not a row to drop)
+    val checked = dim.withColumn(currentFlag,
+      when(col(currentFlag).isNotNull, col(currentFlag))
+        .otherwise(raise_error(concat(
+          lit(s"scd2Apply: NULL $currentFlag for key ("),
+          concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+          lit(") — history rows must carry an explicit false")))))
+    val hist = checked.filter(!col(currentFlag))
+    val cur = checked.filter(col(currentFlag))
     val eff = changes.select(
       (keyCols.map(col) :+ col(effectiveCol).as("__eff")): _*)
     // close the matched current versions; guard interval sanity map-side

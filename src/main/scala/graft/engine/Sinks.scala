@@ -64,27 +64,21 @@ object Sinks {
     * steady-state daily-ETL write (reprocess yesterday, keep years of
     * history in place). Plain `mode("overwrite")` + `partitionBy` in
     * STATIC mode (the Spark default) deletes the ENTIRE table first: a
-    * one-day backfill would silently destroy every other day. This write
-    * scopes the conf change to the single call (set → write → restore),
-    * so it cannot leak dynamic semantics into other writers that may rely
-    * on static full-table replacement.
+    * one-day backfill would silently destroy every other day. The mode is
+    * passed as a PER-WRITE DataFrameWriter option, never by mutating the
+    * session conf — a set→write→restore around a shared SparkSession
+    * would race concurrent writers in other threads into the wrong
+    * overwrite semantics for the duration of this write.
     *
     * At 100 TB this is also the cheap idempotent retry: re-running a
     * failed daily batch rewrites only that day's directories. Crash
     * mid-write leaves other partitions intact (each partition directory
     * swaps independently); for all-or-nothing multi-table publishes use
     * [[publish]]. */
-  def overwritePartitions(df: DataFrame, path: String, cols: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  def overwritePartitions(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).parquet(path)
 
   /** Bucketed + sorted table for co-located joins: two tables bucketed on
     * the same key join WITHOUT a shuffle (no Exchange in the plan —

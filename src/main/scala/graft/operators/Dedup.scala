@@ -308,19 +308,22 @@ object Dedup {
     val sh = base.select(col("doc_id"), explode(col("ss")).as("s"))
     val (filtered, sizes) = maxShingleDf match {
       case Some(m) =>
-        // the guard only needs the HOT shingles (df > m) — a tiny set by
-        // definition — so compute them with one partial-aggregated groupBy
-        // and remove them with a broadcast anti-join (map-side). The
-        // earlier window formulation (count over partitionBy(s)) sorted
-        // and shuffled EVERY exploded occurrence row just to read a count
-        // the map-side-combined aggregate gets from far fewer bytes.
-        // Sizes are then re-counted over the surviving rows so the
-        // denominators match the intersections.
+        // the guard only needs the HOT shingles (df > m) — compute them
+        // with one partial-aggregated groupBy and remove them with an
+        // anti-join. The earlier window formulation (count over
+        // partitionBy(s)) sorted and shuffled EVERY exploded occurrence
+        // row just to read a count the map-side-combined aggregate gets
+        // from far fewer bytes. NO forced broadcast: the hot set is tiny
+        // on most corpora and AQE will broadcast it from runtime stats,
+        // but its size is bounded only by occurrences/m — at 100 TB a
+        // forced broadcast would be a driver-OOM cliff where a shuffled
+        // anti-join merely costs a shuffle. Sizes are then re-counted
+        // over the surviving rows so denominators match intersections.
         val hot = sh.groupBy("s").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > m).select("s")
         // re-select positionally: the USING join moves the key column first,
         // and the band sides below rename by POSITION (toDF)
-        val f = sh.join(broadcast(hot), Seq("s"), "left_anti").select("doc_id", "s")
+        val f = sh.join(hot, Seq("s"), "left_anti").select("doc_id", "s")
         (f, f.groupBy("doc_id").agg(count(lit(1)).as("n")))
       case None =>
         // |A| per doc is a map-side expression over the shingle array — no
@@ -608,7 +611,12 @@ object Dedup {
         try {
           val path = new org.apache.hadoop.fs.Path(p)
           path.getFileSystem(r.context.hadoopConfiguration).delete(path, true)
-        } catch { case _: java.io.IOException => () }
+        } catch {
+          // genuinely best-effort: Path/getFileSystem can throw non-IO
+          // exceptions (malformed URI, unbound scheme) and a cleanup
+          // failure must never abort the resolve mid-iteration
+          case scala.util.control.NonFatal(_) => ()
+        }
       }
     }
 

@@ -199,20 +199,29 @@ object EventStreams {
     val caseSensitive = stream.sparkSession.sessionState.conf.caseSensitiveAnalysis
     def sameName(a: String, b: String): Boolean =
       if (caseSensitive) a == b else a.equalsIgnoreCase(b)
-    // fail at construction, not inside foreachBatch: EVERY column
+    // Fail at construction, not inside foreachBatch: EVERY column
     // participates at runtime — keyCols partition the window and key the
     // merge join, seqCol leads the orderBy, and the remaining columns form
     // the replay-deterministic tiebreak sort — so each must resolve and be
     // orderable (orderable also covers grouping/join legality: the
-    // ungroupable types, map and variant, are exactly the unorderable ones)
+    // ungroupable types, map and variant, are exactly the unorderable ones).
+    // Resolve every caller-supplied name to the stream's ACTUAL field name
+    // once, here. Analysis resolves case-insensitively, but downstream
+    // plain-string code does not: Ops.upsert filters dataCols by exact
+    // string (a differently-cased key would survive as a "data" column and
+    // duplicate the key in the merge output), and Ops.applyCdc requires
+    // the op column by exact name — both would pass construction and then
+    // kill the stream on the first non-bootstrap micro-batch.
+    def resolved(c: String, role: String): String =
+      stream.schema.fields.map(_.name).find(sameName(_, c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"upsertSink: $role column '$c' not found in the stream schema " +
+            s"(${stream.schema.fields.map(_.name).mkString(", ")})"))
+    val keys = keyCols.map(resolved(_, "key"))
+    val seq = resolved(seqCol, "seq")
+    val op = opCol.map(resolved(_, "op"))
     locally {
-      val fields = stream.schema.fields
-      (keyCols ++ Seq(seqCol) ++ opCol).foreach { c =>
-        require(fields.exists(f => sameName(f.name, c)),
-          s"upsertSink: column '$c' not found in the stream schema " +
-            s"(${fields.map(_.name).mkString(", ")})")
-      }
-      val unorderable = fields.filterNot(f =>
+      val unorderable = stream.schema.fields.filterNot(f =>
         org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
       require(unorderable.isEmpty,
         "upsertSink requires every column to be orderable (keys partition and " +
@@ -227,22 +236,22 @@ object EventStreams {
         // seq desc, then every remaining column: a total order, so ties on
         // (key, seq) resolve identically when the batch replays
         val tiebreak = batch.columns.toSeq
-          .filterNot(c => keyCols.exists(sameName(_, c)) || sameName(seqCol, c))
+          .filterNot(c => keys.contains(c) || c == seq) // names pre-resolved
           .map(col(_).desc)
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(seqCol).desc +: tiebreak: _*)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(seq).desc +: tiebreak: _*)
         val lastPerKey = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         val live = new org.apache.hadoop.fs.Path(tablePath)
         val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
         graft.engine.Sinks.recoverSwap(fs, live) // we read `live` next
-        val merged = (fs.exists(live), opCol) match {
+        val merged = (fs.exists(live), op) match {
           case (true, Some(oc)) =>
             graft.engine.Ops.applyCdc(
-              spark.read.parquet(tablePath), lastPerKey, keyCols, oc)
+              spark.read.parquet(tablePath), lastPerKey, keys, oc)
           case (true, None) =>
             graft.engine.Ops.upsert(
-              spark.read.parquet(tablePath), lastPerKey, keyCols)
+              spark.read.parquet(tablePath), lastPerKey, keys)
           // no table yet: the first batch bootstraps it — with CDC ops,
           // deletes of never-seen keys are no-ops and must not land as rows
           case (false, Some(oc)) =>

@@ -373,6 +373,29 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.read.parquet(s"$dir/table")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(rows == Map(1L -> "new", 2L -> "only"))
+      // a SECOND batch exercises the steady-state Ops.upsert path, where
+      // an unresolved "K" would survive dataCols filtering as a duplicate
+      // key column and kill the stream (the bootstrap batch never merges)
+      mem3.addData((2L, "upd", 2L), (3L, "ins", 1L))
+      q.processAllAvailable()
+      val rows2 = spark.read.parquet(s"$dir/table")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows2 == Map(1L -> "new", 2L -> "upd", 3L -> "ins"))
     } finally q.stop()
+    // same for the CDC path: differently-cased key/seq/op across TWO
+    // batches (the second one drives Ops.applyCdc's exact-name op lookup)
+    val mem4 = MemoryStream[(Long, String, Long, String)]
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-upsert-ci2").toString
+    val q2 = EventStreams.upsertSink(mem4.toDF().toDF("k", "v", "seq", "op"),
+      s"$dir2/table", Seq("K"), "SEQ", s"$dir2/ckpt", opCol = Some("OP"))
+    try {
+      mem4.addData((1L, "a", 1L, "I"), (2L, "b", 1L, "I"))
+      q2.processAllAvailable()
+      mem4.addData((1L, "x", 2L, "D"), (3L, "c", 2L, "I"))
+      q2.processAllAvailable()
+      val rows3 = spark.read.parquet(s"$dir2/table")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows3 == Map(2L -> "b", 3L -> "c"))
+    } finally q2.stop()
   }
 }
