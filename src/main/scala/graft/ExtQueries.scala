@@ -156,6 +156,13 @@ object ExtQueries {
       chunkChars = 200, overlapChars = 40)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Target-proportion mixture: en/de/es at 50/30/20 (see
+    * [[Curation.mixStrata]]); zh/fr are outside the recipe and drop. */
+  val sampleMix: Q = (s, d) =>
+    Curation.mixStrata(t(s, d, "documents"), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.2))
+      .select("doc_id", "lang").orderBy("doc_id")
+
   /** Temperature-balanced language downsampling (alpha = 0.5) — see
     * [[Curation.temperatureSample]]. Deterministic md5-bucket membership
     * with data-derived per-language rates, so DuckDB replicates the exact
@@ -460,6 +467,7 @@ object ExtQueries {
     "dedup_resolve" -> dedupResolve,
     "dedup_survivor" -> dedupSurvivor,
     "sample_temperature" -> sampleTemperature,
+    "sample_mix" -> sampleMix,
     "chunk_docs" -> chunkDocsQ,
     "topk_sim" -> topkSim,
     "topk_sim_agg" -> topkSimAgg,
@@ -708,6 +716,24 @@ object ExtQueries {
         |      END)) AS i
         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // sample_mix: scale S = min(n_i/w_i) maximizes the mixture; rate_i =
+    // round(S*w_i/n_i, 6); same md5-bucket membership; zh/fr not in the
+    // recipe and therefore absent
+    "sample_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n,
+        |    CASE lang WHEN 'en' THEN 0.5e0 WHEN 'de' THEN 0.3e0 WHEN 'es' THEN 0.2e0 END AS w
+        |  FROM documents WHERE lang IN ('en', 'de', 'es') GROUP BY lang),
+        |s AS (SELECT min(n / w) AS scale FROM c),
+        |t AS (SELECT lang,
+        |        CASE WHEN CAST(round(round(scale * w / n, 6) * 65536) AS BIGINT) >= 65536
+        |             THEN 'g000'
+        |             ELSE printf('%04x', CAST(round(round(scale * w / n, 6) * 65536) AS BIGINT))
+        |        END AS thr
+        |      FROM c CROSS JOIN s)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr
+        |ORDER BY d.doc_id""".stripMargin,
     // sample_temperature: per-language keep rate (nmin/n)^(1-alpha) rounded
     // to 6 decimals before bucketing (pow may differ in the last ulp across
     // engines; both land on the same integer threshold after rounding), then

@@ -124,6 +124,46 @@ object Curation {
       .drop("__stratum", "__thr")
   }
 
+  /** Target-proportion corpus mixing: downsample strata so the result
+    * matches an explicit mixture recipe (`weights`, e.g. 50% web / 30%
+    * code / 20% academic) — the "data mixture" step of a training run,
+    * where [[temperatureSample]]'s smoothing is replaced by exact target
+    * shares. The achievable scale is maximal: `S = min_i(n_i / w_i)` sets
+    * the binding stratum to keep everything and every other stratum's
+    * keep rate to `S·w_i / n_i`, so expected kept counts are exactly
+    * `S·w_i` — the largest mixture with those proportions the data can
+    * support without upsampling.
+    *
+    * Strata NOT named in `weights` are dropped (a mixture recipe is a
+    * whitelist); weights need not sum to 1 (only ratios matter).
+    * Membership is the same hash-stable md5 draw as the other sampling
+    * operators, rates round to 6 decimals before bucketing, and the
+    * per-stratum thresholds ride one tiny broadcast aggregate. */
+  def mixStrata(
+      df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "mixStrata requires at least one stratum weight")
+    require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    val w = weights.foldLeft(lit(null).cast("double")) {
+      case (rest, (stratum, wt)) =>
+        when(col(stratumCol) === stratum, lit(wt)).otherwise(rest)
+    }
+    val counts = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", w)
+    val scale = min(col("__n") / col("__w"))
+      .over(Window.rowsBetween(Long.MinValue, Long.MaxValue))
+    val rate = round(scale * col("__w") / col("__n"), 6)
+    val thrV = round(rate * 65536).cast("long")
+    val thresholds = counts.select(col(stratumCol).as("__stratum"),
+      when(thrV >= 65536, lit("g000"))
+        .otherwise(format_string("%04x", thrV)).as("__thr"))
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    df.join(broadcast(thresholds), col(stratumCol) === col("__stratum"))
+      .filter(h < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
   /** Benchmark-contamination ratio per document: the fraction of the
     * document's distinct word n-gram shingles that also appear anywhere in
     * the benchmark set — the standard eval-set leakage check run before

@@ -123,6 +123,40 @@ class CurationSpec extends SparkSpec {
     assert(gotNull == 2L, s"NULL-stratum rows dropped: kept $gotNull of 2")
   }
 
+  test("mixStrata: kept counts hit the target ratios, binding stratum keeps all, off-recipe strata drop") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val weights = Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.2)
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scale = weights.map { case (l, w) => counts(l) / w }.min
+    val kept = Curation.mixStrata(docs, "doc_id", "lang", weights)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only recipe strata appear
+    assert(kept.keySet == weights.keySet)
+    // the binding stratum (min n/w) keeps everything; others hit S*w
+    // within 5 binomial standard deviations of the md5 draw
+    weights.foreach { case (l, w) =>
+      val expected = scale * w
+      val p = expected / counts(l)
+      val tol = 5 * math.sqrt(counts(l) * p * (1 - p)) + 1
+      assert(math.abs(kept(l) - expected) <= tol,
+        s"$l: kept ${kept(l)}, expected ~$expected ± $tol")
+    }
+    val binding = weights.minBy { case (l, w) => counts(l) / w }._1
+    assert(kept(binding) == counts(binding))
+    // resulting shares match the recipe to sampling noise
+    val total = kept.values.sum.toDouble
+    weights.foreach { case (l, w) =>
+      assert(math.abs(kept(l) / total - w / weights.values.sum) < 0.05,
+        s"$l share ${kept(l) / total}")
+    }
+    intercept[IllegalArgumentException](
+      Curation.mixStrata(docs, "doc_id", "lang", Map.empty))
+    intercept[IllegalArgumentException](
+      Curation.mixStrata(docs, "doc_id", "lang", Map("en" -> 0.0)))
+  }
+
   test("packIndex: bins by starting token offset per partition; partitions restart at 0") {
     val docs = Seq(
       (1L, "en", 1000L), (2L, "en", 1000L), (3L, "en", 1000L),
