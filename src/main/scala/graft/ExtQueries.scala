@@ -732,7 +732,7 @@ object ExtQueries {
         |        END AS thr
         |      FROM c CROSS JOIN s)
         |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
-        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 4) < thr
         |ORDER BY d.doc_id""".stripMargin,
     // sample_temperature: per-language keep rate (nmin/n)^(1-alpha) rounded
     // to 6 decimals before bucketing (pow may differ in the last ulp across

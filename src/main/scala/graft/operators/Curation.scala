@@ -10,6 +10,39 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The shared membership draw: first 4 hex chars of md5 over the id
+    * (optionally salted) — a uniform draw from 65,536 buckets that is
+    * stable across runs/partitionings and mirrorable in DuckDB.
+    *
+    * COMPOSABILITY: two operators filtering on the SAME (id, salt) draw
+    * nest thresholds (`min(t1, t2)`) instead of compounding rates —
+    * running an unsalted sampler on the output of [[assignSplits]] skews
+    * every downstream rate by the split's threshold. Operators that are
+    * expected to run downstream of a split carry their own salt
+    * ([[mixStrata]]); the legacy unsalted operators keep their draw for
+    * membership stability, so compose them on DISJOINT id populations or
+    * not at all. */
+  private def hashDraw(idCol: String, salt: String): Column = {
+    val keyed =
+      if (salt.isEmpty) col(idCol).cast("string")
+      else concat(col(idCol).cast("string"), lit("|" + salt))
+    substring(md5(keyed), 1, 4)
+  }
+
+  /** Driver-side rate → 4-hex threshold (see [[stratifiedSample]] for the
+    * g000 sentinel and rounding-gate rationale). */
+  private def thresholdHex(r: Double): String = {
+    val v = math.round(r * 65536).toInt
+    if (v >= 65536) "g000" else f"$v%04x"
+  }
+
+  /** Column-side rate → threshold, same arithmetic as [[thresholdHex]]
+    * for rates computed in the plan (broadcast per-stratum aggregates). */
+  private def thresholdCol(rate: Column): Column = {
+    val v = round(rate * 65536).cast("long")
+    when(v >= 65536, lit("g000")).otherwise(format_string("%04x", v))
+  }
+
   /** Deterministic train/val/test (or any) split assignment by CONTENT
     * HASH of the id — not `rand()`: the assignment is reproducible across
     * runs, cluster sizes, row orders, and partitionings, and a given
@@ -35,7 +68,7 @@ object Curation {
       cuts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
     require(cuts.nonEmpty && cuts.map(_._2).sum == 100,
       s"split percents must sum to 100: $cuts")
-    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val h = hashDraw(idCol, salt = "")
     val thresholds = cuts.scanLeft(0)(_ + _._2).tail.dropRight(1)
       .map(p => f"${p * 65536 / 100}%04x")
     // fold from the last cut backwards: h < t1 -> cut1, < t2 -> cut2, ...
@@ -62,19 +95,16 @@ object Curation {
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       s"rates must be in [0,1]: $rates default=$defaultRate")
-    val h = substring(md5(col(idCol).cast("string")), 1, 4)
     // an all-pass rate must beat every 4-hex-digit draw, but 65536 formats
-    // as the 5-char "10000", which sorts BELOW "ffff" as a string — use
-    // "g000" (g > f in every hex position) as the sentinel. Gate on the
-    // ROUNDED value, not r >= 1.0: rates in [0.9999924, 1.0) also round to
-    // 65536 and would otherwise silently keep ~6% instead of ~100%.
-    def threshold(r: Double) = {
-      val v = math.round(r * 65536).toInt
-      if (v >= 65536) "g000" else f"$v%04x"
-    }
-    val rate = rates.foldLeft(lit(threshold(defaultRate))) {
+    // as the 5-char "10000", which sorts BELOW "ffff" as a string — the
+    // thresholdHex helper uses "g000" (g > f in every hex position) as the
+    // sentinel, and gates on the ROUNDED value, not r >= 1.0: rates in
+    // [0.9999924, 1.0) also round to 65536 and would otherwise silently
+    // keep ~6% instead of ~100%.
+    val h = hashDraw(idCol, salt = "")
+    val rate = rates.foldLeft(lit(thresholdHex(defaultRate))) {
       case (rest, (stratum, r)) =>
-        when(col(stratumCol) === stratum, lit(threshold(r))).otherwise(rest)
+        when(col(stratumCol) === stratum, lit(thresholdHex(r))).otherwise(rest)
     }
     df.filter(h < rate)
   }
@@ -110,13 +140,11 @@ object Curation {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
     val nMin = min(col("__n")).over(Window.rowsBetween(Long.MinValue, Long.MaxValue))
     val rate = round(pow(nMin.cast("double") / col("__n"), 1.0 - alpha), 6)
-    val thrV = round(rate * 65536).cast("long")
-    val thr = when(thrV >= 65536, lit("g000"))
-      .otherwise(format_string("%04x", thrV)).as("__thr")
     // |strata| rows: the window-min and the join are both on a relation the
     // size of the stratum count, so broadcast is always right
-    val thresholds = counts.select(col(stratumCol).as("__stratum"), thr)
-    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val thresholds = counts.select(col(stratumCol).as("__stratum"),
+      thresholdCol(rate).as("__thr"))
+    val h = hashDraw(idCol, salt = "")
     // null-safe join: a NULL stratum is a legitimate group (it got a rate
     // from the groupBy above) and must not silently vanish here
     df.join(broadcast(thresholds), col(stratumCol) <=> col("__stratum"))
@@ -135,15 +163,24 @@ object Curation {
     * support without upsampling.
     *
     * Strata NOT named in `weights` are dropped (a mixture recipe is a
-    * whitelist); weights need not sum to 1 (only ratios matter).
-    * Membership is the same hash-stable md5 draw as the other sampling
-    * operators, rates round to 6 decimals before bucketing, and the
-    * per-stratum thresholds ride one tiny broadcast aggregate. */
+    * whitelist); weights need not sum to 1 (only ratios matter). A recipe
+    * stratum with NO rows in the data fails fast: the only mixture
+    * consistent with a zero-row component is empty, and silently
+    * renormalizing over the present strata would hand the caller
+    * plausible-looking but wrong proportions.
+    *
+    * Membership is the md5 draw SALTED with "mix", so this operator
+    * composes with [[assignSplits]]/[[stratifiedSample]] (split first,
+    * then mix the train split) — an unsalted draw downstream of another
+    * threshold filter would nest thresholds instead of compounding rates
+    * (see [[hashDraw]]). Rates round to 6 decimals before bucketing and
+    * the per-stratum thresholds ride one tiny broadcast aggregate. */
   def mixStrata(
       df: DataFrame, idCol: String, stratumCol: String,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty, "mixStrata requires at least one stratum weight")
-    require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    require(weights.values.forall(w => w > 0 && !w.isInfinite && !w.isNaN),
+      s"weights must be positive and finite: $weights")
     val w = weights.foldLeft(lit(null).cast("double")) {
       case (rest, (stratum, wt)) =>
         when(col(stratumCol) === stratum, lit(wt)).otherwise(rest)
@@ -151,14 +188,21 @@ object Curation {
     val counts = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__w", w)
+    // absent recipe stratum -> fail loudly (checked on the tiny aggregate:
+    // one count + a driver-side set diff, no extra pass over the corpus)
+    val present = counts.select(col(stratumCol)).collect()
+      .map(r => String.valueOf(r.get(0))).toSet
+    val absent = weights.keys.filterNot(present.contains)
+    require(absent.isEmpty,
+      s"mixStrata: recipe strata with no rows in the data: ${absent.mkString(", ")} — " +
+        "the only mixture honoring a zero-row component is empty; drop it " +
+        "from the recipe or fix the upstream filter")
     val scale = min(col("__n") / col("__w"))
       .over(Window.rowsBetween(Long.MinValue, Long.MaxValue))
     val rate = round(scale * col("__w") / col("__n"), 6)
-    val thrV = round(rate * 65536).cast("long")
     val thresholds = counts.select(col(stratumCol).as("__stratum"),
-      when(thrV >= 65536, lit("g000"))
-        .otherwise(format_string("%04x", thrV)).as("__thr"))
-    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+      thresholdCol(rate).as("__thr"))
+    val h = hashDraw(idCol, salt = "mix")
     df.join(broadcast(thresholds), col(stratumCol) === col("__stratum"))
       .filter(h < col("__thr"))
       .drop("__stratum", "__thr")

@@ -155,6 +155,35 @@ class CurationSpec extends SparkSpec {
       Curation.mixStrata(docs, "doc_id", "lang", Map.empty))
     intercept[IllegalArgumentException](
       Curation.mixStrata(docs, "doc_id", "lang", Map("en" -> 0.0)))
+    // non-finite weights would make scale 0 and silently empty the output
+    intercept[IllegalArgumentException](
+      Curation.mixStrata(docs, "doc_id", "lang",
+        Map("en" -> Double.PositiveInfinity, "de" -> 0.3)))
+    // a recipe stratum absent from the data fails loudly instead of
+    // silently renormalizing the mixture over the present strata
+    val eAbsent = intercept[IllegalArgumentException](
+      Curation.mixStrata(docs, "doc_id", "lang",
+        Map("en" -> 0.5, "xx" -> 0.5)))
+    assert(eAbsent.getMessage.contains("xx"))
+  }
+
+  test("mixStrata composes with assignSplits: the salted draw keeps recipe ratios inside a split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val weights = Map("en" -> 0.5, "de" -> 0.5)
+    // split first (unsalted draw keeps h < 0xcccc), then mix the train
+    // split — an UNSALTED mix draw would nest thresholds: the binding
+    // stratum would keep 100% while the other kept min(r, 0.8)/0.8 > r,
+    // skewing the 50/50 recipe
+    val train = Curation.assignSplits(docs, "doc_id")
+      .filter(col("split") === "train").drop("split")
+    val kept = Curation.mixStrata(train, "doc_id", "lang", weights)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum.toDouble
+    weights.keys.foreach { l =>
+      assert(math.abs(kept(l) / total - 0.5) < 0.06,
+        s"$l share ${kept(l) / total} after split+mix")
+    }
   }
 
   test("packIndex: bins by starting token offset per partition; partitions restart at 0") {
