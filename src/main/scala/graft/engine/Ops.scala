@@ -344,8 +344,17 @@ object Ops {
           lit(") — history rows must carry an explicit false")))))
     val hist = checked.filter(!col(currentFlag))
     val cur = checked.filter(col(currentFlag))
+    // a NULL effective timestamp is unguardable downstream: after the left
+    // join it is indistinguishable from "no change for this key", so the
+    // current version would stay open while `opened` appended a SECOND
+    // open version with NULL valid_from — fail on the change batch itself
+    val effGuarded = when(col(effectiveCol).isNotNull, col(effectiveCol))
+      .otherwise(raise_error(concat(
+        lit("scd2Apply: NULL " + effectiveCol + " for key ("),
+        concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+        lit(") — every change needs an effective timestamp"))))
     val eff = changes.select(
-      (keyCols.map(col) :+ col(effectiveCol).as("__eff")): _*)
+      (keyCols.map(col) :+ effGuarded.as("__eff")): _*)
     // close the matched current versions; guard interval sanity map-side
     val closed = cur.join(eff, keyCols, "left")
       .withColumn("__eff", when(col("__eff").isNull || col("__eff") > col(validFrom),
@@ -360,9 +369,11 @@ object Ops {
           coalesce(col("__eff"), col(validTo)).as(validTo),
           col("__eff").isNull.as(currentFlag)): _*)
     // open the new versions (covers brand-new keys too)
+    // the same guard on the open side: a NULL-effective change for a NEW
+    // key never reaches the closed join, so it must raise here
     val opened = changes.select(
       (keyCols.map(col) ++ payload.map(col)) ++ Seq(
-        col(effectiveCol).as(validFrom),
+        effGuarded.as(validFrom),
         lit(null).cast(dim.schema(validTo).dataType).as(validTo),
         lit(true).as(currentFlag)): _*)
     hist.select(dim.columns.map(col): _*)

@@ -24,21 +24,28 @@ object Orchestration {
         require(idx > 0, s"malformed config line: '$t'")
         val k = t.substring(0, idx).trim
         val v = t.substring(idx + 1).trim
-        // unquoted values: strip a trailing inline comment; quoted values:
-        // require the closing quote (an unbalanced quote fails fast rather
-        // than being silently half-stripped)
+        // unquoted values: strip a trailing inline comment — including a
+        // value that IS only a comment (`key: # note` means empty in
+        // YAML, not the literal comment text); quoted values: require the
+        // closing quote (an unbalanced quote fails fast rather than being
+        // silently half-stripped)
+        val quoted = v.startsWith("\"") || v.startsWith("'")
         val value =
-          if (v.startsWith("\"") || v.startsWith("'")) {
+          if (quoted) {
             val q = v.charAt(0)
             val end = v.indexOf(q, 1)
             require(end > 0, s"unbalanced quote in config line: '$t'")
             v.substring(1, end)
-          } else v.indexOf(" #") match {
+          } else if (v.startsWith("#")) ""
+          else v.indexOf(" #") match {
             case -1 => v
             case c => v.substring(0, c).trim
           }
         if (!indented) {
-          if (value.isEmpty) prefix = s"$k." else { prefix = ""; out(k) = value }
+          // an explicitly QUOTED empty value is a value (`password: ""`),
+          // not a section header — only a bare empty opens a section
+          if (value.isEmpty && !quoted) prefix = s"$k."
+          else { prefix = ""; out(k) = value }
         } else {
           require(prefix.nonEmpty, s"indented line outside a section: '$t'")
           out(prefix + k) = value

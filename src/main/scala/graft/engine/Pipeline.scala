@@ -113,6 +113,14 @@ object Pipeline {
     * first table's columns and silently drop later tables' payloads. */
   def runAndPublish(
       tables: Seq[(String, TableResult)], stagingDir: String): Seq[RunReport] = {
+    // both collisions below would otherwise SILENTLY drop a table's keep
+    // output (Map overwrite): duplicate names collapse to one entry, and
+    // "rejects" is claimed by the merged reject frame
+    val names = tables.map(_._1)
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty, s"runAndPublish: duplicate table names: ${dups.mkString(", ")}")
+    require(!names.contains("rejects"),
+      "runAndPublish: 'rejects' is reserved for the merged reject table")
     val keeps = tables.map { case (n, t) => n -> t.keep }.toMap
     val rejects = tables.map(_._2.rejects)
       .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))

@@ -20,13 +20,16 @@ object Sources {
     extends RuntimeException(
       s"schema mismatch for '$table':\n  ${problems.mkString("\n  ")}")
 
-  /** Compare ignoring nullability and array-element nullability — parquet
-    * writers vary on those; name+type is the contract. */
+  /** Name+type normalization shared by every schema comparison here:
+    * lowercase names, nullability and array-element nullability ignored —
+    * parquet writers vary on those; name+type is the contract. */
+  private def norm(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case a: ArrayType => s"array<${norm(a.elementType)}>"
+    case other => other.simpleString
+  }
+
+  /** Compare via [[norm]]'s contract. */
   private def diff(expected: StructType, actual: StructType): Seq[String] = {
-    def norm(dt: org.apache.spark.sql.types.DataType): String = dt match {
-      case a: ArrayType => s"array<${norm(a.elementType)}>"
-      case other => other.simpleString
-    }
     val exp = expected.fields.map(f => f.name.toLowerCase -> norm(f.dataType)).toMap
     val act = actual.fields.map(f => f.name.toLowerCase -> norm(f.dataType)).toMap
     val missing = (exp.keySet -- act.keySet).toSeq.sorted.map(c => s"missing column: $c")
@@ -182,8 +185,12 @@ object Sources {
       declared: StructType,
       table: String = "parquet"): DataFrame = {
     val merged = spark.read.option("mergeSchema", "true").parquet(path)
-    val act = merged.schema.fields.map(f => f.name -> f.dataType).toMap
-    val dec = declared.fields.map(f => f.name -> f.dataType).toMap
+    // the same name+type contract as every other validated source ([[norm]]:
+    // lowercase names, nullability-insensitive) — a raw DataType compare
+    // would reject files differing only in array-element nullability or
+    // column case, which the plain parquet path accepts
+    val act = merged.schema.fields.map(f => f.name.toLowerCase -> norm(f.dataType)).toMap
+    val dec = declared.fields.map(f => f.name.toLowerCase -> norm(f.dataType)).toMap
     val problems =
       act.keys.filterNot(dec.contains).toSeq.sorted
         .map(c => s"unexpected column: $c") ++
@@ -193,7 +200,7 @@ object Sources {
     // declared-but-absent columns (no file has them yet): NULL of the
     // declared type, same contract as a vintage that predates the column
     val cols = declared.fields.map { f =>
-      if (act.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
+      if (act.contains(f.name.toLowerCase)) org.apache.spark.sql.functions.col(f.name)
       else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
     }
     merged.select(cols.toSeq: _*)

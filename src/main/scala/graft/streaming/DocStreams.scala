@@ -45,9 +45,17 @@ object DocStreams {
       family: Dedup.HashFamily = Dedup.Fnv64Family): DataFrame = {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     require(!corpusBands.isStreaming, "corpusBands must be a static band index")
+    // the index contract is minhashBands' schema; select BY NAME before the
+    // positional rename — an index read back with reordered columns (a
+    // select in another order, a bucketed layout) would otherwise silently
+    // join ids against band values
+    require(Seq("doc_id", "band_idx", "band_val").forall(corpusBands.columns.contains),
+      s"corpusBands must carry (doc_id, band_idx, band_val) — the minhashBands " +
+        s"index schema; got (${corpusBands.columns.mkString(", ")})")
     val sb = Dedup.minhashBands(stream, idCol, textCol, numHashes, bands, shingleN, family)
       .toDF("new_id", "band_idx", "band_val")
-    val cb = corpusBands.toDF("corpus_id", "band_idx", "band_val")
+    val cb = corpusBands.select("doc_id", "band_idx", "band_val")
+      .toDF("corpus_id", "band_idx", "band_val")
     sb.join(cb, Seq("band_idx", "band_val"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id", "band_idx")

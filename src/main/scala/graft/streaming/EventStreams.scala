@@ -118,7 +118,17 @@ object EventStreams {
     * abandoned users' state — turn it on for long-running production
     * queries. Note the timeout makes Spark trigger continuous empty
     * micro-batches to process expirations, so `processAllAvailable` (used
-    * by tests) never settles with it on. */
+    * by tests) never settles with it on.
+    *
+    * EXPIRY CAVEAT: evicting a user's state also forgets their session
+    * counter, so a user who returns after eviction restarts at
+    * session_id 1 — ids are unique per (user, state lifetime), not
+    * globally (a tombstone would preserve the counter but is the same
+    * size as the state itself, defeating the eviction). Downstream logic
+    * needing globally unique session keys should key on the session's
+    * START TIME instead — [[sessionWindowStats]]'s (user_id,
+    * session_start) is stable across watermark-based eviction and is the
+    * production path for that case. */
   def sessionize(
       events: Dataset[Evt], gapMinutes: Int = 30,
       expireState: Boolean = false): Dataset[SessionizedEvt] = {
@@ -140,7 +150,13 @@ object EventStreams {
             val gap = micros(e.ts) - s.lastTs
             val sid = if (s.lastTs == Long.MinValue || gap > gapMinutes * 60000000L)
               s.sessionId + 1 else s.sessionId
-            s = SessionState(sid, micros(e.ts))
+            // lastTs never moves BACKWARDS: a cross-batch late event (ts <
+            // lastTs, negative gap) joins the current session but must not
+            // rewind its tail — a rewound tail makes the next IN-ORDER
+            // event measure a bogus giant gap and falsely split the
+            // session. (Within a batch the sort already orders events;
+            // this guards the across-batch arrival order.)
+            s = SessionState(sid, math.max(s.lastTs, micros(e.ts)))
             SessionizedEvt(e.event_id, user, sid)
           }
           state.update(s)
@@ -233,6 +249,10 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark: SparkSession = batch.sparkSession
+        // an empty trigger (continuous when any query in the session uses
+        // processing-time timeouts) must not read + full-outer-merge +
+        // rewrite + swap the whole table for zero changes
+        if (!batch.isEmpty) {
         // seq desc, then every remaining column: a total order, so ties on
         // (key, seq) resolve identically when the batch replays
         val tiebreak = batch.columns.toSeq
@@ -245,13 +265,26 @@ object EventStreams {
         val live = new org.apache.hadoop.fs.Path(tablePath)
         val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
         graft.engine.Sinks.recoverSwap(fs, live) // we read `live` next
+        // cross-BATCH sequence guard: lastPerKey orders only within the
+        // micro-batch, but a lagging source partition can deliver a STALE
+        // (lower-seq) record for a key a previous batch already advanced —
+        // whole-row replacing with it would regress the table. The table
+        // stores seqCol, so drop batch records older than the live row
+        // (ties pass: replaying the winning batch must stay idempotent).
+        def freshOnly(table: DataFrame): DataFrame = {
+          val liveSeq = table.select(
+            (keys.map(col) :+ col(seq).as("__live_seq")): _*)
+          lastPerKey.join(liveSeq, keys, "left")
+            .filter(col("__live_seq").isNull || col(seq) >= col("__live_seq"))
+            .drop("__live_seq")
+        }
         val merged = (fs.exists(live), op) match {
           case (true, Some(oc)) =>
-            graft.engine.Ops.applyCdc(
-              spark.read.parquet(tablePath), lastPerKey, keys, oc)
+            val table = spark.read.parquet(tablePath)
+            graft.engine.Ops.applyCdc(table, freshOnly(table), keys, oc)
           case (true, None) =>
-            graft.engine.Ops.upsert(
-              spark.read.parquet(tablePath), lastPerKey, keys)
+            val table = spark.read.parquet(tablePath)
+            graft.engine.Ops.upsert(table, freshOnly(table), keys)
           // no table yet: the first batch bootstraps it — with CDC ops,
           // deletes of never-seen keys are no-ops and must not land as rows
           case (false, Some(oc)) =>
@@ -264,6 +297,7 @@ object EventStreams {
         // scales with table size
         merged.write.mode("overwrite").parquet(tablePath + ".tmp")
         graft.engine.Sinks.swapInto(fs, live)
+        } // batch.isEmpty guard
         (): Unit
       }
       .start()

@@ -163,6 +163,15 @@ class OpsSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
     assert(msgs(e).exists(_.contains("out-of-order feed")), msgs(e).mkString("\n"))
+    // a NULL effective timestamp fails loudly for BOTH an existing key
+    // (where it would leave two open versions) and a brand-new key (which
+    // never reaches the closed join and would open with NULL valid_from)
+    for (key <- Seq(1L, 99L)) {
+      val nullEff = Seq((key, "x", null.asInstanceOf[java.sql.Timestamp]))
+        .toDF("k", "name", "eff")
+      val eN = intercept[Exception](Ops.scd2Apply(dim, nullEff, Seq("k"), "eff").collect())
+      assert(msgs(eN).exists(_.contains("effective timestamp")), msgs(eN).mkString("\n"))
+    }
   }
 
   test("upsert: validateKeys rejects duplicate keys on either side") {

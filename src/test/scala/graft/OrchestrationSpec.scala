@@ -28,6 +28,14 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(cfg == Map("smtp_host" -> "mail.example", "quoted" -> "with # inside"))
     intercept[IllegalArgumentException](
       Orchestration.parseYamlish("bad: \"unbalanced\n"))
+    // a quoted empty string is a VALUE, not a section header; a
+    // comment-only value behaves like a bare empty (section opener /
+    // vanishing key) — the comment text must never leak into the value
+    val edge = Orchestration.parseYamlish(
+      "password: \"\"\nsec: # commented section header\n  a: 1\nhost: # set via env\n")
+    assert(edge("password") == "")
+    assert(edge("sec.a") == "1")
+    assert(!edge.contains("host") && !edge.values.exists(_.contains("set via env")))
   }
 
   test("secret: env lookup fails fast when absent") {

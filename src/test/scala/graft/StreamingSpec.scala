@@ -214,9 +214,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(Evt(3, ts(50), 7, "click")) // state carried across batches
       q.processAllAvailable()
+      // a LATE cross-batch event (before the session tail) joins the live
+      // session without rewinding its tail: the next in-order event at
+      // +55min is 5min after the tail (event 3 at +50) and must NOT be
+      // split into a new session by a rewound lastTs
+      mem.addData(Evt(4, ts(45), 7, "click")) // late: session 2's tail is 50
+      q.processAllAvailable()
+      mem.addData(Evt(5, ts(55), 7, "click"))
+      q.processAllAvailable()
       val rows = spark.table("sess").collect()
         .map(r => r.getLong(0) -> r.getLong(2)).toMap
-      assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+      assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 2L), rows.toString)
     } finally q.stop()
   }
 
@@ -249,6 +257,15 @@ class StreamingSpec extends SparkSpec {
       val t3 = spark.read.parquet(table).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(t3 == Map(1L -> "a2", 2L -> "b9", 3L -> "c", 4L -> "y"))
+      // batch 4: a STALE record (seq 1 < the live row's seq 3) from a
+      // lagging source partition must not regress the key; the fresh
+      // record in the same batch still applies
+      mem.addData((2L, "stale", 1L), (5L, "e", 1L))
+      q.processAllAvailable()
+      val t4 = spark.read.parquet(table).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(t4 == Map(1L -> "a2", 2L -> "b9", 3L -> "c", 4L -> "y", 5L -> "e"),
+        s"stale cross-batch record regressed the table: $t4")
     } finally q.stop()
   }
 
