@@ -494,7 +494,8 @@ object ExtQueries {
   )
 
   /** Unit-normalized corpus CTE + plain dot product — mirrors
-    * VectorFns.unitize + dot exactly (same op order, so doubles match). */
+    * VectorFns.unitizeNative + dotNative exactly (float→double widening
+    * first, then the same sequential op order, so doubles match). */
   private val unitCte =
     """e AS (
       |  SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM (

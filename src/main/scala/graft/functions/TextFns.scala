@@ -16,7 +16,14 @@ object TextFns {
 
   /** BPE-ish subword-count heuristic: words plus punctuation/digit runs as
     * separate tokens — a regex approximation of byte-pair tokenizer output
-    * length, computable without any model artifact. */
+    * length, computable without any model artifact.
+    *
+    * Deliberately ASCII-`\W` and space-only trim, mirrored token-for-token
+    * by the DuckDB oracle (`[\w ]` strip): tabs/newlines and non-ASCII
+    * letters each count as a token — reasonable for a byte-level-BPE
+    * proxy (real tokenizers also emit tokens for those) and required for
+    * the cross-engine differential; this is a COUNT heuristic, not a
+    * tokenizer. */
   def bpeishTokens(text: Column): Column =
     filter(split(text, """(?<=\W)|(?=\W)"""), t => trim(t) =!= "")
 
@@ -51,9 +58,11 @@ object TextFns {
   def contentHash64(text: Column): Column = xxhash64(text)
 
   /** How many of the given stopwords occur in the token array (with
-    * multiplicity) — the building block of the language-ID heuristic. */
+    * multiplicity) — the building block of the language-ID heuristic.
+    * An empty stopword list hits nothing (fold seed), rather than
+    * throwing from an empty reduce at plan construction. */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
-    size(filter(toks, t => stopwords.map(t === _).reduce(_ || _)))
+    size(filter(toks, t => stopwords.foldLeft(lit(false))((acc, s) => acc || (t === s))))
 
   /** N-gram language-ID heuristic: vote per language by stopword hits; ties
     * broken by the fixed language order; no hits => "und" (undetermined).
@@ -70,12 +79,22 @@ object TextFns {
     * profiles. The `und` sentinel (0, 1, "und") loses to any hit count >= 1
     * and wins all-zero ties because 1 > -i for every profile index i. */
   def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
-    val t = tokens(text)
-    val cands = profiles.zipWithIndex.map { case ((lang, sw), i) =>
-      struct(stopwordHits(t, sw).as("h"), lit(-i).as("p"), lit(lang).as("l"))
+    if (profiles.isEmpty) {
+      // greatest() requires >= 2 args; no profiles means nothing can win
+      // over und — but NULL text stays NULL (below)
+      when(text.isNotNull, lit("und"))
+    } else {
+      val t = tokens(text)
+      val cands = profiles.zipWithIndex.map { case ((lang, sw), i) =>
+        struct(stopwordHits(t, sw).as("h"), lit(-i).as("p"), lit(lang).as("l"))
+      }
+      val und = struct(lit(0).as("h"), lit(1).as("p"), lit("und").as("l"))
+      // NULL text must classify as NULL, not "und": the candidate structs
+      // all carry h = NULL (sorts below the und sentinel in greatest), so
+      // without the guard missing text would silently count as a
+      // classified-undetermined language in downstream rate metrics
+      when(text.isNotNull, greatest((und +: cands): _*).getField("l"))
     }
-    val und = struct(lit(0).as("h"), lit(1).as("p"), lit("und").as("l"))
-    greatest((und +: cands): _*).getField("l")
   }
 
   /** Default stopword profiles for the fixture corpus languages. */

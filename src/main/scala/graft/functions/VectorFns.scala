@@ -4,34 +4,20 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-vector primitives over `ArrayType(FloatType)` embedding columns
-  * (SURVEY §7.6), built from Spark's higher-order functions (zip_with /
-  * aggregate) so the math is codegen'd and map-side — no UDF, no shuffle.
+  * (SURVEY §7.6).
   *
   * Elements are cast to double BEFORE any arithmetic and accumulated
   * left-to-right, which is exactly what the DuckDB oracle's list
   * comprehension + list_sum does — keeping differential results bit-stable.
-  */
+  *
+  * History note: interpreted higher-order-function forms (zip_with /
+  * aggregate lambdas) existed first, were replaced by the ~10x-faster
+  * UDF twins, then by the codegen'd native expressions. The HOF forms
+  * were deleted outright once call-site-free — keeping three
+  * bit-identical implementations of the same arithmetic in sync is a
+  * drift hazard with no user (DotProductSpec pins the surviving
+  * native/UDF pair). */
 object VectorFns {
-
-  /** `array<float>` -> `array<double>` (do this once, then compose). */
-  def toDoubles(v: Column): Column = transform(v, _.cast("double"))
-
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Unit-normalize once so downstream cosine is a single dot product.
-    * For any pairwise/top-k workload this moves the two norm computations
-    * from per-PAIR to per-ROW — at n rows and n² pairs, 3n² aggregate
-    * passes become n² + n (measured 40s -> 14s on the sf0.1 bench). */
-  def unitize(v: Column): Column = {
-    val n = norm(v)
-    transform(v, x => x / n)
-  }
 
   /** Signed projection against a fixed plane (literal weights) — the
     * random-hyperplane LSH bit primitive. Uses the native DotProduct
@@ -44,12 +30,11 @@ object VectorFns {
 
   // -------------------------------------------------------- fast JVM path
   //
-  // The Column-expression forms above are composable and oracle-mirrorable,
-  // but Spark evaluates higher-order functions interpreted (not codegen'd):
-  // on the sf0.1 bench the all-pairs cosine spent 14s in lambda evals.
-  // These UDF twins run the SAME arithmetic in the SAME order (float→double
-  // cast, sequential left-to-right accumulation), so results are bit-equal
-  // to the expression forms and to the DuckDB oracle — just ~10x faster.
+  // UDF twins of the native expressions: the SAME arithmetic in the SAME
+  // order (float→double cast, sequential left-to-right accumulation), so
+  // results are bit-equal to the native forms and to the DuckDB oracle.
+  // Kept alongside the natives as the reference implementation the specs
+  // pin bit-equality against.
 
   /** float array -> unit-length double array (norm computed per ROW).
     * Output is Array[Double] (containsNull=false) so downstream UDFs get

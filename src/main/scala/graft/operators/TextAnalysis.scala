@@ -46,7 +46,10 @@ object TextAnalysis {
     * for bigrams) score 0.0 by definition. */
   def withRepetition(df: DataFrame, textCol: String): DataFrame = {
     val toks = TextFns.tokens(col(textCol))
-    val bigrams = TextFns.shingles(col(textCol), 2)
+    // the JVM shingle twin, not the interpreted transform/slice lambda —
+    // identical output (TextFns doc contract, used by Dedup/Curation),
+    // ~10x cheaper per row on wide corpora
+    val bigrams = TextFns.shinglesUdf(2)(col(textCol))
     def dupRatio(arr: org.apache.spark.sql.Column) = {
       val n = size(arr).cast("double")
       when(n > 0, round(lit(1.0) - size(array_distinct(arr)) / n, 4)).otherwise(0.0)

@@ -42,11 +42,20 @@ object NfcNormalize {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftshim.Bridge
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code.
+    *
+    * Pure-ASCII input short-circuits BEFORE the UTF8String→String decode:
+    * ASCII is NFC by definition, and `isFullAscii` is a byte scan of the
+    * existing buffer — without it every row of an ASCII-heavy corpus paid
+    * a full char[] decode + String allocation just to learn it was
+    * already normalized. */
   def normalize(s: UTF8String): UTF8String = {
-    val str = s.toString
-    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
-    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+    if (s.isFullAscii) s
+    else {
+      val str = s.toString
+      if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+      else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+    }
   }
 
   /** Column wrapper (classic-mode bridge). */

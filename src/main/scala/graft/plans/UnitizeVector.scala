@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst unit-normalization of a dense vector:
@@ -42,7 +43,10 @@ case class UnitizeVector(child: Expression)
     val nrm = math.sqrt(s)
     i = 0
     while (i < n) { out(i) = out(i) / nrm; i += 1 }
-    new GenericArrayData(out)
+    // unboxed result buffer: GenericArrayData(double[]) boxes every
+    // element (toSeq → Array[Any]), which downstream getDouble unboxes
+    // again — fromPrimitiveArray keeps the primitives in one flat buffer
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,7 +70,8 @@ case class UnitizeVector(child: Expression)
          |for (int $i = 0; $i < $n; $i++) {
          |  $out[$i] = $out[$i] / $nrm;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
        """.stripMargin
     })
 

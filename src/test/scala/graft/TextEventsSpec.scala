@@ -18,6 +18,23 @@ class TextEventsSpec extends SparkSpec {
     val out = TextAnalysis.withLangId(docs, "text")
       .select("doc_id", "lang_pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "en"))
+    // NULL text classifies as NULL (missing data), never as "und" (a
+    // classified language) — und-rate metrics must not count absent text
+    val withNull = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(TextAnalysis.withLangId(withNull, "text")
+      .select("lang_pred").head.isNullAt(0))
+    // degenerate profile sets construct instead of throwing: no profiles
+    // -> everything und (NULL stays NULL); empty stopword list hits nothing
+    import org.apache.spark.sql.functions.col
+    val noProfiles = docs.select(
+      graft.functions.TextFns.langId(col("text"), Seq.empty).as("l"))
+      .collect().map(_.getString(0))
+    assert(noProfiles.forall(_ == "und"))
+    val emptyStopwords = docs.select(
+      graft.functions.TextFns.langId(col("text"),
+        Seq("en" -> Seq.empty, "de" -> Seq("der"))).as("l"))
+      .collect().map(_.getString(0))
+    assert(emptyStopwords.count(_ == "de") == 1)
   }
 
   test("pmiCollocations: hand-computed PMI, min-count floor, deterministic tie order") {
