@@ -23,17 +23,7 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
     val suiteT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - suiteT0) / 1e9
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // UTC like every other entrypoint: loadEvents casts the fixture's
-      // TIMESTAMP_NTZ ts through the session timezone, so a host-local
-      // zone here would shift hour buckets and make bench numbers (and
-      // per-query row counts) host-timezone-dependent
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.tools.LocalSession.build(cpus)
     // Warm up the session (codegen, parquet footer reads, executor pool)
     // so the first measured query doesn't absorb ~5s of JVM startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()

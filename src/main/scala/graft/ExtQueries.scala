@@ -57,9 +57,17 @@ object ExtQueries {
       .filter(col("a_id") < col("b_id"))
       .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= 3)
       .select("a_id", "b_id")
-    val missed = exact.except(cand).agg(count(lit(1)).as("n_missed"))
-    val extra = cand.except(exact).agg(count(lit(1)).as("n_extra"))
-    docs.agg(count(lit(1)).as("n_docs")).crossJoin(missed).crossJoin(extra)
+    // ONE full-outer join + one aggregate (the dedupEmbedLsh shape): the
+    // earlier except/except/agg formulation re-executed the O(n²) Hamming
+    // cartesian AND the 56-table candidate plan twice each
+    val joined = exact.withColumn("in_exact", lit(1))
+      .join(cand.withColumn("in_cand", lit(1)), Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("in_cand").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_missed"),
+        coalesce(sum(when(col("in_exact").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_extra"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(joined)
       .select(col("n_docs"),
         when(col("n_missed") === 0, 1).otherwise(0).as("recall_complete"),
         when(col("n_extra") === 0, 1).otherwise(0).as("precision_ok"))
@@ -227,12 +235,16 @@ object ExtQueries {
     * (recall 0.3) keeps ≥ 17% margin everywhere. Tighter per-variant
     * recall floors stay in SimilaritySpec. */
   private def annRecallCheck(
-      ann: DataFrame, exact: DataFrame, k: Int, hitsFloor: Int): DataFrame = {
-    val hits = exact.join(ann, Seq("q_id", "n_id")).agg(count(lit(1)).as("total_hits"))
-    exact.agg(countDistinct(col("q_id")).as("n_queries")).crossJoin(hits)
+      ann: DataFrame, exact: DataFrame, k: Int, hitsFloor: Int): DataFrame =
+    // single pass over ONE execution of the exact brute-force plan: a
+    // left join carries the hit flag, and one aggregate reads both the
+    // query count and the hit total (the earlier hits-join + countDistinct
+    // crossJoin shape executed the corpus-wide exact top-k twice per run)
+    exact.join(ann.withColumn("__hit", lit(1)), Seq("q_id", "n_id"), "left")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        coalesce(sum(col("__hit")), lit(0L)).as("total_hits"))
       .select(col("n_queries"), lit(k).as("k"), lit(hitsFloor).as("hits_floor"),
         when(col("total_hits") >= hitsFloor, 1).otherwise(0).as("floor_met"))
-  }
 
   val annTopk: Q = (s, d) => {
     val e = t(s, d, "embeddings")
@@ -398,7 +410,16 @@ object ExtQueries {
     val ev = Tables.loadEvents(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts")
+    // asofJoin's contract requires the right side unique per (key, ts):
+    // pin min-event_id per (user, ts) so a fixture regeneration landing
+    // two same-microsecond clicks degrades to a deterministic pick on
+    // both engines instead of a flaky hash mismatch (current fixtures
+    // have no such tie; this is regeneration-proofing, same spirit as
+    // the events encoding alternatives)
+    val clickW = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "ts").orderBy("event_id")
     val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("__rn", row_number().over(clickW)).filter(col("__rn") === 1)
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
     Temporal.asofJoin(purchases, clicks, "user_id", "ts",
       Map("click_id" -> "click_id", "click_value" -> "value"))
@@ -492,6 +513,26 @@ object ExtQueries {
     "join_asof" -> joinAsof,
     "join_range" -> joinRange,
   )
+
+  /** Shingle → 4-hash minhash → 2-band CTE shared by the dedup_minhash /
+    * dedup_minhash_incr oracles (use inside WITH) — one definition so a
+    * hash-prefix or band-packing change cannot silently drift between the
+    * two differentials. */
+  private val minhashBandsCte =
+    """sh AS (
+      |  SELECT doc_id, [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_min(list_transform(shingles, s -> md5(concat('0|', s)))) AS h0,
+      |    list_min(list_transform(shingles, s -> md5(concat('1|', s)))) AS h1,
+      |    list_min(list_transform(shingles, s -> md5(concat('2|', s)))) AS h2,
+      |    list_min(list_transform(shingles, s -> md5(concat('3|', s)))) AS h3
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, concat_ws('|', h0, h1) AS band_val FROM hs
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS band_idx, concat_ws('|', h2, h3) AS band_val FROM hs)""".stripMargin
 
   /** Unit-normalized corpus CTE + plain dot product — mirrors
     * VectorFns.unitizeNative + dotNative exactly (float→double widening
@@ -621,45 +662,19 @@ object ExtQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "dedup_minhash" ->
-      """WITH sh AS (
-        |  SELECT doc_id, [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        |hs AS (
-        |  SELECT doc_id,
-        |    list_min(list_transform(shingles, s -> md5(concat('0|', s)))) AS h0,
-        |    list_min(list_transform(shingles, s -> md5(concat('1|', s)))) AS h1,
-        |    list_min(list_transform(shingles, s -> md5(concat('2|', s)))) AS h2,
-        |    list_min(list_transform(shingles, s -> md5(concat('3|', s)))) AS h3
-        |  FROM sh),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, concat_ws('|', h0, h1) AS band_val FROM hs
-        |  UNION ALL
-        |  SELECT doc_id, 1 AS band_idx, concat_ws('|', h2, h3) AS band_val FROM hs)
-        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |FROM bands a JOIN bands b
-        |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-        |WHERE a.band_val <> ''
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH $minhashBandsCte
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |WHERE a.band_val <> ''
+         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_minhash_incr" ->
-      """WITH sh AS (
-        |  SELECT doc_id, [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        |hs AS (
-        |  SELECT doc_id,
-        |    list_min(list_transform(shingles, s -> md5(concat('0|', s)))) AS h0,
-        |    list_min(list_transform(shingles, s -> md5(concat('1|', s)))) AS h1,
-        |    list_min(list_transform(shingles, s -> md5(concat('2|', s)))) AS h2,
-        |    list_min(list_transform(shingles, s -> md5(concat('3|', s)))) AS h3
-        |  FROM sh),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, concat_ws('|', h0, h1) AS band_val FROM hs
-        |  UNION ALL
-        |  SELECT doc_id, 1 AS band_idx, concat_ws('|', h2, h3) AS band_val FROM hs)
-        |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-        |FROM bands a JOIN bands b
-        |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-        |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND a.band_val <> ''
-        |ORDER BY new_id, corpus_id""".stripMargin,
+      s"""WITH $minhashBandsCte
+         |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND a.band_val <> ''
+         |ORDER BY new_id, corpus_id""".stripMargin,
     "dedup_ngram" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,
@@ -929,9 +944,15 @@ object ExtQueries {
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // join_asof: the click side is pre-deduped to min-event_id per
+    // (user, ts), mirroring the Spark side — a same-microsecond click tie
+    // would otherwise be an arbitrary pick on BOTH engines
     "join_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS click_id, user_id, ts, value FROM events WHERE event_type = 'click')
+        |c AS (SELECT event_id AS click_id, user_id, ts, value FROM (
+        |  SELECT event_id, user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'click') WHERE rn = 1)
         |SELECT p.event_id, c.click_id, round(c.value, 4) AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,

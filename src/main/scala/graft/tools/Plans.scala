@@ -9,13 +9,8 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.build("4")
+    spark.sparkContext.setLogLevel("ERROR") // quieter than the shared WARN
     val wanted = if (args.isEmpty) graft.SparkEntry.queries.keys.toSeq.sorted else args.toSeq
     wanted.foreach { name =>
       graft.SparkEntry.queries.get(name).foreach { fn =>

@@ -6,13 +6,7 @@ import org.apache.spark.sql.SparkSession
   * (the driver's t1 gate checks rows > 0). */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build("4")
     val df = graft.SparkEntry.entry(spark)
     df.show(20, truncate = false)
     println(s"[smoke] entry rows = ${df.count()}")

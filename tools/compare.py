@@ -75,6 +75,13 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
+    # a query that threw in Verify leaves no output dir; count it as a
+    # FAILURE, not a silently smaller suite (Verify writes errors.json)
+    err_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(err_path):
+        for name, msg in json.load(open(err_path)).items():
+            print(f"FAIL  {name}: verify threw: {msg}")
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
     sys.exit(1 if n_fail else 0)
 
