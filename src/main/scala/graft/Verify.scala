@@ -21,17 +21,35 @@ object Verify {
     // failures land in errors.json, not just stderr: a throwing query
     // leaves no output dir, and a dir-driven compare would otherwise
     // silently report one fewer query instead of a failure
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // Modest query-level parallelism: at sf0.01 most of the 96 queries are
+    // dominated by per-job scheduling latency, not CPU, so a few in flight
+    // roughly halves the wall clock of the driver's correctness gate.
+    // Queries are independent (own output dirs, no temp views, no shared
+    // caches; the one shared conf write is an idempotent latch), and Spark
+    // schedules concurrent actions from one session safely. Tune with
+    // SPARK_GRAFT_VERIFY_PAR=1 to serialize when debugging output.
+    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val tasks = selected.toSeq.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              errors.put(name,
+                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+            }
+        })
       }
-    }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    import scala.jdk.CollectionConverters._
     Files.writeString(Paths.get(s"$outDir/errors.json"),
-      errors.map { case (k, v) => s"${JsonStr.quote(k)}: ${JsonStr.quote(v)}" }
+      errors.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${JsonStr.quote(k)}: ${JsonStr.quote(v)}" }
         .mkString("{", ",", "}"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonStr.quote(k)}: ${JsonStr.quote(v)}" }
