@@ -85,6 +85,30 @@ object Profile {
         round((col("p_ref") - col("p_cmp")) * log(col("p_ref") / col("p_cmp")), 4))
   }
 
+  /** Physical-partition row counts — the first thing to look at when a
+    * stage straggles: one row per Spark partition with its row count.
+    * Map-side expression + one tiny aggregate (|partitions| rows); the
+    * data itself never reshuffles, so the numbers describe the layout AS
+    * EXECUTED, not after a diagnostic repartition. */
+  def partitionStats(df: DataFrame): DataFrame =
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** One-row skew summary over [[partitionStats]]: partition count,
+    * min/max/avg rows, and `skew` = max/avg — the straggler predictor (a
+    * perfectly balanced layout scores 1.0; a skew of 10 means the slowest
+    * task does 10x the average work and the stage runs at its pace).
+    * Empty partitions are invisible to spark_partition_id over rows, so
+    * `n_partitions` counts NON-EMPTY partitions; compare with
+    * `df.rdd.getNumPartitions` when empty-partition overhead matters. */
+  def skewReport(df: DataFrame): DataFrame =
+    partitionStats(df).agg(
+      count(lit(1)).as("n_partitions"),
+      min(col("n_rows")).as("min_rows"),
+      max(col("n_rows")).as("max_rows"),
+      round(avg(col("n_rows")), 2).as("avg_rows"),
+      round(max(col("n_rows")) / avg(col("n_rows")), 2).as("skew"))
+
   /** Categorical [[psiDrift]]: PSI over a discrete column's value shares
     * (language mix, source mix, label mix between corpus versions) — no
     * binning, each distinct value is its own cell; values present in only

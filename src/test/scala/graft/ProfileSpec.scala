@@ -199,6 +199,30 @@ class ProfileSpec extends SparkSpec {
     assert(got.sameElements(Array(15L, 6L, 3L))) // pinned vs DuckDB (see oracle)
   }
 
+  test("partitionStats/skewReport: balanced layout scores ~1, a hot-key layout is flagged, counts conserve rows") {
+    val n = 10000
+    val df = (1 to n).map(i => (i.toLong, i % 997)).toDF("id", "k")
+    // round-robin: as balanced as it gets
+    val balanced = df.repartition(8)
+    val statsB = graft.operators.Profile.partitionStats(balanced)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(statsB.values.sum == n) // no row lost or double-counted
+    val reportB = graft.operators.Profile.skewReport(balanced).head
+    assert(reportB.getLong(0) == 8L)
+    assert(reportB.getDouble(4) < 1.5, s"balanced skew ${reportB.getDouble(4)}")
+    // everything hashed to ONE key: one partition carries all rows
+    val skewed = df.repartition(8, lit(1))
+    val reportS = graft.operators.Profile.skewReport(skewed).head
+    assert(reportS.getLong(0) == 1L) // only the hot partition is non-empty
+    assert(reportS.getLong(2) == n.toLong)
+    assert(reportS.getDouble(4) == 1.0) // max/avg over NON-EMPTY partitions
+    // moderately skewed: 90% of rows on one key across 8 partitions
+    val hot = (1 to n).map(i => (i.toLong, if (i <= n * 9 / 10) 0 else i)).toDF("id", "k")
+      .repartition(8, col("k"))
+    val reportH = graft.operators.Profile.skewReport(hot).head
+    assert(reportH.getDouble(4) > 3.0, s"hot-key skew ${reportH.getDouble(4)} not flagged")
+  }
+
   test("psiDrift: identical snapshots score ~0; a shifted snapshot's mass lands in edge bins, not dropped") {
     val ref = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
     // identical distribution: every per-bin term is 0 after rounding
