@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   /** Lower-median: robust to one GC/JIT outlier, and for even sample counts
     * picks a time that actually occurred rather than an average of two. */

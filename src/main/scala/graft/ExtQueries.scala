@@ -780,9 +780,13 @@ object ExtQueries {
          |  FROM scored)
          |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, round(cos, 4) AS cos
          |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // lang_id: NULL text classifies as NULL on BOTH engines (the CASE's
+    // NULL counts would otherwise fall through every WHEN into ELSE 'zh'
+    // while Spark returns NULL — regeneration-proofing, fixture has none)
     "lang_id" ->
       """SELECT doc_id, lang,
-        |  CASE WHEN greatest(e, de, es, fr, zh) = 0 THEN 'und'
+        |  CASE WHEN e IS NULL THEN NULL
+        |       WHEN greatest(e, de, es, fr, zh) = 0 THEN 'und'
         |       WHEN e  = greatest(e, de, es, fr, zh) THEN 'en'
         |       WHEN de = greatest(e, de, es, fr, zh) THEN 'de'
         |       WHEN es = greatest(e, de, es, fr, zh) THEN 'es'

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -47,9 +46,27 @@ object Verify {
       tasks.foreach(_.get())
     } finally pool.shutdown()
     import scala.jdk.CollectionConverters._
-    Files.writeString(Paths.get(s"$outDir/errors.json"),
-      errors.asScala.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${JsonStr.quote(k)}: ${JsonStr.quote(v)}" }
+    // MERGE with any existing manifest rather than overwrite: a subset
+    // re-run into the same outDir must not erase the failure records of
+    // queries OUTSIDE the subset (their dirs are still missing, and a
+    // wiped manifest would let the compare read "one query fewer" as
+    // success — the exact hidden-failure mode the manifest exists for).
+    // Keys in THIS run's selection are redetermined (success removes them).
+    val errPath = Paths.get(s"$outDir/errors.json")
+    // prior values stay in their ALREADY-ESCAPED form and re-emit verbatim
+    // (re-quoting would double-escape); new errors quote once
+    val priorRaw: Map[String, String] =
+      if (Files.exists(errPath))
+        """"([^"]+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+          .findAllMatchIn(Files.readString(errPath))
+          .map(m => m.group(1) -> m.group(2)).toMap
+      else Map.empty
+    val entries =
+      (priorRaw -- selected.keySet).map { case (k, raw) => k -> s""""$raw"""" } ++
+      errors.asScala.map { case (k, v) => k -> JsonStr.quote(v) }
+    Files.writeString(errPath,
+      entries.toSeq.sortBy(_._1)
+        .map { case (k, q) => s"${JsonStr.quote(k)}: $q" }
         .mkString("{", ",", "}"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonStr.quote(k)}: ${JsonStr.quote(v)}" }

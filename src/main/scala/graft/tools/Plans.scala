@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan auditor: prints the formatted physical plan for the named queries
   * (or all) so scan pushdown (PushedFilters/ReadSchema), join strategies
   * (BroadcastHashJoin vs SortMergeJoin), and WholeStageCodegen spans can be

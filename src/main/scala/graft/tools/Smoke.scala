@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Driver-smoke replica: runs SparkEntry.entry and prints its row count
   * (the driver's t1 gate checks rows > 0). */
 object Smoke {

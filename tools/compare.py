@@ -21,8 +21,15 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # queries recorded as thrown in Verify's manifest are FAILURES; any
+    # same-named output dir is stale (a prior binary's result) — skip it
+    # rather than printing a contradictory PASS for a query that no longer
+    # runs
+    err_path = os.path.join(out_dir, "errors.json")
+    errored = json.load(open(err_path)) if os.path.exists(err_path) else {}
     names = sorted(n for n in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, n)))
+                   if os.path.isdir(os.path.join(out_dir, n))
+                   and n not in errored)
     n_pass = n_fail = 0
     for name in names:
         spark_rel = con.sql(
@@ -75,14 +82,13 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
-    # a query that threw in Verify leaves no output dir; count it as a
-    # FAILURE, not a silently smaller suite (Verify writes errors.json)
-    err_path = os.path.join(out_dir, "errors.json")
-    if os.path.exists(err_path):
-        for name, msg in json.load(open(err_path)).items():
-            print(f"FAIL  {name}: verify threw: {msg}")
-            n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    # a query that threw in Verify leaves no (fresh) output dir; count it
+    # as a FAILURE, not a silently smaller suite
+    for name, msg in sorted(errored.items()):
+        print(f"FAIL  {name}: verify threw: {msg}")
+        n_fail += 1
+    total = len(names) + len(errored)
+    print(f"\n{n_pass} pass, {n_fail} fail, {total} total")
     sys.exit(1 if n_fail else 0)
 
 def rows_eq(a, b):
