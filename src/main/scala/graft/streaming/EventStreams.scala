@@ -201,7 +201,20 @@ object EventStreams {
   /** `opCol`: optional CDC op column — when set, batch records whose op is
     * `"D"` DELETE their key from the table (via [[graft.engine.Ops.applyCdc]])
     * and every other op value upserts; the op column itself never reaches
-    * the maintained table. Without it, every record is an upsert. */
+    * the maintained table. Without it, every record is an upsert.
+    *
+    * Delete tombstones: removing a key's row would also remove its seq
+    * watermark, so a lagging source partition delivering a STALE (lower-seq)
+    * pre-delete upsert in a later batch would pass the freshness check (no
+    * live row) and resurrect the deleted key. The sink therefore keeps a
+    * sidecar table at `tablePath + ".tombstones"` of (key, delete seq):
+    * batch records older than their key's tombstone are dropped, records at
+    * or above it pass (same tie rule as the live-row check, so a replayed
+    * delete batch stays idempotent) and a passing upsert recreates the key
+    * AND clears its tombstone. The sidecar is swapped with the same
+    * write-then-swap discipline as the table; it grows with the count of
+    * currently-deleted keys (keys, not rows — re-created keys leave it),
+    * which is the price of the guarantee. */
   def upsertSink(
       stream: DataFrame, tablePath: String, keyCols: Seq[String], seqCol: String,
       checkpointDir: String,
@@ -278,25 +291,74 @@ object EventStreams {
             .filter(col("__live_seq").isNull || col(seq) >= col("__live_seq"))
             .drop("__live_seq")
         }
-        val merged = (fs.exists(live), op) match {
-          case (true, Some(oc)) =>
-            val table = spark.read.parquet(tablePath)
-            graft.engine.Ops.applyCdc(table, freshOnly(table), keys, oc)
-          case (true, None) =>
-            val table = spark.read.parquet(tablePath)
-            graft.engine.Ops.upsert(table, freshOnly(table), keys)
-          // no table yet: the first batch bootstraps it — with CDC ops,
-          // deletes of never-seen keys are no-ops and must not land as rows
-          case (false, Some(oc)) =>
-            lastPerKey.filter(upper(col(oc)).isNull || upper(col(oc)) =!= "D").drop(oc)
-          case (false, None) => lastPerKey
+        op match {
+          case Some(oc) =>
+            // CDC mode: tombstone sidecar guards deleted keys (see Scaladoc)
+            val tombPath = tablePath + ".tombstones"
+            val tombLive = new org.apache.hadoop.fs.Path(tombPath)
+            graft.engine.Sinks.recoverSwap(fs, tombLive)
+            val tomb: Option[DataFrame] =
+              if (fs.exists(tombLive)) Some(spark.read.parquet(tombPath)) else None
+            // drop records older than their key's tombstone; ties pass
+            // (replaying the batch whose delete MADE the tombstone must
+            // re-apply as a no-op, same rule as the live-seq tie)
+            def tombFresh(df: DataFrame): DataFrame = tomb match {
+              case Some(t) =>
+                val ts = t.select(keys.map(col) :+ col(seq).as("__tomb_seq"): _*)
+                df.join(ts, keys, "left")
+                  .filter(col("__tomb_seq").isNull || col(seq) >= col("__tomb_seq"))
+                  .drop("__tomb_seq")
+              case None => df
+            }
+            val fresh = tombFresh(
+              if (fs.exists(live)) freshOnly(spark.read.parquet(tablePath))
+              else lastPerKey)
+            val isDel = upper(col(oc)) === "D" // NULL op upserts (isNull below)
+            val merged =
+              if (fs.exists(live))
+                graft.engine.Ops.applyCdc(spark.read.parquet(tablePath), fresh, keys, oc)
+              // no table yet: the first batch bootstraps it — deletes of
+              // never-seen keys are no-ops and must not land as rows (but
+              // they DO tombstone below, so a stale pre-delete upsert
+              // arriving after the bootstrap cannot resurrect the key)
+              else fresh.filter(col(oc).isNull || !isDel).drop(oc)
+            // next tombstone set: prior tombstones minus keys this batch
+            // recreated, plus this batch's deletes; max-seq per key (a key
+            // re-deleted keeps the newest delete's watermark). lastPerKey is
+            // one row per key, so a key is a delete XOR an upsert here.
+            val newDels = fresh.filter(isDel).select(keys.map(col) :+ col(seq): _*)
+            val upKeys = fresh.filter(col(oc).isNull || !isDel).select(keys.map(col): _*)
+            val prevTomb = tomb.map(_.select(keys.map(col) :+ col(seq): _*))
+              .getOrElse(newDels.limit(0))
+            val newTomb = prevTomb.join(upKeys, keys, "left_anti")
+              .unionByName(newDels)
+              .groupBy(keys.map(col): _*).agg(max(col(seq)).as(seq))
+            // BOTH plans execute (to .tmp) before EITHER swap: merged and
+            // newTomb each re-read the tombstone path lazily, and the swap
+            // deletes the old files — executing after a swap would read a
+            // moved-out-from-under file listing. After both .tmp dirs are
+            // complete, tombstones swap BEFORE the table: if the batch dies
+            // between the swaps, the replay's delete rows tie their own
+            // tombstone seq and re-apply idempotently, whereas the reverse
+            // order would open a window where the table advanced but a
+            // stale upsert could still slip past
+            newTomb.write.mode("overwrite").parquet(tombPath + ".tmp")
+            merged.write.mode("overwrite").parquet(tablePath + ".tmp")
+            graft.engine.Sinks.swapInto(fs, tombLive)
+            graft.engine.Sinks.swapInto(fs, live)
+          case None =>
+            val merged =
+              if (fs.exists(live)) {
+                val table = spark.read.parquet(tablePath)
+                graft.engine.Ops.upsert(table, freshOnly(table), keys)
+              } else lastPerKey // no table yet: first batch bootstraps it
+            // write-then-swap (same discipline as Sinks.publish/compact):
+            // the merged table fully materializes into .tmp, then two
+            // metadata renames swap it live — never a delete-first window
+            // whose length scales with table size
+            merged.write.mode("overwrite").parquet(tablePath + ".tmp")
+            graft.engine.Sinks.swapInto(fs, live)
         }
-        // write-then-swap (same discipline as Sinks.publish/compact): the
-        // merged table fully materializes into .tmp, then two metadata
-        // renames swap it live — never a delete-first window whose length
-        // scales with table size
-        merged.write.mode("overwrite").parquet(tablePath + ".tmp")
-        graft.engine.Sinks.swapInto(fs, live)
         } // batch.isEmpty guard
         (): Unit
       }

@@ -297,6 +297,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink with opCol: tombstones stop a stale pre-delete upsert from resurrecting a deleted key") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-tomb").toString
+    val table = s"$base/t"
+    val q = EventStreams.upsertSink(
+      mem.toDF().toDF("k", "v", "seq", "op"), table, Seq("k"), "seq", s"$base/ckpt",
+      opCol = Some("op"))
+    def liveMap() = spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    try {
+      mem.addData((1L, "a", 1L, "I"), (2L, "b", 1L, "I"))
+      q.processAllAvailable()
+      // delete key 1 at seq 3: row gone, tombstone (1, 3) recorded
+      mem.addData((1L, "x", 3L, "D"))
+      q.processAllAvailable()
+      assert(liveMap() == Map(2L -> "b"))
+      val tomb = spark.read.parquet(s"$table.tombstones").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(tomb == Map(1L -> 3L), s"tombstone table: $tomb")
+      // a lagging partition delivers the PRE-delete upsert (seq 2 < 3):
+      // without tombstones this passes the freshness check (no live row)
+      // and resurrects the key — the tombstone must drop it
+      mem.addData((1L, "ghost", 2L, "U"))
+      q.processAllAvailable()
+      assert(liveMap() == Map(2L -> "b"), "stale pre-delete upsert resurrected the key")
+      // a genuinely newer upsert (seq 4 > 3) recreates the key and clears
+      // its tombstone
+      mem.addData((1L, "reborn", 4L, "U"))
+      q.processAllAvailable()
+      assert(liveMap() == Map(1L -> "reborn", 2L -> "b"))
+      val tomb2 = spark.read.parquet(s"$table.tombstones").count()
+      assert(tomb2 == 0L, "recreated key left its tombstone behind")
+      // after recreation the LIVE seq watermark (4) takes over stale defense
+      mem.addData((1L, "ghost2", 2L, "U"))
+      q.processAllAvailable()
+      assert(liveMap() == Map(1L -> "reborn", 2L -> "b"))
+    } finally q.stop()
+  }
+
+  test("upsertSink with opCol: bootstrap-batch deletes tombstone never-seen keys") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-tomb0").toString
+    val table = s"$base/t"
+    val q = EventStreams.upsertSink(
+      mem.toDF().toDF("k", "v", "seq", "op"), table, Seq("k"), "seq", s"$base/ckpt",
+      opCol = Some("op"))
+    try {
+      // bootstrap: the delete of a never-seen key lands no row but DOES
+      // tombstone, so the key's stale pre-delete upsert arriving later
+      // cannot create it
+      mem.addData((1L, "a", 5L, "I"), (9L, "zz", 7L, "D"))
+      q.processAllAvailable()
+      mem.addData((9L, "late", 6L, "U"))
+      q.processAllAvailable()
+      val t = spark.read.parquet(table).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(t == Map(1L -> "a"), s"bootstrap delete failed to tombstone: $t")
+    } finally q.stop()
+  }
+
   test("batch/streaming parity: near-dup candidates vs a stored band index agree with minhashCandidatesAgainst") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
