@@ -289,8 +289,9 @@ object ExtQueries {
   // ------------------------------------------------------------- multimodal
 
   /** Binary-column plumbing: text bytes stand in for media payloads; the
-    * stubbed decode runs in mapPartitions (real plumbing, fake codec), and
-    * the oracle checks the SQL-expressible output columns. */
+    * real header codec (PNG/JPEG/GIF/WAV) runs in mapPartitions and decodes
+    * these honestly as format "unknown", and the oracle checks the
+    * SQL-expressible output columns. */
   val multimodalMeta: Q = (s, d) => {
     val media = MultiModal.fromText(s, t(s, d, "documents"), "doc_id", "text")
     MultiModal.extractFeatures(media).toDF()

@@ -53,20 +53,17 @@ object Verify {
     // success — the exact hidden-failure mode the manifest exists for).
     // Keys in THIS run's selection are redetermined (success removes them).
     val errPath = Paths.get(s"$outDir/errors.json")
-    // prior values stay in their ALREADY-ESCAPED form and re-emit verbatim
-    // (re-quoting would double-escape); new errors quote once
-    val priorRaw: Map[String, String] =
-      if (Files.exists(errPath))
-        """"([^"]+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-          .findAllMatchIn(Files.readString(errPath))
-          .map(m => m.group(1) -> m.group(2)).toMap
+    // real JSON parse of the prior manifest (values come back unescaped and
+    // re-quote uniformly below) — the old regex scrape mis-tokenized values
+    // containing escaped-quote-then-colon shapes and silently corrupted the
+    // manifest the compare gate reads. A malformed manifest now throws.
+    val prior: Map[String, String] =
+      if (Files.exists(errPath)) JsonStr.parseFlatObject(Files.readString(errPath))
       else Map.empty
-    val entries =
-      (priorRaw -- selected.keySet).map { case (k, raw) => k -> s""""$raw"""" } ++
-      errors.asScala.map { case (k, v) => k -> JsonStr.quote(v) }
+    val entries = (prior -- selected.keySet) ++ errors.asScala
     Files.writeString(errPath,
       entries.toSeq.sortBy(_._1)
-        .map { case (k, q) => s"${JsonStr.quote(k)}: $q" }
+        .map { case (k, v) => s"${JsonStr.quote(k)}: ${JsonStr.quote(v)}" }
         .mkString("{", ",", "}"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonStr.quote(k)}: ${JsonStr.quote(v)}" }

@@ -27,10 +27,21 @@ object Pipeline {
       refDim: DataFrame, refLeftKey: String, refRightKey: String,
       refReason: String)
 
-  /** What the reference logs per table (:253,263) plus the final counts. */
+  /** As-executed physical layout of the staged frame — the straggler
+    * predictor surfaced where users look (the run report): `skew` =
+    * max/avg partition rows; 1.0 is perfectly balanced, 10 means the
+    * slowest task did 10x the average work and the stage ran at its pace.
+    * Derived from [[graft.operators.Profile.partitionStats]]. */
+  final case class LayoutStats(
+      nPartitions: Int, minRows: Long, maxRows: Long, avgRows: Double, skew: Double)
+
+  /** What the reference logs per table (:253,263) plus the final counts
+    * and the staged frame's partition-skew diagnostics (None only for an
+    * empty input, which has no non-empty partitions to describe). */
   final case class RunReport(
       table: String, inputRows: Long, keptRows: Long,
-      rejectsByReason: Map[String, Long])
+      rejectsByReason: Map[String, Long],
+      layout: Option[LayoutStats] = None)
 
   final case class TableResult(
       keep: DataFrame, rejects: DataFrame, report: RunReport,
@@ -95,14 +106,28 @@ object Pipeline {
     }
     // A2-style forced counts — the engine's only actions besides sinks.
     // append/calc/blank/enrich are all row-preserving (first-match join
-    // never multiplies), so counting the PERSISTED frame both materializes
-    // the cache and yields the input count in one pass; keep/rejects
-    // partition the input (QaSpec property), so keptRows is derived instead
-    // of recomputing the whole plan a third time.
-    val inputRows = enriched.count()
+    // never multiplies), so aggregating the PERSISTED frame both
+    // materializes the cache and yields the input count in one pass;
+    // keep/rejects partition the input (QaSpec property), so keptRows is
+    // derived instead of recomputing the whole plan a third time. The
+    // aggregation is per-PARTITION counts (|partitions| rows, collected),
+    // so the same single pass also yields the as-executed layout/skew
+    // diagnostics for the report — no extra scan.
+    val pstats = graft.operators.Profile.partitionStats(enriched)
+      .collect().map(_.getLong(1))
+    val inputRows = pstats.sum
+    val layout =
+      if (pstats.isEmpty) None
+      else {
+        val avg = pstats.sum.toDouble / pstats.length
+        def r2(x: Double) = math.round(x * 100) / 100.0
+        Some(LayoutStats(pstats.length, pstats.min, pstats.max, r2(avg),
+          r2(pstats.max / avg)))
+      }
     val rejectCounts = result.rejects.groupBy(Qa.FlagCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val report = RunReport(name, inputRows, inputRows - rejectCounts.values.sum, rejectCounts)
+    val report = RunReport(name, inputRows, inputRows - rejectCounts.values.sum,
+      rejectCounts, layout)
     TableResult(result.keep, result.rejects, report,
       staged = if (cached) Some(enriched) else None)
   }

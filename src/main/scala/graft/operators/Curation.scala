@@ -181,31 +181,36 @@ object Curation {
     require(weights.nonEmpty, "mixStrata requires at least one stratum weight")
     require(weights.values.forall(w => w > 0 && !w.isInfinite && !w.isNaN),
       s"weights must be positive and finite: $weights")
-    val w = weights.foldLeft(lit(null).cast("double")) {
-      case (rest, (stratum, wt)) =>
-        when(col(stratumCol) === stratum, lit(wt)).otherwise(rest)
-    }
-    val counts = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+    // ONE pass over the corpus: the per-stratum counts (≤ |weights| rows)
+    // are collected once and the scale/rate/threshold arithmetic runs
+    // driver-side — the rates are then plan CONSTANTS, so membership is a
+    // map-side when-chain like [[stratifiedSample]]'s, with no join and no
+    // second execution of the counts aggregate inside the filter plan (the
+    // previous broadcast-join shape re-ran the uncached aggregate — a
+    // second full scan at scale).
+    val countByStratum = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
-      .withColumn("__w", w)
-    // absent recipe stratum -> fail loudly (checked on the tiny aggregate:
-    // one count + a driver-side set diff, no extra pass over the corpus)
-    val present = counts.select(col(stratumCol)).collect()
-      .map(r => String.valueOf(r.get(0))).toSet
-    val absent = weights.keys.filterNot(present.contains)
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val absent = weights.keys.filterNot(countByStratum.contains)
     require(absent.isEmpty,
       s"mixStrata: recipe strata with no rows in the data: ${absent.mkString(", ")} — " +
         "the only mixture honoring a zero-row component is empty; drop it " +
         "from the recipe or fix the upstream filter")
-    val scale = min(col("__n") / col("__w"))
-      .over(Window.rowsBetween(Long.MinValue, Long.MaxValue))
-    val rate = round(scale * col("__w") / col("__n"), 6)
-    val thresholds = counts.select(col(stratumCol).as("__stratum"),
-      thresholdCol(rate).as("__thr"))
+    val scale = weights.map { case (s, wt) => countByStratum(s) / wt }.min
+    // same HALF_UP-at-6-decimals rounding the in-plan round() applied, so
+    // the DuckDB oracle's mirrored arithmetic lands on identical thresholds
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
     val h = hashDraw(idCol, salt = "mix")
-    df.join(broadcast(thresholds), col(stratumCol) === col("__stratum"))
-      .filter(h < col("__thr"))
-      .drop("__stratum", "__thr")
+    val thr = weights.foldLeft(lit(null).cast("string")) {
+      case (rest, (stratum, wt)) =>
+        val rate = round6(scale * wt / countByStratum(stratum))
+        when(col(stratumCol) === stratum, lit(thresholdHex(rate))).otherwise(rest)
+    }
+    // non-recipe and NULL strata fall through to the NULL threshold, and
+    // h < NULL is never true — same drop semantics as the old inner join
+    df.filter(h < thr)
   }
 
   /** Benchmark-contamination ratio per document: the fraction of the

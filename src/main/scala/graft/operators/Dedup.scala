@@ -362,19 +362,35 @@ object Dedup {
     *
     * For a lower-cost candidate plan at high thresholds use
     * [[cosinePairsLsh]]; for top-k retrieval use [[Similarity.annLsh]] /
-    * [[Similarity.annIvf]]. */
+    * [[Similarity.annIvf]].
+    *
+    * `maxUnblockedRows` guards the UNBLOCKED cartesian: with no `blockCol`,
+    * an input over the threshold fails fast (one cheap limit-bounded count,
+    * only on the unblocked path) instead of launching an N² product that
+    * can run a cluster out of compute — 200k rows ≈ 2·10¹⁰ scored pairs is
+    * already hours of work. It is a footgun guard, not a correctness
+    * limit: raise it deliberately when an exact quadratic baseline at that
+    * scale is truly intended, or switch to `blockCol` / [[cosinePairsLsh]]. */
   def cosinePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       minCosine: Double,
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: Option[String] = None,
+      maxUnblockedRows: Long = 200000): DataFrame = {
     val joined = blockCol match {
       case Some(bc) =>
         val e = df.select(col(idCol).as("id"), VectorFns.unitizeNative(col(vecCol)).as("v"),
           col(bc).as("blk"))
         e.toDF("a_id", "a_v", "blk").join(e.toDF("b_id", "b_v", "blk"), Seq("blk"))
       case None =>
+        val over = df.limit((maxUnblockedRows + 1).min(Int.MaxValue).toInt)
+          .count() > maxUnblockedRows
+        require(!over,
+          s"cosinePairs without blockCol is an exact O(N²) cartesian and the " +
+            s"input exceeds $maxUnblockedRows rows — pass blockCol to bound the " +
+            "product, use cosinePairsLsh for the scale path, or raise " +
+            "maxUnblockedRows if the quadratic baseline is truly intended")
         val e = df.select(col(idCol).as("id"), VectorFns.unitizeNative(col(vecCol)).as("v"))
         e.toDF("a_id", "a_v").crossJoin(e.toDF("b_id", "b_v"))
     }
@@ -492,18 +508,49 @@ object Dedup {
     * `spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)` and pass
     * `reliableCheckpoints = true`: each pass checkpoints to the reliable
     * store instead, and each pass's files are deleted as soon as the next
-    * pass supersedes them (same lifecycle the local path gives blocks). */
+    * pass supersedes them (same lifecycle the local path gives blocks).
+    *
+    * FINAL-checkpoint lifecycle: the returned labels are BACKED by the
+    * converged pass's checkpoint — it cannot be reclaimed here without
+    * invalidating the result (checkpointing truncates lineage; freed
+    * blocks/files cannot be recomputed). With `localCheckpoint` the
+    * ContextCleaner reclaims the blocks once the caller drops the frame;
+    * with `reliableCheckpoints` the files are durable and each call leaves
+    * ONE converged snapshot in the checkpoint dir — long-lived services
+    * should use [[resolveClustersManaged]] and invoke the cleanup handle
+    * after materializing the labels. */
   def resolveClusters(
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
       maxIters: Int = 50,
       algorithm: String = "minlabel",
-      reliableCheckpoints: Boolean = false): DataFrame = algorithm match {
-    case "minlabel" => resolveMinLabel(pairs, aCol, bCol, maxIters, reliableCheckpoints)
-    case "star"     => resolveStar(pairs, aCol, bCol, maxIters, reliableCheckpoints)._1
-    case other => throw new IllegalArgumentException(
-      s"unknown algorithm '$other' (expected 'minlabel' or 'star')")
+      reliableCheckpoints: Boolean = false): DataFrame =
+    resolveClustersManaged(pairs, aCol, bCol, maxIters, algorithm, reliableCheckpoints)._1
+
+  /** [[resolveClusters]] plus an explicit release of the result's backing
+    * checkpoint: returns (labels, cleanup). Call `cleanup()` ONLY after the
+    * labels have been fully materialized (written to a sink / collected /
+    * staged via a further checkpoint) — it unpersists the backing blocks
+    * and deletes the reliable checkpoint's files, after which any further
+    * action on `labels` fails (truncated lineage cannot recompute).
+    * Idempotent and best-effort, like the per-pass reclamation. */
+  def resolveClustersManaged(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIters: Int = 50,
+      algorithm: String = "minlabel",
+      reliableCheckpoints: Boolean = false): (DataFrame, () => Unit) = {
+    val (labels, rdd) = algorithm match {
+      case "minlabel" => resolveMinLabel(pairs, aCol, bCol, maxIters, reliableCheckpoints)
+      case "star" =>
+        val (l, _, r) = resolveStar(pairs, aCol, bCol, maxIters, reliableCheckpoints)
+        (l, r)
+      case other => throw new IllegalArgumentException(
+        s"unknown algorithm '$other' (expected 'minlabel' or 'star')")
+    }
+    (labels, () => free(rdd))
   }
 
   private def resolveMinLabel(
@@ -511,7 +558,7 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIters: Int,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
     def checkpointTracked(df: DataFrame) = Dedup.checkpointTracked(df, reliable)
     // Materialize the (possibly expensive) pair pipeline ONCE before fanning
     // it out: the bidirectional edge union references it twice, and the
@@ -568,7 +615,7 @@ object Dedup {
       if (!done) throw new IllegalStateException(
         s"resolveClusters did not converge in $maxIters passes — component " +
           "diameter exceeds maxIters; raise it (passes are O(diameter))")
-      labels
+      (labels, labelRdd)
     } finally {
       edges.unpersist(blocking = false)
       free(halfRdd) // the returned labels reference only their OWN checkpoint
@@ -636,14 +683,15 @@ object Dedup {
     * match AND new∖old = ∅ (both sides distinct), one count + one
     * anti-join probe per round on the checkpointed edges.
     *
-    * Returns (labels, rounds); rounds is exposed for DedupSpec's
-    * O(log n) convergence pin. */
+    * Returns (labels, rounds, labels' backing checkpoint RDD); rounds is
+    * exposed for DedupSpec's O(log n) convergence pin, the RDD for
+    * [[resolveClustersManaged]]'s cleanup handle. */
   private[graft] def resolveStar(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
       maxIters: Int,
-      reliable: Boolean = false): (DataFrame, Int) = {
+      reliable: Boolean = false): (DataFrame, Int, Option[org.apache.spark.rdd.RDD[_]]) = {
     def checkpointTracked(df: DataFrame) = Dedup.checkpointTracked(df, reliable)
     // every id occurring in any pair gets a label, incl. self-pair ids
     // whose canonical edges vanish below
@@ -688,12 +736,12 @@ object Dedup {
           "large components")
       // at the fixed point each component is a star (u -> root=min); roots
       // and self-pair-only ids label themselves
-      val (labels, _) = checkpointTracked(
+      val (labels, labelsRdd) = checkpointTracked(
         nodes.join(edges.select(col("u").as("id"), col("v").as("cl")), Seq("id"), "left")
           .select(col("id"), coalesce(col("cl"), col("id")).as("cluster_id")))
       // the returned labels reference only their OWN checkpoint; the final
       // edges/nodes checkpoints are freed below in both exit paths
-      (labels, it)
+      (labels, it, labelsRdd)
     } finally {
       free(nodesRdd)
       free(edgesRdd)

@@ -9,64 +9,158 @@ import org.apache.spark.sql.functions._
   * (/root/reference/src/wins_transform_staging.py — geometry flows through
   * copies/appends untouched, SURVEY §0).
   *
-  * The Spark-side plumbing — schema, partitioning, batch shape, feature
-  * extraction over `mapPartitions` — is real and tested. The actual codec
-  * work is STUBBED behind [[StubCodec]] (this container has no image/audio
-  * libraries): a deterministic fake that derives "decoded" dimensions from
-  * the content hash, so tests are reproducible. Swap `StubCodec` for a real
-  * decoder (JNI/javacpp) in production; nothing else changes.
+  * The decode step is a REAL pure-JVM container-header parser ([[Codec]]):
+  * PNG IHDR, JPEG SOF, GIF logical-screen, and WAV/RIFF fmt+data chunks are
+  * public formats whose dimensions/frame counts live in fixed header fields
+  * — no native codec library needed to extract them. Payloads in none of
+  * those formats (e.g. the text-bytes fixtures) decode honestly to
+  * `format = "unknown"` with zero dimensions, never to fabricated numbers.
+  * Full pixel/sample decode (resize, frame extraction) would swap in a real
+  * JNI codec behind the same [[extractFeatures]] partition loop; nothing
+  * else changes.
   */
 object MultiModal {
 
   /** One media row: opaque payload + routing metadata. */
   case class Media(media_id: Long, modality: String, content: Array[Byte])
 
-  /** Extracted features: what a decode+feature pass would emit per item. */
+  /** Extracted features per item. `format` is the container detected from
+    * the payload ("png" / "jpeg" / "gif" / "wav" / "unknown") — independent
+    * of the caller-asserted `modality`, so a mislabeled column surfaces as
+    * a modality/format mismatch instead of silent nonsense. `n_frames` is
+    * 1 for a decodable still image and the sample-frame count for WAV;
+    * undecodable payloads report 0 dimensions and 0 frames. */
   case class MediaFeatures(
-      media_id: Long, modality: String, n_bytes: Int,
-      width: Int, height: Int, n_frames: Int, checksum: Long)
+      media_id: Long, modality: String, format: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Long, checksum: Long)
 
-  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg.
-    * Derives plausible dimensions from a 64-bit FNV-1a of the payload. */
-  object StubCodec {
+  /** Pure-JVM header parsers for the public container formats. Each returns
+    * None (never throws) on anything that is not a well-formed header —
+    * corrupt and truncated payloads are data, not exceptions, in a corpus
+    * pipeline. */
+  object Codec {
+    /** 64-bit FNV-1a payload checksum (integrity/versioning field). */
     def checksum(bytes: Array[Byte]): Long = {
       var h = 0xcbf29ce484222325L
       var i = 0
       while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
       h
     }
+
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def le32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** PNG: 8-byte signature, then the IHDR chunk is REQUIRED first —
+      * width/height are the big-endian ints at offsets 16/20. */
+    def parsePng(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 && b.startsWith(PngSig) &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some((be32(b, 16), be32(b, 20)))
+      else None
+
+    /** JPEG: SOI then a marker-segment walk to the first SOFn frame header
+      * (C0–CF minus C4 DHT / C8 JPG / CC DAC), whose payload is
+      * precision(1), height(2 BE), width(2 BE). Standalone markers
+      * (TEM, RSTn, SOI, EOI) carry no length field; fill 0xFF bytes before
+      * a marker are legal padding. */
+    def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // lost marker sync
+        val m = b(i + 1) & 0xff
+        if (m == 0xff) i += 1 // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
+        else {
+          val len = be16(b, i + 2)
+          if (len < 2) return None
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (i + 8 >= b.length) return None
+            return Some((be16(b, i + 7), be16(b, i + 5))) // (width, height)
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+
+    /** GIF: "GIF87a"/"GIF89a" signature, then the logical screen
+      * width/height as little-endian uint16 at offsets 6/8. */
+    def parseGif(b: Array[Byte]): Option[(Int, Int)] = {
+      val sig = b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+      if (sig) Some((le16(b, 6), le16(b, 8))) else None
+    }
+
+    /** WAV/RIFF: walk the chunk list for "fmt " (block align = bytes per
+      * sample frame) and "data" (payload size); the sample-frame count is
+      * dataSize / blockAlign. Chunks are word-aligned (odd sizes pad). */
+    def parseWavFrames(b: Array[Byte]): Option[Long] = {
+      val sig = b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+      if (!sig) return None
+      var i = 12
+      var blockAlign = 0
+      var dataSize = -1L
+      while (i + 8 <= b.length && (blockAlign == 0 || dataSize < 0)) {
+        val id = new String(b.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(b, i + 4)
+        if (id == "fmt " && i + 8 + 14 <= b.length) blockAlign = le16(b, i + 8 + 12)
+        if (id == "data") dataSize = size
+        i += 8 + size.toInt + (size.toInt & 1)
+        if (i < 0) return None // corrupt size overflowed
+      }
+      if (blockAlign > 0 && dataSize >= 0) Some(dataSize / blockAlign) else None
+    }
+
+    /** Header decode: try each known container, report honestly. */
     def decode(m: Media): MediaFeatures = {
       val cs = checksum(m.content)
-      val w = 64 + (math.abs(cs) % 1024).toInt
-      val h = 64 + (math.abs(cs >> 10) % 1024).toInt
-      val frames = m.modality match {
-        case "video" => 1 + (math.abs(cs >> 20) % 300).toInt
-        case "audio" => 1 + (math.abs(cs >> 20) % 10000).toInt
-        case _ => 1
-      }
-      MediaFeatures(m.media_id, m.modality, m.content.length, w, h, frames, cs)
+      def img(fmt: String, wh: (Int, Int)) =
+        MediaFeatures(m.media_id, m.modality, fmt, m.content.length,
+          wh._1, wh._2, 1L, cs)
+      parsePng(m.content).map(img("png", _))
+        .orElse(parseJpeg(m.content).map(img("jpeg", _)))
+        .orElse(parseGif(m.content).map(img("gif", _)))
+        .orElse(parseWavFrames(m.content).map(frames =>
+          MediaFeatures(m.media_id, m.modality, "wav", m.content.length,
+            0, 0, frames, cs)))
+        .getOrElse(MediaFeatures(m.media_id, m.modality, "unknown",
+          m.content.length, 0, 0, 0L, cs))
     }
   }
 
   /** Feature extraction over partitions: the decode loop runs once per
     * partition (codec init amortized across the batch — the expensive part
-    * with a real codec), never on the driver. Repartition upstream by
-    * media_id if payload sizes are skewed. */
+    * with a full pixel decoder), never on the driver. Repartition upstream
+    * by media_id if payload sizes are skewed. */
   def extractFeatures(ds: Dataset[Media]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // real impl: init codec context here, reuse across the partition
-      it.map(StubCodec.decode)
+      // a full codec would init its context here, reused across the partition
+      it.map(Codec.decode)
     }
   }
 
-  /** Frame sampling plan for video rows: every `stride`-th frame index, as
-    * an exploded (media_id, frame_idx) table — the shape a real frame
-    * extractor consumes. Pure column expressions. */
+  /** Frame sampling plan for media with frames: every `stride`-th frame
+    * index, as an exploded (media_id, frame_idx) table — the shape a real
+    * frame extractor consumes. Pure column expressions; zero-frame rows
+    * (undecodable payloads) produce no frames. */
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =
-    features.filter(col("modality") === "video")
+    features.filter(col("modality") === "video" && col("n_frames") > 0)
       .select(col("media_id"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
 
   /** Build a Media dataset from any table with an id and a string payload —
     * used by tests and the fixture-backed verification query (text bytes

@@ -63,8 +63,19 @@ object Profile {
     require(nBins > 0, s"nBins must be positive, got $nBins")
     require(eps > 0, s"eps must be positive, got $eps")
     val x = col(valueCol).cast("double")
+    // an empty or all-NULL reference snapshot has no bin bounds: every
+    // comparison row would bin to NULL and the result would be a
+    // meaningless NULL-bin row set — fail loudly instead (same contract as
+    // the engine's other precondition raises), at the first action on the
+    // tiny bounds aggregate
     val bounds = ref.filter(col(valueCol).isNotNull)
       .agg(min(x).as("__lo"), max(x).as("__hi"))
+      .select(
+        when(col("__lo").isNull, raise_error(lit(
+          s"psiDrift: reference snapshot has no non-NULL '$valueCol' values — " +
+            "bin bounds are undefined; fix the reference feed or column name"))
+          .cast("double")).otherwise(col("__lo")).as("__lo"),
+        col("__hi"))
     def binned(df: DataFrame, n: String) = df.filter(col(valueCol).isNotNull)
       .crossJoin(broadcast(bounds))
       .select(

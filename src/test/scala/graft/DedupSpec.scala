@@ -206,6 +206,48 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("resolveClustersManaged: the cleanup handle reclaims the FINAL reliable checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-managed-cp")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      def rddDirs = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .count(_.getFileName.toString.startsWith("rdd-"))
+      }
+      for (algo <- Seq("minlabel", "star")) {
+        val chain = (0L until 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+        val (labels, cleanup) = Dedup.resolveClustersManaged(
+          chain, algorithm = algo, reliableCheckpoints = true)
+        // materialize BEFORE cleanup — afterwards the truncated lineage
+        // cannot recompute
+        val resolved = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(resolved == (0L to 6L).map(_ -> 0L).toMap, s"algo=$algo")
+        cleanup()
+        assert(rddDirs == 0,
+          s"algo=$algo left $rddDirs checkpoint dirs after cleanup — a " +
+            "long-lived service would accumulate one per resolve call")
+        cleanup() // idempotent
+      }
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("cosinePairs: unblocked cartesian over the row threshold fails fast; blockCol path is exempt") {
+    val vecs = (1L to 5L).map(i => (i, Array.fill(4)(i.toFloat), i % 2))
+      .toDF("vec_id", "embedding", "blk")
+    val e = intercept[IllegalArgumentException](
+      Dedup.cosinePairs(vecs, "vec_id", "embedding", minCosine = 0.0,
+        maxUnblockedRows = 3))
+    assert(e.getMessage.contains("blockCol") && e.getMessage.contains("cosinePairsLsh"))
+    // blocking bounds the product, so the guard does not apply
+    val blocked = Dedup.cosinePairs(vecs, "vec_id", "embedding", minCosine = 0.0,
+      blockCol = Some("blk"), maxUnblockedRows = 3)
+    assert(blocked.count() > 0)
+    // at or under the threshold the exact baseline still runs
+    assert(Dedup.cosinePairs(vecs.limit(3), "vec_id", "embedding", 0.0,
+      maxUnblockedRows = 3).count() == 3)
+  }
+
   test("simhashCandidates: maxHamming=0 (full 64-bit packed keys) finds exactly the identical-signature pairs") {
     // packing all 8 blocks exercises the full-width shift+OR key: bit 63
     // set on ~half of signatures would overflow an arithmetic packing
@@ -298,7 +340,7 @@ class DedupSpec extends SparkSpec {
     val n = 256
     val chain = (0L until (n - 1L)).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val (labels, rounds) = Dedup.resolveStar(chain, "a_id", "b_id", maxIters = 50)
+    val (labels, rounds, _) = Dedup.resolveStar(chain, "a_id", "b_id", maxIters = 50)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // only the returned labels checkpoint may remain registered
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before

@@ -68,6 +68,26 @@ class PipelineSpec extends SparkSpec {
     assert(dupReasons == Set("Duplicate TRRR_TAG"))
   }
 
+  test("runTable: the report carries as-executed layout stats (straggler predictor where users look)") {
+    val r = run()
+    val ls = r.report.layout.getOrElse(fail("layout stats missing from the run report"))
+    assert(ls.nPartitions > 0)
+    assert(ls.minRows >= 1 && ls.minRows <= ls.maxRows) // non-empty partitions only
+    // the layout describes exactly the counted input: rows distribute over
+    // partitions, and skew is max over average (>= 1 by construction)
+    assert(ls.nPartitions * ls.maxRows >= r.report.inputRows)
+    assert(ls.skew >= 1.0)
+    assert(math.abs(ls.avgRows * ls.nPartitions - r.report.inputRows) < 0.01 * ls.nPartitions + 1e-9)
+    r.unpersist()
+
+    // empty input: no non-empty partitions to describe -> None, loudly typed
+    val empty = Pipeline.runTable(
+      name = "empty", download = template, template = template,
+      calcRules = Nil, blankToNullFields = Nil, enrich = None, qa = None,
+      cache = org.apache.spark.storage.StorageLevel.NONE)
+    assert(empty.report.inputRows == 0 && empty.report.layout.isEmpty)
+  }
+
   test("runTable: the QA input is evaluated once across counts and both sink reads (persisted split)") {
     val acc = spark.sparkContext.longAccumulator("source-evals")
     // the fence (asNondeterministic) stops Catalyst duplicating the tick

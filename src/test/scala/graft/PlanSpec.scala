@@ -105,9 +105,18 @@ class PlanSpec extends SparkSpec {
 
   test("dedup_survivor: the ranking window runs over the labels join, never the corpus scan") {
     val raw = SparkEntry.queries("dedup_survivor")(spark, dir)
+    // the loser-id side is a checkpointed frame with no static stats, so the
+    // broadcast decision is AQE's runtime call — execute THIS queryExecution
+    // (collect, not count: count builds a separate plan), then assert on
+    // the FINAL plan
+    raw.collect()
     val p = raw.queryExecution.executedPlan.toString
-    // corpus participates only via the final anti-join (broadcast at this SF)
+    // corpus participates only via the final anti-join, and the loser-id
+    // side (paired subset) must BROADCAST — a shuffle anti-join would
+    // reshuffle the whole corpus to drop a few percent of it
     assert(p.contains("LeftAnti"), p)
+    assert(p.linesIterator.exists(l => l.contains("LeftAnti") && l.contains("Broadcast")),
+      s"anti-join does not broadcast the loser ids:\n$p")
     // the row_number window must partition by cluster_id (the labels side),
     // not appear unpartitioned (global sort) anywhere
     assert(p.contains("cluster_id"), p)

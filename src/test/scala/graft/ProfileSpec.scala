@@ -248,6 +248,20 @@ class ProfileSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("psi_term")).head.getDouble(0) == 0.0)
   }
 
+  test("psiDrift: an empty or all-NULL reference snapshot fails loudly, not a NULL-bin row set") {
+    val cmp = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("v")
+    for (ref <- Seq(
+        Seq.empty[Option[Double]].toDF("v"),
+        Seq[Option[Double]](None, None).toDF("v"))) {
+      val e = intercept[Exception](
+        graft.operators.Profile.psiDrift(ref, cmp, "v", nBins = 10).collect())
+      // the raise_error may arrive wrapped in a task-failure exception
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("no non-NULL"), s"expected a loud bounds failure, got: $msgs")
+    }
+  }
+
   test("psiDriftCategorical: vanished and appeared categories surface via eps; NULL is a category") {
     val ref = (Seq.fill(50)("en") ++ Seq.fill(30)("de") ++ Seq.fill(20)("fr"))
       .map(Tuple1(_)).toDF("lang")

@@ -131,20 +131,48 @@ class TextEventsSpec extends SparkSpec {
     assert(out == Set((1L, 1, 2L), (1L, 2, 0L), (1L, 3, 0L), (1L, 4, 1L), (2L, 2, 1L)))
   }
 
-  test("multimodal: stub decode is deterministic, partition-parallel, and frame sampling strides") {
-    val docs = Seq((1L, "payload-one"), (2L, "payload-two")).toDF("doc_id", "text")
-    val media = MultiModal.fromText(spark, docs, "doc_id", "text", modality = "video")
-    val f1 = MultiModal.extractFeatures(media).collect().sortBy(_.media_id)
+  test("multimodal: real header codec parses crafted PNG/JPEG/GIF/WAV bytes; unknown decodes honestly") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: 8-byte signature, IHDR chunk, width 640 / height 480 big-endian
+    val png = bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13) ++
+      "IHDR".getBytes ++ bytes(0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0)
+    // JPEG: SOI, an APP0 segment to walk over, then SOF0 with height 256 /
+    // width 512 — the parser must skip non-frame segments by their length
+    val jpeg = bytes(0xff, 0xd8, 0xff, 0xe0, 0, 16) ++ new Array[Byte](14) ++
+      bytes(0xff, 0xc0, 0, 17, 8, 1, 0, 2, 0) ++ new Array[Byte](10)
+    // GIF89a logical screen 3x5, little-endian
+    val gif = "GIF89a".getBytes ++ bytes(3, 0, 5, 0)
+    // WAV: RIFF/WAVE with a 16-byte fmt chunk (blockAlign 4) and a 40-byte
+    // data chunk -> 10 sample frames
+    val wav = "RIFF".getBytes ++ bytes(0x24, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ bytes(16, 0, 0, 0) ++
+      bytes(1, 0, 2, 0, 0x44, 0xac, 0, 0, 0x10, 0xb1, 2, 0, 4, 0, 16, 0) ++
+      "data".getBytes ++ bytes(40, 0, 0, 0) ++ new Array[Byte](40)
+    val media = Seq(
+      MultiModal.Media(1L, "image", png),
+      MultiModal.Media(2L, "image", jpeg),
+      MultiModal.Media(3L, "image", gif),
+      MultiModal.Media(4L, "audio", wav),
+      MultiModal.Media(5L, "image", "not a media payload".getBytes)).toDS()
+    val f = MultiModal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f(0).format == "png" && f(0).width == 640 && f(0).height == 480 && f(0).n_frames == 1)
+    assert(f(1).format == "jpeg" && f(1).width == 512 && f(1).height == 256)
+    assert(f(2).format == "gif" && f(2).width == 3 && f(2).height == 5)
+    assert(f(3).format == "wav" && f(3).n_frames == 10)
+    // undecodable payloads report zeros, never fabricated dimensions
+    assert(f(4).format == "unknown" && f(4).width == 0 && f(4).height == 0 && f(4).n_frames == 0)
+    assert(f.forall(x => x.n_bytes > 0 && x.checksum != 0))
+    // partitioning never changes features
     val f2 = MultiModal.extractFeatures(media.repartition(4)).collect().sortBy(_.media_id)
-    assert(f1.toSeq == f2.toSeq) // partitioning never changes features
-    assert(f1.forall(f => f.n_bytes == 11 && f.width >= 64 && f.height >= 64))
-    val frames = MultiModal.sampleFrames(
-      MultiModal.extractFeatures(media).toDF(), stride = 10)
-    val perId = frames.groupBy("media_id").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    f1.foreach { f =>
-      assert(perId(f.media_id) == (f.n_frames + 9) / 10) // ceil(n/stride)
-    }
+    assert(f.toSeq == f2.toSeq)
+    // frame sampling strides over decoded frame counts; zero-frame rows drop
+    val vids = Seq(
+      MultiModal.Media(7L, "video", wav),
+      MultiModal.Media(8L, "video", "undecodable".getBytes)).toDS()
+    val frames = MultiModal.sampleFrames(MultiModal.extractFeatures(vids).toDF(), stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(frames.map(_._1).forall(_ == 7L))
+    assert(frames.map(_._2).sorted.toSeq == Seq(0L, 3L, 6L, 9L))
   }
 
   test("chunkDocs: full coverage with overlap, short final chunk, one chunk at/below size, empty drops") {
