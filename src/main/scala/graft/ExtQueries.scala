@@ -474,7 +474,53 @@ object ExtQueries {
     Similarity.centroidsLong(t(s, d, "embeddings"), "label", "embedding")
       .orderBy("grp", "pos")
 
+  // ------------------------------------------------- corpus curation, round 10
+
+  /** Corpus-level boilerplate-segment removal at WORD granularity (the
+    * fixture texts have no newline segments, so words stand in for lines;
+    * the operator is granularity-agnostic via `sep`): words appearing in
+    * more than 395 of the 500 documents strip from every document. */
+  val dedupLinesQ: Q = (s, d) =>
+    Dedup.dedupLines(t(s, d, "documents"), "doc_id", "text",
+      sep = " ", maxDocFreq = 395).orderBy("doc_id")
+
+  /** Unigram-LM perplexity-proxy quality score per document. */
+  val scoreUnigram: Q = (s, d) =>
+    TextAnalysis.withUnigramNll(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Mixture-planning token budget per language. */
+  val tokenBudgetQ: Q = (s, d) =>
+    Curation.tokenBudget(t(s, d, "documents"), "lang", "text")
+
+  /** Per-source document cap (anti-spam curation), hash-deterministic. */
+  val capStratum: Q = (s, d) =>
+    Curation.capPerStratum(t(s, d, "documents"), "doc_id", "source", maxRows = 20)
+      .select("doc_id", "source").orderBy("doc_id")
+
+  /** Snapshot diff: the comparison corpus is derived from the fixture with
+    * deterministic deletions (id % 7), edits (id % 5), and additions
+    * (id % 11 under shifted ids), mirrored exactly in the oracle. */
+  val corpusDiff: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val cmp = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+    Curation.snapshotDiff(docs.select("doc_id", "text"), cmp, "doc_id", Seq("text"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "dedup_lines" -> dedupLinesQ,
+    "score_unigram" -> scoreUnigram,
+    "token_budget" -> tokenBudgetQ,
+    "cap_stratum" -> capStratum,
+    "corpus_diff" -> corpusDiff,
     "tfidf_topterms" -> tfidfTopTerms,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
@@ -978,6 +1024,52 @@ object ExtQueries {
          |  count(*) AS n_events
          |FROM ($sessionizeSql)
          |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "dedup_lines" ->
+      """WITH ls AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |lines AS (SELECT doc_id, g.i AS pos, l[g.i] AS line
+        |          FROM ls, UNNEST(generate_series(1, len(l))) AS g(i)),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+        |kept AS (SELECT doc_id, pos, line FROM lines JOIN freq USING (line) WHERE df <= 395)
+        |SELECT d.doc_id, coalesce(k.text, '') AS text
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "score_unigram" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |lm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT doc_id, round(avg(-ln(c / n)), 4) AS nll
+        |FROM tok JOIN lm USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "token_budget" ->
+      """WITH s AS (SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s)
+        |SELECT lang, n_docs, n_tokens, round(n_tokens / tot, 6) AS share,
+        |  round(CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, lang) AS BIGINT) / tot, 6) AS cum_share
+        |FROM s CROSS JOIN t ORDER BY n_tokens DESC, lang""".stripMargin,
+    "cap_stratum" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "corpus_diff" ->
+      """WITH cmp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT coalesce(r.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN r.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       WHEN r.h <> c.h THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents) r
+        |FULL OUTER JOIN (SELECT doc_id, md5(text) AS h FROM cmp) c ON r.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** The aggregator path shares topk_sim's oracle verbatim: identical

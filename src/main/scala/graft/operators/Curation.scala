@@ -266,4 +266,75 @@ object Curation {
     df.withColumn("pack_id",
       floor((sum(col(tokCol)).over(w) - col(tokCol)) / tokenBudget))
   }
+
+  /** Token-budget accounting per stratum — the mixture-planning report run
+    * before choosing [[mixStrata]]/[[temperatureSample]] parameters: for
+    * each stratum its document count, whitespace-token count, token SHARE,
+    * and the cumulative share walking strata largest-first (the "how many
+    * strata cover 90% of the budget" view). Returns
+    * (stratumCol, n_docs, n_tokens, share, cum_share) ordered by
+    * n_tokens desc then stratum.
+    *
+    * Scale shape: ONE partial-aggregated groupBy over the corpus; the
+    * share/cumulative windows run over the |strata|-row aggregate only —
+    * the unpartitioned window is deliberate and safe there (strata counts
+    * are human-scale), never over the corpus. */
+  def tokenBudget(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
+    val s = df.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+    val all = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val cum = Window.orderBy(col("n_tokens").desc, col(stratumCol))
+      .rowsBetween(Long.MinValue, 0)
+    s.select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / sum("n_tokens").over(all), 6).as("share"),
+        round(sum("n_tokens").over(cum) / sum("n_tokens").over(all), 6).as("cum_share"))
+      .orderBy(col("n_tokens").desc, col(stratumCol))
+  }
+
+  /** Per-stratum row cap (anti-spam curation: no single domain/source may
+    * contribute more than `maxRows` documents): keep the `maxRows`
+    * hash-first rows of each stratum, selection deterministic by the same
+    * md5 draw the samplers use (hash-stable across runs/partitionings, so
+    * a stratum's kept set never churns as OTHER strata grow; ties broken
+    * by id).
+    *
+    * Scale shape: one window shuffle partitioned by the stratum; a hot
+    * stratum's ranking funnels through one task, which is exactly the
+    * stratum this operator exists to cut — for pathological single-strata
+    * skews, pre-thin with [[stratifiedSample]] at a rate slightly above
+    * `maxRows / n` first, then cap exactly. */
+  def capPerStratum(
+      df: DataFrame, idCol: String, stratumCol: String, maxRows: Int): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashDraw(idCol, salt = ""), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxRows).drop("__rn")
+  }
+
+  /** Corpus snapshot diff — the dataset-versioning primitive: classify
+    * every id across two snapshots as added / removed / changed /
+    * unchanged by comparing an md5 over the `contentCols` (joined with a
+    *  separator, so column boundaries cannot alias). Returns
+    * (idCol, status).
+    *
+    * Scale shape: each snapshot reduces map-side to (id, 16-byte hash) —
+    * the content never crosses the wire — then ONE full-outer shuffle join
+    * on the id. NULL content columns hash as empty (concat_ws skips
+    * nulls): a NULL→''-only change is invisible, consistent with the
+    * engine's blank/NULL normalization story. */
+  def snapshotDiff(
+      ref: DataFrame, cmp: DataFrame, idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff requires at least one content column")
+    def hashed(df: DataFrame, as: String) = df.select(col(idCol),
+      md5(concat_ws("\u0001", contentCols.map(col): _*)).as(as))
+    hashed(ref, "__rh").join(hashed(cmp, "__ch"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__rh").isNull, "added")
+          .when(col("__ch").isNull, "removed")
+          .when(col("__rh") =!= col("__ch"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

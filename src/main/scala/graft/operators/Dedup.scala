@@ -748,6 +748,49 @@ object Dedup {
     }
   }
 
+  /** Corpus-level LINE dedup (boilerplate removal): split every document
+    * into segments on `sep`, compute each distinct segment's DOCUMENT
+    * frequency across the whole corpus, strip segments appearing in more
+    * than `maxDocFreq` documents from EVERY document, and reassemble the
+    * survivors in original order — the web-corpus curation step that
+    * removes navigation bars, cookie banners, and licence footers that
+    * exact/near document dedup cannot touch (they ride inside otherwise
+    * unique pages). Documents whose every segment is boilerplate come back
+    * with empty text (they stay addressable; dropping them is the caller's
+    * policy call).
+    *
+    * Scale shape: the frequency aggregate groups on the segment's 64-bit
+    * xxhash, so distinct segment TEXT never ships to that shuffle — only
+    * 8-byte keys with map-side partial aggregation; the offending hash set
+    * (df > maxDocFreq, typically tiny: boilerplate is by definition
+    * repeated) comes back through one anti-join that AQE broadcasts when
+    * small; reassembly is one groupBy on the doc id with a per-doc-bounded
+    * collect_list. A 64-bit hash collision could strip an innocent segment
+    * alongside a boilerplate one (never corrupt text) — at ~4·10⁹ distinct
+    * segments the birthday bound makes that a curation rounding error. */
+  def dedupLines(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", maxDocFreq: Long = 1): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val sepRegex = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__line")))
+    val frequent = lines
+      .groupBy(xxhash64(col("__line")).as("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("__h")
+    val kept = lines.withColumn("__h", xxhash64(col("__line")))
+      .join(frequent, Seq("__h"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")),
+        sep).as("__text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** Pairs → survivors in one call: drop every row whose id belongs to a
     * duplicate cluster but is not that cluster's canonical (minimum) id. */
   def keepClusterSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

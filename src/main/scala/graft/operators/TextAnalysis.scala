@@ -117,6 +117,32 @@ object TextAnalysis {
       .select("w1", "w2", "c12", "pmi")
   }
 
+  /** Unigram language-model quality score: train a unigram LM over the
+    * corpus's own whitespace tokens and score each document by its average
+    * token negative log-likelihood — the classic perplexity-proxy quality
+    * filter (CCNet-style pipelines use a KenLM n-gram model; the unigram
+    * degenerate case keeps the exact same contract — low nll ≈ typical
+    * text, high nll ≈ rare-token noise — while staying engine-portable).
+    * Returns (idCol, nll) with nll rounded to 4 decimals AFTER the
+    * per-document average (the established cross-engine FP settlement).
+    *
+    * Scale shape: two passes over the exploded tokens — one partial-
+    * aggregated groupBy builds the LM (|vocab| rows), one shuffle join
+    * scores tokens against it; the corpus-token total is derived from the
+    * LM aggregate (sum of counts), never a third corpus pass. For corpora
+    * where even the vocab-keyed join is too hot, pre-prune the LM to a
+    * top-K vocab broadcast with an OOV floor — see [[vocabCoverage]] for
+    * the membership machinery. */
+  def withUnigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+    val lm = tok.groupBy("__w").agg(count(lit(1)).as("__c"))
+    val tot = lm.agg(sum(col("__c")).as("__n"))
+    tok.join(lm, Seq("__w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(col("__c") / col("__n"))), 4).as("nll"))
+  }
+
   /** Vocabulary coverage per document: token count, out-of-vocabulary
     * count, and OOV rate against a reference vocabulary — the tokenizer/
     * vocab QA step run before committing to a tokenizer (a rising OOV rate

@@ -200,4 +200,55 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.packIndex(docs, "doc_id", "n_tok", 0L, Seq("lang")))
   }
+
+  test("tokenBudget: shares sum to 1, cumulative walks largest-first, counts exact") {
+    val docs = Seq(
+      (1L, "en", "a b c d"),   // 4 tokens
+      (2L, "en", "a b"),       // 2
+      (3L, "de", "x y z"),     // 3
+      (4L, "fr", "q")          // 1
+    ).toDF("doc_id", "lang", "text")
+    val rows = Curation.tokenBudget(docs, "lang", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq("en", "de", "fr")) // largest-first
+    assert(rows.map(t => t._1 -> (t._2, t._3)).toMap ==
+      Map("en" -> (2L, 6L), "de" -> (1L, 3L), "fr" -> (1L, 1L)))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9) // rounded shares, FP sum
+    assert(rows.last._5 == 1.0) // cumulative share terminates at exactly 1
+    assert(rows.map(_._5).toSeq == rows.map(_._5).toSeq.sorted) // monotone
+  }
+
+  test("capPerStratum: exact cap per stratum, hash-stable selection across partitionings") {
+    val docs = (1L to 100L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val capped = Curation.capPerStratum(docs, "doc_id", "source", maxRows = 10)
+    val bySrc = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ == 10L), bySrc.toString)
+    // selection is a function of the ids, not the physical layout
+    val a = capped.collect().map(_.getLong(0)).toSet
+    val b = Curation.capPerStratum(docs.repartition(7), "doc_id", "source", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // a stratum under the cap keeps everything
+    val small = Curation.capPerStratum(docs.limit(5), "doc_id", "source", 10)
+    assert(small.count() == 5)
+    intercept[IllegalArgumentException](
+      Curation.capPerStratum(docs, "doc_id", "source", 0))
+  }
+
+  test("snapshotDiff: all four statuses; column boundaries cannot alias") {
+    val ref = Seq((1L, "a", "b"), (2L, "keep", "x"), (3L, "gone", "y"), (5L, "ab", "c"))
+      .toDF("id", "t1", "t2")
+    val cmp = Seq((1L, "a", "B"), (2L, "keep", "x"), (4L, "new", "z"), (5L, "a", "bc"))
+      .toDF("id", "t1", "t2")
+    val statuses = Curation.snapshotDiff(ref, cmp, "id", Seq("t1", "t2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(statuses == Map(
+      1L -> "changed", 2L -> "unchanged", 3L -> "removed", 4L -> "added",
+      // ("ab","c") vs ("a","bc") concatenate identically WITHOUT the
+      // separator byte — the hash must keep them distinct
+      5L -> "changed"))
+    intercept[IllegalArgumentException](
+      Curation.snapshotDiff(ref, cmp, "id", Nil))
+  }
 }

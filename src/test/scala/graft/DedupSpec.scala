@@ -232,6 +232,31 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("dedupLines: boilerplate segments strip everywhere, order survives, blanked docs stay addressable") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nFOOTER"),
+      (2L, "COOKIE BANNER\nunique text two\nFOOTER"),
+      (3L, "COOKIE BANNER\nmore text\nmore text\nFOOTER"), // within-doc repeat: df still 3
+      (4L, "FOOTER\nCOOKIE BANNER") // nothing but boilerplate -> blank, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", sep = "\n", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "real content one",
+      2L -> "unique text two",
+      // the within-doc duplicate counts ONE document toward df, so a
+      // segment repeated inside a single doc is not boilerplate and both
+      // copies survive in order
+      3L -> "more text\nmore text",
+      4L -> ""))
+    // maxDocFreq high enough: nothing strips, texts round-trip byte-exact
+    val intact = Dedup.dedupLines(docs, "doc_id", "text", sep = "\n", maxDocFreq = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(intact == docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    intercept[IllegalArgumentException](
+      Dedup.dedupLines(docs, "doc_id", "text", maxDocFreq = 0))
+  }
+
   test("cosinePairs: unblocked cartesian over the row threshold fails fast; blockCol path is exempt") {
     val vecs = (1L to 5L).map(i => (i, Array.fill(4)(i.toFloat), i % 2))
       .toDF("vec_id", "embedding", "blk")

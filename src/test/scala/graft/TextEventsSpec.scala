@@ -175,6 +175,27 @@ class TextEventsSpec extends SparkSpec {
     assert(frames.map(_._2).sorted.toSeq == Seq(0L, 3L, 6L, 9L))
   }
 
+  test("withUnigramNll: common-token docs score low, rare-token docs high, uniform corpus is flat") {
+    import graft.operators.TextAnalysis
+    // 'the' appears 7x of 12 tokens, rare tokens once each: doc 3 (all
+    // rare) must score strictly above doc 1 (all common); mixed in between
+    val docs = Seq(
+      (1L, "the the the the"),
+      (2L, "the the the xylophone"),
+      (3L, "quark boson xylem phloem")
+    ).toDF("doc_id", "text")
+    val nll = TextAnalysis.withUnigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nll(1) < nll(2) && nll(2) < nll(3), nll.toString)
+    // hand-check doc 1: p(the) = 7/12
+    assert(math.abs(nll(1) - (-math.log(7.0 / 12.0))) < 1e-4)
+    // a uniform corpus scores identically everywhere
+    val flat = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val f = TextAnalysis.withUnigramNll(flat, "doc_id", "text")
+      .collect().map(_.getDouble(1)).distinct
+    assert(f.length == 1)
+  }
+
   test("chunkDocs: full coverage with overlap, short final chunk, one chunk at/below size, empty drops") {
     import graft.operators.TextAnalysis
     val docs = Seq(
