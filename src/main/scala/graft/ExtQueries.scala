@@ -515,7 +515,16 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-language median-length gate: keep each language's upper half —
+    * the per-stratum quality cut (a global threshold would gut strata
+    * whose distribution sits lower). */
+  val qualityGate: Q = (s, d) =>
+    graft.operators.Profile.filterByGroupQuantile(
+      t(s, d, "documents"), "lang", "n_chars", q = 0.5)
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
+    "quality_gate" -> qualityGate,
     "dedup_lines" -> dedupLinesQ,
     "score_unigram" -> scoreUnigram,
     "token_budget" -> tokenBudgetQ,
@@ -1024,6 +1033,11 @@ object ExtQueries {
          |  count(*) AS n_events
          |FROM ($sessionizeSql)
          |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "quality_gate" ->
+      """WITH cuts AS (SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS c
+        |              FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+        |SELECT doc_id, lang, n_chars FROM documents JOIN cuts USING (lang)
+        |WHERE n_chars >= c ORDER BY doc_id""".stripMargin,
     "dedup_lines" ->
       """WITH ls AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |lines AS (SELECT doc_id, g.i AS pos, l[g.i] AS line

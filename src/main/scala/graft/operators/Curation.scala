@@ -293,24 +293,17 @@ object Curation {
   }
 
   /** Per-stratum row cap (anti-spam curation: no single domain/source may
-    * contribute more than `maxRows` documents): keep the `maxRows`
-    * hash-first rows of each stratum, selection deterministic by the same
-    * md5 draw the samplers use (hash-stable across runs/partitionings, so
-    * a stratum's kept set never churns as OTHER strata grow; ties broken
-    * by id).
-    *
-    * Scale shape: one window shuffle partitioned by the stratum; a hot
-    * stratum's ranking funnels through one task, which is exactly the
-    * stratum this operator exists to cut — for pathological single-strata
-    * skews, pre-thin with [[stratifiedSample]] at a rate slightly above
-    * `maxRows / n` first, then cap exactly. */
+    * contribute more than `maxRows` documents). The selection IS
+    * [[Profile.sampleKPerGroup]] — keep the `maxRows` smallest-md5 rows of
+    * each stratum, hash-stable across runs/partitionings, ties broken by
+    * id — exposed under the curation intent so recipes read as what they
+    * do; one implementation, so the two can never drift. Inherits the
+    * WindowGroupLimit plan shape (map tasks forward at most `maxRows`
+    * rows per stratum to the shuffle; PlanSpec-asserted on the sampler). */
   def capPerStratum(
       df: DataFrame, idCol: String, stratumCol: String, maxRows: Int): DataFrame = {
     require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(hashDraw(idCol, salt = ""), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxRows).drop("__rn")
+    Profile.sampleKPerGroup(df, idCol, stratumCol, maxRows)
   }
 
   /** Corpus snapshot diff — the dataset-versioning primitive: classify

@@ -775,11 +775,7 @@ object Dedup {
     val sepRegex = java.util.regex.Pattern.quote(sep)
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__line")))
-    val frequent = lines
-      .groupBy(xxhash64(col("__line")).as("__h"))
-      .agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") > maxDocFreq)
-      .select("__h")
+    val frequent = frequentSegments(df, idCol, textCol, sep, maxDocFreq).select("__h")
     val kept = lines.withColumn("__h", xxhash64(col("__line")))
       .join(frequent, Seq("__h"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol)).agg(
@@ -789,6 +785,47 @@ object Dedup {
         sep).as("__text"))
     df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
+
+  /** The boilerplate-segment INDEX behind [[dedupLines]]: (`__h` 64-bit
+    * segment hash, `__df` document frequency) for every segment appearing
+    * in more than `maxDocFreq` documents. Build it once over the corpus,
+    * store it, and strip arriving data against it with
+    * [[stripSegmentsMapSide]] / [[graft.streaming.DocStreams.stripBoilerplate]]
+    * — the continuous-ingest shape where new batches never re-scan the
+    * corpus (the twin of the minhash band index's role for near-dup). */
+  def frequentSegments(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", maxDocFreq: Long = 1): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val sepRegex = java.util.regex.Pattern.quote(sep)
+    df.select(col(idCol), explode(split(col(textCol), sepRegex)).as("__line"))
+      .groupBy(xxhash64(col("__line")).as("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+  }
+
+  /** Map-side boilerplate strip against a stored [[frequentSegments]]
+    * index: the index collapses to ONE broadcast array row and each
+    * document filters its own segments with a higher-order lambda — no
+    * explode, no per-document aggregation, no shuffle, so it runs
+    * unchanged on a streaming DataFrame in append mode (the streaming
+    * twin wraps exactly this). Fit: the boilerplate set must be broadcast-
+    * small (it is by construction — boilerplate is the REPEATED tail);
+    * for a pathologically large index use [[dedupLines]]'s anti-join
+    * shape in a foreachBatch instead. */
+  def stripSegmentsMapSide(
+      df: DataFrame, textCol: String, frequent: DataFrame,
+      sep: String = "\n"): DataFrame = {
+    val sepRegex = java.util.regex.Pattern.quote(sep)
+    val bad = frequent.agg(collect_set(col("__h")).as("__bad"))
+    df.crossJoin(broadcast(bad))
+      .withColumn(textCol,
+        array_join(
+          filter(split(col(textCol), sepRegex),
+            s => !array_contains(col("__bad"), xxhash64(s))),
+          sep))
+      .drop("__bad")
   }
 
   /** Pairs → survivors in one call: drop every row whose id belongs to a

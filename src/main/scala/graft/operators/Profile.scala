@@ -320,6 +320,31 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group quantile gate: keep rows whose value sits at or above
+    * their OWN group's q-quantile — "keep the top (1−q) share by quality
+    * per language", the standard per-stratum quality cut (a single global
+    * threshold would gut low-resource strata whose score distribution
+    * sits lower). Rows with a NULL value drop (no comparison), and groups
+    * with no non-NULL values drop with the inner join, mirroring
+    * [[winsorize]]'s contract. Cuts are rounded to 4 decimals (the
+    * cross-engine FP discipline), and both engines compare against the
+    * same rounded cut.
+    *
+    * Scale shape: one [[groupQuantiles]] pass (|keys| rows, broadcast
+    * back) + a map-side filter — the corpus is scanned twice, shuffled
+    * never. `approxAccuracy` switches to the sketch percentile for
+    * unbounded groups. */
+  def filterByGroupQuantile(
+      df: DataFrame, keyCol: String, valueCol: String, q: Double,
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    val cutName = "p" + math.round(q * 100)
+    val cuts = groupQuantiles(df, keyCol, valueCol, Seq(q), approxAccuracy)
+      .select(col(keyCol), col(cutName).as("__cut"))
+    df.join(broadcast(cuts), keyCol)
+      .filter(col(valueCol).cast("double") >= col("__cut"))
+      .drop("__cut")
+  }
+
   /** Deterministic k-per-group sample: within each stratum, keep the k
     * rows with the smallest md5(id) draw — a hash-stable balanced subset
     * (the class-balancing companion to [[Curation.stratifiedSample]]'s

@@ -60,4 +60,24 @@ object DocStreams {
       .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id", "band_idx")
   }
+
+  /** Boilerplate strip for continuous ingest: arriving documents drop the
+    * corpus's known boilerplate segments (a stored
+    * [[Dedup.frequentSegments]] index) before landing — the streaming twin
+    * of [[Dedup.dedupLines]], sharing [[Dedup.stripSegmentsMapSide]]'s
+    * map-side lambda so the two CANNOT diverge. Stateless (one broadcast
+    * array, no explode, no aggregation), so it runs in append mode with no
+    * watermark; batch parity is pinned in StreamingSpec. The index is what
+    * makes this scale: new batches never re-scan the corpus, and the
+    * frequency snapshot is refreshed on the batch side's cadence. */
+  def stripBoilerplate(
+      stream: DataFrame, frequent: DataFrame, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!frequent.isStreaming, "frequent must be a static segment index")
+    require(frequent.columns.contains("__h"),
+      s"frequent must carry __h (the frequentSegments index schema); " +
+        s"got (${frequent.columns.mkString(", ")})")
+    Dedup.stripSegmentsMapSide(stream, textCol, frequent, sep)
+  }
 }

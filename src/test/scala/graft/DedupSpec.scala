@@ -255,6 +255,17 @@ class DedupSpec extends SparkSpec {
     assert(intact == docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
     intercept[IllegalArgumentException](
       Dedup.dedupLines(docs, "doc_id", "text", maxDocFreq = 0))
+
+    // the map-side strip against the extracted index agrees with the
+    // anti-join path byte-for-byte — the two shapes cannot diverge
+    val idx = Dedup.frequentSegments(docs, "doc_id", "text", sep = "\n", maxDocFreq = 2)
+    val stripped = Dedup.stripSegmentsMapSide(docs, "text", idx, sep = "\n")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(stripped == out)
+    // an empty index is the identity
+    val none = Dedup.stripSegmentsMapSide(docs, "text", idx.limit(0), sep = "\n")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(none == docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
   test("cosinePairs: unblocked cartesian over the row threshold fails fast; blockCol path is exempt") {

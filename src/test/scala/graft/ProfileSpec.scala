@@ -248,6 +248,25 @@ class ProfileSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("psi_term")).head.getDouble(0) == 0.0)
   }
 
+  test("filterByGroupQuantile: per-group cut keeps each group's upper share; NULL values and all-NULL groups drop") {
+    val df = Seq(
+      ("en", 1L, 10.0), ("en", 2L, 20.0), ("en", 3L, 30.0), ("en", 4L, 40.0),
+      ("de", 5L, 1.0), ("de", 6L, 2.0), ("de", 7L, 3.0)
+    ).toDF("lang", "id", "score")
+    val kept = graft.operators.Profile.filterByGroupQuantile(df, "lang", "score", 0.5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // en median 25 -> 3,4; de median 2 -> 6,7 (at-or-above keeps the cut row)
+    assert(kept == Set(3L, 4L, 6L, 7L))
+    // NULL scores drop; a group with only NULLs contributes nothing
+    val withNulls = df.unionByName(Seq(
+      ("en", 8L, null.asInstanceOf[java.lang.Double]),
+      ("xx", 9L, null.asInstanceOf[java.lang.Double]))
+      .toDF("lang", "id", "score"))
+    val kept2 = graft.operators.Profile.filterByGroupQuantile(withNulls, "lang", "score", 0.5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept2 == Set(3L, 4L, 6L, 7L))
+  }
+
   test("psiDrift: an empty or all-NULL reference snapshot fails loudly, not a NULL-bin row set") {
     val cmp = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("v")
     for (ref <- Seq(

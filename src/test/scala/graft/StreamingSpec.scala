@@ -399,6 +399,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: boilerplate strip vs a stored segment index agrees with the batch strip") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (1L, "BANNER\ncontent one\nFOOTER"),
+      (2L, "BANNER\ncontent two\nFOOTER"),
+      (3L, "BANNER\nthird text\nFOOTER")).toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.frequentSegments(
+      corpus, "doc_id", "text", sep = "\n", maxDocFreq = 2)
+    val arrivals = Seq(
+      (10L, "BANNER\nfresh arrival\nFOOTER"),
+      (11L, "no boilerplate at all"),
+      (12L, "FOOTER\nBANNER")) // all boilerplate -> empty text
+    val batchOut = graft.operators.Dedup.stripSegmentsMapSide(
+        arrivals.toDF("doc_id", "text"), "text", idx, sep = "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.stripBoilerplate(
+        mem.toDF().toDF("doc_id", "text"), idx, "text", sep = "\n")
+      .writeStream.format("memory").queryName("stripped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arrivals.take(1)); q.processAllAvailable()
+      mem.addData(arrivals.drop(1)); q.processAllAvailable()
+      val streamed = spark.table("stripped")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batchOut, s"streamed $streamed vs batch $batchOut")
+      assert(streamed(10L) == "fresh arrival")
+      assert(streamed(11L) == "no boilerplate at all")
+      assert(streamed(12L) == "")
+    } finally q.stop()
+  }
+
   test("upsertSink: unorderable non-key column fails eagerly at construction") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
