@@ -143,6 +143,31 @@ object ExtQueries {
         when(col("n_hits") * 2 >= col("n_exact"), 1).otherwise(0).as("floor_met"))
   }
 
+  /** SemDeDup differential: cluster-blocked semantic pairs (spherical
+    * k-means k=8, top-3 soft cell assignment) vs the exact O(n²) scan at
+    * the same threshold. Exactness of the within-block dot product makes
+    * the blocked set a SUBSET of exact by construction; soft blocking is
+    * what buys the recall (hard blocking measured 0.30-0.43 on this
+    * boundary-heavy fixture, p=3 measured 0.97-1.0). DuckDB recomputes
+    * n_exact independently and pins the flags. */
+  val dedupSemantic: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val exact = Dedup.cosinePairs(e, "vec_id", "embedding", minCosine = 0.45)
+      .select(col("a_id"), col("b_id"), lit(1).as("in_exact"))
+    val sem = Dedup.semanticPairs(e, "vec_id", "embedding", minCosine = 0.45,
+        k = 8, lloydIters = 1, probeCells = 3)
+      .select(col("a_id"), col("b_id"), lit(1).as("in_sem"))
+    exact.join(sem, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+        coalesce(sum(when(col("in_exact").isNotNull && col("in_sem").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_hits"),
+        coalesce(sum(when(col("in_exact").isNull, 1L).otherwise(0L)), lit(0L)).as("n_extra"))
+      .select(col("n_exact"),
+        when(col("n_extra") === 0, 1).otherwise(0).as("subset_ok"),
+        when(col("n_hits") * 10 >= col("n_exact") * 9, 1).otherwise(0).as("floor_met"))
+  }
+
   /** Quality-first survivor selection over the same ngram-Jaccard cluster
     * graph as `dedup_resolve`: each duplicate cluster keeps its
     * longest member (`n_chars` max, ties → min doc_id) instead of the
@@ -525,6 +550,7 @@ object ExtQueries {
 
   val all: Map[String, Q] = Map(
     "quality_gate" -> qualityGate,
+    "dedup_semantic" -> dedupSemantic,
     "dedup_lines" -> dedupLinesQ,
     "score_unigram" -> scoreUnigram,
     "token_budget" -> tokenBudgetQ,
@@ -1033,6 +1059,19 @@ object ExtQueries {
          |  count(*) AS n_events
          |FROM ($sessionizeSql)
          |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // dedup_semantic: same independent n_exact recomputation as
+    // dedup_embed_lsh (unit-normalized dot product in SQL), flags pinned —
+    // see dedupSemantic.
+    "dedup_semantic" ->
+      s"""WITH $unitCte,
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dotExpr AS cos
+         |  FROM (SELECT vec_id, v FROM e) a(vec_id, v)
+         |  JOIN (SELECT vec_id, v FROM e) b(vec_id, v) ON a.vec_id < b.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(1 AS INTEGER) AS subset_ok,
+         |  CAST(1 AS INTEGER) AS floor_met
+         |FROM p WHERE cos >= 0.45e0""".stripMargin,
     "quality_gate" ->
       """WITH cuts AS (SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS c
         |              FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)

@@ -748,6 +748,40 @@ object Dedup {
     }
   }
 
+  /** Semantic near-dup PAIRS via cluster blocking (the SemDeDup recipe,
+    * Abbas et al. 2023, public preprint): spherical k-means partitions the
+    * embedding space ([[Similarity.kmeansCentroids]]), then the exact
+    * cosine pair scan runs ONLY within each cluster
+    * ([[cosinePairs]] with the cell as `blockCol`) — the quadratic cost
+    * drops from N² to Σ|cell|², i.e. ~N²/k for balanced cells, and each
+    * cell's product is an independent task. Recall is approximate: a pair
+    * straddling a cluster boundary is missed (the price of blocking; raise
+    * k for cheaper cells, lower it for better recall — the registered
+    * query pins a measured recall floor against the exact scan).
+    *
+    * Returns (a_id, b_id, cos) like [[cosinePairs]]. */
+  def semanticPairs(
+      df: DataFrame, idCol: String, vecCol: String, minCosine: Double,
+      k: Int = 16, lloydIters: Int = 1, probeCells: Int = 1): DataFrame = {
+    val centroids = Similarity.kmeansCentroids(df, idCol, vecCol, k, lloydIters)
+    val assigned = Similarity.assignCells(df, idCol, vecCol, centroids, probeCells)
+    // soft blocking (probeCells > 1) emits a pair once per SHARED cell;
+    // all copies carry the identical exact cos, so distinct dedups safely
+    cosinePairs(assigned, idCol, vecCol, minCosine, blockCol = Some("cell"))
+      .distinct()
+  }
+
+  /** SemDeDup end-to-end: cluster-blocked near-dup pairs →
+    * connected-component resolution → keep one survivor (min id) per
+    * semantic cluster. Composition of [[semanticPairs]] +
+    * [[keepClusterSurvivors]]; use [[keepClusterSurvivorsBy]] manually for
+    * quality-ranked survivor choice. */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String, minCosine: Double,
+      k: Int = 16, lloydIters: Int = 1, probeCells: Int = 1): DataFrame =
+    keepClusterSurvivors(df, idCol,
+      semanticPairs(df, idCol, vecCol, minCosine, k, lloydIters, probeCells))
+
   /** Corpus-level LINE dedup (boilerplate removal): split every document
     * into segments on `sep`, compute each distinct segment's DOCUMENT
     * frequency across the whole corpus, strip segments appearing in more

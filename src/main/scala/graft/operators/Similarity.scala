@@ -107,46 +107,11 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nLists: Int = 16, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val c = corpus.select(col(corpusId).as("n_id"),
       VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
-
-    // deterministic pseudo-random seeds WITHOUT collecting the corpus:
-    // distributed top-nLists by id hash (TakeOrdered — only nLists rows
-    // ever reach the driver side of the plan)
-    val seeds = c.orderBy(xxhash64(col("n_id")), col("n_id")).limit(nLists)
-      .withColumnRenamed("n_id", "cell").withColumnRenamed("n_v", "cv")
-
-    def nearestCell(df: DataFrame, vCol: String, cells: DataFrame): DataFrame = {
-      val scored = df.crossJoin(broadcast(cells))
-        .withColumn("__d", VectorFns.dotNative(col(vCol), col("cv")))
-      val w = Window.partitionBy(df.columns.head).orderBy(col("__d").desc, col("cell"))
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .drop("__rn", "__d", "cv")
-    }
-
-    // Lloyd refinement: mean vector per cell (positional avg), renormalized.
-    // Each iteration is one corpus map pass + a partial-aggregated shuffle
-    // of nLists×dim cell statistics; only nLists × dim doubles are ever
-    // collected, the corpus never leaves the executors.
-    var centroids = seeds
-    for (_ <- 0 until lloydIters) {
-      val assigned0 = nearestCell(c, "n_v", centroids)
-      val sums = assigned0
-        .select(col("cell"), posexplode(col("n_v")).as(Seq("i", "x")))
-        .groupBy("cell", "i").agg(avg("x").as("m"))
-        .groupBy("cell").agg(map_from_arrays(collect_list("i"), collect_list("m")).as("mm"))
-        .collect().map { r =>
-          val m = r.getMap[Int, Double](1)
-          val arr = Array.tabulate(m.keys.max + 1)(i => m.getOrElse(i, 0.0))
-          val n = math.sqrt(arr.map(x => x * x).sum)
-          (r.getLong(0), arr.map(_ / math.max(n, 1e-12)))
-        }
-      centroids = sums.toSeq.toDF("cell", "cv")
-    }
-
-    val assigned = nearestCell(c, "n_v", centroids)
+    val centroids = kmeansCentroids(c, "n_id", "n_v", nLists, lloydIters,
+      assumeUnit = true)
+    val assigned = assignCell(c, "n_id", "n_v", centroids)
     val q = queries.select(col(queryId).as("q_id"),
       VectorFns.unitizeNative(col(queryVec)).as("q_v"))
     // top-nProbe cells per query
@@ -162,6 +127,74 @@ object Similarity {
     cand.select("q_id", "n_id", "cos")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Spherical k-means centroids over an embedding column — the coarse
+    * quantizer behind [[annIvf]] and the clustering step of semantic dedup
+    * ([[Dedup.semanticDedup]]), exposed as its own operator. Similarity is
+    * the dot product over unit vectors (cosine), cell means renormalize to
+    * the sphere each pass.
+    *
+    * Determinism without RNG: the k seeds are the corpus rows with the
+    * smallest `xxhash64(id)` (distributed TakeOrdered — only k rows reach
+    * the driver side of the plan), so the same corpus always yields the
+    * same clustering regardless of partitioning or cluster size. Returns
+    * (cell, cv): cell is the seed row's id, cv the unit centroid.
+    *
+    * Scale shape per Lloyd pass: one corpus map pass (nearest centroid vs
+    * the broadcast k-row table) + a partial-aggregated shuffle of
+    * k × dim cell statistics; only k × dim doubles are ever collected —
+    * the corpus never leaves the executors. `assumeUnit = true` skips the
+    * input normalization for callers that already unitized. */
+  def kmeansCentroids(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 1, assumeUnit: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = df.select(col(idCol).as("__id"),
+      (if (assumeUnit) col(vecCol) else VectorFns.unitizeNative(col(vecCol))).as("__v"))
+    var centroids = c.orderBy(xxhash64(col("__id")), col("__id")).limit(k)
+      .withColumnRenamed("__id", "cell").withColumnRenamed("__v", "cv")
+    for (_ <- 0 until iters) {
+      val assigned = assignCell(c, "__id", "__v", centroids)
+      val sums = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg("x").as("m"))
+        .groupBy("cell").agg(map_from_arrays(collect_list("i"), collect_list("m")).as("mm"))
+        .collect().map { r =>
+          val m = r.getMap[Int, Double](1)
+          val arr = Array.tabulate(m.keys.max + 1)(i => m.getOrElse(i, 0.0))
+          val n = math.sqrt(arr.map(x => x * x).sum)
+          (r.getLong(0), arr.map(_ / math.max(n, 1e-12)))
+        }
+      centroids = sums.toSeq.toDF("cell", "cv")
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: appends `cell` map-side against the
+    * broadcast centroid table (highest dot product, ties to the smallest
+    * cell id); the input's other columns pass through. One broadcast +
+    * one per-row window over the k-candidate fanout keyed by `idCol`. */
+  def assignCell(
+      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    assignCells(df, idCol, vecCol, centroids, p = 1)
+
+  /** Top-`p` nearest-centroid assignment (soft blocking): each row emits
+    * `p` rows, one per nearest cell — the multi-probe trick that recovers
+    * boundary-straddling neighbors a hard partition splits, at `p`× the
+    * downstream blocked cost. `p = 1` is [[assignCell]]. */
+  def assignCells(
+      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
+      p: Int): DataFrame = {
+    require(p >= 1, s"p must be >= 1, got $p")
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("__d", VectorFns.dotNative(col(vecCol), col("cv")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d").desc, col("cell"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= p)
+      .drop("__rn", "__d", "cv")
   }
 
   /** Per-group embedding centroid in LONG form: one row per

@@ -232,6 +232,32 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("semanticDedup: identical-direction duplicates collapse to one survivor; distinct directions all survive") {
+    // two duplicate groups (same direction, different magnitudes — cosine 1
+    // after unitization) plus orthogonal singletons
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(3f, 0f, 0f, 0f)), // dup group A
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, 5f, 0f, 0f)), // dup group B
+      (5L, Array(0f, 0f, 1f, 0f)),                              // singleton
+      (6L, Array(0f, 0f, 0f, 2f))                               // singleton
+    ).toDF("vec_id", "embedding")
+    val survivors = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        minCosine = 0.95, k = 2, lloydIters = 1, probeCells = 2)
+      .collect().map(_.getLong(0)).toSet
+    // min-id survivor per duplicate group; singletons untouched
+    assert(survivors == Set(1L, 3L, 5L, 6L), survivors.toString)
+    // pairs are a SUBSET of the exact scan with identical cos values
+    val exact = Dedup.cosinePairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sem = Dedup.semanticPairs(vecs, "vec_id", "embedding", 0.95,
+        k = 2, lloydIters = 1, probeCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sem.subsetOf(exact), s"sem $sem not within exact $exact")
+    // identical vectors always share their top cell, so exact-duplicate
+    // pairs can NEVER be lost to blocking, at any k or p
+    assert(sem.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("dedupLines: boilerplate segments strip everywhere, order survives, blanked docs stay addressable") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nreal content one\nFOOTER"),

@@ -64,4 +64,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@10 $recall below floor")
     assert(approx.count { case (q, n) => q == n } == 10) // own cell always probed
   }
+
+  test("kmeansCentroids: k unit centroids, layout-deterministic; assignCells fans out top-p") {
+    import sqlContext.implicits._
+    val vecs = (1L to 60L).map { i =>
+      val base = (i % 3).toInt // three directions
+      (i, Array.tabulate(8)(j => if (j == base) 10f + (i % 5) else (i % 7) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val c1 = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    assert(c1.length == 3)
+    // spherical: every centroid is unit-norm
+    c1.foreach { case (_, v) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    // determinism is a function of the data, not the physical layout
+    val c2 = Similarity.kmeansCentroids(vecs.repartition(7), "vec_id", "embedding",
+        k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    assert(c1.map(_._1).sameElements(c2.map(_._1)))
+    assert(c1.zip(c2).forall { case ((_, a), (_, b)) => a == b })
+    // soft assignment: exactly p rows per vector, cells distinct per vector
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 3, iters = 1)
+    val soft = Similarity.assignCells(
+        vecs.withColumn("embedding",
+          graft.functions.VectorFns.unitizeNative(col("embedding"))),
+        "vec_id", "embedding", cents, p = 2)
+      .groupBy("vec_id").agg(count(lit(1)).as("n"), countDistinct(col("cell")).as("nc"))
+      .collect()
+    assert(soft.forall(r => r.getLong(1) == 2L && r.getLong(2) == 2L))
+  }
 }
