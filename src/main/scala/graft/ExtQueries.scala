@@ -1120,8 +1120,9 @@ object ExtQueries {
         |  CASE WHEN r.doc_id IS NULL THEN 'added'
         |       WHEN c.doc_id IS NULL THEN 'removed'
         |       WHEN r.h <> c.h THEN 'changed' ELSE 'unchanged' END AS status
-        |FROM (SELECT doc_id, md5(text) AS h FROM documents) r
-        |FULL OUTER JOIN (SELECT doc_id, md5(text) AS h FROM cmp) c ON r.doc_id = c.doc_id
+        |FROM (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents) r
+        |FULL OUTER JOIN (SELECT doc_id, md5(coalesce(text, '')) AS h FROM cmp) c
+        |  ON r.doc_id = c.doc_id
         |ORDER BY doc_id""".stripMargin,
   )
 

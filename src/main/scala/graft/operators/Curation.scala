@@ -314,15 +314,19 @@ object Curation {
     *
     * Scale shape: each snapshot reduces map-side to (id, 16-byte hash) —
     * the content never crosses the wire — then ONE full-outer shuffle join
-    * on the id. NULL content columns hash as empty (concat_ws skips
-    * nulls): a NULL→''-only change is invisible, consistent with the
-    * engine's blank/NULL normalization story. */
+    * on the id. NULL content columns hash as EMPTY via an explicit
+    * per-column coalesce BEFORE the join — a bare concat_ws would skip a
+    * NULL column together with its separator, letting ("a", NULL) and
+    * (NULL, "a") hash identically; with the coalesce they differ. The one
+    * deliberate alias left is NULL vs '' in the SAME column, consistent
+    * with the engine's blank/NULL normalization story. */
   def snapshotDiff(
       ref: DataFrame, cmp: DataFrame, idCol: String,
       contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "snapshotDiff requires at least one content column")
     def hashed(df: DataFrame, as: String) = df.select(col(idCol),
-      md5(concat_ws("\u0001", contentCols.map(col): _*)).as(as))
+      md5(concat_ws("\u0001",
+        contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)).as(as))
     hashed(ref, "__rh").join(hashed(cmp, "__ch"), Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("__rh").isNull, "added")

@@ -855,10 +855,15 @@ object Dedup {
     val bad = frequent.agg(collect_set(col("__h")).as("__bad"))
     df.crossJoin(broadcast(bad))
       .withColumn(textCol,
-        array_join(
-          filter(split(col(textCol), sepRegex),
-            s => !array_contains(col("__bad"), xxhash64(s))),
-          sep))
+        // coalesce: a NULL text must land as "" exactly like dedupLines'
+        // left-join-miss path does, or the pinned batch/stream parity
+        // breaks on corpora with NULL texts
+        coalesce(
+          array_join(
+            filter(split(col(textCol), sepRegex),
+              s => !array_contains(col("__bad"), xxhash64(s))),
+            sep),
+          lit("")))
       .drop("__bad")
   }
 

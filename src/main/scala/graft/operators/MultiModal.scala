@@ -62,12 +62,16 @@ object MultiModal {
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
     /** PNG: 8-byte signature, then the IHDR chunk is REQUIRED first —
-      * width/height are the big-endian ints at offsets 16/20. */
+      * width/height are the big-endian ints at offsets 16/20. The spec
+      * caps both at 2³¹−1 and forbids 0, so a non-positive reading is a
+      * corrupt header and decodes to None, not a fabricated number. */
     def parsePng(b: Array[Byte]): Option[(Int, Int)] =
       if (b.length >= 24 && b.startsWith(PngSig) &&
-          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
-        Some((be32(b, 16), be32(b, 20)))
-      else None
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+        val w = be32(b, 16)
+        val h = be32(b, 20)
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } else None
 
     /** JPEG: SOI then a marker-segment walk to the first SOFn frame header
       * (C0–CF minus C4 DHT / C8 JPG / CC DAC), whose payload is
@@ -110,16 +114,20 @@ object MultiModal {
       val sig = b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
       if (!sig) return None
-      var i = 12
+      // the cursor is a Long and chunk sizes stay UNSIGNED (le32 returns
+      // 0..2³²−1): the step 8 + size + pad is then always >= 8, so a
+      // corrupt giant size walks PAST the buffer end and the loop exits —
+      // int-truncating the size could make the step 0 and stall the task
+      var i = 12L
       var blockAlign = 0
       var dataSize = -1L
       while (i + 8 <= b.length && (blockAlign == 0 || dataSize < 0)) {
-        val id = new String(b.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
-        val size = le32(b, i + 4)
-        if (id == "fmt " && i + 8 + 14 <= b.length) blockAlign = le16(b, i + 8 + 12)
+        val ii = i.toInt
+        val id = new String(b.slice(ii, ii + 4), java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(b, ii + 4)
+        if (id == "fmt " && i + 8 + 14 <= b.length) blockAlign = le16(b, ii + 8 + 12)
         if (id == "data") dataSize = size
-        i += 8 + size.toInt + (size.toInt & 1)
-        if (i < 0) return None // corrupt size overflowed
+        i += 8L + size + (size & 1L)
       }
       if (blockAlign > 0 && dataSize >= 0) Some(dataSize / blockAlign) else None
     }

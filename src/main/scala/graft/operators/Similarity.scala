@@ -152,14 +152,23 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val spark = df.sparkSession
-    import spark.implicits._
     val c = df.select(col(idCol).as("__id"),
       (if (assumeUnit) col(vecCol) else VectorFns.unitizeNative(col(vecCol))).as("__v"))
     var centroids = c.orderBy(xxhash64(col("__id")), col("__id")).limit(k)
       .withColumnRenamed("__id", "cell").withColumnRenamed("__v", "cv")
+    // the rebuilt centroid frame keeps the cell in the ID'S NATIVE TYPE
+    // (long, int, string UUID, ...) — cells are seed-row ids, and a
+    // hardcoded getLong would both crash non-long corpora and silently
+    // retype the cell column depending on the iteration count
+    val cellType = c.schema("__id").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell", cellType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
     for (_ <- 0 until iters) {
       val assigned = assignCell(c, "__id", "__v", centroids)
-      val sums = assigned
+      val rows = assigned
         .select(col("cell"), posexplode(col("__v")).as(Seq("i", "x")))
         .groupBy("cell", "i").agg(avg("x").as("m"))
         .groupBy("cell").agg(map_from_arrays(collect_list("i"), collect_list("m")).as("mm"))
@@ -167,9 +176,17 @@ object Similarity {
           val m = r.getMap[Int, Double](1)
           val arr = Array.tabulate(m.keys.max + 1)(i => m.getOrElse(i, 0.0))
           val n = math.sqrt(arr.map(x => x * x).sum)
-          (r.getLong(0), arr.map(_ / math.max(n, 1e-12)))
+          org.apache.spark.sql.Row(r.get(0), arr.map(_ / math.max(n, 1e-12)).toSeq)
         }
-      centroids = sums.toSeq.toDF("cell", "cv")
+      val rebuilt = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rows: _*)), outSchema)
+      // empty-cluster handling: a cell that attracted no members this pass
+      // keeps its PREVIOUS centroid instead of silently vanishing (classic
+      // k-means shrinkage — k would otherwise decay whenever two seeds
+      // start in the same region); both sides here are k-row relations
+      centroids = rebuilt.unionByName(
+        centroids.join(rebuilt.select("cell"), Seq("cell"), "left_anti"))
     }
     centroids
   }

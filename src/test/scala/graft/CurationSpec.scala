@@ -250,5 +250,14 @@ class CurationSpec extends SparkSpec {
       5L -> "changed"))
     intercept[IllegalArgumentException](
       Curation.snapshotDiff(ref, cmp, "id", Nil))
+
+    // NULL columns must not re-open the aliasing: concat_ws would SKIP a
+    // NULL together with its separator, making ("a", NULL) and (NULL, "a")
+    // hash identically — the per-column coalesce keeps them distinct
+    val refN = Seq((1L, "a", null.asInstanceOf[String])).toDF("id", "t1", "t2")
+    val cmpN = Seq((1L, null.asInstanceOf[String], "a")).toDF("id", "t1", "t2")
+    val moved = Curation.snapshotDiff(refN, cmpN, "id", Seq("t1", "t2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(moved == Map(1L -> "changed"), moved.toString)
   }
 }

@@ -292,6 +292,18 @@ class DedupSpec extends SparkSpec {
     val none = Dedup.stripSegmentsMapSide(docs, "text", idx.limit(0), sep = "\n")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     assert(none == docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+
+    // NULL text lands as "" on BOTH paths (dedupLines' left-join miss and
+    // the map-side coalesce), so the parity holds on corpora with NULLs
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val dl = Dedup.dedupLines(withNull, "doc_id", "text", sep = "\n", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ss = Dedup.stripSegmentsMapSide(withNull, "text",
+        Dedup.frequentSegments(withNull, "doc_id", "text", "\n", 2), sep = "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dl(9L) == "" && ss(9L) == "")
+    assert(dl == ss)
   }
 
   test("cosinePairs: unblocked cartesian over the row threshold fails fast; blockCol path is exempt") {

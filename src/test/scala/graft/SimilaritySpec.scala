@@ -93,5 +93,14 @@ class SimilaritySpec extends SparkSpec {
       .groupBy("vec_id").agg(count(lit(1)).as("n"), countDistinct(col("cell")).as("nc"))
       .collect()
     assert(soft.forall(r => r.getLong(1) == 2L && r.getLong(2) == 2L))
+
+    // id-generic: string ids (UUID-keyed corpora) work and the cell column
+    // keeps the id's native type through Lloyd iterations
+    val svecs = (1L to 30L).map { i =>
+      (s"doc-$i", Array.tabulate(4)(j => if (j == (i % 2).toInt) 5f else 0.1f))
+    }.toDF("vec_id", "embedding")
+    val sc = Similarity.kmeansCentroids(svecs, "vec_id", "embedding", k = 2, iters = 2)
+    assert(sc.schema("cell").dataType == org.apache.spark.sql.types.StringType)
+    assert(sc.count() == 2)
   }
 }

@@ -161,6 +161,16 @@ class TextEventsSpec extends SparkSpec {
     assert(f(3).format == "wav" && f(3).n_frames == 10)
     // undecodable payloads report zeros, never fabricated dimensions
     assert(f(4).format == "unknown" && f(4).width == 0 && f(4).height == 0 && f(4).n_frames == 0)
+    // corrupt headers decode honestly and in finite time:
+    //  - PNG with the width sign bit set (spec forbids > 2^31-1) -> unknown
+    val badPng = bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13) ++
+      "IHDR".getBytes ++ bytes(0x80, 0, 0, 0, 0, 0, 1, 0, 8, 6, 0, 0, 0)
+    assert(MultiModal.Codec.decode(MultiModal.Media(90L, "image", badPng)).format == "unknown")
+    //  - RIFF chunk whose 32-bit size would int-truncate to a zero step
+    //    (0xFFFFFFF8): must terminate, not stall the executor task
+    val stallWav = "RIFF".getBytes ++ bytes(0x24, 0, 0, 0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ bytes(0xf8, 0xff, 0xff, 0xff)
+    assert(MultiModal.Codec.decode(MultiModal.Media(91L, "audio", stallWav)).format == "unknown")
     assert(f.forall(x => x.n_bytes > 0 && x.checksum != 0))
     // partitioning never changes features
     val f2 = MultiModal.extractFeatures(media.repartition(4)).collect().sortBy(_.media_id)
