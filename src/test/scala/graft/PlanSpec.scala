@@ -124,6 +124,33 @@ class PlanSpec extends SparkSpec {
       l.contains("Window") && l.contains("partitionBy=[]")), s"global window:\n$p")
   }
 
+  test("quality_gate: the per-stratum cuts broadcast back; the corpus never sort-merges") {
+    val p = plan("quality_gate")
+    assert(p.contains("BroadcastHashJoin"), s"cuts not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
+  test("cap_stratum: the per-stratum rank is WindowGroupLimit-rewritten (map tasks forward <= k rows)") {
+    val p = plan("cap_stratum")
+    assert(p.contains("WindowGroupLimit"), s"group-limit rewrite missing:\n$p")
+  }
+
+  test("dedup_lines: segment frequency shuffles 8-byte hashes with partial aggregation, not text") {
+    val p = plan("dedup_lines")
+    // the countDistinct partial aggregate must sit below the exchange
+    assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
+    // anti-join against the frequent-hash set keyed on the xxhash column
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("xxhash64"), p)
+  }
+
+  test("score_unigram: LM scoring never degenerates to a nested-loop product") {
+    val p = plan("score_unigram")
+    assert(!p.contains("CartesianProduct"), s"token join fell to a cartesian:\n$p")
+    // the one-row token total rides in as a broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("group quantiles aggregate partially map-side in one pass (no join, no window)") {
     val p = plan("group_quantiles")
     assert(p.contains("partial_percentile"), p)
