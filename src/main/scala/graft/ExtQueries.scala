@@ -548,7 +548,13 @@ object ExtQueries {
       t(s, d, "documents"), "lang", "n_chars", q = 0.5)
       .select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
+  /** Deterministic 64-row eval-set carve. */
+  val sampleFixedQ: Q = (s, d) =>
+    Curation.sampleFixed(t(s, d, "documents"), "doc_id", n = 64)
+      .select("doc_id", "lang").orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
+    "sample_fixed" -> sampleFixedQ,
     "quality_gate" -> qualityGate,
     "dedup_semantic" -> dedupSemantic,
     "dedup_lines" -> dedupLinesQ,
@@ -1072,6 +1078,11 @@ object ExtQueries {
          |  CAST(1 AS INTEGER) AS subset_ok,
          |  CAST(1 AS INTEGER) AS floor_met
          |FROM p WHERE cos >= 0.45e0""".stripMargin,
+    "sample_fixed" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64)
+        |ORDER BY doc_id""".stripMargin,
     "quality_gate" ->
       """WITH cuts AS (SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS c
         |              FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)

@@ -306,6 +306,23 @@ object Curation {
     Profile.sampleKPerGroup(df, idCol, stratumCol, maxRows)
   }
 
+  /** Deterministic FIXED-SIZE global sample: the `n` rows with the
+    * smallest md5(id) draw across the whole corpus — eval-set carving,
+    * where a rate-based sample drifts in size as the corpus grows but the
+    * carved set must stay exactly `n` (and mostly stable: a member leaves
+    * only when a new id with a smaller draw displaces it). Ties break by
+    * id, so selection is total even under hash collisions.
+    *
+    * Scale shape: `orderBy(...).limit(n)` compiles to TakeOrdered — each
+    * partition forwards at most its local top-n and the driver merges k
+    * sorted heads; no global sort materializes. Keep `n` driver-friendly
+    * (an eval set, not a corpus split — use [[assignSplits]] for
+    * percentage-scale carving). */
+  def sampleFixed(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+  }
+
   /** Corpus snapshot diff — the dataset-versioning primitive: classify
     * every id across two snapshots as added / removed / changed /
     * unchanged by comparing an md5 over the `contentCols` (joined with a

@@ -236,6 +236,26 @@ class CurationSpec extends SparkSpec {
       Curation.capPerStratum(docs, "doc_id", "source", 0))
   }
 
+  test("sampleFixed: exact size, layout-stable, mostly-stable under corpus growth, TakeOrdered plan") {
+    val docs = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val s1 = Curation.sampleFixed(docs, "doc_id", 20).collect().map(_.getLong(0)).toSet
+    assert(s1.size == 20)
+    val s2 = Curation.sampleFixed(docs.repartition(9), "doc_id", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // physical layout never changes the carve
+    // growth: new ids displace members only by winning the draw — the new
+    // sample is the global top-20, so overlap is whatever survives, and
+    // every displaced member lost to a smaller draw (no churn beyond that)
+    val grown = (1L to 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val s3 = Curation.sampleFixed(grown, "doc_id", 20).collect().map(_.getLong(0)).toSet
+    assert(s3.size == 20 && s1.intersect(s3).nonEmpty)
+    // TakeOrdered, not a global sort stage
+    val plan = Curation.sampleFixed(docs, "doc_id", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    intercept[IllegalArgumentException](Curation.sampleFixed(docs, "doc_id", 0))
+  }
+
   test("snapshotDiff: all four statuses; column boundaries cannot alias") {
     val ref = Seq((1L, "a", "b"), (2L, "keep", "x"), (3L, "gone", "y"), (5L, "ab", "c"))
       .toDF("id", "t1", "t2")

@@ -142,4 +142,35 @@ class SourcesSpec extends SparkSpec {
     }
     assert(e.problems.exists(_.startsWith("column oid")))
   }
+
+  test("incrementalParquet: only new files per batch; uncommitted batches re-deliver; commit advances") {
+    import sqlContext.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val dir = s"$base/lake"
+    val manifest = s"$base/manifest"
+    // batch 1 lands two files (separate writes -> separate part files)
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/f1")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/f2")
+    val b1 = graft.engine.Sources.incrementalParquet(spark, dir, manifest)
+    assert(b1.df.count() == 2 && b1.newFiles.nonEmpty)
+    // crash before commit: the same batch re-delivers in full
+    val b1again = graft.engine.Sources.incrementalParquet(spark, dir, manifest)
+    assert(b1again.newFiles.sorted == b1.newFiles.sorted)
+    b1again.commit()
+    // steady state: nothing new -> empty frame with the lake's schema
+    val b2 = graft.engine.Sources.incrementalParquet(spark, dir, manifest)
+    assert(b2.df.count() == 0 && b2.newFiles.isEmpty)
+    assert(b2.df.columns.toSeq == Seq("id", "v"))
+    b2.commit() // empty commit is a no-op
+    // new arrival: exactly the new file's rows, never the old ones
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$dir/f3")
+    val b3 = graft.engine.Sources.incrementalParquet(spark, dir, manifest)
+    assert(b3.df.select("id").as[Long].collect().toSet == Set(3L))
+    b3.commit()
+    // metadata files (_SUCCESS etc.) never count as data
+    assert(!b3.newFiles.exists(_.contains("_SUCCESS")))
+    // empty lake fails loudly instead of an uninferable-schema error
+    intercept[IllegalArgumentException](
+      graft.engine.Sources.incrementalParquet(spark, s"$base/empty-nonexistent", manifest))
+  }
 }
