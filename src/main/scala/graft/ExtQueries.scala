@@ -548,12 +548,44 @@ object ExtQueries {
       t(s, d, "documents"), "lang", "n_chars", q = 0.5)
       .select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
+  /** Content-defined chunking differential: the rolling-hash boundaries
+    * have no SQL mirror, so the Spark side proves the two properties that
+    * make CDC chunking USEFUL — exact coverage (chunks reassemble every
+    * document byte-for-byte) and resynchronization (a prefix edit leaves
+    * at least half the chunk hashes shared; fixed offsets would share
+    * none) — and DuckDB independently recomputes the doc count and pins
+    * the flags. */
+  val chunkCdc: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+    val ch = TextAnalysis.cdcChunks(docs, "doc_id", "text")
+    val rebuilt = ch.groupBy("doc_id").agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          x => x.getField("chunk_text")), "").as("__re"))
+    val cov = docs.join(rebuilt, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("__re") <=> col("text"), 0).otherwise(1)), lit(0L)).as("__bad"))
+    val pert = docs.withColumn("text", concat(lit("XX EDIT "), col("text")))
+    val ch2 = TextAnalysis.cdcChunks(pert, "doc_id", "text")
+      .select("doc_id", "chunk_hash")
+    val tot = ch.agg(count(lit(1)).as("__tot"))
+    val hit = ch.select("doc_id", "chunk_hash")
+      .join(ch2, Seq("doc_id", "chunk_hash"), "left_semi")
+      .agg(count(lit(1)).as("__hit"))
+    cov.crossJoin(hit).crossJoin(tot)
+      .select(col("n_docs"),
+        when(col("__bad") === 0, 1).otherwise(0).as("coverage_ok"),
+        when(col("__hit") * 2 >= col("__tot"), 1).otherwise(0).as("resync_ok"))
+  }
+
   /** Deterministic 64-row eval-set carve. */
   val sampleFixedQ: Q = (s, d) =>
     Curation.sampleFixed(t(s, d, "documents"), "doc_id", n = 64)
       .select("doc_id", "lang").orderBy("doc_id")
 
   val all: Map[String, Q] = Map(
+    "chunk_cdc" -> chunkCdc,
     "sample_fixed" -> sampleFixedQ,
     "quality_gate" -> qualityGate,
     "dedup_semantic" -> dedupSemantic,
@@ -1078,6 +1110,13 @@ object ExtQueries {
          |  CAST(1 AS INTEGER) AS subset_ok,
          |  CAST(1 AS INTEGER) AS floor_met
          |FROM p WHERE cos >= 0.45e0""".stripMargin,
+    // chunk_cdc: DuckDB recomputes the chunked-doc count; the coverage and
+    // resync flags are pinned — see chunkCdc.
+    "chunk_cdc" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(1 AS INTEGER) AS coverage_ok,
+        |  CAST(1 AS INTEGER) AS resync_ok
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0""".stripMargin,
     "sample_fixed" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang FROM documents

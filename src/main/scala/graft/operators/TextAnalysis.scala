@@ -229,4 +229,74 @@ object TextAnalysis {
         col(textCol).substr(col("chunk_idx") * step + 1, lit(chunkChars))
           .as("chunk_text"))
   }
+
+  /** Content-defined chunking (Rabin-style rolling hash over a sliding
+    * char window): a chunk boundary falls wherever the window hash
+    * matches `(h & mask) == mask`, so expected chunk length ≈ mask+1 with
+    * hard `[minLen, maxLen]` bounds. Unlike [[chunkDocs]]' fixed offsets,
+    * boundaries are a function of LOCAL content — inserting or deleting a
+    * prefix shifts only the chunks up to the next boundary, after which
+    * the cut points RE-SYNCHRONIZE — which is what makes chunk-hash dedup
+    * robust to near-identical documents with small edits (the classic CDC
+    * property from dedup storage systems, applied to corpus text: compose
+    * with an exact groupBy on `chunk_hash` for sub-document dedup).
+    *
+    * Map-side only (a per-row loop in a primitive UDF — the repo's
+    * established pattern for sequential-state char loops that neither
+    * built-ins nor a simple expression can express); emits
+    * (idCol, chunk_idx, chunk_text, chunk_hash) with xxhash-strength
+    * 64-bit FNV-1a chunk hashes computed in the same pass. Empty/NULL
+    * texts emit nothing. */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      mask: Long = 0x3F, minLen: Int = 16, maxLen: Int = 256,
+      window: Int = 16): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen, s"bad minLen=$minLen maxLen=$maxLen")
+    require(window >= 2, s"window must be >= 2, got $window")
+    // minLen >= window guarantees PHASE INDEPENDENCE: at every cut-eligible
+    // position the rolling hash has already shed all pre-window chars, so
+    // the boundary decision is a pure function of the trailing `window`
+    // chars — independent of where the current chunk started. That is the
+    // whole resynchronization argument; with minLen < window early cuts
+    // would depend on the chunk's start and edits would never re-align.
+    require(minLen >= window, s"minLen ($minLen) must be >= window ($window)")
+    require(mask > 0, s"mask must be positive, got $mask")
+    val outPow = powMod(257L, window)
+    val chunker = udf { (text: String) =>
+      if (text == null || text.isEmpty) Array.empty[String]
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val n = text.length
+        var start = 0
+        var h = 0L
+        var i = 0
+        while (i < n) {
+          // polynomial rolling hash over the trailing `window` chars: the
+          // outgoing char's contribution is removed with the precomputed
+          // power, so the hash depends ONLY on the window's content
+          h = h * 257L + text.charAt(i)
+          if (i - start + 1 > window) h -= outPow * text.charAt(i - window)
+          val len = i - start + 1
+          val cut = len >= maxLen ||
+            (len >= minLen && (h & mask) == mask)
+          if (cut) { out += text.substring(start, i + 1); start = i + 1; h = 0L }
+          i += 1
+        }
+        if (start < n) out += text.substring(start, n)
+        out.toArray
+      }
+    }
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), posexplode(chunker(col(textCol))).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_hash", xxhash64(col("chunk_text")))
+  }
+
+  // 257^window with wraparound Long arithmetic (consistent with the rolling
+  // update above — overflow is fine, both sides wrap identically)
+  private def powMod(base: Long, exp: Int): Long = {
+    var r = 1L
+    var i = 0
+    while (i < exp) { r *= base; i += 1 }
+    r
+  }
 }

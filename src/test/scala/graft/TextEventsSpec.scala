@@ -206,6 +206,48 @@ class TextEventsSpec extends SparkSpec {
     assert(f.length == 1)
   }
 
+  test("cdcChunks: exact coverage, bounded lengths, and boundary resynchronization after a prefix edit") {
+    import graft.operators.TextAnalysis
+    // deterministic pseudo-random text, long enough for many chunks
+    val rnd = new scala.util.Random(7L)
+    val text = (1 to 4000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, text), (2L, "PREFIX EDIT " + text), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ch = TextAnalysis.cdcChunks(docs, "doc_id", "text",
+      mask = 0x3F, minLen = 16, maxLen = 256, window = 16)
+    val byDoc = ch.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    // coverage: chunks reassemble the text byte-exact, in order
+    val re1 = byDoc(1L).sortBy(_._2).map(_._3).mkString
+    assert(re1 == text)
+    // bounds: every chunk except possibly the last is within [minLen, maxLen]
+    val lens = byDoc(1L).sortBy(_._2).map(_._3.length)
+    assert(lens.init.forall(l => l >= 16 && l <= 256), lens.mkString(","))
+    assert(lens.last <= 256)
+    // empty/NULL texts emit nothing
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    // RESYNC: the prefix edit may change the leading chunk(s), but cut
+    // points re-align at the next content-defined boundary — the two docs
+    // share most chunk hashes (fixed offsets would share none)
+    val h1 = byDoc(1L).map(_._4).toSet
+    val h2 = byDoc(2L).map(_._4).toSet
+    val shared = h1.intersect(h2).size.toDouble / h1.size
+    assert(shared > 0.8, s"resync share $shared (chunks ${h1.size})")
+    // determinism across partitionings
+    val again = TextAnalysis.cdcChunks(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    assert(again == ch.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet)
+    // fixed-offset contrast: chunkDocs on the edited twin shares nothing
+    val f1 = TextAnalysis.chunkDocs(docs.filter(col("doc_id") === 1), "doc_id", "text", 64)
+      .select(xxhash64(col("chunk_text"))).collect().map(_.getLong(0)).toSet
+    val f2 = TextAnalysis.chunkDocs(docs.filter(col("doc_id") === 2), "doc_id", "text", 64)
+      .select(xxhash64(col("chunk_text"))).collect().map(_.getLong(0)).toSet
+    assert(f1.intersect(f2).size.toDouble / f1.size < 0.1)
+    intercept[IllegalArgumentException](
+      TextAnalysis.cdcChunks(docs, "doc_id", "text", minLen = 8, window = 16))
+  }
+
   test("chunkDocs: full coverage with overlap, short final chunk, one chunk at/below size, empty drops") {
     import graft.operators.TextAnalysis
     val docs = Seq(
