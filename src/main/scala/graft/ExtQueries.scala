@@ -579,12 +579,25 @@ object ExtQueries {
         when(col("__hit") * 2 >= col("__tot"), 1).otherwise(0).as("resync_ok"))
   }
 
+  /** Declarative table-contract report (the pre-publish gate): five
+    * expectations over the documents table in ONE aggregation pass. */
+  val qaExpectations: Q = (s, d) => {
+    import graft.engine.Qa.Expect
+    graft.engine.Qa.expectations(t(s, d, "documents"), Seq(
+      Expect.notNull("lang"),
+      Expect.unique("doc_id"),
+      Expect.inRange("n_chars", 1, 100000),
+      Expect.matches("lang", "^[a-z]{2}$"),
+      Expect.satisfies("text_nonempty", length(col("text")) > 0)))
+  }
+
   /** Deterministic 64-row eval-set carve. */
   val sampleFixedQ: Q = (s, d) =>
     Curation.sampleFixed(t(s, d, "documents"), "doc_id", n = 64)
       .select("doc_id", "lang").orderBy("doc_id")
 
   val all: Map[String, Q] = Map(
+    "qa_expectations" -> qaExpectations,
     "chunk_cdc" -> chunkCdc,
     "sample_fixed" -> sampleFixedQ,
     "quality_gate" -> qualityGate,
@@ -1110,6 +1123,27 @@ object ExtQueries {
          |  CAST(1 AS INTEGER) AS subset_ok,
          |  CAST(1 AS INTEGER) AS floor_met
          |FROM p WHERE cos >= 0.45e0""".stripMargin,
+    "qa_expectations" ->
+      """WITH t AS (SELECT count(*) AS total FROM documents),
+        |v AS (
+        |  SELECT 'not_null(lang)' AS expectation,
+        |    CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT) AS violations
+        |  FROM documents
+        |  UNION ALL SELECT 'unique(doc_id)',
+        |    CAST(count(*) FILTER (WHERE doc_id IS NOT NULL)
+        |      - count(DISTINCT doc_id) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'in_range(n_chars,1.0,100000.0)',
+        |    CAST(count(*) FILTER (WHERE n_chars IS NOT NULL
+        |      AND (n_chars < 1 OR n_chars > 100000)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'matches(lang)',
+        |    CAST(count(*) FILTER (WHERE lang IS NOT NULL
+        |      AND NOT regexp_matches(lang, '^[a-z]{2}$')) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'text_nonempty',
+        |    CAST(count(*) FILTER (WHERE NOT (length(text) > 0)) AS BIGINT)
+        |  FROM documents)
+        |SELECT expectation, violations, CAST(total AS BIGINT) AS total,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass
+        |FROM v CROSS JOIN t ORDER BY expectation""".stripMargin,
     // chunk_cdc: DuckDB recomputes the chunked-doc count; the coverage and
     // resync flags are pinned — see chunkCdc.
     "chunk_cdc" ->

@@ -78,4 +78,81 @@ object Qa {
       val s = rule(acc.keep)
       QaSplit(s.keep, route(acc.rejects, s.rejects))
     }
+
+  // ------------------------------------------------------ expectations layer
+
+  /** A declarative table expectation: `name` labels it in the report,
+    * `violations` is the aggregate counting offending rows. The split/route
+    * machinery above QUARANTINES bad rows; expectations instead MEASURE a
+    * table against a contract — the pre-publish gate ("is this table fit to
+    * ship?") every scheduled pipeline wants in front of its sink.
+    *
+    * NULL policy mirrors SQL semantics deliberately: `notNull` is the ONLY
+    * check that counts NULLs — `inRange`/`matches`/`satisfies` skip them
+    * (a NULL is absent, not out-of-range), so contracts compose as
+    * "notNull(c) + inRange(c, …)" without double-counting, and a nullable
+    * column can carry a range contract on just its present values. */
+  final case class Expectation(name: String, violations: Column)
+
+  object Expect {
+    def notNull(c: String): Expectation =
+      Expectation(s"not_null($c)", sum(when(col(c).isNull, 1L).otherwise(0L)))
+    def inRange(c: String, lo: Double, hi: Double): Expectation =
+      Expectation(s"in_range($c,$lo,$hi)",
+        sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L).otherwise(0L)))
+    def matches(c: String, regex: String): Expectation =
+      Expectation(s"matches($c)",
+        sum(when(col(c).isNotNull && !col(c).rlike(regex), 1L).otherwise(0L)))
+    /** Violations = rows BEYOND the first per duplicated key (a unique
+      * table scores 0). Rows with any NULL key part are skipped (they are
+      * `notNull`'s business), matching count-distinct semantics. */
+    def unique(cols: String*): Expectation = {
+      val allPresent = cols.map(col(_).isNotNull).reduce(_ && _)
+      // the distinct count must ALSO skip NULL-key rows (a bare
+      // struct(NULL) is non-null and would count as one distinct value,
+      // driving the difference negative) — the `when` maps them to NULL,
+      // which count_distinct ignores, mirroring SQL COUNT(DISTINCT)
+      Expectation(s"unique(${cols.mkString(",")})",
+        sum(when(allPresent, 1L).otherwise(0L)) -
+          count_distinct(when(allPresent, struct(cols.map(col): _*))))
+    }
+    /** Arbitrary row predicate; a row violates when the predicate is FALSE
+      * (NULL predicate results skip, consistent with the layer's policy). */
+    def satisfies(name: String, pred: Column): Expectation =
+      Expectation(name, sum(when(pred === false, 1L).otherwise(0L)))
+  }
+
+  /** Evaluate every expectation in ONE aggregation pass over the table
+    * (violation counters are all Spark aggregates, so they share a single
+    * partial-aggregated scan — adding a check costs a column, not a pass)
+    * and return the report: (expectation, violations, total, pass) ordered
+    * by expectation name. `pass` is violations == 0. */
+  def expectations(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "expectations requires at least one check")
+    val dupNames = checks.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"duplicate expectation names: ${dupNames.mkString(", ")} — the report " +
+        "keys on the name; disambiguate with Expect.satisfies(name, …)")
+    val aggs = checks.map(e => coalesce(e.violations, lit(0L)).as(e.name)) :+
+      count(lit(1)).as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single result row into the report shape
+    val pairs = checks.flatMap(e => Seq(lit(e.name), col(s"`${e.name}`")))
+    row.select(col("__total"),
+        explode(map(pairs: _*)).as(Seq("expectation", "violations")))
+      .select(col("expectation"), col("violations"),
+        col("__total").as("total"),
+        when(col("violations") === 0, 1).otherwise(0).as("pass"))
+      .orderBy("expectation")
+  }
+
+  /** [[expectations]] with a hard gate: throws listing every failed check
+    * (the pre-publish circuit breaker; the report is in the message). */
+  def requireExpectations(df: DataFrame, checks: Seq[Expectation]): Unit = {
+    val failed = expectations(df, checks)
+      .filter(col("pass") === 0)
+      .collect().map(r => s"${r.getString(0)}: ${r.getLong(1)} violations")
+    if (failed.nonEmpty) throw new IllegalStateException(
+      s"table failed ${failed.length} expectation(s):\n  ${failed.mkString("\n  ")}")
+  }
 }

@@ -79,4 +79,42 @@ class QaSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("tag", Qa.FlagCol))
     assert(out.count() == 2)
   }
+
+  test("expectations: one-pass report counts each violation class; NULL policy; requireExpectations gates") {
+    import graft.engine.Qa.Expect
+    val df = Seq(
+      (Some(1L), Some("en"), Some(10L)),
+      (Some(1L), Some("de"), Some(20L)),   // dup id
+      (Some(2L), None, Some(5000L)),       // null lang
+      (None, Some("fr"), Some(-3L)),       // null id + out-of-range
+      (Some(3L), Some("ZZZ"), None)        // bad lang format + null n
+    ).toDF("id", "lang", "n")
+    val rep = Qa.expectations(df, Seq(
+      Expect.notNull("lang"),
+      Expect.unique("id"),
+      Expect.inRange("n", 1, 1000),
+      Expect.matches("lang", "^[a-z]{2}$"),
+      Expect.satisfies("n_positive", col("n") > 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(rep("not_null(lang)") == ((1L, 5L, 0)))
+    // NULL-id row is skipped by unique (it is not_null's business)
+    assert(rep("unique(id)") == ((1L, 5L, 0)))
+    // NULL n skips in_range; -3 (below) and 5000 (above) both violate
+    assert(rep("in_range(n,1.0,1000.0)") == ((2L, 5L, 0)))
+    assert(rep("matches(lang)") == ((1L, 5L, 0)))
+    // satisfies: NULL predicate result skips (the null-n row), -3 fails
+    assert(rep("n_positive") == ((1L, 5L, 0)))
+    // a clean table passes everything and the gate is silent
+    val clean = Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("id", "lang", "n")
+    val checks = Seq(Expect.notNull("lang"), Expect.unique("id"),
+      Expect.inRange("n", 1, 1000))
+    assert(Qa.expectations(clean, checks).collect().forall(_.getInt(3) == 1))
+    Qa.requireExpectations(clean, checks) // no throw
+    val e = intercept[IllegalStateException](
+      Qa.requireExpectations(df, Seq(Expect.notNull("lang"))))
+    assert(e.getMessage.contains("not_null(lang)") && e.getMessage.contains("1 violations"))
+    // duplicate names are ambiguous in the report -> rejected eagerly
+    intercept[IllegalArgumentException](
+      Qa.expectations(df, Seq(Expect.notNull("lang"), Expect.notNull("lang"))))
+  }
 }
