@@ -166,6 +166,40 @@ object EventStreams {
       })
   }
 
+  /** Continuous drift monitor: per micro-batch, score the batch's
+    * `valueCol` distribution against a STATIC reference snapshot with the
+    * SAME [[graft.operators.Profile.psiDrift]] the batch path uses (the
+    * engine's one definition of PSI — binning, clamping, eps smoothing and
+    * rounding cannot drift between batch and stream), and append one
+    * summary row (batch_id, n_rows, psi) to a parquet table — the shape a
+    * retrain-trigger or alerting job tails.
+    *
+    * The reference side's bin bounds are re-derived each batch from `ref`:
+    * pass a SMALL materialized snapshot (or a pre-aggregated sample), not
+    * a lazy plan over the full corpus, or every micro-batch pays a corpus
+    * scan. Empty batches append nothing (no distribution to score).
+    * Returns the query; callers own lifecycle. */
+  def psiDriftSink(
+      stream: DataFrame, ref: DataFrame, valueCol: String,
+      outPath: String, checkpointDir: String,
+      nBins: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!ref.isStreaming, "ref must be a static reference snapshot")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Profile.psiDrift(ref, batch, valueCol, nBins)
+            .agg(coalesce(sum(col("psi_term")), lit(0.0)).as("psi"))
+            .select(lit(id).as("batch_id"),
+              lit(batch.count()).as("n_rows"), col("psi"))
+            .write.mode("append").parquet(outPath)
+        }
+        (): Unit
+      }
+      .start()
+  }
+
   /** Streaming CDC apply: maintain a keyed parquet table from a stream of
     * upsert records — each micro-batch merges into the table through the
     * SAME [[graft.engine.Ops.upsert]] the batch path uses (whole-row

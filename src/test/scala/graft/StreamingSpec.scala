@@ -297,6 +297,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("psiDriftSink: batch-identical distributions score ~0, a shifted batch crosses the retrain bar") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val ref = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val mem = MemoryStream[Double]
+    val q = EventStreams.psiDriftSink(
+      mem.toDF().toDF("v"), ref, "v", s"$base/out", s"$base/ckpt")
+    try {
+      mem.addData((1 to 100).map(_.toDouble)) // same distribution
+      q.processAllAvailable()
+      mem.addData((1 to 100).map(i => 1000.0 + i)) // hard shift
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$base/out")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows.size == 2, rows.toString)
+      val (sameN, samePsi) = rows(rows.keys.min)
+      val (shiftN, shiftPsi) = rows(rows.keys.max)
+      assert(sameN == 100L && samePsi == 0.0, s"identical batch scored $samePsi")
+      assert(shiftN == 100L && shiftPsi > 0.25, s"shifted batch scored only $shiftPsi")
+    } finally q.stop()
+  }
+
   test("upsertSink with opCol: tombstones stop a stale pre-delete upsert from resurrecting a deleted key") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
