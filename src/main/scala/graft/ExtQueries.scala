@@ -591,12 +591,34 @@ object ExtQueries {
       Expect.satisfies("text_nonempty", length(col("text")) > 0)))
   }
 
+  /** Canonical cleanup over a DETERMINISTICALLY dirtied fixture (the real
+    * texts carry no control chars, so the query injects them — mirrored
+    * char-for-char in the oracle via chr()): control strip, space-run
+    * collapse, trim. */
+  val cleanText: Q = (s, d) => {
+    val soh = 1.toChar.toString   // a stripped control char
+    val del = 127.toChar.toString // DEL, also stripped
+    val dirty = t(s, d, "documents").select(col("doc_id"),
+      concat(lit("  " + soh),
+        regexp_replace(col("text"), " ", "  "),
+        lit("\t\t x " + del + "  ")).as("text"))
+    TextAnalysis.withCleanText(dirty, "text")
+      .select("doc_id", "clean_text").orderBy("doc_id")
+  }
+
+  /** Per-language z-score of document length. */
+  val groupZscore: Q = (s, d) =>
+    graft.operators.Profile.standardize(t(s, d, "documents"), "lang", "n_chars")
+      .select("doc_id", "lang", "n_chars_z").orderBy("doc_id")
+
   /** Deterministic 64-row eval-set carve. */
   val sampleFixedQ: Q = (s, d) =>
     Curation.sampleFixed(t(s, d, "documents"), "doc_id", n = 64)
       .select("doc_id", "lang").orderBy("doc_id")
 
   val all: Map[String, Q] = Map(
+    "clean_text" -> cleanText,
+    "group_zscore" -> groupZscore,
     "qa_expectations" -> qaExpectations,
     "chunk_cdc" -> chunkCdc,
     "sample_fixed" -> sampleFixedQ,
@@ -1123,6 +1145,26 @@ object ExtQueries {
          |  CAST(1 AS INTEGER) AS subset_ok,
          |  CAST(1 AS INTEGER) AS floor_met
          |FROM p WHERE cos >= 0.45e0""".stripMargin,
+    "clean_text" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    '  ' || chr(1) || replace(text, ' ', '  ') || chr(9) || chr(9)
+        |      || ' x ' || chr(127) || '  ' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g'),
+        |    '\n{2,}', '\n', 'g')) AS clean_text
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    "group_zscore" ->
+      """WITH m AS (SELECT lang, avg(CAST(n_chars AS DOUBLE)) AS mu,
+        |             stddev_samp(CAST(n_chars AS DOUBLE)) AS sigma
+        |           FROM documents GROUP BY lang)
+        |SELECT doc_id, lang,
+        |  CASE WHEN n_chars IS NOT NULL AND sigma IS NOT NULL AND sigma <> 0
+        |    THEN round((CAST(n_chars AS DOUBLE) - mu) / sigma, 4) END AS n_chars_z
+        |FROM documents JOIN m USING (lang) ORDER BY doc_id""".stripMargin,
     "qa_expectations" ->
       """WITH t AS (SELECT count(*) AS total FROM documents),
         |v AS (

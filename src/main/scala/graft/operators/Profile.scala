@@ -320,6 +320,31 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group z-score standardization: append
+    * `<valueCol>_z = (x − μ_g) / σ_g` using each row's OWN group's
+    * moments — the feature-scaling step before any cross-strata comparison
+    * of heavy-tailed document measures (a global z-score would let the
+    * dominant stratum's moments define "normal" for everyone). σ is the
+    * SAMPLE stddev (n−1); single-row and constant groups have σ = 0/NULL
+    * and z stays NULL (no meaningful deviation exists — mirroring SQL).
+    * NULL values stay NULL. Rounded to 4 decimals per the cross-engine FP
+    * discipline.
+    *
+    * Scale shape: one partial-aggregated moments pass (|groups| rows,
+    * broadcast back) + a map-side expression — scanned twice, shuffled
+    * never; same plan family as [[winsorize]]. */
+  def standardize(
+      df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val moments = df.groupBy(col(keyCol)).agg(
+      avg(x).as("__mu"), stddev_samp(x).as("__sigma"))
+    df.join(broadcast(moments), keyCol)
+      .withColumn(s"${valueCol}_z",
+        when(x.isNotNull && col("__sigma").isNotNull && col("__sigma") =!= 0.0,
+          round((x - col("__mu")) / col("__sigma"), 4)))
+      .drop("__mu", "__sigma")
+  }
+
   /** Per-group quantile gate: keep rows whose value sits at or above
     * their OWN group's q-quantile — "keep the top (1−q) share by quality
     * per language", the standard per-stratum quality cut (a single global

@@ -230,6 +230,23 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Canonical text cleanup — the first transform of every ingest recipe:
+    * strip control characters (except tab/newline, which carry structure),
+    * collapse runs of spaces/tabs to one space, collapse blank-heavy
+    * newline runs to a single newline, and trim. Pure codegen'd
+    * regexp_replace chain (RE2-safe patterns, no backtracking blowups on
+    * adversarial input — same discipline as [[Privacy]]'s redaction
+    * chain); mirrors token-for-token in SQL, so the oracle pins it.
+    * NULL stays NULL. */
+  def withCleanText(df: DataFrame, textCol: String, as: String = "clean_text"): DataFrame =
+    df.withColumn(as,
+      trim(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+            "[ \\t]+", " "),
+          "\\n{2,}", "\n")))
+
   /** Content-defined chunking (Rabin-style rolling hash over a sliding
     * char window): a chunk boundary falls wherever the window hash
     * matches `(h & mask) == mask`, so expected chunk length ≈ mask+1 with

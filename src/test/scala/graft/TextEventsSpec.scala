@@ -206,6 +206,35 @@ class TextEventsSpec extends SparkSpec {
     assert(f.length == 1)
   }
 
+  test("withCleanText: control strip, whitespace collapse, newline-run collapse, NULL passthrough") {
+    import graft.operators.TextAnalysis
+    val bell = 7.toChar.toString
+    val docs = Seq(
+      (1L, s"  a${bell}b\t\tc  d  "),    // control stripped, runs collapse, trim
+      (2L, "line1\n\n\n\nline2\nline3"), // newline runs collapse to one
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withCleanText(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "ab c d")
+    assert(out(2L) == "line1\nline2\nline3")
+    assert(out(3L) == null)
+  }
+
+  test("standardize: per-group moments; constant/single-row groups and NULL values yield NULL z") {
+    import graft.operators.Profile
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)), ("a", 3L, Some(30.0)),
+      ("b", 4L, Some(5.0)), ("b", 5L, Some(5.0)),   // constant group: sigma 0
+      ("c", 6L, Some(42.0)),                        // single row: sigma NULL
+      ("a", 7L, None)                               // NULL value
+    ).toDF("g", "id", "x")
+    val z = Profile.standardize(df, "g", "x")
+      .collect().map(r => r.getLong(1) -> Option(r.getAs[java.lang.Double]("x_z"))).toMap
+    assert(z(1L) == Some(-1.0) && z(2L) == Some(0.0) && z(3L) == Some(1.0))
+    assert(z(4L).isEmpty && z(5L).isEmpty && z(6L).isEmpty && z(7L).isEmpty)
+  }
+
   test("cdcChunks: exact coverage, bounded lengths, and boundary resynchronization after a prefix edit") {
     import graft.operators.TextAnalysis
     // deterministic pseudo-random text, long enough for many chunks
