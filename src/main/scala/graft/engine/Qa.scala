@@ -133,6 +133,12 @@ object Qa {
     require(dupNames.isEmpty,
       s"duplicate expectation names: ${dupNames.mkString(", ")} — the report " +
         "keys on the name; disambiguate with Expect.satisfies(name, …)")
+    // the name round-trips through a backtick-quoted column reference in
+    // the unpivot below — a backtick inside it would fail analysis deep in
+    // the plan instead of here
+    val badNames = checks.map(_.name).filter(_.contains("`"))
+    require(badNames.isEmpty,
+      s"expectation names must not contain backticks: ${badNames.mkString(", ")}")
     val aggs = checks.map(e => coalesce(e.violations, lit(0L)).as(e.name)) :+
       count(lit(1)).as("__total")
     val row = df.agg(aggs.head, aggs.tail: _*)

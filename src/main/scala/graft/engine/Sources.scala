@@ -242,11 +242,21 @@ object Sources {
       s"incrementalParquet: $dir does not exist — check the path before " +
         "wiring a schedule to it")
     val listed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rootUri = fs.makeQualified(dirPath).toUri
     val it = fs.listFiles(dirPath, true)
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+      // EVERY path segment below the root must be visible, not just the
+      // leaf: an in-flight writer stages under _temporary/.staging dirs
+      // whose leaf part files have ordinary names — treating those as data
+      // reads torn files and manifests paths that vanish on task commit
+      // (the rows then re-deliver under their final name). This mirrors
+      // Spark's own InMemoryFileIndex, which filters hidden DIRECTORIES
+      // during recursion.
+      val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+      val hiddenSegment = rel.split('/')
+        .exists(s => s.startsWith("_") || s.startsWith("."))
+      if (f.isFile && !hiddenSegment)
         listed += f.getPath.toString
     }
     require(listed.nonEmpty,

@@ -320,7 +320,13 @@ object Curation {
     * percentage-scale carving). */
   def sampleFixed(df: DataFrame, idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+    // NULLS LAST on both sort keys: a NULL id has a NULL draw AND a NULL
+    // tie-break, so under Spark's default NULLS FIRST such rows would fill
+    // the carve nondeterministically (and diverge from SQL engines that
+    // default to NULLS LAST); last, they enter only when fewer than n
+    // real ids exist
+    df.orderBy(md5(col(idCol).cast("string")).asc_nulls_last,
+      col(idCol).asc_nulls_last).limit(n)
   }
 
   /** Corpus snapshot diff — the dataset-versioning primitive: classify

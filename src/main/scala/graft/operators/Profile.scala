@@ -338,7 +338,11 @@ object Profile {
     val x = col(valueCol).cast("double")
     val moments = df.groupBy(col(keyCol)).agg(
       avg(x).as("__mu"), stddev_samp(x).as("__sigma"))
-    df.join(broadcast(moments), keyCol)
+    // LEFT join: a NULL group key finds no moments row and the z stays
+    // NULL, but the ROW passes through — this is an append-a-column
+    // transform and must never drop rows (contrast: winsorize's inner
+    // join documents its row-dropping explicitly)
+    df.join(broadcast(moments), Seq(keyCol), "left")
       .withColumn(s"${valueCol}_z",
         when(x.isNotNull && col("__sigma").isNotNull && col("__sigma") =!= 0.0,
           round((x - col("__mu")) / col("__sigma"), 4)))

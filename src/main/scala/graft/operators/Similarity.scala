@@ -154,21 +154,32 @@ object Similarity {
     val spark = df.sparkSession
     val c = df.select(col(idCol).as("__id"),
       (if (assumeUnit) col(vecCol) else VectorFns.unitizeNative(col(vecCol))).as("__v"))
-    var centroids = c.orderBy(xxhash64(col("__id")), col("__id")).limit(k)
-      .withColumnRenamed("__id", "cell").withColumnRenamed("__v", "cv")
-    // the rebuilt centroid frame keeps the cell in the ID'S NATIVE TYPE
-    // (long, int, string UUID, ...) — cells are seed-row ids, and a
-    // hardcoded getLong would both crash non-long corpora and silently
-    // retype the cell column depending on the iteration count
+    // the centroid frame keeps the cell in the ID'S NATIVE TYPE (long,
+    // int, string UUID, ...) — cells are seed-row ids, and a hardcoded
+    // getLong would both crash non-long corpora and silently retype the
+    // cell column depending on the iteration count
     val cellType = c.schema("__id").dataType
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cell", cellType),
       org.apache.spark.sql.types.StructField("cv",
         org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+          org.apache.spark.sql.types.DoubleType, containsNull = true))))
+    def local(rows: Array[org.apache.spark.sql.Row]) = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), outSchema)
+    // centroids stay a DRIVER-LOCAL k-row table throughout (k × dim
+    // doubles): the seeds collect once here, every Lloyd rebuild collects
+    // its k-row aggregate, and empty-cell backfill happens on the local
+    // rows — the alternative (a distributed union/anti-join chain against
+    // the seed plan) re-executed the corpus TakeOrdered scan on every
+    // subsequent pass and grew the plan per iteration
+    var centroidRows: Array[org.apache.spark.sql.Row] =
+      c.orderBy(xxhash64(col("__id")), col("__id")).limit(k)
+        .select(col("__id").as("cell"), col("__v").as("cv"))
+        .collect()
     for (_ <- 0 until iters) {
-      val assigned = assignCell(c, "__id", "__v", centroids)
-      val rows = assigned
+      val assigned = assignCell(c, "__id", "__v", local(centroidRows))
+      val rebuilt = assigned
         .select(col("cell"), posexplode(col("__v")).as(Seq("i", "x")))
         .groupBy("cell", "i").agg(avg("x").as("m"))
         .groupBy("cell").agg(map_from_arrays(collect_list("i"), collect_list("m")).as("mm"))
@@ -178,17 +189,14 @@ object Similarity {
           val n = math.sqrt(arr.map(x => x * x).sum)
           org.apache.spark.sql.Row(r.get(0), arr.map(_ / math.max(n, 1e-12)).toSeq)
         }
-      val rebuilt = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          java.util.Arrays.asList(rows: _*)), outSchema)
       // empty-cluster handling: a cell that attracted no members this pass
       // keeps its PREVIOUS centroid instead of silently vanishing (classic
       // k-means shrinkage — k would otherwise decay whenever two seeds
-      // start in the same region); both sides here are k-row relations
-      centroids = rebuilt.unionByName(
-        centroids.join(rebuilt.select("cell"), Seq("cell"), "left_anti"))
+      // start in the same region)
+      val present = rebuilt.map(_.get(0)).toSet
+      centroidRows = rebuilt ++ centroidRows.filterNot(r => present.contains(r.get(0)))
     }
-    centroids
+    local(centroidRows)
   }
 
   /** Nearest-centroid assignment: appends `cell` map-side against the

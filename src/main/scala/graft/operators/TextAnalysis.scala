@@ -250,7 +250,8 @@ object TextAnalysis {
   /** Content-defined chunking (Rabin-style rolling hash over a sliding
     * char window): a chunk boundary falls wherever the window hash
     * matches `(h & mask) == mask`, so expected chunk length ≈ mask+1 with
-    * hard `[minLen, maxLen]` bounds. Unlike [[chunkDocs]]' fixed offsets,
+    * hard `[minLen, maxLen]` bounds (a chunk may run one code unit past
+    * maxLen when the cut would split a UTF-16 surrogate pair). Unlike [[chunkDocs]]' fixed offsets,
     * boundaries are a function of LOCAL content — inserting or deleting a
     * prefix shifts only the chunks up to the next boundary, after which
     * the cut points RE-SYNCHRONIZE — which is what makes chunk-hash dedup
@@ -294,8 +295,13 @@ object TextAnalysis {
           h = h * 257L + text.charAt(i)
           if (i - start + 1 > window) h -= outPow * text.charAt(i - window)
           val len = i - start + 1
-          val cut = len >= maxLen ||
-            (len >= minLen && (h & mask) == mask)
+          // a cut between the two halves of a UTF-16 surrogate pair would
+          // leave lone surrogates that the engine's UTF-8 conversion mangles
+          // (chunks then no longer reassemble the document) — defer one
+          // char, so a chunk may exceed maxLen by exactly one code unit
+          val cut = (len >= maxLen ||
+            (len >= minLen && (h & mask) == mask)) &&
+            !(Character.isHighSurrogate(text.charAt(i)) && i + 1 < n)
           if (cut) { out += text.substring(start, i + 1); start = i + 1; h = 0L }
           i += 1
         }

@@ -178,6 +178,14 @@ object EventStreams {
     * pass a SMALL materialized snapshot (or a pre-aggregated sample), not
     * a lazy plan over the full corpus, or every micro-batch pays a corpus
     * scan. Empty batches append nothing (no distribution to score).
+    *
+    * Replay-idempotent: each batch writes its summary into its OWN
+    * `batch_id=<id>` partition directory with overwrite, so a crash after
+    * the write but before the checkpoint commit re-runs the batch into
+    * the same partition instead of appending a duplicate row (readers see
+    * `batch_id` as a partition column via discovery). The batch is
+    * evaluated twice per trigger (one count doubling as the emptiness
+    * guard, one psi scan) — the minimum for this shape.
     * Returns the query; callers own lifecycle. */
   def psiDriftSink(
       stream: DataFrame, ref: DataFrame, valueCol: String,
@@ -188,12 +196,12 @@ object EventStreams {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
+        val n = batch.count()
+        if (n > 0) {
           graft.operators.Profile.psiDrift(ref, batch, valueCol, nBins)
             .agg(coalesce(sum(col("psi_term")), lit(0.0)).as("psi"))
-            .select(lit(id).as("batch_id"),
-              lit(batch.count()).as("n_rows"), col("psi"))
-            .write.mode("append").parquet(outPath)
+            .select(lit(n).as("n_rows"), col("psi"))
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
         }
         (): Unit
       }

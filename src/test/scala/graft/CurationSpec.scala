@@ -254,6 +254,13 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
     intercept[IllegalArgumentException](Curation.sampleFixed(docs, "doc_id", 0))
+    // NULL ids sort LAST (null draw + null tie-break): they never displace
+    // a real id from the carve, entering only when too few real ids exist
+    val withNulls = docs.select(
+      when(col("doc_id") <= 190, col("doc_id")).as("doc_id"), col("text"))
+    val s4 = Curation.sampleFixed(withNulls, "doc_id", 20)
+      .collect().map(r => Option(r.get(0)))
+    assert(s4.forall(_.nonEmpty), "NULL id entered a carve with enough real ids")
   }
 
   test("snapshotDiff: all four statuses; column boundaries cannot alias") {

@@ -116,5 +116,9 @@ class QaSpec extends SparkSpec {
     // duplicate names are ambiguous in the report -> rejected eagerly
     intercept[IllegalArgumentException](
       Qa.expectations(df, Seq(Expect.notNull("lang"), Expect.notNull("lang"))))
+    // a backtick in a custom name would break the unpivot's quoted column
+    // reference deep in analysis — rejected eagerly instead
+    intercept[IllegalArgumentException](
+      Qa.expectations(df, Seq(Expect.satisfies("len`ok", col("n") > 0))))
   }
 }

@@ -102,5 +102,11 @@ class SimilaritySpec extends SparkSpec {
     val sc = Similarity.kmeansCentroids(svecs, "vec_id", "embedding", k = 2, iters = 2)
     assert(sc.schema("cell").dataType == org.apache.spark.sql.types.StringType)
     assert(sc.count() == 2)
+    // the returned centroid frame is DRIVER-LOCAL (k rows): the empty-cell
+    // backfill must not grow a distributed plan that re-scans the corpus
+    // on every downstream use
+    assert(sc.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.getClass.getSimpleName.contains("LocalRelation")),
+      sc.queryExecution.optimizedPlan.toString)
   }
 }

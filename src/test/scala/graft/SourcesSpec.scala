@@ -169,6 +169,21 @@ class SourcesSpec extends SparkSpec {
     b3.commit()
     // metadata files (_SUCCESS etc.) never count as data
     assert(!b3.newFiles.exists(_.contains("_SUCCESS")))
+    // files under HIDDEN directories (in-flight writer staging) are
+    // invisible too — only the leaf-name filter would treat
+    // _temporary/.../part-0.parquet as data and double-deliver its rows
+    // after the writer's task-commit rename
+    val hid = new java.io.File(s"$dir/f4/_temporary/0")
+    hid.mkdirs()
+    Seq((99L, "staged")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$base/stage-src")
+    val part = new java.io.File(s"$base/stage-src").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(hid, "part-00000.parquet").toPath)
+    val b4 = graft.engine.Sources.incrementalParquet(spark, dir, manifest)
+    assert(b4.newFiles.isEmpty,
+      s"staged file under _temporary leaked into the batch: ${b4.newFiles}")
     // empty lake fails loudly instead of an uninferable-schema error
     intercept[IllegalArgumentException](
       graft.engine.Sources.incrementalParquet(spark, s"$base/empty-nonexistent", manifest))

@@ -310,8 +310,11 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData((1 to 100).map(i => 1000.0 + i)) // hard shift
       q.processAllAvailable()
+      // batch_id is a PARTITION column (per-batch overwrite = replay
+      // idempotence) surfaced by discovery
       val rows = spark.read.parquet(s"$base/out")
-        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        .collect().map(r => r.getAs[Number]("batch_id").longValue() ->
+          (r.getAs[Long]("n_rows"), r.getAs[Double]("psi"))).toMap
       assert(rows.size == 2, rows.toString)
       val (sameN, samePsi) = rows(rows.keys.min)
       val (shiftN, shiftPsi) = rows(rows.keys.max)

@@ -275,6 +275,18 @@ class TextEventsSpec extends SparkSpec {
     assert(f1.intersect(f2).size.toDouble / f1.size < 0.1)
     intercept[IllegalArgumentException](
       TextAnalysis.cdcChunks(docs, "doc_id", "text", minLen = 8, window = 16))
+
+    // astral-plane text: cuts never split a surrogate pair — chunks still
+    // reassemble byte-exact and no chunk ends on a lone high surrogate
+    // (the forced maxLen cuts would otherwise land mid-pair half the time)
+    val emoji = "😀a" * 700 // 😀a ... 2100 code units
+    val edocs = Seq((1L, emoji)).toDF("doc_id", "text")
+    val ech = TextAnalysis.cdcChunks(edocs, "doc_id", "text",
+        mask = 0x3F, minLen = 16, maxLen = 33, window = 16)
+      .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(ech.map(_._2).mkString == emoji)
+    assert(ech.forall { case (_, c) => !Character.isHighSurrogate(c.last) })
+    assert(ech.forall { case (_, c) => c.length <= 34 }) // maxLen + 1 defer
   }
 
   test("chunkDocs: full coverage with overlap, short final chunk, one chunk at/below size, empty drops") {
