@@ -611,12 +611,22 @@ object ExtQueries {
     graft.operators.Profile.standardize(t(s, d, "documents"), "lang", "n_chars")
       .select("doc_id", "lang", "n_chars_z").orderBy("doc_id")
 
+  /** Pre-flight size estimate for the lineitem ⋈ orders equi-join — on an
+    * FK join the model is exact (d_b = n_b makes the estimate collapse to
+    * n_a), which the oracle's independent recomputation confirms. */
+  val joinEstimateQ: Q = (s, d) => {
+    val li = t(s, d, "lineitem").select(col("l_orderkey").as("k"))
+    val o = t(s, d, "orders").select(col("o_orderkey").as("k"))
+    graft.operators.Profile.joinEstimate(li, o, Seq("k"))
+  }
+
   /** Deterministic 64-row eval-set carve. */
   val sampleFixedQ: Q = (s, d) =>
     Curation.sampleFixed(t(s, d, "documents"), "doc_id", n = 64)
       .select("doc_id", "lang").orderBy("doc_id")
 
   val all: Map[String, Q] = Map(
+    "join_estimate" -> joinEstimateQ,
     "clean_text" -> cleanText,
     "group_zscore" -> groupZscore,
     "qa_expectations" -> qaExpectations,
@@ -1145,6 +1155,17 @@ object ExtQueries {
          |  CAST(1 AS INTEGER) AS subset_ok,
          |  CAST(1 AS INTEGER) AS floor_met
          |FROM p WHERE cos >= 0.45e0""".stripMargin,
+    "join_estimate" ->
+      """WITH a AS (SELECT
+        |    CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL) AS BIGINT) AS n_a,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d_a FROM lineitem),
+        |b AS (SELECT
+        |    CAST(count(*) FILTER (WHERE o_orderkey IS NOT NULL) AS BIGINT) AS n_b,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_b FROM orders)
+        |SELECT n_a, n_b, d_a, d_b,
+        |  CAST(CASE WHEN greatest(d_a, d_b) > 0
+        |    THEN floor(n_a * n_b / greatest(d_a, d_b)) ELSE 0 END AS BIGINT) AS est_rows
+        |FROM a CROSS JOIN b""".stripMargin,
     "clean_text" ->
       """WITH dirty AS (
         |  SELECT doc_id,

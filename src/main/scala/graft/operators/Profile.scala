@@ -320,6 +320,43 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Pre-flight equi-join size estimate — the "will this join explode?"
+    * check run BEFORE submitting a 100 TB join: the textbook
+    * System-R cardinality model `|A ⋈ B| ≈ n_a · n_b / max(d_a, d_b)`
+    * (uniformity + containment assumptions), reported alongside its
+    * inputs so the caller can also see the per-key fanout
+    * `n/d` on each side (fanouts multiply — two 100x-fanout sides mean a
+    * 10,000x row blowup even when the estimate "fits"). Returns one row:
+    * (n_a, n_b, d_a, d_b, est_rows). NULL keys never join, so both the
+    * counts and the distincts exclude rows with any NULL key part.
+    *
+    * `approx = true` swaps exact count_distinct for the HLL++ sketch
+    * (same single-pass shape, a fraction of the shuffle) — the setting
+    * for genuinely large inputs; exact is the oracle baseline. Scale
+    * shape: ONE aggregation pass per side, no join is executed. */
+  def joinEstimate(
+      a: DataFrame, b: DataFrame, keys: Seq[String],
+      approx: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "joinEstimate requires at least one key column")
+    def side(df: DataFrame, nAs: String, dAs: String) = {
+      val allPresent = keys.map(col(_).isNotNull).reduce(_ && _)
+      val keyStruct = when(allPresent, struct(keys.map(col): _*))
+      val d =
+        if (approx) approx_count_distinct(keyStruct)
+        else count_distinct(keyStruct)
+      df.agg(sum(when(allPresent, 1L).otherwise(0L)).as(nAs), d.as(dAs))
+    }
+    side(a, "n_a", "d_a").crossJoin(side(b, "n_b", "d_b"))
+      .select(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("d_a"), col("d_b"),
+        when(greatest(col("d_a"), col("d_b")) > 0,
+          floor(col("n_a") * col("n_b") / greatest(col("d_a"), col("d_b")))
+            .cast("long"))
+          .otherwise(lit(0L)).as("est_rows"))
+  }
+
   /** Per-group z-score standardization: append
     * `<valueCol>_z = (x − μ_g) / σ_g` using each row's OWN group's
     * moments — the feature-scaling step before any cross-strata comparison

@@ -248,6 +248,26 @@ class ProfileSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("psi_term")).head.getDouble(0) == 0.0)
   }
 
+  test("joinEstimate: exact on uniform keys and FK joins; NULL keys excluded; approx tracks exact") {
+    val a = (1 to 10).flatMap(k => Seq.fill(3)(Tuple1(k.toLong))).toDF("k")
+    val b = (1 to 10).flatMap(k => Seq.fill(4)(Tuple1(k.toLong))).toDF("k")
+    val est = graft.operators.Profile.joinEstimate(a, b, Seq("k")).head
+    assert((est.getLong(0), est.getLong(1), est.getLong(2), est.getLong(3), est.getLong(4)) ==
+      ((30L, 40L, 10L, 10L, 120L)))
+    assert(a.join(b, Seq("k")).count() == 120L) // uniform keys: model is exact
+    // FK shape: unique right side collapses the estimate to n_a
+    val fk = (1 to 40).map(k => Tuple1(k.toLong)).toDF("k")
+    val estFk = graft.operators.Profile.joinEstimate(a, fk, Seq("k")).head
+    assert(estFk.getLong(4) == 30L)
+    // NULL keys never join and never count
+    val withNull = a.unionByName(Seq(Tuple1(null.asInstanceOf[java.lang.Long])).toDF("k"))
+    val estN = graft.operators.Profile.joinEstimate(withNull, b, Seq("k")).head
+    assert(estN.getLong(0) == 30L && estN.getLong(2) == 10L)
+    // the sketch variant lands on the exact counts at this cardinality
+    val estA = graft.operators.Profile.joinEstimate(a, b, Seq("k"), approx = true).head
+    assert(estA.getLong(2) == 10L && estA.getLong(3) == 10L)
+  }
+
   test("filterByGroupQuantile: per-group cut keeps each group's upper share; NULL values and all-NULL groups drop") {
     val df = Seq(
       ("en", 1L, 10.0), ("en", 2L, 20.0), ("en", 3L, 30.0), ("en", 4L, 40.0),
