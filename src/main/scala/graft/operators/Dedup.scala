@@ -305,7 +305,13 @@ object Dedup {
       maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"),
       array_distinct(TextFns.shinglesUdf(shingleN)(col(textCol))).as("ss"))
-    val sh = base.select(col("doc_id"), explode(col("ss")).as("s"))
+    // the self-join and frequency aggregate key on the shingle's 64-bit
+    // xxhash, never the shingle TEXT: the join result is identical (a
+    // cross-shingle collision would need ~4·10⁹ distinct shingles for even
+    // odds; at that scale it perturbs one intersection count by one), and
+    // the shuffle ships 8-byte keys instead of n-gram strings
+    val sh = base.select(col("doc_id"), explode(col("ss")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val (filtered, sizes) = maxShingleDf match {
       case Some(m) =>
         // the guard only needs the HOT shingles (df > m) — compute them
