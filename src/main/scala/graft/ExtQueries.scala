@@ -611,6 +611,11 @@ object ExtQueries {
     graft.operators.Profile.standardize(t(s, d, "documents"), "lang", "n_chars")
       .select("doc_id", "lang", "n_chars_z").orderBy("doc_id")
 
+  /** Per-hour top-2 trending event types (deterministic rank). */
+  val trendingKeysQ: Q = (s, d) =>
+    Events.trendingKeys(Tables.loadEvents(s, d), "ts", "event_type", "hour", k = 2)
+      .orderBy("win", "rank")
+
   /** Pre-flight size estimate for the lineitem ⋈ orders equi-join — on an
     * FK join the model is exact (d_b = n_b makes the estimate collapse to
     * n_a), which the oracle's independent recomputation confirms. */
@@ -626,6 +631,7 @@ object ExtQueries {
       .select("doc_id", "lang").orderBy("doc_id")
 
   val all: Map[String, Q] = Map(
+    "trending_keys" -> trendingKeysQ,
     "join_estimate" -> joinEstimateQ,
     "clean_text" -> cleanText,
     "group_zscore" -> groupZscore,
@@ -1155,6 +1161,14 @@ object ExtQueries {
          |  CAST(1 AS INTEGER) AS subset_ok,
          |  CAST(1 AS INTEGER) AS floor_met
          |FROM p WHERE cos >= 0.45e0""".stripMargin,
+    "trending_keys" ->
+      """WITH c AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT win, event_type, n, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY win ORDER BY n DESC, event_type) AS INTEGER) AS rank
+        |  FROM c) WHERE rank <= 2 ORDER BY win, rank""".stripMargin,
     "join_estimate" ->
       """WITH a AS (SELECT
         |    CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL) AS BIGINT) AS n_a,

@@ -16,6 +16,23 @@ object Events {
     df.groupBy(date_trunc(unit, col(tsCol)).as("win"), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-window top-k keys ("trending"): the k most frequent keys inside
+    * each tumbling window, rank deterministic (count desc, key asc).
+    *
+    * Scale shape: one partial-aggregated (window, key) count, then the
+    * rank filter is WindowGroupLimit-rewritten — map tasks forward at most
+    * k keys per window to the ranking shuffle, so a window with a billion
+    * events still ships k rows per task, not its whole key histogram. */
+  def trendingKeys(
+      df: DataFrame, tsCol: String, keyCol: String, unit: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = tumblingCounts(df, tsCol, keyCol, unit)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win")).orderBy(col("n").desc, col(keyCol))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Sliding (hopping) window counts per key: each event lands in every
     * window of `widthMinutes` whose epoch-aligned start (multiple of
     * `slideMinutes`, UTC session tz) lies in (t − width, t] — Spark's

@@ -151,6 +151,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("join_estimate never executes the join it estimates (aggregates + a 1-row cross only)") {
+    val p = plan("join_estimate")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the estimator ran a real join:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
   test("group quantiles aggregate partially map-side in one pass (no join, no window)") {
     val p = plan("group_quantiles")
     assert(p.contains("partial_percentile"), p)

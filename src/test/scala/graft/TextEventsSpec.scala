@@ -120,6 +120,24 @@ class TextEventsSpec extends SparkSpec {
     assert(out((3L, 2)) == ("zeta", score(1)))
   }
 
+  test("trendingKeys: per-window top-k with deterministic tie-break; WindowGroupLimit plan") {
+    val ts = (h: Int, m: Int) => Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      (ts(1, 0), "a"), (ts(1, 1), "a"), (ts(1, 2), "b"), (ts(1, 3), "b"),
+      (ts(1, 4), "c"),                       // hour 1: a=2, b=2, c=1 -> a,b (tie: key asc)
+      (ts(2, 0), "z"), (ts(2, 1), "c"), (ts(2, 2), "c") // hour 2: c=2, z=1
+    ).toDF("ts", "event_type")
+    val top = Events.trendingKeys(events, "ts", "event_type", "hour", k = 2)
+    val rows = top.collect()
+      .map(r => (r.getTimestamp(0).getHours, r.getAs[String]("event_type"), r.getAs[Int]("rank")))
+      .toSet
+    assert(rows == Set((1, "a", 1), (1, "b", 2), (2, "c", 1), (2, "z", 2)))
+    assert(top.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-window rank not group-limit rewritten")
+    intercept[IllegalArgumentException](
+      Events.trendingKeys(events, "ts", "event_type", "hour", 0))
+  }
+
   test("resampleHourly: interior empty hours fill with 0; spans are per-key") {
     val ts = (h: Int, m: Int) => Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
     val events = Seq(
