@@ -1178,7 +1178,8 @@ object ExtQueries {
         |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_b FROM orders)
         |SELECT n_a, n_b, d_a, d_b,
         |  CAST(CASE WHEN greatest(d_a, d_b) > 0
-        |    THEN floor(n_a * n_b / greatest(d_a, d_b)) ELSE 0 END AS BIGINT) AS est_rows
+        |    THEN floor(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / greatest(d_a, d_b))
+        |    ELSE 0 END AS BIGINT) AS est_rows
         |FROM a CROSS JOIN b""".stripMargin,
     "clean_text" ->
       """WITH dirty AS (
@@ -1199,7 +1200,7 @@ object ExtQueries {
         |SELECT doc_id, lang,
         |  CASE WHEN n_chars IS NOT NULL AND sigma IS NOT NULL AND sigma <> 0
         |    THEN round((CAST(n_chars AS DOUBLE) - mu) / sigma, 4) END AS n_chars_z
-        |FROM documents JOIN m USING (lang) ORDER BY doc_id""".stripMargin,
+        |FROM documents LEFT JOIN m USING (lang) ORDER BY doc_id""".stripMargin,
     "qa_expectations" ->
       """WITH t AS (SELECT count(*) AS total FROM documents),
         |v AS (

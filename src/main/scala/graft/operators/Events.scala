@@ -27,8 +27,11 @@ object Events {
       df: DataFrame, tsCol: String, keyCol: String, unit: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val counts = tumblingCounts(df, tsCol, keyCol, unit)
+    // NULLS LAST on the tie-break: Spark's ascending default is NULLS
+    // FIRST while SQL engines (and the oracle) default LAST — a rank tie
+    // involving a NULL key would otherwise order differently per engine
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("win")).orderBy(col("n").desc, col(keyCol))
+      .partitionBy(col("win")).orderBy(col("n").desc, col(keyCol).asc_nulls_last)
     counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -352,7 +352,12 @@ object Profile {
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         col("d_a"), col("d_b"),
         when(greatest(col("d_a"), col("d_b")) > 0,
-          floor(col("n_a") * col("n_b") / greatest(col("d_a"), col("d_b")))
+          // the product runs in DOUBLE: two multi-billion-row sides
+          // overflow a long product (ANSI mode would make the pre-flight
+          // check itself crash on exactly the inputs it exists to vet);
+          // an estimate loses nothing to double precision
+          floor(col("n_a").cast("double") * col("n_b").cast("double") /
+            greatest(col("d_a"), col("d_b")))
             .cast("long"))
           .otherwise(lit(0L)).as("est_rows"))
   }

@@ -145,7 +145,12 @@ object Similarity {
     * the broadcast k-row table) + a partial-aggregated shuffle of
     * k × dim cell statistics; only k × dim doubles are ever collected —
     * the corpus never leaves the executors. `assumeUnit = true` skips the
-    * input normalization for callers that already unitized. */
+    * input normalization for callers that already unitized.
+    *
+    * EAGER: constructing the result runs the seed scan and every Lloyd
+    * pass (the centroid table is driver-local by design — the price is
+    * that building a downstream plan, e.g. printing annIvf's physical
+    * plan, executes the clustering). Build it once and reuse. */
   def kmeansCentroids(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 1, assumeUnit: Boolean = false): DataFrame = {

@@ -299,9 +299,13 @@ object TextAnalysis {
           // leave lone surrogates that the engine's UTF-8 conversion mangles
           // (chunks then no longer reassemble the document) — defer one
           // char, so a chunk may exceed maxLen by exactly one code unit
+          // defer ONLY on a genuine pair (high followed by low): an
+          // unpaired high surrogate in mangled text must not defer, or a
+          // run of them would defeat the maxLen bound unboundedly
           val cut = (len >= maxLen ||
             (len >= minLen && (h & mask) == mask)) &&
-            !(Character.isHighSurrogate(text.charAt(i)) && i + 1 < n)
+            !(Character.isHighSurrogate(text.charAt(i)) && i + 1 < n &&
+              Character.isLowSurrogate(text.charAt(i + 1)))
           if (cut) { out += text.substring(start, i + 1); start = i + 1; h = 0L }
           i += 1
         }

@@ -305,6 +305,13 @@ class TextEventsSpec extends SparkSpec {
     assert(ech.map(_._2).mkString == emoji)
     assert(ech.forall { case (_, c) => !Character.isHighSurrogate(c.last) })
     assert(ech.forall { case (_, c) => c.length <= 34 }) // maxLen + 1 defer
+    // mangled text: a run of UNPAIRED high surrogates must not defer the
+    // cut repeatedly (that would defeat the maxLen bound without limit)
+    val lone = ("\uD83D" * 200) + ("x" * 200)
+    val lch = TextAnalysis.cdcChunks(Seq((1L, lone)).toDF("doc_id", "text"),
+        "doc_id", "text", mask = 0x3F, minLen = 16, maxLen = 33, window = 16)
+      .collect().map(_.getString(2))
+    assert(lch.forall(_.length <= 34), lch.map(_.length).mkString(","))
   }
 
   test("chunkDocs: full coverage with overlap, short final chunk, one chunk at/below size, empty drops") {
