@@ -100,6 +100,27 @@ object Orchestration {
     }
   }
 
+  /** Log a table's [[Pipeline.RunReport]] the way the reference logs its
+    * per-table counts (:253,263), plus the as-executed layout/skew
+    * diagnostics — so the straggler predictor lands in the run log the
+    * notifier MAILS, not just in a return value nobody reads. A skew
+    * above `skewWarnAt` logs an explicit WARNING line. */
+  def logReport(
+      log: RunLog, r: Pipeline.RunReport, skewWarnAt: Double = 5.0): Unit = {
+    log.info(s"${r.table}: input=${r.inputRows} kept=${r.keptRows}")
+    r.rejectsByReason.toSeq.sortBy(_._1).foreach { case (why, n) =>
+      log.info(s"${r.table}: rejected $n ($why)")
+    }
+    r.layout.foreach { l =>
+      log.info(s"${r.table}: layout partitions=${l.nPartitions} " +
+        s"rows min=${l.minRows} max=${l.maxRows} avg=${l.avgRows} skew=${l.skew}")
+      if (l.skew >= skewWarnAt) log.info(
+        s"${r.table}: WARNING partition skew ${l.skew} — the slowest task does " +
+          s"${l.skew}x the average work and the stage runs at its pace; " +
+          "repartition or salt the hot keys")
+    }
+  }
+
   /** Run a pipeline body with the reference's report contract: exceptions
     * are captured into the log (the reference swallows them, :289-290 — we
     * additionally surface the outcome in the return value). */

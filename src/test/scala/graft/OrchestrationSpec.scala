@@ -89,4 +89,26 @@ class SaltedJoinSpec extends SparkSpec {
       assert(salted == plain)
     }
   }
+
+  test("logReport: counts, reasons, layout and the skew WARNING land in the mailed log") {
+    import graft.engine.{Orchestration, Pipeline}
+    val log = new Orchestration.RunLog
+    val rep = Pipeline.RunReport("RRR", 100, 90,
+      Map("dup" -> 6, "ref" -> 4),
+      Some(Pipeline.LayoutStats(8, 1, 60, 12.5, 4.8)))
+    Orchestration.logReport(log, rep, skewWarnAt = 5.0)
+    val out = log.dump
+    assert(out.contains("RRR: input=100 kept=90"))
+    assert(out.contains("rejected 6 (dup)") && out.contains("rejected 4 (ref)"))
+    assert(out.contains("partitions=8") && out.contains("skew=4.8"))
+    assert(!out.contains("WARNING")) // 4.8 < 5.0 threshold
+    val log2 = new Orchestration.RunLog
+    Orchestration.logReport(log2,
+      rep.copy(layout = Some(Pipeline.LayoutStats(8, 1, 600, 12.5, 48.0))))
+    assert(log2.dump.contains("WARNING partition skew 48.0"))
+    // layoutless report (empty input) logs counts only, no layout line
+    val log3 = new Orchestration.RunLog
+    Orchestration.logReport(log3, rep.copy(layout = None))
+    assert(!log3.dump.contains("layout"))
+  }
 }
