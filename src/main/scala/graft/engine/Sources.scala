@@ -263,6 +263,10 @@ object Sources {
       s"incrementalParquet: no data files under $dir — nothing to infer a " +
         "schema from; check the path before wiring a schedule to it")
     val manifest = new Path(manifestPath)
+    // a compaction (below) may have crashed between its two swap renames,
+    // leaving the only manifest copy at `.old` — reading a MISSING
+    // manifest as empty would re-deliver the entire lake
+    Sinks.recoverSwap(fs, manifest)
     val seen: Set[String] =
       if (fs.exists(manifest))
         spark.read.parquet(manifestPath).select("path")
@@ -277,8 +281,23 @@ object Sources {
       else spark.read.parquet(fresh: _*)
     val commit = () => {
       import spark.implicits._
-      if (fresh.nonEmpty)
+      if (fresh.nonEmpty) {
         fresh.toDF("path").write.mode("append").parquet(manifestPath)
+        // the append adds one small file per batch; unchecked, a manifest
+        // ingesting for a year holds hundreds of tiny parquet files and
+        // every run's listing-plus-read slows with it. Compact once the
+        // part-file count crosses the threshold, via the same
+        // write-then-swap discipline as every other table rewrite (the
+        // recoverSwap above makes a mid-compaction crash safe).
+        val parts = fs.listStatus(manifest)
+          .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        if (parts > 64) {
+          spark.read.parquet(manifestPath).select("path").distinct()
+            .coalesce(1)
+            .write.mode("overwrite").parquet(manifestPath + ".tmp")
+          Sinks.swapInto(fs, manifest)
+        }
+      }
     }
     IncrementalBatch(df, fresh, commit)
   }

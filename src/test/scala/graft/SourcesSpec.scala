@@ -189,6 +189,30 @@ class SourcesSpec extends SparkSpec {
       graft.engine.Sources.incrementalParquet(spark, s"$base/empty-nonexistent", manifest))
   }
 
+  test("incrementalParquet: manifest auto-compacts past the part-file threshold without losing entries") {
+    import sqlContext.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-incr-compact").toString
+    val dir = s"$base/lake"
+    val manifest = s"$base/manifest"
+    // 70 batches of one file each: each commit appends >=1 part file, so
+    // the 64-part threshold trips and the manifest rewrites compacted
+    (1 to 70).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/f$i")
+      val b = graft.engine.Sources.incrementalParquet(spark, dir, manifest)
+      assert(b.newFiles.size == 1, s"batch $i saw ${b.newFiles.size} new files")
+      b.commit()
+    }
+    val fs = new org.apache.hadoop.fs.Path(manifest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(manifest))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    assert(parts < 64, s"manifest never compacted: $parts part files")
+    // no entry lost: steady state still delivers nothing
+    val after = graft.engine.Sources.incrementalParquet(spark, dir, manifest)
+    assert(after.newFiles.isEmpty, s"compaction lost entries: ${after.newFiles}")
+    assert(spark.read.parquet(manifest).count() == 70)
+  }
+
   test("incremental ingest + idempotent merge = effective exactly-once under batch replay") {
     import sqlContext.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-incr-e2e").toString
