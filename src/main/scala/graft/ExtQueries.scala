@@ -171,7 +171,16 @@ object ExtQueries {
         coalesce(sum(when(col("in_exact").isNull, 1L).otherwise(0L)), lit(0L)).as("n_extra"))
       .select(col("n_exact"),
         when(col("n_extra") === 0, 1).otherwise(0).as("subset_ok"),
-        when(col("n_hits") * 5 >= col("n_exact") * 4, 1).otherwise(0).as("floor_met"))
+        // SF-aware floor: 0.9 where the pair population supports it
+        // (sf0.01: 14 pairs, sf0.1: 144 — measured 0.97-1.0), relaxed to
+        // 0.8 only for single-digit pair counts (sf0.001: 7 pairs, where
+        // ONE lost boundary pair is 0.857 and a 0.9 bar measures fixture
+        // granularity, not the operator)
+        when(col("n_exact") >= 10,
+            when(col("n_hits") * 10 >= col("n_exact") * 9, 1).otherwise(0))
+          .otherwise(
+            when(col("n_hits") * 5 >= col("n_exact") * 4, 1).otherwise(0))
+          .as("floor_met"))
   }
 
   /** Quality-first survivor selection over the same ngram-Jaccard cluster

@@ -263,12 +263,20 @@ object Sources {
       s"incrementalParquet: no data files under $dir — nothing to infer a " +
         "schema from; check the path before wiring a schedule to it")
     val manifest = new Path(manifestPath)
+    // the manifest may live on a DIFFERENT filesystem than the lake
+    // (s3 lake, hdfs manifest) — every manifest op must use its own FS or
+    // hadoop throws Wrong FS
+    val mfs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a compaction (below) may have crashed between its two swap renames,
     // leaving the only manifest copy at `.old` — reading a MISSING
-    // manifest as empty would re-deliver the entire lake
-    Sinks.recoverSwap(fs, manifest)
+    // manifest as empty would re-deliver the entire lake. SINGLE-RUNNER
+    // CONTRACT: one scheduled pipeline owns a manifest; two concurrent
+    // runners could race this recover/read against the other's compaction
+    // swap and re-deliver (at-least-once still holds, exactly-once does
+    // not — serialize the schedule).
+    Sinks.recoverSwap(mfs, manifest)
     val seen: Set[String] =
-      if (fs.exists(manifest))
+      if (mfs.exists(manifest))
         spark.read.parquet(manifestPath).select("path")
           .collect().map(_.getString(0)).toSet
       else Set.empty
@@ -285,18 +293,13 @@ object Sources {
         fresh.toDF("path").write.mode("append").parquet(manifestPath)
         // the append adds one small file per batch; unchecked, a manifest
         // ingesting for a year holds hundreds of tiny parquet files and
-        // every run's listing-plus-read slows with it. Compact once the
-        // part-file count crosses the threshold, via the same
-        // write-then-swap discipline as every other table rewrite (the
-        // recoverSwap above makes a mid-compaction crash safe).
-        val parts = fs.listStatus(manifest)
+        // every run's listing-plus-read slows with it. Past the threshold,
+        // delegate to the ONE write-then-swap compaction implementation
+        // (Sinks.compact — same recover/tmp/swap discipline as every
+        // other table rewrite; it derives the manifest's own FS itself).
+        val parts = mfs.listStatus(manifest)
           .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
-        if (parts > 64) {
-          spark.read.parquet(manifestPath).select("path").distinct()
-            .coalesce(1)
-            .write.mode("overwrite").parquet(manifestPath + ".tmp")
-          Sinks.swapInto(fs, manifest)
-        }
+        if (parts > 64) Sinks.compact(spark, manifestPath)
       }
     }
     IncrementalBatch(df, fresh, commit)

@@ -72,23 +72,6 @@ class OrchestrationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       new Orchestration.SmtpNotifier("h", "f", Nil, (_, _, _, _) => ()))
   }
-}
-
-class SaltedJoinSpec extends SparkSpec {
-  import sqlContext.implicits._
-
-  test("saltedJoin: identical result to the plain join for inner and left, incl. unmatched keys") {
-    val left = (1 to 200).map(i => (s"k${i % 5}", i)).toDF("k", "v") // heavy skew: 5 keys
-    val right = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("kX", "z")).toDF("rk", "rv")
-    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Int, String)] =
-      df.select("k", "v", "rv").collect()
-        .map(r => (r.getString(0), r.getInt(1), String.valueOf(r.get(2)))).toSeq.sorted
-    for (jt <- Seq("inner", "left")) {
-      val plain = rows(left.join(right, left("k") === right("rk"), jt))
-      val salted = rows(Ops.saltedJoin(left, right, "k", "rk", salts = 8, joinType = jt))
-      assert(salted == plain)
-    }
-  }
 
   test("logReport: counts, reasons, layout and the skew WARNING land in the mailed log") {
     import graft.engine.{Orchestration, Pipeline}
@@ -111,4 +94,22 @@ class SaltedJoinSpec extends SparkSpec {
     Orchestration.logReport(log3, rep.copy(layout = None))
     assert(!log3.dump.contains("layout"))
   }
+}
+
+class SaltedJoinSpec extends SparkSpec {
+  import sqlContext.implicits._
+
+  test("saltedJoin: identical result to the plain join for inner and left, incl. unmatched keys") {
+    val left = (1 to 200).map(i => (s"k${i % 5}", i)).toDF("k", "v") // heavy skew: 5 keys
+    val right = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("kX", "z")).toDF("rk", "rv")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Int, String)] =
+      df.select("k", "v", "rv").collect()
+        .map(r => (r.getString(0), r.getInt(1), String.valueOf(r.get(2)))).toSeq.sorted
+    for (jt <- Seq("inner", "left")) {
+      val plain = rows(left.join(right, left("k") === right("rk"), jt))
+      val salted = rows(Ops.saltedJoin(left, right, "k", "rk", salts = 8, joinType = jt))
+      assert(salted == plain)
+    }
+  }
+
 }
