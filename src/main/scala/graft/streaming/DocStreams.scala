@@ -80,4 +80,26 @@ object DocStreams {
         s"got (${frequent.columns.mkString(", ")})")
     Dedup.stripSegmentsMapSide(stream, textCol, frequent, sep)
   }
+
+  /** Quality gate for continuous ingest: arriving rows keep only those at
+    * or above their OWN stratum's stored cut — the streaming application
+    * of [[graft.operators.Profile.filterByGroupQuantile]], with the cuts
+    * TRAINED on the batch corpus (pass `groupQuantiles(corpus, key, value,
+    * Seq(q)).select(key, col("p..").as("cut"))` or any (key, cut) table)
+    * and applied here as a stateless broadcast join + map-side filter.
+    * Same semantics as the batch gate by construction: NULL values drop,
+    * strata missing from the cuts table drop (no contract to meet ⇒ not
+    * admitted — surface new strata by refreshing the cuts on the batch
+    * side's cadence). */
+  def qualityGate(
+      stream: DataFrame, cuts: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!cuts.isStreaming, "cuts must be a static (key, cut) table")
+    require(cuts.columns.contains(keyCol) && cuts.columns.contains("cut"),
+      s"cuts must carry ($keyCol, cut); got (${cuts.columns.mkString(", ")})")
+    stream.join(broadcast(cuts.select(col(keyCol), col("cut"))), Seq(keyCol))
+      .filter(col(valueCol).cast("double") >= col("cut"))
+      .drop("cut")
+  }
 }

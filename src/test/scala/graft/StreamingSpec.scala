@@ -297,6 +297,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: the quality gate applies stored per-stratum cuts identically to the batch gate") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    // cuts trained on a batch corpus: per-lang median length
+    val corpus = Seq(
+      ("en", 1L, 10L), ("en", 2L, 20L), ("en", 3L, 30L), ("en", 4L, 40L),
+      ("de", 5L, 1L), ("de", 6L, 2L), ("de", 7L, 3L)).toDF("lang", "id", "len")
+    val cuts = graft.operators.Profile.groupQuantiles(corpus, "lang", "len", Seq(0.5))
+      .select(col("lang"), col("p50").as("cut"))
+    // arrivals: at/above/below cut per stratum, plus an UNKNOWN stratum
+    val arrivals = Seq(
+      ("en", 10L, 25L), ("en", 11L, 30L), ("en", 12L, 10L),
+      ("de", 13L, 2L), ("de", 14L, 1L),
+      ("fr", 15L, 999L)) // no trained cut -> not admitted
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = DocStreams.qualityGate(
+        mem.toDF().toDF("lang", "id", "len"), cuts, "lang", "len")
+      .writeStream.format("memory").queryName("gated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arrivals.take(3)); q.processAllAvailable()
+      mem.addData(arrivals.drop(3)); q.processAllAvailable()
+      val kept = spark.table("gated").select("id").as[Long].collect().toSet
+      // en median 25 -> keep 25,30; de median 2 -> keep 2; fr dropped
+      assert(kept == Set(10L, 11L, 13L), kept.toString)
+    } finally q.stop()
+  }
+
   test("psiDriftSink: batch-identical distributions score ~0, a shifted batch crosses the retrain bar") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
