@@ -81,6 +81,29 @@ object DocStreams {
     Dedup.stripSegmentsMapSide(stream, textCol, frequent, sep)
   }
 
+  /** Exact-dup filter for continuous ingest: drop arriving documents whose
+    * content hash already exists in the stored corpus index (the
+    * [[Dedup.exactGroups]] output — (content_hash, keep_id, n_dups)). The
+    * md5 runs map-side on the stream; the anti-join against the index is
+    * stateless (no watermark, no state store), completing the streaming
+    * dedup triangle with [[nearDupCandidates]] (near) and
+    * [[stripBoilerplate]] (sub-document). WITHIN-batch duplicates are
+    * deliberately passed through — collapsing them needs either state or
+    * a per-batch distinct, which belongs to the downstream foreachBatch
+    * merge ([[graft.streaming.EventStreams.upsertSink]] pattern), not a
+    * stateless filter. Refresh the index on the batch side's cadence. */
+  def dropKnownExact(
+      stream: DataFrame, index: DataFrame, textCol: String): DataFrame = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!index.isStreaming, "index must be a static exactGroups table")
+    require(index.columns.contains("content_hash"),
+      s"index must carry content_hash (the exactGroups schema); " +
+        s"got (${index.columns.mkString(", ")})")
+    stream.withColumn("__h", md5(col(textCol)))
+      .join(index.select(col("content_hash").as("__h")), Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** Quality gate for continuous ingest: arriving rows keep only those at
     * or above their OWN stratum's stored cut — the streaming application
     * of [[graft.operators.Profile.filterByGroupQuantile]], with the cuts

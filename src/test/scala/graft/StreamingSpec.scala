@@ -297,6 +297,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropKnownExact: arrivals matching the stored content-hash index drop; fresh content passes") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((1L, "known text one"), (2L, "known text two"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.exactGroups(corpus, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.dropKnownExact(
+        mem.toDF().toDF("doc_id", "text"), index, "text")
+      .writeStream.format("memory").queryName("fresh")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq((10L, "known text one"), (11L, "brand new text")))
+      q.processAllAvailable()
+      mem.addData(Seq((12L, "known text two"), (13L, "also new")))
+      q.processAllAvailable()
+      val kept = spark.table("fresh").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(11L, 13L), kept.toString)
+      // schema passes through unchanged (no leaked helper column)
+      assert(spark.table("fresh").columns.toSeq == Seq("doc_id", "text"))
+    } finally q.stop()
+  }
+
   test("batch/streaming parity: the quality gate applies stored per-stratum cuts identically to the batch gate") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
