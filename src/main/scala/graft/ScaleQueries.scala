@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Ops, Tables}
-import graft.operators.{Events, Profile, TextAnalysis}
+import graft.operators.{Curation, Events, Privacy, Profile, Similarity, TextAnalysis}
 
 /** Round-7 scale-operator queries: profiling (histogram, heavy hitters with
   * CMS validation), Bloom-prefiltered semi-join, windowed funnel analysis,
@@ -194,7 +194,40 @@ object ScaleQueries {
     Profile.chiSquare(t(s, d, "documents"), "lang", "source")
       .orderBy("lang", "source")
 
+  /** k-anonymity audit of documents on (lang, source, length-bucket) quasi
+    * identifiers at k=5 — the privacy gate before releasing a tabular
+    * slice (see [[Privacy.kAnonymity]]). */
+  val kAnonymityDocs: Q = (s, d) =>
+    Privacy.kAnonymity(
+      t(s, d, "documents").withColumn("len_bucket", floor(col("n_chars") / 200)),
+      Seq("lang", "source", "len_bucket"), k = 5)
+      .orderBy("lang", "source", "len_bucket")
+
+  /** 32-way hash-shard write manifest over documents (see
+    * [[Curation.shardManifest]]); load_ratio pins the uniformity of the
+    * md5-derived shard assignment. */
+  val shardManifestDocs: Q = (s, d) =>
+    Curation.shardManifest(t(s, d, "documents"), "doc_id", "n_chars", nShards = 32)
+      .orderBy("shard_id")
+
+  /** Deterministic 16-shard interleaved training order over documents —
+    * the global-sort-free corpus shuffle (see [[Curation.interleaveOrder]]). */
+  val interleaveOrderDocs: Q = (s, d) =>
+    Curation.interleaveOrder(t(s, d, "documents"), "doc_id", nShards = 16)
+      .orderBy("global_ord")
+
+  /** Int8 quantization audit of the embeddings table (see
+    * [[Similarity.quantizeInt8]]); scale/mse/max_err mirrored in DuckDB
+    * list lambdas with the shared rounding gates. */
+  val quantizeEmbed: Q = (s, d) =>
+    Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   val all: Map[String, Q] = Map(
+    "k_anonymity" -> kAnonymityDocs,
+    "shard_manifest" -> shardManifestDocs,
+    "interleave_order" -> interleaveOrderDocs,
+    "quantize_embed" -> quantizeEmbed,
     "chi_square" -> chiSquareLs,
     "cohort_retention" -> cohortRetention,
     "sliding_counts" -> slidingCounts,
@@ -216,6 +249,62 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // len_bucket: duckdb floor yields DOUBLE (spark's yields BIGINT);
+    // at_risk CASE cast to INTEGER to match spark's when/otherwise INT
+    "k_anonymity" ->
+      """SELECT lang, source, CAST(floor(n_chars / 200) AS BIGINT) AS len_bucket,
+        |  count(*) AS n,
+        |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+        |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the shard draw mirrors Curation.shardId: first 4 md5 hex chars as an
+    // integer mod nShards ('0x' string cast = spark's conv(..,16,10));
+    // sum(BIGINT) cast back from duckdb's HUGEINT
+    "shard_manifest" ->
+      """WITH a AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 32
+        |      AS shard_id,
+        |    n_chars
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_size,
+        |  round(CAST(count(*) * 32 AS DOUBLE) / sum(count(*)) OVER (), 4) AS load_ratio
+        |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "interleave_order" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 16
+        |      AS shard_id
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, shard_id,
+        |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) - 1
+        |    AS BIGINT) * 16 + shard_id AS global_ord
+        |FROM a ORDER BY global_ord""".stripMargin,
+    // quantization arithmetic mirrored with the shared rounding gates:
+    // scale rounds to 6 BEFORE quantizing, codes clamp at +/-127, error
+    // sums run over the list in order; dim cast (duckdb len -> BIGINT,
+    // spark size -> INT); the scale=0 zero-vector case never divides
+    "quantize_embed" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |    round(list_max(list_transform(e, x -> abs(x))) / 127, 6) AS scale
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, e, scale,
+        |    list_transform(e, x -> x -
+        |      greatest(least(round(x / scale, 0), CAST(127 AS DOUBLE)),
+        |               CAST(-127 AS DOUBLE)) * scale) AS err
+        |  FROM s)
+        |SELECT vec_id, CAST(len(e) AS INTEGER) AS dim, scale,
+        |  CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE round(list_sum(list_transform(err, x -> x * x)) / len(e), 8)
+        |  END AS mse,
+        |  CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE round(list_max(list_transform(err, x -> abs(x))), 6)
+        |  END AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     // expected/chi2 doubles mirror the Spark operation order exactly:
     // rt*ct/n first, then (obs-e)^2/e, then round 4. sums cast to BIGINT
     // inside the CTEs (duckdb sums integers into HUGEINT, spark into LONG)

@@ -329,6 +329,71 @@ object Curation {
       col(idCol).asc_nulls_last).limit(n)
   }
 
+  /** Hash-stable shard id in [0, nShards): the first 4 hex chars of
+    * md5(id) as an integer draw from 65,536 buckets, reduced mod nShards.
+    * Uniform when nShards divides 65,536 (powers of two up to 65,536);
+    * otherwise the low buckets carry at most one extra 1/65,536 slice —
+    * callers wanting exact uniformity pick a power of two. Mirrors in
+    * DuckDB as `('0x' || substr(md5(id), 1, 4))::INTEGER % n`. */
+  private def shardId(idCol: String, nShards: Int): Column =
+    (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") % nShards).as("shard_id")
+
+  /** Output-shard manifest — the write-planning report for materializing a
+    * corpus as `nShards` parallel files: every id is assigned a HASH-STABLE
+    * shard (md5-derived, so assignment never flips with row order, cluster
+    * size, or corpus growth elsewhere), and the manifest reports each
+    * shard's document count, total payload size, and load ratio
+    * (n_docs / ideal). Returns (shard_id, n_docs, total_size, load_ratio)
+    * — a load_ratio far from 1.0 says the id space is pathological (e.g.
+    * constant ids) BEFORE a terabyte write discovers it.
+    *
+    * Hash sharding vs [[packIndex]]: packing optimizes sequential READ
+    * grouping (cumulative token budget, needs a per-partition window);
+    * hash sharding optimizes parallel WRITE fan-out — pure map-side
+    * assignment, no window, no ordering, every executor routes rows
+    * independently. The manifest itself is ONE partial-aggregated groupBy
+    * to nShards rows; the load-ratio window runs over those nShards rows
+    * only, never the corpus. NULL ids get a NULL shard and surface as
+    * their own manifest row rather than vanishing. */
+  def shardManifest(
+      df: DataFrame, idCol: String, sizeCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val all = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    df.select(shardId(idCol, nShards), col(sizeCol))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast("long")).as("total_size"))
+      .withColumn("load_ratio",
+        round(col("n_docs") * nShards / sum("n_docs").over(all), 4))
+  }
+
+  /** Deterministic interleaved training order WITHOUT a global sort — the
+    * "shuffle the corpus for training" step at scale. A global
+    * `ORDER BY md5(id)` needs a full range-partitioned sort of the corpus;
+    * instead each row gets a hash-stable shard (see [[shardManifest]]),
+    * rows are ranked WITHIN their shard by their md5 draw (ties by id),
+    * and the global position round-robins across shards:
+    * `global_ord = (rank - 1) * nShards + shard_id`. The result is a
+    * total, collision-free order (the map is injective) that interleaves
+    * shards — adjacent training positions come from different hash shards,
+    * which is exactly the decorrelation a training shuffle is for.
+    *
+    * Returns (idCol, shard_id, global_ord). Scale shape: one shuffle on
+    * the shard key + a per-shard window — partitions are 1/nShards of the
+    * corpus, never a single global partition. NULL ids (NULL draw, NULL
+    * shard) are excluded: a nondeterministic tail position is worse than
+    * absent, matching [[sampleFixed]]'s NULL stance. */
+  def interleaveOrder(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = Window.partitionBy("shard_id")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), shardId(idCol, nShards))
+      .withColumn("global_ord",
+        (row_number().over(w) - 1).cast("long") * nShards + col("shard_id"))
+  }
+
   /** Corpus snapshot diff — the dataset-versioning primitive: classify
     * every id across two snapshots as added / removed / changed /
     * unchanged by comparing an md5 over the `contentCols` (joined with a

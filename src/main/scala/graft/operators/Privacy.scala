@@ -55,4 +55,29 @@ object Privacy {
         patterns.zip(counts).map { case ((n, _, _), c) => s"n_$n" -> c }
     df.withColumns(newCols.toMap)
   }
+
+  /** k-anonymity audit over a set of quasi-identifier columns: every
+    * combination of QI values that fewer than `k` rows share is a
+    * re-identification risk (those rows are distinguishable by their QIs
+    * alone — the standard privacy gate run before releasing or training on
+    * tabular slices). Returns one row per QI combination:
+    * (quasiCols..., n BIGINT, at_risk INT 0/1), so callers can both gate
+    * (`max(at_risk) = 0` means the release is k-anonymous) and locate the
+    * offending groups.
+    *
+    * NULL is a legitimate QI value and forms its own group — a NULL
+    * birthdate still distinguishes a row, so dropping NULL groups would
+    * understate risk.
+    *
+    * Scale shape: ONE partial-aggregated groupBy over the corpus (counts
+    * combine map-side); no window, no join, no second pass. The output is
+    * |distinct QI combinations| rows — if that itself approaches corpus
+    * size, that IS the finding (nearly every row is unique on its QIs). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity requires at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2 (k=1 marks nothing), got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", when(col("n") < k, 1).otherwise(0))
+  }
 }

@@ -241,4 +241,38 @@ object Similarity {
     df.select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("grp", "pos")
       .agg(round(avg(col("x").cast("double")), 6).as("c"))
+
+  /** Symmetric int8 scalar quantization audit — the storage-planning step
+    * for an embedding corpus (float32 → int8 is the standard 4× shrink
+    * before a vector store or an IVF index): per vector, the scale
+    * `max|x| / 127`, the quantized code `clamp(round(x / scale), ±127)`,
+    * and the reconstruction-error stats that decide whether int8 is
+    * acceptable for the downstream similarity metric. Returns
+    * (idCol, dim INT, scale, mse, max_err); the codes themselves are an
+    * internal detail here — the AUDIT is the operator, and a caller that
+    * wants the codes applies the same arithmetic in a projection.
+    *
+    * Scale shape: pure map-side array expressions (transform/aggregate),
+    * no shuffle, no UDF — one pass over the corpus. Determinism: `scale`
+    * is rounded to 6 decimals BEFORE quantizing (the established
+    * cross-engine rounding gate: both engines then divide by the identical
+    * double), error sums run left-to-right over the array in both engines,
+    * and mse/max_err round at 8/6. A zero vector (scale 0) reports zero
+    * error explicitly — the engines disagree on double x/0 (IEEE inf vs
+    * NULL), so the case never reaches the division. NULL vectors yield
+    * NULL stats. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val scale = round(array_max(transform(e, x => abs(x))) / 127, 6)
+    def err(v: Column, s: Column): Column = transform(v, x =>
+      x - greatest(least(round(x / s, 0), lit(127.0)), lit(-127.0)) * s)
+    df.select(col(idCol), size(e).as("dim"), scale.as("scale"), e.as("__e"))
+      .select(col(idCol), col("dim"), col("scale"),
+        when(col("scale") === 0, lit(0.0)).otherwise(
+          round(aggregate(err(col("__e"), col("scale")), lit(0.0),
+            (acc, x) => acc + x * x) / col("dim"), 8)).as("mse"),
+        when(col("scale") === 0, lit(0.0)).otherwise(
+          round(array_max(transform(err(col("__e"), col("scale")), x => abs(x))), 6))
+          .as("max_err"))
+  }
 }

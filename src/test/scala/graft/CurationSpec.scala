@@ -287,4 +287,53 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(moved == Map(1L -> "changed"), moved.toString)
   }
+
+  test("shardManifest: shards cover [0,n), rows conserved, assignment survives repartitioning") {
+    val df = (1L to 400L).map(i => (i, 10L + i % 7)).toDF("id", "sz")
+    val m = Curation.shardManifest(df, "id", "sz", nShards = 8).collect()
+    val byShard = m.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8), byShard.keySet.toString)
+    assert(byShard.values.sum == 400L)
+    assert(m.map(_.getLong(2)).sum == (1L to 400L).map(i => 10L + i % 7).sum)
+    // load_ratio averages 1 by construction; every shard within sane bounds
+    // for a uniform draw over 400 ids
+    m.foreach(r => assert(r.getDouble(3) > 0.3 && r.getDouble(3) < 3.0, r.toString))
+    val re = Curation.shardManifest(df.repartition(13), "id", "sz", 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(re == byShard)
+  }
+
+  test("shardManifest: NULL ids surface as their own manifest row, not dropped") {
+    val df = Seq((Some(1L), 5L), (None, 7L), (None, 9L))
+      .toDF("id", "sz")
+    val m = Curation.shardManifest(df, "id", "sz", nShards = 4).collect()
+    val nullRow = m.find(_.isNullAt(0))
+    assert(nullRow.exists(_.getLong(1) == 2L), m.mkString(";"))
+    assert(m.map(_.getLong(1)).sum == 3L)
+  }
+
+  test("interleaveOrder: total injective order that round-robins across shards") {
+    val df = (1L to 300L).toDF("id")
+    val ord = Curation.interleaveOrder(df, "id", nShards = 16).collect()
+    assert(ord.length == 300)
+    val positions = ord.map(_.getLong(2))
+    assert(positions.distinct.length == 300, "global_ord must be collision-free")
+    // the round-robin invariant: a row's global position is congruent to
+    // its shard id mod nShards
+    ord.foreach(r => assert(r.getLong(2) % 16 == r.getInt(1), r.toString))
+    // determinism across physical layout
+    val re = Curation.interleaveOrder(df.repartition(7), "id", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == ord.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+  }
+
+  test("interleaveOrder: NULL ids are excluded; window partitions by shard, never globally") {
+    val df = Seq(Some(1L), None, Some(2L)).toDF("id")
+    val ord = Curation.interleaveOrder(df, "id", nShards = 4)
+    assert(ord.count() == 2)
+    // scale guard: the ranking window must be partitioned (no move-all-
+    // data-to-one-partition WindowExec)
+    val plan = ord.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(shard_id"), plan)
+  }
 }

@@ -54,4 +54,28 @@ class PrivacySpec extends SparkSpec {
       Privacy.redactPii(df, "t", Seq(("x", "a", "<A>"), ("x", "b", "<B>"))))
     intercept[IllegalArgumentException](Privacy.redactPii(df, "t", Seq.empty))
   }
+
+  test("kAnonymity: groups under k flagged, groups at/over k clean") {
+    val df = Seq(
+      ("bc", "1990"), ("bc", "1990"), ("bc", "1990"),   // n=3, safe at k=3
+      ("ab", "1990"), ("ab", "1990"),                   // n=2, at risk
+      ("sk", "1985"))                                   // n=1, at risk
+      .toDF("region", "birth_year")
+    val r = Privacy.kAnonymity(df, Seq("region", "birth_year"), k = 3)
+      .collect().map(x => (x.getString(0), x.getLong(2), x.getInt(3))).toSet
+    assert(r == Set(("bc", 3L, 0), ("ab", 2L, 1), ("sk", 1L, 1)), r.toString)
+  }
+
+  test("kAnonymity: NULL quasi-identifier values form their own (countable) group") {
+    val df = Seq(Some("bc"), None, None).map(v => Tuple1(v)).toDF("region")
+    val r = Privacy.kAnonymity(df, Seq("region"), k = 2)
+      .collect().map(x => (Option(x.getString(0)), x.getLong(1), x.getInt(2))).toSet
+    assert(r == Set((Some("bc"), 1L, 1), (None, 2L, 0)), r.toString)
+  }
+
+  test("kAnonymity: k < 2 and empty quasi set rejected") {
+    val df = Seq(("a", 1)).toDF("q", "v")
+    intercept[IllegalArgumentException](Privacy.kAnonymity(df, Seq("q"), k = 1))
+    intercept[IllegalArgumentException](Privacy.kAnonymity(df, Seq.empty, k = 5))
+  }
 }

@@ -109,4 +109,44 @@ class SimilaritySpec extends SparkSpec {
       .forall(_.getClass.getSimpleName.contains("LocalRelation")),
       sc.queryExecution.optimizedPlan.toString)
   }
+
+  test("quantizeInt8: error bounded by half a quantization step; codes clamp at +/-127") {
+    import sqlContext.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 2.54f, 0.0f)),
+      (2L, Array(127.0f, -127.0f, 1.0f, 63.5f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    r.foreach { case (id, (dim, scale, mse, maxErr)) =>
+      assert(dim == 4)
+      assert(scale > 0)
+      // |x - q*scale| <= scale/2 elementwise (plus the 6-decimal rounding
+      // of scale and the 6-decimal rounding of max_err itself)
+      assert(maxErr <= scale / 2 + 2e-6, s"$id: max_err $maxErr vs scale $scale")
+      assert(mse <= maxErr * maxErr + 1e-9, s"$id: mse $mse")
+    }
+  }
+
+  test("quantizeInt8: zero vectors report zero error; NULL vectors yield NULL stats") {
+    import sqlContext.implicits._
+    val vecs = Seq((1L, Some(Array(0f, 0f, 0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(rows(0).getDouble(2) == 0.0 && rows(0).getDouble(3) == 0.0
+      && rows(0).getDouble(4) == 0.0, rows(0).toString)
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(3) && rows(1).isNullAt(4),
+      rows(1).toString)
+  }
+
+  test("quantizeInt8: map-side only (no shuffle in the plan)") {
+    import sqlContext.implicits._
+    val vecs = (1L to 50L).map(i => (i, Array.fill(8)(i.toFloat / 7)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
