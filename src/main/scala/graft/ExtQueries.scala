@@ -492,6 +492,37 @@ object ExtQueries {
     TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Per-doc character entropy — the compression-proxy quality signal. */
+  val charEntropy: Q = (s, d) =>
+    TextAnalysis.withCharEntropy(t(s, d, "documents"), "text")
+      .select("doc_id", "char_entropy").orderBy("doc_id")
+
+  /** Gopher-style rule audit with a word-count floor chosen to split the
+    * fixture corpus (some docs under 35 words), so every flag column is
+    * exercised on both values. */
+  val gopherRulesQ: Q = (s, d) =>
+    TextAnalysis.gopherRules(t(s, d, "documents"), "doc_id", "text",
+      minWords = 35, maxMeanLen = 4.8)
+      .orderBy("doc_id")
+
+  /** Embedding-corpus alignment audit over deliberately mismatched slices
+    * (docs under id 400 vs non-zero-label vectors), so doc-only and
+    * vec-only counts are both nonzero and the differential is
+    * non-degenerate. */
+  val embedIntegrityQ: Q = (s, d) =>
+    Similarity.embedIntegrity(
+      t(s, d, "documents").filter(col("doc_id") < 400), "doc_id",
+      t(s, d, "embeddings").filter(col("label") =!= 0), "vec_id", "embedding")
+
+  /** BM25 top-25 for a 3-term query mixing a rare term ("dup", high idf)
+    * with two common ones — ranked lexical retrieval next to the ANN
+    * family. Rounded-score ranking with doc-id tie-break (engine-portable,
+    * same discipline as tfidf_topterms). */
+  val bm25Rank: Q = (s, d) =>
+    TextAnalysis.bm25Rank(t(s, d, "documents"), "doc_id", "text",
+      queryTerms = Seq("dup", "spark", "vector"), k = 25)
+      .orderBy("rank")
+
   /** Edit-distance≤2 pairs over the corpus VOCABULARY (distinct tokens)
     * via the pigeonhole segment-blocked plan — never the all-pairs
     * product. d=2 (not 1) so the fixture vocabulary yields nonzero pairs
@@ -661,6 +692,10 @@ object ExtQueries {
     "cap_stratum" -> capStratum,
     "corpus_diff" -> corpusDiff,
     "tfidf_topterms" -> tfidfTopTerms,
+    "bm25_rank" -> bm25Rank,
+    "char_entropy" -> charEntropy,
+    "gopher_rules" -> gopherRulesQ,
+    "embed_integrity" -> embedIntegrityQ,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -818,6 +853,119 @@ object ExtQueries {
         |  SELECT *, CAST(row_number() OVER (
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
         |  FROM s) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // entropy mirrored with the shared float discipline: chars via
+    // 1..len substr (never engine-specific ''-split semantics), the
+    // distinct alphabet SORTED before the n*ln(n) sum so both engines add
+    // in identical order, round 6, empty/NULL -> NULL
+    "char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NOT NULL AND len(text) > 0 THEN
+        |      list_transform(range(len(text)), i -> substr(text, CAST(i + 1 AS INTEGER), 1))
+        |    END AS ch
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN ch IS NOT NULL THEN
+        |    round(ln(CAST(len(ch) AS DOUBLE)) -
+        |      list_sum(list_transform(list_sort(list_distinct(ch)),
+        |        d -> CAST(len(list_filter(ch, x -> x = d)) AS DOUBLE) *
+        |             ln(CAST(len(list_filter(ch, x -> x = d)) AS DOUBLE))))
+        |      / len(ch), 6)
+        |  END AS char_entropy
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // rule statistics mirrored definition-for-definition: mean word length
+    // is (chars - separators)/words, symbol chars are outside
+    // [A-Za-z0-9 ], alpha words contain a letter, stop hits count DISTINCT
+    // stopwords; flags cast INTEGER to match when/otherwise
+    "gopher_rules" ->
+      """WITH f AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w, text
+        |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    round(CAST(len(text) - (len(w) - 1) AS DOUBLE) / len(w), 4) AS mean_word_len,
+        |    round(CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / len(text), 4) AS symbol_ratio,
+        |    round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / len(w), 4) AS alpha_ratio,
+        |    CAST(len(list_filter(list_distinct(w),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+        |  CAST(CASE WHEN n_words < 35 OR n_words > 100000 THEN 1 ELSE 0 END AS INTEGER) AS f_words,
+        |  CAST(CASE WHEN mean_word_len < 3.0 OR mean_word_len > 4.8 THEN 1 ELSE 0 END AS INTEGER) AS f_mean_len,
+        |  CAST(CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END AS INTEGER) AS f_symbol,
+        |  CAST(CASE WHEN alpha_ratio < 0.8 THEN 1 ELSE 0 END AS INTEGER) AS f_alpha,
+        |  CAST(CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS INTEGER) AS f_stop,
+        |  CAST((CASE WHEN n_words < 35 OR n_words > 100000 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN mean_word_len < 3.0 OR mean_word_len > 4.8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN alpha_ratio < 0.8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_failed,
+        |  CAST(CASE WHEN (CASE WHEN n_words < 35 OR n_words > 100000 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN mean_word_len < 3.0 OR mean_word_len > 4.8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN alpha_ratio < 0.8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END) = 0
+        |    THEN 1 ELSE 0 END AS INTEGER) AS pass
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // alignment audit over the same deliberately mismatched slices; dims
+    // cast INTEGER (duckdb len -> BIGINT, spark size -> INT), counts BIGINT
+    "embed_integrity" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 1 AS dd FROM documents WHERE doc_id < 400),
+        |e AS (
+        |  SELECT vec_id AS id, 1 AS ee,
+        |    CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS null_v,
+        |    CASE WHEN embedding IS NOT NULL AND len(embedding) = 0 THEN 1 ELSE 0 END AS empty_v,
+        |    CASE WHEN COALESCE(len(list_filter(embedding,
+        |        x -> isnan(x) OR isinf(x))) > 0, FALSE) THEN 1 ELSE 0 END AS bad_v,
+        |    CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+        |      THEN CAST(len(embedding) AS INTEGER) END AS dim
+        |  FROM embeddings WHERE label <> 0)
+        |SELECT
+        |  CAST(sum(COALESCE(dd, 0)) AS BIGINT) AS n_docs,
+        |  CAST(sum(COALESCE(ee, 0)) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN dd IS NOT NULL AND ee IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN dd IS NOT NULL AND ee IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_only,
+        |  CAST(sum(CASE WHEN dd IS NULL AND ee IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_only,
+        |  CAST(sum(COALESCE(null_v, 0)) AS BIGINT) AS n_null_vec,
+        |  CAST(sum(COALESCE(empty_v, 0)) AS BIGINT) AS n_empty_vec,
+        |  CAST(sum(COALESCE(bad_v, 0)) AS BIGINT) AS n_nonfinite,
+        |  min(dim) AS min_dim, max(dim) AS max_dim
+        |FROM d FULL OUTER JOIN e USING (id)""".stripMargin,
+    // BM25 arithmetic mirrored with the shared discipline: avgdl is an
+    // exact integer sum over N (never a float-accumulated avg),
+    // contributions add in query-term order, score rounds at 6 BEFORE the
+    // rank/limit, ties break on doc_id. Lucene idf (ln(1+(N-df+.5)/(df+.5)))
+    // keeps every contribution non-negative, so score > 0 <=> any term hit.
+    "bm25_rank" ->
+      """WITH f AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'dup')) AS tf0,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf1,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf2
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM f)
+        |SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |FROM (
+        |  SELECT doc_id, round(
+        |      ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+        |  FROM f CROSS JOIN s)
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "fuzzy_join" ->
       """WITH v AS (
         |  SELECT DISTINCT unnest(string_split(text, ' ')) AS s FROM documents)

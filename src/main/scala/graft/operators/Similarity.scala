@@ -261,6 +261,52 @@ object Similarity {
     * error explicitly — the engines disagree on double x/0 (IEEE inf vs
     * NULL), so the case never reaches the division. NULL vectors yield
     * NULL stats. */
+  /** Embedding-corpus integrity audit — the alignment check run before any
+    * join of a document table with its embedding table feeds training or
+    * retrieval: documents without a vector (embedding job lagging or
+    * dropped rows), vectors without a document (stale vectors surviving a
+    * corpus delete — a leak if deletes were privacy-driven), NULL/empty
+    * vectors, non-finite components (NaN/±Inf poison every downstream
+    * distance), and the dimension range (a mixed-dim corpus breaks vector
+    * ops silently). One audit row:
+    * (n_docs, n_vecs, n_matched, n_doc_only, n_vec_only, n_null_vec,
+    *  n_empty_vec, n_nonfinite, min_dim, max_dim) — dims measured over
+    * non-null non-empty vectors only.
+    *
+    * Scale shape: each side pre-collapses map-side to (id, per-vector
+    * flags), then ONE full-outer equi-join on id and ONE partial-aggregated
+    * global count pass — no window, no second corpus scan. Duplicate ids
+    * (if present) count per-row, so `n_matched` can exceed distinct-id
+    * overlap — run a dup audit first if ids aren't known-unique. */
+  def embedIntegrity(
+      docs: DataFrame, docId: String,
+      embeds: DataFrame, vecId: String, vecCol: String): DataFrame = {
+    val d = docs.select(col(docId).as("__id"), lit(1).as("__d"))
+    val nonFinite = exists(col(vecCol), x =>
+      isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity)
+    val e = embeds.select(col(vecId).as("__id"), lit(1).as("__e"),
+      col(vecCol).isNull.cast("int").as("__null_v"),
+      (col(vecCol).isNotNull && size(col(vecCol)) === 0).cast("int").as("__empty_v"),
+      coalesce(nonFinite, lit(false)).cast("int").as("__bad_v"),
+      when(col(vecCol).isNotNull && size(col(vecCol)) > 0, size(col(vecCol)))
+        .as("__dim"))
+    d.join(e, Seq("__id"), "full_outer")
+      .agg(
+        sum(coalesce(col("__d"), lit(0))).as("n_docs"),
+        sum(coalesce(col("__e"), lit(0))).as("n_vecs"),
+        sum(when(col("__d").isNotNull && col("__e").isNotNull, 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("__d").isNotNull && col("__e").isNull, 1L).otherwise(0L))
+          .as("n_doc_only"),
+        sum(when(col("__d").isNull && col("__e").isNotNull, 1L).otherwise(0L))
+          .as("n_vec_only"),
+        sum(coalesce(col("__null_v"), lit(0))).cast("long").as("n_null_vec"),
+        sum(coalesce(col("__empty_v"), lit(0))).cast("long").as("n_empty_vec"),
+        sum(coalesce(col("__bad_v"), lit(0))).cast("long").as("n_nonfinite"),
+        min(col("__dim")).as("min_dim"),
+        max(col("__dim")).as("max_dim"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val e = transform(col(vecCol), x => x.cast("double"))
     val scale = round(array_max(transform(e, x => abs(x))) / 127, 6)

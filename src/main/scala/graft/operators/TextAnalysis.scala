@@ -198,6 +198,152 @@ object TextAnalysis {
       .select("doc_id", "term", "tfidf", "rank")
   }
 
+  /** BM25 ranked keyword retrieval — the lexical-search twin of the ANN
+    * operators ([[graft.operators.Similarity]]): score every document
+    * against a fixed bag of query terms with Okapi BM25
+    * (`idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`, Lucene's
+    * non-negative `idf = ln(1 + (N−df+0.5)/(df+0.5))`) and return the
+    * top-k matches. Returns (idCol, score, rank); only documents matching
+    * at least one query term appear (score > 0 — retrieval, not corpus
+    * scoring).
+    *
+    * Scale shape: the query is a SMALL CONSTANT term set, so per-term
+    * tf's are computed as map-side array-filter counts in ONE projection
+    * — the corpus is never exploded to (doc, token) rows and never
+    * shuffled. Corpus statistics (N, avgdl, per-term df) collapse to a
+    * 1-row aggregate that broadcasts back; the final top-k is
+    * `orderBy.limit(k)` — TakeOrdered ships at most k rows per partition,
+    * never a global sort. One aggregate pass + one map pass, total.
+    *
+    * Determinism: avgdl is `sum(dl)/N` (exact integer sum, not a
+    * float-accumulated avg), contributions add left-to-right in query
+    * order, the score rounds at 6 BEFORE ranking, and ties break on the
+    * id — rank is engine-portable. NULL texts are excluded (they can
+    * match nothing and would poison N/avgdl with NULL). */
+  def bm25Rank(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25Rank requires at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate query terms would double-count: $queryTerms")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val toks = TextFns.tokens(col(textCol))
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol) +: size(toks).cast("long").as("__dl") +:
+        queryTerms.zipWithIndex.map { case (q, i) =>
+          size(filter(toks, t => t === q)).cast("long").as(s"__tf$i")
+        }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+    def contrib(i: Int): Column = {
+      val tf = col(s"__tf$i").cast("double")
+      val dfq = col(s"__df$i").cast("double")
+      val idf = log(lit(1.0) + (col("__n") - dfq + 0.5) / (dfq + 0.5))
+      idf * tf * (k1 + 1) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }
+    val score = queryTerms.indices.map(contrib).reduceLeft(_ + _)
+    val hits = base.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+    // rank over the <= k surviving rows only (a single-partition window is
+    // fine AFTER the limit bounds it; never over the corpus)
+    hits.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+  }
+
+  /** Character-level Shannon entropy per document (nats) — the
+    * compression-ratio proxy quality signal: near-zero entropy flags
+    * degenerate repetition ("aaaa…", padding artifacts), unusually high
+    * entropy flags binary-as-text/base64 blobs; both are standard corpus
+    * rejects that token-level stats miss (a doc of one repeated WORD still
+    * has many distinct chars; a base64 blob has a healthy type/token
+    * ratio). `H = ln(n) − (Σ nᵢ·ln nᵢ)/n` over character counts nᵢ.
+    *
+    * Scale shape: pure map-side array expressions — chars via
+    * sequence+substr (never a corpus explode; a per-CHAR explode is a
+    * 100-1000× row blowup at corpus scale), counts via
+    * distinct×filter (O(|alphabet|·n) per doc, |alphabet| ≤ ~100 for
+    * natural text). No shuffle, no UDF.
+    *
+    * Determinism: the distinct-char array is SORTED before the count sum,
+    * so both engines add nᵢ·ln nᵢ in identical order; entropy rounds at
+    * 6. Empty and NULL texts yield NULL (no distribution to measure). */
+  def withCharEntropy(df: DataFrame, textCol: String, as: String = "char_entropy"): DataFrame = {
+    val n = length(col(textCol))
+    val chars = transform(sequence(lit(1), n), i => col(textCol).substr(i, lit(1)))
+    val counts = transform(array_sort(array_distinct(chars)),
+      c => size(filter(chars, x => x === c)).cast("double"))
+    val sumNlogN = aggregate(counts, lit(0.0), (acc, c) => acc + c * log(c))
+    df.withColumn(as,
+      when(n > 0, round(log(n.cast("double")) - sumNlogN / n, 6)))
+  }
+
+  /** Gopher/C4-style rule-based quality audit — the standard heuristic
+    * document filter (MassiveText §A1.1-style rules, public): word-count
+    * bounds, mean-word-length band, symbol-character ratio cap, alphabetic
+    * -word ratio floor, and a minimum number of DISTINCT stopwords (the
+    * "is this prose at all" test). Returns one row per document with the
+    * measured statistics, each rule's flag (1 = violated), the violation
+    * count, and `pass` — callers filter on `pass = 1` or inspect per-rule
+    * counts to tune thresholds before a destructive filter runs at scale.
+    *
+    * Statistic definitions (mirrored in the oracle): mean word length is
+    * `(chars − separators)/words` ([[withQualityScore]]'s convention);
+    * symbol_ratio is the fraction of characters outside `[A-Za-z0-9 ]`;
+    * alpha_ratio is the fraction of words containing at least one letter;
+    * stop_hits counts DISTINCT stopwords present (multiplicity is
+    * [[graft.functions.TextFns.stopwordHits]]'s job). All map-side column
+    * expressions — one projection, no shuffle, no UDF. NULL texts are
+    * excluded (no statistics to audit — same stance as [[bm25Rank]]). */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to"),
+      minStopHits: Int = 2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"bad word bounds [$minWords, $maxWords]")
+    require(stopwords.nonEmpty, "gopherRules requires a stopword list")
+    val toks = TextFns.tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val meanLen = (length(col(textCol)) - (nWords - 1)).cast("double") / nWords
+    val symbolRatio =
+      length(regexp_replace(col(textCol), "[A-Za-z0-9 ]", "")).cast("double") /
+        length(col(textCol))
+    val alphaRatio =
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / size(toks)
+    val stopHits = size(filter(array_distinct(toks),
+      t => stopwords.foldLeft(lit(false))((acc, s) => acc || (t === s)))).cast("long")
+    def flag(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol),
+        nWords.as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(symbolRatio, 4).as("symbol_ratio"),
+        round(alphaRatio, 4).as("alpha_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("f_words", flag(col("n_words") < minWords || col("n_words") > maxWords))
+      .withColumn("f_mean_len",
+        flag(col("mean_word_len") < minMeanLen || col("mean_word_len") > maxMeanLen))
+      .withColumn("f_symbol", flag(col("symbol_ratio") > maxSymbolRatio))
+      .withColumn("f_alpha", flag(col("alpha_ratio") < minAlphaRatio))
+      .withColumn("f_stop", flag(col("stop_hits") < minStopHits))
+      .withColumn("n_failed",
+        (col("f_words") + col("f_mean_len") + col("f_symbol") +
+          col("f_alpha") + col("f_stop")).cast("int"))
+      .withColumn("pass", flag(col("n_failed") === 0))
+  }
+
   /** Fixed-size overlapping character chunks — the pre-embedding window
     * split every retrieval/training pipeline runs before vectorizing long
     * documents. Chunk i covers `[i·step, i·step + chunkChars)` with

@@ -149,4 +149,32 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("embedIntegrity: every defect class counted once; healthy corpus audits clean") {
+    import sqlContext.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id") // 5 docs; 6L is vec-only
+    val vecs = Seq(
+      (1L, Some(Array(1f, 2f))),                     // matched, healthy
+      (2L, None),                                    // matched, NULL vector
+      (3L, Some(Array.empty[Float])),                // matched, empty vector
+      (4L, Some(Array(Float.NaN, 1f, 2f))),          // matched, non-finite, dim 3
+      (6L, Some(Array(Float.PositiveInfinity, 0f)))  // vec-only, non-finite
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embedIntegrity(docs, "doc_id", vecs, "vec_id", "embedding")
+      .collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 5, r.toString)       // n_docs, n_vecs
+    assert(r.getLong(2) == 4, r.toString)                            // n_matched
+    assert(r.getLong(3) == 1 && r.getLong(4) == 1, r.toString)       // doc_only (5), vec_only (6)
+    assert(r.getLong(5) == 1 && r.getLong(6) == 1, r.toString)       // null, empty
+    assert(r.getLong(7) == 2, r.toString)                            // NaN + Inf vectors
+    assert(r.getInt(8) == 2 && r.getInt(9) == 3, r.toString)         // min/max dim over usable vecs
+    val clean = Similarity.embedIntegrity(
+      docs, "doc_id",
+      Seq((1L, Array(1f)), (2L, Array(2f)), (3L, Array(3f)), (4L, Array(4f)), (5L, Array(5f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().head
+    assert(clean.getLong(2) == 5 && clean.getLong(3) == 0 && clean.getLong(4) == 0
+      && clean.getLong(5) == 0 && clean.getLong(6) == 0 && clean.getLong(7) == 0,
+      clean.toString)
+  }
 }

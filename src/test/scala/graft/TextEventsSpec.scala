@@ -337,4 +337,106 @@ class TextEventsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.chunkDocs(docs, "doc_id", "text", 5, 5))
   }
+
+  test("withCharEntropy: degenerate/uniform/known distributions; empty and NULL yield NULL") {
+    val docs = Seq(
+      (1L, "aaaa"),        // one symbol: H = 0
+      (2L, "ab"),          // two equiprobable: H = ln 2
+      (3L, "abcd"),        // four equiprobable: H = ln 4
+      (4L, "abab"),        // repetition does not add entropy: H = ln 2
+      (5L, ""),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withCharEntropy(docs, "text")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(1L).contains(0.0), out.toString)
+    assert(out(2L).contains(BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(3L).contains(BigDecimal(math.log(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(4L) == out(2L), s"${out(4L)} vs ${out(2L)}")
+    assert(out(5L).isEmpty && out(6L).isEmpty)
+    // low-entropy repetition scores strictly below natural-ish text
+    val cmp = TextAnalysis.withCharEntropy(
+      Seq((1L, "x" * 50), (2L, "the quick brown fox jumps over it")).toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(cmp(1L) < cmp(2L))
+    // map-side: no shuffle, no explode in the plan
+    val plan = TextAnalysis.withCharEntropy(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"), plan)
+  }
+
+  test("gopherRules: each rule fires on its crafted violator; clean prose passes; NULL/empty excluded") {
+    val docs = Seq(
+      (1L, ("the a of " + "word " * 50).trim),          // clean: passes all
+      (2L, ("the a " + "w " * 10).trim),                // too few words
+      (3L, ("the a of " + "lengthywords " * 50).trim),  // mean word len too high
+      (4L, ("the a of " + "#### $$$$ " * 25 + "w " * 50).trim), // symbols + non-alpha words
+      (5L, ("zz " * 60).trim),                          // no stopwords
+      (6L, ""),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+      minWords = 20, maxMeanLen = 8.0)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9), r.getInt(10), r.getInt(12))
+      }.toMap // (f_words, f_mean_len, f_symbol, f_alpha, f_stop, pass)
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L), out.keySet.toString)
+    assert(out(1L) == (0, 0, 0, 0, 0, 1), out(1L).toString)
+    assert(out(2L)._1 == 1 && out(2L)._6 == 0)
+    assert(out(3L)._2 == 1, out(3L).toString)
+    assert(out(4L)._3 == 1 && out(4L)._4 == 1, out(4L).toString)
+    assert(out(5L)._5 == 1, out(5L).toString)
+    intercept[IllegalArgumentException](
+      TextAnalysis.gopherRules(docs, "doc_id", "text", stopwords = Seq.empty))
+    intercept[IllegalArgumentException](
+      TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 0))
+  }
+
+  test("bm25Rank: rare terms outrank common, tf saturates, non-matches absent, NULL excluded") {
+    // "rare" appears in one doc, "common" in all four: idf(rare) >> idf(common)
+    val docs = Seq(
+      (1L, "rare common x y"),
+      (2L, "common common common common x y z w"),   // tf=3 but longer + common-only
+      (3L, "common x"),
+      (4L, "x y z"),                                  // matches nothing
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+      Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // doc 4 (no hits) and doc 5 (NULL) never appear
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L), out.mkString(","))
+    // the one rare-term doc wins despite doc 2's higher common-term tf
+    assert(out.find(_._3 == 1).map(_._1).contains(1L), out.mkString(","))
+    // ranks are 1..n, scores non-increasing
+    assert(out.sortBy(_._3).map(_._3).toSeq == (1 to out.length).toSeq)
+    assert(out.sortBy(_._3).map(_._2).toSeq.sliding(2)
+      .forall { case Seq(a, b) => a >= b; case _ => true })
+    // tf saturation: score grows sublinearly in tf — doubling tf of the
+    // only matching term in same-length docs must NOT double the score
+    val sat = Seq((1L, "t x y z"), (2L, "t t x y")).toDF("doc_id", "text")
+    val ss = TextAnalysis.bm25Rank(sat, "doc_id", "text", Seq("t"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ss(2L) > ss(1L) && ss(2L) < 2 * ss(1L), ss.toString)
+  }
+
+  test("bm25Rank: no corpus explode/shuffle — TakeOrdered plan, k bounds output; guards fire") {
+    val docs = (1L to 200L).map(i => (i, s"w$i spark common filler pad"))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.bm25Rank(docs, "doc_id", "text", Seq("spark"), k = 7)
+    val plan = q.queryExecution.executedPlan.toString
+    // top-k must be TakeOrdered (per-partition k rows), never a global Sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the corpus is never exploded to (doc, token) rows
+    assert(!plan.contains("Generate"), plan)
+    assert(q.count() == 7)
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Rank(docs, "doc_id", "text", Seq.empty, 5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Rank(docs, "doc_id", "text", Seq("a", "a"), 5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Rank(docs, "doc_id", "text", Seq("a"), 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Rank(docs, "doc_id", "text", Seq("a"), 5, b = 1.5))
+  }
 }
