@@ -117,6 +117,21 @@ object Queries {
       .select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey")
   }
 
+  /** Skew-safe salted join, adjudicated by the PLAIN-join oracle: the salt
+    * is physical-plan-only (left salts by content hash, right replicates
+    * per salt), so the result hashes identically to `lineitem JOIN orders`
+    * — the guarantee that makes the straggler fix safe to drop into any
+    * pipeline. Aggregated after the join so the driver compare stays
+    * small. */
+  val joinSalted: Q = (s, d) => {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+    val o = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    Ops.saltedJoin(li, o, "l_orderkey", "o_orderkey", salts = 4)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** J3 — rows in duplicate-key groups via window count (replaces the
     * reference's join-back-to-Frequency idiom, :246-250). */
   val dupTags: Q = (s, d) => {
@@ -457,6 +472,7 @@ object Queries {
     "join_enrich_descr" -> joinEnrichDescr,
     "join_enrich_stream" -> joinEnrichStream,
     "join_inner" -> joinInner,
+    "join_salted" -> joinSalted,
     "dup_tags" -> dupTags,
     "anti_unmatched" -> antiUnmatched,
     "semi_matched" -> semiMatched,
@@ -538,6 +554,13 @@ object Queries {
         |ORDER BY o_orderkey""".stripMargin,
     "join_inner" ->
       "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
+    // the PLAIN join: salting is physical-only, so the salted plan must
+    // hash-match this exactly (sum cast BIGINT-safe via round 2 double)
+    "join_salted" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "dup_tags" ->
       """SELECT l_orderkey, l_linenumber FROM (
         |  SELECT l_orderkey, l_linenumber, count(*) OVER (PARTITION BY l_orderkey) AS n FROM lineitem

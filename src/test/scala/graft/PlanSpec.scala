@@ -163,4 +163,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_percentile"), p)
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
+
+  test("join_salted: the join keys carry the salt (hot keys spread over salts reducers)") {
+    val p = plan("join_salted")
+    // the equi-join condition must include __salt next to the order key —
+    // that IS the skew fix; losing it silently reverts to one-reducer
+    // hot keys while results stay identical
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
