@@ -206,6 +206,36 @@ object Sources {
     merged.select(cols.toSeq: _*)
   }
 
+  /** Raw media files as opaque binary rows — the ingest mouth of the
+    * multimodal path ([[graft.operators.MultiModal]]): Spark's built-in
+    * `binaryFile` source lists the directory distributed-ly and each task
+    * reads its files' bytes, so a million images never touch the driver.
+    * Returns (path, mod_time, n_bytes, content BINARY); compose with
+    * `MultiModal.extractFeatures` after mapping to the Media shape.
+    *
+    * `pathGlobFilter` prunes at LISTING time (e.g. "*.png" never opens
+    * non-matching files); `maxBytes` guards against a single giant file
+    * OOMing an executor (binaryFile materializes one file per row —
+    * whole-file rows are the contract; streams belong to a chunking
+    * ingest, not this source). Files over the cap fail fast at read with
+    * Spark's own length check rather than silently truncating. */
+  def binaryFiles(
+      spark: SparkSession,
+      path: String,
+      glob: Option[String] = None,
+      maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    val r = spark.read.format("binaryFile")
+    glob.foreach(g => r.option("pathGlobFilter", g))
+    spark.conf.set("spark.sql.sources.binaryFile.maxLength", maxBytes.toString)
+    r.load(path)
+      .select(
+        org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("modificationTime").as("mod_time"),
+        org.apache.spark.sql.functions.col("length").as("n_bytes"),
+        org.apache.spark.sql.functions.col("content"))
+  }
+
   /** One incremental-ingest batch: the not-yet-processed files' rows, the
     * file list itself, and a `commit` that records them in the manifest.
     * Call `commit()` only after the batch's OUTPUT is durably written —

@@ -255,4 +255,32 @@ class SourcesSpec extends SparkSpec {
     mergeBatch()
     assert(live() == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
+
+  test("binaryFiles: reads raw media bytes; glob prunes at listing; codec decodes the payload") {
+    import graft.operators.MultiModal
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13) ++
+      "IHDR".getBytes ++ bytes(0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.png"), png)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/notes.txt"), "hello")
+    // unfiltered: both files, correct sizes, bytes intact
+    val all = graft.engine.Sources.binaryFiles(spark, dir)
+    assert(all.count() == 2)
+    // glob filter: only the png is listed (pruned before any read)
+    val imgs = graft.engine.Sources.binaryFiles(spark, dir, glob = Some("*.png"))
+    val row = imgs.collect().head
+    assert(imgs.count() == 1 && row.getLong(2) == png.length, row.toString)
+    assert(row.getAs[Array[Byte]]("content").sameElements(png))
+    // end-to-end into the multimodal path: source bytes -> Media -> features
+    import sqlContext.implicits._
+    val media = imgs.select(
+      org.apache.spark.sql.functions.monotonically_increasing_id().as("media_id"),
+      org.apache.spark.sql.functions.lit("image").as("modality"),
+      org.apache.spark.sql.functions.col("content")).as[MultiModal.Media]
+    val f = MultiModal.extractFeatures(media).collect().head
+    assert(f.format == "png" && f.width == 640 && f.height == 480, f.toString)
+    intercept[IllegalArgumentException](
+      graft.engine.Sources.binaryFiles(spark, dir, maxBytes = 0))
+  }
 }
