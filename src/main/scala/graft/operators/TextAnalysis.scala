@@ -220,38 +220,72 @@ object TextAnalysis {
     * order, the score rounds at 6 BEFORE ranking, and ties break on the
     * id — rank is engine-portable. NULL texts are excluded (they can
     * match nothing and would poison N/avgdl with NULL). */
-  def bm25Rank(
-      df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.Column
-    import org.apache.spark.sql.expressions.Window
-    require(queryTerms.nonEmpty, "bm25Rank requires at least one query term")
+  private def bm25Require(queryTerms: Seq[String], k1: Double, b: Double): Unit = {
+    require(queryTerms.nonEmpty, "BM25 requires at least one query term")
     require(queryTerms.distinct.size == queryTerms.size,
       s"duplicate query terms would double-count: $queryTerms")
-    require(k >= 1, s"k must be >= 1, got $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+  }
+
+  /** The map-side (doc length, per-term tf) projection BM25 scores from —
+    * one array-filter count per query term, never a corpus explode. */
+  private def bm25TfProjection(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
     val toks = TextFns.tokens(col(textCol))
-    val base = df.filter(col(textCol).isNotNull)
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol) +: size(toks).cast("long").as("__dl") +:
         queryTerms.zipWithIndex.map { case (q, i) =>
           size(filter(toks, t => t === q)).cast("long").as(s"__tf$i")
         }: _*)
-    val stats = base.agg(
+  }
+
+  /** BM25 corpus statistics for a fixed query-term set, as ONE row:
+    * (__n, __avgdl, __df0..__df{n-1}). This is the stored "index" of the
+    * streaming scorer ([[graft.streaming.DocStreams.scoreArrivals]]):
+    * train it on the batch corpus, persist it, and score arriving
+    * documents map-side against it — the same split as the stored
+    * band/cut/segment indexes. avgdl is sum/count (exact integer sum),
+    * so the stats — and any score computed from them — are reproducible
+    * bit-for-bit across partitionings and engines. */
+  def bm25Stats(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    bm25Require(queryTerms, 1.2, 0.75)
+    bm25TfProjection(df, idCol, textCol, queryTerms).agg(
       count(lit(1)).as("__n"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl") +:
         queryTerms.indices.map(i =>
           sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
-    def contrib(i: Int): Column = {
+  }
+
+  /** The BM25 score expression over a frame carrying BOTH the tf
+    * projection and the stats columns — shared verbatim by the batch
+    * ranker and the streaming scorer so the two cannot diverge.
+    * Contributions add left-to-right in query-term order (engine-portable
+    * float summation); rounds at 6. */
+  def bm25ScoreExpr(queryTerms: Seq[String], k1: Double, b: Double): org.apache.spark.sql.Column = {
+    def contrib(i: Int): org.apache.spark.sql.Column = {
       val tf = col(s"__tf$i").cast("double")
       val dfq = col(s"__df$i").cast("double")
       val idf = log(lit(1.0) + (col("__n") - dfq + 0.5) / (dfq + 0.5))
       idf * tf * (k1 + 1) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
     }
-    val score = queryTerms.indices.map(contrib).reduceLeft(_ + _)
+    round(queryTerms.indices.map(contrib).reduceLeft(_ + _), 6)
+  }
+
+  def bm25Rank(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25Require(queryTerms, k1, b)
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = bm25TfProjection(df, idCol, textCol, queryTerms)
+    val stats = bm25Stats(df, idCol, textCol, queryTerms)
     val hits = base.crossJoin(broadcast(stats))
-      .select(col(idCol), round(score, 6).as("score"))
+      .select(col(idCol), bm25ScoreExpr(queryTerms, k1, b).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col(idCol)).limit(k)
     // rank over the <= k surviving rows only (a single-partition window is

@@ -104,6 +104,47 @@ object DocStreams {
       .drop("__h")
   }
 
+  /** BM25 relevance scoring for continuous ingest: arriving documents are
+    * scored against CORPUS statistics trained on the batch side
+    * ([[graft.operators.TextAnalysis.bm25Stats]] — one row of
+    * N/avgdl/per-term df for a fixed query-term set) — the streaming twin
+    * of [[graft.operators.TextAnalysis.bm25Rank]]'s scoring stage, sharing
+    * `bm25ScoreExpr` verbatim so the two cannot diverge (batch parity
+    * pinned in StreamingSpec). Global top-k ranking is inherently a batch
+    * concept; the stream emits (row..., score) and the consumer thresholds
+    * or accumulates.
+    *
+    * Stateless: the tf's compute map-side on the stream, the 1-row stats
+    * table joins in as a broadcast on a constant key (no watermark, no
+    * state store). New-corpus drift is handled by refreshing the stats on
+    * the batch side's cadence — identical lifecycle to the band/cut
+    * indexes above. NULL-text rows drop (they carry no scorable content
+    * and batch BM25 excludes them too). */
+  def scoreArrivals(
+      stream: DataFrame, stats: DataFrame, textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!stats.isStreaming, "stats must be a static bm25Stats table")
+    val expected = Seq("__n", "__avgdl") ++ queryTerms.indices.map(i => s"__df$i")
+    require(expected.forall(stats.columns.contains),
+      s"stats must carry (${expected.mkString(", ")}) — the bm25Stats schema " +
+        s"for ${queryTerms.size} terms; got (${stats.columns.mkString(", ")})")
+    val toks = graft.functions.TextFns.tokens(col(textCol))
+    val withTf = stream.filter(col(textCol).isNotNull)
+      .withColumn("__dl", size(toks).cast("long"))
+    val projected = queryTerms.zipWithIndex.foldLeft(withTf) { case (acc, (q, i)) =>
+      acc.withColumn(s"__tf$i", size(filter(toks, t => t === q)).cast("long"))
+    }
+    projected.withColumn("__one", lit(1))
+      .join(broadcast(stats.select(expected.map(col): _*).withColumn("__one", lit(1))),
+        Seq("__one"))
+      .withColumn("score",
+        graft.operators.TextAnalysis.bm25ScoreExpr(queryTerms, k1, b))
+      .drop("__one" +: "__dl" +: "__n" +: "__avgdl" +:
+        queryTerms.indices.flatMap(i => Seq(s"__tf$i", s"__df$i")): _*)
+  }
+
   /** Quality gate for continuous ingest: arriving rows keep only those at
     * or above their OWN stratum's stored cut — the streaming application
     * of [[graft.operators.Profile.filterByGroupQuantile]], with the cuts

@@ -348,6 +348,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: BM25 arrival scores equal the batch ranker's scores from the same stats") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val terms = Seq("rare", "common")
+    val corpus = Seq(
+      (1L, "rare common x y"), (2L, "common common common w x y z q"),
+      (3L, "common x"), (4L, "x y z")).toDF("doc_id", "text")
+    val stats = graft.operators.TextAnalysis.bm25Stats(corpus, "doc_id", "text", terms)
+    // batch truth: score every corpus doc (k = corpus size keeps them all)
+    val batch = graft.operators.TextAnalysis.bm25Rank(corpus, "doc_id", "text", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.scoreArrivals(
+        mem.toDF().toDF("doc_id", "text"), stats, "text", terms)
+      .writeStream.format("memory").queryName("bm25s")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // replay the corpus docs as arrivals, split across micro-batches,
+      // plus a NULL-text row that must drop
+      mem.addData(Seq((1L, "rare common x y"), (2L, "common common common w x y z q")))
+      q.processAllAvailable()
+      mem.addData(Seq((3L, "common x"), (4L, "x y z"), (9L, null)))
+      q.processAllAvailable()
+      val streamed = spark.table("bm25s")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      // matching docs score identically; the no-hit doc streams with 0.0
+      // (the batch RANKER filters it, the stream leaves thresholds to the
+      // consumer); NULL text never emits
+      assert(batch.forall { case (id, s) => streamed(id) == s }, s"$batch vs $streamed")
+      assert(streamed(4L) == 0.0 && !streamed.contains(9L), streamed.toString)
+      // schema: original row + score, helper columns dropped
+      assert(spark.table("bm25s").columns.toSeq == Seq("doc_id", "text", "score"))
+    } finally q.stop()
+  }
+
   test("psiDriftSink: batch-identical distributions score ~0, a shifted batch crosses the retrain bar") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
