@@ -514,6 +514,25 @@ object ExtQueries {
       t(s, d, "documents").filter(col("doc_id") < 400), "doc_id",
       t(s, d, "embeddings").filter(col("label") =!= 0), "vec_id", "embedding")
 
+  /** Per-label centroid shift between the full embedding corpus and a
+    * perturbed current snapshot (even vec_ids, label 7 removed) — every
+    * label shows a measurable shift and the vanished label surfaces as
+    * 0 current dims with a NULL shift. */
+  val driftEmbed: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    Similarity.centroidShift(
+      e, e.filter(col("vec_id") % 2 === 0 && col("label") =!= 7),
+      "label", "embedding")
+      .orderBy("grp")
+  }
+
+  /** Functional-dependency audit: does source determine lang on the
+    * documents table? (It does not — the violation counts are the
+    * finding.) */
+  val fdAuditQ: Q = (s, d) =>
+    graft.operators.Profile.fdAudit(t(s, d, "documents"), Seq("source"), "lang")
+      .orderBy("source")
+
   /** BM25 top-25 for a 3-term query mixing a rare term ("dup", high idf)
     * with two common ones — ranked lexical retrieval next to the ANN
     * family. Rounded-score ranking with doc-id tie-break (engine-portable,
@@ -696,6 +715,8 @@ object ExtQueries {
     "char_entropy" -> charEntropy,
     "gopher_rules" -> gopherRulesQ,
     "embed_integrity" -> embedIntegrityQ,
+    "drift_embed" -> driftEmbed,
+    "fd_audit" -> fdAuditQ,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -935,6 +956,32 @@ object ExtQueries {
         |  CAST(sum(COALESCE(bad_v, 0)) AS BIGINT) AS n_nonfinite,
         |  min(dim) AS min_dim, max(dim) AS max_dim
         |FROM d FULL OUTER JOIN e USING (id)""".stripMargin,
+    // centroids per side via the embed_centroids arithmetic (round-6 avg),
+    // then the shift over the full-outer (label, pos) join; (a-b)*(a-b)
+    // mirrors the Spark multiplication (not pow)
+    "drift_embed" ->
+      """WITH r AS (
+        |  SELECT label AS grp, pos, round(avg(x), 6) AS cr FROM (
+        |    SELECT label, CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x
+        |    FROM embeddings) GROUP BY 1, 2),
+        |c AS (
+        |  SELECT label AS grp, pos, round(avg(x), 6) AS cc FROM (
+        |    SELECT label, CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x
+        |    FROM embeddings WHERE vec_id % 2 = 0 AND label <> 7) GROUP BY 1, 2)
+        |SELECT COALESCE(r.grp, c.grp) AS grp,
+        |  CAST(count(cr) AS INTEGER) AS n_ref_dims,
+        |  CAST(count(cc) AS INTEGER) AS n_cur_dims,
+        |  round(sqrt(sum((cr - cc) * (cr - cc))), 6) AS l2_shift
+        |FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.pos = c.pos
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
+    "fd_audit" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_dep,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_dep,
+        |  CAST(CASE WHEN count(DISTINCT lang) > 1 THEN 1 ELSE 0 END AS INTEGER) AS violated
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // BM25 arithmetic mirrored with the shared discipline: avgdl is an
     // exact integer sum over N (never a float-accumulated avg),
     // contributions add in query-term order, score rounds at 6 BEFORE the

@@ -290,6 +290,32 @@ object Profile {
       .select(col(aCol), col(bCol), col("obs"), col("expected"), col("chi2"))
   }
 
+  /** Functional-dependency audit: does `det` (a determinant column set)
+    * uniquely determine `dep`? The schema-discovery / data-contract check
+    * run before trusting a column as a lookup key, a dedup survivor
+    * authority, or an SCD2 natural key — one row per determinant value
+    * with (n_rows, n_dep, n_null_dep, violated): `n_dep` counts DISTINCT
+    * non-NULL dependent values (more than one = the FD is violated for
+    * that group), `n_null_dep` surfaces NULL dependents separately (NULL
+    * is missing data, not a distinct value — counting it as one would
+    * flag a half-loaded table as a dependency violation).
+    *
+    * Scale shape: ONE groupBy over the determinant columns; count and the
+    * NULL tally combine map-side, count(DISTINCT dep) is Spark's standard
+    * two-phase expand — no join, no window, no second scan. The output is
+    * |distinct det values| rows; if that approaches corpus size the
+    * determinant is nearly unique and the audit says so by its row count. */
+  def fdAudit(df: DataFrame, det: Seq[String], dep: String): DataFrame = {
+    require(det.nonEmpty, "fdAudit requires at least one determinant column")
+    require(!det.contains(dep), s"dependent column $dep cannot be its own determinant")
+    df.groupBy(det.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(dep)).as("n_dep"),
+        sum(when(col(dep).isNull, 1L).otherwise(0L)).as("n_null_dep"))
+      .withColumn("violated", when(col("n_dep") > 1, 1).otherwise(0))
+  }
+
   /** Winsorize: clip a value column to its own group's [pLo, pHi]
     * quantiles — the outlier-trimming step run before any mean/variance
     * statistic or length-based mixing weight is computed from heavy-tailed

@@ -242,6 +242,41 @@ object Similarity {
       .groupBy("grp", "pos")
       .agg(round(avg(col("x").cast("double")), 6).as("c"))
 
+  /** Embedding drift between two corpus snapshots, as per-label centroid
+    * shift — the embedding-space twin of the scalar PSI drift
+    * ([[graft.operators.Profile]]): when the same label's centroid moves
+    * between the reference snapshot (what a model/index was built on) and
+    * the current corpus, downstream similarity search and cluster blocking
+    * degrade silently; this surfaces the movement as a number per label.
+    * Returns (grp, n_ref_dims INT, n_cur_dims INT, l2_shift) — l2_shift is
+    * the L2 distance between the two ROUNDED centroids over positions
+    * present on both sides (the shared 6-decimal centroid gate makes it
+    * engine-portable); labels present in only one snapshot report 0/N dims
+    * and a NULL shift — vanished/appeared labels are the loud finding, not
+    * a silent drop (same stance as categorical PSI).
+    *
+    * Scale shape: each snapshot collapses to its (label × dim) centroid
+    * table via [[centroidsLong]]'s single partial-aggregated pass; the
+    * full-outer join and final rollup run over labels × dims rows — never
+    * over vectors. Snapshots are never joined row-to-row. */
+  def centroidShift(
+      ref: DataFrame, cur: DataFrame,
+      labelCol: String, vecCol: String): DataFrame = {
+    val r = centroidsLong(ref, labelCol, vecCol).withColumnRenamed("c", "__cr")
+    val c = centroidsLong(cur, labelCol, vecCol).withColumnRenamed("c", "__cc")
+    r.join(c, Seq("grp", "pos"), "full_outer")
+      .groupBy("grp")
+      .agg(
+        count(col("__cr")).cast("int").as("n_ref_dims"),
+        count(col("__cc")).cast("int").as("n_cur_dims"),
+        // sum skips NULL terms, so the sum runs over positions present on
+        // BOTH sides; a label on one side only has no such terms -> NULL
+        // (a-b)*(a-b), not pow(_, 2): Math.pow goes through the generic
+        // power path whose last-ulp behavior the SQL engines need not share
+        round(sqrt(sum((col("__cr") - col("__cc")) * (col("__cr") - col("__cc")))), 6)
+          .as("l2_shift"))
+  }
+
   /** Symmetric int8 scalar quantization audit — the storage-planning step
     * for an embedding corpus (float32 → int8 is the standard 4× shrink
     * before a vector store or an IVF index): per vector, the scale

@@ -499,4 +499,28 @@ class ProfileSpec extends SparkSpec {
     assert(got(0) == "hello world café")
     assert(got(1) == "ok")
   }
+
+  test("fdAudit: violated vs clean determinants; NULL dependents counted apart, not as a value") {
+    val df = Seq(
+      ("web", Some("en")), ("web", Some("de")),          // violated: 2 langs
+      ("book", Some("en")), ("book", Some("en")),        // clean: 1 lang
+      ("scan", None), ("scan", Some("fr")),              // NULL + one value: clean
+      ("raw", None))                                     // only NULL: clean (no evidence)
+      .toDF("source", "lang")
+    val r = graft.operators.Profile.fdAudit(df, Seq("source"), "lang")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getInt(4))).toMap
+    assert(r("web") == (2L, 2L, 0L, 1), r.toString)
+    assert(r("book") == (2L, 1L, 0L, 0), r.toString)
+    assert(r("scan") == (2L, 1L, 1L, 0), r.toString)
+    assert(r("raw") == (1L, 0L, 1L, 0), r.toString)
+    // one partial-aggregated pass: no join, no window in the plan
+    val plan = graft.operators.Profile.fdAudit(df, Seq("source"), "lang")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.fdAudit(df, Seq.empty, "lang"))
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.fdAudit(df, Seq("lang"), "lang"))
+  }
 }

@@ -150,6 +150,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("centroidShift: known displacement, vanished/appeared labels, dim counts") {
+    import sqlContext.implicits._
+    val ref = Seq(
+      (1, Array(0f, 0f)), (1, Array(2f, 2f)),   // centroid (1,1)
+      (2, Array(5f, 5f)))                        // vanished in cur
+      .toDF("label", "embedding")
+    val cur = Seq(
+      (1, Array(4f, 1f)), (1, Array(4f, 1f)),   // centroid (4,1): shift 3.0
+      (3, Array(9f, 9f)))                        // appeared
+      .toDF("label", "embedding")
+    val r = Similarity.centroidShift(ref, cur, "label", "embedding")
+      .collect().map(x => x.getInt(0) ->
+        (x.getInt(1), x.getInt(2), if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(r(1) == (2, 2, Some(3.0)), r.toString)
+    assert(r(2) == (2, 0, None), r.toString)   // vanished: NULL shift, loud
+    assert(r(3) == (0, 2, None), r.toString)   // appeared
+    // identical snapshots: zero shift everywhere
+    val same = Similarity.centroidShift(ref, ref, "label", "embedding")
+      .collect().map(x => x.getDouble(3))
+    assert(same.forall(_ == 0.0), same.mkString(","))
+  }
+
   test("embedIntegrity: every defect class counted once; healthy corpus audits clean") {
     import sqlContext.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id") // 5 docs; 6L is vec-only
