@@ -526,6 +526,12 @@ object ExtQueries {
       .orderBy("grp")
   }
 
+  /** Exact per-label mean pairwise cosine via the sum-vector identity —
+    * never a pair join; the oracle recomputes the same identity in SQL. */
+  val labelCohesionQ: Q = (s, d) =>
+    Similarity.labelCohesion(t(s, d, "embeddings"), "label", "embedding")
+      .orderBy("grp")
+
   /** Functional-dependency audit: does source determine lang on the
     * documents table? (It does not — the violation counts are the
     * finding.) */
@@ -717,6 +723,7 @@ object ExtQueries {
     "embed_integrity" -> embedIntegrityQ,
     "drift_embed" -> driftEmbed,
     "fd_audit" -> fdAuditQ,
+    "label_cohesion" -> labelCohesionQ,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -976,6 +983,26 @@ object ExtQueries {
         |  round(sqrt(sum((cr - cc) * (cr - cc))), 6) AS l2_shift
         |FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.pos = c.pos
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // the same sum-vector identity ((||S||^2 - n) / (n(n-1)) over unit
+    // vectors), recomputed from scratch in SQL — the oracle never sees the
+    // pair-free trick's Spark implementation, only its claimed result
+    "label_cohesion" ->
+      """WITH u AS (
+        |  SELECT grp, list_transform(v0, x -> x / nrm) AS uv FROM (
+        |    SELECT label AS grp, v0, sqrt(list_sum([x * x for x in v0])) AS nrm FROM (
+        |      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+        |      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0))
+        |  WHERE nrm > 0),
+        |s AS (
+        |  SELECT grp, pos, sum(x) AS sc, count(*) AS cnt FROM (
+        |    SELECT grp, CAST(unnest(range(len(uv))) AS INTEGER) AS pos,
+        |           CAST(unnest(uv) AS DOUBLE) AS x
+        |    FROM u) GROUP BY 1, 2)
+        |SELECT grp, CAST(max(cnt) AS BIGINT) AS n,
+        |  CASE WHEN max(cnt) >= 2 THEN
+        |    round((sum(sc * sc) - max(cnt)) / (max(cnt) * (max(cnt) - 1)), 6)
+        |  END AS mean_cos
+        |FROM s GROUP BY grp ORDER BY grp""".stripMargin,
     "fd_audit" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_dep,

@@ -242,6 +242,44 @@ object Similarity {
       .groupBy("grp", "pos")
       .agg(round(avg(col("x").cast("double")), 6).as("c"))
 
+  /** Per-label cohesion: the EXACT mean pairwise cosine similarity inside
+    * each label, computed WITHOUT materializing a single pair — the
+    * cluster-quality / label-noise signal (a low-cohesion label is mislabeled
+    * or heterogeneous; run before trusting labels for blocking or eval
+    * splits). Uses the sum-vector identity: for unit vectors
+    * `‖Σuᵢ‖² = n + 2·Σ_{i<j} uᵢ·uⱼ`, so
+    * `mean_cos = (‖Σuᵢ‖² − n) / (n·(n−1))` — an O(n·d) aggregate where the
+    * naive pair join is O(n²·d). Returns (grp, n, mean_cos); labels with a
+    * single vector report NULL (no pairs to average). NULL/empty and
+    * zero-norm vectors are excluded (they have no direction).
+    *
+    * Scale shape: unitize map-side (codegen'd), ONE partial-aggregated
+    * shuffle on (label, pos) for the component sums, then a labels×dims →
+    * labels rollup. The corpus is scanned once and never self-joined —
+    * the identity IS the scale story. */
+  def labelCohesion(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val u = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(labelCol).as("grp"),
+        graft.functions.VectorFns.unitizeNative(col(vecCol)).as("__u"))
+      // a zero-norm vector unitizes to NaN components (0/0): no direction,
+      // and one NaN would poison the label's whole sum
+      .filter(!exists(col("__u"), x => isnan(x)))
+    u.select(col("grp"), posexplode(col("__u")).as(Seq("pos", "x")))
+      .groupBy("grp", "pos")
+      .agg(sum(col("x")).as("__s"), count(lit(1)).as("__cnt"))
+      .groupBy("grp")
+      .agg(
+        // every pos of a label carries the same vector count (fixed dim per
+        // label — mixed dims are embedIntegrity's finding, not silently
+        // averaged over here)
+        max(col("__cnt")).as("n"),
+        sum(col("__s") * col("__s")).as("__normsq"))
+      .select(col("grp"), col("n"),
+        when(col("n") >= 2,
+          round((col("__normsq") - col("n")) / (col("n") * (col("n") - 1)), 6))
+          .as("mean_cos"))
+  }
+
   /** Embedding drift between two corpus snapshots, as per-label centroid
     * shift — the embedding-space twin of the scalar PSI drift
     * ([[graft.operators.Profile]]): when the same label's centroid moves

@@ -150,6 +150,49 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("labelCohesion: identity matches brute-force pairwise mean; singles NULL; degenerate vecs drop") {
+    import sqlContext.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 30).map { i =>
+      (i % 3, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("label", "embedding")
+    val got = Similarity.labelCohesion(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // brute-force oracle: mean cosine over all unordered pairs per label
+    def unit(v: Array[Float]) = {
+      val d = v.map(_.toDouble); val n = math.sqrt(d.map(x => x * x).sum)
+      d.map(_ / n)
+    }
+    vecs.groupBy(_._1).foreach { case (lbl, vs) =>
+      val us = vs.map(v => unit(v._2))
+      val pairs = for (i <- us.indices; j <- i + 1 until us.size)
+        yield us(i).zip(us(j)).map { case (a, b) => a * b }.sum
+      val expect = pairs.sum / pairs.size
+      val (n, mc) = got(lbl)
+      assert(n == vs.size, s"$lbl: $n")
+      assert(math.abs(mc - expect) < 1e-5, s"$lbl: $mc vs $expect")
+    }
+    // perfectly aligned label -> cohesion 1; opposing pair -> -1
+    val crafted = Seq(
+      (1, Array(1f, 0f)), (1, Array(2f, 0f)), (1, Array(3f, 0f)),
+      (2, Array(1f, 0f)), (2, Array(-1f, 0f)),
+      (3, Array(5f, 5f)),                       // single vector: no pairs
+      (4, Array(0f, 0f)), (4, Array(1f, 1f))    // zero-norm drops -> single
+    ).toDF("label", "embedding")
+    val c = Similarity.labelCohesion(crafted, "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(c(1) == (3L, Some(1.0)), c.toString)
+    assert(c(2) == (2L, Some(-1.0)), c.toString)
+    assert(c(3) == (1L, None), c.toString)
+    assert(c(4) == (1L, None), c.toString)
+    // the plan never joins or builds pairs: one agg chain over the corpus
+    val plan = Similarity.labelCohesion(df, "label", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("centroidShift: known displacement, vanished/appeared labels, dim counts") {
     import sqlContext.implicits._
     val ref = Seq(
