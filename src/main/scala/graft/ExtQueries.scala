@@ -992,7 +992,7 @@ object ExtQueries {
         |    SELECT label AS grp, v0, sqrt(list_sum([x * x for x in v0])) AS nrm FROM (
         |      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
         |      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0))
-        |  WHERE nrm > 0),
+        |  WHERE nrm > 0 AND isfinite(nrm)),
         |s AS (
         |  SELECT grp, pos, sum(x) AS sc, count(*) AS cnt FROM (
         |    SELECT grp, CAST(unnest(range(len(uv))) AS INTEGER) AS pos,

@@ -217,23 +217,34 @@ object Sources {
     * non-matching files); `maxBytes` guards against a single giant file
     * OOMing an executor (binaryFile materializes one file per row —
     * whole-file rows are the contract; streams belong to a chunking
-    * ingest, not this source). Files over the cap fail fast at read with
-    * Spark's own length check rather than silently truncating. */
+    * ingest, not this source). The cap is enforced IN THE PLAN with a
+    * raise_error on the file length — a session-conf cap
+    * (`binaryFile.maxLength`) is read lazily at action time, so two reads
+    * built with different caps would both execute under whichever
+    * construction ran last, and the mutation would leak to every later
+    * binaryFile read in the session. The in-plan check is per-read,
+    * races nothing, and fails LOUDLY on the offending path (damage bounded
+    * to the one oversized file's buffer) instead of silently truncating. */
   def binaryFiles(
       spark: SparkSession,
       path: String,
       glob: Option[String] = None,
       maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
     require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    import org.apache.spark.sql.functions.{col, format_string, lit, raise_error, when}
     val r = spark.read.format("binaryFile")
     glob.foreach(g => r.option("pathGlobFilter", g))
-    spark.conf.set("spark.sql.sources.binaryFile.maxLength", maxBytes.toString)
     r.load(path)
       .select(
-        org.apache.spark.sql.functions.col("path"),
-        org.apache.spark.sql.functions.col("modificationTime").as("mod_time"),
-        org.apache.spark.sql.functions.col("length").as("n_bytes"),
-        org.apache.spark.sql.functions.col("content"))
+        col("path"),
+        col("modificationTime").as("mod_time"),
+        when(col("length") > maxBytes,
+          raise_error(format_string(
+            s"binaryFiles: %s is %d bytes, over the $maxBytes-byte cap — " +
+              "oversized media belongs to a chunking ingest, not whole-file rows",
+            col("path"), col("length"))))
+          .otherwise(col("length")).as("n_bytes"),
+        col("content"))
   }
 
   /** One incremental-ingest batch: the not-yet-processed files' rows, the

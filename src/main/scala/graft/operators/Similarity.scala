@@ -315,25 +315,6 @@ object Similarity {
           .as("l2_shift"))
   }
 
-  /** Symmetric int8 scalar quantization audit — the storage-planning step
-    * for an embedding corpus (float32 → int8 is the standard 4× shrink
-    * before a vector store or an IVF index): per vector, the scale
-    * `max|x| / 127`, the quantized code `clamp(round(x / scale), ±127)`,
-    * and the reconstruction-error stats that decide whether int8 is
-    * acceptable for the downstream similarity metric. Returns
-    * (idCol, dim INT, scale, mse, max_err); the codes themselves are an
-    * internal detail here — the AUDIT is the operator, and a caller that
-    * wants the codes applies the same arithmetic in a projection.
-    *
-    * Scale shape: pure map-side array expressions (transform/aggregate),
-    * no shuffle, no UDF — one pass over the corpus. Determinism: `scale`
-    * is rounded to 6 decimals BEFORE quantizing (the established
-    * cross-engine rounding gate: both engines then divide by the identical
-    * double), error sums run left-to-right over the array in both engines,
-    * and mse/max_err round at 8/6. A zero vector (scale 0) reports zero
-    * error explicitly — the engines disagree on double x/0 (IEEE inf vs
-    * NULL), so the case never reaches the division. NULL vectors yield
-    * NULL stats. */
   /** Embedding-corpus integrity audit — the alignment check run before any
     * join of a document table with its embedding table feeds training or
     * retrieval: documents without a vector (embedding job lagging or
@@ -363,23 +344,48 @@ object Similarity {
       coalesce(nonFinite, lit(false)).cast("int").as("__bad_v"),
       when(col(vecCol).isNotNull && size(col(vecCol)) > 0, size(col(vecCol)))
         .as("__dim"))
+    // every count coalesces at the END too: sum() over ZERO rows is NULL,
+    // and an empty-corpus audit must report honest zeros, not NULLs that a
+    // `n_vec_only > 0` gate would silently treat as false
     d.join(e, Seq("__id"), "full_outer")
       .agg(
-        sum(coalesce(col("__d"), lit(0))).as("n_docs"),
-        sum(coalesce(col("__e"), lit(0))).as("n_vecs"),
-        sum(when(col("__d").isNotNull && col("__e").isNotNull, 1L).otherwise(0L))
-          .as("n_matched"),
-        sum(when(col("__d").isNotNull && col("__e").isNull, 1L).otherwise(0L))
-          .as("n_doc_only"),
-        sum(when(col("__d").isNull && col("__e").isNotNull, 1L).otherwise(0L))
-          .as("n_vec_only"),
-        sum(coalesce(col("__null_v"), lit(0))).cast("long").as("n_null_vec"),
-        sum(coalesce(col("__empty_v"), lit(0))).cast("long").as("n_empty_vec"),
-        sum(coalesce(col("__bad_v"), lit(0))).cast("long").as("n_nonfinite"),
+        coalesce(sum(coalesce(col("__d"), lit(0))), lit(0L)).as("n_docs"),
+        coalesce(sum(coalesce(col("__e"), lit(0))), lit(0L)).as("n_vecs"),
+        coalesce(sum(when(col("__d").isNotNull && col("__e").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_matched"),
+        coalesce(sum(when(col("__d").isNotNull && col("__e").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_doc_only"),
+        coalesce(sum(when(col("__d").isNull && col("__e").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_vec_only"),
+        coalesce(sum(coalesce(col("__null_v"), lit(0))).cast("long"), lit(0L))
+          .as("n_null_vec"),
+        coalesce(sum(coalesce(col("__empty_v"), lit(0))).cast("long"), lit(0L))
+          .as("n_empty_vec"),
+        coalesce(sum(coalesce(col("__bad_v"), lit(0))).cast("long"), lit(0L))
+          .as("n_nonfinite"),
         min(col("__dim")).as("min_dim"),
         max(col("__dim")).as("max_dim"))
   }
 
+  /** Symmetric int8 scalar quantization audit — the storage-planning step
+    * for an embedding corpus (float32 → int8 is the standard 4× shrink
+    * before a vector store or an IVF index): per vector, the scale
+    * `max|x| / 127`, the quantized code `clamp(round(x / scale), ±127)`,
+    * and the reconstruction-error stats that decide whether int8 is
+    * acceptable for the downstream similarity metric. Returns
+    * (idCol, dim INT, scale, mse, max_err); the codes themselves are an
+    * internal detail here — the AUDIT is the operator, and a caller that
+    * wants the codes applies the same arithmetic in a projection.
+    *
+    * Scale shape: pure map-side array expressions (transform/aggregate),
+    * no shuffle, no UDF — one pass over the corpus. Determinism: `scale`
+    * is rounded to 6 decimals BEFORE quantizing (the established
+    * cross-engine rounding gate: both engines then divide by the identical
+    * double), error sums run left-to-right over the array in both engines,
+    * and mse/max_err round at 8/6. A zero vector (scale 0) reports zero
+    * error explicitly — the engines disagree on double x/0 (IEEE inf vs
+    * NULL), so the case never reaches the division. NULL vectors yield
+    * NULL stats. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val e = transform(col(vecCol), x => x.cast("double"))
     val scale = round(array_max(transform(e, x => abs(x))) / 127, 6)

@@ -248,6 +248,13 @@ object TextAnalysis {
     * band/cut/segment indexes. avgdl is sum/count (exact integer sum),
     * so the stats — and any score computed from them — are reproducible
     * bit-for-bit across partitionings and engines. */
+  /** The term-identity tag a bm25Stats row carries (`__terms`): scoring
+    * against stats trained on different or reordered terms would apply one
+    * term's df as another's idf with no visible error, so the consumer
+    * checks this tag in-plan. Space-joined — unambiguous, since query
+    * terms are whitespace tokens and cannot themselves contain a space. */
+  def bm25TermsTag(queryTerms: Seq[String]): String = queryTerms.mkString(" ")
+
   def bm25Stats(
       df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String]): DataFrame = {
@@ -256,7 +263,8 @@ object TextAnalysis {
       count(lit(1)).as("__n"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl") +:
         queryTerms.indices.map(i =>
-          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")) :+
+        lit(bm25TermsTag(queryTerms)).as("__terms"): _*)
   }
 
   /** The BM25 score expression over a frame carrying BOTH the tf
@@ -356,8 +364,10 @@ object TextAnalysis {
         length(col(textCol))
     val alphaRatio =
       size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / size(toks)
+    // a single In expression, not an Or chain — with a realistic stopword
+    // list (Gopher uses hundreds) a fold of ORs bloats the codegen'd tree
     val stopHits = size(filter(array_distinct(toks),
-      t => stopwords.foldLeft(lit(false))((acc, s) => acc || (t === s)))).cast("long")
+      t => t.isin(stopwords: _*))).cast("long")
     def flag(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
     df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol),

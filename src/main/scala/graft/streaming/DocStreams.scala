@@ -126,10 +126,25 @@ object DocStreams {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     require(!stats.isStreaming, "stats must be a static bm25Stats table")
-    val expected = Seq("__n", "__avgdl") ++ queryTerms.indices.map(i => s"__df$i")
+    require(queryTerms.nonEmpty && queryTerms.distinct.size == queryTerms.size,
+      s"bad query terms (empty or duplicated): $queryTerms")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val expected = Seq("__n", "__avgdl") ++ queryTerms.indices.map(i => s"__df$i") :+ "__terms"
     require(expected.forall(stats.columns.contains),
       s"stats must carry (${expected.mkString(", ")}) — the bm25Stats schema " +
         s"for ${queryTerms.size} terms; got (${stats.columns.mkString(", ")})")
+    // arity alone cannot catch stats trained on DIFFERENT or REORDERED
+    // terms (df0 would score as the wrong term's idf, silently): the
+    // bm25Stats __terms tag is checked IN-PLAN, failing the first batch
+    // loudly instead of emitting wrong scores forever. The check gates
+    // __n (which every score reads), so column pruning cannot drop it.
+    val wantTag = graft.operators.TextAnalysis.bm25TermsTag(queryTerms)
+    val checkedStats = stats.select(expected.map(col): _*)
+      .withColumn("__n",
+        when(col("__terms") === wantTag, col("__n"))
+          .otherwise(raise_error(concat(
+            lit("bm25 stats were trained on terms ["), col("__terms"),
+            lit(s"] but scoring was requested for [$wantTag]")))))
     val toks = graft.functions.TextFns.tokens(col(textCol))
     val withTf = stream.filter(col(textCol).isNotNull)
       .withColumn("__dl", size(toks).cast("long"))
@@ -137,11 +152,10 @@ object DocStreams {
       acc.withColumn(s"__tf$i", size(filter(toks, t => t === q)).cast("long"))
     }
     projected.withColumn("__one", lit(1))
-      .join(broadcast(stats.select(expected.map(col): _*).withColumn("__one", lit(1))),
-        Seq("__one"))
+      .join(broadcast(checkedStats.withColumn("__one", lit(1))), Seq("__one"))
       .withColumn("score",
         graft.operators.TextAnalysis.bm25ScoreExpr(queryTerms, k1, b))
-      .drop("__one" +: "__dl" +: "__n" +: "__avgdl" +:
+      .drop("__one" +: "__dl" +: "__n" +: "__avgdl" +: "__terms" +:
         queryTerms.indices.flatMap(i => Seq(s"__tf$i", s"__df$i")): _*)
   }
 

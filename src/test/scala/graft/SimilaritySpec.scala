@@ -241,5 +241,12 @@ class SimilaritySpec extends SparkSpec {
     assert(clean.getLong(2) == 5 && clean.getLong(3) == 0 && clean.getLong(4) == 0
       && clean.getLong(5) == 0 && clean.getLong(6) == 0 && clean.getLong(7) == 0,
       clean.toString)
+    // empty corpus: honest zeros (sum over zero rows is NULL without the
+    // terminal coalesce), dims NULL (nothing to measure)
+    val empty = Similarity.embedIntegrity(
+      docs.limit(0), "doc_id", vecs.limit(0), "vec_id", "embedding")
+      .collect().head
+    assert((0 to 7).forall(i => empty.getLong(i) == 0L), empty.toString)
+    assert(empty.isNullAt(8) && empty.isNullAt(9), empty.toString)
   }
 }

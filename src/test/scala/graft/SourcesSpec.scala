@@ -282,5 +282,16 @@ class SourcesSpec extends SparkSpec {
     assert(f.format == "png" && f.width == 640 && f.height == 480, f.toString)
     intercept[IllegalArgumentException](
       graft.engine.Sources.binaryFiles(spark, dir, maxBytes = 0))
+    // the size cap is PER-READ and in-plan: a capped reader fails loudly on
+    // the oversized file even when a later construction used a bigger cap
+    // (a session-conf cap would be read lazily and governed by whoever set
+    // it last)
+    val capped = graft.engine.Sources.binaryFiles(spark, dir, maxBytes = 3)
+    val uncapped = graft.engine.Sources.binaryFiles(spark, dir)
+    val e = intercept[Exception](capped.collect())
+    assert(String.valueOf(e.getMessage).contains("over the 3-byte cap") ||
+      Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("over the 3-byte cap")),
+      e.toString)
+    assert(uncapped.count() == 2)
   }
 }

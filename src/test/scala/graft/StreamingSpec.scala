@@ -381,6 +381,23 @@ class StreamingSpec extends SparkSpec {
       // schema: original row + score, helper columns dropped
       assert(spark.table("bm25s").columns.toSeq == Seq("doc_id", "text", "score"))
     } finally q.stop()
+    // stats trained on REORDERED terms pass the arity check but must fail
+    // the in-plan term-identity gate at the first batch — silently scoring
+    // one term with another's idf is the failure mode the tag exists for
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = DocStreams.scoreArrivals(
+        mem2.toDF().toDF("doc_id", "text"), stats, "text", terms.reverse)
+      .writeStream.format("memory").queryName("bm25bad")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem2.addData(Seq((1L, "rare common")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(String.valueOf(e.getMessage).contains("trained on terms") ||
+        Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("trained on terms")),
+        e.toString)
+    } finally q2.stop()
   }
 
   test("psiDriftSink: batch-identical distributions score ~0, a shifted batch crosses the retrain bar") {
