@@ -526,6 +526,18 @@ object ExtQueries {
       .orderBy("grp")
   }
 
+  /** Pairwise 3-gram Jaccard overlap between document sources — the
+    * corpus-diversity / redundancy audit over the 20-source fixture. */
+  val sourceOverlapQ: Q = (s, d) =>
+    TextAnalysis.sourceOverlap(t(s, d, "documents"), "source", "text")
+      .orderBy("a", "b")
+
+  /** Tokenizer fertility (BPE-ish subwords per whitespace word) by
+    * language — the tokenizer-fit QA metric. */
+  val tokenFertilityQ: Q = (s, d) =>
+    TextAnalysis.tokenFertility(t(s, d, "documents"), "lang", "text")
+      .orderBy("lang")
+
   /** Exact per-label mean pairwise cosine via the sum-vector identity —
     * never a pair join; the oracle recomputes the same identity in SQL. */
   val labelCohesionQ: Q = (s, d) =>
@@ -724,6 +736,8 @@ object ExtQueries {
     "drift_embed" -> driftEmbed,
     "fd_audit" -> fdAuditQ,
     "label_cohesion" -> labelCohesionQ,
+    "source_overlap" -> sourceOverlapQ,
+    "token_fertility" -> tokenFertilityQ,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -983,6 +997,38 @@ object ExtQueries {
         |  round(sqrt(sum((cr - cc) * (cr - cc))), 6) AS l2_shift
         |FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.pos = c.pos
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // co-occurrence recomputed from scratch: distinct (group, shingle)
+    // rows, string-keyed self-join, group sizes — the same 3-gram
+    // comprehension the minhash oracles use
+    "source_overlap" ->
+      """WITH t AS (
+        |  SELECT source AS g, string_split(text, ' ') AS toks FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL),
+        |sh AS (SELECT DISTINCT g, s FROM (
+        |  SELECT g, unnest([array_to_string(toks[i:i+2], ' ')
+        |                    for i in generate_series(1, len(toks) - 2)]) AS s
+        |  FROM t)),
+        |sz AS (SELECT g, count(*) AS n FROM sh GROUP BY g),
+        |co AS (SELECT a.g AS a, b.g AS b, count(*) AS n_common
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+        |       GROUP BY 1, 2)
+        |SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+        |  round(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) AS jaccard
+        |FROM co JOIN sz na ON co.a = na.g JOIN sz nb ON co.b = nb.g
+        |ORDER BY a, b""".stripMargin,
+    // fertility = the text_tokens bpeish mirror over the whitespace count,
+    // averaged per language
+    "token_fertility" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\W+'), x -> x <> ''))
+        |      + length(regexp_replace(text, '[\w ]', '', 'g')) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS fert
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(fert), 6) AS mean_fertility
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     // the same sum-vector identity ((||S||^2 - n) / (n(n-1)) over unit
     // vectors), recomputed from scratch in SQL — the oracle never sees the
     // pair-free trick's Spark implementation, only its claimed result

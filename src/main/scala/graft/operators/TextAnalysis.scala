@@ -302,6 +302,58 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("score").desc, col(idCol))))
   }
 
+  /** Pairwise n-gram Jaccard overlap BETWEEN corpus groups (sources,
+    * snapshots, domains) — the corpus-diversity audit: two sources with
+    * high shingle overlap contribute redundant text to a mixture, and a
+    * benchmark-shaped source overlapping a train source is a contamination
+    * lead. Returns (a, b, n_common, jaccard) for every UNORDERED group
+    * pair that shares at least one shingle (zero-overlap pairs carry no
+    * information and would make the output |groups|² regardless of data).
+    *
+    * Scale shape: documents collapse to DISTINCT (shingle, group) rows
+    * first — the self-join is then keyed on the shingle, so its fan-out
+    * per shingle is bounded by the number of GROUPS carrying it (≤ a few
+    * dozen), never by document count: co-occurrence counting, not a doc
+    * pair join. Group sizes broadcast back. Shingles join as strings for
+    * exact cross-engine parity; a petabyte corpus would key the join on
+    * xxhash64(shingle) to halve shuffle bytes at negligible collision
+    * odds (the dedup_lines precedent). */
+  def sourceOverlap(
+      df: DataFrame, groupCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    val sg = df.filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(TextFns.shinglesUdf(shingleN)(col(textCol))).as("sh"))
+      .distinct()
+    val sizes = sg.groupBy("g").agg(count(lit(1)).as("n"))
+    val co = sg.toDF("a", "sh").join(sg.toDF("b", "sh"), "sh")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    co.join(broadcast(sizes.toDF("a", "__na")), "a")
+      .join(broadcast(sizes.toDF("b", "__nb")), "b")
+      .select(col("a"), col("b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("__na") + col("__nb") - col("n_common")), 6).as("jaccard"))
+  }
+
+  /** Tokenizer fertility by group: the mean ratio of BPE-ish subword
+    * tokens to whitespace words per language (or any group) — the
+    * tokenizer-fit QA metric (a language whose fertility is far above the
+    * corpus norm is poorly served by the tokenizer; its documents cost
+    * proportionally more of the training budget per word). One map-side
+    * projection + one partial-aggregated groupBy. Zero-word documents are
+    * excluded (no ratio); NULL groups form their own row (missing lang is
+    * a data fact). Returns (groupCol, n_docs, mean_fertility). */
+  def tokenFertility(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val words = size(TextFns.tokens(col(textCol)))
+    val bpe = size(TextFns.bpeishTokens(col(textCol)))
+    df.filter(col(textCol).isNotNull && words > 0)
+      .select(col(groupCol), (bpe.cast("double") / words).as("__f"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("__f")), 6).as("mean_fertility"))
+  }
+
   /** Character-level Shannon entropy per document (nats) — the
     * compression-ratio proxy quality signal: near-zero entropy flags
     * degenerate repetition ("aaaa…", padding artifacts), unusually high

@@ -338,6 +338,45 @@ class TextEventsSpec extends SparkSpec {
       TextAnalysis.chunkDocs(docs, "doc_id", "text", 5, 5))
   }
 
+  test("sourceOverlap: hand-computed Jaccard on shared shingles; disjoint pairs absent; co-occurrence not doc pairs") {
+    val docs = Seq(
+      (1L, "web", "a b c d"),     // shingles: "a b c", "b c d"
+      (2L, "web", "a b c d"),     // duplicate doc: distinct collapses it
+      (3L, "book", "a b c x"),    // shares "a b c" with web
+      (4L, "raw", "q r s t")      // disjoint from both
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceOverlap(docs, "source", "text", shingleN = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // web={abc,bcd} (distinct over both docs), book={abc,bcx}: inter 1,
+    // union 3 -> 1/3; raw overlaps nothing and must not appear
+    assert(out.keySet == Set(("book", "web")), out.toString)
+    assert(out(("book", "web")) == (1L, 0.333333), out.toString)
+    // the self-join is keyed on the shingle — adding MANY docs with the
+    // same shingles must not change the result (co-occurrence is over
+    // distinct (group, shingle), never document pairs)
+    val many = docs.unionAll(
+      (10L to 40L).map(i => (i, "web", "a b c d")).toDF("doc_id", "source", "text"))
+    val out2 = TextAnalysis.sourceOverlap(many, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out2 == out, s"$out2 vs $out")
+    intercept[IllegalArgumentException](
+      TextAnalysis.sourceOverlap(docs, "source", "text", shingleN = 0))
+  }
+
+  test("tokenFertility: punctuation-heavy groups score higher; plain words ~1; zero-word docs drop") {
+    val docs = Seq(
+      (1L, "en", "plain words only here"),          // 4 words, 4 bpeish -> 1.0
+      (2L, "en", "plain words only here"),
+      (3L, "code", "x=1; y(2); z[3];"),             // symbols explode the bpeish count
+      (4L, "en", null.asInstanceOf[String])
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenFertility(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("en") == (2L, 1.0), out.toString)    // NULL text excluded from n_docs
+    assert(out("code")._2 > 2.0, out.toString)
+    assert(out.keySet == Set("en", "code"))
+  }
+
   test("withCharEntropy: degenerate/uniform/known distributions; empty and NULL yield NULL") {
     val docs = Seq(
       (1L, "aaaa"),        // one symbol: H = 0
