@@ -526,6 +526,18 @@ object ExtQueries {
       .orderBy("grp")
   }
 
+  /** Hourly distinct users, exact + HLL sketch with a pinned 3-sigma
+    * tolerance flag — the windowed-cardinality differential. */
+  val windowDistinctQ: Q = (s, d) =>
+    Events.windowDistinct(Tables.loadEvents(s, d), "ts", "user_id", "hour")
+      .orderBy("win")
+
+  /** Robust (median/MAD) per-language z-score of document length — the
+    * heavy-tail-safe outlier signal next to the mean/std group_zscore. */
+  val robustZQ: Q = (s, d) =>
+    graft.operators.Profile.robustZ(t(s, d, "documents"), "lang", "n_chars")
+      .select("doc_id", "lang", "n_chars_rz").orderBy("doc_id")
+
   /** Pairwise 3-gram Jaccard overlap between document sources — the
     * corpus-diversity / redundancy audit over the 20-source fixture. */
   val sourceOverlapQ: Q = (s, d) =>
@@ -738,6 +750,8 @@ object ExtQueries {
     "label_cohesion" -> labelCohesionQ,
     "source_overlap" -> sourceOverlapQ,
     "token_fertility" -> tokenFertilityQ,
+    "robust_z" -> robustZQ,
+    "window_distinct" -> windowDistinctQ,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -997,6 +1011,30 @@ object ExtQueries {
         |  round(sqrt(sum((cr - cc) * (cr - cc))), 6) AS l2_shift
         |FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.pos = c.pos
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // exact side mirrored; the sketch flag is pinned 1 (the differential
+    // discipline: a sketch drifting past 3 sigma flips the compare)
+    "window_distinct" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
+        |  count(DISTINCT user_id) AS n_actors,
+        |  CAST(1 AS INTEGER) AS sketch_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // median/MAD via quantile_cont (the group_quantiles mirror), with the
+    // same round-4 gates at each stage: median, MAD, then the z itself;
+    // MAD = 0 -> NULL on both sides
+    "robust_z" ->
+      """WITH m AS (
+        |  SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS med
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang),
+        |a AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, m.med
+        |  FROM documents d JOIN m USING (lang)),
+        |md AS (
+        |  SELECT lang, round(quantile_cont(abs(n_chars - med), 0.5), 4) AS mad
+        |  FROM a WHERE n_chars IS NOT NULL GROUP BY lang)
+        |SELECT doc_id, a.lang,
+        |  CASE WHEN mad > 0 THEN round(0.6745 * (n_chars - med) / mad, 4) END
+        |    AS n_chars_rz
+        |FROM a JOIN md USING (lang) ORDER BY doc_id""".stripMargin,
     // co-occurrence recomputed from scratch: distinct (group, shingle)
     // rows, string-keyed self-join, group sizes — the same 3-gram
     // comprehension the minhash oracles use

@@ -16,6 +16,33 @@ object Events {
     df.groupBy(date_trunc(unit, col(tsCol)).as("win"), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Distinct actors per tumbling window, exact AND sketched — the
+    * cardinality counterpart of [[tumblingCounts]]: "how many unique
+    * users/sessions per hour" is the metric where exact countDistinct
+    * stops scaling first (its expand keeps EVERY distinct key per window
+    * in the aggregation state), so the HyperLogLog++ sketch
+    * (`approx_count_distinct`, constant state per window, mergeable
+    * map-side) is the 100 TB path. Emits both plus a pinned tolerance
+    * flag (|approx − exact| ≤ 3·rsd·exact + 3: three standard errors of
+    * the sketch, plus an absolute allowance of 3 because the relative
+    * guarantee is asymptotic — tiny windows sit in HLL's sparse/linear-
+    * counting regime where the estimate quantizes and a 10-actor hour can
+    * legitimately read 12), making any sketch regression a driver-visible
+    * fail, same differential discipline as the table-level sketch query.
+    * At real scale callers drop the exact column and keep the sketch. */
+  def windowDistinct(
+      df: DataFrame, tsCol: String, actorCol: String, unit: String,
+      rsd: Double = 0.05): DataFrame = {
+    require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
+    df.groupBy(date_trunc(unit, col(tsCol)).as("win"))
+      .agg(
+        countDistinct(col(actorCol)).as("n_actors"),
+        approx_count_distinct(col(actorCol), rsd).as("__approx"))
+      .select(col("win"), col("n_actors"),
+        when(abs(col("__approx") - col("n_actors")) <=
+          col("n_actors") * (3 * rsd) + 3, 1).otherwise(0).as("sketch_ok"))
+  }
+
   /** Per-window top-k keys ("trending"): the k most frequent keys inside
     * each tumbling window, rank deterministic (count desc, key asc).
     *

@@ -257,6 +257,40 @@ object Profile {
     df.filter(x.isNotNull).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Robust per-group z-score via median/MAD — the heavy-tail-safe twin
+    * of mean/std standardization ([[standardize]]): document-length and
+    * score columns are routinely long-tailed, where a handful of outliers
+    * inflate the std enough to hide every other outlier; the median and
+    * the median-absolute-deviation are unmoved by them.
+    * `robust_z = 0.6745 · (x − median) / MAD` (0.6745 scales MAD to σ
+    * under normality, the standard convention). Adds `<valueCol>_rz`
+    * (DOUBLE, rounded 4). NULL values stay NULL; groups with MAD = 0
+    * (over half the group at one value) yield NULL — an honest "no
+    * spread to standardize against", never ±Inf.
+    *
+    * Scale shape: the corpus is scanned twice and shuffled never — the
+    * medians are one [[groupQuantiles]] pass (|keys| rows, broadcast
+    * back), the MADs one more over the residuals, then the z is map-side.
+    * Exact medians by default; pass `approxAccuracy` for unbounded
+    * groups, same knob as every quantile op here. */
+  def robustZ(
+      df: DataFrame, keyCol: String, valueCol: String,
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    val med = groupQuantiles(df, keyCol, valueCol, Seq(0.5), approxAccuracy)
+      .select(col(keyCol), col("p50").as("__med"))
+    val withMed = df.join(broadcast(med), Seq(keyCol))
+    val mad = groupQuantiles(
+      withMed.select(col(keyCol),
+        abs(col(valueCol) - col("__med")).as("__absdev")),
+      keyCol, "__absdev", Seq(0.5), approxAccuracy)
+      .select(col(keyCol), col("p50").as("__mad"))
+    withMed.join(broadcast(mad), Seq(keyCol))
+      .withColumn(s"${valueCol}_rz",
+        when(col("__mad") > 0,
+          round(lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"), 4)))
+      .drop("__med", "__mad")
+  }
+
   /** Chi-square contingency table over two categorical columns: per
     * (a, b) cell the observed count, the independence-expected count
     * (row-total × col-total / N), and the cell's chi-square contribution

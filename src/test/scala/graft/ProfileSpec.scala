@@ -500,6 +500,31 @@ class ProfileSpec extends SparkSpec {
     assert(got(1) == "ok")
   }
 
+  test("robustZ: outlier-immune where mean/std is not; MAD=0 and NULL values yield NULL") {
+    import org.apache.spark.sql.functions.col
+    // group g: median 3, MAD 1; the 1000 outlier must NOT drag the center
+    val df = Seq(
+      ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 1000.0),
+      ("flat", 5.0), ("flat", 5.0), ("flat", 5.0),   // MAD 0
+      ("n", Double.NaN)).toDF("k", "v")
+      .select(col("k"), org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.isnan(col("v")), null).otherwise(col("v")).as("v"))
+    val out = graft.operators.Profile.robustZ(df, "k", "v")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val g = out.filter(_._1 == "g").map(x => x._2 -> x._3).toMap
+    // median 3, absdevs {2,1,0,1,997} -> MAD 1: z = 0.6745*(x-3)
+    assert(g(1.0).contains(-1.349) && g(3.0).contains(0.0) && g(4.0).contains(0.6745), g.toString)
+    // the outlier is correctly FAR out (mean/std would have scored it ~2)
+    assert(g(1000.0).exists(_ > 500), g.toString)
+    // zero-spread group: NULL z, never Inf
+    assert(out.filter(_._1 == "flat").forall(_._3.isEmpty), out.mkString(","))
+    // NULL value row survives with NULL z (its group has no median -> row
+    // drops with the inner join, same stance as winsorize)
+    assert(!out.exists(_._1 == "n"))
+  }
+
   test("fdAudit: violated vs clean determinants; NULL dependents counted apart, not as a value") {
     val df = Seq(
       ("web", Some("en")), ("web", Some("de")),          // violated: 2 langs

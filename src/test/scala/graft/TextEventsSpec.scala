@@ -85,6 +85,20 @@ class TextEventsSpec extends SparkSpec {
     assert(out(3L) == ((0.0, 0.0)))
   }
 
+  test("windowDistinct: exact per-hour cardinality; sketch flag holds; guards fire") {
+    val ts = (h: Int, m: Int) => Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00")
+    val evts = Seq(
+      (ts(9, 0), 1L), (ts(9, 10), 1L), (ts(9, 20), 2L),  // hour 9: users {1,2}
+      (ts(10, 5), 3L), (ts(10, 6), 3L))                  // hour 10: {3}
+      .toDF("ts", "user_id")
+    val out = Events.windowDistinct(evts, "ts", "user_id", "hour")
+      .collect().map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out("2025-01-01 09:00:00.0") == (2L, 1), out.toString)
+    assert(out("2025-01-01 10:00:00.0") == (1L, 1), out.toString)
+    intercept[IllegalArgumentException](
+      Events.windowDistinct(evts, "ts", "user_id", "hour", rsd = 0))
+  }
+
   test("sessionize: gap > 30min starts a new session per user; ids deterministic") {
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
     val events = Seq(
