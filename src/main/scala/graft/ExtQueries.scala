@@ -526,6 +526,12 @@ object ExtQueries {
       .orderBy("grp")
   }
 
+  /** Per-user event-gap distribution in microseconds — cadence profiling
+    * for session-threshold and anomaly tuning. */
+  val interarrivalQ: Q = (s, d) =>
+    Events.interarrivalStats(Tables.loadEvents(s, d), "ts", "user_id", "event_id")
+      .orderBy("user_id")
+
   /** Hourly distinct users, exact + HLL sketch with a pinned 3-sigma
     * tolerance flag — the windowed-cardinality differential. */
   val windowDistinctQ: Q = (s, d) =>
@@ -752,6 +758,7 @@ object ExtQueries {
     "token_fertility" -> tokenFertilityQ,
     "robust_z" -> robustZQ,
     "window_distinct" -> windowDistinctQ,
+    "interarrival" -> interarrivalQ,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -1011,6 +1018,19 @@ object ExtQueries {
         |  round(sqrt(sum((cr - cc) * (cr - cc))), 6) AS l2_shift
         |FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.pos = c.pos
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // gaps in exact integer microseconds (epoch_us), lag ordered with the
+    // same (ts, event_id) tie-break; quantile_cont mirrors percentile
+    "interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5), 4) AS p50_gap,
+        |  round(quantile_cont(gap, 0.95), 4) AS p95_gap,
+        |  CAST(max(gap) AS BIGINT) AS max_gap
+        |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
     // exact side mirrored; the sketch flag is pinned 1 (the differential
     // discipline: a sketch drifting past 3 sigma flips the compare)
     "window_distinct" ->

@@ -16,6 +16,34 @@ object Events {
     df.groupBy(date_trunc(unit, col(tsCol)).as("win"), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-actor inter-arrival statistics: the gap distribution between an
+    * actor's consecutive events — the activity-cadence profile behind
+    * rate-limit tuning, bot detection (machine-regular gaps), and session
+    *-gap threshold selection (pick the sessionize gap from the real p95,
+    * not folklore). Returns (keyCol, n_gaps, p50_gap, p95_gap, max_gap)
+    * with gaps in MICROSECONDS — epoch-second truncation would alias all
+    * sub-second cadences (the exact signature bots show) to zero.
+    *
+    * Scale shape: one shuffle on the actor key for the lag window
+    * (partitions are per-actor event counts, never global), then the
+    * rollup rides the same partitioning. Actors with fewer than 2 events
+    * have no gaps and drop. Deterministic: the lag orders by (ts, idCol)
+    * so same-timestamp events cannot flip order between runs/engines. */
+  def interarrivalStats(
+      df: DataFrame, tsCol: String, keyCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("__gap",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(percentile(col("__gap"), lit(0.5)), 4).as("p50_gap"),
+        round(percentile(col("__gap"), lit(0.95)), 4).as("p95_gap"),
+        max(col("__gap")).as("max_gap"))
+  }
+
   /** Distinct actors per tumbling window, exact AND sketched — the
     * cardinality counterpart of [[tumblingCounts]]: "how many unique
     * users/sessions per hour" is the metric where exact countDistinct

@@ -44,6 +44,27 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"))
 
+  /** Tumbling distinct-actor cardinality via the HLL sketch — the
+    * streaming twin of [[graft.operators.Events.windowDistinct]]'s
+    * at-scale path. Exact streaming countDistinct would keep every
+    * distinct key per open window in the state store (state grows with
+    * cardinality); the sketch keeps CONSTANT state per window and its
+    * register-max merge is associative, commutative, and idempotent-ish
+    * in the ways micro-batch accumulation needs — so the streaming
+    * estimate is bit-identical to the batch estimate over the same rows
+    * (pinned in StreamingSpec), regardless of how the batches were cut.
+    * Watermark bounds open-window state; append-mode friendly. */
+  def tumblingDistinctApprox(
+      stream: DataFrame, actorCol: String, windowLen: String = "1 hour",
+      lateness: String = "10 minutes", rsd: Double = 0.05): DataFrame = {
+    require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(approx_count_distinct(col(actorCol), rsd).as("approx_actors"))
+      .select(col("window.start").as("win"), col("approx_actors"))
+  }
+
   /** Production streaming source: tail a directory of event parquet files
     * (the schema events.parquet uses after loadEvents' ts conversion).
     * Files dropped into `dir` become micro-batches; combine with

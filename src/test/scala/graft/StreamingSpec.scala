@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{approx_count_distinct, col, window}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{DocStreams, EventStreams}
 import graft.streaming.EventStreams.Evt
@@ -345,6 +345,34 @@ class StreamingSpec extends SparkSpec {
       val kept = spark.table("gated").select("id").as[Long].collect().toSet
       // en median 25 -> keep 25,30; de median 2 -> keep 2; fr dropped
       assert(kept == Set(10L, 11L, 13L), kept.toString)
+    } finally q.stop()
+  }
+
+  test("batch/streaming parity: HLL windowed distinct estimates are identical however batches are cut") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val evts = (1 to 200).map { i =>
+      Evt(i.toLong, Timestamp.valueOf(f"2025-01-01 ${9 + i % 3}%02d:${i % 60}%02d:00"),
+        (i % 37).toLong, "click")
+    }
+    // batch truth with the same window() bucketing and the same rsd
+    val batch = evts.toDF()
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_actors"))
+      .select(col("window.start").as("win"), col("approx_actors"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[Evt]
+    val q = EventStreams.tumblingDistinctApprox(mem.toDF(), "user_id")
+      .writeStream.format("memory").queryName("hllwin")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // uneven batch cuts: the register-max merge must make cut points invisible
+      mem.addData(evts.take(13)); q.processAllAvailable()
+      mem.addData(evts.slice(13, 140)); q.processAllAvailable()
+      mem.addData(evts.drop(140)); q.processAllAvailable()
+      val streamed = spark.table("hllwin")
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, s"$streamed vs $batch")
     } finally q.stop()
   }
 

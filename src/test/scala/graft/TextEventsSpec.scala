@@ -85,6 +85,22 @@ class TextEventsSpec extends SparkSpec {
     assert(out(3L) == ((0.0, 0.0)))
   }
 
+  test("interarrivalStats: hand-computed gaps in micros; single-event actors drop; ties break on id") {
+    val t0 = Timestamp.valueOf("2025-01-01 09:00:00")
+    def at(us: Long) = new Timestamp(t0.getTime + us / 1000) // ms precision input
+    val evts = Seq(
+      (1L, 1L, at(0L)), (2L, 1L, at(10000000L)), (3L, 1L, at(40000000L)), // gaps 10s, 30s
+      (4L, 2L, at(0L)),                                                   // one event: no gaps
+      (5L, 3L, at(0L)), (6L, 3L, at(0L))                                  // same ts: gap 0, id-tiebreak
+    ).toDF("event_id", "user_id", "ts")
+    val out = Events.interarrivalStats(evts, "ts", "user_id", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 20000000.0 && out(1L)._4 == 30000000L, out.toString)
+    assert(!out.contains(2L), out.keySet.toString)
+    assert(out(3L) == (1L, 0.0, 0.0, 0L), out.toString)
+  }
+
   test("windowDistinct: exact per-hour cardinality; sketch flag holds; guards fire") {
     val ts = (h: Int, m: Int) => Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00")
     val evts = Seq(
