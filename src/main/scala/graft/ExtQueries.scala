@@ -526,6 +526,37 @@ object ExtQueries {
       .orderBy("grp")
   }
 
+  /** Interpolated bigram LM score over the corpus's own statistics. */
+  val scoreBigram: Q = (s, d) =>
+    TextAnalysis.withBigramNll(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Packing-waste audit of the per-language 2048-token greedy bins (the
+    * pack_index query's exact configuration, rolled up). */
+  val packEfficiencyQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    Curation.packEfficiency(docs, "doc_id", "n_tok", 2048L, Seq("lang"))
+      .orderBy("lang")
+  }
+
+  /** Near-dup provenance: are minhash candidate pairs intra-source or
+    * cross-source? Cross-source duplication is the syndication/scrape-echo
+    * signal; intra-source is boilerplate. Same LSH configuration as
+    * dedup_minhash, so the pair set is the already-verified one. */
+  val dupProvenance: Q = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+    val pairs = Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
+      numHashes = 4, bands = 2, shingleN = 3, family = Dedup.Md5Family)
+    pairs
+      .join(docs.toDF("a_id", "__sa"), "a_id")
+      .join(docs.toDF("b_id", "__sb"), "b_id")
+      .groupBy(when(col("__sa") === col("__sb"), "same_source")
+        .otherwise("cross_source").as("provenance"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("provenance")
+  }
+
   /** Per-user event-gap distribution in microseconds — cadence profiling
     * for session-threshold and anomaly tuning. */
   val interarrivalQ: Q = (s, d) =>
@@ -759,6 +790,9 @@ object ExtQueries {
     "robust_z" -> robustZQ,
     "window_distinct" -> windowDistinctQ,
     "interarrival" -> interarrivalQ,
+    "score_bigram" -> scoreBigram,
+    "pack_efficiency" -> packEfficiencyQ,
+    "dup_provenance" -> dupProvenance,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -1018,6 +1052,55 @@ object ExtQueries {
         |  round(sqrt(sum((cr - cc) * (cr - cc))), 6) AS l2_shift
         |FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.pos = c.pos
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // bigram MLE backed off to the unigram with identical operation order:
+    // 0.8*(c12/c1) + 0.2*(c2/N), -ln averaged per doc, round 4 after
+    "score_bigram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |u AS (SELECT t, count(*) AS c FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY t),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM u)
+        |SELECT doc_id,
+        |  round(avg(-ln(0.8 * (CAST(c12 AS DOUBLE) / c1) + 0.2 * (c2 / nn))), 4) AS nll2
+        |FROM pairs
+        |JOIN big USING (w1, w2)
+        |JOIN (SELECT t AS w1, c AS c1 FROM u) USING (w1)
+        |JOIN (SELECT t AS w2, c AS c2 FROM u) USING (w2)
+        |CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the pack_index window arithmetic rolled up per language; distinct
+    // bins, token totals, efficiency = tokens/(bins*2048)
+    "pack_efficiency" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, n,
+        |    CAST(floor((sum(n) OVER (PARTITION BY lang ORDER BY doc_id) - n) / 2048.0e0) AS BIGINT) AS pack_id
+        |  FROM (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |        FROM documents))
+        |SELECT lang, CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN n > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+        |  round(CAST(sum(n) AS DOUBLE) / (count(DISTINCT pack_id) * 2048), 6) AS efficiency
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+    // the dedup_minhash pair set (same bands CTE) labeled by source
+    // provenance
+    "dup_provenance" ->
+      s"""WITH $minhashBandsCte,
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  WHERE a.band_val <> '')
+         |SELECT CASE WHEN da.source = db.source THEN 'same_source'
+         |  ELSE 'cross_source' END AS provenance,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM prs
+         |JOIN documents da ON prs.a_id = da.doc_id
+         |JOIN documents db ON prs.b_id = db.doc_id
+         |GROUP BY 1 ORDER BY provenance""".stripMargin,
     // gaps in exact integer microseconds (epoch_us), lag ordered with the
     // same (ts, event_id) tie-break; quantile_cont mirrors percentile
     "interarrival" ->

@@ -302,6 +302,46 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("score").desc, col(idCol))))
   }
 
+  /** Interpolated bigram language-model quality score — one rung up from
+    * [[withUnigramNll]] on the CCNet/KenLM ladder: each adjacent token
+    * pair scores `λ·P(w2|w1) + (1−λ)·P(w2)` (maximum-likelihood bigram
+    * backed off to the unigram, so unseen-context pairs never zero out),
+    * and a document's score is its mean pair negative log-likelihood.
+    * Catches what the unigram cannot: shuffled-word salad built from
+    * individually common tokens scores high here and normal there.
+    * Returns (idCol, nll2) rounded 4 after the mean; documents with
+    * fewer than two tokens have no pairs and are excluded.
+    *
+    * Scale shape: same family as the unigram scorer — the pair explode,
+    * one partial-aggregated bigram LM, vocabulary-keyed joins back, and
+    * the corpus token total derived from the unigram LM aggregate. The
+    * LMs are |vocab|/|bigram-vocab| rows, never per-document state. */
+  def withBigramNll(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.8): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__ts"))
+    val z = zip_with(
+      slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+      slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val pairs = toks.filter(size(col("__ts")) > 1)
+      .select(col(idCol), explode(z).as("p"))
+      .select(col(idCol), col("p.w1").as("__w1"), col("p.w2").as("__w2"))
+    val uni = df.select(explode(split(col(textCol), " ")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val big = pairs.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val tot = uni.agg(sum(col("__c")).cast("double").as("__n"))
+    val p = lit(lambda) * (col("__c12").cast("double") / col("__c1")) +
+      lit(1 - lambda) * (col("__c2") / col("__n"))
+    pairs.join(big, Seq("__w1", "__w2"))
+      .join(uni.select(col("__w").as("__w1"), col("__c").as("__c1")), "__w1")
+      .join(uni.select(col("__w").as("__w2"), col("__c").as("__c2")), "__w2")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(p)), 4).as("nll2"))
+  }
+
   /** Pairwise n-gram Jaccard overlap BETWEEN corpus groups (sources,
     * snapshots, domains) — the corpus-diversity audit: two sources with
     * high shingle overlap contribute redundant text to a mixture, and a

@@ -288,6 +288,23 @@ class CurationSpec extends SparkSpec {
     assert(moved == Map(1L -> "changed"), moved.toString)
   }
 
+  test("packEfficiency: bins/tokens/waste from the greedy packing; oversize docs counted") {
+    // budget 10, group g: toks 6,6,6 -> cumulative starts 0,6,12: packs
+    // {0,0,1} = 2 bins, 18 tokens, eff 18/20; group h has a 25-token doc
+    val df = Seq(
+      (1L, "g", 6L), (2L, "g", 6L), (3L, "g", 6L),
+      (10L, "h", 25L), (11L, "h", 2L))
+      .toDF("id", "grp", "tok")
+    val out = Curation.packEfficiency(df, "id", "tok", 10L, Seq("grp"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out("g") == (2L, 3L, 18L, 0L, 0.9), out.toString)
+    // h: starts 0,25 -> packs {0,2}: 2 bins, 27 tokens, one oversize doc
+    assert(out("h") == (2L, 2L, 27L, 1L, 1.35), out.toString)
+    intercept[IllegalArgumentException](
+      Curation.packEfficiency(df, "id", "tok", 10L, Seq.empty))
+  }
+
   test("shardManifest: shards cover [0,n), rows conserved, assignment survives repartitioning") {
     val df = (1L to 400L).map(i => (i, 10L + i % 7)).toDF("id", "sz")
     val m = Curation.shardManifest(df, "id", "sz", nShards = 8).collect()

@@ -368,6 +368,27 @@ class TextEventsSpec extends SparkSpec {
       TextAnalysis.chunkDocs(docs, "doc_id", "text", 5, 5))
   }
 
+  test("withBigramNll: word salad of common tokens scores above natural order; short docs drop") {
+    // corpus: "a b" occurs repeatedly (a strong bigram); "b a" never in
+    // the fluent docs. The scrambled doc uses the SAME tokens (identical
+    // unigram profile) but improbable transitions.
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b a b"),
+      (3L, "b a b a"),      // scrambled: reversed transitions are rarer
+      (4L, "solo"),          // 1 token: no pairs
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withBigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), out.keySet.toString)
+    // docs 1/2 ride the dominant a->b transition; doc 3 leans on b->a,
+    // which only it (and docs 1,2 partially) produce -> higher nll
+    assert(out(3L) > out(1L), out.toString)
+    intercept[IllegalArgumentException](
+      TextAnalysis.withBigramNll(docs, "doc_id", "text", lambda = 1.0))
+  }
+
   test("sourceOverlap: hand-computed Jaccard on shared shingles; disjoint pairs absent; co-occurrence not doc pairs") {
     val docs = Seq(
       (1L, "web", "a b c d"),     // shingles: "a b c", "b c d"
