@@ -164,6 +164,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("source_overlap: co-occurrence joins on the shingle key, never a cartesian/nested loop") {
+    val p = plan("source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // group sizes ride back as broadcasts, not shuffled joins over the
+    // co-occurrence table
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("robust_z: median/MAD cuts broadcast back; the corpus never sort-merges") {
+    val p = plan("robust_z")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("score_bigram: LM joins are equi (hash) joins on vocabulary keys, no plan degeneration") {
+    val p = plan("score_bigram")
+    // the only non-equi join allowed is the 1-row broadcast of the corpus
+    // token total (the unigram scorer's established shape); the LM joins
+    // themselves must be hash equi-joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("window_distinct: one partial-aggregated pass (map-side HLL + count-distinct expand)") {
+    val p = plan("window_distinct")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("join_salted: the join keys carry the salt (hot keys spread over salts reducers)") {
     val p = plan("join_salted")
     // the equi-join condition must include __salt next to the order key —
