@@ -526,6 +526,17 @@ object ExtQueries {
       .orderBy("grp")
   }
 
+  /** Column-level drift between the documents table and a perturbed
+    * current snapshot (every fifth doc's lang nulled) — the null-rate
+    * regression is the planted finding. */
+  val schemaDriftQ: Q = (s, d) => {
+    val ref = t(s, d, "documents")
+    val cur = ref.withColumn("lang",
+      when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("lang")))
+    graft.operators.Profile.schemaDrift(ref, cur, Seq("lang", "source"))
+      .orderBy("col_name")
+  }
+
   /** Interpolated bigram LM score over the corpus's own statistics. */
   val scoreBigram: Q = (s, d) =>
     TextAnalysis.withBigramNll(t(s, d, "documents"), "doc_id", "text")
@@ -793,6 +804,7 @@ object ExtQueries {
     "score_bigram" -> scoreBigram,
     "pack_efficiency" -> packEfficiencyQ,
     "dup_provenance" -> dupProvenance,
+    "schema_drift" -> schemaDriftQ,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -1052,6 +1064,35 @@ object ExtQueries {
         |  round(sqrt(sum((cr - cc) * (cr - cc))), 6) AS l2_shift
         |FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.pos = c.pos
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // per-column profiles on each side (count / null-sum / distinct),
+    // joined by column name; rates round 6, delta of the ROUNDED rates
+    "schema_drift" ->
+      """WITH cur AS (
+        |  SELECT CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang, source
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'lang' AS col_name, count(*) AS n_ref,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS nd_ref FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT source) AS BIGINT) FROM documents),
+        |c AS (
+        |  SELECT 'lang' AS col_name, count(*) AS n_cur,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS nd_cur FROM cur
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT source) AS BIGINT) FROM cur)
+        |SELECT col_name, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(CAST(r.nl AS DOUBLE) / n_ref, 6) AS null_rate_ref,
+        |  round(CAST(c.nl AS DOUBLE) / n_cur, 6) AS null_rate_cur,
+        |  round(round(CAST(c.nl AS DOUBLE) / n_cur, 6)
+        |    - round(CAST(r.nl AS DOUBLE) / n_ref, 6), 6) AS null_rate_delta,
+        |  nd_ref, nd_cur
+        |FROM r JOIN c USING (col_name) ORDER BY col_name""".stripMargin,
     // bigram MLE backed off to the unigram with identical operation order:
     // 0.8*(c12/c1) + 0.2*(c2/N), -ln averaged per doc, round 4 after
     "score_bigram" ->

@@ -226,6 +226,36 @@ object Profile {
       .select("s.*")
   }
 
+  /** Column-level drift between two snapshots of the same table — the
+    * schema-health companion to row-level [[graft.operators.Curation.snapshotDiff]]
+    * and distribution-level [[psiDrift]]: per profiled column, the row
+    * count, null-rate, and distinct-count on each side plus their deltas.
+    * A null-rate jumping from 0.001 to 0.4 is an upstream extractor
+    * breaking quietly; a distinct-count collapsing to 1 is a constant-fill
+    * bug — both invisible to row-diffs when ids keep matching.
+    * Returns one row per column:
+    * (col_name, n_ref, n_cur, null_rate_ref, null_rate_cur, null_rate_delta,
+    *  nd_ref, nd_cur) with rates rounded 6.
+    *
+    * Scale shape: each snapshot collapses via [[columnProfile]]'s single
+    * aggregate pass (one row per side, exploded to |cols|); the join runs
+    * over |cols| rows. Snapshots are never joined row-to-row. */
+  def schemaDrift(ref: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame = {
+    val r = columnProfile(ref, cols).select(col("col_name"),
+      col("n_rows").as("n_ref"), col("n_nulls").as("__nulls_r"),
+      col("n_distinct").as("nd_ref"))
+    val c = columnProfile(cur, cols).select(col("col_name"),
+      col("n_rows").as("n_cur"), col("n_nulls").as("__nulls_c"),
+      col("n_distinct").as("nd_cur"))
+    val rateR = round(col("__nulls_r").cast("double") / col("n_ref"), 6)
+    val rateC = round(col("__nulls_c").cast("double") / col("n_cur"), 6)
+    r.join(c, "col_name")
+      .select(col("col_name"), col("n_ref"), col("n_cur"),
+        rateR.as("null_rate_ref"), rateC.as("null_rate_cur"),
+        round(rateC - rateR, 6).as("null_rate_delta"),
+        col("nd_ref"), col("nd_cur"))
+  }
+
   /** Per-group exact quantiles: one row per key with a `pNN` column per
     * requested quantile — the per-source length/score distribution check
     * run before any curation threshold is chosen.

@@ -128,6 +128,8 @@ object EventStreams {
   case class Evt(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
   case class SessionState(sessionId: Long, lastTs: Long)
   case class SessionizedEvt(event_id: Long, user_id: Long, session_id: Long)
+  case class GapState(lastTs: Long)
+  case class BurstEvt(event_id: Long, user_id: Long, gap_us: Long)
 
   /** Stateful gap sessionization: per-user state carries (current session
     * id, last event time); a gap above `gapMinutes` starts a new session.
@@ -182,6 +184,52 @@ object EventStreams {
           }
           state.update(s)
           if (expireState) state.setTimeoutDuration(s"${gapMinutes * 4} minutes")
+          out.iterator
+        }
+      })
+  }
+
+  /** Burst detector: emit every event arriving within `maxGapMillis` of
+    * its actor's previous event — the machine-cadence signal
+    * ([[graft.operators.Events.interarrivalStats]] profiles the
+    * distribution offline; this flags the sub-threshold gaps LIVE, the
+    * bot/abuse shape where a human-impossible cadence should page
+    * someone before the batch job runs). Emits (event_id, user_id,
+    * gap_us).
+    *
+    * State per actor is ONE timestamp (constant, vs the session op's
+    * per-session id+tail); `expireState` evicts idle actors on the same
+    * processing-time-timeout contract as [[sessionize]]. Within a batch,
+    * events sort by (ts, id); across batches the last-seen timestamp
+    * never rewinds, and a late (earlier-ts) arrival measures its gap
+    * against the later event it lost the race to — arrival cadence, not
+    * event-time cadence, is what a live burst detector meters. The first
+    * event of an actor has no gap and never emits. */
+  def burstEvents(
+      events: Dataset[Evt], maxGapMillis: Long,
+      expireState: Boolean = false): Dataset[BurstEvt] = {
+    require(maxGapMillis > 0, s"maxGapMillis must be positive, got $maxGapMillis")
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (expireState) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append(), timeoutConf)(
+      (user: Long, it: Iterator[Evt], state: GroupState[GapState]) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          def micros(t: Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+          var last = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).flatMap { e =>
+            val m = micros(e.ts)
+            val gap = m - last
+            val hit = last != Long.MinValue && gap >= 0 && gap <= maxGapMillis * 1000L
+            last = math.max(last, m)
+            if (hit) Some(BurstEvt(e.event_id, user, gap)) else None
+          }
+          state.update(GapState(last))
+          if (expireState) state.setTimeoutDuration("1 hour")
           out.iterator
         }
       })

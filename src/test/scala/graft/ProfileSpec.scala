@@ -500,6 +500,21 @@ class ProfileSpec extends SparkSpec {
     assert(got(1) == "ok")
   }
 
+  test("schemaDrift: null-rate and distinct-count regressions surface per column") {
+    val ref = Seq((1L, Some("en"), "web"), (2L, Some("de"), "web"), (3L, Some("fr"), "book"))
+      .toDF("id", "lang", "source")
+    val cur = Seq((1L, None, "web"), (2L, None, "web"), (3L, Some("fr"), "web"))
+      .toDF("id", "lang", "source")
+    val out = graft.operators.Profile.schemaDrift(ref, cur, Seq("lang", "source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // lang: nulls 0/3 -> 2/3; distinct 3 -> 1
+    assert(out("lang") == (3L, 3L, 0.0, 0.666667, 0.666667, 3L, 1L), out.toString)
+    // source: distinct collapsed 2 -> 1, no null movement
+    assert(out("source") == (3L, 3L, 0.0, 0.0, 0.0, 2L, 1L), out.toString)
+  }
+
   test("robustZ: outlier-immune where mean/std is not; MAD=0 and NULL values yield NULL") {
     import org.apache.spark.sql.functions.col
     // group g: median 3, MAD 1; the 1000 outlier must NOT drag the center

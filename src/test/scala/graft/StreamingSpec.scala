@@ -348,6 +348,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("burstEvents: sub-threshold gaps emit with exact micros; first events and slow cadence don't; state spans batches") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val q = EventStreams.burstEvents(mem.toDS(), maxGapMillis = 1000)
+      .writeStream.format("memory").queryName("bursts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = 1700000000000L
+      def at(ms: Long) = new Timestamp(t0 + ms)
+      // user 1: 0ms, 500ms (burst), 10s (not), then next batch 10.4s (burst
+      // ACROSS batches); user 2: single event, never emits
+      mem.addData(Evt(1, at(0), 1, "c"), Evt(2, at(500), 1, "c"),
+        Evt(3, at(10000), 1, "c"), Evt(9, at(0), 2, "c"))
+      q.processAllAvailable()
+      mem.addData(Evt(4, at(10400), 1, "c"))
+      q.processAllAvailable()
+      val out = spark.table("bursts")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(out == Map(2L -> 500000L, 4L -> 400000L), out.toString)
+    } finally q.stop()
+  }
+
   test("batch/streaming parity: HLL windowed distinct estimates are identical however batches are cut") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
