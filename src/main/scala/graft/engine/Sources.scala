@@ -234,17 +234,24 @@ object Sources {
     import org.apache.spark.sql.functions.{col, format_string, lit, raise_error, when}
     val r = spark.read.format("binaryFile")
     glob.foreach(g => r.option("pathGlobFilter", g))
+    // the guard must gate CONTENT, not a sibling column: column pruning
+    // deletes an unreferenced n_bytes along with any raise_error riding in
+    // it, and select("content") — the one projection that can OOM — would
+    // run unguarded (a conf-based cap had the opposite flaw: lazily read,
+    // last-constructed-reader-wins, session-leaking)
+    def capped(c: org.apache.spark.sql.Column) =
+      when(col("length") > maxBytes,
+        raise_error(format_string(
+          s"binaryFiles: %s is %d bytes, over the $maxBytes-byte cap — " +
+            "oversized media belongs to a chunking ingest, not whole-file rows",
+          col("path"), col("length"))).cast("binary"))
+        .otherwise(c)
     r.load(path)
       .select(
         col("path"),
         col("modificationTime").as("mod_time"),
-        when(col("length") > maxBytes,
-          raise_error(format_string(
-            s"binaryFiles: %s is %d bytes, over the $maxBytes-byte cap — " +
-              "oversized media belongs to a chunking ingest, not whole-file rows",
-            col("path"), col("length"))))
-          .otherwise(col("length")).as("n_bytes"),
-        col("content"))
+        col("length").as("n_bytes"),
+        capped(col("content")).as("content"))
   }
 
   /** One incremental-ingest batch: the not-yet-processed files' rows, the

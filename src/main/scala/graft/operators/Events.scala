@@ -20,9 +20,17 @@ object Events {
     * actor's consecutive events — the activity-cadence profile behind
     * rate-limit tuning, bot detection (machine-regular gaps), and session
     *-gap threshold selection (pick the sessionize gap from the real p95,
-    * not folklore). Returns (keyCol, n_gaps, p50_gap, p95_gap, max_gap)
-    * with gaps in MICROSECONDS — epoch-second truncation would alias all
-    * sub-second cadences (the exact signature bots show) to zero.
+    * not folklore). Returns (keyCol, n_gaps, p50_gap_ms, p95_gap_ms,
+    * max_gap_us): gaps are measured in exact integer MICROSECONDS —
+    * epoch-second truncation would alias all sub-second cadences (the
+    * exact signature bots show) to zero — and the QUANTILES are reported
+    * in milliseconds, because quantile interpolation at raw-micros
+    * magnitudes (~1e11 for month-scale gaps) exceeds double's decimal
+    * resolution: the 4-decimal rounding gate then sits INSIDE the ULP and
+    * the two engines' interpolated doubles straddle it (observed at
+    * sf0.1). At millisecond magnitude the guard band is ~10^3 ULPs and
+    * the round-4 gate is stable, while 0.1 µs resolution survives.
+    * `max_gap_us` needs no interpolation and stays an exact long.
     *
     * Scale shape: one shuffle on the actor key for the lag window
     * (partitions are per-actor event counts, never global), then the
@@ -36,12 +44,13 @@ object Events {
     df.withColumn("__gap",
         unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
       .filter(col("__gap").isNotNull)
+      .withColumn("__gap_ms", col("__gap") / 1000.0)
       .groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n_gaps"),
-        round(percentile(col("__gap"), lit(0.5)), 4).as("p50_gap"),
-        round(percentile(col("__gap"), lit(0.95)), 4).as("p95_gap"),
-        max(col("__gap")).as("max_gap"))
+        round(percentile(col("__gap_ms"), lit(0.5)), 4).as("p50_gap_ms"),
+        round(percentile(col("__gap_ms"), lit(0.95)), 4).as("p95_gap_ms"),
+        max(col("__gap")).as("max_gap_us"))
   }
 
   /** Distinct actors per tumbling window, exact AND sketched — the
@@ -50,25 +59,32 @@ object Events {
     * stops scaling first (its expand keeps EVERY distinct key per window
     * in the aggregation state), so the HyperLogLog++ sketch
     * (`approx_count_distinct`, constant state per window, mergeable
-    * map-side) is the 100 TB path. Emits both plus a pinned tolerance
-    * flag (|approx − exact| ≤ 3·rsd·exact + 3: three standard errors of
-    * the sketch, plus an absolute allowance of 3 because the relative
-    * guarantee is asymptotic — tiny windows sit in HLL's sparse/linear-
-    * counting regime where the estimate quantizes and a 10-actor hour can
-    * legitimately read 12), making any sketch regression a driver-visible
-    * fail, same differential discipline as the table-level sketch query.
-    * At real scale callers drop the exact column and keep the sketch. */
+    * map-side) is the 100 TB path. Emits the exact count plus a pinned
+    * tolerance flag (|approx − exact| ≤ 3·rsd·exact + 3: three standard
+    * errors of the sketch, plus an absolute allowance of 3 because the
+    * relative guarantee is asymptotic — tiny windows sit in HLL's
+    * sparse/linear-counting regime where the estimate quantizes and a
+    * 10-actor hour can legitimately read 12), making any sketch
+    * regression a driver-visible fail, same differential discipline as
+    * the table-level sketch query. At real scale call with
+    * `emitApprox = true` to ALSO get the sketch value itself
+    * (`approx_actors`) — that column has no SQL mirror, so the
+    * oracle-registered query keeps the default. */
   def windowDistinct(
       df: DataFrame, tsCol: String, actorCol: String, unit: String,
-      rsd: Double = 0.05): DataFrame = {
+      rsd: Double = 0.05, emitApprox: Boolean = false): DataFrame = {
     require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
-    df.groupBy(date_trunc(unit, col(tsCol)).as("win"))
+    val base = df.groupBy(date_trunc(unit, col(tsCol)).as("win"))
       .agg(
         countDistinct(col(actorCol)).as("n_actors"),
         approx_count_distinct(col(actorCol), rsd).as("__approx"))
-      .select(col("win"), col("n_actors"),
+      .withColumn("sketch_ok",
         when(abs(col("__approx") - col("n_actors")) <=
-          col("n_actors") * (3 * rsd) + 3, 1).otherwise(0).as("sketch_ok"))
+          col("n_actors") * (3 * rsd) + 3, 1).otherwise(0))
+    if (emitApprox)
+      base.select(col("win"), col("n_actors"),
+        col("__approx").as("approx_actors"), col("sketch_ok"))
+    else base.select(col("win"), col("n_actors"), col("sketch_ok"))
   }
 
   /** Per-window top-k keys ("trending"): the k most frequent keys inside

@@ -220,10 +220,16 @@ object TextAnalysis {
     * order, the score rounds at 6 BEFORE ranking, and ties break on the
     * id — rank is engine-portable. NULL texts are excluded (they can
     * match nothing and would poison N/avgdl with NULL). */
-  private def bm25Require(queryTerms: Seq[String], k1: Double, b: Double): Unit = {
+  private[graft] def bm25Require(queryTerms: Seq[String], k1: Double, b: Double): Unit = {
     require(queryTerms.nonEmpty, "BM25 requires at least one query term")
     require(queryTerms.distinct.size == queryTerms.size,
       s"duplicate query terms would double-count: $queryTerms")
+    // tokens are whitespace-split, so a space-containing "term" can never
+    // match anything — and it would also make the space-joined __terms
+    // identity tag ambiguous (["a b","c"] vs ["a","b c"])
+    require(queryTerms.forall(!_.contains(" ")),
+      s"query terms are single whitespace tokens; these contain spaces: " +
+        queryTerms.filter(_.contains(" ")).mkString("[", ", ", "]"))
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
   }
 

@@ -126,9 +126,7 @@ object DocStreams {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     require(!stats.isStreaming, "stats must be a static bm25Stats table")
-    require(queryTerms.nonEmpty && queryTerms.distinct.size == queryTerms.size,
-      s"bad query terms (empty or duplicated): $queryTerms")
-    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    graft.operators.TextAnalysis.bm25Require(queryTerms, k1, b)
     val expected = Seq("__n", "__avgdl") ++ queryTerms.indices.map(i => s"__df$i") :+ "__terms"
     require(expected.forall(stats.columns.contains),
       s"stats must carry (${expected.mkString(", ")}) — the bm25Stats schema " +

@@ -201,10 +201,12 @@ object EventStreams {
     * per-session id+tail); `expireState` evicts idle actors on the same
     * processing-time-timeout contract as [[sessionize]]. Within a batch,
     * events sort by (ts, id); across batches the last-seen timestamp
-    * never rewinds, and a late (earlier-ts) arrival measures its gap
-    * against the later event it lost the race to — arrival cadence, not
-    * event-time cadence, is what a live burst detector meters. The first
-    * event of an actor has no gap and never emits. */
+    * never rewinds, and a late arrival (event time BEHIND the actor's
+    * last-seen) is DROPPED, not measured: its event-time gap is negative
+    * and meaningless, and the record carries no arrival time to meter
+    * instead — a source that reorders across micro-batches should stamp
+    * an arrival-time column and detect on that. The first event of an
+    * actor has no gap and never emits. */
   def burstEvents(
       events: Dataset[Evt], maxGapMillis: Long,
       expireState: Boolean = false): Dataset[BurstEvt] = {

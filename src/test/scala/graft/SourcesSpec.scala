@@ -288,6 +288,12 @@ class SourcesSpec extends SparkSpec {
     // it last)
     val capped = graft.engine.Sources.binaryFiles(spark, dir, maxBytes = 3)
     val uncapped = graft.engine.Sources.binaryFiles(spark, dir)
+    // the guard rides ON content, so the pruning-prone content-only
+    // projection (the one that can OOM) still fails
+    val e0 = intercept[Exception](capped.select("content").collect())
+    assert(String.valueOf(e0.getMessage).contains("over the 3-byte cap") ||
+      Option(e0.getCause).exists(c => String.valueOf(c.getMessage).contains("over the 3-byte cap")),
+      e0.toString)
     val e = intercept[Exception](capped.collect())
     assert(String.valueOf(e.getMessage).contains("over the 3-byte cap") ||
       Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("over the 3-byte cap")),

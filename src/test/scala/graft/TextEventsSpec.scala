@@ -96,7 +96,8 @@ class TextEventsSpec extends SparkSpec {
     val out = Events.interarrivalStats(evts, "ts", "user_id", "event_id")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
-    assert(out(1L)._1 == 2 && out(1L)._2 == 20000000.0 && out(1L)._4 == 30000000L, out.toString)
+    // quantiles in ms (10s/30s gaps -> p50 20000ms), max in exact micros
+    assert(out(1L)._1 == 2 && out(1L)._2 == 20000.0 && out(1L)._4 == 30000000L, out.toString)
     assert(!out.contains(2L), out.keySet.toString)
     assert(out(3L) == (1L, 0.0, 0.0, 0L), out.toString)
   }
@@ -111,6 +112,10 @@ class TextEventsSpec extends SparkSpec {
       .collect().map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getInt(2))).toMap
     assert(out("2025-01-01 09:00:00.0") == (2L, 1), out.toString)
     assert(out("2025-01-01 10:00:00.0") == (1L, 1), out.toString)
+    // the at-scale path: emitApprox surfaces the sketch value itself
+    val withApprox = Events.windowDistinct(evts, "ts", "user_id", "hour", emitApprox = true)
+    assert(withApprox.columns.toSeq == Seq("win", "n_actors", "approx_actors", "sketch_ok"))
+    assert(withApprox.collect().forall(r => r.getLong(2) > 0))
     intercept[IllegalArgumentException](
       Events.windowDistinct(evts, "ts", "user_id", "hour", rsd = 0))
   }
@@ -528,5 +533,9 @@ class TextEventsSpec extends SparkSpec {
       TextAnalysis.bm25Rank(docs, "doc_id", "text", Seq("a"), 0))
     intercept[IllegalArgumentException](
       TextAnalysis.bm25Rank(docs, "doc_id", "text", Seq("a"), 5, b = 1.5))
+    // a space-containing "term" can never match a whitespace token, and it
+    // would make the __terms identity tag ambiguous — rejected up front
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Rank(docs, "doc_id", "text", Seq("a b", "c"), 5))
   }
 }
