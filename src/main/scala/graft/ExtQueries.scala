@@ -526,6 +526,24 @@ object ExtQueries {
       .orderBy("grp")
   }
 
+  /** Global top-30 by quality score with at most 5 docs per language —
+    * the anti-monoculture selection (plain top-k would be one dominant
+    * stratum's sliver). */
+  val topkDiverse: Q = (s, d) => {
+    val scored = TextAnalysis.withQualityScore(t(s, d, "documents"), "text")
+    graft.operators.TopK.diversifiedTopK(
+      scored, "quality_score", "doc_id", "lang", k = 30, perLabel = 7)
+      .select("doc_id", "lang", "quality_score")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+  }
+
+  /** Decile assignment of document length — the rank-based feature
+    * transform, cuts broadcast and compared after the shared round-4
+    * gate. */
+  val quantileBinQ: Q = (s, d) =>
+    graft.operators.Profile.withQuantileBin(t(s, d, "documents"), "n_chars", nBins = 10)
+      .select("doc_id", "n_chars", "n_chars_bin").orderBy("doc_id")
+
   /** Column-level drift between the documents table and a perturbed
     * current snapshot (every fifth doc's lang nulled) — the null-rate
     * regression is the planted finding. */
@@ -805,6 +823,8 @@ object ExtQueries {
     "pack_efficiency" -> packEfficiencyQ,
     "dup_provenance" -> dupProvenance,
     "schema_drift" -> schemaDriftQ,
+    "topk_diverse" -> topkDiverse,
+    "quantile_bin" -> quantileBinQ,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -1064,6 +1084,38 @@ object ExtQueries {
         |  round(sqrt(sum((cr - cc) * (cr - cc))), 6) AS l2_shift
         |FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.pos = c.pos
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // the text_quality score expression, per-lang capped rank, then the
+    // global cut — both cuts tie-break on doc_id over the ROUNDED score
+    "topk_diverse" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    round(0.4e0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok)
+        |        + 0.4e0 * least(n_tok / 100.0e0, 1.0e0)
+        |        + 0.2e0 * (CASE WHEN (length(text) - (n_tok - 1)) / n_tok BETWEEN 3.0e0 AND 8.0e0
+        |                        THEN 1.0e0 ELSE 0.5e0 END), 4) AS quality_score
+        |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
+        |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+        |        FROM documents)),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS lr
+        |  FROM q)
+        |SELECT doc_id, lang, quality_score FROM r WHERE lr <= 7
+        |ORDER BY quality_score DESC, doc_id LIMIT 30""".stripMargin,
+    // decile cuts rounded 4 BEFORE the <= comparison on both sides (an
+    // unrounded interpolated cut a ULP below an integer value would flip
+    // that value's bin per engine)
+    "quantile_bin" ->
+      """WITH c AS (
+        |  SELECT list_transform(
+        |    quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> round(x, 4)) AS cuts
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars IS NOT NULL
+        |    THEN CAST(len(list_filter(cuts, c -> c <= n_chars)) AS INTEGER) END
+        |    AS n_chars_bin
+        |FROM documents CROSS JOIN c ORDER BY doc_id""".stripMargin,
     // per-column profiles on each side (count / null-sum / distinct),
     // joined by column name; rates round 6, delta of the ROUNDED rates
     "schema_drift" ->

@@ -287,6 +287,39 @@ object Profile {
     df.filter(x.isNotNull).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Equi-depth bin assignment per ROW: each value gets its quantile bin
+    * index in [0, nBins) — the rank-based feature transform (length
+    * deciles for stratified mixing, score quartiles for curriculum
+    * ordering) that is robust to scale and outliers where equal-width
+    * bins are not. Adds `<valueCol>_bin` (INT); NULL values get a NULL
+    * bin.
+    *
+    * Scale shape: the nBins−1 cuts are ONE aggregate row broadcast back;
+    * the assignment is a map-side count of cuts ≤ value — the corpus is
+    * scanned twice, shuffled never (same shape as [[winsorize]]).
+    * Determinism: cuts are rounded to 4 decimals BEFORE comparison —
+    * interpolated cut doubles can differ across engines at the ULP, and
+    * an unrounded cut sitting ULP-below an integer data value would flip
+    * that value's bin per engine. `approxAccuracy` switches to the
+    * constant-memory sketch for unbounded inputs. */
+  def withQuantileBin(
+      df: DataFrame, valueCol: String, nBins: Int,
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val x = col(valueCol).cast("double")
+    val q = approxAccuracy match {
+      case Some(acc) => percentile_approx(x, array(ps.map(lit): _*), lit(acc))
+      case None => percentile(x, array(ps.map(lit): _*))
+    }
+    val cuts = df.filter(x.isNotNull)
+      .agg(transform(q, c => round(c, 4)).as("__cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_bin",
+        when(x.isNotNull, size(filter(col("__cuts"), c => c <= x)).cast("int")))
+      .drop("__cuts")
+  }
+
   /** Robust per-group z-score via median/MAD — the heavy-tail-safe twin
     * of mean/std standardization ([[standardize]]): document-length and
     * score columns are routinely long-tailed, where a handful of outliers

@@ -96,4 +96,33 @@ object TopK {
       }
       .toDF("q_id", "n_id", "rank", "cos")
   }
+
+  /** Diversified top-k: the global k best rows, but no label (source,
+    * language, cluster, domain) may contribute more than `perLabel` of
+    * them — the anti-monoculture selection every curated eval set and
+    * retrieval result page applies (plain top-k from a skewed corpus is
+    * routinely one domain's top sliver repeated k times). Determinism:
+    * ties break on `idCol` at both the per-label rank and the global cut,
+    * so the selected SET is engine-portable when the score is
+    * pre-rounded.
+    *
+    * Scale shape: the per-label rank is WindowGroupLimit-rewritten (map
+    * tasks forward at most perLabel rows per label toward the ranking
+    * shuffle — pinned in PlanSpec for the registered query), and the
+    * global cut is orderBy+limit = TakeOrdered, k rows per partition,
+    * never a global sort. NULL labels form their own capped group: an
+    * unlabeled flood should not be able to monopolize the result either. */
+  def diversifiedTopK(
+      df: DataFrame, scoreCol: String, idCol: String, labelCol: String,
+      k: Int, perLabel: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(perLabel >= 1, s"perLabel must be >= 1, got $perLabel")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc_nulls_last)
+    df.withColumn("__lr", row_number().over(w))
+      .filter(col("__lr") <= perLabel).drop("__lr")
+      .orderBy(col(scoreCol).desc, col(idCol).asc_nulls_last)
+      .limit(k)
+  }
 }

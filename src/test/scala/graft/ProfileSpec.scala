@@ -500,6 +500,26 @@ class ProfileSpec extends SparkSpec {
     assert(got(1) == "ok")
   }
 
+  test("withQuantileBin: equi-depth deciles balanced on uniform data; NULL gets NULL bin; cuts map-side") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 100).map(i => Some(i.toLong)).toDF("v")
+      .unionAll(Seq(Option.empty[Long]).toDF("v"))
+    val out = graft.operators.Profile.withQuantileBin(df, "v", nBins = 10)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(out(None).isEmpty)
+    // uniform 1..100 into deciles: each bin holds ~10 values, bins span 0..9
+    val bins = out.collect { case (Some(_), Some(b)) => b }
+    assert(bins.min == 0 && bins.max == 9, bins.toSet.toString)
+    val sizes = bins.groupBy(identity).view.mapValues(_.size).values.toSeq
+    assert(sizes.forall(s => s >= 9 && s <= 11), sizes.toString)
+    // monotone: a larger value never lands in a smaller bin
+    val pairs = out.collect { case (Some(v), Some(b)) => v -> b }.toSeq.sortBy(_._1)
+    assert(pairs.sliding(2).forall { case Seq(a, b) => a._2 <= b._2; case _ => true })
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.withQuantileBin(df, "v", 1))
+  }
+
   test("schemaDrift: null-rate and distinct-count regressions surface per column") {
     val ref = Seq((1L, Some("en"), "web"), (2L, Some("de"), "web"), (3L, Some("fr"), "book"))
       .toDF("id", "lang", "source")

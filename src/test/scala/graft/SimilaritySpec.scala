@@ -150,6 +150,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("diversifiedTopK: label cap binds for the dominant label; short labels contribute all; NULL label capped too") {
+    import sqlContext.implicits._
+    // label A has the 10 best scores; cap 2 forces B/C/NULL rows in
+    val rows = (1L to 10L).map(i => (i, Some("A"), 100.0 - i)) ++
+      Seq((20L, Some("B"), 50.0), (21L, Some("B"), 49.0), (22L, Some("B"), 48.0),
+        (30L, Some("C"), 40.0),
+        (40L, Option.empty[String], 60.0), (41L, Option.empty[String], 59.0),
+        (42L, Option.empty[String], 58.0))
+    val df = rows.toDF("id", "label", "score")
+    val got = graft.operators.TopK.diversifiedTopK(df, "score", "id", "label", k = 7, perLabel = 2)
+      .collect().map(_.getLong(0)).toSet
+    // per-label survivors: A{1,2}, B{20,21}, C{30}, NULL{40,41}; global top 7 = all of them
+    assert(got == Set(1L, 2L, 20L, 21L, 30L, 40L, 41L), got.toString)
+    // k binds after the cap: top 3 overall from the capped pool
+    val top3 = graft.operators.TopK.diversifiedTopK(df, "score", "id", "label", 3, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top3 == Set(1L, 2L, 40L), top3.toString)
+    intercept[IllegalArgumentException](
+      graft.operators.TopK.diversifiedTopK(df, "score", "id", "label", 0, 2))
+  }
+
   test("labelCohesion: identity matches brute-force pairwise mean; singles NULL; degenerate vecs drop") {
     import sqlContext.implicits._
     val rnd = new scala.util.Random(7)
