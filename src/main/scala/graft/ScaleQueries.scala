@@ -54,6 +54,17 @@ object ScaleQueries {
       steps = Seq("view", "click", "purchase"), windowMinutes = 24 * 60)
       .orderBy("step")
 
+  /** The same funnel with per-step conversion rates (step 1 NULL). */
+  val funnelConversionQ: Q = (s, d) =>
+    Events.funnelConversion(Tables.loadEvents(s, d), "user_id", "ts", "event_type",
+      steps = Seq("view", "click", "purchase"), windowMinutes = 24 * 60)
+      .orderBy("step")
+
+  /** Language-ID confusion matrix vs the declared lang column. */
+  val langConfusionQ: Q = (s, d) =>
+    TextAnalysis.langConfusion(t(s, d, "documents"), "lang", "text")
+      .orderBy("lang", "lang_pred")
+
   /** NFC + lowercase + whitespace-collapse normalization over documents,
     * through the native [[graft.plans.NfcNormalize]] expression. The
     * fixture is pure ASCII (NFC is identity there — the lower/collapse
@@ -245,6 +256,8 @@ object ScaleQueries {
     "heavy_hitters" -> heavyHitters,
     "bloom_semi" -> bloomSemi,
     "funnel_steps" -> funnelSteps,
+    "funnel_conversion" -> funnelConversionQ,
+    "lang_confusion" -> langConfusionQ,
     "text_normalize" -> textNormalize,
   )
 
@@ -493,6 +506,51 @@ object ScaleQueries {
         |WHERE o_custkey IN (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
+    // the funnel_steps CTEs with a lag-derived rate over the k-row summary
+    "funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(s1.t)
+        |    AND epoch_us(e.ts) - epoch_us(s1.t) <= 86400000000 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(s2.t)
+        |    AND epoch_us(e.ts) - epoch_us(s2.t) <= 86400000000 GROUP BY e.user_id),
+        |f AS (
+        |  SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+        |    (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM s3))
+        |SELECT step, step_name, n_users,
+        |  CASE WHEN lag(n_users) OVER (ORDER BY step) > 0
+        |    THEN round(CAST(n_users AS DOUBLE) / lag(n_users) OVER (ORDER BY step), 6)
+        |  END AS conv_rate
+        |FROM f ORDER BY step""".stripMargin,
+    // the lang_id classifier CASE, cross-tabbed against the declared label
+    "lang_confusion" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CASE WHEN e IS NULL THEN NULL
+        |         WHEN greatest(e, de, es, fr, zh) = 0 THEN 'und'
+        |         WHEN e  = greatest(e, de, es, fr, zh) THEN 'en'
+        |         WHEN de = greatest(e, de, es, fr, zh) THEN 'de'
+        |         WHEN es = greatest(e, de, es, fr, zh) THEN 'es'
+        |         WHEN fr = greatest(e, de, es, fr, zh) THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
+        |  FROM (
+        |    SELECT lang,
+        |      len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS e,
+        |      len(list_filter(toks, t -> t IN ('der','die','und','das','ein'))) AS de,
+        |      len(list_filter(toks, t -> t IN ('el','la','de','los','una'))) AS es,
+        |      len(list_filter(toks, t -> t IN ('le','la','les','des','une'))) AS fr,
+        |      len(list_filter(toks, t -> t IN ('的','是','在','了','和'))) AS zh
+        |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)))
+        |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS INTEGER) AS hit
+        |FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
     "funnel_steps" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t FROM events

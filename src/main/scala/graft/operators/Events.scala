@@ -202,6 +202,24 @@ object Events {
     }.reduce(_ unionByName _)
   }
 
+  /** [[funnelReach]] plus per-step conversion rates: each step's
+    * n_users over the previous step's — the number a growth/ops review
+    * actually reads (absolute reach needs corpus context; the rate is
+    * self-normalizing). Step 1 has no predecessor and reports NULL; a
+    * zero-reach predecessor also yields NULL (0/0 is not a rate).
+    * The lag window runs over the k-row step summary only — never data. */
+  def funnelConversion(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], windowMinutes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reach = funnelReach(df, userCol, tsCol, typeCol, steps, windowMinutes)
+    val w = Window.orderBy(col("step"))
+    reach.withColumn("conv_rate", {
+      val prev = lag(col("n_users"), 1).over(w)
+      when(prev > 0, round(col("n_users").cast("double") / prev, 6))
+    })
+  }
+
   /** Per-key rate anomalies: hourly event counts z-scored against the
     * key's own hourly mean/stddev; rows with |z| ≥ `zThreshold` are the
     * monitoring signal every ingest pipeline wants (a traffic spike, a

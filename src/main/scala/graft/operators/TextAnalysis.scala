@@ -348,6 +348,23 @@ object TextAnalysis {
       .agg(round(avg(-log(p)), 4).as("nll2"))
   }
 
+  /** Language-ID confusion matrix against declared labels: one row per
+    * (declared, predicted) pair with its count and a hit flag — the
+    * classifier-QA cross-tab run before TRUSTING [[withLangId]] for
+    * routing or mixture decisions (per-language recall = the hit row's n
+    * over the declared label's total; off-diagonal mass localizes which
+    * languages the stopword profiles confuse). One map-side
+    * classification pass + one partial-aggregated groupBy; output is
+    * |labels × predictions| rows. NULL declared labels and NULL
+    * predictions (NULL text) form their own rows — missing-ness is part
+    * of the audit. */
+  def langConfusion(df: DataFrame, labelCol: String, textCol: String): DataFrame =
+    withLangId(df, textCol)
+      .groupBy(col(labelCol), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hit",
+        when(col(labelCol) === col("lang_pred"), 1).otherwise(0))
+
   /** Pairwise n-gram Jaccard overlap BETWEEN corpus groups (sources,
     * snapshots, domains) — the corpus-diversity audit: two sources with
     * high shingle overlap contribute redundant text to a mixture, and a

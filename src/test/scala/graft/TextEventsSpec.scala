@@ -85,6 +85,48 @@ class TextEventsSpec extends SparkSpec {
     assert(out(3L) == ((0.0, 0.0)))
   }
 
+  test("funnelConversion: rates are step-over-previous-step; step 1 NULL; zero reach yields NULL not Inf") {
+    val t0 = Timestamp.valueOf("2025-01-01 09:00:00")
+    def at(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    // users 1,2 view; only user 1 clicks in-window; nobody purchases
+    val evts = Seq(
+      (1L, "view", at(0)), (2L, "view", at(0)),
+      (1L, "click", at(5)),
+      (9L, "click", at(0))) // click without a view: never in the funnel
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.funnelConversion(evts, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowMinutes = 60)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1) == (2L, None), out.toString)
+    assert(out(2) == (1L, Some(0.5)), out.toString)
+    assert(out(3) == (0L, Some(0.0)), out.toString)
+    // a zero-reach PREDECESSOR produces NULL (0/0), never Inf: add a step
+    // after the empty purchase step
+    val out4 = Events.funnelConversion(evts, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase", "refund"), 60)
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out4(4).isEmpty, out4.toString)
+  }
+
+  test("langConfusion: diagonal hits flagged; misclassified and NULL rows surface") {
+    val docs = Seq(
+      (1L, "en", "the cat and the dog"),     // correct
+      (2L, "en", "the cat and the dog"),     // correct
+      (3L, "de", "the dog"),                 // declared de, classified en
+      (4L, "fr", "xyzzy plugh"),             // classified und
+      (5L, "en", null.asInstanceOf[String])  // NULL prediction row
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langConfusion(docs, "lang", "text")
+      .collect().map(r => (r.getString(0), Option(r.getString(1))) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    assert(out(("en", Some("en"))) == (2L, 1), out.toString)
+    assert(out(("de", Some("en"))) == (1L, 0), out.toString)
+    assert(out(("fr", Some("und"))) == (1L, 0), out.toString)
+    assert(out(("en", None)) == (1L, 0), out.toString)
+  }
+
   test("interarrivalStats: hand-computed gaps in micros; single-event actors drop; ties break on id") {
     val t0 = Timestamp.valueOf("2025-01-01 09:00:00")
     def at(us: Long) = new Timestamp(t0.getTime + us / 1000) // ms precision input
