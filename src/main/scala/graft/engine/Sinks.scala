@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Sinks / publish (SURVEY §2.1 S4/S7/S8).
   *
@@ -79,6 +79,40 @@ object Sinks {
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(cols: _*).parquet(path)
+
+  /** Retention sweep over a partitioned table: delete (or, by default,
+    * just REPORT) the `col=value` partition directories whose value sorts
+    * strictly below `keepFrom` — the time-partitioned lake's expiry job
+    * (regulatory retention, cost control). Comparison is LEXICAL on the
+    * partition value string, which is exactly right for the ISO dates /
+    * zero-padded hours partition columns are written with; numeric-but-
+    * unpadded values would mis-sort, so the caller owns the format, and
+    * `dryRun = true` (the DEFAULT — deleting data is the one
+    * irreversible act in this file) lets the sweep be reviewed first.
+    * Returns the affected partition values, sorted.
+    *
+    * Scale notes: the sweep is a pure driver-side directory listing (one
+    * level, |partitions| entries — never a data scan) plus per-directory
+    * recursive deletes the filesystem performs; concurrent readers of a
+    * deleted partition fail as they would under any external delete —
+    * run it against dynamic-partition-overwrite tables
+    * ([[overwritePartitions]]) whose readers pin partitions by filter. */
+  def vacuumPartitions(
+      spark: SparkSession, path: String, col: String, keepFrom: String,
+      dryRun: Boolean = true): Seq[String] = {
+    require(keepFrom.nonEmpty, "keepFrom must be non-empty")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$col="
+    if (!fs.exists(root)) return Seq.empty
+    val expired = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => s.getPath)
+      .filter(p => p.getName.stripPrefix(prefix) < keepFrom)
+      .sortBy(_.getName)
+    if (!dryRun) expired.foreach(p => fs.delete(p, true))
+    expired.map(_.getName.stripPrefix(prefix))
+  }
 
   /** Bucketed + sorted table for co-located joins: two tables bucketed on
     * the same key join WITHOUT a shuffle (no Exchange in the plan —

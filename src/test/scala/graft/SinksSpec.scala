@@ -184,4 +184,26 @@ class SinksSpec extends SparkSpec {
       graft.engine.Sources.evolvingParquet(spark, dir, conflict))
     assert(e2.problems.exists(p => p.contains("lang") && p.contains("expected")))
   }
+
+  test("vacuumPartitions: dry-run reports without deleting; real run deletes only expired; survivors readable") {
+    import sqlContext.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    val df = Seq(
+      (1L, "2024-01-01"), (2L, "2024-02-01"), (3L, "2024-03-01"), (4L, "2024-04-01"))
+      .toDF("id", "day")
+    graft.engine.Sinks.writePartitioned(df, dir, Seq("day"))
+    // dry run: reports the two expired days, deletes nothing
+    val planned = graft.engine.Sinks.vacuumPartitions(spark, dir, "day", keepFrom = "2024-03-01")
+    assert(planned == Seq("2024-01-01", "2024-02-01"), planned.toString)
+    assert(spark.read.parquet(dir).count() == 4)
+    // real sweep: expired partitions gone, the rest intact and readable
+    val swept = graft.engine.Sinks.vacuumPartitions(spark, dir, "day", "2024-03-01", dryRun = false)
+    assert(swept == planned, swept.toString)
+    val left = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(left == Set(3L, 4L), left.toString)
+    // idempotent: nothing left to expire
+    assert(graft.engine.Sinks.vacuumPartitions(spark, dir, "day", "2024-03-01", dryRun = false).isEmpty)
+    // a missing table vacuums to empty rather than throwing
+    assert(graft.engine.Sinks.vacuumPartitions(spark, s"$dir-nope", "day", "2024-03-01").isEmpty)
+  }
 }
