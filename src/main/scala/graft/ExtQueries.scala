@@ -468,6 +468,27 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of with a 1-hour tolerance: each purchase picks up its
+    * user's EARLIEST at-or-after click, and matches farther than an hour
+    * ahead null out — the label-after-event join with a bounded
+    * lookahead. Oracle: DuckDB ASOF with the inequality reversed plus the
+    * same tolerance projection. */
+  val joinAsofFwd: Q = (s, d) => {
+    val ev = Tables.loadEvents(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clickW = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "ts").orderBy("event_id")
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("__rn", row_number().over(clickW)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+    Temporal.asofJoin(purchases, clicks, "user_id", "ts",
+      Map("click_id" -> "click_id", "click_value" -> "value"),
+      direction = "forward", tolerance = Some("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("click_id"), round(col("click_value"), 4).as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Range join: click -> purchases of the same user within 5 minutes. */
   val joinRange: Q = (s, d) => {
     val ev = Tables.loadEvents(s, d)
@@ -861,6 +882,7 @@ object ExtQueries {
     "sessionize" -> sessionizeQ,
     "session_stats" -> sessionStats,
     "join_asof" -> joinAsof,
+    "join_asof_fwd" -> joinAsofFwd,
     "join_range" -> joinRange,
   )
 
@@ -1650,6 +1672,19 @@ object ExtQueries {
         |  FROM events WHERE event_type = 'click') WHERE rn = 1)
         |SELECT p.event_id, c.click_id, round(c.value, 4) AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // forward ASOF (inequality reversed) + the tolerance projection:
+    // matches beyond 1 hour ahead null out but the left row survives
+    "join_asof_fwd" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value FROM (
+        |  SELECT event_id, user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'click') WHERE rn = 1)
+        |SELECT p.event_id,
+        |  CASE WHEN c.ts <= p.ts + INTERVAL 1 HOUR THEN c.click_id END AS click_id,
+        |  CASE WHEN c.ts <= p.ts + INTERVAL 1 HOUR THEN round(c.value, 4) END AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "join_range" ->
       """SELECT e.event_id AS a_id, f.event_id AS b_id FROM events e

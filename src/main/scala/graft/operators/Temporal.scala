@@ -19,18 +19,39 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** For each left row, copy columns from the LATEST right row of the same
-    * `key` with `right.ts <= left.ts` (inclusive; ties: the right row wins
-    * so a same-instant measurement is visible). Unmatched left rows get
-    * NULLs. `copies` maps destination column -> right column. Right rows
-    * must be unique per (key, ts) — pre-dedup with a window if not. */
+  /** For each left row, copy columns from the NEAREST right row of the
+    * same `key` in the given `direction`:
+    *  - "backward" (default): the LATEST right row with
+    *    `right.ts <= left.ts` — "the last known measurement";
+    *  - "forward": the EARLIEST right row with `right.ts >= left.ts` —
+    *    "the next reading" (label-after-event joins, next-price lookups).
+    * Both inclusive; ties: the right row wins, so a same-instant
+    * measurement is visible. `tolerance` (an INTERVAL expression, e.g.
+    * "INTERVAL 1 HOUR") bounds the staleness/lookahead: a match farther
+    * than that from the left row yields NULL copies instead — without a
+    * bound, a backward as-of happily joins a year-stale reading and the
+    * error is silent. Unmatched left rows get NULLs. `copies` maps
+    * destination column -> right column. Right rows must be unique per
+    * (key, ts) — pre-dedup with a window if not.
+    *
+    * The forward direction is the SAME union + running-window plan with
+    * the window order reversed — still one shuffle on the key, no range
+    * explosion; tolerance is a map-side projection over the matched
+    * timestamp carried in the payload. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       tsCol: String,
-      copies: Map[String, String]): DataFrame = {
-    val payload = struct(copies.values.toSeq.distinct.map(col): _*)
+      copies: Map[String, String],
+      direction: String = "backward",
+      tolerance: Option[String] = None): DataFrame = {
+    require(Set("backward", "forward").contains(direction),
+      s"direction must be backward|forward, got $direction")
+    // the matched row's ts rides in the payload so tolerance can compare
+    // it against the left ts after the window fill
+    val payload = struct(
+      copies.values.toSeq.distinct.map(col) :+ col(tsCol).as("__mts"): _*)
     // ASOF semantics: a NULL key or NULL ts on the right matches nothing
     // (SQL comparison is never true). Without this filter Spark's
     // nulls-first ordering would sort NULL-ts right rows before every left
@@ -47,13 +68,23 @@ object Temporal {
       .withColumn("__payload", lit(null).cast(payloadType))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows (side 0) sort before left rows at equal ts -> inclusive
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+    // in BOTH directions; forward simply walks time reversed
+    val ord =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
+    val w = Window.partitionBy("__k").orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__match",
       last(col("__payload"), ignoreNulls = true).over(w))
     val leftOnly = filled.filter(col("__side") === 1)
+    val inTol: Column = tolerance match {
+      case None => lit(true)
+      case Some(t) if direction == "backward" =>
+        col("__ts") <= col("__match.__mts") + expr(t)
+      case Some(t) =>
+        col("__match.__mts") <= col("__ts") + expr(t)
+    }
     val withCopies = copies.foldLeft(leftOnly) { case (df, (dst, src)) =>
-      df.withColumn(dst, col(s"__match.$src"))
+      df.withColumn(dst, when(inTol, col(s"__match.$src")))
     }
     withCopies.drop("__k", "__ts", "__side", "__payload", "__match")
   }

@@ -50,6 +50,43 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() == 50)
   }
 
+  test("asofJoin forward: earliest at-or-after match; inclusive ties; nothing ahead -> NULL") {
+    val left = Seq(
+      (1L, 7L, ts(10)),  // matches right@20 (earliest >= 10)
+      (2L, 7L, ts(20)),  // tie inclusive: right@20
+      (3L, 7L, ts(35)),  // after all right rows -> NULL
+      (4L, 8L, ts(10))   // other key -> NULL
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (7L, ts(5), "r5"), (7L, ts(20), "r20"), (7L, ts(30), "r30")
+    ).toDF("k", "t", "v")
+    val out = Temporal.asofJoin(left, right, "k", "t", Map("matched" -> "v"),
+      direction = "forward")
+      .select("id", "matched").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(out == Map(1L -> "r20", 2L -> "r20", 3L -> null, 4L -> null))
+    intercept[IllegalArgumentException](
+      Temporal.asofJoin(left, right, "k", "t", Map("matched" -> "v"), "nearest"))
+  }
+
+  test("asofJoin tolerance: stale/far matches null out but the left row survives") {
+    val left = Seq(
+      (1L, 7L, ts(10)),   // nearest prior right@5, 5 min stale -> kept at 10m tol
+      (2L, 7L, ts(60))    // nearest prior right@5, 55 min stale -> nulled
+    ).toDF("id", "k", "t")
+    val right = Seq((7L, ts(5), "r5")).toDF("k", "t", "v")
+    val back = Temporal.asofJoin(left, right, "k", "t", Map("matched" -> "v"),
+      tolerance = Some("INTERVAL 10 MINUTES"))
+      .select("id", "matched").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(back == Map(1L -> "r5", 2L -> null), back.toString)
+    // forward: lookahead bound
+    val fwd = Temporal.asofJoin(
+      Seq((1L, 7L, ts(0)), (2L, 7L, ts(4))).toDF("id", "k", "t"),
+      right, "k", "t", Map("matched" -> "v"),
+      direction = "forward", tolerance = Some("INTERVAL 2 MINUTES"))
+      .select("id", "matched").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(fwd == Map(1L -> null, 2L -> "r5"), fwd.toString)
+  }
+
   test("rangeJoin: only pairs inside the (exclusive, inclusive] window") {
     val l = Seq((1L, 7L, ts(0)), (2L, 7L, ts(100))).toDF("id", "k", "t")
     val r = Seq((10L, 7L, ts(0)), (11L, 7L, ts(3)), (12L, 7L, ts(5)), (13L, 7L, ts(6)))
