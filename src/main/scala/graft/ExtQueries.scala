@@ -565,6 +565,13 @@ object ExtQueries {
     graft.operators.Profile.withQuantileBin(t(s, d, "documents"), "n_chars", nBins = 10)
       .select("doc_id", "n_chars", "n_chars_bin").orderBy("doc_id")
 
+  /** Per-source Gini of document length — does one source carry its mass
+    * in a few giant docs? Exact integer arithmetic until the final
+    * quotient. */
+  val groupGiniQ: Q = (s, d) =>
+    graft.operators.Profile.groupGini(t(s, d, "documents"), "source", "n_chars", "doc_id")
+      .orderBy("source")
+
   /** Column-level drift between the documents table and a perturbed
     * current snapshot (every fifth doc's lang nulled) — the null-rate
     * regression is the planted finding. */
@@ -846,6 +853,7 @@ object ExtQueries {
     "schema_drift" -> schemaDriftQ,
     "topk_diverse" -> topkDiverse,
     "quantile_bin" -> quantileBinQ,
+    "group_gini" -> groupGiniQ,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -1106,6 +1114,20 @@ object ExtQueries {
         |  round(sqrt(sum((cr - cc) * (cr - cc))), 6) AS l2_shift
         |FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.pos = c.pos
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // the rank identity with exact integer sums; round 6 on the final
+    // quotient only
+    "group_gini" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CASE WHEN sum(n_chars) > 0 THEN
+        |    round(2.0 * sum(i * n_chars) / (count(*) * sum(n_chars))
+        |      - CAST(count(*) + 1 AS DOUBLE) / count(*), 6)
+        |  END AS gini
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // the text_quality score expression, per-lang capped rank, then the
     // global cut — both cuts tie-break on doc_id over the ROUNDED score
     "topk_diverse" ->

@@ -287,6 +287,41 @@ object Profile {
     df.filter(x.isNotNull).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group Gini coefficient of a value column — the concentration
+    * metric for corpus composition questions ("does one source's token
+    * mass sit in a handful of giant documents?"): 0 = perfectly even,
+    * →1 = one row holds everything. Uses the rank identity
+    * `G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n` over ascending-ranked values, so
+    * everything up to the final division is EXACT integer arithmetic —
+    * no FP accumulation to disagree across engines; the quotient rounds
+    * at 6. Returns (keyCol, n, gini); NULL values are excluded; groups
+    * whose values sum to 0 have no mass to concentrate and report NULL;
+    * ranks tie-break on the id column, which cannot change the sum
+    * (equal values commute under i·xᵢ) but pins a deterministic plan.
+    *
+    * Scale shape: ONE window shuffle on the group key for the rank
+    * (partition = one group's rows), then a partial-aggregated rollup on
+    * the same key. Negative values violate the Gini domain and fail
+    * loudly rather than returning a nonsense coefficient. */
+  def groupGini(df: DataFrame, keyCol: String, valueCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(valueCol).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(x.asc, col(idCol).asc_nulls_last)
+    df.filter(x.isNotNull)
+      .withColumn("__x",
+        when(x < 0, raise_error(concat(lit(
+          s"groupGini: negative $valueCol breaks the Gini domain: "), x.cast("string"))))
+          .otherwise(x))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__i") * col("__x")).as("__six"))
+      .select(col(keyCol), col("n"),
+        when(col("__sx") > 0,
+          round(lit(2.0) * col("__six") / (col("n") * col("__sx")) -
+            (col("n") + 1).cast("double") / col("n"), 6)).as("gini"))
+  }
+
   /** Equi-depth bin assignment per ROW: each value gets its quantile bin
     * index in [0, nBins) — the rank-based feature transform (length
     * deciles for stratified mixing, score quartiles for curriculum

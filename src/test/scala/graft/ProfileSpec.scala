@@ -500,6 +500,27 @@ class ProfileSpec extends SparkSpec {
     assert(got(1) == "ok")
   }
 
+  test("groupGini: 0 on uniform mass, near-1 on total concentration; domain guards") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("even", 1L, 10L), ("even", 2L, 10L), ("even", 3L, 10L), ("even", 4L, 10L),
+      ("conc", 11L, 0L), ("conc", 12L, 0L), ("conc", 13L, 0L), ("conc", 14L, 1000L),
+      ("zero", 21L, 0L), ("zero", 22L, 0L))
+      .toDF("g", "id", "v")
+    val out = graft.operators.Profile.groupGini(df, "g", "v", "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("even") == (4L, Some(0.0)), out.toString)
+    // all mass in 1 of 4 rows: G = 2*4/(4*1) - 5/4 = 0.75 (the n-finite max)
+    assert(out("conc") == (4L, Some(0.75)), out.toString)
+    assert(out("zero") == (2L, None), out.toString)
+    // negative values fail loudly, not a nonsense coefficient
+    val neg = Seq(("g", 1L, -5L)).toDF("g", "id", "v")
+    intercept[Exception] {
+      graft.operators.Profile.groupGini(neg, "g", "v", "id").collect()
+    }
+  }
+
   test("withQuantileBin: equi-depth deciles balanced on uniform data; NULL gets NULL bin; cuts map-side") {
     import org.apache.spark.sql.functions.col
     val df = (1 to 100).map(i => Some(i.toLong)).toDF("v")
