@@ -444,24 +444,31 @@ object ExtQueries {
     Events.sessionize(Tables.loadEvents(s, d), "user_id", "ts", "event_id")
       .select("event_id", "user_id", "session_id").orderBy("event_id")
 
-  /** As-of join: each purchase picks up its user's latest prior-or-equal
-    * click (union + running-window implementation, no range explosion).
-    * Oracle: DuckDB's native ASOF LEFT JOIN. */
-  val joinAsof: Q = (s, d) => {
+  /** Shared prep for the as-of pair: purchases, plus clicks deduped to
+    * min-event_id per (user, ts) — asofJoin's contract requires the right
+    * side unique per (key, ts), and pinning the pick means a fixture
+    * regeneration landing two same-microsecond clicks degrades to a
+    * deterministic choice on both engines instead of a flaky hash
+    * mismatch (current fixtures have no such tie; regeneration-proofing,
+    * same spirit as the events encoding alternatives). One definition so
+    * the backward and forward queries cannot desynchronize. */
+  private def asofInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ev = Tables.loadEvents(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts")
-    // asofJoin's contract requires the right side unique per (key, ts):
-    // pin min-event_id per (user, ts) so a fixture regeneration landing
-    // two same-microsecond clicks degrades to a deterministic pick on
-    // both engines instead of a flaky hash mismatch (current fixtures
-    // have no such tie; this is regeneration-proofing, same spirit as
-    // the events encoding alternatives)
     val clickW = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id", "ts").orderBy("event_id")
     val clicks = ev.filter(col("event_type") === "click")
       .withColumn("__rn", row_number().over(clickW)).filter(col("__rn") === 1)
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+    (purchases, clicks)
+  }
+
+  /** As-of join: each purchase picks up its user's latest prior-or-equal
+    * click (union + running-window implementation, no range explosion).
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val joinAsof: Q = (s, d) => {
+    val (purchases, clicks) = asofInputs(s, d)
     Temporal.asofJoin(purchases, clicks, "user_id", "ts",
       Map("click_id" -> "click_id", "click_value" -> "value"))
       .select(col("event_id"), col("click_id"), round(col("click_value"), 4).as("click_value"))
@@ -474,14 +481,7 @@ object ExtQueries {
     * lookahead. Oracle: DuckDB ASOF with the inequality reversed plus the
     * same tolerance projection. */
   val joinAsofFwd: Q = (s, d) => {
-    val ev = Tables.loadEvents(s, d)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select("event_id", "user_id", "ts")
-    val clickW = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id", "ts").orderBy("event_id")
-    val clicks = ev.filter(col("event_type") === "click")
-      .withColumn("__rn", row_number().over(clickW)).filter(col("__rn") === 1)
-      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+    val (purchases, clicks) = asofInputs(s, d)
     Temporal.asofJoin(purchases, clicks, "user_id", "ts",
       Map("click_id" -> "click_id", "click_value" -> "value"),
       direction = "forward", tolerance = Some("INTERVAL 1 HOUR"))
@@ -547,9 +547,10 @@ object ExtQueries {
       .orderBy("grp")
   }
 
-  /** Global top-30 by quality score with at most 5 docs per language —
+  /** Global top-30 by quality score with at most 7 docs per language —
     * the anti-monoculture selection (plain top-k would be one dominant
-    * stratum's sliver). */
+    * stratum's sliver); the cap leaves a 35-doc pool so the global cut
+    * genuinely binds. */
   val topkDiverse: Q = (s, d) => {
     val scored = TextAnalysis.withQualityScore(t(s, d, "documents"), "text")
     graft.operators.TopK.diversifiedTopK(

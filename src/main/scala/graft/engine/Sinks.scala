@@ -105,13 +105,27 @@ object Sinks {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = s"$col="
     if (!fs.exists(root)) return Seq.empty
+    // directory names carry Spark's %XX path escaping (':' in a timestamp
+    // partition becomes %3A): compare and report the DECODED value —
+    // comparing raw names would sort "10%3A00" below "10:00" and delete
+    // the partition that exactly equals keepFrom
+    def unescape(s: String): String =
+      "%([0-9A-Fa-f]{2})".r.replaceAllIn(s,
+        m => java.util.regex.Matcher.quoteReplacement(
+          Integer.parseInt(m.group(1), 16).toChar.toString))
     val expired = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .map(s => s.getPath)
-      .filter(p => p.getName.stripPrefix(prefix) < keepFrom)
-      .sortBy(_.getName)
-    if (!dryRun) expired.foreach(p => fs.delete(p, true))
-    expired.map(_.getName.stripPrefix(prefix))
+      .map(s => (s.getPath, unescape(s.getPath.getName.stripPrefix(prefix))))
+      .filter { case (_, v) => v < keepFrom }
+      .sortBy(_._2)
+    if (!dryRun) {
+      // an FS that REPORTS failure instead of throwing (object stores do)
+      // must not let the sweep claim the partition was purged
+      val failed = expired.filterNot { case (p, _) => fs.delete(p, true) }
+      require(failed.isEmpty,
+        s"vacuumPartitions: deletes failed for ${failed.map(_._2).mkString(", ")}")
+    }
+    expired.map(_._2)
   }
 
   /** Bucketed + sorted table for co-located joins: two tables bucketed on

@@ -305,6 +305,14 @@ object Profile {
     * loudly rather than returning a nonsense coefficient. */
   def groupGini(df: DataFrame, keyCol: String, valueCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the exact-arithmetic claim rests on integer inputs: silently
+    // long-truncating a fractional score column would report nonsense
+    // (every sub-1.0 value truncates to 0) — reject at construction; a
+    // caller with fractional mass scales to a fixed-point integer first
+    val dt = df.schema(valueCol).dataType
+    require(Set("long", "integer", "short", "byte").contains(dt.typeName),
+      s"groupGini needs an integral $valueCol (got ${dt.typeName}); " +
+        "scale fractional mass to fixed-point first")
     val x = col(valueCol).cast("long")
     val w = Window.partitionBy(col(keyCol)).orderBy(x.asc, col(idCol).asc_nulls_last)
     df.filter(x.isNotNull)

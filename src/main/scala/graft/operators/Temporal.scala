@@ -68,9 +68,13 @@ object Temporal {
       .withColumn("__payload", lit(null).cast(payloadType))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows (side 0) sort before left rows at equal ts -> inclusive
-    // in BOTH directions; forward simply walks time reversed
+    // in BOTH directions; forward simply walks time reversed. NULL-ts
+    // LEFT rows must sort before every right row in either walk (asc is
+    // nulls-first already; desc defaults to nulls-LAST, which would hand
+    // a NULL-ts left row the last payload of the reversed walk instead of
+    // the NULL that NULL >= t semantics demand), hence desc_nulls_first.
     val ord =
-      if (direction == "backward") col("__ts").asc else col("__ts").desc
+      if (direction == "backward") col("__ts").asc else col("__ts").desc_nulls_first
     val w = Window.partitionBy("__k").orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__match",

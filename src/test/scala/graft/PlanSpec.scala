@@ -194,6 +194,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("topk_diverse: per-label rank is WindowGroupLimit-capped; global cut is TakeOrdered") {
+    val p = plan("topk_diverse")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("join_salted: the join keys carry the salt (hot keys spread over salts reducers)") {
     val p = plan("join_salted")
     // the equi-join condition must include __salt next to the order key —

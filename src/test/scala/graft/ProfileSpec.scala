@@ -519,6 +519,11 @@ class ProfileSpec extends SparkSpec {
     intercept[Exception] {
       graft.operators.Profile.groupGini(neg, "g", "v", "id").collect()
     }
+    // fractional columns are rejected at construction (a silent long-cast
+    // would truncate every sub-1.0 score to zero mass)
+    val frac = Seq(("g", 1L, 0.7)).toDF("g", "id", "v")
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.groupGini(frac, "g", "v", "id"))
   }
 
   test("withQuantileBin: equi-depth deciles balanced on uniform data; NULL gets NULL bin; cuts map-side") {

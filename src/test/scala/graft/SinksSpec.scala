@@ -205,5 +205,16 @@ class SinksSpec extends SparkSpec {
     assert(graft.engine.Sinks.vacuumPartitions(spark, dir, "day", "2024-03-01", dryRun = false).isEmpty)
     // a missing table vacuums to empty rather than throwing
     assert(graft.engine.Sinks.vacuumPartitions(spark, s"$dir-nope", "day", "2024-03-01").isEmpty)
+    // escaped partition values (':' -> %3A on disk) compare and report
+    // DECODED: the partition equal to keepFrom survives ("strictly below")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-vacuum-esc").toString
+    graft.engine.Sinks.writePartitioned(
+      Seq((1L, "2024-03-01 09:00"), (2L, "2024-03-01 10:00"))
+        .toDF("id", "hour"), dir2, Seq("hour"))
+    val esc = graft.engine.Sinks.vacuumPartitions(spark, dir2, "hour",
+      keepFrom = "2024-03-01 10:00", dryRun = false)
+    assert(esc == Seq("2024-03-01 09:00"), esc.toString)
+    val kept = spark.read.parquet(dir2).select("id").as[Long].collect().toSet
+    assert(kept == Set(2L), kept.toString)
   }
 }

@@ -64,6 +64,15 @@ class TemporalSpec extends SparkSpec {
       direction = "forward")
       .select("id", "matched").collect().map(r => r.getLong(0) -> r.get(1)).toMap
     assert(out == Map(1L -> "r20", 2L -> "r20", 3L -> null, 4L -> null))
+    // a NULL-ts LEFT row matches nothing in EITHER direction (NULL >= t is
+    // never true); desc's default nulls-LAST ordering would otherwise hand
+    // it the reversed walk's last payload
+    val nullTs = Seq((9L, 7L, null.asInstanceOf[Timestamp])).toDF("id", "k", "t")
+    for (dir <- Seq("backward", "forward")) {
+      val r = Temporal.asofJoin(nullTs, right, "k", "t", Map("matched" -> "v"), dir)
+        .select("matched").collect().head
+      assert(r.isNullAt(0), s"$dir: ${r.toString}")
+    }
     intercept[IllegalArgumentException](
       Temporal.asofJoin(left, right, "k", "t", Map("matched" -> "v"), "nearest"))
   }
