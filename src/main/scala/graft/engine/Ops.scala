@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -215,6 +215,54 @@ object Ops {
     val might = udf((k: String) => k != null && bcast.value.mightContainString(k))
     fact.filter(might(col(factKey).cast("string")))
       .join(dim.select(col(dimKey)), fact(factKey) === dim(dimKey), "left_semi")
+  }
+
+  /** Standalone Bloom build for PERSISTENT reuse — the piece
+    * [[bloomSemiJoin]] keeps internal: a dim-key filter built once (e.g.
+    * nightly, from the customer dimension) and reused by every downstream
+    * job beats rebuilding it per query, and at 10⁹ keys the build is a
+    * real cost. Keys hash as strings; cast the build side to the PROBE
+    * side's type first (the [[bloomSemiJoin]] coercion discipline —
+    * "7" vs "7.00" would otherwise miss). */
+  def buildBloom(
+      dim: DataFrame, key: String, expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    dim.select(col(key).cast("string").as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+
+  /** Persist a Bloom filter to any Hadoop filesystem (atomic via temp +
+    * rename, so a crashed writer never leaves a readable half-filter). */
+  def saveBloom(
+      spark: SparkSession, bf: org.apache.spark.util.sketch.BloomFilter,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try bf.writeTo(out) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"saveBloom: rename $tmp -> $p failed")
+  }
+
+  def loadBloom(
+      spark: SparkSession, path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** Map-side Bloom prefilter with a stored/loaded filter: keeps rows the
+    * filter might contain (plus false positives at the filter's fpp —
+    * compose with the exact semi-join to remove them, exactly as
+    * [[bloomSemiJoin]] does internally). NULL keys drop (semi-join
+    * semantics). The filter broadcasts once per query. */
+  def bloomPrefilter(
+      fact: DataFrame, key: String,
+      bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bcast = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: String) => k != null && bcast.value.mightContainString(k))
+    fact.filter(might(col(key).cast("string")))
   }
 
   /** Keyed upsert (CDC merge): rows in `updates` replace same-key rows in

@@ -188,4 +188,26 @@ class OpsSpec extends SparkSpec {
       validateKeys = true).orderBy("k").collect().toSeq
     assert(ok == Seq(Row(1L, "a"), Row(2L, "B")))
   }
+
+  test("bloom persistence: a reloaded filter prefilters identically to the in-memory build") {
+    val dim = (1L to 500L).filter(_ % 3 == 0).toDF("k")
+    val fact = (1L to 500L).map(i => (i, s"row$i")).toDF("k", "v")
+    val bf = Ops.buildBloom(dim, "k", expectedItems = 200)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    Ops.saveBloom(spark, bf, s"$dir/dim.bloom")
+    val re = Ops.loadBloom(spark, s"$dir/dim.bloom")
+    val direct = Ops.bloomPrefilter(fact, "k", bf).select("k").as[Long].collect().toSet
+    val loaded = Ops.bloomPrefilter(fact, "k", re).select("k").as[Long].collect().toSet
+    assert(loaded == direct, s"${loaded.size} vs ${direct.size}")
+    // no false negatives: every real dim key survives the prefilter
+    assert((1L to 500L).filter(_ % 3 == 0).toSet.subsetOf(loaded))
+    // NULL keys drop (semi-join semantics)
+    val withNull = Seq(Option.empty[java.lang.Long], Some(java.lang.Long.valueOf(3L)))
+      .toDF("k")
+    assert(Ops.bloomPrefilter(withNull, "k", re).count() == 1)
+    // overwrite is atomic-by-rename and idempotent
+    Ops.saveBloom(spark, bf, s"$dir/dim.bloom")
+    assert(Ops.bloomPrefilter(fact, "k", Ops.loadBloom(spark, s"$dir/dim.bloom"))
+      .count() == direct.size)
+  }
 }
