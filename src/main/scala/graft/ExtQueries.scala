@@ -566,6 +566,11 @@ object ExtQueries {
     graft.operators.Profile.withQuantileBin(t(s, d, "documents"), "n_chars", nBins = 10)
       .select("doc_id", "n_chars", "n_chars_bin").orderBy("doc_id")
 
+  /** The one-row corpus summary card. */
+  val datasetCardQ: Q = (s, d) =>
+    graft.operators.Profile.datasetCard(
+      t(s, d, "documents"), "doc_id", "text", "lang", "source")
+
   /** Per-source Gini of document length — does one source carry its mass
     * in a few giant docs? Exact integer arithmetic until the final
     * quotient. */
@@ -855,6 +860,7 @@ object ExtQueries {
     "topk_diverse" -> topkDiverse,
     "quantile_bin" -> quantileBinQ,
     "group_gini" -> groupGiniQ,
+    "dataset_card" -> datasetCardQ,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -1115,6 +1121,29 @@ object ExtQueries {
         |  round(sqrt(sum((cr - cc) * (cr - cc))), 6) AS l2_shift
         |FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.pos = c.pos
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // the card's scalar pass + the md5 duplicate tally; quantile_cont
+    // mirrors percentile at the shared round-4 gate
+    "dataset_card" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |    CAST(sum(CASE WHEN text IS NOT NULL
+        |      THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    round(quantile_cont(CAST(len(text) AS DOUBLE), 0.5), 4) AS p50_len,
+        |    round(quantile_cont(CAST(len(text) AS DOUBLE), 0.95), 4) AS p95_len
+        |  FROM documents),
+        |d AS (
+        |  SELECT
+        |    CAST(COALESCE(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_groups,
+        |    CAST(COALESCE(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_docs
+        |  FROM (SELECT md5(text) AS h, count(*) AS n FROM documents
+        |        WHERE text IS NOT NULL GROUP BY md5(text)))
+        |SELECT s.*, d.n_dup_groups, d.n_dup_docs,
+        |  CASE WHEN n_docs > 0
+        |    THEN round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) END AS dup_rate
+        |FROM s CROSS JOIN d""".stripMargin,
     // the rank identity with exact integer sums; round 6 on the final
     // quotient only
     "group_gini" ->

@@ -287,6 +287,48 @@ object Profile {
     df.filter(x.isNotNull).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** One-row dataset card — the summary block every corpus release
+    * ships: document and token counts, missing-text tally, language and
+    * source cardinalities, length quantiles, and the exact-duplicate
+    * rate. One number per question a consumer asks before trusting the
+    * dataset; the heavyweight audits (drift, dedup, contamination) hang
+    * off their own operators.
+    *
+    * Returns (n_docs, n_null_text, n_tokens, n_langs, n_sources,
+    * p50_len, p95_len, n_dup_groups, n_dup_docs, dup_rate).
+    * `n_dup_groups` counts content-hash groups holding >1 doc;
+    * `n_dup_docs` counts the docs beyond each group's first (what exact
+    * dedup would remove); `dup_rate` = n_dup_docs / n_docs (round 6).
+    *
+    * Scale shape: one partial-aggregated pass over the corpus for the
+    * scalar stats + one md5-keyed groupBy for the duplicate tally
+    * collapsed to a 1-row aggregate — two corpus scans, both shuffling
+    * only 16-byte hashes or nothing, joined as 1-row broadcasts. */
+  def datasetCard(
+      df: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String): DataFrame = {
+    val toks = size(split(col(textCol), " "))
+    val stats = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null_text"),
+      sum(when(col(textCol).isNotNull, toks.cast("long")).otherwise(0L)).as("n_tokens"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      round(percentile(length(col(textCol)).cast("double"), lit(0.5)), 4).as("p50_len"),
+      round(percentile(length(col(textCol)).cast("double"), lit(0.95)), 4).as("p95_len"))
+    val dups = df.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("__h")).agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("__n") > 1, col("__n") - 1).otherwise(0L)).as("n_dup_docs"))
+    stats.crossJoin(broadcast(dups))
+      .withColumn("n_dup_groups", coalesce(col("n_dup_groups"), lit(0L)))
+      .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
+      .withColumn("dup_rate",
+        when(col("n_docs") > 0,
+          round(col("n_dup_docs").cast("double") / col("n_docs"), 6)))
+  }
+
   /** Per-group Gini coefficient of a value column — the concentration
     * metric for corpus composition questions ("does one source's token
     * mass sit in a handful of giant documents?"): 0 = perfectly even,

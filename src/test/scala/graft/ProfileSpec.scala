@@ -500,6 +500,30 @@ class ProfileSpec extends SparkSpec {
     assert(got(1) == "ok")
   }
 
+  test("datasetCard: counts, cardinalities, and the exact-dup tally on a crafted corpus") {
+    val docs = Seq(
+      (1L, Some("a b c"), "en", "web"),
+      (2L, Some("a b c"), "en", "web"),     // dup of 1
+      (3L, Some("a b c"), "de", "book"),    // dup of 1 (same text)
+      (4L, Some("x y"), "en", "web"),
+      (5L, Option.empty[String], "fr", "scan"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = graft.operators.Profile.datasetCard(docs, "doc_id", "text", "lang", "source")
+      .collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 1, r.toString)   // docs, null text
+    assert(r.getLong(2) == 3 * 3 + 2, r.toString)                // tokens (nulls contribute 0)
+    assert(r.getLong(3) == 3 && r.getLong(4) == 3, r.toString)   // langs, sources
+    // one dup group of 3 docs -> 2 removable dups, rate 0.4
+    assert(r.getLong(7) == 1 && r.getLong(8) == 2, r.toString)
+    assert(r.getDouble(9) == 0.4, r.toString)
+    // a dup-free corpus reports honest zeros, not NULLs
+    val clean = graft.operators.Profile.datasetCard(
+      Seq((1L, "a", "en", "w")).toDF("doc_id", "text", "lang", "source"),
+      "doc_id", "text", "lang", "source").collect().head
+    assert(clean.getLong(7) == 0 && clean.getLong(8) == 0 && clean.getDouble(9) == 0.0,
+      clean.toString)
+  }
+
   test("groupGini: 0 on uniform mass, near-1 on total concentration; domain guards") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
