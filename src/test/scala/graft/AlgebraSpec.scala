@@ -89,6 +89,29 @@ class AlgebraSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin directions are time-reversal duals: forward(t) == backward(-t) on any input") {
+    import graft.operators.Temporal
+    val gen = for {
+      lefts <- Gen.listOfN(15, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+      rights <- Gen.listOfN(10, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+    } yield (lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+      // unique (key, ts) on the right (the operator's contract)
+      rights.distinct.map { case (k, t) => (k, t, s"v$k-$t") })
+    forAllSeeded(gen) { case (lefts, rights) =>
+      val l = lefts.toDF("id", "k", "t")
+      val r = rights.toDF("k", "t", "v")
+      val fwd = Temporal.asofJoin(l, r, "k", "t", Map("m" -> "v"), "forward")
+        .collect().map(x => x.getLong(0) -> x.get(3)).toMap
+      // negate time on both sides: the earliest at-or-after becomes the
+      // latest at-or-before — the two walks must agree exactly
+      val ln = l.withColumn("t", -col("t"))
+      val rn = r.withColumn("t", -col("t"))
+      val backNeg = Temporal.asofJoin(ln, rn, "k", "t", Map("m" -> "v"), "backward")
+        .collect().map(x => x.getLong(0) -> x.get(3)).toMap
+      assert(fwd == backNeg, s"$fwd vs $backNeg")
+    }
+  }
+
   test("assignSplits partitions completely: every non-null id draws exactly one declared split") {
     forAllSeeded(Gen.listOfN(40, Gen.choose(1L, 1000000L))) { ids =>
       val cuts = Seq("train" -> 70, "val" -> 20, "test" -> 10)
