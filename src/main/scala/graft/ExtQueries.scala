@@ -405,6 +405,18 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source PII exposure: every third document gets a planted email
+    * (the fixture corpus is PII-free), so rates differentiate and the
+    * rollup arithmetic is pinned end to end. */
+  val piiRatesQ: Q = (s, d) => {
+    val planted = when(col("doc_id") % 3 === 0,
+      concat(lit("u"), col("doc_id").cast("string"), lit("@mail.com "), col("text")))
+      .otherwise(col("text"))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), planted.as("ptext"))
+    Privacy.piiRates(docs, "ptext", "source").orderBy("source")
+  }
+
   /** Intra-document repetition ratios (boilerplate/spam signal). */
   val textRepetition: Q = (s, d) =>
     TextAnalysis.withRepetition(t(s, d, "documents"), "text")
@@ -889,6 +901,7 @@ object ExtQueries {
     "curate_sample" -> curateSample,
     "pack_index" -> packIndexQ,
     "pii_redact" -> piiRedact,
+    "pii_rates" -> piiRatesQ,
     "text_repetition" -> textRepetition,
     "contamination" -> contaminationQ,
     "pipeline_docs" -> pipelineDocs,
@@ -1662,6 +1675,35 @@ object ExtQueries {
         |  CAST(len(regexp_extract_all(t1, '\b(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})(\.(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}\b')) AS BIGINT) AS n_ip,
         |  CAST(len(regexp_extract_all(t2, '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b')) AS BIGINT) AS n_phone
         |FROM r2 ORDER BY doc_id""".stripMargin,
+    // the same running-text count chain as pii_redact, rolled up per
+    // source over the planted corpus
+    "pii_rates" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'u' || CAST(doc_id AS VARCHAR) || '@mail.com ' || text
+        |      ELSE text END AS t0
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+        |    CAST(len(regexp_extract_all(
+        |      regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})(\.(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}\b')) AS BIGINT) AS i,
+        |    CAST(len(regexp_extract_all(
+        |      regexp_replace(
+        |        regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})(\.(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b')) AS BIGINT) AS ph
+        |  FROM p)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(e) AS BIGINT) AS n_email,
+        |  CAST(sum(i) AS BIGINT) AS n_ip,
+        |  CAST(sum(ph) AS BIGINT) AS n_phone,
+        |  CAST(sum(CASE WHEN e > 0 OR i > 0 OR ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+        |  round(CAST(sum(CASE WHEN e > 0 OR i > 0 OR ph > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS pii_rate
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "text_repetition" ->
       """SELECT doc_id,
         |  CASE WHEN len(tk) > 0

@@ -56,6 +56,28 @@ object Privacy {
     df.withColumns(newCols.toMap)
   }
 
+  /** Per-group PII exposure report — the release gate's summary over
+    * [[redactPii]]'s per-document counts: for each group (source, lang,
+    * snapshot) the document count, total hits per category, how many
+    * documents carry ANY PII, and that rate. A source whose pii_rate
+    * spikes is the one whose scraper started ingesting contact pages —
+    * found here before the redaction bill or the release blocks.
+    * Same single map-side regex pass as [[redactPii]], then ONE
+    * partial-aggregated groupBy. */
+  def piiRates(
+      df: DataFrame, textCol: String, groupCol: String,
+      patterns: Seq[PiiPattern] = defaultPatterns): DataFrame = {
+    val counted = redactPii(df, textCol, patterns)
+    val anyPii = patterns.map(p => col(s"n_${p._1}") > 0).reduce(_ || _)
+    counted.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        patterns.map(p => sum(col(s"n_${p._1}")).as(s"n_${p._1}")) :+
+          sum(when(anyPii, 1L).otherwise(0L)).as("n_docs_pii"): _*)
+      .withColumn("pii_rate",
+        round(col("n_docs_pii").cast("double") / col("n_docs"), 6))
+  }
+
   /** k-anonymity audit over a set of quasi-identifier columns: every
     * combination of QI values that fewer than `k` rows share is a
     * re-identification risk (those rows are distinguishable by their QIs

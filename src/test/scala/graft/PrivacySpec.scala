@@ -55,6 +55,22 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](Privacy.redactPii(df, "t", Seq.empty))
   }
 
+  test("piiRates: per-group totals and any-PII rate; clean groups report zero") {
+    val df = Seq(
+      ("web", "write a@b.co and c@d.io today"),   // 2 emails, 1 doc with PII
+      ("web", "no pii here"),
+      ("book", "call 555-123-4567 sometime"),     // 1 phone
+      ("scan", "plain text"))
+      .toDF("src", "t")
+    val r = Privacy.piiRates(df, "t", "src")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(4), x.getLong(5), x.getDouble(6))).toMap
+    // (n_docs, n_email, n_phone, n_docs_pii, pii_rate)
+    assert(r("web") == (2L, 2L, 0L, 1L, 0.5), r.toString)
+    assert(r("book") == (1L, 0L, 1L, 1L, 1.0), r.toString)
+    assert(r("scan") == (1L, 0L, 0L, 0L, 0.0), r.toString)
+  }
+
   test("kAnonymity: groups under k flagged, groups at/over k clean") {
     val df = Seq(
       ("bc", "1990"), ("bc", "1990"), ("bc", "1990"),   // n=3, safe at k=3
