@@ -208,12 +208,13 @@ object Ops {
       dimKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
+    // composed from the standalone build/prefilter pieces — ONE definition
+    // of the build cast and the membership probe, shared with the
+    // persistent-filter path
     val factType = fact.schema(factKey).dataType
-    val bf = dim.select(col(dimKey).cast(factType).cast("string").as("__k"))
-      .stat.bloomFilter("__k", expectedItems, fpp)
-    val bcast = fact.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: String) => k != null && bcast.value.mightContainString(k))
-    fact.filter(might(col(factKey).cast("string")))
+    val bf = buildBloom(
+      dim.select(col(dimKey).cast(factType).as("__k")), "__k", expectedItems, fpp)
+    bloomPrefilter(fact, factKey, bf)
       .join(dim.select(col(dimKey)), fact(factKey) === dim(dimKey), "left_semi")
   }
 
@@ -230,18 +231,25 @@ object Ops {
     dim.select(col(key).cast("string").as("__k"))
       .stat.bloomFilter("__k", expectedItems, fpp)
 
-  /** Persist a Bloom filter to any Hadoop filesystem (atomic via temp +
-    * rename, so a crashed writer never leaves a readable half-filter). */
+  /** Persist a Bloom filter to any Hadoop filesystem. Publication is a
+    * rename-OVERWRITE of a per-writer unique temp file (FileContext's
+    * atomic overwrite rename): readers always see either the old complete
+    * filter or the new complete filter — never a missing path (the
+    * delete-then-rename idiom has exactly that window) and never a
+    * half-written one; concurrent writers cannot truncate each other's
+    * temp (unique names), last publisher wins. */
   def saveBloom(
       spark: SparkSession, bf: org.apache.spark.util.sketch.BloomFilter,
       path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try bf.writeTo(out) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"saveBloom: rename $tmp -> $p failed")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def loadBloom(

@@ -120,8 +120,12 @@ object Sinks {
       .sortBy(_._2)
     if (!dryRun) {
       // an FS that REPORTS failure instead of throwing (object stores do)
-      // must not let the sweep claim the partition was purged
-      val failed = expired.filterNot { case (p, _) => fs.delete(p, true) }
+      // must not let the sweep claim the partition was purged — but
+      // delete also returns false for an ALREADY-GONE path (a concurrent
+      // sweep won the race), which IS the desired end state, not a failure
+      val failed = expired.filterNot { case (p, _) =>
+        fs.delete(p, true) || !fs.exists(p)
+      }
       require(failed.isEmpty,
         s"vacuumPartitions: deletes failed for ${failed.map(_._2).mkString(", ")}")
     }

@@ -364,11 +364,19 @@ object Profile {
           .otherwise(x))
       .withColumn("__i", row_number().over(w).cast("long"))
       .groupBy(col(keyCol))
+      // the rank-weighted sum is ~n²·x̄/2 per group: a LONG accumulator
+      // overflows near 10⁸ docs × 10³ mass (ANSI kills the job; non-ANSI
+      // silently wraps, while the DuckDB oracle's HUGEINT sails on) —
+      // decimal(38,0) keeps the arithmetic exact to corpus scale. n·Σx in
+      // the denominator has the same bound, so it widens too.
       .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
-        sum(col("__i") * col("__x")).as("__six"))
+        // widen BEFORE the product too: i·x itself can pass 2⁶³ when both
+        // rank and mass run large
+        sum(col("__i").cast("decimal(38,0)") * col("__x")).as("__six"))
       .select(col(keyCol), col("n"),
         when(col("__sx") > 0,
-          round(lit(2.0) * col("__six") / (col("n") * col("__sx")) -
+          round(lit(2.0) * col("__six") /
+            (col("n").cast("decimal(38,0)") * col("__sx")) -
             (col("n") + 1).cast("double") / col("n"), 6)).as("gini"))
   }
 
