@@ -95,6 +95,24 @@ object ExtQueries {
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy("a_id", "b_id")
 
+  /** Dedup threshold sweep: candidate pairs bucketed by Jaccard in 0.1
+    * bands with a cumulative at-or-above count — the tuning curve read
+    * BEFORE committing a minJaccard to a destructive dedup (how many
+    * pairs does each threshold keep?). The cumulative window runs over
+    * the ≤10 bucket rows only. */
+  val dedupSweep: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleN = 3, minJaccard = 0.05)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(Long.MinValue, 0)
+    pairs
+      .withColumn("bucket", floor(round(col("jaccard"), 4) * 10).cast("int"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
+      .orderBy("bucket")
+  }
+
   /** Exact pair scan — distributed cartesian (every partition-pair task
     * scores independently; no single-reducer key). Kept exact because the
     * fixture pairs sit at cos 0.45-0.51, the regime where any LSH blocking
@@ -881,6 +899,7 @@ object ExtQueries {
     "dedup_minhash_incr" -> dedupMinhashIncr,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram" -> dedupNgram,
+    "dedup_sweep" -> dedupSweep,
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_resolve" -> dedupResolve,
@@ -1468,6 +1487,33 @@ object ExtQueries {
         |JOIN sz nb ON nb.doc_id = b_id
         |WHERE i / (na.n + nb.n - i) >= 0.5e0
         |ORDER BY a_id, b_id""".stripMargin,
+    // the dedup_ngram pair arithmetic at a lower floor, bucketed on the
+    // ROUNDED jaccard (same round-4 gate, identical IEEE floor(j*10) on
+    // both engines) with a cumulative over the <= 10 bucket rows
+    "dedup_sweep" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (
+        |  SELECT round(i / (na.n + nb.n - i), 4) AS jac
+        |  FROM inter
+        |  JOIN sz na ON na.doc_id = a_id
+        |  JOIN sz nb ON nb.doc_id = b_id
+        |  WHERE i / (na.n + nb.n - i) >= 0.05e0),
+        |b AS (
+        |  SELECT CAST(floor(jac * 10) AS INTEGER) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM j GROUP BY 1)
+        |SELECT bucket, n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_at_or_above
+        |FROM b ORDER BY bucket""".stripMargin,
     "dedup_embed" ->
       s"""WITH $unitCte,
          |p AS (
