@@ -596,6 +596,20 @@ object ExtQueries {
     graft.operators.Profile.withQuantileBin(t(s, d, "documents"), "n_chars", nBins = 10)
       .select("doc_id", "n_chars", "n_chars_bin").orderBy("doc_id")
 
+  /** Eval-hygiene leakage audit: duplicate TEXTS whose id-hash splits
+    * disagree — the contamination id-based splitting cannot prevent. The
+    * fixture corpus is exact-dup-free, so every 50th document is echoed
+    * under a new id (a scrape re-ingesting the same page under a new
+    * URL); echoes whose fresh id draws a different split are the planted
+    * finding. */
+  val splitLeakageQ: Q = (s, d) => {
+    val base = t(s, d, "documents").select("doc_id", "text")
+    val echoes = base.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val withSplit = Curation.assignSplits(base.unionByName(echoes), "doc_id")
+    Curation.splitLeakage(withSplit, "text", "split").orderBy("content_hash")
+  }
+
   /** The one-row corpus summary card. */
   val datasetCardQ: Q = (s, d) =>
     graft.operators.Profile.datasetCard(
@@ -891,6 +905,7 @@ object ExtQueries {
     "quantile_bin" -> quantileBinQ,
     "group_gini" -> groupGiniQ,
     "dataset_card" -> datasetCardQ,
+    "split_leakage" -> splitLeakageQ,
     "fuzzy_join" -> fuzzyJoin,
     "resample_fill" -> resampleFill,
     "embed_centroids" -> embedCentroids,
@@ -1153,6 +1168,26 @@ object ExtQueries {
         |  round(sqrt(sum((cr - cc) * (cr - cc))), 6) AS l2_shift
         |FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.pos = c.pos
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // the curate_split draw joined to a content-hash rollup; leaky groups
+    // = hashes spanning >1 split
+    "split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM corpus WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+        |    array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+        |  FROM s GROUP BY 1)
+        |SELECT content_hash, n_docs, n_splits, splits FROM g
+        |WHERE n_splits > 1 ORDER BY content_hash""".stripMargin,
     // the card's scalar pass + the md5 duplicate tally; quantile_cont
     // mirrors percentile at the shared round-4 gate
     "dataset_card" ->

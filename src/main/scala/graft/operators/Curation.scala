@@ -267,6 +267,29 @@ object Curation {
       floor((sum(col(tokCol)).over(w) - col(tokCol)) / tokenBudget))
   }
 
+  /** Split-leakage audit: duplicate CONTENT straddling split boundaries —
+    * the classic eval contamination that id-hash splitting cannot
+    * prevent (two docs with identical text but different ids draw
+    * independent splits), and the check run before any eval number is
+    * believed. Returns one row per leaky content group:
+    * (content_hash, n_docs, n_splits, splits) where `splits` is the
+    * sorted distinct split list the group spans; an empty result is the
+    * clean bill. Compose with an anti-join on content_hash to quarantine
+    * the leaky groups (standard practice: evict them from eval, keep one
+    * in train).
+    *
+    * Scale shape: one md5-keyed partial-aggregated groupBy carrying the
+    * distinct-split set (bounded by |splits|, ~3) — never text, never a
+    * self-join. NULL texts carry no content to leak and are excluded. */
+  def splitLeakage(df: DataFrame, textCol: String, splitCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull && col(splitCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        size(collect_set(col(splitCol))).cast("long").as("n_splits"),
+        concat_ws(",", array_sort(collect_set(col(splitCol)))).as("splits"))
+      .filter(col("n_splits") > 1)
+
   /** Packing-efficiency audit over [[packIndex]]'s greedy bins: per
     * partition group, the bin count, token totals, and
     * `efficiency = n_tokens / (n_packs · budget)` — the fraction of the

@@ -288,6 +288,19 @@ class CurationSpec extends SparkSpec {
     assert(moved == Map(1L -> "changed"), moved.toString)
   }
 
+  test("splitLeakage: identical texts across splits surface; same-split dups and uniques don't") {
+    val df = Seq(
+      (1L, "dup text", "train"), (2L, "dup text", "test"),   // leaky: 2 splits
+      (3L, "same side", "train"), (4L, "same side", "train"), // dup but one split
+      (5L, "unique", "val"),
+      (6L, null.asInstanceOf[String], "train"))
+      .toDF("id", "text", "split")
+    val out = Curation.splitLeakage(df, "text", "split").collect()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out.head.getLong(1) == 2 && out.head.getLong(2) == 2, out.head.toString)
+    assert(out.head.getString(3) == "test,train", out.head.toString)
+  }
+
   test("packEfficiency: bins/tokens/waste from the greedy packing; oversize docs counted") {
     // budget 10, group g: toks 6,6,6 -> cumulative starts 0,6,12: packs
     // {0,0,1} = 2 bins, 18 tokens, eff 18/20; group h has a 25-token doc
