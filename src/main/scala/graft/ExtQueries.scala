@@ -99,7 +99,8 @@ object ExtQueries {
     * bands with a cumulative at-or-above count — the tuning curve read
     * BEFORE committing a minJaccard to a destructive dedup (how many
     * pairs does each threshold keep?). The cumulative window runs over
-    * the ≤10 bucket rows only. */
+    * the ≤11 bucket rows only (buckets 0..10; exact-dup pairs land in
+    * bucket 10). */
   val dedupSweep: Q = (s, d) => {
     val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
       shingleN = 3, minJaccard = 0.05)
@@ -597,11 +598,12 @@ object ExtQueries {
       .select("doc_id", "n_chars", "n_chars_bin").orderBy("doc_id")
 
   /** Eval-hygiene leakage audit: duplicate TEXTS whose id-hash splits
-    * disagree — the contamination id-based splitting cannot prevent. The
-    * fixture corpus is exact-dup-free, so every 50th document is echoed
-    * under a new id (a scrape re-ingesting the same page under a new
-    * URL); echoes whose fresh id draws a different split are the planted
-    * finding. */
+    * disagree — the contamination id-based splitting cannot prevent.
+    * Every 50th document is additionally echoed under a new id (a scrape
+    * re-ingesting the same page under a new URL) so the audit fires even
+    * at the dup-free small fixtures; at sf0.1 the base corpus carries a
+    * few natural duplicate-text groups of its own, which rightly join
+    * the result alongside the planted echoes. */
   val splitLeakageQ: Q = (s, d) => {
     val base = t(s, d, "documents").select("doc_id", "text")
     val echoes = base.filter(col("doc_id") % 50 === 0)

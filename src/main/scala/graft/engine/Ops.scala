@@ -231,13 +231,17 @@ object Ops {
     dim.select(col(key).cast("string").as("__k"))
       .stat.bloomFilter("__k", expectedItems, fpp)
 
-  /** Persist a Bloom filter to any Hadoop filesystem. Publication is a
-    * rename-OVERWRITE of a per-writer unique temp file (FileContext's
-    * atomic overwrite rename): readers always see either the old complete
-    * filter or the new complete filter — never a missing path (the
-    * delete-then-rename idiom has exactly that window) and never a
-    * half-written one; concurrent writers cannot truncate each other's
-    * temp (unique names), last publisher wins. */
+  /** Persist a Bloom filter to a Hadoop filesystem. Publication is a
+    * rename-OVERWRITE of a per-writer unique temp file: writers never see
+    * a half-written filter (readers open only the published path), and
+    * concurrent writers cannot truncate each other's temp (unique names).
+    * Atomicity honesty: FileContext's OVERWRITE rename is atomic where
+    * the filesystem natively supports it (HDFS); on LocalFs/object-store
+    * AbstractFileSystems the default implementation is delete-then-
+    * rename, leaving a brief no-file window — [[loadBloom]] retries a
+    * missing path a few times to ride that window out. A failed write or
+    * rename deletes its temp before rethrowing (uniquely-named orphans
+    * would otherwise accumulate forever). */
   def saveBloom(
       spark: SparkSession, bf: org.apache.spark.util.sketch.BloomFilter,
       path: String): Unit = {
@@ -246,18 +250,37 @@ object Ops {
       path + ".tmp-" + java.util.UUID.randomUUID().toString)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try bf.writeTo(out) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      val out = fs.create(tmp, true)
+      try bf.writeTo(out) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   def loadBloom(
       spark: SparkSession, path: String): org.apache.spark.util.sketch.BloomFilter = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+    // ride out a concurrent publisher's non-atomic overwrite window (see
+    // saveBloom): a transiently missing path is retried briefly; a
+    // genuinely absent filter still fails within ~1s
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        try return org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException if attempt < 4 =>
+          attempt += 1; Thread.sleep(200L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Map-side Bloom prefilter with a stored/loaded filter: keeps rows the

@@ -369,7 +369,9 @@ object Profile {
       // silently wraps, while the DuckDB oracle's HUGEINT sails on) —
       // decimal(38,0) keeps the arithmetic exact to corpus scale. n·Σx in
       // the denominator has the same bound, so it widens too.
-      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+      // __sx widens too: a group's TOTAL mass can pass 2⁶³ on its own
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("__sx"),
         // widen BEFORE the product too: i·x itself can pass 2⁶³ when both
         // rank and mass run large
         sum(col("__i").cast("decimal(38,0)") * col("__x")).as("__six"))
