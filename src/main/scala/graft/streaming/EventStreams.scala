@@ -258,6 +258,35 @@ object EventStreams {
     * evaluated twice per trigger (one count doubling as the emptiness
     * guard, one psi scan) — the minimum for this shape.
     * Returns the query; callers own lifecycle. */
+  /** Per-batch trending sink: each micro-batch's windowed top-k keys
+    * land as one parquet partition — the live "what is spiking right now"
+    * dashboard feed, applying the BATCH
+    * [[graft.operators.Events.trendingKeys]] verbatim per batch (shared
+    * code, so the stream cannot diverge from the batch definition;
+    * same discipline as [[psiDriftSink]]). Per-batch scope is the
+    * deliberate semantic: ranks reflect the batch that just arrived,
+    * which is what an operational trending panel shows; a cross-batch
+    * all-time ranking belongs to the batch job over the landed history.
+    * Replay-idempotent: the partition is keyed by batch_id and
+    * overwritten whole. */
+  def trendingSink(
+      stream: DataFrame, outPath: String, checkpointDir: String,
+      keyCol: String = "event_type", unit: String = "hour", k: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(k >= 1, s"k must be >= 1, got $k")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Events.trendingKeys(batch, "ts", keyCol, unit, k)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
+        }
+        (): Unit
+      }
+      .start()
+  }
+
   def psiDriftSink(
       stream: DataFrame, ref: DataFrame, valueCol: String,
       outPath: String, checkpointDir: String,

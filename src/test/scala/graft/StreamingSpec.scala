@@ -451,6 +451,34 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("trendingSink: per-batch top-k lands per batch_id, identical to the batch operator on the same rows") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    val mem = MemoryStream[Evt]
+    val q = EventStreams.trendingSink(
+      mem.toDF(), s"$base/out", s"$base/ckpt", k = 2)
+    try {
+      val b1 = Seq(
+        Evt(1, ts(0), 1, "view"), Evt(2, ts(1), 1, "view"), Evt(3, ts(2), 2, "view"),
+        Evt(4, ts(3), 1, "click"), Evt(5, ts(4), 3, "click"), Evt(6, ts(5), 1, "buy"))
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(Evt(7, ts(6), 1, "buy")); q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+      // batch 0: top-2 per window = view(3), click(2); buy(1) cut
+      val batch0 = out.filter(col("batch_id") === 0)
+        .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+      assert(batch0 == Map("view" -> 3L, "click" -> 2L), batch0.toString)
+      // parity: identical to the BATCH operator on the same rows
+      val direct = graft.operators.Events.trendingKeys(
+        b1.toDF(), "ts", "event_type", "hour", 2)
+        .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+      assert(batch0 == direct, s"$batch0 vs $direct")
+      // batch 1 landed in its own partition
+      assert(out.filter(col("batch_id") === 1).count() == 1)
+    } finally q.stop()
+  }
+
   test("psiDriftSink: batch-identical distributions score ~0, a shifted batch crosses the retrain bar") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
