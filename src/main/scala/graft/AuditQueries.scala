@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators.{Curation, Dedup, Events, Profile, Similarity}
+
+/** Round-10 audit/analytics queries: distribution drift (KS), data-quality
+  * forensics (Benford), trade-off frontiers (Pareto skyline), behavioral
+  * models (Markov transitions, CUSUM changepoints), weighted sampling,
+  * embedding covariance, and asymmetric containment dedup. Same conventions
+  * as [[Queries]]/[[ExtQueries]]/[[ScaleQueries]]: every key has a DuckDB
+  * oracle mirroring the FP operation order token-for-token.
+  */
+object AuditQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Binned two-sample KS between the even/odd orderkey halves of orders —
+    * same-distribution halves like [[ScaleQueries.driftPsi]], so the pin is
+    * the cumulative arithmetic (the statistic itself is near 0). */
+  val driftKs: Q = (s, d) => {
+    val orders = t(s, d, "orders")
+    Profile.ksDrift(
+      orders.filter(col("o_orderkey") % 2 === 0),
+      orders.filter(col("o_orderkey") % 2 === 1),
+      "o_totalprice", nBins = 50)
+      .orderBy("bin")
+  }
+
+  /** Benford first-digit audit of order totals. TPC-H prices are sums of
+    * uniform-ish part prices, NOT multi-scale — the audit correctly reports
+    * a large deviation from Benford (digit shares peak mid-range), which is
+    * exactly the differentiating fixture signal. */
+  val benfordAudit: Q = (s, d) =>
+    Profile.benfordAudit(t(s, d, "orders"), "o_totalprice")
+      .orderBy("digit")
+
+  /** Pareto frontier of parts: maximize p_size, minimize p_retailprice —
+    * the full staircase (one row per distinct size, on_frontier flag). */
+  val paretoFrontier: Q = (s, d) =>
+    Profile.paretoFrontier(t(s, d, "part"), "p_size", "p_retailprice")
+      .orderBy("x")
+
+  /** First-order Markov transition matrix of user event sequences. */
+  val eventTransitions: Q = (s, d) =>
+    Events.transitionMatrix(Tables.loadEvents(s, d),
+      "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+
+  /** CUSUM changepoint scan over daily event counts. */
+  val changepointCusum: Q = (s, d) =>
+    Events.cusumChangepoint(Tables.loadEvents(s, d), "ts", "day")
+      .orderBy("period")
+
+  /** Token-mass-proportional document sample: 50 docs per language, drawn
+    * with probability ∝ n_chars (Efraimidis–Spirakis, hash-stable). */
+  val sampleWeighted: Q = (s, d) =>
+    Curation.sampleWeightedPerStratum(t(s, d, "documents"),
+      "doc_id", "lang", "n_chars", k = 50)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("lang", "doc_id")
+
+  /** Upper-triangle covariance matrix of the first 8 embedding dims. */
+  val embedCovariance: Q = (s, d) =>
+    Similarity.covarianceMatrix(t(s, d, "embeddings"), "embedding", k = 8)
+      .orderBy("i", "j")
+
+  /** Asymmetric shingle containment over documents: near-superset pairs
+    * Jaccard-only dedup misses. The hot-shingle guard stays at its default
+    * (inactive at fixture scale — no shingle nears df 10000 — so the
+    * unfiltered oracle matches; the guard is pinned separately in
+    * DedupSpec). Display rounds to 4; the threshold applies UNROUNDED on
+    * both sides, same contract as dedup_ngram. */
+  val dedupContainment: Q = (s, d) =>
+    Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleN = 3, minContainment = 0.8)
+      .withColumn("c_a_in_b", round(col("c_a_in_b"), 4))
+      .withColumn("c_b_in_a", round(col("c_b_in_a"), 4))
+      .orderBy("a_id", "b_id")
+
+  val all: Map[String, Q] = Map(
+    "drift_ks" -> driftKs,
+    "benford_audit" -> benfordAudit,
+    "pareto_frontier" -> paretoFrontier,
+    "event_transitions" -> eventTransitions,
+    "changepoint_cusum" -> changepointCusum,
+    "sample_weighted" -> sampleWeighted,
+    "embed_covariance" -> embedCovariance,
+    "dedup_containment" -> dedupContainment
+  )
+
+  /** The 36 upper-triangle covar_pop entries for embed_covariance, unrolled
+    * as UNION ALL branches over the single-row aggregate CTE. */
+  private val covTriangle: String = {
+    val dims = 0 until 8
+    val aggs = (for { i <- dims; j <- dims if i <= j } yield
+      s"covar_pop(embedding[${i + 1}]::DOUBLE, embedding[${j + 1}]::DOUBLE) AS c_${i}_$j")
+      .mkString(",\n    ")
+    val rows = (for { i <- dims; j <- dims if i <= j } yield
+      s"SELECT $i AS i, $j AS j, round(c_${i}_$j, 6) AS cov FROM w")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT $aggs
+       |  FROM embeddings)
+       |$rows
+       |ORDER BY i, j""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    // binning mirrors drift_psi's token-for-token (bounds from the even
+    // half, clamp, 50 bins); cumulative shares round to 6 BEFORE the gap
+    "drift_ks" ->
+      """WITH b AS (
+        |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+        |ra AS (
+        |  SELECT CAST(CASE WHEN hi = lo THEN 0
+        |    ELSE greatest(least(floor((o_totalprice - lo) * 50 / (hi - lo)), 49), 0)
+        |    END AS INTEGER) AS bin, count(*) AS n_ref
+        |  FROM orders, b WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |rb AS (
+        |  SELECT CAST(CASE WHEN hi = lo THEN 0
+        |    ELSE greatest(least(floor((o_totalprice - lo) * 50 / (hi - lo)), 49), 0)
+        |    END AS INTEGER) AS bin, count(*) AS n_cmp
+        |  FROM orders, b WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ra.bin, rb.bin) AS bin,
+        |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cmp, 0) AS n_cmp
+        |  FROM ra FULL JOIN rb ON ra.bin = rb.bin),
+        |c AS (
+        |  SELECT bin,
+        |    round(CAST(sum(n_ref) OVER (ORDER BY bin
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / sum(n_ref) OVER (), 6) AS cum_p_ref,
+        |    round(CAST(sum(n_cmp) OVER (ORDER BY bin
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / sum(n_cmp) OVER (), 6) AS cum_p_cmp
+        |  FROM j)
+        |SELECT bin, cum_p_ref, cum_p_cmp,
+        |  round(abs(cum_p_ref - cum_p_cmp), 6) AS ks_term
+        |FROM c ORDER BY bin""".stripMargin,
+    // leading digit computed ARITHMETICALLY (floor/log10/pow — both
+    // engines correctly rounded), never via double→string formatting;
+    // dev subtracts the ROUNDED shares, mirroring the Spark column refs
+    "benford_audit" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 0
+        |    THEN CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+        |      AS INTEGER) END AS digit
+        |  FROM orders),
+        |tallied AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |ex AS (
+        |  SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_excluded
+        |  FROM tallied WHERE digit IS NULL),
+        |g AS (SELECT digit, n FROM tallied WHERE digit IS NOT NULL),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS digit),
+        |p AS (
+        |  SELECT spine.digit, CAST(COALESCE(g.n, 0) AS BIGINT) AS n, n_excluded,
+        |    round(CAST(COALESCE(g.n, 0) AS DOUBLE)
+        |      / sum(COALESCE(g.n, 0)) OVER (), 6) AS p_obs,
+        |    round(log10(1 + 1.0 / spine.digit), 6) AS p_benford
+        |  FROM spine LEFT JOIN g ON spine.digit = g.digit CROSS JOIN ex)
+        |SELECT digit, n, n_excluded, p_obs, p_benford,
+        |  round(p_obs - p_benford, 6) AS dev
+        |FROM p ORDER BY digit""".stripMargin,
+    "pareto_frontier" ->
+      """WITH perx AS (
+        |  SELECT p_size AS x, min(p_retailprice) AS best_y,
+        |    CAST(count(*) AS BIGINT) AS n_at_x
+        |  FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT x, best_y, n_at_x,
+        |    min(best_y) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM perx)
+        |SELECT x, best_y, n_at_x,
+        |  CAST(CASE WHEN prev IS NULL OR best_y < prev THEN 1 ELSE 0 END
+        |    AS INTEGER) AS on_frontier
+        |FROM f ORDER BY x""".stripMargin,
+    // lead over (user, ts, event_id) — the deterministic tie-break the
+    // Spark window uses; the probability divides over the tiny aggregate
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6)
+        |    AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // CAST duckdb's DATE date_trunc to TIMESTAMP (spark's stays TIMESTAMP);
+    // cusum sums (n - mean) in the same order, rounds 4; is_peak compares
+    // the ROUNDED cusum against its own max
+    "changepoint_cusum" ->
+      """WITH per AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT avg(n) AS mean FROM per),
+        |c AS (
+        |  SELECT period, n,
+        |    round(sum(CAST(n AS DOUBLE) - mean) OVER (
+        |      ORDER BY period ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      4) + 0.0 AS cusum
+        |  FROM per CROSS JOIN m)
+        |SELECT period, n, cusum,
+        |  CAST(CASE WHEN abs(cusum) = max(abs(cusum)) OVER () THEN 1 ELSE 0 END
+        |    AS INTEGER) AS is_peak
+        |FROM c ORDER BY period""".stripMargin,
+    // the Efraimidis–Spirakis draw mirrored exactly: u from the first 8
+    // md5 hex chars of the salted id, score = -ln(u)/w, k smallest per
+    // stratum with id tie-break
+    "sample_weighted" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 8))::BIGINT
+        |        + 0.5) / 4294967296.0) / n_chars AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn
+        |  FROM s)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 50
+        |ORDER BY lang, doc_id""".stripMargin,
+    "embed_covariance" -> covTriangle,
+    // containment thresholds apply UNROUNDED (same as dedup_ngram's
+    // jaccard); round 4 for display only
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  round(i / na.n, 4) AS c_a_in_b,
+        |  round(i / nb.n, 4) AS c_b_in_a
+        |FROM inter
+        |JOIN sz na ON na.doc_id = a_id
+        |JOIN sz nb ON nb.doc_id = b_id
+        |WHERE i / na.n >= 0.8e0 OR i / nb.n >= 0.8e0
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -35,10 +35,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ §7.6
     * training-data extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ ExtQueries.all ++ ScaleQueries.all
+    Queries.all ++ ExtQueries.all ++ ScaleQueries.all ++ AuditQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ ExtQueries.oracles ++ ScaleQueries.oracles
+    Queries.oracles ++ ExtQueries.oracles ++ ScaleQueries.oracles ++ AuditQueries.oracles
 }

@@ -473,4 +473,49 @@ object Curation {
           .when(col("__rh") =!= col("__ch"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Deterministic WEIGHTED sampling without replacement, k per stratum —
+    * Efraimidis–Spirakis A-ES: each row draws a hash-stable uniform u and
+    * scores `-ln(u) / w`; the k SMALLEST scores per stratum are a true
+    * weight-proportional sample (a row with 10× the weight is 10× as
+    * likely to make the cut). The curation use: sample documents
+    * proportional to token count so the sampled corpus preserves the
+    * token mass distribution, not the document count distribution —
+    * [[stratifiedSample]] and [[capPerStratum]] are the UNIFORM twins.
+    *
+    * Determinism contract matches the rest of the family: u comes from
+    * the first 8 md5 hex chars of the SALTED id ((v + 0.5) / 2³², never
+    * exactly 0 or 1, so the log is always finite), membership is stable
+    * across runs/partitionings/corpus growth elsewhere, and the draw
+    * mirrors in DuckDB. Score ORDER is the one place two engines' libm
+    * could disagree — adjacent scores would need to sit within ~1 ulp of
+    * each other to flip a rank, and ties beyond that break by id.
+    * Non-positive, NULL, and NaN weights fail loudly: a silent drop
+    * would skew every stratum's mass, and a weight of 0 makes the score
+    * infinite (the row would just never be drawn — callers filtering
+    * zero-weight rows should do it explicitly, visibly).
+    *
+    * Scale shape: the draw and score are map-side expressions; selection
+    * is one row_number window per stratum — Spark's WindowGroupLimit
+    * pushes the top-k into the map side (each task forwards ≤ k rows per
+    * stratum to the shuffle), the same shape PlanSpec pins on
+    * [[Profile.sampleKPerGroup]]. */
+  def sampleWeightedPerStratum(
+      df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, k: Int, salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = col(weightCol).cast("double")
+    val guarded = when(w.isNull || w.isNaN || w <= 0, raise_error(concat(
+        lit(s"sampleWeightedPerStratum: non-positive/NULL '$weightCol' weight for id "),
+        col(idCol).cast("string"),
+        lit(" — weighted sampling is undefined; filter or fix the weights first")))
+        .cast("double")).otherwise(w)
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit("|" + salt))), 1, 8), 16, 10).cast("double") + 0.5d) / 4294967296.0d
+    val scored = df.withColumn("__score", -log(u) / guarded)
+    val rank = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__score"), col(idCol)))
+    scored.withColumn("__rn", rank).filter(col("__rn") <= k)
+      .drop("__score", "__rn")
+  }
 }

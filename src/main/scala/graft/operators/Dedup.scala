@@ -352,6 +352,62 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** ASYMMETRIC shingle containment for pairs sharing at least one
+    * shingle: C(A⊂B) = |A∩B| / |A| — the near-SUPERSET detector Jaccard
+    * structurally misses. A short document quoted whole inside a long one
+    * (boilerplate headers, license blocks, syndicated articles wrapped in
+    * boilerplate) has Jaccard ≈ |A|/|B| — arbitrarily small — but
+    * containment ≈ 1. Training-data dedup that only thresholds Jaccard
+    * keeps every such embedded copy.
+    *
+    * Returns (a_id, b_id, c_a_in_b, c_b_in_a) for pairs where EITHER
+    * direction reaches `minContainment`; both directions ride along so
+    * the caller can tell mutual near-duplicates (both high — also a high
+    * Jaccard pair) from true embeddings (one high, one low) without a
+    * second pass. Pairs orient a_id < b_id.
+    *
+    * Scale shape is [[ngramJaccardPairs]]'s: distinct shingles explode to
+    * 64-bit hashes, ONE shuffle-hash self-join on the shingle key, one
+    * partial-aggregated pair count — never all-pairs. The same
+    * `maxShingleDf` hot-shingle guard is on by default (with the same
+    * filtered-universe contract: denominators recount over surviving
+    * shingles, so the ratio stays a true containment of the retained
+    * sets); the recall caveat transfers — a pair similar only through
+    * ultra-common shingles is not reported. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minContainment: Double = 0.8,
+      maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      array_distinct(TextFns.shinglesUdf(shingleN)(col(textCol))).as("ss"))
+    val sh = base.select(col("doc_id"), explode(col("ss")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val (filtered, sizes) = maxShingleDf match {
+      case Some(m) =>
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > m).select("s")
+        val f = sh.join(hot, Seq("s"), "left_anti").select("doc_id", "s")
+        (f, f.groupBy("doc_id").agg(count(lit(1)).as("n")))
+      case None =>
+        (sh, base.select(col("doc_id"), size(col("ss")).cast("long").as("n")))
+    }
+    val a = filtered.toDF("a_id", "s")
+    val b = filtered.toDF("b_id", "s")
+    val inter = a.join(b.hint("shuffle_hash"), "s").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).cast("double").as("i"))
+    inter
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .withColumn("c_a_in_b", col("i") / col("na"))
+      .withColumn("c_b_in_a", col("i") / col("nb"))
+      .filter(col("c_a_in_b") >= minContainment ||
+        col("c_b_in_a") >= minContainment)
+      .select("a_id", "b_id", "c_a_in_b", "c_b_in_a")
+  }
+
   // ------------------------------------------------------- embedding cosine
 
   /** Embedding-cosine near-duplicate pairs above a threshold. This is the

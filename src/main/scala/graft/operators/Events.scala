@@ -340,4 +340,72 @@ object Events {
     spine.join(counts, Seq(keyCol, "hour"), "left")
       .na.fill(0L, Seq("n"))
   }
+
+  /** First-order Markov transition matrix over per-actor event sequences:
+    * for each (event_type → next event_type) pair, the transition count
+    * and conditional probability P(next | current) — the behavioral model
+    * behind funnel design (which steps actually follow which), anomaly
+    * scoring (improbable transitions), and synthetic-traffic generation.
+    *
+    * Successor pairs come from `lead` over (key, ts, idCol) — the same
+    * deterministic tie-break contract as [[interarrivalStats]]: two
+    * same-timestamp events order by id, so the pair set cannot flip
+    * between runs or engines. Each actor's LAST event has no successor
+    * and contributes no pair (no artificial terminal state — callers
+    * wanting absorbing-state semantics can append a sentinel event).
+    *
+    * Scale shape: one shuffle on the actor key for the lead window
+    * (per-actor partitions, never global), then one partial-aggregated
+    * groupBy on the (from, to) pair — output is bounded by
+    * |event types|², tiny. The probability denominator is a window-sum
+    * over those same aggregate rows, not a rescan. */
+  def transitionMatrix(
+      df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .select(col(keyCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val perFrom = Window.partitionBy(col("from_type"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(perFrom), 6))
+  }
+
+  /** CUSUM changepoint scan over per-period event counts: cumulative sum
+    * of (count − global mean) ordered by period — the standard
+    * level-shift detector (a regime change shows as a V or Λ in the
+    * cusum; the extremum is the most likely changepoint). Run it on a
+    * day/hour rollup before trusting a before/after comparison window.
+    *
+    * Returns one row per period: (period, n, cusum, is_peak) where
+    * `is_peak` marks the period(s) achieving the maximum |cusum| — ties
+    * all flag, the caller picks. Scale shape: the corpus collapses to a
+    * per-period partial-aggregated groupBy FIRST; the mean, the ordered
+    * cumulative sum, and the peak scan are windows over that tiny
+    * aggregate (|periods| rows), so the raw history is scanned once and
+    * never sorted. `cusum` rounds to 4 after subtraction — the oracle
+    * mirrors the operation order. */
+  def cusumChangepoint(df: DataFrame, tsCol: String, unit: String): DataFrame = {
+    val perPeriod = df.groupBy(date_trunc(unit, col(tsCol)).as("period"))
+      .agg(count(lit(1)).as("n"))
+    val all = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val cum = Window.orderBy("period").rowsBetween(Long.MinValue, 0)
+    perPeriod
+      // the mean materializes in its own projection first: Spark rejects a
+      // window expression nested inside another window's aggregate
+      .withColumn("__mean", avg(col("n")).over(all))
+      // + 0.0 normalizes IEEE negative zero: the closing cusum is a ~1e-13
+      // FP residue whose SIGN depends on accumulation details, and
+      // round(-1e-13, 4) = -0.0 while round(+1e-13, 4) = 0.0 — two engines
+      // can disagree on the sign and -0.0 vs 0.0 breaks value-sorted
+      // comparison; (-0.0) + 0.0 = +0.0 in both
+      .withColumn("cusum", round(
+        sum(col("n").cast("double") - col("__mean")).over(cum), 4) + lit(0.0))
+      .drop("__mean")
+      .withColumn("is_peak",
+        when(abs(col("cusum")) === max(abs(col("cusum"))).over(all), 1)
+          .otherwise(0))
+  }
 }

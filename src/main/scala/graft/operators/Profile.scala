@@ -704,4 +704,143 @@ object Profile {
         when(col("__est") >= col("cnt") && col("__est") <= col("cnt") + slack, 1)
           .otherwise(0).as("cms_ok"))
   }
+
+  /** Binned two-sample Kolmogorov–Smirnov drift check — the companion to
+    * [[psiDrift]] for the cases PSI under-reads: KS is the max vertical
+    * gap between the two empirical CDFs, so a shift concentrated in one
+    * tail (which spreads thinly over many PSI bins) still produces one
+    * large cumulative gap. Run both before a retrain decision; they
+    * disagree exactly when the drift is localized.
+    *
+    * Binning follows the [[psiDrift]] contract: equi-width over the
+    * REFERENCE side's [min, max] (same deliberate FP operation order, so
+    * the DuckDB oracle mirrors token-for-token), comparison values outside
+    * the range clamp into the edge bins (out-of-range mass IS signal), an
+    * empty/all-NULL reference fails loudly. The statistic is exact for the
+    * binned distributions and approximates the unbinned KS to within the
+    * largest single-bin mass — raise `nBins` to tighten; the unbinned
+    * exact KS needs a global sort of both snapshots, which is the
+    * 100 TB-hostile shape this operator exists to avoid.
+    *
+    * Returns one row per bin: (bin, cum_p_ref, cum_p_cmp, ks_term) where
+    * `ks_term = |cum_p_ref − cum_p_cmp|`; `max(ks_term)` is the KS
+    * statistic. Scale shape: one partial-aggregated groupBy per side, a
+    * full-outer join of two ≤nBins-row aggregates, cumulative windows
+    * over those same tiny rows — the snapshots are never joined, sorted
+    * globally, or windowed. */
+  def ksDrift(
+      ref: DataFrame, cmp: DataFrame, valueCol: String,
+      nBins: Int = 100): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val x = col(valueCol).cast("double")
+    val bounds = ref.filter(col(valueCol).isNotNull)
+      .agg(min(x).as("__lo"), max(x).as("__hi"))
+      .select(
+        when(col("__lo").isNull, raise_error(lit(
+          s"ksDrift: reference snapshot has no non-NULL '$valueCol' values — " +
+            "bin bounds are undefined; fix the reference feed or column name"))
+          .cast("double")).otherwise(col("__lo")).as("__lo"),
+        col("__hi"))
+    def binned(df: DataFrame, n: String) = df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(greatest(least(
+            floor((x - col("__lo")) * nBins / (col("__hi") - col("__lo"))),
+            lit(nBins - 1)), lit(0))).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(n))
+    val joined = binned(ref, "n_ref").join(binned(cmp, "n_cmp"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cmp"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy("bin").rowsBetween(Long.MinValue, 0)
+    // cumulative shares round to 6 BEFORE the gap so the per-row values
+    // and the gap reproduce bit-identically in the oracle's window sums
+    joined.select(col("bin"),
+        round(sum(col("n_ref")).over(cum) / sum(col("n_ref")).over(all), 6)
+          .as("cum_p_ref"),
+        round(sum(col("n_cmp")).over(cum) / sum(col("n_cmp")).over(all), 6)
+          .as("cum_p_cmp"))
+      .withColumn("ks_term", round(abs(col("cum_p_ref") - col("cum_p_cmp")), 6))
+  }
+
+  /** Benford first-digit audit over a positive numeric column: observed
+    * share of each leading significant digit vs the Benford expectation
+    * log10(1 + 1/d) — the classic fabricated-or-truncated-data smell test
+    * for financial-style magnitude columns (synthetic or clipped feeds
+    * flatten the curve; genuine multi-scale data follows it).
+    *
+    * The leading digit is computed arithmetically — floor(x / 10^floor(
+    * log10 x)) — NOT by string formatting: double→string rendering
+    * differs between engines (scientific-notation cutoffs), while log10/
+    * floor are correctly rounded in both and the oracle mirrors the same
+    * expression. Non-positive and NULL values are excluded (Benford is
+    * undefined there) but tallied: `n_excluded` rides on every row so a
+    * feed going half-zero can't silently shrink the audited population.
+    *
+    * Returns 9 rows (digit, n, p_obs, p_benford, dev) with dev =
+    * p_obs − p_benford; digits absent from the data still appear with
+    * n = 0 (their deficit IS the finding). Scale shape: one map-side
+    * digit expression + one ≤9-key partial-aggregated groupBy; the
+    * digit spine joins against the tiny aggregate. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tallied = df.select(
+        when(x.isNotNull && x > 0,
+          floor(x / pow(lit(10.0), floor(log10(x)))).cast("int"))
+          .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val excluded = tallied.filter(col("digit").isNull)
+      .select(col("n").as("__nex"))
+    val digits = tallied.filter(col("digit").isNotNull)
+    val spine = (1 to 9).toDF("digit")
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    spine.join(digits, Seq("digit"), "left").na.fill(0L, Seq("n"))
+      // the excluded tally can be an EMPTY aggregate (all rows valid) —
+      // a left join against the 1-or-0-row frame, then fill 0
+      .crossJoin(broadcast(excluded.agg(
+        coalesce(sum(col("__nex")), lit(0L)).as("n_excluded"))))
+      .select(col("digit"), col("n"), col("n_excluded"),
+        round(col("n") / sum(col("n")).over(all), 6).as("p_obs"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("p_benford"))
+      .withColumn("dev", round(col("p_obs") - col("p_benford"), 6))
+  }
+
+  /** 2-D Pareto frontier (skyline): the (x, y) trade-off curve where x is
+    * MAXIMIZED and y is MINIMIZED — e.g. "largest part size at each price
+    * point no other size beats". A point is on the frontier iff no other
+    * point has strictly larger x with a y that is not larger.
+    *
+    * Scale shape — the naive skyline is an O(n²) dominance self-join;
+    * this one is one partial-aggregated groupBy (per distinct x: best y
+    * + supporting row count) followed by a cumulative-min window over the
+    * |distinct x| aggregate rows ordered by x descending: a point's best
+    * y survives iff it undercuts every y seen at larger x. The corpus is
+    * scanned once and never self-joined; the window touches only the
+    * aggregate. (|distinct x| itself large is fine — the window is a
+    * linear scan — but callers should know the output is one row per
+    * distinct x before filtering.)
+    *
+    * Returns (x, best_y, n_at_x, on_frontier 0/1) for every distinct x —
+    * keeping dominated x values visible (on_frontier = 0) turns the
+    * result into the full trade-off staircase, not just the winners.
+    * NULL x or y rows are excluded (dominance is undefined on NULL). */
+  def paretoFrontier(
+      df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    val perX = df
+      .filter(col(maxCol).isNotNull && col(minCol).isNotNull)
+      .groupBy(col(maxCol).as("x"))
+      .agg(min(col(minCol)).as("best_y"), count(lit(1)).as("n_at_x"))
+    val prevBest = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").desc).rowsBetween(Long.MinValue, -1)
+    perX.withColumn("__prev", min(col("best_y")).over(prevBest))
+      .withColumn("on_frontier",
+        when(col("__prev").isNull || col("best_y") < col("__prev"), 1)
+          .otherwise(0))
+      .drop("__prev")
+  }
 }

@@ -400,4 +400,42 @@ object Similarity {
           round(array_max(transform(err(col("__e"), col("scale")), x => abs(x))), 6))
           .as("max_err"))
   }
+
+  /** Population covariance matrix over the first `k` embedding dimensions
+    * — the embedding-health profile behind whitening decisions, PCA
+    * feasibility checks, and "did the encoder collapse?" audits (a
+    * near-zero-variance dimension or a |corr| ≈ 1 pair means the model
+    * wastes capacity). Returns the upper triangle as rows
+    * (i, j, cov) with i ≤ j, 0-indexed; the diagonal is the per-dimension
+    * variance.
+    *
+    * Scale shape — the textbook shape joins the unnested matrix with
+    * itself on vec_id (a full shuffle of n·d rows); this one is a SINGLE
+    * aggregation pass: each (i, j) entry is a covar_pop over two plain
+    * projected columns, all k·(k+1)/2 entries partial-aggregate map-side
+    * together, zero shuffle beyond the 1-row combine, then the wide row
+    * unpivots to the triangle. `k` bounds the aggregate width (k = 16 →
+    * 136 covar states), not the corpus. Rows whose vector is NULL or
+    * shorter than `k` fail loudly — covar_pop would otherwise silently
+    * pairwise-drop them, reporting a healthy matrix over a broken feed.
+    * Covariances round to 6: DuckDB's and Spark's covar_pop accumulate
+    * in different orders and agree only to ~1e-12 relative. */
+  def covarianceMatrix(df: DataFrame, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dims = 0 until k
+    val guarded = df.select(
+      when(col(vecCol).isNull || size(col(vecCol)) < k, raise_error(lit(
+        s"covarianceMatrix: NULL or <$k-dim '$vecCol' vector — " +
+          "covar_pop would silently drop the row; fix the feed first"))
+        .cast("double")).otherwise(lit(0.0)).as("__guard") +:
+      dims.map(i => element_at(col(vecCol), i + 1).cast("double").as(s"__x$i")): _*)
+    val aggs = for { i <- dims; j <- dims if i <= j } yield
+      covar_pop(col(s"__x$i") + col("__guard"), col(s"__x$j")).as(s"c_${i}_$j")
+    val wide = guarded.agg(aggs.head, aggs.tail: _*)
+    val entries = for { i <- dims; j <- dims if i <= j } yield
+      struct(lit(i).as("i"), lit(j).as("j"),
+        round(col(s"c_${i}_$j"), 6).as("cov"))
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.cov"))
+  }
 }

@@ -1,0 +1,309 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, Events, Profile, Similarity}
+
+/** Round-10 audit/analytics operators: KS drift, Benford, Pareto frontier,
+  * Markov transitions, CUSUM changepoints, weighted sampling, embedding
+  * covariance, asymmetric containment. */
+class AuditOpsSpec extends SparkSpec {
+  import sqlContext.implicits._
+
+  // -------------------------------------------------------------- ksDrift
+
+  test("ksDrift: identical snapshots give ks_term 0 in every bin") {
+    val a = (1 to 100).map(_.toDouble).toDF("x")
+    val rows = Profile.ksDrift(a, a, "x", nBins = 10).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Double]("ks_term") == 0.0))
+  }
+
+  test("ksDrift: a disjoint shift is detected at full strength (clamped edge bin)") {
+    val ref = (1 to 100).map(_.toDouble).toDF("x")
+    val cmp = (1001 to 1100).map(_.toDouble).toDF("x") // beyond ref range
+    val rows = Profile.ksDrift(ref, cmp, "x", nBins = 10)
+      .orderBy("bin").collect()
+    // all cmp mass clamps into the LAST ref bin: at bin 8 ref has
+    // accumulated everything below bin 9 (90 of 100 values: bin 9 opens at
+    // x = 90.1) while cmp is still 0 — the gap is exactly 0.9, and both
+    // CDFs only close at the final bin
+    val maxKs = rows.map(_.getAs[Double]("ks_term")).max
+    assert(maxKs == 0.9)
+    // and the final bin closes both CDFs at 1.0
+    val last = rows.last
+    assert(last.getAs[Double]("cum_p_ref") == 1.0)
+    assert(last.getAs[Double]("cum_p_cmp") == 1.0)
+  }
+
+  test("ksDrift: half-shifted sample yields the known midpoint gap") {
+    // ref uniform on bins 0..9; cmp only in the upper half => KS = 0.5 at
+    // the midpoint (ref CDF 0.5, cmp CDF 0)
+    val ref = (0 until 100).map(i => i / 10 + 0.5).toDF("x") // 10 per bin
+    val cmp = (0 until 50).map(i => 5 + i / 10 + 0.4).toDF("x")
+    val maxKs = Profile.ksDrift(ref, cmp, "x", nBins = 10)
+      .agg(max("ks_term")).as[Double].head()
+    assert(maxKs == 0.5)
+  }
+
+  test("ksDrift fails loudly on an all-NULL reference") {
+    val ref = Seq[java.lang.Double](null, null).toDF("x")
+    val cmp = Seq(1.0, 2.0).toDF("x")
+    val e = intercept[Exception] {
+      Profile.ksDrift(ref, cmp, "x").collect()
+    }
+    assert(e.getMessage.contains("no non-NULL"))
+  }
+
+  // --------------------------------------------------------- benfordAudit
+
+  test("benfordAudit: digits computed arithmetically across magnitudes; absences appear as n=0") {
+    val df = Seq(1.0, 19.5, 250.0, 0.034, 3.7e6, 9.99, 0.1).toDF("x")
+    // leading digits: 1, 1, 2, 3, 3, 9, 1
+    val got = Profile.benfordAudit(df, "x").orderBy("digit")
+      .select("digit", "n").as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 3L, 2 -> 1L, 3 -> 2L, 4 -> 0L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L))
+  }
+
+  test("benfordAudit: non-positive and NULL values excluded but tallied") {
+    val df = Seq[java.lang.Double](5.0, 0.0, -3.0, null, 55.0).toDF("x")
+    val rows = Profile.benfordAudit(df, "x").collect()
+    assert(rows.forall(_.getAs[Long]("n_excluded") == 3L))
+    assert(rows.map(_.getAs[Long]("n")).sum == 2L)
+    // p_obs shares computed over the VALID population only
+    val d5 = rows.find(_.getAs[Int]("digit") == 5).get
+    assert(d5.getAs[Double]("p_obs") == 1.0)
+  }
+
+  test("benfordAudit: p_benford follows log10(1 + 1/d) and sums to ~1") {
+    val df = Seq(1.0).toDF("x")
+    val ps = Profile.benfordAudit(df, "x")
+      .orderBy("digit").select("p_benford").as[Double].collect()
+    assert(math.abs(ps(0) - 0.30103) < 1e-5) // log10(2)
+    assert(math.abs(ps.sum - 1.0) < 1e-4)
+  }
+
+  // ------------------------------------------------------- paretoFrontier
+
+  test("paretoFrontier: hand-computed skyline, dominated staircase rows flagged 0") {
+    // (x=size maximize, y=price minimize); per-x best y:
+    //  x=1 -> 1.0, x=2 -> 3.0 (dominated: x=3 has y 2.0), x=3 -> 2.0,
+    //  x=5 -> 4.0 (frontier: largest x)
+    val df = Seq((1, 1.0), (1, 9.0), (2, 3.0), (3, 2.0), (3, 8.0), (5, 4.0))
+      .toDF("sz", "price")
+    val rows = Profile.paretoFrontier(df, "sz", "price")
+      .orderBy("x").collect()
+    val flags = rows.map(r => r.getAs[Int]("x") -> r.getAs[Int]("on_frontier")).toMap
+    assert(flags == Map(1 -> 1, 2 -> 0, 3 -> 1, 5 -> 1))
+    val best = rows.map(r => r.getAs[Int]("x") -> r.getAs[Double]("best_y")).toMap
+    assert(best == Map(1 -> 1.0, 2 -> 3.0, 3 -> 2.0, 5 -> 4.0))
+    val counts = rows.map(r => r.getAs[Int]("x") -> r.getAs[Long]("n_at_x")).toMap
+    assert(counts == Map(1 -> 2L, 2 -> 1L, 3 -> 2L, 5 -> 1L))
+  }
+
+  test("paretoFrontier: equal best_y at smaller x is dominated (strict undercut required)") {
+    val df = Seq((1, 2.0), (2, 2.0)).toDF("sz", "price")
+    val flags = Profile.paretoFrontier(df, "sz", "price")
+      .collect().map(r => r.getAs[Int]("x") -> r.getAs[Int]("on_frontier")).toMap
+    // x=2 frontier; x=1 offers the same price at smaller size => dominated
+    assert(flags == Map(1 -> 0, 2 -> 1))
+  }
+
+  test("paretoFrontier excludes NULL coordinates") {
+    val df = Seq[(Integer, java.lang.Double)]((1, 1.0), (null, 0.1), (2, null))
+      .toDF("sz", "price")
+    val rows = Profile.paretoFrontier(df, "sz", "price").collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("x") == 1)
+  }
+
+  // ----------------------------------------------------- transitionMatrix
+
+  test("transitionMatrix: counts and conditional probabilities, last event emits no pair") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), // a->b, b->a
+      (2L, 1L, "a"), (2L, 2L, "b"),                // a->b
+      (3L, 1L, "a")                                // no successor
+    ).toDF("uid", "seq", "et").withColumn("ts", timestamp_seconds(col("seq")))
+      .withColumn("eid", col("seq"))
+    val rows = Events.transitionMatrix(df, "uid", "ts", "et", "eid").collect()
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(byPair == Map(("a", "b") -> (2L, 1.0), ("b", "a") -> (1L, 1.0)))
+  }
+
+  test("transitionMatrix: same-timestamp events order deterministically by id") {
+    val df = Seq((1L, 10L, 2L, "b"), (1L, 10L, 1L, "a"), (1L, 10L, 3L, "c"))
+      .toDF("uid", "sec", "eid", "et")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val pairs = Events.transitionMatrix(df, "uid", "ts", "et", "eid")
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "b"), ("b", "c")))
+  }
+
+  test("transitionMatrix: per-from probabilities sum to 1") {
+    val ev = engine.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    val sums = Events.transitionMatrix(ev, "user_id", "ts", "event_type", "event_id")
+      .groupBy("from_type").agg(sum("p").as("s")).select("s").as[Double].collect()
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-3))
+  }
+
+  // ---------------------------------------------------- cusumChangepoint
+
+  test("cusumChangepoint: level shift peaks at the change, cusum closes near 0") {
+    // 4 days at 2 events/day then 4 days at 6: mean 4, cusum walks down to
+    // -8 at day 4 (the changepoint) and back to 0
+    val events = (for {
+      day <- 0 until 8
+      i <- 0 until (if (day < 4) 2 else 6)
+    } yield (day.toLong * 86400 + i, 1L)).toDF("sec", "uid")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val rows = Events.cusumChangepoint(events, "ts", "day")
+      .orderBy("period").collect()
+    assert(rows.length == 8)
+    val cusums = rows.map(_.getAs[Double]("cusum"))
+    assert(cusums.last == 0.0)
+    assert(cusums.min == -8.0)
+    val peaks = rows.filter(_.getAs[Int]("is_peak") == 1)
+      .map(_.getAs[Double]("cusum")).toSeq
+    assert(peaks == Seq(-8.0))
+  }
+
+  test("cusumChangepoint: stationary counts keep every |cusum| at 0 and all rows peak-tied") {
+    val events = (for { day <- 0 until 3; i <- 0 until 5 }
+      yield (day.toLong * 86400 + i, 1L)).toDF("sec", "uid")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val rows = Events.cusumChangepoint(events, "ts", "day").collect()
+    assert(rows.forall(_.getAs[Double]("cusum") == 0.0))
+    assert(rows.forall(_.getAs[Int]("is_peak") == 1)) // ties all flag
+  }
+
+  // --------------------------------------- sampleWeightedPerStratum
+
+  test("sampleWeightedPerStratum: k per stratum, stable under row order, matches the formula") {
+    val docs = engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = Curation.sampleWeightedPerStratum(docs, "doc_id", "lang", "n_chars", k = 5)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    // stable under a different physical row order
+    val reordered = Curation.sampleWeightedPerStratum(
+      docs.orderBy(col("n_chars").desc), "doc_id", "lang", "n_chars", k = 5)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(got == reordered)
+    // matches an independent Scala computation of the same ES draw
+    val all = docs.select("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)].collect()
+    def score(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|wsample".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      -math.log(u) / w
+    }
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (score(r._1, r._3), r._1)).take(5).toSeq
+    }.map(r => (r._1, r._2)).toSet
+    assert(got == expected)
+    // k per stratum exactly (every fixture stratum has >= 5 docs)
+    val perStratum = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perStratum.values.forall(_ == 5))
+  }
+
+  test("sampleWeightedPerStratum is weight-proportional in aggregate") {
+    // two interleaved weight classes: heavy rows 100x the weight of light
+    // ones; the sampled set must be overwhelmingly heavy (deterministic
+    // draw — this asserts the realized sample, no flakiness)
+    val df = (1 to 400).map(i => (i.toLong, "s", if (i % 2 == 0) 10000L else 100L))
+      .toDF("id", "g", "w")
+    val picked = Curation.sampleWeightedPerStratum(df, "id", "g", "w", k = 40)
+      .select("w").as[Long].collect()
+    val heavy = picked.count(_ == 10000L)
+    assert(heavy >= 35, s"expected >=35/40 heavy draws, got $heavy")
+  }
+
+  test("sampleWeightedPerStratum fails loudly on NULL/zero/negative weights") {
+    val df = Seq[(Long, String, java.lang.Long)]((1L, "s", 5L), (2L, "s", 0L))
+      .toDF("id", "g", "w")
+    val e = intercept[Exception] {
+      Curation.sampleWeightedPerStratum(df, "id", "g", "w", k = 2).collect()
+    }
+    assert(e.getMessage.contains("non-positive"))
+  }
+
+  // ----------------------------------------------------- covarianceMatrix
+
+  test("covarianceMatrix matches hand-computed population covariance") {
+    // vectors (1,2), (3,4), (5,0): means (3,2)
+    // var x = (4+0+4)/3, cov xy = ((-2*0)+(0*2)+(2*-2))/3, var y = (0+4+4)/3
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 0.0f)).toDF("v")
+    val got = Similarity.covarianceMatrix(df, "v", 2)
+      .orderBy("i", "j").select("cov").as[Double].collect()
+    assert(got.length == 3)
+    assert(math.abs(got(0) - 8.0 / 3) < 1e-6)  // c_0_0
+    assert(math.abs(got(1) - (-4.0 / 3)) < 1e-6) // c_0_1
+    assert(math.abs(got(2) - 8.0 / 3) < 1e-6)  // c_1_1
+  }
+
+  test("covarianceMatrix fails loudly on a short or NULL vector") {
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f)).toDF("v")
+    val e = intercept[Exception] {
+      Similarity.covarianceMatrix(df, "v", 2).collect()
+    }
+    assert(e.getMessage.contains("covarianceMatrix"))
+  }
+
+  test("covarianceMatrix emits the full upper triangle for k dims") {
+    val df = Seq(Seq.fill(4)(1.0f), Seq.fill(4)(2.0f)).toDF("v")
+    val rows = Similarity.covarianceMatrix(df, "v", 4).collect()
+    assert(rows.length == 10) // 4*5/2
+    assert(rows.forall(r => r.getAs[Int]("i") <= r.getAs[Int]("j")))
+  }
+
+  // ----------------------------------------------------- containmentPairs
+
+  test("containmentPairs finds an embedded document Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val big = small + " " + filler
+    val df = Seq((1L, small), (2L, big), (3L, "totally unrelated text here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text",
+        shingleN = 3, minContainment = 0.8, maxShingleDf = None)
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("a_id") == 1L && p.getAs[Long]("b_id") == 2L)
+    assert(p.getAs[Double]("c_a_in_b") >= 0.8) // small fully inside big
+    assert(p.getAs[Double]("c_b_in_a") < 0.2)  // big barely inside small
+    // and the Jaccard twin at 0.5 does NOT report this pair
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5, maxShingleDf = None).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("containmentPairs: mutual near-duplicates score high in both directions") {
+    val a = "one two three four five six seven"
+    val b = "one two three four five six eight"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val p = Dedup.containmentPairs(df, "doc_id", "text",
+        shingleN = 3, minContainment = 0.5, maxShingleDf = None)
+      .collect().head
+    assert(p.getAs[Double]("c_a_in_b") > 0.5 && p.getAs[Double]("c_b_in_a") > 0.5)
+  }
+
+  test("containmentPairs hot-shingle guard recounts denominators over the filtered universe") {
+    // 'x x x' appears in every doc (hot); with maxShingleDf=2 it is removed
+    // and containment is computed over the remaining shingles only
+    val df = Seq(
+      (1L, "x x x a b c d"),
+      (2L, "x x x a b c e"),
+      (3L, "x x x q r s t")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text",
+        shingleN = 3, minContainment = 0.5, maxShingleDf = Some(2))
+      .collect()
+    // docs 1,2 share 'a b c' family shingles post-filter; doc 3 shares only
+    // the removed hot shingle and cannot pair
+    assert(pairs.forall(r =>
+      Set(r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) == Set(1L, 2L)))
+    assert(pairs.nonEmpty)
+  }
+}
