@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.operators.{Curation, Dedup, Events, Profile, Similarity}
+import graft.operators.{Curation, Dedup, Events, Profile, Similarity, TextAnalysis}
 
 /** Round-10 audit/analytics queries: distribution drift (KS), data-quality
   * forensics (Benford), trade-off frontiers (Pareto skyline), behavioral
@@ -82,6 +82,47 @@ object AuditQueries {
       .withColumn("c_b_in_a", round(col("c_b_in_a"), 4))
       .orderBy("a_id", "b_id")
 
+  /** Zone-map skip audit on the ingest-ordered events table: zones of
+    * 2000 consecutive event_ids (the "file" analog — the fixture's
+    * event_id is ~perfectly time-ordered, corr ≈ 0.99998, exactly like a
+    * real append-only ingest), value = event time, predicate
+    * ts >= 2024-01-25. Most zones' ts ranges fall entirely before the
+    * cutoff and flag skippable — the statistics-only I/O saving a
+    * clustered layout buys. */
+  val zoneMap: Q = (s, d) =>
+    Profile.zoneSkipAudit(Tables.loadEvents(s, d),
+      floor(col("event_id") / 2000).cast("long"), "ts",
+      lit("2024-01-25").cast("timestamp"))
+      .orderBy("zone")
+
+  /** Entry-path distribution: each user's first 3 event types. */
+  val sessionPaths: Q = (s, d) =>
+    Events.pathSignatures(Tables.loadEvents(s, d),
+      "user_id", "ts", "event_type", "event_id", depth = 3)
+      .orderBy("path")
+
+  /** Join-skew pre-flight for a prospective lineitem self-join on
+    * l_partkey: the 20 keys whose count product dominates the output. */
+  val joinSkew: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    Profile.joinSkewAudit(li, li, "l_partkey", "l_partkey", topK = 20)
+  }
+
+  /** Joint density of lineitem (quantity × discount), 10×10 bins. */
+  val hist2dQ: Q = (s, d) =>
+    Profile.hist2d(t(s, d, "lineitem"), "l_quantity", "l_discount",
+      nx = 10, ny = 10)
+      .orderBy("bin_x", "bin_y")
+
+  /** Mutual information between document language and source. */
+  val mutualInfoQ: Q = (s, d) =>
+    Profile.mutualInfo(t(s, d, "documents"), "lang", "source")
+      .orderBy("lang", "source")
+
+  /** Zipf rank-frequency fit over the top 500 corpus terms. */
+  val zipfSlope: Q = (s, d) =>
+    TextAnalysis.zipfSlope(t(s, d, "documents"), "text", topN = 500)
+
   val all: Map[String, Q] = Map(
     "drift_ks" -> driftKs,
     "benford_audit" -> benfordAudit,
@@ -90,7 +131,13 @@ object AuditQueries {
     "changepoint_cusum" -> changepointCusum,
     "sample_weighted" -> sampleWeighted,
     "embed_covariance" -> embedCovariance,
-    "dedup_containment" -> dedupContainment
+    "dedup_containment" -> dedupContainment,
+    "zone_map" -> zoneMap,
+    "session_paths" -> sessionPaths,
+    "join_skew" -> joinSkew,
+    "hist2d" -> hist2dQ,
+    "mutual_info" -> mutualInfoQ,
+    "zipf_slope" -> zipfSlope
   )
 
   /** The 36 upper-triangle covar_pop entries for embed_covariance, unrolled
@@ -235,6 +282,92 @@ object AuditQueries {
         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 50
         |ORDER BY lang, doc_id""".stripMargin,
     "embed_covariance" -> covTriangle,
+    // floor(event_id / 2000): both engines divide as doubles; duckdb's
+    // floor yields DOUBLE -> cast BIGINT to match spark's LONG
+    "zone_map" ->
+      """SELECT CAST(floor(event_id / 2000) AS BIGINT) AS zone,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(ts) AS v_min, max(ts) AS v_max,
+        |  CAST(CASE WHEN max(ts) < TIMESTAMP '2024-01-25' THEN 1 ELSE 0 END
+        |    AS INTEGER) AS skippable
+        |FROM events GROUP BY 1 ORDER BY zone""".stripMargin,
+    // string_agg with ORDER BY rn mirrors the sorted-struct reassembly
+    "session_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_actors
+        |FROM p GROUP BY 1 ORDER BY path""".stripMargin,
+    "join_skew" ->
+      """WITH l AS (
+        |  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_left
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_right
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
+        |SELECT key, n_left, n_right,
+        |  CAST(n_left * n_right AS BIGINT) AS est_pairs
+        |FROM l JOIN r USING (key)
+        |ORDER BY est_pairs DESC, key LIMIT 20""".stripMargin,
+    // per-axis binning mirrors hist_bins' arithmetic; values cast to
+    // DOUBLE before the bin expression exactly as the Spark side does
+    "hist2d" ->
+      """WITH b AS (
+        |  SELECT min(CAST(l_quantity AS DOUBLE)) AS xlo,
+        |    max(CAST(l_quantity AS DOUBLE)) AS xhi,
+        |    min(CAST(l_discount AS DOUBLE)) AS ylo,
+        |    max(CAST(l_discount AS DOUBLE)) AS yhi
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL)
+        |SELECT
+        |  CAST(CASE WHEN xhi = xlo THEN 0
+        |    ELSE least(floor((CAST(l_quantity AS DOUBLE) - xlo) * 10 / (xhi - xlo)), 9)
+        |    END AS INTEGER) AS bin_x,
+        |  CAST(CASE WHEN yhi = ylo THEN 0
+        |    ELSE least(floor((CAST(l_discount AS DOUBLE) - ylo) * 10 / (yhi - ylo)), 9)
+        |    END AS INTEGER) AS bin_y,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem, b
+        |WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same cell/marginal CTEs as chi_square; the term's operation order
+    // (obs/n) * ln((obs*n)/(rt*ct)) is pinned on both sides
+    "mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(obs) AS DOUBLE) AS n FROM cells)
+        |SELECT c.lang, c.source, c.obs,
+        |  round((CAST(obs AS DOUBLE) / n)
+        |    * ln((CAST(obs AS DOUBLE) * n)
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))), 6) AS mi_term
+        |FROM cells c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+        |ORDER BY lang, source""".stripMargin,
+    // top-500 cut uses the same total (freq DESC, term) ordering as
+    // Spark's TakeOrdered, so the kept set is identical; ln over BIGINT
+    // freq/rank matches Spark's log over LONG
+    "zipf_slope" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS freq
+        |  FROM t WHERE term <> '' GROUP BY 1
+        |  ORDER BY freq DESC, term LIMIT 500),
+        |r AS (
+        |  SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, term) AS rank
+        |  FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(regr_slope(ln(freq), ln(rank)), 4) AS slope,
+        |  round(regr_intercept(ln(freq), ln(rank)), 4) AS intercept,
+        |  round(regr_r2(ln(freq), ln(rank)), 4) AS r2
+        |FROM r""".stripMargin,
     // containment thresholds apply UNROUNDED (same as dedup_ngram's
     // jaccard); round 4 for display only
     "dedup_containment" ->

@@ -373,6 +373,39 @@ object Events {
       .withColumn("p", round(col("n") / sum(col("n")).over(perFrom), 6))
   }
 
+  /** Path signatures: each actor's first `depth` event types joined with
+    * '>' — the entry-path distribution behind onboarding analysis ("what
+    * do users actually do first?") and bot fingerprinting (machine
+    * traffic concentrates on a handful of exact paths). Returns
+    * (path, n_actors) per distinct prefix path; actors with fewer than
+    * `depth` events contribute their full shorter path (dropping them
+    * would silently remove the bounce cohort — the most interesting one).
+    *
+    * Ordering is the family's deterministic (ts, idCol) tie-break. Scale
+    * shape: one shuffle on the actor key for the rank window —
+    * WindowGroupLimit forwards at most `depth` rows per actor map-side —
+    * then the path assembles per-actor via sorted collect_list (bounded
+    * at `depth` elements) and one partial-aggregated groupBy counts
+    * paths; output is |distinct paths| rows, bounded by
+    * |event types|^depth. */
+  def pathSignatures(
+      df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, idCol: String, depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.select(col(keyCol), col(typeCol), col(tsCol), col(idCol),
+        row_number().over(w).as("__rn"))
+      .filter(col("__rn") <= depth)
+      .groupBy(col(keyCol))
+      // sort_array on (rank, type) structs reassembles event order inside
+      // the group without re-windowing; collect_list is unordered by
+      // contract, so the rank must ride along
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__rn"), col(typeCol)))),
+        s => s.getField(typeCol)), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_actors"))
+  }
+
   /** CUSUM changepoint scan over per-period event counts: cumulative sum
     * of (count − global mean) ordered by period — the standard
     * level-shift detector (a regime change shows as a V or Λ in the

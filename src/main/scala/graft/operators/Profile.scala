@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-profiling operators: equi-width histograms and heavy hitters with
@@ -808,6 +808,120 @@ object Profile {
         round(col("n") / sum(col("n")).over(all), 6).as("p_obs"),
         round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("p_benford"))
       .withColumn("dev", round(col("p_obs") - col("p_benford"), 6))
+  }
+
+  /** Zone map: per-zone (min, max, count) statistics over a value column —
+    * the data-skipping index every 100 TB table lives or dies by. A "zone"
+    * is whatever physical unit a scan can skip (a file, a row group, a
+    * partition directory); on an ingest-ordered table the zone statistics
+    * of an event-time column are tight, and a time predicate prunes most
+    * zones without reading them. Returns (zone, n_rows, v_min, v_max).
+    *
+    * Scale shape: ONE partial-aggregated groupBy on the zone expression —
+    * min/max/count all combine map-side; output is |zones| rows. */
+  def zoneMap(df: DataFrame, zone: Column, valueCol: String): DataFrame =
+    df.groupBy(zone.as("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("v_min"), max(col(valueCol)).as("v_max"))
+
+  /** [[zoneMap]] plus the skip decision for a `value >= lo` predicate:
+    * `skippable = 1` iff the zone's v_max falls below `lo` — every row in
+    * the zone fails the predicate, so a scan can drop the whole zone on
+    * statistics alone. The audit to run BEFORE betting a query pattern on
+    * clustering: `sum(skippable-zone rows) / total` is the I/O the layout
+    * saves, and ~0 on a shuffled table says re-cluster first.
+    *
+    * A zone with NULL statistics (all-NULL values) reports skippable = 0
+    * — the CONSERVATIVE choice real engines make: stats that prove
+    * nothing scan the zone. (For this specific >= predicate NULL values
+    * can never pass, so 1 would also be sound — but the flag must stay
+    * trustworthy when callers swap in IS NULL-style predicates.) */
+  def zoneSkipAudit(
+      df: DataFrame, zone: Column, valueCol: String, lo: Column): DataFrame =
+    zoneMap(df, zone, valueCol)
+      .withColumn("skippable",
+        when(col("v_max") < lo, 1).otherwise(0))
+
+  /** 2-D equi-width histogram — the joint-density heatmap behind
+    * correlation eyeballing and 2-column outlier fences. Same binning
+    * contract as [[equiWidthHistogram]] per axis (bounds from the data,
+    * max closes into the last bin, deliberate FP operation order, NULLs
+    * in either coordinate excluded). Returns (bin_x, bin_y, n) for
+    * OCCUPIED cells only — at 100 TB the empty-cell spine (nx·ny rows)
+    * is the caller's join if they want it dense.
+    *
+    * Scale shape: one 1-row bounds aggregate broadcast back, one
+    * partial-aggregated groupBy on the bin pair — two scans, no sort. */
+  def hist2d(
+      df: DataFrame, xCol: String, yCol: String,
+      nx: Int, ny: Int): DataFrame = {
+    require(nx > 0 && ny > 0, s"bin counts must be positive, got ($nx, $ny)")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val bounds = base.agg(
+      min(x).as("__xlo"), max(x).as("__xhi"),
+      min(y).as("__ylo"), max(y).as("__yhi"))
+    def bin(v: Column, lo: Column, hi: Column, n: Int) =
+      when(hi === lo, lit(0))
+        .otherwise(least(floor((v - lo) * n / (hi - lo)), lit(n - 1)))
+        .cast("int")
+    base.crossJoin(broadcast(bounds))
+      .select(
+        bin(x, col("__xlo"), col("__xhi"), nx).as("bin_x"),
+        bin(y, col("__ylo"), col("__yhi"), ny).as("bin_y"))
+      .groupBy("bin_x", "bin_y").agg(count(lit(1)).as("n"))
+  }
+
+  /** Mutual information between two categorical columns, reported as
+    * per-cell contributions (nats): term = p(a,b) · ln(p(a,b) / (p(a)p(b)))
+    * — `sum(mi_term)` is the MI. The companion to [[chiSquare]]: chi²
+    * says WHETHER the columns associate, MI says how many bits/nats of
+    * one the other carries (the feature-redundancy measure for "is
+    * `source` just `lang` renamed?"). Same cell/marginal scale shape as
+    * [[chiSquare]] — one groupBy over the pair, marginals aggregated
+    * FROM the cells, N broadcast; NULL categories drop identically.
+    * Terms are computed in the pinned order (obs/n) · ln((obs·n)/(rt·ct))
+    * and round to 6; cells observed zero never appear (0·ln 0 = 0). */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum(col("obs")).as("__rt"))
+    val colT = cells.groupBy(col(bCol)).agg(sum(col("obs")).as("__ct"))
+    val n = cells.agg(sum(col("obs")).cast("double").as("__n"))
+    val o = col("obs").cast("double")
+    cells.join(rowT, aCol).join(colT, bCol)
+      .crossJoin(broadcast(n))
+      .withColumn("mi_term", round(
+        (o / col("__n")) * log((o * col("__n")) /
+          (col("__rt").cast("double") * col("__ct").cast("double"))), 6))
+      .select(col(aCol), col(bCol), col("obs"), col("mi_term"))
+  }
+
+  /** Join-skew audit: the `topK` join keys by estimated output
+    * contribution (n_left × n_right) — the pre-flight check that names
+    * the exact keys that will make a join straggle, where
+    * [[joinEstimate]]'s System-R model only sizes the total. A key with
+    * est_pairs ~ 10⁸ is the one to salt, broadcast around, or filter.
+    *
+    * Scale shape: one partial-aggregated groupBy per side (key counts),
+    * an inner join OF THE TWO AGGREGATES (|distinct keys| rows, not
+    * corpus rows), then TakeOrdered for the top-k — the fact tables are
+    * each scanned once and never joined to each other. NULL keys are
+    * excluded: they never match in the real equi-join, so they cannot
+    * contribute output rows (their scan-side volume shows up in
+    * [[columnProfile]] null counts instead). */
+  def joinSkewAudit(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val l = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val r = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    l.join(r, "key")
+      .withColumn("est_pairs", col("n_left") * col("n_right"))
+      .orderBy(col("est_pairs").desc, col("key"))
+      .limit(topK)
   }
 
   /** 2-D Pareto frontier (skyline): the (x, y) trade-off curve where x is

@@ -631,4 +631,36 @@ object TextAnalysis {
     while (i < exp) { r *= base; i += 1 }
     r
   }
+
+  /** Zipf rank-frequency fit over the corpus vocabulary: the least-squares
+    * slope of ln(freq) against ln(rank) for the `topN` most frequent
+    * whitespace tokens — natural text sits near −1; machine-generated or
+    * template-heavy corpora flatten (the head repeats too evenly) and
+    * boilerplate-free deduped corpora steepen. One of the cheapest
+    * whole-corpus "does this read like language?" signals.
+    *
+    * Returns ONE row (n_terms, slope, intercept, r2). Ranking is
+    * deterministic: frequency descending, term ascending on ties. Scale
+    * shape: one partial-aggregated term count (the only corpus-wide
+    * shuffle), TakeOrdered for the top-N (each partition forwards ≤ N
+    * rows — no global sort), then the regression runs over the ≤ topN-row
+    * set via regr_* aggregates; the window rank touches the same tiny set.
+    * Fits with fewer than 2 distinct terms return NULL slope (a
+    * single-point fit is undefined — surfacing NULL beats inventing 0). */
+  def zipfSlope(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topN)
+    val ranked = counts.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("term"))))
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      round(regr_slope(log(col("freq")), log(col("rank"))), 4).as("slope"),
+      round(regr_intercept(log(col("freq")), log(col("rank"))), 4).as("intercept"),
+      round(regr_r2(log(col("freq")), log(col("rank"))), 4).as("r2"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Events, Profile, Similarity}
+import graft.operators.{Curation, Dedup, Events, Profile, Similarity, TextAnalysis}
 
 /** Round-10 audit/analytics operators: KS drift, Benford, Pareto frontier,
   * Markov transitions, CUSUM changepoints, weighted sampling, embedding
@@ -255,6 +255,137 @@ class AuditOpsSpec extends SparkSpec {
     val rows = Similarity.covarianceMatrix(df, "v", 4).collect()
     assert(rows.length == 10) // 4*5/2
     assert(rows.forall(r => r.getAs[Int]("i") <= r.getAs[Int]("j")))
+  }
+
+  // ------------------------------------------------- zoneMap / skip audit
+
+  test("zoneSkipAudit: clustered layout prunes, stats are exact, NULL-stat zones scan") {
+    val df = Seq[(Long, java.lang.Double)](
+      (0L, 1.0), (1L, 2.0), (2L, 3.0),   // zone 0: max 3
+      (10L, 11.0), (11L, 12.0),          // zone 1: max 12
+      (20L, null), (21L, null)           // zone 2: all-NULL stats
+    ).toDF("id", "v")
+    val rows = Profile.zoneSkipAudit(df, floor(col("id") / 10).cast("long"),
+        "v", lit(10.0)).orderBy("zone").collect()
+    assert(rows.length == 3)
+    val z0 = rows(0)
+    assert(z0.getAs[Long]("n_rows") == 3 && z0.getAs[Double]("v_max") == 3.0
+      && z0.getAs[Int]("skippable") == 1)
+    assert(rows(1).getAs[Int]("skippable") == 0) // max 12 straddles
+    // all-NULL stats: conservative, scan
+    assert(rows(2).isNullAt(rows(2).fieldIndex("v_max"))
+      && rows(2).getAs[Int]("skippable") == 0)
+  }
+
+  test("zoneSkipAudit on the ingest-ordered fixture actually prunes most zones") {
+    val ev = engine.Tables.loadEvents(spark, "/root/testdata/sf0.01")
+    val rows = Profile.zoneSkipAudit(ev, floor(col("event_id") / 2000).cast("long"),
+      "ts", lit("2024-01-25").cast("timestamp")).collect()
+    val skipped = rows.filter(_.getAs[Int]("skippable") == 1)
+    // 30 days of data, cutoff at day 25, time-ordered ids: ~4/5 of the
+    // zones must prune
+    assert(skipped.length.toDouble / rows.length > 0.5,
+      s"expected most zones skippable, got ${skipped.length}/${rows.length}")
+  }
+
+  // --------------------------------------------------------------- hist2d
+
+  test("hist2d: joint counts match hand-binned values, max closes into last bin") {
+    val df = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 0.0), (10.0, 10.0), (5.0, 5.0))
+      .toDF("x", "y")
+    val got = Profile.hist2d(df, "x", "y", 2, 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("n")).toMap
+    assert(got == Map((0, 0) -> 1L, (0, 1) -> 1L, (1, 0) -> 1L,
+      (1, 1) -> 2L)) // (5,5) bins to (1,1); maxes close into bin 1
+  }
+
+  test("hist2d: cell counts conserve the non-null row population") {
+    val li = engine.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val total = li.filter(col("l_quantity").isNotNull && col("l_discount").isNotNull).count()
+    val binned = Profile.hist2d(li, "l_quantity", "l_discount", 10, 10)
+      .agg(sum("n")).as[Long].head()
+    assert(binned == total)
+  }
+
+  // ----------------------------------------------------------- mutualInfo
+
+  test("mutualInfo: independent columns give ~0, dependent columns give ln(2)") {
+    // perfectly dependent: b == a
+    val dep = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y")).toDF("a", "b")
+    val miDep = Profile.mutualInfo(dep, "a", "b").agg(sum("mi_term")).as[Double].head()
+    assert(math.abs(miDep - math.log(2)) < 1e-4)
+    // independent: all four combinations equally likely
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val miInd = Profile.mutualInfo(ind, "a", "b").agg(sum("mi_term")).as[Double].head()
+    assert(math.abs(miInd) < 1e-9)
+  }
+
+  // -------------------------------------------------------- joinSkewAudit
+
+  test("joinSkewAudit ranks keys by count product, excludes NULLs, caps at topK") {
+    val left = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)
+      .toDF("k")
+    val right = Seq(Some(1L), Some(2L), Some(2L), Some(2L), None)
+      .toDF("k")
+    val rows = Profile.joinSkewAudit(left, right, "k", "k", topK = 1).collect()
+    assert(rows.length == 1)
+    // key 1: 3x1=3; key 2: 1x3=3 — tie broken by key ascending
+    assert(rows.head.getAs[Long]("key") == 1L)
+    assert(rows.head.getAs[Long]("est_pairs") == 3L)
+  }
+
+  test("joinSkewAudit est_pairs equals the true join output count per key") {
+    val li = engine.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val audit = Profile.joinSkewAudit(li, li, "l_partkey", "l_partkey", topK = 5)
+      .collect()
+    val top = audit.head
+    val actual = li.filter(col("l_partkey") === top.getAs[Long]("key")).count()
+    assert(top.getAs[Long]("est_pairs") == actual * actual)
+  }
+
+  // ------------------------------------------------------- pathSignatures
+
+  test("pathSignatures: prefix paths with deterministic order, short actors keep their path") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"), // a>b>c
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),                // a>b>c
+      (3L, 1L, "z")                                               // z (bounce)
+    ).toDF("uid", "seq", "et")
+      .withColumn("ts", timestamp_seconds(col("seq")))
+      .withColumn("eid", col("seq"))
+    val got = Events.pathSignatures(df, "uid", "ts", "et", "eid", depth = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_actors")).toMap
+    assert(got == Map("a>b>c" -> 2L, "z" -> 1L))
+  }
+
+  test("pathSignatures: same-timestamp ties order by id inside the path") {
+    val df = Seq((1L, 10L, 2L, "b"), (1L, 10L, 1L, "a"))
+      .toDF("uid", "sec", "eid", "et")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val paths = Events.pathSignatures(df, "uid", "ts", "et", "eid", depth = 2)
+      .select("path").as[String].collect()
+    assert(paths.toSeq == Seq("a>b"))
+  }
+
+  // ------------------------------------------------------------ zipfSlope
+
+  test("zipfSlope: an exact power law recovers its exponent") {
+    // craft term frequencies freq = round(1000 / rank): slope ~ -1
+    val docs = (1 to 50).flatMap { rank =>
+      val freq = math.max(1, math.round(1000.0 / rank).toInt)
+      Seq.fill(freq)(f"term$rank%03d") // term001 repeated 1000x, etc.
+    }.map(t => Tuple1(t)).toDF("text")
+    val row = TextAnalysis.zipfSlope(docs, "text", topN = 50).collect().head
+    assert(row.getAs[Long]("n_terms") == 50)
+    val slope = row.getAs[Double]("slope")
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope not ~ -1")
+    assert(row.getAs[Double]("r2") > 0.99)
+  }
+
+  test("zipfSlope: deterministic under ties and bounded by topN") {
+    val docs = Seq("a b c d e f g h", "a b c d").map(Tuple1(_)).toDF("text")
+    val row = TextAnalysis.zipfSlope(docs, "text", topN = 5).collect().head
+    assert(row.getAs[Long]("n_terms") == 5)
   }
 
   // ----------------------------------------------------- containmentPairs
