@@ -208,4 +208,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__salt"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("sample_weighted: per-stratum selection is WindowGroupLimit-capped (map tasks forward <= k)") {
+    val p = plan("sample_weighted")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("session_paths: the per-actor rank is WindowGroupLimit-capped at depth") {
+    val p = plan("session_paths")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("join_skew: top-k cut is TakeOrdered over the joined AGGREGATES (fact tables never join)") {
+    val p = plan("join_skew")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // both join inputs are HashAggregates of the scans, so the join's own
+    // subtree must contain aggregates on both sides; a raw fact-to-fact
+    // join would also explode est_pairs semantics
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("zipf_slope: the vocabulary cut is TakeOrdered, never a global sort of term counts") {
+    val p = plan("zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("embed_covariance: ONE aggregation pass — no join, no window, no second scan") {
+    val p = plan("embed_covariance")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // exactly one scan of the embeddings file
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("dedup_containment: candidate generation is the banded equi-join, never a cross product") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("zone_map / hist2d: single partial-aggregated pass over the scan (no sort, no join beyond the broadcast bounds)") {
+    val pz = plan("zone_map")
+    assert(pz.contains("partial_"), pz) // map-side combine of min/max/count
+    assert(!pz.contains("SortMergeJoin") && !pz.contains("CartesianProduct"), pz)
+    val ph = plan("hist2d")
+    assert(!ph.contains("SortMergeJoin"), ph) // bounds ride a broadcast
+  }
 }
