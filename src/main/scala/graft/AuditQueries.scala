@@ -123,7 +123,38 @@ object AuditQueries {
   val zipfSlope: Q = (s, d) =>
     TextAnalysis.zipfSlope(t(s, d, "documents"), "text", topN = 500)
 
+  /** Per-priority quantile drift between the even/odd orderkey halves —
+    * same-distribution halves (the arithmetic pin, as drift_psi/drift_ks);
+    * group-level quantile deltas are the differentiating signal shape. */
+  val driftQuantile: Q = (s, d) => {
+    val orders = t(s, d, "orders")
+    Profile.quantileDrift(
+      orders.filter(col("o_orderkey") % 2 === 0),
+      orders.filter(col("o_orderkey") % 2 === 1),
+      "o_orderpriority", "o_totalprice", ps = Seq(0.5, 0.95))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Weekly (dow × hour) traffic heatmap with cell shares. */
+  val seasonality: Q = (s, d) =>
+    Events.seasonalityProfile(Tables.loadEvents(s, d), "ts")
+      .orderBy("dow", "hod")
+
+  /** Language-composition entropy per document source. */
+  val groupEntropyQ: Q = (s, d) =>
+    Profile.groupEntropy(t(s, d, "documents"), "source", "lang")
+      .orderBy("source")
+
+  /** Per-user daily-count Fano factor (burstiness). */
+  val userBurstiness: Q = (s, d) =>
+    Events.burstiness(Tables.loadEvents(s, d), "user_id", "ts", "day")
+      .orderBy("user_id")
+
   val all: Map[String, Q] = Map(
+    "drift_quantile" -> driftQuantile,
+    "seasonality" -> seasonality,
+    "group_entropy" -> groupEntropyQ,
+    "user_burstiness" -> userBurstiness,
     "drift_ks" -> driftKs,
     "benford_audit" -> benfordAudit,
     "pareto_frontier" -> paretoFrontier,
@@ -158,6 +189,81 @@ object AuditQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // quantile_cont mirrors spark's percentile (linear interpolation);
+    // deltas subtract the ROUNDED quantiles, as the operator does
+    "drift_quantile" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    round(quantile_cont(o_totalprice, 0.50), 4) AS p50_ref,
+        |    round(quantile_cont(o_totalprice, 0.95), 4) AS p95_ref
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT o_orderpriority,
+        |    round(quantile_cont(o_totalprice, 0.50), 4) AS p50_cmp,
+        |    round(quantile_cont(o_totalprice, 0.95), 4) AS p95_cmp
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT COALESCE(r.o_orderpriority, c.o_orderpriority) AS o_orderpriority,
+        |  p50_ref, p95_ref, p50_cmp, p95_cmp,
+        |  round(p50_cmp - p50_ref, 4) AS d_p50,
+        |  round(p95_cmp - p95_ref, 4) AS d_p95
+        |FROM r FULL JOIN c ON r.o_orderpriority = c.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // duckdb dayofweek: Sunday = 0; spark: Sunday = 1 -> +1
+    "seasonality" ->
+      """WITH cells AS (
+        |  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |    CAST(hour(ts) AS INTEGER) AS hod,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hod, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+        |FROM cells ORDER BY dow, hod""".stripMargin,
+    // entropy terms -(c/n)*ln(c/n) summed then rounded 6, evenness over
+    // ln(n_cats); single-category groups report NULL evenness
+    "group_entropy" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_cats
+        |  FROM cells GROUP BY 1),
+        |e AS (
+        |  SELECT cells.source,
+        |    round(sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy
+        |  FROM cells JOIN tot ON cells.source = tot.source
+        |  GROUP BY 1)
+        |SELECT tot.source AS source, n, n_cats, entropy,
+        |  CASE WHEN n_cats > 1
+        |    THEN round(entropy / ln(CAST(n_cats AS DOUBLE)), 6) END AS evenness
+        |FROM tot JOIN e ON tot.source = e.source
+        |ORDER BY source""".stripMargin,
+    // every statistic is ONE division of exact integer aggregates —
+    // bit-identical across engines, so NO rounding gate (see
+    // Events.burstiness on why a round-4 gate is unstable here); NULL
+    // var/fano for single-period actors on both sides
+    "user_burstiness" ->
+      """WITH per AS (
+        |  SELECT user_id, date_trunc('day', ts) AS p,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_periods,
+        |    CAST(sum(n) AS BIGINT) AS s,
+        |    CAST(sum(n * n) AS BIGINT) AS sq
+        |  FROM per GROUP BY 1)
+        |SELECT user_id, n_periods,
+        |  CAST(s AS DOUBLE) / n_periods AS mean_n,
+        |  CASE WHEN n_periods > 1
+        |    THEN CAST(n_periods * sq - s * s AS DOUBLE) / (n_periods * n_periods)
+        |  END AS var_n,
+        |  CASE WHEN n_periods > 1 AND s > 0
+        |    THEN CAST(n_periods * sq - s * s AS DOUBLE) / (n_periods * s)
+        |  END AS fano
+        |FROM agg ORDER BY user_id""".stripMargin,
     // binning mirrors drift_psi's token-for-token (bounds from the even
     // half, clamp, 50 bins); cumulative shares round to 6 BEFORE the gap
     "drift_ks" ->

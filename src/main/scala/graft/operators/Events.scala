@@ -373,6 +373,70 @@ object Events {
       .withColumn("p", round(col("n") / sum(col("n")).over(perFrom), 6))
   }
 
+  /** Seasonality profile: event counts by (day-of-week × hour-of-day)
+    * cell with each cell's share of total traffic — the weekly heatmap
+    * behind capacity planning, anomaly-baseline selection ("is Tuesday
+    * 3am traffic supposed to be zero?"), and bot smell (human traffic has
+    * a diurnal shape; machine traffic is flat). `dow` follows Spark's
+    * dayofweek: 1 = Sunday … 7 = Saturday.
+    *
+    * Scale shape: one partial-aggregated groupBy on the ≤168-cell key;
+    * the share divides over a window on those same aggregate rows. */
+  def seasonalityProfile(df: DataFrame, tsCol: String): DataFrame = {
+    val all = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    df.groupBy(dayofweek(col(tsCol)).as("dow"), hour(col(tsCol)).as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") / sum(col("n")).over(all), 6))
+  }
+
+  /** Per-actor burstiness (index of dispersion): the Fano factor
+    * var/mean of the actor's per-period event counts — ~1 for Poisson
+    * (human-ish) arrivals, ≫1 for bursty actors (batch jobs, scrapers
+    * waking hourly), ~0 for metronomic bots. Returns one row per actor:
+    * (key, n_periods, mean_n, var_n, fano).
+    *
+    * Computed over the actor's ACTIVE periods only (periods where the
+    * actor has ≥1 event) — the deliberate simplification: including an
+    * actor's silent periods needs the global period spine crossed with
+    * every actor ([[resampleHourly]]'s shape, |actors|×|periods| rows),
+    * which at 100 TB manufactures a table far larger than the input to
+    * mostly hold zeros. Active-period Fano UNDERSTATES burstiness for
+    * mostly-silent actors; callers comparing against a Poisson null
+    * should condition on activity or feed a resampled spine through the
+    * same rollup. Single-period actors report NULL var/fano (undefined),
+    * not 0 (metronome) — the two must not alias.
+    *
+    * Scale shape: one partial-aggregated groupBy on (actor, period),
+    * then one on actor over those rollup rows; no window, no spine.
+    *
+    * Numeric contract — every statistic is ONE IEEE division of exact
+    * integer aggregates (mean = Σx/n, var = (n·Σx² − (Σx)²)/n²,
+    * fano = (n·Σx² − (Σx)²)/(n·Σx)), NOT a rounded-then-divided chain:
+    * these ratios of small-denominator integers land EXACTLY on decimal
+    * half-grid points (measured: fano 1.5264/2.56 = 0.59625 at sf0.1),
+    * where a 4-decimal rounding gate is cross-engine UNSTABLE (Spark
+    * rounds the shortest decimal repr half-up; DuckDB rounds the binary
+    * value) — while a single correctly-rounded division of the same
+    * integers is bit-identical in every IEEE engine, no gate needed. */
+  def burstiness(
+      df: DataFrame, keyCol: String, tsCol: String, unit: String): DataFrame = {
+    val per = df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val n = col("n_periods")
+    val m2 = n * col("__sq") - col("__s") * col("__s") // n·Σx² − (Σx)²  (exact)
+    per.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_periods"),
+        sum(col("__n")).as("__s"),
+        sum(col("__n") * col("__n")).as("__sq"))
+      .withColumn("mean_n", col("__s").cast("double") / n)
+      .withColumn("var_n",
+        when(n > 1, m2.cast("double") / (n * n)))
+      .withColumn("fano",
+        when(n > 1 && col("__s") > 0, m2.cast("double") / (n * col("__s"))))
+      .drop("__s", "__sq")
+  }
+
   /** Path signatures: each actor's first `depth` event types joined with
     * '>' — the entry-path distribution behind onboarding analysis ("what
     * do users actually do first?") and bot fingerprinting (machine

@@ -287,6 +287,70 @@ object Profile {
     df.filter(x.isNotNull).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group quantile drift between two snapshots: [[groupQuantiles]]
+    * on each side, full-outer-joined on the group key, with per-quantile
+    * deltas — the distribution-shift monitor at GROUP granularity where
+    * [[psiDrift]]/[[ksDrift]] are corpus-global (a length collapse in one
+    * source hides inside a stable global median). Groups present in only
+    * one snapshot surface with NULL opposite-side quantiles and NULL
+    * deltas — appearing/vanishing groups ARE drift and must not drop.
+    *
+    * Columns: (key, p{N}_ref, p{N}_cmp, d_p{N} ...) with deltas
+    * cmp − ref rounded to 4 (the quantiles themselves already round to 4
+    * inside [[groupQuantiles]] — the delta subtracts the ROUNDED values,
+    * so the oracle can mirror it exactly). `approxAccuracy` selects the
+    * sketch path for both sides at 100 TB, same contract as
+    * [[groupQuantiles]]. Scale shape: two per-group aggregation passes
+    * (one per snapshot — they are different tables and cannot share a
+    * scan) and one equi-join of the two |groups|-row aggregates. */
+  def quantileDrift(
+      ref: DataFrame, cmp: DataFrame, keyCol: String, valueCol: String,
+      ps: Seq[Double], approxAccuracy: Option[Int] = None): DataFrame = {
+    val names = ps.map(p => "p" + math.round(p * 100))
+    def side(df: DataFrame, suffix: String) =
+      names.foldLeft(groupQuantiles(df, keyCol, valueCol, ps, approxAccuracy)) {
+        (d, n) => d.withColumnRenamed(n, s"${n}_$suffix")
+      }
+    val joined = side(ref, "ref").join(side(cmp, "cmp"), Seq(keyCol), "full_outer")
+    names.foldLeft(joined) { (d, n) =>
+      d.withColumn(s"d_$n", round(col(s"${n}_cmp") - col(s"${n}_ref"), 4))
+    }
+  }
+
+  /** Per-group Shannon entropy of a categorical column — the composition
+    * -diversity profile ("is this source monolingual?", "does one label
+    * dominate this shard?"). Returns one row per group:
+    * (group, n, n_cats, entropy, evenness) with entropy in nats over the
+    * group's category distribution and evenness = entropy / ln(n_cats)
+    * (1.0 = perfectly uniform; NULL for single-category groups, where
+    * evenness is undefined — 0/0 — and both "maximally even" and
+    * "maximally concentrated" would be defensible lies). NULL categories
+    * count as a real category, consistent with [[psiDriftCategorical]]:
+    * an encoding change that NULLs a field is composition drift.
+    *
+    * Scale shape: one partial-aggregated groupBy on (group, category),
+    * per-group totals aggregated FROM those cells, entropy summed over
+    * cells — the corpus is scanned once; everything after is
+    * |group × category| rows. Terms are computed in the pinned order
+    * −(c/n)·ln(c/n) per cell, summed, then rounded to 6. */
+  def groupEntropy(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    cells
+      .withColumn("__n",
+        sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__c")).as("n"),
+        count(lit(1)).as("n_cats"),
+        round(sum(-p * log(p)), 6).as("entropy"))
+      .withColumn("evenness",
+        when(col("n_cats") > 1,
+          round(col("entropy") / log(col("n_cats").cast("double")), 6)))
+  }
+
   /** One-row dataset card — the summary block every corpus release
     * ships: document and token counts, missing-text tally, language and
     * source cardinalities, length quantiles, and the exact-duplicate

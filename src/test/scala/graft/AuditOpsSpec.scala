@@ -388,6 +388,91 @@ class AuditOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_terms") == 5)
   }
 
+  // -------------------------------------------------------- quantileDrift
+
+  test("quantileDrift: identical snapshots give 0 deltas; one-sided groups surface with NULLs") {
+    val ref = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0))
+      .toDF("g", "v")
+    val cmp = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("c", 5.0))
+      .toDF("g", "v")
+    val rows = Profile.quantileDrift(ref, cmp, "g", "v", Seq(0.5))
+      .orderBy("g").collect()
+    assert(rows.length == 3)
+    val a = rows(0)
+    assert(a.getAs[Double]("d_p50") == 0.0)
+    val b = rows(1) // ref-only group: cmp side and delta NULL
+    assert(b.isNullAt(b.fieldIndex("p50_cmp")) && b.isNullAt(b.fieldIndex("d_p50")))
+    assert(b.getAs[Double]("p50_ref") == 15.0)
+    val c = rows(2) // cmp-only group
+    assert(c.isNullAt(c.fieldIndex("p50_ref")) && c.getAs[Double]("p50_cmp") == 5.0)
+  }
+
+  test("quantileDrift detects a one-group median shift the other groups don't share") {
+    val ref = Seq(("a", 10.0), ("a", 20.0), ("b", 10.0), ("b", 20.0)).toDF("g", "v")
+    val cmp = Seq(("a", 10.0), ("a", 20.0), ("b", 110.0), ("b", 120.0)).toDF("g", "v")
+    val d = Profile.quantileDrift(ref, cmp, "g", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("d_p50")).toMap
+    assert(d == Map("a" -> 0.0, "b" -> 100.0))
+  }
+
+  // --------------------------------------------------- seasonalityProfile
+
+  test("seasonalityProfile: known cells, Spark dow convention, shares sum to 1") {
+    // 2024-01-07 is a Sunday (dow 1), 2024-01-08 a Monday (dow 2)
+    val df = Seq(
+      ("2024-01-07 05:00:00", 1), ("2024-01-07 05:30:00", 2),
+      ("2024-01-08 23:10:00", 3), ("2024-01-08 05:00:00", 4)
+    ).toDF("s", "id").withColumn("ts", to_timestamp(col("s")))
+    val rows = Events.seasonalityProfile(df, "ts").collect()
+    val cells = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("n")).toMap
+    assert(cells == Map((1, 5) -> 2L, (2, 23) -> 1L, (2, 5) -> 1L))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+  }
+
+  // --------------------------------------------------------- groupEntropy
+
+  test("groupEntropy: uniform group hits ln(k) with evenness 1; single-category group NULLs evenness") {
+    val df = Seq(("u", "x"), ("u", "y"), ("m", "x"), ("m", "x")).toDF("g", "c")
+    val rows = Profile.groupEntropy(df, "g", "c").orderBy("g").collect()
+    val m = rows(0)
+    assert(m.getAs[Double]("entropy") == 0.0 && m.isNullAt(m.fieldIndex("evenness")))
+    val u = rows(1)
+    assert(math.abs(u.getAs[Double]("entropy") - math.log(2)) < 1e-4)
+    assert(u.getAs[Double]("evenness") == 1.0)
+    assert(u.getAs[Long]("n") == 2 && u.getAs[Long]("n_cats") == 2)
+  }
+
+  test("groupEntropy counts NULL as a real category (encoding-drift contract)") {
+    val df = Seq(("g", "x"), ("g", null)).toDF("grp", "c")
+    val row = Profile.groupEntropy(df, "grp", "c").collect().head
+    assert(row.getAs[Long]("n_cats") == 2)
+    assert(math.abs(row.getAs[Double]("entropy") - math.log(2)) < 1e-4)
+  }
+
+  // ----------------------------------------------------------- burstiness
+
+  test("burstiness: metronome fano 0, bursty actor > 1, single-period actor NULL") {
+    val events = Seq(
+      // actor 1: exactly 2/day for 4 days — fano 0
+      (1L, 0, 2), (1L, 1, 2), (1L, 2, 2), (1L, 3, 2),
+      // actor 2: 1,1,1,9 — mean 3, var 12, fano 4
+      (2L, 0, 1), (2L, 1, 1), (2L, 2, 1), (2L, 3, 9),
+      // actor 3: one active day
+      (3L, 0, 5)
+    ).flatMap { case (u, day, k) =>
+      (0 until k).map(i => (u, day.toLong * 86400 + i))
+    }.toDF("uid", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val rows = Events.burstiness(events, "uid", "ts", "day")
+      .orderBy("uid").collect()
+    assert(rows(0).getAs[Double]("fano") == 0.0)
+    assert(rows(0).getAs[Double]("mean_n") == 2.0)
+    assert(rows(1).getAs[Double]("fano") == 4.0)
+    assert(rows(1).getAs[Double]("var_n") == 12.0)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("var_n"))
+      && rows(2).isNullAt(rows(2).fieldIndex("fano")))
+    assert(rows(2).getAs[Long]("n_periods") == 1)
+  }
+
   // ----------------------------------------------------- containmentPairs
 
   test("containmentPairs finds an embedded document Jaccard misses") {
