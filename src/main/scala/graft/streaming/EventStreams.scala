@@ -308,6 +308,63 @@ object EventStreams {
       .start()
   }
 
+  /** Incremental zone-map maintenance: keep a data-skipping statistics
+    * table ([[graft.operators.Profile.zoneMap]]'s (zone, n_rows, v_min,
+    * v_max) schema) up to date as data streams in — the index that lets
+    * batch scans prune zones ([[graft.operators.Profile.zoneSkipAudit]])
+    * without a full rebuild after every ingest tick.
+    *
+    * Merge semantics are the zone-stat monoid: per micro-batch, compute
+    * the batch's per-zone stats, union with the stored table, and
+    * re-aggregate (sum counts, min mins, max maxes) — associative and
+    * commutative, so HOWEVER the stream is cut into batches the final
+    * table equals the batch operator on the concatenated data
+    * (StreamingSpec pins this parity). Stats only ever widen; zone
+    * REWRITES (delete/compact) need a rebuild, same as every zone-map
+    * implementation.
+    *
+    * The table is rewritten with the shared write-then-swap discipline
+    * ([[graft.engine.Sinks.swapInto]] — readers see old or new, never
+    * half) and recoverSwap runs BEFORE the read, so a crash between the
+    * swap's renames cannot make a replayed batch rebuild from its own
+    * rows alone. Rewriting |zones| rows per batch is the deliberate
+    * cost: the table is ~bytes per ingest unit (file/hour/shard), far
+    * smaller than the data, and a rewrite keeps it one self-contained
+    * parquet readers scan in one footer read.
+    *
+    * `zoneExpr` must be DETERMINISTIC in the row (an id range, a time
+    * bucket) — a nondeterministic zone would re-zone replayed rows and
+    * double-count. Returns the query; callers own lifecycle. */
+  def zoneMapSink(
+      stream: DataFrame, zoneExpr: org.apache.spark.sql.Column,
+      valueCol: String, tablePath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val live = new org.apache.hadoop.fs.Path(tablePath)
+          val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          graft.engine.Sinks.recoverSwap(fs, live) // we read `live` next
+          val fresh = graft.operators.Profile.zoneMap(batch, zoneExpr, valueCol)
+          val merged =
+            if (fs.exists(live))
+              fresh.unionByName(spark.read.parquet(tablePath))
+                .groupBy("zone")
+                .agg(sum(col("n_rows")).as("n_rows"),
+                  min(col("v_min")).as("v_min"),
+                  max(col("v_max")).as("v_max"))
+            else fresh
+          merged.write.mode("overwrite").parquet(tablePath + ".tmp")
+          graft.engine.Sinks.swapInto(fs, live)
+        }
+        (): Unit
+      }
+      .start()
+  }
+
   /** Streaming CDC apply: maintain a keyed parquet table from a stream of
     * upsert records — each micro-batch merges into the table through the
     * SAME [[graft.engine.Ops.upsert]] the batch path uses (whole-row

@@ -479,6 +479,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("zoneMapSink: incremental zone map equals the batch operator however the stream is cut") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-zm").toString
+    val mem = MemoryStream[Evt]
+    val zone = org.apache.spark.sql.functions.floor(col("event_id") / 10)
+      .cast("long")
+    val q = EventStreams.zoneMapSink(
+      mem.toDF(), zone, "ts", s"$base/zm", s"$base/ckpt")
+    try {
+      // batch 1: zone 0 partially, zone 1 fully
+      mem.addData((1L to 15L).map(i => Evt(i, ts(i.toInt), 1, "e")))
+      q.processAllAvailable()
+      // batch 2: rest of zone 0's range replays later event times + zone 2
+      mem.addData((16L to 25L).map(i => Evt(i, ts(i.toInt), 1, "e")))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$base/zm")
+        .orderBy("zone").collect()
+      // parity: the batch operator over ALL rows
+      val all = (1L to 25L).map(i => Evt(i, ts(i.toInt), 1, "e")).toDF()
+      val direct = graft.operators.Profile.zoneMap(all, zone, "ts")
+        .orderBy("zone").collect()
+      assert(stored.map(_.toString).toSeq == direct.map(_.toString).toSeq,
+        s"stored=${stored.mkString(";")} direct=${direct.mkString(";")}")
+      // and the skip audit over the STORED table prunes the early zone
+      val skippable = spark.read.parquet(s"$base/zm")
+        .filter(col("v_max") < org.apache.spark.sql.functions.lit(ts(12)))
+        .collect()
+      assert(skippable.length == 1 && skippable.head.getAs[Long]("zone") == 0L)
+    } finally q.stop()
+  }
+
   test("psiDriftSink: batch-identical distributions score ~0, a shifted batch crosses the retrain bar") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
