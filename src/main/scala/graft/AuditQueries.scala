@@ -221,26 +221,29 @@ object AuditQueries {
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
         |FROM cells ORDER BY dow, hod""".stripMargin,
     // entropy terms -(c/n)*ln(c/n) summed then rounded 6, evenness over
-    // ln(n_cats); single-category groups report NULL evenness
+    // ln(n_cats); single-category groups report NULL evenness. Group
+    // totals ride a window PARTITION BY (not an equality join): the Spark
+    // operator keeps a NULL group as its own row, and a join on
+    // `source = source` would silently drop it — PARTITION BY and GROUP
+    // BY both treat NULL as one real group
     "group_entropy" ->
       """WITH cells AS (
         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
         |  FROM documents GROUP BY 1, 2),
-        |tot AS (
-        |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
-        |    CAST(count(*) AS BIGINT) AS n_cats
-        |  FROM cells GROUP BY 1),
-        |e AS (
-        |  SELECT cells.source,
+        |w AS (
+        |  SELECT source, c,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_cats
+        |  FROM cells),
+        |g AS (
+        |  SELECT source, max(n) AS n, max(n_cats) AS n_cats,
         |    round(sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
         |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy
-        |  FROM cells JOIN tot ON cells.source = tot.source
-        |  GROUP BY 1)
-        |SELECT tot.source AS source, n, n_cats, entropy,
+        |  FROM w GROUP BY source)
+        |SELECT source, n, n_cats, entropy,
         |  CASE WHEN n_cats > 1
         |    THEN round(entropy / ln(CAST(n_cats AS DOUBLE)), 6) END AS evenness
-        |FROM tot JOIN e ON tot.source = e.source
-        |ORDER BY source""".stripMargin,
+        |FROM g ORDER BY source""".stripMargin,
     // every statistic is ONE division of exact integer aggregates —
     // bit-identical across engines, so NO rounding gate (see
     // Events.burstiness on why a round-4 gate is unstable here); NULL
@@ -380,7 +383,7 @@ object AuditQueries {
         |  SELECT doc_id, lang, n_chars,
         |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 8))::BIGINT
         |        + 0.5) / 4294967296.0) / n_chars AS score
-        |  FROM documents),
+        |  FROM documents WHERE doc_id IS NOT NULL),
         |r AS (
         |  SELECT doc_id, lang, n_chars,
         |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn

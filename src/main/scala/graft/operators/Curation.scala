@@ -493,7 +493,11 @@ object Curation {
     * Non-positive, NULL, and NaN weights fail loudly: a silent drop
     * would skew every stratum's mass, and a weight of 0 makes the score
     * infinite (the row would just never be drawn — callers filtering
-    * zero-weight rows should do it explicitly, visibly).
+    * zero-weight rows should do it explicitly, visibly). NULL ids are
+    * EXCLUDED (same contract as [[interleaveOrder]]): a NULL id has no
+    * stable draw, and its NULL score would otherwise sort FIRST under
+    * Spark's ascending NULL ordering — hijacking the top-k of every
+    * stratum nondeterministically.
     *
     * Scale shape: the draw and score are map-side expressions; selection
     * is one row_number window per stratum — Spark's WindowGroupLimit
@@ -512,9 +516,13 @@ object Curation {
         .cast("double")).otherwise(w)
     val u = (conv(substring(md5(concat(col(idCol).cast("string"),
         lit("|" + salt))), 1, 8), 16, 10).cast("double") + 0.5d) / 4294967296.0d
-    val scored = df.withColumn("__score", -log(u) / guarded)
+    val scored = df.filter(col(idCol).isNotNull)
+      .withColumn("__score", -log(u) / guarded)
+    // nulls-last belt-and-braces: scores are non-NULL by construction
+    // after the id filter, but the sort contract must not depend on it
     val rank = row_number().over(org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(col("__score"), col(idCol)))
+      .partitionBy(col(stratumCol))
+      .orderBy(col("__score").asc_nulls_last, col(idCol).asc_nulls_last))
     scored.withColumn("__rn", rank).filter(col("__rn") <= k)
       .drop("__score", "__rn")
   }

@@ -382,21 +382,32 @@ object Similarity {
     * is rounded to 6 decimals BEFORE quantizing (the established
     * cross-engine rounding gate: both engines then divide by the identical
     * double), error sums run left-to-right over the array in both engines,
-    * and mse/max_err round at 8/6. A zero vector (scale 0) reports zero
-    * error explicitly — the engines disagree on double x/0 (IEEE inf vs
-    * NULL), so the case never reaches the division. NULL vectors yield
-    * NULL stats. */
+    * and mse/max_err round at 8/6. A TRUE zero vector reports zero error
+    * explicitly — the engines disagree on double x/0 (IEEE inf vs NULL),
+    * so the case never reaches the division. A NONZERO vector whose
+    * scale rounds to 0 (max|x| < ~6.35e-5 — a near-collapsed embedding)
+    * fails loudly instead: int8 cannot represent it at all, and the
+    * zero-error shortcut would green-light the 4× shrink for exactly the
+    * vectors it destroys. NULL vectors yield NULL stats. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val e = transform(col(vecCol), x => x.cast("double"))
     val scale = round(array_max(transform(e, x => abs(x))) / 127, 6)
     def err(v: Column, s: Column): Column = transform(v, x =>
       x - greatest(least(round(x / s, 0), lit(127.0)), lit(-127.0)) * s)
-    df.select(col(idCol), size(e).as("dim"), scale.as("scale"), e.as("__e"))
+    val underflow = raise_error(concat(
+      lit("quantizeInt8: nonzero vector with scale rounding to 0 for id "),
+      col(idCol).cast("string"),
+      lit(" — int8 cannot represent magnitudes this small; rescale or " +
+        "filter collapsed embeddings first"))).cast("double")
+    df.select(col(idCol), size(e).as("dim"), scale.as("scale"), e.as("__e"),
+        array_max(transform(e, x => abs(x))).as("__maxabs"))
       .select(col(idCol), col("dim"), col("scale"),
-        when(col("scale") === 0, lit(0.0)).otherwise(
+        when(col("__maxabs") === 0, lit(0.0))
+          .when(col("scale") === 0, underflow).otherwise(
           round(aggregate(err(col("__e"), col("scale")), lit(0.0),
             (acc, x) => acc + x * x) / col("dim"), 8)).as("mse"),
-        when(col("scale") === 0, lit(0.0)).otherwise(
+        when(col("__maxabs") === 0, lit(0.0))
+          .when(col("scale") === 0, underflow).otherwise(
           round(array_max(transform(err(col("__e"), col("scale")), x => abs(x))), 6))
           .as("max_err"))
   }

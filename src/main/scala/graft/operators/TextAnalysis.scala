@@ -233,18 +233,28 @@ object TextAnalysis {
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
   }
 
-  /** The map-side (doc length, per-term tf) projection BM25 scores from —
-    * one array-filter count per query term, never a corpus explode. */
+  /** The (doc length, per-term tf) column expressions BM25 scores from —
+    * one array-filter count per query term, never a corpus explode. The
+    * ONE definition of tf for both the batch ranker and the streaming
+    * scorer ([[graft.streaming.DocStreams.scoreArrivals]]): a tokenization
+    * or tf-counting change lands in both paths or neither, so the
+    * StreamingSpec-pinned score parity cannot drift silently. */
+  private[graft] def bm25TfColumns(
+      textCol: String, queryTerms: Seq[String])
+      : Seq[org.apache.spark.sql.Column] = {
+    val toks = TextFns.tokens(col(textCol))
+    size(toks).cast("long").as("__dl") +:
+      queryTerms.zipWithIndex.map { case (q, i) =>
+        size(filter(toks, t => t === q)).cast("long").as(s"__tf$i")
+      }
+  }
+
+  /** [[bm25TfColumns]] as a bare (idCol, __dl, __tf*) projection. */
   private def bm25TfProjection(
       df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String]): DataFrame = {
-    val toks = TextFns.tokens(col(textCol))
+      queryTerms: Seq[String]): DataFrame =
     df.filter(col(textCol).isNotNull)
-      .select(col(idCol) +: size(toks).cast("long").as("__dl") +:
-        queryTerms.zipWithIndex.map { case (q, i) =>
-          size(filter(toks, t => t === q)).cast("long").as(s"__tf$i")
-        }: _*)
-  }
+      .select(col(idCol) +: bm25TfColumns(textCol, queryTerms): _*)
 
   /** BM25 corpus statistics for a fixed query-term set, as ONE row:
     * (__n, __avgdl, __df0..__df{n-1}). This is the stored "index" of the

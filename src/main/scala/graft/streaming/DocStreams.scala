@@ -143,12 +143,12 @@ object DocStreams {
           .otherwise(raise_error(concat(
             lit("bm25 stats were trained on terms ["), col("__terms"),
             lit(s"] but scoring was requested for [$wantTag]")))))
-    val toks = graft.functions.TextFns.tokens(col(textCol))
-    val withTf = stream.filter(col(textCol).isNotNull)
-      .withColumn("__dl", size(toks).cast("long"))
-    val projected = queryTerms.zipWithIndex.foldLeft(withTf) { case (acc, (q, i)) =>
-      acc.withColumn(s"__tf$i", size(filter(toks, t => t === q)).cast("long"))
-    }
+    // tf/dl columns come from the SAME bm25TfColumns the batch ranker
+    // projects — shared like bm25ScoreExpr, so neither half of the score
+    // arithmetic can drift between batch and stream
+    val projected = stream.filter(col(textCol).isNotNull)
+      .select(col("*") +:
+        graft.operators.TextAnalysis.bm25TfColumns(textCol, queryTerms): _*)
     projected.withColumn("__one", lit(1))
       .join(broadcast(checkedStats.withColumn("__one", lit(1))), Seq("__one"))
       .withColumn("score",

@@ -231,7 +231,14 @@ object EventStreams {
             if (hit) Some(BurstEvt(e.event_id, user, gap)) else None
           }
           state.update(GapState(last))
-          if (expireState) state.setTimeoutDuration("1 hour")
+          // timeout must dominate the gap being measured (same rationale
+          // as sessionize's gap*4): a fixed 1h eviction with a larger
+          // maxGap would expire state mid-gap and silently never measure
+          // gaps in (timeout, maxGap] — the actor's next event would look
+          // like a first event. Floor of 1h keeps slow-trickle sources
+          // from evicting between every event at small maxGaps.
+          if (expireState) state.setTimeoutDuration(
+            math.max(3600000L, maxGapMillis * 4))
           out.iterator
         }
       })
@@ -332,6 +339,16 @@ object EventStreams {
     * smaller than the data, and a rewrite keeps it one self-contained
     * parquet readers scan in one footer read.
     *
+    * REPLAY idempotence — foreachBatch is at-least-once (a crash after
+    * the swap publishes but before the streaming checkpoint commits
+    * re-delivers the same micro-batch), and the zone-stat merge is
+    * additive, so a naive re-merge would double-count n_rows. The table
+    * therefore carries a constant `last_batch_id` column, atomic with
+    * the stats because it rides the same swap: a batch whose id is ≤ the
+    * stored one has already been applied and is skipped wholesale. (A
+    * sidecar file would reopen the hole — it cannot be published
+    * atomically with the table.)
+    *
     * `zoneExpr` must be DETERMINISTIC in the row (an id range, a time
     * bucket) — a nondeterministic zone would re-zone replayed rows and
     * double-count. Returns the query; callers own lifecycle. */
@@ -342,23 +359,31 @@ object EventStreams {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val live = new org.apache.hadoop.fs.Path(tablePath)
           val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
           graft.engine.Sinks.recoverSwap(fs, live) // we read `live` next
-          val fresh = graft.operators.Profile.zoneMap(batch, zoneExpr, valueCol)
-          val merged =
-            if (fs.exists(live))
-              fresh.unionByName(spark.read.parquet(tablePath))
-                .groupBy("zone")
-                .agg(sum(col("n_rows")).as("n_rows"),
-                  min(col("v_min")).as("v_min"),
-                  max(col("v_max")).as("v_max"))
-            else fresh
-          merged.write.mode("overwrite").parquet(tablePath + ".tmp")
-          graft.engine.Sinks.swapInto(fs, live)
+          val stored =
+            if (fs.exists(live)) Some(spark.read.parquet(tablePath)) else None
+          val alreadyApplied = stored.exists(
+            _.agg(max(col("last_batch_id"))).head.getLong(0) >= id)
+          if (!alreadyApplied) {
+            val fresh = graft.operators.Profile.zoneMap(batch, zoneExpr, valueCol)
+            val merged = stored match {
+              case Some(prev) =>
+                fresh.unionByName(prev.drop("last_batch_id"))
+                  .groupBy("zone")
+                  .agg(sum(col("n_rows")).as("n_rows"),
+                    min(col("v_min")).as("v_min"),
+                    max(col("v_max")).as("v_max"))
+              case None => fresh
+            }
+            merged.withColumn("last_batch_id", lit(id))
+              .write.mode("overwrite").parquet(tablePath + ".tmp")
+            graft.engine.Sinks.swapInto(fs, live)
+          }
         }
         (): Unit
       }

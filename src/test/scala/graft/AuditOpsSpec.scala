@@ -219,6 +219,17 @@ class AuditOpsSpec extends SparkSpec {
     assert(heavy >= 35, s"expected >=35/40 heavy draws, got $heavy")
   }
 
+  test("sampleWeightedPerStratum excludes NULL-id rows (no NULL-score top-k hijack)") {
+    val df = Seq[(java.lang.Long, String, Long)](
+      (1L, "s", 5L), (2L, "s", 5L), (null, "s", 5L))
+      .toDF("id", "g", "w")
+    val got = Curation.sampleWeightedPerStratum(df, "id", "g", "w", k = 2)
+      .select("id").as[Long].collect().toSet
+    // a NULL id would sort FIRST on its NULL score and displace a real
+    // draw; the contract excludes it instead
+    assert(got == Set(1L, 2L))
+  }
+
   test("sampleWeightedPerStratum fails loudly on NULL/zero/negative weights") {
     val df = Seq[(Long, String, java.lang.Long)]((1L, "s", 5L), (2L, "s", 0L))
       .toDF("id", "g", "w")

@@ -141,6 +141,18 @@ class SimilaritySpec extends SparkSpec {
       rows(1).toString)
   }
 
+  test("quantizeInt8 fails loudly on a nonzero vector whose scale underflows the round-6 gate") {
+    import sqlContext.implicits._
+    // max|x| = 1e-5 -> scale = round(1e-5/127, 6) = 0, but the vector is
+    // NOT zero: int8 cannot represent it, and a zero-error report would
+    // green-light the shrink for exactly the vectors it destroys
+    val vecs = Seq((1L, Array(1e-5f, -2e-6f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.quantizeInt8(vecs, "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("scale rounding to 0"))
+  }
+
   test("quantizeInt8: map-side only (no shuffle in the plan)") {
     import sqlContext.implicits._
     val vecs = (1L to 50L).map(i => (i, Array.fill(8)(i.toFloat / 7)))

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{approx_count_distinct, col, window}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, max, window}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{DocStreams, EventStreams}
 import graft.streaming.EventStreams.Evt
@@ -495,7 +495,8 @@ class StreamingSpec extends SparkSpec {
       // batch 2: rest of zone 0's range replays later event times + zone 2
       mem.addData((16L to 25L).map(i => Evt(i, ts(i.toInt), 1, "e")))
       q.processAllAvailable()
-      val stored = spark.read.parquet(s"$base/zm")
+      val storedTable = spark.read.parquet(s"$base/zm")
+      val stored = storedTable.drop("last_batch_id")
         .orderBy("zone").collect()
       // parity: the batch operator over ALL rows
       val all = (1L to 25L).map(i => Evt(i, ts(i.toInt), 1, "e")).toDF()
@@ -503,6 +504,8 @@ class StreamingSpec extends SparkSpec {
         .orderBy("zone").collect()
       assert(stored.map(_.toString).toSeq == direct.map(_.toString).toSeq,
         s"stored=${stored.mkString(";")} direct=${direct.mkString(";")}")
+      // the replay guard rides the table atomically: latest applied batch id
+      assert(storedTable.select(max(col("last_batch_id"))).head.getLong(0) == 1L)
       // and the skip audit over the STORED table prunes the early zone
       val skippable = spark.read.parquet(s"$base/zm")
         .filter(col("v_max") < org.apache.spark.sql.functions.lit(ts(12)))
