@@ -150,7 +150,25 @@ object AuditQueries {
     Events.burstiness(Tables.loadEvents(s, d), "user_id", "ts", "day")
       .orderBy("user_id")
 
+  /** Revenue-concentration staircase over order-total deciles. */
+  val lorenzCurve: Q = (s, d) =>
+    Profile.lorenzCurve(t(s, d, "orders"), "o_totalprice", nBins = 10)
+      .orderBy("bin")
+
+  /** Hour slots scored against their own (dow × hod) seasonal baseline. */
+  val seasonalAnomaly: Q = (s, d) =>
+    Profile.seasonalAnomaly(Tables.loadEvents(s, d), "ts")
+      .orderBy("slot")
+
+  /** DAU / WAU / MAU / stickiness per day. */
+  val activeUsers: Q = (s, d) =>
+    Events.activeUsers(Tables.loadEvents(s, d), "user_id", "ts")
+      .orderBy("day")
+
   val all: Map[String, Q] = Map(
+    "lorenz_curve" -> lorenzCurve,
+    "seasonal_anomaly" -> seasonalAnomaly,
+    "active_users" -> activeUsers,
     "drift_quantile" -> driftQuantile,
     "seasonality" -> seasonality,
     "group_entropy" -> groupEntropyQ,
@@ -189,6 +207,77 @@ object AuditQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // quantile_bin's cut arithmetic (quantile_cont list, round 4, count
+    // of cuts <= x), then FIXED-POINT cents: integer sums are exact and
+    // every ratio is one division of exact BIGINTs — no rounding gates
+    "lorenz_curve" ->
+      """WITH c AS (
+        |  SELECT list_transform(
+        |    quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> round(x, 4)) AS cuts
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(len(list_filter(cuts, c2 -> c2 <= o_totalprice)) AS INTEGER) AS bin,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders CROSS JOIN c WHERE o_totalprice IS NOT NULL),
+        |a AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT bin, n, cents,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total,
+        |    CAST(sum(cents) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM a)
+        |SELECT bin, n, CAST(cents AS DOUBLE) / 100 AS mass,
+        |  CAST(cents AS DOUBLE) / total AS share,
+        |  CAST(cum AS DOUBLE) / total AS cum_share
+        |FROM w ORDER BY bin""".stripMargin,
+    // z = (k*n - s)/sqrt(k*sq - s^2): exact integers into one sqrt and
+    // one division — bit-identical, no gates; dow mirrors spark (+1)
+    "seasonal_anomaly" ->
+      """WITH slots AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS slot,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |s2 AS (
+        |  SELECT slot, n, CAST(dayofweek(slot) + 1 AS INTEGER) AS dow,
+        |    CAST(hour(slot) AS INTEGER) AS hod
+        |  FROM slots),
+        |cells AS (
+        |  SELECT dow, hod, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS sq
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT slot, s2.dow AS dow, s2.hod AS hod, n, k,
+        |  CASE WHEN k > 1 AND k * sq - s * s > 0
+        |    THEN CAST(k * n - s AS DOUBLE) / sqrt(CAST(k * sq - s * s AS DOUBLE))
+        |  END AS z
+        |FROM s2 JOIN cells ON s2.dow = cells.dow AND s2.hod = cells.hod
+        |ORDER BY slot""".stripMargin,
+    // trailing windows are (day-w, day] range joins against the distinct
+    // (day, user) table; stickiness is one BIGINT division
+    "active_users" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+        |  FROM events),
+        |spine AS (SELECT DISTINCT day FROM daily),
+        |dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM daily GROUP BY 1),
+        |wau AS (
+        |  SELECT s.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS wau
+        |  FROM spine s JOIN daily d
+        |    ON d.day > s.day - INTERVAL 7 DAY AND d.day <= s.day
+        |  GROUP BY 1),
+        |mau AS (
+        |  SELECT s.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS mau
+        |  FROM spine s JOIN daily d
+        |    ON d.day > s.day - INTERVAL 30 DAY AND d.day <= s.day
+        |  GROUP BY 1)
+        |SELECT day, dau, wau, mau, CAST(dau AS DOUBLE) / mau AS stickiness
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
     // quantile_cont mirrors spark's percentile (linear interpolation);
     // deltas subtract the ROUNDED quantiles, as the operator does
     "drift_quantile" ->

@@ -373,6 +373,41 @@ object Events {
       .withColumn("p", round(col("n") / sum(col("n")).over(perFrom), 6))
   }
 
+  /** Rolling active-user rollup: per calendar day, the distinct actors
+    * seen that day (DAU), in the trailing 7 days (WAU), in the trailing
+    * 30 days (MAU), and the DAU/MAU stickiness ratio — the product-health
+    * dashboard row. Windows are inclusive trailing ranges ending at the
+    * day itself, reported for every day the data contains (early days'
+    * WAU/MAU cover the data available, the standard convention).
+    *
+    * Scale shape: the corpus collapses FIRST to the distinct (day, actor)
+    * table — one dedup shuffle, |active days × daily actors| rows, the
+    * only pass over raw events. The day spine (≤ a few thousand rows,
+    * broadcast) then range-joins that compact table once per window
+    * width; count(DISTINCT) runs over |spine × window-days × daily
+    * actors| rows, bounded and far below corpus scale. At very long
+    * retentions, swap the distinct count for a per-day HLL sketch merge
+    * — the exact form here IS the oracle baseline. Stickiness is one
+    * division of the two exact counts (bit-identical cross-engine, no
+    * gate — the [[burstiness]] doctrine). */
+  def activeUsers(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.select(date_trunc("day", col(tsCol)).as("day"),
+      col(keyCol).as("__u")).distinct()
+    val spine = daily.select(col("day")).distinct()
+    def rolling(days: Int, as: String) =
+      broadcast(spine.withColumnRenamed("day", "__d"))
+        .join(daily,
+          col("day") > col("__d") - expr(s"INTERVAL $days DAYS") &&
+            col("day") <= col("__d"))
+        .groupBy(col("__d").as("day"))
+        .agg(countDistinct(col("__u")).as(as))
+    val dau = daily.groupBy("day").agg(countDistinct(col("__u")).as("dau"))
+    dau
+      .join(rolling(7, "wau"), "day")
+      .join(rolling(30, "mau"), "day")
+      .withColumn("stickiness", col("dau").cast("double") / col("mau"))
+  }
+
   /** Seasonality profile: event counts by (day-of-week × hour-of-day)
     * cell with each cell's share of total traffic — the weekly heatmap
     * behind capacity planning, anomaly-baseline selection ("is Tuesday

@@ -479,6 +479,95 @@ object Profile {
       .drop("__cuts")
   }
 
+  /** Lorenz curve over equi-depth value bins: sort the population into
+    * `nBins` quantile bins of the value column ([[withQuantileBin]]'s
+    * cuts) and report each bin's share of the TOTAL value mass plus the
+    * cumulative share — the concentration staircase behind "the top
+    * decile of orders carries 28% of revenue" and the curve a Gini
+    * coefficient summarizes ([[groupGini]] is the one-number twin).
+    *
+    * Returns (bin, n, mass, share, cum_share), bin ascending by value.
+    * Numeric contract — mass is fixed-pointed to CENTS (×100, rounded to
+    * a LONG) before summation: per-bin double sums at corpus scale
+    * accumulate order-dependent error larger than any safe rounding
+    * gate, while integer sums are exact and every published ratio is
+    * then ONE IEEE division of exact integers — bit-identical across
+    * engines, no gate (same doctrine as [[groupGini]]). `mass` itself is
+    * the exact cent sum divided once by 100. Values must be
+    * non-negative (a Lorenz curve of mixed-sign mass is undefined) —
+    * negatives fail loudly.
+    *
+    * Scale shape: one percentile-cut aggregate broadcast back
+    * ([[withQuantileBin]] — approx path available for 100 TB), one
+    * partial-aggregated groupBy on the ≤nBins bin key, windows over the
+    * nBins-row aggregate only. */
+  def lorenzCurve(
+      df: DataFrame, valueCol: String, nBins: Int = 10,
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val guarded = when(x < 0, raise_error(concat(
+        lit(s"lorenzCurve: negative $valueCol breaks the Lorenz domain: "),
+        x.cast("string"))).cast("double")).otherwise(x)
+    val binned = withQuantileBin(df.filter(x.isNotNull), valueCol, nBins,
+      approxAccuracy)
+    val agg = binned
+      .groupBy(col(s"${valueCol}_bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(guarded * 100, 0).cast("long")).as("__cents"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy("bin").rowsBetween(Long.MinValue, 0)
+    agg
+      .withColumn("__total", sum(col("__cents")).over(all))
+      .withColumn("__cum", sum(col("__cents")).over(cum))
+      .select(col("bin"), col("n"),
+        (col("__cents").cast("double") / 100).as("mass"),
+        (col("__cents").cast("double") / col("__total")).as("share"),
+        (col("__cum").cast("double") / col("__total")).as("cum_share"))
+  }
+
+  /** Seasonal anomaly scan: each hour-slot's event count scored against
+    * the baseline of OTHER observations of the same (day-of-week ×
+    * hour-of-day) cell — "is this Tuesday 3am unusual FOR a Tuesday
+    * 3am?", the question a flat threshold ([[graft.operators.Events.rateAnomalies]])
+    * cannot ask on traffic with a weekly shape. Returns one row per
+    * hour slot: (slot, dow, hod, n, k, z) where k is the cell's
+    * observation count and z the slot's deviation in cell σ units.
+    *
+    * Numeric contract (the [[graft.operators.Events.burstiness]]
+    * doctrine): counts are exact integers, and (k·x − s)/(k·σ) with
+    * σ² = (k·Σx² − (Σx)²)/k² algebraically reduces to
+    * (k·x − s) / √(k·Σx² − (Σx)²) — ONE sqrt of an exact integer and
+    * ONE division, bit-identical across engines, no rounding gate. Slots in cells observed once (k = 1) or
+    * with zero variance report NULL z — "no baseline" must not alias
+    * "exactly at baseline". The slot's own value stays IN its cell's
+    * baseline (standard population z; at k ≥ 4 the self-inclusion bias
+    * is < σ/4 and leave-one-out would break the exact-integer form).
+    *
+    * Scale shape: the corpus collapses to per-slot counts first (one
+    * partial-aggregated groupBy, |hours| rows), cells aggregate FROM
+    * slots (≤168 rows), and the join back is slot-to-cell on the tiny
+    * cell table — broadcast, no second corpus scan. */
+  def seasonalAnomaly(df: DataFrame, tsCol: String): DataFrame = {
+    val slots = df
+      .groupBy(date_trunc("hour", col(tsCol)).as("slot"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("slot")))
+      .withColumn("hod", hour(col("slot")))
+    val cells = slots.groupBy("dow", "hod")
+      .agg(count(lit(1)).as("k"),
+        sum(col("n")).as("__s"),
+        sum(col("n") * col("n")).as("__sq"))
+    val m2 = col("k") * col("__sq") - col("__s") * col("__s")
+    slots.join(broadcast(cells), Seq("dow", "hod"))
+      .withColumn("z",
+        when(col("k") > 1 && m2 > 0,
+          (col("k") * col("n") - col("__s")).cast("double")
+            / sqrt(m2.cast("double"))))
+      .select("slot", "dow", "hod", "n", "k", "z")
+  }
+
   /** Robust per-group z-score via median/MAD — the heavy-tail-safe twin
     * of mean/std standardization ([[standardize]]): document-length and
     * score columns are routinely long-tailed, where a handful of outliers

@@ -484,6 +484,92 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows(2).getAs[Long]("n_periods") == 1)
   }
 
+  // ---------------------------------------------------------- lorenzCurve
+
+  test("lorenzCurve: uniform mass gives flat shares; cum closes at 1; counts conserve") {
+    val df = (1 to 100).map(i => (i.toLong, 10.0)).toDF("id", "v")
+    val rows = Profile.lorenzCurve(df, "v", nBins = 4).orderBy("bin").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 100)
+    assert(rows.last.getAs[Double]("cum_share") == 1.0)
+    // identical values: every row lands in the last bin (cuts all equal)
+    // OR spreads — either way total mass is exact
+    assert(rows.map(_.getAs[Double]("mass")).sum == 1000.0)
+  }
+
+  test("lorenzCurve: concentration shows in the top bin's share") {
+    // 99 rows of 1.0 and one row of 901.0 => top bin holds >= 90% of mass
+    val df = ((1 to 99).map(i => (i.toLong, 1.0)) :+ (100L, 901.0)).toDF("id", "v")
+    val rows = Profile.lorenzCurve(df, "v", nBins = 10).collect()
+    val topShare = rows.maxBy(_.getAs[Int]("bin")).getAs[Double]("share")
+    assert(topShare >= 0.9, s"top share $topShare")
+  }
+
+  test("lorenzCurve fails loudly on negative mass") {
+    val df = Seq((1L, 5.0), (2L, -1.0)).toDF("id", "v")
+    val e = intercept[Exception] {
+      Profile.lorenzCurve(df, "v", nBins = 2).collect()
+    }
+    assert(e.getMessage.contains("Lorenz domain"))
+  }
+
+  // ------------------------------------------------------ seasonalAnomaly
+
+  test("seasonalAnomaly: a spiked slot scores the exact integer-derived z; singleton cells NULL") {
+    // same (dow,hod) cell across 3 weeks: counts 10, 10, 22
+    // k=3, s=42, sq=584, m2=3*584-1764=-12? recompute: 100+100+484=684;
+    // m2 = 3*684 - 42^2 = 2052 - 1764 = 288; z(22) = (3*22-42)/sqrt(288)
+    val mondays = Seq("2024-01-01", "2024-01-08", "2024-01-15")
+    val counts = Seq(10, 10, 22)
+    val rows = mondays.zip(counts).flatMap { case (d, k) =>
+      (0 until k).map(i => (s"$d 09:00:${"%02d".format(i % 60)}", i))
+    }
+    val df = rows.toDF("s", "i").withColumn("ts", to_timestamp(col("s")))
+    val got = Profile.seasonalAnomaly(df, "ts").orderBy("slot").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getAs[Long]("k") == 3))
+    val z = got.last.getAs[Double]("z")
+    assert(math.abs(z - (3 * 22 - 42) / math.sqrt(288.0)) < 1e-12)
+    // zero-variance cell -> NULL z
+    val flat = Seq("2024-01-02 10:00:00", "2024-01-09 10:00:00")
+      .map((_, 1)).toDF("s", "i").withColumn("ts", to_timestamp(col("s")))
+    val fz = Profile.seasonalAnomaly(flat, "ts").collect()
+    assert(fz.forall(_.isNullAt(5)))
+  }
+
+  // ---------------------------------------------------------- activeUsers
+
+  test("activeUsers: DAU/WAU/MAU over a crafted window, stickiness exact") {
+    // user 1 active days 1 and 10; user 2 active day 10 only
+    val df = Seq(
+      (1L, "2024-01-01 05:00:00"), (1L, "2024-01-10 06:00:00"),
+      (2L, "2024-01-10 07:00:00"), (2L, "2024-01-10 08:00:00")
+    ).toDF("uid", "s").withColumn("ts", to_timestamp(col("s")))
+    val rows = Events.activeUsers(df, "uid", "ts").orderBy("day").collect()
+    assert(rows.length == 2)
+    val d1 = rows(0)
+    assert(d1.getAs[Long]("dau") == 1 && d1.getAs[Long]("wau") == 1
+      && d1.getAs[Long]("mau") == 1)
+    val d10 = rows(1)
+    // day 10: both users today; trailing 7d excludes day 1 (10-7=3 < ...):
+    // window (day3, day10] — day 1 outside => wau 2; 30d window includes
+    // day 1 but user 1 is active today anyway => mau 2
+    assert(d10.getAs[Long]("dau") == 2 && d10.getAs[Long]("wau") == 2
+      && d10.getAs[Long]("mau") == 2)
+    assert(d10.getAs[Double]("stickiness") == 1.0)
+  }
+
+  test("activeUsers: WAU window is exactly 7 trailing days, inclusive of today") {
+    val df = Seq(
+      (1L, "2024-01-01 05:00:00"), // exactly 7 days before Jan 8: inside (Jan1, Jan8]? Jan 8 - 7 = Jan 1 -> excluded (strict >)
+      (2L, "2024-01-02 05:00:00"), // inside
+      (3L, "2024-01-08 05:00:00")
+    ).toDF("uid", "s").withColumn("ts", to_timestamp(col("s")))
+    val d8 = Events.activeUsers(df, "uid", "ts").filter(col("day") === "2024-01-08")
+      .collect().head
+    assert(d8.getAs[Long]("wau") == 2) // users 2 and 3; user 1 aged out
+    assert(d8.getAs[Long]("mau") == 3)
+  }
+
   // ----------------------------------------------------- containmentPairs
 
   test("containmentPairs finds an embedded document Jaccard misses") {
