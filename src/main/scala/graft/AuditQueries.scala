@@ -165,7 +165,36 @@ object AuditQueries {
     Events.activeUsers(Tables.loadEvents(s, d), "user_id", "ts")
       .orderBy("day")
 
+  /** Time-to-convert (first view → first purchase at/after it), exact
+    * integer microseconds per converted user. */
+  val conversionLag: Q = (s, d) =>
+    Events.conversionLag(Tables.loadEvents(s, d),
+      "user_id", "ts", "event_type", "view", "purchase")
+      .orderBy("user_id")
+
+  /** Order→ship latency profile per priority class: the classic fact-to-
+    * fact equi-join (lineitem ⋈ orders on the order key — both sides
+    * large, so this is a genuine shuffle join the engine must get right)
+    * collapsed to integer day latencies and per-priority quantiles. */
+  val shipLatency: Q = (s, d) => {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat_days",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min(col("lat_days")).as("min_days"),
+        max(col("lat_days")).as("max_days"),
+        round(percentile(col("lat_days"), lit(0.5)), 4).as("p50_days"),
+        round(percentile(col("lat_days"), lit(0.95)), 4).as("p95_days"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Map[String, Q] = Map(
+    "conversion_lag" -> conversionLag,
+    "ship_latency" -> shipLatency,
     "lorenz_curve" -> lorenzCurve,
     "seasonal_anomaly" -> seasonalAnomaly,
     "active_users" -> activeUsers,
@@ -207,6 +236,33 @@ object AuditQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // lag stays exact integer micros (epoch_us both sides, no division)
+    "conversion_lag" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_from
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, v.first_from, min(e.ts) AS first_to
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.first_from
+        |  GROUP BY 1, 2)
+        |SELECT user_id, first_from, first_to,
+        |  CAST(epoch_us(first_to) - epoch_us(first_from) AS BIGINT) AS lag_us
+        |FROM p ORDER BY user_id""".stripMargin,
+    // integer day diffs; quantile_cont over integers mirrors spark's
+    // percentile with the shared round-4 gate (group_quantiles precedent)
+    "ship_latency" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS INTEGER) AS lat_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(lat_days) AS INTEGER) AS min_days,
+        |  CAST(max(lat_days) AS INTEGER) AS max_days,
+        |  round(quantile_cont(lat_days, 0.50), 4) AS p50_days,
+        |  round(quantile_cont(lat_days, 0.95), 4) AS p95_days
+        |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // quantile_bin's cut arithmetic (quantile_cont list, round 4, count
     // of cuts <= x), then FIXED-POINT cents: integer sums are exact and
     // every ratio is one division of exact BIGINTs — no rounding gates

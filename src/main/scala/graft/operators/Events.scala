@@ -408,6 +408,38 @@ object Events {
       .withColumn("stickiness", col("dau").cast("double") / col("mau"))
   }
 
+  /** Conversion lag: per actor, the FIRST `fromType` event and the first
+    * `toType` event AT OR AFTER it, with the exact integer-microsecond
+    * lag between them — the time-to-convert base table behind funnel
+    * latency quantiles and "did the new flow shorten signup→purchase?"
+    * comparisons. Actors who never converted after their first
+    * `fromType` are EXCLUDED (this is the converted-cohort table; the
+    * unconverted count is `funnelReach`'s job — quantiles over a table
+    * that right-censors silently would understate real latency, so the
+    * censoring is explicit in the contract).
+    *
+    * Lag stays an exact LONG in microseconds ([[interarrivalStats]]'s
+    * doctrine: no division, no rounding, nothing for two engines to
+    * disagree on); callers wanting human units divide once downstream.
+    *
+    * Scale shape: two filtered per-actor aggregates (partial map-side),
+    * one equi-join on the actor key between them — the conversion filter
+    * `ts >= first_from` rides the join, and raw history is scanned once
+    * per event type, never windowed. */
+  def conversionLag(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      fromType: String, toType: String): DataFrame = {
+    val firstFrom = df.filter(col(typeCol) === fromType)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("first_from"))
+    df.filter(col(typeCol) === toType)
+      .join(firstFrom, keyCol)
+      .filter(col(tsCol) >= col("first_from"))
+      .groupBy(col(keyCol), col("first_from"))
+      .agg(min(col(tsCol)).as("first_to"))
+      .withColumn("lag_us",
+        unix_micros(col("first_to")) - unix_micros(col("first_from")))
+  }
+
   /** Seasonality profile: event counts by (day-of-week × hour-of-day)
     * cell with each cell's share of total traffic — the weekly heatmap
     * behind capacity planning, anomaly-baseline selection ("is Tuesday

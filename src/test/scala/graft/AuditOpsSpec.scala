@@ -570,6 +570,31 @@ class AuditOpsSpec extends SparkSpec {
     assert(d8.getAs[Long]("mau") == 3)
   }
 
+  // -------------------------------------------------------- conversionLag
+
+  test("conversionLag: first-from to first-at-or-after-to, exact micros; non-converters excluded") {
+    val df = Seq(
+      (1L, 100L, "view"), (1L, 50L, "purchase"),  // purchase BEFORE first view: not a conversion
+      (1L, 400L, "purchase"),                     // first purchase after view
+      (1L, 900L, "purchase"),                     // later purchase ignored
+      (2L, 10L, "view"),                          // never converts
+      (3L, 20L, "purchase")                       // converts without ever viewing: excluded
+    ).toDF("uid", "sec", "et").withColumn("ts", timestamp_seconds(col("sec")))
+    val rows = Events.conversionLag(df, "uid", "ts", "et", "view", "purchase")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("uid") == 1L)
+    assert(rows.head.getAs[Long]("lag_us") == 300L * 1000000L)
+  }
+
+  test("conversionLag: zero-lag conversion (same timestamp) counts") {
+    val df = Seq((1L, 100L, "view"), (1L, 100L, "purchase"))
+      .toDF("uid", "sec", "et").withColumn("ts", timestamp_seconds(col("sec")))
+    val rows = Events.conversionLag(df, "uid", "ts", "et", "view", "purchase")
+      .collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("lag_us") == 0L)
+  }
+
   // ----------------------------------------------------- containmentPairs
 
   test("containmentPairs finds an embedded document Jaccard misses") {
