@@ -246,6 +246,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("seasonal_anomaly: cells broadcast back to slots; the corpus collapses before any join") {
+    val p = plan("seasonal_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("active_users: the range joins are broadcast-spine nested loops, never a full cartesian") {
+    // a trailing-window join has an inequality condition — the CORRECT
+    // shape is BroadcastNestedLoopJoin with the tiny day spine broadcast
+    // (each daily-actor row tests against <= |days| spine rows); what must
+    // never appear is CartesianProduct (both sides partitioned = full
+    // product through the cluster)
+    val p = plan("active_users")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("lorenz_curve: percentile cuts ride a broadcast; the corpus never sort-merges") {
+    val p = plan("lorenz_curve")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ship_latency: the fact-to-fact join aggregates partially after the shuffle (map-side combine on priority)") {
+    val p = plan("ship_latency")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("zone_map / hist2d: single partial-aggregated pass over the scan (no sort, no join beyond the broadcast bounds)") {
     val pz = plan("zone_map")
     assert(pz.contains("partial_"), pz) // map-side combine of min/max/count
