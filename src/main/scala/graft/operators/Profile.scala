@@ -555,17 +555,34 @@ object Profile {
       .agg(count(lit(1)).as("n"))
       .withColumn("dow", dayofweek(col("slot")))
       .withColumn("hod", hour(col("slot")))
-    val cells = slots.groupBy("dow", "hod")
-      .agg(count(lit(1)).as("k"),
-        sum(col("n")).as("__s"),
-        sum(col("n") * col("n")).as("__sq"))
-    val m2 = col("k") * col("__sq") - col("__s") * col("__s")
-    slots.join(broadcast(cells), Seq("dow", "hod"))
-      .withColumn("z",
-        when(col("k") > 1 && m2 > 0,
-          (col("k") * col("n") - col("__s")).cast("double")
-            / sqrt(m2.cast("double"))))
+    slots.join(broadcast(seasonalCells(df, tsCol)), Seq("dow", "hod"))
+      .withColumn("z", seasonalZ)
       .select("slot", "dow", "hod", "n", "k", "z")
+  }
+
+  /** The (dow × hod) baseline table [[seasonalAnomaly]] scores against:
+    * (dow, hod, k, s_n, sq_n) — observation count and exact integer
+    * Σn / Σn² per cell. Train it on the batch corpus and persist it; the
+    * streaming scorer ([[graft.streaming.EventStreams.seasonalScore]])
+    * broadcast-joins arriving closed hour windows against it. */
+  def seasonalCells(df: DataFrame, tsCol: String): DataFrame =
+    df.groupBy(date_trunc("hour", col(tsCol)).as("slot"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("slot")))
+      .withColumn("hod", hour(col("slot")))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("k"),
+        sum(col("n")).as("s_n"),
+        sum(col("n") * col("n")).as("sq_n"))
+
+  /** The ONE z expression both the batch scan and the streaming scorer
+    * apply over (n, k, s_n, sq_n) — shared so the score arithmetic
+    * cannot drift between the two paths (the bm25ScoreExpr discipline). */
+  private[graft] def seasonalZ: Column = {
+    val m2 = col("k") * col("sq_n") - col("s_n") * col("s_n")
+    when(col("k") > 1 && m2 > 0,
+      (col("k") * col("n") - col("s_n")).cast("double")
+        / sqrt(m2.cast("double")))
   }
 
   /** Robust per-group z-score via median/MAD — the heavy-tail-safe twin

@@ -315,6 +315,46 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming seasonal-anomaly scorer: watermarked tumbling hour counts,
+    * each CLOSED window scored against a STORED (dow × hod) baseline
+    * table ([[graft.operators.Profile.seasonalCells]], trained on the
+    * batch corpus) through the SAME
+    * [[graft.operators.Profile.seasonalZ]] expression the batch scan
+    * applies — "is this hour's traffic unusual for a Tuesday 3am?",
+    * continuously, with batch/stream score parity by construction.
+    *
+    * Emits one append-mode row per closed hour:
+    * (slot, dow, hod, n, k, z). Windows only close when the watermark
+    * passes them (`lateness`), so partial hours are never scored against
+    * full-hour baselines — the error a naive per-micro-batch scorer
+    * makes. Cells missing from the baseline (a dow×hod never observed
+    * in training) drop with the inner join: no baseline, no score —
+    * surface new cells by retraining, same contract as
+    * [[graft.streaming.DocStreams.qualityGate]]'s missing strata.
+    *
+    * Scale shape: one watermarked streaming aggregation keyed on the
+    * hour window; the ≤168-row baseline broadcast-joins statelessly. */
+  def seasonalScore(
+      stream: DataFrame, cells: DataFrame,
+      lateness: String = "1 hour"): DataFrame = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!cells.isStreaming, "cells must be a static seasonalCells table")
+    val expected = Seq("dow", "hod", "k", "s_n", "sq_n")
+    require(expected.forall(cells.columns.contains),
+      s"cells must carry (${expected.mkString(", ")}) — the seasonalCells " +
+        s"schema; got (${cells.columns.mkString(", ")})")
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("slot"), col("n"))
+      .withColumn("dow", dayofweek(col("slot")))
+      .withColumn("hod", hour(col("slot")))
+      .join(broadcast(cells), Seq("dow", "hod"))
+      .withColumn("z", graft.operators.Profile.seasonalZ)
+      .select("slot", "dow", "hod", "n", "k", "z")
+  }
+
   /** Incremental zone-map maintenance: keep a data-skipping statistics
     * table ([[graft.operators.Profile.zoneMap]]'s (zone, n_rows, v_min,
     * v_max) schema) up to date as data streams in — the index that lets

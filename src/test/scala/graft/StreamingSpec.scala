@@ -479,6 +479,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seasonalScore: closed hour windows score against stored cells with exact batch parity") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    // baseline: 3 observations of (ts(0)'s dow, hour): counts 10, 10, 22
+    // — same numbers as the batch spec: z(22) = (3*22-42)/sqrt(288)
+    val weekMin = 7 * 24 * 60
+    val batchRows = Seq(0, weekMin, 2 * weekMin).zip(Seq(10, 10, 22)).flatMap {
+      case (base, k) => (0 until k).map(i => Evt(base + i, ts(base), 1, "e"))
+    }
+    val cells = graft.operators.Profile.seasonalCells(batchRows.toDF(), "ts")
+    val mem = MemoryStream[Evt]
+    val scored = EventStreams.seasonalScore(mem.toDF(), cells)
+    val q = scored.writeStream.format("memory").queryName("szn")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // an hour with 22 events at the same dow/hod, 3 weeks later...
+      mem.addData((0 until 22).map(i => Evt(1000 + i, ts(3 * weekMin), 1, "e")))
+      q.processAllAvailable()
+      // ...then events a week later to push the watermark past it
+      mem.addData(Evt(2000, ts(4 * weekMin), 1, "e"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM szn").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      val r = rows.head
+      assert(r.getAs[Long]("n") == 22 && r.getAs[Long]("k") == 3)
+      val zBatch = graft.operators.Profile
+        .seasonalAnomaly(batchRows.toDF(), "ts")
+        .filter(col("n") === 22).select("z").collect().head.getDouble(0)
+      // the streamed hour reproduces the batch z for the same (n, cell)
+      assert(r.getAs[Double]("z") == zBatch,
+        s"stream z ${r.getAs[Double]("z")} vs batch $zBatch")
+    } finally q.stop()
+  }
+
   test("zoneMapSink: incremental zone map equals the batch operator however the stream is cut") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
