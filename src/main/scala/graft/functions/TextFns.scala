@@ -39,7 +39,8 @@ object TextFns {
 
   /** JVM-loop twin of [[shingles]] — same output (empty array below n
     * tokens), ~10x faster than the interpreted transform/slice lambda on
-    * wide corpora. Use in operators; keep [[shingles]] for composition. */
+    * wide corpora. Kept as the reference implementation the native
+    * expression is spec-checked against; operators use [[shinglesFast]]. */
   def shinglesUdf(n: Int) = udf { (text: String) =>
     if (text == null) Array.empty[String]
     else {
@@ -48,6 +49,13 @@ object TextFns {
       else Array.tabulate(t.length - n + 1)(i => t.slice(i, i + n).mkString(" "))
     }
   }
+
+  /** Native codegen'd shingling ([[graft.plans.WordShingles]]): the
+    * operator-facing form — byte-identical to [[shinglesUdf]] (spec-
+    * pinned), but zero-copy byte windows inside whole-stage codegen
+    * instead of a UDF's serde + String split + per-token allocation. */
+  def shinglesFast(text: Column, n: Int): Column =
+    graft.plans.WordShingles.shingles(text, n)
 
   /** Canonical document fingerprint: hash of the sorted distinct token set —
     * invariant to token order and repetition (bag-of-words identity). */

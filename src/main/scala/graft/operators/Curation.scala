@@ -231,7 +231,7 @@ object Curation {
       idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
     import graft.functions.TextFns
     def shingleRows(df: DataFrame, withId: Boolean) = {
-      val ss = array_distinct(TextFns.shinglesUdf(shingleN)(col(textCol)))
+      val ss = array_distinct(TextFns.shinglesFast(col(textCol), shingleN))
       if (withId) df.select(col(idCol), explode(ss).as("s"))
       else df.select(explode(ss).as("s"))
     }

@@ -304,7 +304,7 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"),
-      array_distinct(TextFns.shinglesUdf(shingleN)(col(textCol))).as("ss"))
+      array_distinct(TextFns.shinglesFast(col(textCol), shingleN)).as("ss"))
     // the self-join and frequency aggregate key on the shingle's 64-bit
     // xxhash, never the shingle TEXT: the join result is identical (a
     // cross-shingle collision would need ~4·10⁹ distinct shingles for even
@@ -382,7 +382,7 @@ object Dedup {
       minContainment: Double = 0.8,
       maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"),
-      array_distinct(TextFns.shinglesUdf(shingleN)(col(textCol))).as("ss"))
+      array_distinct(TextFns.shinglesFast(col(textCol), shingleN)).as("ss"))
     val sh = base.select(col("doc_id"), explode(col("ss")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val (filtered, sizes) = maxShingleDf match {

@@ -46,10 +46,10 @@ object TextAnalysis {
     * for bigrams) score 0.0 by definition. */
   def withRepetition(df: DataFrame, textCol: String): DataFrame = {
     val toks = TextFns.tokens(col(textCol))
-    // the JVM shingle twin, not the interpreted transform/slice lambda —
-    // identical output (TextFns doc contract, used by Dedup/Curation),
-    // ~10x cheaper per row on wide corpora
-    val bigrams = TextFns.shinglesUdf(2)(col(textCol))
+    // the native codegen'd shingle expression (WordShingles) — identical
+    // output to the reference UDF (WordShinglesSpec pins it byte-for-byte),
+    // zero-copy byte windows instead of serde + split + per-token slices
+    val bigrams = TextFns.shinglesFast(col(textCol), 2)
     def dupRatio(arr: org.apache.spark.sql.Column) = {
       val n = size(arr).cast("double")
       when(n > 0, round(lit(1.0) - size(array_distinct(arr)) / n, 4)).otherwise(0.0)
@@ -397,7 +397,7 @@ object TextAnalysis {
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
     val sg = df.filter(col(textCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("g"),
-        explode(TextFns.shinglesUdf(shingleN)(col(textCol))).as("sh"))
+        explode(TextFns.shinglesFast(col(textCol), shingleN)).as("sh"))
       .distinct()
     val sizes = sg.groupBy("g").agg(count(lit(1)).as("n"))
     val co = sg.toDF("a", "sh").join(sg.toDF("b", "sh"), "sh")
