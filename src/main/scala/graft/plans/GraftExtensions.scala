@@ -37,5 +37,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_nfc requires exactly 1 argument, got ${children.length}")
         NfcNormalize(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_shingles requires (text, n), got ${children.length} arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles width must be an INT literal, got $other")
+        }
+        WordShingles(children.head, n)
+      }))
   }
 }

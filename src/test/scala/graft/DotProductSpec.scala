@@ -111,6 +111,10 @@ class DotProductSpec extends SparkSpec {
       // graft_nfc rides the same extension: decomposed e+U+0301 composes
       val n = s2.sql("SELECT graft_nfc('café') AS n").head().getString(0)
       assert(n == "café")
+      // graft_shingles rides the same extension (width as an INT literal)
+      val sh = s2.sql("SELECT graft_shingles('a b c d', 2) AS s")
+        .head().getSeq[String](0)
+      assert(sh == Seq("a b", "b c", "c d"))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
