@@ -250,6 +250,30 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Duplication profile: histogram of resolved cluster sizes, singletons
+    * (docs in no near-dup pair) included as the size-1 row — the one-look
+    * answer to "how duplicated is this corpus, and in what shape?" (many
+    * pairs vs a few large clusters drive very different dedup decisions).
+    * Rides the same resolve labels as [[dedupResolve]]; the histogram and
+    * the singleton tally are aggregates over the label table and one
+    * anti-join — no second resolve, no extra corpus pass beyond it. */
+  val dedupClusterSizes: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5)
+    val labels = Dedup.resolveClusters(pairs)
+    val hist = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singles = docs
+      .join(labels.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    hist.unionByName(singles)
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   // ------------------------------------------------------------- similarity
 
   /** Exact cosine top-10 for the first 5 vectors as queries.
@@ -920,6 +944,7 @@ object ExtQueries {
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_resolve" -> dedupResolve,
+    "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_survivor" -> dedupSurvivor,
     "sample_temperature" -> sampleTemperature,
     "sample_mix" -> sampleMix,
@@ -1563,6 +1588,27 @@ object ExtQueries {
       s"""WITH RECURSIVE $clusterWalkCte
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM walk GROUP BY src ORDER BY doc_id""".stripMargin,
+    // same transitive closure, rolled up to the size histogram; singletons
+    // counted from the complement of the label table
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $clusterWalkCte,
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM walk GROUP BY src),
+         |sizes AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM labels GROUP BY 1),
+         |hist AS (
+         |  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM sizes GROUP BY 1),
+         |singles AS (
+         |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |    CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM labels))
+         |SELECT cluster_size, n_clusters,
+         |  cluster_size * n_clusters AS n_docs
+         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+         |ORDER BY cluster_size""".stripMargin,
     // dedup_survivor: same transitive-closure clusters, then the per-cluster
     // argmax (n_chars desc, doc_id asc) picks the survivor; documents in no
     // pair survive by definition.
