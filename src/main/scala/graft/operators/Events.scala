@@ -394,17 +394,24 @@ object Events {
     val daily = df.select(date_trunc("day", col(tsCol)).as("day"),
       col(keyCol).as("__u")).distinct()
     val spine = daily.select(col("day")).distinct()
-    def rolling(days: Int, as: String) =
-      broadcast(spine.withColumnRenamed("day", "__d"))
-        .join(daily,
-          col("day") > col("__d") - expr(s"INTERVAL $days DAYS") &&
-            col("day") <= col("__d"))
-        .groupBy(col("__d").as("day"))
-        .agg(countDistinct(col("__u")).as(as))
-    val dau = daily.groupBy("day").agg(countDistinct(col("__u")).as("dau"))
-    dau
-      .join(rolling(7, "wau"), "day")
-      .join(rolling(30, "mau"), "day")
+    // ONE 30-day range join computes all three windows: the 30-day pair
+    // set is a superset of the 7-day and same-day pairs, so DAU/WAU fall
+    // out as conditional distinct counts over the same joined rows — the
+    // nested-loop range join (the dominant cost) runs once instead of
+    // twice, and the DAU aggregate + two stitch joins disappear. The
+    // three countDistincts expand the joined rows 3× before aggregation,
+    // far cheaper than a second |daily × spine| loop.
+    broadcast(spine.withColumnRenamed("day", "__d"))
+      .join(daily,
+        col("day") > col("__d") - expr("INTERVAL 30 DAYS") &&
+          col("day") <= col("__d"))
+      .groupBy(col("__d"))
+      .agg(
+        countDistinct(when(col("day") === col("__d"), col("__u"))).as("dau"),
+        countDistinct(when(col("day") > col("__d") - expr("INTERVAL 7 DAYS"),
+          col("__u"))).as("wau"),
+        countDistinct(col("__u")).as("mau"))
+      .withColumnRenamed("__d", "day")
       .withColumn("stickiness", col("dau").cast("double") / col("mau"))
   }
 

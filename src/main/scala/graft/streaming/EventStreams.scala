@@ -343,6 +343,25 @@ object EventStreams {
     require(expected.forall(cells.columns.contains),
       s"cells must carry (${expected.mkString(", ")}) — the seasonalCells " +
         s"schema; got (${cells.columns.mkString(", ")})")
+    // slot-alignment precondition: the batch side bins hours with
+    // date_trunc (session-timezone wall clock) while the streaming
+    // window() aligns to the Unix epoch — identical instants ONLY when
+    // the session zone's UTC offset is whole-hour. In a fractional-offset
+    // zone (+05:30 Kolkata, +05:45 Kathmandu) every streamed hour would
+    // straddle two batch slots and the documented parity silently breaks,
+    // so fail at construction instead. Checked at two instants half a
+    // year apart to cover DST regimes (DST shifts are whole-hour in every
+    // zone with a whole-hour base offset — the one historical exception,
+    // Lord Howe's +30 min DST, has a fractional base and is caught).
+    val zone = java.time.ZoneId.of(
+      stream.sparkSession.sessionState.conf.sessionLocalTimeZone)
+    val probes = Seq(java.time.Instant.now,
+      java.time.Instant.now.plusSeconds(26L * 7 * 24 * 3600))
+    require(probes.forall(i =>
+      zone.getRules.getOffset(i).getTotalSeconds % 3600 == 0),
+      s"seasonalScore: session timezone $zone has a fractional-hour UTC " +
+        "offset — epoch-aligned streaming windows cannot match the batch " +
+        "side's wall-clock hour slots; run the session in a whole-hour zone")
     stream
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), "1 hour"))
