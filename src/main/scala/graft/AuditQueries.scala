@@ -192,7 +192,15 @@ object AuditQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** ABC revenue classes over customers (A = head carrying 80% of order
+    * mass, B = to 95%, C = tail), binned at 20 quantile bins. */
+  val abcClass: Q = (s, d) =>
+    Profile.abcClasses(t(s, d, "orders"), "o_custkey", "o_totalprice",
+      nBins = 20)
+      .orderBy("o_custkey")
+
   val all: Map[String, Q] = Map(
+    "abc_class" -> abcClass,
     "conversion_lag" -> conversionLag,
     "ship_latency" -> shipLatency,
     "lorenz_curve" -> lorenzCurve,
@@ -236,6 +244,40 @@ object AuditQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // fixed-point cents per entity, quantile_bin cuts, cumulative over
+    // the DESC-ordered bins; class cuts compare exact longs against one
+    // double product (0.8 * total) in both engines
+    "abc_class" ->
+      """WITH pk AS (
+        |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS mass_cents
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT list_transform(
+        |    quantile_cont(CAST(mass_cents AS DOUBLE),
+        |      [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5,
+        |       0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]),
+        |    x -> round(x, 4)) AS cuts
+        |  FROM pk),
+        |b AS (
+        |  SELECT o_custkey, mass_cents,
+        |    CAST(len(list_filter(cuts, q -> q <= mass_cents)) AS INTEGER) AS bin
+        |  FROM pk CROSS JOIN c),
+        |bins AS (SELECT bin, CAST(sum(mass_cents) AS BIGINT) AS m FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT bin, m,
+        |    sum(m) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+        |    sum(m) OVER () AS total
+        |  FROM bins),
+        |cl AS (
+        |  SELECT bin,
+        |    CASE WHEN prev IS NULL OR CAST(prev AS DOUBLE) < 0.8 * total THEN 'A'
+        |      WHEN CAST(prev AS DOUBLE) < 0.95 * total THEN 'B'
+        |      ELSE 'C' END AS abc_class
+        |  FROM w)
+        |SELECT o_custkey, mass_cents, b.bin, abc_class
+        |FROM b JOIN cl ON b.bin = cl.bin ORDER BY o_custkey""".stripMargin,
     // lag stays exact integer micros (epoch_us both sides, no division)
     "conversion_lag" ->
       """WITH v AS (

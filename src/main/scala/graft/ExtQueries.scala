@@ -560,6 +560,16 @@ object ExtQueries {
       "user_id", "ts")
       .orderBy("user_id", "session_id")
 
+  /** Hourly session-concurrency profile (interval stabbing by hour
+    * bucketization) over the sessionized fixture. */
+  val sessionConcurrencyQ: Q = (s, d) =>
+    Events.sessionConcurrency(
+      Events.sessionStats(
+        Events.sessionize(Tables.loadEvents(s, d), "user_id", "ts", "event_id"),
+        "user_id", "ts"),
+      "session_start", "session_end")
+      .orderBy("hour")
+
   // --------------------------------------------------------------- registry
 
   /** Per-doc top-3 salient terms by TF-IDF (rounded-score ranking, term
@@ -970,6 +980,7 @@ object ExtQueries {
     "tumbling_counts" -> tumblingCounts,
     "sessionize" -> sessionizeQ,
     "session_stats" -> sessionStats,
+    "session_concurrency" -> sessionConcurrencyQ,
     "join_asof" -> joinAsof,
     "join_asof_fwd" -> joinAsofFwd,
     "join_range" -> joinRange,
@@ -1918,6 +1929,21 @@ object ExtQueries {
     "tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session intervals explode into covered hour buckets (the same
+    // bucketization the operator uses — no overlap self-join)
+    "session_concurrency" ->
+      s"""WITH sess AS (
+         |  SELECT user_id, session_id,
+         |    CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+         |    CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+         |  FROM ($sessionizeSql) GROUP BY 1, 2),
+         |e AS (
+         |  SELECT h0, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM sess)
+         |SELECT hour, CAST(count(*) AS BIGINT) AS n_active,
+         |  CAST(sum(CASE WHEN h0 = hour THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_starting
+         |FROM e GROUP BY 1 ORDER BY hour""".stripMargin,
     "sessionize" ->
       s"""SELECT event_id, user_id, session_id FROM ($sessionizeSql)
          |ORDER BY event_id""".stripMargin,

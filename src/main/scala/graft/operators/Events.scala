@@ -162,6 +162,34 @@ object Events {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
 
+  /** Session concurrency profile: how many sessions are ACTIVE in each
+    * hour — the interval-stabbing question behind capacity planning
+    * ("what does peak concurrency look like?") and licensing/connection
+    * -pool sizing. A session is active in every hour bucket its
+    * [start, end] span touches.
+    *
+    * Scale shape — the naive interval-overlap self-join is quadratic;
+    * this is the standard BUCKETIZATION: each session explodes into the
+    * hour buckets it covers (sessions are minutes long, so the fan-out
+    * per session is 1–2 buckets; a pathological week-long interval fans
+    * out 168×, still linear), then one partial-aggregated groupBy on the
+    * bucket. No join at all — the session table is already one row per
+    * interval ([[sessionStats]]'s output feeds straight in). Returns
+    * (hour, n_active, n_starting) — `n_starting` (sessions whose first
+    * event lands in the hour) rides along so load (arrivals) and
+    * concurrency (stabbing count) read from one table. */
+  def sessionConcurrency(
+      sessions: DataFrame, startCol: String, endCol: String): DataFrame = {
+    val h0 = date_trunc("hour", col(startCol))
+    val h1 = date_trunc("hour", col(endCol))
+    sessions
+      .select(h0.as("__h0"),
+        explode(sequence(h0, h1, expr("INTERVAL 1 HOUR"))).as("hour"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__h0") === col("hour"), 1L).otherwise(0L)).as("n_starting"))
+  }
+
   /** Ordered-funnel reach with a conversion window: for the step sequence
     * (s₁…sₖ), a user reaches step i when an sᵢ event occurs STRICTLY after
     * their step-(i−1) time and within `windowMinutes` of it; the step time

@@ -527,6 +527,54 @@ object Profile {
         (col("__cum").cast("double") / col("__total")).as("cum_share"))
   }
 
+  /** ABC contribution classes: label each entity A/B/C by whether it sits
+    * in the head that carries `aCut` of total value mass (A), the next
+    * band up to `bCut` (B), or the tail (C) — the classic inventory /
+    * revenue-concentration segmentation ("which 20% of customers carry
+    * 80% of revenue?"). Returns (key, mass_cents, bin, abc_class).
+    *
+    * Scale shape — exact ABC needs a mass-sorted cumulative over ALL
+    * entities (a single-task global window at 10⁹ entities); this is the
+    * BINNED formulation: entities aggregate to exact fixed-point mass
+    * (cents, the [[lorenzCurve]] doctrine), quantile cuts bin them
+    * (approx-sketch path available), the cumulative runs over the ≤nBins
+    * aggregate rows DESCENDING, each bin gets the class its cumulative
+    * prefix earns, and entities inherit their bin's class via one
+    * broadcast join. Boundary granularity is one bin: every entity in
+    * the bin where the `aCut` line crosses is classed A — raise `nBins`
+    * to tighten. Cut comparisons are exact-long vs one double product
+    * (aCut·total), deterministic cross-engine. Negative values fail
+    * loudly (mass classes over mixed-sign value are undefined). */
+  def abcClasses(
+      df: DataFrame, keyCol: String, valueCol: String,
+      nBins: Int = 20, aCut: Double = 0.8, bCut: Double = 0.95,
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    require(aCut > 0 && aCut < bCut && bCut < 1,
+      s"need 0 < aCut < bCut < 1, got ($aCut, $bCut)")
+    val x = col(valueCol).cast("double")
+    val guarded = when(x < 0, raise_error(concat(
+        lit(s"abcClasses: negative $valueCol breaks the mass-class domain: "),
+        x.cast("string"))).cast("double")).otherwise(x)
+    val perKey = df.filter(x.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(round(guarded * 100, 0).cast("long")).as("mass_cents"))
+    val binned = withQuantileBin(perKey, "mass_cents", nBins, approxAccuracy)
+      .withColumnRenamed("mass_cents_bin", "bin")
+    val bins = binned.groupBy("bin").agg(sum(col("mass_cents")).as("__m"))
+    val desc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+    val prev = sum(col("__m")).over(desc.rowsBetween(Long.MinValue, -1))
+    val total = sum(col("__m")).over(desc.rowsBetween(Long.MinValue, Long.MaxValue))
+    val classes = bins
+      .withColumn("abc_class",
+        when(prev.isNull || prev.cast("double") < lit(aCut) * total, "A")
+          .when(prev.cast("double") < lit(bCut) * total, "B")
+          .otherwise("C"))
+      .select("bin", "abc_class")
+    binned.join(broadcast(classes), "bin")
+      .select(col(keyCol), col("mass_cents"), col("bin"), col("abc_class"))
+  }
+
   /** Seasonal anomaly scan: each hour-slot's event count scored against
     * the baseline of OTHER observations of the same (day-of-week ×
     * hour-of-day) cell — "is this Tuesday 3am unusual FOR a Tuesday

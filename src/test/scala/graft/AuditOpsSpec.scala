@@ -595,6 +595,55 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getAs[Long]("lag_us") == 0L)
   }
 
+  // --------------------------------------------------- sessionConcurrency
+
+  test("sessionConcurrency: spanning sessions stab every covered hour; starts counted once") {
+    val sessions = Seq(
+      ("2024-01-01 10:10:00", "2024-01-01 10:50:00"), // inside hour 10
+      ("2024-01-01 10:40:00", "2024-01-01 12:05:00"), // spans 10,11,12
+      ("2024-01-01 12:30:00", "2024-01-01 12:45:00")  // inside hour 12
+    ).toDF("s0", "s1")
+      .select(to_timestamp(col("s0")).as("start"), to_timestamp(col("s1")).as("end"))
+    val got = Events.sessionConcurrency(sessions, "start", "end")
+      .orderBy("hour").collect()
+      .map(r => (r.getTimestamp(0).toString.substring(11, 13),
+        r.getAs[Long]("n_active"), r.getAs[Long]("n_starting")))
+    assert(got.toSeq == Seq(("10", 2L, 2L), ("11", 1L, 0L), ("12", 2L, 1L)))
+  }
+
+  // ----------------------------------------------------------- abcClasses
+
+  test("abcClasses: the dominant entity classes A, the tail C; classes partition all entities") {
+    // one whale (10000.00) and 40 DISTINCT-mass minnows (i dollars): with
+    // identical minnow masses every quantile cut collapses into one bin
+    // (the documented one-bin granularity) and the whole corpus classes
+    // together — distinct masses spread the bins, so the whale's bin is
+    // its own and the smallest minnow's cumulative prefix sits deep in C
+    val df = ((1 to 40).map(i => (i.toLong, i.toDouble)) :+ (99L, 10000.0))
+      .toDF("k", "v")
+    val rows = Profile.abcClasses(df, "k", "v", nBins = 10)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("abc_class")).toMap
+    assert(rows.size == 41)
+    assert(rows(99L) == "A")
+    assert(rows(1L) == "C")
+    assert(rows.values.toSet.subsetOf(Set("A", "B", "C")))
+  }
+
+  test("abcClasses: mass is exact fixed-point cents summed per entity") {
+    val df = Seq((1L, 0.01), (1L, 0.02), (2L, 5.0)).toDF("k", "v")
+    val m = Profile.abcClasses(df, "k", "v", nBins = 2)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("mass_cents")).toMap
+    assert(m == Map(1L -> 3L, 2L -> 500L))
+  }
+
+  test("abcClasses fails loudly on negative mass") {
+    val df = Seq((1L, 5.0), (2L, -2.0)).toDF("k", "v")
+    val e = intercept[Exception] {
+      Profile.abcClasses(df, "k", "v").collect()
+    }
+    assert(e.getMessage.contains("mass-class domain"))
+  }
+
   // ----------------------------------------------------- containmentPairs
 
   test("containmentPairs finds an embedded document Jaccard misses") {
