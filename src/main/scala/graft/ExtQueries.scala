@@ -560,6 +560,21 @@ object ExtQueries {
       "user_id", "ts")
       .orderBy("user_id", "session_id")
 
+  /** Interval-overlap join: concurrent session pairs between even- and
+    * odd-numbered users (bucketized equi-join, never a theta cartesian —
+    * see [[graft.operators.Temporal.intervalOverlapJoin]]). */
+  val joinInterval: Q = (s, d) => {
+    val sess = Events.sessionStats(
+      Events.sessionize(Tables.loadEvents(s, d), "user_id", "ts", "event_id"),
+      "user_id", "ts")
+    graft.operators.Temporal.intervalOverlapJoin(
+      sess.filter(col("user_id") % 2 === 0),
+      sess.filter(col("user_id") % 2 === 1),
+      Seq("user_id", "session_id"), Seq("user_id", "session_id"),
+      "session_start", "session_end", "session_start", "session_end")
+      .orderBy("a_user_id", "a_session_id", "b_user_id", "b_session_id")
+  }
+
   /** Hourly session-concurrency profile (interval stabbing by hour
     * bucketization) over the sessionized fixture. */
   val sessionConcurrencyQ: Q = (s, d) =>
@@ -981,6 +996,7 @@ object ExtQueries {
     "sessionize" -> sessionizeQ,
     "session_stats" -> sessionStats,
     "session_concurrency" -> sessionConcurrencyQ,
+    "join_interval" -> joinInterval,
     "join_asof" -> joinAsof,
     "join_asof_fwd" -> joinAsofFwd,
     "join_range" -> joinRange,
@@ -1944,6 +1960,20 @@ object ExtQueries {
          |  CAST(sum(CASE WHEN h0 = hour THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_starting
          |FROM e GROUP BY 1 ORDER BY hour""".stripMargin,
+    // the oracle is the direct quadratic overlap join (fixture-scale);
+    // the operator's bucketized path must reproduce it exactly
+    "join_interval" ->
+      s"""WITH sess AS (
+         |  SELECT user_id, session_id, min(ts) AS s0, max(ts) AS s1
+         |  FROM ($sessionizeSql) GROUP BY 1, 2)
+         |SELECT a.user_id AS a_user_id, a.session_id AS a_session_id,
+         |  a.s0 AS a_start, a.s1 AS a_end,
+         |  b.user_id AS b_user_id, b.session_id AS b_session_id,
+         |  b.s0 AS b_start, b.s1 AS b_end
+         |FROM sess a JOIN sess b
+         |  ON a.user_id % 2 = 0 AND b.user_id % 2 = 1
+         |  AND a.s0 <= b.s1 AND b.s0 <= a.s1
+         |ORDER BY a_user_id, a_session_id, b_user_id, b_session_id""".stripMargin,
     "sessionize" ->
       s"""SELECT event_id, user_id, session_id FROM ($sessionizeSql)
          |ORDER BY event_id""".stripMargin,

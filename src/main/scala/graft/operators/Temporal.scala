@@ -108,4 +108,48 @@ object Temporal {
         col(rightPrefix + tsCol) > col(leftPrefix + tsCol) &&
         col(rightPrefix + tsCol) <= col(leftPrefix + tsCol) + expr(windowExpr))
   }
+
+  /** Interval-overlap join: pairs (l, r) whose CLOSED time intervals
+    * [start, end] intersect — concurrency analysis, ad-exposure ↔ session
+    * attribution, downtime ↔ job-run blame. No key equality exists to
+    * hang an equi-join on, and the pure theta join
+    * `l.s <= r.e AND r.s <= l.e` is a cartesian — so this uses the
+    * standard BUCKETIZATION: both sides explode into the `unit`-sized
+    * time buckets their interval touches, the join runs as an EQUI-join
+    * on the bucket, the residual overlap predicate filters
+    * bucket-cograined false pairs, and `distinct` collapses pairs that
+    * met in several buckets. Candidates are bounded by per-bucket
+    * concurrency products instead of |L|·|R|.
+    *
+    * `unit` trades fan-out against candidate tightness: pick it near the
+    * typical interval length (intervals spanning many buckets duplicate
+    * that many times — still linear; a unit far larger than the
+    * intervals degrades toward per-bucket cartesians). Returns the
+    * prefixed key columns plus both intervals, one row per overlapping
+    * pair. NULL interval bounds drop (overlap is undefined); callers
+    * joining a side with itself pass an id filter or dedupe a<b
+    * downstream. */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      unit: String = "hour",
+      leftPrefix: String = "a_", rightPrefix: String = "b_"): DataFrame = {
+    require(leftKeys.nonEmpty && rightKeys.nonEmpty,
+      "interval join needs identity columns to report pairs by")
+    def buckets(df: DataFrame, s: String, e: String, keys: Seq[String],
+        prefix: String) =
+      df.filter(col(s).isNotNull && col(e).isNotNull)
+        .select(keys.map(k => col(k).as(prefix + k)) ++ Seq(
+          col(s).as(prefix + "start"), col(e).as(prefix + "end"),
+          explode(sequence(date_trunc(unit, col(s)), date_trunc(unit, col(e)),
+            expr(s"INTERVAL 1 $unit"))).as("__bucket")): _*)
+    val l = buckets(left, lStart, lEnd, leftKeys, leftPrefix)
+    val r = buckets(right, rStart, rEnd, rightKeys, rightPrefix)
+    l.join(r, "__bucket")
+      .filter(col(leftPrefix + "start") <= col(rightPrefix + "end") &&
+        col(rightPrefix + "start") <= col(leftPrefix + "end"))
+      .drop("__bucket")
+      .distinct()
+  }
 }

@@ -611,6 +611,37 @@ class AuditOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("10", 2L, 2L), ("11", 1L, 0L), ("12", 2L, 1L)))
   }
 
+  // -------------------------------------------------- intervalOverlapJoin
+
+  test("intervalOverlapJoin: closed-interval semantics, bucket-spanning pairs dedupe, NULL bounds drop") {
+    import graft.operators.Temporal
+    def iv(rows: Seq[(Long, String, String)]) = rows.toDF("id", "s0", "s1")
+      .select(col("id"), to_timestamp(col("s0")).as("start"),
+        to_timestamp(col("s1")).as("end"))
+    val left = iv(Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 13:00:00"), // spans 4 buckets
+      (2L, "2024-01-01 09:00:00", "2024-01-01 09:30:00")))
+    val right = iv(Seq(
+      (10L, "2024-01-01 11:00:00", "2024-01-01 11:10:00"), // inside 1
+      (11L, "2024-01-01 13:00:00", "2024-01-01 14:00:00"), // touches 1's end exactly (closed)
+      (12L, "2024-01-01 09:31:00", "2024-01-01 09:59:00")  // same bucket as 2, no overlap
+    ))
+    val got = Temporal.intervalOverlapJoin(left, right,
+        Seq("id"), Seq("id"), "start", "end", "start", "end")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // pair (1,11) shares buckets AND touches at the closed boundary; the
+    // multi-bucket pair (1,10) appears exactly once; (2,12) is the
+    // bucket-cograined false pair the residual filter must kill
+    assert(got == Set((1L, 10L), (1L, 11L)))
+    // NULL bound drops
+    val withNull = iv(Seq((3L, "2024-01-01 10:00:00", "2024-01-01 11:00:00")))
+      .union(Seq((4L, null, null)).toDF("id", "s0", "s1")
+        .select(col("id"), col("s0").cast("timestamp"), col("s1").cast("timestamp")))
+    val n = Temporal.intervalOverlapJoin(withNull, right,
+      Seq("id"), Seq("id"), "start", "end", "start", "end").count()
+    assert(n == 1) // only id 3 x id 10's 11:00 bucket... overlap check: [10,11] vs [11,11:10] touches at 11:00 -> closed overlap
+  }
+
   // ----------------------------------------------------------- abcClasses
 
   test("abcClasses: the dominant entity classes A, the tail C; classes partition all entities") {
