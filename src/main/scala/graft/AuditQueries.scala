@@ -199,7 +199,15 @@ object AuditQueries {
       nBins = 20)
       .orderBy("o_custkey")
 
+  /** Sketch-path active users: per-day HLL sketches unioned over trailing
+    * windows, flag-differential vs the exact counts (agg_sketch pattern:
+    * exact values oracle-recomputed, within-tolerance flags pinned 1). */
+  val activeUsersHll: Q = (s, d) =>
+    Events.activeUsersSketch(Tables.loadEvents(s, d), "user_id", "ts")
+      .orderBy("day")
+
   val all: Map[String, Q] = Map(
+    "active_users_hll" -> activeUsersHll,
     "abc_class" -> abcClass,
     "conversion_lag" -> conversionLag,
     "ship_latency" -> shipLatency,
@@ -244,6 +252,32 @@ object AuditQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // exact dau/wau/mau oracle-recomputed; the HLL estimates cannot be
+    // recomputed in DuckDB, so the within-tolerance flags pin to 1 (the
+    // agg_sketch differential pattern — a drifting sketch flips the flag
+    // to 0 on the Spark side and the compare fails loudly)
+    "active_users_hll" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+        |  FROM events),
+        |spine AS (SELECT DISTINCT day FROM daily),
+        |dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM daily GROUP BY 1),
+        |wau AS (
+        |  SELECT s.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS wau
+        |  FROM spine s JOIN daily d
+        |    ON d.day > s.day - INTERVAL 7 DAY AND d.day <= s.day
+        |  GROUP BY 1),
+        |mau AS (
+        |  SELECT s.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS mau
+        |  FROM spine s JOIN daily d
+        |    ON d.day > s.day - INTERVAL 30 DAY AND d.day <= s.day
+        |  GROUP BY 1)
+        |SELECT day, dau, wau, mau,
+        |  CAST(1 AS INTEGER) AS wau_ok, CAST(1 AS INTEGER) AS mau_ok
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
     // fixed-point cents per entity, quantile_bin cuts, cumulative over
     // the DESC-ordered bins; class cuts compare exact longs against one
     // double product (0.8 * total) in both engines

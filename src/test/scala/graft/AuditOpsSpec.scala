@@ -611,6 +611,22 @@ class AuditOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("10", 2L, 2L), ("11", 1L, 0L), ("12", 2L, 1L)))
   }
 
+  // ---------------------------------------------------- activeUsersSketch
+
+  test("activeUsersSketch: sketch estimates track exact counts within tolerance on the fixture") {
+    val ev = engine.Tables.loadEvents(spark, "/root/testdata/sf0.01")
+    val rows = Events.activeUsersSketch(ev, "user_id", "ts").collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.getAs[Int]("wau_ok") == 1))
+    assert(rows.forall(_.getAs[Int]("mau_ok") == 1))
+    // and the exact columns equal the exact operator's
+    val exact = Events.activeUsers(ev, "user_id", "ts")
+      .select("day", "wau", "mau").collect()
+      .map(r => r.get(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.forall(r =>
+      exact(r.get(0)) == (r.getAs[Long]("wau"), r.getAs[Long]("mau"))))
+  }
+
   // -------------------------------------------------- intervalOverlapJoin
 
   test("intervalOverlapJoin: closed-interval semantics, bucket-spanning pairs dedupe, NULL bounds drop") {
