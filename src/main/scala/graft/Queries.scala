@@ -305,6 +305,29 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** The rest of the SQL:2003 window-rank family ([[windowFuncs]] covers
+    * row_number/rank/lag/framed-sum): dense_rank, percent_rank, cume_dist,
+    * ntile, nth_value over a running frame, and lead with a default.
+    * percent_rank/cume_dist are single divisions of exact integer ranks —
+    * deterministic cross-engine with no gate (the burstiness doctrine). */
+  val windowRanks: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      dense_rank().over(Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))).as("drnk"),
+      percent_rank().over(w).as("prnk"),
+      cume_dist().over(w).as("cdist"),
+      ntile(4).over(w).as("quartile"),
+      nth_value(col("o_orderkey"), 2)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("second_key"),
+      lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"))
+      .orderBy("o_orderkey")
+  }
+
   /** Grouping sets via ROLLUP with grouping() to disambiguate NULL keys. */
   val aggRollup: Q = (s, d) =>
     t(s, d, "lineitem")
@@ -491,6 +514,7 @@ object Queries {
     "expr_arrays" -> exprArrays,
     "set_ops" -> setOps,
     "window_funcs" -> windowFuncs,
+    "window_ranks" -> windowRanks,
     "agg_rollup" -> aggRollup,
     "agg_distinct" -> aggDistinct,
     "agg_stats" -> aggStats,
@@ -652,6 +676,25 @@ object Queries {
         |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // percent_rank/cume_dist: single divisions of exact integer ranks, no
+    // gate; ntile/nth_value/lead mirror directly (dense_rank INT, ntile
+    // INT, spark's lead default -1.0 spelled as the 3rd argument)
+    "window_ranks" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderpriority, o_orderkey) AS INTEGER) AS drnk,
+        |  percent_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS prnk,
+        |  cume_dist() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS cdist,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+        |  lead(o_totalprice, 1, -1.0) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS next_price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty,

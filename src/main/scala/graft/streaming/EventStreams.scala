@@ -374,6 +374,61 @@ object EventStreams {
       .select("slot", "dow", "hod", "n", "k", "z")
   }
 
+  /** Incremental count-rollup maintenance: keep a grouped-count table
+    * (the dashboard/rollup materialization — counts per (day, type), per
+    * source, per shard …) current as data streams in, without ever
+    * re-scanning history. `keys` are the grouping expressions (aliased
+    * Columns — e.g. `date_trunc("day", col("ts")).as("day"),
+    * col("event_type")`); the maintained table is (keys…, n).
+    *
+    * Same contract as [[zoneMapSink]], count monoid instead of min/max:
+    * per micro-batch the batch's counts merge into the stored table by
+    * SUM — associative and commutative, so the final table equals the
+    * batch groupBy over the concatenated data however the stream is cut
+    * (StreamingSpec parity), the rewrite rides the shared
+    * recoverSwap/swapInto crash discipline, and the `last_batch_id`
+    * column (atomic with the swap) makes at-least-once re-delivery a
+    * no-op instead of a double count. Key expressions must be
+    * DETERMINISTIC in the row. Returns the query; callers own
+    * lifecycle. */
+  def countRollupSink(
+      stream: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+      tablePath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(keys.nonEmpty, "countRollupSink needs at least one grouping key")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val live = new org.apache.hadoop.fs.Path(tablePath)
+          val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          graft.engine.Sinks.recoverSwap(fs, live) // we read `live` next
+          val fresh = batch.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+          val keyNames = fresh.columns.filterNot(_ == "n").toSeq
+          val stored =
+            if (fs.exists(live)) Some(spark.read.parquet(tablePath)) else None
+          val alreadyApplied = stored.exists(
+            _.agg(max(col("last_batch_id"))).head.getLong(0) >= id)
+          if (!alreadyApplied) {
+            val merged = stored match {
+              case Some(prev) =>
+                fresh.unionByName(prev.drop("last_batch_id"))
+                  .groupBy(keyNames.map(col): _*)
+                  .agg(sum(col("n")).as("n"))
+              case None => fresh
+            }
+            merged.withColumn("last_batch_id", lit(id))
+              .write.mode("overwrite").parquet(tablePath + ".tmp")
+            graft.engine.Sinks.swapInto(fs, live)
+          }
+        }
+        (): Unit
+      }
+      .start()
+  }
+
   /** Incremental zone-map maintenance: keep a data-skipping statistics
     * table ([[graft.operators.Profile.zoneMap]]'s (zone, n_rows, v_min,
     * v_max) schema) up to date as data streams in — the index that lets

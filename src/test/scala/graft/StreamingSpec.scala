@@ -513,6 +513,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("countRollupSink: incremental counts equal the batch groupBy however the stream is cut") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-roll").toString
+    val mem = MemoryStream[Evt]
+    val keys = Seq(
+      org.apache.spark.sql.functions.date_trunc("day", col("ts"))
+        .as("day"),
+      col("event_type"))
+    val q = EventStreams.countRollupSink(
+      mem.toDF(), keys, s"$base/roll", s"$base/ckpt")
+    try {
+      val b1 = Seq(Evt(1, ts(0), 1, "view"), Evt(2, ts(1), 1, "view"),
+        Evt(3, ts(2), 2, "click"))
+      val b2 = Seq(Evt(4, ts(3), 1, "view"), Evt(5, ts(4), 3, "buy"))
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val stored = spark.read.parquet(s"$base/roll").drop("last_batch_id")
+        .orderBy("day", "event_type").collect()
+      val direct = (b1 ++ b2).toDF().groupBy(keys: _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy("day", "event_type").collect()
+      assert(stored.map(_.toString).toSeq == direct.map(_.toString).toSeq,
+        s"stored=${stored.mkString(";")} direct=${direct.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("zoneMapSink: incremental zone map equals the batch operator however the stream is cut") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
