@@ -374,29 +374,21 @@ object EventStreams {
       .select("slot", "dow", "hod", "n", "k", "z")
   }
 
-  /** Incremental count-rollup maintenance: keep a grouped-count table
-    * (the dashboard/rollup materialization — counts per (day, type), per
-    * source, per shard …) current as data streams in, without ever
-    * re-scanning history. `keys` are the grouping expressions (aliased
-    * Columns — e.g. `date_trunc("day", col("ts")).as("day"),
-    * col("event_type")`); the maintained table is (keys…, n).
-    *
-    * Same contract as [[zoneMapSink]], count monoid instead of min/max:
-    * per micro-batch the batch's counts merge into the stored table by
-    * SUM — associative and commutative, so the final table equals the
-    * batch groupBy over the concatenated data however the stream is cut
-    * (StreamingSpec parity), the rewrite rides the shared
-    * recoverSwap/swapInto crash discipline, and the `last_batch_id`
-    * column (atomic with the swap) makes at-least-once re-delivery a
-    * no-op instead of a double count. Key expressions must be
-    * DETERMINISTIC in the row. Returns the query; callers own
-    * lifecycle. */
-  def countRollupSink(
-      stream: DataFrame, keys: Seq[org.apache.spark.sql.Column],
-      tablePath: String, checkpointDir: String)
+  /** The shared scaffolding of the monoid-merge maintenance sinks
+    * ([[zoneMapSink]], [[countRollupSink]]): per non-empty micro-batch,
+    * recover any half-finished swap, skip re-delivered batches (the
+    * `last_batch_id` column is atomic with the swap — a sidecar file
+    * could not be), summarize the batch, merge with the stored table
+    * through the caller's associative+commutative re-aggregation, and
+    * publish with write-then-swap. Idempotence under at-least-once
+    * replay and batch-cut-invariance both follow from the monoid
+    * contract; each concrete sink only supplies `summarize` + `merge`. */
+  private def monoidMergeSink(
+      stream: DataFrame, tablePath: String, checkpointDir: String)(
+      summarize: Dataset[org.apache.spark.sql.Row] => DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
-    require(keys.nonEmpty, "countRollupSink needs at least one grouping key")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -405,18 +397,14 @@ object EventStreams {
           val live = new org.apache.hadoop.fs.Path(tablePath)
           val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
           graft.engine.Sinks.recoverSwap(fs, live) // we read `live` next
-          val fresh = batch.groupBy(keys: _*).agg(count(lit(1)).as("n"))
-          val keyNames = fresh.columns.filterNot(_ == "n").toSeq
           val stored =
             if (fs.exists(live)) Some(spark.read.parquet(tablePath)) else None
           val alreadyApplied = stored.exists(
             _.agg(max(col("last_batch_id"))).head.getLong(0) >= id)
           if (!alreadyApplied) {
+            val fresh = summarize(batch)
             val merged = stored match {
-              case Some(prev) =>
-                fresh.unionByName(prev.drop("last_batch_id"))
-                  .groupBy(keyNames.map(col): _*)
-                  .agg(sum(col("n")).as("n"))
+              case Some(prev) => merge(fresh, prev.drop("last_batch_id"))
               case None => fresh
             }
             merged.withColumn("last_batch_id", lit(id))
@@ -427,6 +415,32 @@ object EventStreams {
         (): Unit
       }
       .start()
+  }
+
+  /** Incremental count-rollup maintenance: keep a grouped-count table
+    * (the dashboard/rollup materialization — counts per (day, type), per
+    * source, per shard …) current as data streams in, without ever
+    * re-scanning history. `keys` are the grouping expressions (aliased
+    * Columns — e.g. `date_trunc("day", col("ts")).as("day"),
+    * col("event_type")`); the maintained table is (keys…, n).
+    *
+    * Same contract as [[zoneMapSink]] with the count monoid (SUM merge):
+    * batch-cut-invariant, crash-safe, replay-idempotent — see
+    * [[monoidMergeSink]]. Key expressions must be DETERMINISTIC in the
+    * row. Returns the query; callers own lifecycle. */
+  def countRollupSink(
+      stream: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+      tablePath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keys.nonEmpty, "countRollupSink needs at least one grouping key")
+    monoidMergeSink(stream, tablePath, checkpointDir) { batch =>
+      batch.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    } { (fresh, prev) =>
+      val keyNames = fresh.columns.filterNot(_ == "n").toSeq
+      fresh.unionByName(prev)
+        .groupBy(keyNames.map(col): _*)
+        .agg(sum(col("n")).as("n"))
+    }
   }
 
   /** Incremental zone-map maintenance: keep a data-skipping statistics
@@ -469,40 +483,16 @@ object EventStreams {
   def zoneMapSink(
       stream: DataFrame, zoneExpr: org.apache.spark.sql.Column,
       valueCol: String, tablePath: String, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(stream.isStreaming, "stream must be a streaming DataFrame")
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val live = new org.apache.hadoop.fs.Path(tablePath)
-          val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          graft.engine.Sinks.recoverSwap(fs, live) // we read `live` next
-          val stored =
-            if (fs.exists(live)) Some(spark.read.parquet(tablePath)) else None
-          val alreadyApplied = stored.exists(
-            _.agg(max(col("last_batch_id"))).head.getLong(0) >= id)
-          if (!alreadyApplied) {
-            val fresh = graft.operators.Profile.zoneMap(batch, zoneExpr, valueCol)
-            val merged = stored match {
-              case Some(prev) =>
-                fresh.unionByName(prev.drop("last_batch_id"))
-                  .groupBy("zone")
-                  .agg(sum(col("n_rows")).as("n_rows"),
-                    min(col("v_min")).as("v_min"),
-                    max(col("v_max")).as("v_max"))
-              case None => fresh
-            }
-            merged.withColumn("last_batch_id", lit(id))
-              .write.mode("overwrite").parquet(tablePath + ".tmp")
-            graft.engine.Sinks.swapInto(fs, live)
-          }
-        }
-        (): Unit
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    monoidMergeSink(stream, tablePath, checkpointDir) { batch =>
+      graft.operators.Profile.zoneMap(batch, zoneExpr, valueCol)
+    } { (fresh, prev) =>
+      fresh.unionByName(prev)
+        .groupBy("zone")
+        .agg(sum(col("n_rows")).as("n_rows"),
+          min(col("v_min")).as("v_min"),
+          max(col("v_max")).as("v_max"))
+    }
 
   /** Streaming CDC apply: maintain a keyed parquet table from a stream of
     * upsert records — each micro-batch merges into the table through the
