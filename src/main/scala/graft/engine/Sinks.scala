@@ -59,6 +59,36 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** [[writePartitioned]] plus a zone-map sidecar: alongside the
+    * partitioned table, write `<path>.zonemap` holding per-partition
+    * (min, max, count) statistics for `statsCols` — the index that lets a
+    * reader prune partitions by a SECONDARY column's range, which plain
+    * partition pruning cannot do (it only prunes on the partition column
+    * itself). On an ingest-ordered table this is the classic win: data
+    * partitioned by batch/file id, queries filtering on event time — the
+    * time ranges per partition are tight, so most partitions prune on
+    * statistics alone ([[graft.operators.Sources]]-side:
+    * `readZonePruned`). Sidecar columns: `<c>_min`, `<c>_max` per stats
+    * column plus `n_rows`. The sidecar is tiny (|partitions| rows) and
+    * rewrites atomically after the table (readers of a half-written pair
+    * see at worst a stale sidecar over the OLD table directory listing —
+    * stale stats widen ranges only if partitions shrank; for the
+    * append-shaped tables this layout targets, rewrite both via
+    * [[publish]] staging when that matters). */
+  def writeZoneMapped(
+      df: DataFrame, path: String, zoneCol: String,
+      statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "writeZoneMapped needs at least one stats column")
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    writePartitioned(df, path, Seq(zoneCol))
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(col(zoneCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(path + ".zonemap")
+  }
+
   /** Incremental partition refresh: overwrite ONLY the partitions present
     * in `df`, leaving every other partition of the table untouched — the
     * steady-state daily-ETL write (reprocess yesterday, keep years of

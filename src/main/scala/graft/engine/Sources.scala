@@ -352,4 +352,40 @@ object Sources {
     }
     IncrementalBatch(df, fresh, commit)
   }
+
+  /** Zone-pruned read over a [[Sinks.writeZoneMapped]] layout: evaluate
+    * `zonePred` against the `<path>.zonemap` sidecar's per-partition
+    * statistics (`<c>_min` / `<c>_max` / `n_rows` columns), collect the
+    * QUALIFYING zone values, and read the table filtered to those zones —
+    * which compiles to directory-level PartitionFilters, so disqualified
+    * partitions are never listed, opened, or scanned. This is how a range
+    * predicate on a SECONDARY column (event time on a batch-id-partitioned
+    * ingest table) becomes real skipped I/O instead of a post-scan filter.
+    *
+    * The zone list crosses the driver — sound because it is bounded by
+    * the LAYOUT's partition count (a write-time choice, like bucket
+    * counts), not by data volume; same driver-bounded pattern as the IVF
+    * centroid fetch. Statistics-based skipping is conservative by
+    * construction: `zonePred` must be TRUE for a zone that may contain
+    * matching rows (e.g. `col("ts_max") >= cutoff` for a
+    * `ts >= cutoff` row filter) — the caller still applies the exact row
+    * predicate to the returned frame; this function only bounds what is
+    * read. Fails loudly if the sidecar is missing (a silent full scan
+    * would defeat the point unnoticed). */
+  def readZonePruned(
+      spark: SparkSession, path: String, zoneCol: String,
+      zonePred: org.apache.spark.sql.Column): DataFrame = {
+    val sidecar = path + ".zonemap"
+    val fs = new org.apache.hadoop.fs.Path(sidecar)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(sidecar)),
+      s"readZonePruned: no zone-map sidecar at $sidecar — write the table " +
+        "with Sinks.writeZoneMapped, or read it unpruned with spark.read")
+    val zones = spark.read.parquet(sidecar)
+      .filter(zonePred)
+      .select(org.apache.spark.sql.functions.col(zoneCol))
+      .collect().map(_.get(0))
+    spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col(zoneCol).isin(zones: _*))
+  }
 }

@@ -8,6 +8,39 @@ import graft.engine.Sinks
 class SinksSpec extends SparkSpec {
   import sqlContext.implicits._
 
+  test("writeZoneMapped + readZonePruned: secondary-column stats prune partitions; results match the full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm2").toString + "/t"
+    // ingest-ordered shape: zone = batch id, v = monotone secondary col
+    val df = (1 to 40).map(i => (i / 10, i.toLong)).toDF("zone", "v")
+    Sinks.writeZoneMapped(df, dir, "zone", Seq("v"))
+    // sidecar carries per-zone stats
+    val zm = spark.read.parquet(dir + ".zonemap").orderBy("zone").collect()
+    assert(zm.length == 5)
+    assert(zm.head.schema.fieldNames.toSet ==
+      Set("zone", "v_min", "v_max", "n_rows"))
+    // prune for v >= 25: zones 0,1 (v_max 9, 19) drop on stats alone
+    val pruned = engine.Sources.readZonePruned(
+      spark, dir, "zone", col("v_max") >= 25L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zone"), plan)
+    // conservative contract: pruned ⊇ matching rows; exact after row filter
+    val got = pruned.filter(col("v") >= 25L).select("v").as[Long].collect().toSet
+    val full = spark.read.parquet(dir).filter(col("v") >= 25L)
+      .select("v").as[Long].collect().toSet
+    assert(got == full)
+    // and strictly fewer partition directories were admitted than exist
+    assert(pruned.select("zone").distinct().count() < 5)
+  }
+
+  test("readZonePruned fails loudly without a sidecar (no silent full scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm3").toString + "/t"
+    Seq((1, 1L)).toDF("zone", "v").write.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      engine.Sources.readZonePruned(spark, dir, "zone", col("v_max") >= 0L)
+    }
+    assert(e.getMessage.contains("zone-map sidecar"))
+  }
+
   test("writePartitioned: partition filter prunes directories at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
     val df = Seq(("A", 1), ("A", 2), ("B", 3), ("C", 4)).toDF("tag", "v")
