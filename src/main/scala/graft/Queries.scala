@@ -328,6 +328,35 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** EXPLICIT grouping sets (not the rollup/cube shorthands): exactly the
+    * (flag, status) cells plus the per-flag margin — a set rollup/cube
+    * cannot express (rollup adds the grand total, cube adds the
+    * per-status margin). grouping() flags disambiguate real NULL keys
+    * from margin rows, as in [[aggRollup]]. */
+  val aggGroupingSets: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+
+  /** The SQL:2003 linear-regression aggregate family per group: slope,
+    * intercept, r², and the pair count of (price, quantity) per return
+    * flag — round 4, the [[ScaleQueries]] regr precedent (both engines'
+    * accumulations agree well inside the gate at these magnitudes). */
+  val aggRegression: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"))
+      .orderBy("l_returnflag")
+
   /** Grouping sets via ROLLUP with grouping() to disambiguate NULL keys. */
   val aggRollup: Q = (s, d) =>
     t(s, d, "lineitem")
@@ -515,6 +544,8 @@ object Queries {
     "set_ops" -> setOps,
     "window_funcs" -> windowFuncs,
     "window_ranks" -> windowRanks,
+    "agg_gsets" -> aggGroupingSets,
+    "agg_regression" -> aggRegression,
     "agg_rollup" -> aggRollup,
     "agg_distinct" -> aggDistinct,
     "agg_stats" -> aggStats,
@@ -696,6 +727,20 @@ object Queries {
         |  lead(o_totalprice, 1, -1.0) OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice, o_orderkey) AS next_price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        |  CAST(CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END AS INTEGER) AS g_flag,
+        |  CAST(CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS INTEGER) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty,
         |  CAST(CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END AS INTEGER) AS g_flag,
