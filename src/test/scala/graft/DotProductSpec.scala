@@ -115,6 +115,33 @@ class DotProductSpec extends SparkSpec {
       val sh = s2.sql("SELECT graft_shingles('a b c d', 2) AS s")
         .head().getSeq[String](0)
       assert(sh == Seq("a b", "b c", "c d"))
+      // the ApproxDistinctRule rides the same extension: OFF by default
+      // (exact distinct plan — Spark regroups on the distinct value, a
+      // second full Exchange), ON rewrites to HLL++ (single-pass sketch,
+      // estimate within the 2% rsd of the true 1000 with wide margin)
+      import s2.implicits._
+      val wide = (1 to 5000).map(i => (i % 1000, i)).toDF("k", "v")
+      val exactPlan = wide.select(countDistinct(org.apache.spark.sql.functions.col("k")))
+        .queryExecution.executedPlan.toString
+      assert(exactPlan.contains("count(distinct"), exactPlan)
+      assert(wide.select(countDistinct(org.apache.spark.sql.functions.col("k")))
+        .head().getLong(0) == 1000L)
+      s2.conf.set("spark.graft.approxDistinct", "true")
+      try {
+        val q = wide.select(countDistinct(org.apache.spark.sql.functions.col("k")))
+        val approxPlan = q.queryExecution.executedPlan.toString
+        assert(!approxPlan.contains("count(distinct"), approxPlan)
+        assert(approxPlan.contains("approx_count_distinct")
+          || approxPlan.toLowerCase.contains("hyperloglog"), approxPlan)
+        val est = q.head().getLong(0)
+        assert(math.abs(est - 1000L) <= 100L, s"estimate $est")
+        // plain count and multi-column distinct keep exact semantics
+        assert(wide.select(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.col("k"))).head().getLong(0) == 5000L)
+        assert(wide.select(countDistinct(
+          org.apache.spark.sql.functions.col("k"),
+          org.apache.spark.sql.functions.col("v"))).head().getLong(0) == 5000L)
+      } finally s2.conf.set("spark.graft.approxDistinct", "false")
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
