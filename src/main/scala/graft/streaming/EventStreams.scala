@@ -130,6 +130,8 @@ object EventStreams {
   case class SessionizedEvt(event_id: Long, user_id: Long, session_id: Long)
   case class GapState(lastTs: Long)
   case class BurstEvt(event_id: Long, user_id: Long, gap_us: Long)
+  case class ConvState(firstFromMicros: Long, converted: Boolean)
+  case class ConvEvt(user_id: Long, lag_us: Long)
 
   /** Stateful gap sessionization: per-user state carries (current session
     * id, last event time); a gap above `gapMinutes` starts a new session.
@@ -239,6 +241,59 @@ object EventStreams {
           // from evicting between every event at small maxGaps.
           if (expireState) state.setTimeoutDuration(
             math.max(3600000L, maxGapMillis * 4))
+          out.iterator
+        }
+      })
+  }
+
+  /** Streaming conversion tracker: emit (user, lag_us) the moment a
+    * `toType` event arrives at-or-after the user's FIRST `fromType`
+    * event — the live funnel-latency feed whose batch reconciliation is
+    * [[graft.operators.Events.conversionLag]]. One emission per user
+    * (first conversion only), lag in exact integer microseconds (the
+    * family doctrine). A `toType` arriving before any `fromType` is not
+    * a conversion and does not emit.
+    *
+    * Ordering contract: events are sorted (ts, id) WITHIN each
+    * micro-batch; across batches the tracker is exact under in-order
+    * per-user delivery (the Kafka-partitioned-by-key norm). A LATE
+    * `fromType` arriving after a batch boundary that predates the
+    * recorded first-from cannot retroactively lower it — the stream is
+    * the low-latency signal, the batch operator the truth at rest; run
+    * both, reconcile on the batch cadence (same split as
+    * dedup_minhash_incr vs the batch dedup).
+    *
+    * State per user: (first-from micros, converted flag) — two longs,
+    * dropped at `expireState` timeout for abandoned funnels (same
+    * processing-time contract as [[burstEvents]]; the timeout bounds
+    * state for users who never convert). */
+  def conversionEvents(
+      events: Dataset[Evt], fromType: String, toType: String,
+      expireState: Boolean = false): Dataset[ConvEvt] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (expireState) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append(), timeoutConf)(
+      (user: Long, it: Iterator[Evt], state: GroupState[ConvState]) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          def micros(t: Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+          var st = state.getOption.getOrElse(ConvState(Long.MinValue, converted = false))
+          val out = it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).flatMap { e =>
+            val m = micros(e.ts)
+            if (e.event_type == fromType && st.firstFromMicros == Long.MinValue) {
+              st = st.copy(firstFromMicros = m); None
+            } else if (e.event_type == toType && !st.converted &&
+                st.firstFromMicros != Long.MinValue && m >= st.firstFromMicros) {
+              st = st.copy(converted = true)
+              Some(ConvEvt(user, m - st.firstFromMicros))
+            } else None
+          }
+          state.update(st)
+          if (expireState) state.setTimeoutDuration("24 hours")
           out.iterator
         }
       })

@@ -513,6 +513,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversionEvents: first conversion emits exact micros lag; pre-view purchases and repeats don't") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Evt]
+    import EventStreams.Evt
+    val q = EventStreams.conversionEvents(mem.toDS(), "view", "purchase")
+      .writeStream.format("memory").queryName("conv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: purchase BEFORE any view (ignored), then view
+      // user 2: view only
+      mem.addData(
+        Evt(1, ts(0), 1, "purchase"), Evt(2, ts(5), 1, "view"),
+        Evt(3, ts(1), 2, "view"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM conv").count() == 0)
+      // user 1 converts 10 min after the view (cross-batch state); a
+      // second purchase must not emit again; user 2 never converts
+      mem.addData(Evt(4, ts(15), 1, "purchase"), Evt(5, ts(20), 1, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM conv").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("user_id") == 1L)
+      assert(rows.head.getAs[Long]("lag_us") == 10L * 60 * 1000000L)
+      // batch reconciliation: the batch operator on the same rows agrees
+      val all = Seq(Evt(1, ts(0), 1, "purchase"), Evt(2, ts(5), 1, "view"),
+        Evt(3, ts(1), 2, "view"), Evt(4, ts(15), 1, "purchase"),
+        Evt(5, ts(20), 1, "purchase")).toDF()
+      val batch = graft.operators.Events.conversionLag(
+        all, "user_id", "ts", "event_type", "view", "purchase").collect()
+      assert(batch.length == 1 && batch.head.getAs[Long]("lag_us") ==
+        rows.head.getAs[Long]("lag_us"))
+    } finally q.stop()
+  }
+
   test("countRollupSink: incremental counts equal the batch groupBy however the stream is cut") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
