@@ -69,12 +69,27 @@ object Sinks {
     * time ranges per partition are tight, so most partitions prune on
     * statistics alone ([[graft.operators.Sources]]-side:
     * `readZonePruned`). Sidecar columns: `<c>_min`, `<c>_max` per stats
-    * column plus `n_rows`. The sidecar is tiny (|partitions| rows) and
-    * rewrites atomically after the table (readers of a half-written pair
-    * see at worst a stale sidecar over the OLD table directory listing —
-    * stale stats widen ranges only if partitions shrank; for the
-    * append-shaped tables this layout targets, rewrite both via
-    * [[publish]] staging when that matters). */
+    * column plus `n_rows`.
+    *
+    * Consistency: the sidecar is aggregated FROM THE PARQUET JUST
+    * WRITTEN — never from re-evaluating `df`, whose lineage could be
+    * nondeterministic or read a source that changed between the two
+    * evaluations (stats disagreeing with the table turn "conservative
+    * skip" into silent wrong results; reading back is also cheaper — a
+    * columnar min/max scan instead of the whole upstream pipeline
+    * twice). The sidecar publishes via the shared write-then-swap
+    * ([[swapInto]]), so sidecar readers never see a missing or
+    * half-written file. The TABLE overwrite itself is the engine's
+    * ordinary non-staged write (readers during the rewrite see a partial
+    * table, zone-pruned or not) — route the table through [[publish]]
+    * staging when in-place rewrites race readers; the sidecar then
+    * re-derives from whatever table directory is current.
+    *
+    * The streaming-maintained twin is
+    * [[graft.streaming.EventStreams.zoneMapSink]] (single stats column,
+    * `v_min`/`v_max` names) — point it at `<table>.zonemap` and
+    * `readZonePruned` consumes it identically: the reader's predicate is
+    * over whatever columns the sidecar carries. */
   def writeZoneMapped(
       df: DataFrame, path: String, zoneCol: String,
       statsCols: Seq[String]): Unit = {
@@ -84,9 +99,14 @@ object Sinks {
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))) :+
       count(lit(1)).as("n_rows")
-    df.groupBy(col(zoneCol))
+    val spark = df.sparkSession
+    val sidecar = new Path(path + ".zonemap")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(path)
+      .groupBy(col(zoneCol))
       .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(path + ".zonemap")
+      .write.mode("overwrite").parquet(path + ".zonemap.tmp")
+    swapInto(fs, sidecar)
   }
 
   /** Incremental partition refresh: overwrite ONLY the partitions present

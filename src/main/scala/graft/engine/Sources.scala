@@ -376,9 +376,12 @@ object Sources {
       spark: SparkSession, path: String, zoneCol: String,
       zonePred: org.apache.spark.sql.Column): DataFrame = {
     val sidecar = path + ".zonemap"
-    val fs = new org.apache.hadoop.fs.Path(sidecar)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(sidecar)),
+    val sidecarPath = new org.apache.hadoop.fs.Path(sidecar)
+    val fs = sidecarPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the sidecar publishes via write-then-swap; a crash between the two
+    // renames leaves it only at `.old` — recover before the existence gate
+    Sinks.recoverSwap(fs, sidecarPath)
+    require(fs.exists(sidecarPath),
       s"readZonePruned: no zone-map sidecar at $sidecar — write the table " +
         "with Sinks.writeZoneMapped, or read it unpruned with spark.read")
     val zones = spark.read.parquet(sidecar)

@@ -126,9 +126,13 @@ object Temporal {
     * that many times — still linear; a unit far larger than the
     * intervals degrades toward per-bucket cartesians). Returns the
     * prefixed key columns plus both intervals, one row per overlapping
-    * pair. NULL interval bounds drop (overlap is undefined); callers
-    * joining a side with itself pass an id filter or dedupe a<b
-    * downstream. */
+    * pair. NULL interval bounds drop (overlap is undefined); an INVERTED
+    * interval (end before start) fails loudly — it is corruption, not a
+    * definable empty interval, and letting `sequence` throw its own
+    * obscure error (or silently dropping the evidence) would hide it.
+    * Callers joining a side with itself pass an id filter or dedupe a<b
+    * downstream. Key columns named `start`/`end` are rejected — they
+    * would collide with the emitted interval-bound aliases. */
   def intervalOverlapJoin(
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
@@ -137,13 +141,24 @@ object Temporal {
       leftPrefix: String = "a_", rightPrefix: String = "b_"): DataFrame = {
     require(leftKeys.nonEmpty && rightKeys.nonEmpty,
       "interval join needs identity columns to report pairs by")
+    require(!(leftKeys ++ rightKeys).exists(k => k == "start" || k == "end"),
+      "key columns named 'start'/'end' collide with the emitted interval " +
+        "bound aliases — rename or alias them first")
     def buckets(df: DataFrame, s: String, e: String, keys: Seq[String],
-        prefix: String) =
+        prefix: String) = {
+      val guardedEnd = when(col(e) < col(s), raise_error(concat(
+        lit(s"intervalOverlapJoin: inverted interval ($s > $e): "),
+        col(s).cast("string"), lit(" > "), col(e).cast("string"),
+        lit(" — fix the feed; overlap of an inverted interval is undefined")))
+        .cast(df.schema(e).dataType))
+        .otherwise(col(e))
       df.filter(col(s).isNotNull && col(e).isNotNull)
         .select(keys.map(k => col(k).as(prefix + k)) ++ Seq(
           col(s).as(prefix + "start"), col(e).as(prefix + "end"),
-          explode(sequence(date_trunc(unit, col(s)), date_trunc(unit, col(e)),
+          explode(sequence(date_trunc(unit, col(s)),
+            date_trunc(unit, guardedEnd),
             expr(s"INTERVAL 1 $unit"))).as("__bucket")): _*)
+    }
     val l = buckets(left, lStart, lEnd, leftKeys, leftPrefix)
     val r = buckets(right, rStart, rEnd, rightKeys, rightPrefix)
     l.join(r, "__bucket")

@@ -281,19 +281,35 @@ object EventStreams {
         else {
           def micros(t: Timestamp): Long =
             t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-          var st = state.getOption.getOrElse(ConvState(Long.MinValue, converted = false))
-          val out = it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).flatMap { e =>
-            val m = micros(e.ts)
-            if (e.event_type == fromType && st.firstFromMicros == Long.MinValue) {
-              st = st.copy(firstFromMicros = m); None
-            } else if (e.event_type == toType && !st.converted &&
-                st.firstFromMicros != Long.MinValue && m >= st.firstFromMicros) {
-              st = st.copy(converted = true)
-              Some(ConvEvt(user, m - st.firstFromMicros))
-            } else None
+          val prior = state.getOption
+          var st = prior.getOrElse(ConvState(Long.MinValue, converted = false))
+          val batch = it.toSeq
+          // first-from SETTLES BEFORE the to-scan: a toType sharing the
+          // first fromType's timestamp qualifies in the batch operator
+          // (at-or-after) regardless of event-id order, and a single
+          // fold would discard it when the sort put it first — the
+          // within-batch divergence a reconciliation contract can't have
+          if (st.firstFromMicros == Long.MinValue) {
+            val froms = batch.filter(_.event_type == fromType)
+            if (froms.nonEmpty)
+              st = st.copy(firstFromMicros = froms.map(e => micros(e.ts)).min)
           }
-          state.update(st)
-          if (expireState) state.setTimeoutDuration("24 hours")
+          val out =
+            if (st.converted || st.firstFromMicros == Long.MinValue) Nil
+            else batch.filter(e => e.event_type == toType &&
+                micros(e.ts) >= st.firstFromMicros)
+              .sortBy(e => (micros(e.ts), e.event_id)).headOption.map { e =>
+                st = st.copy(converted = true)
+                ConvEvt(user, micros(e.ts) - st.firstFromMicros)
+              }.toSeq
+          // only funnel PARTICIPANTS hold state: a user who never emits
+          // fromType would otherwise pin a sentinel row in the state
+          // store forever (unbounded growth on high-cardinality streams
+          // where most users never enter the funnel)
+          if (st != ConvState(Long.MinValue, converted = false)) {
+            state.update(st)
+            if (expireState) state.setTimeoutDuration("24 hours")
+          }
           out.iterator
         }
       })
@@ -488,10 +504,23 @@ object EventStreams {
       tablePath: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(keys.nonEmpty, "countRollupSink needs at least one grouping key")
+    // resolve the key OUTPUT names eagerly against an empty twin of the
+    // stream's schema: the merge recovers keys as "every column but n",
+    // so a key that RESOLVES to the name "n" would silently vanish from
+    // the merge groupBy and collapse counts across it — fail at
+    // construction, not after the rollup has been quietly wrong
+    val keyNames = stream.sparkSession
+      .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        stream.schema)
+      .groupBy(keys: _*).agg(count(lit(1)).as("__probe"))
+      .columns.filterNot(_ == "__probe").toSeq
+    require(!keyNames.contains("n"),
+      s"countRollupSink: a grouping key resolves to the reserved column " +
+        s"name 'n' (keys: ${keyNames.mkString(", ")}) — alias it; 'n' is " +
+        "the maintained count column")
     monoidMergeSink(stream, tablePath, checkpointDir) { batch =>
       batch.groupBy(keys: _*).agg(count(lit(1)).as("n"))
     } { (fresh, prev) =>
-      val keyNames = fresh.columns.filterNot(_ == "n").toSeq
       fresh.unionByName(prev)
         .groupBy(keyNames.map(col): _*)
         .agg(sum(col("n")).as("n"))

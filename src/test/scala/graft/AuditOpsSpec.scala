@@ -658,6 +658,26 @@ class AuditOpsSpec extends SparkSpec {
     assert(n == 1) // only id 3 x id 10's 11:00 bucket... overlap check: [10,11] vs [11,11:10] touches at 11:00 -> closed overlap
   }
 
+  test("intervalOverlapJoin fails loudly on an inverted interval; rejects start/end key names") {
+    import graft.operators.Temporal
+    val bad = Seq((1L, "2024-01-01 12:00:00", "2024-01-01 10:00:00"))
+      .toDF("id", "s0", "s1")
+      .select(col("id"), to_timestamp(col("s0")).as("b"), to_timestamp(col("s1")).as("e2"))
+    val ok = Seq((2L, "2024-01-01 09:00:00", "2024-01-01 13:00:00"))
+      .toDF("id", "s0", "s1")
+      .select(col("id"), to_timestamp(col("s0")).as("b"), to_timestamp(col("s1")).as("e2"))
+    val ex = intercept[Exception] {
+      Temporal.intervalOverlapJoin(bad, ok, Seq("id"), Seq("id"),
+        "b", "e2", "b", "e2").collect()
+    }
+    assert(ex.getMessage.contains("inverted interval"))
+    val nameEx = intercept[IllegalArgumentException] {
+      Temporal.intervalOverlapJoin(ok, ok, Seq("start"), Seq("id"),
+        "b", "e2", "b", "e2")
+    }
+    assert(nameEx.getMessage.contains("collide"))
+  }
+
   // ----------------------------------------------------------- abcClasses
 
   test("abcClasses: the dominant entity classes A, the tail C; classes partition all entities") {

@@ -548,6 +548,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversionEvents: a same-timestamp to-event converts with lag 0 (batch parity), whatever its id") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Evt]
+    import EventStreams.Evt
+    val q = EventStreams.conversionEvents(mem.toDS(), "view", "purchase")
+      .writeStream.format("memory").queryName("convtie")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // purchase has the SMALLER id at the same instant as the first view
+      mem.addData(Evt(1, ts(10), 1, "purchase"), Evt(2, ts(10), 1, "view"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM convtie").collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("lag_us") == 0L)
+    } finally q.stop()
+  }
+
+  test("countRollupSink rejects a grouping key that resolves to the reserved name 'n'") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Evt]
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.countRollupSink(mem.toDF(),
+        Seq(col("user_id").as("n")), "/tmp/never", "/tmp/never-ckpt")
+    }
+    assert(e.getMessage.contains("reserved column name 'n'"))
+  }
+
   test("countRollupSink: incremental counts equal the batch groupBy however the stream is cut") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
