@@ -206,7 +206,16 @@ object AuditQueries {
     Events.activeUsersSketch(Tables.loadEvents(s, d), "user_id", "ts")
       .orderBy("day")
 
+  /** Per-vector alignment with the own-label spherical centroid — the
+    * vector-granular mislabel detector next to label_cohesion's
+    * label-granular score. */
+  val embedOutliers: Q = (s, d) =>
+    Similarity.centroidAlignment(t(s, d, "embeddings"),
+      "vec_id", "label", "embedding")
+      .orderBy("vec_id")
+
   val all: Map[String, Q] = Map(
+    "embed_outliers" -> embedOutliers,
     "active_users_hll" -> activeUsersHll,
     "abc_class" -> abcClass,
     "conversion_lag" -> conversionLag,
@@ -252,6 +261,32 @@ object AuditQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // unitize mirrors VectorFns.unitizeNative (float->double widening,
+    // same op order); the centroid series is the fixture's 64 dims (all
+    // SFs — a dim change would surface as loud NULL-cos mismatches, not
+    // silent drift); flag compares the UNROUNDED ratio, display rounds 4
+    "embed_outliers" ->
+      """WITH u AS (
+        |  SELECT vec_id, label, list_transform(v0, x -> x / nrm) AS v FROM (
+        |    SELECT vec_id, label, v0, sqrt(list_sum([x * x for x in v0])) AS nrm FROM (
+        |      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+        |      FROM embeddings))
+        |  WHERE nrm > 0),
+        |m AS (
+        |  SELECT label, i AS p, avg(v[i]) AS mv
+        |  FROM u CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+        |c AS (SELECT label, list(mv ORDER BY p) AS cm FROM m GROUP BY 1),
+        |s AS (
+        |  SELECT vec_id, u.label AS label,
+        |    list_sum([u.v[i] * c.cm[i] for i in generate_series(1, len(u.v))]) AS d,
+        |    sqrt(list_sum([x * x for x in c.cm])) AS nm
+        |  FROM u JOIN c ON u.label = c.label)
+        |SELECT vec_id, label,
+        |  CASE WHEN nm > 0 THEN round(d / nm, 4) END AS cos_c,
+        |  CASE WHEN nm > 0
+        |    THEN CAST(CASE WHEN d / nm < 0.0 THEN 1 ELSE 0 END AS INTEGER)
+        |  END AS anti_aligned
+        |FROM s ORDER BY vec_id""".stripMargin,
     // exact dau/wau/mau oracle-recomputed; the HLL estimates cannot be
     // recomputed in DuckDB, so the within-tolerance flags pin to 1 (the
     // agg_sketch differential pattern — a drifting sketch flips the flag

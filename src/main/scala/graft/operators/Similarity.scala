@@ -412,6 +412,58 @@ object Similarity {
           .as("max_err"))
   }
 
+  /** Per-vector alignment with the own-label spherical centroid: cosine
+    * between each UNIT vector and its label's mean-of-unit-vectors — the
+    * mislabeled-row detector at VECTOR granularity where [[labelCohesion]]
+    * scores the label as a whole (a cohesive label can still hide a
+    * handful of foreign vectors; those are exactly the rows with low or
+    * negative centroid cosine). `anti_aligned` flags cos below `minCos`
+    * (default 0.0: pointing AWAY from the label's prototype — almost
+    * always a labeling or pipeline error).
+    *
+    * Returns (idCol, labelCol, cos_c, anti_aligned); cos rounds to 4 (the
+    * centroid's per-dimension averages accumulate in engine-specific
+    * order, agreeing to ~1e-12 — far inside the gate). NULL and zero-norm
+    * vectors are excluded (no direction); a label whose CENTROID has zero
+    * norm (perfectly opposed members) yields NULL cos, not ±Inf.
+    *
+    * Scale shape: unitize map-side (codegen'd), one partial-aggregated
+    * shuffle on (label, pos) for the centroid components (labels×dims
+    * rows), centroids reassembled and broadcast back, the scoring dot a
+    * map-side native expression — the corpus is scanned twice (centroid
+    * pass + scoring pass), never self-joined. */
+  def centroidAlignment(
+      df: DataFrame, idCol: String, labelCol: String, vecCol: String,
+      minCos: Double = 0.0): DataFrame = {
+    // zero-norm exclusion must happen on the RAW norm: unitize yields NaN
+    // elements for a zero vector (not NULL), and one NaN would poison the
+    // whole label's centroid average. NaN-bearing vectors also fail the
+    // `> 0` gate (NaN compares false) — the same hygiene embed_integrity
+    // audits for.
+    val raw = transform(col(vecCol), x => x.cast("double"))
+    val unit = df
+      .filter(col(vecCol).isNotNull &&
+        VectorFns.dotNative(raw, raw) > 0)
+      .select(col(idCol), col(labelCol),
+        VectorFns.unitizeNative(col(vecCol)).as("__u"))
+    val cent = unit
+      .select(col(labelCol), posexplode(col("__u")).as(Seq("__p", "__x")))
+      .groupBy(col(labelCol), col("__p"))
+      .agg(avg(col("__x")).as("__m"))
+      .groupBy(col(labelCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__p"), col("__m")))),
+        s => s.getField("__m")).as("__c"))
+    val d = VectorFns.dotNative(col("__u"), col("__c"))
+    val nm = sqrt(VectorFns.dotNative(col("__c"), col("__c")))
+    unit.join(broadcast(cent), labelCol)
+      .withColumn("cos_c", when(nm > 0, round(d / nm, 4)))
+      .withColumn("anti_aligned",
+        when(col("cos_c").isNull, lit(null).cast("int"))
+          .otherwise(when(d / nm < minCos, 1).otherwise(0)))
+      .select(col(idCol), col(labelCol), col("cos_c"), col("anti_aligned"))
+  }
+
   /** Population covariance matrix over the first `k` embedding dimensions
     * — the embedding-health profile behind whitening decisions, PCA
     * feasibility checks, and "did the encoder collapse?" audits (a

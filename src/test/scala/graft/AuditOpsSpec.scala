@@ -611,6 +611,32 @@ class AuditOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("10", 2L, 2L), ("11", 1L, 0L), ("12", 2L, 1L)))
   }
 
+  // ---------------------------------------------------- centroidAlignment
+
+  test("centroidAlignment: a planted foreign vector flags anti-aligned; natives score high") {
+    // label A: vectors near +x; one planted vector pointing -x
+    val rows = Seq(
+      (1L, 0, Array(1.0f, 0.1f)), (2L, 0, Array(1.0f, -0.1f)),
+      (3L, 0, Array(0.9f, 0.05f)),
+      (4L, 0, Array(-1.0f, 0.0f)), // the mislabeled one
+      (10L, 1, Array(0.0f, 1.0f)), (11L, 1, Array(0.1f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidAlignment(rows, "vec_id", "label", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("cos_c"), r.getAs[Int]("anti_aligned"))).toMap
+    assert(got(4L)._2 == 1, got.toString)   // planted outlier flagged
+    assert(got(1L)._2 == 0 && got(1L)._1 > 0.9)
+    assert(got(10L)._2 == 0 && got(10L)._1 > 0.9)
+  }
+
+  test("centroidAlignment: zero-norm vectors are excluded, not scored") {
+    val rows = Seq((1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val ids = Similarity.centroidAlignment(rows, "vec_id", "label", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
   // ---------------------------------------------------- activeUsersSketch
 
   test("activeUsersSketch: sketch estimates track exact counts within tolerance on the fixture") {
