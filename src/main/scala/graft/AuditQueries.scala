@@ -271,7 +271,7 @@ object AuditQueries {
         |    SELECT vec_id, label, v0, sqrt(list_sum([x * x for x in v0])) AS nrm FROM (
         |      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
         |      FROM embeddings))
-        |  WHERE nrm > 0),
+        |  WHERE nrm > 0 AND isfinite(nrm)),
         |m AS (
         |  SELECT label, i AS p, avg(v[i]) AS mv
         |  FROM u CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
@@ -284,7 +284,7 @@ object AuditQueries {
         |SELECT vec_id, label,
         |  CASE WHEN nm > 0 THEN round(d / nm, 4) END AS cos_c,
         |  CASE WHEN nm > 0
-        |    THEN CAST(CASE WHEN d / nm < 0.0 THEN 1 ELSE 0 END AS INTEGER)
+        |    THEN CAST(CASE WHEN round(d / nm, 4) < 0.0 THEN 1 ELSE 0 END AS INTEGER)
         |  END AS anti_aligned
         |FROM s ORDER BY vec_id""".stripMargin,
     // exact dau/wau/mau oracle-recomputed; the HLL estimates cannot be

@@ -435,15 +435,19 @@ object Similarity {
   def centroidAlignment(
       df: DataFrame, idCol: String, labelCol: String, vecCol: String,
       minCos: Double = 0.0): DataFrame = {
-    // zero-norm exclusion must happen on the RAW norm: unitize yields NaN
-    // elements for a zero vector (not NULL), and one NaN would poison the
-    // whole label's centroid average. NaN-bearing vectors also fail the
-    // `> 0` gate (NaN compares false) — the same hygiene embed_integrity
-    // audits for.
+    // degenerate-vector exclusion must happen on the RAW norm, and the
+    // gate must handle Spark's NaN ordering: NaN compares GREATER than
+    // every value in Spark SQL, so `norm² > 0` alone would PASS a
+    // NaN-bearing vector (and an Inf one, whose unitization is Inf/Inf =
+    // NaN) — one such vector then poisons its whole label's centroid
+    // average. Zero vectors fail the > 0 gate; NaN/Inf fail the
+    // finiteness gate (same hygiene labelCohesion implements and
+    // embed_integrity audits for).
     val raw = transform(col(vecCol), x => x.cast("double"))
+    val normSq = VectorFns.dotNative(raw, raw)
     val unit = df
-      .filter(col(vecCol).isNotNull &&
-        VectorFns.dotNative(raw, raw) > 0)
+      .filter(col(vecCol).isNotNull && normSq > 0 &&
+        !isnan(normSq) && normSq < lit(Double.PositiveInfinity))
       .select(col(idCol), col(labelCol),
         VectorFns.unitizeNative(col(vecCol)).as("__u"))
     val cent = unit
@@ -454,13 +458,19 @@ object Similarity {
       .agg(transform(
         sort_array(collect_list(struct(col("__p"), col("__m")))),
         s => s.getField("__m")).as("__c"))
+      // the centroid norm is a per-LABEL constant — computed once here,
+      // not re-derived per corpus row in the scoring projection
+      .withColumn("__nm",
+        sqrt(VectorFns.dotNative(col("__c"), col("__c"))))
     val d = VectorFns.dotNative(col("__u"), col("__c"))
-    val nm = sqrt(VectorFns.dotNative(col("__c"), col("__c")))
     unit.join(broadcast(cent), labelCol)
-      .withColumn("cos_c", when(nm > 0, round(d / nm, 4)))
+      .withColumn("cos_c", when(col("__nm") > 0, round(d / col("__nm"), 4)))
+      // the flag compares the ROUNDED cosine: the unrounded ratio differs
+      // between engines in accumulation-order ULPs, and a vector truly ON
+      // the threshold would flip the flag while cos_c still matched
       .withColumn("anti_aligned",
         when(col("cos_c").isNull, lit(null).cast("int"))
-          .otherwise(when(d / nm < minCos, 1).otherwise(0)))
+          .otherwise(when(col("cos_c") < minCos, 1).otherwise(0)))
       .select(col(idCol), col(labelCol), col("cos_c"), col("anti_aligned"))
   }
 

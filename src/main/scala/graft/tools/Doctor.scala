@@ -53,20 +53,20 @@ object Doctor {
       .orderBy(col("n").desc).limit(5).show(truncate = false)
 
     section("duplication shape: near-dup cluster-size histogram (ngram jaccard >= 0.5)")
-    val pairs = graft.operators.Dedup.ngramJaccardPairs(
-      docs, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
-    val labels = graft.operators.Dedup.resolveClusters(pairs)
-    labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-      .orderBy("cluster_size").show(truncate = false)
+    // the REGISTERED query, not a re-implementation — the doctor's header
+    // contract is packaging over DuckDB-verified arithmetic
+    graft.SparkEntry.queries("dedup_cluster_sizes")(spark, dir)
+      .show(truncate = false)
 
     section("ingest-order zone map: would a time cutoff prune? (event_id zones)")
     val ev = Tables.loadEvents(spark, dir)
-    val zones = Profile.zoneMap(ev, floor(col("event_id") / 2000).cast("long"), "ts")
+    val zoneRows = Profile.zoneMap(ev,
+        floor(col("event_id") / 2000).cast("long"), "ts")
+      .orderBy("zone").collect()
     val span = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
-    zones.orderBy("zone").show(10, truncate = false)
+    zoneRows.take(10).foreach(r => println(s"[doctor]   $r"))
     println(s"[doctor] ts span ${span.get(0)} .. ${span.get(1)} over " +
-      s"${zones.count()} zones — tight per-zone ranges mean time predicates " +
+      s"${zoneRows.length} zones — tight per-zone ranges mean time predicates " +
       "prune on statistics (Sinks.writeZoneMapped / Sources.readZonePruned)")
 
     refDir.foreach { ref =>

@@ -629,12 +629,21 @@ class AuditOpsSpec extends SparkSpec {
     assert(got(10L)._2 == 0 && got(10L)._1 > 0.9)
   }
 
-  test("centroidAlignment: zero-norm vectors are excluded, not scored") {
-    val rows = Seq((1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.0f, 0.0f)))
-      .toDF("vec_id", "label", "embedding")
-    val ids = Similarity.centroidAlignment(rows, "vec_id", "label", "embedding")
-      .select("vec_id").as[Long].collect().toSet
-    assert(ids == Set(1L))
+  test("centroidAlignment: zero-norm, NaN- and Inf-bearing vectors are excluded, never poison a centroid") {
+    // Spark orders NaN GREATER than every double, so a naive norm² > 0
+    // gate would pass the NaN vector and turn the whole label's centroid
+    // NaN — this pins the finiteness gate
+    val rows = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.0f, 0.0f)),                    // zero norm
+      (3L, 0, Array(Float.NaN, 1.0f)),               // NaN component
+      (4L, 0, Array(Float.PositiveInfinity, 1.0f))   // Inf component
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidAlignment(rows, "vec_id", "label", "embedding")
+      .collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSet == Set(1L))
+    // and the surviving vector's score is a real number, not NaN
+    assert(got.head.getAs[Double]("cos_c") == 1.0)
   }
 
   // ---------------------------------------------------- activeUsersSketch
