@@ -23,6 +23,31 @@ object Bench {
     val suiteT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - suiteT0) / 1e9
     val spark = graft.tools.LocalSession.build(cpus)
+    // Per-query shuffle-volume meter: a listener accumulates shuffle WRITE
+    // bytes across tasks (write ≈ read for a completed exchange and is
+    // attributed exactly once per task). Shuffle bytes are a property of
+    // the PLAN + data, not the host — the scale-relevant number the
+    // timings can't give: a query that got faster by shuffling less shows
+    // it here, and one whose time regressed under host noise shows
+    // UNCHANGED bytes. Events are async, so reads settle the bus first
+    // (ListenerShim.waitUntilEmpty — the race would undercount).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        }
+      })
+    def measureShuffle(run: () => Unit): Long = {
+      org.apache.spark.graftshim.ListenerShim.waitUntilEmpty(spark.sparkContext)
+      shuffleBytes.set(0L)
+      run()
+      org.apache.spark.graftshim.ListenerShim.waitUntilEmpty(spark.sparkContext)
+      shuffleBytes.get()
+    }
     // Warm up the session (codegen, parquet footer reads, executor pool)
     // so the first measured query doesn't absorb ~5s of JVM startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
@@ -52,13 +77,20 @@ object Bench {
     // samples went 4.5s → 9.3s → 9.3s without this, and round 6's
     // single-shot "+66% regression" was this same pollution.
     def sample(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-               maxRuns: Seq[Double] => Int): (Seq[Double], Option[String]) = {
+               maxRuns: Seq[Double] => Int): (Seq[Double], Option[String], Long) = {
       val times = Seq.newBuilder[Double]
       var err: Option[String] = None
+      // shuffle volume is plan+data determined — one measurement (the
+      // first sample) per query; the bus drain adds ~ms to the cold
+      // sample, which the warm-min/median treatment already discounts
+      var shuffle = -1L
       var i = 0
       while (i < maxRuns(times.result()) && err.isEmpty) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          if (i == 0) shuffle = measureShuffle(() => { fn(spark, sfDir).count(): Unit })
+          else fn(spark, sfDir).count(): Unit
+        } catch {
           case e: Throwable =>
             err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
@@ -68,7 +100,7 @@ object Bench {
         spark.catalog.clearCache()
         i += 1
       }
-      (times.result(), err)
+      (times.result(), err, shuffle)
     }
     // warm-min: fastest sample EXCLUDING the cold first one (JIT/codegen make
     // it legitimately 3-4x slow); with a single sample it is that sample. A
@@ -94,9 +126,9 @@ object Bench {
         else if (spreadTooWide(ts)) repeats + math.min(4, extrasLeft)
         else repeats
       }
-      val (ts, err) = sample(fn, maxRuns)
+      val (ts, err, shuffle) = sample(fn, maxRuns)
       extrasLeft -= math.max(0, ts.size - repeats)
-      (name, ts, err)
+      (name, ts, err, shuffle)
     }
     // Burst-immunity second chance: extension helps only if the burst ends
     // within the extra samples; a burst spanning the whole visit leaves the
@@ -107,43 +139,46 @@ object Bench {
     // better (lower-median) visit. Honest slow queries have median ≈
     // warm-min and are never requeued, so this cannot understate real cost.
     val flagged = firstPass.collect {
-      case (name, ts, None)
+      case (name, ts, None, _)
         if ts.nonEmpty && median(ts) / math.max(warmMin(ts), 1e-9) > 2.0 => name
     }
     val rerunByName: Map[String, Seq[Double]] =
       flagged.flatMap { name =>
         if (elapsedSec > budgetSec) None
         else {
-          val (ts, err) =
+          val (ts, err, _) =
             sample(selected(name), _ => if (elapsedSec > budgetSec) 1 else repeats)
           if (err.isEmpty && ts.nonEmpty) Some(name -> ts) else None
         }
       }.toMap
-    val results = firstPass.map { case (name, ts, err) =>
+    val results = firstPass.map { case (name, ts, err, shuffle) =>
       val rerun = rerunByName.get(name)
       val best = rerun match {
         case Some(ts2) if median(ts2) < median(ts) => ts2
         case _ => ts
       }
-      (name, ts, rerun, best, err)
+      (name, ts, rerun, best, err, shuffle)
     }
-    val qs = results.map { case (k, _, _, best, _) => s"\"" + k + "\":" + median(best) }
+    val qs = results.map { case (k, _, _, best, _, _) => s"\"" + k + "\":" + median(best) }
       .mkString("{", ",", "}")
-    val warmMins = results.map { case (k, ts, rerun, _, _) =>
+    val warmMins = results.map { case (k, ts, rerun, _, _, _) =>
       val all = ts ++ rerun.getOrElse(Nil)
       s"\"" + k + "\":" + warmMin(all)
     }.mkString("{", ",", "}")
-    val samples = results.map { case (k, ts, rerun, _, _) =>
+    val samples = results.map { case (k, ts, rerun, _, _, _) =>
       val all = ts ++ rerun.getOrElse(Nil)
       s"\"" + k + "\":" + all.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val reruns = results.collect { case (k, _, Some(_), _, _) => JsonStr.quote(k) }
+    val reruns = results.collect { case (k, _, Some(_), _, _, _) => JsonStr.quote(k) }
       .mkString("[", ",", "]")
-    val errs = results.collect { case (k, _, _, _, Some(m)) =>
+    val errs = results.collect { case (k, _, _, _, Some(m), _) =>
       s"${JsonStr.quote(k)}:${JsonStr.quote(m)}"
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, _, _, best, _) => median(best) }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_min":$warmMins,"repeats":$repeats,"samples":$samples,"reruns":$reruns,"errors":$errs,"budget_exceeded":${elapsedSec > budgetSec},"sf":"$sfDir"}"""
+    val shuffles = results.collect { case (k, _, _, _, None, sh) if sh >= 0 =>
+      s"\"" + k + "\":" + (sh / 1048576.0 * 100).round / 100.0
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, _, _, best, _, _) => median(best) }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_min":$warmMins,"shuffle_mb":$shuffles,"repeats":$repeats,"samples":$samples,"reruns":$reruns,"errors":$errs,"budget_exceeded":${elapsedSec > budgetSec},"sf":"$sfDir"}"""
     // Stop Spark BEFORE emitting: its shutdown logs otherwise land after the
     // JSON line, and every driver-side BENCH_r*.json through round 8 came
     // back `parsed: null` because the line rode sbt's [info] prefix inside a
