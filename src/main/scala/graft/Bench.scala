@@ -23,31 +23,13 @@ object Bench {
     val suiteT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - suiteT0) / 1e9
     val spark = graft.tools.LocalSession.build(cpus)
-    // Per-query shuffle-volume meter: a listener accumulates shuffle WRITE
-    // bytes across tasks (write ≈ read for a completed exchange and is
-    // attributed exactly once per task). Shuffle bytes are a property of
-    // the PLAN + data, not the host — the scale-relevant number the
-    // timings can't give: a query that got faster by shuffling less shows
-    // it here, and one whose time regressed under host noise shows
-    // UNCHANGED bytes. Events are async, so reads settle the bus first
-    // (ListenerShim.waitUntilEmpty — the race would undercount).
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null)
-            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
-        }
-      })
-    def measureShuffle(run: () => Unit): Long = {
-      org.apache.spark.graftshim.ListenerShim.waitUntilEmpty(spark.sparkContext)
-      shuffleBytes.set(0L)
-      run()
-      org.apache.spark.graftshim.ListenerShim.waitUntilEmpty(spark.sparkContext)
-      shuffleBytes.get()
-    }
+    // Per-query shuffle-volume meter (graft.tools.ShuffleMeter): shuffle
+    // bytes are a property of the PLAN + data, not the host — the
+    // scale-relevant number the timings can't give: a query that got
+    // faster by shuffling less shows it here, and one whose time
+    // regressed under host noise shows UNCHANGED bytes.
+    val meter = new graft.tools.ShuffleMeter(spark)
+    def measureShuffle(run: () => Unit): Long = meter.measure(run)
     // Warm up the session (codegen, parquet footer reads, executor pool)
     // so the first measured query doesn't absorb ~5s of JVM startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-budget regression guards: the scale claims ("ships 16-byte
+  * hashes, never text", "partial-aggregates before the wire") as
+  * EXECUTABLE ceilings, measured with the same task-metrics meter the
+  * bench uses. A plan-shape regression that starts shipping payloads
+  * (lost map-side combine, text crossing the wire, a broadcast falling
+  * back to a shuffled join) blows the ceiling loudly even while results
+  * stay correct and timings stay noisy.
+  *
+  * Ceilings are set ~4-10x above measured sf0.001 values — generous
+  * enough for partitioning/serialization drift across Spark upgrades,
+  * tight enough that shipping raw text (~290 KB of documents, ~1.4 MB of
+  * lineitem) cannot hide. Measurements run against the shared session in
+  * its own suite-serial order (ScalaTest runs cases sequentially), which
+  * is what makes attribution sound. */
+class ShuffleBudgetSpec extends AnyFunSuite {
+  private val spark = SparkSpec.session
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val meter = new tools.ShuffleMeter(spark)
+
+  private def shuffleKb(name: String): Double = {
+    val bytes = meter.measure(() => {
+      SparkEntry.queries(name)(spark, dir).count(): Unit
+    })
+    bytes / 1024.0
+  }
+
+  test("dedup_exact ships hashes, not documents (<= 64 KB at sf0.001)") {
+    val kb = shuffleKb("dedup_exact")
+    assert(kb <= 64, s"dedup_exact shuffled $kb KB — is text crossing the wire?")
+  }
+
+  test("freq_count partial-aggregates to near nothing (<= 32 KB)") {
+    val kb = shuffleKb("freq_count")
+    assert(kb <= 32, s"freq_count shuffled $kb KB — lost its map-side combine?")
+  }
+
+  test("join_enrich_descr broadcasts the dimension (<= 32 KB)") {
+    val kb = shuffleKb("join_enrich_descr")
+    assert(kb <= 32, s"join_enrich_descr shuffled $kb KB — broadcast fell back?")
+  }
+
+  test("dedup_minhash stays banded (<= 2 MB at sf0.001: signatures + bands, never text)") {
+    val kb = shuffleKb("dedup_minhash")
+    assert(kb <= 2048, s"dedup_minhash shuffled $kb KB")
+  }
+
+  test("hist_bins aggregates map-side (<= 32 KB)") {
+    val kb = shuffleKb("hist_bins")
+    assert(kb <= 32, s"hist_bins shuffled $kb KB")
+  }
+}
