@@ -351,6 +351,47 @@ object ExtQueries {
       k = 10, hitsFloor = 15)
   }
 
+  /** IVF probe-count tuning curve: exact-topk hit counts at nProbe
+    * 1..4 — the recall/latency trade read BEFORE pinning a probe budget
+    * (the ANN sibling of dedup_sweep's threshold curve). Differential
+    * convention: raw hit counts stay OUT of the output (probe-dependent
+    * sketch internals); DuckDB recomputes n_queries/k and pins
+    * `monotone_ok` (more probes can only widen the searched cells — hits
+    * must be non-decreasing) and `final_floor_met` (the full-probe row
+    * meets ann_ivf's established floor). A recall regression at any
+    * probe count flips a flag and fails the driver compare. */
+  val annProbeSweep: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id")
+    val hitRows = (1 to 4).map { p =>
+      Similarity.annIvf(e, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 10, nLists = 16, nProbe = p)
+        .select("q_id", "n_id")
+        .join(exact, Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("__hits"))
+        .select(lit(p).as("n_probe"), col("__hits"))
+    }.reduce(_ unionByName _)
+    val ord = org.apache.spark.sql.expressions.Window.orderBy("n_probe")
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy("n_probe").rowsBetween(Long.MinValue, Long.MaxValue)
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    hitRows // 4 rows: the windows below touch nothing larger
+      .withColumn("__prev", lag(col("__hits"), 1).over(ord))
+      .withColumn("monotone_ok",
+        when(col("__prev").isNull || col("__hits") >= col("__prev"), 1)
+          .otherwise(0))
+      .withColumn("final_floor_met",
+        when(max(when(col("n_probe") === 4, col("__hits"))).over(all) >= 15, 1)
+          .otherwise(0))
+      .crossJoin(broadcast(nq))
+      .select(col("n_probe"), col("n_queries"), lit(10).as("k"),
+        col("monotone_ok"), col("final_floor_met"))
+      .orderBy("n_probe")
+  }
+
   // ---------------------------------------------------------- text analysis
 
   val langId: Q = (s, d) =>
@@ -978,6 +1019,7 @@ object ExtQueries {
     "topk_sim_agg" -> topkSimAgg,
     "ann_topk" -> annTopk,
     "ann_ivf" -> annIvfTopk,
+    "ann_probe_sweep" -> annProbeSweep,
     "lang_id" -> langId,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
@@ -1086,6 +1128,16 @@ object ExtQueries {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
         |  CAST(10 AS INTEGER) AS k, CAST(15 AS INTEGER) AS hits_floor,
         |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
+    // probe sweep: flags pinned (monotone hits, full-probe floor), the
+    // hit counts themselves are sketch internals and stay out
+    "ann_probe_sweep" ->
+      """SELECT CAST(p AS INTEGER) AS n_probe,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k,
+        |  CAST(1 AS INTEGER) AS monotone_ok,
+        |  CAST(1 AS INTEGER) AS final_floor_met
+        |FROM (SELECT unnest([1, 2, 3, 4]) AS p)
+        |ORDER BY n_probe""".stripMargin,
     // dedup_simhash: DuckDB pins n_docs plus the two structural flags
     // (pigeonhole recall, exact-verify precision) — see dedupSimhash.
     "dedup_simhash" ->
