@@ -29,7 +29,6 @@ object Bench {
     // faster by shuffling less shows it here, and one whose time
     // regressed under host noise shows UNCHANGED bytes.
     val meter = new graft.tools.ShuffleMeter(spark)
-    def measureShuffle(run: () => Unit): Long = meter.measure(run)
     // Warm up the session (codegen, parquet footer reads, executor pool)
     // so the first measured query doesn't absorb ~5s of JVM startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
@@ -70,7 +69,7 @@ object Bench {
       while (i < maxRuns(times.result()) && err.isEmpty) {
         val t0 = System.nanoTime()
         try {
-          if (i == 0) shuffle = measureShuffle(() => { fn(spark, sfDir).count(): Unit })
+          if (i == 0) shuffle = meter.measure(() => { fn(spark, sfDir).count(): Unit })
           else fn(spark, sfDir).count(): Unit
         } catch {
           case e: Throwable =>

@@ -363,12 +363,22 @@ object ExtQueries {
   val annProbeSweep: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
+    // the exact baseline and the IVF index are each built ONCE and
+    // checkpointed: the sweep varies only the cheap query-side probe
+    // plan — without this, every probe branch re-ran the O(n²) exact
+    // top-k AND the eager kmeans clustering (4x each per evaluation)
     val exact = Similarity.bruteForceTopK(
       e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
-      .select("q_id", "n_id")
+      .select("q_id", "n_id").localCheckpoint()
+    val c = e.select(col("vec_id").as("n_id"),
+      graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+    val centroids = Similarity.kmeansCentroids(c, "n_id", "n_v",
+      k = 16, iters = 1, assumeUnit = true)
+    val assigned = Similarity.assignCell(c, "n_id", "n_v", centroids)
+      .localCheckpoint()
     val hitRows = (1 to 4).map { p =>
-      Similarity.annIvf(e, "vec_id", "embedding", q, "vec_id", "embedding",
-          k = 10, nLists = 16, nProbe = p)
+      Similarity.annIvfWithIndex(centroids, assigned,
+          q, "vec_id", "embedding", k = 10, nProbe = p)
         .select("q_id", "n_id")
         .join(exact, Seq("q_id", "n_id"))
         .agg(count(lit(1)).as("__hits"))

@@ -112,6 +112,19 @@ object Similarity {
     val centroids = kmeansCentroids(c, "n_id", "n_v", nLists, lloydIters,
       assumeUnit = true)
     val assigned = assignCell(c, "n_id", "n_v", centroids)
+    annIvfWithIndex(centroids, assigned, queries, queryId, queryVec, k, nProbe)
+  }
+
+  /** [[annIvf]] against a PREBUILT index: `centroids` from
+    * [[kmeansCentroids]] and `assigned` from [[assignCell]] over the
+    * (n_id, n_v) unitized corpus. The separation exists because the
+    * clustering is EAGER and the assignment is a corpus pass — a caller
+    * evaluating several probe budgets (ann_probe_sweep) builds the index
+    * once and varies only this cheap query-side plan. */
+  def annIvfWithIndex(
+      centroids: DataFrame, assigned: DataFrame,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col(queryId).as("q_id"),
       VectorFns.unitizeNative(col(queryVec)).as("q_v"))
     // top-nProbe cells per query

@@ -17,19 +17,35 @@ import org.apache.spark.sql.SparkSession
   * anything. */
 final class ShuffleMeter(spark: SparkSession) {
   private val bytes = new java.util.concurrent.atomic.AtomicLong()
-  spark.sparkContext.addSparkListener(new SparkListener {
+  private val listener = new SparkListener {
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
     }
-  })
+  }
+  spark.sparkContext.addSparkListener(listener)
 
-  /** Shuffle write bytes attributable to `run`. */
+  // waitUntilEmpty THROWS TimeoutException after Spark's internal bus
+  // timeout on a badly loaded host; instrumentation must degrade to "no
+  // measurement" rather than convert a healthy query into a reported
+  // error (the bench records exceptions from the measured thunk's scope
+  // as query failures)
+  private def settled(): Boolean =
+    try { org.apache.spark.graftshim.ListenerShim.waitUntilEmpty(spark.sparkContext); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
+
+  /** Shuffle write bytes attributable to `run`, or -1 when the listener
+    * bus failed to drain (the count would under- or over-attribute). */
   def measure(run: () => Unit): Long = {
-    org.apache.spark.graftshim.ListenerShim.waitUntilEmpty(spark.sparkContext)
+    val cleanBefore = settled()
     bytes.set(0L)
     run()
-    org.apache.spark.graftshim.ListenerShim.waitUntilEmpty(spark.sparkContext)
-    bytes.get()
+    if (settled() && cleanBefore) bytes.get() else -1L
   }
+
+  /** Detach the listener — meters on a long-lived shared session (the
+    * test JVM) should not keep paying the per-task callback after their
+    * suite finishes. */
+  def close(): Unit =
+    spark.sparkContext.removeSparkListener(listener)
 }

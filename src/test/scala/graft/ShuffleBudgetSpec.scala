@@ -16,15 +16,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * lineitem) cannot hide. Measurements run against the shared session in
   * its own suite-serial order (ScalaTest runs cases sequentially), which
   * is what makes attribution sound. */
-class ShuffleBudgetSpec extends AnyFunSuite {
+class ShuffleBudgetSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private val spark = SparkSpec.session
   private val dir = "/root/testdata/sf0.001"
   private lazy val meter = new tools.ShuffleMeter(spark)
+
+  override def afterAll(): Unit = meter.close()
 
   private def shuffleKb(name: String): Double = {
     val bytes = meter.measure(() => {
       SparkEntry.queries(name)(spark, dir).count(): Unit
     })
+    assert(bytes >= 0, "listener bus failed to drain — measurement void")
     bytes / 1024.0
   }
 
