@@ -214,7 +214,14 @@ object AuditQueries {
       "vec_id", "label", "embedding")
       .orderBy("vec_id")
 
+  /** Hourly event-value sums scored against the (dow × hod) baseline —
+    * the revenue twin of seasonal_anomaly. */
+  val seasonalValueZ: Q = (s, d) =>
+    Profile.seasonalValueAnomaly(Tables.loadEvents(s, d), "ts", "value")
+      .orderBy("slot")
+
   val all: Map[String, Q] = Map(
+    "seasonal_value_z" -> seasonalValueZ,
     "embed_outliers" -> embedOutliers,
     "active_users_hll" -> activeUsersHll,
     "abc_class" -> abcClass,
@@ -261,6 +268,31 @@ object AuditQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // exact cents into one sqrt and one division (the seasonal_anomaly
+    // arithmetic over value sums); duckdb's HUGEINT meets spark's
+    // decimal(38,0) on the same exact integers
+    "seasonal_value_z" ->
+      """WITH slots AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS slot,
+        |    CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS sum_cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |s2 AS (
+        |  SELECT slot, sum_cents,
+        |    CAST(dayofweek(slot) + 1 AS INTEGER) AS dow,
+        |    CAST(hour(slot) AS INTEGER) AS hod
+        |  FROM slots),
+        |cells AS (
+        |  SELECT dow, hod, CAST(count(*) AS BIGINT) AS k,
+        |    sum(sum_cents) AS s, sum(sum_cents * sum_cents) AS sq
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT slot, s2.dow AS dow, s2.hod AS hod, sum_cents, k,
+        |  CASE WHEN k > 1 AND k * sq - s * s > 0
+        |    THEN CAST(k * sum_cents - s AS DOUBLE)
+        |      / sqrt(CAST(k * sq - s * s AS DOUBLE))
+        |  END AS z
+        |FROM s2 JOIN cells ON s2.dow = cells.dow AND s2.hod = cells.hod
+        |ORDER BY slot""".stripMargin,
     // unitize mirrors VectorFns.unitizeNative (float->double widening,
     // same op order); the centroid series is the fixture's 64 dims (all
     // SFs — a dim change would surface as loud NULL-cos mismatches, not

@@ -633,6 +633,44 @@ object Profile {
         / sqrt(m2.cast("double")))
   }
 
+  /** Seasonal VALUE anomaly: each hour-slot's metric SUM (revenue,
+    * payload bytes — any money-like column) scored against its
+    * (day-of-week × hour-of-day) cell baseline — [[seasonalAnomaly]]'s
+    * twin for the questions volume alone can't answer ("traffic is
+    * normal but revenue collapsed this Tuesday 3am"). Returns one row
+    * per hour slot: (slot, dow, hod, sum_cents, k, z).
+    *
+    * Numeric contract: values fix-point to cents (×100, LONG — the
+    * [[lorenzCurve]] doctrine), so per-slot sums are exact integers and
+    * z = (k·x − S) / √(k·ΣX² − S²) is exact-integer arithmetic into one
+    * sqrt and one division — bit-identical cross-engine, no gates. The
+    * squared terms widen to decimal(38,0) before multiplying (a slot sum
+    * past ~3·10⁹ cents would overflow a LONG square; the groupGini
+    * precedent), converging with DuckDB's automatic HUGEINT on the same
+    * exact integers. Singleton/zero-variance cells report NULL z.
+    * Negative values are allowed (refunds are real revenue events). */
+  def seasonalValueAnomaly(
+      df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol).cast("double") * 100, 0).cast("long")
+    val slots = df.filter(col(valueCol).isNotNull)
+      .groupBy(date_trunc("hour", col(tsCol)).as("slot"))
+      .agg(sum(cents).as("sum_cents"))
+      .withColumn("dow", dayofweek(col("slot")))
+      .withColumn("hod", hour(col("slot")))
+    val x = col("sum_cents").cast("decimal(38,0)")
+    val cells = slots.groupBy("dow", "hod")
+      .agg(count(lit(1)).as("k"),
+        sum(x).as("__s"),
+        sum(x * x).as("__sq"))
+    val m2 = col("k") * col("__sq") - col("__s") * col("__s")
+    slots.join(broadcast(cells), Seq("dow", "hod"))
+      .withColumn("z",
+        when(col("k") > 1 && m2 > 0,
+          (col("k") * col("sum_cents").cast("decimal(38,0)") - col("__s"))
+            .cast("double") / sqrt(m2.cast("double"))))
+      .select("slot", "dow", "hod", "sum_cents", "k", "z")
+  }
+
   /** Robust per-group z-score via median/MAD — the heavy-tail-safe twin
     * of mean/std standardization ([[standardize]]): document-length and
     * score columns are routinely long-tailed, where a handful of outliers

@@ -611,6 +611,26 @@ class AuditOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("10", 2L, 2L), ("11", 1L, 0L), ("12", 2L, 1L)))
   }
 
+  // ------------------------------------------------- seasonalValueAnomaly
+
+  test("seasonalValueAnomaly: a revenue collapse at normal volume scores the exact integer z") {
+    // same (dow,hod) cell 3 weeks running: revenue 100.00, 100.00, 10.00
+    // (cents 10000, 10000, 1000): k=3, S=21000, SQ=201e6 (in cents²);
+    // m2 = 3*201000000 - 441000000 = 162000000; z(1000) = (3*1000-21000)/sqrt(m2)
+    val weekSec = 7L * 86400
+    val rows = Seq(0L, weekSec, 2 * weekSec).zip(Seq(100.0, 100.0, 10.0))
+      .flatMap { case (base, v) =>
+        Seq((base + 600, v / 2), (base + 700, v / 2)) // two events per hour
+      }
+    val df = rows.toDF("sec", "value").withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Profile.seasonalValueAnomaly(df, "ts", "value")
+      .orderBy("slot").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getAs[Long]("sum_cents")).toSeq == Seq(10000L, 10000L, 1000L))
+    val z = got.last.getAs[Double]("z")
+    assert(z == (3.0 * 1000 - 21000) / math.sqrt(162000000.0), s"z=$z")
+  }
+
   // ---------------------------------------------------- centroidAlignment
 
   test("centroidAlignment: a planted foreign vector flags anti-aligned; natives score high") {
