@@ -274,6 +274,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("embed_outliers: centroids broadcast back; the corpus never self-joins or sort-merges") {
+    val p = plan("embed_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("seasonal_value_z: cells broadcast back to slots, no corpus-wide window") {
+    val p = plan("seasonal_value_z")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("zone_map / hist2d: single partial-aggregated pass over the scan (no sort, no join beyond the broadcast bounds)") {
     val pz = plan("zone_map")
     assert(pz.contains("partial_"), pz) // map-side combine of min/max/count
