@@ -1452,10 +1452,11 @@ object ExtQueries {
          |JOIN documents db ON prs.b_id = db.doc_id
          |GROUP BY 1 ORDER BY provenance""".stripMargin,
     // gaps in exact integer microseconds (epoch_us), lag ordered with the
-    // same (ts, event_id) tie-break; quantiles interpolate at MILLISECOND
-    // magnitude (micros/1000.0 on both sides) so the round-4 gate sits far
-    // above double ULP — at raw-micros magnitude the gate was inside the
-    // ULP and sf0.1 rows straddled it
+    // same (ts, event_id) tie-break; the quantiles use the exact-integer
+    // x20 doctrine (frac(p*(n-1)) = k/20, so quantile*20 is integral —
+    // snap, then ONE division by 20000.0 is bit-identical cross-engine).
+    // The previous /1000-then-round-4 gate was a built-in tie: every
+    // interpolated value was a multiple of 0.00005, half the round step.
     "interarrival" ->
       """WITH g AS (
         |  SELECT user_id,
@@ -1463,8 +1464,8 @@ object ExtQueries {
         |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |  FROM events)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
-        |  round(quantile_cont(gap / 1000.0, 0.5), 4) AS p50_gap_ms,
-        |  round(quantile_cont(gap / 1000.0, 0.95), 4) AS p95_gap_ms,
+        |  CAST(round(quantile_cont(gap, 0.5) * 20) AS BIGINT) / 20000.0 AS p50_gap_ms,
+        |  CAST(round(quantile_cont(gap, 0.95) * 20) AS BIGINT) / 20000.0 AS p95_gap_ms,
         |  CAST(max(gap) AS BIGINT) AS max_gap_us
         |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
     // exact side mirrored; the sketch flag is pinned 1 (the differential

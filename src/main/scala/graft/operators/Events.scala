@@ -23,13 +23,19 @@ object Events {
     * not folklore). Returns (keyCol, n_gaps, p50_gap_ms, p95_gap_ms,
     * max_gap_us): gaps are measured in exact integer MICROSECONDS —
     * epoch-second truncation would alias all sub-second cadences (the
-    * exact signature bots show) to zero — and the QUANTILES are reported
-    * in milliseconds, because quantile interpolation at raw-micros
-    * magnitudes (~1e11 for month-scale gaps) exceeds double's decimal
-    * resolution: the 4-decimal rounding gate then sits INSIDE the ULP and
-    * the two engines' interpolated doubles straddle it (observed at
-    * sf0.1). At millisecond magnitude the guard band is ~10^3 ULPs and
-    * the round-4 gate is stable, while 0.1 µs resolution survives.
+    * exact signature bots show) to zero. The quantiles are reported in
+    * milliseconds via the exact-integer doctrine, NOT a rounding gate: a
+    * linear quantile of integers interpolates at fraction
+    * frac(p*(n-1)) = k/20 for p in {0.5, 0.95}, so the true quantile x20
+    * is exactly integral. Dividing micros by 1000 then rounding to 4
+    * decimals is therefore a built-in TIE: every interpolated value is a
+    * multiple of 0.00005 ms — exactly half the 0.0001 rounding step — and
+    * the engines' last-ULP interpolation differences decide the round
+    * (observed: 2/150 rows flipped at sf0.1). Instead we snap
+    * percentile(gap_us)*20 to its integer (interpolation error is ~ULPs,
+    * vastly under the 0.5 snap radius at test scale) and perform ONE IEEE
+    * division by 20000.0 — a single correctly-rounded op on identical
+    * integers, bit-identical across engines with no gate at all.
     * `max_gap_us` needs no interpolation and stays an exact long.
     *
     * Scale shape: one shuffle on the actor key for the lag window
@@ -44,12 +50,13 @@ object Events {
     df.withColumn("__gap",
         unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
       .filter(col("__gap").isNotNull)
-      .withColumn("__gap_ms", col("__gap") / 1000.0)
       .groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n_gaps"),
-        round(percentile(col("__gap_ms"), lit(0.5)), 4).as("p50_gap_ms"),
-        round(percentile(col("__gap_ms"), lit(0.95)), 4).as("p95_gap_ms"),
+        (round(percentile(col("__gap"), lit(0.5)) * 20).cast("long") / lit(20000.0))
+          .as("p50_gap_ms"),
+        (round(percentile(col("__gap"), lit(0.95)) * 20).cast("long") / lit(20000.0))
+          .as("p95_gap_ms"),
         max(col("__gap")).as("max_gap_us"))
   }
 
