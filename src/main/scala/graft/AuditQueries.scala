@@ -708,7 +708,7 @@ object AuditQueries {
         |  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_right
         |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
         |SELECT key, n_left, n_right,
-        |  CAST(n_left * n_right AS BIGINT) AS est_pairs
+        |  CAST(n_left AS DOUBLE) * n_right AS est_pairs
         |FROM l JOIN r USING (key)
         |ORDER BY est_pairs DESC, key LIMIT 20""".stripMargin,
     // per-axis binning mirrors hist_bins' arithmetic; values cast to

@@ -51,9 +51,16 @@ object TextFns {
   }
 
   /** Native codegen'd shingling ([[graft.plans.WordShingles]]): the
-    * operator-facing form — byte-identical to [[shinglesUdf]] (spec-
-    * pinned), but zero-copy byte windows inside whole-stage codegen
-    * instead of a UDF's serde + String split + per-token allocation. */
+    * operator-facing form — byte-identical to [[shinglesUdf]] on NON-NULL
+    * text (spec-pinned), but zero-copy byte windows inside whole-stage
+    * codegen instead of a UDF's serde + String split + per-token
+    * allocation. NULL semantics DIFFER: the native expression is standard
+    * unary null-in/null-out (NULL text → NULL array, pinned in
+    * WordShinglesSpec) where the UDF returns an empty array. Current call
+    * sites tolerate either (explode drops both), but a caller branching on
+    * `size(...)` over NULL-bearing text must coalesce first —
+    * `size(NULL)` is NULL, not 0, and would silently drop the row from
+    * both sides of a comparison. */
   def shinglesFast(text: Column, n: Int): Column =
     graft.plans.WordShingles.shingles(text, n)
 

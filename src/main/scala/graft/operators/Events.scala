@@ -188,7 +188,17 @@ object Events {
   def sessionConcurrency(
       sessions: DataFrame, startCol: String, endCol: String): DataFrame = {
     val h0 = date_trunc("hour", col(startCol))
-    val h1 = date_trunc("hour", col(endCol))
+    // inverted-interval guard (same diagnostic family as
+    // intervalOverlapJoin): [[sessionStats]] output satisfies end >= start
+    // by construction, but on raw/corrupt input Spark's sequence() would
+    // die with its obscure "illegal sequence boundaries" instead of naming
+    // the offending row
+    val h1 = when(col(endCol) < col(startCol), raise_error(concat(
+        lit(s"sessionConcurrency: inverted interval ($startCol > $endCol): "),
+        col(startCol).cast("string"), lit(" > "), col(endCol).cast("string"),
+        lit(" — fix the feed; the hour span of an inverted interval is undefined")))
+        .cast("timestamp"))
+      .otherwise(date_trunc("hour", col(endCol)))
     sessions
       .select(h0.as("__h0"),
         explode(sequence(h0, h1, expr("INTERVAL 1 HOUR"))).as("hour"))

@@ -1165,7 +1165,15 @@ object Profile {
     * each scanned once and never joined to each other. NULL keys are
     * excluded: they never match in the real equi-join, so they cannot
     * contribute output rows (their scan-side volume shows up in
-    * [[columnProfile]] null counts instead). */
+    * [[columnProfile]] null counts instead).
+    *
+    * `est_pairs` is a DOUBLE: the pathological hot key this audit exists
+    * to surface (> ~3·10⁹ rows per side at 100 TB) overflows a LONG
+    * product silently, corrupting the top-K ordering so the worst key is
+    * the one that goes missing. The double product of two exact longs is
+    * a single correctly-rounded IEEE op (counts < 2⁵³), so small values
+    * stay exact and cross-engine comparable; huge ones lose ULPs, not
+    * ordering. */
   def joinSkewAudit(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, topK: Int): DataFrame = {
@@ -1175,7 +1183,7 @@ object Profile {
     val r = right.filter(col(rightKey).isNotNull)
       .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
     l.join(r, "key")
-      .withColumn("est_pairs", col("n_left") * col("n_right"))
+      .withColumn("est_pairs", col("n_left").cast("double") * col("n_right"))
       .orderBy(col("est_pairs").desc, col("key"))
       .limit(topK)
   }

@@ -395,10 +395,16 @@ object TextAnalysis {
       df: DataFrame, groupCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    // `sg` feeds BOTH self-join sides and the size aggregate — without a
+    // materialization barrier the corpus shingle explode executes three
+    // times in one job. The distinct (group, shingle) set is small next to
+    // the corpus (bounded by |groups| x vocabulary), so localCheckpoint it
+    // once and let the join + sizes read the blocks.
     val sg = df.filter(col(textCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("g"),
         explode(TextFns.shinglesFast(col(textCol), shingleN)).as("sh"))
       .distinct()
+      .localCheckpoint()
     val sizes = sg.groupBy("g").agg(count(lit(1)).as("n"))
     val co = sg.toDF("a", "sh").join(sg.toDF("b", "sh"), "sh")
       .filter(col("a") < col("b"))

@@ -470,8 +470,17 @@ object EventStreams {
           graft.engine.Sinks.recoverSwap(fs, live) // we read `live` next
           val stored =
             if (fs.exists(live)) Some(spark.read.parquet(tablePath)) else None
-          val alreadyApplied = stored.exists(
-            _.agg(max(col("last_batch_id"))).head.getLong(0) >= id)
+          // batch→streaming handoff: a pre-existing BATCH-written table
+          // (e.g. writeZoneMapped output adopted by zoneMapSink) has no
+          // `last_batch_id` column — treat it as seeded state (merge, no
+          // replay skip; the column appears on the first publish). A NULL
+          // max (zero-row table) likewise cannot have applied this batch.
+          val alreadyApplied = stored.exists { prev =>
+            prev.columns.contains("last_batch_id") && {
+              val m = prev.agg(max(col("last_batch_id"))).head
+              !m.isNullAt(0) && m.getLong(0) >= id
+            }
+          }
           if (!alreadyApplied) {
             val fresh = summarize(batch)
             val merged = stored match {

@@ -338,11 +338,17 @@ class AuditOpsSpec extends SparkSpec {
       .toDF("k")
     val right = Seq(Some(1L), Some(2L), Some(2L), Some(2L), None)
       .toDF("k")
-    val rows = Profile.joinSkewAudit(left, right, "k", "k", topK = 1).collect()
+    val audit = Profile.joinSkewAudit(left, right, "k", "k", topK = 1)
+    // est_pairs is DOUBLE by contract: a >3e9-per-side hot key — the exact
+    // key this audit exists to surface — silently overflows a LONG product
+    // and falls out of the top-K
+    assert(audit.schema("est_pairs").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val rows = audit.collect()
     assert(rows.length == 1)
     // key 1: 3x1=3; key 2: 1x3=3 — tie broken by key ascending
     assert(rows.head.getAs[Long]("key") == 1L)
-    assert(rows.head.getAs[Long]("est_pairs") == 3L)
+    assert(rows.head.getAs[Double]("est_pairs") == 3.0)
   }
 
   test("joinSkewAudit est_pairs equals the true join output count per key") {
@@ -351,7 +357,7 @@ class AuditOpsSpec extends SparkSpec {
       .collect()
     val top = audit.head
     val actual = li.filter(col("l_partkey") === top.getAs[Long]("key")).count()
-    assert(top.getAs[Long]("est_pairs") == actual * actual)
+    assert(top.getAs[Double]("est_pairs") == (actual * actual).toDouble)
   }
 
   // ------------------------------------------------------- pathSignatures
@@ -609,6 +615,18 @@ class AuditOpsSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0).toString.substring(11, 13),
         r.getAs[Long]("n_active"), r.getAs[Long]("n_starting")))
     assert(got.toSeq == Seq(("10", 2L, 2L), ("11", 1L, 0L), ("12", 2L, 1L)))
+  }
+
+  test("sessionConcurrency: an inverted interval raises the family's named diagnostic, not sequence()'s") {
+    val bad = Seq(("2024-01-01 12:00:00", "2024-01-01 10:00:00"))
+      .toDF("s0", "s1")
+      .select(to_timestamp(col("s0")).as("start"), to_timestamp(col("s1")).as("end"))
+    val e = intercept[Exception] {
+      Events.sessionConcurrency(bad, "start", "end").collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(c => String.valueOf(c.getMessage)).getOrElse("")
+    assert(msg.contains("sessionConcurrency: inverted interval"), msg)
   }
 
   // ------------------------------------------------- seasonalValueAnomaly

@@ -604,6 +604,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("countRollupSink adopts a batch-seeded table (no last_batch_id): merges instead of dying") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-seed").toString
+    val keys = Seq(col("event_type"))
+    // a BATCH-written rollup (the documented batch->streaming handoff):
+    // same shape as the maintained table, but no last_batch_id column
+    Seq(("view", 5L), ("click", 2L)).toDF("event_type", "n")
+      .write.parquet(s"$base/roll")
+    val mem = MemoryStream[Evt]
+    val q = EventStreams.countRollupSink(
+      mem.toDF(), keys, s"$base/roll", s"$base/ckpt")
+    try {
+      mem.addData(Seq(Evt(1, ts(0), 1, "view"), Evt(2, ts(1), 2, "buy")))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/roll")
+        .select("event_type", "n").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // seeded counts merged with the batch, not replaced or crashed on
+      assert(got == Map("view" -> 6L, "click" -> 2L, "buy" -> 1L), got.toString)
+      // the replay-guard column appears on the first streaming publish
+      assert(spark.read.parquet(s"$base/roll").columns.contains("last_batch_id"))
+    } finally q.stop()
+  }
+
   test("zoneMapSink: incremental zone map equals the batch operator however the stream is cut") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
