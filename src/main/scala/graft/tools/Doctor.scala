@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.operators.{Events, Profile, TextAnalysis}
@@ -12,82 +13,107 @@ import graft.operators.{Events, Profile, TextAnalysis}
   *
   * Single-dir sections: the one-row dataset card, language-composition
   * entropy per source, Zipf rank-frequency fit, per-table as-executed
-  * partition skew, and the events seasonality peak. With `refDir`, the
-  * drift battery runs against it: PSI + KS on document lengths,
-  * categorical PSI on the language mix, per-source length quantile drift,
-  * and the row-level snapshot diff tally. Every number comes from the
-  * SAME registered operators the driver verifies against DuckDB — the
-  * doctor adds packaging, not new arithmetic. */
+  * partition skew, the events seasonality peak, the near-dup cluster-size
+  * histogram, and the zone-map pruning audit. With `refDir`, the drift
+  * battery runs against it: PSI + KS on document lengths, categorical PSI
+  * on the language mix, per-source length quantile drift, and the
+  * row-level snapshot diff tally. Every number comes from the SAME
+  * registered operators the driver verifies against DuckDB — the doctor
+  * adds packaging, not new arithmetic. The section builders are public so
+  * DoctorSpec can pin each section's row shape (and the zone section's
+  * pruning claim) without parsing console output. */
 object Doctor {
+
+  /** Zone-map pruning audit at the median event time: would a `ts >= p50`
+    * predicate skip whole ingest-order zones on statistics alone?
+    * Returns [[Profile.zoneSkipAudit]]'s (zone, n_rows, v_min, v_max,
+    * skippable) — on a time-ordered ingest roughly half the zones should
+    * be skippable at the median cutoff; ~0 says the table is shuffled and
+    * zone-mapping it buys nothing until it is re-clustered
+    * ([[graft.engine.Sinks.writeZoneMapped]]). */
+  def zonePruningAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    // exact median of the event time, computed once on the tiny aggregate
+    val cutoff = ev.agg(
+      percentile(unix_micros(col("ts")), lit(0.5)).cast("long").as("c"))
+      .head.getLong(0)
+    Profile.zoneSkipAudit(ev,
+      floor(col("event_id") / 2000).cast("long"), "ts",
+      lo = timestamp_micros(lit(cutoff)))
+  }
+
+  /** The single-dir report as (title, frame) pairs — the testable core
+    * `main` prints. Frames are lazy plans; `main` shows them, specs
+    * collect them. */
+  def sections(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val docs = Tables.load(spark, dir, "documents")
+    val skew = Seq("documents", "events", "orders", "lineitem")
+      .map { t =>
+        Profile.skewReport(Tables.load(spark, dir, t))
+          .withColumn("table", lit(t))
+          .select("table", "n_partitions", "min_rows", "max_rows", "avg_rows", "skew")
+      }
+      .reduce(_ unionAll _)
+    Seq(
+      s"dataset card ($dir)" ->
+        Profile.datasetCard(docs, "doc_id", "text", "lang", "source"),
+      "language composition per source (entropy/evenness)" ->
+        Profile.groupEntropy(docs, "source", "lang").orderBy("source"),
+      "Zipf rank-frequency fit (natural text ~ -1)" ->
+        TextAnalysis.zipfSlope(docs, "text"),
+      "as-executed partition skew per table" -> skew,
+      "events seasonality: top traffic cells" ->
+        Events.seasonalityProfile(Tables.loadEvents(spark, dir), "ts")
+          .orderBy(col("n").desc).limit(5),
+      // the REGISTERED query, not a re-implementation — the doctor's
+      // header contract is packaging over DuckDB-verified arithmetic
+      "duplication shape: near-dup cluster-size histogram (ngram jaccard >= 0.5)" ->
+        graft.SparkEntry.queries("dedup_cluster_sizes")(spark, dir),
+      "ingest-order zone map: does a ts >= median cutoff prune? (event_id zones)" ->
+        zonePruningAudit(spark, dir).orderBy("zone"))
+  }
+
+  /** The drift battery vs a reference snapshot, same (title, frame)
+    * contract as [[sections]]. */
+  def driftSections(
+      spark: SparkSession, dir: String, refDir: String): Seq[(String, DataFrame)] = {
+    val docs = Tables.load(spark, dir, "documents")
+    val refDocs = Tables.load(spark, refDir, "documents")
+    Seq(
+      s"drift vs $refDir: document length PSI (>0.25 = retrain-worthy)" ->
+        Profile.psiDrift(refDocs, docs, "n_chars")
+          .agg(round(sum(col("psi_term")), 4).as("psi")),
+      "drift: document length KS (max cumulative gap)" ->
+        Profile.ksDrift(refDocs, docs, "n_chars")
+          .agg(max(col("ks_term")).as("ks")),
+      "drift: language mix (categorical PSI terms)" ->
+        Profile.psiDriftCategorical(refDocs, docs, "lang").orderBy("lang"),
+      "drift: per-source length quantiles" ->
+        Profile.quantileDrift(refDocs, docs, "source", "n_chars", Seq(0.5, 0.95))
+          .orderBy("source"),
+      "row-level snapshot diff" ->
+        graft.operators.Curation.snapshotDiff(refDocs, docs, "doc_id", Seq("text"))
+          .groupBy("status").count().orderBy("status"))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Doctor <sfDir> [refDir]")
     val dir = args(0)
     val refDir = args.lift(1)
     val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     spark.sparkContext.setLogLevel("ERROR")
-    def section(title: String): Unit = println(s"\n===== $title =====")
-
-    val docs = Tables.load(spark, dir, "documents")
-
-    section(s"dataset card ($dir)")
-    Profile.datasetCard(docs, "doc_id", "text", "lang", "source")
-      .show(truncate = false)
-
-    section("language composition per source (entropy/evenness)")
-    Profile.groupEntropy(docs, "source", "lang").orderBy("source")
-      .show(50, truncate = false)
-
-    section("Zipf rank-frequency fit (natural text ~ -1)")
-    TextAnalysis.zipfSlope(docs, "text").show(truncate = false)
-
-    section("as-executed partition skew per table")
-    Seq("documents", "events", "orders", "lineitem").foreach { t =>
-      val rep = Profile.skewReport(Tables.load(spark, dir, t))
-        .withColumn("table", lit(t))
-      rep.select("table", "n_partitions", "min_rows", "max_rows", "avg_rows", "skew")
-        .show(truncate = false)
+    def show(title: String, df: DataFrame): Unit = {
+      println(s"\n===== $title =====")
+      df.show(50, truncate = false)
     }
-
-    section("events seasonality: top traffic cells")
-    Events.seasonalityProfile(Tables.loadEvents(spark, dir), "ts")
-      .orderBy(col("n").desc).limit(5).show(truncate = false)
-
-    section("duplication shape: near-dup cluster-size histogram (ngram jaccard >= 0.5)")
-    // the REGISTERED query, not a re-implementation — the doctor's header
-    // contract is packaging over DuckDB-verified arithmetic
-    graft.SparkEntry.queries("dedup_cluster_sizes")(spark, dir)
-      .show(truncate = false)
-
-    section("ingest-order zone map: would a time cutoff prune? (event_id zones)")
+    sections(spark, dir).foreach((show _).tupled)
     val ev = Tables.loadEvents(spark, dir)
-    val zoneRows = Profile.zoneMap(ev,
-        floor(col("event_id") / 2000).cast("long"), "ts")
-      .orderBy("zone").collect()
     val span = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
-    zoneRows.take(10).foreach(r => println(s"[doctor]   $r"))
-    println(s"[doctor] ts span ${span.get(0)} .. ${span.get(1)} over " +
-      s"${zoneRows.length} zones — tight per-zone ranges mean time predicates " +
-      "prune on statistics (Sinks.writeZoneMapped / Sources.readZonePruned)")
-
-    refDir.foreach { ref =>
-      val refDocs = Tables.load(spark, ref, "documents")
-      section(s"drift vs $ref: document length PSI (>0.25 = retrain-worthy)")
-      Profile.psiDrift(refDocs, docs, "n_chars")
-        .agg(round(sum(col("psi_term")), 4).as("psi")).show()
-      section("drift: document length KS (max cumulative gap)")
-      Profile.ksDrift(refDocs, docs, "n_chars")
-        .agg(max(col("ks_term")).as("ks")).show()
-      section("drift: language mix (categorical PSI terms)")
-      Profile.psiDriftCategorical(refDocs, docs, "lang").orderBy("lang")
-        .show(50, truncate = false)
-      section("drift: per-source length quantiles")
-      Profile.quantileDrift(refDocs, docs, "source", "n_chars", Seq(0.5, 0.95))
-        .orderBy("source").show(50, truncate = false)
-      section("row-level snapshot diff")
-      graft.operators.Curation.snapshotDiff(refDocs, docs, "doc_id", Seq("text"))
-        .groupBy("status").count().orderBy("status").show(truncate = false)
-    }
-
+    println(s"[doctor] ts span ${span.get(0)} .. ${span.get(1)} — skippable=1 " +
+      "zones drop whole-zone I/O for the median-time predicate on statistics " +
+      "alone (Sinks.writeZoneMapped / Sources.readZonePruned); ~0 skippable " +
+      "on a time-ordered feed means the table needs re-clustering first")
+    refDir.foreach(ref => driftSections(spark, dir, ref).foreach((show _).tupled))
     spark.stop()
   }
 }
