@@ -391,9 +391,25 @@ object TextAnalysis {
     * exact cross-engine parity; a petabyte corpus would key the join on
     * xxhash64(shingle) to halve shuffle bytes at negligible collision
     * odds (the dedup_lines precedent). */
+  /** [[sourceOverlap]] that discards the storage handle — fine for
+    * one-shot jobs where the executor blocks die with the session.
+    * EAGER at construction (the barrier below is a localCheckpoint) and
+    * the checkpointed blocks are pinned OUTSIDE the CacheManager until
+    * the ContextCleaner GCs them; a driver loop constructing this
+    * repeatedly should use [[sourceOverlapManaged]] and free each pass
+    * (the [[Dedup.resolveClustersManaged]] precedent). */
   def sourceOverlap(
       df: DataFrame, groupCol: String, textCol: String,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3): DataFrame =
+    sourceOverlapManaged(df, groupCol, textCol, shingleN)._1
+
+  /** [[sourceOverlap]] plus a cleanup handle that unpersists the
+    * internal localCheckpoint's blocks. Call it only after the result
+    * has been fully materialized (written / collected) — the truncated
+    * lineage cannot recompute afterwards. Idempotent, best-effort. */
+  def sourceOverlapManaged(
+      df: DataFrame, groupCol: String, textCol: String,
+      shingleN: Int = 3): (DataFrame, () => Unit) = {
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
     // `sg` feeds BOTH self-join sides and the size aggregate — without a
     // materialization barrier the corpus shingle explode executes three
@@ -405,15 +421,19 @@ object TextAnalysis {
         explode(TextFns.shinglesFast(col(textCol), shingleN)).as("sh"))
       .distinct()
       .localCheckpoint()
+    val sgRdd = sg.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
     val sizes = sg.groupBy("g").agg(count(lit(1)).as("n"))
     val co = sg.toDF("a", "sh").join(sg.toDF("b", "sh"), "sh")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-    co.join(broadcast(sizes.toDF("a", "__na")), "a")
+    val out = co.join(broadcast(sizes.toDF("a", "__na")), "a")
       .join(broadcast(sizes.toDF("b", "__nb")), "b")
       .select(col("a"), col("b"), col("n_common"),
         round(col("n_common").cast("double") /
           (col("__na") + col("__nb") - col("n_common")), 6).as("jaccard"))
+    (out, () => sgRdd.foreach(_.unpersist(blocking = false)))
   }
 
   /** Tokenizer fertility by group: the mean ratio of BPE-ish subword

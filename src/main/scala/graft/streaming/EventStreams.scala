@@ -471,10 +471,14 @@ object EventStreams {
           val stored =
             if (fs.exists(live)) Some(spark.read.parquet(tablePath)) else None
           // batch→streaming handoff: a pre-existing BATCH-written table
-          // (e.g. writeZoneMapped output adopted by zoneMapSink) has no
-          // `last_batch_id` column — treat it as seeded state (merge, no
-          // replay skip; the column appears on the first publish). A NULL
-          // max (zero-row table) likewise cannot have applied this batch.
+          // has no `last_batch_id` column — treat it as seeded state
+          // (merge, no replay skip; the column appears on the first
+          // publish). The seed must match the sink's OWN schema: for
+          // zoneMapSink that is a materialized Profile.zoneMap frame
+          // (zone, n_rows, v_min, v_max) — NOT writeZoneMapped's sidecar,
+          // whose (zoneCol, <col>_min, <col>_max, n_rows) shape needs a
+          // rename/reshape before adoption. A NULL max (zero-row table)
+          // likewise cannot have applied this batch.
           val alreadyApplied = stored.exists { prev =>
             prev.columns.contains("last_batch_id") && {
               val m = prev.agg(max(col("last_batch_id"))).head

@@ -30,21 +30,33 @@ object Doctor {
     * skippable) — on a time-ordered ingest roughly half the zones should
     * be skippable at the median cutoff; ~0 says the table is shuffled and
     * zone-mapping it buys nothing until it is re-clustered
-    * ([[graft.engine.Sinks.writeZoneMapped]]). */
-  def zonePruningAudit(spark: SparkSession, dir: String): DataFrame = {
+    * ([[graft.engine.Sinks.writeZoneMapped]]).
+    *
+    * `zoneSize` is the rows-per-zone stand-in for a physical skip unit
+    * (file / row group); 2000 keeps tens of zones at the fixture scales.
+    * EAGER at construction: the median cutoff is a one-row collect (see
+    * [[sections]]). Fails with a named diagnostic when `events` has no
+    * non-NULL `ts` — a NULL median would otherwise NPE out of `getLong`. */
+  def zonePruningAudit(
+      spark: SparkSession, dir: String, zoneSize: Long = 2000L): DataFrame = {
+    require(zoneSize > 0, s"zoneSize must be positive, got $zoneSize")
     val ev = Tables.loadEvents(spark, dir)
     // exact median of the event time, computed once on the tiny aggregate
-    val cutoff = ev.agg(
-      percentile(unix_micros(col("ts")), lit(0.5)).cast("long").as("c"))
-      .head.getLong(0)
+    val med = ev.agg(
+      percentile(unix_micros(col("ts")), lit(0.5)).cast("long").as("c")).head
+    require(!med.isNullAt(0),
+      s"zonePruningAudit: events at $dir has no non-NULL ts — cannot pick " +
+        "a median cutoff; load a non-empty events table or audit a " +
+        "different column")
     Profile.zoneSkipAudit(ev,
-      floor(col("event_id") / 2000).cast("long"), "ts",
-      lo = timestamp_micros(lit(cutoff)))
+      floor(col("event_id") / zoneSize).cast("long"), "ts",
+      lo = timestamp_micros(lit(med.getLong(0))))
   }
 
   /** The single-dir report as (title, frame) pairs — the testable core
-    * `main` prints. Frames are lazy plans; `main` shows them, specs
-    * collect them. */
+    * `main` prints. Frames are lazy plans — EXCEPT the zone section,
+    * whose median cutoff is a one-row collect at construction
+    * ([[zonePruningAudit]]); `main` shows them, specs collect them. */
   def sections(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
     val docs = Tables.load(spark, dir, "documents")
     val skew = Seq("documents", "events", "orders", "lineitem")

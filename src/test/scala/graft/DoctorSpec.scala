@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tools.Doctor
+
+/** Pins the Doctor report's testable core: each section's (title, frame)
+  * row shape, the zone section's pruning claim on time-ordered ingest,
+  * the zone-size parameterization, the empty-events diagnostic, and the
+  * no-drift identity of the drift battery run against its own input. */
+class DoctorSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------ sections
+
+  test("sections: seven uniquely-titled frames with pinned schemas") {
+    val secs = Doctor.sections(spark, dir)
+    assert(secs.size == 7)
+    assert(secs.map(_._1).distinct.size == 7, "section titles must be unique")
+    val schemas = secs.map(_._2.columns.toSeq)
+    assert(schemas(0) == Seq("n_docs", "n_null_text", "n_tokens", "n_langs",
+      "n_sources", "p50_len", "p95_len", "n_dup_groups", "n_dup_docs",
+      "dup_rate"), "dataset card")
+    assert(schemas(1) == Seq("source", "n", "n_cats", "entropy", "evenness"),
+      "language composition")
+    assert(schemas(2) == Seq("n_terms", "slope", "intercept", "r2"),
+      "Zipf fit")
+    assert(schemas(3) == Seq("table", "n_partitions", "min_rows", "max_rows",
+      "avg_rows", "skew"), "partition skew")
+    assert(schemas(4) == Seq("dow", "hod", "n", "share"), "seasonality")
+    assert(schemas(5) == Seq("cluster_size", "n_clusters", "n_docs"),
+      "cluster-size histogram")
+    assert(schemas(6) == Seq("zone", "n_rows", "v_min", "v_max", "skippable"),
+      "zone audit")
+  }
+
+  test("sections: every frame collects non-empty; card is one row; skew covers the four tables") {
+    val rows = Doctor.sections(spark, dir).map { case (t, df) => t -> df.collect() }
+    rows.foreach { case (t, rs) => assert(rs.nonEmpty, s"section '$t' is empty") }
+    assert(rows(0)._2.length == 1, "dataset card is a one-row summary")
+    assert(rows(3)._2.map(_.getAs[String]("table")).sorted.toSeq ==
+      Seq("documents", "events", "lineitem", "orders"))
+    assert(rows(4)._2.length <= 5, "seasonality section is capped at 5 cells")
+  }
+
+  // ----------------------------------------------------- zonePruningAudit
+
+  test("zonePruningAudit: median-time predicate prunes some but not all zones on time-ordered ingest") {
+    // sf0.001 has 1000 events — the default 2000-row zones collapse to one
+    // zone there, so the pruning claim needs the finer granularity the
+    // parameter exists for (10 zones; ingest order correlates with ts)
+    val audit = Doctor.zonePruningAudit(spark, dir, zoneSize = 100L).collect()
+    assert(audit.nonEmpty)
+    val skippable = audit.count(_.getAs[Int]("skippable") == 1)
+    assert(skippable > 0,
+      "time-ordered ingest must yield skippable zones at the median cutoff")
+    assert(skippable < audit.length,
+      "zones holding the upper half can never be skippable for ts >= p50")
+  }
+
+  test("zonePruningAudit: zoneSize parameterizes the zone granularity") {
+    val coarse = Doctor.zonePruningAudit(spark, dir, zoneSize = 2000L).count()
+    val fine = Doctor.zonePruningAudit(spark, dir, zoneSize = 500L).count()
+    assert(fine > coarse, s"quartering zoneSize must multiply zones ($coarse -> $fine)")
+    val e = intercept[IllegalArgumentException] {
+      Doctor.zonePruningAudit(spark, dir, zoneSize = 0L)
+    }
+    assert(e.getMessage.contains("zoneSize"))
+  }
+
+  test("zonePruningAudit fails with the named diagnostic when events has no non-NULL ts") {
+    val tmp = java.nio.file.Files.createTempDirectory("doctor-empty").toString
+    graft.engine.Tables.loadEvents(spark, dir).limit(0)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Doctor.zonePruningAudit(spark, tmp)
+    }
+    assert(e.getMessage.contains("no non-NULL ts"))
+  }
+
+  // ------------------------------------------------------- driftSections
+
+  test("driftSections: five titled frames with pinned schemas") {
+    val secs = Doctor.driftSections(spark, dir, dir)
+    assert(secs.size == 5)
+    val schemas = secs.map(_._2.columns.toSeq)
+    assert(schemas(0) == Seq("psi"))
+    assert(schemas(1) == Seq("ks"))
+    assert(schemas(2) == Seq("lang", "p_ref", "p_cmp", "psi_term"))
+    assert(schemas(3) == Seq("source", "p50_ref", "p95_ref", "p50_cmp",
+      "p95_cmp", "d_p50", "d_p95"))
+    assert(schemas(4) == Seq("status", "count"))
+  }
+
+  test("driftSections vs the same directory: the no-drift identity") {
+    val secs = Doctor.driftSections(spark, dir, dir).toMap
+    val byIdx = Doctor.driftSections(spark, dir, dir)
+    assert(byIdx(0)._2.head.getAs[Double]("psi") == 0.0)
+    assert(byIdx(1)._2.head.getAs[Double]("ks") == 0.0)
+    assert(byIdx(2)._2.collect().forall(_.getAs[Double]("psi_term") == 0.0),
+      "identical language mixes have zero PSI terms")
+    val qd = byIdx(3)._2.collect()
+    assert(qd.forall(r => r.getAs[Double]("d_p50") == 0.0 &&
+      r.getAs[Double]("d_p95") == 0.0))
+    val diff = byIdx(4)._2.collect()
+    assert(diff.length == 1 && diff.head.getAs[String]("status") == "unchanged",
+      "a snapshot diffed against itself is all-unchanged")
+    assert(secs.size == 5) // toMap dedup check: titles unique
+  }
+}

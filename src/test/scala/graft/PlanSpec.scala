@@ -7,8 +7,19 @@ package graft
 class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
-  private def plan(name: String): String =
+
+  /** Registered-query keys covered by at least one plan assertion in this
+    * suite — fed by [[plan]] automatically and by [[covers]] where a test
+    * asserts on the underlying OPERATOR plan instead of the registered
+    * differential. The census test (registered last) holds a floor over
+    * this set so plan coverage scales with the registry instead of by
+    * memory. */
+  private val planAsserted = scala.collection.mutable.Set[String]()
+  private def covers(names: String*): Unit = planAsserted ++= names
+  private def plan(name: String): String = {
+    covers(name)
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  }
 
   test("filters and projections reach the parquet scan") {
     val p = plan("filter_like")
@@ -60,6 +71,7 @@ class PlanSpec extends SparkSpec {
     // assert on the OPERATOR plan, not the registered query: since round 7
     // the registered key is a completeness differential whose brute-force
     // exact side is a deliberate (fixture-scale) cartesian harness
+    covers("dedup_simhash")
     val docs = graft.engine.Tables.load(spark, dir, "documents")
     val p = graft.operators.Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
       .queryExecution.executedPlan.toString
@@ -68,6 +80,7 @@ class PlanSpec extends SparkSpec {
 
   test("embed LSH candidates join on (table, bucket); exact embed baseline is a distributed cartesian") {
     // operator plan, not the registered differential (see simhash note)
+    covers("dedup_embed_lsh")
     val e = graft.engine.Tables.load(spark, dir, "embeddings")
     val lsh = graft.operators.Dedup.cosinePairsLsh(e, "vec_id", "embedding",
       minCosine = 0.45, numTables = 12, planesPerTable = 4)
@@ -104,6 +117,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_survivor: the ranking window runs over the labels join, never the corpus scan") {
+    covers("dedup_survivor")
     val raw = SparkEntry.queries("dedup_survivor")(spark, dir)
     // the loser-id side is a checkpointed frame with no static stats, so the
     // broadcast decision is AQE's runtime call — execute THIS queryExecution
@@ -292,5 +306,20 @@ class PlanSpec extends SparkSpec {
     assert(!pz.contains("SortMergeJoin") && !pz.contains("CartesianProduct"), pz)
     val ph = plan("hist2d")
     assert(!ph.contains("SortMergeJoin"), ph) // bounds ride a broadcast
+  }
+
+  // Registered LAST: AnyFunSuite runs tests in registration order, so every
+  // plan()/covers() call above has recorded by the time this executes.
+  test("census: plan-assertion coverage holds its floor and names only real registry keys") {
+    val ghosts = planAsserted.toSet -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty,
+      s"plan tests cover keys missing from the registry: ${ghosts.toSeq.sorted.mkString(", ")}")
+    // floor = the census at the time this guard landed (39 of 175 keys,
+    // round 12). Raising it is cheap when new plan tests land; lowering it
+    // means plan coverage regressed — do that consciously, in review.
+    val floor = 39
+    assert(planAsserted.size >= floor,
+      s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
+        s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")
   }
 }

@@ -18,6 +18,49 @@ class RegistrySpec extends AnyFunSuite {
       s"orphan oracles: ${(os -- qs).toSeq.sorted.mkString(", ")}")
   }
 
+  /** Enforces README.md "Quantile tie audit": a linear quantile of an
+    * integer-grid domain lands on multiples of g/20; dividing and then
+    * rounding it can sit EXACTLY on the round-half boundary where Spark
+    * (decimal-repr half-up) and DuckDB (binary round) disagree — the
+    * `interarrival` bug class. Any oracle whose SQL rounds an expression
+    * containing `quantile_cont` must therefore be adjudicated in the
+    * README audit table and listed here; registering a new one without
+    * an audit entry fails this spec. The reverse direction also holds:
+    * an allowlisted key whose oracle no longer round-wraps a quantile is
+    * a stale audit entry and fails too. */
+  test("quantile tie-audit guard: every round-wrapped quantile gate is audited") {
+    // keys adjudicated safe in README.md §"Quantile tie audit". The table
+    // also lists hist_quantile/corpus_diff, whose gates live on the SPARK
+    // side (their oracles are quantile-free differentials) — this guard
+    // scans oracle SQL only, so they are correctly absent here.
+    val audited = Set(
+      "interarrival", "ship_latency", "dataset_card", "group_quantiles",
+      "agg_stats", "agg_sketch", "drift_quantile", "abc_class",
+      "robust_z", "quality_gate", "winsorize_len",
+      "quantile_bin", "lorenz_curve")
+    // DELIBERATELY coarse: any oracle mixing quantile_cont with round() is
+    // flagged — a paren-precise "round wraps quantile" matcher misses the
+    // `list_transform(quantile_cont(...), x -> round(x, 4))` lambda shape
+    // (abc_class, lorenz_curve), and a bypassable guard is worse than an
+    // over-flagging one. The cost is one allowlist entry per audited key.
+    def roundWrapsQuantile(sql: String): Boolean = {
+      val s = sql.toLowerCase
+      s.contains("quantile_cont") && s.contains("round(")
+    }
+    val flagged = SparkEntry.oracleSql.collect {
+      case (k, sql) if roundWrapsQuantile(sql) => k
+    }.toSet
+    val unaudited = flagged -- audited
+    assert(unaudited.isEmpty,
+      "oracles round-wrap a quantile without a README tie-audit entry " +
+        s"(adjudicate g/(20·K) vs the odd-half-step rule, then allowlist): " +
+        unaudited.toSeq.sorted.mkString(", "))
+    val stale = audited -- flagged
+    assert(stale.isEmpty,
+      s"audited keys whose oracle no longer round-wraps a quantile " +
+        s"(drop from the allowlist + README table): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("oracle SQL is non-empty and references a fixture table") {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")

@@ -461,6 +461,28 @@ class TextEventsSpec extends SparkSpec {
       TextAnalysis.sourceOverlap(docs, "source", "text", shingleN = 0))
   }
 
+  test("sourceOverlapManaged: same result, and the handle unpersists the checkpoint blocks") {
+    val docs = Seq(
+      (1L, "web", "a b c d"),
+      (3L, "book", "a b c x")
+    ).toDF("doc_id", "source", "text")
+    val sc = spark.sparkContext
+    val preIds = sc.getPersistentRDDs.keySet
+    val (out, release) = TextAnalysis.sourceOverlapManaged(docs, "source", "text", 3)
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getDouble(3) == 0.333333)
+    // the construction registered exactly this operator's checkpoint RDDs
+    val ours = sc.getPersistentRDDs.keySet -- preIds
+    assert(ours.nonEmpty, "localCheckpoint must register a persistent RDD")
+    release()
+    release() // idempotent
+    // unpersist(blocking = false) still removes the entry from the
+    // persistence registry synchronously; only block deletion is async.
+    // Keyed to OUR ids so parallel suites caching elsewhere can't flake it.
+    assert((sc.getPersistentRDDs.keySet & ours).isEmpty,
+      s"release() must drop the checkpointed RDD ids $ours from the registry")
+  }
+
   test("tokenFertility: punctuation-heavy groups score higher; plain words ~1; zero-word docs drop") {
     val docs = Seq(
       (1L, "en", "plain words only here"),          // 4 words, 4 bpeish -> 1.0
