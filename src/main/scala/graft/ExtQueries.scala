@@ -351,6 +351,38 @@ object ExtQueries {
       k = 10, hitsFloor = 15)
   }
 
+  /** The STORED-index path through ann_ivf's exact harness: build the IVF
+    * index, publish it to disk (write-then-swap), reload, and answer the
+    * same queries from the stored tables — the build-once / query-many
+    * production shape. Same floor as ann_ivf because the stored index is
+    * bit-identical to the in-memory one (deterministic hash-seeded
+    * k-means + exact double round-trip through parquet; SimilaritySpec
+    * pins result equality). EAGER + self-cleaning: the 1-row recall
+    * aggregate is collected and re-wrapped so the temp index directory
+    * can be deleted before returning (a lazy plan would dangle on it). */
+  val annIvfStoredQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", idx,
+        nLists = 16, lloydIters = 1)
+      val check = annRecallCheck(
+        Similarity.annIvfStored(s, idx, q, "vec_id", "embedding",
+          k = 10, nProbe = 4).select("q_id", "n_id"),
+        Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
+          "embedding", k = 10).select("q_id", "n_id"),
+        k = 10, hitsFloor = 15)
+      val rows = check.collect()
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rows: _*)), check.schema)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** IVF probe-count tuning curve: exact-topk hit counts at nProbe
     * 1..4 — the recall/latency trade read BEFORE pinning a probe budget
     * (the ANN sibling of dedup_sweep's threshold curve). Differential
@@ -1029,6 +1061,7 @@ object ExtQueries {
     "topk_sim_agg" -> topkSimAgg,
     "ann_topk" -> annTopk,
     "ann_ivf" -> annIvfTopk,
+    "ann_ivf_stored" -> annIvfStoredQ,
     "ann_probe_sweep" -> annProbeSweep,
     "lang_id" -> langId,
     "text_quality" -> textQuality,
@@ -1135,6 +1168,13 @@ object ExtQueries {
         |  CAST(10 AS INTEGER) AS k, CAST(15 AS INTEGER) AS hits_floor,
         |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
     "ann_ivf" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k, CAST(15 AS INTEGER) AS hits_floor,
+        |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
+    // stored-index path shares ann_ivf's floor: the persisted index is
+    // bit-identical to the in-memory build (deterministic seeds, exact
+    // double round-trip), so recall cannot differ
+    "ann_ivf_stored" ->
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
         |  CAST(10 AS INTEGER) AS k, CAST(15 AS INTEGER) AS hits_floor,
         |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,

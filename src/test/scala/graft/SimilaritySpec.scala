@@ -282,4 +282,66 @@ class SimilaritySpec extends SparkSpec {
     assert((0 to 7).forall(i => empty.getLong(i) == 0L), empty.toString)
     assert(empty.isNullAt(8) && empty.isNullAt(9), empty.toString)
   }
+
+  // ---------------------------------------------------- stored IVF index
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("writeIvfIndex round-trip: stored index answers identically to the in-memory build") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf-rt").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+      nLists = 8, lloydIters = 1)
+    // the in-memory comparator built the same deterministic way
+    val c = emb.select(col("vec_id").as("n_id"),
+      graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+    val centroids = Similarity.kmeansCentroids(c, "n_id", "n_v",
+      k = 8, iters = 1, assumeUnit = true)
+    val mem = Similarity.annIvfWithIndex(centroids,
+      Similarity.assignCell(c, "n_id", "n_v", centroids),
+      queries, "vec_id", "embedding", k = 5, nProbe = 2)
+    val stored = Similarity.annIvfStored(spark, idx,
+      queries, "vec_id", "embedding", k = 5, nProbe = 2)
+    assert(topkSet(stored) == topkSet(mem),
+      "stored and in-memory IVF must answer bit-identically")
+    // a rebuild over the same corpus is a no-op diff (deterministic seeds).
+    // Materialize the first snapshot BEFORE rebuilding: the swap renames
+    // the live dir's files out from under a still-lazy reader.
+    val (cen1, asg1) = Similarity.readIvfIndex(spark, idx)
+    val cen1Rows = cen1.collect().toSet
+    val asg1N = asg1.count()
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+      nLists = 8, lloydIters = 1)
+    val (cen2, asg2) = Similarity.readIvfIndex(spark, idx)
+    assert(cen1Rows == cen2.collect().toSet)
+    assert(asg1N == asg2.count())
+  }
+
+  test("appendIvfIndex: incremental half equals building the assignment over the full corpus") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf-app").toString
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.writeIvfIndex(half1, "vec_id", "embedding", idx,
+      nLists = 8, lloydIters = 1)
+    Similarity.appendIvfIndex(spark, idx, half2, "vec_id", "embedding")
+    val (centroids, assigned) = Similarity.readIvfIndex(spark, idx)
+    assert(assigned.count() == emb.count(),
+      "append must index every new vector exactly once")
+    // per-row map-side assignment: assigning the halves separately against
+    // the SAME centroids must equal one assignment pass over the union
+    val c = emb.select(col("vec_id").as("n_id"),
+      graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+    val full = Similarity.assignCell(c, "n_id", "n_v", centroids)
+      .select("n_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val storedCells = assigned.select("n_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storedCells == full,
+      "appended assignments must match the single-pass assignment")
+    // and the grown index serves queries through the standard path
+    val served = Similarity.annIvfStored(spark, idx,
+      queries, "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(served.filter(col("rank") === 1).count() == queries.count())
+  }
 }
