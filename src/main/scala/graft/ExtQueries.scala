@@ -86,6 +86,17 @@ object ExtQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Exact-substring duplication via winnowing fingerprints — pairs of
+    * documents sharing ≥3 locally-minimal 16-char-gram hashes (window 8):
+    * any copied span of ≥ 23 chars is guaranteed at least one shared
+    * fingerprint. Pure integer output, full hash-match oracle (DuckDB
+    * mirrors the k-gram md5s, the per-doc window minimum, the df≤20
+    * boilerplate cap, and the pair counts token-for-token). */
+  val dedupSubstring: Q = (s, d) =>
+    Dedup.substringDupPairs(t(s, d, "documents"), "doc_id", "text",
+      k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
+      .orderBy("a_id", "b_id")
+
   /** Skew guard (maxShingleDf) is ON via its default: no fixture shingle
     * reaches the cap, so the exact-Jaccard oracle still matches, while a
     * 100 TB stop-shingle can no longer create a quadratic hot key. */
@@ -1049,6 +1060,7 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_sweep" -> dedupSweep,
+    "dedup_substring" -> dedupSubstring,
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_resolve" -> dedupResolve,
@@ -1678,6 +1690,28 @@ object ExtQueries {
         |JOIN sz na ON na.doc_id = a_id
         |JOIN sz nb ON nb.doc_id = b_id
         |WHERE i / (na.n + nb.n - i) >= 0.5e0
+        |ORDER BY a_id, b_id""".stripMargin,
+    // winnowing mirrored selection-for-selection: k-gram md5s at every
+    // position, complete-window minima per doc (leading frame + tail cut,
+    // matching Dedup.winnowFingerprints), distinct fingerprints, df cap,
+    // pair counts — all exact integers/strings, no gate anywhere
+    "dedup_substring" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16),
+        |h AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM g),
+        |win AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
+        |fp AS (SELECT DISTINCT doc_id, mn AS h FROM win
+        |       WHERE pos <= greatest(n - 8, 0)),
+        |dfreq AS (SELECT h, count(*) AS d FROM fp GROUP BY h),
+        |fp2 AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfreq USING (h) WHERE d <= 20)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY a_id, b_id""".stripMargin,
     // the dedup_ngram pair arithmetic at a lower floor, bucketed on the
     // ROUNDED jaccard (same round-4 gate, identical IEEE floor(j*10) on

@@ -964,4 +964,89 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------- exact-substring (winnowing)
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS plagiarism-detection selector): per document, hash every
+    * character `k`-gram, then take the MINIMUM hash of every COMPLETE
+    * window of `w` consecutive k-gram hashes; the distinct set of those
+    * window-minima is the fingerprint set. It is position-INDEPENDENT —
+    * each selected value depends only on a w+k−1-char slice of content —
+    * which is what stride-sampled shingles cannot give (a copied span
+    * lands at different offsets in each document, so stride-aligned
+    * samples miss it). Guarantee: two documents sharing any exact
+    * substring of length ≥ w + k − 1 contain a common complete window,
+    * hence share that window's minimum. (The tempting shortcut — keep
+    * position i iff h(i) is the min of ITS trailing window — BREAKS the
+    * guarantee: the shared window's argmin can be shadowed by a smaller
+    * hash in the differing context just before the span, so nothing from
+    * the span is selected. Selection must be per WINDOW, not per
+    * position.) Documents with fewer than `w` k-grams keep their single
+    * global-min fingerprint instead of vanishing. Returns DISTINCT
+    * (id, h: md5 hex of the k-gram); md5 (not xxhash64) so the DuckDB
+    * oracle mirrors the selection byte-for-byte.
+    *
+    * Scale shape: the k-gram hashes are one map-side `transform` over a
+    * position `sequence` (codegen'd builtins, no UDF); the window minima
+    * come from a frame PARTITIONED BY document — partition size is
+    * bounded by the longest document, never the corpus, so there is no
+    * global sort and the one shuffle is the per-doc repartition. */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val len = length(col(textCol))
+    val grams = transform(
+      sequence(lit(0), (len - k).cast("int")),
+      i => md5(col(textCol).substr(i + 1, lit(k))))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    df.filter(col(textCol).isNotNull && len >= k)
+      // n = k-gram count, carried so incomplete tail windows (which would
+      // re-select suffix minima spuriously) can be dropped after the frame
+      .select(col(idCol).as("id"), (len - k + 1).cast("long").as("n"),
+        posexplode(grams).as(Seq("pos", "h")))
+      .withColumn("__mn", min(col("h")).over(win))
+      .filter(col("pos") <= greatest(col("n") - w, lit(0L)))
+      .select(col("id"), col("__mn").as("h")).distinct()
+  }
+
+  /** Exact-substring duplication between documents: pairs sharing at least
+    * `minShared` winnowing fingerprints — the local-copy detector (licence
+    * boilerplate, quoted passages, mirrored paragraphs) that doc-LEVEL
+    * similarity (minhash/ngram Jaccard) misses when the rest of the two
+    * documents differs. The published exact-substring dedup result (Lee et
+    * al., ACL'22) removes spans like these from pretraining corpora; this
+    * operator finds them Spark-shaped. Returns (a_id, b_id, n_shared) with
+    * a_id < b_id.
+    *
+    * `maxFingerprintDf` drops fingerprints present in more than that many
+    * documents BEFORE pairing — corpus-wide boilerplate k-grams would
+    * otherwise fan out quadratically in the per-hash doc count (the
+    * maxShingleDf precedent). Dropped hashes can only LOWER n_shared, so
+    * the cap trades recall on ubiquitous spans (which exact dedup handles
+    * anyway) for a bounded join. All outputs are exact integer counts —
+    * no FP, no rounding gate, full hash-match oracle. */
+  def substringDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxFingerprintDf >= 2,
+      s"maxFingerprintDf must be >= 2 (pairs need two docs), got $maxFingerprintDf")
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+    // document frequency per hash: |hashes| rows, partial-aggregated;
+    // joined back on the hash key (same shuffle key the pairing uses)
+    val keep = fp.groupBy("h").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") <= maxFingerprintDf)
+      .select("h")
+    val fp2 = fp.join(keep, Seq("h"))
+    fp2.select(col("h"), col("id").as("a_id"))
+      .join(fp2.select(col("h"), col("id").as("b_id")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -462,4 +462,61 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == Set((1L, 2L))) // cross-block pair pruned by design
   }
+
+  // --------------------------------------- winnowing / substring dedup
+
+  test("winnowFingerprints: the w+k-1 guarantee holds at ARBITRARY offsets; disjoint docs share nothing") {
+    // shared span of exactly w + k - 1 = 10 chars (k=4, w=7), planted at
+    // different offsets in each doc — the position-independence that makes
+    // winnowing the copied-span detector stride sampling cannot be
+    val span = "QWERTYUIOP" // 10 chars, alphabet disjoint from the filler
+    val docs = Seq(
+      (1L, "aaaa bbbb " + span + " cccc"),
+      (2L, "zzz" + span + " xxxx yyyy vvvv"),
+      (3L, "0123 4567 8901 2345 6789")) // disjoint alphabet
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val by = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((by(1L) & by(2L)).nonEmpty,
+      "docs sharing a w+k-1 span must share at least one fingerprint")
+    assert((by(1L) & by(3L)).isEmpty && (by(2L) & by(3L)).isEmpty,
+      "disjoint-alphabet docs can share no k-gram hash")
+  }
+
+  test("winnowFingerprints: too-short and NULL docs drop; fingerprints are distinct per doc") {
+    val docs = Seq((1L, "abc"), (2L, null), (3L, "abcdabcdabcdabcd"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 2).collect()
+    assert(fp.forall(_.getLong(0) == 3L), "only the long doc fingerprints")
+    val hs = fp.map(_.getString(1))
+    assert(hs.toSet.size == hs.length, "per-doc fingerprints are DISTINCT")
+  }
+
+  test("substringDupPairs: planted copy found with exact shared count; df cap silences boilerplate") {
+    val boiler = "COMMONBOILERPLATE" // in every doc -> df cap drops it
+    val copy = "The quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma $copy"),
+      (2L, s"delta $copy epsilon $boiler"),
+      (3L, s"$boiler unrelated filler text one"),
+      (4L, s"$boiler other filler words two here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 2, maxFingerprintDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the "boilerplate + space" k-grams are shared by docs 1/3/4 (df 3 >
+    // cap 2) and dropped; only the copied sentence (df 2) links docs —
+    // and it links exactly (1,2)
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), pairs.mkString(","))
+    // raising the cap admits the boilerplate: every doc pair now links
+    val loose = Dedup.substringDupPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 2, maxFingerprintDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.size > 1 && loose.contains((3L, 4L)), loose.toString)
+    intercept[IllegalArgumentException](
+      Dedup.substringDupPairs(docs, "doc_id", "text", minShared = 0))
+    intercept[IllegalArgumentException](
+      Dedup.substringDupPairs(docs, "doc_id", "text", maxFingerprintDf = 1))
+  }
 }

@@ -308,6 +308,17 @@ class PlanSpec extends SparkSpec {
     assert(!ph.contains("SortMergeJoin"), ph) // bounds ride a broadcast
   }
 
+  test("dedup_substring: per-doc winnow window (never global), hash-keyed pairing (never cartesian)") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the winnow min-filter must partition by the document id — an empty
+    // partitionBy would funnel the whole corpus's k-grams through one task
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")), s"global window:\n$p")
+    // fingerprint document-frequency aggregates partially map-side
+    assert(p.contains("partial_count"), p)
+  }
+
   // Registered LAST: AnyFunSuite runs tests in registration order, so every
   // plan()/covers() call above has recorded by the time this executes.
   test("census: plan-assertion coverage holds its floor and names only real registry keys") {
