@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.operators.{Curation, Dedup, Events, Profile, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Privacy, Profile, Similarity, TextAnalysis}
 
 /** Round-10 audit/analytics queries: distribution drift (KS), data-quality
   * forensics (Benford), trade-off frontiers (Pareto skyline), behavioral
@@ -220,6 +220,34 @@ object AuditQueries {
     Profile.seasonalValueAnomaly(Tables.loadEvents(s, d), "ts", "value")
       .orderBy("slot")
 
+  /** Hourly-count autocorrelation at daily-rhythm lags. The fixture's
+    * arrivals are near-uniform, so the pinned signal is the exact-integer
+    * correlation arithmetic (values near 0), not a seasonal peak. */
+  val autocorrLagQ: Q = (s, d) =>
+    Events.autocorrLag(Tables.loadEvents(s, d), "ts", Seq(1, 24, 168))
+      .orderBy("lag")
+
+  /** l-diversity over (priority, order day) classes with order status as
+    * the sensitive attribute — classes that are k-large can still be
+    * status-homogeneous, which is what the audit surfaces. */
+  val lDiversityQ: Q = (s, d) =>
+    Privacy.lDiversity(
+      t(s, d, "orders").withColumn("o_day", col("o_orderdate").cast("date")),
+      Seq("o_orderpriority", "o_day"), "o_orderstatus", l = 2)
+      .orderBy("o_orderpriority", "o_day")
+
+  /** RFM quintile scores per customer over the orders table. */
+  val rfmScoresQ: Q = (s, d) =>
+    Profile.rfmScores(t(s, d, "orders"), "o_custkey", "o_orderdate",
+      "o_totalprice")
+      .orderBy("o_custkey")
+
+  /** Part co-occurrence lift over order baskets (≥2 shared orders). */
+  val basketLiftQ: Q = (s, d) =>
+    Profile.cooccurrenceLift(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+      minPairCount = 2)
+      .orderBy("item_a", "item_b")
+
   val all: Map[String, Q] = Map(
     "seasonal_value_z" -> seasonalValueZ,
     "embed_outliers" -> embedOutliers,
@@ -247,7 +275,11 @@ object AuditQueries {
     "join_skew" -> joinSkew,
     "hist2d" -> hist2dQ,
     "mutual_info" -> mutualInfoQ,
-    "zipf_slope" -> zipfSlope
+    "zipf_slope" -> zipfSlope,
+    "autocorr_lag" -> autocorrLagQ,
+    "l_diversity" -> lDiversityQ,
+    "rfm_scores" -> rfmScoresQ,
+    "basket_lift" -> basketLiftQ
   )
 
   /** The 36 upper-triangle covar_pop entries for embed_covariance, unrolled
@@ -783,6 +815,108 @@ object AuditQueries {
         |JOIN sz na ON na.doc_id = a_id
         |JOIN sz nb ON nb.doc_id = b_id
         |WHERE i / na.n >= 0.8e0 OR i / nb.n >= 0.8e0
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+    // dense hour spine (silent hours = 0), map-side hour index from the
+    // bounds, lag self-join of the spine, and the house exact-integer corr:
+    // two sqrt's of exact BIGINTs kept SEPARATE (their product can pass
+    // 2^53), one multiply, one division — bit-identical, no gate
+    "autocorr_lag" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM events WHERE ts IS NOT NULL),
+        |sp AS (SELECT h0, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b),
+        |c AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+        |      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(date_diff('hour', sp.h0, sp.hr) AS BIGINT) AS i,
+        |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM sp LEFT JOIN c USING (hr)),
+        |agg AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(a.n) AS BIGINT) AS sx, CAST(sum(bb.n) AS BIGINT) AS sy,
+        |    CAST(sum(a.n*a.n) AS BIGINT) AS sxx, CAST(sum(bb.n*bb.n) AS BIGINT) AS syy,
+        |    CAST(sum(a.n*bb.n) AS BIGINT) AS sxy
+        |  FROM (SELECT CAST(unnest([1, 24, 168]) AS BIGINT) AS lag) l
+        |  JOIN s a ON TRUE JOIN s bb ON bb.i = a.i + l.lag
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, np AS n_pairs,
+        |  CASE WHEN np*sxx - sx*sx > 0 AND np*syy - sy*sy > 0 THEN
+        |    CAST(np*sxy - sx*sy AS DOUBLE)
+        |      / (sqrt(CAST(np*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(np*syy - sy*sy AS DOUBLE)))
+        |  END AS r
+        |FROM agg ORDER BY lag""".stripMargin,
+    "l_diversity" ->
+      """SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS o_day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l_distinct,
+        |  CAST(CASE WHEN count(DISTINCT o_orderstatus) < 2 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS at_risk
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, o_day""".stripMargin,
+    // integer-grid quintiles rounded 4 on both sides; recency cuts via the
+    // affine identity maxdd - q_{1-p}(dd); money fixed-point to cents
+    // BEFORE summing (exact BIGINT) — see Profile.rfmScores
+    "rfm_scores" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+        |      AS BIGINT) AS dd,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS m_cents
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY 1),
+        |st AS (
+        |  SELECT max(dd) AS maxdd,
+        |    round(quantile_cont(CAST(f AS DOUBLE), 0.2), 4) AS f0,
+        |    round(quantile_cont(CAST(f AS DOUBLE), 0.4), 4) AS f1,
+        |    round(quantile_cont(CAST(f AS DOUBLE), 0.6), 4) AS f2,
+        |    round(quantile_cont(CAST(f AS DOUBLE), 0.8), 4) AS f3,
+        |    round(quantile_cont(CAST(m_cents AS DOUBLE), 0.2), 4) AS m0,
+        |    round(quantile_cont(CAST(m_cents AS DOUBLE), 0.4), 4) AS m1,
+        |    round(quantile_cont(CAST(m_cents AS DOUBLE), 0.6), 4) AS m2,
+        |    round(quantile_cont(CAST(m_cents AS DOUBLE), 0.8), 4) AS m3,
+        |    round(quantile_cont(CAST(dd AS DOUBLE), 0.8), 4) AS r0,
+        |    round(quantile_cont(CAST(dd AS DOUBLE), 0.6), 4) AS r1,
+        |    round(quantile_cont(CAST(dd AS DOUBLE), 0.4), 4) AS r2,
+        |    round(quantile_cont(CAST(dd AS DOUBLE), 0.2), 4) AS r3
+        |  FROM per)
+        |SELECT o_custkey, maxdd - dd AS r_days, f, m_cents,
+        |  CAST(6 - (1
+        |    + (CASE WHEN CAST(maxdd - dd AS DOUBLE) > maxdd - r0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(maxdd - dd AS DOUBLE) > maxdd - r1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(maxdd - dd AS DOUBLE) > maxdd - r2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(maxdd - dd AS DOUBLE) > maxdd - r3 THEN 1 ELSE 0 END))
+        |    AS INTEGER) AS r_score,
+        |  CAST(1
+        |    + (CASE WHEN CAST(f AS DOUBLE) > f0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(f AS DOUBLE) > f1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(f AS DOUBLE) > f2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(f AS DOUBLE) > f3 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS f_score,
+        |  CAST(1
+        |    + (CASE WHEN CAST(m_cents AS DOUBLE) > m0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(m_cents AS DOUBLE) > m1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(m_cents AS DOUBLE) > m2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(m_cents AS DOUBLE) > m3 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS m_score
+        |FROM per, st ORDER BY o_custkey""".stripMargin,
+    // lift = one IEEE division of exact BIGINT products — no gate
+    "basket_lift" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+        |pairs AS (
+        |  SELECT a.it AS item_a, bb.it AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_ab,
+        |  CAST(nb.n * n_ab AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN ic ca ON ca.it = item_a
+        |JOIN ic cb ON cb.it = item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin
   )
 }

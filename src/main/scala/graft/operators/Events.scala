@@ -665,4 +665,67 @@ object Events {
         when(abs(col("cusum")) === max(abs(col("cusum"))).over(all), 1)
           .otherwise(0))
   }
+
+  /** Autocorrelation of the hourly event-count series at the given lags —
+    * the periodicity detector: r(24) ≈ 1 says daily rhythm, r(168) weekly,
+    * all ≈ 0 says the feed is arrival-time uniform (no seasonality to
+    * model, [[seasonalityProfile]] cells would be flat). Computed over the
+    * DENSE hour spine (silent hours count 0 — skipping them would
+    * manufacture correlation from activity gaps alone, the
+    * [[resampleHourly]] rationale). Returns (lag, n_pairs, r) with
+    * n_pairs = |hours| − lag; lags beyond the span yield no pairs and drop.
+    *
+    * Scale shape: one partial-aggregated groupBy to hourly counts
+    * (|hours| rows — bounded by the time span, not the event count), a
+    * map-side hour index from the broadcast 1-row bounds (no window, no
+    * global sort), one equi-join of the tiny spine with itself on
+    * (i + lag = i'), and a per-lag rollup.
+    *
+    * Numeric contract — house exact-integer doctrine: all seven per-lag
+    * aggregates are exact BIGINTs; r is computed as
+    * (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) — two
+    * correctly-rounded square roots of exact integers, one multiply, one
+    * division, all IEEE-deterministic from identical inputs, so the
+    * result is bit-identical cross-engine with NO rounding gate. The
+    * denominator factors stay separate (their exact product can exceed
+    * 2^53 and would round BEFORE the sqrt). Zero-variance sides report
+    * NULL (undefined, not 0). */
+  def autocorrLag(
+      df: DataFrame, tsCol: String, lags: Seq[Int] = Seq(1, 24, 168)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags must be positive, got $lags")
+    val ev = df.filter(col(tsCol).isNotNull)
+    val bounds = ev.agg(
+      date_trunc("hour", min(col(tsCol))).as("h0"),
+      date_trunc("hour", max(col(tsCol))).as("h1"))
+    val counts = ev
+      .groupBy(date_trunc("hour", col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val s = bounds
+      .select(col("h0"), explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hr"))
+      .join(counts, Seq("hr"), "left")
+      .select(
+        ((unix_timestamp(col("hr")) - unix_timestamp(col("h0"))) / 3600L)
+          .cast("long").as("i"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val lagTab = broadcast(
+      df.sparkSession.createDataFrame(lags.map(Tuple1(_))).toDF("lag"))
+    val a = s.crossJoin(lagTab)
+      .select(col("lag"), col("i"), col("n").as("x"))
+    val pairs = a.join(
+      s.select(col("i").as("__j"), col("n").as("y")),
+      col("__j") === col("i") + col("lag"))
+    val g = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val d1 = g("n_pairs") * g("sxx") - g("sx") * g("sx")
+    val d2 = g("n_pairs") * g("syy") - g("sy") * g("sy")
+    g.select(col("lag"), col("n_pairs"),
+      when(d1 > 0 && d2 > 0,
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(d1.cast("double")) * sqrt(d2.cast("double")))).as("r"))
+  }
 }

@@ -102,4 +102,31 @@ object Privacy {
       .agg(count(lit(1)).as("n"))
       .withColumn("at_risk", when(col("n") < k, 1).otherwise(0))
   }
+
+  /** l-diversity audit — [[kAnonymity]]'s stronger sibling (Machanavajjhala
+    * et al., ICDE'06): a quasi-identifier class can be large (k-anonymous)
+    * yet still leak when every member shares the same sensitive value, so
+    * the per-class guarantee is the number of DISTINCT sensitive values.
+    * Returns one row per equivalence class: the quasi columns, `n` (class
+    * size), `l_distinct` (distinct sensitive values), and
+    * `at_risk = 1` when l_distinct < l. NULL sensitive values do not count
+    * toward diversity (countDistinct skips them — an all-NULL class reports
+    * l_distinct = 0, maximally at risk, which is the honest reading: the
+    * column carries no diversity at all there).
+    *
+    * Scale shape: ONE exact groupBy on the quasi columns with a
+    * count-distinct expand — same single-shuffle shape as [[kAnonymity]];
+    * |classes| output rows. */
+  def lDiversity(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity requires at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2 (l=1 marks nothing), got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("at_risk", when(col("l_distinct") < l, 1).otherwise(0))
+  }
 }

@@ -1221,4 +1221,100 @@ object Profile {
           .otherwise(0))
       .drop("__prev")
   }
+
+  /** RFM scoring (recency / frequency / monetary) — the classic entity
+    * segmentation over a transaction table: per entity, days since last
+    * transaction (relative to the corpus max date), transaction count, and
+    * fixed-point monetary mass, each bucketed 1–5 by the corpus-wide
+    * quintile cuts. `r_score` is INVERTED (most recent = 5) so that 5/5/5
+    * is always the best segment. Returns
+    * (key, r_days, f, m_cents, r_score, f_score, m_score).
+    *
+    * Scale shape: one groupBy to the per-entity table, one 1-row
+    * aggregate for the max date and the nine quintile cuts (broadcast
+    * back), scores as map-side cut comparisons — no window, no sort, no
+    * per-entity second pass.
+    *
+    * Numeric contract: r_days/f are integer-grid; money goes fixed-point
+    * BEFORE summing (`round(x·100)` → BIGINT cents — per-entity double
+    * sums would accumulate order-dependent error, the house rule), so
+    * every quintile interpolates an integer grid (K = 1, output grid
+    * 0.05·grid — the audited-safe tie class) and is rounded to 4 on both
+    * engines before the `>` bucket comparisons. */
+  def rfmScores(
+      df: DataFrame, keyCol: String, dateCol: String,
+      amountCol: String): DataFrame = {
+    // last-transaction date as integer DAYS since epoch, so every quantile
+    // below interpolates an integer grid and the recency cuts fall out of
+    // the SAME one-row aggregate: linear interpolation is
+    // affine-equivariant, so q_p(maxd − dd) = maxd − q_{1−p}(dd) EXACTLY —
+    // no second scan for recency statistics
+    val per = df.filter(col(keyCol).isNotNull && col(dateCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(datediff(col(dateCol).cast("date"), lit("1970-01-01")))
+          .cast("long").as("__dd"),
+        count(lit(1)).as("f"),
+        sum(round(col(amountCol).cast("double") * 100, 0).cast("long"))
+          .as("m_cents"))
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    def cuts(c: Column, name: String, qs: Seq[Double]) =
+      qs.zipWithIndex.map { case (p, i) =>
+        round(percentile(c, lit(p)), 4).as(s"__${name}$i") }
+    val statCols =
+      max(col("__dd")).as("__maxdd") +:
+        (cuts(col("f").cast("double"), "f", ps) ++
+          cuts(col("m_cents").cast("double"), "m", ps) ++
+          // reversed order: __r{i} holds q_{1-p_i}(dd), subtracted below
+          cuts(col("__dd").cast("double"), "r", ps.reverse))
+    val stats = per.agg(statCols.head, statCols.tail: _*)
+    def score(v: Column, cut: Int => Column) =
+      ps.indices.map(i => when(v > cut(i), 1).otherwise(0)).reduce(_ + _) + 1
+    per.crossJoin(broadcast(stats))
+      .withColumn("r_days", col("__maxdd") - col("__dd"))
+      .select(col(keyCol), col("r_days"), col("f"), col("m_cents"),
+        (lit(6) - score(col("r_days").cast("double"),
+          i => col("__maxdd") - col(s"__r$i"))).as("r_score"),
+        score(col("f").cast("double"), i => col(s"__f$i")).as("f_score"),
+        score(col("m_cents").cast("double"), i => col(s"__m$i")).as("m_score"))
+  }
+
+  /** Item co-occurrence with lift — association mining over baskets
+    * (orders, sessions, documents-as-bags): for every unordered item pair
+    * seen in at least `minPairCount` baskets, the observed co-basket
+    * count and lift = P(a,b) / (P(a)·P(b)) — lift > 1 means the items
+    * travel together beyond chance ([[graft.operators.TextAnalysis]]'s
+    * pmi_collocations is the text twin; this is the relational one).
+    * Returns (item_a, item_b, n_ab, lift) with item_a < item_b.
+    *
+    * Scale shape: baskets collapse to DISTINCT (basket, item) first, so
+    * the self-join is keyed on the BASKET and its fan-out per basket is
+    * |items-in-basket|² — bounded by basket size, never corpus size (the
+    * sourceOverlap argument). Item counts and the basket total join back
+    * on the item key / as a 1-row broadcast. `minPairCount` prunes the
+    * long singleton tail BEFORE the count joins.
+    *
+    * Numeric contract: lift = (n_baskets·n_ab) / (n_a·n_b) — one IEEE
+    * division of exact BIGINT products, bit-identical cross-engine, no
+    * gate (products stay under 2^53 for any n_baskets·n_ab the join
+    * could emit at catalog scales; both factors are ≤ n_baskets²). */
+  def cooccurrenceLift(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Int = 2): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val bi = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("b"), col(itemCol).as("it")).distinct()
+    val itemN = bi.groupBy("it").agg(count(lit(1)).as("__c"))
+    val total = bi.agg(countDistinct(col("b")).as("__nb"))
+    bi.select(col("b"), col("it").as("item_a"))
+      .join(bi.select(col("b"), col("it").as("item_b")), Seq("b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+      .join(itemN.select(col("it").as("item_a"), col("__c").as("__ca")), Seq("item_a"))
+      .join(itemN.select(col("it").as("item_b"), col("__c").as("__cb")), Seq("item_b"))
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        ((col("__nb") * col("n_ab")).cast("double") /
+          (col("__ca") * col("__cb")).cast("double")).as("lift"))
+  }
 }

@@ -833,4 +833,79 @@ class AuditOpsSpec extends SparkSpec {
       Set(r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) == Set(1L, 2L)))
     assert(pairs.nonEmpty)
   }
+
+  // ------------------------------------------------------- autocorrLag
+
+  test("autocorrLag: a perfect period-2 series scores r(1) = -1 and r(2) = +1; silent hours count as zero") {
+    // events only in EVEN hours (2 per hour), odd hours silent — the dense
+    // spine must supply the zeros or the 'series' would be constant
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+    val ev = (0 until 24).filter(_ % 2 == 0).flatMap { h =>
+      Seq(1, 2).map(m => (h.toLong, new java.sql.Timestamp(
+        base.getTime + h * 3600L * 1000 + m * 60000)))
+    }.toDF("event_id", "ts")
+    val r = Events.autocorrLag(ev, "ts", Seq(1, 2))
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // 23 hours of spine (h0..h22): 22 lag-1 pairs, 21 lag-2 pairs
+    assert(r(1)._1 == 22L && r(2)._1 == 21L, r.toString)
+    assert(math.abs(r(1)._2 + 1.0) < 1e-12, s"lag-1 must be ~-1: ${r(1)}")
+    assert(math.abs(r(2)._2 - 1.0) < 1e-12, s"lag-2 must be ~+1: ${r(2)}")
+  }
+
+  test("autocorrLag: constant series reports NULL r (zero variance); lags beyond the span drop") {
+    val ev = (0 until 6).map(h => (h.toLong, java.sql.Timestamp.valueOf(
+      f"2024-01-01 $h%02d:15:00"))).toDF("event_id", "ts")
+    val rows = Events.autocorrLag(ev, "ts", Seq(1, 100)).collect()
+    assert(rows.length == 1, rows.mkString(",")) // lag 100 has no pairs
+    assert(rows.head.isNullAt(2), "constant counts have undefined correlation")
+    intercept[IllegalArgumentException](Events.autocorrLag(ev, "ts", Seq(0)))
+  }
+
+  // --------------------------------------------------------- rfmScores
+
+  test("rfmScores: extremes score 5 (best) and 1; money is exact cents; scores stay in 1..5") {
+    val orders = Seq(
+      // cust 1: recent, frequent, big spender -> 5/5/5
+      (1L, "2024-03-10 00:00:00", 100.10), (1L, "2024-03-09 00:00:00", 200.20),
+      (1L, "2024-03-08 00:00:00", 300.30), (1L, "2024-03-07 00:00:00", 100.00),
+      // cust 2 .. 5: progressively older/smaller
+      (2L, "2024-03-01 00:00:00", 80.0), (2L, "2024-02-28 00:00:00", 90.0),
+      (3L, "2024-02-01 00:00:00", 50.0), (3L, "2024-01-31 00:00:00", 10.0),
+      (4L, "2024-01-10 00:00:00", 30.0),
+      (5L, "2024-01-01 00:00:00", 5.0))
+      .map { case (c, ts, v) => (c, java.sql.Timestamp.valueOf(ts), v) }
+      .toDF("cust", "odate", "amount")
+    val r = Profile.rfmScores(orders, "cust", "odate", "amount")
+      .collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getInt(4), x.getInt(5), x.getInt(6)))
+      .toMap
+    val (rd1, f1, m1, rs1, fs1, ms1) = r(1L)
+    assert(rd1 == 0L && f1 == 4L && m1 == 70060L, r(1L).toString) // exact cents
+    assert(rs1 == 5 && fs1 == 5 && ms1 == 5, r(1L).toString)
+    val (rd5, _, _, rs5, fs5, ms5) = r(5L)
+    assert(rd5 == 69L && rs5 == 1 && fs5 == 1 && ms5 == 1, r(5L).toString)
+    assert(r.values.forall { case (_, _, _, a, b, c) =>
+      Seq(a, b, c).forall(s => s >= 1 && s <= 5) })
+  }
+
+  // -------------------------------------------------- cooccurrenceLift
+
+  test("cooccurrenceLift: hand-computed lift; singleton pairs pruned; within-basket duplicates collapse") {
+    val li = Seq(
+      (10L, "A"), (10L, "B"), (10L, "A"),   // dup (10, A) must collapse
+      (20L, "A"), (20L, "B"),
+      (30L, "A"), (30L, "C"))
+      .toDF("order_id", "part")
+    val r = Profile.cooccurrenceLift(li, "order_id", "part", minPairCount = 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    // only (A,B) co-occurs twice; lift = (3 baskets * 2) / (3_A * 2_B) = 1.0
+    assert(r.toSeq == Seq(("A", "B", 2L, 1.0)), r.mkString(","))
+    // minPairCount 1 admits (A,C): lift = (3*1)/(3*1) = 1.0
+    val loose = Profile.cooccurrenceLift(li, "order_id", "part", minPairCount = 1)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(loose == Set(("A", "B"), ("A", "C")), loose.toString)
+    intercept[IllegalArgumentException](
+      Profile.cooccurrenceLift(li, "order_id", "part", minPairCount = 0))
+  }
 }

@@ -94,4 +94,28 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](Privacy.kAnonymity(df, Seq("q"), k = 1))
     intercept[IllegalArgumentException](Privacy.kAnonymity(df, Seq.empty, k = 5))
   }
+
+  test("lDiversity: a k-large but homogeneous class is at risk; diversity counts distinct non-NULL values") {
+    val df = Seq(
+      ("30s", "flu"), ("30s", "flu"), ("30s", "flu"),   // large, homogeneous
+      ("40s", "flu"), ("40s", "cold"),                  // small, diverse
+      ("50s", null), ("50s", null)                      // all-NULL sensitive
+    ).toDF("age", "dx")
+    val r = Privacy.lDiversity(df, Seq("age"), "dx", l = 2)
+      .collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getInt(3)))
+      .toMap
+    // the 3-member class is k-anonymous at k=3 yet fully leaks the dx
+    assert(r("30s") == (3L, 1L, 1), r.toString)
+    assert(r("40s") == (2L, 2L, 0), r.toString)
+    // NULLs carry no diversity: l_distinct 0, maximally at risk
+    assert(r("50s") == (2L, 0L, 1), r.toString)
+  }
+
+  test("lDiversity: degenerate parameters rejected") {
+    val df = Seq(("a", "s")).toDF("q", "sens")
+    intercept[IllegalArgumentException](Privacy.lDiversity(df, Seq("q"), "sens", l = 1))
+    intercept[IllegalArgumentException](Privacy.lDiversity(df, Seq.empty, "sens", l = 2))
+    intercept[IllegalArgumentException](Privacy.lDiversity(df, Seq("q", "sens"), "sens", l = 2))
+  }
 }

@@ -37,7 +37,7 @@ class RegistrySpec extends AnyFunSuite {
       "interarrival", "ship_latency", "dataset_card", "group_quantiles",
       "agg_stats", "agg_sketch", "drift_quantile", "abc_class",
       "robust_z", "quality_gate", "winsorize_len",
-      "quantile_bin", "lorenz_curve")
+      "quantile_bin", "lorenz_curve", "rfm_scores")
     // DELIBERATELY coarse: any oracle mixing quantile_cont with round() is
     // flagged — a paren-precise "round wraps quantile" matcher misses the
     // `list_transform(quantile_cont(...), x -> round(x, 4))` lambda shape
