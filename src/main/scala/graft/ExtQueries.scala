@@ -97,6 +97,41 @@ object ExtQueries {
       k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
       .orderBy("a_id", "b_id")
 
+  /** Blocking-scheme evaluation: minhash banding's candidates judged
+    * against the exact ngram-Jaccard≥0.5 truth set — pairs completeness
+    * (blocking recall) and reduction ratio (pruned share of all pairs),
+    * each one exact-integer division. */
+  val blockingQualityQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Dedup.blockingQuality(docs, "doc_id",
+      Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 4, bands = 2, shingleN = 3, family = Dedup.Md5Family),
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5).select("a_id", "b_id"))
+  }
+
+  /** Lexical diversity by length bucket (pooled TTR, 20-token buckets). */
+  val ttrCurveQ: Q = (s, d) =>
+    TextAnalysis.ttrCurve(t(s, d, "documents"), "text", bucketTokens = 20)
+      .orderBy("bucket")
+
+  /** Compression-ratio quality signal. The DEFLATE byte count has no SQL
+    * mirror, so the registered shape is per-doc bound flags: DuckDB
+    * recomputes doc_id and raw byte length and pins ratio_in_bounds = 1.
+    * The bound is zlib's worst case (stored blocks + stream framing:
+    * output ≤ input + 11 bytes at fixture sizes — a short incompressible
+    * doc legitimately EXPANDS, so a ratio-≤-1 gate would misfire), as an
+    * exact integer comparison. A UDF regression — truncated stream,
+    * charset drift — flips it. Discrimination properties (repetitive ≪
+    * random) live in the spec. */
+  val compressionRatioQ: Q = (s, d) =>
+    TextAnalysis.withCompressionRatio(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_bytes"),
+        when(col("deflate_bytes") > 0 &&
+            col("deflate_bytes") <= col("n_bytes") + 11, 1)
+          .otherwise(0).as("ratio_in_bounds"))
+      .orderBy("doc_id")
+
   /** Skew guard (maxShingleDf) is ON via its default: no fixture shingle
     * reaches the cap, so the exact-Jaccard oracle still matches, while a
     * 100 TB stop-shingle can no longer create a quadratic hot key. */
@@ -1061,6 +1096,9 @@ object ExtQueries {
     "dedup_ngram" -> dedupNgram,
     "dedup_sweep" -> dedupSweep,
     "dedup_substring" -> dedupSubstring,
+    "blocking_quality" -> blockingQualityQ,
+    "ttr_curve" -> ttrCurveQ,
+    "compression_ratio" -> compressionRatioQ,
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_resolve" -> dedupResolve,
@@ -1691,6 +1729,65 @@ object ExtQueries {
         |JOIN sz nb ON nb.doc_id = b_id
         |WHERE i / (na.n + nb.n - i) >= 0.5e0
         |ORDER BY a_id, b_id""".stripMargin,
+    // candidates = the dedup_minhash band CTE verbatim; truth = the
+    // dedup_ngram jaccard>=0.5 CTE (shingle CTEs renamed past the band
+    // CTE's `sh`); both ratios are single divisions of exact BIGINTs
+    "blocking_quality" -> {
+      s"""WITH $minhashBandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  WHERE a.band_val <> ''),
+         |tsh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |tsz AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
+         |tinter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
+         |  FROM tsh a JOIN tsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT a_id, b_id FROM tinter
+         |  JOIN tsz na ON na.doc_id = a_id
+         |  JOIN tsz nb ON nb.doc_id = b_id
+         |  WHERE i / (na.n + nb.n - i) >= 0.5e0),
+         |m AS (
+         |  SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_entities,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM cand JOIN truth USING (a_id, b_id)) AS n_caught)
+         |SELECT n_entities,
+         |  CAST((n_entities * (n_entities - 1)) // 2 AS BIGINT) AS total_pairs,
+         |  n_candidates, n_truth, n_caught,
+         |  CASE WHEN n_truth > 0 THEN
+         |    CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS pairs_completeness,
+         |  CASE WHEN (n_entities * (n_entities - 1)) // 2 > 0 THEN
+         |    CAST((n_entities * (n_entities - 1)) // 2 - n_candidates AS DOUBLE)
+         |      / CAST((n_entities * (n_entities - 1)) // 2 AS DOUBLE) END AS reduction_ratio
+         |FROM m""".stripMargin
+    },
+    // token identity shared with text_tokens (split on single space);
+    // pooled ratio is one division of two exact BIGINT sums
+    "ttr_curve" ->
+      """WITH per AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(floor(n_tok / 20) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_distinct) AS BIGINT) AS n_distinct_sum,
+        |  CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS ttr
+        |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // deflate has no SQL mirror: DuckDB pins the raw byte length (strlen =
+    // octet count) and the bound flag
+    "compression_ratio" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(1 AS INTEGER) AS ratio_in_bounds
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // winnowing mirrored selection-for-selection: k-gram md5s at every
     // position, complete-window minima per doc (leading frame + tail cut,
     // matching Dedup.winnowFingerprints), distinct fingerprints, df cap,

@@ -1049,4 +1049,51 @@ object Dedup {
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  // --------------------------------------------- blocking-scheme evaluation
+
+  /** Blocking-scheme evaluation (the two standard entity-resolution
+    * metrics, Christen 2012): given a CANDIDATE pair set produced by a
+    * blocking scheme (minhash bands, simhash blocks, sorted-neighborhood)
+    * and a TRUTH pair set (the pairs an exact method found), report
+    *
+    *  - `pairs_completeness` = |candidates ∩ truth| / |truth| — the recall
+    *    of the blocking: how many true pairs survive into verification;
+    *  - `reduction_ratio` = 1 − |candidates| / (n·(n−1)/2) — how much of
+    *    the quadratic all-pairs space the scheme prunes.
+    *
+    * The tuning read BEFORE committing a blocking scheme at 100 TB: a
+    * scheme with reduction 0.9999 and completeness 0.6 silently drops 40%
+    * of true duplicates; one with completeness 1.0 and reduction 0.2 is a
+    * disguised cross join. Both pair frames must already be canonical
+    * (a_id < b_id, distinct) — every Dedup candidate generator returns
+    * exactly that shape.
+    *
+    * Scale shape: three 1-row count aggregates plus one equi-join of the
+    * two pair sets collapsed to a 1-row count, combined as broadcasts.
+    * Numeric contract: both ratios are ONE IEEE division of exact BIGINTs
+    * (total pairs via integer `DIV`) — bit-identical cross-engine. */
+  def blockingQuality(
+      df: DataFrame, idCol: String,
+      candidates: DataFrame, truth: DataFrame): DataFrame = {
+    val n = df.filter(col(idCol).isNotNull)
+      .agg(count(lit(1)).as("n_entities"))
+    val nc = candidates.agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val caught = candidates.join(truth, Seq("a_id", "b_id"))
+      .agg(count(lit(1)).as("n_caught"))
+    n.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+      .crossJoin(broadcast(caught))
+      .withColumn("total_pairs",
+        expr("CAST(n_entities * (n_entities - 1) DIV 2 AS BIGINT)"))
+      .select(col("n_entities"), col("total_pairs"),
+        col("n_candidates"), col("n_truth"), col("n_caught"),
+        when(col("n_truth") > 0,
+          col("n_caught").cast("double") / col("n_truth").cast("double"))
+          .as("pairs_completeness"),
+        when(col("total_pairs") > 0,
+          (col("total_pairs") - col("n_candidates")).cast("double") /
+            col("total_pairs").cast("double"))
+          .as("reduction_ratio"))
+  }
 }

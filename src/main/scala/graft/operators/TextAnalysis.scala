@@ -699,4 +699,70 @@ object TextAnalysis {
       round(regr_intercept(log(col("freq")), log(col("rank"))), 4).as("intercept"),
       round(regr_r2(log(col("freq")), log(col("rank"))), 4).as("r2"))
   }
+
+  /** Type-token-ratio curve by document-length bucket — the lexical-
+    * diversity audit that controls for length (raw TTR falls with doc
+    * length, so comparing it across lengths is meaningless; binning by
+    * token count is the standard correction). Buckets are
+    * `floor(n_tok / bucketTokens)`; per bucket the POOLED ratio
+    * Σ n_distinct / Σ n_tok — a length-weighted mean of per-doc diversity.
+    * A bucket whose ttr sits far below its neighbors is template/spam
+    * shaped. Returns (bucket, n_docs, n_tokens, n_distinct_sum, ttr).
+    * Token identity matches [[withTokenStats]] (split on single space).
+    *
+    * Scale shape: map-side token counts, one partial-aggregated groupBy
+    * on the bucket; |buckets| output rows. Numeric contract: ttr is ONE
+    * IEEE division of two exact BIGINT sums — bit-identical, no gate. */
+  def ttrCurve(
+      df: DataFrame, textCol: String, bucketTokens: Int = 20): DataFrame = {
+    require(bucketTokens >= 1, s"bucketTokens must be >= 1, got $bucketTokens")
+    val toks = split(col(textCol), " ")
+    df.filter(col(textCol).isNotNull)
+      .select(size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("bucket", floor(col("n_tok") / bucketTokens).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_distinct")).as("n_distinct_sum"))
+      .withColumn("ttr",
+        col("n_distinct_sum").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** DEFLATE length of a string's UTF-8 bytes (zlib level 6). A JVM UDF by
+    * necessity — Spark has no built-in compressor — kept out of hot paths:
+    * the quality gate runs it once per document, map-side. Deterministic
+    * for a given input on a given JVM (java.util.zip wraps zlib with fixed
+    * strategy); the registered query therefore emits only BOUND flags,
+    * never the raw byte count. */
+  private val deflatedLen = udf { (s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Integer]
+    else {
+      val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      Int.box(total)
+    }
+  }
+
+  /** Compression-ratio quality signal (the CCNet/RefinedWeb heuristic):
+    * deflate-compressed size over raw UTF-8 size. Natural prose lands
+    * ~0.4–0.8; near-0 says the document is massively repetitive (template
+    * spam, keyword stuffing — compression is the cheapest repetition
+    * detector there is, catching long-range copies that n-gram repetition
+    * scores miss); ~1 says incompressible (random strings, base64 blobs,
+    * minified/encrypted payloads). Appends `n_bytes`, `deflate_bytes`,
+    * and `compression_ratio` (one division, NULL for empty/NULL text).
+    * Map-side only — no shuffle. */
+  def withCompressionRatio(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
+      .withColumn("deflate_bytes", deflatedLen(col(textCol)).cast("long"))
+      .withColumn("compression_ratio",
+        when(col("n_bytes") > 0,
+          col("deflate_bytes").cast("double") / col("n_bytes").cast("double")))
 }

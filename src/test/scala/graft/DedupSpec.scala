@@ -519,4 +519,18 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.substringDupPairs(docs, "doc_id", "text", maxFingerprintDf = 1))
   }
+
+  test("blockingQuality: hand-computed completeness and reduction; empty truth reports NULL") {
+    val entities = (1L to 4L).toDF("id")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val truth = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val r = Dedup.blockingQuality(entities, "id", cand, truth).head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L) // n, total = 4*3/2
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 1L)
+    assert(r.getDouble(5) == 0.5, "1 of 2 true pairs caught")
+    assert(r.getDouble(6) == (6.0 - 2.0) / 6.0, "4 of 6 pairs pruned")
+    val empty = Dedup.blockingQuality(entities, "id", cand,
+      truth.filter(col("a_id") < 0)).head
+    assert(empty.isNullAt(5), "completeness undefined with no truth pairs")
+  }
 }

@@ -483,6 +483,47 @@ class TextEventsSpec extends SparkSpec {
       s"release() must drop the checkpointed RDD ids $ours from the registry")
   }
 
+  test("ttrCurve: pooled ratio per length bucket is the exact sum quotient; NULL text drops") {
+    val docs = Seq(
+      (1L, "a a a a"),                         // 4 tok, 1 distinct, bucket 0
+      (2L, "a b c d"),                         // 4 tok, 4 distinct, bucket 0
+      (3L, Seq.fill(25)("w").mkString(" ")),   // 25 tok, 1 distinct, bucket 1
+      (4L, null))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ttrCurve(docs, "text", bucketTokens = 20)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r.keySet == Set(0L, 1L))
+    assert(r(0L) == (2L, 8L, 5L, 5.0 / 8.0), r.toString)
+    assert(r(1L) == (1L, 25L, 1L, 1.0 / 25.0), r.toString)
+    intercept[IllegalArgumentException](TextAnalysis.ttrCurve(docs, "text", 0))
+  }
+
+  test("withCompressionRatio: repetition compresses far below prose; NULL text yields NULL; deterministic") {
+    val docs = Seq(
+      (1L, "ab" * 500),                                       // pure repetition
+      (2L, "The five boxing wizards jump quickly over a lazy dog near the quiet riverbank at dawn today."),
+      (3L, null))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.withCompressionRatio(docs, "text")
+      .select("doc_id", "n_bytes", "compression_ratio").collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) -1L else x.getLong(1),
+          if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(r(1L)._1 == 1000L)
+    assert(r(1L)._2.get < 0.05, s"repetition must compress hard: ${r(1L)}")
+    assert(r(2L)._2.get > 0.5, s"one-line prose barely compresses: ${r(2L)}")
+    assert(r(3L)._2.isEmpty, "NULL text has no ratio")
+    // deterministic: a second evaluation returns identical bytes
+    val again = TextAnalysis.withCompressionRatio(docs, "text")
+      .select("doc_id", "deflate_bytes").collect()
+      .map(x => x.getLong(0) -> x.get(1)).toMap
+    val first = TextAnalysis.withCompressionRatio(docs, "text")
+      .select("doc_id", "deflate_bytes").collect()
+      .map(x => x.getLong(0) -> x.get(1)).toMap
+    assert(again == first)
+  }
+
   test("tokenFertility: punctuation-heavy groups score higher; plain words ~1; zero-word docs drop") {
     val docs = Seq(
       (1L, "en", "plain words only here"),          // 4 words, 4 bpeish -> 1.0
