@@ -510,6 +510,14 @@ object ExtQueries {
       .select("media_id", "modality", "n_bytes").orderBy("media_id")
   }
 
+  /** Exact payload dedup over the media table (text bytes as payloads —
+    * md5 over the utf-8 bytes mirrors DuckDB's md5 over the text). */
+  val mediaDedupQ: Q = (s, d) => {
+    val media = MultiModal.fromText(s, t(s, d, "documents"), "doc_id", "text")
+    MultiModal.mediaDedup(media.toDF(), "media_id", "content")
+      .orderBy("keep_id")
+  }
+
   /** The training-data pipeline showcase: language filter -> quality gate
     * -> exact dedup (keep min id per content hash) -> n-gram near-dup
     * CLUSTER resolution (connected components over candidate pairs, keep
@@ -1099,6 +1107,7 @@ object ExtQueries {
     "blocking_quality" -> blockingQualityQ,
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
+    "media_dedup" -> mediaDedupQ,
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_resolve" -> dedupResolve,
@@ -1782,6 +1791,13 @@ object ExtQueries {
         |  CAST(sum(n_distinct) AS BIGINT) AS n_distinct_sum,
         |  CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS ttr
         |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // md5 over the payload bytes == md5 over the text for utf-8 fixtures
+    "media_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups,
+        |  CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     // deflate has no SQL mirror: DuckDB pins the raw byte length (strlen =
     // octet count) and the bound flag
     "compression_ratio" ->

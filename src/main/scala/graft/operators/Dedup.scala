@@ -983,34 +983,49 @@ object Dedup {
     * hash in the differing context just before the span, so nothing from
     * the span is selected. Selection must be per WINDOW, not per
     * position.) Documents with fewer than `w` k-grams keep their single
-    * global-min fingerprint instead of vanishing. Returns DISTINCT
-    * (id, h: md5 hex of the k-gram); md5 (not xxhash64) so the DuckDB
-    * oracle mirrors the selection byte-for-byte.
+    * global-min fingerprint instead of vanishing. Returns per-document
+    * DISTINCT (id, h: md5 hex of the k-gram) — callers must feed unique
+    * ids (every fixture/corpus contract here does); md5 (not xxhash64) so
+    * the DuckDB oracle mirrors the selection byte-for-byte.
     *
-    * Scale shape: the k-gram hashes are one map-side `transform` over a
-    * position `sequence` (codegen'd builtins, no UDF); the window minima
-    * come from a frame PARTITIONED BY document — partition size is
-    * bounded by the longest document, never the corpus, so there is no
-    * global sort and the one shuffle is the per-doc repartition. */
+    * Scale shape: ENTIRELY map-side — the k-gram hashes, the per-window
+    * minima, and the per-doc dedup are a chain of array expressions
+    * (`transform`/`slice`/`array_min`/`array_distinct` over a position
+    * `sequence`; codegen'd builtins, no UDF) evaluated inside the row, so
+    * fingerprinting shuffles NOTHING (the first exchange in any consumer
+    * is its own — the pairing join, a stored-index lookup). This is also
+    * what makes the streaming twin ([[graft.streaming.DocStreams]])
+    * legal in append mode: no window over the stream.
+    *
+    * The gram array MUST be a projected column between the two transforms
+    * ([[kgramHashes]] → [[winnowFromGrams]]): a higher-order lambda
+    * re-evaluates its whole argument subtree per element, so inlining the
+    * gram transform inside `slice` recomputes every md5 once PER WINDOW —
+    * O(n²) hashing per document (measured: a sub-minute sf0.1 job ran
+    * past 10 minutes). The split-with-projection evaluates each md5 once. */
+  def kgramHashes(textCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), (length(textCol) - k).cast("int")),
+      i => md5(textCol.substr(i + 1, lit(k))))
+
+  /** Distinct winnowing minima over a MATERIALIZED gram-hash array column
+    * (complete windows only; a doc with fewer than `w` grams keeps its
+    * single truncated window rather than vanishing). See [[kgramHashes]]
+    * for why the input must be an attribute, not the gram expression. */
+  def winnowFromGrams(gramsCol: Column, w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(gramsCol) - w, lit(0))),
+      s => array_min(slice(gramsCol, s + 1, lit(w)))))
+
+  /** The winnowing selection exploded to (id, h) rows over a corpus. */
   def winnowFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
-    val len = length(col(textCol))
-    val grams = transform(
-      sequence(lit(0), (len - k).cast("int")),
-      i => md5(col(textCol).substr(i + 1, lit(k))))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
-    df.filter(col(textCol).isNotNull && len >= k)
-      // n = k-gram count, carried so incomplete tail windows (which would
-      // re-select suffix minima spuriously) can be dropped after the frame
-      .select(col(idCol).as("id"), (len - k + 1).cast("long").as("n"),
-        posexplode(grams).as(Seq("pos", "h")))
-      .withColumn("__mn", min(col("h")).over(win))
-      .filter(col("pos") <= greatest(col("n") - w, lit(0L)))
-      .select(col("id"), col("__mn").as("h")).distinct()
+    df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol).as("id"), kgramHashes(col(textCol), k).as("__grams"))
+      .select(col("id"), explode(winnowFromGrams(col("__grams"), w)).as("h"))
   }
 
   /** Exact-substring duplication between documents: pairs sharing at least

@@ -104,6 +104,43 @@ object DocStreams {
       .drop("__h")
   }
 
+  /** Copied-span candidates for continuous ingest: arriving documents are
+    * winnow-fingerprinted MAP-SIDE ([[Dedup.kgramHashes]] projected, then
+    * [[Dedup.winnowFromGrams]] — array expressions, no window, no UDF;
+    * that map-side shape is exactly what makes this legal in append mode,
+    * and the projection between the two transforms is what keeps the
+    * hashing O(n) per doc) and equi-joined against
+    * the stored corpus fingerprint table ([[Dedup.winnowFingerprints]]
+    * output, (id, h)) — the streaming twin of
+    * [[Dedup.substringDupPairs]]'s candidate stage, completing the
+    * streaming dedup family's fourth corner (exact / near / sub-document
+    * boilerplate / copied spans).
+    *
+    * Emits one (new_id, corpus_id, h) row per shared fingerprint; the
+    * `minShared` threshold and the boilerplate df cap belong to the
+    * downstream foreachBatch merge — counting either in-stream needs
+    * state (the [[nearDupCandidates]] multiplicity rationale). Stateless
+    * stream-static join: no watermark, no state store; refresh the index
+    * on the batch side's cadence. */
+  def substringDupCandidates(
+      stream: DataFrame, corpusFps: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8): DataFrame = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!corpusFps.isStreaming, "corpusFps must be a static fingerprint table")
+    require(Seq("id", "h").forall(corpusFps.columns.contains),
+      s"corpusFps must carry (id, h) — the winnowFingerprints schema; " +
+        s"got (${corpusFps.columns.mkString(", ")})")
+    stream.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol).as("new_id"),
+        Dedup.kgramHashes(col(textCol), k).as("__grams"))
+      .select(col("new_id"),
+        explode(Dedup.winnowFromGrams(col("__grams"), w)).as("h"))
+      .join(corpusFps.select(col("id").as("corpus_id"), col("h")), Seq("h"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id", "h")
+  }
+
   /** BM25 relevance scoring for continuous ingest: arriving documents are
     * scored against CORPUS statistics trained on the batch side
     * ([[graft.operators.TextAnalysis.bm25Stats]] — one row of

@@ -754,6 +754,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: copied-span candidates vs a stored fingerprint index match the batch join") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val copy = "The quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (100L, s"corpus preamble $copy corpus epilogue"),
+      (101L, "a wholly different corpus document with its own words")
+    ).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.winnowFingerprints(
+      corpus, "doc_id", "text", k = 8, w = 4)
+    val arrivals = Seq(
+      (1L, s"new arrival quoting: $copy"),        // shares the copied span
+      (2L, "nothing in common with anything"),
+      (3L, "xx"))                                 // under k: no fingerprints
+    // batch twin: same fingerprints, same join
+    val batchPairs = graft.operators.Dedup.winnowFingerprints(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", k = 8, w = 4)
+      .toDF("new_id", "h")
+      .join(index.toDF("corpus_id", "h"), Seq("h"))
+      .select("new_id", "corpus_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val cand = DocStreams.substringDupCandidates(
+      mem.toDF().toDF("doc_id", "text"), index, "doc_id", "text", k = 8, w = 4)
+    val q = cand.writeStream.format("memory").queryName("spancand")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arrivals.take(1)); q.processAllAvailable()
+      mem.addData(arrivals.drop(1)); q.processAllAvailable()
+      val streamed = spark.table("spancand")
+        .select("new_id", "corpus_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchPairs, s"streamed $streamed vs batch $batchPairs")
+      assert(batchPairs.contains((1L, 100L)), "the quoted span must link 1 -> 100")
+      assert(!batchPairs.exists(p => p._1 == 2L || p._1 == 3L))
+    } finally q.stop()
+  }
+
   test("batch/streaming parity: near-dup candidates vs a stored band index agree with minhashCandidatesAgainst") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext

@@ -280,6 +280,23 @@ class TextEventsSpec extends SparkSpec {
     assert(frames.map(_._2).sorted.toSeq == Seq(0L, 3L, 6L, 9L))
   }
 
+  test("mediaDedup: identical payloads collapse keeping the min id; NULL payloads drop; bytes never shuffle as keys") {
+    val a = Array[Byte](1, 2, 3, 4)
+    val media = Seq(
+      (10L, a), (11L, a.clone()),        // byte-identical under distinct ids
+      (12L, Array[Byte](9, 9)),
+      (13L, null))
+      .toDF("media_id", "content")
+    val r = MultiModal.mediaDedup(media, "media_id", "content")
+      .collect().map(x => x.getLong(1) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r == Map(10L -> (2L, 4L), 12L -> (1L, 2L)), r.toString)
+    // the exchange partitions on the md5 grouping expression (the payload
+    // never becomes the shuffle key); min/count partial-aggregate map-side
+    val p = MultiModal.mediaDedup(media, "media_id", "content")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") && p.contains("_groupingexpression"), p)
+  }
+
   test("withUnigramNll: common-token docs score low, rare-token docs high, uniform corpus is flat") {
     import graft.operators.TextAnalysis
     // 'the' appears 7x of 12 tokens, rare tokens once each: doc 3 (all
