@@ -125,7 +125,8 @@ object ExtQueries {
     * charset drift — flips it. Discrimination properties (repetitive ≪
     * random) live in the spec. */
   val compressionRatioQ: Q = (s, d) =>
-    TextAnalysis.withCompressionRatio(t(s, d, "documents"), "text")
+    TextAnalysis.withCompressionRatio(
+        t(s, d, "documents").filter(col("text").isNotNull), "text")
       .select(col("doc_id"), col("n_bytes"),
         when(col("deflate_bytes") > 0 &&
             col("deflate_bytes") <= col("n_bytes") + 11, 1)
@@ -419,10 +420,7 @@ object ExtQueries {
         Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
           "embedding", k = 10).select("q_id", "n_id"),
         k = 10, hitsFloor = 15)
-      val rows = check.collect()
-      s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          java.util.Arrays.asList(rows: _*)), check.schema)
+      Similarity.localFrame(s, check.collect(), check.schema)
     } finally {
       val p = new org.apache.hadoop.fs.Path(idx)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -1763,7 +1761,8 @@ object ExtQueries {
          |  WHERE i / (na.n + nb.n - i) >= 0.5e0),
          |m AS (
          |  SELECT
-         |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_entities,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |     WHERE doc_id IS NOT NULL) AS n_entities,
          |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
          |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
          |    (SELECT CAST(count(*) AS BIGINT)
@@ -1799,11 +1798,12 @@ object ExtQueries {
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     // deflate has no SQL mirror: DuckDB pins the raw byte length (strlen =
-    // octet count) and the bound flag
+    // octet count) and the bound flag; NULL text filtered on BOTH sides
+    // (a NULL row would flag 0 on the Spark side, 1 here)
     "compression_ratio" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  CAST(1 AS INTEGER) AS ratio_in_bounds
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     // winnowing mirrored selection-for-selection: k-gram md5s at every
     // position, complete-window minima per doc (leading frame + tail cut,
     // matching Dedup.winnowFingerprints), distinct fingerprints, df cap,

@@ -20,10 +20,21 @@ object Dedup {
   /** Exact dedup via content-hash group-by: one row per distinct content,
     * keeping the smallest id (deterministic survivor), with the group size.
     * At 100 TB this is the standard single-shuffle dedup: hash first so the
-    * shuffle key is 16 bytes, not the document text. */
-  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("content_hash"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+    * shuffle key is 16 bytes, not the document text. This is the ONE home
+    * of the exact-dedup grouping contract (hash function, keeper
+    * tie-break) — [[graft.operators.MultiModal.mediaDedup]] rides it via
+    * `extraAggs` rather than re-stating it. `md5` accepts string AND
+    * binary columns, so payload callers pass their bytes column directly.
+    * `dropNull` excludes NULL content (nothing to hash) — text callers
+    * historically keep the NULL group for visibility. */
+  def exactGroups(
+      df: DataFrame, idCol: String, textCol: String,
+      extraAggs: Seq[Column] = Nil, dropNull: Boolean = false): DataFrame = {
+    val base = if (dropNull) df.filter(col(textCol).isNotNull) else df
+    base.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"),
+        (count(lit(1)).as("n_dups") +: extraAggs): _*)
+  }
 
   // ---------------------------------------------------------------- minhash
 

@@ -694,6 +694,8 @@ object Events {
       df: DataFrame, tsCol: String, lags: Seq[Int] = Seq(1, 24, 168)): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ >= 1),
       s"lags must be positive, got $lags")
+    require(lags.distinct.size == lags.size,
+      s"duplicate lags double-count pairs through the cross join, got $lags")
     val ev = df.filter(col(tsCol).isNotNull)
     val bounds = ev.agg(
       date_trunc("hour", min(col(tsCol))).as("h0"),

@@ -171,20 +171,19 @@ object MultiModal {
         explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
 
   /** Exact payload dedup over a media table — [[graft.operators.Dedup
-    * .exactGroups]]'s shape keyed on the BINARY column: identical byte
-    * payloads (the same image re-crawled under new ids — the bulk of
-    * media duplication) collapse to one group with the min id as keeper.
-    * Returns (content_hash, keep_id, n_dups, n_bytes); NULL payloads
-    * drop (nothing to hash). Scale shape: one groupBy shuffling 16-byte
-    * hashes — the payload bytes never cross the wire. Perceptual/near-dup
-    * media matching would slot in as another pair generator over the
+    * .exactGroups]] keyed on the BINARY column (one grouping contract,
+    * not a copy): identical byte payloads (the same image re-crawled
+    * under new ids — the bulk of media duplication) collapse to one group
+    * with the min id as keeper. Returns
+    * (content_hash, keep_id, n_dups, n_bytes); NULL payloads drop
+    * (nothing to hash). Scale shape: one groupBy shuffling 16-byte hashes
+    * — the payload bytes never cross the wire. Perceptual/near-dup media
+    * matching would slot in as another pair generator over the
     * [[extractFeatures]] output (format/dimension blocking first). */
   def mediaDedup(df: DataFrame, idCol: String, binCol: String): DataFrame =
-    df.filter(col(binCol).isNotNull)
-      .groupBy(md5(col(binCol)).as("content_hash"))
-      .agg(min(col(idCol)).as("keep_id"),
-        count(lit(1)).as("n_dups"),
-        min(length(col(binCol))).cast("long").as("n_bytes"))
+    graft.operators.Dedup.exactGroups(df, idCol, binCol,
+      extraAggs = Seq(min(length(col(binCol))).cast("long").as("n_bytes")),
+      dropNull = true)
 
   /** Build a Media dataset from any table with an id and a string payload —
     * used by tests and the fixture-backed verification query (text bytes

@@ -182,9 +182,8 @@ object Similarity {
       org.apache.spark.sql.types.StructField("cv",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType, containsNull = true))))
-    def local(rows: Array[org.apache.spark.sql.Row]) = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        java.util.Arrays.asList(rows: _*)), outSchema)
+    def local(rows: Array[org.apache.spark.sql.Row]) =
+      localFrame(spark, rows, outSchema)
     // centroids stay a DRIVER-LOCAL k-row table throughout (k × dim
     // doubles): the seeds collect once here, every Lloyd rebuild collects
     // its k-row aggregate, and empty-cell backfill happens on the local
@@ -524,6 +523,19 @@ object Similarity {
     wide.select(explode(array(entries: _*)).as("e"))
       .select(col("e.i"), col("e.j"), col("e.cov"))
   }
+
+  /** Driver-local DataFrame from collected rows + schema — the eager
+    * small-result idiom shared by [[kmeansCentroids]] (k-row centroid
+    * tables) and self-cleaning queries that must materialize a result
+    * before deleting its inputs (e.g. the stored-index differential in
+    * ExtQueries). Keep it the one copy. */
+  private[graft] def localFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), schema)
 
   // ------------------------------------------------------ stored IVF index
 

@@ -859,6 +859,8 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows.length == 1, rows.mkString(",")) // lag 100 has no pairs
     assert(rows.head.isNullAt(2), "constant counts have undefined correlation")
     intercept[IllegalArgumentException](Events.autocorrLag(ev, "ts", Seq(0)))
+    // duplicate lags would double-count pairs through the cross join
+    intercept[IllegalArgumentException](Events.autocorrLag(ev, "ts", Seq(1, 1)))
   }
 
   // --------------------------------------------------------- rfmScores
