@@ -242,6 +242,13 @@ object AuditQueries {
       "o_totalprice")
       .orderBy("o_custkey")
 
+  /** First/last-touch conversion attribution over the event stream;
+    * purchases with no prior touchpoint surface as the NULL channel. */
+  val attributionQ: Q = (s, d) =>
+    Events.attributionCounts(Tables.loadEvents(s, d),
+      "user_id", "ts", "event_type", "event_id", conversion = "purchase")
+      .orderBy("model", "channel")
+
   /** Part co-occurrence lift over order baskets (≥2 shared orders). */
   val basketLiftQ: Q = (s, d) =>
     Profile.cooccurrenceLift(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
@@ -279,7 +286,8 @@ object AuditQueries {
     "autocorr_lag" -> autocorrLagQ,
     "l_diversity" -> lDiversityQ,
     "rfm_scores" -> rfmScoresQ,
-    "basket_lift" -> basketLiftQ
+    "basket_lift" -> basketLiftQ,
+    "attribution" -> attributionQ
   )
 
   /** The 36 upper-triangle covar_pop entries for embed_covariance, unrolled
@@ -900,6 +908,28 @@ object AuditQueries {
         |    + (CASE WHEN CAST(m_cents AS DOUBLE) > m3 THEN 1 ELSE 0 END)
         |    AS INTEGER) AS m_score
         |FROM per, st ORDER BY o_custkey""".stripMargin,
+    // one window pass with IGNORE NULLS running first/last over the
+    // strictly-preceding frame, mirrored token-for-token; NULLS FIRST
+    // matches Spark's ascending NULL ordering
+    "attribution" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_nc,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_nc
+        |  FROM events)
+        |SELECT 'first_touch' AS model, first_nc AS channel,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM w WHERE event_type = 'purchase' GROUP BY 2
+        |UNION ALL
+        |SELECT 'last_touch', last_nc, CAST(count(*) AS BIGINT)
+        |FROM w WHERE event_type = 'purchase' GROUP BY 2
+        |ORDER BY model, channel NULLS FIRST""".stripMargin,
     // lift = one IEEE division of exact BIGINT products — no gate
     "basket_lift" ->
       """WITH bi AS (

@@ -133,6 +133,19 @@ object ExtQueries {
           .otherwise(0).as("ratio_in_bounds"))
       .orderBy("doc_id")
 
+  /** The winnowing verify stage: exact k-gram overlap for every
+    * fingerprint-candidate pair (LSH two-phase shape). */
+  val substringExtentQ: Q = (s, d) =>
+    Dedup.substringExtent(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("a_id", "b_id")
+
+  /** Per-document shingle novelty vs everything earlier in id order —
+    * the corpus-redundancy growth curve. */
+  val ngramNoveltyQ: Q = (s, d) =>
+    TextAnalysis.ngramNovelty(t(s, d, "documents"), "doc_id", "text",
+      shingleN = 3)
+      .orderBy("id")
+
   /** Skew guard (maxShingleDf) is ON via its default: no fixture shingle
     * reaches the cap, so the exact-Jaccard oracle still matches, while a
     * 100 TB stop-shingle can no longer create a quadratic hot key. */
@@ -1106,6 +1119,8 @@ object ExtQueries {
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
     "media_dedup" -> mediaDedupQ,
+    "substring_extent" -> substringExtentQ,
+    "ngram_novelty" -> ngramNoveltyQ,
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_resolve" -> dedupResolve,
@@ -1804,6 +1819,50 @@ object ExtQueries {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  CAST(1 AS INTEGER) AS ratio_in_bounds
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+    // dedup_substring's pair CTEs + the exact all-gram intersection per
+    // candidate pair — still pure integers end to end
+    "substring_extent" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16),
+        |h AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM g),
+        |win AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
+        |fp AS (SELECT DISTINCT doc_id, mn AS h FROM win
+        |       WHERE pos <= greatest(n - 8, 0)),
+        |dfreq AS (SELECT h, count(*) AS d FROM fp GROUP BY h),
+        |fp2 AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfreq USING (h) WHERE d <= 20),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS n_shared_fp
+        |  FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |allg AS (SELECT DISTINCT doc_id, h FROM h)
+        |SELECT c.a_id, c.b_id, c.n_shared_fp,
+        |  CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM cand c
+        |JOIN allg ga ON ga.doc_id = c.a_id
+        |JOIN allg gb ON gb.doc_id = c.b_id AND gb.h = ga.h
+        |GROUP BY 1, 2, 3 ORDER BY a_id, b_id""".stripMargin,
+    // shingle first-occurrence by min doc id; novelty is one division of
+    // exact BIGINTs
+    "ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    unnest([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |        WHERE text IS NOT NULL AND doc_id IS NOT NULL)),
+        |fs AS (SELECT s, min(id) AS first_id FROM sh GROUP BY s)
+        |SELECT sh.id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN fs.first_id = sh.id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN fs.first_id = sh.id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN fs USING (s)
+        |GROUP BY sh.id ORDER BY id""".stripMargin,
     // winnowing mirrored selection-for-selection: k-gram md5s at every
     // position, complete-window minima per doc (leading frame + tail cut,
     // matching Dedup.winnowFingerprints), distinct fingerprints, df cap,

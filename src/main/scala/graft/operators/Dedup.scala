@@ -1058,22 +1058,86 @@ object Dedup {
   def substringDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
-      maxFingerprintDf: Int = 20): DataFrame = {
+      maxFingerprintDf: Int = 20): DataFrame =
+    substringDupPairsManaged(df, idCol, textCol, k, w, minShared,
+      maxFingerprintDf)._1
+
+  /** [[substringDupPairs]] plus the cleanup handle for its internal
+    * fingerprint checkpoint (the [[resolveClustersManaged]] /
+    * sourceOverlapManaged precedent — call after materializing). The
+    * barrier exists because the fingerprint table feeds the df-cap
+    * aggregate AND both self-join sides: without it the whole winnow
+    * pipeline (k-gram hashing included) executes FOUR times per job —
+    * measured 10.4 s vs ~3 s at sf0.1. The checkpointed table is
+    * |fingerprints| × (id, 32-char hash) — small next to the corpus. */
+  def substringDupPairsManaged(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): (DataFrame, () => Unit) = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxFingerprintDf >= 2,
       s"maxFingerprintDf must be >= 2 (pairs need two docs), got $maxFingerprintDf")
-    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+    val (fp, fpRdd) = checkpointTracked(
+      winnowFingerprints(df, idCol, textCol, k, w), reliable = false)
     // document frequency per hash: |hashes| rows, partial-aggregated;
     // joined back on the hash key (same shuffle key the pairing uses)
     val keep = fp.groupBy("h").agg(count(lit(1)).as("__d"))
       .filter(col("__d") <= maxFingerprintDf)
       .select("h")
     val fp2 = fp.join(keep, Seq("h"))
-    fp2.select(col("h"), col("id").as("a_id"))
+    val out = fp2.select(col("h"), col("id").as("a_id"))
       .join(fp2.select(col("h"), col("id").as("b_id")), Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    (out, () => free(fpRdd))
+  }
+
+  /** The VERIFY stage over [[substringDupPairs]] candidates: for each
+    * candidate pair, the full k-gram intersection size — the span-extent
+    * measure winnowing's sampled fingerprints can only hint at (a pair
+    * sharing 3 sampled minima might share a 30-char quote or three
+    * scattered ones; the exact gram overlap distinguishes them, and
+    * `n_shared_grams + k − 1` bounds the copied mass if contiguous).
+    * Classic LSH two-phase shape: cheap sampled candidates, exact check
+    * on survivors only. Returns candidates' (a_id, b_id, n_shared_fp)
+    * plus `n_shared_grams`.
+    *
+    * Scale shape: the full gram sets join ONLY for candidate pairs — the
+    * candidate frame fans out by |grams(a)| (bounded by document length),
+    * then one equi-join on (b_id, gram hash) and a per-pair rollup; the
+    * corpus-wide gram table is never self-joined. */
+  def substringExtent(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): DataFrame =
+    substringExtentManaged(df, idCol, textCol, k, w, minShared,
+      maxFingerprintDf)._1
+
+  /** [[substringExtent]] plus the cleanup handle for BOTH internal
+    * checkpoints (the candidate fingerprints and the full gram table) —
+    * same contract as [[substringDupPairsManaged]]. */
+  def substringExtentManaged(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): (DataFrame, () => Unit) = {
+    val (pairs, freePairs) = substringDupPairsManaged(df, idCol, textCol,
+      k, w, minShared, maxFingerprintDf)
+    val cand = pairs.withColumnRenamed("n_shared", "n_shared_fp")
+    // the full gram table feeds BOTH pair sides — barrier it once (the
+    // substringDupPairsManaged rationale; ~1.5 s of hashing per extra
+    // scan at sf0.1)
+    val (grams, gramsRdd) = checkpointTracked(
+      df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+        .select(col(idCol).as("id"), kgramHashes(col(textCol), k).as("__g"))
+        .select(col("id"), explode(array_distinct(col("__g"))).as("h")),
+      reliable = false)
+    val out = cand
+      .join(grams.select(col("id").as("a_id"), col("h")), Seq("a_id"))
+      .join(grams.select(col("id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id", "n_shared_fp")
+      .agg(count(lit(1)).as("n_shared_grams"))
+    (out, () => { freePairs(); free(gramsRdd) })
   }
 
   // --------------------------------------------- blocking-scheme evaluation

@@ -690,6 +690,40 @@ object Events {
     * denominator factors stay separate (their exact product can exceed
     * 2^53 and would round BEFORE the sqrt). Zero-variance sides report
     * NULL (undefined, not 0). */
+  /** Conversion attribution under the two standard position models: for
+    * every conversion event, the user's FIRST and LAST non-conversion
+    * event type before it (strictly earlier in (ts, id) order) credit
+    * their channel. Returns long-form (model, channel, n) with
+    * model ∈ {first_touch, last_touch}; conversions with no prior
+    * touchpoint land in the NULL channel — a count the report must show
+    * (dropping it silently overstates every real channel's share).
+    *
+    * Scale shape: ONE window pass partitioned by user (running first/last
+    * with ignoreNulls over the preceding frame — no self-join of the
+    * event table against itself, which is the naive attribution query),
+    * then two partial-aggregated groupBys over the conversions only.
+    * Multi-touch models (linear, time-decay) would ride the same
+    * window pass with a collected-paths column instead. */
+  def attributionCounts(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      idCol: String, conversion: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Long.MinValue, -1)
+    val touch = when(col(typeCol) =!= conversion, col(typeCol))
+    val scored = df
+      .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversion)
+    scored.groupBy(col("__first").as("channel"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("first_touch").as("model"), col("channel"), col("n"))
+      .unionByName(
+        scored.groupBy(col("__last").as("channel"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("last_touch").as("model"), col("channel"), col("n")))
+  }
+
   def autocorrLag(
       df: DataFrame, tsCol: String, lags: Seq[Int] = Seq(1, 24, 168)): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ >= 1),

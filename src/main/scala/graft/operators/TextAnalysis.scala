@@ -729,6 +729,36 @@ object TextAnalysis {
         col("n_distinct_sum").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Per-document n-gram novelty against everything EARLIER in id order —
+    * the corpus-redundancy growth curve: novelty = share of the document's
+    * distinct shingles whose FIRST corpus occurrence is this document.
+    * Early documents score ~1; as the corpus saturates its domain, novelty
+    * decays — the curve read before deciding whether the next crawl batch
+    * still adds information (and the curriculum signal for
+    * ordered-training ablations). Returns
+    * (id, n_shingles, n_novel, novelty); documents with no shingles drop.
+    *
+    * Scale shape: distinct (shingle, id) rows, one groupBy on the shingle
+    * for the min-id first-occurrence table, joined back on the shingle
+    * key (the shuffle the whole shingle family already pays), one groupBy
+    * on the id. Novelty is ONE division of exact BIGINTs — no gate. */
+  def ngramNovelty(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    val sh = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(TextFns.shinglesFast(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    val firstSeen = sh.groupBy("sh").agg(min(col("id")).as("__first"))
+    sh.join(firstSeen, Seq("sh"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** DEFLATE length of a string's UTF-8 bytes (zlib level 6). A JVM UDF by
     * necessity — Spark has no built-in compressor — kept out of hot paths:
     * the quality gate runs it once per document, map-side. Deterministic

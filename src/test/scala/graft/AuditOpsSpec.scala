@@ -863,6 +863,24 @@ class AuditOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Events.autocorrLag(ev, "ts", Seq(1, 1)))
   }
 
+  // -------------------------------------------------- attributionCounts
+
+  test("attributionCounts: first/last models credit the right channels; bare conversions land in NULL") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 10L, "view"), (1L, ts(2), 11L, "click"),
+      (1L, ts(3), 12L, "purchase"), (1L, ts(4), 13L, "purchase"),
+      (2L, ts(1), 20L, "purchase"))  // no touchpoint before it
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Events.attributionCounts(ev, "user_id", "ts", "event_type",
+        "event_id", "purchase")
+      .collect()
+      .map(x => (x.getString(0), Option(x.getString(1)), x.getLong(2))).toSet
+    assert(r == Set(
+      ("first_touch", Some("view"), 2L), ("first_touch", None, 1L),
+      ("last_touch", Some("click"), 2L), ("last_touch", None, 1L)), r.toString)
+  }
+
   // --------------------------------------------------------- rfmScores
 
   test("rfmScores: extremes score 5 (best) and 1; money is exact cents; scores stay in 1..5") {

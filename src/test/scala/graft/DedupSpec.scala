@@ -520,6 +520,24 @@ class DedupSpec extends SparkSpec {
       Dedup.substringDupPairs(docs, "doc_id", "text", maxFingerprintDf = 1))
   }
 
+  test("substringExtent: exact gram overlap bounds the copied mass; extent >= sampled fingerprints") {
+    val copy = "The quick brown fox jumps over the lazy dog" // 43 chars
+    val docs = Seq(
+      (1L, s"alpha beta gamma $copy"),
+      (2L, s"delta $copy epsilon zeta"),
+      (3L, "entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.substringExtent(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 2, maxFingerprintDf = 3).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    // a 43-char copy yields at least 43-8+1 = 36 shared 8-grams, and every
+    // shared fingerprint is by construction a shared gram
+    assert(r.getLong(3) >= 36L, r.toString)
+    assert(r.getLong(3) >= r.getLong(2), r.toString)
+  }
+
   test("blockingQuality: hand-computed completeness and reduction; empty truth reports NULL") {
     val entities = (1L to 4L).toDF("id")
     val cand = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")

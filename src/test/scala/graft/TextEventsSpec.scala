@@ -280,6 +280,21 @@ class TextEventsSpec extends SparkSpec {
     assert(frames.map(_._2).sorted.toSeq == Seq(0L, 3L, 6L, 9L))
   }
 
+  test("ngramNovelty: first occurrence owns the shingle; repeats score zero; short docs drop") {
+    val docs = Seq(
+      (1L, "a b c"),         // "a b c" first here -> novelty 1
+      (2L, "a b c"),         // same shingle, later id -> novelty 0
+      (3L, "x y z w"),       // both shingles novel -> 1
+      (4L, "too short"))     // < 3 tokens: no shingles
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(docs, "doc_id", "text", shingleN = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r == Map(
+      1L -> (1L, 1L, 1.0), 2L -> (1L, 0L, 0.0), 3L -> (2L, 2L, 1.0)), r.toString)
+    intercept[IllegalArgumentException](
+      TextAnalysis.ngramNovelty(docs, "doc_id", "text", 0))
+  }
+
   test("mediaDedup: identical payloads collapse keeping the min id; NULL payloads drop; bytes never shuffle as keys") {
     val a = Array[Byte](1, 2, 3, 4)
     val media = Seq(
