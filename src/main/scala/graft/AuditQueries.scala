@@ -249,6 +249,24 @@ object AuditQueries {
       "user_id", "ts", "event_type", "event_id", conversion = "purchase")
       .orderBy("model", "channel")
 
+  /** Interval-union coverage: 60-second activity windows around each
+    * event, merged per user — active time counted once under overlap. */
+  val intervalUnionQ: Q = (s, d) => {
+    val ev = Tables.loadEvents(s, d)
+    graft.operators.Temporal.intervalUnion(
+      ev.select(col("user_id"), col("ts").as("s0"),
+        (col("ts") + expr("INTERVAL 60 SECONDS")).as("e0")),
+      "user_id", "s0", "e0")
+      .orderBy("key")
+  }
+
+  /** Welch two-sample t over event values, variants split on user parity. */
+  val abWelch: Q = (s, d) =>
+    Profile.welchTTest(
+      Tables.loadEvents(s, d).withColumn("variant",
+        when(col("user_id") % 2 === 0, "control").otherwise("variant")),
+      "variant", "value")
+
   /** Part co-occurrence lift over order baskets (≥2 shared orders). */
   val basketLiftQ: Q = (s, d) =>
     Profile.cooccurrenceLift(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
@@ -287,7 +305,9 @@ object AuditQueries {
     "l_diversity" -> lDiversityQ,
     "rfm_scores" -> rfmScoresQ,
     "basket_lift" -> basketLiftQ,
-    "attribution" -> attributionQ
+    "attribution" -> attributionQ,
+    "interval_union" -> intervalUnionQ,
+    "ab_welch" -> abWelch
   )
 
   /** The 36 upper-triangle covar_pop entries for embed_covariance, unrolled
@@ -930,6 +950,57 @@ object AuditQueries {
         |SELECT 'last_touch', last_nc, CAST(count(*) AS BIGINT)
         |FROM w WHERE event_type = 'purchase' GROUP BY 2
         |ORDER BY model, channel NULLS FIRST""".stripMargin,
+    // gaps-and-islands on exact epoch micros: running max end (preceding
+    // frame), island flags, island spans — integers end to end
+    "interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id AS key, epoch_us(ts) AS s,
+        |    epoch_us(ts + INTERVAL 60 SECOND) AS e
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (
+        |  SELECT key, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY key ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) THEN 1 ELSE 0 END AS ni
+        |  FROM iv),
+        |i AS (
+        |  SELECT key, s, e, sum(ni) OVER (PARTITION BY key ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT key, island, count(*) AS n, max(e) - min(s) AS span
+        |  FROM i GROUP BY 1, 2)
+        |SELECT key, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(span) AS BIGINT) AS covered_us
+        |FROM g GROUP BY key ORDER BY key""".stripMargin,
+    // fixed-point cents before summing; the t chain is the same IEEE op
+    // order on both engines (mean diff over sqrt of summed per-group
+    // variance quotients) — deterministic, no rounding gate
+    "ab_welch" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'variant' END AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c*c) AS BIGINT) AS ss
+        |  FROM v GROUP BY g),
+        |w AS (
+        |  SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+        |    a.s AS sa, b.s AS sb, a.ss AS ssa, b.ss AS ssb
+        |  FROM st a, st b WHERE a.g < b.g)
+        |SELECT group_a, group_b, n_a, n_b,
+        |  CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |  CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |  (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |     - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |  / sqrt(
+        |      CAST(n_a*ssa - sa*sa AS DOUBLE) / CAST(n_a*(n_a-1) AS DOUBLE)
+        |        / CAST(n_a AS DOUBLE)
+        |    + CAST(n_b*ssb - sb*sb AS DOUBLE) / CAST(n_b*(n_b-1) AS DOUBLE)
+        |        / CAST(n_b AS DOUBLE)) AS t
+        |FROM w""".stripMargin,
     // lift = one IEEE division of exact BIGINT products — no gate
     "basket_lift" ->
       """WITH bi AS (

@@ -692,6 +692,19 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Nearest as-of with a 1-hour bound each way: each purchase copies
+    * from whichever of its latest-prior / earliest-later click is closer
+    * (ties backward) — the two directed passes composed. */
+  val joinAsofNear: Q = (s, d) => {
+    val (purchases, clicks) = asofInputs(s, d)
+    Temporal.asofJoinNearest(purchases, clicks, "user_id", "ts",
+      Map("click_id" -> "click_id", "click_value" -> "value"),
+      tolerance = Some("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("click_id"),
+        round(col("click_value"), 4).as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Range join: click -> purchases of the same user within 5 minutes. */
   val joinRange: Q = (s, d) => {
     val ev = Tables.loadEvents(s, d)
@@ -1156,6 +1169,7 @@ object ExtQueries {
     "join_interval" -> joinInterval,
     "join_asof" -> joinAsof,
     "join_asof_fwd" -> joinAsofFwd,
+    "join_asof_near" -> joinAsofNear,
     "join_range" -> joinRange,
   )
 
@@ -2245,6 +2259,33 @@ object ExtQueries {
         |  CASE WHEN c.ts <= p.ts + INTERVAL 1 HOUR THEN round(c.value, 4) END AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    // two chained ASOF joins; validity (per-direction tolerance) applies
+    // BEFORE the exact epoch-micros distance compare; ties pick backward
+    "join_asof_near" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value FROM (
+        |  SELECT event_id, user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |j AS (
+        |  SELECT p.event_id, p.ts,
+        |    CASE WHEN b.ts >= p.ts - INTERVAL 1 HOUR THEN b.click_id END AS b_id,
+        |    CASE WHEN b.ts >= p.ts - INTERVAL 1 HOUR THEN b.value END AS b_val,
+        |    CASE WHEN b.ts >= p.ts - INTERVAL 1 HOUR THEN b.ts END AS b_ts,
+        |    CASE WHEN f.ts <= p.ts + INTERVAL 1 HOUR THEN f.click_id END AS f_id,
+        |    CASE WHEN f.ts <= p.ts + INTERVAL 1 HOUR THEN f.value END AS f_val,
+        |    CASE WHEN f.ts <= p.ts + INTERVAL 1 HOUR THEN f.ts END AS f_ts
+        |  FROM p
+        |  ASOF LEFT JOIN c b ON p.user_id = b.user_id AND p.ts >= b.ts
+        |  ASOF LEFT JOIN c f ON p.user_id = f.user_id AND p.ts <= f.ts)
+        |SELECT event_id,
+        |  CASE WHEN pick THEN b_id ELSE f_id END AS click_id,
+        |  round(CASE WHEN pick THEN b_val ELSE f_val END, 4) AS click_value
+        |FROM (SELECT *,
+        |  b_ts IS NOT NULL AND (f_ts IS NULL OR
+        |    epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts)) AS pick
+        |  FROM j)
+        |ORDER BY event_id""".stripMargin,
     "join_range" ->
       """SELECT e.event_id AS a_id, f.event_id AS b_id FROM events e
         |JOIN events f ON e.user_id = f.user_id

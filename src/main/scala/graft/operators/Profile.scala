@@ -1278,6 +1278,64 @@ object Profile {
         score(col("m_cents").cast("double"), i => col(s"__m$i")).as("m_score"))
   }
 
+  /** Welch's two-sample t statistic — the unequal-variance A/B comparison
+    * (the default experiment read: never assume the variant didn't change
+    * the variance too). Requires EXACTLY two groups (raise_error
+    * otherwise — a silently dropped third variant is a wrong experiment,
+    * not a convenience) and ≥2 rows per group. Returns one row:
+    * (group_a, group_b, n_a, n_b, mean_a, mean_b, t) with groups in
+    * ascending name order so the sign of t is reproducible.
+    *
+    * Numeric contract: values go fixed-point (`round(x·100)` → BIGINT
+    * cents) BEFORE summing — per-group double sums accumulate
+    * order-dependent error (house rule) — so n/Σx/Σx² are exact BIGINTs;
+    * then means, the two variances (n·Σx² − (Σx)² over n·(n−1)), the
+    * pooled standard error, and t are a FIXED chain of IEEE ops evaluated
+    * in the same order on both engines: deterministic without any
+    * rounding gate. Statistics are in CENTS (scale-invariant for t).
+    *
+    * Scale shape: one partial-aggregated groupBy to two rows, reshaped
+    * against a broadcast 1-row name pair — the corpus is scanned once. */
+  def welchTTest(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol).cast("double") * 100, 0).cast("long")
+    val stats = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(cents).as("__s"),
+        sum(cents * cents).as("__ss"))
+    val names = stats.agg(
+      count(lit(1)).as("__k"),
+      min(col("__g")).as("group_a"), max(col("__g")).as("group_b"))
+    def side(tag: String) = Seq(
+      sum(when(col("__g") === col(s"group_$tag"), col("__n"))).as(s"n_$tag"),
+      sum(when(col("__g") === col(s"group_$tag"), col("__s"))).as(s"__s$tag"),
+      sum(when(col("__g") === col(s"group_$tag"), col("__ss"))).as(s"__ss$tag"))
+    val aggs = side("a") ++ side("b")
+    val wide = stats.crossJoin(broadcast(names))
+      .groupBy("__k", "group_a", "group_b")
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String) =
+      col(s"__s$tag").cast("double") / col(s"n_$tag").cast("double")
+    def variance(tag: String) =
+      (col(s"n_$tag") * col(s"__ss$tag") - col(s"__s$tag") * col(s"__s$tag"))
+        .cast("double") /
+        (col(s"n_$tag") * (col(s"n_$tag") - 1)).cast("double")
+    // guards ride INSIDE output columns (the psiDrift pattern) — a
+    // projected-then-dropped guard column would be pruned unevaluated
+    wide.select(col("group_a"), col("group_b"),
+      when(col("__k") =!= 2, raise_error(concat(
+          lit("welchTTest requires exactly two groups, got "),
+          col("__k").cast("string"))).cast("long"))
+        .otherwise(col("n_a")).as("n_a"),
+      when(col("n_a") < 2 || col("n_b") < 2, raise_error(
+          lit("welchTTest requires >= 2 rows per group")).cast("long"))
+        .otherwise(col("n_b")).as("n_b"),
+      mean("a").as("mean_a"), mean("b").as("mean_b"),
+      ((mean("a") - mean("b")) /
+        sqrt(variance("a") / col("n_a").cast("double") +
+          variance("b") / col("n_b").cast("double"))).as("t"))
+  }
+
   /** Item co-occurrence with lift — association mining over baskets
     * (orders, sessions, documents-as-bags): for every unordered item pair
     * seen in at least `minPairCount` baskets, the observed co-basket

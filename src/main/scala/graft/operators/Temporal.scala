@@ -93,6 +93,44 @@ object Temporal {
     withCopies.drop("__k", "__ts", "__side", "__payload", "__match")
   }
 
+  /** [[asofJoin]] in the NEAREST direction (pandas merge_asof
+    * `direction="nearest"`): each left row copies from whichever of its
+    * latest-at-or-before and earliest-at-or-after right rows is closer in
+    * time, ties to the backward match (the stale-but-known reading beats
+    * the future one at equal distance — the reproducible choice pandas
+    * also makes). `tolerance` bounds each direction independently before
+    * the distance compare, so a "nearest" match is never farther than the
+    * bound in its own direction. Distances compare as exact epoch-micros
+    * BIGINTs — no FP.
+    *
+    * Built as the composition of the two directed passes (two key
+    * shuffles, no range explosion) rather than a third bespoke window
+    * walk — the directed semantics stay defined in exactly one place. */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      copies: Map[String, String],
+      tolerance: Option[String] = None): DataFrame = {
+    require(!copies.keySet.exists(k => k.endsWith("__b") || k.endsWith("__f")),
+      "copy destinations may not end in the reserved __b/__f suffixes")
+    val withB = asofJoin(left, right, key, tsCol,
+      copies.map { case (d, s) => (d + "__b", s) } + ("__bts" -> tsCol),
+      direction = "backward", tolerance = tolerance)
+    val both = asofJoin(withB, right, key, tsCol,
+      copies.map { case (d, s) => (d + "__f", s) } + ("__fts" -> tsCol),
+      direction = "forward", tolerance = tolerance)
+    val takeB = col("__bts").isNotNull && (col("__fts").isNull ||
+      (unix_micros(col(tsCol)) - unix_micros(col("__bts"))) <=
+        (unix_micros(col("__fts")) - unix_micros(col(tsCol))))
+    copies.keys.foldLeft(both) { (df, dst) =>
+      df.withColumn(dst,
+        when(takeB, col(dst + "__b")).otherwise(col(dst + "__f")))
+    }.drop(copies.keys.flatMap(d => Seq(d + "__b", d + "__f")).toSeq ++
+        Seq("__bts", "__fts"): _*)
+  }
+
   /** Bounded range join: pairs (l, r) with equal `key` and `r.ts` in
     * (l.ts, l.ts + window]. The key equality makes this a shuffled
     * equi-join with a residual range predicate — scalable, unlike a pure
@@ -166,5 +204,49 @@ object Temporal {
         col(rightPrefix + "start") <= col(leftPrefix + "end"))
       .drop("__bucket")
       .distinct()
+  }
+
+  /** Interval-union coverage per key (the gaps-and-islands merge): total
+    * time covered by the UNION of a key's half-open [start, end)
+    * intervals, counting overlap once — uptime from session spans,
+    * active-time from padded event windows, SLA coverage from incident
+    * intervals. Naive `sum(end − start)` double-counts every overlap;
+    * this merges first. Returns
+    * (key, n_intervals, n_islands, covered_us) — islands are the merged
+    * maximal runs; all three outputs exact BIGINTs (epoch micros), no FP
+    * anywhere. Intervals that touch (`start = running max end`) merge
+    * (half-open adjacency is contiguous coverage); NULL keys, NULL
+    * endpoints, and empty/negative intervals (end ≤ start) drop — they
+    * have no extent and would poison the running max with NULL.
+    *
+    * Scale shape: ONE shuffle on the key; the classic two-window pass
+    * (running max end → island flags → island ids) ordered by
+    * (start, end), then two partial-aggregated rollups. Window
+    * partitions are one key's intervals — no global sort. */
+  def intervalUnion(
+      df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val s = unix_micros(col(startCol))
+    val e = unix_micros(col(endCol))
+    val base = df
+      .filter(col(keyCol).isNotNull && col(startCol).isNotNull &&
+        col(endCol).isNotNull && e > s)
+      .select(col(keyCol).as("key"), s.as("s"), e.as("e"))
+    val prev = Window.partitionBy("key").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy("key").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__newIsland",
+        when(col("s") > coalesce(max(col("e")).over(prev), lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__newIsland")).over(run))
+      .groupBy("key", "__island")
+      .agg(count(lit(1)).as("__n"),
+        (max(col("e")) - min(col("s"))).as("__span"))
+      .groupBy("key")
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__span")).as("covered_us"))
   }
 }

@@ -909,6 +909,29 @@ class AuditOpsSpec extends SparkSpec {
       Seq(a, b, c).forall(s => s >= 1 && s <= 5) })
   }
 
+  // --------------------------------------------------------- welchTTest
+
+  test("welchTTest: hand-computed t on exact cents; guards on group count and size") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "v")
+    val r = Profile.welchTTest(df, "g", "v").head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 200.0 && r.getDouble(5) == 400.0) // cents
+    // var_a = 10000, var_b = 40000 (cents^2);
+    // t = -200 / sqrt(10000/3 + 40000/3)
+    val expected = -200.0 / math.sqrt(10000.0 / 3 + 40000.0 / 3)
+    assert(math.abs(r.getDouble(6) - expected) < 1e-12, r.toString)
+    // three groups fail loudly (a silently dropped variant is a wrong test)
+    val three = df.unionAll(Seq(("c", 1.0), ("c", 2.0)).toDF("g", "v"))
+    val e = intercept[Exception](Profile.welchTTest(three, "g", "v").collect())
+    assert(e.getMessage.contains("exactly two groups"), e.getMessage)
+    // a 1-row group has no variance
+    val small = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("g", "v")
+    val e2 = intercept[Exception](Profile.welchTTest(small, "g", "v").collect())
+    assert(e2.getMessage.contains(">= 2 rows"), e2.getMessage)
+  }
+
   // -------------------------------------------------- cooccurrenceLift
 
   test("cooccurrenceLift: hand-computed lift; singleton pairs pruned; within-basket duplicates collapse") {

@@ -105,4 +105,52 @@ class TemporalSpec extends SparkSpec {
     // ts(0) excluded (not strictly after), ts(3)/ts(5) in, ts(6) out
     assert(pairs == Set((1L, 11L), (1L, 12L)))
   }
+
+  test("asofJoinNearest: closer side wins, ties go backward, tolerance excludes per direction") {
+    val left = Seq(
+      (1L, 7L, ts(10)),  // back@7 (d=3min) vs fwd@12 (d=2min) -> forward
+      (2L, 7L, ts(9)),   // back@7 (d=2min) vs fwd@12 (d=3min) -> backward
+      (3L, 7L, ts(30)),  // backward candidate is the LATEST at-or-before:
+                         //   right@12 ("f"); no forward row -> it wins
+      (4L, 8L, ts(10))   // no right rows -> NULL
+    ).toDF("id", "k", "t")
+    val right = Seq((7L, ts(7), "b"), (7L, ts(12), "f")).toDF("k", "t", "v")
+    val out = Temporal.asofJoinNearest(left, right, "k", "t", Map("m" -> "v"))
+      .select("id", "m").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(out == Map(1L -> "f", 2L -> "b", 3L -> "f", 4L -> null), out.toString)
+    // tie: left exactly between the two rows -> backward wins
+    val tieLeft = Seq((5L, 7L, new Timestamp(ts(7).getTime + 150000L)))
+      .toDF("id", "k", "t") // 2.5 min after 7, 2.5 min before 12
+    val tie = Temporal.asofJoinNearest(tieLeft, right, "k", "t", Map("m" -> "v"))
+      .select("m").head.getString(0)
+    assert(tie == "b", "equal distance must prefer the backward match")
+    // tolerance bounds BOTH directions before the distance compare
+    val tol = Temporal.asofJoinNearest(
+      Seq((6L, 7L, ts(9))).toDF("id", "k", "t"), right, "k", "t",
+      Map("m" -> "v"), tolerance = Some("INTERVAL 1 MINUTE"))
+      .select("m").head
+    assert(tol.isNullAt(0),
+      "1-minute bound excludes both (2min back, 3min fwd) -> NULL")
+    // reserved-suffix destinations rejected
+    intercept[IllegalArgumentException](
+      Temporal.asofJoinNearest(left, right, "k", "t", Map("x__b" -> "v")))
+  }
+
+  test("intervalUnion: overlaps count once, touching merges, disjoint splits islands, degenerates drop") {
+    def t(ms: Long) = new Timestamp(ms)
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L),   // overlap -> one island
+      (1L, 15L, 20L),                  // touches -> same island
+      (1L, 30L, 40L),                  // disjoint -> second island
+      (2L, 0L, 5L),
+      (2L, 5L, 5L),                    // empty: drops
+      (2L, 9L, 8L))                    // negative: drops
+      .map { case (k, s, e) => (k, t(s), t(e)) }
+      .toDF("k", "s0", "e0")
+    val r = Temporal.intervalUnion(iv, "k", "s0", "e0")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // 20ms + 10ms covered for key 1, reported in exact micros
+    assert(r(1L) == (4L, 2L, 30000L), r.toString)
+    assert(r(2L) == (1L, 1L, 5000L), r.toString)
+  }
 }
