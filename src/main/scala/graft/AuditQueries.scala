@@ -260,6 +260,17 @@ object AuditQueries {
       .orderBy("key")
   }
 
+  /** Centered ±12h moving-average trend + residuals over the hourly
+    * count series. */
+  val trendDecomposeQ: Q = (s, d) =>
+    Events.trendDecompose(Tables.loadEvents(s, d), "ts", halfWindow = 12)
+      .orderBy("hr")
+
+  /** Daily new-vs-returning user split. */
+  val userGrowthQ: Q = (s, d) =>
+    Events.userGrowth(Tables.loadEvents(s, d), "user_id", "ts")
+      .orderBy("day")
+
   /** Welch two-sample t over event values, variants split on user parity. */
   val abWelch: Q = (s, d) =>
     Profile.welchTTest(
@@ -307,7 +318,9 @@ object AuditQueries {
     "basket_lift" -> basketLiftQ,
     "attribution" -> attributionQ,
     "interval_union" -> intervalUnionQ,
-    "ab_welch" -> abWelch
+    "ab_welch" -> abWelch,
+    "trend_decompose" -> trendDecomposeQ,
+    "user_growth" -> userGrowthQ
   )
 
   /** The 36 upper-triangle covar_pop entries for embed_covariance, unrolled
@@ -974,6 +987,37 @@ object AuditQueries {
         |  CAST(count(*) AS BIGINT) AS n_islands,
         |  CAST(sum(span) AS BIGINT) AS covered_us
         |FROM g GROUP BY key ORDER BY key""".stripMargin,
+    // dense spine + one window over the |hours| series; trend is an
+    // explicit sum/count division (never a sliding avg, whose incremental
+    // accumulator differs across engines); resid repeats it token-for-token
+    "trend_decompose" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM events WHERE ts IS NOT NULL),
+        |sp AS (SELECT h0, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b),
+        |c AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+        |      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |s AS (
+        |  SELECT sp.hr, CAST(date_diff('hour', sp.h0, sp.hr) AS BIGINT) AS i,
+        |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM sp LEFT JOIN c USING (hr))
+        |SELECT CAST(hr AS TIMESTAMP) AS hr, n,
+        |  CAST(sum(n) OVER w AS DOUBLE) / CAST(count(n) OVER w AS DOUBLE) AS trend,
+        |  CAST(n AS DOUBLE)
+        |    - CAST(sum(n) OVER w AS DOUBLE) / CAST(count(n) OVER w AS DOUBLE) AS resid
+        |FROM s
+        |WINDOW w AS (ORDER BY i ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |ORDER BY hr""".stripMargin,
+    "user_growth" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fd AS (SELECT u, min(day) AS fday FROM ud GROUP BY u)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(count(*) - sum(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning
+        |FROM ud JOIN fd USING (u) GROUP BY day ORDER BY day""".stripMargin,
     // fixed-point cents before summing; the t chain is the same IEEE op
     // order on both engines (mean diff over sqrt of summed per-group
     // variance quotients) — deterministic, no rounding gate

@@ -411,6 +411,23 @@ object ExtQueries {
       k = 10, hitsFloor = 15)
   }
 
+  /** Embedding-space anisotropy probe: flags over the deterministic
+    * power-iteration top component of the first-16-dim covariance —
+    * the loadings themselves are driver-side FP with no SQL mirror, so
+    * DuckDB pins the invariants (dimension count, unit norm, PSD
+    * eigenvalue, explained share in (0, 1]). A broken covariance
+    * aggregate, a sign/normalization regression, or a divergent
+    * iteration flips a flag. Loadings and the residual identity are
+    * pinned in SimilaritySpec. */
+  val embedPcaQ: Q = (s, d) =>
+    Similarity.pcaTopComponent(t(s, d, "embeddings"), "embedding", k = 16)
+      .agg(count(lit(1)).as("n_dims"),
+        when(abs(sum(col("loading") * col("loading")) - 1.0) < 1e-9, 1)
+          .otherwise(0).as("unit_ok"),
+        when(min(col("lambda")) > 0, 1).otherwise(0).as("lambda_pos"),
+        when(max(col("explained")) > 0 && max(col("explained")) <= 1.000001, 1)
+          .otherwise(0).as("explained_ok"))
+
   /** The STORED-index path through ann_ivf's exact harness: build the IVF
     * index, publish it to disk (write-then-swap), reload, and answer the
     * same queries from the stored tables — the build-once / query-many
@@ -1147,6 +1164,7 @@ object ExtQueries {
     "ann_topk" -> annTopk,
     "ann_ivf" -> annIvfTopk,
     "ann_ivf_stored" -> annIvfStoredQ,
+    "embed_pca" -> embedPcaQ,
     "ann_probe_sweep" -> annProbeSweep,
     "lang_id" -> langId,
     "text_quality" -> textQuality,
@@ -1257,6 +1275,10 @@ object ExtQueries {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
         |  CAST(10 AS INTEGER) AS k, CAST(15 AS INTEGER) AS hits_floor,
         |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
+    "embed_pca" ->
+      """SELECT CAST(16 AS BIGINT) AS n_dims, CAST(1 AS INTEGER) AS unit_ok,
+        |  CAST(1 AS INTEGER) AS lambda_pos, CAST(1 AS INTEGER) AS explained_ok
+        |FROM (SELECT count(*) AS c FROM embeddings)""".stripMargin,
     // stored-index path shares ann_ivf's floor: the persisted index is
     // bit-identical to the in-memory build (deterministic seeds, exact
     // double round-trip), so recall cannot differ

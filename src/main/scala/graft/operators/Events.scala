@@ -549,6 +549,28 @@ object Events {
       .withColumn("share", round(col("n") / sum(col("n")).over(all), 6))
   }
 
+  /** New-vs-returning split per day — the growth dashboard's first chart:
+    * a user is NEW on their first-ever active day, RETURNING on every
+    * later one. Returns (day, n_active, n_new, n_returning) with
+    * n_active = distinct users that day and n_new + n_returning =
+    * n_active. NULL users/timestamps drop (no identity / no day).
+    *
+    * Scale shape: (user, day) distinct pairs, one groupBy per user for
+    * the first day (partial-aggregated min), one groupBy per day — the
+    * first-day flag joins back on the user key the pairs already carry.
+    * All exact integers. */
+  def userGrowth(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ud = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).cast("date").as("day"))
+      .distinct()
+    val firstDay = ud.groupBy("u").agg(min(col("day")).as("__first"))
+    ud.join(firstDay, Seq("u"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("__first"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+  }
+
   /** Per-actor burstiness (index of dispersion): the Fano factor
     * var/mean of the actor's per-period event counts — ~1 for Poisson
     * (human-ish) arrivals, ≫1 for bursty actors (batch jobs, scrapers
@@ -724,12 +746,13 @@ object Events {
           .select(lit("last_touch").as("model"), col("channel"), col("n")))
   }
 
-  def autocorrLag(
-      df: DataFrame, tsCol: String, lags: Seq[Int] = Seq(1, 24, 168)): DataFrame = {
-    require(lags.nonEmpty && lags.forall(_ >= 1),
-      s"lags must be positive, got $lags")
-    require(lags.distinct.size == lags.size,
-      s"duplicate lags double-count pairs through the cross join, got $lags")
+  /** The DENSE hourly count series (hr, i, n): every hour between the
+    * min and max event hour appears, silent hours with n = 0, `i` the
+    * 0-based hour index from the broadcast bounds (map-side — no window,
+    * no global sort). Shared by [[autocorrLag]] and [[trendDecompose]] so
+    * the two cannot disagree on what "the series" is. |hours| rows —
+    * bounded by the time span, never the event count. */
+  def hourlySeries(df: DataFrame, tsCol: String): DataFrame = {
     val ev = df.filter(col(tsCol).isNotNull)
     val bounds = ev.agg(
       date_trunc("hour", min(col(tsCol))).as("h0"),
@@ -737,14 +760,51 @@ object Events {
     val counts = ev
       .groupBy(date_trunc("hour", col(tsCol)).as("hr"))
       .agg(count(lit(1)).as("n"))
-    val s = bounds
+    bounds
       .select(col("h0"), explode(sequence(col("h0"), col("h1"),
         expr("INTERVAL 1 HOUR"))).as("hr"))
       .join(counts, Seq("hr"), "left")
-      .select(
+      .select(col("hr"),
         ((unix_timestamp(col("hr")) - unix_timestamp(col("h0"))) / 3600L)
           .cast("long").as("i"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Moving-average trend decomposition of the hourly count series:
+    * trend = mean count over the centered ±`halfWindow` hours, residual
+    * = count − trend — the detrend step before eyeballing anomalies or
+    * feeding a changepoint detector (a level shift inflates raw-count
+    * z-scores everywhere; residuals isolate the local deviation).
+    * Returns (hr, n, trend, resid); edge hours average over their
+    * truncated window (standard one-sided behavior, no NULL padding).
+    *
+    * The trend window runs over the SPINE (|hours| rows, calendar-
+    * bounded), so its single-partition window is deliberate and cheap —
+    * the corpus itself is reduced by [[hourlySeries]] first. Numeric
+    * contract: trend is ONE division of exact BIGINT window sums
+    * (explicit sum/count, never a sliding `avg` whose incremental
+    * accumulator rounds differently across engines); resid is one
+    * further IEEE subtraction. No gate. */
+  def trendDecompose(
+      df: DataFrame, tsCol: String, halfWindow: Int = 12): DataFrame = {
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("i").rowsBetween(-halfWindow, halfWindow)
+    hourlySeries(df, tsCol)
+      .withColumn("trend",
+        sum(col("n")).over(w).cast("double") /
+          count(col("n")).over(w).cast("double"))
+      .withColumn("resid", col("n").cast("double") - col("trend"))
+      .select("hr", "n", "trend", "resid")
+  }
+
+  def autocorrLag(
+      df: DataFrame, tsCol: String, lags: Seq[Int] = Seq(1, 24, 168)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags must be positive, got $lags")
+    require(lags.distinct.size == lags.size,
+      s"duplicate lags double-count pairs through the cross join, got $lags")
+    val s = hourlySeries(df, tsCol).select("i", "n")
     val lagTab = broadcast(
       df.sparkSession.createDataFrame(lags.map(Tuple1(_))).toDF("lag"))
     val a = s.crossJoin(lagTab)

@@ -524,6 +524,64 @@ object Similarity {
       .select(col("e.i"), col("e.j"), col("e.cov"))
   }
 
+  /** Top principal component of the first `k` embedding dimensions —
+    * the anisotropy probe (embedding spaces concentrate mass along a few
+    * directions; a dominant component with a huge explained share says
+    * cosine similarities are inflated by a common bias direction — the
+    * standard all-but-the-top / whitening diagnostic). Power iteration
+    * over the [[covarianceMatrix]] aggregate: the corpus work is that ONE
+    * partial-aggregated pass; the k×k matrix and the iteration are
+    * driver-local (k ≤ a few dozen), deterministic by construction —
+    * fixed uniform start, fixed `iters`, sequential index-order sums, and
+    * a sign convention (largest-|loading| coordinate positive). Returns
+    * one row per dimension: (pos, loading, lambda, explained) with
+    * lambda the Rayleigh quotient and explained = lambda / trace.
+    * EAGER (collects the covariance triangle). Near-degenerate top
+    * eigenpairs (gap ~ 0) converge to SOME vector in the top eigenspace;
+    * lambda and the residual check remain meaningful either way. */
+  def pcaTopComponent(
+      df: DataFrame, vecCol: String, k: Int, iters: Int = 200): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val tri = covarianceMatrix(df, vecCol, k).collect()
+    val c = Array.ofDim[Double](k, k)
+    tri.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val v = r.getDouble(2)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    def mul(v: Array[Double]): Array[Double] =
+      Array.tabulate(k) { i =>
+        var s = 0.0; var j = 0
+        while (j < k) { s += c(i)(j) * v(j); j += 1 }
+        s
+      }
+    var v = Array.fill(k)(1.0 / math.sqrt(k.toDouble))
+    for (_ <- 0 until iters) {
+      val cv = mul(v)
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      if (n > 0) v = cv.map(_ / n)
+    }
+    // sign convention: the largest-magnitude loading is positive
+    val pivot = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(pivot) < 0) v = v.map(-_)
+    val cv = mul(v)
+    val lambda = v.indices.map(i => v(i) * cv(i)).sum
+    val trace = (0 until k).map(i => c(i)(i)).sum
+    val explained = if (trace > 0) lambda / trace else Double.NaN
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("loading",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("lambda",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("explained",
+        org.apache.spark.sql.types.DoubleType)))
+    localFrame(df.sparkSession,
+      v.indices.map(i =>
+        org.apache.spark.sql.Row(i, v(i), lambda, explained)).toArray,
+      schema)
+  }
+
   /** Driver-local DataFrame from collected rows + schema — the eager
     * small-result idiom shared by [[kmeansCentroids]] (k-row centroid
     * tables) and self-cleaning queries that must materialize a result
