@@ -3,6 +3,60 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump each selected query's result to `outDir/<name>` parquet; returns
+    * the per-query error map (empty = all wrote cleanly).
+    *
+    * Queries run `par`-wide in CHUNKS with a storage sweep at each chunk
+    * barrier: registered queries use the unmanaged operator variants, whose
+    * internal `localCheckpoint` RDDs (resolveClusters, substringDupPairs,
+    * pipeline staging) otherwise accumulate across the ~200-query dump
+    * until the JVM GCs the RDD handles — latent executor-storage growth at
+    * larger SFs (the Bench between-sample sweep precedent). The sweep MUST
+    * NOT run while queries are in flight: unpersisting a localCheckpointed
+    * RDD another thread still reads breaks its (truncated) lineage, so the
+    * sweep sits strictly between chunks, where nothing is live. */
+  private[graft] def dump(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String, outDir: String,
+      selected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
+      par: Int): java.util.concurrent.ConcurrentHashMap[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    // failures land in the returned map, not just stderr: a throwing query
+    // leaves no output dir, and a dir-driven compare would otherwise
+    // silently report one fewer query instead of a failure
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      // Modest query-level parallelism: at sf0.01 most queries are
+      // dominated by per-job scheduling latency, not CPU, so a few in
+      // flight roughly halves the wall clock of the driver's correctness
+      // gate. Queries are independent (own output dirs, no temp views, no
+      // shared caches; the one shared conf write is an idempotent latch),
+      // and Spark schedules concurrent actions from one session safely.
+      // Tune with SPARK_GRAFT_VERIFY_PAR=1 to serialize when debugging.
+      selected.toSeq.sortBy(_._1).grouped(math.max(par * 2, 2)).foreach { chunk =>
+        val tasks = chunk.map { case (name, fn) =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+              catch { case e: Throwable =>
+                System.err.println(s"[verify] $name failed: ${e.getMessage}")
+                errors.put(name,
+                  s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+              }
+          })
+        }
+        tasks.foreach(_.get())
+        // chunk barrier: nothing in flight — sweep leaked checkpoint RDDs
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+      }
+    } finally pool.shutdown()
+    errors
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query ...]")
     val Array(sfDir, outDir) = args.take(2)
@@ -16,35 +70,8 @@ object Verify {
       else SparkEntry.queries.view.filterKeys(only).toMap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.tools.LocalSession.build(cpus)
-    new java.io.File(outDir).mkdirs()
-    // failures land in errors.json, not just stderr: a throwing query
-    // leaves no output dir, and a dir-driven compare would otherwise
-    // silently report one fewer query instead of a failure
-    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    // Modest query-level parallelism: at sf0.01 most of the 96 queries are
-    // dominated by per-job scheduling latency, not CPU, so a few in flight
-    // roughly halves the wall clock of the driver's correctness gate.
-    // Queries are independent (own output dirs, no temp views, no shared
-    // caches; the one shared conf write is an idempotent latch), and Spark
-    // schedules concurrent actions from one session safely. Tune with
-    // SPARK_GRAFT_VERIFY_PAR=1 to serialize when debugging output.
     val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    try {
-      val tasks = selected.toSeq.map { case (name, fn) =>
-        pool.submit(new Runnable {
-          def run(): Unit =
-            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            catch { case e: Throwable =>
-              System.err.println(s"[verify] $name failed: ${e.getMessage}")
-              errors.put(name,
-                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
-            }
-        })
-      }
-      tasks.foreach(_.get())
-    } finally pool.shutdown()
+    val errors = dump(spark, sfDir, outDir, selected, par)
     import scala.jdk.CollectionConverters._
     // MERGE with any existing manifest rather than overwrite: a subset
     // re-run into the same outDir must not erase the failure records of

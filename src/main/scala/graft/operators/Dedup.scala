@@ -999,21 +999,26 @@ object Dedup {
     * ids (every fixture/corpus contract here does); md5 (not xxhash64) so
     * the DuckDB oracle mirrors the selection byte-for-byte.
     *
-    * Scale shape: ENTIRELY map-side — the k-gram hashes, the per-window
-    * minima, and the per-doc dedup are a chain of array expressions
-    * (`transform`/`slice`/`array_min`/`array_distinct` over a position
-    * `sequence`; codegen'd builtins, no UDF) evaluated inside the row, so
+    * Scale shape: ENTIRELY map-side — the whole selection (gram hashes,
+    * window minima, per-doc dedup) is ONE native codegen'd expression
+    * ([[graft.plans.WinnowMinima]]: raw-byte md5 per k-gram + a
+    * monotonic-deque O(n) sliding minimum) evaluated inside the row, so
     * fingerprinting shuffles NOTHING (the first exchange in any consumer
     * is its own — the pairing join, a stored-index lookup). This is also
     * what makes the streaming twin ([[graft.streaming.DocStreams]])
     * legal in append mode: no window over the stream.
     *
-    * The gram array MUST be a projected column between the two transforms
-    * ([[kgramHashes]] → [[winnowFromGrams]]): a higher-order lambda
-    * re-evaluates its whole argument subtree per element, so inlining the
-    * gram transform inside `slice` recomputes every md5 once PER WINDOW —
-    * O(n²) hashing per document (measured: a sub-minute sf0.1 job ran
-    * past 10 minutes). The split-with-projection evaluates each md5 once. */
+    * [[kgramHashes]]/[[winnowFromGrams]] below are the interpreted HOF
+    * REFERENCE implementation the expression is spec-pinned against —
+    * kept because an independently-derived second path is the test, but
+    * never on the production path (~10 s/MB interpreted: a per-position
+    * md5 eval allocating a 32-char hex string, plus an O(n·w) window
+    * pass copying a fresh w-slice per window). If you do use them, the
+    * gram array MUST be a projected column between the two transforms: a
+    * higher-order lambda re-evaluates its whole argument subtree per
+    * element, so inlining the gram transform inside `slice` recomputes
+    * every md5 once PER WINDOW — O(n²) hashing per document (measured: a
+    * sub-minute sf0.1 job ran past 10 minutes). */
   def kgramHashes(textCol: Column, k: Int): Column =
     transform(
       sequence(lit(0), (length(textCol) - k).cast("int")),
@@ -1028,15 +1033,24 @@ object Dedup {
       sequence(lit(0), greatest(size(gramsCol) - w, lit(0))),
       s => array_min(slice(gramsCol, s + 1, lit(w)))))
 
-  /** The winnowing selection exploded to (id, h) rows over a corpus. */
+  /** The winnowing selection exploded to (id, h) rows over a corpus.
+    *
+    * Fingerprinting runs through the native codegen'd
+    * [[graft.plans.WinnowMinima]] expression — one raw-byte md5 per k-gram
+    * plus a monotonic-deque O(n) sliding minimum — not the interpreted
+    * [[kgramHashes]]/[[winnowFromGrams]] HOF chain (kept as the reference
+    * implementation WinnowMinimaSpec pins the expression against; the HOF
+    * path measured ~10 s per MB of text, the dominant CPU cost of the
+    * whole exact-substring family). Output is byte-identical, so every
+    * consumer's oracle SQL is unchanged. */
   def winnowFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
     df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
-      .select(col(idCol).as("id"), kgramHashes(col(textCol), k).as("__grams"))
-      .select(col("id"), explode(winnowFromGrams(col("__grams"), w)).as("h"))
+      .select(col(idCol).as("id"),
+        explode(graft.plans.WinnowMinima.minima(col(textCol), k, w)).as("h"))
   }
 
   /** Exact-substring duplication between documents: pairs sharing at least
@@ -1062,14 +1076,21 @@ object Dedup {
     substringDupPairsManaged(df, idCol, textCol, k, w, minShared,
       maxFingerprintDf)._1
 
-  /** [[substringDupPairs]] plus the cleanup handle for its internal
-    * fingerprint checkpoint (the [[resolveClustersManaged]] /
-    * sourceOverlapManaged precedent — call after materializing). The
-    * barrier exists because the fingerprint table feeds the df-cap
-    * aggregate AND both self-join sides: without it the whole winnow
-    * pipeline (k-gram hashing included) executes FOUR times per job —
-    * measured 10.4 s vs ~3 s at sf0.1. The checkpointed table is
-    * |fingerprints| × (id, 32-char hash) — small next to the corpus. */
+  /** [[substringDupPairs]] plus a cleanup handle (kept for contract
+    * compatibility with the Managed family; this pipeline no longer
+    * checkpoints, so the handle is a no-op).
+    *
+    * Pair-stage shape: ONE shuffle of the fingerprint table
+    * (`groupBy(h)` → sorted id-list, df-capped) and ONE of the expanded
+    * pairs — the per-hash 2-combinations are generated MAP-SIDE from the
+    * bounded list (≤ `maxFingerprintDf` ids → ≤ df·(df−1)/2 structs per
+    * hash; the array HOF is interpreted but runs over ≤ 20 elements,
+    * noise next to the exchange). This replaced the previous
+    * df-cap-aggregate + join-back + self-join chain (4 shuffles over the
+    * same table, which also forced a checkpoint barrier because the
+    * fingerprint scan fed three consumers) — measured warm 2.8 s → the
+    * grouped expansion at sf0.1, and the scan now feeds exactly one
+    * exchange, so nothing re-executes and nothing needs a barrier. */
   def substringDupPairsManaged(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
@@ -1077,20 +1098,25 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxFingerprintDf >= 2,
       s"maxFingerprintDf must be >= 2 (pairs need two docs), got $maxFingerprintDf")
-    val (fp, fpRdd) = checkpointTracked(
-      winnowFingerprints(df, idCol, textCol, k, w), reliable = false)
-    // document frequency per hash: |hashes| rows, partial-aggregated;
-    // joined back on the hash key (same shuffle key the pairing uses)
-    val keep = fp.groupBy("h").agg(count(lit(1)).as("__d"))
-      .filter(col("__d") <= maxFingerprintDf)
-      .select("h")
-    val fp2 = fp.join(keep, Seq("h"))
-    val out = fp2.select(col("h"), col("id").as("a_id"))
-      .join(fp2.select(col("h"), col("id").as("b_id")), Seq("h"))
-      .filter(col("a_id") < col("b_id"))
+    // null ids can never pair (the previous a_id < b_id predicate dropped
+    // them); keep that contract explicit rather than let them into lists
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .filter(col("id").isNotNull)
+    // per-hash doc list: winnowFingerprints emits per-doc DISTINCT (id, h),
+    // so the list is duplicate-free; sorting makes a_id < b_id structural
+    val ids = fp.groupBy("h").agg(sort_array(collect_list(col("id"))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxFingerprintDf))
+    val out = ids
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("__ids")) - 2),
+        i => transform(
+          slice(col("__ids"), i + 2, size(col("__ids")) - i - 1),
+          b => struct(element_at(col("__ids"), i + 1).as("a_id"),
+            b.as("b_id")))))).as("__p"))
+      .select(col("__p.a_id"), col("__p.b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    (out, () => free(fpRdd))
+    (out, () => ())
   }
 
   /** The VERIFY stage over [[substringDupPairs]] candidates: for each
@@ -1114,30 +1140,49 @@ object Dedup {
     substringExtentManaged(df, idCol, textCol, k, w, minShared,
       maxFingerprintDf)._1
 
-  /** [[substringExtent]] plus the cleanup handle for BOTH internal
-    * checkpoints (the candidate fingerprints and the full gram table) —
-    * same contract as [[substringDupPairsManaged]]. */
+  /** [[substringExtent]] plus the cleanup handle for its internal
+    * CANDIDATE checkpoint — same contract as [[substringDupPairsManaged]].
+    *
+    * Barrier placement: the checkpoint sits on the candidate PAIRS (a few
+    * rows per duplicated span — the 100 TB contract is candidates ≪
+    * corpus), which feed three consumers (both verify-join sides' filters
+    * and the output); without it the whole winnow+pair pipeline re-runs
+    * per consumer. The full gram table is NOT barriered any more: with
+    * gram hashing native ([[graft.plans.WinnowMinima]], w=1 = the
+    * distinct gram set) a second map-side scan costs less than
+    * materializing |corpus-grams| rows of hex into block storage — and
+    * neither gram scan ever shuffles whole: the a-side joins against the
+    * (AQE-broadcast-able) candidate frame directly, and the b-side is
+    * semi-join-filtered to candidate documents (either pair side) BEFORE
+    * any exchange, so only candidate documents' grams are ever shuffled
+    * or checkpointed — the one gram materialization is |candidate docs| ×
+    * |grams per doc|, not corpus-sized. */
   def substringExtentManaged(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
       maxFingerprintDf: Int = 20): (DataFrame, () => Unit) = {
     val (pairs, freePairs) = substringDupPairsManaged(df, idCol, textCol,
       k, w, minShared, maxFingerprintDf)
-    val cand = pairs.withColumnRenamed("n_shared", "n_shared_fp")
-    // the full gram table feeds BOTH pair sides — barrier it once (the
-    // substringDupPairsManaged rationale; ~1.5 s of hashing per extra
-    // scan at sf0.1)
-    val (grams, gramsRdd) = checkpointTracked(
-      df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
-        .select(col(idCol).as("id"), kgramHashes(col(textCol), k).as("__g"))
-        .select(col("id"), explode(array_distinct(col("__g"))).as("h")),
-      reliable = false)
+    val (cand, candRdd) = checkpointTracked(
+      pairs.withColumnRenamed("n_shared", "n_shared_fp"), reliable = false)
+    // gram scans are map-side native hashing (cheap enough to run twice —
+    // the checkpoint a scan used to need cost more than recomputing) and
+    // the corpus gram table is NEVER materialized or shuffled whole: the
+    // a-side joins the (AQE-broadcast-able) candidate frame directly, and
+    // the b-side is semi-filtered to candidate documents before the
+    // (b_id, h) exchange
+    def grams = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
+    val bIds = cand.select(col("b_id").as("id")).distinct()
+    val gramsB = grams.join(bIds, Seq("id"), "left_semi")
+      .select(col("id").as("b_id"), col("h"))
     val out = cand
       .join(grams.select(col("id").as("a_id"), col("h")), Seq("a_id"))
-      .join(grams.select(col("id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .join(gramsB, Seq("b_id", "h"))
       .groupBy("a_id", "b_id", "n_shared_fp")
       .agg(count(lit(1)).as("n_shared_grams"))
-    (out, () => { freePairs(); free(gramsRdd) })
+    (out, () => { freePairs(); free(candRdd) })
   }
 
   // --------------------------------------------- blocking-scheme evaluation

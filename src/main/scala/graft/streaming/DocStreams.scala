@@ -105,11 +105,10 @@ object DocStreams {
   }
 
   /** Copied-span candidates for continuous ingest: arriving documents are
-    * winnow-fingerprinted MAP-SIDE ([[Dedup.kgramHashes]] projected, then
-    * [[Dedup.winnowFromGrams]] — array expressions, no window, no UDF;
-    * that map-side shape is exactly what makes this legal in append mode,
-    * and the projection between the two transforms is what keeps the
-    * hashing O(n) per doc) and equi-joined against
+    * winnow-fingerprinted MAP-SIDE (the native codegen'd
+    * [[graft.plans.WinnowMinima]] expression — per-row, no window, no
+    * UDF; that map-side shape is exactly what makes this legal in append
+    * mode) and equi-joined against
     * the stored corpus fingerprint table ([[Dedup.winnowFingerprints]]
     * output, (id, h)) — the streaming twin of
     * [[Dedup.substringDupPairs]]'s candidate stage, completing the
@@ -133,9 +132,7 @@ object DocStreams {
         s"got (${corpusFps.columns.mkString(", ")})")
     stream.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
       .select(col(idCol).as("new_id"),
-        Dedup.kgramHashes(col(textCol), k).as("__grams"))
-      .select(col("new_id"),
-        explode(Dedup.winnowFromGrams(col("__grams"), w)).as("h"))
+        explode(graft.plans.WinnowMinima.minima(col(textCol), k, w)).as("h"))
       .join(corpusFps.select(col("id").as("corpus_id"), col("h")), Seq("h"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id", "h")

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench requeue predicate, pinned on the RECORDED driver-run sample
+  * shapes that motivated each trigger — the burst-immunity protocol is
+  * what makes round-over-round per-key comparison adjudicable, so its
+  * logic is spec-frozen like any operator. */
+class BenchProtocolSpec extends AnyFunSuite {
+
+  test("trigger (a): median ≫ warm-min — burst ended mid-visit (round-9 shape)") {
+    // dedup_exact, round-9 driver run: 2.42s median vs a 0.64s warm sample
+    // the burst's end exposed — the lower-median of this extended visit is
+    // 2.42 while warm-min is 0.64
+    assert(Bench.interfered(Seq(1.0, 2.42, 2.5, 0.64, 2.6)))
+  }
+
+  test("trigger (b): warm-min ≫ cold — burst started AFTER the cold sample (round-12 shape)") {
+    // tfidf_topterms, BENCH_r12: sampled [1.93, 11.50, 19.25]; median/warm-min
+    // = 1.0 so trigger (a) was blind, and the key shipped 11.5 s for a 0.85 s
+    // query. Every warm sample > 2x the cold one is interference by
+    // construction (cold pays JIT+codegen and is the slowest honest run).
+    assert(Bench.interfered(Seq(1.93, 11.50, 19.25)))
+    // the other recorded r12 phantom shapes
+    assert(Bench.interfered(Seq(0.17, 3.33, 4.1)))  // token_budget 3.33 for 0.17
+    assert(Bench.interfered(Seq(0.13, 1.83, 2.2)))  // token_fertility
+  }
+
+  test("honest vectors never flag: cold ≥ warm ≈ median") {
+    assert(!Bench.interfered(Seq(3.1, 2.8, 2.9)))   // classic JIT-cold shape
+    assert(!Bench.interfered(Seq(0.5, 0.5, 0.5)))   // flat
+    assert(!Bench.interfered(Seq(9.2, 8.9, 9.0)))   // honest slow query
+    assert(!Bench.interfered(Seq(1.0, 1.9, 1.8)))   // warm < 2x cold: no proof
+  }
+
+  test("single-sample and empty vectors never flag (no warm evidence)") {
+    assert(!Bench.interfered(Seq(4.2)))
+    assert(!Bench.interfered(Nil))
+  }
+
+  test("warmMin excludes the cold first sample; degenerates to it when alone") {
+    assert(Bench.warmMin(Seq(3.0, 1.2, 1.5)) == 1.2)
+    assert(Bench.warmMin(Seq(4.2)) == 4.2)
+  }
+}
