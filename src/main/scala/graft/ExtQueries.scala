@@ -97,6 +97,16 @@ object ExtQueries {
       k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
       .orderBy("a_id", "b_id")
 
+  /** Copied-span removal over the winnowing candidates: later docs lose
+    * every character covered by a k-gram an earlier partner also has —
+    * full-corpus output, byte-exact text compare against the oracle's
+    * per-character reassembly. */
+  val dedupSubstringStrip: Q = (s, d) =>
+    Dedup.stripCopiedSpans(t(s, d, "documents"), "doc_id", "text",
+      k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
+      .select(col("doc_id").as("id"), col("text"), col("n_removed"))
+      .orderBy("id")
+
   /** Blocking-scheme evaluation: minhash banding's candidates judged
     * against the exact ngram-Jaccard≥0.5 truth set — pairs completeness
     * (blocking recall) and reduction ratio (pruned share of all pairs),
@@ -1145,6 +1155,7 @@ object ExtQueries {
     "dedup_ngram" -> dedupNgram,
     "dedup_sweep" -> dedupSweep,
     "dedup_substring" -> dedupSubstring,
+    "dedup_substring_strip" -> dedupSubstringStrip,
     "blocking_quality" -> blockingQualityQ,
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
@@ -1921,6 +1932,53 @@ object ExtQueries {
         |FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY a_id, b_id""".stripMargin,
+    // dedup_substring's pair CTEs, then the strip mirrored coverage-for-
+    // coverage: matched b-side gram starts (partner distinct grams), the
+    // k chars each covers, and a per-character string_agg reassembly of
+    // the survivors — byte-exact text, exact-BIGINT n_removed, no FP
+    "dedup_substring_strip" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16),
+        |h AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM g),
+        |win AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
+        |fp AS (SELECT DISTINCT doc_id, mn AS h FROM win
+        |       WHERE pos <= greatest(n - 8, 0)),
+        |dfreq AS (SELECT h, count(*) AS d FROM fp GROUP BY h),
+        |fp2 AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfreq USING (h) WHERE d <= 20),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |allg AS (SELECT DISTINCT doc_id, h FROM h),
+        |pg AS (SELECT DISTINCT p.b_id, ga.h
+        |       FROM pairs p JOIN allg ga ON ga.doc_id = p.a_id),
+        |mpos AS (SELECT DISTINCT hh.doc_id AS b_id, hh.pos
+        |         FROM h hh JOIN pg ON pg.b_id = hh.doc_id AND pg.h = hh.h),
+        |cov AS (SELECT DISTINCT b_id,
+        |          pos + unnest(generate_series(1, 16)) AS j FROM mpos),
+        |chars AS (
+        |  SELECT d.doc_id, unnest(generate_series(1, length(d.text))) AS j,
+        |    d.text
+        |  FROM documents d
+        |  WHERE d.doc_id IN (SELECT b_id FROM pairs)),
+        |strip AS (
+        |  SELECT c.doc_id,
+        |    coalesce(string_agg(
+        |      CASE WHEN v.j IS NULL THEN substr(c.text, c.j, 1) END,
+        |      '' ORDER BY c.j), '') AS stext
+        |  FROM chars c LEFT JOIN cov v ON v.b_id = c.doc_id AND v.j = c.j
+        |  GROUP BY c.doc_id)
+        |SELECT d.doc_id AS id,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN s.stext ELSE d.text END AS text,
+        |  CAST(coalesce(length(d.text) -
+        |    length(CASE WHEN s.doc_id IS NOT NULL THEN s.stext ELSE d.text END),
+        |    0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN strip s ON s.doc_id = d.doc_id
+        |ORDER BY id""".stripMargin,
     // the dedup_ngram pair arithmetic at a lower floor, bucketed on the
     // ROUNDED jaccard (same round-4 gate, identical IEEE floor(j*10) on
     // both engines) with a cumulative over the <= 10 bucket rows

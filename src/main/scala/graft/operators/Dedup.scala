@@ -1185,6 +1185,146 @@ object Dedup {
     (out, () => { freePairs(); free(candRdd) })
   }
 
+  /** Copied-span REMOVAL — the payoff stage of exact-substring dedup
+    * (Lee et al., ACL'22: duplicated spans are removed from all but one
+    * occurrence of a pretraining corpus; [[substringDupPairs]] finds the
+    * pairs, this strips them). For every document that appears as the
+    * LATER side (`b_id`) of a candidate pair, characters covered by a
+    * k-gram that any of its EARLIER partners (`a_id`, original text) also
+    * contains are deleted, keeping the rest in order; the earliest copy
+    * keeps the span. All other documents — including every pure a-side
+    * doc — pass through byte-identical. Returns `df` with `textCol`
+    * replaced and an exact-integer `n_removed` (characters deleted, 0
+    * for untouched docs, including NULL-text rows).
+    *
+    * Semantics notes: matching is against partners' ORIGINAL text (a
+    * chain a<b<c strips b against a and c against both originals — order
+    * of processing cannot change the result because nothing depends on a
+    * stripped intermediate); a lone matched k-gram removes exactly its k
+    * characters, so `k` is the minimum span the operator deletes, and a
+    * run of matched grams removes the whole contiguous span. Re-running
+    * the operator on its own output is a no-op on span-planted corpora
+    * (the copied grams are gone, so no pair re-forms) — pinned by spec.
+    *
+    * Scale shape: candidate pairs come from the winnowing pipeline
+    * (single-shuffle, df-capped); partner gram sets are built by one
+    * map-side native gram scan of the a-side documents, semi-filtered to
+    * candidate partners before any exchange, fanned per pair (the
+    * [[substringExtent]] verify-join shape), and collapsed to one
+    * DISTINCT hash array per later document (bounded by |partners| ×
+    * |grams per doc|). The strip itself is ONE codegen'd per-row
+    * expression ([[graft.plans.StripMatchedGrams]]) — no positional
+    * explode, no per-character rows, no reassembly window. */
+  def stripCopiedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): DataFrame =
+    stripCopiedSpansManaged(df, idCol, textCol, k, w, minShared,
+      maxFingerprintDf)._1
+
+  /** [[stripCopiedSpans]] plus the cleanup handle for its internal
+    * candidate-pair checkpoint — the [[substringExtentManaged]]
+    * contract. */
+  def stripCopiedSpansManaged(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): (DataFrame, () => Unit) = {
+    val (pairs, freePairs) = substringDupPairsManaged(df, idCol, textCol,
+      k, w, minShared, maxFingerprintDf)
+    val (cand, candRdd) = checkpointTracked(
+      pairs.select("a_id", "b_id"), reliable = false)
+    // distinct grams of each EARLIER partner's original text, semi-cut to
+    // partner docs before the pair fan-out, collapsed per later doc
+    val aGrams = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol).as("a_id"),
+        explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
+      .join(cand.select("a_id").distinct(), Seq("a_id"), "left_semi")
+    val ph = cand.join(aGrams, Seq("a_id"))
+      .groupBy("b_id").agg(collect_set(col("h")).as("__ph"))
+    val joined = df.join(ph, df(idCol) === ph("b_id"), "left")
+    (stripWithPartnerHashes(joined, textCol, k, Seq("b_id")),
+      () => { freePairs(); free(candRdd) })
+  }
+
+  /** Shared tail of the strip family: a frame carrying `textCol` and a
+    * nullable `__ph` partner-hash array → text stripped through the
+    * codegen'd [[graft.plans.StripMatchedGrams]] (NULL `__ph` = unpaired
+    * doc, passes through), exact-integer `n_removed`, helpers dropped. */
+  private def stripWithPartnerHashes(
+      joined: DataFrame, textCol: String, k: Int,
+      dropCols: Seq[String]): DataFrame = {
+    val stripped = when(col("__ph").isNotNull && col(textCol).isNotNull,
+      graft.plans.StripMatchedGrams.stripCol(col(textCol), col("__ph"), k))
+      .otherwise(col(textCol))
+    joined
+      .withColumn("__stripped", stripped)
+      .withColumn("n_removed",
+        coalesce(length(col(textCol)) - length(col("__stripped")), lit(0))
+          .cast("long"))
+      .withColumn(textCol, col("__stripped"))
+      .drop("__stripped" +: "__ph" +: dropCols: _*)
+  }
+
+  /** [[stripCopiedSpans]] against a STORED corpus — the kernel of the
+    * streaming twin ([[graft.streaming.DocStreams.stripArrivalsSink]]):
+    * arriving documents lose every character covered by a k-gram shared
+    * with a corpus document they pair with, where "pairs with" is ≥
+    * `minShared` winnowing fingerprints against the stored index. The
+    * corpus is the earlier side BY DEFINITION (everything stored predates
+    * the arrival), so there is no id-order tiebreak; a batch document
+    * sharing nothing passes through byte-identical with `n_removed` 0.
+    *
+    * `corpusFps` is a [[winnowFingerprints]] dump (id, h); `corpusGrams`
+    * a WinnowMinima w=1 dump (id, h — the distinct gram sets). Both are
+    * build-once/store/query-many tables (the [[simhashIndex]] /
+    * minhash-band-index contract): new batches NEVER re-scan or re-hash
+    * the corpus. The df cap is applied on the INDEX side (hashes present
+    * in more than `maxFingerprintDf` corpus docs are dropped before the
+    * candidate join — the boilerplate fan-out guard), which is the one
+    * semantic difference from the batch operator's union-wide cap.
+    *
+    * Scale shape: batch docs are hashed map-side; the candidate join is
+    * hash-keyed against the capped index; partner gram sets fan per
+    * (arrival, partner) — bounded by partners per arrival — and collapse
+    * to one DISTINCT array per arrival; the strip is the per-row codegen
+    * expression. Within-batch duplicates are deliberately NOT stripped
+    * against each other (the [[graft.streaming.DocStreams.dropKnownExact]]
+    * rationale: that needs the batch on both sides, which belongs to the
+    * batch operator). */
+  def stripAgainstCorpus(
+      batch: DataFrame, corpusFps: DataFrame, corpusGrams: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): DataFrame = {
+    require(Seq("id", "h").forall(corpusFps.columns.contains),
+      s"corpusFps must carry (id, h) — the winnowFingerprints schema; " +
+        s"got (${corpusFps.columns.mkString(", ")})")
+    require(Seq("id", "h").forall(corpusGrams.columns.contains),
+      s"corpusGrams must carry (id, h) — the WinnowMinima w=1 gram schema; " +
+        s"got (${corpusGrams.columns.mkString(", ")})")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxFingerprintDf >= 1,
+      s"maxFingerprintDf must be >= 1, got $maxFingerprintDf")
+    val keep = corpusFps.groupBy("h").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") <= maxFingerprintDf)
+      .select("h")
+    val fpsCapped = corpusFps.join(keep, Seq("h"))
+      .select(col("id").as("corpus_id"), col("h"))
+    val newFps = winnowFingerprints(batch, idCol, textCol, k, w)
+      .toDF("new_id", "h")
+    val partners = newFps.join(fpsCapped, Seq("h"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minShared)
+      .select("new_id", "corpus_id")
+    val ph = partners
+      .join(corpusGrams.select(col("id").as("corpus_id"), col("h")),
+        Seq("corpus_id"))
+      .groupBy("new_id").agg(collect_set(col("h")).as("__ph"))
+    val joined = batch.join(ph, batch(idCol) === ph("new_id"), "left")
+    stripWithPartnerHashes(joined, textCol, k, Seq("new_id"))
+  }
+
   // --------------------------------------------- blocking-scheme evaluation
 
   /** Blocking-scheme evaluation (the two standard entity-resolution

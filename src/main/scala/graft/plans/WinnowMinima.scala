@@ -87,7 +87,13 @@ object WinnowMinima {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Shared with [[StripMatchedGrams]] — the per-thread MD5 instance. */
+  private[plans] def digestForThread(): MessageDigest = md5.get()
+
   private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Shared with [[StripMatchedGrams]] — lowercase hex of a digest. */
+  private[plans] def hex(d: Array[Byte]): UTF8String = toHex(d)
 
   private def toHex(d: Array[Byte]): UTF8String = {
     val out = new Array[Byte](32)

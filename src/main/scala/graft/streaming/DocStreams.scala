@@ -138,6 +138,50 @@ object DocStreams {
       .select("new_id", "corpus_id", "h")
   }
 
+  /** Copied-span STRIP for continuous ingest — the payoff stage over
+    * [[substringDupCandidates]]'s detection: each micro-batch of arriving
+    * documents is stripped against the stored corpus
+    * ([[graft.operators.Dedup.stripAgainstCorpus]]: candidate partners
+    * via the fingerprint index, covered characters via the partners'
+    * stored gram sets, the per-row codegen'd strip expression) and the
+    * stripped batch lands under `tablePath/batch_id=<id>/`.
+    *
+    * Why a foreachBatch sink and not a stateless transform like
+    * [[stripBoilerplate]]: the per-document partner-hash ARRAY is an
+    * aggregation (collect_set over the candidate join), which append-mode
+    * streaming forbids without a watermark — inside foreachBatch the
+    * micro-batch is a static frame and the aggregation is ordinary batch
+    * work. Replay idempotence needs no ledger: the output is PARTITIONED
+    * BY the batch id and each partition is written with overwrite, so an
+    * at-least-once redelivery rewrites its own directory with identical
+    * content (the strip is deterministic given the static indexes) and
+    * nothing else. Readers scan `tablePath` whole; partition discovery
+    * surfaces `batch_id` as a column. Refresh the two indexes on the
+    * batch side's cadence ([[dropKnownExact]] contract). Returns the
+    * query; callers own lifecycle. */
+  def stripArrivalsSink(
+      stream: DataFrame, corpusFps: DataFrame, corpusGrams: DataFrame,
+      idCol: String, textCol: String,
+      tablePath: String, checkpointDir: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!corpusFps.isStreaming && !corpusGrams.isStreaming,
+      "corpusFps/corpusGrams must be static index tables")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            Dedup.stripAgainstCorpus(batch.toDF(), corpusFps, corpusGrams,
+              idCol, textCol, k, w, minShared, maxFingerprintDf)
+              .write.mode("overwrite").parquet(s"$tablePath/batch_id=$id")
+          }
+          (): Unit
+      }
+      .start()
+  }
+
   /** BM25 relevance scoring for continuous ingest: arriving documents are
     * scored against CORPUS statistics trained on the batch side
     * ([[graft.operators.TextAnalysis.bm25Stats]] — one row of

@@ -538,6 +538,108 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(3) >= r.getLong(2), r.toString)
   }
 
+  test("stripCopiedSpans: planted span removed from the LATER doc only, non-copied text byte-identical") {
+    // span boundaries flanked by chars that differ between the docs, so no
+    // boundary k-gram is shared and coverage is exactly the span
+    val span = "QWERTYUIOPASDFGHJKLZ" // 20 chars, disjoint from both contexts
+    val docs = Seq(
+      (1L, "abcd efgh ijkl." + span + ".mnop qrst"),
+      (2L, "0123 4567-" + span + "_8901 2345"),
+      (3L, "abcd efgh ijkl." + span + ".mnop qrst"), // exact copy of doc 1
+      (4L, "wxyz wxyz wxyz wxyz"),                   // in no pair
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripCopiedSpans(docs, "doc_id", "text",
+      k = 4, w = 2, minShared = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toMap
+    // earliest copy keeps the span, byte-identical
+    assert(out(1L) == ("abcd efgh ijkl." + span + ".mnop qrst", 0L))
+    // later partner loses exactly the span; its own context is untouched
+    assert(out(2L) == ("0123 4567-" + "_8901 2345", span.length.toLong))
+    // a full duplicate of doc 1 is stripped to empty
+    assert(out(3L) == ("", ("abcd efgh ijkl." + span + ".mnop qrst").length.toLong))
+    // unpaired and NULL-text docs pass through with n_removed = 0
+    assert(out(4L) == ("wxyz wxyz wxyz wxyz", 0L))
+    assert(out(5L) == (null, 0L))
+  }
+
+  test("stripCopiedSpans: idempotent — re-running on its own output changes nothing") {
+    val span = "QWERTYUIOPASDFGHJKLZ"
+    val docs = Seq(
+      (1L, "abcd efgh ijkl." + span + ".mnop qrst"),
+      (2L, "0123 4567-" + span + "_8901 2345"))
+      .toDF("doc_id", "text")
+    val once = Dedup.stripCopiedSpans(docs, "doc_id", "text",
+      k = 4, w = 2, minShared = 2).select("doc_id", "text")
+    val twice = Dedup.stripCopiedSpans(once, "doc_id", "text",
+      k = 4, w = 2, minShared = 2)
+    val rows = twice.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.forall(_._3 == 0L), rows.mkString(","))
+    val onceMap = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall { case (id, text, _) => text == onceMap(id) })
+  }
+
+  test("stripCopiedSpans: multi-byte spans strip on character boundaries") {
+    val span = "日本語テキスト複製確認" // 10 chars, 3-byte UTF-8 each
+    val docs = Seq(
+      (1L, "aaaa.bbbb." + span + ".cccc"),
+      (2L, "1111-2222-" + span + "_3333"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripCopiedSpans(docs, "doc_id", "text",
+      k = 4, w = 2, minShared = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("aaaa.bbbb." + span + ".cccc", 0L))
+    assert(out(2L) == ("1111-2222-" + "_3333", span.length.toLong))
+  }
+
+  test("stripAgainstCorpus: parity with the batch operator when the corpus is the earlier side") {
+    val span = "QWERTYUIOPASDFGHJKLZ"
+    val corpus = Seq(
+      (1L, "abcd efgh ijkl." + span + ".mnop qrst"),
+      (2L, "wholly unrelated corpus doc text"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "0123 4567-" + span + "_8901 2345"),
+      (11L, "nothing shared here at all"))
+      .toDF("doc_id", "text")
+    // the stored indexes: fingerprints for candidate pairing, w=1 grams
+    // for coverage — both built once on the batch side
+    val fps = Dedup.winnowFingerprints(corpus, "doc_id", "text", k = 4, w = 2)
+    val grams = corpus
+      .select(col("doc_id").as("id"),
+        explode(graft.plans.WinnowMinima.minima(col("text"), 4, 1)).as("h"))
+    val got = Dedup.stripAgainstCorpus(arrivals, fps, grams, "doc_id", "text",
+      k = 4, w = 2, minShared = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // batch twin: the union corpus with ids ordering corpus < arrivals
+    val ref = Dedup.stripCopiedSpans(corpus.union(arrivals), "doc_id", "text",
+      k = 4, w = 2, minShared = 2)
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == ref, s"got $got vs batch $ref")
+    assert(got(10L) == ("0123 4567-" + "_8901 2345", span.length.toLong))
+    assert(got(11L)._2 == 0L)
+  }
+
+  test("StripMatchedGrams expression: lone matched gram removes exactly k chars; empty set is identity") {
+    import org.apache.spark.sql.functions.{array, lit, typedLit}
+    import sqlContext.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("cdef".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val got = Seq("abcdefgh").toDF("t")
+      .select(graft.plans.StripMatchedGrams.stripCol(
+        col("t"), array(lit(hex)), 4).as("s"))
+      .as[String].head()
+    assert(got == "abgh") // chars c,d,e,f covered by the one matched gram
+    val id = Seq("abcdefgh").toDF("t")
+      .select(graft.plans.StripMatchedGrams.stripCol(
+        col("t"), typedLit(Seq.empty[String]), 4).as("s"))
+      .as[String].head()
+    assert(id == "abcdefgh")
+  }
+
   test("blockingQuality: hand-computed completeness and reduction; empty truth reports NULL") {
     val entities = (1L to 4L).toDF("id")
     val cand = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")

@@ -319,6 +319,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("dedup_substring_strip: per-row strip expression, equi-joins only, no per-character explode") {
+    val p = plan("dedup_substring_strip")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the strip itself is the codegen'd expression, not a reassembly
+    // window or a positional-join pipeline
+    assert(p.contains("graft_strip_matched_grams"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")), s"global window:\n$p")
+  }
+
   // Registered LAST: AnyFunSuite runs tests in registration order, so every
   // plan()/covers() call above has recorded by the time this executes.
   test("census: plan-assertion coverage holds its floor and names only real registry keys") {
@@ -326,9 +336,10 @@ class PlanSpec extends SparkSpec {
     assert(ghosts.isEmpty,
       s"plan tests cover keys missing from the registry: ${ghosts.toSeq.sorted.mkString(", ")}")
     // floor = the census at the time this guard landed (39 of 175 keys,
-    // round 12). Raising it is cheap when new plan tests land; lowering it
-    // means plan coverage regressed — do that consciously, in review.
-    val floor = 39
+    // round 12; 40 with dedup_substring_strip in round 14). Raising it is
+    // cheap when new plan tests land; lowering it means plan coverage
+    // regressed — do that consciously, in review.
+    val floor = 40
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{approx_count_distinct, col, max, window}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, explode, max, window}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{DocStreams, EventStreams}
 import graft.streaming.EventStreams.Evt
@@ -790,6 +790,49 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batchPairs, s"streamed $streamed vs batch $batchPairs")
       assert(batchPairs.contains((1L, 100L)), "the quoted span must link 1 -> 100")
       assert(!batchPairs.exists(p => p._1 == 2L || p._1 == 3L))
+    } finally q.stop()
+  }
+
+  test("stripArrivalsSink: arriving docs land stripped against the stored corpus, batch-cut-invariant") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val span = "QWERTYUIOPASDFGHJKLZ"
+    val corpus = Seq(
+      (1L, "abcd efgh ijkl." + span + ".mnop qrst"),
+      (2L, "wholly unrelated corpus doc text"))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowFingerprints(
+      corpus, "doc_id", "text", k = 4, w = 2)
+    val grams = corpus
+      .select(col("doc_id").as("id"),
+        explode(graft.plans.WinnowMinima.minima(col("text"), 4, 1)).as("h"))
+    val arrivals = Seq(
+      (10L, "0123 4567-" + span + "_8901 2345"), // loses the span
+      (11L, "nothing shared here at all"),        // untouched
+      (12L, "zz"))                                // under k: untouched
+    val table = java.nio.file.Files.createTempDirectory("strip-sink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("strip-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.stripArrivalsSink(
+      mem.toDF().toDF("doc_id", "text"), fps, grams, "doc_id", "text",
+      table, ckpt, k = 4, w = 2, minShared = 2)
+    try {
+      // two batch cuts: the strip is per-document against static indexes,
+      // so the cut cannot change any output row
+      mem.addData(arrivals.take(1)); q.processAllAvailable()
+      mem.addData(arrivals.drop(1)); q.processAllAvailable()
+      val out = spark.read.parquet(table)
+      assert(out.columns.contains("batch_id"), "partition column must surface")
+      val got = out.collect()
+        .map(r => (r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("text"), r.getAs[Long]("n_removed")))).toMap
+      val ref = graft.operators.Dedup.stripAgainstCorpus(
+        arrivals.toDF("doc_id", "text"), fps, grams, "doc_id", "text",
+        k = 4, w = 2, minShared = 2)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(got == ref, s"streamed $got vs batch $ref")
+      assert(got(10L) == ("0123 4567-" + "_8901 2345", span.length.toLong))
+      assert(got(11L)._2 == 0L && got(12L)._2 == 0L)
     } finally q.stop()
   }
 
