@@ -201,8 +201,9 @@ object Bench {
     // comparison impossible for ~85% of keys from the repo alone. The round
     // number is inferred as max(existing BENCH_r*.json) + 1 — the driver
     // writes BENCH_r{N}.json only AFTER this run, so at run time the newest
-    // stamped file is the PREVIOUS round's.
-    val roundStamped: Option[String] = try {
+    // stamped file is the PREVIOUS round's. FULL-suite runs only: a local
+    // subset iteration must not clobber the round's history file.
+    val roundStamped: Option[String] = if (args.nonEmpty) None else try {
       val dir = java.nio.file.Paths.get(".")
       val pat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
       val rounds = java.nio.file.Files.list(dir).iterator().asScala

@@ -97,6 +97,13 @@ object ExtQueries {
       k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
       .orderBy("a_id", "b_id")
 
+  /** Copied-span extent distribution per candidate pair: merged contiguous
+    * span count, longest span, and exact union char mass — all BIGINTs. */
+  val substringSpansQ: Q = (s, d) =>
+    Dedup.substringSpans(t(s, d, "documents"), "doc_id", "text",
+      k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
+      .orderBy("a_id", "b_id")
+
   /** Copied-span removal over the winnowing candidates: later docs lose
     * every character covered by a k-gram an earlier partner also has —
     * full-corpus output, byte-exact text compare against the oracle's
@@ -1156,6 +1163,7 @@ object ExtQueries {
     "dedup_sweep" -> dedupSweep,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_strip" -> dedupSubstringStrip,
+    "substring_spans" -> substringSpansQ,
     "blocking_quality" -> blockingQualityQ,
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
@@ -1931,6 +1939,59 @@ object ExtQueries {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // dedup_substring's pair CTEs, then matched b-side positions, the
+    // two-level gaps-and-islands (consecutive-position runs -> char
+    // intervals -> merge overlap-or-touching) mirrored pass-for-pass —
+    // every column an exact BIGINT
+    "substring_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16),
+        |h AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM g),
+        |win AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
+        |fp AS (SELECT DISTINCT doc_id, mn AS h FROM win
+        |       WHERE pos <= greatest(n - 8, 0)),
+        |dfreq AS (SELECT h, count(*) AS d FROM fp GROUP BY h),
+        |fp2 AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfreq USING (h) WHERE d <= 20),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |allg AS (SELECT DISTINCT doc_id, h FROM h),
+        |matched AS (
+        |  SELECT DISTINCT p.a_id, p.b_id, hb.pos
+        |  FROM pairs p
+        |  JOIN allg ga ON ga.doc_id = p.a_id
+        |  JOIN h hb ON hb.doc_id = p.b_id AND hb.h = ga.h),
+        |runs AS (
+        |  SELECT a_id, b_id, min(pos) AS cs, max(pos) + 15 AS ce
+        |  FROM (SELECT a_id, b_id, pos,
+        |          pos - row_number() OVER (PARTITION BY a_id, b_id ORDER BY pos) AS grp
+        |        FROM matched)
+        |  GROUP BY a_id, b_id, grp),
+        |marks AS (
+        |  SELECT a_id, b_id, cs, ce,
+        |    CASE WHEN pmax IS NULL OR cs > pmax + 1 THEN 1 ELSE 0 END AS newg
+        |  FROM (SELECT a_id, b_id, cs, ce,
+        |          max(ce) OVER (PARTITION BY a_id, b_id ORDER BY cs
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |        FROM runs)),
+        |spans AS (
+        |  SELECT a_id, b_id, span_id, max(ce) - min(cs) + 1 AS len
+        |  FROM (SELECT a_id, b_id, cs, ce,
+        |          sum(newg) OVER (PARTITION BY a_id, b_id ORDER BY cs
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |        FROM marks)
+        |  GROUP BY a_id, b_id, span_id)
+        |SELECT a_id, b_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(max(len) AS BIGINT) AS max_span_chars,
+        |  CAST(sum(len) AS BIGINT) AS copied_chars
+        |FROM spans GROUP BY a_id, b_id
         |ORDER BY a_id, b_id""".stripMargin,
     // dedup_substring's pair CTEs, then the strip mirrored coverage-for-
     // coverage: matched b-side gram starts (partner distinct grams), the

@@ -1185,6 +1185,94 @@ object Dedup {
     (out, () => { freePairs(); free(candRdd) })
   }
 
+  /** Copied-span EXTENT DISTRIBUTION per candidate pair — the measurement
+    * between detection ([[substringDupPairs]]: "these two share
+    * something") and removal ([[stripCopiedSpans]]: "delete it"): for
+    * each candidate pair, the exact number of distinct copied spans,
+    * the longest span, and the total copied character mass in the later
+    * document. [[substringExtent]]'s scalar gram-overlap count cannot
+    * distinguish one 500-char quote from fifty scattered 10-char
+    * collisions; the span distribution is what a user reads before
+    * choosing a strip threshold (the span-length histogram analysis of
+    * Lee et al., ACL'22). Returns (a_id, b_id, n_spans, max_span_chars,
+    * copied_chars) — all exact BIGINTs, full hash-match oracle.
+    *
+    * Definition: a position i in b is matched iff b's k-gram at i occurs
+    * anywhere in a (original text, the [[stripCopiedSpans]] coverage
+    * contract); maximal runs of consecutive matched positions become char
+    * intervals [start, end + k − 1], and intervals that overlap OR touch
+    * (position gap ≤ k) MERGE — `n_spans` counts maximal CONTIGUOUS
+    * copied regions, `copied_chars` sums their lengths (the union
+    * coverage, exactly what [[stripCopiedSpans]] would delete for this
+    * pair alone — no double-counting at run seams).
+    *
+    * Scale shape: positional grams explode only for candidate LATER docs
+    * (semi-cut before the exchange), the match join is hash-keyed per
+    * pair, and both islands passes window PARTITIONED BY THE PAIR —
+    * bounded by one document's positions, never corpus-wide. */
+  def substringSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): DataFrame =
+    substringSpansManaged(df, idCol, textCol, k, w, minShared,
+      maxFingerprintDf)._1
+
+  /** [[substringSpans]] plus the cleanup handle for its internal
+    * candidate-pair checkpoint — the [[substringExtentManaged]]
+    * contract. */
+  def substringSpansManaged(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val (pairs, freePairs) = substringDupPairsManaged(df, idCol, textCol,
+      k, w, minShared, maxFingerprintDf)
+    val (cand, candRdd) = checkpointTracked(
+      pairs.select("a_id", "b_id"), reliable = false)
+    // a-side distinct grams (coverage source), b-side POSITIONAL grams —
+    // both semi-cut to candidate docs before any exchange
+    val aGrams = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol).as("a_id"),
+        explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
+      .join(cand.select("a_id").distinct(), Seq("a_id"), "left_semi")
+    val bPos = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .join(cand.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("b_id"),
+        posexplode(graft.plans.KgramHashes.grams(col(textCol), k)))
+      .withColumnRenamed("col", "h")
+    val matched = cand.join(aGrams, Seq("a_id"))
+      .join(bPos, Seq("b_id", "h"))
+      .select("a_id", "b_id", "pos").distinct()
+    // islands pass 1: maximal runs of CONSECUTIVE matched positions
+    val wPair = Window.partitionBy("a_id", "b_id").orderBy("pos")
+    val runs = matched
+      .withColumn("__grp", col("pos") - row_number().over(wPair))
+      .groupBy("a_id", "b_id", "__grp")
+      .agg(min(col("pos")).as("__s"), max(col("pos")).as("__e"))
+      .select(col("a_id"), col("b_id"),
+        col("__s").as("cs"), (col("__e") + lit(k - 1)).as("ce"))
+    // islands pass 2: merge char-overlapping runs (position gap < k)
+    val wRun = Window.partitionBy("a_id", "b_id").orderBy("cs")
+    val spans = runs
+      .withColumn("__pmax",
+        max(col("ce")).over(wRun.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        // strictly beyond prev coverage AND not touching it: adjacent
+        // intervals (position gap exactly k) form ONE contiguous copied
+        // region and merge; `copied_chars` is the same either way, only
+        // the span count depends on this
+        when(col("__pmax").isNull || col("cs") > col("__pmax") + 1, 1)
+          .otherwise(0))
+      .withColumn("__span", sum(col("__new")).over(wRun))
+      .groupBy("a_id", "b_id", "__span")
+      .agg((max(col("ce")) - min(col("cs")) + lit(1)).as("__len"))
+    val out = spans.groupBy("a_id", "b_id").agg(
+      count(lit(1)).as("n_spans"),
+      max(col("__len")).cast("long").as("max_span_chars"),
+      sum(col("__len")).cast("long").as("copied_chars"))
+    (out, () => { freePairs(); free(candRdd) })
+  }
+
   /** Copied-span REMOVAL — the payoff stage of exact-substring dedup
     * (Lee et al., ACL'22: duplicated spans are removed from all but one
     * occurrence of a pretraining corpus; [[substringDupPairs]] finds the

@@ -538,6 +538,29 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(3) >= r.getLong(2), r.toString)
   }
 
+  test("substringSpans: two distant spans count separately; back-to-back copies merge to one region") {
+    val span1 = "QWERTYUIOPAS" // 12 chars each, alphabets disjoint from
+    val span2 = "ZXCVBNMLKJHG" // both docs' filler and from each other
+    val docs = Seq(
+      (1L, "aaaa bbbb." + span1 + ".cccc dddd." + span2 + ".eeee"),
+      (2L, "0000-1111-" + span1 + "_2222 3333-" + span2 + "_4444"),
+      (3L, "7777&" + span1 + span1 + "&8888")) // doubled copy, no gap
+      .toDF("doc_id", "text")
+    val rows = Dedup.substringSpans(docs, "doc_id", "text",
+      k = 4, w = 2, minShared = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc2 copies both spans with differing flank chars: exactly two
+    // separate 12-char regions
+    assert(rows((1L, 2L)) == (2L, 12L, 24L), rows.toString)
+    // doc3's doubled span1: seam grams match nothing, but the two runs'
+    // char intervals touch (position gap = k) and merge to ONE 24-char
+    // contiguous copied region
+    assert(rows((1L, 3L)) == (1L, 24L, 24L), rows.toString)
+    assert(rows((2L, 3L)) == (1L, 24L, 24L), rows.toString)
+  }
+
   test("stripCopiedSpans: planted span removed from the LATER doc only, non-copied text byte-identical") {
     // span boundaries flanked by chars that differ between the docs, so no
     // boundary k-gram is shared and coverage is exactly the span

@@ -329,6 +329,14 @@ class PlanSpec extends SparkSpec {
       l.contains("Window") && l.contains("partitionBy=[]")), s"global window:\n$p")
   }
 
+  test("substring_spans: pair-partitioned islands windows only (never corpus-wide), equi-joins only") {
+    val p = plan("substring_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("graft_kgram_hashes"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")), s"global window:\n$p")
+  }
+
   // Registered LAST: AnyFunSuite runs tests in registration order, so every
   // plan()/covers() call above has recorded by the time this executes.
   test("census: plan-assertion coverage holds its floor and names only real registry keys") {
@@ -336,10 +344,10 @@ class PlanSpec extends SparkSpec {
     assert(ghosts.isEmpty,
       s"plan tests cover keys missing from the registry: ${ghosts.toSeq.sorted.mkString(", ")}")
     // floor = the census at the time this guard landed (39 of 175 keys,
-    // round 12; 40 with dedup_substring_strip in round 14). Raising it is
-    // cheap when new plan tests land; lowering it means plan coverage
-    // regressed — do that consciously, in review.
-    val floor = 40
+    // round 12; 41 with dedup_substring_strip + substring_spans in round
+    // 14). Raising it is cheap when new plan tests land; lowering it
+    // means plan coverage regressed — do that consciously, in review.
+    val floor = 41
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")

@@ -79,6 +79,21 @@ class WinnowMinimaSpec extends SparkSpec {
     assert(got.toSeq == ref.toSeq)
   }
 
+  test("KgramHashes ≡ HOF reference: positional gram arrays identical across widths and edges") {
+    for (k <- Seq(2, 4, 16)) {
+      val df = edges.filter(_.length >= k).map(Tuple1(_)).toDF("t")
+      val got = df.select(graft.plans.KgramHashes.grams(col("t"), k))
+        .as[Seq[String]].collect()
+      val ref = df.select(Dedup.kgramHashes(col("t"), k)).as[Seq[String]].collect()
+      assert(got.toSeq == ref.toSeq, s"k=$k")
+    }
+    // short/NULL edges: empty array below k, NULL through
+    val df = Seq(Some("abc"), None).map(Tuple1(_)).toDF("t")
+    val got = df.select(graft.plans.KgramHashes.grams(col("t"), 4).as("m")).collect()
+    assert(got(0).getSeq[String](0) == Seq.empty)
+    assert(got(1).isNullAt(0))
+  }
+
   test("documented divergence + nulls: doc shorter than k → empty array; NULL → NULL") {
     val df = Seq(Some("abc"), None, Some("")).map(Tuple1(_)).toDF("t")
     val got = df.select(WinnowMinima.minima(col("t"), 4, 2).as("m")).collect()
