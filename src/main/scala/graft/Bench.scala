@@ -204,12 +204,13 @@ object Bench {
     // stamped file is the PREVIOUS round's. FULL-suite runs only: a local
     // subset iteration must not clobber the round's history file.
     val roundStamped: Option[String] = if (args.nonEmpty) None else try {
-      val dir = java.nio.file.Paths.get(".")
       val pat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
-      val rounds = java.nio.file.Files.list(dir).iterator().asScala
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      val rounds = try listing.iterator().asScala
         .map(p => pat.matcher(p.getFileName.toString))
         .collect { case m if m.matches() => m.group(1).toInt }
         .toSeq
+      finally listing.close() // Files.list holds a directory fd until closed
       if (rounds.isEmpty) None
       else Some(f"BENCH_FULL_r${rounds.max + 1}%02d.json")
     } catch { case _: Throwable => None }

@@ -86,6 +86,21 @@ object ExtQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Incremental winnowing candidates: odd-id docs play the arriving
+    * batch, even-id docs the stored (df-capped) fingerprint index — the
+    * dedup_minhash_incr split convention for the exact-substring
+    * family. */
+  val dedupSubstringIncr: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val corpusFps = Dedup.capFingerprintIndex(
+      Dedup.winnowFingerprints(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 16, w = 8),
+      maxFingerprintDf = 20)
+    Dedup.substringDupPairsAgainst(docs.filter(col("doc_id") % 2 === 1),
+      corpusFps, "doc_id", "text", k = 16, w = 8, minShared = 3)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Exact-substring duplication via winnowing fingerprints — pairs of
     * documents sharing ≥3 locally-minimal 16-char-gram hashes (window 8):
     * any copied span of ≥ 23 chars is guaranteed at least one shared
@@ -1162,6 +1177,7 @@ object ExtQueries {
     "dedup_ngram" -> dedupNgram,
     "dedup_sweep" -> dedupSweep,
     "dedup_substring" -> dedupSubstring,
+    "dedup_substring_incr" -> dedupSubstringIncr,
     "dedup_substring_strip" -> dedupSubstringStrip,
     "substring_spans" -> substringSpansQ,
     "blocking_quality" -> blockingQualityQ,
@@ -1940,6 +1956,31 @@ object ExtQueries {
         |FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY a_id, b_id""".stripMargin,
+    // the winnowing fp CTEs split by id parity: even docs are the stored
+    // index (df cap computed over the INDEX side only — the build-time
+    // capFingerprintIndex contract), odd docs the arriving batch; the
+    // <> predicate mirrors Spark's null-dropping =!=
+    "dedup_substring_incr" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16),
+        |h AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM g),
+        |win AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
+        |fp AS (SELECT DISTINCT doc_id, mn AS h FROM win
+        |       WHERE pos <= greatest(n - 8, 0)),
+        |cfp AS (SELECT doc_id, h FROM fp WHERE doc_id % 2 = 0),
+        |dfreq AS (SELECT h, count(*) AS d FROM cfp GROUP BY h),
+        |cfp2 AS (SELECT cfp.doc_id, cfp.h FROM cfp JOIN dfreq USING (h)
+        |         WHERE d <= 20),
+        |nfp AS (SELECT doc_id, h FROM fp WHERE doc_id % 2 = 1)
+        |SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM nfp n JOIN cfp2 c ON n.h = c.h AND n.doc_id <> c.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // dedup_substring's pair CTEs, then matched b-side positions, the
     // two-level gaps-and-islands (consecutive-position runs -> char
     // intervals -> merge overlap-or-touching) mirrored pass-for-pass —

@@ -15,7 +15,15 @@ object Verify {
     * larger SFs (the Bench between-sample sweep precedent). The sweep MUST
     * NOT run while queries are in flight: unpersisting a localCheckpointed
     * RDD another thread still reads breaks its (truncated) lineage, so the
-    * sweep sits strictly between chunks, where nothing is live. */
+    * sweep sits strictly between chunks, where nothing is live.
+    *
+    * OWNERSHIP CONTRACT: the sweep unpersists EVERY persistent RDD in the
+    * session, not just ones the dump created — callers must treat the
+    * session as exclusively dump's for the duration and must not hold
+    * cached tables or localCheckpointed frames across the call (a
+    * truncated lineage cannot recompute after unpersist; the next action
+    * on such a frame throws). Verify.main and the specs both satisfy
+    * this; a future caller sharing a live session must not. */
   private[graft] def dump(
       spark: org.apache.spark.sql.SparkSession, sfDir: String, outDir: String,
       selected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],

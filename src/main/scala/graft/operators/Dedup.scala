@@ -1080,17 +1080,23 @@ object Dedup {
     * compatibility with the Managed family; this pipeline no longer
     * checkpoints, so the handle is a no-op).
     *
-    * Pair-stage shape: ONE shuffle of the fingerprint table
-    * (`groupBy(h)` → sorted id-list, df-capped) and ONE of the expanded
-    * pairs — the per-hash 2-combinations are generated MAP-SIDE from the
-    * bounded list (≤ `maxFingerprintDf` ids → ≤ df·(df−1)/2 structs per
-    * hash; the array HOF is interpreted but runs over ≤ 20 elements,
-    * noise next to the exchange). This replaced the previous
-    * df-cap-aggregate + join-back + self-join chain (4 shuffles over the
-    * same table, which also forced a checkpoint barrier because the
-    * fingerprint scan fed three consumers) — measured warm 2.8 s → the
-    * grouped expansion at sf0.1, and the scan now feeds exactly one
-    * exchange, so nothing re-executes and nothing needs a barrier. */
+    * Pair-stage shape: ONE shuffle of the fingerprint table into the
+    * capped-list aggregate ([[graft.plans.CappedSortedList]]: df count
+    * and bounded per-hash id list in the same buffer — an over-cap hash
+    * collapses to a counter + NULL, so boilerplate fingerprints present
+    * in millions of documents can never build an unbounded reducer
+    * array) and ONE shuffle of the expanded pairs. The per-hash
+    * 2-combinations are generated MAP-SIDE from the bounded list (the
+    * array HOF is interpreted but runs over ≤ `maxFingerprintDf`
+    * elements, noise next to the exchange). This replaced the original
+    * 4-shuffle count/join-back/self-join chain, which also forced a
+    * checkpoint barrier because the fingerprint scan fed three
+    * consumers — measured warm 2.8 s → ~1.5 s at sf0.1.
+    *
+    * Numeric contract: the df count includes null-id fingerprint rows
+    * (the DuckDB oracle's dfreq CTE counts all rows; null ids are
+    * excluded from PAIRS, not from document frequency) — the aggregate
+    * counts nulls and lists only non-nulls. */
   def substringDupPairsManaged(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
@@ -1098,14 +1104,18 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxFingerprintDf >= 2,
       s"maxFingerprintDf must be >= 2 (pairs need two docs), got $maxFingerprintDf")
-    // null ids can never pair (the previous a_id < b_id predicate dropped
-    // them); keep that contract explicit rather than let them into lists
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
-      .filter(col("id").isNotNull)
-    // per-hash doc list: winnowFingerprints emits per-doc DISTINCT (id, h),
-    // so the list is duplicate-free; sorting makes a_id < b_id structural
-    val ids = fp.groupBy("h").agg(sort_array(collect_list(col("id"))).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxFingerprintDf))
+    // df cap + per-hash id list in ONE aggregation over ONE exchange
+    // ([[graft.plans.CappedSortedList]]): the count includes null-id rows
+    // (oracle dfreq semantics), the list never does (null ids cannot
+    // pair), an over-cap hash evaluates to NULL with a bounded buffer by
+    // construction, and sorting makes a_id < b_id structural.
+    // winnowFingerprints emits per-doc DISTINCT (id, h), so the list is
+    // duplicate-free.
+    val ids = fp.groupBy("h")
+      .agg(graft.plans.CappedSortedList.cappedSortedList(
+        col("id"), maxFingerprintDf).as("__ids"))
+      .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
     val out = ids
       .select(explode(flatten(transform(
         sequence(lit(0), size(col("__ids")) - 2),
@@ -1177,8 +1187,15 @@ object Dedup {
     val bIds = cand.select(col("b_id").as("id")).distinct()
     val gramsB = grams.join(bIds, Seq("id"), "left_semi")
       .select(col("id").as("b_id"), col("h"))
+    // the a-side is semi-cut too: the inner join against cand filters the
+    // same rows, but only AFTER shuffling — without the cut, a candidate
+    // frame too large to broadcast would sort-merge the CORPUS gram table
+    // by a_id (the semi keeps the guarantee structural, not AQE-dependent)
+    val aIds = cand.select(col("a_id").as("id")).distinct()
+    val gramsA = grams.join(aIds, Seq("id"), "left_semi")
+      .select(col("id").as("a_id"), col("h"))
     val out = cand
-      .join(grams.select(col("id").as("a_id"), col("h")), Seq("a_id"))
+      .join(gramsA, Seq("a_id"))
       .join(gramsB, Seq("b_id", "h"))
       .groupBy("a_id", "b_id", "n_shared_fp")
       .agg(count(lit(1)).as("n_shared_grams"))
@@ -1317,6 +1334,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
       maxFingerprintDf: Int = 20): (DataFrame, () => Unit) = {
+    require(!df.columns.contains("n_removed"),
+      "stripCopiedSpans adds an n_removed column; the input already has one")
     val (pairs, freePairs) = substringDupPairsManaged(df, idCol, textCol,
       k, w, minShared, maxFingerprintDf)
     val (cand, candRdd) = checkpointTracked(
@@ -1329,18 +1348,22 @@ object Dedup {
       .join(cand.select("a_id").distinct(), Seq("a_id"), "left_semi")
     val ph = cand.join(aGrams, Seq("a_id"))
       .groupBy("b_id").agg(collect_set(col("h")).as("__ph"))
-    val joined = df.join(ph, df(idCol) === ph("b_id"), "left")
-    (stripWithPartnerHashes(joined, textCol, k, Seq("b_id")),
+      .select(col("b_id").as("__strip_id"), col("__ph"))
+    val joined = df.join(ph, df(idCol) === ph("__strip_id"), "left")
+    (stripWithPartnerHashes(joined, textCol, k),
       () => { freePairs(); free(candRdd) })
   }
 
-  /** Shared tail of the strip family: a frame carrying `textCol` and a
-    * nullable `__ph` partner-hash array → text stripped through the
-    * codegen'd [[graft.plans.StripMatchedGrams]] (NULL `__ph` = unpaired
-    * doc, passes through), exact-integer `n_removed`, helpers dropped. */
+  /** Shared tail of the strip family: a frame carrying `textCol` and the
+    * reserved-name helpers (`__strip_id` join key, nullable `__ph`
+    * partner-hash array) → text stripped through the codegen'd
+    * [[graft.plans.StripMatchedGrams]] (NULL `__ph` = unpaired doc,
+    * passes through), exact-integer `n_removed`, helpers dropped. Helper
+    * names are `__`-reserved so a user column can never collide with (and
+    * be silently destroyed by) the drop; `n_removed` is the one PUBLIC
+    * output column, guarded by require at each operator entry. */
   private def stripWithPartnerHashes(
-      joined: DataFrame, textCol: String, k: Int,
-      dropCols: Seq[String]): DataFrame = {
+      joined: DataFrame, textCol: String, k: Int): DataFrame = {
     val stripped = when(col("__ph").isNotNull && col(textCol).isNotNull,
       graft.plans.StripMatchedGrams.stripCol(col(textCol), col("__ph"), k))
       .otherwise(col(textCol))
@@ -1350,7 +1373,7 @@ object Dedup {
         coalesce(length(col(textCol)) - length(col("__stripped")), lit(0))
           .cast("long"))
       .withColumn(textCol, col("__stripped"))
-      .drop("__stripped" +: "__ph" +: dropCols: _*)
+      .drop("__stripped", "__ph", "__strip_id")
   }
 
   /** [[stripCopiedSpans]] against a STORED corpus — the kernel of the
@@ -1383,34 +1406,83 @@ object Dedup {
       batch: DataFrame, corpusFps: DataFrame, corpusGrams: DataFrame,
       idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
-      maxFingerprintDf: Int = 20): DataFrame = {
+      maxFingerprintDf: Int = 20): DataFrame =
+    stripAgainstCappedIndex(batch,
+      capFingerprintIndex(corpusFps, maxFingerprintDf), corpusGrams,
+      idCol, textCol, k, w, minShared)
+
+  /** The df cap as a BUILD-ONCE index transform: drop fingerprint hashes
+    * present in more than `maxFingerprintDf` corpus documents (the
+    * boilerplate fan-out guard). Apply this when MATERIALIZING the stored
+    * index, not per query — [[stripAgainstCorpus]] caps internally for
+    * one-shot batch convenience, but a per-micro-batch caller
+    * ([[graft.streaming.DocStreams.stripArrivalsSink]]) must not pay a
+    * corpus-proportional aggregate per batch, so it caps + persists ONCE
+    * at construction and queries through [[stripAgainstCappedIndex]]. */
+  def capFingerprintIndex(
+      corpusFps: DataFrame, maxFingerprintDf: Int): DataFrame = {
     require(Seq("id", "h").forall(corpusFps.columns.contains),
       s"corpusFps must carry (id, h) — the winnowFingerprints schema; " +
         s"got (${corpusFps.columns.mkString(", ")})")
-    require(Seq("id", "h").forall(corpusGrams.columns.contains),
-      s"corpusGrams must carry (id, h) — the WinnowMinima w=1 gram schema; " +
-        s"got (${corpusGrams.columns.mkString(", ")})")
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxFingerprintDf >= 1,
       s"maxFingerprintDf must be >= 1, got $maxFingerprintDf")
     val keep = corpusFps.groupBy("h").agg(count(lit(1)).as("__d"))
       .filter(col("__d") <= maxFingerprintDf)
       .select("h")
-    val fpsCapped = corpusFps.join(keep, Seq("h"))
-      .select(col("id").as("corpus_id"), col("h"))
-    val newFps = winnowFingerprints(batch, idCol, textCol, k, w)
+    corpusFps.join(keep, Seq("h"), "left_semi")
+  }
+
+  /** Incremental [[substringDupPairs]]: candidate copied-span pairs of a
+    * NEW batch against a STORED fingerprint index (the
+    * [[minhashCandidatesAgainst]] shape for the winnowing family) —
+    * (new_id, corpus_id, n_shared) with `n_shared` ≥ `minShared` shared
+    * fingerprints. The index should be df-capped at build time
+    * ([[capFingerprintIndex]]); the batch side is hashed map-side and the
+    * candidate join is hash-keyed — new batches never re-scan or re-hash
+    * the corpus. Rows where either id is NULL, or the batch re-contains a
+    * corpus id, never pair (the `<>` predicate, oracle-mirrored). */
+  def substringDupPairsAgainst(
+      batch: DataFrame, cappedFps: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3): DataFrame = {
+    require(Seq("id", "h").forall(cappedFps.columns.contains),
+      s"cappedFps must carry (id, h) — the winnowFingerprints schema; " +
+        s"got (${cappedFps.columns.mkString(", ")})")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    winnowFingerprints(batch, idCol, textCol, k, w)
       .toDF("new_id", "h")
-    val partners = newFps.join(fpsCapped, Seq("h"))
+      .join(cappedFps.select(col("id").as("corpus_id"), col("h")), Seq("h"))
       .filter(col("new_id") =!= col("corpus_id"))
-      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minShared)
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** [[stripAgainstCorpus]] against an ALREADY-CAPPED (or deliberately
+    * uncapped) fingerprint index — the query-many path: no per-call
+    * aggregate over the index. */
+  def stripAgainstCappedIndex(
+      batch: DataFrame, cappedFps: DataFrame, corpusGrams: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3): DataFrame = {
+    require(Seq("id", "h").forall(cappedFps.columns.contains),
+      s"cappedFps must carry (id, h) — the winnowFingerprints schema; " +
+        s"got (${cappedFps.columns.mkString(", ")})")
+    require(Seq("id", "h").forall(corpusGrams.columns.contains),
+      s"corpusGrams must carry (id, h) — the WinnowMinima w=1 gram schema; " +
+        s"got (${corpusGrams.columns.mkString(", ")})")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(!batch.columns.contains("n_removed"),
+      "stripAgainstCorpus adds an n_removed column; the input already has one")
+    val partners = substringDupPairsAgainst(batch, cappedFps,
+      idCol, textCol, k, w, minShared)
       .select("new_id", "corpus_id")
     val ph = partners
       .join(corpusGrams.select(col("id").as("corpus_id"), col("h")),
         Seq("corpus_id"))
       .groupBy("new_id").agg(collect_set(col("h")).as("__ph"))
-    val joined = batch.join(ph, batch(idCol) === ph("new_id"), "left")
-    stripWithPartnerHashes(joined, textCol, k, Seq("new_id"))
+      .select(col("new_id").as("__strip_id"), col("__ph"))
+    val joined = batch.join(ph, batch(idCol) === ph("__strip_id"), "left")
+    stripWithPartnerHashes(joined, textCol, k)
   }
 
   // --------------------------------------------- blocking-scheme evaluation

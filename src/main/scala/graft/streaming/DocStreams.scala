@@ -157,8 +157,11 @@ object DocStreams {
     * content (the strip is deterministic given the static indexes) and
     * nothing else. Readers scan `tablePath` whole; partition discovery
     * surfaces `batch_id` as a column. Refresh the two indexes on the
-    * batch side's cadence ([[dropKnownExact]] contract). Returns the
-    * query; callers own lifecycle. */
+    * batch side's cadence ([[dropKnownExact]] contract). The df cap
+    * ([[Dedup.capFingerprintIndex]]) is applied ONCE at construction and
+    * the capped index persisted — micro-batches never pay a
+    * corpus-proportional re-cap aggregate; the cache is released when
+    * the query terminates. Returns the query; callers own lifecycle. */
   def stripArrivalsSink(
       stream: DataFrame, corpusFps: DataFrame, corpusGrams: DataFrame,
       idCol: String, textCol: String,
@@ -168,18 +171,35 @@ object DocStreams {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     require(!corpusFps.isStreaming && !corpusGrams.isStreaming,
       "corpusFps/corpusGrams must be static index tables")
-    stream.writeStream
+    // the df cap is a corpus-proportional aggregate — apply it ONCE at
+    // construction and persist, never per micro-batch (build-once /
+    // query-many); released with the query, not the session
+    val capped = Dedup.capFingerprintIndex(corpusFps, maxFingerprintDf).persist()
+    val query = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           if (!batch.isEmpty) {
-            Dedup.stripAgainstCorpus(batch.toDF(), corpusFps, corpusGrams,
-              idCol, textCol, k, w, minShared, maxFingerprintDf)
+            Dedup.stripAgainstCappedIndex(batch.toDF(), capped, corpusGrams,
+              idCol, textCol, k, w, minShared)
               .write.mode("overwrite").parquet(s"$tablePath/batch_id=$id")
           }
           (): Unit
       }
       .start()
+    val spark = stream.sparkSession
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            capped.unpersist()
+            spark.streams.removeListener(this)
+          }
+      })
+    query
   }
 
   /** BM25 relevance scoring for continuous ingest: arriving documents are

@@ -561,6 +561,91 @@ class DedupSpec extends SparkSpec {
     assert(rows((2L, 3L)) == (1L, 24L, 24L), rows.toString)
   }
 
+  test("substringDupPairs: null-id docs count toward the df cap (oracle dfreq semantics) but never pair") {
+    val span = "QWERTYUIOPASDFGHJKLZ"
+    val mk = (ctx: Char) => s"$ctx$ctx$ctx$ctx-$span-$ctx$ctx$ctx$ctx"
+    val withNull = Seq(
+      (java.lang.Long.valueOf(1L), mk('a')),
+      (java.lang.Long.valueOf(2L), mk('b')),
+      (null.asInstanceOf[java.lang.Long], mk('c')))
+      .toDF("doc_id", "text")
+    // cap 2, three docs share the span's fingerprints: df = 3 (null-id row
+    // INCLUDED, as in the oracle's dfreq) > cap, so the hash drops and no
+    // pair forms — a null-filter placed before the count would report 2
+    assert(Dedup.substringDupPairs(withNull, "doc_id", "text",
+      k = 4, w = 2, minShared = 2, maxFingerprintDf = 2).count() == 0L)
+    // without the null row df = 2 <= cap: the pair appears (and null ids
+    // themselves never pair)
+    val pairs = Dedup.substringDupPairs(withNull.filter(col("doc_id").isNotNull),
+      "doc_id", "text", k = 4, w = 2, minShared = 2, maxFingerprintDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
+  test("stripCopiedSpans: user columns named like join helpers survive; n_removed collision is loud") {
+    val span = "QWERTYUIOPASDFGHJKLZ"
+    val docs = Seq(
+      (1L, "abcd efgh ijkl." + span + ".mnop qrst", 77L),
+      (2L, "0123 4567-" + span + "_8901 2345", 88L))
+      .toDF("doc_id", "text", "b_id") // user column named like a pair column
+    val out = Dedup.stripCopiedSpans(docs, "doc_id", "text",
+      k = 4, w = 2, minShared = 2)
+    assert(out.columns.contains("b_id"), out.columns.mkString(","))
+    val kept = out.collect().map(r => r.getLong(0) -> r.getAs[Long]("b_id")).toMap
+    assert(kept == Map(1L -> 77L, 2L -> 88L), kept.toString)
+    intercept[IllegalArgumentException] {
+      Dedup.stripCopiedSpans(
+        docs.withColumnRenamed("b_id", "n_removed"), "doc_id", "text")
+    }
+  }
+
+  test("substringDupPairsAgainst: new-vs-index candidates match the union-corpus pairs across the split") {
+    val span = "QWERTYUIOPASDFGHJKLZ"
+    val corpus = Seq( // even ids = stored side
+      (2L, "abcd efgh ijkl." + span + ".mnop qrst"),
+      (4L, "wholly unrelated corpus doc text"))
+      .toDF("doc_id", "text")
+    val batch = Seq( // odd ids = arriving side
+      (11L, "0123 4567-" + span + "_8901 2345"),
+      (13L, "nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.capFingerprintIndex(
+      Dedup.winnowFingerprints(corpus, "doc_id", "text", k = 4, w = 2), 20)
+    val got = Dedup.substringDupPairsAgainst(batch, capped, "doc_id", "text",
+      k = 4, w = 2, minShared = 2)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))) -> r.getLong(2)).toMap
+    // batch twin: union-corpus pairs, restricted to cross-split pairs
+    // (caps don't bind on this fixture, so fingerprint sets agree)
+    val ref = Dedup.substringDupPairs(corpus.union(batch), "doc_id", "text",
+      k = 4, w = 2, minShared = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .filter { case ((a, b), _) => (a % 2) != (b % 2) }.toMap
+    assert(got == ref, s"incremental $got vs union $ref")
+    assert(got.contains((2L, 11L)), "the copied span must link 11 -> 2")
+  }
+
+  test("capFingerprintIndex + stripAgainstCappedIndex: query-many path matches the one-shot cap") {
+    val span = "QWERTYUIOPASDFGHJKLZ"
+    val corpus = Seq((1L, "abcd efgh ijkl." + span + ".mnop qrst"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq((10L, "0123 4567-" + span + "_8901 2345"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(corpus, "doc_id", "text", k = 4, w = 2)
+    val grams = corpus.select(col("doc_id").as("id"),
+      explode(graft.plans.WinnowMinima.minima(col("text"), 4, 1)).as("h"))
+    val oneShot = Dedup.stripAgainstCorpus(arrivals, fps, grams,
+      "doc_id", "text", k = 4, w = 2, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val precapped = Dedup.stripAgainstCappedIndex(arrivals,
+      Dedup.capFingerprintIndex(fps, 20), grams,
+      "doc_id", "text", k = 4, w = 2, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(oneShot == precapped && oneShot.head._3 == span.length.toLong)
+  }
+
   test("stripCopiedSpans: planted span removed from the LATER doc only, non-copied text byte-identical") {
     // span boundaries flanked by chars that differ between the docs, so no
     // boundary k-gram is shared and coverage is exactly the span

@@ -102,6 +102,25 @@ class WinnowMinimaSpec extends SparkSpec {
     assert(got(2).getSeq[String](0) == Seq.empty)
   }
 
+  test("CappedSortedList: sorted list ≤ cap, NULL beyond it, nulls counted but never listed, partition-merge safe") {
+    import graft.plans.CappedSortedList.cappedSortedList
+    // force multi-partition input so mergeExpressions is exercised
+    val rows = Seq(
+      ("a", Some(3L)), ("a", Some(1L)), ("a", Some(2L)),       // 3 ≤ cap
+      ("b", Some(1L)), ("b", Some(2L)), ("b", Some(3L)), ("b", Some(4L)), // 4 > cap
+      ("c", Some(9L)), ("c", None), ("c", Some(7L)),            // null COUNTS
+      ("d", None))                                               // only nulls
+    val df = spark.createDataset(rows).repartition(4).toDF("h", "id")
+    val got = df.groupBy("h").agg(cappedSortedList(col("id"), 3).as("ids"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(got("a") == Seq(1L, 2L, 3L))
+    assert(got("b") == null, "over-cap group must collapse to NULL")
+    // cap 3, three rows (one null): count 3 ≤ cap, list holds the 2 non-nulls
+    assert(got("c") == Seq(7L, 9L))
+    assert(got("d") == Seq.empty)
+  }
+
   test("codegen and interpreted paths agree (doGenCode static call vs nullSafeEval)") {
     import org.apache.spark.sql.graftshim.Bridge
     val e = WinnowMinima(Bridge.expression(col("t")), 4, 3)
