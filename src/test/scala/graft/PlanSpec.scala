@@ -329,6 +329,15 @@ class PlanSpec extends SparkSpec {
       l.contains("Window") && l.contains("partitionBy=[]")), s"global window:\n$p")
   }
 
+  test("dedup_substring_incr: hash-keyed candidate join against the stored index, no cartesian") {
+    val p = plan("dedup_substring_incr")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // both sides fingerprint through the native expression; the final
+    // count aggregates partially before the pair shuffle
+    assert(p.contains("graft_winnow_minima"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("substring_spans: pair-partitioned islands windows only (never corpus-wide), equi-joins only") {
     val p = plan("substring_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
@@ -344,10 +353,10 @@ class PlanSpec extends SparkSpec {
     assert(ghosts.isEmpty,
       s"plan tests cover keys missing from the registry: ${ghosts.toSeq.sorted.mkString(", ")}")
     // floor = the census at the time this guard landed (39 of 175 keys,
-    // round 12; 41 with dedup_substring_strip + substring_spans in round
+    // round 12; 42 with dedup_substring_strip + substring_spans + dedup_substring_incr in round
     // 14). Raising it is cheap when new plan tests land; lowering it
     // means plan coverage regressed — do that consciously, in review.
-    val floor = 41
+    val floor = 42
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")
