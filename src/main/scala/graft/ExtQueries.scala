@@ -585,7 +585,11 @@ object ExtQueries {
     * the naive alternative — over-deletes on transitive chains (A~B, B~C,
     * A≁C would lose both B and C); component resolution keeps exactly one
     * survivor per chain. */
-  val pipelineDocs: Q = (s, d) => {
+  /** The shared front of the corpus-pipeline keys: English lang-ID →
+    * quality gate → exact dedup (first doc per content hash) → near-dup
+    * cluster survivors. Returns the survivor frame with (doc_id, lang,
+    * text) intact so downstream stages can keep processing. */
+  private def englishSurvivors(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents")
     val en = TextAnalysis.withLangId(docs, "text").filter(col("lang_pred") === "en")
@@ -606,7 +610,27 @@ object ExtQueries {
     val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
       shingleN = 3, minJaccard = 0.5)
     Dedup.keepClusterSurvivors(exact, "doc_id", pairs)
-      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
+  val pipelineDocs: Q = (s, d) =>
+    englishSurvivors(s, d).select("doc_id", "lang").orderBy("doc_id")
+
+  /** The full pretraining-corpus recipe (Lee et al., ACL'22 composed
+    * end-to-end): the [[englishSurvivors]] chain, then copied-span
+    * removal over the SURVIVOR corpus — near-dup dedup keeps one doc per
+    * cluster, the strip then deletes the residual quoted/boilerplate
+    * spans between the KEEPERS that document-level dedup cannot see.
+    * Reports per surviving doc the characters stripped and the final
+    * size — exact integers, full hash-match oracle (the oracle counts
+    * covered characters instead of reassembling text: n_removed =
+    * |union coverage| is the same number by the strip contract). */
+  val pipelinePretrain: Q = (s, d) => {
+    val survivors = englishSurvivors(s, d).select("doc_id", "lang", "text")
+    Dedup.stripCopiedSpans(survivors, "doc_id", "text",
+      k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
+      .select(col("doc_id"), col("lang"), col("n_removed"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
   }
 
   // --------------------------------------------------------------- curation
@@ -1214,6 +1238,7 @@ object ExtQueries {
     "text_repetition" -> textRepetition,
     "contamination" -> contaminationQ,
     "pipeline_docs" -> pipelineDocs,
+    "pipeline_pretrain" -> pipelinePretrain,
     "json_extract" -> jsonExtract,
     "tumbling_counts" -> tumblingCounts,
     "sessionize" -> sessionizeQ,
@@ -2310,6 +2335,84 @@ object ExtQueries {
         |           HAVING least(src, min(dst)) <> src)
         |SELECT doc_id, lang FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    // pipeline_docs' CTEs through the survivor set, then the
+    // dedup_substring_strip coverage chain over `final` — but counting
+    // covered characters instead of reassembling text (n_removed =
+    // |union coverage| by the strip contract), so the oracle stays
+    // integer-only end to end
+    "pipeline_pretrain" ->
+      """WITH RECURSIVE d0 AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
+        |sc AS (SELECT doc_id, lang, text, tk,
+        |    len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS e,
+        |    len(list_filter(tk, t -> t IN ('der','die','und','das','ein'))) AS de,
+        |    len(list_filter(tk, t -> t IN ('el','la','de','los','una'))) AS es,
+        |    len(list_filter(tk, t -> t IN ('le','la','les','des','une'))) AS fr,
+        |    len(list_filter(tk, t -> t IN ('的','是','在','了','和'))) AS zh,
+        |    CAST(len(tk) AS DOUBLE) AS n_tok
+        |  FROM d0),
+        |en AS (SELECT doc_id, lang, text, tk, n_tok FROM sc
+        |       WHERE greatest(e, de, es, fr, zh) > 0 AND e = greatest(e, de, es, fr, zh)),
+        |qual AS (SELECT doc_id, lang, text, tk FROM en
+        |  WHERE round(0.4e0 * (CAST(len(list_distinct(tk)) AS DOUBLE) / n_tok)
+        |            + 0.4e0 * least(n_tok / 100.0e0, 1.0e0)
+        |            + 0.2e0 * (CASE WHEN (length(text) - (n_tok - 1)) / n_tok BETWEEN 3.0e0 AND 8.0e0
+        |                            THEN 1.0e0 ELSE 0.5e0 END), 4) >= 0.5e0),
+        |exact AS (SELECT doc_id, lang, text, tk FROM (
+        |    SELECT doc_id, lang, text, tk,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM qual
+        |  ) WHERE rn = 1),
+        |shn AS (SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]) AS s
+        |  FROM exact),
+        |sz AS (SELECT doc_id,
+        |    CAST(len(list_distinct([array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)])) AS DOUBLE) AS n
+        |  FROM exact),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
+        |  FROM shn a JOIN shn b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT a_id, b_id FROM inter
+        |  JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+        |  WHERE i / (na.n + nb.n - i) >= 0.5e0),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+        |          UNION SELECT b_id AS src, a_id AS dst FROM pr),
+        |walk(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+        |losers AS (SELECT src AS doc_id FROM walk GROUP BY src
+        |           HAVING least(src, min(dst)) <> src),
+        |final AS (SELECT doc_id, lang, text FROM exact
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |g2 AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM final WHERE text IS NOT NULL AND length(text) >= 16),
+        |h2 AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM g2),
+        |win2 AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h2),
+        |fpx AS (SELECT DISTINCT doc_id, mn AS h FROM win2
+        |        WHERE pos <= greatest(n - 8, 0)),
+        |dfreq2 AS (SELECT h, count(*) AS dd FROM fpx GROUP BY h),
+        |fpc AS (SELECT fpx.doc_id, fpx.h FROM fpx JOIN dfreq2 USING (h)
+        |        WHERE dd <= 20),
+        |pairs2 AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |allg2 AS (SELECT DISTINCT doc_id, h FROM h2),
+        |pg2 AS (SELECT DISTINCT p.b_id, ga.h
+        |        FROM pairs2 p JOIN allg2 ga ON ga.doc_id = p.a_id),
+        |mpos2 AS (SELECT DISTINCT hh.doc_id AS b_id, hh.pos
+        |          FROM h2 hh JOIN pg2 ON pg2.b_id = hh.doc_id AND pg2.h = hh.h),
+        |cov2 AS (SELECT DISTINCT b_id,
+        |           pos + unnest(generate_series(1, 16)) AS j FROM mpos2),
+        |nrem AS (SELECT b_id AS doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |         FROM cov2 GROUP BY b_id)
+        |SELECT f.doc_id, f.lang,
+        |  CAST(coalesce(nr.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CAST(length(f.text) - coalesce(nr.n_removed, 0) AS BIGINT) AS n_chars
+        |FROM final f LEFT JOIN nrem nr USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
     "pii_redact" ->
       // Same deterministic PII planting as the Spark side, then the same
       // RE2-safe pattern chain: emails replaced first, IP count measured on
