@@ -625,7 +625,12 @@ object ExtQueries {
     * covered characters instead of reassembling text: n_removed =
     * |union coverage| is the same number by the strip contract). */
   val pipelinePretrain: Q = (s, d) => {
+    // barrier the survivor chain: the strip consumes its input df three
+    // times (fingerprint scan, partner-gram scan, final join) — without
+    // this the whole lang-id/quality/dedup pipeline re-executes 3x (the
+    // englishSurvivors-internal `exact` checkpoint rationale)
     val survivors = englishSurvivors(s, d).select("doc_id", "lang", "text")
+      .localCheckpoint()
     Dedup.stripCopiedSpans(survivors, "doc_id", "text",
       k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
       .select(col("doc_id"), col("lang"), col("n_removed"),

@@ -1096,7 +1096,10 @@ object Dedup {
     * Numeric contract: the df count includes null-id fingerprint rows
     * (the DuckDB oracle's dfreq CTE counts all rows; null ids are
     * excluded from PAIRS, not from document frequency) — the aggregate
-    * counts nulls and lists only non-nulls. */
+    * counts nulls and lists only non-nulls. Multiple null-id docs
+    * sharing a fingerprint would each count where SQL DISTINCT collapses
+    * them — theoretical under [[winnowFingerprints]]' unique-id corpus
+    * contract (see [[graft.plans.CappedSortedList]]). */
   def substringDupPairsManaged(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
@@ -1472,7 +1475,7 @@ object Dedup {
         s"got (${corpusGrams.columns.mkString(", ")})")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(!batch.columns.contains("n_removed"),
-      "stripAgainstCorpus adds an n_removed column; the input already has one")
+      "stripAgainstCappedIndex adds an n_removed column; the input already has one")
     val partners = substringDupPairsAgainst(batch, cappedFps,
       idCol, textCol, k, w, minShared)
       .select("new_id", "corpus_id")

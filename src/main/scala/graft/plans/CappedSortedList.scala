@@ -24,7 +24,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Count-vs-list semantics mirror the DuckDB oracle's `dfreq` CTE: the
   * COUNT includes every row (null values too — a null-id fingerprint row
   * still counts toward document frequency), while null values never
-  * enter the LIST (null ids cannot pair). A declarative aggregate, so
+  * enter the LIST (null ids cannot pair). One scoped divergence: TWO OR
+  * MORE null rows in a group each count here, where SQL `DISTINCT` would
+  * collapse equal-null rows to one — theoretical under the winnowing
+  * corpus contract (unique non-null ids; a single stray null matches
+  * exactly, spec-pinned). A declarative aggregate, so
   * both partial and final stages stay expression-codegen'd; buffers are
   * (long, array) — the planner picks sort-based aggregation for the
   * array buffer, which is exactly as scale-safe (one exchange, spillable

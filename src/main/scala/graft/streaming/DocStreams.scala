@@ -175,30 +175,57 @@ object DocStreams {
     // construction and persist, never per micro-batch (build-once /
     // query-many); released with the query, not the session
     val capped = Dedup.capFingerprintIndex(corpusFps, maxFingerprintDf).persist()
-    val query = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          if (!batch.isEmpty) {
-            Dedup.stripAgainstCappedIndex(batch.toDF(), capped, corpusGrams,
-              idCol, textCol, k, w, minShared)
-              .write.mode("overwrite").parquet(s"$tablePath/batch_id=$id")
-          }
-          (): Unit
-      }
-      .start()
     val spark = stream.sparkSession
-    spark.streams.addListener(
+    // The listener must be live BEFORE start(): the listener bus is async,
+    // so a query failing within milliseconds of start() could post its
+    // termination event before a post-start registration — leaking the
+    // cached index forever. The query id is only known after start(), so
+    // the listener records every termination and a shared release checks
+    // the set once the id is known (and on the start() failure path).
+    val terminated =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    @volatile var queryId: java.util.UUID = null
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    lazy val listener: org.apache.spark.sql.streaming.StreamingQueryListener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-          if (e.id == query.id) {
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+          terminated.add(e.id)
+          maybeRelease()
+        }
+      }
+    def maybeRelease(): Unit =
+      if (queryId != null && terminated.contains(queryId) &&
+        released.compareAndSet(false, true)) {
+        capped.unpersist()
+        spark.streams.removeListener(listener)
+      }
+    spark.streams.addListener(listener)
+    val query =
+      try stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            if (!batch.isEmpty) {
+              Dedup.stripAgainstCappedIndex(batch.toDF(), capped, corpusGrams,
+                idCol, textCol, k, w, minShared)
+                .write.mode("overwrite").parquet(s"$tablePath/batch_id=$id")
+            }
+            (): Unit
+        }
+        .start()
+      catch {
+        case t: Throwable =>
+          if (released.compareAndSet(false, true)) {
             capped.unpersist()
-            spark.streams.removeListener(this)
+            spark.streams.removeListener(listener)
           }
-      })
+          throw t
+      }
+    queryId = query.id
+    maybeRelease() // covers a termination that raced the id assignment
     query
   }
 
