@@ -338,6 +338,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("pipeline_pretrain: composed recipe keeps the strip expression and never degenerates to a cartesian") {
+    val p = plan("pipeline_pretrain")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("graft_strip_matched_grams"), p)
+  }
+
   test("substring_spans: pair-partitioned islands windows only (never corpus-wide), equi-joins only") {
     val p = plan("substring_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
@@ -353,10 +359,10 @@ class PlanSpec extends SparkSpec {
     assert(ghosts.isEmpty,
       s"plan tests cover keys missing from the registry: ${ghosts.toSeq.sorted.mkString(", ")}")
     // floor = the census at the time this guard landed (39 of 175 keys,
-    // round 12; 42 with dedup_substring_strip + substring_spans + dedup_substring_incr in round
+    // round 12; 43 with the round-14 winnowing-family keys (strip/spans/incr/pretrain) in
     // 14). Raising it is cheap when new plan tests land; lowering it
     // means plan coverage regressed — do that consciously, in review.
-    val floor = 42
+    val floor = 43
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")

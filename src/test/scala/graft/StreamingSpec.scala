@@ -836,6 +836,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stripArrivalsSink releases its persisted capped index when the query terminates") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((1L, "abcd efgh ijkl mnop qrst uvwx")).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowFingerprints(
+      corpus, "doc_id", "text", k = 4, w = 2)
+    val grams = corpus.select(col("doc_id").as("id"),
+      explode(graft.plans.WinnowMinima.minima(col("text"), 4, 1)).as("h"))
+    val table = java.nio.file.Files.createTempDirectory("strip-rel").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("strip-rel-ckpt").toString
+    // other suites share the session: assert no NEW cached RDDs survive,
+    // not that the registry is globally empty
+    val preExisting = spark.sparkContext.getPersistentRDDs.keySet
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.stripArrivalsSink(
+      mem.toDF().toDF("doc_id", "text"), fps, grams, "doc_id", "text",
+      table, ckpt, k = 4, w = 2, minShared = 2)
+    try {
+      mem.addData(Seq((10L, "zzzz unrelated arrival text")))
+      q.processAllAvailable()
+    } finally q.stop()
+    q.awaitTermination()
+    // the termination event rides the async listener bus — poll briefly
+    val deadline = System.nanoTime() + 10e9.toLong
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- preExisting
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty,
+      s"capped index still cached after termination: ${leaked.mkString(", ")}")
+  }
+
   test("batch/streaming parity: near-dup candidates vs a stored band index agree with minhashCandidatesAgainst") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
