@@ -119,6 +119,16 @@ object ExtQueries {
       k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
       .orderBy("a_id", "b_id")
 
+  /** Corpus-wide copied-span LENGTH DISTRIBUTION (pair-level): how long
+    * are the duplicated regions — the histogram read before choosing
+    * removal thresholds (one 500-char quote and fifty 20-char collisions
+    * produce the same total mass but opposite decisions). */
+  val spansHist: Q = (s, d) =>
+    Dedup.substringSpanLengths(t(s, d, "documents"), "doc_id", "text",
+      k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
+      .groupBy("span_chars").agg(count(lit(1)).as("n_spans"))
+      .orderBy("span_chars")
+
   /** Copied-span removal over the winnowing candidates: later docs lose
     * every character covered by a k-gram an earlier partner also has —
     * full-corpus output, byte-exact text compare against the oracle's
@@ -1209,6 +1219,7 @@ object ExtQueries {
     "dedup_substring_incr" -> dedupSubstringIncr,
     "dedup_substring_strip" -> dedupSubstringStrip,
     "substring_spans" -> substringSpansQ,
+    "spans_hist" -> spansHist,
     "blocking_quality" -> blockingQualityQ,
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
@@ -2011,6 +2022,54 @@ object ExtQueries {
         |FROM nfp n JOIN cfp2 c ON n.h = c.h AND n.doc_id <> c.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY new_id, corpus_id""".stripMargin,
+    // the substring_spans islands chain rolled up to the corpus-wide
+    // span-length histogram — exact BIGINTs
+    "spans_hist" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16),
+        |h AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM g),
+        |win AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
+        |fp AS (SELECT DISTINCT doc_id, mn AS h FROM win
+        |       WHERE pos <= greatest(n - 8, 0)),
+        |dfreq AS (SELECT h, count(*) AS d FROM fp GROUP BY h),
+        |fp2 AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfreq USING (h) WHERE d <= 20),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |allg AS (SELECT DISTINCT doc_id, h FROM h),
+        |matched AS (
+        |  SELECT DISTINCT p.a_id, p.b_id, hb.pos
+        |  FROM pairs p
+        |  JOIN allg ga ON ga.doc_id = p.a_id
+        |  JOIN h hb ON hb.doc_id = p.b_id AND hb.h = ga.h),
+        |runs AS (
+        |  SELECT a_id, b_id, min(pos) AS cs, max(pos) + 15 AS ce
+        |  FROM (SELECT a_id, b_id, pos,
+        |          pos - row_number() OVER (PARTITION BY a_id, b_id ORDER BY pos) AS grp
+        |        FROM matched)
+        |  GROUP BY a_id, b_id, grp),
+        |marks AS (
+        |  SELECT a_id, b_id, cs, ce,
+        |    CASE WHEN pmax IS NULL OR cs > pmax + 1 THEN 1 ELSE 0 END AS newg
+        |  FROM (SELECT a_id, b_id, cs, ce,
+        |          max(ce) OVER (PARTITION BY a_id, b_id ORDER BY cs
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |        FROM runs)),
+        |spans AS (
+        |  SELECT a_id, b_id, span_id, max(ce) - min(cs) + 1 AS len
+        |  FROM (SELECT a_id, b_id, cs, ce,
+        |          sum(newg) OVER (PARTITION BY a_id, b_id ORDER BY cs
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |        FROM marks)
+        |  GROUP BY a_id, b_id, span_id)
+        |SELECT CAST(len AS BIGINT) AS span_chars,
+        |  CAST(count(*) AS BIGINT) AS n_spans
+        |FROM spans GROUP BY len ORDER BY span_chars""".stripMargin,
     // dedup_substring's pair CTEs, then matched b-side positions, the
     // two-level gaps-and-islands (consecutive-position runs -> char
     // intervals -> merge overlap-or-touching) mirrored pass-for-pass —

@@ -1237,10 +1237,38 @@ object Dedup {
     substringSpansManaged(df, idCol, textCol, k, w, minShared,
       maxFingerprintDf)._1
 
+  /** The [[substringSpanLengthsManaged]] span frame without the cleanup
+    * handle (the standard unmanaged-wrapper contract). */
+  def substringSpanLengths(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): DataFrame =
+    substringSpanLengthsManaged(df, idCol, textCol, k, w, minShared,
+      maxFingerprintDf)._1
+
   /** [[substringSpans]] plus the cleanup handle for its internal
     * candidate-pair checkpoint — the [[substringExtentManaged]]
     * contract. */
   def substringSpansManaged(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): (DataFrame, () => Unit) = {
+    val (spans, free) = substringSpanLengthsManaged(df, idCol, textCol,
+      k, w, minShared, maxFingerprintDf)
+    val out = spans.groupBy("a_id", "b_id").agg(
+      count(lit(1)).as("n_spans"),
+      max(col("span_chars")).cast("long").as("max_span_chars"),
+      sum(col("span_chars")).cast("long").as("copied_chars"))
+    (out, free)
+  }
+
+  /** The individual merged copied spans behind [[substringSpans]] — one
+    * row per (pair, maximal contiguous copied region) with its exact char
+    * length. This is the frame the span-length DISTRIBUTION reads from
+    * (the histogram Lee et al. plot before picking removal thresholds);
+    * [[substringSpans]] is its per-pair rollup. Span semantics (matched
+    * positions, run/merge rules, the ≤-k touch merge) documented there. */
+  def substringSpanLengthsManaged(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
       maxFingerprintDf: Int = 20): (DataFrame, () => Unit) = {
@@ -1285,12 +1313,9 @@ object Dedup {
           .otherwise(0))
       .withColumn("__span", sum(col("__new")).over(wRun))
       .groupBy("a_id", "b_id", "__span")
-      .agg((max(col("ce")) - min(col("cs")) + lit(1)).as("__len"))
-    val out = spans.groupBy("a_id", "b_id").agg(
-      count(lit(1)).as("n_spans"),
-      max(col("__len")).cast("long").as("max_span_chars"),
-      sum(col("__len")).cast("long").as("copied_chars"))
-    (out, () => { freePairs(); free(candRdd) })
+      .agg((max(col("ce")) - min(col("cs")) + lit(1)).cast("long").as("span_chars"))
+      .select("a_id", "b_id", "span_chars")
+    (spans, () => { freePairs(); free(candRdd) })
   }
 
   /** Copied-span REMOVAL — the payoff stage of exact-substring dedup
