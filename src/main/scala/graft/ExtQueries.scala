@@ -119,6 +119,25 @@ object ExtQueries {
       k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
       .orderBy("a_id", "b_id")
 
+  /** minShared threshold sweep for the winnowing family (the dedup_sweep
+    * read): pair counts by shared-fingerprint count with the cumulative
+    * at-or-above each floor, from ONE fingerprint pass — the histogram
+    * that turns the minShared knob from folklore into a data read. The
+    * cumulative window runs over the ≤ max-shared-fps distinct counts
+    * (a handful of rows), never the pair set. */
+  val substringSweep: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    Dedup.substringDupPairs(t(s, d, "documents"), "doc_id", "text",
+      k = 16, w = 8, minShared = 1, maxFingerprintDf = 20)
+      .groupBy("n_shared").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_at_or_above",
+        sum(col("n_pairs")).over(
+          Window.orderBy(col("n_shared").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .orderBy("n_shared")
+  }
+
   /** Corpus-wide copied-span LENGTH DISTRIBUTION (pair-level): how long
     * are the duplicated regions — the histogram read before choosing
     * removal thresholds (one 500-char quote and fifty 20-char collisions
@@ -1220,6 +1239,7 @@ object ExtQueries {
     "dedup_substring_strip" -> dedupSubstringStrip,
     "substring_spans" -> substringSpansQ,
     "spans_hist" -> spansHist,
+    "substring_sweep" -> substringSweep,
     "blocking_quality" -> blockingQualityQ,
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
@@ -2022,6 +2042,32 @@ object ExtQueries {
         |FROM nfp n JOIN cfp2 c ON n.h = c.h AND n.doc_id <> c.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY new_id, corpus_id""".stripMargin,
+    // the winnowing fp CTEs with NO pair floor (minShared = 1), bucketed
+    // on shared-fp count with the dedup_sweep cumulative — exact BIGINTs
+    "substring_sweep" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16),
+        |h AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM g),
+        |win AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
+        |fp AS (SELECT DISTINCT doc_id, mn AS h FROM win
+        |       WHERE pos <= greatest(n - 8, 0)),
+        |dfreq AS (SELECT h, count(*) AS d FROM fp GROUP BY h),
+        |fp2 AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfreq USING (h) WHERE d <= 20),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS ns
+        |  FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |bkt AS (SELECT ns, CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY ns)
+        |SELECT ns AS n_shared, n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY ns DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_at_or_above
+        |FROM bkt ORDER BY n_shared""".stripMargin,
     // the substring_spans islands chain rolled up to the corpus-wide
     // span-length histogram — exact BIGINTs
     "spans_hist" ->
