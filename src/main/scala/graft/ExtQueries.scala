@@ -158,6 +158,31 @@ object ExtQueries {
       .select(col("doc_id").as("id"), col("text"), col("n_removed"))
       .orderBy("id")
 
+  /** The pairs-reuse composition (the shape a real threshold-picking
+    * corpus run takes): ONE winnow+pair stage, its candidate frame
+    * materialized once, then BOTH the extent verify and the span-extent
+    * measurement read from it ([[Dedup.substringExtentFromPairs]] /
+    * [[Dedup.substringSpanLengthsFromPairs]]) — per pair the sampled
+    * fingerprint count, exact gram overlap, span count, longest span, and
+    * copied char mass in one frame. Running the standalone keys instead
+    * pays the pair stage once per consumer. All exact BIGINTs. */
+  val substringReport: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.substringDupPairs(docs, "doc_id", "text",
+      k = 16, w = 8, minShared = 3, maxFingerprintDf = 20).localCheckpoint()
+    val extent = Dedup.substringExtentFromPairs(docs, pairs, "doc_id", "text",
+      k = 16)
+    val spans = Dedup.substringSpanLengthsFromPairs(docs, pairs, "doc_id", "text",
+      k = 16)
+      .groupBy("a_id", "b_id").agg(
+        count(lit(1)).as("n_spans"),
+        max(col("span_chars")).cast("long").as("max_span_chars"),
+        sum(col("span_chars")).cast("long").as("copied_chars"))
+    // inner join is total: every candidate pair shares ≥3 fingerprints ⇒
+    // shares grams ⇒ has matched positions ⇒ has at least one span
+    extent.join(spans, Seq("a_id", "b_id")).orderBy("a_id", "b_id")
+  }
+
   /** Blocking-scheme evaluation: minhash banding's candidates judged
     * against the exact ngram-Jaccard≥0.5 truth set — pairs completeness
     * (blocking recall) and reduction ratio (pruned share of all pairs),
@@ -660,8 +685,15 @@ object ExtQueries {
     // englishSurvivors-internal `exact` checkpoint rationale)
     val survivors = englishSurvivors(s, d).select("doc_id", "lang", "text")
       .localCheckpoint()
-    Dedup.stripCopiedSpans(survivors, "doc_id", "text",
+    // pairs-reuse wiring: the winnow+pair stage runs ONCE and the
+    // materialized candidate frame feeds the strip (and would feed the
+    // span/extent reads of a threshold-picking run for free — the
+    // substring_report shape); stripCopiedSpans' internal checkpoint
+    // would compute exactly this frame, so the output is identical
+    val pairs = Dedup.substringDupPairs(survivors, "doc_id", "text",
       k = 16, w = 8, minShared = 3, maxFingerprintDf = 20)
+      .select("a_id", "b_id").localCheckpoint()
+    Dedup.stripCopiedSpansFromPairs(survivors, pairs, "doc_id", "text", k = 16)
       .select(col("doc_id"), col("lang"), col("n_removed"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id")
@@ -1240,6 +1272,7 @@ object ExtQueries {
     "substring_spans" -> substringSpansQ,
     "spans_hist" -> spansHist,
     "substring_sweep" -> substringSweep,
+    "substring_report" -> substringReport,
     "blocking_quality" -> blockingQualityQ,
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
@@ -2116,6 +2149,69 @@ object ExtQueries {
         |SELECT CAST(len AS BIGINT) AS span_chars,
         |  CAST(count(*) AS BIGINT) AS n_spans
         |FROM spans GROUP BY len ORDER BY span_chars""".stripMargin,
+    // the pairs-reuse composition: substring_extent's cand/extent CTEs and
+    // substring_spans' islands chain over the SAME candidate set, joined
+    // per pair — one pair derivation, two consumers, all exact BIGINTs
+    "substring_report" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16),
+        |h AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM g),
+        |win AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
+        |fp AS (SELECT DISTINCT doc_id, mn AS h FROM win
+        |       WHERE pos <= greatest(n - 8, 0)),
+        |dfreq AS (SELECT h, count(*) AS d FROM fp GROUP BY h),
+        |fp2 AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfreq USING (h) WHERE d <= 20),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS n_shared_fp
+        |  FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |allg AS (SELECT DISTINCT doc_id, h FROM h),
+        |extent AS (
+        |  SELECT c.a_id, c.b_id, c.n_shared_fp,
+        |    CAST(count(*) AS BIGINT) AS n_shared_grams
+        |  FROM cand c
+        |  JOIN allg ga ON ga.doc_id = c.a_id
+        |  JOIN allg gb ON gb.doc_id = c.b_id AND gb.h = ga.h
+        |  GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT DISTINCT p.a_id, p.b_id, hb.pos
+        |  FROM cand p
+        |  JOIN allg ga ON ga.doc_id = p.a_id
+        |  JOIN h hb ON hb.doc_id = p.b_id AND hb.h = ga.h),
+        |runs AS (
+        |  SELECT a_id, b_id, min(pos) AS cs, max(pos) + 15 AS ce
+        |  FROM (SELECT a_id, b_id, pos,
+        |          pos - row_number() OVER (PARTITION BY a_id, b_id ORDER BY pos) AS grp
+        |        FROM matched)
+        |  GROUP BY a_id, b_id, grp),
+        |marks AS (
+        |  SELECT a_id, b_id, cs, ce,
+        |    CASE WHEN pmax IS NULL OR cs > pmax + 1 THEN 1 ELSE 0 END AS newg
+        |  FROM (SELECT a_id, b_id, cs, ce,
+        |          max(ce) OVER (PARTITION BY a_id, b_id ORDER BY cs
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |        FROM runs)),
+        |spans AS (
+        |  SELECT a_id, b_id, span_id, max(ce) - min(cs) + 1 AS len
+        |  FROM (SELECT a_id, b_id, cs, ce,
+        |          sum(newg) OVER (PARTITION BY a_id, b_id ORDER BY cs
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |        FROM marks)
+        |  GROUP BY a_id, b_id, span_id),
+        |sp AS (
+        |  SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(max(len) AS BIGINT) AS max_span_chars,
+        |    CAST(sum(len) AS BIGINT) AS copied_chars
+        |  FROM spans GROUP BY a_id, b_id)
+        |SELECT e.a_id, e.b_id, e.n_shared_fp, e.n_shared_grams,
+        |  s.n_spans, s.max_span_chars, s.copied_chars
+        |FROM extent e JOIN sp s ON e.a_id = s.a_id AND e.b_id = s.b_id
+        |ORDER BY e.a_id, e.b_id""".stripMargin,
     // dedup_substring's pair CTEs, then matched b-side positions, the
     // two-level gaps-and-islands (consecutive-position runs -> char
     // intervals -> merge overlap-or-touching) mirrored pass-for-pass —

@@ -1178,6 +1178,36 @@ object Dedup {
       k, w, minShared, maxFingerprintDf)
     val (cand, candRdd) = checkpointTracked(
       pairs.withColumnRenamed("n_shared", "n_shared_fp"), reliable = false)
+    (substringExtentFromPairs(df, cand, idCol, textCol, k),
+      () => { freePairs(); free(candRdd) })
+  }
+
+  /** [[substringExtent]] over a PRE-COMPUTED candidate pair frame — the
+    * pairs-reuse entry point: a corpus run that reads the span histogram
+    * ([[substringSpanLengthsFromPairs]]), verifies extents, and then
+    * strips ([[stripCopiedSpansFromPairs]]) pays the winnow+pair stage
+    * ONCE and hands the same candidate frame to each consumer, instead of
+    * re-running it inside every call (the internal-pairs overloads exist
+    * for one-shot convenience and compute exactly this frame).
+    *
+    * `cand` must carry (a_id, b_id) and the shared-fingerprint count as
+    * either `n_shared` (the [[substringDupPairs]] output name) or
+    * `n_shared_fp` (this operator's output name); it should be a
+    * MATERIALIZED frame (checkpointed/cached/read back) — it is consumed
+    * by three joins here, so a lazily derived frame would re-execute its
+    * whole upstream chain per consumer (the internal overloads checkpoint
+    * it for exactly that reason). Output and scale shape are identical to
+    * [[substringExtentManaged]] (gram scans map-side native, both join
+    * sides semi-cut to candidate docs before any exchange); DedupSpec pins
+    * FromPairs ≡ internal-pairs equality. */
+  def substringExtentFromPairs(
+      df: DataFrame, cand: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    val c = normalizedPairs(cand, "substringExtentFromPairs",
+      Seq("n_shared" -> "n_shared_fp"))
+    require(c.columns.contains("n_shared_fp"),
+      "substringExtentFromPairs needs the shared-fingerprint count " +
+        s"(n_shared or n_shared_fp); got (${cand.columns.mkString(", ")})")
     // gram scans are map-side native hashing (cheap enough to run twice —
     // the checkpoint a scan used to need cost more than recomputing) and
     // the corpus gram table is NEVER materialized or shuffled whole: the
@@ -1187,22 +1217,37 @@ object Dedup {
     def grams = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
       .select(col(idCol).as("id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
-    val bIds = cand.select(col("b_id").as("id")).distinct()
+    val bIds = c.select(col("b_id").as("id")).distinct()
     val gramsB = grams.join(bIds, Seq("id"), "left_semi")
       .select(col("id").as("b_id"), col("h"))
     // the a-side is semi-cut too: the inner join against cand filters the
     // same rows, but only AFTER shuffling — without the cut, a candidate
     // frame too large to broadcast would sort-merge the CORPUS gram table
     // by a_id (the semi keeps the guarantee structural, not AQE-dependent)
-    val aIds = cand.select(col("a_id").as("id")).distinct()
+    val aIds = c.select(col("a_id").as("id")).distinct()
     val gramsA = grams.join(aIds, Seq("id"), "left_semi")
       .select(col("id").as("a_id"), col("h"))
-    val out = cand
+    c.select("a_id", "b_id", "n_shared_fp")
       .join(gramsA, Seq("a_id"))
       .join(gramsB, Seq("b_id", "h"))
       .groupBy("a_id", "b_id", "n_shared_fp")
       .agg(count(lit(1)).as("n_shared_grams"))
-    (out, () => { freePairs(); free(candRdd) })
+  }
+
+  /** Shared schema guard for the FromPairs family: (a_id, b_id) present,
+    * optional renames applied (e.g. the [[substringDupPairs]] `n_shared`
+    * name to the extent stage's `n_shared_fp`). */
+  private def normalizedPairs(
+      cand: DataFrame, caller: String,
+      renames: Seq[(String, String)] = Nil): DataFrame = {
+    require(Seq("a_id", "b_id").forall(cand.columns.contains),
+      s"$caller needs a candidate pair frame with (a_id, b_id) — the " +
+        s"substringDupPairs schema; got (${cand.columns.mkString(", ")})")
+    renames.foldLeft(cand) { case (d, (from, to)) =>
+      if (d.columns.contains(from) && !d.columns.contains(to))
+        d.withColumnRenamed(from, to)
+      else d
+    }
   }
 
   /** Copied-span EXTENT DISTRIBUTION per candidate pair — the measurement
@@ -1272,23 +1317,36 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
       maxFingerprintDf: Int = 20): (DataFrame, () => Unit) = {
-    import org.apache.spark.sql.expressions.Window
     val (pairs, freePairs) = substringDupPairsManaged(df, idCol, textCol,
       k, w, minShared, maxFingerprintDf)
     val (cand, candRdd) = checkpointTracked(
       pairs.select("a_id", "b_id"), reliable = false)
+    (substringSpanLengthsFromPairs(df, cand, idCol, textCol, k),
+      () => { freePairs(); free(candRdd) })
+  }
+
+  /** [[substringSpanLengthsManaged]] over a PRE-COMPUTED candidate pair
+    * frame — the pairs-reuse entry point (contract, materialization
+    * requirement, and the one-pair-stage-many-consumers rationale:
+    * [[substringExtentFromPairs]]). Only (a_id, b_id) is consumed. */
+  def substringSpanLengthsFromPairs(
+      df: DataFrame, cand: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = normalizedPairs(cand, "substringSpanLengthsFromPairs")
+      .select("a_id", "b_id")
     // a-side distinct grams (coverage source), b-side POSITIONAL grams —
     // both semi-cut to candidate docs before any exchange
     val aGrams = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
       .select(col(idCol).as("a_id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
-      .join(cand.select("a_id").distinct(), Seq("a_id"), "left_semi")
+      .join(c.select("a_id").distinct(), Seq("a_id"), "left_semi")
     val bPos = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
-      .join(cand.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .join(c.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol).as("b_id"),
         posexplode(graft.plans.KgramHashes.grams(col(textCol), k)))
       .withColumnRenamed("col", "h")
-    val matched = cand.join(aGrams, Seq("a_id"))
+    val matched = c.join(aGrams, Seq("a_id"))
       .join(bPos, Seq("b_id", "h"))
       .select("a_id", "b_id", "pos").distinct()
     // islands pass 1: maximal runs of CONSECUTIVE matched positions
@@ -1315,7 +1373,7 @@ object Dedup {
       .groupBy("a_id", "b_id", "__span")
       .agg((max(col("ce")) - min(col("cs")) + lit(1)).cast("long").as("span_chars"))
       .select("a_id", "b_id", "span_chars")
-    (spans, () => { freePairs(); free(candRdd) })
+    spans
   }
 
   /** Copied-span REMOVAL — the payoff stage of exact-substring dedup
@@ -1368,18 +1426,35 @@ object Dedup {
       k, w, minShared, maxFingerprintDf)
     val (cand, candRdd) = checkpointTracked(
       pairs.select("a_id", "b_id"), reliable = false)
+    (stripCopiedSpansFromPairs(df, cand, idCol, textCol, k),
+      () => { freePairs(); free(candRdd) })
+  }
+
+  /** [[stripCopiedSpans]] over a PRE-COMPUTED candidate pair frame — the
+    * pairs-reuse entry point (contract, materialization requirement, and
+    * the one-pair-stage-many-consumers rationale:
+    * [[substringExtentFromPairs]]). Only (a_id, b_id) is consumed; strip
+    * semantics are [[stripCopiedSpans]]' verbatim (later side loses
+    * characters covered by any earlier partner's k-grams, everything else
+    * passes through byte-identical). */
+  def stripCopiedSpansFromPairs(
+      df: DataFrame, cand: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    require(!df.columns.contains("n_removed"),
+      "stripCopiedSpansFromPairs adds an n_removed column; the input already has one")
+    val c = normalizedPairs(cand, "stripCopiedSpansFromPairs")
+      .select("a_id", "b_id")
     // distinct grams of each EARLIER partner's original text, semi-cut to
     // partner docs before the pair fan-out, collapsed per later doc
     val aGrams = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
       .select(col(idCol).as("a_id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
-      .join(cand.select("a_id").distinct(), Seq("a_id"), "left_semi")
-    val ph = cand.join(aGrams, Seq("a_id"))
+      .join(c.select("a_id").distinct(), Seq("a_id"), "left_semi")
+    val ph = c.join(aGrams, Seq("a_id"))
       .groupBy("b_id").agg(collect_set(col("h")).as("__ph"))
       .select(col("b_id").as("__strip_id"), col("__ph"))
     val joined = df.join(ph, df(idCol) === ph("__strip_id"), "left")
-    (stripWithPartnerHashes(joined, textCol, k),
-      () => { freePairs(); free(candRdd) })
+    stripWithPartnerHashes(joined, textCol, k)
   }
 
   /** Shared tail of the strip family: a frame carrying `textCol` and the

@@ -561,6 +561,42 @@ class DedupSpec extends SparkSpec {
     assert(rows((2L, 3L)) == (1L, 24L, 24L), rows.toString)
   }
 
+  test("FromPairs overloads: one materialized pair frame reproduces every internal-pairs output exactly") {
+    val span1 = "QWERTYUIOPAS"
+    val span2 = "ZXCVBNMLKJHG"
+    val docs = Seq(
+      (1L, "aaaa bbbb." + span1 + ".cccc dddd." + span2 + ".eeee"),
+      (2L, "0000-1111-" + span1 + "_2222 3333-" + span2 + "_4444"),
+      (3L, "7777&" + span1 + span1 + "&8888"),
+      (4L, "unrelated filler text entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(docs, "doc_id", "text",
+      k = 4, w = 2, minShared = 2).localCheckpoint()
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // the pair frame carries `n_shared` (the substringDupPairs name);
+    // extent normalizes it to its own `n_shared_fp` output name
+    assert(sorted(Dedup.substringExtentFromPairs(docs, pairs, "doc_id", "text",
+        k = 4)) ==
+      sorted(Dedup.substringExtent(docs, "doc_id", "text",
+        k = 4, w = 2, minShared = 2)))
+    assert(sorted(Dedup.substringSpanLengthsFromPairs(docs, pairs, "doc_id",
+        "text", k = 4)) ==
+      sorted(Dedup.substringSpanLengths(docs, "doc_id", "text",
+        k = 4, w = 2, minShared = 2)))
+    assert(sorted(Dedup.stripCopiedSpansFromPairs(docs, pairs, "doc_id", "text",
+        k = 4)) ==
+      sorted(Dedup.stripCopiedSpans(docs, "doc_id", "text",
+        k = 4, w = 2, minShared = 2)))
+    // schema guards are loud: missing pair ids, missing shared-fp count
+    intercept[IllegalArgumentException](
+      Dedup.stripCopiedSpansFromPairs(docs,
+        pairs.select(col("a_id").as("x"), col("b_id")), "doc_id", "text"))
+    intercept[IllegalArgumentException](
+      Dedup.substringExtentFromPairs(docs,
+        pairs.select("a_id", "b_id"), "doc_id", "text"))
+  }
+
   test("substringDupPairs: null-id docs count toward the df cap (oracle dfreq semantics) but never pair") {
     val span = "QWERTYUIOPASDFGHJKLZ"
     val mk = (ctx: Char) => s"$ctx$ctx$ctx$ctx-$span-$ctx$ctx$ctx$ctx"
