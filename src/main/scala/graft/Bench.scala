@@ -42,6 +42,28 @@ object Bench {
     }
   }
 
+  /** Which visit to report for a flagged key, and whether the key stays
+    * suspect. The requeue visit is accepted only if its OWN sample vector
+    * is clean under both [[interfered]] triggers AND it improved the
+    * median: a rerun that is itself interfered proves nothing about the
+    * query's true cost, and blindly taking the lower median of two dirty
+    * visits biases honest-but-noisy keys downward (a query whose warm
+    * samples honestly degrade — heap/GC pressure in the long-lived bench
+    * JVM — or whose cold sample drafted on a predecessor's page-cached
+    * input trips a trigger without any host burst). Returns (samples to
+    * report, noisy): `noisy` is true when the original visit was flagged
+    * and no clean rerun exists — the reported median is the best
+    * available but round-over-round comparison should discount it. */
+  private[graft] def adjudicateRerun(
+      orig: Seq[Double], rerun: Option[Seq[Double]]): (Seq[Double], Boolean) = {
+    val best = rerun match {
+      case Some(ts2) if !interfered(ts2) && median(ts2) < median(orig) => ts2
+      case _ => orig
+    }
+    val noisy = interfered(orig) && !rerun.exists(ts2 => !interfered(ts2))
+    (best, noisy)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -163,32 +185,34 @@ object Bench {
       }.toMap
     val results = firstPass.map { case (name, ts, err, shuffle) =>
       val rerun = rerunByName.get(name)
-      val best = rerun match {
-        case Some(ts2) if median(ts2) < median(ts) => ts2
-        case _ => ts
-      }
-      (name, ts, rerun, best, err, shuffle)
+      val (best, noisy) = adjudicateRerun(ts, rerun)
+      (name, ts, rerun, best, err, shuffle, noisy)
     }
-    val qs = results.map { case (k, _, _, best, _, _) => s"\"" + k + "\":" + median(best) }
+    val qs = results.map { case (k, _, _, best, _, _, _) => s"\"" + k + "\":" + median(best) }
       .mkString("{", ",", "}")
-    val warmMins = results.map { case (k, ts, rerun, _, _, _) =>
+    val warmMins = results.map { case (k, ts, rerun, _, _, _, _) =>
       val all = ts ++ rerun.getOrElse(Nil)
       s"\"" + k + "\":" + warmMin(all)
     }.mkString("{", ",", "}")
-    val samples = results.map { case (k, ts, rerun, _, _, _) =>
+    val samples = results.map { case (k, ts, rerun, _, _, _, _) =>
       val all = ts ++ rerun.getOrElse(Nil)
       s"\"" + k + "\":" + all.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val reruns = results.collect { case (k, _, Some(_), _, _, _) => JsonStr.quote(k) }
+    val reruns = results.collect { case (k, _, Some(_), _, _, _, _) => JsonStr.quote(k) }
       .mkString("[", ",", "]")
-    val errs = results.collect { case (k, _, _, _, Some(m), _) =>
+    // keys whose every visit tripped an interference trigger: their
+    // reported median is the best available but still suspect — the
+    // round-over-round comparison should discount them
+    val noisyKeys = results.collect { case (k, _, _, _, _, _, true) => JsonStr.quote(k) }
+      .mkString("[", ",", "]")
+    val errs = results.collect { case (k, _, _, _, Some(m), _, _) =>
       s"${JsonStr.quote(k)}:${JsonStr.quote(m)}"
     }.mkString("{", ",", "}")
-    val shuffles = results.collect { case (k, _, _, _, None, sh) if sh >= 0 =>
+    val shuffles = results.collect { case (k, _, _, _, None, sh, _) if sh >= 0 =>
       s"\"" + k + "\":" + (sh / 1048576.0 * 100).round / 100.0
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, _, _, best, _, _) => median(best) }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_min":$warmMins,"shuffle_mb":$shuffles,"repeats":$repeats,"samples":$samples,"reruns":$reruns,"errors":$errs,"budget_exceeded":${elapsedSec > budgetSec},"sf":"$sfDir"}"""
+    val total = results.map { case (_, _, _, best, _, _, _) => median(best) }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_min":$warmMins,"shuffle_mb":$shuffles,"repeats":$repeats,"samples":$samples,"reruns":$reruns,"noisy":$noisyKeys,"errors":$errs,"budget_exceeded":${elapsedSec > budgetSec},"sf":"$sfDir"}"""
     // Stop Spark BEFORE emitting: its shutdown logs otherwise land after the
     // JSON line, and every driver-side BENCH_r*.json through round 8 came
     // back `parsed: null` because the line rode sbt's [info] prefix inside a
@@ -211,9 +235,25 @@ object Bench {
         .collect { case m if m.matches() => m.group(1).toInt }
         .toSeq
       finally listing.close() // Files.list holds a directory fd until closed
-      if (rounds.isEmpty) None
+      if (rounds.isEmpty) {
+        // a silent None here skips the committed BENCH_FULL history the
+        // round protocol depends on — make the skip visible at run time
+        // (full-suite run launched outside the repo root, or a first-ever
+        // round) instead of at the next round's comparison
+        System.err.println(
+          "[bench] WARNING: no BENCH_r*.json in cwd " +
+            s"(${java.nio.file.Paths.get(".").toAbsolutePath.normalize}) — " +
+            "skipping the round-stamped BENCH_FULL history file; run the " +
+            "full suite from the repo root to keep per-key history")
+        None
+      }
       else Some(f"BENCH_FULL_r${rounds.max + 1}%02d.json")
-    } catch { case _: Throwable => None }
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] WARNING: round-history inference failed (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}) — skipping the round-stamped BENCH_FULL history file")
+      None
+    }
     val outPaths = Seq(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"),
       "/tmp/bench.json") ++ roundStamped

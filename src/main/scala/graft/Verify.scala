@@ -17,13 +17,19 @@ object Verify {
     * RDD another thread still reads breaks its (truncated) lineage, so the
     * sweep sits strictly between chunks, where nothing is live.
     *
-    * OWNERSHIP CONTRACT: the sweep unpersists EVERY persistent RDD in the
-    * session, not just ones the dump created — callers must treat the
-    * session as exclusively dump's for the duration and must not hold
-    * cached tables or localCheckpointed frames across the call (a
-    * truncated lineage cannot recompute after unpersist; the next action
-    * on such a frame throws). Verify.main and the specs both satisfy
-    * this; a future caller sharing a live session must not. */
+    * The sweep is SCOPED to storage the dump itself created: the
+    * persistent-RDD registry is snapshotted at dump entry and each chunk
+    * barrier unpersists only ids that appeared since — a caller's
+    * pre-existing cached table or localCheckpointed frame survives the
+    * dump structurally (previously an ownership doc-contract; a caller
+    * holding a truncated-lineage localCheckpoint across dump() would have
+    * hit an unrecoverable failure on its next action). Diffing the global
+    * registry is safe HERE because the diff runs strictly at the barrier
+    * with nothing in flight; mid-query it would race lazy cache
+    * registration (see Dedup.checkpointTracked's capture-from-plan
+    * rationale). Queries launched DURING the dump by someone else are
+    * still outside the contract — the barrier cannot tell their new RDDs
+    * from the chunk's. */
   private[graft] def dump(
       spark: org.apache.spark.sql.SparkSession, sfDir: String, outDir: String,
       selected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
@@ -34,6 +40,11 @@ object Verify {
     // silently report one fewer query instead of a failure
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    // sweep scope: everything persisted before the dump belongs to the
+    // caller and must survive; everything that appears during it is
+    // dump-created leakage (registered queries never persist anything
+    // they expect to keep past their own write)
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     try {
       // Modest query-level parallelism: at sf0.01 most queries are
       // dominated by per-job scheduling latency, not CPU, so a few in
@@ -56,10 +67,13 @@ object Verify {
           })
         }
         tasks.foreach(_.get())
-        // chunk barrier: nothing in flight — sweep leaked checkpoint RDDs
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
+        // chunk barrier: nothing in flight — sweep checkpoint RDDs leaked
+        // SINCE dump entry only (the caller's storage survives; a global
+        // clearCache here would evict the caller's cached tables too)
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+          }
       }
     } finally pool.shutdown()
     errors

@@ -1094,12 +1094,13 @@ object Dedup {
     * consumers — measured warm 2.8 s → ~1.5 s at sf0.1.
     *
     * Numeric contract: the df count includes null-id fingerprint rows
-    * (the DuckDB oracle's dfreq CTE counts all rows; null ids are
-    * excluded from PAIRS, not from document frequency) — the aggregate
-    * counts nulls and lists only non-nulls. Multiple null-id docs
-    * sharing a fingerprint would each count where SQL DISTINCT collapses
-    * them — theoretical under [[winnowFingerprints]]' unique-id corpus
-    * contract (see [[graft.plans.CappedSortedList]]). */
+    * (the DuckDB oracle's dfreq CTE counts rows of a DISTINCT (id, h)
+    * projection; null ids are excluded from PAIRS, not from document
+    * frequency) — the aggregate counts a null AT MOST ONCE per hash
+    * (SQL DISTINCT treats NULLs as equal) and lists only non-nulls, so
+    * it matches the oracle even for a caller feeding duplicate null ids
+    * (see [[graft.plans.CappedSortedList]]). Non-null ids must be unique
+    * per document — the [[winnowFingerprints]] corpus contract. */
   def substringDupPairsManaged(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,

@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Concat, CreateArray, Expression, If, IsNull, Literal, Or, SortArray}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Concat, CreateArray, Expression, If, IsNull, Literal, Or, SortArray}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 
 /** Sorted per-group value list, CAPPED: counts every input row (nulls
   * included), but the moment the running count exceeds `cap` the list
@@ -21,18 +21,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * count aggregate + semi-join back re-shuffles the fingerprint table (a
   * second full exchange, measured ~1.2 s per winnowing key at sf0.1).
   *
-  * Count-vs-list semantics mirror the DuckDB oracle's `dfreq` CTE: the
-  * COUNT includes every row (null values too — a null-id fingerprint row
-  * still counts toward document frequency), while null values never
-  * enter the LIST (null ids cannot pair). One scoped divergence: TWO OR
-  * MORE null rows in a group each count here, where SQL `DISTINCT` would
-  * collapse equal-null rows to one — theoretical under the winnowing
-  * corpus contract (unique non-null ids; a single stray null matches
-  * exactly, spec-pinned). A declarative aggregate, so
-  * both partial and final stages stay expression-codegen'd; buffers are
-  * (long, array) — the planner picks sort-based aggregation for the
-  * array buffer, which is exactly as scale-safe (one exchange, spillable
-  * sort) and bounded per group by construction.
+  * Count-vs-list semantics mirror the DuckDB oracle's `dfreq` CTE
+  * (`count(*)` over a DISTINCT (id, h) projection): the COUNT includes a
+  * null-id fingerprint row — it still counts toward document frequency —
+  * while null values never enter the LIST (null ids cannot pair). Null
+  * rows count AT MOST ONCE per group (the buffer carries a hasNull flag
+  * and the count increments only on the first null, subtracting the
+  * double-count on a both-sides-null merge), because SQL `DISTINCT`
+  * treats NULLs as equal and collapses them to one row — so the
+  * aggregate now matches the oracle even on a caller that feeds
+  * duplicate null ids, not just under the winnowing corpus contract.
+  * A declarative aggregate, so both partial and final stages stay
+  * expression-codegen'd; buffers are (long, boolean, array) — the
+  * planner picks sort-based aggregation for the array buffer, which is
+  * exactly as scale-safe (one exchange, spillable sort) and bounded per
+  * group by construction.
   */
 case class CappedSortedList(child: Expression, cap: Int)
   extends DeclarativeAggregate
@@ -42,29 +45,43 @@ case class CappedSortedList(child: Expression, cap: Int)
 
   private lazy val arrType = ArrayType(child.dataType, containsNull = true)
   private lazy val cnt = AttributeReference("cnt", LongType, nullable = false)()
+  private lazy val hasNull =
+    AttributeReference("hasNull", BooleanType, nullable = false)()
   private lazy val ids = AttributeReference("ids", arrType, nullable = true)()
 
   private def emptyArr: Expression =
     Literal.create(new GenericArrayData(Array.empty[Any]), arrType)
   private def nullArr: Expression = Literal.create(null, arrType)
 
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(cnt, ids)
-  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L), emptyArr)
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(cnt, hasNull, ids)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(false), emptyArr)
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val newCnt = org.apache.spark.sql.catalyst.expressions.Add(cnt, Literal(1L))
+    // a null child increments only the FIRST time (SQL DISTINCT collapses
+    // equal-null rows to one); non-null children are unique by the caller
+    // contract and always count
+    val newCnt = org.apache.spark.sql.catalyst.expressions.Add(cnt,
+      If(And(IsNull(child), hasNull), Literal(0L), Literal(1L)))
     val appended = If(IsNull(child), ids, Concat(Seq(ids, CreateArray(Seq(child)))))
     Seq(
       newCnt,
+      Or(hasNull, IsNull(child)),
       If(Or(IsNull(ids),
         org.apache.spark.sql.catalyst.expressions.GreaterThan(newCnt, Literal(cap.toLong))),
         nullArr, appended))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
-    val newCnt = org.apache.spark.sql.catalyst.expressions.Add(cnt.left, cnt.right)
+    // both partial buffers having seen a null means the null was counted
+    // twice — subtract the duplicate
+    val newCnt = org.apache.spark.sql.catalyst.expressions.Subtract(
+      org.apache.spark.sql.catalyst.expressions.Add(cnt.left, cnt.right),
+      If(And(hasNull.left, hasNull.right), Literal(1L), Literal(0L)))
     Seq(
       newCnt,
+      Or(hasNull.left, hasNull.right),
       If(Or(Or(IsNull(ids.left), IsNull(ids.right)),
         org.apache.spark.sql.catalyst.expressions.GreaterThan(newCnt, Literal(cap.toLong))),
         nullArr, Concat(Seq(ids.left, ids.right))))

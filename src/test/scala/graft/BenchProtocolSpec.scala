@@ -42,4 +42,26 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.warmMin(Seq(3.0, 1.2, 1.5)) == 1.2)
     assert(Bench.warmMin(Seq(4.2)) == 4.2)
   }
+
+  test("requeue adjudication: only a CLEAN lower-median rerun replaces the visit; dirty ones mark noisy") {
+    val flagged = Seq(1.93, 11.50, 19.25) // r12 trigger-(b) shape, median 11.5
+    // clean, faster rerun: accepted, key no longer noisy
+    val clean = Seq(1.1, 0.85, 0.9)
+    assert(Bench.adjudicateRerun(flagged, Some(clean)) == ((clean, false)))
+    // rerun itself interfered (burst still running): keep the ORIGINAL
+    // median even though the rerun's is lower, and mark the key noisy —
+    // the lower of two dirty visits is not evidence
+    val dirty = Seq(0.9, 5.1, 2.0) // warm-min 2.0 > 2x cold 0.9 → trigger (b)
+    assert(Bench.interfered(dirty))
+    assert(Bench.adjudicateRerun(flagged, Some(dirty)) == ((flagged, true)))
+    // clean rerun that did NOT improve the median: keep the original
+    // samples, but the clean visit still clears the noisy mark
+    val cleanSlower = Seq(13.0, 12.0, 12.1)
+    assert(Bench.adjudicateRerun(flagged, Some(cleanSlower)) == ((flagged, false)))
+    // no rerun happened (budget exhausted): original reported, noisy
+    assert(Bench.adjudicateRerun(flagged, None) == ((flagged, true)))
+    // honest visit, no rerun: untouched, not noisy
+    val honest = Seq(3.1, 2.8, 2.9)
+    assert(Bench.adjudicateRerun(honest, None) == ((honest, false)))
+  }
 }

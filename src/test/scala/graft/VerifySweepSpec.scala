@@ -23,4 +23,35 @@ class VerifySweepSpec extends SparkSpec {
       assert(new java.io.File(s"$out/$k").exists(), s"missing output dir for $k")
     }
   }
+
+  test("a caller's pre-existing cached frame and localCheckpoint survive a dump (scoped sweep)") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val out = java.nio.file.Files.createTempDirectory("graft-verify-scope").toString
+    val cached = spark.range(100).toDF("n").cache()
+    assert(cached.count() == 100L)
+    // a localCheckpoint has TRUNCATED lineage: if the dump's sweep
+    // unpersisted it, the next action below would throw unrecoverably —
+    // exactly the blast-radius failure the scoped sweep removes
+    val checkpointed = spark.range(50).toDF("m").localCheckpoint()
+    assert(checkpointed.count() == 50L)
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
+    assert(pre.nonEmpty)
+    try {
+      val selected =
+        SparkEntry.queries.view.filterKeys(Set("dedup_substring")).toMap
+      val errors = Verify.dump(spark, sfDir, out, selected, par = 1)
+      assert(errors.isEmpty, s"queries failed: $errors")
+      // dump-created storage swept, caller-owned storage intact
+      assert(spark.sparkContext.getPersistentRDDs.keySet == pre,
+        s"sweep touched caller storage or leaked its own: " +
+          s"pre=$pre post=${spark.sparkContext.getPersistentRDDs.keySet}")
+      assert(cached.count() == 100L)
+      assert(checkpointed.count() == 50L)
+    } finally {
+      cached.unpersist(blocking = true)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+  }
 }

@@ -102,14 +102,18 @@ class WinnowMinimaSpec extends SparkSpec {
     assert(got(2).getSeq[String](0) == Seq.empty)
   }
 
-  test("CappedSortedList: sorted list ≤ cap, NULL beyond it, nulls counted but never listed, partition-merge safe") {
+  test("CappedSortedList: sorted list ≤ cap, NULL beyond it, nulls counted once, partition-merge safe") {
     import graft.plans.CappedSortedList.cappedSortedList
     // force multi-partition input so mergeExpressions is exercised
     val rows = Seq(
       ("a", Some(3L)), ("a", Some(1L)), ("a", Some(2L)),       // 3 ≤ cap
       ("b", Some(1L)), ("b", Some(2L)), ("b", Some(3L)), ("b", Some(4L)), // 4 > cap
       ("c", Some(9L)), ("c", None), ("c", Some(7L)),            // null COUNTS
-      ("d", None))                                               // only nulls
+      ("d", None),                                               // only nulls
+      // SQL-DISTINCT null semantics: three null rows collapse to ONE df
+      // count (they land in different partitions, so the merge-side
+      // double-count subtraction is exercised too): count 3 ≤ cap 3
+      ("e", Some(5L)), ("e", Some(6L)), ("e", None), ("e", None), ("e", None))
     val df = spark.createDataset(rows).repartition(4).toDF("h", "id")
     val got = df.groupBy("h").agg(cappedSortedList(col("id"), 3).as("ids"))
       .collect().map(r => r.getString(0) ->
@@ -119,6 +123,9 @@ class WinnowMinimaSpec extends SparkSpec {
     // cap 3, three rows (one null): count 3 ≤ cap, list holds the 2 non-nulls
     assert(got("c") == Seq(7L, 9L))
     assert(got("d") == Seq.empty)
+    // 2 non-null + 3 nulls-counted-once = 3 ≤ cap: survives with both ids
+    assert(got("e") == Seq(5L, 6L),
+      "duplicate nulls must count once (oracle DISTINCT collapse)")
   }
 
   test("codegen and interpreted paths agree (doGenCode static call vs nullSafeEval)") {
