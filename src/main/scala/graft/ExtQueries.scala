@@ -158,6 +158,16 @@ object ExtQueries {
       .select(col("doc_id").as("id"), col("text"), col("n_removed"))
       .orderBy("id")
 
+  /** The recall side of the winnowing tuning read: per window size w ∈
+    * {4, 8, 12} (k fixed at 16), the guaranteed detection floor w+k−1
+    * and the corpus pair/doc yield from one fingerprint pass each —
+    * [[substringSweep]] tunes precision (minShared), this shows what a
+    * chosen w can still SEE before a destructive strip commits to it. */
+  val substringFloorSweep: Q = (s, d) =>
+    Dedup.substringFloorSweep(t(s, d, "documents"), "doc_id", "text",
+      k = 16, ws = Seq(4, 8, 12), minShared = 3, maxFingerprintDf = 20)
+      .orderBy("w")
+
   /** The pairs-reuse composition (the shape a real threshold-picking
     * corpus run takes): ONE winnow+pair stage, its candidate frame
     * materialized once, then BOTH the extent verify and the span-extent
@@ -1273,6 +1283,7 @@ object ExtQueries {
     "spans_hist" -> spansHist,
     "substring_sweep" -> substringSweep,
     "substring_report" -> substringReport,
+    "substring_floor_sweep" -> substringFloorSweep,
     "blocking_quality" -> blockingQualityQ,
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
@@ -2149,6 +2160,62 @@ object ExtQueries {
         |SELECT CAST(len AS BIGINT) AS span_chars,
         |  CAST(count(*) AS BIGINT) AS n_spans
         |FROM spans GROUP BY len ORDER BY span_chars""".stripMargin,
+    // the winnowing selection unrolled once per swept w (the per-doc
+    // window frame and complete-window cut are the only w-dependent
+    // parts), each branch the dedup_substring pair CTEs, rolled up to
+    // (n_pairs, distinct paired docs) + the closed-form floor — all exact
+    "substring_floor_sweep" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16),
+        |h AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM g),
+        |win4 AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn FROM h),
+        |fpa AS (SELECT DISTINCT doc_id, mn AS h FROM win4
+        |        WHERE pos <= greatest(n - 4, 0)),
+        |dfa AS (SELECT h, count(*) AS d FROM fpa GROUP BY h),
+        |f4 AS (SELECT fpa.doc_id, fpa.h FROM fpa JOIN dfa USING (h) WHERE d <= 20),
+        |p4 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |       FROM f4 a JOIN f4 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2 HAVING count(*) >= 3),
+        |win8 AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
+        |fpb AS (SELECT DISTINCT doc_id, mn AS h FROM win8
+        |        WHERE pos <= greatest(n - 8, 0)),
+        |dfb AS (SELECT h, count(*) AS d FROM fpb GROUP BY h),
+        |f8 AS (SELECT fpb.doc_id, fpb.h FROM fpb JOIN dfb USING (h) WHERE d <= 20),
+        |p8 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |       FROM f8 a JOIN f8 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2 HAVING count(*) >= 3),
+        |win12 AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS mn FROM h),
+        |fpc AS (SELECT DISTINCT doc_id, mn AS h FROM win12
+        |        WHERE pos <= greatest(n - 12, 0)),
+        |dfc AS (SELECT h, count(*) AS d FROM fpc GROUP BY h),
+        |f12 AS (SELECT fpc.doc_id, fpc.h FROM fpc JOIN dfc USING (h) WHERE d <= 20),
+        |p12 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |        FROM f12 a JOIN f12 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT * FROM (
+        |  SELECT 16 AS k, 4 AS w, CAST(19 AS BIGINT) AS floor_chars,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p4) AS n_pairs,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT a_id AS id FROM p4 UNION SELECT b_id FROM p4)) AS n_docs_paired
+        |  UNION ALL
+        |  SELECT 16, 8, CAST(23 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p8),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT a_id AS id FROM p8 UNION SELECT b_id FROM p8))
+        |  UNION ALL
+        |  SELECT 16, 12, CAST(27 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p12),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT a_id AS id FROM p12 UNION SELECT b_id FROM p12)))
+        |ORDER BY w""".stripMargin,
     // the pairs-reuse composition: substring_extent's cand/extent CTEs and
     // substring_spans' islands chain over the SAME candidate set, joined
     // per pair — one pair derivation, two consumers, all exact BIGINTs

@@ -994,7 +994,18 @@ object Dedup {
     * hash in the differing context just before the span, so nothing from
     * the span is selected. Selection must be per WINDOW, not per
     * position.) Documents with fewer than `w` k-grams keep their single
-    * global-min fingerprint instead of vanishing. Returns per-document
+    * global-min fingerprint instead of vanishing.
+    *
+    * BELOW the w + k − 1 floor detection is probabilistic, decaying with
+    * the span's gram count s = L − k + 1 < w: the span contributes a
+    * SHARED fingerprint only if its minimal gram hash wins some complete
+    * window in BOTH documents, i.e. beats the w − s nearest context-gram
+    * hashes on each side — roughly s/w per document under uniform
+    * hashing, and the two documents' contexts are independent, so
+    * sub-floor recall falls off sharply (a 16-char span at k=16, w=8 is
+    * s=1: ~1/8 per side). [[substringFloorSweep]] measures the yield per
+    * (k, w) on the actual corpus; treat spans shorter than the floor as
+    * out of contract rather than tuning for them. Returns per-document
     * DISTINCT (id, h: md5 hex of the k-gram) — callers must feed unique
     * ids (every fixture/corpus contract here does); md5 (not xxhash64) so
     * the DuckDB oracle mirrors the selection byte-for-byte.
@@ -1131,6 +1142,48 @@ object Dedup {
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
     (out, () => ())
+  }
+
+  /** Detection-floor sweep for the winnowing k/w knob — the RECALL side
+    * of the tuning read ([[substringSweep]]'s minShared sweep tunes
+    * precision): for each window size `w`, one full winnow+pair pass and
+    * the corpus-level detection yield — the guaranteed floor `w + k − 1`
+    * (every copied span at least that long shares a fingerprint, the
+    * [[winnowFingerprints]] guarantee), the candidate pair count, and the
+    * number of distinct documents in any pair. Read before a destructive
+    * strip: a larger `w` samples fewer fingerprints (cheaper, higher
+    * floor — long-quote detection only), a smaller one pushes the
+    * guaranteed floor toward `k` at more fingerprints per doc. Spans
+    * BELOW the floor are only probabilistically detected — see
+    * [[winnowFingerprints]] — which is why the floor column, not the
+    * pair count alone, is the safety read.
+    *
+    * Returns one row per swept `w`: (k, w, floor_chars, n_pairs,
+    * n_docs_paired) — exact integers, full hash-match oracle.
+    *
+    * Scale shape: one independent fingerprint pass per swept `w` (the
+    * selection genuinely differs per w; nothing can be shared but the
+    * text scan), each pass the [[substringDupPairsManaged]]
+    * single-shuffle shape; the per-w rollup aggregates the (small) pair
+    * frame, checkpointed once because the pair count and the distinct-doc
+    * count are two consumers. */
+  def substringFloorSweep(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, ws: Seq[Int] = Seq(4, 8, 12), minShared: Int = 3,
+      maxFingerprintDf: Int = 20): DataFrame = {
+    require(ws.nonEmpty, "substringFloorSweep needs at least one window size")
+    require(ws.distinct == ws, s"duplicate window sizes: ${ws.mkString(", ")}")
+    ws.map { w =>
+      val pairs = substringDupPairs(df, idCol, textCol, k, w, minShared,
+        maxFingerprintDf).select("a_id", "b_id").localCheckpoint()
+      val docsPaired = pairs.select(col("a_id").as("id"))
+        .union(pairs.select(col("b_id").as("id"))).distinct()
+      pairs.agg(count(lit(1)).cast("long").as("n_pairs"))
+        .crossJoin(docsPaired.agg(count(lit(1)).cast("long").as("n_docs_paired")))
+        .select(lit(k).as("k"), lit(w).as("w"),
+          lit(w + k - 1).cast("long").as("floor_chars"),
+          col("n_pairs"), col("n_docs_paired"))
+    }.reduce(_.unionByName(_))
   }
 
   /** The VERIFY stage over [[substringDupPairs]] candidates: for each

@@ -561,6 +561,29 @@ class DedupSpec extends SparkSpec {
     assert(rows((2L, 3L)) == (1L, 24L, 24L), rows.toString)
   }
 
+  test("substringFloorSweep: per-w guaranteed floors; a span at least floor-long pairs at every swept w") {
+    val span = "QWERTYUIOPASDFGHJKLZXCV" // 23 chars, alphabet disjoint from fillers
+    val docs = Seq(
+      (1L, s"aaaa bbbb.$span.cccc dddd"),
+      (2L, s"0000-1111-$span-2222 3333"),
+      (3L, "entirely unrelated content right here"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.substringFloorSweep(docs, "doc_id", "text",
+      k = 8, ws = Seq(2, 4), minShared = 1, maxFingerprintDf = 10)
+      .collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // closed-form floors: w + k - 1
+    assert(rows(2)._1 == 9L && rows(4)._1 == 11L, rows.toString)
+    // the 23-char span is >= both floors: detection is GUARANTEED, and
+    // only docs 1/2 pair
+    assert(rows(2)._2 >= 1L && rows(4)._2 >= 1L, rows.toString)
+    assert(rows(2)._3 == 2L && rows(4)._3 == 2L, rows.toString)
+    intercept[IllegalArgumentException](
+      Dedup.substringFloorSweep(docs, "doc_id", "text", ws = Seq.empty))
+    intercept[IllegalArgumentException](
+      Dedup.substringFloorSweep(docs, "doc_id", "text", ws = Seq(4, 4)))
+  }
+
   test("FromPairs overloads: one materialized pair frame reproduces every internal-pairs output exactly") {
     val span1 = "QWERTYUIOPAS"
     val span2 = "ZXCVBNMLKJHG"
