@@ -358,6 +358,52 @@ object ExtQueries {
           .as("floor_met"))
   }
 
+  /** Incremental SemDeDup differential: even vec_ids play the STORED
+    * clustered corpus (centroids + hard cell assignments materialized
+    * once — the dedup_minhash_incr split convention), odd ids the
+    * arriving batch, soft-probing the stored centroids. Compared against
+    * the exact cross-boundary pair scan at the same threshold: blocked
+    * pairs are exact-verified (subset by construction) and recall
+    * carries the dedup_semantic SF-aware floor. Probing is ONE-SIDED
+    * here (the stored corpus is hard-assigned; only the batch probes),
+    * which is strictly weaker than the batch operator's both-sides-soft
+    * blocking — at this fixture's deliberately boundary-hard threshold
+    * (pairs AT cos 0.45, ~63°) the measured probe sweep was p=3: 0.75/
+    * 0.60/0.76, p=5: 0.75/1.0/0.94, p=6: 1.0/1.0/0.97 across
+    * sf0.001/0.01/0.1 — p=6 of k=8 holds the 0.9 floor everywhere;
+    * production SemDeDup thresholds (cos ≥ 0.9) need far fewer probes
+    * for the same recall. DuckDB recomputes n_exact independently and
+    * pins the flags. */
+  val dedupSemanticIncr: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    val centroids = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 1)
+    val assigned = Similarity.assignCell(corpus, "vec_id", "embedding", centroids)
+    val sem = Dedup.semanticPairsAgainst(batch, centroids, assigned,
+        "vec_id", "embedding", minCosine = 0.45, probeCells = 6)
+      .select(least(col("new_id"), col("corpus_id")).as("a_id"),
+        greatest(col("new_id"), col("corpus_id")).as("b_id"),
+        lit(1).as("in_sem"))
+    val exact = Dedup.cosinePairs(e, "vec_id", "embedding", minCosine = 0.45)
+      .filter(col("a_id") % 2 =!= col("b_id") % 2)
+      .select(col("a_id"), col("b_id"), lit(1).as("in_exact"))
+    exact.join(sem, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+        coalesce(sum(when(col("in_exact").isNotNull && col("in_sem").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_hits"),
+        coalesce(sum(when(col("in_exact").isNull, 1L).otherwise(0L)), lit(0L)).as("n_extra"))
+      .select(col("n_exact"),
+        when(col("n_extra") === 0, 1).otherwise(0).as("subset_ok"),
+        when(col("n_exact") >= 10,
+            when(col("n_hits") * 10 >= col("n_exact") * 9, 1).otherwise(0))
+          .otherwise(
+            when(col("n_hits") * 5 >= col("n_exact") * 4, 1).otherwise(0))
+          .as("floor_met"))
+  }
+
   /** Quality-first survivor selection over the same ngram-Jaccard cluster
     * graph as `dedup_resolve`: each duplicate cluster keeps its
     * longest member (`n_chars` max, ties → min doc_id) instead of the
@@ -1240,6 +1286,7 @@ object ExtQueries {
     "sample_fixed" -> sampleFixedQ,
     "quality_gate" -> qualityGate,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_incr" -> dedupSemanticIncr,
     "dedup_lines" -> dedupLinesQ,
     "score_unigram" -> scoreUnigram,
     "token_budget" -> tokenBudgetQ,
@@ -2899,6 +2946,19 @@ object ExtQueries {
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dotExpr AS cos
          |  FROM (SELECT vec_id, v FROM e) a(vec_id, v)
          |  JOIN (SELECT vec_id, v FROM e) b(vec_id, v) ON a.vec_id < b.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(1 AS INTEGER) AS subset_ok,
+         |  CAST(1 AS INTEGER) AS floor_met
+         |FROM p WHERE cos >= 0.45e0""".stripMargin,
+    // the cross-parity exact pair scan (even corpus vs odd batch) — the
+    // incremental operator's truth set; flags pinned as in dedup_semantic
+    "dedup_semantic_incr" ->
+      s"""WITH $unitCte,
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dotExpr AS cos
+         |  FROM (SELECT vec_id, v FROM e) a(vec_id, v)
+         |  JOIN (SELECT vec_id, v FROM e) b(vec_id, v)
+         |    ON a.vec_id < b.vec_id AND a.vec_id % 2 <> b.vec_id % 2)
          |SELECT CAST(count(*) AS BIGINT) AS n_exact,
          |  CAST(1 AS INTEGER) AS subset_ok,
          |  CAST(1 AS INTEGER) AS floor_met

@@ -855,6 +855,52 @@ object Dedup {
     keepClusterSurvivors(df, idCol,
       semanticPairs(df, idCol, vecCol, minCosine, k, lloydIters, probeCells))
 
+  /** Incremental SemDeDup: semantic near-dup pairs of a NEW batch against
+    * a STORED clustered corpus — the [[minhashCandidatesAgainst]] /
+    * [[substringDupPairsAgainst]] contract for the embedding family:
+    * arriving embeddings NEVER re-cluster or re-scan the corpus.
+    * `centroids` is a [[Similarity.kmeansCentroids]] dump (cell, cv) and
+    * `corpusAssigned` a [[Similarity.assignCell]] dump carrying (idCol,
+    * vecCol, cell) — both build-once/store/query-many tables materialized
+    * when the corpus was clustered. Batch rows are soft-assigned to their
+    * `probeCells` nearest stored centroids map-side (broadcast k-row
+    * table) and the exact dot product runs only against corpus rows in a
+    * probed cell; a pair is exact-verified, so precision is exact and
+    * only recall is approximate — a corpus neighbor whose (hard) cell the
+    * batch row does not probe is missed, the price of blocking (raise
+    * `probeCells` toward k to trade cost for recall). Pairs where the
+    * batch re-contains a corpus id are dropped (the `=!=` predicate,
+    * oracle-mirrored).
+    *
+    * Returns (new_id, corpus_id, cos). Scale shape: ONE equi-join keyed
+    * on the cell — batch fans out ×probeCells, the corpus side stays
+    * stored and hard-assigned (no fan-out); per-cell product is
+    * |batch∩cell| × |corpus cell|, the SemDeDup Σ|cell|² economics with
+    * the batch as one (small) side. */
+  def semanticPairsAgainst(
+      batch: DataFrame, centroids: DataFrame, corpusAssigned: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double,
+      probeCells: Int = 1): DataFrame = {
+    require(Seq("cell", "cv").forall(centroids.columns.contains),
+      s"centroids must carry (cell, cv) — the kmeansCentroids schema; " +
+        s"got (${centroids.columns.mkString(", ")})")
+    require(Seq(idCol, vecCol, "cell").forall(corpusAssigned.columns.contains),
+      s"corpusAssigned must carry ($idCol, $vecCol, cell) — the assignCell " +
+        s"dump schema; got (${corpusAssigned.columns.mkString(", ")})")
+    val b = Similarity.assignCells(batch, idCol, vecCol, centroids, probeCells)
+      .select(col(idCol).as("new_id"),
+        VectorFns.unitizeNative(col(vecCol)).as("__bv"), col("cell"))
+    val c = corpusAssigned.select(col(idCol).as("corpus_id"),
+      VectorFns.unitizeNative(col(vecCol)).as("__cv"), col("cell"))
+    b.join(c, Seq("cell"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .withColumn("cos", VectorFns.dotNative(col("__bv"), col("__cv")))
+      .filter(col("cos") >= minCosine)
+      // multi-probe emits a shared-cell pair once per probed cell; every
+      // copy carries the identical exact cos, so distinct dedups safely
+      .select("new_id", "corpus_id", "cos").distinct()
+  }
+
   /** Corpus-level LINE dedup (boilerplate removal): split every document
     * into segments on `sep`, compute each distinct segment's DOCUMENT
     * frequency across the whole corpus, strip segments appearing in more

@@ -561,6 +561,35 @@ class DedupSpec extends SparkSpec {
     assert(rows((2L, 3L)) == (1L, 24L, 24L), rows.toString)
   }
 
+  test("semanticPairsAgainst: cross-boundary only, exact-verified, id re-containment never pairs") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),
+      (20L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (11L, Array(0.98f, 0.2f, 0f, 0f)),  // near corpus 10, also near batch 13
+      (13L, Array(0.99f, 0.15f, 0f, 0f)), // near corpus 10, also near batch 11
+      (10L, Array(1f, 0f, 0f, 0f)),       // re-contains corpus id 10 verbatim
+      (15L, Array(0f, 0f, 1f, 0f)))       // near nothing stored
+      .toDF("vec_id", "embedding")
+    val centroids = graft.operators.Similarity.kmeansCentroids(
+      corpus, "vec_id", "embedding", k = 2, iters = 1)
+    val assigned = graft.operators.Similarity.assignCell(
+      corpus, "vec_id", "embedding", centroids)
+    val got = Dedup.semanticPairsAgainst(batch, centroids, assigned,
+        "vec_id", "embedding", minCosine = 0.9, probeCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-batch near-dup (11,13) is the BATCH operator's job, never
+    // emitted here; the re-contained id 10 never self-pairs despite cos 1;
+    // every emitted pair crosses the batch/corpus boundary
+    assert(got == Set((11L, 10L), (13L, 10L)), got.toString)
+    intercept[IllegalArgumentException](
+      Dedup.semanticPairsAgainst(batch, centroids.select("cell"), assigned,
+        "vec_id", "embedding", 0.9))
+    intercept[IllegalArgumentException](
+      Dedup.semanticPairsAgainst(batch, centroids, assigned.drop("cell"),
+        "vec_id", "embedding", 0.9))
+  }
+
   test("substringFloorSweep: per-w guaranteed floors; a span at least floor-long pairs at every swept w") {
     val span = "QWERTYUIOPASDFGHJKLZXCV" // 23 chars, alphabet disjoint from fillers
     val docs = Seq(
