@@ -688,6 +688,56 @@ object ExtQueries {
       .orderBy("keep_id")
   }
 
+  /** Fuzzy media near-dup differential (the dedup_simhash reference-free
+    * pattern — the CTPH signature IS the operator, so there is no SQL
+    * mirror): the media table is the documents payloads PLUS two planted
+    * populations the oracle can count independently — a RE-ENCODED twin
+    * per ≥200-char doc (container header + trailer wrapped around the
+    * same bytes, the duplication mode exact md5 [[MultiModal.mediaDedup]]
+    * provably misses) and a deterministic high-entropy junk payload per
+    * doc_id % 7 == 0 (md5-chain bytes, pairwise disjoint). Flags:
+    * every planted twin pairs with its base (recall_complete — CTPH
+    * shares all interior piece characters, so ≥200-char payloads give
+    * far more than minShared shared grams), and NO pair touches a junk
+    * payload (random_clean — disjoint bytes share no signature run).
+    * Base-corpus pairs among the real near-dup documents are expected
+    * and not constrained here. */
+  val mediaNearDupQ: Q = (s, d) => {
+    val docs = t(s, d, "documents").filter(col("text").isNotNull)
+    val base = docs.select(col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"))
+    val planted = docs.filter(length(col("text")) >= 200)
+      .select((col("doc_id") + 10000000L).as("media_id"),
+        concat(lit("RIFFHDRv2|"), col("text"), lit("|ENDTRAILER"))
+          .cast("binary").as("content"))
+    val junk = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000000L).as("media_id"),
+        concat((0 until 16).map(i =>
+          md5(concat(col("doc_id"), lit(s"-$i")))): _*)
+          .cast("binary").as("content"))
+    val media = base.unionByName(planted).unionByName(junk)
+    val cand = MultiModal.mediaNearDup(media, "media_id", "content",
+      blockSize = 8, gramLen = 7, minShared = 2, maxGramDf = 20)
+      .localCheckpoint()
+    val counts = docs.agg(
+      count(lit(1)).cast("long").as("n_base"),
+      coalesce(sum(when(length(col("text")) >= 200, 1L).otherwise(0L)), lit(0L))
+        .as("n_planted"),
+      coalesce(sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_random"))
+    val plantHits = cand
+      .filter(col("a_id") < lit(10000000L) &&
+        col("b_id") === col("a_id") + lit(10000000L))
+      .agg(count(lit(1)).cast("long").as("n_plant_hits"))
+    val junkPairs = cand.filter(col("b_id") >= lit(20000000L))
+      .agg(count(lit(1)).cast("long").as("n_junk_pairs"))
+    counts.crossJoin(plantHits).crossJoin(junkPairs)
+      .select(col("n_base"), col("n_planted"), col("n_random"),
+        when(col("n_plant_hits") === col("n_planted"), 1).otherwise(0)
+          .as("recall_complete"),
+        when(col("n_junk_pairs") === 0, 1).otherwise(0).as("random_clean"))
+  }
+
   /** The training-data pipeline showcase: language filter -> quality gate
     * -> exact dedup (keep min id per content hash) -> n-gram near-dup
     * CLUSTER resolution (connected components over candidate pairs, keep
@@ -1335,6 +1385,7 @@ object ExtQueries {
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
     "media_dedup" -> mediaDedupQ,
+    "media_neardup" -> mediaNearDupQ,
     "substring_extent" -> substringExtentQ,
     "ngram_novelty" -> ngramNoveltyQ,
     "dedup_embed" -> dedupEmbed,
@@ -2035,6 +2086,17 @@ object ExtQueries {
         |  CAST(min(strlen(text)) AS BIGINT) AS n_bytes
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // CTPH has no SQL mirror (the signature IS the operator): DuckDB
+    // recomputes the three population counts from the fixture and pins
+    // the planted-recall / junk-disjointness flags — see mediaNearDupQ
+    "media_neardup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_base,
+        |  CAST(count(*) FILTER (WHERE length(text) >= 200) AS BIGINT)
+        |    AS n_planted,
+        |  CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_random,
+        |  CAST(1 AS INTEGER) AS recall_complete,
+        |  CAST(1 AS INTEGER) AS random_clean
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // deflate has no SQL mirror: DuckDB pins the raw byte length (strlen =
     // octet count) and the bound flag; NULL text filtered on BOTH sides
     // (a NULL row would flag 0 on the Spark side, 1 here)

@@ -177,13 +177,117 @@ object MultiModal {
     * with the min id as keeper. Returns
     * (content_hash, keep_id, n_dups, n_bytes); NULL payloads drop
     * (nothing to hash). Scale shape: one groupBy shuffling 16-byte hashes
-    * — the payload bytes never cross the wire. Perceptual/near-dup media
-    * matching would slot in as another pair generator over the
-    * [[extractFeatures]] output (format/dimension blocking first). */
+    * — the payload bytes never cross the wire. For the re-encoded /
+    * re-wrapped / trimmed copies an exact hash provably misses, pair with
+    * [[mediaNearDup]] (CTPH locality-sensitive byte signatures). */
   def mediaDedup(df: DataFrame, idCol: String, binCol: String): DataFrame =
     graft.operators.Dedup.exactGroups(df, idCol, binCol,
       extraAggs = Seq(min(length(col(binCol))).cast("long").as("n_bytes")),
       dropNull = true)
+
+  /** Context-triggered piecewise hashing (CTPH — the public ssdeep/
+    * spamsum construction, Kornblum DFRWS'06, reimplemented): a 7-byte
+    * rolling hash walks the payload; whenever it hits a trigger value
+    * (`roll % blockSize == blockSize − 1`) the bytes since the previous
+    * trigger form a PIECE, and the piece's FNV-1a hash contributes one
+    * base64 character to the signature. Trigger positions depend only on
+    * the LOCAL 7-byte context, so two payloads sharing a long byte run
+    * produce the same piece boundaries and the same signature characters
+    * for that run regardless of what surrounds it — which is exactly what
+    * a whole-payload digest (md5) cannot give: a re-encoded, re-wrapped,
+    * or trimmed copy shares most signature characters while its md5
+    * shares nothing. Fixed `blockSize` (ssdeep adapts it per file and
+    * compares only equal-block-size signatures; a corpus operator needs
+    * corpus-comparable signatures, so the caller picks the size class —
+    * bucket payloads by magnitude and run per bucket at scale).
+    * Empty/NULL payloads signature to the empty string. */
+  object Ctph {
+    private val Alphabet =
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+
+    /** ssdeep's rolling window hash: three mixers over the last 7 bytes
+      * (sum, position-weighted sum, shift-xor), summed. Pure function of
+      * the window, which is the locality property everything rests on. */
+    private final class Roll {
+      private val win = new Array[Int](7)
+      private var h1, h2, h3 = 0
+      private var n = 0
+      def update(b: Int): Int = {
+        h2 -= h1
+        h2 += 7 * b
+        h1 += b
+        h1 -= win(n % 7)
+        win(n % 7) = b
+        n += 1
+        h3 = (h3 << 5) ^ b
+        h1 + h2 + h3
+      }
+    }
+
+    def signature(bytes: Array[Byte], blockSize: Int): String = {
+      require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+      if (bytes == null) return ""
+      val roll = new Roll
+      val sb = new java.lang.StringBuilder
+      var piece = 0x811c9dc5 // FNV-1a 32-bit offset basis
+      var inPiece = false
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        piece = (piece ^ b) * 0x01000193
+        inPiece = true
+        val r = roll.update(b)
+        if (java.lang.Integer.remainderUnsigned(r, blockSize) == blockSize - 1) {
+          sb.append(Alphabet.charAt(piece & 63))
+          piece = 0x811c9dc5
+          inPiece = false
+        }
+        i += 1
+      }
+      if (inPiece) sb.append(Alphabet.charAt(piece & 63))
+      sb.toString
+    }
+  }
+
+  /** CTPH signature column (sketch-wrapper UDF — the Bloom/CMS precedent:
+    * no built-in equivalent, and the per-row cost is the linear byte walk
+    * itself, not the UDF bridge). */
+  def ctphSignature(binCol: org.apache.spark.sql.Column, blockSize: Int): org.apache.spark.sql.Column = {
+    val f = udf((b: Array[Byte]) => Ctph.signature(b, blockSize))
+    f(binCol)
+  }
+
+  /** Fuzzy media near-duplicate candidates — the locality-sensitive
+    * byte-signature pairing [[mediaDedup]] (exact md5) cannot do: a
+    * re-encoded / re-wrapped / trimmed payload keeps most of its CTPH
+    * signature, so payloads sharing ≥ `minShared` distinct `gramLen`-char
+    * signature substrings pair as (a_id, b_id, n_shared), a_id < b_id.
+    * Payloads whose signature is shorter than `gramLen` (tiny or NULL
+    * payloads) cannot pair — too little structure to match fuzzily;
+    * [[mediaDedup]] still catches their exact copies.
+    *
+    * Built BY COMPOSITION on the winnowing pair stage: the signature is a
+    * string, and "share ≥ m distinct k-grams of a string" is exactly
+    * [[graft.operators.Dedup.substringDupPairs]] with w = 1 (every gram
+    * selected) — so this inherits the single-shuffle capped-aggregate
+    * pair plan, the `maxGramDf` fan-out cap (signature grams shared by
+    * more than that many payloads are boilerplate — e.g. runs of zero
+    * bytes — and only lower n_shared when dropped), and the exact-integer
+    * oracle discipline. Scale shape: signatures are computed map-side in
+    * one linear pass per payload (bytes never shuffle; the ~64-char
+    * signature does), then one exchange pairs them. Survivor pairs can be
+    * exact-verified downstream by joining payloads on the candidate frame
+    * (the [[graft.operators.Dedup.substringExtentFromPairs]] shape). */
+  def mediaNearDup(
+      df: DataFrame, idCol: String, binCol: String,
+      blockSize: Int = 8, gramLen: Int = 7, minShared: Int = 2,
+      maxGramDf: Int = 20): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    val sigs = df.select(col(idCol),
+      ctphSignature(col(binCol), blockSize).as("__sig"))
+    graft.operators.Dedup.substringDupPairs(sigs, idCol, "__sig",
+      k = gramLen, w = 1, minShared = minShared, maxFingerprintDf = maxGramDf)
+  }
 
   /** Build a Media dataset from any table with an id and a string payload —
     * used by tests and the fixture-backed verification query (text bytes

@@ -295,6 +295,45 @@ class TextEventsSpec extends SparkSpec {
       TextAnalysis.ngramNovelty(docs, "doc_id", "text", 0))
   }
 
+  test("mediaNearDup: CTPH pairs the re-encoding exact md5 misses; disjoint payloads stay apart; quadratic parity") {
+    val rng = new scala.util.Random(7)
+    def blob(n: Int) = Array.fill[Byte](n)(rng.nextInt(256).toByte)
+    val original = blob(400)
+    // container re-wrap: same bytes inside a new header/trailer — md5
+    // differs, CTPH shares every interior piece
+    val reencoded = "HDR99".getBytes ++ original ++ "TRAILER".getBytes
+    val unrelated = blob(400)
+    val tiny = blob(10)
+    val media = Seq((1L, original), (2L, reencoded), (3L, unrelated),
+      (4L, tiny), (5L, tiny.clone)).toDF("media_id", "content")
+    val got = MultiModal.mediaNearDup(media, "media_id", "content",
+      blockSize = 8, gramLen = 7, minShared = 2, maxGramDf = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the re-encoded pair and ONLY it: unrelated random payloads share no
+    // signature run, and tiny payloads (signature < gramLen) cannot pair
+    // fuzzily even as exact clones — mediaDedup's md5 catches those
+    assert(got == Set((1L, 2L)), got.toString)
+    assert(MultiModal.Ctph.signature(original, 8) ==
+      MultiModal.Ctph.signature(original.clone, 8))
+    assert(MultiModal.Ctph.signature(null, 8) == "")
+    assert(MultiModal.Ctph.signature(Array.empty[Byte], 8) == "")
+    // quadratic parity: with no effective df cap the banded pair plan must
+    // equal the brute-force shared-distinct-gram count over the same
+    // signatures — the dedup_simhash differential shape at unit scale
+    val sigs = media.select(col("media_id"),
+        MultiModal.ctphSignature(col("content"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(s: String) = s.sliding(7).filter(_.length == 7).toSet
+    val brute = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+      shared = grams(sa).intersect(grams(sb)).size if shared >= 2
+    } yield (a, b, shared.toLong)).toSet
+    val op = MultiModal.mediaNearDup(media, "media_id", "content",
+      blockSize = 8, gramLen = 7, minShared = 2, maxGramDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(op == brute, s"op=$op brute=$brute")
+  }
+
   test("mediaDedup: identical payloads collapse keeping the min id; NULL payloads drop; bytes never shuffle as keys") {
     val a = Array[Byte](1, 2, 3, 4)
     val media = Seq(
