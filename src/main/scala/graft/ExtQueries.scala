@@ -206,6 +206,16 @@ object ExtQueries {
         shingleN = 3, minJaccard = 0.5).select("a_id", "b_id"))
   }
 
+  /** The learned-tokenizer table: 8 BPE merges induced from the corpus's
+    * word-frequency table ([[TextAnalysis.bpeMerges]]) — exact merge
+    * sequence with pair counts, hash-matched against a DuckDB oracle
+    * that unrolls the same 8 iterations (sentinel-framed symbol strings,
+    * identical greedy replace semantics, identical (count desc, pair
+    * asc) tie-break). */
+  val bpeMergesQ: Q = (s, d) =>
+    TextAnalysis.bpeMerges(t(s, d, "documents"), "text", nMerges = 8)
+      .orderBy("rank")
+
   /** Lexical diversity by length bucket (pooled TTR, 20-token buckets). */
   val ttrCurveQ: Q = (s, d) =>
     TextAnalysis.ttrCurve(t(s, d, "documents"), "text", bucketTokens = 20)
@@ -1381,6 +1391,7 @@ object ExtQueries {
     "substring_sweep" -> substringSweep,
     "substring_report" -> substringReport,
     "substring_floor_sweep" -> substringFloorSweep,
+    "bpe_merges" -> bpeMergesQ,
     "blocking_quality" -> blockingQualityQ,
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
@@ -1461,6 +1472,51 @@ object ExtQueries {
 
   private val dotExpr =
     "list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))])"
+
+  /** The bpe_merges oracle, GENERATED: the same 8 BPE iterations the
+    * operator runs, unrolled as chained CTEs — per iteration the
+    * sentinel-framed symbol split, position-exploded adjacent pair
+    * counts, the (count desc, pair asc) argmax, and a greedy
+    * left-to-right `replace` merge apply (chr(1)/chr(2) mirror the
+    * operator's U+0001/U+0002 framing; DuckDB's replace and Spark's are
+    * both non-overlapping left-to-right, which IS the BPE merge rule).
+    * Generated rather than hand-written so the per-iteration SQL cannot
+    * drift between iterations. */
+  private val bpeOracleSql: String = {
+    val n = 8
+    val base =
+      """WITH w AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE word <> '' AND strpos(word, chr(1)) = 0
+        |    AND strpos(word, chr(2)) = 0
+        |  GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT freq, array_to_string(
+        |    [chr(1) || substr(word, CAST(i AS INTEGER), 1) || chr(2)
+        |     for i in generate_series(1, length(word))], '') AS seq FROM w)""".stripMargin
+    val iters = (1 to n).map { i =>
+      s""",
+         |x$i AS MATERIALIZED (SELECT freq,
+         |  string_split(substr(seq, 2, length(seq) - 2), chr(2) || chr(1)) AS syms
+         |  FROM s${i - 1}),
+         |p$i AS MATERIALIZED (SELECT freq, syms,
+         |  unnest(generate_series(1, len(syms) - 1)) AS i
+         |  FROM x$i WHERE len(syms) >= 2),
+         |pc$i AS MATERIALIZED (SELECT syms[i] AS l, syms[i + 1] AS r,
+         |  CAST(sum(freq) AS BIGINT) AS cnt FROM p$i GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT freq, replace(seq,
+         |  chr(1) || (SELECT l FROM m$i) || chr(2) || chr(1) || (SELECT r FROM m$i) || chr(2),
+         |  chr(1) || (SELECT l FROM m$i) || (SELECT r FROM m$i) || chr(2)) AS seq
+         |  FROM s${i - 1})""".stripMargin
+    }.mkString
+    val sel = (1 to n).map(i =>
+      s"SELECT $i AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"$base$iters\nSELECT * FROM (\n$sel)\nORDER BY rank"
+  }
 
   /** ngram-Jaccard pair edges → transitive closure, shared by the
     * dedup_resolve / dedup_survivor oracles (use inside WITH RECURSIVE). */
@@ -2086,6 +2142,7 @@ object ExtQueries {
         |  CAST(min(strlen(text)) AS BIGINT) AS n_bytes
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "bpe_merges" -> bpeOracleSql,
     // CTPH has no SQL mirror (the signature IS the operator): DuckDB
     // recomputes the three population counts from the fixture and pins
     // the planted-recall / junk-disjointness flags — see mediaNearDupQ

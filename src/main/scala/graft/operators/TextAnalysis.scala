@@ -795,4 +795,89 @@ object TextAnalysis {
       .withColumn("compression_ratio",
         when(col("n_bytes") > 0,
           col("deflate_bytes").cast("double") / col("n_bytes").cast("double")))
+
+  /** BPE merge-pair induction (Sennrich, Haddow & Birch, ACL 2016 — the
+    * word-type byte-pair-encoding vocabulary learner): starting from
+    * per-character symbols, repeat `nMerges` times: count every ADJACENT
+    * symbol pair across the word-frequency table (each occurrence within
+    * a word counts, weighted by the word's corpus frequency), merge the
+    * most frequent pair into one symbol everywhere (ties broken by the
+    * binary-lexicographic (left, right) pair — deterministic cross-engine),
+    * record it. The returned merge table (rank, left_sym, right_sym,
+    * pair_count) IS the learned tokenizer: applying the merges in rank
+    * order to new text reproduces the vocabulary — the pretraining-prep
+    * step the regex token counters ([[withTokenStats]]) stand in for.
+    * Stops early (fewer than `nMerges` rows) if no adjacent pair remains.
+    *
+    * Merge application is greedy left-to-right non-overlapping (a word
+    * "aaa" under merge (a,a) becomes [aa, a], never [a, aa]) — the
+    * reference semantics, realized identically by `replace` in both
+    * engines over a sentinel-framed symbol string (U+0001 sym U+0002 per
+    * symbol, so a merge pattern can never match across or inside symbol
+    * boundaries; words containing the sentinel codepoints are excluded,
+    * oracle-mirrored).
+    *
+    * Scale shape: the corpus collapses to the word-TYPE frequency table
+    * once (one shuffle, Zipf-bounded — types grow sublinearly in corpus
+    * size); each iteration is then one map-side pair explode over the
+    * vocab + one partial-aggregated (l, r) shuffle + a 1-row TakeOrdered
+    * to the driver, and the merge apply is a map-side string replace.
+    * The seq table re-checkpoints every `checkpointEvery` iterations so
+    * the replace chain's plan stays bounded. O(nMerges) rounds of
+    * vocab-sized work — the standard distributed BPE economics; the
+    * corpus text itself is scanned exactly once. */
+  def bpeMerges(
+      df: DataFrame, textCol: String, nMerges: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val spark = df.sparkSession
+    val S = "\u0001"
+    val E = "\u0002"
+    val words = df.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(S) && !col("word").contains(E))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var seqs = words.select(col("freq"),
+      concat_ws("", transform(sequence(lit(1), length(col("word"))),
+        i => concat(lit(S), col("word").substr(i, lit(1)), lit(E)))).as("seq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var iter = 1
+    var exhausted = false
+    while (iter <= nMerges && !exhausted) {
+      val syms = split(col("seq").substr(lit(2), length(col("seq")) - 2),
+        E + S)
+      // guard BEFORE sequence(1, size-1): Spark's sequence DESCENDS when
+      // start > stop, so an unguarded single-symbol word would fabricate
+      // a [1, 0] index pair instead of no pairs
+      val pairCounts = seqs.select(col("freq"), syms.as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairCounts.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((iter, l, r, cnt))
+        val next = seqs.select(col("freq"),
+          replace(col("seq"), lit(S + l + E + S + r + E), lit(S + l + r + E))
+            .as("seq"))
+        seqs = if (iter % checkpointEvery == 0) next.localCheckpoint() else next
+      }
+      iter += 1
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "left_sym", "right_sym", "pair_count")
+      .select(col("rank").cast("int").as("rank"),
+        col("left_sym"), col("right_sym"), col("pair_count"))
+  }
 }

@@ -295,6 +295,30 @@ class TextEventsSpec extends SparkSpec {
       TextAnalysis.ngramNovelty(docs, "doc_id", "text", 0))
   }
 
+  test("bpeMerges: hand-computed merge sequence, greedy overlap, lexicographic tie-break, early exhaustion") {
+    // word freqs ab:3, abc:2 → iter1 (a,b)=3+2=5 beats (b,c)=2; after the
+    // merge only (ab,c)=2 remains; iter3 has no pairs left, so nMerges=5
+    // stops early with 2 rows
+    val docs = Seq("ab ab abc", "ab abc").toDF("text")
+    val got = TextAnalysis.bpeMerges(docs, "text", nMerges = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "b", 5L), (2, "ab", "c", 2L)), got.toString)
+    // greedy left-to-right non-overlap: "aaa" counts TWO (a,a) positions
+    // but the merge consumes the left pair, leaving [aa, a] → (aa, a)=1
+    val tri = Seq("aaa").toDF("text")
+    val g2 = TextAnalysis.bpeMerges(tri, "text", nMerges = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(g2 == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)), g2.toString)
+    // equal counts break on the binary-lexicographic (left, right) pair
+    val ties = Seq("xy yz").toDF("text")
+    val g3 = TextAnalysis.bpeMerges(ties, "text", nMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(g3 == Seq(("x", "y", 1L)), g3.toString)
+    intercept[IllegalArgumentException](TextAnalysis.bpeMerges(docs, "text", 0))
+  }
+
   test("mediaNearDup: CTPH pairs the re-encoding exact md5 misses; disjoint payloads stay apart; quadratic parity") {
     val rng = new scala.util.Random(7)
     def blob(n: Int) = Array.fill[Byte](n)(rng.nextInt(256).toByte)
