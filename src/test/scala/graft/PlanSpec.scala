@@ -352,6 +352,57 @@ class PlanSpec extends SparkSpec {
       l.contains("Window") && l.contains("partitionBy=[]")), s"global window:\n$p")
   }
 
+  test("substring_report: one pair stage feeds both consumers — equi-joins only, pair-scoped windows") {
+    val p = plan("substring_report")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the span side's islands windows stay pair-partitioned
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")), s"global window:\n$p")
+  }
+
+  test("substring_floor_sweep: every per-w branch pairs via the hash equi-join, never a cross product") {
+    val p = plan("substring_floor_sweep")
+    // the per-w pair stages live BEHIND the internal checkpoint (the plan
+    // reads their materialized frames as Scan ExistingRDD — the pair plan
+    // itself is pinned by the dedup_substring test); what this guards is
+    // the rollup: 1-row aggregate combines may nested-loop (count × count
+    // per w, bounded), but nothing may cartesian over data-sized frames
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("media_neardup operator: CTPH pairing is the banded equi-join plan (payload bytes never cross-joined)") {
+    covers("media_neardup")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("media_id"),
+        org.apache.spark.sql.functions.col("text").cast("binary").as("content"))
+    val p = graft.operators.MultiModal.mediaNearDup(docs, "media_id", "content")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("graft_capped_sorted_list"), p)
+  }
+
+  test("dedup_semantic_incr operator: batch-vs-stored pairing is cell-keyed equi, never a corpus product") {
+    covers("dedup_semantic_incr")
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val centroids = graft.operators.Similarity.kmeansCentroids(
+      corpus, "vec_id", "embedding", k = 4, iters = 1)
+    val assigned = graft.operators.Similarity.assignCell(
+      corpus, "vec_id", "embedding", centroids)
+    val p = graft.operators.Dedup.semanticPairsAgainst(
+        e.filter(col("vec_id") % 2 === 1), centroids, assigned,
+        "vec_id", "embedding", minCosine = 0.45, probeCells = 2)
+      .queryExecution.executedPlan.toString
+    // the probe assignment broadcasts the k-row centroid table (a bounded
+    // nested-loop against k rows is the design); the batch-vs-corpus join
+    // itself must be the cell-keyed equi join, never CartesianProduct
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cell"), p)
+  }
+
   // Registered LAST: AnyFunSuite runs tests in registration order, so every
   // plan()/covers() call above has recorded by the time this executes.
   test("census: plan-assertion coverage holds its floor and names only real registry keys") {
@@ -359,10 +410,12 @@ class PlanSpec extends SparkSpec {
     assert(ghosts.isEmpty,
       s"plan tests cover keys missing from the registry: ${ghosts.toSeq.sorted.mkString(", ")}")
     // floor = the census at the time this guard landed (39 of 175 keys,
-    // round 12; 43 with the round-14 winnowing-family keys (strip/spans/incr/pretrain) in
-    // 14). Raising it is cheap when new plan tests land; lowering it
-    // means plan coverage regressed — do that consciously, in review.
-    val floor = 43
+    // round 12; 43 with the round-14 winnowing-family keys; 47 with the
+    // round-15 additions (substring_report, substring_floor_sweep,
+    // media_neardup, dedup_semantic_incr)). Raising it is cheap when new
+    // plan tests land; lowering it means plan coverage regressed — do
+    // that consciously, in review.
+    val floor = 47
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")
