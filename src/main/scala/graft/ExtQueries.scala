@@ -216,6 +216,13 @@ object ExtQueries {
     TextAnalysis.bpeMerges(t(s, d, "documents"), "text", nMerges = 8)
       .orderBy("rank")
 
+  /** Tokenizer apply: the 8 learned merges applied back to the corpus —
+    * per-doc whitespace word count and post-merge BPE token count, exact
+    * integers against an oracle sharing bpe_merges' derivation CTEs. */
+  val bpeEncodeQ: Q = (s, d) =>
+    TextAnalysis.bpeEncode(t(s, d, "documents"), "doc_id", "text", nMerges = 8)
+      .orderBy("doc_id")
+
   /** Lexical diversity by length bucket (pooled TTR, 20-token buckets). */
   val ttrCurveQ: Q = (s, d) =>
     TextAnalysis.ttrCurve(t(s, d, "documents"), "text", bucketTokens = 20)
@@ -712,7 +719,12 @@ object ExtQueries {
     * payload (random_clean — disjoint bytes share no signature run).
     * Base-corpus pairs among the real near-dup documents are expected
     * and not constrained here. */
-  val mediaNearDupQ: Q = (s, d) => {
+  /** Shared planted-population builder for the two CTPH differentials:
+    * (docs, base payloads, re-encoded twins at +10M, disjoint junk at
+    * +20M) — populations the oracle can count independently from the
+    * fixture. */
+  private def mediaPopulations(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = t(s, d, "documents").filter(col("text").isNotNull)
     val base = docs.select(col("doc_id").as("media_id"),
       col("text").cast("binary").as("content"))
@@ -725,6 +737,11 @@ object ExtQueries {
         concat((0 until 16).map(i =>
           md5(concat(col("doc_id"), lit(s"-$i")))): _*)
           .cast("binary").as("content"))
+    (docs, base, planted, junk)
+  }
+
+  val mediaNearDupQ: Q = (s, d) => {
+    val (docs, base, planted, junk) = mediaPopulations(s, d)
     val media = base.unionByName(planted).unionByName(junk)
     val cand = MultiModal.mediaNearDup(media, "media_id", "content",
       blockSize = 8, gramLen = 7, minShared = 2, maxGramDf = 20)
@@ -743,6 +760,38 @@ object ExtQueries {
       .agg(count(lit(1)).cast("long").as("n_junk_pairs"))
     counts.crossJoin(plantHits).crossJoin(junkPairs)
       .select(col("n_base"), col("n_planted"), col("n_random"),
+        when(col("n_plant_hits") === col("n_planted"), 1).otherwise(0)
+          .as("recall_complete"),
+        when(col("n_junk_pairs") === 0, 1).otherwise(0).as("random_clean"))
+  }
+
+  /** Incremental CTPH differential: the base payloads become the STORED
+    * signature-gram index ([[MultiModal.mediaSignatureIndex]], built
+    * once); the re-encoded twins and the junk payloads ARRIVE as a batch
+    * and pair against the index only ([[MultiModal.mediaNearDupAgainst]])
+    * — every twin must find exactly its base in the store
+    * (recall_complete) and junk must find nothing (random_clean), with
+    * the populations recounted independently by DuckDB. */
+  val mediaNearDupIncrQ: Q = (s, d) => {
+    val (docs, base, planted, junk) = mediaPopulations(s, d)
+    val index = MultiModal.mediaSignatureIndex(base, "media_id", "content",
+      blockSize = 8, gramLen = 7, maxGramDf = 20)
+    val cand = MultiModal.mediaNearDupAgainst(
+      planted.unionByName(junk), index, "media_id", "content",
+      blockSize = 8, gramLen = 7, minShared = 2).localCheckpoint()
+    val counts = docs.agg(
+      coalesce(sum(when(length(col("text")) >= 200, 1L).otherwise(0L)), lit(0L))
+        .as("n_planted"),
+      coalesce(sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_random"))
+    val plantHits = cand
+      .filter(col("new_id") < lit(20000000L) &&
+        col("corpus_id") === col("new_id") - lit(10000000L))
+      .agg(count(lit(1)).cast("long").as("n_plant_hits"))
+    val junkPairs = cand.filter(col("new_id") >= lit(20000000L))
+      .agg(count(lit(1)).cast("long").as("n_junk_pairs"))
+    counts.crossJoin(plantHits).crossJoin(junkPairs)
+      .select(col("n_planted"), col("n_random"),
         when(col("n_plant_hits") === col("n_planted"), 1).otherwise(0)
           .as("recall_complete"),
         when(col("n_junk_pairs") === 0, 1).otherwise(0).as("random_clean"))
@@ -1392,11 +1441,13 @@ object ExtQueries {
     "substring_report" -> substringReport,
     "substring_floor_sweep" -> substringFloorSweep,
     "bpe_merges" -> bpeMergesQ,
+    "bpe_encode" -> bpeEncodeQ,
     "blocking_quality" -> blockingQualityQ,
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
     "media_dedup" -> mediaDedupQ,
     "media_neardup" -> mediaNearDupQ,
+    "media_neardup_incr" -> mediaNearDupIncrQ,
     "substring_extent" -> substringExtentQ,
     "ngram_novelty" -> ngramNoveltyQ,
     "dedup_embed" -> dedupEmbed,
@@ -1473,17 +1524,17 @@ object ExtQueries {
   private val dotExpr =
     "list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))])"
 
-  /** The bpe_merges oracle, GENERATED: the same 8 BPE iterations the
-    * operator runs, unrolled as chained CTEs — per iteration the
-    * sentinel-framed symbol split, position-exploded adjacent pair
-    * counts, the (count desc, pair asc) argmax, and a greedy
-    * left-to-right `replace` merge apply (chr(1)/chr(2) mirror the
-    * operator's U+0001/U+0002 framing; DuckDB's replace and Spark's are
-    * both non-overlapping left-to-right, which IS the BPE merge rule).
-    * Generated rather than hand-written so the per-iteration SQL cannot
-    * drift between iterations. */
-  private val bpeOracleSql: String = {
-    val n = 8
+  /** The bpe oracles, GENERATED: the same 8 BPE iterations the operator
+    * runs, unrolled as chained MATERIALIZED CTEs (DuckDB inlines plain
+    * CTEs — the chain re-referenced would re-evaluate exponentially) —
+    * per iteration the sentinel-framed symbol split, position-exploded
+    * adjacent pair counts, the (count desc, pair asc) argmax, and a
+    * greedy left-to-right `replace` merge apply (chr(1)/chr(2) mirror
+    * the operator's U+0001/U+0002 framing; DuckDB's replace and Spark's
+    * are both non-overlapping left-to-right, which IS the BPE merge
+    * rule). One generator feeds BOTH the bpe_merges and bpe_encode
+    * oracles so the per-iteration SQL cannot drift. */
+  private def bpeCtes(n: Int): String = {
     val base =
       """WITH w AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -1493,7 +1544,7 @@ object ExtQueries {
         |    AND strpos(word, chr(2)) = 0
         |  GROUP BY word),
         |s0 AS MATERIALIZED (
-        |  SELECT freq, array_to_string(
+        |  SELECT word, freq, array_to_string(
         |    [chr(1) || substr(word, CAST(i AS INTEGER), 1) || chr(2)
         |     for i in generate_series(1, length(word))], '') AS seq FROM w)""".stripMargin
     val iters = (1 to n).map { i =>
@@ -1507,15 +1558,38 @@ object ExtQueries {
          |pc$i AS MATERIALIZED (SELECT syms[i] AS l, syms[i + 1] AS r,
          |  CAST(sum(freq) AS BIGINT) AS cnt FROM p$i GROUP BY 1, 2),
          |m$i AS MATERIALIZED (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |s$i AS MATERIALIZED (SELECT freq, replace(seq,
+         |s$i AS MATERIALIZED (SELECT word, freq, replace(seq,
          |  chr(1) || (SELECT l FROM m$i) || chr(2) || chr(1) || (SELECT r FROM m$i) || chr(2),
          |  chr(1) || (SELECT l FROM m$i) || (SELECT r FROM m$i) || chr(2)) AS seq
          |  FROM s${i - 1})""".stripMargin
     }.mkString
+    base + iters
+  }
+
+  private val bpeOracleSql: String = {
+    val n = 8
     val sel = (1 to n).map(i =>
       s"SELECT $i AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$i")
       .mkString("\nUNION ALL\n")
-    s"$base$iters\nSELECT * FROM (\n$sel)\nORDER BY rank"
+    s"${bpeCtes(n)}\nSELECT * FROM (\n$sel)\nORDER BY rank"
+  }
+
+  private val bpeEncodeOracleSql: String = {
+    val n = 8
+    bpeCtes(n) +
+      s""",
+         |tok AS MATERIALIZED (SELECT word,
+         |  len(string_split(substr(seq, 2, length(seq) - 2), chr(2) || chr(1)))
+         |    AS n_sym FROM s$n),
+         |dw AS MATERIALIZED (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE word <> '' AND strpos(word, chr(1)) = 0
+         |    AND strpos(word, chr(2)) = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_tokens
+         |FROM dw JOIN tok USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** ngram-Jaccard pair edges → transitive closure, shared by the
@@ -2143,6 +2217,16 @@ object ExtQueries {
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "bpe_merges" -> bpeOracleSql,
+    "bpe_encode" -> bpeEncodeOracleSql,
+    // incremental CTPH: same fixture-recount + pinned flags as
+    // media_neardup, batch-vs-stored-index populations — see mediaNearDupIncrQ
+    "media_neardup_incr" ->
+      """SELECT CAST(count(*) FILTER (WHERE length(text) >= 200) AS BIGINT)
+        |    AS n_planted,
+        |  CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_random,
+        |  CAST(1 AS INTEGER) AS recall_complete,
+        |  CAST(1 AS INTEGER) AS random_clean
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // CTPH has no SQL mirror (the signature IS the operator): DuckDB
     // recomputes the three population counts from the fixture and pins
     // the planted-recall / junk-disjointness flags — see mediaNearDupQ

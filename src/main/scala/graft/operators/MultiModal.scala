@@ -289,6 +289,43 @@ object MultiModal {
       k = gramLen, w = 1, minShared = minShared, maxFingerprintDf = maxGramDf)
   }
 
+  /** Build-once CTPH signature-gram index over a stored media corpus —
+    * the [[graft.operators.Dedup.capFingerprintIndex]] contract for the
+    * media family: signatures are computed map-side in one pass over the
+    * payloads, exploded to distinct (id, gram-hash) rows, and df-capped at
+    * BUILD time (grams present in more than `maxGramDf` payloads are
+    * boilerplate — zero-byte runs, shared container padding — and would
+    * fan the candidate join). Materialize this once and query many via
+    * [[mediaNearDupAgainst]]; arriving batches never re-hash the corpus. */
+  def mediaSignatureIndex(
+      df: DataFrame, idCol: String, binCol: String,
+      blockSize: Int = 8, gramLen: Int = 7, maxGramDf: Int = 20): DataFrame = {
+    val sigs = df.select(col(idCol),
+      ctphSignature(col(binCol), blockSize).as("__sig"))
+    graft.operators.Dedup.capFingerprintIndex(
+      graft.operators.Dedup.winnowFingerprints(sigs, idCol, "__sig",
+        k = gramLen, w = 1),
+      maxGramDf)
+  }
+
+  /** Incremental [[mediaNearDup]]: fuzzy near-dup candidates of a NEW
+    * media batch against a STORED signature-gram index
+    * ([[mediaSignatureIndex]]) — (new_id, corpus_id, n_shared). The batch
+    * is signed map-side and the candidate join is hash-keyed against the
+    * capped index ([[graft.operators.Dedup.substringDupPairsAgainst]]
+    * with the signature as the text and w = 1); the stored corpus is
+    * never re-signed or re-scanned. Build/sign parameters must match the
+    * index's (`blockSize`, `gramLen`) or candidates are silently empty —
+    * the signature spaces don't intersect. */
+  def mediaNearDupAgainst(
+      batch: DataFrame, cappedIndex: DataFrame, idCol: String, binCol: String,
+      blockSize: Int = 8, gramLen: Int = 7, minShared: Int = 2): DataFrame = {
+    val sigs = batch.select(col(idCol),
+      ctphSignature(col(binCol), blockSize).as("__sig"))
+    graft.operators.Dedup.substringDupPairsAgainst(sigs, cappedIndex,
+      idCol, "__sig", k = gramLen, w = 1, minShared = minShared)
+  }
+
   /** Build a Media dataset from any table with an id and a string payload —
     * used by tests and the fixture-backed verification query (text bytes
     * stand in for image bytes; the plumbing is identical). */

@@ -829,18 +829,68 @@ object TextAnalysis {
   def bpeMerges(
       df: DataFrame, textCol: String, nMerges: Int,
       checkpointEvery: Int = 4): DataFrame = {
+    val (merges, _) = bpeLoop(df, textCol, nMerges, checkpointEvery)
+    import df.sparkSession.implicits._
+    merges.toDF("rank", "left_sym", "right_sym", "pair_count")
+      .select(col("rank").cast("int").as("rank"),
+        col("left_sym"), col("right_sym"), col("pair_count"))
+  }
+
+  /** Tokenizer APPLY — [[bpeMerges]]' payoff stage: learn `nMerges` BPE
+    * merges from the corpus, apply them, and report per document the
+    * whitespace word count and the resulting BPE token (symbol) count —
+    * the real token accounting a pretraining budget reads (whitespace
+    * counts over-estimate tokens for rare words the merges never fuse;
+    * [[withTokenStats]]' `n_bpeish` regex is the stand-in this replaces).
+    * Documents with no countable word (NULL/empty text; sentinel-bearing
+    * words are excluded by the [[bpeMerges]] contract) emit no row.
+    * Exact integers; the hash-match oracle shares the merge-derivation
+    * CTEs with bpe_merges' oracle.
+    *
+    * Scale shape: the merge loop is [[bpeMerges]]' (vocab-sized rounds);
+    * the apply is ONE equi-join of the corpus's (doc, word) pairs against
+    * the |vocab|-row symbol-count table (AQE broadcasts it when small)
+    * and one partial-aggregated per-doc rollup — the corpus text is
+    * never rescanned per merge. */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String, nMerges: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    val (_, seqs) = bpeLoop(df, textCol, nMerges, checkpointEvery)
+    val tok = seqs.select(col("word"),
+      size(split(col("seq").substr(lit(2), length(col("seq")) - 2), SymE + SymS))
+        .cast("long").as("__nsym"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(SymS) && !col("word").contains(SymE))
+      .join(tok, Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("__nsym")).as("n_tokens"))
+  }
+
+  private val SymS = "\u0001"
+  private val SymE = "\u0002"
+
+  /** The shared BPE induction loop: word-frequency table → sentinel-framed
+    * symbol strings → `nMerges` rounds of (pair count, argmax, greedy
+    * replace). Returns the merge sequence and the post-merge vocab frame
+    * (word, freq, seq) — [[bpeMerges]] reports the former, [[bpeEncode]]
+    * consumes the latter. Semantics and scale shape: [[bpeMerges]]. */
+  private def bpeLoop(
+      df: DataFrame, textCol: String, nMerges: Int, checkpointEvery: Int):
+      (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val spark = df.sparkSession
-    val S = "\u0001"
-    val E = "\u0002"
+    val S = SymS
+    val E = SymE
     val words = df.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "" &&
         !col("word").contains(S) && !col("word").contains(E))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var seqs = words.select(col("freq"),
+    var seqs = words.select(col("word"), col("freq"),
       concat_ws("", transform(sequence(lit(1), length(col("word"))),
         i => concat(lit(S), col("word").substr(i, lit(1)), lit(E)))).as("seq"))
       .localCheckpoint()
@@ -868,16 +918,13 @@ object TextAnalysis {
         val (l, r, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((iter, l, r, cnt))
-        val next = seqs.select(col("freq"),
+        val next = seqs.select(col("word"), col("freq"),
           replace(col("seq"), lit(S + l + E + S + r + E), lit(S + l + r + E))
             .as("seq"))
         seqs = if (iter % checkpointEvery == 0) next.localCheckpoint() else next
       }
       iter += 1
     }
-    import spark.implicits._
-    merges.result().toDF("rank", "left_sym", "right_sym", "pair_count")
-      .select(col("rank").cast("int").as("rank"),
-        col("left_sym"), col("right_sym"), col("pair_count"))
+    (merges.result(), seqs)
   }
 }

@@ -319,6 +319,37 @@ class TextEventsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextAnalysis.bpeMerges(docs, "text", 0))
   }
 
+  test("bpeEncode: per-doc token counts under the learned merges, hand-computed") {
+    // merges after nMerges=1: (a,b) only → "ab" tokenizes to [ab] (1),
+    // "abc" to [ab, c] (2)
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab abc")).toDF("doc_id", "text")
+    val one = TextAnalysis.bpeEncode(docs, "doc_id", "text", nMerges = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(one == Map(1L -> (3L, 4L), 2L -> (2L, 3L)), one.toString)
+    // with both merges applied every word is ONE token
+    val two = TextAnalysis.bpeEncode(docs, "doc_id", "text", nMerges = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(two == Map(1L -> (3L, 3L), 2L -> (2L, 2L)), two.toString)
+  }
+
+  test("mediaNearDupAgainst: batch twins hit only their stored base; junk arrivals hit nothing") {
+    val rng = new scala.util.Random(11)
+    def blob(n: Int) = Array.fill[Byte](n)(rng.nextInt(256).toByte)
+    val original = blob(400)
+    val corpus = Seq((1L, original), (3L, blob(400)))
+      .toDF("media_id", "content")
+    val batch = Seq(
+      (2L, "HDR99".getBytes ++ original ++ "TRAILER".getBytes), // re-encoding of 1
+      (6L, blob(400)))                                           // junk arrival
+      .toDF("media_id", "content")
+    val index = MultiModal.mediaSignatureIndex(corpus, "media_id", "content",
+      blockSize = 8, gramLen = 7, maxGramDf = 20)
+    val got = MultiModal.mediaNearDupAgainst(batch, index, "media_id", "content",
+        blockSize = 8, gramLen = 7, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L)), got.toString)
+  }
+
   test("mediaNearDup: CTPH pairs the re-encoding exact md5 misses; disjoint payloads stay apart; quadratic parity") {
     val rng = new scala.util.Random(7)
     def blob(n: Int) = Array.fill[Byte](n)(rng.nextInt(256).toByte)
