@@ -44,23 +44,29 @@ object Bench {
 
   /** Which visit to report for a flagged key, and whether the key stays
     * suspect. The requeue visit is accepted only if its OWN sample vector
-    * is clean under both [[interfered]] triggers AND it improved the
-    * median: a rerun that is itself interfered proves nothing about the
-    * query's true cost, and blindly taking the lower median of two dirty
-    * visits biases honest-but-noisy keys downward (a query whose warm
-    * samples honestly degrade — heap/GC pressure in the long-lived bench
-    * JVM — or whose cold sample drafted on a predecessor's page-cached
-    * input trips a trigger without any host burst). Returns (samples to
+    * is PROVABLY clean — at least two samples (a single sample carries no
+    * warm evidence, so `interfered` is vacuously false on it; treating
+    * that as proof would let a lone budget-exhausted rerun taken inside
+    * the same burst both replace the visit and clear the flag) and clean
+    * under both [[interfered]] triggers — AND it improved the median: a
+    * rerun that is itself interfered proves nothing about the query's
+    * true cost, and blindly taking the lower median of two dirty visits
+    * biases honest-but-noisy keys downward (a query whose warm samples
+    * honestly degrade — heap/GC pressure in the long-lived bench JVM —
+    * or whose cold sample drafted on a predecessor's page-cached input
+    * trips a trigger without any host burst). Returns (samples to
     * report, noisy): `noisy` is true when the original visit was flagged
-    * and no clean rerun exists — the reported median is the best
-    * available but round-over-round comparison should discount it. */
+    * and no provably-clean rerun exists — the reported median is the
+    * best available but round-over-round comparison should discount
+    * it. */
   private[graft] def adjudicateRerun(
       orig: Seq[Double], rerun: Option[Seq[Double]]): (Seq[Double], Boolean) = {
+    def provablyClean(ts: Seq[Double]) = ts.size >= 2 && !interfered(ts)
     val best = rerun match {
-      case Some(ts2) if !interfered(ts2) && median(ts2) < median(orig) => ts2
+      case Some(ts2) if provablyClean(ts2) && median(ts2) < median(orig) => ts2
       case _ => orig
     }
-    val noisy = interfered(orig) && !rerun.exists(ts2 => !interfered(ts2))
+    val noisy = interfered(orig) && !rerun.exists(provablyClean)
     (best, noisy)
   }
 
@@ -168,7 +174,9 @@ object Bench {
     // isolated). [[interfered]] flags both burst shapes (median ≫ warm-min,
     // and warm-min ≫ cold for bursts starting after the cold sample) —
     // requeue flagged queries for ONE fresh visit at END of suite (minutes
-    // later, burst long over) and report the better (lower-median) visit.
+    // later, burst long over); [[adjudicateRerun]] decides whether that
+    // visit replaces the original (only a provably-clean, lower-median
+    // rerun does) or the key ships its original median marked `noisy`.
     // Honest slow queries trip neither signal, so this cannot understate
     // real cost.
     val flagged = firstPass.collect {

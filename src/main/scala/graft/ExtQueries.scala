@@ -355,6 +355,21 @@ object ExtQueries {
     val sem = Dedup.semanticPairs(e, "vec_id", "embedding", minCosine = 0.45,
         k = 8, lloydIters = 1, probeCells = 3)
       .select(col("a_id"), col("b_id"), lit(1).as("in_sem"))
+    semanticDifferential(exact, sem)
+  }
+
+  /** Shared scaffold of the two SemDeDup differentials (`dedup_semantic`,
+    * `dedup_semantic_incr`): ONE full-outer join of the exact truth pairs
+    * (a_id, b_id, in_exact=1) against the blocked pairs (a_id, b_id,
+    * in_sem=1) and one aggregate → (n_exact, subset_ok, floor_met). The
+    * SF-aware recall floor lives HERE so the two keys cannot silently
+    * diverge: 0.9 where the pair population supports it (sf0.01: 14
+    * pairs, sf0.1: 144 — measured 0.97-1.0), relaxed to 0.8 only for
+    * single-digit pair counts (sf0.001, where ONE lost boundary pair is
+    * 0.857 and a 0.9 bar would measure fixture granularity, not the
+    * operator). Coalesces guard the empty-pair-set case (sums over an
+    * empty frame are NULL; the oracle's vacuous truth is (0, 1, 1)). */
+  private def semanticDifferential(exact: DataFrame, sem: DataFrame): DataFrame =
     exact.join(sem, Seq("a_id", "b_id"), "full_outer")
       .agg(
         coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
@@ -363,17 +378,11 @@ object ExtQueries {
         coalesce(sum(when(col("in_exact").isNull, 1L).otherwise(0L)), lit(0L)).as("n_extra"))
       .select(col("n_exact"),
         when(col("n_extra") === 0, 1).otherwise(0).as("subset_ok"),
-        // SF-aware floor: 0.9 where the pair population supports it
-        // (sf0.01: 14 pairs, sf0.1: 144 — measured 0.97-1.0), relaxed to
-        // 0.8 only for single-digit pair counts (sf0.001: 7 pairs, where
-        // ONE lost boundary pair is 0.857 and a 0.9 bar measures fixture
-        // granularity, not the operator)
         when(col("n_exact") >= 10,
             when(col("n_hits") * 10 >= col("n_exact") * 9, 1).otherwise(0))
           .otherwise(
             when(col("n_hits") * 5 >= col("n_exact") * 4, 1).otherwise(0))
           .as("floor_met"))
-  }
 
   /** Incremental SemDeDup differential: even vec_ids play the STORED
     * clustered corpus (centroids + hard cell assignments materialized
@@ -406,19 +415,7 @@ object ExtQueries {
     val exact = Dedup.cosinePairs(e, "vec_id", "embedding", minCosine = 0.45)
       .filter(col("a_id") % 2 =!= col("b_id") % 2)
       .select(col("a_id"), col("b_id"), lit(1).as("in_exact"))
-    exact.join(sem, Seq("a_id", "b_id"), "full_outer")
-      .agg(
-        coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
-        coalesce(sum(when(col("in_exact").isNotNull && col("in_sem").isNotNull, 1L)
-          .otherwise(0L)), lit(0L)).as("n_hits"),
-        coalesce(sum(when(col("in_exact").isNull, 1L).otherwise(0L)), lit(0L)).as("n_extra"))
-      .select(col("n_exact"),
-        when(col("n_extra") === 0, 1).otherwise(0).as("subset_ok"),
-        when(col("n_exact") >= 10,
-            when(col("n_hits") * 10 >= col("n_exact") * 9, 1).otherwise(0))
-          .otherwise(
-            when(col("n_hits") * 5 >= col("n_exact") * 4, 1).otherwise(0))
-          .as("floor_met"))
+    semanticDifferential(exact, sem)
   }
 
   /** Quality-first survivor selection over the same ngram-Jaccard cluster
@@ -705,30 +702,27 @@ object ExtQueries {
       .orderBy("keep_id")
   }
 
-  /** Fuzzy media near-dup differential (the dedup_simhash reference-free
-    * pattern — the CTPH signature IS the operator, so there is no SQL
-    * mirror): the media table is the documents payloads PLUS two planted
-    * populations the oracle can count independently — a RE-ENCODED twin
-    * per ≥200-char doc (container header + trailer wrapped around the
-    * same bytes, the duplication mode exact md5 [[MultiModal.mediaDedup]]
-    * provably misses) and a deterministic high-entropy junk payload per
-    * doc_id % 7 == 0 (md5-chain bytes, pairwise disjoint). Flags:
-    * every planted twin pairs with its base (recall_complete — CTPH
-    * shares all interior piece characters, so ≥200-char payloads give
-    * far more than minShared shared grams), and NO pair touches a junk
-    * payload (random_clean — disjoint bytes share no signature run).
-    * Base-corpus pairs among the real near-dup documents are expected
-    * and not constrained here. */
   /** Shared planted-population builder for the two CTPH differentials:
     * (docs, base payloads, re-encoded twins at +10M, disjoint junk at
     * +20M) — populations the oracle can count independently from the
-    * fixture. */
+    * fixture. Twins are planted only for texts UNIQUE in the corpus
+    * (window count over md5(text) = 1, oracle-mirrored): a text exactly
+    * duplicated in more than maxGramDf/2 documents would push every
+    * interior signature gram over the boilerplate cap and make the
+    * recall_complete pin fail on a FIXTURE property (how duplicated the
+    * corpus is) instead of an operator regression. The returned `docs`
+    * carries the `__textdup` multiplicity so the count side of each
+    * differential applies the identical predicate. */
   private def mediaPopulations(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      .withColumn("__textdup",
+        count(lit(1)).over(Window.partitionBy(md5(col("text")))))
     val base = docs.select(col("doc_id").as("media_id"),
       col("text").cast("binary").as("content"))
-    val planted = docs.filter(length(col("text")) >= 200)
+    val planted = docs
+      .filter(length(col("text")) >= 200 && col("__textdup") === 1)
       .select((col("doc_id") + 10000000L).as("media_id"),
         concat(lit("RIFFHDRv2|"), col("text"), lit("|ENDTRAILER"))
           .cast("binary").as("content"))
@@ -740,6 +734,20 @@ object ExtQueries {
     (docs, base, planted, junk)
   }
 
+  /** Fuzzy media near-dup differential (the dedup_simhash reference-free
+    * pattern — the CTPH signature IS the operator, so there is no SQL
+    * mirror): the media table is the documents payloads PLUS the two
+    * [[mediaPopulations]] plants the oracle can count independently — a
+    * RE-ENCODED twin per unique ≥200-char doc (container header +
+    * trailer wrapped around the same bytes, the duplication mode exact
+    * md5 [[MultiModal.mediaDedup]] provably misses) and a deterministic
+    * high-entropy junk payload per doc_id % 7 == 0 (md5-chain bytes,
+    * pairwise disjoint). Flags: every planted twin pairs with its base
+    * (recall_complete — CTPH shares all interior piece characters, so
+    * ≥200-char payloads give far more than minShared shared grams), and
+    * NO pair touches a junk payload (random_clean — disjoint bytes share
+    * no signature run). Base-corpus pairs among the real near-dup
+    * documents are expected and not constrained here. */
   val mediaNearDupQ: Q = (s, d) => {
     val (docs, base, planted, junk) = mediaPopulations(s, d)
     val media = base.unionByName(planted).unionByName(junk)
@@ -748,8 +756,8 @@ object ExtQueries {
       .localCheckpoint()
     val counts = docs.agg(
       count(lit(1)).cast("long").as("n_base"),
-      coalesce(sum(when(length(col("text")) >= 200, 1L).otherwise(0L)), lit(0L))
-        .as("n_planted"),
+      coalesce(sum(when(length(col("text")) >= 200 && col("__textdup") === 1,
+        1L).otherwise(0L)), lit(0L)).as("n_planted"),
       coalesce(sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)), lit(0L))
         .as("n_random"))
     val plantHits = cand
@@ -780,8 +788,8 @@ object ExtQueries {
       planted.unionByName(junk), index, "media_id", "content",
       blockSize = 8, gramLen = 7, minShared = 2).localCheckpoint()
     val counts = docs.agg(
-      coalesce(sum(when(length(col("text")) >= 200, 1L).otherwise(0L)), lit(0L))
-        .as("n_planted"),
+      coalesce(sum(when(length(col("text")) >= 200 && col("__textdup") === 1,
+        1L).otherwise(0L)), lit(0L)).as("n_planted"),
       coalesce(sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)), lit(0L))
         .as("n_random"))
     val plantHits = cand
@@ -1559,8 +1567,15 @@ object ExtQueries {
          |  CAST(sum(freq) AS BIGINT) AS cnt FROM p$i GROUP BY 1, 2),
          |m$i AS MATERIALIZED (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
          |s$i AS MATERIALIZED (SELECT word, freq, replace(seq,
-         |  chr(1) || (SELECT l FROM m$i) || chr(2) || chr(1) || (SELECT r FROM m$i) || chr(2),
-         |  chr(1) || (SELECT l FROM m$i) || (SELECT r FROM m$i) || chr(2)) AS seq
+         |  -- an empty m$i (corpus exhausted before iteration $i) must make
+         |  -- this a NO-OP, not a NULL-poisoning replace: the scalar
+         |  -- subqueries return NULL then, so the pattern coalesces to
+         |  -- chr(1)||chr(1) — impossible inside a sentinel-framed seq
+         |  -- (frames strictly alternate chr(1) x chr(2)) — and no match
+         |  -- means the replacement arg is never used
+         |  coalesce(chr(1) || (SELECT l FROM m$i) || chr(2) || chr(1) || (SELECT r FROM m$i) || chr(2),
+         |           chr(1) || chr(1)),
+         |  coalesce(chr(1) || (SELECT l FROM m$i) || (SELECT r FROM m$i) || chr(2), '')) AS seq
          |  FROM s${i - 1})""".stripMargin
     }.mkString
     base + iters
@@ -2221,23 +2236,29 @@ object ExtQueries {
     // incremental CTPH: same fixture-recount + pinned flags as
     // media_neardup, batch-vs-stored-index populations — see mediaNearDupIncrQ
     "media_neardup_incr" ->
-      """SELECT CAST(count(*) FILTER (WHERE length(text) >= 200) AS BIGINT)
-        |    AS n_planted,
+      """WITH d AS (SELECT doc_id, text,
+        |    count(*) OVER (PARTITION BY md5(text)) AS textdup
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(count(*) FILTER (WHERE length(text) >= 200 AND textdup = 1)
+        |    AS BIGINT) AS n_planted,
         |  CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_random,
         |  CAST(1 AS INTEGER) AS recall_complete,
         |  CAST(1 AS INTEGER) AS random_clean
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+        |FROM d""".stripMargin,
     // CTPH has no SQL mirror (the signature IS the operator): DuckDB
     // recomputes the three population counts from the fixture and pins
     // the planted-recall / junk-disjointness flags — see mediaNearDupQ
     "media_neardup" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_base,
-        |  CAST(count(*) FILTER (WHERE length(text) >= 200) AS BIGINT)
-        |    AS n_planted,
+      """WITH d AS (SELECT doc_id, text,
+        |    count(*) OVER (PARTITION BY md5(text)) AS textdup
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_base,
+        |  CAST(count(*) FILTER (WHERE length(text) >= 200 AND textdup = 1)
+        |    AS BIGINT) AS n_planted,
         |  CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_random,
         |  CAST(1 AS INTEGER) AS recall_complete,
         |  CAST(1 AS INTEGER) AS random_clean
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+        |FROM d""".stripMargin,
     // deflate has no SQL mirror: DuckDB pins the raw byte length (strlen =
     // octet count) and the bound flag; NULL text filtered on BOTH sides
     // (a NULL row would flag 0 on the Spark side, 1 here)

@@ -862,7 +862,13 @@ object Dedup {
     * `centroids` is a [[Similarity.kmeansCentroids]] dump (cell, cv) and
     * `corpusAssigned` a [[Similarity.assignCell]] dump carrying (idCol,
     * vecCol, cell) — both build-once/store/query-many tables materialized
-    * when the corpus was clustered. Batch rows are soft-assigned to their
+    * when the corpus was clustered. PRECONDITION: the corpus dump is
+    * HARD-assigned (one row per corpus id — [[Similarity.assignCell]],
+    * not a soft [[Similarity.assignCells]] dump): with one corpus cell
+    * per id a (new_id, corpus_id) pair can only form through that single
+    * cell however many cells the batch probes, so the output needs no
+    * dedup pass; feeding a soft dump would emit a pair once per shared
+    * cell (all copies with the identical exact cos). Batch rows are soft-assigned to their
     * `probeCells` nearest stored centroids map-side (broadcast k-row
     * table) and the exact dot product runs only against corpus rows in a
     * probed cell; a pair is exact-verified, so precision is exact and
@@ -896,9 +902,11 @@ object Dedup {
       .filter(col("new_id") =!= col("corpus_id"))
       .withColumn("cos", VectorFns.dotNative(col("__bv"), col("__cv")))
       .filter(col("cos") >= minCosine)
-      // multi-probe emits a shared-cell pair once per probed cell; every
-      // copy carries the identical exact cos, so distinct dedups safely
-      .select("new_id", "corpus_id", "cos").distinct()
+      // no distinct: the hard-assigned corpus precondition (scaladoc)
+      // makes duplicates impossible — one corpus cell per id means each
+      // (new_id, corpus_id) pair forms through exactly one join row, and
+      // a dedup pass here would cost a full extra exchange per query
+      .select("new_id", "corpus_id", "cos")
   }
 
   /** Corpus-level LINE dedup (boilerplate removal): split every document

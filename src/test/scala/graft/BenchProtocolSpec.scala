@@ -58,6 +58,11 @@ class BenchProtocolSpec extends AnyFunSuite {
     // samples, but the clean visit still clears the noisy mark
     val cleanSlower = Seq(13.0, 12.0, 12.1)
     assert(Bench.adjudicateRerun(flagged, Some(cleanSlower)) == ((flagged, false)))
+    // a SINGLE-sample rerun (budget crossed mid-requeue) carries no warm
+    // evidence — interfered() is vacuously false on it, but that is
+    // absence of proof, not proof of cleanliness: it must neither replace
+    // the visit nor clear the noisy mark
+    assert(Bench.adjudicateRerun(flagged, Some(Seq(9.0))) == ((flagged, true)))
     // no rerun happened (budget exhausted): original reported, noisy
     assert(Bench.adjudicateRerun(flagged, None) == ((flagged, true)))
     // honest visit, no rerun: untouched, not noisy
