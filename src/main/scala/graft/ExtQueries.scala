@@ -343,11 +343,12 @@ object ExtQueries {
     * boundary-heavy fixture; p=3 measured 0.86 at sf0.001 and 0.97-1.0
     * at sf0.01/sf0.1 — the fixture's pairs sit AT the 0.45 decision
     * boundary, ~63° apart, the hardest regime for any blocking;
-    * production SemDeDup thresholds (cos ≥ 0.9) recall far higher). The
-    * floor is 0.8 so the differential holds at EVERY fixture SF; lowering
-    * k would trivially raise recall but collapse the blocking toward the
-    * all-pairs scan it exists to avoid. DuckDB recomputes n_exact
-    * independently and pins the flags. */
+    * production SemDeDup thresholds (cos ≥ 0.9) recall far higher).
+    * Flags and the SF-aware recall floor live in
+    * [[semanticDifferential]] (shared with `dedup_semantic_incr` so the
+    * bars cannot diverge); lowering k would trivially raise recall but
+    * collapse the blocking toward the all-pairs scan it exists to avoid.
+    * DuckDB recomputes n_exact independently and pins the flags. */
   val dedupSemantic: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val exact = Dedup.cosinePairs(e, "vec_id", "embedding", minCosine = 0.45)
@@ -711,18 +712,24 @@ object ExtQueries {
     * interior signature gram over the boilerplate cap and make the
     * recall_complete pin fail on a FIXTURE property (how duplicated the
     * corpus is) instead of an operator regression. The returned `docs`
-    * carries the `__textdup` multiplicity so the count side of each
-    * differential applies the identical predicate. */
+    * carries a single `__plantable` column holding the whole plant rule
+    * so the count side of each differential reads the identical
+    * predicate by construction. */
   private def mediaPopulations(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents").filter(col("text").isNotNull)
       .withColumn("__textdup",
         count(lit(1)).over(Window.partitionBy(md5(col("text")))))
+      // the ONE plant rule — both differentials' n_planted counts read
+      // this column, so editing the rule cannot desynchronize the plant
+      // set from its count (recall_complete is an exact-equality pin)
+      .withColumn("__plantable",
+        length(col("text")) >= 200 && col("__textdup") === 1)
     val base = docs.select(col("doc_id").as("media_id"),
       col("text").cast("binary").as("content"))
     val planted = docs
-      .filter(length(col("text")) >= 200 && col("__textdup") === 1)
+      .filter(col("__plantable"))
       .select((col("doc_id") + 10000000L).as("media_id"),
         concat(lit("RIFFHDRv2|"), col("text"), lit("|ENDTRAILER"))
           .cast("binary").as("content"))
@@ -756,8 +763,8 @@ object ExtQueries {
       .localCheckpoint()
     val counts = docs.agg(
       count(lit(1)).cast("long").as("n_base"),
-      coalesce(sum(when(length(col("text")) >= 200 && col("__textdup") === 1,
-        1L).otherwise(0L)), lit(0L)).as("n_planted"),
+      coalesce(sum(when(col("__plantable"), 1L).otherwise(0L)), lit(0L))
+        .as("n_planted"),
       coalesce(sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)), lit(0L))
         .as("n_random"))
     val plantHits = cand
@@ -788,8 +795,8 @@ object ExtQueries {
       planted.unionByName(junk), index, "media_id", "content",
       blockSize = 8, gramLen = 7, minShared = 2).localCheckpoint()
     val counts = docs.agg(
-      coalesce(sum(when(length(col("text")) >= 200 && col("__textdup") === 1,
-        1L).otherwise(0L)), lit(0L)).as("n_planted"),
+      coalesce(sum(when(col("__plantable"), 1L).otherwise(0L)), lit(0L))
+        .as("n_planted"),
       coalesce(sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)), lit(0L))
         .as("n_random"))
     val plantHits = cand

@@ -862,13 +862,13 @@ object Dedup {
     * `centroids` is a [[Similarity.kmeansCentroids]] dump (cell, cv) and
     * `corpusAssigned` a [[Similarity.assignCell]] dump carrying (idCol,
     * vecCol, cell) — both build-once/store/query-many tables materialized
-    * when the corpus was clustered. PRECONDITION: the corpus dump is
-    * HARD-assigned (one row per corpus id — [[Similarity.assignCell]],
-    * not a soft [[Similarity.assignCells]] dump): with one corpus cell
-    * per id a (new_id, corpus_id) pair can only form through that single
-    * cell however many cells the batch probes, so the output needs no
-    * dedup pass; feeding a soft dump would emit a pair once per shared
-    * cell (all copies with the identical exact cos). Batch rows are soft-assigned to their
+    * when the corpus was clustered. The corpus dump is expected
+    * HARD-assigned (one row per corpus id — [[Similarity.assignCell]]):
+    * one corpus cell per id means a (new_id, corpus_id) pair can form
+    * through only that cell however many cells the batch probes. A soft
+    * [[Similarity.assignCells]] dump is schema-identical and still
+    * CORRECT here (a post-filter dedup collapses the per-shared-cell
+    * copies), just wasteful — the corpus fans out ×p in the cell join. Batch rows are soft-assigned to their
     * `probeCells` nearest stored centroids map-side (broadcast k-row
     * table) and the exact dot product runs only against corpus rows in a
     * probed cell; a pair is exact-verified, so precision is exact and
@@ -902,11 +902,15 @@ object Dedup {
       .filter(col("new_id") =!= col("corpus_id"))
       .withColumn("cos", VectorFns.dotNative(col("__bv"), col("__cv")))
       .filter(col("cos") >= minCosine)
-      // no distinct: the hard-assigned corpus precondition (scaladoc)
-      // makes duplicates impossible — one corpus cell per id means each
-      // (new_id, corpus_id) pair forms through exactly one join row, and
-      // a dedup pass here would cost a full extra exchange per query
-      .select("new_id", "corpus_id", "cos")
+      // dedup AFTER the threshold filter, where the frame is the near-dup
+      // pair set (≪ corpus — this exchange is noise next to the cell
+      // join). Under the hard-assigned precondition it is a no-op, but a
+      // soft assignCells dump is SCHEMA-IDENTICAL to an assignCell dump —
+      // the require above cannot tell them apart — and duplicate pairs
+      // from an off-contract store would silently inflate downstream
+      // differential hit counts (every copy carries the identical exact
+      // cos, so dropping duplicates is always safe)
+      .select("new_id", "corpus_id", "cos").distinct()
   }
 
   /** Corpus-level LINE dedup (boilerplate removal): split every document

@@ -577,11 +577,23 @@ class DedupSpec extends SparkSpec {
       corpus, "vec_id", "embedding", centroids)
     val got = Dedup.semanticPairsAgainst(batch, centroids, assigned,
         "vec_id", "embedding", minCosine = 0.9, probeCells = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     // within-batch near-dup (11,13) is the BATCH operator's job, never
     // emitted here; the re-contained id 10 never self-pairs despite cos 1;
-    // every emitted pair crosses the batch/corpus boundary
-    assert(got == Set((11L, 10L), (13L, 10L)), got.toString)
+    // every emitted pair crosses the batch/corpus boundary — compared as
+    // a sorted SEQ so duplicate emission cannot hide in a Set collapse
+    assert(got == Seq((11L, 10L), (13L, 10L)), got.toString)
+    // an off-contract SOFT corpus dump (assignCells p=2 — schema-identical
+    // to the hard dump, so the require cannot reject it) must still yield
+    // each pair exactly ONCE: the post-filter dedup collapses the
+    // per-shared-cell copies that would otherwise inflate differential
+    // hit counts
+    val soft = graft.operators.Similarity.assignCells(
+      corpus, "vec_id", "embedding", centroids, p = 2)
+    val gotSoft = Dedup.semanticPairsAgainst(batch, centroids, soft,
+        "vec_id", "embedding", minCosine = 0.9, probeCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotSoft == Seq((11L, 10L), (13L, 10L)), gotSoft.toString)
     intercept[IllegalArgumentException](
       Dedup.semanticPairsAgainst(batch, centroids.select("cell"), assigned,
         "vec_id", "embedding", 0.9))
