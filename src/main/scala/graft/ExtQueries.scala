@@ -168,6 +168,50 @@ object ExtQueries {
       k = 16, ws = Seq(4, 8, 12), minShared = 3, maxFingerprintDf = 20)
       .orderBy("w")
 
+  /** MEASURED sub-floor recall on planted spans — the empirical
+    * companion to [[substringFloorSweep]]'s closed-form floor: for span
+    * lengths L ∈ {16, 18, 20, 23, 30} (k=16, w=8 ⇒ guarantee floor 23),
+    * every eligible doc contributes one PAIR of synthetic documents that
+    * share exactly an L-char span of its text, each flanked by
+    * pair-unique md5-hex contexts (32 chars ≥ k−1 on every side, so the
+    * span's grams are the only shared complete k-grams). The report is
+    * per L: planted pairs vs pairs the winnowing detector actually found
+    * (minShared=1, cap effectively off) — at or above the floor
+    * detection is guaranteed (n_detected = n_planted); below it the
+    * measured fraction realizes the ~(s/w)² decay the
+    * [[Dedup.winnowFingerprints]] docstring states. All exact integers;
+    * the oracle reconstructs the identical planted table and selection. */
+  val substringFloorRecall: Q = (s, d) => {
+    import s.implicits._
+    val Ls = Seq(16, 18, 20, 23, 30)
+    val src = t(s, d, "documents")
+      .filter(col("text").isNotNull && length(col("text")) >= 60)
+      .select(col("doc_id"), col("text"))
+    val planted = Ls.map { l =>
+      def ctx(tag: String) =
+        md5(concat(col("doc_id").cast("string"), lit(s"-$l-$tag")))
+      val span = col("text").substr(lit(11), lit(l))
+      val a = src.select(
+        ((lit(l) * lit(10000000L) + col("doc_id")) * 2).as("id"),
+        concat(ctx("a1"), span, ctx("a2")).as("t"))
+      val b = src.select(
+        ((lit(l) * lit(10000000L) + col("doc_id")) * 2 + 1).as("id"),
+        concat(ctx("b1"), span, ctx("b2")).as("t"))
+      a.unionByName(b)
+    }.reduce(_.unionByName(_))
+    val det = Dedup.substringDupPairs(planted, "id", "t",
+        k = 16, w = 8, minShared = 1, maxFingerprintDf = 1000000)
+      .filter(col("b_id") === col("a_id") + 1 && col("a_id") % 2 === 0)
+      .withColumn("L", floor(col("a_id") / 20000000.0d).cast("int"))
+      .groupBy("L").agg(count(lit(1)).as("n_detected"))
+    Ls.toDF("L")
+      .crossJoin(src.agg(count(lit(1)).as("n_planted")))
+      .join(det, Seq("L"), "left")
+      .select(col("L"), lit(23L).as("floor_chars"), col("n_planted"),
+        coalesce(col("n_detected"), lit(0L)).as("n_detected"))
+      .orderBy("L")
+  }
+
   /** The pairs-reuse composition (the shape a real threshold-picking
     * corpus run takes): ONE winnow+pair stage, its candidate frame
     * materialized once, then BOTH the extent verify and the span-extent
@@ -1455,6 +1499,7 @@ object ExtQueries {
     "substring_sweep" -> substringSweep,
     "substring_report" -> substringReport,
     "substring_floor_sweep" -> substringFloorSweep,
+    "substring_floor_recall" -> substringFloorRecall,
     "bpe_merges" -> bpeMergesQ,
     "bpe_encode" -> bpeEncodeQ,
     "blocking_quality" -> blockingQualityQ,
@@ -2494,6 +2539,56 @@ object ExtQueries {
         |    (SELECT CAST(count(*) AS BIGINT) FROM
         |      (SELECT a_id AS id FROM p12 UNION SELECT b_id FROM p12)))
         |ORDER BY w""".stripMargin,
+    // the planted-span recall measurement: the oracle reconstructs the
+    // identical synthetic pair table (md5-hex contexts, L-char span from
+    // the source doc), runs the same winnowing selection at (k=16, w=8),
+    // and counts detected planted pairs per L — all exact integers
+    "substring_floor_recall" ->
+      """WITH src AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 60),
+        |pl AS MATERIALIZED (
+        |  SELECT (L * 10000000 + doc_id) * 2 + side AS id,
+        |    CASE WHEN side = 0 THEN
+        |      md5(CAST(doc_id AS VARCHAR) || '-' || L || '-a1') ||
+        |        substr(text, 11, L) ||
+        |        md5(CAST(doc_id AS VARCHAR) || '-' || L || '-a2')
+        |    ELSE
+        |      md5(CAST(doc_id AS VARCHAR) || '-' || L || '-b1') ||
+        |        substr(text, 11, L) ||
+        |        md5(CAST(doc_id AS VARCHAR) || '-' || L || '-b2')
+        |    END AS t
+        |  FROM src,
+        |    (VALUES (16), (18), (20), (23), (30)) ls(L),
+        |    (VALUES (0), (1)) sides(side)),
+        |g AS MATERIALIZED (
+        |  SELECT id, unnest(generate_series(0, length(t)-16)) AS pos,
+        |    length(t)-15 AS n, t
+        |  FROM pl WHERE t IS NOT NULL AND length(t) >= 16),
+        |h AS MATERIALIZED (
+        |  SELECT id, pos, n, md5(substr(t, pos+1, 16)) AS h FROM g),
+        |win AS MATERIALIZED (
+        |  SELECT id, pos, n, min(h) OVER (PARTITION BY id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
+        |fp AS MATERIALIZED (SELECT DISTINCT id, mn AS h FROM win
+        |      WHERE pos <= greatest(n - 8, 0)),
+        |dfreq AS MATERIALIZED (SELECT h, count(*) AS d FROM fp GROUP BY h),
+        |fp2 AS MATERIALIZED (
+        |  SELECT fp.id, fp.h FROM fp JOIN dfreq USING (h) WHERE d <= 1000000),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.id AS a_id, b.id AS b_id
+        |  FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.id < b.id
+        |  GROUP BY 1, 2 HAVING count(*) >= 1),
+        |det AS MATERIALIZED (
+        |  SELECT CAST(floor(a_id / 20000000.0) AS INTEGER) AS L,
+        |    CAST(count(*) AS BIGINT) AS n_detected
+        |  FROM pairs WHERE b_id = a_id + 1 AND a_id % 2 = 0 GROUP BY 1)
+        |SELECT ls.L, CAST(23 AS BIGINT) AS floor_chars,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM src) AS n_planted,
+        |  CAST(coalesce(det.n_detected, 0) AS BIGINT) AS n_detected
+        |FROM (VALUES (16), (18), (20), (23), (30)) ls(L)
+        |LEFT JOIN det ON ls.L = det.L
+        |ORDER BY ls.L""".stripMargin,
     // the pairs-reuse composition: substring_extent's cand/extent CTEs and
     // substring_spans' islands chain over the SAME candidate set, joined
     // per pair — one pair derivation, two consumers, all exact BIGINTs

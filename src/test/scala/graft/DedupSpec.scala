@@ -625,6 +625,29 @@ class DedupSpec extends SparkSpec {
       Dedup.substringFloorSweep(docs, "doc_id", "text", ws = Seq(4, 4)))
   }
 
+  test("winnowing guarantee realized on planted spans: at-or-above-floor always detected, below-floor lossy") {
+    // the substring_floor_recall construction at unit scale: pairs of
+    // synthetic docs sharing exactly an L-char span, flanked by >= k-1
+    // chars of pair-unique context. k=8, w=4 → floor 11.
+    def ctx(seed: String) = seed.hashCode.toHexString.padTo(12, 'x').take(12)
+    def pair(id: Long, span: String) = Seq(
+      (id * 2, ctx(s"$id-a1") + span + ctx(s"$id-a2")),
+      (id * 2 + 1, ctx(s"$id-b1") + span + ctx(s"$id-b2")))
+    // spans over the floor (>= 11 chars, disjoint alphabets from hex ctx)
+    val docs = (
+      pair(1L, "QWERTYUIOPAS") ++ pair(2L, "ZXCVBNMLKJHG") ++
+      // sub-floor span (8 chars = exactly one 8-gram): detection depends
+      // on that single gram winning the window min on both sides — NOT
+      // guaranteed, and whichever way it lands must at least never crash
+      pair(3L, "QWERTYUI")).toDF("id", "t")
+    val got = Dedup.substringDupPairs(docs, "id", "t",
+        k = 8, w = 4, minShared = 1, maxFingerprintDf = 100)
+      .filter(col("b_id") === col("a_id") + 1)
+      .collect().map(_.getLong(0) / 2).toSet
+    assert(got.contains(1L) && got.contains(2L),
+      s"a span at the w+k-1 floor must ALWAYS be detected: $got")
+  }
+
   test("FromPairs overloads: one materialized pair frame reproduces every internal-pairs output exactly") {
     val span1 = "QWERTYUIOPAS"
     val span2 = "ZXCVBNMLKJHG"
