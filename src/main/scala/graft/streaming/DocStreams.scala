@@ -138,6 +138,44 @@ object DocStreams {
       .select("new_id", "corpus_id", "h")
   }
 
+  /** Fuzzy media near-dup candidates for continuous ingest — the
+    * streaming twin of [[graft.operators.MultiModal.mediaNearDupAgainst]]:
+    * arriving media payloads are CTPH-signed MAP-SIDE (one linear byte
+    * walk per payload — per-row, stateless, append-legal) and their
+    * distinct signature grams equi-joined against the stored df-capped
+    * signature-gram index ([[graft.operators.MultiModal
+    * .mediaSignatureIndex]], built once on the batch side). Emits one
+    * (new_id, corpus_id, h) row per shared signature gram — the
+    * `minShared` threshold belongs to the downstream foreachBatch merge
+    * (the [[substringDupCandidates]] rationale: counting in-stream needs
+    * state). Payloads whose signature is shorter than `gramLen` emit
+    * nothing (too little structure to match fuzzily; exact-dup ingest
+    * [[dropKnownExact]] still covers their exact copies). Sign
+    * parameters must match the index's or candidates are silently
+    * empty. Stateless stream-static join: no watermark, no state store;
+    * refresh the index on the batch side's cadence. */
+  def mediaNearDupCandidates(
+      stream: DataFrame, sigIndex: DataFrame,
+      idCol: String, binCol: String,
+      blockSize: Int = 8, gramLen: Int = 7): DataFrame = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!sigIndex.isStreaming, "sigIndex must be a static index table")
+    require(Seq("id", "h").forall(sigIndex.columns.contains),
+      s"sigIndex must carry (id, h) — the mediaSignatureIndex schema; " +
+        s"got (${sigIndex.columns.mkString(", ")})")
+    stream
+      .select(col(idCol).as("new_id"),
+        graft.operators.MultiModal.ctphSignature(col(binCol), blockSize)
+          .as("__sig"))
+      .filter(length(col("__sig")) >= gramLen)
+      .select(col("new_id"),
+        explode(graft.plans.WinnowMinima.minima(col("__sig"), gramLen, 1))
+          .as("h"))
+      .join(sigIndex.select(col("id").as("corpus_id"), col("h")), Seq("h"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id", "h")
+  }
+
   /** Copied-span STRIP for continuous ingest — the payoff stage over
     * [[substringDupCandidates]]'s detection: each micro-batch of arriving
     * documents is stripped against the stored corpus

@@ -793,6 +793,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: media near-dup candidates vs a stored signature index match the batch join") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val rng = new scala.util.Random(23)
+    def blob(n: Int) = Array.fill[Byte](n)(rng.nextInt(256).toByte)
+    val original = blob(400)
+    val corpus = Seq((100L, original), (101L, blob(400)))
+      .toDF("media_id", "content")
+    val index = graft.operators.MultiModal.mediaSignatureIndex(
+      corpus, "media_id", "content", blockSize = 8, gramLen = 7, maxGramDf = 20)
+    val arrivals = Seq(
+      (1L, "HDR99".getBytes ++ original ++ "TRAILER".getBytes), // re-encoding
+      (2L, blob(400)),                                           // unrelated
+      (3L, blob(10)))                                            // sig < gramLen
+    // batch twin: same signatures, same index, same join (pre-threshold)
+    val batchPairs = graft.operators.MultiModal.mediaNearDupAgainst(
+        arrivals.toDF("media_id", "content"), index, "media_id", "content",
+        blockSize = 8, gramLen = 7, minShared = 1)
+      .select("new_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val cand = DocStreams.mediaNearDupCandidates(
+      mem.toDF().toDF("media_id", "content"), index, "media_id", "content",
+      blockSize = 8, gramLen = 7)
+    val q = cand.writeStream.format("memory").queryName("mediacand")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arrivals.take(1)); q.processAllAvailable()
+      mem.addData(arrivals.drop(1)); q.processAllAvailable()
+      val streamed = spark.table("mediacand")
+        .select("new_id", "corpus_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchPairs, s"streamed $streamed vs batch $batchPairs")
+      assert(batchPairs.contains((1L, 100L)), "the re-encoding must link 1 -> 100")
+      assert(!batchPairs.exists(p => p._1 == 2L || p._1 == 3L), batchPairs.toString)
+    } finally q.stop()
+  }
+
   test("stripArrivalsSink: arriving docs land stripped against the stored corpus, batch-cut-invariant") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
