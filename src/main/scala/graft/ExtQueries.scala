@@ -925,6 +925,16 @@ object ExtQueries {
 
   // --------------------------------------------------------------- curation
 
+  /** DSIR importance scores against the fixture's English subpopulation
+    * as the target: per doc, the mean hashed-unigram log importance
+    * ratio (target LM vs raw-corpus LM, Laplace-smoothed) — high scorers
+    * are the documents importance resampling keeps. Exact-rational LMs,
+    * one rounded mean per doc (the score_unigram settlement). */
+  val dsirWeightsQ: Q = (s, d) =>
+    Curation.dsirWeights(t(s, d, "documents"), "doc_id", "text",
+      targetPred = col("lang") === "en", hexChars = 3)
+      .orderBy("doc_id")
+
   /** Deterministic content-hash train/val/test split (80/10/10). */
   val curateSplit: Q = (s, d) =>
     Curation.assignSplits(t(s, d, "documents"), "doc_id")
@@ -1531,6 +1541,7 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprint,
     "multimodal_meta" -> multimodalMeta,
     "curate_split" -> curateSplit,
+    "dsir_weights" -> dsirWeightsQ,
     "curate_sample" -> curateSample,
     "pack_index" -> packIndexQ,
     "pii_redact" -> piiRedact,
@@ -3378,6 +3389,24 @@ object ExtQueries {
         |  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text
         |  FROM kept GROUP BY doc_id) k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // both LMs from ONE token scan (target membership as a 0/1 sum),
+    // Laplace-smoothed exact rationals, per-doc mean log-ratio round-4
+    // AFTER the mean — the score_unigram settlement
+    "dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+        |    substr(md5(w), 1, 3) AS f
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE w <> ''),
+        |lm AS (SELECT f, count(*) AS cq, sum(is_t) AS ct FROM tok GROUP BY f),
+        |tot AS (SELECT sum(cq) AS nq, sum(ct) AS nt FROM lm)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  round(avg(
+        |    ln(CAST(ct + 1 AS DOUBLE) / (nt + 4096)) -
+        |    ln(CAST(cq + 1 AS DOUBLE) / (nq + 4096))), 4) AS dsir_logratio
+        |FROM tok JOIN lm USING (f) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "score_unigram" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |lm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),

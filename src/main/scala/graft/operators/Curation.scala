@@ -526,4 +526,53 @@ object Curation {
     scored.withColumn("__rn", rank).filter(col("__rn") <= k)
       .drop("__score", "__rn")
   }
+
+  /** DSIR importance scoring (Xie et al., NeurIPS 2023 — Data Selection
+    * via Importance Resampling, the hashed n-gram variant): per document,
+    * the mean log importance ratio of its hashed unigram features under a
+    * TARGET language model vs the RAW-corpus model — documents whose
+    * feature mix resembles the target population score high and are the
+    * ones importance resampling keeps. Features are the first `hexChars`
+    * md5 hex chars of each whitespace token (16^hexChars hashed buckets —
+    * DSIR's hashing trick, and engine-portable as a plain string key);
+    * both LMs are Laplace-smoothed exact rationals
+    * `(count + 1) / (N + buckets)`, so a feature unseen in the target
+    * still scores finitely. Returns (idCol, n_tok, dsir_logratio) with
+    * the PER-TOKEN mean (length-normalized; multiply by n_tok for the
+    * paper's raw summed weight) rounded to 4 decimals after the mean —
+    * the [[graft.operators.TextAnalysis.withUnigramNll]] cross-engine
+    * settlement. Documents with no nonempty token emit no row.
+    *
+    * Scale shape: one exploded-token pass builds BOTH LMs in a single
+    * partial-aggregated groupBy over ≤ 16^hexChars feature keys (the
+    * target membership rides as a 0/1 sum — no second corpus scan); the
+    * totals derive from that table as a broadcast 1-row aggregate; the
+    * scoring join is hash-keyed on the bounded feature vocabulary (AQE
+    * broadcasts it), then one per-doc rollup. The corpus is scanned
+    * once. */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String, targetPred: Column,
+      hexChars: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1, 8], got $hexChars")
+    val buckets = math.pow(16, hexChars).toLong
+    val tok = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), targetPred.cast("boolean").as("__is_t"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .select(col(idCol), col("__is_t"),
+        substring(md5(col("__w")), 1, hexChars).as("__f"))
+    val lm = tok.groupBy("__f").agg(
+      count(lit(1)).as("__cq"),
+      coalesce(sum(when(col("__is_t"), 1L).otherwise(0L)), lit(0L)).as("__ct"))
+    val tots = lm.agg(sum(col("__cq")).as("__nq"), sum(col("__ct")).as("__nt"))
+    tok.join(lm, Seq("__f"))
+      .crossJoin(broadcast(tots))
+      .withColumn("__lr",
+        log((col("__ct") + 1).cast("double") / (col("__nt") + buckets)) -
+          log((col("__cq") + 1).cast("double") / (col("__nq") + buckets)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        round(avg(col("__lr")), 4).as("dsir_logratio"))
+  }
 }

@@ -366,4 +366,39 @@ class CurationSpec extends SparkSpec {
     val plan = ord.queryExecution.optimizedPlan.toString
     assert(plan.contains("windowspecdefinition(shard_id"), plan)
   }
+
+  test("dsirWeights: target-like documents outscore off-target ones; token accounting exact") {
+    import org.apache.spark.sql.functions.col
+    // target population (is_t) speaks vocabulary A; the raw corpus also
+    // contains vocabulary B. A doc written in A must score strictly above
+    // a doc written in B — that ordering is the whole point of importance
+    // resampling. Words chosen hash-distinct at 3 hex chars (verified by
+    // the distinct-feature assertion below, so a collision can't silently
+    // weaken the ordering claim).
+    val docs = Seq(
+      (1L, true, "alpha beta gamma alpha beta"),
+      (2L, true, "beta gamma alpha gamma"),
+      (3L, false, "zebra quokka wombat zebra"),
+      (4L, false, "alpha beta gamma"),   // target-LIKE text, off-target label
+      (5L, false, "  "),                 // only empty tokens: no row
+      (6L, false, null.asInstanceOf[String]))
+      .toDF("doc_id", "is_t", "text")
+    val feats = docs.filter(col("text").isNotNull)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5(col("w")), 1, 3).as("f"))
+    assert(feats.distinct().count() == 6L, "fixture words must hash-collide-free")
+    val got = Curation.dsirWeights(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), got.toString)
+    assert(got(1L)._1 == 5L && got(3L)._1 == 4L)
+    // A-vocab docs outscore the B-vocab doc regardless of their own label
+    // (the LMs are population-level, scoring is per-doc content)
+    assert(got(1L)._2 > got(3L)._2, got.toString)
+    assert(got(4L)._2 > got(3L)._2, got.toString)
+    intercept[IllegalArgumentException](
+      Curation.dsirWeights(docs, "doc_id", "text", col("is_t"), hexChars = 0))
+  }
 }
