@@ -267,6 +267,13 @@ object ExtQueries {
     TextAnalysis.bpeEncode(t(s, d, "documents"), "doc_id", "text", nMerges = 8)
       .orderBy("doc_id")
 
+  /** The learned BPE vocabulary after 8 merges: every post-merge symbol
+    * with its frequency-weighted occurrence count — the token inventory
+    * companion to bpe_merges/bpe_encode. */
+  val bpeVocabQ: Q = (s, d) =>
+    TextAnalysis.bpeVocab(t(s, d, "documents"), "text", nMerges = 8)
+      .orderBy("symbol")
+
   /** Lexical diversity by length bucket (pooled TTR, 20-token buckets). */
   val ttrCurveQ: Q = (s, d) =>
     TextAnalysis.ttrCurve(t(s, d, "documents"), "text", bucketTokens = 20)
@@ -1512,6 +1519,7 @@ object ExtQueries {
     "substring_floor_recall" -> substringFloorRecall,
     "bpe_merges" -> bpeMergesQ,
     "bpe_encode" -> bpeEncodeQ,
+    "bpe_vocab" -> bpeVocabQ,
     "blocking_quality" -> blockingQualityQ,
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
@@ -1650,6 +1658,17 @@ object ExtQueries {
       s"SELECT $i AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$i")
       .mkString("\nUNION ALL\n")
     s"${bpeCtes(n)}\nSELECT * FROM (\n$sel)\nORDER BY rank"
+  }
+
+  private val bpeVocabOracleSql: String = {
+    val n = 8
+    bpeCtes(n) +
+      s""",
+         |v AS MATERIALIZED (SELECT freq,
+         |  unnest(string_split(substr(seq, 2, length(seq) - 2),
+         |    chr(2) || chr(1))) AS symbol FROM s$n)
+         |SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_occurrences
+         |FROM v GROUP BY symbol ORDER BY symbol""".stripMargin
   }
 
   private val bpeEncodeOracleSql: String = {
@@ -2296,6 +2315,7 @@ object ExtQueries {
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "bpe_merges" -> bpeOracleSql,
     "bpe_encode" -> bpeEncodeOracleSql,
+    "bpe_vocab" -> bpeVocabOracleSql,
     // incremental CTPH: same fixture-recount + pinned flags as
     // media_neardup, batch-vs-stored-index populations — see mediaNearDupIncrQ
     "media_neardup_incr" ->

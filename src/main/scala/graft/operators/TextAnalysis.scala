@@ -869,6 +869,24 @@ object TextAnalysis {
         sum(col("__nsym")).as("n_tokens"))
   }
 
+  /** The learned VOCABULARY under `nMerges` BPE merges: every distinct
+    * post-merge symbol with its corpus occurrence count (word-type
+    * occurrences weighted by word frequency) — the token inventory a
+    * budget planner reads next to [[bpeEncode]]'s per-doc counts, and
+    * the vocab-size-vs-merges curve when swept. Exact integers; oracle
+    * shares the merge-derivation CTEs. Scale shape: [[bpeMerges]]' loop,
+    * then one exploded-symbol partial-aggregated groupBy over the vocab
+    * frame (symbols ≤ chars + nMerges — bounded). */
+  def bpeVocab(
+      df: DataFrame, textCol: String, nMerges: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    val (_, seqs) = bpeLoop(df, textCol, nMerges, checkpointEvery)
+    seqs.select(col("freq"),
+        explode(split(col("seq").substr(lit(2), length(col("seq")) - 2),
+          SymE + SymS)).as("symbol"))
+      .groupBy("symbol").agg(sum(col("freq")).as("n_occurrences"))
+  }
+
   private val SymS = "\u0001"
   private val SymE = "\u0002"
 

@@ -332,6 +332,19 @@ class TextEventsSpec extends SparkSpec {
     assert(two == Map(1L -> (3L, 3L), 2L -> (2L, 2L)), two.toString)
   }
 
+  test("bpeVocab: post-merge symbol inventory with exact weighted counts") {
+    // after 2 merges ((a,b) then (ab,c)) over freqs ab:3, abc:2 the vocab
+    // is {ab: 3 occurrences, abc: 2} — no residual single chars
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeVocab(docs, "text", nMerges = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 3L, "abc" -> 2L), got.toString)
+    // with only ONE merge the c stays a single-char symbol
+    val one = TextAnalysis.bpeVocab(docs, "text", nMerges = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("ab" -> 5L, "c" -> 2L), one.toString)
+  }
+
   test("mediaNearDupAgainst: batch twins hit only their stored base; junk arrivals hit nothing") {
     val rng = new scala.util.Random(11)
     def blob(n: Int) = Array.fill[Byte](n)(rng.nextInt(256).toByte)
