@@ -112,6 +112,17 @@ object Bench {
     // the spread computation — only disagreement among warm samples signals
     // host interference; (b) extras are capped across the whole suite.
     var extrasLeft = 40
+    // Execute the query's OWN physical plan and drain it — NOT
+    // `df.count()`: planning a fresh count() lets Catalyst collapse the
+    // declared plan (an outer join against a grouped aggregate whose
+    // columns a count never reads is ELIMINATED — substring_floor_recall
+    // benched 0.23s/341 shuffle bytes for a job whose real plan winnows
+    // the whole planted corpus). toRdd runs the already-planned query
+    // exactly as a sink would see it; counting the RDD moves no rows to
+    // the driver.
+    def runPlan(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(): Unit
+    }
     // Runs one query n times back-to-back; returns (samples, firstError).
     // Cleanup between samples happens OUTSIDE the timed window: drop blocks
     // the run left behind (localCheckpoint RDDs from resolveClusters/pipeline
@@ -132,8 +143,8 @@ object Bench {
       while (i < maxRuns(times.result()) && err.isEmpty) {
         val t0 = System.nanoTime()
         try {
-          if (i == 0) shuffle = meter.measure(() => { fn(spark, sfDir).count(): Unit })
-          else fn(spark, sfDir).count(): Unit
+          if (i == 0) shuffle = meter.measure(() => runPlan(fn(spark, sfDir)))
+          else runPlan(fn(spark, sfDir))
         } catch {
           case e: Throwable =>
             err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")

@@ -26,7 +26,10 @@ class ShuffleBudgetSpec extends AnyFunSuite
 
   private def shuffleKb(name: String): Double = {
     val bytes = meter.measure(() => {
-      SparkEntry.queries(name)(spark, dir).count(): Unit
+      // the query's OWN plan, not a fresh count() — planning a count can
+      // eliminate joins whose columns it never reads and under-measure
+      // the declared plan (the Bench.runPlan rationale)
+      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count(): Unit
     })
     assert(bytes >= 0, "listener bus failed to drain — measurement void")
     bytes / 1024.0
