@@ -472,12 +472,29 @@ object TextAnalysis {
     * 6. Empty and NULL texts yield NULL (no distribution to measure). */
   def withCharEntropy(df: DataFrame, textCol: String, as: String = "char_entropy"): DataFrame = {
     val n = length(col(textCol))
+    // entropy through the native codegen'd [[graft.plans.CharEntropy]]
+    // expression — the interpreted HOF chain (kept below as the
+    // spec-pinned reference implementation) re-evaluates the whole char
+    // array once per distinct character and measured 79 s at sf0.1;
+    // rounding and the empty/NULL guard stay HERE, token-identical to
+    // the oracle
+    df.withColumn(as,
+      when(n > 0, round(graft.plans.CharEntropy.entropy(col(textCol)), 6)))
+  }
+
+  /** The interpreted HOF reference implementation of [[withCharEntropy]]
+    * — NEVER on the production path (O(|alphabet| · n) interpreted
+    * lambda evals per doc, each rebuilding the n-element char array;
+    * the [[graft.operators.Dedup.kgramHashes]] rationale). Kept because
+    * an independently-derived second path IS the test: the parity spec
+    * pins the native expression against this column bit-for-bit. */
+  private[graft] def charEntropyRef(textCol: String): org.apache.spark.sql.Column = {
+    val n = length(col(textCol))
     val chars = transform(sequence(lit(1), n), i => col(textCol).substr(i, lit(1)))
     val counts = transform(array_sort(array_distinct(chars)),
       c => size(filter(chars, x => x === c)).cast("double"))
     val sumNlogN = aggregate(counts, lit(0.0), (acc, c) => acc + c * log(c))
-    df.withColumn(as,
-      when(n > 0, round(log(n.cast("double")) - sumNlogN / n, 6)))
+    when(n > 0, round(log(n.cast("double")) - sumNlogN / n, 6))
   }
 
   /** Gopher/C4-style rule-based quality audit — the standard heuristic

@@ -332,6 +332,33 @@ class TextEventsSpec extends SparkSpec {
     assert(two == Map(1L -> (3L, 3L), 2L -> (2L, 2L)), two.toString)
   }
 
+  test("CharEntropy native expression: bit-identical to the interpreted HOF reference, multibyte-safe") {
+    val texts = Seq(
+      "aaaa",                       // degenerate: H = 0
+      "abcd efgh ijkl",             // mixed
+      "the quick brown fox jumps over the lazy dog",
+      "ｗｉｄｅ ｃｈａｒｓ και ελληνικά", // multibyte codepoints
+      "ab",
+      "x")
+      .toDF("text")
+    val both = TextAnalysis.withCharEntropy(texts, "text")
+      .withColumn("ref", TextAnalysis.charEntropyRef("text"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.compare(
+        r.getAs[Double]("char_entropy"), r.getAs[Double]("ref")) == 0,
+        s"native ${r.getAs[Double]("char_entropy")} != ref ${r.getAs[Double]("ref")} " +
+          s"for '${r.getString(0)}'")
+    }
+    // H("aaaa") is exactly 0; single char too
+    val h = both.map(r => r.getString(0) -> r.getAs[Double]("char_entropy")).toMap
+    assert(h("aaaa") == 0.0 && h("x") == 0.0, h.toString)
+    // NULL/empty guard unchanged
+    val edge = Seq(Some(""), None).map(Tuple1(_)).toDF("text")
+    val e = TextAnalysis.withCharEntropy(edge, "text").collect()
+    assert(e.forall(_.isNullAt(1)), e.mkString(","))
+  }
+
   test("bpeVocab: post-merge symbol inventory with exact weighted counts") {
     // after 2 merges ((a,b) then (ab,c)) over freqs ab:3, abc:2 the vocab
     // is {ab: 3 occurrences, abc: 2} — no residual single chars
