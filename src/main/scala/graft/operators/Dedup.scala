@@ -1513,11 +1513,19 @@ object Dedup {
     * (single-shuffle, df-capped); partner gram sets are built by one
     * map-side native gram scan of the a-side documents, semi-filtered to
     * candidate partners before any exchange, fanned per pair (the
-    * [[substringExtent]] verify-join shape), and collapsed to one
-    * DISTINCT hash array per later document (bounded by |partners| ×
-    * |grams per doc|). The strip itself is ONE codegen'd per-row
-    * expression ([[graft.plans.StripMatchedGrams]]) — no positional
-    * explode, no per-character rows, no reassembly window. */
+    * [[substringExtent]] verify-join shape), INTERSECTED with the later
+    * doc's own gram set (a second map-side scan; a partner gram b lacks
+    * can never match, so the cut is semantics-free), and collapsed to
+    * one DISTINCT hash array per later document — bounded by THAT DOC's
+    * distinct gram count, never |partners| × |grams per doc| (the
+    * pre-intersect array shipped the partners' full gram sets: 129 MB of
+    * shuffle and an unbounded-in-partners reducer buffer at sf0.1; the
+    * cut trades one extra map-side scan + exchange — measured ≈ +0.8 s
+    * local at sf0.1 — for −80% shuffle and a per-doc-bounded buffer,
+    * which is the 100 TB-side of the trade). The strip itself is ONE
+    * codegen'd per-row expression ([[graft.plans.StripMatchedGrams]]) —
+    * no positional explode, no per-character rows, no reassembly
+    * window. */
   def stripCopiedSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
@@ -1557,12 +1565,25 @@ object Dedup {
     val c = normalizedPairs(cand, "stripCopiedSpansFromPairs")
       .select("a_id", "b_id")
     // distinct grams of each EARLIER partner's original text, semi-cut to
-    // partner docs before the pair fan-out, collapsed per later doc
-    val aGrams = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
-      .select(col(idCol).as("a_id"),
+    // partner docs before the pair fan-out
+    def grams = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
-      .join(c.select("a_id").distinct(), Seq("a_id"), "left_semi")
+    val aGrams = grams.join(c.select(col("a_id").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .select(col("id").as("a_id"), col("h"))
+    val bGrams = grams.join(c.select(col("b_id").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .select(col("id").as("b_id"), col("h"))
+    // the partner set is intersected with the LATER doc's own gram set
+    // BEFORE collecting: a partner gram absent from b can never match
+    // during the strip, so dropping it is semantics-free — and it shrinks
+    // the per-doc array from the partners' FULL gram sets (bounded by
+    // partner doc lengths; measured 129 MB of shuffle through the
+    // collect_set + final join at sf0.1) to just the matched grams
+    // (the copied spans' — the extent verify-join shape, ~12 MB)
     val ph = c.join(aGrams, Seq("a_id"))
+      .join(bGrams, Seq("b_id", "h"), "left_semi")
       .groupBy("b_id").agg(collect_set(col("h")).as("__ph"))
       .select(col("b_id").as("__strip_id"), col("__ph"))
     val joined = df.join(ph, df(idCol) === ph("__strip_id"), "left")
@@ -1691,9 +1712,19 @@ object Dedup {
     val partners = substringDupPairsAgainst(batch, cappedFps,
       idCol, textCol, k, w, minShared)
       .select("new_id", "corpus_id")
+    // corpus partner gram sets intersected with the ARRIVAL's own grams
+    // before collecting — the stripCopiedSpansFromPairs rationale: a
+    // partner gram the arrival lacks can never match, and the cut shrinks
+    // the per-arrival array from full corpus-doc gram sets to the copied
+    // spans' (one extra map-side scan of the small batch side)
+    val batchGrams = batch
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol).as("new_id"),
+        explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
     val ph = partners
       .join(corpusGrams.select(col("id").as("corpus_id"), col("h")),
         Seq("corpus_id"))
+      .join(batchGrams, Seq("new_id", "h"), "left_semi")
       .groupBy("new_id").agg(collect_set(col("h")).as("__ph"))
       .select(col("new_id").as("__strip_id"), col("__ph"))
     val joined = batch.join(ph, batch(idCol) === ph("__strip_id"), "left")
