@@ -184,8 +184,14 @@ object ExtQueries {
   val substringFloorRecall: Q = (s, d) => {
     import s.implicits._
     val Ls = Seq(16, 18, 20, 23, 30)
+    // doc_id < 10^7 keeps the (L·10^7 + doc_id)·2 + side id packing
+    // injective — beyond it two L-buckets would alias onto one planted id
+    // and silently corrupt the per-L counts on BOTH engines (the oracle
+    // mirrors the bound, so the measurement stays sound, merely excluding
+    // the out-of-range tail at hypothetical 10M-doc fixtures)
     val src = t(s, d, "documents")
-      .filter(col("text").isNotNull && length(col("text")) >= 60)
+      .filter(col("text").isNotNull && length(col("text")) >= 60 &&
+        col("doc_id") < 10000000L)
       .select(col("doc_id"), col("text"))
     val planted = Ls.map { l =>
       def ctx(tag: String) =
@@ -2577,7 +2583,8 @@ object ExtQueries {
     "substring_floor_recall" ->
       """WITH src AS MATERIALIZED (
         |  SELECT doc_id, text FROM documents
-        |  WHERE text IS NOT NULL AND length(text) >= 60),
+        |  WHERE text IS NOT NULL AND length(text) >= 60
+        |    AND doc_id < 10000000),
         |pl AS MATERIALIZED (
         |  SELECT (L * 10000000 + doc_id) * 2 + side AS id,
         |    CASE WHEN side = 0 THEN
@@ -3413,18 +3420,19 @@ object ExtQueries {
     // Laplace-smoothed exact rationals, per-doc mean log-ratio round-4
     // AFTER the mean — the score_unigram settlement
     "dsir_weights" ->
-      """WITH tok AS (
+      """WITH tok AS MATERIALIZED (
         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
         |    substr(md5(w), 1, 3) AS f
         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
         |        FROM documents WHERE text IS NOT NULL)
         |  WHERE w <> ''),
-        |lm AS (SELECT f, count(*) AS cq, sum(is_t) AS ct FROM tok GROUP BY f),
+        |lm AS MATERIALIZED (
+        |  SELECT f, count(*) AS cq, sum(is_t) AS ct FROM tok GROUP BY f),
         |tot AS (SELECT sum(cq) AS nq, sum(ct) AS nt FROM lm)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
         |  round(avg(
         |    ln(CAST(ct + 1 AS DOUBLE) / (nt + 4096)) -
-        |    ln(CAST(cq + 1 AS DOUBLE) / (nq + 4096))), 4) AS dsir_logratio
+        |    ln(CAST(cq + 1 AS DOUBLE) / (nq + 4096))), 4) + 0.0 AS dsir_logratio
         |FROM tok JOIN lm USING (f) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "score_unigram" ->

@@ -543,13 +543,14 @@ object Curation {
     * the [[graft.operators.TextAnalysis.withUnigramNll]] cross-engine
     * settlement. Documents with no nonempty token emit no row.
     *
-    * Scale shape: one exploded-token pass builds BOTH LMs in a single
-    * partial-aggregated groupBy over ≤ 16^hexChars feature keys (the
-    * target membership rides as a 0/1 sum — no second corpus scan); the
-    * totals derive from that table as a broadcast 1-row aggregate; the
-    * scoring join is hash-keyed on the bounded feature vocabulary (AQE
-    * broadcasts it), then one per-doc rollup. The corpus is scanned
-    * once. */
+    * Scale shape: two passes over the exploded tokens — the
+    * [[graft.operators.TextAnalysis.withUnigramNll]] shape: one
+    * partial-aggregated groupBy builds BOTH LMs over ≤ 16^hexChars
+    * feature keys (the target membership rides as a 0/1 sum, so the two
+    * LMs never cost separate scans), and one scoring pass joins tokens
+    * against the bounded feature vocabulary (AQE broadcasts it), then a
+    * per-doc rollup; the totals derive from the LM table as a broadcast
+    * 1-row aggregate, never a third pass. */
   def dsirWeights(
       df: DataFrame, idCol: String, textCol: String, targetPred: Column,
       hexChars: Int = 3): DataFrame = {
@@ -573,6 +574,10 @@ object Curation {
           log((col("__cq") + 1).cast("double") / (col("__nq") + buckets)))
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_tok"),
-        round(avg(col("__lr")), 4).as("dsir_logratio"))
+        // + 0.0 normalizes negative zero: a corpus-typical doc's mean
+        // log-ratio sits in (−0.00005, 0) where DuckDB's binary round
+        // keeps −0.0 and Spark's HALF_UP emits +0.0 — the documented
+        // cross-engine hash-misalignment class (oracle mirrors the +0.0)
+        (round(avg(col("__lr")), 4) + lit(0.0)).as("dsir_logratio"))
   }
 }

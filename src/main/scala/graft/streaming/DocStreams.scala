@@ -163,17 +163,16 @@ object DocStreams {
     require(Seq("id", "h").forall(sigIndex.columns.contains),
       s"sigIndex must carry (id, h) — the mediaSignatureIndex schema; " +
         s"got (${sigIndex.columns.mkString(", ")})")
-    stream
-      .select(col(idCol).as("new_id"),
+    // composed on [[substringDupCandidates]] with the CTPH signature as
+    // the text and w = 1 (the distinct-gram selection) — the batch twin
+    // ([[graft.operators.MultiModal.mediaNearDupAgainst]]) composes on
+    // substringDupPairsAgainst the same way, so the join contract cannot
+    // drift between the two
+    substringDupCandidates(
+      stream.select(col(idCol),
         graft.operators.MultiModal.ctphSignature(col(binCol), blockSize)
-          .as("__sig"))
-      .filter(length(col("__sig")) >= gramLen)
-      .select(col("new_id"),
-        explode(graft.plans.WinnowMinima.minima(col("__sig"), gramLen, 1))
-          .as("h"))
-      .join(sigIndex.select(col("id").as("corpus_id"), col("h")), Seq("h"))
-      .filter(col("new_id") =!= col("corpus_id"))
-      .select("new_id", "corpus_id", "h")
+          .as("__sig")),
+      sigIndex, idCol, "__sig", k = gramLen, w = 1)
   }
 
   /** Copied-span STRIP for continuous ingest — the payoff stage over
