@@ -1219,12 +1219,19 @@ object Dedup {
     * Returns one row per swept `w`: (k, w, floor_chars, n_pairs,
     * n_docs_paired) — exact integers, full hash-match oracle.
     *
-    * Scale shape: one independent fingerprint pass per swept `w` (the
-    * selection genuinely differs per w; nothing can be shared but the
-    * text scan), each pass the [[substringDupPairsManaged]]
-    * single-shuffle shape; the per-w rollup aggregates the (small) pair
-    * frame, checkpointed once because the pair count and the distinct-doc
-    * count are two consumers. */
+    * Scale shape: one independent fingerprint pass per swept `w`, each
+    * the [[substringDupPairsManaged]] single-shuffle shape; the per-w
+    * rollup aggregates the (small) pair frame, checkpointed once because
+    * the pair count and the distinct-doc count are two consumers. A
+    * shared-pass variant IS possible — window minima NEST (the minimum
+    * of a w-window is the minimum of one of its w′-subwindows, so
+    * fp(w₂) ⊆ fp(w₁) for w₂ > w₁ per doc): one pass could emit the
+    * smallest-w selection tagged with each fingerprint's maximum
+    * surviving w, saving the repeated text hashing — deliberately not
+    * taken here because the per-w df caps are computed over per-w
+    * fingerprint sets (a level-aware capped aggregate would complicate
+    * the oracle mirror for a diagnostic run at ~3 s/SF0.1), and the
+    * sweep is a tuning read, not a production stage. */
   def substringFloorSweep(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, ws: Seq[Int] = Seq(4, 8, 12), minShared: Int = 3,
