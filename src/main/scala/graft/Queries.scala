@@ -384,30 +384,56 @@ object Queries {
     *
     * Sketch algorithms differ across engines, so the raw estimates have no
     * DuckDB mirror; the REGISTERED query is instead a tolerance differential
-    * the driver can hash-adjudicate (same pattern as the ANN recall checks):
-    * compute approx and exact in one aggregation, emit the exact values
-    * (which DuckDB recomputes) plus a within-tolerance flag per sketch.
-    * Tolerances: HLL++ rsd = 0.02 → |approx−exact| ≤ 3·rsd·exact (3σ);
-    * percentile_approx accuracy = 10000 over ≤25k rows/group → rank error
-    * ≤ n/accuracy ≈ 3 ranks, bounded loosely by 1% relative. A sketch
-    * regression flips a driver-visible pass instead of hiding behind
-    * `no_oracle`. Raw estimates stay out of the output — QuantileSummaries
-    * merge order could perturb them; the flags are stable. Tighter accuracy
-    * property-tests live in SketchSpec. */
-  val aggSketch: Q = (s, d) =>
-    t(s, d, "lineitem").groupBy("l_returnflag").agg(
+    * the driver can hash-adjudicate (same pattern as the ANN recall checks).
+    * Crucially, the benched plan carries NO unbounded exact twin inline —
+    * the r15 verdict's finding (the key marketed as constant-memory benched
+    * 10 s of countDistinct Expand + exact-percentile buffers, the
+    * scaffolding, not the sketch). The settlement now costs only bounded
+    * partial aggregations:
+    *   - the SKETCH aggregation (HLL++ + QuantileSummaries) is the
+    *     production path — one partial-agg pass, constant memory;
+    *   - the HLL flag settles against an exact distinct computed the
+    *     100 TB way: two-stage `distinct → count` (narrow (flag, key)
+    *     shuffle, map-side combined, no Expand doubling);
+    *   - the percentile flag settles by RANK CHECK, not an exact quantile:
+    *     count rows ≤ the sketch's median estimate and require the rank
+    *     within 1% of n/2 (+1 for ties at the returned value). Rank error
+    *     of percentile_approx is ≤ n/accuracy = n/10000 ≪ n/100, so a
+    *     healthy sketch always passes; exact quantile VALUES live in
+    *     agg_stats.
+    * Tolerances: HLL++ rsd = 0.02 → |approx−exact| ≤ 3·rsd·exact (3σ).
+    * A sketch regression flips a driver-visible pass instead of hiding
+    * behind `no_oracle`. Raw estimates stay out of the output —
+    * QuantileSummaries merge order could perturb them; the flags are
+    * stable. Tighter accuracy property-tests live in SketchSpec.
+    * Scale shape: 3 scans of a 3-column projection, every aggregation
+    * partial-aggregated with bounded buffers; the 3-row sketch frame
+    * broadcasts into the rank pass. */
+  val aggSketch: Q = (s, d) => {
+    val base = t(s, d, "lineitem")
+      .select("l_returnflag", "l_partkey", "l_extendedprice")
+    val sk = base.groupBy("l_returnflag").agg(
       approx_count_distinct(col("l_partkey"), rsd = 0.02).as("nd_approx"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-      countDistinct(col("l_partkey")).as("nd_part"),
-      expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("p50_approx"),
+      count(lit(1)).as("n"))
+    val nd = base.select("l_returnflag", "l_partkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("nd_part"))
+    val rank = base.join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy("l_returnflag").agg(
+        sum(when(col("l_extendedprice") <= col("p50_approx"), 1L).otherwise(0L))
+          .as("cnt_le"),
+        first(col("nd_approx")).as("nd_approx"),
+        first(col("n")).as("n"))
+    rank.join(nd, Seq("l_returnflag"))
       .select(col("l_returnflag"),
         col("nd_part"),
-        round(col("p50_exact"), 4).as("p50"),
         when(abs(col("nd_approx") - col("nd_part")) <= col("nd_part") * 0.06, 1)
           .otherwise(0).as("nd_ok"),
-        when(abs(col("p50_approx") - col("p50_exact")) <= abs(col("p50_exact")) * 0.01, 1)
+        when(abs(col("cnt_le") - col("n") / 2.0) <= col("n") * 0.01 + 1, 1)
           .otherwise(0).as("p50_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Exact + distinct aggregation (count distinct, min/max/avg). */
   val aggDistinct: Q = (s, d) =>
@@ -747,12 +773,13 @@ object Queries {
         |  CAST(CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS INTEGER) AS g_status
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
-    // agg_sketch: DuckDB recomputes the exact values and pins both
-    // within-tolerance flags to 1 (see aggSketch scaladoc for the bounds).
+    // agg_sketch: DuckDB recomputes the exact distinct count and pins both
+    // within-tolerance flags to 1 (see aggSketch scaladoc for the bounds;
+    // exact quantile VALUES are agg_stats' contract, deliberately not here
+    // so the benched plan stays sketch-only).
     "agg_sketch" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS nd_part,
-        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  CAST(1 AS INTEGER) AS nd_ok,
         |  CAST(1 AS INTEGER) AS p50_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -35,7 +35,7 @@ class RegistrySpec extends AnyFunSuite {
     // scans oracle SQL only, so they are correctly absent here.
     val audited = Set(
       "interarrival", "ship_latency", "dataset_card", "group_quantiles",
-      "agg_stats", "agg_sketch", "drift_quantile", "abc_class",
+      "agg_stats", "drift_quantile", "abc_class",
       "robust_z", "quality_gate", "winsorize_len",
       "quantile_bin", "lorenz_curve", "rfm_scores")
     // DELIBERATELY coarse: any oracle mixing quantile_cont with round() is
