@@ -280,6 +280,23 @@ object ExtQueries {
     TextAnalysis.bpeVocab(t(s, d, "documents"), "text", nMerges = 8)
       .orderBy("symbol")
 
+  /** Stored-tokenizer apply on a HELD-OUT slice: 8 merges learned from
+    * the even-doc_id half only, then [[TextAnalysis.bpeApply]] tokenizes
+    * the odd half against that frozen table — the learn-once/apply-many
+    * contract, with genuine OOV words in the batch (odd-half words the
+    * even half never saw char-init and keep unfused symbols instead of
+    * being dropped). Oracle shares bpe_merges' derivation CTEs trained
+    * on the same even slice and unrolls the same 8 replaces over the
+    * odd slice's word types. */
+  val bpeApplyQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val merges = TextAnalysis.bpeMerges(
+      docs.filter(col("doc_id") % 2 === 0), "text", nMerges = 8)
+    TextAnalysis.bpeApply(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** Lexical diversity by length bucket (pooled TTR, 20-token buckets). */
   val ttrCurveQ: Q = (s, d) =>
     TextAnalysis.ttrCurve(t(s, d, "documents"), "text", bucketTokens = 20)
@@ -1526,6 +1543,7 @@ object ExtQueries {
     "bpe_merges" -> bpeMergesQ,
     "bpe_encode" -> bpeEncodeQ,
     "bpe_vocab" -> bpeVocabQ,
+    "bpe_apply" -> bpeApplyQ,
     "blocking_quality" -> blockingQualityQ,
     "ttr_curve" -> ttrCurveQ,
     "compression_ratio" -> compressionRatioQ,
@@ -1619,12 +1637,12 @@ object ExtQueries {
     * are both non-overlapping left-to-right, which IS the BPE merge
     * rule). One generator feeds BOTH the bpe_merges and bpe_encode
     * oracles so the per-iteration SQL cannot drift. */
-  private def bpeCtes(n: Int): String = {
+  private def bpeCtes(n: Int, trainPred: String = ""): String = {
     val base =
-      """WITH w AS MATERIALIZED (
+      s"""WITH w AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word
-        |    FROM documents WHERE text IS NOT NULL)
+        |    FROM documents WHERE text IS NOT NULL$trainPred)
         |  WHERE word <> '' AND strpos(word, chr(1)) = 0
         |    AND strpos(word, chr(2)) = 0
         |  GROUP BY word),
@@ -1692,6 +1710,40 @@ object ExtQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(n_sym) AS BIGINT) AS n_tokens
          |FROM dw JOIN tok USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** bpe_apply oracle: the merge-derivation CTEs trained on the even
+    * doc_id slice, then the SAME 8 replaces unrolled over the odd
+    * slice's own word types (char-init covers OOV — no training-table
+    * join anywhere on the apply side). */
+  private val bpeApplyOracleSql: String = {
+    val n = 8
+    val applies = (1 to n).map { i =>
+      s""",
+         |a$i AS MATERIALIZED (SELECT word, replace(seq,
+         |  coalesce(chr(1) || (SELECT l FROM m$i) || chr(2) || chr(1) || (SELECT r FROM m$i) || chr(2),
+         |           chr(1) || chr(1)),
+         |  coalesce(chr(1) || (SELECT l FROM m$i) || (SELECT r FROM m$i) || chr(2), '')) AS seq
+         |  FROM a${i - 1})""".stripMargin
+    }.mkString
+    bpeCtes(n, " AND doc_id % 2 = 0") +
+      s""",
+         |adw AS MATERIALIZED (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)
+         |  WHERE word <> '' AND strpos(word, chr(1)) = 0
+         |    AND strpos(word, chr(2)) = 0),
+         |a0 AS MATERIALIZED (SELECT word, array_to_string(
+         |  [chr(1) || substr(word, CAST(i AS INTEGER), 1) || chr(2)
+         |   for i in generate_series(1, length(word))], '') AS seq
+         |  FROM (SELECT DISTINCT word FROM adw))$applies,
+         |atok AS MATERIALIZED (SELECT word,
+         |  len(string_split(substr(seq, 2, length(seq) - 2), chr(2) || chr(1)))
+         |    AS n_sym FROM a$n)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_tokens
+         |FROM adw JOIN atok USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
@@ -2322,6 +2374,7 @@ object ExtQueries {
     "bpe_merges" -> bpeOracleSql,
     "bpe_encode" -> bpeEncodeOracleSql,
     "bpe_vocab" -> bpeVocabOracleSql,
+    "bpe_apply" -> bpeApplyOracleSql,
     // incremental CTPH: same fixture-recount + pinned flags as
     // media_neardup, batch-vs-stored-index populations — see mediaNearDupIncrQ
     "media_neardup_incr" ->

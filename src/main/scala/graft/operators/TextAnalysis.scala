@@ -836,17 +836,25 @@ object TextAnalysis {
     *
     * Scale shape: the corpus collapses to the word-TYPE frequency table
     * once (one shuffle, Zipf-bounded — types grow sublinearly in corpus
-    * size); each iteration is then one map-side pair explode over the
-    * vocab + one partial-aggregated (l, r) shuffle + a 1-row TakeOrdered
-    * to the driver, and the merge apply is a map-side string replace.
-    * The seq table re-checkpoints every `checkpointEvery` iterations so
-    * the replace chain's plan stays bounded. O(nMerges) rounds of
-    * vocab-sized work — the standard distributed BPE economics; the
-    * corpus text itself is scanned exactly once. */
+    * size); each ROUND is then one map-side pair explode over the vocab
+    * + one partial-aggregated (l, r) shuffle + a small TakeOrdered to
+    * the driver, and the merge apply is a map-side string replace. A
+    * round takes up to `mergesPerRound` merges, not one: the ranked
+    * pair list's longest prefix that is provably order-independent —
+    * pairwise non-interacting (no shared left/right/merged symbol) and
+    * strictly above the count of the first interacting pair (trimmed
+    * pairs re-derive next round; see [[bpeLoop]] for why the guard makes
+    * the batch EXACTLY the sequential merge sequence). On Zipf-shaped
+    * vocabularies this cuts driver round-trips ~mergesPerRound×, the
+    * difference between 32k sequential Spark jobs and ~2k for a
+    * production vocabulary. The seq table re-checkpoints every
+    * `checkpointEvery` rounds so the replace chain's plan stays
+    * bounded. The corpus text itself is scanned exactly once. */
   def bpeMerges(
       df: DataFrame, textCol: String, nMerges: Int,
-      checkpointEvery: Int = 4): DataFrame = {
-    val (merges, _) = bpeLoop(df, textCol, nMerges, checkpointEvery)
+      checkpointEvery: Int = 4, mergesPerRound: Int = 16): DataFrame = {
+    val (merges, _) = bpeLoop(df, textCol, nMerges, checkpointEvery,
+      mergesPerRound)
     import df.sparkSession.implicits._
     merges.toDF("rank", "left_sym", "right_sym", "pair_count")
       .select(col("rank").cast("int").as("rank"),
@@ -862,7 +870,12 @@ object TextAnalysis {
     * Documents with no countable word (NULL/empty text; sentinel-bearing
     * words are excluded by the [[bpeMerges]] contract) emit no row.
     * Exact integers; the hash-match oracle shares the merge-derivation
-    * CTEs with bpe_merges' oracle.
+    * CTEs with bpe_merges' oracle. SELF-REFERENTIAL by design: the apply
+    * joins against the same corpus's word-type table the merges were
+    * learned from, so no word can be OOV. To tokenize a DIFFERENT corpus
+    * against a stored tokenizer use [[bpeApply]], whose char-init covers
+    * unseen words — reusing this operator's inner join there would
+    * silently drop them.
     *
     * Scale shape: the merge loop is [[bpeMerges]]' (vocab-sized rounds);
     * the apply is ONE equi-join of the corpus's (doc, word) pairs against
@@ -871,8 +884,9 @@ object TextAnalysis {
     * never rescanned per merge. */
   def bpeEncode(
       df: DataFrame, idCol: String, textCol: String, nMerges: Int,
-      checkpointEvery: Int = 4): DataFrame = {
-    val (_, seqs) = bpeLoop(df, textCol, nMerges, checkpointEvery)
+      checkpointEvery: Int = 4, mergesPerRound: Int = 16): DataFrame = {
+    val (_, seqs) = bpeLoop(df, textCol, nMerges, checkpointEvery,
+      mergesPerRound)
     val tok = seqs.select(col("word"),
       size(split(col("seq").substr(lit(2), length(col("seq")) - 2), SymE + SymS))
         .cast("long").as("__nsym"))
@@ -896,28 +910,125 @@ object TextAnalysis {
     * frame (symbols ≤ chars + nMerges — bounded). */
   def bpeVocab(
       df: DataFrame, textCol: String, nMerges: Int,
-      checkpointEvery: Int = 4): DataFrame = {
-    val (_, seqs) = bpeLoop(df, textCol, nMerges, checkpointEvery)
+      checkpointEvery: Int = 4, mergesPerRound: Int = 16): DataFrame = {
+    val (_, seqs) = bpeLoop(df, textCol, nMerges, checkpointEvery,
+      mergesPerRound)
     seqs.select(col("freq"),
         explode(split(col("seq").substr(lit(2), length(col("seq")) - 2),
           SymE + SymS)).as("symbol"))
       .groupBy("symbol").agg(sum(col("freq")).as("n_occurrences"))
   }
 
+  /** Stored-tokenizer apply — tokenize NEW text against a SAVED merge
+    * table without re-running induction: the learn-once/apply-many
+    * contract the other families already have (`dedup_minhash_incr`,
+    * `dedup_substring_incr`, `semanticPairsAgainst`). `merges` is
+    * [[bpeMerges]]' output (or a persisted copy): (rank, left_sym,
+    * right_sym); ranks order the greedy replace chain exactly as
+    * induction recorded it. Emits per batch document the whitespace
+    * word count and the post-merge BPE token count — [[bpeEncode]]'s
+    * shape, but against a FROZEN tokenizer.
+    *
+    * OOV contract: the batch's OWN word types are char-initialized and
+    * the stored merges applied in rank order, so a word the training
+    * corpus never saw keeps whatever symbols the merges fail to fuse —
+    * per-character in the worst case — and is COUNTED, never dropped.
+    * (The self-referential [[bpeEncode]] cannot see OOV by construction;
+    * this is the operator to score a fresh corpus against a stored
+    * tokenizer.)
+    *
+    * Scale shape: the merge table is a bounded MODEL ARTIFACT (32–64k
+    * rows for production vocabularies), collected once driver-side —
+    * never data-sized. The batch collapses to its word-TYPE table
+    * (Zipf-bounded), each stored merge is one map-side string replace
+    * over it, and the replace chain localCheckpoints every
+    * `checkpointEvery` merges so per-projection expression depth stays
+    * bounded for large vocabularies. The payoff is ONE equi-join of the
+    * batch's (doc, word) pairs against the |batch vocab|-row
+    * symbol-count table (AQE broadcasts it when small) and one
+    * partial-aggregated per-doc rollup — zero passes over the training
+    * corpus. */
+  def bpeApply(
+      batch: DataFrame, idCol: String, textCol: String, merges: DataFrame,
+      checkpointEvery: Int = 32): DataFrame = {
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val S = SymS
+    val E = SymE
+    val ms = merges
+      .select(col("rank").cast("long").as("rank"),
+        col("left_sym"), col("right_sym"))
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = batch.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(S) && !col("word").contains(E))
+      .distinct()
+    var seqs = words.select(col("word"),
+      concat_ws("", transform(sequence(lit(1), length(col("word"))),
+        i => concat(lit(S), col("word").substr(i, lit(1)), lit(E)))).as("seq"))
+    val groups = ms.grouped(checkpointEvery).toSeq
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      val next = seqs.select(col("word"),
+        g.foldLeft(col("seq")) { case (e, (l, r)) =>
+          replace(e, lit(S + l + E + S + r + E), lit(S + l + r + E))
+        }.as("seq"))
+      seqs = if (gi < groups.length - 1) next.localCheckpoint() else next
+    }
+    val tok = seqs.select(col("word"),
+      size(split(col("seq").substr(lit(2), length(col("seq")) - 2), E + S))
+        .cast("long").as("__nsym"))
+    batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(S) && !col("word").contains(E))
+      .join(tok, Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("__nsym")).as("n_tokens"))
+  }
+
   private val SymS = "\u0001"
   private val SymE = "\u0002"
 
   /** The shared BPE induction loop: word-frequency table → sentinel-framed
-    * symbol strings → `nMerges` rounds of (pair count, argmax, greedy
-    * replace). Returns the merge sequence and the post-merge vocab frame
-    * (word, freq, seq) — [[bpeMerges]] reports the former, [[bpeEncode]]
-    * consumes the latter. Semantics and scale shape: [[bpeMerges]]. */
+    * symbol strings → rounds of (pair count, ranked top, greedy replace)
+    * until `nMerges` merges are recorded. Returns the merge sequence and
+    * the post-merge vocab frame (word, freq, seq) — [[bpeMerges]] reports
+    * the former, [[bpeEncode]] consumes the latter.
+    *
+    * Each round takes up to `mergesPerRound` merges while staying
+    * EXACTLY the sequential merge sequence. The accepted batch is the
+    * longest ranked prefix p1..pt such that
+    *   (a) the pairs are pairwise non-interacting — no symbol of one
+    *       (left, right, OR the merged concatenation, which can collide
+    *       with an existing symbol) appears in another — so applying
+    *       them in any order yields the same seqs and none changes
+    *       another's pair count; and
+    *   (b) every pi (i ≥ 2) has count STRICTLY above the cutoff — the
+    *       count of the first interacting pair (or of the first pair
+    *       past the fetch window). Merging p1..p(i-1) only perturbs
+    *       pairs that interact with them, and every pair a merge
+    *       creates has count ≤ some interacting pair's old count ≤
+    *       cutoff < count(pi), so the sequential argmax at step i is
+    *       still pi: survivors at the same count rank after pi by the
+    *       (l, r) tie-break (they sorted below it), perturbed pairs sit
+    *       strictly below, and pi's own count is unperturbed (it
+    *       interacts with no earlier batch member). Trimmed pairs are
+    *       simply re-derived next round.
+    * Worst case the batch is a single pair (the unconditional p1) —
+    * plain sequential BPE. `mergesPerRound = 1` IS sequential BPE; the
+    * equivalence is spec-pinned on interacting corpora. */
   private def bpeLoop(
-      df: DataFrame, textCol: String, nMerges: Int, checkpointEvery: Int):
+      df: DataFrame, textCol: String, nMerges: Int, checkpointEvery: Int,
+      mergesPerRound: Int = 16):
       (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
+    require(mergesPerRound >= 1,
+      s"mergesPerRound must be >= 1, got $mergesPerRound")
     val S = SymS
     val E = SymE
     val words = df.filter(col(textCol).isNotNull)
@@ -930,9 +1041,10 @@ object TextAnalysis {
         i => concat(lit(S), col("word").substr(i, lit(1)), lit(E)))).as("seq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var iter = 1
+    var taken = 0
+    var round = 0
     var exhausted = false
-    while (iter <= nMerges && !exhausted) {
+    while (taken < nMerges && !exhausted) {
       val syms = split(col("seq").substr(lit(2), length(col("seq")) - 2),
         E + S)
       // guard BEFORE sequence(1, size-1): Spark's sequence DESCENDS when
@@ -946,19 +1058,50 @@ object TextAnalysis {
               element_at(col("syms"), i + 1).as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
-      val top = pairCounts.orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      val want = math.min(nMerges - taken, mergesPerRound)
+      // fetch one PAST the budget so the cutoff count is known even when
+      // the whole window is conflict-free
+      val rows = pairCounts.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(want + 1).collect()
+      if (rows.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((iter, l, r, cnt))
+        val listExhausted = rows.length < want + 1
+        val maxTake = if (listExhausted) rows.length else rows.length - 1
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val prefix =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var cutoff = 0L
+        var haveCutoff = false
+        var i = 0
+        var stop = false
+        while (i < rows.length && !stop) {
+          val l = rows(i).getString(0)
+          val r = rows(i).getString(1)
+          val c = rows(i).getLong(2)
+          if (i >= maxTake || used.contains(l) || used.contains(r) ||
+              used.contains(l + r)) {
+            stop = true; cutoff = c; haveCutoff = true
+          } else {
+            prefix += ((l, r, c)); used += l; used += r; used += (l + r)
+            i += 1
+          }
+        }
+        val batch =
+          if (!haveCutoff) prefix.toSeq
+          else prefix.toSeq.zipWithIndex
+            .takeWhile { case ((_, _, c), j) => j == 0 || c > cutoff }
+            .map(_._1)
+        batch.foreach { case (l, r, c) =>
+          taken += 1; merges += ((taken, l, r, c))
+        }
         val next = seqs.select(col("word"), col("freq"),
-          replace(col("seq"), lit(S + l + E + S + r + E), lit(S + l + r + E))
-            .as("seq"))
-        seqs = if (iter % checkpointEvery == 0) next.localCheckpoint() else next
+          batch.foldLeft(col("seq")) { case (e, (l, r, _)) =>
+            replace(e, lit(S + l + E + S + r + E), lit(S + l + r + E))
+          }.as("seq"))
+        round += 1
+        seqs =
+          if (round % checkpointEvery == 0) next.localCheckpoint() else next
       }
-      iter += 1
     }
     (merges.result(), seqs)
   }

@@ -332,6 +332,56 @@ class TextEventsSpec extends SparkSpec {
     assert(two == Map(1L -> (3L, 3L), 2L -> (2L, 2L)), two.toString)
   }
 
+  test("bpeApply: stored merges tokenize a fresh batch; OOV words char-init and are counted, never dropped") {
+    // train on a corpus whose merges are (a,b) then (ab,c)
+    val train = Seq("ab ab abc", "ab abc").toDF("text")
+    val merges = TextAnalysis.bpeMerges(train, "text", nMerges = 2)
+    // batch: "abc" is in-vocab (1 token), "abd" partially fuses ([ab, d]),
+    // "xyz" is fully OOV (3 per-char symbols) — bpeEncode's inner join
+    // would have dropped it from the counts entirely
+    val batch = Seq((10L, "abc abd"), (11L, "xyz")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeApply(batch, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(10L -> (2L, 3L), 11L -> (1L, 3L)), got.toString)
+    // empty merge table = character tokenizer, still counts every word
+    val none = TextAnalysis.bpeApply(batch, "doc_id", "text",
+      merges.filter(col("rank") < 0))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(none == Map(10L -> (2L, 6L), 11L -> (1L, 3L)), none.toString)
+    // rank order matters: the chain must apply (a,b) BEFORE (ab,c)
+    val chained = TextAnalysis.bpeApply(
+      Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(chained == Seq((1L, 1L)), chained.toString)
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeApply(batch, "doc_id", "text", merges, 0))
+  }
+
+  test("bpeMerges batched rounds are exactly the sequential merge sequence on interacting corpora") {
+    // every adjacent pair shares symbols with the top pair, forcing the
+    // batch down to size 1 each round — and the counts tie everywhere,
+    // exercising the strictly-above-cutoff trim
+    val hostile = Seq("aaaa aaa aa", "abab bcbc abbc").toDF("text")
+    // a Zipfy corpus where batching actually takes multi-pair rounds
+    val friendly = Seq(
+      "the quick brown fox", "the lazy dog sat", "the quick dog ran",
+      "a brown fox jumped", "the dog barked").toDF("text")
+    for (df <- Seq(hostile, friendly); n <- Seq(1, 3, 8)) {
+      val seq = TextAnalysis.bpeMerges(df, "text", n, mergesPerRound = 1)
+        .collect().map(_.toSeq).toSeq
+      val bat = TextAnalysis.bpeMerges(df, "text", n, mergesPerRound = 16)
+        .collect().map(_.toSeq).toSeq
+      assert(bat == seq, s"n=$n: batched $bat != sequential $seq")
+    }
+    // encode parity under batching too
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab abc")).toDF("doc_id", "text")
+    val e1 = TextAnalysis.bpeEncode(docs, "doc_id", "text", 2, mergesPerRound = 1)
+      .collect().map(_.toSeq).toSet
+    val e16 = TextAnalysis.bpeEncode(docs, "doc_id", "text", 2, mergesPerRound = 16)
+      .collect().map(_.toSeq).toSet
+    assert(e1 == e16, s"$e1 != $e16")
+  }
+
   test("CharEntropy native expression: bit-identical to the interpreted HOF reference, multibyte-safe") {
     val texts = Seq(
       "aaaa",                       // degenerate: H = 0
