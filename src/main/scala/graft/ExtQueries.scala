@@ -965,6 +965,22 @@ object ExtQueries {
       targetPred = col("lang") === "en", hexChars = 3)
       .orderBy("doc_id")
 
+  /** DSIR incremental differential: the LM trained ONCE over the full
+    * corpus ([[Curation.dsirLm]] — the persistable artifact), then an
+    * arriving batch (every fifth doc) scored against the STORED table
+    * with [[Curation.dsirWeightsAgainst]] — no corpus rescan. For a
+    * corpus-subset batch the incremental scores are exactly the
+    * in-corpus scores, so the oracle is dsir_weights' LM CTEs with the
+    * scoring pass restricted to the batch ids. */
+  val dsirWeightsIncrQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val lm = Curation.dsirLm(docs, "text", col("lang") === "en",
+      hexChars = 3)
+    Curation.dsirWeightsAgainst(docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", lm, hexChars = 3)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic content-hash train/val/test split (80/10/10). */
   val curateSplit: Q = (s, d) =>
     Curation.assignSplits(t(s, d, "documents"), "doc_id")
@@ -1574,6 +1590,7 @@ object ExtQueries {
     "multimodal_meta" -> multimodalMeta,
     "curate_split" -> curateSplit,
     "dsir_weights" -> dsirWeightsQ,
+    "dsir_weights_incr" -> dsirWeightsIncrQ,
     "curate_sample" -> curateSample,
     "pack_index" -> packIndexQ,
     "pii_redact" -> piiRedact,
@@ -3487,6 +3504,26 @@ object ExtQueries {
         |    ln(CAST(ct + 1 AS DOUBLE) / (nt + 4096)) -
         |    ln(CAST(cq + 1 AS DOUBLE) / (nq + 4096))), 4) + 0.0 AS dsir_logratio
         |FROM tok JOIN lm USING (f) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dsir_weights_incr: same LM CTEs (trained on the FULL corpus), the
+    // scoring pass restricted to the batch slice — incremental scoring
+    // of a corpus subset must equal its in-corpus scores
+    "dsir_weights_incr" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+        |    substr(md5(w), 1, 3) AS f
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE w <> ''),
+        |lm AS MATERIALIZED (
+        |  SELECT f, count(*) AS cq, sum(is_t) AS ct FROM tok GROUP BY f),
+        |tot AS (SELECT sum(cq) AS nq, sum(ct) AS nt FROM lm)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  round(avg(
+        |    ln(CAST(ct + 1 AS DOUBLE) / (nt + 4096)) -
+        |    ln(CAST(cq + 1 AS DOUBLE) / (nq + 4096))), 4) + 0.0 AS dsir_logratio
+        |FROM tok JOIN lm USING (f) CROSS JOIN tot
+        |WHERE doc_id % 5 = 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "score_unigram" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -553,25 +553,74 @@ object Curation {
     * 1-row aggregate, never a third pass. */
   def dsirWeights(
       df: DataFrame, idCol: String, textCol: String, targetPred: Column,
+      hexChars: Int = 3): DataFrame =
+    dsirWeightsAgainst(df, idCol, textCol,
+      dsirLm(df, textCol, targetPred, hexChars), hexChars)
+
+  /** The DSIR language-model table itself — the PERSISTABLE model
+    * artifact [[dsirWeights]] derives internally: per hashed unigram
+    * feature (first `hexChars` md5 hex chars), the raw-corpus count and
+    * the target-subpopulation count, both from ONE partial-aggregated
+    * token scan (target membership rides as a 0/1 sum). Write this table
+    * once on the training cadence and score every arriving batch against
+    * it with [[dsirWeightsAgainst]] / `DocStreams.dsirScoreArrivals` —
+    * the learn-once/apply-many contract. ≤ 16^hexChars rows — a bounded
+    * model artifact, never data-sized. */
+  def dsirLm(
+      df: DataFrame, textCol: String, targetPred: Column,
       hexChars: Int = 3): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8,
       s"hexChars must be in [1, 8], got $hexChars")
-    val buckets = math.pow(16, hexChars).toLong
-    val tok = df.filter(col(textCol).isNotNull)
-      .select(col(idCol), targetPred.cast("boolean").as("__is_t"),
+    df.filter(col(textCol).isNotNull)
+      .select(targetPred.cast("boolean").as("__is_t"),
         explode(split(col(textCol), " ")).as("__w"))
       .filter(col("__w") =!= "")
-      .select(col(idCol), col("__is_t"),
-        substring(md5(col("__w")), 1, hexChars).as("__f"))
-    val lm = tok.groupBy("__f").agg(
-      count(lit(1)).as("__cq"),
-      coalesce(sum(when(col("__is_t"), 1L).otherwise(0L)), lit(0L)).as("__ct"))
-    val tots = lm.agg(sum(col("__cq")).as("__nq"), sum(col("__ct")).as("__nt"))
-    tok.join(lm, Seq("__f"))
+      .select(col("__is_t"),
+        substring(md5(col("__w")), 1, hexChars).as("feature"))
+      .groupBy("feature").agg(
+        count(lit(1)).as("n_raw"),
+        coalesce(sum(when(col("__is_t"), 1L).otherwise(0L)), lit(0L))
+          .as("n_target"))
+  }
+
+  /** DSIR scoring against a STORED language model — the incremental
+    * twin: arriving documents score against a persisted [[dsirLm]] table
+    * without rebuilding either LM from the corpus (the
+    * `semanticPairsAgainst` contract). For a batch that is a subset of
+    * the training corpus the scores are IDENTICAL to [[dsirWeights]]'
+    * in-corpus scores (same smoothed rationals, same feature counts) —
+    * the registered differential. A feature the training corpus never
+    * hashed is handled by the Laplace smoothing itself: its counts
+    * coalesce to 0 and the ratio stays finite — no row is dropped.
+    *
+    * Scale shape: totals derive from the bounded LM table as a 1-row
+    * broadcast aggregate; the scoring pass is one LEFT join of the
+    * batch's exploded tokens against the ≤ 16^hexChars-row LM (AQE
+    * broadcasts it) and one partial-aggregated per-doc rollup. The
+    * training corpus is never rescanned. */
+  def dsirWeightsAgainst(
+      batch: DataFrame, idCol: String, textCol: String, lm: DataFrame,
+      hexChars: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1, 8], got $hexChars")
+    require(Seq("feature", "n_raw", "n_target").forall(lm.columns.contains),
+      s"lm must carry (feature, n_raw, n_target) — the dsirLm schema; " +
+        s"got (${lm.columns.mkString(", ")})")
+    val buckets = math.pow(16, hexChars).toLong
+    val tots = lm.agg(sum(col("n_raw")).as("__nq"),
+      sum(col("n_target")).as("__nt"))
+    val tok = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .select(col(idCol), substring(md5(col("__w")), 1, hexChars).as("__f"))
+    tok.join(lm.select(col("feature").as("__f"), col("n_raw").as("__cq"),
+        col("n_target").as("__ct")), Seq("__f"), "left")
       .crossJoin(broadcast(tots))
       .withColumn("__lr",
-        log((col("__ct") + 1).cast("double") / (col("__nt") + buckets)) -
-          log((col("__cq") + 1).cast("double") / (col("__nq") + buckets)))
+        log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+            (col("__nt") + buckets)) -
+          log((coalesce(col("__cq"), lit(0L)) + 1).cast("double") /
+            (col("__nq") + buckets)))
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_tok"),
         // + 0.0 normalizes negative zero: a corpus-typical doc's mean

@@ -329,6 +329,62 @@ object DocStreams {
     * strata missing from the cuts table drop (no contract to meet ⇒ not
     * admitted — surface new strata by refreshing the cuts on the batch
     * side's cadence). */
+  /** DSIR importance scoring for continuous ingest — the streaming twin
+    * of [[graft.operators.Curation.dsirWeightsAgainst]]: arriving
+    * documents score against a STORED [[graft.operators.Curation.dsirLm]]
+    * table (trained on the batch corpus, refreshed on the batch side's
+    * cadence — the [[qualityGate]] lifecycle). Appends `n_tok` and
+    * `dsir_logratio` to every arriving row with scorable text; NULL-text
+    * and zero-token rows drop, exactly as the batch operator emits no
+    * row for them.
+    *
+    * STATELESS by construction, which is the point: the per-doc mean
+    * would be a streaming aggregation (state keyed by doc id, unbounded),
+    * so instead the bounded LM (≤ 16^hexChars rows — a model artifact,
+    * never data-sized) collapses driver-side into a feature → log-ratio
+    * map literal and the whole score is one map-side higher-order
+    * fold over the row's own tokens: no state store, no watermark, no
+    * shuffle. Per-feature ratios are precomputed with the same IEEE
+    * double ops the batch side runs in-plan (java.lang.Math.log both
+    * ways), and both sides sum a doc's ratios in token order (the batch
+    * rollup partial-aggregates a doc's map-side-contiguous tokens), so
+    * two-batch parity is exact — StreamingSpec pins it. OOV features
+    * coalesce to the Laplace-smoothed zero-count ratio, never dropped. */
+  def dsirScoreArrivals(
+      stream: DataFrame, lm: DataFrame, textCol: String,
+      hexChars: Int = 3): DataFrame = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!lm.isStreaming, "lm must be a static dsirLm table")
+    require(hexChars >= 1 && hexChars <= 5,
+      s"hexChars must be in [1, 5] for the broadcast-map twin " +
+        s"(16^hexChars map entries), got $hexChars")
+    require(Seq("feature", "n_raw", "n_target").forall(lm.columns.contains),
+      s"lm must carry (feature, n_raw, n_target) — the dsirLm schema; " +
+        s"got (${lm.columns.mkString(", ")})")
+    val buckets = math.pow(16, hexChars).toLong
+    val rows = lm.select("feature", "n_raw", "n_target").collect()
+    val nq = rows.map(_.getLong(1)).sum
+    val nt = rows.map(_.getLong(2)).sum
+    def ratio(cq: Long, ct: Long): Double =
+      math.log((ct + 1).toDouble / (nt + buckets)) -
+        math.log((cq + 1).toDouble / (nq + buckets))
+    val entries = rows.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(ratio(r.getLong(1), r.getLong(2)))))
+    val lmMap = map(entries.toIndexedSeq: _*)
+    val oov = lit(ratio(0L, 0L))
+    val toks = filter(split(col(textCol), " "), w => w =!= "")
+    stream.filter(col(textCol).isNotNull)
+      .withColumn("n_tok", size(toks).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("dsir_logratio",
+        round(aggregate(
+            transform(toks, w =>
+              coalesce(element_at(lmMap, substring(md5(w), 1, hexChars)),
+                oov)),
+            lit(0.0), (acc, x) => acc + x) / col("n_tok").cast("double"),
+          4) + lit(0.0))
+  }
+
   def qualityGate(
       stream: DataFrame, cuts: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {

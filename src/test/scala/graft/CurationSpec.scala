@@ -401,4 +401,42 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.dsirWeights(docs, "doc_id", "text", col("is_t"), hexChars = 0))
   }
+
+  test("dsirWeightsAgainst: stored-LM scoring matches in-corpus for subset batches; OOV features smooth, never drop") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, true, "alpha beta gamma alpha beta"),
+      (2L, true, "beta gamma alpha gamma"),
+      (3L, false, "zebra quokka wombat zebra"),
+      (4L, false, "alpha beta gamma"))
+      .toDF("doc_id", "is_t", "text")
+    val lm = Curation.dsirLm(docs, "text", col("is_t"))
+    // a corpus-subset batch scores exactly as it did in-corpus (the
+    // dsir_weights_incr differential, bit-level)
+    val inCorpus = Curation.dsirWeights(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val incr = Curation.dsirWeightsAgainst(
+        docs.filter(col("doc_id") <= 2), "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(incr == inCorpus.filter(_._1 <= 2), s"$incr vs $inCorpus")
+    // a fully-OOV batch still scores: Laplace smoothing gives unseen
+    // features the zero-count ratio; rows are counted, never dropped
+    val oov = Curation.dsirWeightsAgainst(
+        Seq((9L, "jabberwock vorpal")).toDF("doc_id", "text"),
+        "doc_id", "text", lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(oov.length == 1 && oov.head._1 == 9L && oov.head._2 == 2L,
+      oov.mkString(","))
+    assert(!oov.head._3.isNaN && !oov.head._3.isInfinite, oov.head.toString)
+    // the zero-count ratio is log((0+1)/(nt+4096)) - log((0+1)/(nq+4096)):
+    // nq=16 raw tokens (5+4+4+3), nt=9 target tokens (5+4) -> round-4
+    val expected = BigDecimal(
+        math.log(1.0 / (9 + 4096)) - math.log(1.0 / (16 + 4096)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(oov.head._3 == expected, s"${oov.head._3} != $expected")
+    // schema contract is checked loudly
+    intercept[IllegalArgumentException](
+      Curation.dsirWeightsAgainst(docs, "doc_id", "text",
+        lm.withColumnRenamed("n_raw", "wrong")))
+  }
 }

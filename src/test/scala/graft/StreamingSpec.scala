@@ -348,6 +348,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: DSIR arrivals score bit-identically to the stored-LM batch operator; OOV and empty-text rows behave") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (1L, true, "alpha beta gamma alpha beta"),
+      (2L, true, "beta gamma alpha gamma"),
+      (3L, false, "zebra quokka wombat zebra"),
+      (4L, false, "alpha beta gamma"))
+      .toDF("doc_id", "is_t", "text")
+    val lm = graft.operators.Curation.dsirLm(corpus, "text", col("is_t"))
+    // arrivals: in-vocab, mixed, fully OOV, and unscoreable rows
+    val arrivals = Seq(
+      (10L, "alpha beta zebra"), (11L, "jabberwock vorpal"),
+      (12L, "gamma gamma gamma wombat"), (13L, ""), (14L, "   "))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.dsirScoreArrivals(
+        mem.toDF().toDF("doc_id", "text"), lm, "text")
+      .writeStream.format("memory").queryName("dsir_scored")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arrivals.take(2)); q.processAllAvailable()
+      mem.addData(arrivals.drop(2)); q.processAllAvailable()
+      val got = spark.table("dsir_scored")
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_tok"), r.getAs[Double]("dsir_logratio"))).toMap
+      // zero-token rows drop, mirroring the batch operator emitting no row
+      assert(got.keySet == Set(10L, 11L, 12L), got.toString)
+      val batch = graft.operators.Curation.dsirWeightsAgainst(
+          arrivals.toDF("doc_id", "text"), "doc_id", "text", lm)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      got.foreach { case (id, (n, s)) =>
+        assert(batch(id)._1 == n, s"$id: n_tok $n != ${batch(id)._1}")
+        assert(java.lang.Double.compare(batch(id)._2, s) == 0,
+          s"$id: $s != ${batch(id)._2}")
+      }
+    } finally q.stop()
+  }
+
   test("burstEvents: sub-threshold gaps emit with exact micros; first events and slow cadence don't; state spans batches") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
