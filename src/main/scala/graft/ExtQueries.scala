@@ -886,6 +886,51 @@ object ExtQueries {
         when(col("n_junk_pairs") === 0, 1).otherwise(0).as("random_clean"))
   }
 
+  /** Exact-verify payoff differential for the CTPH candidate stage: the
+    * planted re-encodings' candidate pairs join their PAYLOADS back
+    * through [[MultiModal.mediaNearDupVerify]] and must certify at
+    * overlap_ratio ≥ 0.5 (interior content-defined pieces are identical
+    * under full 32-bit hashes; only the wrapper's boundary pieces
+    * differ, so real re-encodings land near 1.0) — while CONTROL pairs,
+    * each junk payload forced against its base doc (pairs the candidate
+    * stage never emits, injected precisely because they must FAIL
+    * verification), certify below (disjoint bytes share ~no full-hash
+    * piece). DuckDB recounts both populations and pins both flags. */
+  val mediaNearDupVerifyQ: Q = (s, d) => {
+    val (docs, base, planted, junk) = mediaPopulations(s, d)
+    val media = base.unionByName(planted).unionByName(junk)
+    val cand = MultiModal.mediaNearDup(media, "media_id", "content",
+      blockSize = 8, gramLen = 7, minShared = 2, maxGramDf = 20)
+    val plantPairs = cand
+      .filter(col("a_id") < lit(10000000L) &&
+        col("b_id") === col("a_id") + lit(10000000L))
+      .select("a_id", "b_id")
+    val controlPairs = junk.select(
+      (col("media_id") - lit(20000000L)).as("a_id"),
+      col("media_id").as("b_id"))
+    val ver = MultiModal.mediaNearDupVerify(media, "media_id", "content",
+      plantPairs.unionByName(controlPairs), blockSize = 8)
+      .localCheckpoint()
+    val counts = docs.agg(
+      coalesce(sum(when(col("__plantable"), 1L).otherwise(0L)), lit(0L))
+        .as("n_planted"),
+      coalesce(sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_random"))
+    val verified = ver.agg(
+      coalesce(sum(when(col("b_id") < lit(20000000L) &&
+        col("overlap_ratio") >= 0.5, 1L).otherwise(0L)), lit(0L))
+        .as("n_plants_verified"),
+      coalesce(sum(when(col("b_id") >= lit(20000000L) &&
+        col("overlap_ratio") < 0.5, 1L).otherwise(0L)), lit(0L))
+        .as("n_controls_rejected"))
+    counts.crossJoin(verified)
+      .select(col("n_planted"), col("n_random"),
+        when(col("n_plants_verified") === col("n_planted"), 1).otherwise(0)
+          .as("plants_verified"),
+        when(col("n_controls_rejected") === col("n_random"), 1).otherwise(0)
+          .as("controls_rejected"))
+  }
+
   /** The training-data pipeline showcase: language filter -> quality gate
     * -> exact dedup (keep min id per content hash) -> n-gram near-dup
     * CLUSTER resolution (connected components over candidate pairs, keep
@@ -1566,6 +1611,7 @@ object ExtQueries {
     "media_dedup" -> mediaDedupQ,
     "media_neardup" -> mediaNearDupQ,
     "media_neardup_incr" -> mediaNearDupIncrQ,
+    "media_neardup_verify" -> mediaNearDupVerifyQ,
     "substring_extent" -> substringExtentQ,
     "ngram_novelty" -> ngramNoveltyQ,
     "dedup_embed" -> dedupEmbed,
@@ -2417,6 +2463,21 @@ object ExtQueries {
         |  CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_random,
         |  CAST(1 AS INTEGER) AS recall_complete,
         |  CAST(1 AS INTEGER) AS random_clean
+        |FROM d""".stripMargin,
+    // the CTPH exact-verify stage has no SQL mirror either (content-
+    // defined chunking IS the operator): DuckDB recounts the planted and
+    // control populations and pins both certification flags — every
+    // planted re-encoding must verify >= 0.5 piece overlap against its
+    // base, every forced junk-vs-base control must verify below
+    "media_neardup_verify" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    count(*) OVER (PARTITION BY md5(text)) AS textdup
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(count(*) FILTER (WHERE length(text) >= 200 AND textdup = 1)
+        |    AS BIGINT) AS n_planted,
+        |  CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_random,
+        |  CAST(1 AS INTEGER) AS plants_verified,
+        |  CAST(1 AS INTEGER) AS controls_rejected
         |FROM d""".stripMargin,
     // deflate has no SQL mirror: DuckDB pins the raw byte length (strlen =
     // octet count) and the bound flag; NULL text filtered on BOTH sides

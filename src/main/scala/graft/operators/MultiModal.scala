@@ -247,6 +247,37 @@ object MultiModal {
       if (inPiece) sb.append(Alphabet.charAt(piece & 63))
       sb.toString
     }
+
+    /** The FULL 32-bit FNV-1a hash of every content-defined piece — the
+      * exact-verify companion to [[signature]]: identical boundary rule
+      * (same rolling hash, same blockSize trigger), but each piece keeps
+      * all 32 bits instead of the signature's 6-bit base64 alias, so a
+      * shared piece here means the underlying byte runs hashed equal,
+      * not that two runs collided in a 64-symbol alphabet. Returned
+      * unsigned-widened to Long. Empty/NULL payloads yield no pieces. */
+    def pieces(bytes: Array[Byte], blockSize: Int): Array[Long] = {
+      require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+      if (bytes == null) return Array.empty[Long]
+      val roll = new Roll
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var piece = 0x811c9dc5 // FNV-1a 32-bit offset basis
+      var inPiece = false
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        piece = (piece ^ b) * 0x01000193
+        inPiece = true
+        val r = roll.update(b)
+        if (java.lang.Integer.remainderUnsigned(r, blockSize) == blockSize - 1) {
+          out += java.lang.Integer.toUnsignedLong(piece)
+          piece = 0x811c9dc5
+          inPiece = false
+        }
+        i += 1
+      }
+      if (inPiece) out += java.lang.Integer.toUnsignedLong(piece)
+      out.toArray
+    }
   }
 
   /** CTPH signature column (sketch-wrapper UDF — the Bloom/CMS precedent:
@@ -324,6 +355,55 @@ object MultiModal {
       ctphSignature(col(binCol), blockSize).as("__sig"))
     graft.operators.Dedup.substringDupPairsAgainst(sigs, cappedIndex,
       idCol, "__sig", k = gramLen, w = 1, minShared = minShared)
+  }
+
+  /** Exact-verify payoff stage for [[mediaNearDup]] /
+    * [[mediaNearDupAgainst]] candidates: join the PAYLOADS back over the
+    * candidate pair frame and emit a verified similarity — the
+    * distinct-piece overlap under the full 32-bit content-defined
+    * chunking ([[Ctph.pieces]]: same boundaries the signature used, but
+    * no 64-symbol aliasing, so a shared piece certifies equal-hashing
+    * byte runs). Emits (a_id, b_id, n_pieces_a, n_pieces_b,
+    * n_shared_pieces, overlap_ratio) where overlap_ratio =
+    * shared / min(|a|, |b|) over DISTINCT pieces (containment-style:
+    * a payload fully embedded in a larger one verifies at ~1.0), NULL
+    * when either side has no piece (empty/NULL payload — nothing to
+    * certify). A candidate that matched on signature grams but shares
+    * few full-hash pieces was an alias coincidence and scores low —
+    * that's the verification.
+    *
+    * Scale shape: the byte walk runs ONCE per payload that actually
+    * appears in a pair (left-semi cut on the union of pair ids before
+    * the UDF — the corpus's untouched payloads are never re-read), the
+    * pair frame then hash-joins the bounded piece arrays twice; payload
+    * bytes never shuffle, piece arrays (|payload|/blockSize entries —
+    * the caller's blockSize picks the sketch size) do. One division per
+    * pair, round-4. */
+  def mediaNearDupVerify(
+      df: DataFrame, idCol: String, binCol: String, pairs: DataFrame,
+      blockSize: Int = 8): DataFrame = {
+    require(Seq("a_id", "b_id").forall(pairs.columns.contains),
+      s"pairs must carry (a_id, b_id); got (${pairs.columns.mkString(", ")})")
+    val piecesUdf = udf((b: Array[Byte]) => Ctph.pieces(b, blockSize))
+    val ids = pairs.select(col("a_id").as(idCol))
+      .unionByName(pairs.select(col("b_id").as(idCol))).distinct()
+    val pieces = df.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_distinct(piecesUdf(col(binCol))).as("__pieces"))
+    pairs.select(col("a_id"), col("b_id"))
+      .join(pieces.select(col(idCol).as("a_id"), col("__pieces").as("__pa")),
+        Seq("a_id"))
+      .join(pieces.select(col(idCol).as("b_id"), col("__pieces").as("__pb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(col("__pa")).cast("long").as("n_pieces_a"),
+        size(col("__pb")).cast("long").as("n_pieces_b"),
+        size(array_intersect(col("__pa"), col("__pb"))).cast("long")
+          .as("n_shared_pieces"))
+      .withColumn("overlap_ratio",
+        when(least(col("n_pieces_a"), col("n_pieces_b")) > 0,
+          round(col("n_shared_pieces").cast("double") /
+            least(col("n_pieces_a"), col("n_pieces_b")).cast("double"), 4)))
   }
 
   /** Build a Media dataset from any table with an id and a string payload —

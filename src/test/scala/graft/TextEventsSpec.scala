@@ -479,6 +479,39 @@ class TextEventsSpec extends SparkSpec {
     assert(op == brute, s"op=$op brute=$brute")
   }
 
+  test("mediaNearDupVerify: re-encodings certify near 1.0, disjoint controls near 0, empty payloads NULL; piece hashes are full-width") {
+    val rng = new scala.util.Random(23)
+    def blob(n: Int) = Array.fill[Byte](n)(rng.nextInt(256).toByte)
+    val original = blob(400)
+    val reencoded = "HDR99".getBytes ++ original ++ "TRAILER".getBytes
+    val unrelated = blob(400)
+    val media = Seq((1L, original), (2L, reencoded), (3L, unrelated),
+      (4L, Array.empty[Byte])).toDF("media_id", "content")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val got = MultiModal.mediaNearDupVerify(media, "media_id", "content", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getDouble(5))).toMap
+    // wrapper only perturbs boundary pieces: interior full-hash pieces
+    // are identical, so the re-encoding certifies high
+    val (na, nb, shared, ratio) = got((1L, 2L))
+    assert(ratio.asInstanceOf[Double] >= 0.9, got.toString)
+    assert(shared <= math.min(na, nb) && shared > 0, got.toString)
+    // disjoint random payloads certify ~0 under FULL 32-bit piece hashes
+    // (the 6-bit signature alphabet could alias; the verify must not)
+    assert(got((1L, 3L))._4.asInstanceOf[Double] <= 0.1, got.toString)
+    // empty payload: no pieces, nothing to certify -> NULL ratio
+    assert(got((1L, 4L))._2 == 0L && got((1L, 4L))._4 == null, got.toString)
+    // the verify walks only payloads the pair frame touches: piece
+    // parity with a direct computation
+    val direct = MultiModal.Ctph.pieces(original, 8)
+    assert(direct.distinct.length == na, s"$na vs ${direct.distinct.length}")
+    assert(MultiModal.Ctph.pieces(null, 8).isEmpty)
+    intercept[IllegalArgumentException](
+      MultiModal.mediaNearDupVerify(media, "media_id", "content",
+        pairs.withColumnRenamed("b_id", "wrong")))
+  }
+
   test("mediaDedup: identical payloads collapse keeping the min id; NULL payloads drop; bytes never shuffle as keys") {
     val a = Array[Byte](1, 2, 3, 4)
     val media = Seq(
