@@ -844,10 +844,13 @@ object TextAnalysis {
     * pairwise non-interacting (no shared left/right/merged symbol) and
     * strictly above the count of the first interacting pair (trimmed
     * pairs re-derive next round; see [[bpeLoop]] for why the guard makes
-    * the batch EXACTLY the sequential merge sequence). On Zipf-shaped
-    * vocabularies this cuts driver round-trips ~mergesPerRound×, the
-    * difference between 32k sequential Spark jobs and ~2k for a
-    * production vocabulary. The seq table re-checkpoints every
+    * the batch EXACTLY the sequential merge sequence). The round saving
+    * is corpus-dependent because the guard never speculates: measured on
+    * the fixture corpus, 8 merges take 3 rounds and 64 take 54 (early
+    * char-level top pairs share letters, so batches stay small), while
+    * frequency-separated disjoint pair distributions — the shape of the
+    * LATER merge tail, where symbols have specialized — batch at the
+    * full mergesPerRound (spec-pinned). The seq table re-checkpoints every
     * `checkpointEvery` rounds so the replace chain's plan stays
     * bounded. The corpus text itself is scanned exactly once. */
   def bpeMerges(
@@ -1020,9 +1023,22 @@ object TextAnalysis {
     * Worst case the batch is a single pair (the unconditional p1) —
     * plain sequential BPE. `mergesPerRound = 1` IS sequential BPE; the
     * equivalence is spec-pinned on interacting corpora. */
+  /** Driver round-trips the induction loop needed for `nMerges` merges —
+    * the batching payoff, observable: sequential BPE is one round per
+    * merge; the batched loop's rounds drop toward nMerges/mergesPerRound
+    * on Zipf-shaped vocabularies. Test/diagnostic surface. */
+  private[graft] def bpeRounds(
+      df: DataFrame, textCol: String, nMerges: Int,
+      checkpointEvery: Int = 4, mergesPerRound: Int = 16): Int = {
+    var rounds = 0
+    bpeLoop(df, textCol, nMerges, checkpointEvery, mergesPerRound,
+      onRound = () => rounds += 1)
+    rounds
+  }
+
   private def bpeLoop(
       df: DataFrame, textCol: String, nMerges: Int, checkpointEvery: Int,
-      mergesPerRound: Int = 16):
+      mergesPerRound: Int = 16, onRound: () => Unit = () => ()):
       (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(checkpointEvery >= 1,
@@ -1063,6 +1079,7 @@ object TextAnalysis {
       // the whole window is conflict-free
       val rows = pairCounts.orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(want + 1).collect()
+      onRound()
       if (rows.isEmpty) exhausted = true
       else {
         val listExhausted = rows.length < want + 1

@@ -380,6 +380,27 @@ class TextEventsSpec extends SparkSpec {
     val e16 = TextAnalysis.bpeEncode(docs, "doc_id", "text", 2, mergesPerRound = 16)
       .collect().map(_.toSeq).toSet
     assert(e1 == e16, s"$e1 != $e16")
+    // the payoff is observable: disjoint-alphabet words with distinct
+    // frequencies have non-interacting, strictly-ordered top pairs, so
+    // one round takes them all — while the sequential loop pays one
+    // driver round-trip per merge
+    val disjoint = (0 until 8).flatMap { i =>
+      val c = ('a' + i).toChar.toString
+      Seq.fill(10 - i)(c + c)
+    }.mkString(" ")
+    val batchable = Seq(disjoint).toDF("text")
+    val seqRounds = TextAnalysis.bpeRounds(batchable, "text", 8,
+      mergesPerRound = 1)
+    val batRounds = TextAnalysis.bpeRounds(batchable, "text", 8,
+      mergesPerRound = 16)
+    assert(seqRounds >= 8, s"sequential took $seqRounds rounds")
+    assert(batRounds <= 2, s"batched rounds $batRounds")
+    // and the merge sequences still agree
+    val sm = TextAnalysis.bpeMerges(batchable, "text", 8, mergesPerRound = 1)
+      .collect().map(_.toSeq).toSeq
+    val bm = TextAnalysis.bpeMerges(batchable, "text", 8, mergesPerRound = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(sm == bm, s"$bm != $sm")
   }
 
   test("CharEntropy native expression: bit-identical to the interpreted HOF reference, multibyte-safe") {
