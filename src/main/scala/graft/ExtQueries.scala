@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.operators.{Curation, Dedup, Events, Fuzzy, MultiModal, Privacy, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Classify, Curation, Dedup, Events, Fuzzy, MultiModal, Privacy, Similarity, Temporal, TextAnalysis}
 
 /** Training-data-pipeline extension queries (SURVEY §7.6): dedup family,
   * similarity search, text analysis, multimodal plumbing, event windows.
@@ -1026,6 +1026,32 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The persistable NB model artifact, trained on the even-doc_id half
+    * with the language as the label: per (label, hashed-unigram feature)
+    * token counts, each row carrying its label's doc count — exact
+    * integers, fully SQL-mirrored. */
+  val nbTrainQ: Q = (s, d) =>
+    Classify.nbTrain(
+      t(s, d, "documents").filter(col("doc_id") % 2 === 0), "lang", "text",
+      hexChars = 3)
+      .orderBy("label", "feature")
+
+  /** Stored-model classification of the held-out odd half: per doc the
+    * argmax language under the even-half NB model — Laplace-smoothed
+    * log-posteriors rounded to 4, ties on the lexicographic label, OOV
+    * features smoothing to the zero-count ratio instead of dropping the
+    * doc. The learn-once/apply-many differential for the supervised
+    * family. */
+  val nbClassifyQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val model = Classify.nbTrain(
+      docs.filter(col("doc_id") % 2 === 0), "lang", "text", hexChars = 3)
+    Classify.nbClassify(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model,
+      hexChars = 3)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic content-hash train/val/test split (80/10/10). */
   val curateSplit: Q = (s, d) =>
     Curation.assignSplits(t(s, d, "documents"), "doc_id")
@@ -1637,6 +1663,8 @@ object ExtQueries {
     "curate_split" -> curateSplit,
     "dsir_weights" -> dsirWeightsQ,
     "dsir_weights_incr" -> dsirWeightsIncrQ,
+    "nb_train" -> nbTrainQ,
+    "nb_classify" -> nbClassifyQ,
     "curate_sample" -> curateSample,
     "pack_index" -> packIndexQ,
     "pii_redact" -> piiRedact,
@@ -3586,6 +3614,55 @@ object ExtQueries {
         |FROM tok JOIN lm USING (f) CROSS JOIN tot
         |WHERE doc_id % 5 = 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // nb_train: exact (label, feature) token counts over the even-half
+    // training slice, each row carrying its label's doc count
+    "nb_train" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0),
+        |nd AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY 1),
+        |tok AS (SELECT lang AS label, substr(md5(w), 1, 3) AS feature
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM d)
+        |  WHERE w <> ''),
+        |f AS (SELECT label, feature, CAST(count(*) AS BIGINT) AS n_feat
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT label, feature, n_feat, n_docs FROM f JOIN nd USING (label)
+        |ORDER BY label, feature""".stripMargin,
+    // nb_classify: the same model CTEs, then per held-out doc and class
+    // the Laplace-smoothed log-posterior (prior + token sum, round-4
+    // with the +0.0 normalization) and the (score DESC, label) argmax
+    "nb_classify" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0),
+        |nd AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY 1),
+        |tok AS (SELECT lang AS label, substr(md5(w), 1, 3) AS feature
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM d)
+        |  WHERE w <> ''),
+        |f AS (SELECT label, feature, CAST(count(*) AS BIGINT) AS n_feat
+        |  FROM tok GROUP BY 1, 2),
+        |nl AS (SELECT label, CAST(sum(n_feat) AS BIGINT) AS nl
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS ndocs FROM nd),
+        |btok AS (SELECT doc_id, substr(md5(w), 1, 3) AS feature
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)
+        |  WHERE w <> ''),
+        |sc AS (
+        |  SELECT b.doc_id, c.label, CAST(count(*) AS BIGINT) AS n_tok,
+        |    round(ln(CAST(c.n_docs AS DOUBLE) / ndocs) +
+        |      sum(ln(CAST(coalesce(f.n_feat, 0) + 1 AS DOUBLE) / (nl.nl + 4096))),
+        |      4) + 0.0 AS score
+        |  FROM btok b
+        |  CROSS JOIN nd c
+        |  JOIN nl ON nl.label = c.label
+        |  LEFT JOIN f ON f.label = c.label AND f.feature = b.feature
+        |  CROSS JOIN tot
+        |  GROUP BY b.doc_id, c.label, c.n_docs, nl.nl, ndocs)
+        |SELECT doc_id, n_tok, label AS pred_label, score FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, label) = 1
+        |ORDER BY doc_id""".stripMargin,
     "score_unigram" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |lm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),

@@ -385,6 +385,82 @@ object DocStreams {
           4) + lit(0.0))
   }
 
+  /** Naive Bayes routing for continuous ingest — the streaming twin of
+    * [[graft.operators.Classify.nbClassify]] against a STORED
+    * [[graft.operators.Classify.nbTrain]] model (trained on the batch
+    * corpus, refreshed on its cadence). Appends `n_tok`, `pred_label`,
+    * and the round-4 `score` to every arriving row with scorable text;
+    * NULL-text and zero-token rows drop, as the batch classifier emits
+    * no row for them.
+    *
+    * STATELESS like [[dsirScoreArrivals]] and for the same reason: the
+    * per-(doc, class) aggregation would need a state store, so the
+    * bounded model (≤ |labels| × 16^hexChars rows) collapses driver-side
+    * into a feature → per-class log-likelihood array map and the whole
+    * posterior is one map-side fold over the row's own tokens, priors
+    * added once at the end (the batch side's own grouping: token sum,
+    * then + prior). Labels are sorted ascending, and the argmax takes
+    * the FIRST maximum of the round-4 scores — exactly the batch
+    * classifier's (score desc, label asc) tie-break. OOV features
+    * coalesce to each class's zero-count smoothed ratio. */
+  def nbClassifyArrivals(
+      stream: DataFrame, model: DataFrame, textCol: String,
+      hexChars: Int = 3): DataFrame = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!model.isStreaming, "model must be a static nbTrain table")
+    require(hexChars >= 1 && hexChars <= 5,
+      s"hexChars must be in [1, 5] for the broadcast-map twin " +
+        s"(16^hexChars map entries), got $hexChars")
+    require(Seq("label", "feature", "n_feat", "n_docs")
+        .forall(model.columns.contains),
+      s"model must carry (label, feature, n_feat, n_docs) — the nbTrain " +
+        s"schema; got (${model.columns.mkString(", ")})")
+    val buckets = math.pow(16, hexChars).toLong
+    val rows = model.select("label", "feature", "n_feat", "n_docs").collect()
+    require(rows.nonEmpty, "model table is empty — nothing to classify with")
+    val labels = rows.map(_.getString(0)).distinct.sorted
+    val idx = labels.zipWithIndex.toMap
+    val nl = new Array[Long](labels.length)
+    val nd = new Array[Long](labels.length)
+    rows.foreach { r =>
+      val i = idx(r.getString(0))
+      nl(i) += r.getLong(2)
+      nd(i) = r.getLong(3)
+    }
+    val ndocs = nd.sum
+    def ll(i: Int, cnt: Long): Double =
+      math.log((cnt + 1).toDouble / (nl(i) + buckets))
+    val byFeature = rows.groupBy(_.getString(1)).map { case (f, rs) =>
+      val counts = new Array[Long](labels.length)
+      rs.foreach(r => counts(idx(r.getString(0))) = r.getLong(2))
+      f -> counts.zipWithIndex.map { case (c, i) => ll(i, c) }
+    }
+    val oovArr = array(labels.indices.map(i => lit(ll(i, 0L))): _*)
+    val featMap = map(byFeature.toSeq.flatMap { case (f, lls) =>
+      Seq(lit(f), array(lls.map(lit): _*))
+    }: _*)
+    val priors = array(labels.indices.map(i =>
+      lit(math.log(nd(i).toDouble / ndocs))): _*)
+    val labelArr = array(labels.map(lit): _*)
+    val toks = filter(split(col(textCol), " "), w => w =!= "")
+    val zeros = array(labels.indices.map(_ => lit(0.0)): _*)
+    val folded = aggregate(
+      transform(toks, w =>
+        coalesce(element_at(featMap, substring(md5(w), 1, hexChars)),
+          oovArr)),
+      zeros, (acc, x) => zip_with(acc, x, (a, b) => a + b))
+    val scores = zip_with(folded, priors, (s, p) => round(s + p, 4) + lit(0.0))
+    stream.filter(col(textCol).isNotNull)
+      .withColumn("n_tok", size(toks).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("__scores", scores)
+      .withColumn("__pos", array_position(col("__scores"),
+        array_max(col("__scores"))))
+      .withColumn("pred_label", element_at(labelArr, col("__pos").cast("int")))
+      .withColumn("score", element_at(col("__scores"), col("__pos").cast("int")))
+      .drop("__scores", "__pos")
+  }
+
   def qualityGate(
       stream: DataFrame, cuts: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {

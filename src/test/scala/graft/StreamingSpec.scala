@@ -386,6 +386,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: NB arrivals route identically to the stored-model batch classifier, OOV included") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val train = Seq(("A", "x x y"), ("A", "x"), ("B", "z z"))
+      .toDF("lang", "text")
+    val model = graft.operators.Classify.nbTrain(train, "lang", "text")
+    val arrivals = Seq(
+      (10L, "x y"), (11L, "z"), (12L, "qq"), (13L, ""), (14L, "z z x"))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.nbClassifyArrivals(
+        mem.toDF().toDF("doc_id", "text"), model, "text")
+      .writeStream.format("memory").queryName("nb_routed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arrivals.take(2)); q.processAllAvailable()
+      mem.addData(arrivals.drop(2)); q.processAllAvailable()
+      val got = spark.table("nb_routed")
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_tok"), r.getAs[String]("pred_label"),
+            r.getAs[Double]("score"))).toMap
+      assert(got.keySet == Set(10L, 11L, 12L, 14L), got.toString)
+      val batch = graft.operators.Classify.nbClassify(
+          arrivals.toDF("doc_id", "text"), "doc_id", "text", model)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getString(2), r.getDouble(3))).toMap
+      got.foreach { case (id, (n, l, s)) =>
+        assert(batch(id)._1 == n && batch(id)._2 == l,
+          s"$id: ($n, $l) != ${batch(id)}")
+        assert(java.lang.Double.compare(batch(id)._3, s) == 0,
+          s"$id: score $s != ${batch(id)._3}")
+      }
+    } finally q.stop()
+  }
+
   test("burstEvents: sub-threshold gaps emit with exact micros; first events and slow cadence don't; state spans batches") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
