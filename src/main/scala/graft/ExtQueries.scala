@@ -908,8 +908,13 @@ object ExtQueries {
     val controlPairs = junk.select(
       (col("media_id") - lit(20000000L)).as("a_id"),
       col("media_id").as("b_id"))
+    // checkpoint the pair frame: the verify consumes it three times (two
+    // id-union branches + the final join), and plantPairs carries the
+    // whole CTPH candidate stage — without the boundary that stage would
+    // re-run per consumer (the pipeline_pretrain lesson)
+    val pairs = plantPairs.unionByName(controlPairs).localCheckpoint()
     val ver = MultiModal.mediaNearDupVerify(media, "media_id", "content",
-      plantPairs.unionByName(controlPairs), blockSize = 8)
+      pairs, blockSize = 8)
       .localCheckpoint()
     val counts = docs.agg(
       coalesce(sum(when(col("__plantable"), 1L).otherwise(0L)), lit(0L))
@@ -920,8 +925,12 @@ object ExtQueries {
       coalesce(sum(when(col("b_id") < lit(20000000L) &&
         col("overlap_ratio") >= 0.5, 1L).otherwise(0L)), lit(0L))
         .as("n_plants_verified"),
+      // NULL ratio (a piece-less side) is a REJECTION for a control:
+      // nothing could be certified — without the isNull arm a token-free
+      // fixture doc would flip the pinned flag on a fixture property
       coalesce(sum(when(col("b_id") >= lit(20000000L) &&
-        col("overlap_ratio") < 0.5, 1L).otherwise(0L)), lit(0L))
+        (col("overlap_ratio").isNull || col("overlap_ratio") < 0.5), 1L)
+        .otherwise(0L)), lit(0L))
         .as("n_controls_rejected"))
     counts.crossJoin(verified)
       .select(col("n_planted"), col("n_random"),
@@ -3618,7 +3627,8 @@ object ExtQueries {
     // training slice, each row carrying its label's doc count
     "nb_train" ->
       """WITH d AS (SELECT doc_id, lang, text FROM documents
-        |  WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0),
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0
+        |    AND len(list_filter(string_split(text, ' '), w -> w <> '')) > 0),
         |nd AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
         |  FROM d GROUP BY 1),
         |tok AS (SELECT lang AS label, substr(md5(w), 1, 3) AS feature
@@ -3633,7 +3643,8 @@ object ExtQueries {
     // with the +0.0 normalization) and the (score DESC, label) argmax
     "nb_classify" ->
       """WITH d AS (SELECT doc_id, lang, text FROM documents
-        |  WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0),
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0
+        |    AND len(list_filter(string_split(text, ' '), w -> w <> '')) > 0),
         |nd AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
         |  FROM d GROUP BY 1),
         |tok AS (SELECT lang AS label, substr(md5(w), 1, 3) AS feature

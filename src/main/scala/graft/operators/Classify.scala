@@ -26,18 +26,26 @@ object Classify {
     * count, each row also carrying the label's document count (redundant
     * by construction so the model is ONE self-contained artifact — no
     * sidecar prior table to version-skew against). Rows with NULL
-    * label/text are excluded (unlabeled data cannot supervise).
+    * label/text are excluded (unlabeled data cannot supervise), and so
+    * are docs with zero nonempty tokens: they would inflate the prior of
+    * a label they contribute no evidence for, and — the sharper reason —
+    * a label whose EVERY doc is token-free would otherwise count toward
+    * the prior denominator while carrying no feature row, leaving the
+    * model's total-docs view ambiguous across consumers. With the
+    * filter, "label in the model" and "label contributes docs" are the
+    * same predicate everywhere.
     *
     * Scale shape: one partial-aggregated (label, feature) shuffle over
     * the exploded tokens — bounded by |labels| × 16^hexChars output rows
     * regardless of corpus size — plus a |labels|-row doc-count aggregate
-    * broadcast onto it. */
+    * broadcast onto it; the token-presence filter is a map-side HOF. */
   def nbTrain(
       df: DataFrame, labelCol: String, textCol: String,
       hexChars: Int = 3): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8,
       s"hexChars must be in [1, 8], got $hexChars")
     val labeled = df.filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .filter(size(filter(split(col(textCol), " "), w => w =!= "")) > 0)
     val nd = labeled.groupBy(col(labelCol).cast("string").as("label"))
       .agg(count(lit(1)).as("n_docs"))
     labeled

@@ -224,11 +224,17 @@ object MultiModal {
       }
     }
 
-    def signature(bytes: Array[Byte], blockSize: Int): String = {
+    /** The ONE content-defined chunking walk both emitters share —
+      * [[signature]] and [[pieces]] differ only in what they keep of each
+      * piece hash, so the boundary rule (rolling hash, blockSize trigger,
+      * tail flush) CANNOT desynchronize between the candidate stage and
+      * the verify stage; `emit` receives the full 32-bit FNV-1a of every
+      * piece. */
+    private def walk(bytes: Array[Byte], blockSize: Int)
+        (emit: Int => Unit): Unit = {
       require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
-      if (bytes == null) return ""
+      if (bytes == null) return
       val roll = new Roll
-      val sb = new java.lang.StringBuilder
       var piece = 0x811c9dc5 // FNV-1a 32-bit offset basis
       var inPiece = false
       var i = 0
@@ -238,44 +244,31 @@ object MultiModal {
         inPiece = true
         val r = roll.update(b)
         if (java.lang.Integer.remainderUnsigned(r, blockSize) == blockSize - 1) {
-          sb.append(Alphabet.charAt(piece & 63))
+          emit(piece)
           piece = 0x811c9dc5
           inPiece = false
         }
         i += 1
       }
-      if (inPiece) sb.append(Alphabet.charAt(piece & 63))
+      if (inPiece) emit(piece)
+    }
+
+    def signature(bytes: Array[Byte], blockSize: Int): String = {
+      val sb = new java.lang.StringBuilder
+      walk(bytes, blockSize)(p => sb.append(Alphabet.charAt(p & 63)))
       sb.toString
     }
 
     /** The FULL 32-bit FNV-1a hash of every content-defined piece — the
       * exact-verify companion to [[signature]]: identical boundary rule
-      * (same rolling hash, same blockSize trigger), but each piece keeps
-      * all 32 bits instead of the signature's 6-bit base64 alias, so a
+      * by construction (the shared [[walk]]), but each piece keeps all
+      * 32 bits instead of the signature's 6-bit base64 alias, so a
       * shared piece here means the underlying byte runs hashed equal,
       * not that two runs collided in a 64-symbol alphabet. Returned
       * unsigned-widened to Long. Empty/NULL payloads yield no pieces. */
     def pieces(bytes: Array[Byte], blockSize: Int): Array[Long] = {
-      require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
-      if (bytes == null) return Array.empty[Long]
-      val roll = new Roll
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var piece = 0x811c9dc5 // FNV-1a 32-bit offset basis
-      var inPiece = false
-      var i = 0
-      while (i < bytes.length) {
-        val b = bytes(i) & 0xff
-        piece = (piece ^ b) * 0x01000193
-        inPiece = true
-        val r = roll.update(b)
-        if (java.lang.Integer.remainderUnsigned(r, blockSize) == blockSize - 1) {
-          out += java.lang.Integer.toUnsignedLong(piece)
-          piece = 0x811c9dc5
-          inPiece = false
-        }
-        i += 1
-      }
-      if (inPiece) out += java.lang.Integer.toUnsignedLong(piece)
+      walk(bytes, blockSize)(p => out += java.lang.Integer.toUnsignedLong(p))
       out.toArray
     }
   }

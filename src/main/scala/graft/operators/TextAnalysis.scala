@@ -1019,7 +1019,19 @@ object TextAnalysis {
     *       (l, r) tie-break (they sorted below it), perturbed pairs sit
     *       strictly below, and pi's own count is unperturbed (it
     *       interacts with no earlier batch member). Trimmed pairs are
-    *       simply re-derived next round.
+    *       simply re-derived next round; and
+    *   (c) the batch ends AT the first accepted pair whose merged
+    *       concatenation is an ALREADY-EXISTING symbol (a prior round's
+    *       merge — single chars cannot collide with a ≥2-char concat).
+    *       Without this cut, (b)'s bound fails: merging (a, bc) when
+    *       symbol "abc" already exists BOOSTS pre-existing pairs like
+    *       ("abc", X) by up to count(bc, X) ≤ cutoff on top of their old
+    *       ≤-cutoff count, potentially above a later batch member —
+    *       sequential BPE would merge the boosted pair next. A fresh
+    *       concat starts every pair it enables at zero old count, so the
+    *       ≤-cutoff bound holds; the colliding pair itself is still the
+    *       argmax at its own turn (its count is unperturbed), so it is
+    *       taken and the round closes.
     * Worst case the batch is a single pair (the unconditional p1) —
     * plain sequential BPE. `mergesPerRound = 1` IS sequential BPE; the
     * equivalence is spec-pinned on interacting corpora. */
@@ -1057,6 +1069,10 @@ object TextAnalysis {
         i => concat(lit(S), col("word").substr(i, lit(1)), lit(E)))).as("seq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // every multi-char symbol in the evolving vocabulary is the concat of
+    // a recorded merge (initial symbols are single chars) — this set is
+    // what guard (c) consults, and it is exact, not conservative
+    val priorConcats = scala.collection.mutable.HashSet.empty[String]
     var taken = 0
     var round = 0
     var exhausted = false
@@ -1101,6 +1117,14 @@ object TextAnalysis {
           } else {
             prefix += ((l, r, c)); used += l; used += r; used += (l + r)
             i += 1
+            // guard (c): a concat colliding with an existing symbol can
+            // boost pre-existing pairs — take this pair, close the round
+            if (priorConcats.contains(l + r)) {
+              stop = true
+              if (i < rows.length) {
+                cutoff = rows(i).getLong(2); haveCutoff = true
+              }
+            }
           }
         }
         val batch =
@@ -1109,7 +1133,7 @@ object TextAnalysis {
             .takeWhile { case ((_, _, c), j) => j == 0 || c > cutoff }
             .map(_._1)
         batch.foreach { case (l, r, c) =>
-          taken += 1; merges += ((taken, l, r, c))
+          taken += 1; merges += ((taken, l, r, c)); priorConcats += (l + r)
         }
         val next = seqs.select(col("word"), col("freq"),
           batch.foldLeft(col("seq")) { case (e, (l, r, _)) =>

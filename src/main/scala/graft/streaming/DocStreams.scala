@@ -363,6 +363,9 @@ object DocStreams {
         s"got (${lm.columns.mkString(", ")})")
     val buckets = math.pow(16, hexChars).toLong
     val rows = lm.select("feature", "n_raw", "n_target").collect()
+    require(rows.nonEmpty,
+      "lm table is empty — nothing to score against (the batch twin " +
+        "returns NULL ratios here; refusing to silently diverge)")
     val nq = rows.map(_.getLong(1)).sum
     val nt = rows.map(_.getLong(2)).sum
     def ratio(cq: Long, ct: Long): Double =

@@ -401,6 +401,20 @@ class TextEventsSpec extends SparkSpec {
     val bm = TextAnalysis.bpeMerges(batchable, "text", 8, mergesPerRound = 16)
       .collect().map(_.toSeq).toSeq
     assert(sm == bm, s"$bm != $sm")
+    // randomized differential over a tiny alphabet: dense symbol reuse
+    // maximizes interaction, concat-collision (guard c), and tie-trim
+    // traffic — batched must equal sequential on every draw
+    for (seed <- Seq(5, 17, 91)) {
+      val rng = new scala.util.Random(seed)
+      val corpus = Seq((1 to 30).map(_ =>
+        (1 to (1 + rng.nextInt(5))).map(_ =>
+          ('a' + rng.nextInt(3)).toChar).mkString).mkString(" ")).toDF("text")
+      val s6 = TextAnalysis.bpeMerges(corpus, "text", 6, mergesPerRound = 1)
+        .collect().map(_.toSeq).toSeq
+      val b6 = TextAnalysis.bpeMerges(corpus, "text", 6, mergesPerRound = 16)
+        .collect().map(_.toSeq).toSeq
+      assert(b6 == s6, s"seed=$seed: $b6 != $s6")
+    }
   }
 
   test("CharEntropy native expression: bit-identical to the interpreted HOF reference, multibyte-safe") {
