@@ -681,4 +681,220 @@ object Similarity {
     assignCell(c, "n_id", "n_v", broadcast(centroids))
       .write.mode("append").parquet(s"$path/assigned.parquet")
   }
+
+  // ------------------------------------------------------------ product
+  // quantization (Jégou, Douze & Schmid, TPAMI 2011): split each vector
+  // into m contiguous subspaces, k-means each subspace independently, and
+  // store per vector only the m nearest-codeword ids — dim × 4 bytes
+  // collapse to m small ints (16× at dim=64, m=8, ksub≤256), which is the
+  // memory lever that lets a 100 TB embedding corpus fit an ANN tier.
+
+  /** Squared L2 between two double-array columns. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, d) => acc + d)
+
+  /** PQ codebooks: per subspace `sub ∈ [0, m)`, `ksub` codewords trained
+    * by L2 Lloyd iterations over the corpus's subvector slices — ALL
+    * subspaces train in the SAME scan (one map-side argmin pass + one
+    * partial-aggregated (sub, code, dim-pos) rebuild per iteration, ≤
+    * m × ksub × dim/m running means — never a per-cell vector buffer).
+    * Seeds are the slices of the `ksub` smallest-xxhash64 corpus rows,
+    * deterministic cross-run; an empty code keeps its previous codeword
+    * (no silent k decay). Vectors unitize first unless `assumeUnit`
+    * (consistent with the cosine ANN family). Returns the driver-local
+    * (sub, code, cv) table — the persistable model artifact; EAGER like
+    * [[kmeansCentroids]], build once and reuse. `dim` must divide by
+    * `m`. */
+  def pqCodebooks(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 2,
+      assumeUnit: Boolean = false): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = df.sparkSession
+    val c = df.select(col(idCol).as("__id"),
+      (if (assumeUnit) col(vecCol)
+       else VectorFns.unitizeNative(col(vecCol))).as("__v"))
+    val seeds = c.orderBy(xxhash64(col("__id")), col("__id")).limit(ksub)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "corpus is empty — nothing to train on")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    require(seeds.length == ksub,
+      s"corpus has only ${seeds.length} rows < ksub=$ksub")
+    // cb(sub)(code) = codeword; seeded from the same rows' slices
+    var cb: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 0 until iters) {
+      val cbLit = cbLiteral(cb)
+      val rebuilt = c
+        .select(explode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(s.as("sub"),
+            pqArgmin(slice(col("__v"), s * lit(dsub) + 1, lit(dsub)),
+              element_at(cbLit, s + 1)).as("code"),
+            slice(col("__v"), s * lit(dsub) + 1, lit(dsub)).as("sv"))))
+          .as("a"))
+        .select(col("a.sub"), col("a.code"),
+          posexplode(col("a.sv")).as(Seq("i", "x")))
+        .groupBy("sub", "code", "i").agg(avg(col("x")).as("mv"))
+        .collect()
+      val next = cb.map(_.map(_.clone))
+      rebuilt.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((s, code), rows) =>
+          val w = next(s)(code)
+          rows.foreach(r => w(r.getInt(2)) = r.getDouble(3))
+      }
+      cb = next
+    }
+    localFrame(spark,
+      (for (s <- 0 until m; code <- 0 until ksub)
+        yield org.apache.spark.sql.Row(s, code, cb(s)(code).toSeq)).toArray,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sub",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true)))))
+  }
+
+  /** The m×ksub×dsub codebook as one nested-array literal — bounded
+    * model constants shipped with the plan, so encode/score are pure
+    * map-side expressions (no join, no shuffle, no state). */
+  private def cbLiteral(cb: Array[Array[Array[Double]]]): Column =
+    array(cb.map(sub => array(sub.map(cw =>
+      array(cw.map(lit): _*)): _*)): _*)
+
+  /** Map-side argmin over the codeword array: fold (bestCode, bestDist)
+    * over codeword indices; strict `<` keeps the earliest (= smallest
+    * code) on exact ties. */
+  private def pqArgmin(sv: Column, codewords: Column): Column =
+    aggregate(
+      sequence(lit(0), size(codewords) - 1),
+      struct(lit(-1).cast("int").as("c"),
+        lit(Double.MaxValue).as("d")),
+      (acc, ci) => {
+        val d = sqDist(sv, element_at(codewords, ci + 1))
+        when(d < acc.getField("d"),
+          struct(ci.cast("int").as("c"), d.as("d"))).otherwise(acc)
+      },
+      acc => acc.getField("c"))
+
+  /** Encode vectors against a STORED codebook: per row the m-int code
+    * array (nearest codeword per subspace) — the compressed corpus
+    * representation. Pure map-side (codebook rides as a literal); the
+    * learn-once/encode-many contract. */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String, codebooks: DataFrame,
+      assumeUnit: Boolean = false): DataFrame = {
+    val (cb, dsub) = collectCodebooks(codebooks)
+    val m = cb.length
+    val cbLit = cbLiteral(cb)
+    df.select(col(idCol),
+      (if (assumeUnit) col(vecCol)
+       else VectorFns.unitizeNative(col(vecCol))).as("__v"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          pqArgmin(slice(col("__v"), s * lit(dsub) + 1, lit(dsub)),
+            element_at(cbLit, s + 1))).as("codes"))
+  }
+
+  private def collectCodebooks(
+      codebooks: DataFrame): (Array[Array[Array[Double]]], Int) = {
+    require(Seq("sub", "code", "cv").forall(codebooks.columns.contains),
+      s"codebooks must carry (sub, code, cv) — the pqCodebooks schema; " +
+        s"got (${codebooks.columns.mkString(", ")})")
+    val rows = codebooks.select("sub", "code", "cv").collect()
+    require(rows.nonEmpty, "codebook table is empty")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val dsub = rows.head.getSeq[Double](2).length
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach(r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    (cb.map(_.map(w => if (w == null) Array.fill(dsub)(0.0) else w)), dsub)
+  }
+
+  /** Asymmetric-distance top-k over the COMPRESSED corpus: queries stay
+    * full-precision, corpus rows contribute only their m-int codes, and
+    * the score is the dot of the query with each row's reconstruction —
+    * algebraically Σ_sub dot(q_sub, codeword(sub, code)), i.e. the ADC
+    * estimate of the cosine (Jégou et al.'s IP form; a per-query
+    * sub×code lookup table is the same arithmetic factored differently
+    * and drops in as a constant-factor optimization without changing
+    * this plan). Ranking rounds to 6 decimals with id tie-break — the
+    * [[bruteForceTopK]] determinism contract.
+    *
+    * Scale shape: encode is map-side; scoring crossJoins the BROADCAST
+    * query side (the small side by contract) against the compressed
+    * corpus and the per-query top-k is one WindowGroupLimit — the
+    * brute-force plan, but the corpus-side state per row is m ints
+    * instead of dim floats, and the heavy corpus never re-materializes
+    * full vectors. */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val codebooks = pqCodebooks(corpus, corpusId, corpusVec, m, ksub, iters)
+    val (cb, dsub) = collectCodebooks(codebooks)
+    val cbLit = cbLiteral(cb)
+    val enc = pqEncode(corpus, corpusId, corpusVec, codebooks)
+      .select(col(corpusId).as("n_id"), col("codes"))
+    val q = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+    val scored = enc.crossJoin(broadcast(q))
+      .withColumn("cos_adc",
+        aggregate(sequence(lit(0), lit(cb.length - 1)), lit(0.0),
+          (acc, s) => acc + aggregate(
+            zip_with(
+              slice(col("q_v"), s * lit(dsub) + 1, lit(dsub)),
+              element_at(element_at(cbLit, s + 1),
+                element_at(col("codes"), s + 1) + 1),
+              (x, y) => x * y),
+            lit(0.0), (a, d) => a + d)))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos_adc"), 6).desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos_adc")
+  }
+
+  /** PQ with exact re-ranking — the production shape: the compressed
+    * scan retrieves a `shortlist`-deep ADC candidate set per query
+    * (cheap, m ints per corpus row), then ONLY the shortlisted rows'
+    * full vectors are read back for an exact cosine re-rank (the
+    * [[mediaNearDupVerify]] payoff economics: the expensive
+    * representation is touched for candidates, never the corpus).
+    * Recall approaches exact as `shortlist`/k grows — quantization error
+    * only hurts when a true neighbor falls below the shortlist cut, not
+    * the final rank. Output is [[bruteForceTopK]]'s deterministic
+    * contract (round-6 cosine, id tie-break). */
+  def pqTopKRerank(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlist: Int, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = pqTopK(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, shortlist, m, ksub, iters)
+      .select(col("q_id"), col("n_id"))
+    val c = corpus.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
+    val q = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+    val rescored = cand
+      .join(c, Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 6).desc, col("n_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
 }

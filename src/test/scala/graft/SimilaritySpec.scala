@@ -344,4 +344,68 @@ class SimilaritySpec extends SparkSpec {
       queries, "vec_id", "embedding", k = 3, nProbe = 2)
     assert(served.filter(col("rank") === 1).count() == queries.count())
   }
+
+  test("pqCodebooks/pqEncode: codeword-exact corpus quantizes losslessly; shape, determinism, guards") {
+    import sqlContext.implicits._
+    // a corpus of exactly ksub distinct unit-ish vectors, each repeated:
+    // Lloyd converges with one codeword per distinct vector, so every row
+    // encodes to a codeword that reconstructs it EXACTLY and the encode
+    // is a per-subspace identity check
+    val distinct = (0 until 4).map { j =>
+      (0 until 8).map(i => if (i % 4 == j) 1.0 else 0.0).toArray
+    }
+    val rows = (0 until 16).map(i => (i.toLong, distinct(i % 4).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 3)
+    val cbRows = cb.collect()
+    assert(cbRows.length == 8, s"2x4 codebook, got ${cbRows.length}")
+    assert(cbRows.forall(_.getSeq[Double](2).length == 4))
+    // deterministic rebuild
+    val cb2 = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 3).collect()
+    assert(cb2.map(_.toSeq).toSet == cbRows.map(_.toSeq).toSet)
+    // encode + reconstruct: every row's reconstruction equals its vector
+    val lookup = cbRows.map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { case (id, v) =>
+      val rec = enc(id).zipWithIndex.flatMap { case (code, s) =>
+        lookup((s, code))
+      }
+      val unit = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+      rec.zip(unit).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"id=$id rec=$rec unit=$unit")
+      }
+    }
+    intercept[IllegalArgumentException](   // 8 dims not divisible by 3
+      Similarity.pqCodebooks(df, "vec_id", "embedding", m = 3, ksub = 2))
+    intercept[IllegalArgumentException](   // ksub > corpus rows
+      Similarity.pqCodebooks(df.limit(2), "vec_id", "embedding",
+        m = 2, ksub = 4))
+  }
+
+  test("pqTopKRerank: recall dominates pure ADC on the fixture, self is rank-1 on a codeword-exact corpus, shortlist guard") {
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10).select("q_id", "n_id")
+    val adc = Similarity.pqTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, m = 16, ksub = 32, iters = 2)
+      .select("q_id", "n_id")
+    val rer = Similarity.pqTopKRerank(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, shortlist = 40,
+      m = 16, ksub = 32, iters = 2).select("q_id", "n_id")
+    val adcHits = exact.join(adc, Seq("q_id", "n_id")).count()
+    val rerHits = exact.join(rer, Seq("q_id", "n_id")).count()
+    assert(rerHits >= adcHits,
+      s"re-rank $rerHits must not lose to pure ADC $adcHits")
+    assert(rerHits >= 40, s"re-ranked recall too low: $rerHits/50")
+    intercept[IllegalArgumentException](
+      Similarity.pqTopKRerank(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, shortlist = 5))
+  }
 }
