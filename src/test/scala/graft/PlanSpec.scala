@@ -403,6 +403,73 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cell"), p)
   }
 
+  test("pq_topk operators: encode is pure map-side (no exchange), scoring joins broadcast the query side only") {
+    covers("pq_topk")
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = graft.operators.Similarity.pqCodebooks(
+      e, "vec_id", "embedding", m = 8, ksub = 16, iters = 1)
+    // encode: the codebook rides as a literal — no join, no exchange
+    val pe = graft.operators.Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      .queryExecution.executedPlan.toString
+    assert(!pe.contains("Exchange"), pe)
+    assert(!pe.contains("Join"), pe)
+    // re-rank: candidate joins are hash/broadcast equi-joins, never a
+    // corpus cartesian; the only nested loop allowed is the broadcast of
+    // the bounded query side
+    val pr = graft.operators.Similarity.pqTopKRerank(
+        e, "vec_id", "embedding", e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3, shortlist = 6, m = 8, ksub = 16,
+        iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!pr.contains("CartesianProduct"), pr)
+  }
+
+  test("nb_classify operator: model joins broadcast, argmax is the pushed WindowGroupLimit, no sort-merge join") {
+    covers("nb_classify", "nb_train")
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.operators.Classify.nbTrain(
+      docs.filter(col("doc_id") % 2 === 0), "lang", "text")
+    val p = graft.operators.Classify.nbClassify(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("bpe_apply operator: stored merges apply map-side; the payoff is one equi-join plus a partial-aggregated rollup") {
+    covers("bpe_apply")
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val merges = graft.operators.TextAnalysis.bpeMerges(
+      docs.filter(col("doc_id") % 2 === 0), "text", nMerges = 2)
+    val p = graft.operators.TextAnalysis.bpeApply(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // partial aggregation before the per-doc exchange
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("media_neardup_verify operator: byte walk gated by a left-semi cut, pair joins are equi, bytes never cross-joined") {
+    covers("media_neardup_verify")
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"))
+    import sqlContext.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val p = graft.operators.MultiModal.mediaNearDupVerify(
+        docs, "media_id", "content", pairs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   // Registered LAST: AnyFunSuite runs tests in registration order, so every
   // plan()/covers() call above has recorded by the time this executes.
   test("census: plan-assertion coverage holds its floor and names only real registry keys") {
@@ -412,10 +479,11 @@ class PlanSpec extends SparkSpec {
     // floor = the census at the time this guard landed (39 of 175 keys,
     // round 12; 43 with the round-14 winnowing-family keys; 47 with the
     // round-15 additions (substring_report, substring_floor_sweep,
-    // media_neardup, dedup_semantic_incr)). Raising it is cheap when new
-    // plan tests land; lowering it means plan coverage regressed — do
-    // that consciously, in review.
-    val floor = 47
+    // media_neardup, dedup_semantic_incr); 52 with the round-16 families
+    // (pq_topk, nb_train/nb_classify, bpe_apply, media_neardup_verify)).
+    // Raising it is cheap when new plan tests land; lowering it means
+    // plan coverage regressed — do that consciously, in review.
+    val floor = 52
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")
