@@ -711,6 +711,35 @@ object ExtQueries {
     }
   }
 
+  /** The stored-PQ path through pq_topk's exact harness: codebooks
+    * trained and the corpus encoded ONCE, published to disk
+    * (write-then-swap), reloaded, and the same queries answered from the
+    * persisted codes with only the shortlisted ids' full vectors read
+    * back for the re-rank. Same floor as pq_topk: the stored codes are
+    * bit-identical to the in-memory encode (deterministic seeds, exact
+    * int/double round-trip; SimilaritySpec pins equality). EAGER +
+    * self-cleaning like ann_ivf_stored. */
+  val pqStoredQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    try {
+      Similarity.writePqIndex(e, "vec_id", "embedding", idx,
+        m = 16, ksub = 64, iters = 3)
+      val check = annRecallCheck(
+        Similarity.pqTopKStored(s, idx, e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 10, shortlist = 80)
+          .select("q_id", "n_id"),
+        Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
+          "embedding", k = 10).select("q_id", "n_id"),
+        k = 10, hitsFloor = 40)
+      Similarity.localFrame(s, check.collect(), check.schema)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** IVF probe-count tuning curve: exact-topk hit counts at nProbe
     * 1..4 — the recall/latency trade read BEFORE pinning a probe budget
     * (the ANN sibling of dedup_sweep's threshold curve). Differential
@@ -1685,6 +1714,7 @@ object ExtQueries {
     "ann_topk" -> annTopk,
     "ann_ivf" -> annIvfTopk,
     "pq_topk" -> pqTopkQ,
+    "pq_stored" -> pqStoredQ,
     "ann_ivf_stored" -> annIvfStoredQ,
     "embed_pca" -> embedPcaQ,
     "ann_probe_sweep" -> annProbeSweep,
@@ -1925,6 +1955,12 @@ object ExtQueries {
     // PQ shares the recall-harness oracle shape: DuckDB recounts the
     // query population and pins the measured floor flag
     "pq_topk" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k, CAST(40 AS INTEGER) AS hits_floor,
+        |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
+    // stored-PQ path shares pq_topk's floor: the persisted codes are
+    // bit-identical to the in-memory encode
+    "pq_stored" ->
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
         |  CAST(10 AS INTEGER) AS k, CAST(40 AS INTEGER) AS hits_floor,
         |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,

@@ -864,6 +864,86 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos_adc")
   }
 
+  /** Persist a PQ index: `codebooks.parquet` (the m×ksub codeword table)
+    * and `codes.parquet` ((n_id, codes) — the compressed corpus, m small
+    * ints per vector), each write-then-swapped atomically (the
+    * [[writeIvfIndex]] publish discipline). Encode once, query many:
+    * the corpus's full vectors stay wherever they live and are touched
+    * again only by [[pqTopKStored]]'s re-rank over shortlisted ids. */
+  def writePqIndex(
+      corpus: DataFrame, corpusId: String, corpusVec: String, path: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): Unit = {
+    val codebooks = pqCodebooks(corpus, corpusId, corpusVec, m, ksub, iters)
+    val codes = pqEncode(corpus, corpusId, corpusVec, codebooks)
+      .select(col(corpusId).as("n_id"), col("codes"))
+    val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def publish(df: DataFrame, name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name.parquet")
+      df.write.mode("overwrite").parquet(live.toString + ".tmp")
+      graft.engine.Sinks.swapInto(fs, live)
+    }
+    publish(codebooks, "codebooks")
+    publish(codes, "codes")
+  }
+
+  /** Load a stored PQ index written by [[writePqIndex]] (recovering any
+    * half-finished swap first) as (codebooks, codes). */
+  def readPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("codebooks", "codes").foreach { name =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name.parquet")
+      graft.engine.Sinks.recoverSwap(live.getFileSystem(conf), live)
+    }
+    (spark.read.parquet(s"$path/codebooks.parquet"),
+      spark.read.parquet(s"$path/codes.parquet"))
+  }
+
+  /** [[pqTopKRerank]] answered from a STORED index: zero training, zero
+    * re-encoding — the ADC shortlist runs over the persisted codes, and
+    * only the shortlisted ids' full vectors are read back from
+    * `corpusForRerank` for the exact re-rank. The production
+    * amortization shape for repeated queries over a compressed corpus. */
+  def pqTopKStored(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpusForRerank: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val (codebooks, codes) = readPqIndex(spark, path)
+    val (cb, dsub) = collectCodebooks(codebooks)
+    val cbLit = cbLiteral(cb)
+    val q = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+    val scored = codes.crossJoin(broadcast(q))
+      .withColumn("cos_adc",
+        aggregate(sequence(lit(0), lit(cb.length - 1)), lit(0.0),
+          (acc, s) => acc + aggregate(
+            zip_with(
+              slice(col("q_v"), s * lit(dsub) + 1, lit(dsub)),
+              element_at(element_at(cbLit, s + 1),
+                element_at(col("codes"), s + 1) + 1),
+              (x, y) => x * y),
+            lit(0.0), (a, d) => a + d)))
+    val ws = Window.partitionBy("q_id")
+      .orderBy(round(col("cos_adc"), 6).desc, col("n_id"))
+    val cand = scored.withColumn("rank", row_number().over(ws))
+      .filter(col("rank") <= shortlist)
+      .select("q_id", "n_id")
+    val c = corpusForRerank.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
+    val rescored = cand.join(c, Seq("n_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 6).desc, col("n_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
   /** PQ with exact re-ranking — the production shape: the compressed
     * scan retrieves a `shortlist`-deep ADC candidate set per query
     * (cheap, m ints per corpus row), then ONLY the shortlisted rows'

@@ -389,6 +389,34 @@ class SimilaritySpec extends SparkSpec {
         m = 2, ksub = 4))
   }
 
+  test("writePqIndex round-trip: stored codes answer identically to the in-memory path") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-spec").toString
+    try {
+      Similarity.writePqIndex(emb, "vec_id", "embedding", idx,
+        m = 8, ksub = 16, iters = 2)
+      val (cbStored, codesStored) = Similarity.readPqIndex(spark, idx)
+      // persisted codes == re-encoding against the persisted codebooks
+      val again = Similarity.pqEncode(emb, "vec_id", "embedding", cbStored)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val stored = codesStored.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(stored == again)
+      // and the stored query path equals the in-memory rerank end-to-end
+      val q = emb.filter(col("vec_id") < 5)
+      val a = Similarity.pqTopKStored(spark, idx, emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, shortlist = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val b = Similarity.pqTopKRerank(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, shortlist = 20,
+          m = 8, ksub = 16, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(a == b, s"stored $a != in-memory $b")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("pqTopKRerank: recall dominates pure ADC on the fixture, self is rank-1 on a codeword-exact corpus, shortlist guard") {
     val q = emb.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
