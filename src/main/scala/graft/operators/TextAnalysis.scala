@@ -992,8 +992,8 @@ object TextAnalysis {
         sum(col("__nsym")).as("n_tokens"))
   }
 
-  private val SymS = "\u0001"
-  private val SymE = "\u0002"
+  private[graft] val SymS = "\u0001"
+  private[graft] val SymE = "\u0002"
 
   /** The shared BPE induction loop: word-frequency table → sentinel-framed
     * symbol strings → rounds of (pair count, ranked top, greedy replace)

@@ -420,6 +420,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: BPE token accounting matches the stored-merges batch apply, OOV and empty rows included") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val train = Seq("ab ab abc", "ab abc").toDF("text")
+    val merges = graft.operators.TextAnalysis.bpeMerges(train, "text", 2)
+    val arrivals = Seq(
+      (10L, "abc abd"), (11L, "xyz"), (12L, ""), (13L, "ab ab ab"))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.bpeCountArrivals(
+        mem.toDF().toDF("doc_id", "text"), merges, "text")
+      .writeStream.format("memory").queryName("bpe_counted")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arrivals.take(2)); q.processAllAvailable()
+      mem.addData(arrivals.drop(2)); q.processAllAvailable()
+      val got = spark.table("bpe_counted")
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
+      assert(got.keySet == Set(10L, 11L, 13L), got.toString)
+      val batch = graft.operators.TextAnalysis.bpeApply(
+          arrivals.toDF("doc_id", "text"), "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("burstEvents: sub-threshold gaps emit with exact micros; first events and slow cadence don't; state spans batches") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
