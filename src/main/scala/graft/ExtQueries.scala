@@ -711,6 +711,27 @@ object ExtQueries {
     }
   }
 
+  /** IVF-pruned PQ through the exact harness — both levers composed:
+    * nProbe=8 of 16 cells scanned per query (pruning), candidates
+    * contribute 16 small ints each (compression), shortlist-80 exact
+    * re-rank repairs both. Measured total hits 5 queries × k=10:
+    * 43 / 43 / 39 across sf0.001 / 0.01 / 0.1 — the gap to pq_topk's
+    * 50/50/48 is the IVF cell misses (this fixture clusters weakly; the
+    * same reason ann_ivf carries floor 15 at nProbe=4). Floor 30 keeps
+    * ≥ 23% margin at the weakest SF. */
+  val ivfPqTopkQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    annRecallCheck(
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10, shortlist = 80, nLists = 16, nProbe = 8,
+        m = 16, ksub = 64, iters = 3)
+        .select("q_id", "n_id"),
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10).select("q_id", "n_id"),
+      k = 10, hitsFloor = 30)
+  }
+
   /** The stored-PQ path through pq_topk's exact harness: codebooks
     * trained and the corpus encoded ONCE, published to disk
     * (write-then-swap), reloaded, and the same queries answered from the
@@ -1715,6 +1736,7 @@ object ExtQueries {
     "ann_ivf" -> annIvfTopk,
     "pq_topk" -> pqTopkQ,
     "pq_stored" -> pqStoredQ,
+    "ivf_pq_topk" -> ivfPqTopkQ,
     "ann_ivf_stored" -> annIvfStoredQ,
     "embed_pca" -> embedPcaQ,
     "ann_probe_sweep" -> annProbeSweep,
@@ -1957,6 +1979,10 @@ object ExtQueries {
     "pq_topk" ->
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
         |  CAST(10 AS INTEGER) AS k, CAST(40 AS INTEGER) AS hits_floor,
+        |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
+    "ivf_pq_topk" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k, CAST(30 AS INTEGER) AS hits_floor,
         |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
     // stored-PQ path shares pq_topk's floor: the persisted codes are
     // bit-identical to the in-memory encode

@@ -944,6 +944,73 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
+  /** IVF-pruned PQ search — the two levers composed, each attacking a
+    * different cost: the IVF coarse quantizer PRUNES (only `nProbe` of
+    * `nLists` cells are scanned per query), the PQ codes COMPRESS (the
+    * scanned candidates contribute m small ints, never their vectors),
+    * and the exact re-rank over the `shortlist` repairs both
+    * approximations at once. This is the IP-metric variant WITHOUT
+    * residual encoding (codes are trained on the vectors themselves, not
+    * on cell residuals — Jégou et al.'s IVFADC encodes residuals for L2;
+    * with unit vectors and a dot-product score the plain-vector codes
+    * keep the same harness and the re-rank absorbs the coarser
+    * approximation; a residual variant would drop into the same plan).
+    *
+    * Scale shape: clustering and encoding are one-time (and both
+    * persistable — [[writeIvfIndex]] / [[writePqIndex]] discipline); per
+    * query the cell probe is a broadcast against nLists rows, the
+    * candidate scan is an equi-join on `cell` over ~nProbe/nLists of the
+    * compressed corpus, the shortlist is one WindowGroupLimit, and only
+    * shortlist×queries full vectors are ever read back. */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlist: Int, nLists: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"nProbe $nProbe must be in [1, $nLists]")
+    val c = corpus.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
+    val centroids = kmeansCentroids(c, "n_id", "n_v", nLists, iters,
+      assumeUnit = true)
+    val codebooks = pqCodebooks(c, "n_id", "n_v", m, ksub, iters,
+      assumeUnit = true)
+    val (cb, dsub) = collectCodebooks(codebooks)
+    val cbLit = cbLiteral(cb)
+    val index = assignCell(c, "n_id", "n_v", centroids)
+      .select(col("n_id"), col("cell"))
+      .join(pqEncode(c, "n_id", "n_v", codebooks, assumeUnit = true)
+        .select(col("n_id"), col("codes")), Seq("n_id"))
+    val q = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+    val probed = assignCells(q, "q_id", "q_v", centroids, p = nProbe)
+    val scored = index.join(broadcast(probed), Seq("cell"))
+      .withColumn("cos_adc",
+        aggregate(sequence(lit(0), lit(cb.length - 1)), lit(0.0),
+          (acc, s) => acc + aggregate(
+            zip_with(
+              slice(col("q_v"), s * lit(dsub) + 1, lit(dsub)),
+              element_at(element_at(cbLit, s + 1),
+                element_at(col("codes"), s + 1) + 1),
+              (x, y) => x * y),
+            lit(0.0), (a, d) => a + d)))
+    val ws = Window.partitionBy("q_id")
+      .orderBy(round(col("cos_adc"), 6).desc, col("n_id"))
+    val cand = scored.withColumn("rank", row_number().over(ws))
+      .filter(col("rank") <= shortlist)
+      .select("q_id", "n_id")
+    val rescored = cand.join(c, Seq("n_id"))
+      .join(broadcast(q.select("q_id", "q_v")), Seq("q_id"))
+      .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 6).desc, col("n_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
   /** PQ with exact re-ranking — the production shape: the compressed
     * scan retrieves a `shortlist`-deep ADC candidate set per query
     * (cheap, m ints per corpus row), then ONLY the shortlisted rows'

@@ -417,6 +417,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: full probe equals the unpruned PQ re-rank; more probes never lose recall; guards") {
+    val q = emb.filter(col("vec_id") < 5)
+    // probing every cell removes the pruning entirely: the result must
+    // equal pqTopKRerank built from the same deterministic codebooks
+    val full = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, shortlist = 20,
+        nLists = 8, nProbe = 8, m = 8, ksub = 16, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val unpruned = Similarity.pqTopKRerank(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, shortlist = 20,
+        m = 8, ksub = 16, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == unpruned, s"full-probe $full != unpruned $unpruned")
+    // probe monotonicity against the exact reference
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5).select("q_id", "n_id")
+    def hits(np: Int) = exact.join(
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 5, shortlist = 20, nLists = 8, nProbe = np,
+        m = 8, ksub = 16, iters = 2).select("q_id", "n_id"),
+      Seq("q_id", "n_id")).count()
+    assert(hits(8) >= hits(2), s"probe-8 ${hits(8)} < probe-2 ${hits(2)}")
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 5, shortlist = 20, nLists = 8, nProbe = 9))
+  }
+
   test("pqTopKRerank: recall dominates pure ADC on the fixture, self is rank-1 on a codeword-exact corpus, shortlist guard") {
     val q = emb.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
