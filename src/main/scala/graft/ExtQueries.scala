@@ -761,6 +761,57 @@ object ExtQueries {
     }
   }
 
+  /** PQ shortlist tuning curve — the re-rank sibling of ann_probe_sweep:
+    * hits vs the exact top-k at shortlist 10/20/40/80, codebooks trained
+    * and the corpus encoded ONCE (the stored index; only the cheap
+    * query-side shortlist plan varies). Monotonicity here is a THEOREM,
+    * not an observation: a larger shortlist is a superset of candidates,
+    * and any exact-top-k member in the candidate set always survives the
+    * true-cosine re-rank (at most rank−1 < k candidates beat it), so
+    * hits are non-decreasing — `monotone_ok` pins the proof holds in the
+    * implementation. `final_floor_met` holds shortlist-80 to pq_topk's
+    * measured floor. */
+  val pqShortlistSweepQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id").localCheckpoint()
+    val idx = java.nio.file.Files.createTempDirectory("graft-pqsweep").toString
+    try {
+      Similarity.writePqIndex(e, "vec_id", "embedding", idx,
+        m = 16, ksub = 64, iters = 3)
+      val hitRows = Seq(10, 20, 40, 80).map { sl =>
+        Similarity.pqTopKStored(s, idx, e, "vec_id", "embedding",
+            q, "vec_id", "embedding", k = 10, shortlist = sl)
+          .select("q_id", "n_id")
+          .join(exact, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("__hits"))
+          .select(lit(sl).as("shortlist"), col("__hits"))
+      }.reduce(_ unionByName _)
+      val ord = org.apache.spark.sql.expressions.Window.orderBy("shortlist")
+      val all = org.apache.spark.sql.expressions.Window
+        .orderBy("shortlist").rowsBetween(Long.MinValue, Long.MaxValue)
+      val nq = q.agg(count(lit(1)).as("n_queries"))
+      val out = hitRows // 4 rows: the windows below touch nothing larger
+        .withColumn("__prev", lag(col("__hits"), 1).over(ord))
+        .withColumn("monotone_ok",
+          when(col("__prev").isNull || col("__hits") >= col("__prev"), 1)
+            .otherwise(0))
+        .withColumn("final_floor_met",
+          when(max(when(col("shortlist") === 80, col("__hits"))).over(all)
+            >= 40, 1).otherwise(0))
+        .crossJoin(broadcast(nq))
+        .select(col("shortlist"), col("n_queries"), lit(10).as("k"),
+          col("monotone_ok"), col("final_floor_met"))
+        .orderBy("shortlist")
+      Similarity.localFrame(s, out.collect(), out.schema)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** IVF probe-count tuning curve: exact-topk hit counts at nProbe
     * 1..4 — the recall/latency trade read BEFORE pinning a probe budget
     * (the ANN sibling of dedup_sweep's threshold curve). Differential
@@ -1737,6 +1788,7 @@ object ExtQueries {
     "pq_topk" -> pqTopkQ,
     "pq_stored" -> pqStoredQ,
     "ivf_pq_topk" -> ivfPqTopkQ,
+    "pq_shortlist_sweep" -> pqShortlistSweepQ,
     "ann_ivf_stored" -> annIvfStoredQ,
     "embed_pca" -> embedPcaQ,
     "ann_probe_sweep" -> annProbeSweep,
@@ -2011,6 +2063,15 @@ object ExtQueries {
         |  CAST(1 AS INTEGER) AS final_floor_met
         |FROM (SELECT unnest([1, 2, 3, 4]) AS p)
         |ORDER BY n_probe""".stripMargin,
+    // shortlist sweep: same convention — flags pinned, hit counts out
+    "pq_shortlist_sweep" ->
+      """SELECT CAST(sl AS INTEGER) AS shortlist,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k,
+        |  CAST(1 AS INTEGER) AS monotone_ok,
+        |  CAST(1 AS INTEGER) AS final_floor_met
+        |FROM (SELECT unnest([10, 20, 40, 80]) AS sl)
+        |ORDER BY shortlist""".stripMargin,
     // dedup_simhash: DuckDB pins n_docs plus the two structural flags
     // (pigeonhole recall, exact-verify precision) — see dedupSimhash.
     "dedup_simhash" ->
