@@ -686,8 +686,9 @@ object Similarity {
   // quantization (Jégou, Douze & Schmid, TPAMI 2011): split each vector
   // into m contiguous subspaces, k-means each subspace independently, and
   // store per vector only the m nearest-codeword ids — dim × 4 bytes
-  // collapse to m small ints (16× at dim=64, m=8, ksub≤256), which is the
-  // memory lever that lets a 100 TB embedding corpus fit an ANN tier.
+  // collapse to m byte-sized codes (dim=64 floats = 256 B → 32× at m=8,
+  // 16× at m=16, both with ksub ≤ 256), which is the memory lever that
+  // lets a 100 TB embedding corpus fit an ANN tier.
 
   /** Squared L2 between two double-array columns. */
   private def sqDist(a: Column, b: Column): Column =
