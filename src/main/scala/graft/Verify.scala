@@ -69,10 +69,15 @@ object Verify {
         tasks.foreach(_.get())
         // chunk barrier: nothing in flight — sweep checkpoint RDDs leaked
         // SINCE dump entry only (the caller's storage survives; a global
-        // clearCache here would evict the caller's cached tables too)
+        // clearCache here would evict the caller's cached tables too).
+        // Blocking: the barrier must not start the next chunk until the
+        // blocks are actually gone, or executor storage pressure from
+        // chunk N overlaps chunk N+1's working set at larger SFs (and a
+        // caller checking the registry right after dump() must see a
+        // settled state, not an in-flight async removal).
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) =>
-            if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+            if (!preexisting.contains(id)) rdd.unpersist(blocking = true)
           }
       }
     } finally pool.shutdown()

@@ -730,16 +730,18 @@ object Similarity {
     var cb: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
     for (_ <- 0 until iters) {
-      val cbLit = cbLiteral(cb)
+      // assignment is the native encode kernel (bit-identical to the HOF
+      // reference path — strict-< argmin, same accumulation order); the
+      // rebuild stays one partial-aggregated (sub, code, i) groupBy
+      val cbF = graft.plans.PqKernels.flatCodebook(cb)
       val rebuilt = c
-        .select(explode(transform(sequence(lit(0), lit(m - 1)), s =>
-          struct(s.as("sub"),
-            pqArgmin(slice(col("__v"), s * lit(dsub) + 1, lit(dsub)),
-              element_at(cbLit, s + 1)).as("code"),
-            slice(col("__v"), s * lit(dsub) + 1, lit(dsub)).as("sv"))))
-          .as("a"))
-        .select(col("a.sub"), col("a.code"),
-          posexplode(col("a.sv")).as(Seq("i", "x")))
+        .select(col("__v"),
+          graft.plans.PqKernels.encodeCol(col("__v"), cbF, m, ksub)
+            .as("codes"))
+        .select(col("__v"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("sub"), col("code"),
+          posexplode(slice(col("__v"), col("sub") * lit(dsub) + lit(1),
+            lit(dsub))).as(Seq("i", "x")))
         .groupBy("sub", "code", "i").agg(avg(col("x")).as("mv"))
         .collect()
       val next = cb.map(_.map(_.clone))
@@ -772,8 +774,10 @@ object Similarity {
 
   /** Map-side argmin over the codeword array: fold (bestCode, bestDist)
     * over codeword indices; strict `<` keeps the earliest (= smallest
-    * code) on exact ties. */
-  private def pqArgmin(sv: Column, codewords: Column): Column =
+    * code) on exact ties. HOF REFERENCE path — the production kernel is
+    * [[graft.plans.PqKernels.encode]] (bit-identical, codegen'd);
+    * SimilaritySpec pins the equality. */
+  private[graft] def pqArgmin(sv: Column, codewords: Column): Column =
     aggregate(
       sequence(lit(0), size(codewords) - 1),
       struct(lit(-1).cast("int").as("c"),
@@ -792,6 +796,23 @@ object Similarity {
   def pqEncode(
       df: DataFrame, idCol: String, vecCol: String, codebooks: DataFrame,
       assumeUnit: Boolean = false): DataFrame = {
+    val (cb, _) = collectCodebooks(codebooks)
+    val cbF = graft.plans.PqKernels.flatCodebook(cb)
+    df.select(col(idCol),
+      (if (assumeUnit) col(vecCol)
+       else VectorFns.unitizeNative(col(vecCol))).as("__v"))
+      .select(col(idCol),
+        graft.plans.PqKernels.encodeCol(col("__v"), cbF,
+          cb.length, cb.head.length).as("codes"))
+  }
+
+  /** [[pqEncode]] through the interpreted HOF argmin — the independently
+    * derived reference path the parity spec compares the native kernel
+    * against (the [[graft.plans.WinnowMinima]] discipline: the slow twin
+    * IS the test; never delete it). */
+  private[graft] def pqEncodeHof(
+      df: DataFrame, idCol: String, vecCol: String, codebooks: DataFrame,
+      assumeUnit: Boolean = false): DataFrame = {
     val (cb, dsub) = collectCodebooks(codebooks)
     val m = cb.length
     val cbLit = cbLiteral(cb)
@@ -802,6 +823,24 @@ object Similarity {
         transform(sequence(lit(0), lit(m - 1)), s =>
           pqArgmin(slice(col("__v"), s * lit(dsub) + 1, lit(dsub)),
             element_at(cbLit, s + 1))).as("codes"))
+  }
+
+  /** The interpreted HOF ADC score — reference twin of
+    * [[graft.plans.PqKernels.adc]] ∘ [[graft.plans.PqKernels.lut]]
+    * (same arithmetic factored per-pair instead of per-query; identical
+    * accumulation order, so parity is exact equality). */
+  private[graft] def adcScoreHof(
+      qv: Column, codes: Column, cb: Array[Array[Array[Double]]],
+      dsub: Int): Column = {
+    val cbLit = cbLiteral(cb)
+    aggregate(sequence(lit(0), lit(cb.length - 1)), lit(0.0),
+      (acc, s) => acc + aggregate(
+        zip_with(
+          slice(qv, s * lit(dsub) + 1, lit(dsub)),
+          element_at(element_at(cbLit, s + 1),
+            element_at(codes, s + 1) + 1),
+          (x, y) => x * y),
+        lit(0.0), (a, d) => a + d))
   }
 
   private def collectCodebooks(
@@ -842,22 +881,20 @@ object Similarity {
       k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val codebooks = pqCodebooks(corpus, corpusId, corpusVec, m, ksub, iters)
-    val (cb, dsub) = collectCodebooks(codebooks)
-    val cbLit = cbLiteral(cb)
+    val (cb, _) = collectCodebooks(codebooks)
+    val cbF = graft.plans.PqKernels.flatCodebook(cb)
     val enc = pqEncode(corpus, corpusId, corpusVec, codebooks)
       .select(col(corpusId).as("n_id"), col("codes"))
+    // the per-query sub×code LUT is computed ONCE per query row on the
+    // broadcast side; the per-pair work in the scan is m lookups + adds
+    // (the Jégou et al. ADC factoring, native codegen)
     val q = queries.select(col(queryId).as("q_id"),
       VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+      .withColumn("q_lut", graft.plans.PqKernels.lutCol(col("q_v"), cbF,
+        cb.length, cb.head.length))
     val scored = enc.crossJoin(broadcast(q))
-      .withColumn("cos_adc",
-        aggregate(sequence(lit(0), lit(cb.length - 1)), lit(0.0),
-          (acc, s) => acc + aggregate(
-            zip_with(
-              slice(col("q_v"), s * lit(dsub) + 1, lit(dsub)),
-              element_at(element_at(cbLit, s + 1),
-                element_at(col("codes"), s + 1) + 1),
-              (x, y) => x * y),
-            lit(0.0), (a, d) => a + d)))
+      .withColumn("cos_adc", graft.plans.PqKernels.adcCol(
+        col("codes"), col("q_lut"), cb.head.length))
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("cos_adc"), 6).desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -867,10 +904,17 @@ object Similarity {
 
   /** Persist a PQ index: `codebooks.parquet` (the m×ksub codeword table)
     * and `codes.parquet` ((n_id, codes) — the compressed corpus, m small
-    * ints per vector), each write-then-swapped atomically (the
-    * [[writeIvfIndex]] publish discipline). Encode once, query many:
-    * the corpus's full vectors stay wherever they live and are touched
-    * again only by [[pqTopKStored]]'s re-rank over shortlisted ids. */
+    * ints per vector). Encode once, query many: the corpus's full
+    * vectors stay wherever they live and are touched again only by
+    * [[pqTopKStored]]'s re-rank over shortlisted ids.
+    *
+    * The TWO tables publish as ONE atomic unit: both are staged under
+    * `<path>.tmp` and the index ROOT is swapped with a single rename
+    * ([[graft.engine.Sinks.swapInto]]). Codes are meaningful only
+    * relative to their codebook — per-table swaps (the r16 shape) left a
+    * window where a reader racing a republish could pair new codebooks
+    * with old codes and silently decode every vector wrong; a root swap
+    * makes the pairing indivisible. */
   def writePqIndex(
       corpus: DataFrame, corpusId: String, corpusVec: String, path: String,
       m: Int = 8, ksub: Int = 16, iters: Int = 2): Unit = {
@@ -878,27 +922,22 @@ object Similarity {
     val codes = pqEncode(corpus, corpusId, corpusVec, codebooks)
       .select(col(corpusId).as("n_id"), col("codes"))
     val spark = corpus.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def publish(df: DataFrame, name: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$name.parquet")
-      df.write.mode("overwrite").parquet(live.toString + ".tmp")
-      graft.engine.Sinks.swapInto(fs, live)
-    }
-    publish(codebooks, "codebooks")
-    publish(codes, "codes")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    codebooks.write.mode("overwrite").parquet(s"$path.tmp/codebooks.parquet")
+    codes.write.mode("overwrite").parquet(s"$path.tmp/codes.parquet")
+    graft.engine.Sinks.swapInto(fs, root)
   }
 
   /** Load a stored PQ index written by [[writePqIndex]] (recovering any
-    * half-finished swap first) as (codebooks, codes). */
+    * half-finished ROOT swap first) as (codebooks, codes) — always a
+    * consistent pair, by the single-root publish contract. */
   def readPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, DataFrame) = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq("codebooks", "codes").foreach { name =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/$name.parquet")
-      graft.engine.Sinks.recoverSwap(live.getFileSystem(conf), live)
-    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.engine.Sinks.recoverSwap(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
     (spark.read.parquet(s"$path/codebooks.parquet"),
       spark.read.parquet(s"$path/codes.parquet"))
   }
@@ -915,20 +954,15 @@ object Similarity {
       k: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val (codebooks, codes) = readPqIndex(spark, path)
-    val (cb, dsub) = collectCodebooks(codebooks)
-    val cbLit = cbLiteral(cb)
+    val (cb, _) = collectCodebooks(codebooks)
+    val cbF = graft.plans.PqKernels.flatCodebook(cb)
     val q = queries.select(col(queryId).as("q_id"),
       VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+      .withColumn("q_lut", graft.plans.PqKernels.lutCol(col("q_v"), cbF,
+        cb.length, cb.head.length))
     val scored = codes.crossJoin(broadcast(q))
-      .withColumn("cos_adc",
-        aggregate(sequence(lit(0), lit(cb.length - 1)), lit(0.0),
-          (acc, s) => acc + aggregate(
-            zip_with(
-              slice(col("q_v"), s * lit(dsub) + 1, lit(dsub)),
-              element_at(element_at(cbLit, s + 1),
-                element_at(col("codes"), s + 1) + 1),
-              (x, y) => x * y),
-            lit(0.0), (a, d) => a + d)))
+      .withColumn("cos_adc", graft.plans.PqKernels.adcCol(
+        col("codes"), col("q_lut"), cb.head.length))
     val ws = Window.partitionBy("q_id")
       .orderBy(round(col("cos_adc"), 6).desc, col("n_id"))
     val cand = scored.withColumn("rank", row_number().over(ws))
@@ -978,8 +1012,8 @@ object Similarity {
       assumeUnit = true)
     val codebooks = pqCodebooks(c, "n_id", "n_v", m, ksub, iters,
       assumeUnit = true)
-    val (cb, dsub) = collectCodebooks(codebooks)
-    val cbLit = cbLiteral(cb)
+    val (cb, _) = collectCodebooks(codebooks)
+    val cbF = graft.plans.PqKernels.flatCodebook(cb)
     val index = assignCell(c, "n_id", "n_v", centroids)
       .select(col("n_id"), col("cell"))
       .join(pqEncode(c, "n_id", "n_v", codebooks, assumeUnit = true)
@@ -987,16 +1021,11 @@ object Similarity {
     val q = queries.select(col(queryId).as("q_id"),
       VectorFns.unitizeNative(col(queryVec)).as("q_v"))
     val probed = assignCells(q, "q_id", "q_v", centroids, p = nProbe)
+      .withColumn("q_lut", graft.plans.PqKernels.lutCol(col("q_v"), cbF,
+        cb.length, cb.head.length))
     val scored = index.join(broadcast(probed), Seq("cell"))
-      .withColumn("cos_adc",
-        aggregate(sequence(lit(0), lit(cb.length - 1)), lit(0.0),
-          (acc, s) => acc + aggregate(
-            zip_with(
-              slice(col("q_v"), s * lit(dsub) + 1, lit(dsub)),
-              element_at(element_at(cbLit, s + 1),
-                element_at(col("codes"), s + 1) + 1),
-              (x, y) => x * y),
-            lit(0.0), (a, d) => a + d)))
+      .withColumn("cos_adc", graft.plans.PqKernels.adcCol(
+        col("codes"), col("q_lut"), cb.head.length))
     val ws = Window.partitionBy("q_id")
       .orderBy(round(col("cos_adc"), 6).desc, col("n_id"))
     val cand = scored.withColumn("rank", row_number().over(ws))

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.plans.PqKernels
+
+/** Native PQ kernels (encode / per-query LUT / ADC score) vs the
+  * interpreted HOF reference path: the r17 hot-path rewrite must be
+  * BIT-identical — same argmin tie-break, same double accumulation
+  * order — so the recall oracles and shortlists are unaffected by which
+  * path an operator uses ([[graft.plans.WinnowMinima]] discipline: the
+  * independently derived slow twin IS the test). */
+class PqKernelsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = graft.engine.Tables.load(spark, dir, "embeddings")
+  private lazy val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+    m = 8, ksub = 16, iters = 1)
+
+  test("native encode == HOF encode, exactly, over the fixture corpus") {
+    val native = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = Similarity.pqEncodeHof(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native.nonEmpty && native == hof)
+  }
+
+  test("native LUT∘ADC == HOF ADC score, exact double equality per pair") {
+    val (cbArr, dsub) = {
+      // collectCodebooks is private; rebuild the driver-side array here
+      val rows = cb.collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val ksub = rows.map(_.getInt(1)).max + 1
+      val arr = Array.ofDim[Array[Double]](m, ksub)
+      rows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      (arr, rows.head.getSeq[Double](2).length)
+    }
+    val m = cbArr.length
+    val ksub = cbArr.head.length
+    val cbF = PqKernels.flatCodebook(cbArr)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .select(col("vec_id").as("n_id"), col("codes"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        graft.functions.VectorFns.unitizeNative(col("embedding")).as("q_v"))
+      .withColumn("q_lut", PqKernels.lutCol(col("q_v"), cbF, m, ksub))
+    val diff = enc.crossJoin(broadcast(q))
+      .withColumn("native", PqKernels.adcCol(col("codes"), col("q_lut"), ksub))
+      .withColumn("hof", Similarity.adcScoreHof(col("q_v"), col("codes"), cbArr, dsub))
+      .filter(col("native") =!= col("hof")) // exact, not tolerance
+      .count()
+    assert(diff == 0)
+  }
+
+  test("kernels are codegen'd (no ScalaUDF on the kernel projection lines)") {
+    val (cbArr, _) = {
+      val rows = cb.collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val ksub = rows.map(_.getInt(1)).max + 1
+      val arr = Array.ofDim[Array[Double]](m, ksub)
+      rows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      (arr, rows.head.getSeq[Double](2).length)
+    }
+    val cbF = PqKernels.flatCodebook(cbArr)
+    val plan = emb
+      .select(graft.functions.VectorFns.unitizeNative(col("embedding")).as("v"))
+      .select(col("v"), PqKernels.encodeCol(col("v"), cbF, 8, 16).as("codes"),
+        PqKernels.lutCol(col("v"), cbF, 8, 16).as("lut"))
+      .select(PqKernels.adcCol(col("codes"), col("lut"), 16).as("s"))
+      .queryExecution.executedPlan.toString
+    Seq("graft_pq_encode", "graft_pq_lut", "graft_pq_adc").foreach { name =>
+      assert(plan.contains(name), s"$name missing from plan:\n$plan")
+    }
+    plan.linesIterator.filter(l => l.contains("graft_pq")).foreach { l =>
+      assert(!l.toLowerCase.contains("scalaudf"), l)
+    }
+  }
+
+  test("argmin tie-break: equidistant codewords pick the smallest code on both paths") {
+    import sqlContext.implicits._
+    // two identical codewords per subspace: every distance ties, so the
+    // strict-< argmin must return code 0 on both paths
+    val rows = Seq((0L, Seq(0.6, 0.8)), (1L, Seq(-0.8, 0.6)))
+    val df = rows.toDF("vec_id", "embedding")
+    val dup = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0, 0, Seq(0.3, 0.4)),
+        org.apache.spark.sql.Row(0, 1, Seq(0.3, 0.4))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sub",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val nat = Similarity.pqEncode(df, "vec_id", "embedding", dup)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = Similarity.pqEncodeHof(df, "vec_id", "embedding", dup)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(nat == hof)
+    assert(nat.values.forall(_ == Seq(0)), s"tie must break to code 0: $nat")
+  }
+}

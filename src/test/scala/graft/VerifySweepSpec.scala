@@ -15,9 +15,24 @@ class VerifySweepSpec extends SparkSpec {
     val keys = Set("dedup_substring", "substring_extent", "dedup_resolve")
     val selected = SparkEntry.queries.view.filterKeys(keys).toMap
     assert(selected.size == keys.size, "registry must carry the checkpoint-heavy keys")
+    // Suites share one SparkSession (sequential under Test/fork), so a
+    // PRIOR suite's leftover storage — e.g. a dedup_resolve result whose
+    // own checkpoint the caller never freed — may still be registered
+    // here. dump's contract is scoped: it preserves caller-preexisting
+    // storage and sweeps only what it created. Asserting a globally
+    // empty registry conflated the two and flaked on suite order
+    // (r16: one prior-suite localCheckpoint surfaced as a "leak").
+    // Sweep the leftovers first so the test owns its baseline, then
+    // assert the registry is EXACTLY the baseline after the dump —
+    // stronger than isEmpty: it also catches dump evicting caller
+    // storage, not just dump leaking its own.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
+    assert(pre.isEmpty, s"baseline sweep left: ${pre.mkString(", ")}")
     val errors = Verify.dump(spark, sfDir, out, selected, par = 2)
     assert(errors.isEmpty, s"queries failed: $errors")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pre,
       s"leaked: ${spark.sparkContext.getPersistentRDDs.keys.mkString(", ")}")
     keys.foreach { k =>
       assert(new java.io.File(s"$out/$k").exists(), s"missing output dir for $k")
