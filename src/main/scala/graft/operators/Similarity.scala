@@ -1041,6 +1041,134 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
+  /** Persist the COMPOSED IVF+PQ index — coarse centroids, PQ codebooks,
+    * and the per-vector (cell, codes) table — as ONE atomic unit under a
+    * single swap root (the [[writePqIndex]] publish discipline: cells and
+    * codes are meaningful only relative to their centroids/codebooks, so
+    * the pairing must be indivisible). This is the index the production
+    * repeated-query path [[ivfPqStoredTopK]] answers from with ZERO
+    * training or encoding at query time; [[ivfPqTopK]] (which re-trains
+    * both levers per call) remains the one-shot/exploratory form.
+    *
+    * `residual = true` trains the codebooks on CELL RESIDUALS
+    * (v − centroid(cell)) — Jégou et al.'s IVFADC encoding (TPAMI 2011
+    * §IV): plain-vector codes waste codebook capacity re-encoding the
+    * cell mean every member shares; residual codes spend all m×ksub
+    * codewords on the within-cell variation. The ADC score then
+    * reconstructs q·v̂ = q·c_cell + q·r̂, where the first term is one
+    * exact dot per (query, probed cell) and the second is the standard
+    * LUT sum over the residual codebooks.
+    *
+    * Measured on the fixture embeddings (m=16, ksub=64, nLists=16,
+    * nProbe=8, 5 queries × k=10): residual ≈ plain at shortlist 80
+    * (43/43/38 vs 43/43/39 across sf0.001/0.01/0.1 — both saturate the
+    * IVF cell-coverage ceiling, which encoding cannot repair) and
+    * residual is WORSE at tight shortlists (26 vs 32 hits at
+    * shortlist 10, sf0.01): the residual win presupposes tight clusters
+    * (‖r‖ ≪ ‖v‖), and on this weakly-clustered corpus the residuals
+    * are as hard to quantize as the vectors. Hence `residual = false`
+    * is the registered default here; flip it when a recall sweep on the
+    * REAL corpus (the [[annProbeSweep]]/pq_shortlist_sweep discipline)
+    * shows the clusters are tight enough to pay.
+    *
+    * Scale shape: clustering/training collect only bounded model tables
+    * (nLists and m×ksub rows); assignment, residual subtraction, and
+    * encoding are map-side passes over the corpus; the stored index is
+    * m ints + a cell id per vector. The corpus is rescanned per Lloyd
+    * iteration (training is one-time by contract) and never at query
+    * time. */
+  def writeIvfPqIndex(
+      corpus: DataFrame, corpusId: String, corpusVec: String, path: String,
+      nLists: Int = 16, lloydIters: Int = 1, m: Int = 8, ksub: Int = 16,
+      pqIters: Int = 2, residual: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
+    val centroids = kmeansCentroids(c, "n_id", "n_v", nLists, lloydIters,
+      assumeUnit = true)
+    val assigned = assignCell(c, "n_id", "n_v", centroids)
+    val train =
+      if (residual)
+        assigned.join(broadcast(centroids), Seq("cell"))
+          .select(col("n_id"), col("cell"),
+            zip_with(col("n_v"), col("cv"), (x, y) => x - y).as("t_v"))
+      else assigned.select(col("n_id"), col("cell"), col("n_v").as("t_v"))
+    val codebooks = pqCodebooks(train, "n_id", "t_v", m, ksub, pqIters,
+      assumeUnit = true)
+    val index = train.select(col("n_id"), col("cell"))
+      .join(pqEncode(train, "n_id", "t_v", codebooks, assumeUnit = true)
+        .select(col("n_id"), col("codes")), Seq("n_id"))
+    val meta = localFrame(spark,
+      Array(org.apache.spark.sql.Row(residual)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("residual",
+          org.apache.spark.sql.types.BooleanType))))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    centroids.write.mode("overwrite").parquet(s"$path.tmp/centroids.parquet")
+    codebooks.write.mode("overwrite").parquet(s"$path.tmp/codebooks.parquet")
+    index.write.mode("overwrite").parquet(s"$path.tmp/index.parquet")
+    meta.write.mode("overwrite").parquet(s"$path.tmp/meta.parquet")
+    graft.engine.Sinks.swapInto(fs, root)
+  }
+
+  /** IVF+PQ search answered ENTIRELY from a stored [[writeIvfPqIndex]]
+    * index — the production repeated-query path: probe `nProbe` cells
+    * against the stored centroids, ADC-score only those cells' stored
+    * codes (adding the q·centroid term when the index is
+    * residual-encoded), shortlist per query, and re-rank only the
+    * shortlisted ids' full vectors from `corpusForRerank`. Zero
+    * training, zero encoding, zero corpus scans at query time; the
+    * per-query cost is nLists dots (probe) + |probed cells| × m
+    * lookups (scan) + shortlist exact dots (re-rank). Output is
+    * [[bruteForceTopK]]'s deterministic contract. */
+  def ivfPqStoredTopK(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpusForRerank: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlist: Int, nProbe: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.engine.Sinks.recoverSwap(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    val centroids = spark.read.parquet(s"$path/centroids.parquet")
+    val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
+    val index = spark.read.parquet(s"$path/index.parquet")
+    val residual = spark.read.parquet(s"$path/meta.parquet")
+      .select("residual").head().getBoolean(0)
+    val (cb, _) = collectCodebooks(codebooks)
+    val cbF = graft.plans.PqKernels.flatCodebook(cb)
+    val ksub = cb.head.length
+    val q = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+    val probed = assignCells(q, "q_id", "q_v", centroids, p = nProbe)
+      .join(broadcast(centroids), Seq("cell")) // recover cv for the q·c term
+      .withColumn("q_lut", graft.plans.PqKernels.lutCol(col("q_v"), cbF,
+        cb.length, ksub))
+      .withColumn("__qc",
+        if (residual) VectorFns.dotNative(col("q_v"), col("cv")) else lit(0.0))
+      .drop("cv")
+    val scored = index.join(broadcast(probed), Seq("cell"))
+      .withColumn("cos_adc", col("__qc") +
+        graft.plans.PqKernels.adcCol(col("codes"), col("q_lut"), ksub))
+    val ws = Window.partitionBy("q_id")
+      .orderBy(round(col("cos_adc"), 6).desc, col("n_id"))
+    val cand = scored.withColumn("rank", row_number().over(ws))
+      .filter(col("rank") <= shortlist)
+      .select("q_id", "n_id")
+    val c = corpusForRerank.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
+    val rescored = cand.join(c, Seq("n_id"))
+      .join(broadcast(q.select("q_id", "q_v")), Seq("q_id"))
+      .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 6).desc, col("n_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
   /** PQ with exact re-ranking — the production shape: the compressed
     * scan retrieves a `shortlist`-deep ADC candidate set per query
     * (cheap, m ints per corpus row), then ONLY the shortlisted rows'

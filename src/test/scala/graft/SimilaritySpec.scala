@@ -444,6 +444,59 @@ class SimilaritySpec extends SparkSpec {
         "embedding", k = 5, shortlist = 20, nLists = 8, nProbe = 9))
   }
 
+  test("ivfPqStoredTopK: stored plain index answers identically to the in-memory ivfPqTopK") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
+    try {
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 8, lloydIters = 2, m = 8, ksub = 16, pqIters = 2,
+        residual = false)
+      val stored = Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 5, shortlist = 20,
+          nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // in-memory twin with the SAME iteration counts: deterministic
+      // hash-seeded training + exact parquet round-trip => identical
+      val mem = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, shortlist = 20, nLists = 8,
+          nProbe = 4, m = 8, ksub = 16, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(stored == mem)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("ivfPqStoredTopK residual: meta flag round-trips; exhaustive shortlist equals the plain variant (re-rank absorbs encoding)") {
+    val plainIdx = java.nio.file.Files.createTempDirectory("graft-ivfpq-p").toString
+    val resIdx = java.nio.file.Files.createTempDirectory("graft-ivfpq-r").toString
+    try {
+      val q = emb.filter(col("vec_id") < 3)
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", plainIdx,
+        nLists = 8, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", resIdx,
+        nLists = 8, lloydIters = 1, m = 8, ksub = 16, pqIters = 1,
+        residual = true)
+      assert(!spark.read.parquet(s"$plainIdx/meta.parquet").head().getBoolean(0))
+      assert(spark.read.parquet(s"$resIdx/meta.parquet").head().getBoolean(0))
+      // with the shortlist wider than the corpus, EVERY probed candidate
+      // is exactly re-ranked, so the encoding (plain vs residual) cannot
+      // change the answer — both reduce to exact top-k over probed cells
+      // (the same cells: centroids are encoding-independent)
+      def ans(idx: String) = Similarity.ivfPqStoredTopK(spark, idx, emb,
+          "vec_id", "embedding", q, "vec_id", "embedding", k = 5,
+          shortlist = 1000000, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(ans(plainIdx) == ans(resIdx))
+    } finally {
+      Seq(plainIdx, resIdx).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+  }
+
   test("pqTopKRerank: recall dominates pure ADC on the fixture, self is rank-1 on a codeword-exact corpus, shortlist guard") {
     val q = emb.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
