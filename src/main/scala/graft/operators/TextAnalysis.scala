@@ -943,26 +943,65 @@ object TextAnalysis {
     * Scale shape: the merge table is a bounded MODEL ARTIFACT (32–64k
     * rows for production vocabularies), collected once driver-side —
     * never data-sized. The batch collapses to its word-TYPE table
-    * (Zipf-bounded), each stored merge is one map-side string replace
-    * over it, and the replace chain localCheckpoints every
-    * `checkpointEvery` merges so per-projection expression depth stays
-    * bounded for large vocabularies. The payoff is ONE equi-join of the
-    * batch's (doc, word) pairs against the |batch vocab|-row
-    * symbol-count table (AQE broadcasts it when small) and one
-    * partial-aggregated per-doc rollup — zero passes over the training
-    * corpus. */
+    * (Zipf-bounded) and each word is tokenized by ONE fused per-row
+    * kernel ([[graft.plans.BpeTokenCount]]): the merge table rides as a
+    * plan reference object and per word only the merges whose pairs
+    * actually occur are touched, so apply cost is FLAT in |merges| —
+    * where the r16 replace-expression chain was ~2,000 checkpointed
+    * projection stages at a production 64k vocabulary, this is one
+    * projection at any vocabulary size (the chain survives as
+    * [[bpeApplyChain]], the spec-pinned reference twin). The payoff is
+    * ONE equi-join of the batch's (doc, word) pairs against the
+    * |batch vocab|-row symbol-count table (AQE broadcasts it when
+    * small) and one partial-aggregated per-doc rollup — zero passes
+    * over the training corpus. */
   def bpeApply(
+      batch: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val S = SymS
+    val E = SymE
+    val ms = collectMerges(merges)
+    val words = batch.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(S) && !col("word").contains(E))
+      .distinct()
+    val tok = words.select(col("word"),
+      graft.plans.BpeTokenCount.count(col("word"), ms).as("__nsym"))
+    batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(S) && !col("word").contains(E))
+      .join(tok, Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("__nsym")).as("n_tokens"))
+  }
+
+  /** The stored merge table collected rank-ascending — the bounded model
+    * artifact both apply paths and the streaming twin share. */
+  private[graft] def collectMerges(merges: DataFrame): Seq[(String, String)] =
+    merges
+      .select(col("rank").cast("long").as("rank"),
+        col("left_sym"), col("right_sym"))
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** [[bpeApply]] through the per-merge `replace` expression chain — the
+    * r16 implementation, retained as the independently derived reference
+    * twin the parity spec pins [[graft.plans.BpeTokenCount]] against
+    * (including OOV and merge-output collisions). One projection per
+    * merge, localCheckpoint every `checkpointEvery` to bound expression
+    * depth: correct, but O(|merges|) stages — do not use for production
+    * vocabularies. */
+  private[graft] def bpeApplyChain(
       batch: DataFrame, idCol: String, textCol: String, merges: DataFrame,
       checkpointEvery: Int = 32): DataFrame = {
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
     val S = SymS
     val E = SymE
-    val ms = merges
-      .select(col("rank").cast("long").as("rank"),
-        col("left_sym"), col("right_sym"))
-      .orderBy("rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    val ms = collectMerges(merges)
     val words = batch.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "" &&

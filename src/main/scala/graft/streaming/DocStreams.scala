@@ -473,14 +473,16 @@ object DocStreams {
     *
     * STATELESS: the batch operator's word-type table + join + per-doc
     * rollup would all be stateful here, so instead the bounded merge
-    * table rides as a driver-built replace chain applied PER ROW — each
-    * word char-inits into the sentinel-framed symbol string and the
-    * merges replace through it in rank order (OOV words keep unfused
-    * symbols, counted never dropped — the same contract). Per-row cost
-    * is merges × word length; for production-sized merge tables batch
-    * accounting through [[graft.operators.TextAnalysis.bpeApply]]'s
-    * word-TYPE table is the cheaper shape — this twin is for the ingest
-    * gate where rows arrive one micro-batch at a time. */
+    * table rides as a plan reference object inside ONE fused per-word
+    * kernel ([[graft.plans.BpeTokenCount]] — the same kernel the batch
+    * apply uses, so parity is by construction): each word char-inits
+    * and merges to fixpoint in rank order (OOV words keep unfused
+    * symbols, counted never dropped — the same contract). Per-word cost
+    * is flat in |merges| (only merges whose pairs occur are touched),
+    * and the plan is a single projection at ANY vocabulary size — the
+    * r16 shape folded one nested `replace` per merge into the streaming
+    * plan, which would have broken Catalyst codegen outright (stack
+    * depth / 64KB method limit) at production 32–64k merge tables. */
   def bpeCountArrivals(
       stream: DataFrame, merges: DataFrame, textCol: String): DataFrame = {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
@@ -491,27 +493,16 @@ object DocStreams {
         s"schema; got (${merges.columns.mkString(", ")})")
     val S = graft.operators.TextAnalysis.SymS
     val E = graft.operators.TextAnalysis.SymE
-    val ms = merges
-      .select(col("rank").cast("long").as("rank"),
-        col("left_sym"), col("right_sym"))
-      .orderBy("rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    def nSyms(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val framed = concat_ws("", transform(sequence(lit(1), length(w)),
-        i => concat(lit(S), w.substr(i, lit(1)), lit(E))))
-      val merged = ms.foldLeft(framed) { case (e, (l, r)) =>
-        replace(e, lit(S + l + E + S + r + E), lit(S + l + r + E))
-      }
-      size(split(merged.substr(lit(2), length(merged) - 2), E + S))
-        .cast("long")
-    }
+    val ms = graft.operators.TextAnalysis.collectMerges(merges)
     val toks = filter(split(col(textCol), " "), w =>
       w =!= "" && !w.contains(S) && !w.contains(E))
     stream.filter(col(textCol).isNotNull)
       .withColumn("n_words", size(toks).cast("long"))
       .filter(col("n_words") > 0)
       .withColumn("n_tokens",
-        aggregate(transform(toks, w => nSyms(w)), lit(0L), (acc, x) => acc + x))
+        aggregate(
+          transform(toks, w => graft.plans.BpeTokenCount.count(w, ms)),
+          lit(0L), (acc, x) => acc + x))
   }
 
   def qualityGate(

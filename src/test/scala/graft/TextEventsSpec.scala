@@ -348,13 +348,60 @@ class TextEventsSpec extends SparkSpec {
       merges.filter(col("rank") < 0))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(none == Map(10L -> (2L, 6L), 11L -> (1L, 3L)), none.toString)
-    // rank order matters: the chain must apply (a,b) BEFORE (ab,c)
+    // rank order matters: the kernel must apply (a,b) BEFORE (ab,c)
     val chained = TextAnalysis.bpeApply(
       Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text", merges)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(chained == Seq((1L, 1L)), chained.toString)
     intercept[IllegalArgumentException](
-      TextAnalysis.bpeApply(batch, "doc_id", "text", merges, 0))
+      TextAnalysis.bpeApplyChain(batch, "doc_id", "text", merges, 0))
+  }
+
+  test("bpeApply kernel == replace-chain reference, incl. OOV, repeats, and a merge-output collision") {
+    // crafted merge table exercising the subtle scheduling cases:
+    //  rank 0: (i, ng)   — input "ng" only exists AFTER rank 1, so this
+    //                      merge can never fire sequentially; a naive
+    //                      greedy min-rank kernel WOULD fire it on the
+    //                      "i·ng" adjacency rank 1 creates ("collision":
+    //                      later merges re-create an earlier merge's
+    //                      input string)
+    //  rank 1: (n, g)    — creates symbol "ng"
+    //  rank 2: (ng, o)   — consumes rank 1's output
+    //  rank 3: (a, a)    — left-to-right non-overlap on runs ("aaaa")
+    //  rank 4: (aa, aa)  — cascades on rank 3's output
+    val merges = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0, "i", "ng"),
+        org.apache.spark.sql.Row(1, "n", "g"),
+        org.apache.spark.sql.Row(2, "ng", "o"),
+        org.apache.spark.sql.Row(3, "a", "a"),
+        org.apache.spark.sql.Row(4, "aa", "aa")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("left_sym",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("right_sym",
+          org.apache.spark.sql.types.StringType))))
+    val batch = Seq(
+      (1L, "sing singo ngongo"),  // collision + chained merges
+      (2L, "aaaa aaa aaaaa"),     // run semantics, odd/even lengths
+      (3L, "zzz unseen"),         // fully OOV
+      (4L, "ng ingo going")       // pre-existing "ng" text vs created symbol
+    ).toDF("doc_id", "text")
+    val kernel = TextAnalysis.bpeApply(batch, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val chain = TextAnalysis.bpeApplyChain(batch, "doc_id", "text", merges,
+        checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kernel == chain, s"kernel $kernel != chain $chain")
+    // pin the collision case concretely: "sing" = s·i·ng after rank 1;
+    // rank 0 (i, ng) must NOT fire (its rank already passed when the
+    // "ng" symbol appeared), so "sing" stays 3 tokens
+    val sing = TextAnalysis.bpeApply(
+        Seq((9L, "sing")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(sing == Seq((1L, 3L)), sing.toString)
   }
 
   test("bpeMerges batched rounds are exactly the sequential merge sequence on interacting corpora") {
