@@ -111,4 +111,48 @@ object Classify {
       .select(col(idCol), col("n_tok"), col("label").as("pred_label"),
         col("score"))
   }
+
+  /** Publish a trained NB model as a versioned on-disk artifact:
+    * `model.parquet` ([[nbTrain]]'s table) plus `meta.parquet` carrying
+    * the `hexChars` the features were hashed with, staged together and
+    * swapped in with ONE atomic root rename (the
+    * [[Similarity.writePqIndex]] discipline). hexChars rides IN the
+    * artifact because a scorer using a different width silently hashes
+    * every token to a feature the model never saw — each document then
+    * gets the all-OOV score under every label and the argmax degrades
+    * to the prior, with no error anywhere; the meta makes the pairing
+    * indivisible and [[readNbModel]] hands both back. The artifact the
+    * streaming `DocStreams.nbClassifyArrivals` points at across
+    * restarts. */
+  def writeNbModel(
+      df: DataFrame, labelCol: String, textCol: String, path: String,
+      hexChars: Int = 3): Unit = {
+    val model = nbTrain(df, labelCol, textCol, hexChars)
+    val spark = df.sparkSession
+    val meta = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(hexChars)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("hex_chars",
+          org.apache.spark.sql.types.IntegerType))))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    model.write.mode("overwrite").parquet(s"$path.tmp/model.parquet")
+    meta.write.mode("overwrite").parquet(s"$path.tmp/meta.parquet")
+    graft.engine.Sinks.swapInto(fs, root)
+  }
+
+  /** Load a stored [[writeNbModel]] artifact (recovering any
+    * half-finished root swap first) as (model, hexChars) — always a
+    * consistent pair; feed both to [[nbClassify]] /
+    * `DocStreams.nbClassifyArrivals`. */
+  def readNbModel(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.engine.Sinks.recoverSwap(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    (spark.read.parquet(s"$path/model.parquet"),
+      spark.read.parquet(s"$path/meta.parquet")
+        .select("hex_chars").head().getInt(0))
+  }
 }

@@ -73,4 +73,38 @@ class ClassifySpec extends SparkSpec {
       .collect().map(r => (r.getString(2), r.getDouble(3)))
     assert(got.length == 1 && got.head._1 == "A", got.mkString(","))
   }
+
+  test("writeNbModel/readNbModel: round-trip scores identically; hexChars rides in the artifact; swap recovery") {
+    val train = Seq(("A", "x x y"), ("A", "x"), ("B", "z z"))
+      .toDF("lang", "text")
+    val batch = Seq((1L, "x x"), (2L, "z"), (3L, "unseen word"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Classify.writeNbModel(train, "lang", "text", dir, hexChars = 4)
+      val (model, hexChars) = Classify.readNbModel(spark, dir)
+      assert(hexChars == 4, "hexChars must round-trip in the artifact")
+      assert(!new java.io.File(dir + ".tmp").exists &&
+        !new java.io.File(dir + ".old").exists, "publish must leave no debris")
+      def res(m: org.apache.spark.sql.DataFrame, h: Int) =
+        Classify.nbClassify(batch, "doc_id", "text", m, h)
+          .collect().map(r =>
+            (r.getLong(0), r.getString(2), r.getDouble(3))).toSet
+      val stored = res(model, hexChars)
+      val mem = res(Classify.nbTrain(train, "lang", "text", 4), 4)
+      assert(stored == mem, s"stored $stored != in-memory $mem")
+      // republish overwrites atomically and still answers
+      Classify.writeNbModel(train.limit(2), "lang", "text", dir, hexChars = 3)
+      val (m2, h2) = Classify.readNbModel(spark, dir)
+      assert(h2 == 3 && m2.count() > 0)
+      // crash window: root renamed to .old, second rename never ran —
+      // the next read must recover the previous artifact, data intact
+      require(fs.rename(root, new org.apache.hadoop.fs.Path(dir + ".old")))
+      val (m3, h3) = Classify.readNbModel(spark, dir)
+      assert(h3 == 3 && m3.count() == m2.count(),
+        "swap recovery must restore the prior artifact")
+    } finally fs.delete(root, true)
+  }
 }
