@@ -864,6 +864,38 @@ object TextAnalysis {
         col("left_sym"), col("right_sym"), col("pair_count"))
   }
 
+  /** Publish a trained tokenizer: induce `nMerges` merges with
+    * [[bpeMerges]] and write the merge table as a versioned on-disk
+    * artifact with the write-then-swap discipline (one table, one
+    * atomic root swap — the [[Classify.writeNbModel]] /
+    * `Similarity.writePqIndex` contract, completing the
+    * learn-once/apply-many story for the BPE family: train here once,
+    * then [[bpeApply]] batches and `DocStreams.bpeCountArrivals`
+    * streams against [[readBpeModel]]'s table across restarts, the
+    * corpus never re-read). */
+  def writeBpeModel(
+      df: DataFrame, textCol: String, path: String, nMerges: Int,
+      checkpointEvery: Int = 4, mergesPerRound: Int = 16): Unit = {
+    val merges = bpeMerges(df, textCol, nMerges, checkpointEvery,
+      mergesPerRound)
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    merges.write.mode("overwrite").parquet(s"$path.tmp/merges.parquet")
+    graft.engine.Sinks.swapInto(fs, root)
+  }
+
+  /** Load a stored [[writeBpeModel]] merge table (recovering any
+    * half-finished swap first) — feed to [[bpeApply]] /
+    * `DocStreams.bpeCountArrivals`. */
+  def readBpeModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.engine.Sinks.recoverSwap(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    spark.read.parquet(s"$path/merges.parquet")
+  }
+
   /** Tokenizer APPLY — [[bpeMerges]]' payoff stage: learn `nMerges` BPE
     * merges from the corpus, apply them, and report per document the
     * whitespace word count and the resulting BPE token (symbol) count —

@@ -404,6 +404,83 @@ class TextEventsSpec extends SparkSpec {
     assert(sing == Seq((1L, 3L)), sing.toString)
   }
 
+  test("bpeApply at production vocabulary scale: 50k merges stay ONE projection; non-occurring merges are exact no-ops") {
+    // a production-sized merge table: 50,000 merges whose pairs never
+    // occur in the batch, with the 5 relevant merges interleaved at
+    // ranks spread across the table. The r16 replace chain was one
+    // projection PER MERGE (~1,500 checkpointed stages here); the
+    // kernel must stay one projection and touch only occurring pairs.
+    val relevant = Seq(
+      (10, "a", "b"), (25000, "ab", "c"), (25001, "x", "y"),
+      (49998, "abc", "d"), (49999, "xy", "z"))
+    val filler = (0 until 50000)
+      .filterNot(relevant.map(_._1).toSet)
+      .map(i => (i, s"§f$i", s"¶g$i")) // symbols no word contains
+    val rows = (relevant ++ filler).sortBy(_._1).map { case (r, l, s) =>
+      org.apache.spark.sql.Row(r, l, s)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("left_sym",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("right_sym",
+        org.apache.spark.sql.types.StringType)))
+    import scala.jdk.CollectionConverters._
+    val big = spark.createDataFrame(rows.asJava, schema)
+    val small = spark.createDataFrame(
+      rows.filter(r => relevant.map(_._1).contains(r.getInt(0))).asJava, schema)
+    val batch = Seq((1L, "abcd xyz abxy"), (2L, "abcdabcd aaxx"))
+      .toDF("doc_id", "text")
+    val gotBig = TextAnalysis.bpeApply(batch, "doc_id", "text", big)
+    // one kernel projection, zero replace chains, regardless of |merges|
+    // (logical plan: the physical string renders the distinct-aggregate's
+    // result projection as attribute names only, hiding the expression)
+    val plan = gotBig.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_bpe_count"), plan)
+    assert(!plan.contains("replace("), plan)
+    val a = gotBig.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 49,995 non-occurring merges are no-ops: the full table must answer
+    // exactly as the 5-relevant-merge table (same ranks order)
+    val b = TextAnalysis.bpeApply(batch, "doc_id", "text", small)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b, s"big $a != small $b")
+    // and the counts are the hand-derived ones: "abcd"→[abcd] (ranks
+    // 10, 25000, 49998 cascade), "xyz"→[xyz] (25001 then 49999),
+    // "abxy"→[ab, xy], "abcdabcd"→[abcd, abcd], "aaxx"→[a, a, x, x]
+    // (no (a,a)/(x,x) merges)
+    assert(a == Map(1L -> (3L, 4L), 2L -> (2L, 6L)), a.toString)
+  }
+
+  test("writeBpeModel/readBpeModel: stored tokenizer applies identically; swap recovery restores the prior artifact") {
+    val train = Seq("ab ab abc", "ab abc").toDF("text")
+    val batch = Seq((10L, "abc abd"), (11L, "xyz")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      TextAnalysis.writeBpeModel(train, "text", dir, nMerges = 2)
+      val stored = TextAnalysis.readBpeModel(spark, dir)
+      assert(!new java.io.File(dir + ".tmp").exists &&
+        !new java.io.File(dir + ".old").exists, "publish must leave no debris")
+      def res(m: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.bpeApply(batch, "doc_id", "text", m)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val a = res(stored)
+      val b = res(TextAnalysis.bpeMerges(train, "text", nMerges = 2))
+      assert(a == b && a.nonEmpty, s"stored $a != in-memory $b")
+      // republish (a retrained model), then simulate the crash window:
+      // root renamed to .old, second rename never ran — the next read
+      // must recover the artifact, merges intact
+      TextAnalysis.writeBpeModel(train, "text", dir, nMerges = 1)
+      val n1 = TextAnalysis.readBpeModel(spark, dir).count()
+      require(fs.rename(root, new org.apache.hadoop.fs.Path(dir + ".old")))
+      assert(TextAnalysis.readBpeModel(spark, dir).count() == n1,
+        "swap recovery must restore the prior artifact")
+    } finally fs.delete(root, true)
+  }
+
   test("bpeMerges batched rounds are exactly the sequential merge sequence on interacting corpora") {
     // every adjacent pair shares symbols with the top pair, forcing the
     // batch down to size 1 each round — and the counts tie everywhere,
