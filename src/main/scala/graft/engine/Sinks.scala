@@ -51,6 +51,38 @@ object Sinks {
     fs.delete(old, true): Unit
   }
 
+  /** Publish a MULTI-TABLE artifact root atomically: `stage` writes every
+    * table under the handed staging directory, then the root is swapped
+    * in with ONE rename — so tables that are only meaningful together
+    * (PQ codes ↔ their codebooks, NB counts ↔ their hash width, IVF
+    * cells ↔ their centroids) can never be observed torn, even by a
+    * reader racing a republish. This is the ONE implementation of the
+    * staging+swap discipline every model-artifact writer shares (five
+    * hand-rolled copies drifted in r17 review: trailing-slash staging
+    * paths that missed `swapInto`'s normalized derivation, and staged
+    * debris left behind by mid-write failures).
+    *
+    * The staging path derives from the NORMALIZED root (`new Path`
+    * strips trailing slashes), exactly as [[swapInto]] derives it — a
+    * caller passing `"/idx/pq/"` stages and swaps the same directory.
+    * If `stage` (or the swap) throws, the staging directory is deleted
+    * best-effort and the live root is untouched: a failed republish
+    * leaves the previous artifact serving and no orphaned corpus-sized
+    * debris. */
+  def publishRoot(fs: FileSystem, path: String)(stage: String => Unit): Unit = {
+    val root = new Path(path)
+    val tmp = root.toString + ".tmp"
+    try {
+      stage(tmp)
+      swapInto(fs, root)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(new Path(tmp), true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+  }
+
   /** Hive-style partitioned layout: readers filtering on `cols` prune
     * whole directories (PartitionFilters in the scan) — the at-rest
     * analog of the reference's attribute indexes (:156-161), but one that

@@ -129,16 +129,17 @@ object Classify {
       hexChars: Int = 3): Unit = {
     val model = nbTrain(df, labelCol, textCol, hexChars)
     val spark = df.sparkSession
-    val meta = spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(hexChars)),
+    val meta = Similarity.localFrame(spark,
+      Array(org.apache.spark.sql.Row(hexChars)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("hex_chars",
           org.apache.spark.sql.types.IntegerType))))
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    model.write.mode("overwrite").parquet(s"$path.tmp/model.parquet")
-    meta.write.mode("overwrite").parquet(s"$path.tmp/meta.parquet")
-    graft.engine.Sinks.swapInto(fs, root)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.Sinks.publishRoot(fs, path) { tmp =>
+      model.write.mode("overwrite").parquet(s"$tmp/model.parquet")
+      meta.write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+    }
   }
 
   /** Load a stored [[writeNbModel]] artifact (recovering any

@@ -602,10 +602,13 @@ object Similarity {
     * (n_id, n_v, cell) — the build-once / query-many contract repeated
     * similarity workloads need: at 100 TB the k-means build + corpus
     * assignment pass dominates query cost, and [[annIvf]]'s rebuild-per-job
-    * shape pays it on every invocation. Both tables publish via
-    * write-then-swap ([[graft.engine.Sinks.swapInto]]), so a concurrent
-    * reader never sees a half-written index and a crashed rebuild leaves
-    * the previous index live.
+    * shape pays it on every invocation. Both tables stage together and
+    * publish with ONE atomic root swap
+    * ([[graft.engine.Sinks.publishRoot]]): cells are only meaningful
+    * relative to their centroids, and the r16 per-table swaps left a
+    * window where a reader racing a republish paired new centroids with
+    * old assignments — silently degraded probes, no error anywhere. A
+    * crashed rebuild leaves the previous index live.
     *
     * Determinism: [[kmeansCentroids]] seeds from `xxhash64(id)`, so the
     * same corpus always persists the same index — a rebuild is a no-op
@@ -623,25 +626,21 @@ object Similarity {
     val spark = corpus.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def publish(df: DataFrame, name: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$name.parquet")
-      df.write.mode("overwrite").parquet(live.toString + ".tmp")
-      graft.engine.Sinks.swapInto(fs, live)
+    graft.engine.Sinks.publishRoot(fs, path) { tmp =>
+      centroids.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
+      assigned.write.mode("overwrite").parquet(s"$tmp/assigned.parquet")
     }
-    publish(centroids, "centroids")
-    publish(assigned, "assigned")
   }
 
   /** Load a stored IVF index written by [[writeIvfIndex]] (recovering any
-    * half-finished swap first) as (centroids, assigned). */
+    * half-finished ROOT swap first) as (centroids, assigned) — always a
+    * consistent pair, by the single-root publish contract. */
   def readIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, DataFrame) = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq("centroids", "assigned").foreach { name =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/$name.parquet")
-      graft.engine.Sinks.recoverSwap(live.getFileSystem(conf), live)
-    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.engine.Sinks.recoverSwap(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
     (spark.read.parquet(s"$path/centroids.parquet"),
       spark.read.parquet(s"$path/assigned.parquet"))
   }
@@ -922,11 +921,12 @@ object Similarity {
     val codes = pqEncode(corpus, corpusId, corpusVec, codebooks)
       .select(col(corpusId).as("n_id"), col("codes"))
     val spark = corpus.sparkSession
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    codebooks.write.mode("overwrite").parquet(s"$path.tmp/codebooks.parquet")
-    codes.write.mode("overwrite").parquet(s"$path.tmp/codes.parquet")
-    graft.engine.Sinks.swapInto(fs, root)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.Sinks.publishRoot(fs, path) { tmp =>
+      codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks.parquet")
+      codes.write.mode("overwrite").parquet(s"$tmp/codes.parquet")
+    }
   }
 
   /** Load a stored PQ index written by [[writePqIndex]] (recovering any
@@ -1020,9 +1020,12 @@ object Similarity {
         .select(col("n_id"), col("codes")), Seq("n_id"))
     val q = queries.select(col(queryId).as("q_id"),
       VectorFns.unitizeNative(col(queryVec)).as("q_v"))
-    val probed = assignCells(q, "q_id", "q_v", centroids, p = nProbe)
-      .withColumn("q_lut", graft.plans.PqKernels.lutCol(col("q_v"), cbF,
-        cb.length, cb.head.length))
+    // LUT projected BEFORE the probe fanout: evaluated once per query
+    // row, not once per (query, probed cell) — the probe window only
+    // copies the value into its nProbe output rows
+    val qLut = q.withColumn("q_lut", graft.plans.PqKernels.lutCol(
+      col("q_v"), cbF, cb.length, cb.head.length))
+    val probed = assignCells(qLut, "q_id", "q_v", centroids, p = nProbe)
     val scored = index.join(broadcast(probed), Seq("cell"))
       .withColumn("cos_adc", graft.plans.PqKernels.adcCol(
         col("codes"), col("q_lut"), cb.head.length))
@@ -1103,13 +1106,14 @@ object Similarity {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("residual",
           org.apache.spark.sql.types.BooleanType))))
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    centroids.write.mode("overwrite").parquet(s"$path.tmp/centroids.parquet")
-    codebooks.write.mode("overwrite").parquet(s"$path.tmp/codebooks.parquet")
-    index.write.mode("overwrite").parquet(s"$path.tmp/index.parquet")
-    meta.write.mode("overwrite").parquet(s"$path.tmp/meta.parquet")
-    graft.engine.Sinks.swapInto(fs, root)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.Sinks.publishRoot(fs, path) { tmp =>
+      centroids.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
+      codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks.parquet")
+      index.write.mode("overwrite").parquet(s"$tmp/index.parquet")
+      meta.write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+    }
   }
 
   /** IVF+PQ search answered ENTIRELY from a stored [[writeIvfPqIndex]]
@@ -1142,10 +1146,13 @@ object Similarity {
     val ksub = cb.head.length
     val q = queries.select(col(queryId).as("q_id"),
       VectorFns.unitizeNative(col(queryVec)).as("q_v"))
-    val probed = assignCells(q, "q_id", "q_v", centroids, p = nProbe)
+    // LUT projected BEFORE the probe fanout (once per query row, copied
+    // into the nProbe probe rows); the q·c term is inherently per
+    // (query, cell) and stays after it
+    val qLut = q.withColumn("q_lut", graft.plans.PqKernels.lutCol(
+      col("q_v"), cbF, cb.length, ksub))
+    val probed = assignCells(qLut, "q_id", "q_v", centroids, p = nProbe)
       .join(broadcast(centroids), Seq("cell")) // recover cv for the q·c term
-      .withColumn("q_lut", graft.plans.PqKernels.lutCol(col("q_v"), cbF,
-        cb.length, ksub))
       .withColumn("__qc",
         if (residual) VectorFns.dotNative(col("q_v"), col("cv")) else lit(0.0))
       .drop("cv")

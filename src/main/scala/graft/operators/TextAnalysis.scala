@@ -878,11 +878,11 @@ object TextAnalysis {
       checkpointEvery: Int = 4, mergesPerRound: Int = 16): Unit = {
     val merges = bpeMerges(df, textCol, nMerges, checkpointEvery,
       mergesPerRound)
-    val spark = df.sparkSession
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    merges.write.mode("overwrite").parquet(s"$path.tmp/merges.parquet")
-    graft.engine.Sinks.swapInto(fs, root)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    graft.engine.Sinks.publishRoot(fs, path) { tmp =>
+      merges.write.mode("overwrite").parquet(s"$tmp/merges.parquet")
+    }
   }
 
   /** Load a stored [[writeBpeModel]] merge table (recovering any

@@ -97,13 +97,28 @@ object PqKernels {
   }
 
   /** ADC score: Σ_s lut[s*ksub + codes[s]] — m lookups + adds per
-    * (corpus row × query) pair; the only per-pair work in the scan. */
+    * (corpus row × query) pair; the only per-pair work in the scan.
+    *
+    * Codes are bounds-checked: [[encode]] emits -1 for a subspace whose
+    * every distance is NaN (a zero/NaN vector unitizes to NaN — the
+    * documented UnitizeVector contract), and an unchecked
+    * `UnsafeArrayData.getDouble` at a negative offset is an unguarded
+    * Platform read returning GARBAGE that would rank as a real score.
+    * The HOF reference path failed loudly here (ANSI `element_at` index
+    * 0); the kernel must too — run `embed_integrity` to find the
+    * degenerate vectors. */
   def adc(codes: ArrayData, lutArr: ArrayData, ksub: Int): Double = {
     val m = codes.numElements()
     var acc = 0.0
     var s = 0
     while (s < m) {
-      acc += lutArr.getDouble(s * ksub + codes.getInt(s))
+      val c = codes.getInt(s)
+      if (c < 0 || c >= ksub)
+        throw new IllegalArgumentException(
+          s"PQ code $c out of [0, $ksub) at subspace $s — a -1 code means " +
+            "the vector encoded to NaN distances everywhere (zero/NaN " +
+            "embedding); audit the corpus with embed_integrity")
+      acc += lutArr.getDouble(s * ksub + c)
       s += 1
     }
     acc

@@ -76,6 +76,38 @@ class PqKernelsSpec extends SparkSpec {
     }
   }
 
+  test("degenerate vector fails LOUDLY: NaN distances encode to -1 and the ADC scan throws instead of reading garbage") {
+    import sqlContext.implicits._
+    // a zero vector unitizes to NaN (UnitizeVector contract); every
+    // codeword distance is then NaN, the strict-< argmin never fires,
+    // and the code is -1 — scoring it must throw (the HOF path's ANSI
+    // element_at(cb, 0) behavior), never an unchecked negative-offset
+    // UnsafeArrayData read that ranks garbage as a real score
+    val cbArr: Array[Array[Array[Double]]] =
+      Array(Array(Array(0.6, 0.8), Array(-0.8, 0.6)))
+    val cbF = PqKernels.flatCodebook(cbArr)
+    val df = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.VectorFns.unitizeNative(col("embedding")).as("v"))
+    val enc = df.select(col("vec_id"),
+      PqKernels.encodeCol(col("v"), cbF, 1, 2).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(0L) == Seq(-1), s"NaN vector must encode to -1: $enc")
+    assert(enc(1L).head >= 0)
+    val lut = df.filter(col("vec_id") === 1)
+      .select(PqKernels.lutCol(col("v"), cbF, 1, 2).as("lut"))
+    val scoredBad = df.select(col("vec_id"),
+        PqKernels.encodeCol(col("v"), cbF, 1, 2).as("codes"))
+      .crossJoin(lut)
+      .select(PqKernels.adcCol(col("codes"), col("lut"), 2).as("s"))
+    val e = intercept[Exception](scoredBad.collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("PQ code")), e.toString)
+  }
+
   test("argmin tie-break: equidistant codewords pick the smallest code on both paths") {
     import sqlContext.implicits._
     // two identical codewords per subspace: every distance ties, so the

@@ -127,6 +127,42 @@ class SinksSpec extends SparkSpec {
       !fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
   }
 
+  test("publishRoot: multi-table artifact swaps atomically; a failed stage deletes its debris and leaves the live root serving") {
+    import sqlContext.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-proot").toString + "/idx"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Sinks.publishRoot(fs, dir) { tmp =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(s"$tmp/one.parquet")
+      Seq((2L, "b")).toDF("k", "v").write.parquet(s"$tmp/two.parquet")
+    }
+    assert(spark.read.parquet(s"$dir/one.parquet").count() == 1)
+    assert(spark.read.parquet(s"$dir/two.parquet").count() == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".tmp")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+    // trailing-slash path: staging must derive from the NORMALIZED root
+    // (the hand-rolled writers this helper replaced staged at
+    // "/idx/.tmp" and then swapInto looked for "/idx.tmp" — the whole
+    // publish was discarded after completing)
+    Sinks.publishRoot(fs, dir + "/") { tmp =>
+      Seq((3L, "c")).toDF("k", "v").write.parquet(s"$tmp/one.parquet")
+    }
+    assert(spark.read.parquet(s"$dir/one.parquet")
+      .collect().map(_.getString(1)).sameElements(Array("c")))
+    // failed stage: live root untouched, staged debris deleted
+    val boom = intercept[RuntimeException](
+      Sinks.publishRoot(fs, dir) { tmp =>
+        Seq((9L, "z")).toDF("k", "v").write.parquet(s"$tmp/one.parquet")
+        throw new RuntimeException("mid-write failure")
+      })
+    assert(boom.getMessage == "mid-write failure")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".tmp")),
+      "staged debris must be cleaned up on failure")
+    assert(spark.read.parquet(s"$dir/one.parquet")
+      .collect().map(_.getString(1)).sameElements(Array("c")),
+      "live root must keep serving the previous artifact")
+  }
+
   test("compact refuses a Hive-partitioned directory (layout would be lost)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cpart").toString + "/t"
     Seq(("A", 1), ("B", 2)).toDF("tag", "v")

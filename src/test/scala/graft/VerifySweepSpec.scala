@@ -22,17 +22,18 @@ class VerifySweepSpec extends SparkSpec {
     // storage and sweeps only what it created. Asserting a globally
     // empty registry conflated the two and flaked on suite order
     // (r16: one prior-suite localCheckpoint surfaced as a "leak").
-    // Sweep the leftovers first so the test owns its baseline, then
-    // assert the registry is EXACTLY the baseline after the dump —
-    // stronger than isEmpty: it also catches dump evicting caller
-    // storage, not just dump leaking its own.
+    // Sweep the leftovers first so the test owns its baseline (empty),
+    // then assert the registry is empty again after the dump — i.e. the
+    // dump swept everything IT created. (Caller-preexisting storage
+    // surviving a dump is the second test in this suite, which persists
+    // sentinels before dumping.)
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     val pre = spark.sparkContext.getPersistentRDDs.keySet
     assert(pre.isEmpty, s"baseline sweep left: ${pre.mkString(", ")}")
     val errors = Verify.dump(spark, sfDir, out, selected, par = 2)
     assert(errors.isEmpty, s"queries failed: $errors")
-    assert(spark.sparkContext.getPersistentRDDs.keySet == pre,
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked: ${spark.sparkContext.getPersistentRDDs.keys.mkString(", ")}")
     keys.foreach { k =>
       assert(new java.io.File(s"$out/$k").exists(), s"missing output dir for $k")
