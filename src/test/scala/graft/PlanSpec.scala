@@ -403,6 +403,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cell"), p)
   }
 
+  test("ivf_pq_stored operator: zero training at query time, cell-keyed equi scan, shortlist via WindowGroupLimit, no cartesian") {
+    covers("ivf_pq_stored")
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-plan-ivfpq").toString
+    try {
+      graft.operators.Similarity.writeIvfPqIndex(e, "vec_id", "embedding",
+        idx, nLists = 4, lloydIters = 1, m = 8, ksub = 4, pqIters = 1)
+      val q = graft.operators.Similarity.ivfPqStoredTopK(spark, idx, e,
+        "vec_id", "embedding", e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", k = 3, shortlist = 6, nProbe = 2)
+      val p = q.queryExecution.executedPlan.toString
+      // the candidate scan is the cell-keyed equi join against the stored
+      // compressed index — never a corpus cartesian; the probe side
+      // broadcasts; the shortlist is a rank-limited window
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("WindowGroupLimit"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      // zero training at query time: the plan reads the stored parquet
+      // index — building the DataFrame ran no Lloyd/encode jobs (both
+      // kmeansCentroids and pqCodebooks are EAGER collects; reaching
+      // here lazily proves neither was invoked)
+      assert(p.contains("parquet"), p)
+    } finally {
+      val root = new org.apache.hadoop.fs.Path(idx)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    }
+  }
+
   test("pq_topk operators: encode is pure map-side (no exchange), scoring joins broadcast the query side only") {
     covers("pq_topk")
     import org.apache.spark.sql.functions.col
@@ -480,10 +510,11 @@ class PlanSpec extends SparkSpec {
     // round 12; 43 with the round-14 winnowing-family keys; 47 with the
     // round-15 additions (substring_report, substring_floor_sweep,
     // media_neardup, dedup_semantic_incr); 52 with the round-16 families
-    // (pq_topk, nb_train/nb_classify, bpe_apply, media_neardup_verify)).
+    // (pq_topk, nb_train/nb_classify, bpe_apply, media_neardup_verify);
+    // 53 with round-17's ivf_pq_stored).
     // Raising it is cheap when new plan tests land; lowering it means
     // plan coverage regressed — do that consciously, in review.
-    val floor = 52
+    val floor = 53
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")
