@@ -51,33 +51,52 @@ object Sinks {
     fs.delete(old, true): Unit
   }
 
-  /** Publish a MULTI-TABLE artifact root atomically: `stage` writes every
-    * table under the handed staging directory, then the root is swapped
-    * in with ONE rename — so tables that are only meaningful together
-    * (PQ codes ↔ their codebooks, NB counts ↔ their hash width, IVF
-    * cells ↔ their centroids) can never be observed torn, even by a
-    * reader racing a republish. This is the ONE implementation of the
-    * staging+swap discipline every model-artifact writer shares (five
-    * hand-rolled copies drifted in r17 review: trailing-slash staging
-    * paths that missed `swapInto`'s normalized derivation, and staged
-    * debris left behind by mid-write failures).
+  /** Publish a MULTI-TABLE artifact root atomically AT REST: `stage`
+    * writes every table under the handed staging directory, then the
+    * root is swapped in with ONE rename — so tables that are only
+    * meaningful together (PQ codes ↔ their codebooks, NB counts ↔ their
+    * hash width, IVF cells ↔ their centroids) are never PERSISTED torn:
+    * any crash leaves either the whole previous artifact or the whole
+    * new one recoverable, never a mix. This is the ONE implementation
+    * of the staging+swap discipline every model-artifact writer shares
+    * (five hand-rolled copies drifted in r17 review: trailing-slash
+    * staging paths that missed `swapInto`'s normalized derivation, and
+    * staged debris left behind by mid-write failures).
+    *
+    * Honest limit (r17 review pass 2): the rename is atomic, a READER
+    * is not — a reader holding lazy frames over the root's tables
+    * resolves each table's file listing at its own action time, and a
+    * republish completing between two actions can pair tables across
+    * versions (or hit a vanished `.old`). Readers that must be
+    * republish-proof should materialize both tables in one action or
+    * re-read on failure; the single-process batch/test callers here do
+    * not republish concurrently.
     *
     * The staging path derives from the NORMALIZED root (`new Path`
     * strips trailing slashes), exactly as [[swapInto]] derives it — a
     * caller passing `"/idx/pq/"` stages and swaps the same directory.
-    * If `stage` (or the swap) throws, the staging directory is deleted
-    * best-effort and the live root is untouched: a failed republish
-    * leaves the previous artifact serving and no orphaned corpus-sized
-    * debris. */
+    * Any PRE-EXISTING staging dir (debris from a SIGKILLed writer —
+    * possibly a DIFFERENT artifact shape at the same path) is cleared
+    * first, so stale tables can never ride along into the publish. If
+    * `stage` or the swap throws, the previous artifact is restored if
+    * the failure left it at `.old` ([[recoverSwap]]) and the staging
+    * debris is deleted best-effort — a failed republish leaves the
+    * previous artifact serving and no orphaned corpus-sized debris. */
   def publishRoot(fs: FileSystem, path: String)(stage: String => Unit): Unit = {
     val root = new Path(path)
-    val tmp = root.toString + ".tmp"
+    val tmp = new Path(root.toString + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     try {
-      stage(tmp)
+      stage(tmp.toString)
       swapInto(fs, root)
     } catch {
       case e: Throwable =>
-        try fs.delete(new Path(tmp), true)
+        // a swap that died between its two renames stranded the previous
+        // artifact at .old with the live path absent — put it back before
+        // dropping the staged (never-installed) new copy
+        try recoverSwap(fs, root)
+        catch { case scala.util.control.NonFatal(_) => () }
+        try fs.delete(tmp, true)
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
@@ -340,16 +359,17 @@ object Sinks {
   }
 
   /** S8 — staged publish of a set of named tables into a staging dir.
-    * All-or-nothing: a mid-run failure leaves the current staging dir
-    * untouched (the partial output stays in `<stagingDir>.tmp`).
-    */
+    * All-or-nothing via [[publishRoot]] (one discipline, not two: the
+    * hand-rolled version here built its staging path by raw string
+    * concat, so a trailing-slash `stagingDir` staged INSIDE the live
+    * root and then failed `swapInto`'s exists-check after writing every
+    * table — and it left that debris behind). */
   def publish(tables: Map[String, DataFrame], stagingDir: String): Unit = {
     require(tables.nonEmpty, "publish: no tables")
     val spark = tables.head._2.sparkSession
     val fs = new Path(stagingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(stagingDir + ".tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    tables.foreach { case (name, df) => write(df, s"$stagingDir.tmp/$name") }
-    swapInto(fs, new Path(stagingDir))
+    publishRoot(fs, stagingDir) { tmp =>
+      tables.foreach { case (name, df) => write(df, s"$tmp/$name") }
+    }
   }
 }

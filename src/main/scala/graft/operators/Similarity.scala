@@ -639,8 +639,17 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, DataFrame) = {
     val root = new org.apache.hadoop.fs.Path(path)
-    graft.engine.Sinks.recoverSwap(
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.Sinks.recoverSwap(fs, root)
+    // legacy compatibility: an index written by the pre-r17 PER-TABLE
+    // swap code whose swap crashed between renames strands a table at
+    // <name>.parquet.old with the live path absent — root recovery is a
+    // no-op there (the root exists); recover each table too (no-op on
+    // root-swapped artifacts)
+    Seq("centroids", "assigned").foreach { name =>
+      graft.engine.Sinks.recoverSwap(fs,
+        new org.apache.hadoop.fs.Path(s"$path/$name.parquet"))
+    }
     (spark.read.parquet(s"$path/centroids.parquet"),
       spark.read.parquet(s"$path/assigned.parquet"))
   }
@@ -936,8 +945,14 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, DataFrame) = {
     val root = new org.apache.hadoop.fs.Path(path)
-    graft.engine.Sinks.recoverSwap(
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.Sinks.recoverSwap(fs, root)
+    // legacy compatibility with pre-r17 per-table-swap artifacts — see
+    // readIvfIndex; no-op on root-swapped indexes
+    Seq("codebooks", "codes").foreach { name =>
+      graft.engine.Sinks.recoverSwap(fs,
+        new org.apache.hadoop.fs.Path(s"$path/$name.parquet"))
+    }
     (spark.read.parquet(s"$path/codebooks.parquet"),
       spark.read.parquet(s"$path/codes.parquet"))
   }

@@ -109,6 +109,12 @@ object PqKernels {
     * degenerate vectors. */
   def adc(codes: ArrayData, lutArr: ArrayData, ksub: Int): Double = {
     val m = codes.numElements()
+    val lutLen = lutArr.numElements()
+    if (m * ksub != lutLen)
+      throw new IllegalArgumentException(
+        s"PQ codes carry $m subspaces but the LUT has $lutLen entries " +
+          s"(expected $m x $ksub) — codes and LUT come from different " +
+          "codebooks (torn or mismatched index artifact)")
     var acc = 0.0
     var s = 0
     while (s < m) {

@@ -108,6 +108,21 @@ class PqKernelsSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("PQ code")), e.toString)
   }
 
+  test("adc rejects codes/LUT from different codebooks (m mismatch) instead of reading past the LUT") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    // 16 subspaces of codes against an m=8 LUT: without the length
+    // guard, subspaces 8..15 index past the LUT's end — an unchecked
+    // UnsafeArrayData read returning garbage scored as real
+    val codes = UnsafeArrayData.fromPrimitiveArray(Array.fill(16)(0))
+    val lut = UnsafeArrayData.fromPrimitiveArray(Array.fill(8 * 4)(1.0))
+    val e = intercept[IllegalArgumentException](PqKernels.adc(codes, lut, 4))
+    assert(e.getMessage.contains("different codebooks"), e.getMessage)
+    // matched m scores fine
+    val ok = PqKernels.adc(
+      UnsafeArrayData.fromPrimitiveArray(Array.fill(8)(0)), lut, 4)
+    assert(ok == 8.0)
+  }
+
   test("argmin tie-break: equidistant codewords pick the smallest code on both paths") {
     import sqlContext.implicits._
     // two identical codewords per subspace: every distance ties, so the

@@ -444,6 +444,27 @@ class SimilaritySpec extends SparkSpec {
         "embedding", k = 5, shortlist = 20, nLists = 8, nProbe = 9))
   }
 
+  test("readIvfIndex recovers a legacy per-table crash window (pre-r17 artifact with a table stranded at .old)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-legacy").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1)
+      val before = Similarity.readIvfIndex(spark, idx)._1.count()
+      // simulate the pre-r17 per-table swap dying between its renames:
+      // centroids live path absent, only copy at .old — root recovery
+      // alone is a no-op here (the root exists)
+      val live = new org.apache.hadoop.fs.Path(s"$idx/centroids.parquet")
+      require(fs.rename(live,
+        new org.apache.hadoop.fs.Path(s"$idx/centroids.parquet.old")))
+      val (centroids, assigned) = Similarity.readIvfIndex(spark, idx)
+      assert(centroids.count() == before,
+        "per-table recovery must restore the stranded table")
+      assert(assigned.count() > 0)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
   test("ivfPqStoredTopK: stored plain index answers identically to the in-memory ivfPqTopK") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
     try {

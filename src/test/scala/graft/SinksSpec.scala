@@ -161,6 +161,18 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/one.parquet")
       .collect().map(_.getString(1)).sameElements(Array("c")),
       "live root must keep serving the previous artifact")
+    // SIGKILL debris: a stale .tmp from a killed writer (possibly a
+    // DIFFERENT artifact shape) must be cleared before staging, or its
+    // leftover tables ride along into the published root
+    Seq((7L, "stale")).toDF("k", "v")
+      .write.parquet(s"$dir.tmp/leftover.parquet")
+    Sinks.publishRoot(fs, dir) { tmp =>
+      Seq((4L, "d")).toDF("k", "v").write.parquet(s"$tmp/one.parquet")
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/leftover.parquet")),
+      "stale staged debris must not be published")
+    assert(spark.read.parquet(s"$dir/one.parquet")
+      .collect().map(_.getString(1)).sameElements(Array("d")))
   }
 
   test("compact refuses a Hive-partitioned directory (layout would be lost)") {
