@@ -1131,6 +1131,43 @@ object Similarity {
     }
   }
 
+  /** Incrementally index new vectors into a stored [[writeIvfPqIndex]]
+    * index: assign against the STORED centroids and encode against the
+    * STORED codebooks (honoring the artifact's residual flag) in one
+    * map pass over the new batch only — the corpus is never re-read,
+    * no clustering or codebook training re-runs — and append the
+    * (n_id, cell, codes) rows to the `index` table. The composed-index
+    * twin of [[appendIvfIndex]], with the same contracts: append-mode
+    * parquet is atomic per file but NOT idempotent (a replayed batch
+    * double-indexes — dedupe ids upstream or rebuild), and both the
+    * cell structure and the codebooks age as the corpus drifts; rebuild
+    * with [[writeIvfPqIndex]] when the recall differential over the
+    * grown corpus says so. */
+  def appendIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.engine.Sinks.recoverSwap(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    val centroids = spark.read.parquet(s"$path/centroids.parquet")
+    val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
+    val residual = spark.read.parquet(s"$path/meta.parquet")
+      .select("residual").head().getBoolean(0)
+    val c = newVectors.select(col(idCol).as("n_id"),
+      VectorFns.unitizeNative(col(vecCol)).as("n_v"))
+    val assigned = assignCell(c, "n_id", "n_v", broadcast(centroids))
+    val train =
+      if (residual)
+        assigned.join(broadcast(centroids), Seq("cell"))
+          .select(col("n_id"), col("cell"),
+            zip_with(col("n_v"), col("cv"), (x, y) => x - y).as("t_v"))
+      else assigned.select(col("n_id"), col("cell"), col("n_v").as("t_v"))
+    train.select(col("n_id"), col("cell"))
+      .join(pqEncode(train, "n_id", "t_v", codebooks, assumeUnit = true)
+        .select(col("n_id"), col("codes")), Seq("n_id"))
+      .write.mode("append").parquet(s"$path/index.parquet")
+  }
+
   /** IVF+PQ search answered ENTIRELY from a stored [[writeIvfPqIndex]]
     * index — the production repeated-query path: probe `nProbe` cells
     * against the stored centroids, ADC-score only those cells' stored

@@ -444,6 +444,47 @@ class SimilaritySpec extends SparkSpec {
         "embedding", k = 5, shortlist = 20, nLists = 8, nProbe = 9))
   }
 
+  test("appendIvfPqIndex: appended half equals assigning+encoding the full corpus against the stored model") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nLists = 4, lloydIters = 1,
+        m = 8, ksub = 16, pqIters = 1)
+      val before = spark.read.parquet(s"$idx/index.parquet").count()
+      Similarity.appendIvfPqIndex(spark, idx,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      val index = spark.read.parquet(s"$idx/index.parquet")
+      assert(index.count() == emb.count(),
+        "append must index every new vector exactly once")
+      assert(index.count() > before)
+      // the appended rows must be EXACTLY what a from-scratch assignment
+      // + encode of those vectors against the stored model produces —
+      // per-row map-side determinism, no batch/full divergence
+      val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+      val codebooks = spark.read.parquet(s"$idx/codebooks.parquet")
+      val c = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("n_id"),
+          graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+      val expect = Similarity.assignCell(c, "n_id", "n_v", centroids)
+        .select("n_id", "cell")
+        .join(Similarity.pqEncode(c, "n_id", "n_v", codebooks,
+          assumeUnit = true), Seq("n_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      val got = index.filter(col("n_id") % 2 === 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      assert(got == expect)
+      // and the grown index serves queries through the standard path
+      val served = Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
+        "embedding", queries, "vec_id", "embedding", k = 3, shortlist = 6,
+        nProbe = 2)
+      assert(served.filter(col("rank") === 1).count() == queries.count())
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
   test("readIvfIndex recovers a legacy per-table crash window (pre-r17 artifact with a table stranded at .old)") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-legacy").toString
     val fs = new org.apache.hadoop.fs.Path(idx)
