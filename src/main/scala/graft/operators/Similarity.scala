@@ -679,7 +679,11 @@ object Similarity {
     * a replayed batch double-indexes its vectors (duplicate (n_id, cell)
     * rows surface as duplicate candidates, which the per-query rank
     * dedupes only if ids differ in `cos` tie-break — callers needing
-    * exactly-once should dedupe ids upstream or rebuild). */
+    * exactly-once should dedupe ids upstream or rebuild). A concurrent
+    * [[writeIvfIndex]] rebuild that swaps the root mid-append strands
+    * the batch in the superseded root — serialize appends against
+    * rebuilds upstream (single-writer discipline; see
+    * [[appendIvfPqIndex]] where the same race is worse). */
   def appendIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
@@ -1104,18 +1108,10 @@ object Similarity {
       VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
     val centroids = kmeansCentroids(c, "n_id", "n_v", nLists, lloydIters,
       assumeUnit = true)
-    val assigned = assignCell(c, "n_id", "n_v", centroids)
-    val train =
-      if (residual)
-        assigned.join(broadcast(centroids), Seq("cell"))
-          .select(col("n_id"), col("cell"),
-            zip_with(col("n_v"), col("cv"), (x, y) => x - y).as("t_v"))
-      else assigned.select(col("n_id"), col("cell"), col("n_v").as("t_v"))
+    val train = ivfPqTrainRows(c, centroids, residual)
     val codebooks = pqCodebooks(train, "n_id", "t_v", m, ksub, pqIters,
       assumeUnit = true)
-    val index = train.select(col("n_id"), col("cell"))
-      .join(pqEncode(train, "n_id", "t_v", codebooks, assumeUnit = true)
-        .select(col("n_id"), col("codes")), Seq("n_id"))
+    val index = ivfPqIndexRows(train, codebooks)
     val meta = localFrame(spark,
       Array(org.apache.spark.sql.Row(residual)),
       org.apache.spark.sql.types.StructType(Seq(
@@ -1131,6 +1127,36 @@ object Similarity {
     }
   }
 
+  /** Shared assign→(residual-subtract) stage of the composed IVF+PQ
+    * index: (n_id, cell, t_v) where t_v is the vector the codebooks
+    * see — the cell residual under IVFADC, the unit vector otherwise.
+    * One helper used by BOTH [[writeIvfPqIndex]] and
+    * [[appendIvfPqIndex]] so the two paths cannot drift apart in
+    * encoding convention (appended rows must be bit-identical to what
+    * a rebuild would produce). */
+  private def ivfPqTrainRows(
+      c: DataFrame, centroids: DataFrame, residual: Boolean): DataFrame = {
+    val assigned = assignCell(c, "n_id", "n_v", centroids)
+    if (residual)
+      assigned.join(broadcast(centroids), Seq("cell"))
+        .select(col("n_id"), col("cell"),
+          zip_with(col("n_v"), col("cv"), (x, y) => x - y).as("t_v"))
+    else assigned.select(col("n_id"), col("cell"), col("n_v").as("t_v"))
+  }
+
+  /** Encode the (n_id, cell, t_v) stage against stored codebooks as ONE
+    * projection — the codebook rides as a plan constant, so this is a
+    * single map pass with no self-join and no re-execution of the
+    * upstream lineage (a self-join of the stage with [[pqEncode]] would
+    * plan the assign window twice and shuffle to re-pair). */
+  private def ivfPqIndexRows(train: DataFrame, codebooks: DataFrame): DataFrame = {
+    val (cb, _) = collectCodebooks(codebooks)
+    val cbF = graft.plans.PqKernels.flatCodebook(cb)
+    train.select(col("n_id"), col("cell"),
+      graft.plans.PqKernels.encodeCol(col("t_v"), cbF,
+        cb.length, cb.head.length).as("codes"))
+  }
+
   /** Incrementally index new vectors into a stored [[writeIvfPqIndex]]
     * index: assign against the STORED centroids and encode against the
     * STORED codebooks (honoring the artifact's residual flag) in one
@@ -1142,7 +1168,17 @@ object Similarity {
     * double-indexes — dedupe ids upstream or rebuild), and both the
     * cell structure and the codebooks age as the corpus drifts; rebuild
     * with [[writeIvfPqIndex]] when the recall differential over the
-    * grown corpus says so. */
+    * grown corpus says so.
+    *
+    * Concurrency caveat: append reads the model tables, encodes, then
+    * commits — a [[writeIvfPqIndex]] rebuild that swaps the root in
+    * that window either strands the batch in the superseded root
+    * (silently absent from the new index) or, worse, lands codes
+    * encoded against the OLD codebooks in the NEW index. Serialize
+    * appends against rebuilds upstream (the same single-writer
+    * discipline every append-mode artifact here assumes); a rebuild
+    * re-encodes the full corpus, so a lost-append is repaired by
+    * re-running the batch after the rebuild. */
   def appendIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
@@ -1155,16 +1191,7 @@ object Similarity {
       .select("residual").head().getBoolean(0)
     val c = newVectors.select(col(idCol).as("n_id"),
       VectorFns.unitizeNative(col(vecCol)).as("n_v"))
-    val assigned = assignCell(c, "n_id", "n_v", broadcast(centroids))
-    val train =
-      if (residual)
-        assigned.join(broadcast(centroids), Seq("cell"))
-          .select(col("n_id"), col("cell"),
-            zip_with(col("n_v"), col("cv"), (x, y) => x - y).as("t_v"))
-      else assigned.select(col("n_id"), col("cell"), col("n_v").as("t_v"))
-    train.select(col("n_id"), col("cell"))
-      .join(pqEncode(train, "n_id", "t_v", codebooks, assumeUnit = true)
-        .select(col("n_id"), col("codes")), Seq("n_id"))
+    ivfPqIndexRows(ivfPqTrainRows(c, centroids, residual), codebooks)
       .write.mode("append").parquet(s"$path/index.parquet")
   }
 

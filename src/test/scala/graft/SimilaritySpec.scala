@@ -485,6 +485,55 @@ class SimilaritySpec extends SparkSpec {
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
+  test("appendIvfPqIndex honors a residual index: appended codes equal independent residual-encode against the stored model") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-rapp").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nLists = 4, lloydIters = 1,
+        m = 8, ksub = 16, pqIters = 1, residual = true)
+      Similarity.appendIvfPqIndex(spark, idx,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      // independent derivation: assign, subtract the cell centroid, and
+      // encode the RESIDUAL through the interpreted HOF twin (a code
+      // path appendIvfPqIndex does not share) — if append ever encoded
+      // the plain vector against residual codebooks, this diverges
+      val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+      val codebooks = spark.read.parquet(s"$idx/codebooks.parquet")
+      val c = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("n_id"),
+          graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+      val res = Similarity.assignCell(c, "n_id", "n_v", centroids)
+        .join(broadcast(centroids), Seq("cell"))
+        .select(col("n_id"), col("cell"),
+          zip_with(col("n_v"), col("cv"), (x, y) => x - y).as("r_v"))
+      val expect = res.select("n_id", "cell")
+        .join(Similarity.pqEncodeHof(res, "n_id", "r_v", codebooks,
+          assumeUnit = true), Seq("n_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      val got = spark.read.parquet(s"$idx/index.parquet")
+        .filter(col("n_id") % 2 === 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      assert(got == expect,
+        "residual append must encode cell residuals, not plain vectors")
+      // and the plain-vector encode DIFFERS on this fixture, so the
+      // assertion above has teeth
+      val plain = res.select("n_id", "cell")
+        .join(Similarity.pqEncode(c, "n_id", "n_v", codebooks,
+          assumeUnit = true), Seq("n_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      assert(plain != expect, "fixture must distinguish residual vs plain")
+      val served = Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
+        "embedding", queries, "vec_id", "embedding", k = 3, shortlist = 6,
+        nProbe = 2)
+      assert(served.filter(col("rank") === 1).count() == queries.count())
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
   test("readIvfIndex recovers a legacy per-table crash window (pre-r17 artifact with a table stranded at .old)") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-legacy").toString
     val fs = new org.apache.hadoop.fs.Path(idx)
