@@ -1134,7 +1134,7 @@ object Similarity {
     * [[appendIvfPqIndex]] so the two paths cannot drift apart in
     * encoding convention (appended rows must be bit-identical to what
     * a rebuild would produce). */
-  private def ivfPqTrainRows(
+  private[graft] def ivfPqTrainRows(
       c: DataFrame, centroids: DataFrame, residual: Boolean): DataFrame = {
     val assigned = assignCell(c, "n_id", "n_v", centroids)
     if (residual)
@@ -1149,7 +1149,7 @@ object Similarity {
     * single map pass with no self-join and no re-execution of the
     * upstream lineage (a self-join of the stage with [[pqEncode]] would
     * plan the assign window twice and shuffle to re-pair). */
-  private def ivfPqIndexRows(train: DataFrame, codebooks: DataFrame): DataFrame = {
+  private[graft] def ivfPqIndexRows(train: DataFrame, codebooks: DataFrame): DataFrame = {
     val (cb, _) = collectCodebooks(codebooks)
     val cbF = graft.plans.PqKernels.flatCodebook(cb)
     train.select(col("n_id"), col("cell"),
@@ -1213,11 +1213,20 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val root = new org.apache.hadoop.fs.Path(path)
-    graft.engine.Sinks.recoverSwap(
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.Sinks.recoverSwap(rootFs, root)
     val centroids = spark.read.parquet(s"$path/centroids.parquet")
     val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
-    val index = spark.read.parquet(s"$path/index.parquet")
+    // base codes plus the streaming-ingest delta when one exists
+    // ([[graft.streaming.DocStreams.ivfPqIngestSink]] lands arrivals
+    // under ingest.parquet/batch_id=<id>; a rebuild compacts it away)
+    val baseIndex = spark.read.parquet(s"$path/index.parquet")
+    val ingest = new org.apache.hadoop.fs.Path(s"$path/ingest.parquet")
+    val index =
+      if (rootFs.exists(ingest))
+        baseIndex.unionByName(spark.read.parquet(ingest.toString)
+          .select("n_id", "cell", "codes"))
+      else baseIndex
     val residual = spark.read.parquet(s"$path/meta.parquet")
       .select("residual").head().getBoolean(0)
     val (cb, _) = collectCodebooks(codebooks)

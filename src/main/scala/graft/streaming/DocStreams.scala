@@ -505,6 +505,67 @@ object DocStreams {
           lit(0L), (acc, x) => acc + x))
   }
 
+  /** Continuous vector ingest into a stored composed IVF+PQ index
+    * ([[graft.operators.Similarity.writeIvfPqIndex]]) — the streaming
+    * twin of [[graft.operators.Similarity.appendIvfPqIndex]]: each
+    * micro-batch is assigned against the STORED centroids and encoded
+    * against the STORED codebooks (honoring the artifact's residual
+    * flag) in one map pass — no training, no corpus re-read — through
+    * the batch appender's OWN encode stage
+    * ([[graft.operators.Similarity.ivfPqIndexRows]]), so the two paths
+    * cannot diverge (StreamingSpec pins parity).
+    *
+    * Unlike the batch appender (parquet append-mode, NOT idempotent),
+    * arrivals land DELTA-STYLE under `path/ingest.parquet/batch_id=<id>`
+    * with per-partition overwrite: an at-least-once redelivery rewrites
+    * its own directory with identical content (the encode is
+    * deterministic given the stored model), so replays never
+    * double-index — the [[stripArrivalsSink]] contract.
+    * [[graft.operators.Similarity.ivfPqStoredTopK]] reads base + delta
+    * transparently. A [[graft.operators.Similarity.writeIvfPqIndex]]
+    * rebuild swaps the whole root and drops the delta — that IS the
+    * compaction, PROVIDED the rebuild trains on the grown corpus
+    * (base source plus the arrivals); stop the ingest query around a
+    * rebuild (the single-writer discipline both appenders document).
+    *
+    * The model tables are loaded ONCE at construction into local
+    * relations (bounded: nLists centroids, m×ksub codewords) — micro-
+    * batches re-read nothing. Returns the query; callers own its
+    * lifecycle. */
+  def ivfPqIngestSink(
+      stream: DataFrame, path: String, idCol: String, vecCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    val spark = stream.sparkSession
+    val Sim = graft.operators.Similarity
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.engine.Sinks.recoverSwap(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    def localCopy(p: String) = {
+      val df = spark.read.parquet(p)
+      Sim.localFrame(spark, df.collect(), df.schema)
+    }
+    val centroids = localCopy(s"$path/centroids.parquet")
+    val codebooks = localCopy(s"$path/codebooks.parquet")
+    val residual = spark.read.parquet(s"$path/meta.parquet")
+      .select("residual").head().getBoolean(0)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            val c = batch.toDF().select(col(idCol).as("n_id"),
+              graft.functions.VectorFns.unitizeNative(col(vecCol)).as("n_v"))
+            Sim.ivfPqIndexRows(
+                Sim.ivfPqTrainRows(c, centroids, residual), codebooks)
+              .write.mode("overwrite")
+              .parquet(s"$path/ingest.parquet/batch_id=$id")
+          }
+          (): Unit
+      }
+      .start()
+  }
+
   def qualityGate(
       stream: DataFrame, cuts: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {

@@ -1154,4 +1154,61 @@ class StreamingSpec extends SparkSpec {
       assert(rows3 == Map(2L -> "b", 3L -> "c"))
     } finally q2.stop()
   }
+
+  test("ivfPqIngestSink: streamed arrivals encode bit-identically to the batch appender however batches are cut; stored search reads base+delta") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    // 4 loose clusters of deterministic 16-dim vectors
+    def vec(i: Int): Array[Double] = Array.tabulate(16)(j =>
+      math.sin(i * 7.0 + j * 3.0) + (if (j % 4 == i % 4) 2.0 else 0.0))
+    val all = (0 until 40).map(i => (i.toLong, vec(i)))
+    val base = all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val arrivals = all.filter(_._1 % 2 == 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-ing").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val streamIdx = s"$dir/stream"
+    val batchIdx = s"$dir/batch"
+    try {
+      // two identical base indexes (deterministic hash-seeded training)
+      Seq(streamIdx, batchIdx).foreach(p =>
+        graft.operators.Similarity.writeIvfPqIndex(base, "vec_id",
+          "embedding", p, nLists = 4, lloydIters = 1, m = 4, ksub = 8,
+          pqIters = 1))
+      val mem = MemoryStream[(Long, Array[Double])]
+      val q = DocStreams.ivfPqIngestSink(
+        mem.toDF().toDF("vec_id", "embedding"), streamIdx,
+        "vec_id", "embedding", s"$dir/ckpt")
+      try {
+        mem.addData(arrivals.take(10)); q.processAllAvailable()
+        mem.addData(arrivals.drop(10)); q.processAllAvailable()
+      } finally q.stop()
+      graft.operators.Similarity.appendIvfPqIndex(spark, batchIdx,
+        arrivals.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      def rows(p: String, oddOnly: Boolean) = {
+        val df = spark.read.parquet(p).select("n_id", "cell", "codes")
+        (if (oddOnly) df.filter(col("n_id") % 2 === 1) else df)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      }
+      // delta rows == the batch appender's rows, though the stream saw
+      // the arrivals in two cuts and the appender in one
+      val streamed = rows(s"$streamIdx/ingest.parquet", oddOnly = false)
+      val appended = rows(s"$batchIdx/index.parquet", oddOnly = true)
+      assert(streamed == appended, "delta must equal the batch append")
+      // each micro-batch landed in its own replay-overwritable partition
+      assert(spark.read.parquet(s"$streamIdx/ingest.parquet")
+        .select("batch_id").distinct().count() == 2)
+      // the stored search serves base + delta: with exhaustive probes and
+      // shortlist it is exact, so every query (incl. a delta-only odd id)
+      // finds itself at rank 1
+      val qdf = all.take(4).toDF("vec_id", "embedding")
+      val top1 = graft.operators.Similarity.ivfPqStoredTopK(spark,
+          streamIdx, all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          qdf, "vec_id", "embedding", k = 3, shortlist = 100, nProbe = 4)
+        .filter(col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(top1 == all.take(4).map(t => t._1 -> t._1).toMap, top1.toString)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
 }
