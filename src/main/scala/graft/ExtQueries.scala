@@ -834,6 +834,46 @@ object ExtQueries {
     }
   }
 
+  /** Index-health dashboard over a stored composed IVF+PQ index
+    * ([[Similarity.ivfPqIndexHealth]]) — the operational "rebuild yet?"
+    * read the append/ingest contracts defer to. The exact totals
+    * (row coverage, delta split, structural code validity) are
+    * oracle-checked directly; the cell-balance stats reduce to
+    * invariant flags because k-means populations are data-dependent
+    * (cells_used ∈ [1, nLists]; populations ∈ [1, total]; imbalance =
+    * max/mean ≥ 1 by construction). Cheap training config (1 Lloyd /
+    * 1 PQ iter): health reads the artifact's SHAPE, not its recall —
+    * the recall keys own that. EAGER + self-cleaning like
+    * ann_ivf_stored. */
+  val ivfPqHealthQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-hl").toString
+    try {
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
+        nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      val h = Similarity.ivfPqIndexHealth(s, idx).head()
+      def ok(b: Boolean) = if (b) 1 else 0
+      val total = h.getAs[Long]("total_indexed")
+      Similarity.localFrame(s, Array(org.apache.spark.sql.Row(
+        total, h.getAs[Long]("delta_rows"), h.getAs[Long]("bad_codes"),
+        ok(h.getAs[Long]("cells_used") >= 1 &&
+          h.getAs[Long]("cells_used") <= h.getAs[Long]("n_lists")),
+        ok(h.getAs[Long]("min_pop") >= 1 &&
+          h.getAs[Long]("max_pop") <= total),
+        ok(h.getAs[Double]("imbalance") >= 1.0))),
+        org.apache.spark.sql.types.StructType(
+          Seq("total_indexed", "delta_rows", "bad_codes").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType)) ++
+          Seq("cells_bounded", "pop_bounded", "imbalance_ok").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.IntegerType))))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** PQ shortlist tuning curve — the re-rank sibling of ann_probe_sweep:
     * hits vs the exact top-k at shortlist 10/20/40/80, codebooks trained
     * and the corpus encoded ONCE (the stored index; only the cheap
@@ -1863,6 +1903,7 @@ object ExtQueries {
     "ivf_pq_topk" -> ivfPqTopkQ,
     "ivf_pq_stored" -> ivfPqStoredQ,
     "ivf_pq_incr" -> ivfPqIncrQ,
+    "ivf_pq_health" -> ivfPqHealthQ,
     "pq_shortlist_sweep" -> pqShortlistSweepQ,
     "ann_ivf_stored" -> annIvfStoredQ,
     "embed_pca" -> embedPcaQ,
@@ -2125,6 +2166,15 @@ object ExtQueries {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
         |  CAST(10 AS INTEGER) AS k, CAST(30 AS INTEGER) AS hits_floor,
         |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
+    // the health totals are exact (every corpus row indexed exactly once,
+    // no delta, structurally valid codes); balance reduces to invariant
+    // flags because k-means cell populations are data-dependent
+    "ivf_pq_health" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_indexed,
+        |  CAST(0 AS BIGINT) AS delta_rows, CAST(0 AS BIGINT) AS bad_codes,
+        |  CAST(1 AS INTEGER) AS cells_bounded, CAST(1 AS INTEGER) AS pop_bounded,
+        |  CAST(1 AS INTEGER) AS imbalance_ok
+        |FROM embeddings""".stripMargin,
     // stored-PQ path shares pq_topk's floor: the persisted codes are
     // bit-identical to the in-memory encode
     "pq_stored" ->

@@ -1195,6 +1195,81 @@ object Similarity {
       .write.mode("append").parquet(s"$path/index.parquet")
   }
 
+  /** Operational health report for a stored composed IVF+PQ index — the
+    * one-row "rebuild yet?" dashboard the append/ingest contracts defer
+    * to ([[appendIvfPqIndex]], [[graft.streaming.DocStreams.ivfPqIngestSink]]):
+    *
+    *  - `total_indexed` / `base_rows` / `delta_rows` — how much of the
+    *    index is streaming-ingest delta (a large delta fraction means a
+    *    growing share was encoded by a model that never saw it: compact
+    *    by rebuilding from the grown corpus);
+    *  - `n_lists` / `cells_used` / `empty_cells` / `min_pop` / `max_pop`
+    *    / `imbalance` (max over mean population) — cell balance, which
+    *    bounds both worst-case probe cost (a fat cell makes every probe
+    *    that hits it scan-heavy) and recall (drifted arrivals piling
+    *    into few cells defeat nProbe pruning);
+    *  - `bad_codes` — rows whose code array is structurally wrong
+    *    (length ≠ m or a code outside [0, ksub)): always 0 for indexes
+    *    written here; nonzero means artifact corruption.
+    *
+    * Scale shape: centroids/codebooks are bounded model tables; the
+    * index scan folds per-row checks map-side into a groupBy on `cell`
+    * (≤ nLists keys, partial-aggregated) and one 1-row rollup — no
+    * collect of data, no join against the corpus, vectors never read. */
+  def ivfPqIndexHealth(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.Sinks.recoverSwap(fs, root)
+    val nLists = spark.read.parquet(s"$path/centroids.parquet").count()
+    val shape = spark.read.parquet(s"$path/codebooks.parquet")
+      .agg(countDistinct(col("sub")).as("m"),
+        countDistinct(col("code")).as("ksub")).head()
+    val (m, ksub) = (shape.getLong(0), shape.getLong(1))
+    val base = spark.read.parquet(s"$path/index.parquet")
+      .select("n_id", "cell", "codes")
+    val ingest = new org.apache.hadoop.fs.Path(s"$path/ingest.parquet")
+    val delta =
+      if (fs.exists(ingest))
+        spark.read.parquet(ingest.toString).select("n_id", "cell", "codes")
+      else null
+    val all = (if (delta == null) base.withColumn("is_delta", lit(0L))
+               else base.withColumn("is_delta", lit(0L))
+                 .unionByName(delta.withColumn("is_delta", lit(1L))))
+    val r = all.select(col("cell"), col("is_delta"),
+        (size(col("codes")) =!= lit(m.toInt) ||
+          exists(col("codes"), c => c < 0 || c >= lit(ksub.toInt)))
+          .cast("long").as("bad"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("pop"), sum("bad").as("bad"),
+        sum("is_delta").as("d"))
+      .agg(count(lit(1)).as("cells_used"), sum("pop").as("total"),
+        min("pop").as("min_pop"), max("pop").as("max_pop"),
+        sum("bad").as("bad_codes"), sum("d").as("delta_rows")).head()
+    // an empty index aggregates to NULLs (count 0) — report zeros, not NPE
+    def lg(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val (cellsUsed, total) = (lg(0), lg(1))
+    val (minPop, maxPop) = (lg(2), lg(3))
+    val (badCodes, deltaRows) = (lg(4), lg(5))
+    val imbalance =
+      if (total > 0) // max/mean over USED cells; 1.0 = perfectly even
+        BigDecimal(maxPop.toDouble * cellsUsed / total)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else Double.NaN
+    localFrame(spark, Array(org.apache.spark.sql.Row(
+      total, total - deltaRows, deltaRows, nLists, cellsUsed,
+      nLists - cellsUsed, minPop, maxPop, imbalance, badCodes)),
+      org.apache.spark.sql.types.StructType(
+        Seq("total_indexed", "base_rows", "delta_rows", "n_lists",
+          "cells_used", "empty_cells", "min_pop", "max_pop").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType)) ++ Seq(
+          org.apache.spark.sql.types.StructField("imbalance",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("bad_codes",
+            org.apache.spark.sql.types.LongType))))
+  }
+
   /** IVF+PQ search answered ENTIRELY from a stored [[writeIvfPqIndex]]
     * index — the production repeated-query path: probe `nProbe` cells
     * against the stored centroids, ADC-score only those cells' stored

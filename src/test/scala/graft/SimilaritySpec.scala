@@ -534,6 +534,61 @@ class SimilaritySpec extends SparkSpec {
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
+  test("ivfPqIndexHealth: exact totals and delta split, cell-balance bounds, structural code checks") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-hlth").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val baseN = even.count()
+      Similarity.writeIvfPqIndex(even, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      val h0 = Similarity.ivfPqIndexHealth(spark, idx).head()
+      assert(h0.getAs[Long]("total_indexed") == baseN)
+      assert(h0.getAs[Long]("base_rows") == baseN)
+      assert(h0.getAs[Long]("delta_rows") == 0L)
+      assert(h0.getAs[Long]("bad_codes") == 0L)
+      assert(h0.getAs[Long]("n_lists") == 4L)
+      assert(h0.getAs[Long]("cells_used") +
+        h0.getAs[Long]("empty_cells") == 4L)
+      assert(h0.getAs[Long]("min_pop") >= 1L &&
+        h0.getAs[Long]("max_pop") <= baseN)
+      assert(h0.getAs[Double]("imbalance") >= 1.0)
+      // a streaming-ingest delta (the sink's layout) splits out of the
+      // totals — encode the odd half through the appender's own stage
+      val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+      val codebooks = spark.read.parquet(s"$idx/codebooks.parquet")
+      val c = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("n_id"),
+          graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+      Similarity.ivfPqIndexRows(
+          Similarity.ivfPqTrainRows(c, centroids, residual = false), codebooks)
+        .write.parquet(s"$idx/ingest.parquet/batch_id=0")
+      val h1 = Similarity.ivfPqIndexHealth(spark, idx).head()
+      assert(h1.getAs[Long]("total_indexed") == emb.count())
+      assert(h1.getAs[Long]("base_rows") == baseN)
+      assert(h1.getAs[Long]("delta_rows") == emb.count() - baseN)
+      assert(h1.getAs[Long]("bad_codes") == 0L)
+      // structurally broken rows are counted: a code out of [0, ksub)
+      // and a code array of the wrong length
+      val badSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("codes",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = false))))
+      Similarity.localFrame(spark, Array(
+          org.apache.spark.sql.Row(99901L, 0L, Seq(16, 0, 0, 0, 0, 0, 0, 0)),
+          org.apache.spark.sql.Row(99902L, 0L, Seq(1, 2, 3))), badSchema)
+        .write.mode("append").parquet(s"$idx/ingest.parquet/batch_id=0")
+      val h2 = Similarity.ivfPqIndexHealth(spark, idx).head()
+      assert(h2.getAs[Long]("bad_codes") == 2L, h2.toString)
+      assert(h2.getAs[Long]("total_indexed") == emb.count() + 2)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
   test("readIvfIndex recovers a legacy per-table crash window (pre-r17 artifact with a table stranded at .old)") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-legacy").toString
     val fs = new org.apache.hadoop.fs.Path(idx)
