@@ -836,34 +836,46 @@ object ExtQueries {
 
   /** Index-health dashboard over a stored composed IVF+PQ index
     * ([[Similarity.ivfPqIndexHealth]]) — the operational "rebuild yet?"
-    * read the append/ingest contracts defer to. The exact totals
-    * (row coverage, delta split, structural code validity) are
-    * oracle-checked directly; the cell-balance stats reduce to
-    * invariant flags because k-means populations are data-dependent
-    * (cells_used ∈ [1, nLists]; populations ∈ [1, total]; imbalance =
-    * max/mean ≥ 1 by construction). Cheap training config (1 Lloyd /
-    * 1 PQ iter): health reads the artifact's SHAPE, not its recall —
-    * the recall keys own that. EAGER + self-cleaning like
-    * ann_ivf_stored. */
+    * read the append/ingest contracts defer to, exercised over the
+    * OPERATIONAL shape it exists for: the index is built on the
+    * even-vec_id half and the odd half arrives through the ingest-delta
+    * path ([[Similarity.ingestIvfPqBatch]] — the batch form of the
+    * streaming sink's per-micro-batch write), so the base/delta split
+    * the dashboard reports is non-trivial and the oracle pins the real
+    * arithmetic: `delta_rows` = the odd count, `total_indexed` = the
+    * full corpus, every row indexed exactly once across the two paths.
+    * Exact totals (row coverage, delta split, structural code AND
+    * codebook validity) are oracle-checked directly; the cell-balance
+    * stats reduce to invariant flags because k-means populations are
+    * data-dependent (cells_used ∈ [1, nLists]; populations ∈
+    * [1, total]; imbalance = max/mean ≥ 1 by construction). Cheap
+    * training config (1 Lloyd / 1 PQ iter): health reads the artifact's
+    * SHAPE, not its recall — the recall keys own that. EAGER +
+    * self-cleaning like ann_ivf_stored. */
   val ivfPqHealthQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-hl").toString
     try {
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx,
         nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      Similarity.ingestIvfPqBatch(s, idx,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        batchId = 0L)
       val h = Similarity.ivfPqIndexHealth(s, idx).head()
       def ok(b: Boolean) = if (b) 1 else 0
       val total = h.getAs[Long]("total_indexed")
       Similarity.localFrame(s, Array(org.apache.spark.sql.Row(
         total, h.getAs[Long]("delta_rows"), h.getAs[Long]("bad_codes"),
+        h.getAs[Long]("bad_codebook"),
         ok(h.getAs[Long]("cells_used") >= 1 &&
           h.getAs[Long]("cells_used") <= h.getAs[Long]("n_lists")),
         ok(h.getAs[Long]("min_pop") >= 1 &&
           h.getAs[Long]("max_pop") <= total),
         ok(h.getAs[Double]("imbalance") >= 1.0))),
         org.apache.spark.sql.types.StructType(
-          Seq("total_indexed", "delta_rows", "bad_codes").map(n =>
-            org.apache.spark.sql.types.StructField(n,
+          Seq("total_indexed", "delta_rows", "bad_codes", "bad_codebook")
+            .map(n => org.apache.spark.sql.types.StructField(n,
               org.apache.spark.sql.types.LongType)) ++
           Seq("cells_bounded", "pop_bounded", "imbalance_ok").map(n =>
             org.apache.spark.sql.types.StructField(n,
@@ -874,12 +886,76 @@ object ExtQueries {
     }
   }
 
+  /** Compaction of the composed index's ingest delta
+    * ([[Similarity.compactIvfPqIndex]]) — the third act of the ingest
+    * story, E2E: build on the even half, land the odd half as an
+    * ingest-delta batch, then compact against the FULL corpus (the
+    * grown source of truth). Oracle-pinned outcomes: the pre-compaction
+    * delta equals the odd count and the post-compaction delta is ZERO
+    * (the root swap dropped `ingest.parquet`); every corpus row stays
+    * indexed exactly once; the publish epoch BUMPED (so any in-flight
+    * append racing the swap would fail its epoch guard instead of
+    * landing stale codes); and the compacted artifact's index table is
+    * row-identical to a fresh [[Similarity.writeIvfPqIndex]] over the
+    * same grown corpus with the same config — compaction is a rebuild,
+    * not a new code path (deterministic seeds + deterministic
+    * partitioning make the two builds bit-equal). EAGER +
+    * self-cleaning like ann_ivf_stored. */
+  val ivfPqCompactQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-cp").toString
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ivfpq-fr").toString
+    def cleanup(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    try {
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx,
+        nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      Similarity.ingestIvfPqBatch(s, idx,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        batchId = 0L)
+      val preDelta = Similarity.ivfPqIndexHealth(s, idx).head()
+        .getAs[Long]("delta_rows")
+      val epochBefore = Similarity.readIvfPqEpoch(s, idx)
+      Similarity.compactIvfPqIndex(s, idx, e, "vec_id", "embedding")
+      val h = Similarity.ivfPqIndexHealth(s, idx).head()
+      val epochAfter = Similarity.readIvfPqEpoch(s, idx)
+      // reference rebuild: same grown corpus, same config — the compacted
+      // index table must match it row for row
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", fresh,
+        nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      val a = s.read.parquet(s"$idx/index.parquet")
+      val b = s.read.parquet(s"$fresh/index.parquet")
+      val matches =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      def ok(bb: Boolean) = if (bb) 1 else 0
+      Similarity.localFrame(s, Array(org.apache.spark.sql.Row(
+        h.getAs[Long]("total_indexed"), preDelta,
+        h.getAs[Long]("delta_rows"), h.getAs[Long]("bad_codes"),
+        ok(epochAfter == epochBefore + 1), ok(matches))),
+        org.apache.spark.sql.types.StructType(
+          Seq("total_indexed", "pre_delta_rows", "post_delta_rows",
+            "bad_codes").map(n => org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType)) ++
+          Seq("epoch_bumped", "matches_rebuild").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.IntegerType))))
+    } finally { cleanup(idx); cleanup(fresh) }
+  }
+
   /** PQ shortlist tuning curve — the re-rank sibling of ann_probe_sweep:
     * hits vs the exact top-k at shortlist 10/20/40/80, codebooks trained
-    * and the corpus encoded ONCE (the stored index; only the cheap
-    * query-side shortlist plan varies). Monotonicity here is a THEOREM,
-    * not an observation: a larger shortlist is a superset of candidates,
-    * and any exact-top-k member in the candidate set always survives the
+    * and the corpus encoded ONCE (the stored index), and — since r18 —
+    * every cut derived from ONE compressed scan
+    * ([[Similarity.pqStoredShortlistSweep]]: the cut-sl candidate set is
+    * the ADC ranks ≤ sl, so one deepest-shortlist pass + per-cut rank
+    * filters answers all four; the diagnostic previously re-scanned the
+    * corpus once per cut, 4× the work for identical numbers — the
+    * equality is spec-pinned). Monotonicity here is a THEOREM, not an
+    * observation: a larger shortlist is a superset of candidates, and
+    * any exact-top-k member in the candidate set always survives the
     * true-cosine re-rank (at most rank−1 < k candidates beat it), so
     * hits are non-decreasing — `monotone_ok` pins the proof holds in the
     * implementation. `final_floor_met` holds shortlist-80 to pq_topk's
@@ -894,14 +970,12 @@ object ExtQueries {
     try {
       Similarity.writePqIndex(e, "vec_id", "embedding", idx,
         m = 16, ksub = 64, iters = 3)
-      val hitRows = Seq(10, 20, 40, 80).map { sl =>
-        Similarity.pqTopKStored(s, idx, e, "vec_id", "embedding",
-            q, "vec_id", "embedding", k = 10, shortlist = sl)
-          .select("q_id", "n_id")
-          .join(exact, Seq("q_id", "n_id"))
-          .agg(count(lit(1)).as("__hits"))
-          .select(lit(sl).as("shortlist"), col("__hits"))
-      }.reduce(_ unionByName _)
+      val hitRows = Similarity.pqStoredShortlistSweep(s, idx,
+          e, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 10, shortlists = Seq(10, 20, 40, 80))
+        .join(exact.withColumn("__e", lit(1L)), Seq("q_id", "n_id"), "left")
+        .groupBy("shortlist")
+        .agg(sum(coalesce(col("__e"), lit(0L))).as("__hits"))
       val ord = org.apache.spark.sql.expressions.Window.orderBy("shortlist")
       val all = org.apache.spark.sql.expressions.Window
         .orderBy("shortlist").rowsBetween(Long.MinValue, Long.MaxValue)
@@ -1904,6 +1978,7 @@ object ExtQueries {
     "ivf_pq_stored" -> ivfPqStoredQ,
     "ivf_pq_incr" -> ivfPqIncrQ,
     "ivf_pq_health" -> ivfPqHealthQ,
+    "ivf_pq_compact" -> ivfPqCompactQ,
     "pq_shortlist_sweep" -> pqShortlistSweepQ,
     "ann_ivf_stored" -> annIvfStoredQ,
     "embed_pca" -> embedPcaQ,
@@ -2166,14 +2241,26 @@ object ExtQueries {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
         |  CAST(10 AS INTEGER) AS k, CAST(30 AS INTEGER) AS hits_floor,
         |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
-    // the health totals are exact (every corpus row indexed exactly once,
-    // no delta, structurally valid codes); balance reduces to invariant
-    // flags because k-means cell populations are data-dependent
+    // the health totals are exact and DELTA-BEARING (base = even half,
+    // ingest delta = odd half, every row indexed exactly once across the
+    // two paths, structurally valid codes and codebook); balance reduces
+    // to invariant flags because k-means cell populations are
+    // data-dependent
     "ivf_pq_health" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_indexed,
-        |  CAST(0 AS BIGINT) AS delta_rows, CAST(0 AS BIGINT) AS bad_codes,
+        |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS delta_rows,
+        |  CAST(0 AS BIGINT) AS bad_codes, CAST(0 AS BIGINT) AS bad_codebook,
         |  CAST(1 AS INTEGER) AS cells_bounded, CAST(1 AS INTEGER) AS pop_bounded,
         |  CAST(1 AS INTEGER) AS imbalance_ok
+        |FROM embeddings""".stripMargin,
+    // compaction: pre-delta = the ingested odd half, post-delta = 0 (the
+    // root swap dropped ingest.parquet), totals exact, epoch bumped, and
+    // the compacted index row-equals a fresh rebuild on the grown corpus
+    "ivf_pq_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_indexed,
+        |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pre_delta_rows,
+        |  CAST(0 AS BIGINT) AS post_delta_rows, CAST(0 AS BIGINT) AS bad_codes,
+        |  CAST(1 AS INTEGER) AS epoch_bumped, CAST(1 AS INTEGER) AS matches_rebuild
         |FROM embeddings""".stripMargin,
     // stored-PQ path shares pq_topk's floor: the persisted codes are
     // bit-identical to the in-memory encode

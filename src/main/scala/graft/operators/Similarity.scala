@@ -989,13 +989,77 @@ object Similarity {
       .select("q_id", "n_id")
     val c = corpusForRerank.select(col(corpusId).as("n_id"),
       VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
-    val rescored = cand.join(c, Seq("n_id")).join(broadcast(q), Seq("q_id"))
-      .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
+    val rescored = rerankChecked(cand, c, q.select("q_id", "q_v"),
+      "pqTopKStored")
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("cos"), 6).desc, col("n_id"))
     rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "cos")
+  }
+
+  /** The whole shortlist tuning curve from ONE compressed scan — the
+    * multi-cut form of [[pqTopKStored]]: rank the stored codes' ADC
+    * scores once at the DEEPEST requested shortlist, exact-re-rank that
+    * one candidate set, and derive every shallower cut's top-k from rank
+    * filters over the same pass. Correctness is an algebraic identity,
+    * not an approximation: the cut-`sl` candidate set is exactly the ADC
+    * ranks ≤ sl, and within a fixed exact-cosine ordering the re-rank
+    * position of a row among candidates with `adc_rank ≤ sl` IS the
+    * running count of such candidates at or before it — so each row's
+    * per-cut rank comes from one conditional running sum per cut inside
+    * a single window pass, and the emitted (shortlist, q_id, n_id, rank,
+    * cos) rows equal [[pqTopKStored]] run per cut (SimilaritySpec pins
+    * the equality). Replaces |cuts| full corpus scans + windows +
+    * re-rank joins with exactly one of each — the pq_shortlist_sweep
+    * diagnostic cost 4 stored-search plans for one scored frame's worth
+    * of information. */
+  def pqStoredShortlistSweep(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpusForRerank: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlists: Seq[Int]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlists.nonEmpty, "shortlists must be non-empty")
+    val sls = shortlists.distinct.sorted
+    require(sls.head >= k, s"every shortlist must be >= k $k, got ${sls.head}")
+    val maxSl = sls.last
+    val (codebooks, codes) = readPqIndex(spark, path)
+    val (cb, _) = collectCodebooks(codebooks)
+    val cbF = graft.plans.PqKernels.flatCodebook(cb)
+    val q = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+      .withColumn("q_lut", graft.plans.PqKernels.lutCol(col("q_v"), cbF,
+        cb.length, cb.head.length))
+    val scored = codes.crossJoin(broadcast(q))
+      .withColumn("cos_adc", graft.plans.PqKernels.adcCol(
+        col("codes"), col("q_lut"), cb.head.length))
+    val ws = Window.partitionBy("q_id")
+      .orderBy(round(col("cos_adc"), 6).desc, col("n_id"))
+    val cand = scored.withColumn("adc_rank", row_number().over(ws))
+      .filter(col("adc_rank") <= maxSl)
+      .select("q_id", "n_id", "adc_rank")
+    val c = corpusForRerank.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
+    val rescored = rerankChecked(cand, c, q.select("q_id", "q_v"),
+      "pqStoredShortlistSweep")
+    // one running-frame window in pqTopKStored's exact ordering; each
+    // cut's rank is the running count of its own candidates
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 6).desc, col("n_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = sls.foldLeft(rescored) { (df, sl) =>
+      df.withColumn(s"__r_$sl",
+        sum(when(col("adc_rank") <= sl, 1L).otherwise(0L)).over(w))
+    }
+    ranked
+      .withColumn("cut", explode(filter(
+        array(sls.map(sl => struct(lit(sl).as("shortlist"),
+          col(s"__r_$sl").cast("int").as("rank"))): _*),
+        cc => col("adc_rank") <= cc.getField("shortlist") &&
+          cc.getField("rank") <= lit(k))))
+      .select(col("cut.shortlist").as("shortlist"), col("q_id"),
+        col("n_id"), col("cut.rank").as("rank"), col("cos"))
   }
 
   /** IVF-pruned PQ search — the two levers composed, each attacking a
@@ -1112,11 +1176,26 @@ object Similarity {
     val codebooks = pqCodebooks(train, "n_id", "t_v", m, ksub, pqIters,
       assumeUnit = true)
     val index = ivfPqIndexRows(train, codebooks)
+    // meta carries the FULL training config (so [[compactIvfPqIndex]] can
+    // rebuild with the exact parameters the artifact was built with, and
+    // [[ivfPqIndexHealth]] reads m/ksub from the publish record instead of
+    // inferring them from the possibly-corrupt codebooks it is auditing)
+    // plus a monotone publish EPOCH: every root swap bumps it, and the
+    // append/ingest paths re-read it at commit time to turn the documented
+    // append-vs-rebuild race into a loud failure instead of silently
+    // landing codes encoded against a superseded model.
+    val epoch = nextIvfPqEpoch(spark, path)
     val meta = localFrame(spark,
-      Array(org.apache.spark.sql.Row(residual)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("residual",
-          org.apache.spark.sql.types.BooleanType))))
+      Array(org.apache.spark.sql.Row(residual, nLists, lloydIters, m, ksub,
+        pqIters, epoch)),
+      org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("residual",
+          org.apache.spark.sql.types.BooleanType)) ++
+        Seq("n_lists", "lloyd_iters", "m", "ksub", "pq_iters").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.IntegerType)) :+
+        org.apache.spark.sql.types.StructField("epoch",
+          org.apache.spark.sql.types.LongType)))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.engine.Sinks.publishRoot(fs, path) { tmp =>
@@ -1125,6 +1204,47 @@ object Similarity {
       index.write.mode("overwrite").parquet(s"$tmp/index.parquet")
       meta.write.mode("overwrite").parquet(s"$tmp/meta.parquet")
     }
+  }
+
+  /** The NEXT publish epoch for the index at `path`: one past the live
+    * artifact's epoch, or 1 for a first build. Read eagerly BEFORE
+    * staging — the old root stays live throughout [[graft.engine.Sinks
+    * .publishRoot]]'s staging, so this is the epoch the swap supersedes. */
+  private def nextIvfPqEpoch(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val meta = new org.apache.hadoop.fs.Path(s"$path/meta.parquet")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.Sinks.recoverSwap(fs, new org.apache.hadoop.fs.Path(path))
+    if (!fs.exists(meta)) 1L
+    else {
+      val df = spark.read.parquet(meta.toString)
+      // pre-epoch artifacts (meta = residual flag only) restart at 1
+      if (df.columns.contains("epoch")) df.select("epoch").head().getLong(0) + 1L
+      else 1L
+    }
+  }
+
+  /** The live publish epoch of the index at `path`. */
+  private[graft] def readIvfPqEpoch(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    spark.read.parquet(s"$path/meta.parquet").select("epoch").head().getLong(0)
+
+  /** Fail loudly if the index at `path` was republished since the caller
+    * loaded its model tables at `expected` — the commit-time half of the
+    * epoch guard: an append/ingest whose encode raced a
+    * [[writeIvfPqIndex]]/[[compactIvfPqIndex]] root swap would otherwise
+    * land codes encoded against the SUPERSEDED centroids/codebooks inside
+    * the new root, a silent recall corruption no later read can see. */
+  private[graft] def requireIvfPqEpoch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      expected: Long, action: String): Unit = {
+    val now = readIvfPqEpoch(spark, path)
+    if (now != expected)
+      throw new IllegalStateException(
+        s"$action: the index at $path was republished (epoch $expected -> " +
+          s"$now) between model load and commit — the staged rows were " +
+          "encoded against a superseded model and must not land; re-run " +
+          "the batch against the new index")
   }
 
   /** Shared assign→(residual-subtract) stage of the composed IVF+PQ
@@ -1174,11 +1294,15 @@ object Similarity {
     * commits — a [[writeIvfPqIndex]] rebuild that swaps the root in
     * that window either strands the batch in the superseded root
     * (silently absent from the new index) or, worse, lands codes
-    * encoded against the OLD codebooks in the NEW index. Serialize
-    * appends against rebuilds upstream (the same single-writer
-    * discipline every append-mode artifact here assumes); a rebuild
-    * re-encodes the full corpus, so a lost-append is repaired by
-    * re-running the batch after the rebuild. */
+    * encoded against the OLD codebooks in the NEW index. The publish
+    * EPOCH guards the second, silent shape: the epoch is captured with
+    * the model and re-checked at commit time ([[requireIvfPqEpoch]]) —
+    * a rebuild that swapped the root mid-append makes the commit THROW
+    * with nothing landed, instead of corrupting the new index. A
+    * rebuild re-encodes the full corpus, so the failed (or stranded)
+    * append is repaired by re-running the batch after the rebuild;
+    * the residual race window (one metadata read wide) still defers to
+    * upstream single-writer discipline. */
   def appendIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
@@ -1187,12 +1311,101 @@ object Similarity {
       root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
     val centroids = spark.read.parquet(s"$path/centroids.parquet")
     val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
-    val residual = spark.read.parquet(s"$path/meta.parquet")
-      .select("residual").head().getBoolean(0)
+    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    val residual = meta.getAs[Boolean]("residual")
+    val epoch = meta.getAs[Long]("epoch")
     val c = newVectors.select(col(idCol).as("n_id"),
       VectorFns.unitizeNative(col(vecCol)).as("n_v"))
+    commitIvfPqAppend(spark, path,
+      ivfPqIndexRows(ivfPqTrainRows(c, centroids, residual), codebooks),
+      epoch)
+  }
+
+  /** Commit half of [[appendIvfPqIndex]], split out so the epoch guard is
+    * independently testable: re-verify the publish epoch, then land the
+    * staged rows. Throws (nothing written) if a rebuild swapped the root
+    * since the model was loaded at `expectedEpoch`. */
+  private[graft] def commitIvfPqAppend(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame, expectedEpoch: Long): Unit = {
+    requireIvfPqEpoch(spark, path, expectedEpoch, "appendIvfPqIndex")
+    rows.write.mode("append").parquet(s"$path/index.parquet")
+  }
+
+  /** Index one batch of new vectors into the stored index's INGEST DELTA —
+    * the batch form of [[graft.streaming.DocStreams.ivfPqIngestSink]]'s
+    * per-micro-batch write, and the one implementation both share: assign
+    * against the stored centroids, encode against the stored codebooks
+    * (honoring the artifact's residual flag), and land the rows
+    * delta-style under `path/ingest.parquet/batch_id=<batchId>` with
+    * per-partition overwrite — re-running the same `batchId` rewrites
+    * identical content instead of double-indexing (the encode is
+    * deterministic given the stored model), which the append-mode
+    * [[appendIvfPqIndex]] cannot promise. [[ivfPqStoredTopK]] reads
+    * base + delta transparently; [[compactIvfPqIndex]] folds the delta
+    * back into the base. Epoch-guarded like the appender: a rebuild
+    * swapping the root between model load and commit throws. */
+  def ingestIvfPqBatch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String, batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.engine.Sinks.recoverSwap(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    val centroids = spark.read.parquet(s"$path/centroids.parquet")
+    val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
+    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    commitIvfPqIngest(spark, path, batch, idCol, vecCol, batchId,
+      centroids, codebooks, meta.getAs[Boolean]("residual"),
+      meta.getAs[Long]("epoch"))
+  }
+
+  /** Encode-and-land core shared by [[ingestIvfPqBatch]] and the streaming
+    * sink (which pre-loads the bounded model tables once and passes them
+    * per batch): epoch re-check, one map pass over the batch, one
+    * delta-partition overwrite. */
+  private[graft] def commitIvfPqIngest(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String, batchId: Long,
+      centroids: DataFrame, codebooks: DataFrame, residual: Boolean,
+      expectedEpoch: Long): Unit = {
+    requireIvfPqEpoch(spark, path, expectedEpoch, "ivfPqIngest")
+    val c = batch.select(col(idCol).as("n_id"),
+      VectorFns.unitizeNative(col(vecCol)).as("n_v"))
     ivfPqIndexRows(ivfPqTrainRows(c, centroids, residual), codebooks)
-      .write.mode("append").parquet(s"$path/index.parquet")
+      .write.mode("overwrite")
+      .parquet(s"$path/ingest.parquet/batch_id=$batchId")
+  }
+
+  /** Compact a stored composed index: rebuild centroids + codebooks +
+    * codes from `corpus` — the GROWN source of truth (base source plus
+    * every ingested/appended arrival; the index stores codes, not
+    * vectors, so compaction must re-read the real vectors) — with the
+    * artifact's OWN training config from `meta.parquet`, and swap the
+    * root in one atomic publish that drops the ingest delta. The third
+    * act of the ingest story: [[graft.streaming.DocStreams
+    * .ivfPqIngestSink]] grows the delta, [[ivfPqIndexHealth]]'s
+    * `delta_rows` says when a growing share of the index was encoded by
+    * a model that never saw it, and this folds everything back into one
+    * freshly-trained base (`delta_rows` returns to 0, the epoch bumps,
+    * and in-flight appends/ingests racing the swap fail loudly on the
+    * epoch guard instead of corrupting the new root).
+    *
+    * Scale shape: exactly a [[writeIvfPqIndex]] — bounded model
+    * collects, map-side assign/encode passes, training one-time by
+    * contract. Run it when the health report says so, not per batch. */
+  def compactIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vecCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.engine.Sinks.recoverSwap(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    writeIvfPqIndex(corpus, idCol, vecCol, path,
+      nLists = meta.getAs[Int]("n_lists"),
+      lloydIters = meta.getAs[Int]("lloyd_iters"),
+      m = meta.getAs[Int]("m"), ksub = meta.getAs[Int]("ksub"),
+      pqIters = meta.getAs[Int]("pq_iters"),
+      residual = meta.getAs[Boolean]("residual"))
   }
 
   /** Operational health report for a stored composed IVF+PQ index — the
@@ -1210,7 +1423,17 @@ object Similarity {
     *    into few cells defeat nProbe pruning);
     *  - `bad_codes` — rows whose code array is structurally wrong
     *    (length ≠ m or a code outside [0, ksub)): always 0 for indexes
-    *    written here; nonzero means artifact corruption.
+    *    written here; nonzero means artifact corruption. The m/ksub
+    *    bounds come from `meta.parquet` — the publish-time record —
+    *    NOT from the codebooks table under audit (deriving them from
+    *    the codebooks would let a truncated codebook SHIFT the bounds:
+    *    codes 32..63 missing makes ksub look like 32 and flags valid
+    *    index rows while hiding the codebook damage itself);
+    *  - `bad_codebook` — 1 when the codebooks table disagrees with the
+    *    publish record: not exactly m×ksub distinct (sub, code) rows
+    *    covering [0,m)×[0,ksub), or non-uniform codeword length. A
+    *    torn/foreign codebooks table is reported HERE instead of
+    *    corrupting the `bad_codes` arithmetic.
     *
     * Scale shape: centroids/codebooks are bounded model tables; the
     * index scan folds per-row checks map-side into a groupBy on `cell`
@@ -1222,10 +1445,22 @@ object Similarity {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.engine.Sinks.recoverSwap(fs, root)
     val nLists = spark.read.parquet(s"$path/centroids.parquet").count()
-    val shape = spark.read.parquet(s"$path/codebooks.parquet")
-      .agg(countDistinct(col("sub")).as("m"),
-        countDistinct(col("code")).as("ksub")).head()
-    val (m, ksub) = (shape.getLong(0), shape.getLong(1))
+    val metaRow = spark.read.parquet(s"$path/meta.parquet").head()
+    val (m, ksub) =
+      (metaRow.getAs[Int]("m").toLong, metaRow.getAs[Int]("ksub").toLong)
+    val cbk = spark.read.parquet(s"$path/codebooks.parquet")
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("sub"), col("code")).as("sc"),
+        min(col("sub")).as("s0"), max(col("sub")).as("s1"),
+        min(col("code")).as("c0"), max(col("code")).as("c1"),
+        countDistinct(size(col("cv"))).as("lens")).head()
+    val badCodebook =
+      if (cbk.getLong(0) == 0L) 1L
+      else if (cbk.getLong(0) == m * ksub && cbk.getLong(1) == m * ksub &&
+        cbk.getInt(2) == 0 && cbk.getInt(3) == m - 1 &&
+        cbk.getInt(4) == 0 && cbk.getInt(5) == ksub - 1 &&
+        cbk.getLong(6) == 1L) 0L
+      else 1L
     val base = spark.read.parquet(s"$path/index.parquet")
       .select("n_id", "cell", "codes")
     val ingest = new org.apache.hadoop.fs.Path(s"$path/ingest.parquet")
@@ -1258,7 +1493,8 @@ object Similarity {
       else Double.NaN
     localFrame(spark, Array(org.apache.spark.sql.Row(
       total, total - deltaRows, deltaRows, nLists, cellsUsed,
-      nLists - cellsUsed, minPop, maxPop, imbalance, badCodes)),
+      nLists - cellsUsed, minPop, maxPop, imbalance, badCodes,
+      badCodebook)),
       org.apache.spark.sql.types.StructType(
         Seq("total_indexed", "base_rows", "delta_rows", "n_lists",
           "cells_used", "empty_cells", "min_pop", "max_pop").map(n =>
@@ -1267,7 +1503,47 @@ object Similarity {
           org.apache.spark.sql.types.StructField("imbalance",
             org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("bad_codes",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bad_codebook",
             org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Exact re-rank of shortlisted candidates that REFUSES to silently
+    * drop ids missing from `c` (the caller-supplied re-rank corpus):
+    * shared by every STORED-index search path, where the corpus argument
+    * can drift from what was indexed — a plain inner join would then
+    * shrink each query's candidate set (and its recall) with no
+    * diagnostic, quietly returning k−1 (or fewer) rows. The join STAYS
+    * inner (the scale shape: the tiny candidate set broadcasts against
+    * the corpus — a left-outer would force the corpus through a
+    * shuffle); coverage is checked instead by carrying the per-query
+    * candidate count across the join and comparing it to the per-query
+    * survivor count, both one window over the post-shortlist frame
+    * (≤ shortlist×|queries| rows, partitioning reused). Any shortfall
+    * raises with the query id and the missing count. A query whose
+    * EVERY candidate is missing has no surviving row to raise from and
+    * disappears — that total-disjoint shape means the corpus is the
+    * wrong table entirely, loud in practice. */
+  private def rerankChecked(
+      cand: DataFrame, c: DataFrame, qkeyed: DataFrame,
+      caller: String): DataFrame = {
+    val wq = Window.partitionBy("q_id")
+    cand.withColumn("__cand_n", count(lit(1)).over(wq))
+      .join(c, Seq("n_id"))
+      .join(broadcast(qkeyed), Seq("q_id"))
+      .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
+      .withColumn("__join_n", count(lit(1)).over(wq))
+      .where(when(col("__join_n") === col("__cand_n"), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$caller: "),
+          (col("__cand_n") - col("__join_n")).cast("string"),
+          lit(" of "), col("__cand_n").cast("string"),
+          lit(" shortlisted ids for query "), col("q_id").cast("string"),
+          lit(" are missing from corpusForRerank — the corpus has " +
+            "drifted from the stored index (recall would silently " +
+            "shrink); re-point at the indexed corpus or rebuild the " +
+            "index")))))
+      .drop("__cand_n", "__join_n", "q_v", "n_v")
   }
 
   /** IVF+PQ search answered ENTIRELY from a stored [[writeIvfPqIndex]]
@@ -1314,14 +1590,21 @@ object Similarity {
     // (query, cell) and stays after it
     val qLut = q.withColumn("q_lut", graft.plans.PqKernels.lutCol(
       col("q_v"), cbF, cb.length, ksub))
-    val probed = assignCells(qLut, "q_id", "q_v", centroids, p = nProbe)
-      .join(broadcast(centroids), Seq("cell")) // recover cv for the q·c term
-      .withColumn("__qc",
-        if (residual) VectorFns.dotNative(col("q_v"), col("cv")) else lit(0.0))
-      .drop("cv")
-    val scored = index.join(broadcast(probed), Seq("cell"))
-      .withColumn("cos_adc", col("__qc") +
-        graft.plans.PqKernels.adcCol(col("codes"), col("q_lut"), ksub))
+    val probedBase = assignCells(qLut, "q_id", "q_v", centroids, p = nProbe)
+    // the centroid join exists only to recover cv for the residual
+    // q·c term — the plain (default) path skips the join entirely
+    val scored =
+      if (residual) {
+        val probed = probedBase.join(broadcast(centroids), Seq("cell"))
+          .withColumn("__qc", VectorFns.dotNative(col("q_v"), col("cv")))
+          .drop("cv")
+        index.join(broadcast(probed), Seq("cell"))
+          .withColumn("cos_adc", col("__qc") +
+            graft.plans.PqKernels.adcCol(col("codes"), col("q_lut"), ksub))
+      } else
+        index.join(broadcast(probedBase), Seq("cell"))
+          .withColumn("cos_adc",
+            graft.plans.PqKernels.adcCol(col("codes"), col("q_lut"), ksub))
     val ws = Window.partitionBy("q_id")
       .orderBy(round(col("cos_adc"), 6).desc, col("n_id"))
     val cand = scored.withColumn("rank", row_number().over(ws))
@@ -1329,9 +1612,8 @@ object Similarity {
       .select("q_id", "n_id")
     val c = corpusForRerank.select(col(corpusId).as("n_id"),
       VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
-    val rescored = cand.join(c, Seq("n_id"))
-      .join(broadcast(q.select("q_id", "q_v")), Seq("q_id"))
-      .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
+    val rescored = rerankChecked(cand, c, q.select("q_id", "q_v"),
+      "ivfPqStoredTopK")
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("cos"), 6).desc, col("n_id"))
     rescored.withColumn("rank", row_number().over(w))

@@ -41,11 +41,36 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   */
 object PqKernels {
 
+  /** Vector-vs-codebook shape guard shared by [[encode]] and [[lut]]:
+    * both index the flat codebook with offsets DERIVED from the input
+    * vector's own length (dsub = dim/m), so a dimension mismatch — a
+    * corrupt/mixed-dim corpus row, or a codebook trained on a different
+    * corpus — would otherwise read misaligned or out-of-bounds
+    * UnsafeArrayData (an unguarded Platform read returning GARBAGE
+    * codes/LUT entries, the exact failure mode [[adc]] guards; the HOF
+    * reference path surfaced it as nulls/ANSI element_at errors). The
+    * two branches cost nothing against the m×ksub×dsub work behind
+    * them. */
+  private def checkShape(dim: Int, cbLen: Int, m: Int, ksub: Int, what: String): Int = {
+    if (dim % m != 0)
+      throw new IllegalArgumentException(
+        s"PQ $what: vector dimension $dim is not divisible by m=$m " +
+          "subspaces — the vector and the codebook come from different " +
+          "configurations (mixed-dim corpus row or foreign codebook)")
+    val dsub = dim / m
+    if (cbLen != m * ksub * dsub)
+      throw new IllegalArgumentException(
+        s"PQ $what: flat codebook carries $cbLen entries, expected " +
+          s"m*ksub*dsub = ${m * ksub * dsub} (m=$m, ksub=$ksub, " +
+          s"dsub=$dsub) — torn or mismatched index artifact")
+    dsub
+  }
+
   /** Shared by interpreted eval and generated code: nearest-codeword id
     * per subspace, L2, strict `<` tie-break to the smallest code. */
   def encode(v: ArrayData, cb: ArrayData, m: Int, ksub: Int): ArrayData = {
     val dim = v.numElements()
-    val dsub = dim / m
+    val dsub = checkShape(dim, cb.numElements(), m, ksub, "encode")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -74,7 +99,7 @@ object PqKernels {
   /** Per-query LUT: entry [s*ksub + c] = dot(q_sub(s), codeword(s, c)). */
   def lut(q: ArrayData, cb: ArrayData, m: Int, ksub: Int): ArrayData = {
     val dim = q.numElements()
-    val dsub = dim / m
+    val dsub = checkShape(dim, cb.numElements(), m, ksub, "lut")
     val out = new Array[Double](m * ksub)
     var s = 0
     while (s < m) {

@@ -522,16 +522,19 @@ object DocStreams {
     * deterministic given the stored model), so replays never
     * double-index — the [[stripArrivalsSink]] contract.
     * [[graft.operators.Similarity.ivfPqStoredTopK]] reads base + delta
-    * transparently. A [[graft.operators.Similarity.writeIvfPqIndex]]
-    * rebuild swaps the whole root and drops the delta — that IS the
-    * compaction, PROVIDED the rebuild trains on the grown corpus
-    * (base source plus the arrivals); stop the ingest query around a
-    * rebuild (the single-writer discipline both appenders document).
+    * transparently; [[graft.operators.Similarity.compactIvfPqIndex]]
+    * folds the delta back into a freshly-trained base when
+    * `ivf_pq_health`'s delta share says so.
     *
     * The model tables are loaded ONCE at construction into local
     * relations (bounded: nLists centroids, m×ksub codewords) — micro-
-    * batches re-read nothing. Returns the query; callers own its
-    * lifecycle. */
+    * batches re-read nothing except the 1-row meta: each batch
+    * re-verifies the index's publish EPOCH before landing
+    * ([[graft.operators.Similarity.commitIvfPqIngest]]) so a
+    * rebuild/compaction swapping the root mid-stream FAILS the batch
+    * loudly instead of silently landing codes encoded against the
+    * superseded model inside the new root — restart the sink to pick up
+    * the new model. Returns the query; callers own its lifecycle. */
   def ivfPqIngestSink(
       stream: DataFrame, path: String, idCol: String, vecCol: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -547,20 +550,16 @@ object DocStreams {
     }
     val centroids = localCopy(s"$path/centroids.parquet")
     val codebooks = localCopy(s"$path/codebooks.parquet")
-    val residual = spark.read.parquet(s"$path/meta.parquet")
-      .select("residual").head().getBoolean(0)
+    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    val residual = meta.getAs[Boolean]("residual")
+    val epoch = meta.getAs[Long]("epoch")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          if (!batch.isEmpty) {
-            val c = batch.toDF().select(col(idCol).as("n_id"),
-              graft.functions.VectorFns.unitizeNative(col(vecCol)).as("n_v"))
-            Sim.ivfPqIndexRows(
-                Sim.ivfPqTrainRows(c, centroids, residual), codebooks)
-              .write.mode("overwrite")
-              .parquet(s"$path/ingest.parquet/batch_id=$id")
-          }
+          if (!batch.isEmpty)
+            Sim.commitIvfPqIngest(spark, path, batch.toDF(), idCol, vecCol,
+              id, centroids, codebooks, residual, epoch)
           (): Unit
       }
       .start()
