@@ -148,4 +148,28 @@ class PqKernelsSpec extends SparkSpec {
     assert(nat == hof)
     assert(nat.values.forall(_ == Seq(0)), s"tie must break to code 0: $nat")
   }
+
+  test("encode/lut reject a vector whose dimension disagrees with the codebook shape instead of reading misaligned memory") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    // a well-formed m=2, ksub=2, dsub=3 flat codebook (12 doubles)
+    val cb = UnsafeArrayData.fromPrimitiveArray(Array.fill(12)(0.5))
+    // dim 7 is not divisible by m=2: without the guard dsub floors to 3
+    // and the codebook offsets silently misalign
+    val v7 = UnsafeArrayData.fromPrimitiveArray(Array.fill(7)(1.0))
+    val e1 = intercept[IllegalArgumentException](PqKernels.encode(v7, cb, 2, 2))
+    assert(e1.getMessage.contains("not divisible"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](PqKernels.lut(v7, cb, 2, 2))
+    assert(e2.getMessage.contains("not divisible"), e2.getMessage)
+    // dim 8 divides m but implies dsub=4: the 12-entry codebook is the
+    // wrong shape (expected 2*2*4=16) — a codebook from another corpus
+    val v8 = UnsafeArrayData.fromPrimitiveArray(Array.fill(8)(1.0))
+    val e3 = intercept[IllegalArgumentException](PqKernels.encode(v8, cb, 2, 2))
+    assert(e3.getMessage.contains("flat codebook carries"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](PqKernels.lut(v8, cb, 2, 2))
+    assert(e4.getMessage.contains("flat codebook carries"), e4.getMessage)
+    // the matched shape still encodes/scores
+    val v6 = UnsafeArrayData.fromPrimitiveArray(Array.fill(6)(1.0))
+    assert(PqKernels.encode(v6, cb, 2, 2).numElements() == 2)
+    assert(PqKernels.lut(v6, cb, 2, 2).numElements() == 4)
+  }
 }

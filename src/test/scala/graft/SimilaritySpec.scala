@@ -682,4 +682,179 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqTopKRerank(emb, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10, shortlist = 5))
   }
+
+  test("epoch guard: a rebuild between model load and commit makes append/ingest THROW with nothing landed") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-ep").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nLists = 4, lloydIters = 1,
+        m = 8, ksub = 16, pqIters = 1)
+      assert(Similarity.readIvfPqEpoch(spark, idx) == 1L)
+      // simulate the race the scaladoc documents: model loaded at epoch 1,
+      // a rebuild swaps the root (epoch 2) before the commit
+      val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+        .collect()
+      val staleCentroids = Similarity.localFrame(spark, centroids,
+        spark.read.parquet(s"$idx/centroids.parquet").schema)
+      val staleCodebooks = Similarity.localFrame(spark,
+        spark.read.parquet(s"$idx/codebooks.parquet").collect(),
+        spark.read.parquet(s"$idx/codebooks.parquet").schema)
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      assert(Similarity.readIvfPqEpoch(spark, idx) == 2L)
+      val rebuiltCount = spark.read.parquet(s"$idx/index.parquet").count()
+      val odd = emb.filter(col("vec_id") % 2 === 1)
+      val c = odd.select(col("vec_id").as("n_id"),
+        graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+      val staleRows = Similarity.ivfPqIndexRows(
+        Similarity.ivfPqTrainRows(c, staleCentroids, residual = false),
+        staleCodebooks)
+      val exA = intercept[IllegalStateException](
+        Similarity.commitIvfPqAppend(spark, idx, staleRows,
+          expectedEpoch = 1L))
+      assert(exA.getMessage.contains("republished"), exA.getMessage)
+      assert(spark.read.parquet(s"$idx/index.parquet").count() == rebuiltCount,
+        "the stale append must land NOTHING in the new root")
+      val exI = intercept[IllegalStateException](
+        Similarity.commitIvfPqIngest(spark, idx, odd, "vec_id", "embedding",
+          batchId = 0L, centroids = staleCentroids,
+          codebooks = staleCodebooks, residual = false, expectedEpoch = 1L))
+      assert(exI.getMessage.contains("republished"), exI.getMessage)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/ingest.parquet")),
+        "the stale ingest batch must land NOTHING in the new root")
+      // the happy path still commits at the CURRENT epoch
+      Similarity.appendIvfPqIndex(spark, idx, odd.limit(1), "vec_id",
+        "embedding")
+      assert(spark.read.parquet(s"$idx/index.parquet").count() ==
+        rebuiltCount + 1)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("compactIvfPqIndex: drops the ingest delta in one swap, bumps the epoch, and row-equals a fresh rebuild on the grown corpus") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-cpt").toString
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ivfpq-cpf").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      Similarity.writeIvfPqIndex(even, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      // two ingest batches, the sink's delta layout
+      Similarity.ingestIvfPqBatch(spark, idx,
+        emb.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", 0L)
+      Similarity.ingestIvfPqBatch(spark, idx,
+        emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", 1L)
+      val h0 = Similarity.ivfPqIndexHealth(spark, idx).head()
+      assert(h0.getAs[Long]("delta_rows") == emb.count() - even.count())
+      assert(h0.getAs[Long]("total_indexed") == emb.count())
+      Similarity.compactIvfPqIndex(spark, idx, emb, "vec_id", "embedding")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/ingest.parquet")),
+        "compaction must drop the delta with the root swap")
+      val h1 = Similarity.ivfPqIndexHealth(spark, idx).head()
+      assert(h1.getAs[Long]("delta_rows") == 0L)
+      assert(h1.getAs[Long]("total_indexed") == emb.count())
+      assert(h1.getAs[Long]("bad_codes") == 0L)
+      assert(h1.getAs[Long]("bad_codebook") == 0L)
+      assert(Similarity.readIvfPqEpoch(spark, idx) == 2L,
+        "compaction is a publish: the epoch must bump")
+      // compaction == rebuild: same grown corpus, same recorded config
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", fresh,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      val a = spark.read.parquet(s"$idx/index.parquet")
+      val b = spark.read.parquet(s"$fresh/index.parquet")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "compacted index must row-equal a fresh rebuild")
+    } finally Seq(idx, fresh).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+  }
+
+  test("stored-search coverage diagnostic: a re-rank corpus missing a shortlisted id raises loudly instead of returning k-1 rows") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-cov").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      val q = emb.filter(col("vec_id") === 0)
+      // the drifted corpus: id 0 is indexed (and, as the query itself,
+      // always shortlisted under exhaustive probes) but missing from the
+      // table handed to the re-rank
+      val drifted = emb.filter(col("vec_id") =!= 0)
+      val ex = intercept[Exception](
+        Similarity.ivfPqStoredTopK(spark, idx, drifted, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
+          nProbe = 4).collect())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+      assert(chain(ex).exists(_.contains("missing from corpusForRerank")),
+        chain(ex).mkString(" | "))
+      // the undrifted corpus answers cleanly through the same plan
+      assert(Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
+        nProbe = 4).count() == 3)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("pqStoredShortlistSweep: one-scan curve equals pqTopKStored run per cut, exactly") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-swp").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.writePqIndex(emb, "vec_id", "embedding", idx,
+        m = 8, ksub = 16, iters = 2)
+      val cuts = Seq(3, 5, 9)
+      val sweep = Similarity.pqStoredShortlistSweep(spark, idx, emb,
+          "vec_id", "embedding", q, "vec_id", "embedding", k = 3,
+          shortlists = cuts)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getDouble(4)))
+        .groupBy(_._1)
+      cuts.foreach { sl =>
+        val single = Similarity.pqTopKStored(spark, idx, emb, "vec_id",
+            "embedding", q, "vec_id", "embedding", k = 3, shortlist = sl)
+          .collect()
+          .map(r => (sl, r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getDouble(3))).toSet
+        assert(sweep(sl).toSet == single,
+          s"sweep cut $sl diverges from pqTopKStored")
+      }
+      intercept[IllegalArgumentException](
+        Similarity.pqStoredShortlistSweep(spark, idx, emb, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 3, shortlists = Seq(2)))
+      intercept[IllegalArgumentException](
+        Similarity.pqStoredShortlistSweep(spark, idx, emb, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 3, shortlists = Nil))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("ivfPqIndexHealth: a truncated codebook is reported as bad_codebook, not silently absorbed into the bad_codes bounds") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-bcb").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      val h0 = Similarity.ivfPqIndexHealth(spark, idx).head()
+      assert(h0.getAs[Long]("bad_codebook") == 0L)
+      assert(h0.getAs[Long]("bad_codes") == 0L)
+      // truncate the codebooks table: codes 8..15 vanish. Pre-fix, m/ksub
+      // were INFERRED from this very table, so ksub looked like 8 and
+      // every structurally-valid index row with a code >= 8 was flagged
+      // bad while the codebook damage itself stayed invisible.
+      val cbPath = s"$idx/codebooks.parquet"
+      val truncated = Similarity.localFrame(spark,
+        spark.read.parquet(cbPath).filter(col("code") < 8).collect(),
+        spark.read.parquet(cbPath).schema)
+      truncated.write.mode("overwrite").parquet(cbPath)
+      val h1 = Similarity.ivfPqIndexHealth(spark, idx).head()
+      assert(h1.getAs[Long]("bad_codebook") == 1L,
+        "codebook truncation must surface as bad_codebook")
+      assert(h1.getAs[Long]("bad_codes") == 0L,
+        "meta-sourced bounds: valid index rows must NOT be flagged")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
 }

@@ -1211,4 +1211,51 @@ class StreamingSpec extends SparkSpec {
       assert(top1 == all.take(4).map(t => t._1 -> t._1).toMap, top1.toString)
     } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
   }
+
+  test("ivfPqIngestSink epoch guard: a rebuild swapping the root mid-stream fails the next batch loudly and lands nothing") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    def vec(i: Int): Array[Double] = Array.tabulate(16)(j =>
+      math.sin(i * 7.0 + j * 3.0) + (if (j % 4 == i % 4) 2.0 else 0.0))
+    val all = (0 until 40).map(i => (i.toLong, vec(i)))
+    val base = all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-epg").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = s"$dir/idx"
+    try {
+      graft.operators.Similarity.writeIvfPqIndex(base, "vec_id",
+        "embedding", idx, nLists = 4, lloydIters = 1, m = 4, ksub = 8,
+        pqIters = 1)
+      val mem = MemoryStream[(Long, Array[Double])]
+      val q = DocStreams.ivfPqIngestSink(
+        mem.toDF().toDF("vec_id", "embedding"), idx,
+        "vec_id", "embedding", s"$dir/ckpt")
+      try {
+        // batch at the captured epoch lands normally
+        mem.addData(all.filter(_._1 % 2 == 1).take(5))
+        q.processAllAvailable()
+        assert(spark.read.parquet(s"$idx/ingest.parquet").count() == 5)
+        // a rebuild swaps the root (epoch 1 -> 2, delta dropped) while
+        // the sink still holds the epoch-1 model snapshot
+        graft.operators.Similarity.writeIvfPqIndex(
+          all.toDF("vec_id", "embedding"), "vec_id", "embedding", idx,
+          nLists = 4, lloydIters = 1, m = 4, ksub = 8, pqIters = 1)
+        mem.addData(all.filter(_._1 % 2 == 1).drop(5))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+          q.processAllAvailable())
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else String.valueOf(t.getMessage) +: chain(t.getCause)
+        assert(chain(ex).exists(_.contains("republished")),
+          chain(ex).mkString(" | "))
+        // nothing from the stale batch landed in the new root: the
+        // rebuild dropped the delta and the failed batch must not
+        // recreate it
+        assert(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$idx/ingest.parquet")),
+          "stale batch must land nothing in the rebuilt root")
+      } finally q.stop()
+    } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
 }
