@@ -69,4 +69,30 @@ class BenchProtocolSpec extends AnyFunSuite {
     val honest = Seq(3.1, 2.8, 2.9)
     assert(Bench.adjudicateRerun(honest, None) == ((honest, false)))
   }
+
+  test("cross-round drift: parses the committed BENCH_FULL line and flags >1.5x, the r17 shape the variance triggers missed") {
+    // a committed full-suite line's relevant shape (flat key:number pairs
+    // inside "queries", other objects around it)
+    val prevLine = """{"metric":"total","value":187.5,"unit":"sec","queries":{"pipeline_docs":2.09,"join_skew":0.41,"clean_text":0.52,"topk":0.089},"warm_min":{"pipeline_docs":2.0},"noisy":[],"sf":"/root/testdata/sf0.1"}"""
+    val prev = Bench.parsePrevMedians(prevLine, "/root/testdata/sf0.1")
+    assert(prev == Map("pipeline_docs" -> 2.09, "join_skew" -> 0.41,
+      "clean_text" -> 0.52, "topk" -> 0.089))
+    // SF mismatch: a subset run at another scale factor must NOT be
+    // judged against this history (observed 3x phantom drift)
+    assert(Bench.parsePrevMedians(prevLine, "/root/testdata/sf0.01").isEmpty)
+    // r17's pipeline_docs: every sample >= 5.46 s against a 2.09 s
+    // committed median — consistent within the visit (interfered() blind,
+    // median/warm-min ~ 1), but 3.2x the history
+    assert(!Bench.interfered(Seq(6.62, 5.46, 6.7)))
+    assert(Bench.driftRatio(prev, "pipeline_docs", 6.62).contains(3.17))
+    // within the 1.5x band: quiet
+    assert(Bench.driftRatio(prev, "join_skew", 0.55).isEmpty)
+    // faster than history is improvement, not drift
+    assert(Bench.driftRatio(prev, "clean_text", 0.2).isEmpty)
+    // keys with no committed history (new this round) never flag
+    assert(Bench.driftRatio(prev, "brand_new_key", 99.0).isEmpty)
+    // a malformed / absent queries object degrades to empty, never throws
+    assert(Bench.parsePrevMedians("not json at all", "/x").isEmpty)
+    assert(Bench.parsePrevMedians("""{"metric":"total"}""", "/x").isEmpty)
+  }
 }
