@@ -142,21 +142,37 @@ object Bench {
     // Warm up the session (codegen, parquet footer reads, executor pool)
     // so the first measured query doesn't absorb ~5s of JVM startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
-    // Previous round's committed per-key medians (latest BENCH_FULL in
-    // cwd) — the cross-round drift reference; empty when missing or run
-    // outside the repo root (drift detection off, nothing else changes).
+    // PREVIOUS round's committed per-key medians — the cross-round drift
+    // reference; empty when missing or run outside the repo root (drift
+    // detection off, nothing else changes). The previous round is
+    // max(BENCH_r*.json) — the driver stamps those AFTER each round, so
+    // at run time the newest is last round's. "Latest BENCH_FULL" would
+    // be WRONG: this round's own first full run writes BENCH_FULL_r{N},
+    // and a second run (the clean-rerun adjudication protocol) would then
+    // judge itself against run 1's possibly-inflated numbers instead of
+    // the committed history — masking exactly the episode it adjudicates.
     val prevMedians: Map[String, Double] = try {
-      val pat = java.util.regex.Pattern.compile("BENCH_FULL_r(\\d+)\\.json")
-      val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-      val files = try listing.iterator().asScala
-        .map(p => (p, pat.matcher(p.getFileName.toString)))
-        .collect { case (p, m) if m.matches() => (m.group(1).toInt, p) }
-        .toSeq
-      finally listing.close()
-      if (files.isEmpty) Map.empty[String, Double]
-      else parsePrevMedians(new String(
-        java.nio.file.Files.readAllBytes(files.maxBy(_._1)._2),
-        java.nio.charset.StandardCharsets.UTF_8), sfDir)
+      def rounds(pattern: String): Seq[(Int, java.nio.file.Path)] = {
+        val pat = java.util.regex.Pattern.compile(pattern)
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        try listing.iterator().asScala
+          .map(p => (p, pat.matcher(p.getFileName.toString)))
+          .collect { case (p, m) if m.matches() => (m.group(1).toInt, p) }
+          .toSeq
+        finally listing.close()
+      }
+      val driverRounds = rounds("BENCH_r(\\d+)\\.json").map(_._1)
+      val fulls = rounds("BENCH_FULL_r(\\d+)\\.json")
+      if (driverRounds.isEmpty || fulls.isEmpty) Map.empty[String, Double]
+      else {
+        val prevRound = driverRounds.max
+        // newest committed history at or before the previous round
+        val eligible = fulls.filter(_._1 <= prevRound)
+        if (eligible.isEmpty) Map.empty[String, Double]
+        else parsePrevMedians(new String(
+          java.nio.file.Files.readAllBytes(eligible.maxBy(_._1)._2),
+          java.nio.charset.StandardCharsets.UTF_8), sfDir)
+      }
     } catch { case _: Throwable => Map.empty[String, Double] }
     // Optional args = subset of query names (local iteration); driver
     // invokes with no args = full suite.

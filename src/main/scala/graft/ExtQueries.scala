@@ -905,10 +905,13 @@ object ExtQueries {
     val e = t(s, d, "embeddings")
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-cp").toString
     val fresh = java.nio.file.Files.createTempDirectory("graft-ivfpq-fr").toString
-    def cleanup(p: String) = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
-    }
+    // per-element guard: a throw from the first delete must not leak the
+    // second temp index
+    def cleanup(p: String) =
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
     try {
       Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", idx,

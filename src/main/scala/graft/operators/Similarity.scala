@@ -1224,17 +1224,53 @@ object Similarity {
     }
   }
 
+  /** The publish record of the index at `path`, recovered and VALIDATED:
+    * a pre-r18 artifact (meta = the residual flag only, no config/epoch)
+    * fails with a clear "rebuild required" instead of an obscure
+    * missing-field error from whichever getAs touches it first. Every
+    * meta consumer (append, ingest, compact, health, the sink) reads
+    * through here. */
+  private[graft] def readIvfPqMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.Row = {
+    // a reader may be the first to arrive after a writer crashed between
+    // swapInto's two renames — restore the stranded root before reading
+    // (the Sinks.recoverSwap caller contract)
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.engine.Sinks.recoverSwap(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    val df = spark.read.parquet(s"$path/meta.parquet")
+    val required = Seq("residual", "n_lists", "lloyd_iters", "m", "ksub",
+      "pq_iters", "epoch")
+    val missing = required.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"index at $path has a pre-epoch meta.parquet (missing " +
+          s"${missing.mkString(", ")}) — an artifact written before the " +
+          "publish-record/epoch discipline; rebuild it with " +
+          "writeIvfPqIndex before appending/ingesting/compacting")
+    df.head()
+  }
+
   /** The live publish epoch of the index at `path`. */
   private[graft] def readIvfPqEpoch(
       spark: org.apache.spark.sql.SparkSession, path: String): Long =
-    spark.read.parquet(s"$path/meta.parquet").select("epoch").head().getLong(0)
+    readIvfPqMeta(spark, path).getAs[Long]("epoch")
 
   /** Fail loudly if the index at `path` was republished since the caller
     * loaded its model tables at `expected` — the commit-time half of the
     * epoch guard: an append/ingest whose encode raced a
     * [[writeIvfPqIndex]]/[[compactIvfPqIndex]] root swap would otherwise
     * land codes encoded against the SUPERSEDED centroids/codebooks inside
-    * the new root, a silent recall corruption no later read can see. */
+    * the new root, a silent recall corruption no later read can see.
+    *
+    * Honest limit: epochs are monotone ACROSS PUBLISHES of a surviving
+    * artifact, but an out-of-band `rm -rf` of the whole index followed
+    * by a from-scratch rebuild re-issues epoch 1 — a stale writer from
+    * before the delete would pass the guard against the unrelated new
+    * model. Deleting a live artifact under concurrent writers is
+    * outside every store's contract here; the guard targets the
+    * REPUBLISH race, which never destroys the meta lineage. */
   private[graft] def requireIvfPqEpoch(
       spark: org.apache.spark.sql.SparkSession, path: String,
       expected: Long, action: String): Unit = {
@@ -1306,14 +1342,15 @@ object Similarity {
   def appendIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    graft.engine.Sinks.recoverSwap(
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
-    val centroids = spark.read.parquet(s"$path/centroids.parquet")
-    val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
-    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    // epoch FIRST, then the model tables: a swap between the two pairs
+    // the new model with the old epoch and the commit fails loudly (the
+    // safe direction); the reverse pairing would pass the guard with a
+    // stale model
+    val meta = readIvfPqMeta(spark, path)
     val residual = meta.getAs[Boolean]("residual")
     val epoch = meta.getAs[Long]("epoch")
+    val centroids = spark.read.parquet(s"$path/centroids.parquet")
+    val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
     val c = newVectors.select(col(idCol).as("n_id"),
       VectorFns.unitizeNative(col(vecCol)).as("n_v"))
     commitIvfPqAppend(spark, path,
@@ -1348,12 +1385,10 @@ object Similarity {
   def ingestIvfPqBatch(
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String, batchId: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    graft.engine.Sinks.recoverSwap(
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    // epoch before models — see appendIvfPqIndex's capture-order note
+    val meta = readIvfPqMeta(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids.parquet")
     val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
-    val meta = spark.read.parquet(s"$path/meta.parquet").head()
     commitIvfPqIngest(spark, path, batch, idCol, vecCol, batchId,
       centroids, codebooks, meta.getAs[Boolean]("residual"),
       meta.getAs[Long]("epoch"))
@@ -1396,10 +1431,7 @@ object Similarity {
   def compactIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       corpus: DataFrame, idCol: String, vecCol: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    graft.engine.Sinks.recoverSwap(
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
-    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    val meta = readIvfPqMeta(spark, path)
     writeIvfPqIndex(corpus, idCol, vecCol, path,
       nLists = meta.getAs[Int]("n_lists"),
       lloydIters = meta.getAs[Int]("lloyd_iters"),
@@ -1445,7 +1477,7 @@ object Similarity {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.engine.Sinks.recoverSwap(fs, root)
     val nLists = spark.read.parquet(s"$path/centroids.parquet").count()
-    val metaRow = spark.read.parquet(s"$path/meta.parquet").head()
+    val metaRow = readIvfPqMeta(spark, path)
     val (m, ksub) =
       (metaRow.getAs[Int]("m").toLong, metaRow.getAs[Int]("ksub").toLong)
     val cbk = spark.read.parquet(s"$path/codebooks.parquet")
@@ -1534,15 +1566,24 @@ object Similarity {
       .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
       .withColumn("__join_n", count(lit(1)).over(wq))
       .where(when(col("__join_n") === col("__cand_n"), lit(true))
-        .otherwise(raise_error(concat(
-          lit(s"$caller: "),
-          (col("__cand_n") - col("__join_n")).cast("string"),
-          lit(" of "), col("__cand_n").cast("string"),
-          lit(" shortlisted ids for query "), col("q_id").cast("string"),
-          lit(" are missing from corpusForRerank — the corpus has " +
-            "drifted from the stored index (recall would silently " +
-            "shrink); re-point at the indexed corpus or rebuild the " +
-            "index")))))
+        .otherwise(raise_error(
+          // over-count means duplicate ids fanned the join out, not
+          // missing ids — diagnose each shape by name
+          when(col("__join_n") > col("__cand_n"), concat(
+            lit(s"$caller: corpusForRerank carries duplicate ids — "),
+            (col("__join_n") - col("__cand_n")).cast("string"),
+            lit(" extra re-rank rows for query "),
+            col("q_id").cast("string"),
+            lit("; dedupe the corpus (ids must be unique, as at indexing)")))
+          .otherwise(concat(
+            lit(s"$caller: "),
+            (col("__cand_n") - col("__join_n")).cast("string"),
+            lit(" of "), col("__cand_n").cast("string"),
+            lit(" shortlisted ids for query "), col("q_id").cast("string"),
+            lit(" are missing from corpusForRerank — the corpus has " +
+              "drifted from the stored index (recall would silently " +
+              "shrink); re-point at the indexed corpus or rebuild the " +
+              "index"))))))
       .drop("__cand_n", "__join_n", "q_v", "n_v")
   }
 

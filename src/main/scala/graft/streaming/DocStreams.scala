@@ -548,11 +548,18 @@ object DocStreams {
       val df = spark.read.parquet(p)
       Sim.localFrame(spark, df.collect(), df.schema)
     }
-    val centroids = localCopy(s"$path/centroids.parquet")
-    val codebooks = localCopy(s"$path/codebooks.parquet")
-    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    // capture order matters: the EPOCH is read BEFORE the model tables.
+    // A swap completing between the two then pairs the NEW model with the
+    // OLD epoch and the first commit fails loudly on the guard — the safe
+    // direction. The reverse order (models first) would pair the OLD
+    // model with the NEW epoch, and every commit would pass the guard
+    // while landing stale-model codes: the exact silent corruption the
+    // epoch exists to prevent (r18 review finding).
+    val meta = Sim.readIvfPqMeta(spark, path)
     val residual = meta.getAs[Boolean]("residual")
     val epoch = meta.getAs[Long]("epoch")
+    val centroids = localCopy(s"$path/centroids.parquet")
+    val codebooks = localCopy(s"$path/codebooks.parquet")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {

@@ -794,6 +794,48 @@ class SimilaritySpec extends SparkSpec {
       assert(Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
         "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
         nProbe = 4).count() == 3)
+      // the OTHER count-mismatch shape — duplicate ids fanning the join
+      // out — is diagnosed by name, not misreported as negative missing
+      // duplicate the query's OWN id: always in its shortlist, so the
+      // join fan-out is guaranteed to trip the over-count branch
+      val duped = emb.unionByName(emb.filter(col("vec_id") === 0))
+      val ex2 = intercept[Exception](
+        Similarity.ivfPqStoredTopK(spark, idx, duped, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
+          nProbe = 4).collect())
+      assert(chain(ex2).exists(_.contains("duplicate ids")),
+        chain(ex2).mkString(" | "))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("pre-epoch artifacts fail meta readers with a clear rebuild-required message, not a missing-field error") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-old").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      // regress meta to the pre-r18 shape: the residual flag only
+      Similarity.localFrame(spark,
+        Array(org.apache.spark.sql.Row(false)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("residual",
+            org.apache.spark.sql.types.BooleanType))))
+        .write.mode("overwrite").parquet(s"$idx/meta.parquet")
+      val ex = intercept[IllegalStateException](
+        Similarity.appendIvfPqIndex(spark, idx, emb.limit(1), "vec_id",
+          "embedding"))
+      assert(ex.getMessage.contains("pre-epoch"), ex.getMessage)
+      val ex2 = intercept[IllegalStateException](
+        Similarity.ivfPqIndexHealth(spark, idx))
+      assert(ex2.getMessage.contains("pre-epoch"), ex2.getMessage)
+      // a rebuild over the degraded artifact restores the full record
+      // (nextIvfPqEpoch tolerates the missing column and restarts at 1)
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      assert(Similarity.readIvfPqEpoch(spark, idx) == 1L)
+      assert(Similarity.ivfPqIndexHealth(spark, idx).head()
+        .getAs[Long]("bad_codebook") == 0L)
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
