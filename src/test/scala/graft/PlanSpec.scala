@@ -433,6 +433,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pq_shortlist_sweep operator: the whole tuning curve is ONE compressed scan — single ADC/LUT kernel site, rank-limited window, no per-cut re-scan") {
+    covers("pq_shortlist_sweep")
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-plan-pqsw").toString
+    try {
+      graft.operators.Similarity.writePqIndex(e, "vec_id", "embedding",
+        idx, m = 8, ksub = 16, iters = 1)
+      val q = graft.operators.Similarity.pqStoredShortlistSweep(spark, idx,
+        e, "vec_id", "embedding", e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", k = 3, shortlists = Seq(3, 6, 12))
+      val p = q.queryExecution.executedPlan.toString
+      // the r17 shape ran one full ADC scan PER CUT (4 kernel sites, 4
+      // windows, 4 re-rank joins); the sweep must plan exactly one scan
+      // however many cuts are requested
+      assert("graft_pq_adc".r.findAllIn(p).size == 1, p)
+      assert("graft_pq_lut".r.findAllIn(p).size == 1, p)
+      // the deepest-cut shortlist filter is the rank-limited window; the
+      // only nested loop is the broadcast of the bounded query side
+      assert(p.contains("WindowGroupLimit"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally {
+      val root = new org.apache.hadoop.fs.Path(idx)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    }
+  }
+
   test("pq_topk operators: encode is pure map-side (no exchange), scoring joins broadcast the query side only") {
     covers("pq_topk")
     import org.apache.spark.sql.functions.col
@@ -511,10 +539,11 @@ class PlanSpec extends SparkSpec {
     // round-15 additions (substring_report, substring_floor_sweep,
     // media_neardup, dedup_semantic_incr); 52 with the round-16 families
     // (pq_topk, nb_train/nb_classify, bpe_apply, media_neardup_verify);
-    // 53 with round-17's ivf_pq_stored).
+    // 53 with round-17's ivf_pq_stored; 54 with round-18's
+    // pq_shortlist_sweep one-scan guard).
     // Raising it is cheap when new plan tests land; lowering it means
     // plan coverage regressed — do that consciously, in review.
-    val floor = 53
+    val floor = 54
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")
