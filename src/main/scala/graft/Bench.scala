@@ -89,6 +89,20 @@ object Bench {
         math.round(med / p * 100.0) / 100.0
     }
 
+  /** Round-numbered files matching `pattern` (one capture group = the
+    * round) in cwd — ONE implementation of the round inference, shared
+    * by the drift-baseline lookup and the end-of-run history stamp so
+    * the two can never disagree about which round is which. */
+  private def listRounds(pattern: String): Seq[(Int, java.nio.file.Path)] = {
+    val pat = java.util.regex.Pattern.compile(pattern)
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+    try listing.iterator().asScala
+      .map(p => (p, pat.matcher(p.getFileName.toString)))
+      .collect { case (p, m) if m.matches() => (m.group(1).toInt, p) }
+      .toSeq
+    finally listing.close() // Files.list holds a directory fd until closed
+  }
+
   /** Which visit to report for a flagged key, and whether the key stays
     * suspect. The requeue visit is accepted only if its OWN sample vector
     * is PROVABLY clean — at least two samples (a single sample carries no
@@ -152,17 +166,8 @@ object Bench {
     // judge itself against run 1's possibly-inflated numbers instead of
     // the committed history — masking exactly the episode it adjudicates.
     val prevMedians: Map[String, Double] = try {
-      def rounds(pattern: String): Seq[(Int, java.nio.file.Path)] = {
-        val pat = java.util.regex.Pattern.compile(pattern)
-        val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-        try listing.iterator().asScala
-          .map(p => (p, pat.matcher(p.getFileName.toString)))
-          .collect { case (p, m) if m.matches() => (m.group(1).toInt, p) }
-          .toSeq
-        finally listing.close()
-      }
-      val driverRounds = rounds("BENCH_r(\\d+)\\.json").map(_._1)
-      val fulls = rounds("BENCH_FULL_r(\\d+)\\.json")
+      val driverRounds = listRounds("BENCH_r(\\d+)\\.json").map(_._1)
+      val fulls = listRounds("BENCH_FULL_r(\\d+)\\.json")
       if (driverRounds.isEmpty || fulls.isEmpty) Map.empty[String, Double]
       else {
         val prevRound = driverRounds.max
@@ -349,13 +354,7 @@ object Bench {
     // stamped file is the PREVIOUS round's. FULL-suite runs only: a local
     // subset iteration must not clobber the round's history file.
     val roundStamped: Option[String] = if (args.nonEmpty) None else try {
-      val pat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
-      val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-      val rounds = try listing.iterator().asScala
-        .map(p => pat.matcher(p.getFileName.toString))
-        .collect { case m if m.matches() => m.group(1).toInt }
-        .toSeq
-      finally listing.close() // Files.list holds a directory fd until closed
+      val rounds = listRounds("BENCH_r(\\d+)\\.json").map(_._1)
       if (rounds.isEmpty) {
         // a silent None here skips the committed BENCH_FULL history the
         // round protocol depends on — make the skip visible at run time

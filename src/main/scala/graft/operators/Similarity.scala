@@ -1274,7 +1274,19 @@ object Similarity {
   private[graft] def requireIvfPqEpoch(
       spark: org.apache.spark.sql.SparkSession, path: String,
       expected: Long, action: String): Unit = {
-    val now = readIvfPqEpoch(spark, path)
+    // deliberately NO recoverSwap and NO full-record validation here —
+    // the lean read is both the hot path (once per streaming micro-batch)
+    // and the correct contention semantics: a commit racing a rebuild's
+    // swapInto must LOSE. Recovering here would rename the stranded
+    // `.old` back over the rebuild's in-flight window, fail ITS
+    // tmp->live rename, and destroy the staged new artifact while this
+    // stale commit sails through on the restored old epoch — the exact
+    // inversion of "rebuild wins, commit throws". A missing root/meta
+    // inside the swap window fails this read loudly, which IS the
+    // contract; the model-load path (readIvfPqMeta) already validated
+    // the record shape, so only post-epoch artifacts reach commits.
+    val now = spark.read.parquet(s"$path/meta.parquet")
+      .select("epoch").head().getLong(0)
     if (now != expected)
       throw new IllegalStateException(
         s"$action: the index at $path was republished (epoch $expected -> " +
@@ -1475,9 +1487,10 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.engine.Sinks.recoverSwap(fs, root)
-    val nLists = spark.read.parquet(s"$path/centroids.parquet").count()
+    // first read goes through readIvfPqMeta, which owns swap recovery —
+    // the one recovery site every meta consumer shares
     val metaRow = readIvfPqMeta(spark, path)
+    val nLists = spark.read.parquet(s"$path/centroids.parquet").count()
     val (m, ksub) =
       (metaRow.getAs[Int]("m").toLong, metaRow.getAs[Int]("ksub").toLong)
     val cbk = spark.read.parquet(s"$path/codebooks.parquet")
@@ -1564,27 +1577,33 @@ object Similarity {
       .join(c, Seq("n_id"))
       .join(broadcast(qkeyed), Seq("q_id"))
       .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
+      // duplicate ids are detected PER PAIR, not by comparing totals: a
+      // duplicate fanning the join out could exactly offset a missing id
+      // in the per-query counts and slip a torn corpus through a
+      // totals-only check (r18 review). Partitioning by (q_id, n_id)
+      // refines the q_id clustering already in place — no new exchange.
+      .withColumn("__pair_n",
+        count(lit(1)).over(Window.partitionBy("q_id", "n_id")))
+      .where(when(col("__pair_n") === 1, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$caller: corpusForRerank carries duplicate ids — id "),
+          col("n_id").cast("string"), lit(" appears "),
+          col("__pair_n").cast("string"),
+          lit(" times; ids must be unique, as at indexing")))))
+      // with duplicates excluded above, a per-query survivor count below
+      // the candidate count means exactly that: missing ids
       .withColumn("__join_n", count(lit(1)).over(wq))
       .where(when(col("__join_n") === col("__cand_n"), lit(true))
-        .otherwise(raise_error(
-          // over-count means duplicate ids fanned the join out, not
-          // missing ids — diagnose each shape by name
-          when(col("__join_n") > col("__cand_n"), concat(
-            lit(s"$caller: corpusForRerank carries duplicate ids — "),
-            (col("__join_n") - col("__cand_n")).cast("string"),
-            lit(" extra re-rank rows for query "),
-            col("q_id").cast("string"),
-            lit("; dedupe the corpus (ids must be unique, as at indexing)")))
-          .otherwise(concat(
-            lit(s"$caller: "),
-            (col("__cand_n") - col("__join_n")).cast("string"),
-            lit(" of "), col("__cand_n").cast("string"),
-            lit(" shortlisted ids for query "), col("q_id").cast("string"),
-            lit(" are missing from corpusForRerank — the corpus has " +
-              "drifted from the stored index (recall would silently " +
-              "shrink); re-point at the indexed corpus or rebuild the " +
-              "index"))))))
-      .drop("__cand_n", "__join_n", "q_v", "n_v")
+        .otherwise(raise_error(concat(
+          lit(s"$caller: "),
+          (col("__cand_n") - col("__join_n")).cast("string"),
+          lit(" of "), col("__cand_n").cast("string"),
+          lit(" shortlisted ids for query "), col("q_id").cast("string"),
+          lit(" are missing from corpusForRerank — the corpus has " +
+            "drifted from the stored index (recall would silently " +
+            "shrink); re-point at the indexed corpus or rebuild the " +
+            "index")))))
+      .drop("__cand_n", "__pair_n", "__join_n", "q_v", "n_v")
   }
 
   /** IVF+PQ search answered ENTIRELY from a stored [[writeIvfPqIndex]]

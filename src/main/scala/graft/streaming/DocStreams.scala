@@ -541,9 +541,6 @@ object DocStreams {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     val spark = stream.sparkSession
     val Sim = graft.operators.Similarity
-    val root = new org.apache.hadoop.fs.Path(path)
-    graft.engine.Sinks.recoverSwap(
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
     def localCopy(p: String) = {
       val df = spark.read.parquet(p)
       Sim.localFrame(spark, df.collect(), df.schema)

@@ -795,9 +795,9 @@ class SimilaritySpec extends SparkSpec {
         "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
         nProbe = 4).count() == 3)
       // the OTHER count-mismatch shape — duplicate ids fanning the join
-      // out — is diagnosed by name, not misreported as negative missing
-      // duplicate the query's OWN id: always in its shortlist, so the
-      // join fan-out is guaranteed to trip the over-count branch
+      // out — is diagnosed by name, not misreported as negative missing.
+      // Duplicate the query's OWN id: always in its shortlist, so the
+      // fan-out is guaranteed to trip the per-pair check
       val duped = emb.unionByName(emb.filter(col("vec_id") === 0))
       val ex2 = intercept[Exception](
         Similarity.ivfPqStoredTopK(spark, idx, duped, "vec_id",
@@ -805,6 +805,19 @@ class SimilaritySpec extends SparkSpec {
           nProbe = 4).collect())
       assert(chain(ex2).exists(_.contains("duplicate ids")),
         chain(ex2).mkString(" | "))
+      // the adversarial offset: one id duplicated AND one missing leaves
+      // the per-query TOTALS equal — the per-pair check must still raise
+      // (a totals-only guard sails through and returns dup-polluted,
+      // neighbor-dropping results)
+      val offset = emb.filter(col("vec_id") =!= 1)
+        .unionByName(emb.filter(col("vec_id") === 0))
+      val ex3 = intercept[Exception](
+        Similarity.ivfPqStoredTopK(spark, idx, offset, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
+          nProbe = 4).collect())
+      assert(chain(ex3).exists(m => m.contains("duplicate ids") ||
+        m.contains("missing from corpusForRerank")),
+        chain(ex3).mkString(" | "))
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
