@@ -948,6 +948,68 @@ object ExtQueries {
     } finally { cleanup(idx); cleanup(fresh) }
   }
 
+  /** nProbe tuning curve of the STORED composed index
+    * ([[Similarity.ivfPqStoredProbeSweep]]) — the operational read a
+    * user takes BEFORE pinning the production probe budget, answered
+    * from one scan at the deepest budget (the shortlist sweep's
+    * machinery with the probe dimension added). Differential
+    * convention: raw hit counts stay OUT (probe- and fixture-dependent
+    * sketch internals; recall is NOT provably monotone in nProbe at a
+    * fixed shortlist, which is the point of measuring); the oracle pins
+    * the spine, `final_floor_met` (the max-budget row meets the
+    * composed-index floor 30 — it is ivf_pq_stored's exact
+    * configuration), and `max_equals_stored` (the sweep's max-budget
+    * result set is IDENTICAL to an independent [[Similarity
+    * .ivfPqStoredTopK]] run — the one-scan algebra is an identity, not
+    * an approximation). EAGER + self-cleaning like ann_ivf_stored. */
+  val ivfPqProbeSweepQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id").localCheckpoint()
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-ps").toString
+    try {
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
+        nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
+        residual = false)
+      val probes = Seq(1, 2, 4, 8)
+      val sweep = Similarity.ivfPqStoredProbeSweep(s, idx, e, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
+          probes = probes)
+        .select("n_probe", "q_id", "n_id").localCheckpoint()
+      val storedMax = Similarity.ivfPqStoredTopK(s, idx, e, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
+        nProbe = 8).select("q_id", "n_id")
+      val maxSweep = sweep.filter(col("n_probe") === 8)
+        .select("q_id", "n_id")
+      val idOk = maxSweep.exceptAll(storedMax).isEmpty &&
+        storedMax.exceptAll(maxSweep).isEmpty
+      val hits = sweep.join(exact, Seq("q_id", "n_id"))
+        .groupBy("n_probe").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nq = q.count()
+      def ok(b: Boolean) = if (b) 1 else 0
+      Similarity.localFrame(s, probes.map(p =>
+        org.apache.spark.sql.Row(p, nq, 10,
+          ok(hits.getOrElse(8, 0L) >= 30L), ok(idOk))).toArray,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_probe",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_queries",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("final_floor_met",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("max_equals_stored",
+            org.apache.spark.sql.types.IntegerType))))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** PQ shortlist tuning curve — the re-rank sibling of ann_probe_sweep:
     * hits vs the exact top-k at shortlist 10/20/40/80, codebooks trained
     * and the corpus encoded ONCE (the stored index), and — since r18 —
@@ -1982,6 +2044,7 @@ object ExtQueries {
     "ivf_pq_incr" -> ivfPqIncrQ,
     "ivf_pq_health" -> ivfPqHealthQ,
     "ivf_pq_compact" -> ivfPqCompactQ,
+    "ivf_pq_probe_sweep" -> ivfPqProbeSweepQ,
     "pq_shortlist_sweep" -> pqShortlistSweepQ,
     "ann_ivf_stored" -> annIvfStoredQ,
     "embed_pca" -> embedPcaQ,
@@ -2291,6 +2354,18 @@ object ExtQueries {
         |  CAST(1 AS INTEGER) AS monotone_ok,
         |  CAST(1 AS INTEGER) AS final_floor_met
         |FROM (SELECT unnest([1, 2, 3, 4]) AS p)
+        |ORDER BY n_probe""".stripMargin,
+    // stored-index probe sweep: spine + two pinned flags (max-budget
+    // floor, one-scan identity vs the independent stored search); hit
+    // counts stay out — recall is not provably monotone in nProbe at a
+    // fixed shortlist, which is why the curve exists to be measured
+    "ivf_pq_probe_sweep" ->
+      """SELECT CAST(p AS INTEGER) AS n_probe,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k,
+        |  CAST(1 AS INTEGER) AS final_floor_met,
+        |  CAST(1 AS INTEGER) AS max_equals_stored
+        |FROM (SELECT unnest([1, 2, 4, 8]) AS p)
         |ORDER BY n_probe""".stripMargin,
     // shortlist sweep: same convention — flags pinned, hit counts out
     "pq_shortlist_sweep" ->

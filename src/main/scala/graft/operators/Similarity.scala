@@ -230,13 +230,25 @@ object Similarity {
     * downstream blocked cost. `p = 1` is [[assignCell]]. */
   def assignCells(
       df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
+      p: Int): DataFrame =
+    assignCellsRanked(df, idCol, vecCol, centroids, p)
+      .drop("probe_rank", "cv")
+
+  /** [[assignCells]] keeping the probe ORDER (`probe_rank` 1..p, 1 = the
+    * nearest cell) and the matched centroid vector `cv` — what a
+    * probe-count sweep needs: a row probed under budget p is exactly one
+    * with `probe_rank <= p`, so one max-budget assignment answers every
+    * smaller budget by filter. */
+  private[graft] def assignCellsRanked(
+      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
       p: Int): DataFrame = {
     require(p >= 1, s"p must be >= 1, got $p")
     val scored = df.crossJoin(broadcast(centroids))
       .withColumn("__d", VectorFns.dotNative(col(vecCol), col("cv")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__d").desc, col("cell"))
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= p)
-      .drop("__rn", "__d", "cv")
+    scored.withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= p)
+      .drop("__d")
   }
 
   /** Per-group embedding centroid in LONG form: one row per
@@ -1679,6 +1691,113 @@ object Similarity {
     rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "cos")
+  }
+
+  /** The nProbe tuning curve of a STORED composed index from ONE scan —
+    * the operational sibling of [[pqStoredShortlistSweep]] (which tunes
+    * the other lever): emits [[ivfPqStoredTopK]]'s exact result for
+    * every requested probe budget, scanning the index once at the
+    * DEEPEST budget. The algebra mirrors the shortlist sweep with the
+    * probe dimension added: a row is scanned under budget p iff its
+    * cell's `probe_rank <= p` (one max-budget ranked assignment answers
+    * all budgets), its ADC shortlist position under p is the running
+    * count of budget-p rows in the fixed ADC ordering, and its final
+    * rank under p is the running count of budget-p SHORTLISTED rows in
+    * the fixed exact-cosine ordering — so every budget's top-k falls out
+    * of two shared window passes plus one exact re-rank over the UNION
+    * of the shortlists (≤ |probes|×shortlist×|queries| rows). Per-budget
+    * output is identical to running [[ivfPqStoredTopK]] at that nProbe
+    * (SimilaritySpec pins the equality); note recall need NOT be
+    * monotone in nProbe at a FIXED shortlist — extra probed cells can
+    * push ADC-overrated newcomers into the shortlist and evict a true
+    * neighbor — which is exactly why this read exists before pinning a
+    * probe budget.
+    *
+    * Scale shape: one compressed cell-keyed scan at max budget (the
+    * [[ivfPqStoredTopK]] plan), two bounded window passes, one re-rank
+    * join; zero training, zero per-budget re-scans. */
+  def ivfPqStoredProbeSweep(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpusForRerank: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlist: Int, probes: Seq[Int]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(probes.nonEmpty, "probes must be non-empty")
+    val ps = probes.distinct.sorted
+    require(ps.head >= 1, s"every probe budget must be >= 1, got ${ps.head}")
+    val maxP = ps.last
+    val meta = readIvfPqMeta(spark, path)
+    val residual = meta.getAs[Boolean]("residual")
+    val centroids = spark.read.parquet(s"$path/centroids.parquet")
+    val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
+    val rootFs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseIndex = spark.read.parquet(s"$path/index.parquet")
+    val ingest = new org.apache.hadoop.fs.Path(s"$path/ingest.parquet")
+    val index =
+      if (rootFs.exists(ingest))
+        baseIndex.unionByName(spark.read.parquet(ingest.toString)
+          .select("n_id", "cell", "codes"))
+      else baseIndex
+    val (cb, _) = collectCodebooks(codebooks)
+    val cbF = graft.plans.PqKernels.flatCodebook(cb)
+    val ksub = cb.head.length
+    val q = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+    val qLut = q.withColumn("q_lut", graft.plans.PqKernels.lutCol(
+      col("q_v"), cbF, cb.length, ksub))
+    // the ranked assignment keeps cv from its own centroid fanout, so
+    // the residual q·c term needs no second centroid join here
+    val probedR = assignCellsRanked(qLut, "q_id", "q_v", centroids,
+      p = maxP)
+    val probed =
+      if (residual) probedR
+        .withColumn("__qc", VectorFns.dotNative(col("q_v"), col("cv")))
+        .drop("cv")
+      else probedR.drop("cv")
+    val scoredBase = index.join(broadcast(probed), Seq("cell"))
+    val scored =
+      if (residual) scoredBase.withColumn("cos_adc", col("__qc") +
+        graft.plans.PqKernels.adcCol(col("codes"), col("q_lut"), ksub))
+      else scoredBase.withColumn("cos_adc",
+        graft.plans.PqKernels.adcCol(col("codes"), col("q_lut"), ksub))
+    val adcW = Window.partitionBy("q_id")
+      .orderBy(round(col("cos_adc"), 6).desc, col("n_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAdc = ps.foldLeft(scored) { (df, p0) =>
+      df.withColumn(s"__ar_$p0",
+        sum(when(col("probe_rank") <= p0, 1L).otherwise(0L)).over(adcW))
+    }
+    // shortlisted under budget p: probed within p AND among the first
+    // `shortlist` budget-p rows of the ADC ordering
+    val inCols = ps.map(p0 => p0 ->
+      (col("probe_rank") <= p0 && col(s"__ar_$p0") <= shortlist))
+    val cand = inCols.foldLeft(withAdc) { case (df, (p0, in)) =>
+        df.withColumn(s"__in_$p0", in)
+      }
+      .filter(ps.map(p0 => col(s"__in_$p0")).reduce(_ || _))
+      .select(col("q_id") +: col("n_id") +:
+        ps.map(p0 => col(s"__in_$p0")): _*)
+    val c = corpusForRerank.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
+    val rescored = rerankChecked(cand, c, q.select("q_id", "q_v"),
+      "ivfPqStoredProbeSweep")
+    val cosW = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 6).desc, col("n_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = ps.foldLeft(rescored) { (df, p0) =>
+      df.withColumn(s"__r_$p0",
+        sum(when(col(s"__in_$p0"), 1L).otherwise(0L)).over(cosW))
+    }
+    ranked
+      .withColumn("cut", explode(filter(
+        array(ps.map(p0 => struct(lit(p0).as("n_probe"),
+          col(s"__in_$p0").as("inp"),
+          col(s"__r_$p0").cast("int").as("rank"))): _*),
+        cc => cc.getField("inp") && cc.getField("rank") <= lit(k))))
+      .select(col("cut.n_probe").as("n_probe"), col("q_id"),
+        col("n_id"), col("cut.rank").as("rank"), col("cos"))
   }
 
   /** PQ with exact re-ranking — the production shape: the compressed

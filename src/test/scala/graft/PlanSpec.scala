@@ -461,6 +461,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ivf_pq_probe_sweep operator: one cell-keyed scan for every probe budget — single ADC/LUT site, no cartesian, probe side broadcast") {
+    covers("ivf_pq_probe_sweep")
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-plan-ipsw").toString
+    try {
+      graft.operators.Similarity.writeIvfPqIndex(e, "vec_id", "embedding",
+        idx, nLists = 4, lloydIters = 1, m = 8, ksub = 4, pqIters = 1)
+      val q = graft.operators.Similarity.ivfPqStoredProbeSweep(spark, idx,
+        e, "vec_id", "embedding", e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", k = 3, shortlist = 6, probes = Seq(1, 2, 4))
+      val p = q.queryExecution.executedPlan.toString
+      // however many budgets are requested, exactly one compressed scan
+      assert("graft_pq_adc".r.findAllIn(p).size == 1, p)
+      assert("graft_pq_lut".r.findAllIn(p).size == 1, p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally {
+      val root = new org.apache.hadoop.fs.Path(idx)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    }
+  }
+
   test("pq_topk operators: encode is pure map-side (no exchange), scoring joins broadcast the query side only") {
     covers("pq_topk")
     import org.apache.spark.sql.functions.col
@@ -540,10 +564,10 @@ class PlanSpec extends SparkSpec {
     // media_neardup, dedup_semantic_incr); 52 with the round-16 families
     // (pq_topk, nb_train/nb_classify, bpe_apply, media_neardup_verify);
     // 53 with round-17's ivf_pq_stored; 54 with round-18's
-    // pq_shortlist_sweep one-scan guard).
+    // pq_shortlist_sweep one-scan guard; 55 with ivf_pq_probe_sweep).
     // Raising it is cheap when new plan tests land; lowering it means
     // plan coverage regressed — do that consciously, in review.
-    val floor = 54
+    val floor = 55
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")

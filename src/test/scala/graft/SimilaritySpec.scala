@@ -886,6 +886,50 @@ class SimilaritySpec extends SparkSpec {
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
+  test("ivfPqStoredProbeSweep: one-scan curve equals ivfPqStoredTopK run per probe budget, exactly — plain and residual") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-psw").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val q = emb.filter(col("vec_id") < 5)
+      Seq(false, true).foreach { res =>
+        Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+          nLists = 8, lloydIters = 1, m = 8, ksub = 16, pqIters = 1,
+          residual = res)
+        val budgets = Seq(1, 2, 4, 8)
+        val sweep = Similarity.ivfPqStoredProbeSweep(spark, idx, emb,
+            "vec_id", "embedding", q, "vec_id", "embedding", k = 3,
+            shortlist = 6, probes = budgets)
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3),
+            r.getDouble(4)))
+          .groupBy(_._1)
+        budgets.foreach { p =>
+          val single = Similarity.ivfPqStoredTopK(spark, idx, emb,
+              "vec_id", "embedding", q, "vec_id", "embedding", k = 3,
+              shortlist = 6, nProbe = p)
+            .collect()
+            .map(r => (p, r.getLong(0), r.getLong(1), r.getInt(2),
+              r.getDouble(3))).toSet
+          assert(sweep(p).toSet == single,
+            s"probe sweep (residual=$res) diverges at nProbe=$p")
+        }
+      }
+      intercept[IllegalArgumentException](
+        Similarity.ivfPqStoredProbeSweep(spark, idx, emb, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 3, shortlist = 6,
+          probes = Nil))
+      intercept[IllegalArgumentException](
+        Similarity.ivfPqStoredProbeSweep(spark, idx, emb, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 3, shortlist = 6,
+          probes = Seq(0, 2)))
+      intercept[IllegalArgumentException](
+        Similarity.ivfPqStoredProbeSweep(spark, idx, emb, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 3, shortlist = 2,
+          probes = Seq(2)))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
   test("ivfPqIndexHealth: a truncated codebook is reported as bad_codebook, not silently absorbed into the bad_codes bounds") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-bcb").toString
     val fs = new org.apache.hadoop.fs.Path(idx)
