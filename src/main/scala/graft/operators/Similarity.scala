@@ -694,8 +694,11 @@ object Similarity {
     * exactly-once should dedupe ids upstream or rebuild). A concurrent
     * [[writeIvfIndex]] rebuild that swaps the root mid-append strands
     * the batch in the superseded root — serialize appends against
-    * rebuilds upstream (single-writer discipline; see
-    * [[appendIvfPqIndex]] where the same race is worse). */
+    * rebuilds upstream (single-writer discipline; [[appendIvfPqIndex]]
+    * turns its worse variant of this race — stale codes landing in the
+    * new root — into a loud failure with a publish epoch; this plain
+    * IVF artifact predates the meta record, so the discipline stays
+    * contractual here). */
   def appendIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
