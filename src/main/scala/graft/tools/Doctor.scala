@@ -85,6 +85,45 @@ object Doctor {
         zonePruningAudit(spark, dir).orderBy("zone"))
   }
 
+  /** Stored IVF+PQ index health as a doctor section — the
+    * [[graft.operators.Similarity.ivfPqIndexHealth]] dashboard plus the
+    * one-line operational verdict, so "rebuild yet?" is answerable from
+    * the same command that audits the corpus the index serves. */
+  def indexSection(
+      spark: SparkSession, indexPath: String): Seq[(String, DataFrame)] =
+    Seq(s"stored IVF+PQ index health ($indexPath)" ->
+      graft.operators.Similarity.ivfPqIndexHealth(spark, indexPath))
+
+  /** The operational verdict over a health row — thresholds are advisory
+    * heuristics, surfaced (not hidden) so an operator can overrule:
+    * structural corruption always wins; a delta share past 25% means a
+    * quarter of the index was encoded by a model that never saw it
+    * (compact = [[graft.operators.Similarity.compactIvfPqIndex]] over the
+    * grown corpus); imbalance past 4x mean means probe cost and recall
+    * are hostage to a few fat cells (retrain, possibly with more lists).
+    * Pure function of the row, so DoctorSpec pins every branch. */
+  def indexVerdict(h: org.apache.spark.sql.Row): String = {
+    val total = h.getAs[Long]("total_indexed")
+    val delta = h.getAs[Long]("delta_rows")
+    val share = if (total > 0) delta.toDouble / total else 0.0
+    if (h.getAs[Long]("bad_codebook") != 0L)
+      "CORRUPT: codebooks table disagrees with the publish record — " +
+        "restore from a good publish or rebuild (writeIvfPqIndex)"
+    else if (h.getAs[Long]("bad_codes") != 0L)
+      s"CORRUPT: ${h.getAs[Long]("bad_codes")} structurally invalid " +
+        "index rows — rebuild (writeIvfPqIndex); audit the corpus with " +
+        "embed_integrity first"
+    else if (share > 0.25)
+      f"COMPACT: ${share * 100}%.0f%% of the index is ingest delta " +
+        "encoded by a model that never saw it — compactIvfPqIndex over " +
+        "the grown corpus"
+    else if (total > 0 && h.getAs[Double]("imbalance") > 4.0)
+      f"RETRAIN: cell imbalance ${h.getAs[Double]("imbalance")}%.1fx " +
+        "mean — probe cost and recall are hostage to fat cells; rebuild, " +
+        "possibly with more lists"
+    else "OK: serve as-is"
+  }
+
   /** The drift battery vs a reference snapshot, same (title, frame)
     * contract as [[sections]]. */
   def driftSections(
@@ -109,9 +148,22 @@ object Doctor {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Doctor <sfDir> [refDir]")
-    val dir = args(0)
-    val refDir = args.lift(1)
+    require(args.nonEmpty,
+      "usage: Doctor <sfDir> [refDir] [--index <ivfPqIndexPath>]")
+    // --index <path> can sit anywhere after sfDir; positional parsing
+    // ignores the pair
+    val idxAt = args.indexOf("--index")
+    require(idxAt != 0, "usage: Doctor <sfDir> [refDir] [--index <path>]")
+    val indexPath =
+      if (idxAt > 0) Some(args.lift(idxAt + 1).getOrElse(
+        throw new IllegalArgumentException("--index needs a path")))
+      else None
+    val excluded = if (idxAt >= 0) Set(idxAt, idxAt + 1) else Set.empty[Int]
+    val positional = args.zipWithIndex.collect {
+      case (a, i) if !excluded.contains(i) => a
+    }
+    val dir = positional(0)
+    val refDir = positional.lift(1)
     val spark = LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     spark.sparkContext.setLogLevel("ERROR")
     def show(title: String, df: DataFrame): Unit = {
@@ -126,6 +178,11 @@ object Doctor {
       "alone (Sinks.writeZoneMapped / Sources.readZonePruned); ~0 skippable " +
       "on a time-ordered feed means the table needs re-clustering first")
     refDir.foreach(ref => driftSections(spark, dir, ref).foreach((show _).tupled))
+    indexPath.foreach { p =>
+      indexSection(spark, p).foreach((show _).tupled)
+      println(s"[doctor] index verdict: " +
+        indexVerdict(graft.operators.Similarity.ivfPqIndexHealth(spark, p).head()))
+    }
     spark.stop()
   }
 }

@@ -107,4 +107,47 @@ class DoctorSpec extends SparkSpec {
       "a snapshot diffed against itself is all-unchanged")
     assert(secs.size == 5) // toMap dedup check: titles unique
   }
+
+  test("indexSection: the stored IVF+PQ health dashboard rides the doctor contract; verdict covers every branch") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.engine.Tables.load(spark, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft-doc-idx").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      graft.operators.Similarity.writeIvfPqIndex(emb, "vec_id",
+        "embedding", idx, nLists = 4, lloydIters = 1, m = 8, ksub = 16,
+        pqIters = 1)
+      val secs = Doctor.indexSection(spark, idx)
+      assert(secs.size == 1 && secs.head._1.contains(idx))
+      val h = secs.head._2.head()
+      assert(h.getAs[Long]("total_indexed") == emb.count())
+      assert(Doctor.indexVerdict(h).startsWith("OK"))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    // verdict branches, pinned on constructed rows (pure function)
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("total_indexed", "base_rows", "delta_rows", "n_lists",
+        "cells_used", "empty_cells", "min_pop", "max_pop").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType)) ++ Seq(
+        org.apache.spark.sql.types.StructField("imbalance",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("bad_codes",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bad_codebook",
+          org.apache.spark.sql.types.LongType)))
+    def row(total: Long, delta: Long, imb: Double, bad: Long,
+        badCb: Long) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](total, total - delta, delta, 16L, 16L, 0L, 1L, total,
+          imb, bad, badCb), schema)
+    assert(Doctor.indexVerdict(row(100, 0, 1.2, 0, 0)).startsWith("OK"))
+    assert(Doctor.indexVerdict(row(100, 30, 1.2, 0, 0)).startsWith("COMPACT"))
+    assert(Doctor.indexVerdict(row(100, 0, 5.0, 0, 0)).startsWith("RETRAIN"))
+    assert(Doctor.indexVerdict(row(100, 0, 1.2, 3, 0)).startsWith("CORRUPT"))
+    // codebook corruption outranks everything else in the row
+    assert(Doctor.indexVerdict(row(100, 90, 9.0, 5, 1)).contains("codebooks"))
+    // an empty index is servable-as-is (nothing to compact or retrain)
+    assert(Doctor.indexVerdict(row(0, 0, Double.NaN, 0, 0)).startsWith("OK"))
+  }
 }
