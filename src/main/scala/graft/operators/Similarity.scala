@@ -195,7 +195,18 @@ object Similarity {
         .select(col("__id").as("cell"), col("__v").as("cv"))
         .collect()
     for (_ <- 0 until iters) {
-      val assigned = assignCell(c, "__id", "__v", local(centroidRows))
+      // training DELIBERATELY uses the window-plan assignment, not the
+      // zero-shuffle kernel: the exchange+sort is not waste here — it
+      // NORMALIZES the layout before the rebuild's floating-point avg,
+      // which is what makes "same corpus, same clustering, regardless of
+      // partitioning" hold bit-for-bit (the kernel path exposes partial-
+      // sum order to the input layout; SimilaritySpec pins the
+      // repartition-invariance). Training is one-time by contract; every
+      // RECURRING path (index encode, probes, blocking, ingest) rides
+      // the kernel.
+      val assigned = assignCellsWindowRanked(
+        c, "__id", "__v", local(centroidRows), p = 1)
+        .drop("probe_rank", "cv")
       val rebuilt = assigned
         .select(col("cell"), posexplode(col("__v")).as(Seq("i", "x")))
         .groupBy("cell", "i").agg(avg("x").as("m"))
@@ -238,8 +249,47 @@ object Similarity {
     * nearest cell) and the matched centroid vector `cv` — what a
     * probe-count sweep needs: a row probed under budget p is exactly one
     * with `probe_rank <= p`, so one max-budget assignment answers every
-    * smaller budget by filter. */
+    * smaller budget by filter.
+    *
+    * Since r18 this is the ZERO-SHUFFLE plan: the bounded centroid table
+    * collects once (Spark-sorted by cell id so kernel index order equals
+    * the cell-id tie-break), rides as a flat `array<double>` plan
+    * constant, and [[graft.plans.NearestCells]] selects the top-p cells
+    * per row in one codegen map pass — the previous crossJoin + per-id
+    * rank window EXCHANGED the p-fanout (vector payloads included) on
+    * every Lloyd iteration, every index encode pass, and every probe.
+    * `cell` and `cv` are recovered from the same constants by index
+    * (`element_at`/`slice`), so the whole assignment is projection-only;
+    * [[assignCellsWindowRanked]] is the spec-pinned reference twin. */
   private[graft] def assignCellsRanked(
+      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
+      p: Int): DataFrame = {
+    require(p >= 1, s"p must be >= 1, got $p")
+    val rows = centroids.orderBy("cell").select("cell", "cv").collect()
+    val k = rows.length
+    require(k >= 1, "assignCells: centroid table is empty")
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "assignCells: centroid table carries NULL cell/cv rows")
+    val dim = rows.head.getSeq[Double](1).length
+    require(rows.forall(_.getSeq[Double](1).length == dim),
+      s"assignCells: centroid vectors are not uniformly $dim-dimensional")
+    val flatLit = typedlit(rows.flatMap(_.getSeq[Double](1).toArray))
+    val cellsLit = array(rows.map(r => lit(r.get(0))): _*)
+    df.withColumn("__nc",
+        graft.plans.NearestCells.topPCol(col(vecCol), flatLit, k, p))
+      .select(col("*"), posexplode(col("__nc")).as(Seq("__pi", "__ci")))
+      .withColumn("probe_rank", (col("__pi") + 1).cast("int"))
+      .withColumn("cell", element_at(cellsLit, col("__ci") + 1))
+      .withColumn("cv", slice(flatLit, col("__ci") * dim + 1, lit(dim)))
+      .drop("__nc", "__pi", "__ci")
+  }
+
+  /** The pre-r18 window-plan assignment — kept as the independently
+    * derived reference twin the parity spec compares the kernel against
+    * (the [[graft.plans.WinnowMinima]] discipline: the slow twin IS the
+    * test; never delete it). crossJoin fanout + per-id rank window:
+    * semantically identical on unique-id inputs with non-NULL vectors. */
+  private[graft] def assignCellsWindowRanked(
       df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
       p: Int): DataFrame = {
     require(p >= 1, s"p must be >= 1, got $p")

@@ -930,6 +930,74 @@ class SimilaritySpec extends SparkSpec {
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
+  test("nearest-cells kernel: zero-shuffle assignment equals the window twin exactly — fixture, ties, NaN; NULL vectors drop") {
+    import org.apache.spark.sql.functions.broadcast
+    val c = emb.select(col("vec_id").as("n_id"),
+      graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+    val centroids = Similarity.kmeansCentroids(c, "n_id", "n_v", k = 8,
+      iters = 1, assumeUnit = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("n_id", "probe_rank", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    Seq(1, 3, 8, 20).foreach { p =>
+      val kern = Similarity.assignCellsRanked(c, "n_id", "n_v", centroids, p)
+      val win = Similarity.assignCellsWindowRanked(c, "n_id", "n_v",
+        centroids, p)
+      assert(rows(kern) == rows(win), s"kernel != window twin at p=$p")
+      // and the kernel's cv recovery matches the window's joined cv
+      val cvK = kern.filter(col("probe_rank") === 1)
+        .select("n_id", "cv").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val cvW = win.filter(col("probe_rank") === 1)
+        .select("n_id", "cv").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(cvK == cvW, s"cv recovery diverges at p=$p")
+    }
+    // the scale claim: assignment is projection-only — no exchange, no
+    // join, no sort anywhere in the plan
+    val plan = Similarity.assignCellsRanked(c, "n_id", "n_v", centroids,
+      p = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Window"), plan)
+    // exact ties: two centroids with identical vectors — both paths must
+    // rank the SMALLER cell id first
+    val dupCents = Similarity.localFrame(spark, Array(
+        org.apache.spark.sql.Row(7L, Seq(0.6, 0.8)),
+        org.apache.spark.sql.Row(3L, Seq(0.6, 0.8)),
+        org.apache.spark.sql.Row(9L, Seq(-1.0, 0.0))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    import sqlContext.implicits._
+    val one = Seq((1L, Seq(0.6, 0.8))).toDF("n_id", "n_v")
+    val kT = Similarity.assignCellsRanked(one, "n_id", "n_v", dupCents, 2)
+      .orderBy("probe_rank").select("cell").collect().map(_.getLong(0)).toSeq
+    val wT = Similarity.assignCellsWindowRanked(one, "n_id", "n_v",
+        broadcast(dupCents), 2)
+      .orderBy("probe_rank").select("cell").collect().map(_.getLong(0)).toSeq
+    assert(kT == Seq(3L, 7L) && wT == kT, s"tie-break: kernel $kT window $wT")
+    // NaN vector: Spark orders NaN ABOVE everything — both paths tie all
+    // cells and fall to the cell-id tie-break
+    val nan = Seq((1L, Seq(Double.NaN, 1.0))).toDF("n_id", "n_v")
+    val kN = Similarity.assignCellsRanked(nan, "n_id", "n_v", dupCents, 2)
+      .orderBy("probe_rank").select("cell").collect().map(_.getLong(0)).toSeq
+    val wN = Similarity.assignCellsWindowRanked(nan, "n_id", "n_v",
+        broadcast(dupCents), 2)
+      .orderBy("probe_rank").select("cell").collect().map(_.getLong(0)).toSeq
+    assert(kN == wN && kN == Seq(3L, 7L), s"NaN: kernel $kN window $wN")
+    // deliberate divergence, pinned as the NEW contract: a NULL vector
+    // row DROPS from the kernel assignment (the window path assigned it
+    // to arbitrary cells through NULL ordering — an accident, and an
+    // embed_integrity defect upstream either way)
+    val withNull = Seq((1L, Option(Seq(0.6, 0.8))), (2L, None))
+      .toDF("n_id", "n_v")
+    assert(Similarity.assignCellsRanked(withNull, "n_id", "n_v", dupCents, 1)
+      .select("n_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("ivfPqIndexHealth: a truncated codebook is reported as bad_codebook, not silently absorbed into the bad_codes bounds") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-bcb").toString
     val fs = new org.apache.hadoop.fs.Path(idx)
