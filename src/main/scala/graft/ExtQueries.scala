@@ -990,9 +990,11 @@ object ExtQueries {
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val nq = q.count()
       def ok(b: Boolean) = if (b) 1 else 0
+      // the floor is the MAX budget's (keyed, not hardcoded: an edited
+      // sweep must not silently read a missing bucket as zero hits)
+      val floorMet = ok(hits.getOrElse(probes.max, 0L) >= 30L)
       Similarity.localFrame(s, probes.map(p =>
-        org.apache.spark.sql.Row(p, nq, 10,
-          ok(hits.getOrElse(8, 0L) >= 30L), ok(idOk))).toArray,
+        org.apache.spark.sql.Row(p, nq, 10, floorMet, ok(idOk))).toArray,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("n_probe",
             org.apache.spark.sql.types.IntegerType),

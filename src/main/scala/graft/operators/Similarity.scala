@@ -127,12 +127,9 @@ object Similarity {
       k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col(queryId).as("q_id"),
       VectorFns.unitizeNative(col(queryVec)).as("q_v"))
-    // top-nProbe cells per query
-    val qCells = q.crossJoin(broadcast(centroids))
-      .withColumn("__d", VectorFns.dotNative(col("q_v"), col("cv")))
-    val wq = Window.partitionBy("q_id").orderBy(col("__d").desc, col("cell"))
-    val probes = qCells.withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nProbe).select("q_id", "q_v", "cell")
+    // top-nProbe cells per query — the zero-shuffle kernel assignment
+    val probes = assignCells(q, "q_id", "q_v", centroids, p = nProbe)
+      .select("q_id", "q_v", "cell")
     // probe: equi-join on cell, exact rerank inside the probed cells
     val cand = assigned.join(broadcast(probes), "cell")
       .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
@@ -227,10 +224,14 @@ object Similarity {
     local(centroidRows)
   }
 
-  /** Nearest-centroid assignment: appends `cell` map-side against the
-    * broadcast centroid table (highest dot product, ties to the smallest
-    * cell id); the input's other columns pass through. One broadcast +
-    * one per-row window over the k-candidate fanout keyed by `idCol`. */
+  /** Nearest-centroid assignment: appends `cell` map-side (highest dot
+    * product, ties to the smallest cell id); the input's other columns
+    * pass through. Since r18 this is a pure projection — the bounded
+    * centroid table rides as a plan constant and
+    * [[graft.plans.NearestCells]] selects per row, no join, no window,
+    * no exchange ([[assignCellsRanked]] has the full contract; `idCol`
+    * remains in the signature for the reference window twin, which keys
+    * its rank window on it). */
   def assignCell(
       df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
     assignCells(df, idCol, vecCol, centroids, p = 1)
@@ -265,6 +266,15 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
       p: Int): DataFrame = {
     require(p >= 1, s"p must be >= 1, got $p")
+    // the kernel path OVERWRITES its output columns where the old
+    // crossJoin plan failed on the duplicate reference — keep the
+    // loudness: a df already carrying assignment columns is a re-fed
+    // assignment dump, not an input
+    val reserved = Set("cell", "cv", "probe_rank", "__nc", "__pi", "__ci")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"assignCells: input already carries assignment column(s) " +
+        s"${clash.mkString(", ")} — re-feeding an assignment dump?")
     val rows = centroids.orderBy("cell").select("cell", "cv").collect()
     val k = rows.length
     require(k >= 1, "assignCells: centroid table is empty")
@@ -274,9 +284,23 @@ object Similarity {
     require(rows.forall(_.getSeq[Double](1).length == dim),
       s"assignCells: centroid vectors are not uniformly $dim-dimensional")
     val flatLit = typedlit(rows.flatMap(_.getSeq[Double](1).toArray))
-    val cellsLit = array(rows.map(r => lit(r.get(0))): _*)
-    df.withColumn("__nc",
-        graft.plans.NearestCells.topPCol(col(vecCol), flatLit, k, p))
+    // one literal (not a k-child CreateArray): cells in their native type
+    val cellsLit = org.apache.spark.sql.graftshim.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        rows.map(_.get(0)).toSeq,
+        org.apache.spark.sql.types.ArrayType(
+          centroids.schema("cell").dataType)))
+    // a NULL vector cannot be assigned — fail LOUDLY with the row's id
+    // (the window path used to bury it in arbitrary cells through NULL
+    // ordering; silently dropping it would be an invisible coverage
+    // hole in every index build) — audit the corpus with embed_integrity
+    val nc = when(col(vecCol).isNotNull,
+      graft.plans.NearestCells.topPCol(col(vecCol), flatLit, k, p))
+      .otherwise(raise_error(concat(
+        lit("assignCells: NULL vector at id "), col(idCol).cast("string"),
+        lit(" cannot be assigned to a cell — audit the corpus with " +
+          "embed_integrity and drop or repair NULL embeddings"))))
+    df.withColumn("__nc", nc)
       .select(col("*"), posexplode(col("__nc")).as(Seq("__pi", "__ci")))
       .withColumn("probe_rank", (col("__pi") + 1).cast("int"))
       .withColumn("cell", element_at(cellsLit, col("__ci") + 1))
@@ -1618,6 +1642,35 @@ object Similarity {
             org.apache.spark.sql.types.LongType))))
   }
 
+  /** Open a stored composed index for SERVING — the one implementation
+    * of the open preamble every stored-search path shares (the r18
+    * review found three drifting copies): validated publish record
+    * (swap recovery + pre-epoch rejection via [[readIvfPqMeta]]), the
+    * bounded model tables, and the code table with any streaming-ingest
+    * delta unioned in ([[graft.streaming.DocStreams.ivfPqIngestSink]]
+    * lands arrivals under `ingest.parquet/batch_id=<id>`;
+    * [[compactIvfPqIndex]] folds them away). Returns
+    * (residual, centroids, codebooks, index). [[ivfPqIndexHealth]] does
+    * NOT read through here by design — it must keep base and delta
+    * separate to report the split. */
+  private def openStoredIvfPq(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Boolean, DataFrame, DataFrame, DataFrame) = {
+    val meta = readIvfPqMeta(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids.parquet")
+    val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
+    val rootFs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseIndex = spark.read.parquet(s"$path/index.parquet")
+    val ingest = new org.apache.hadoop.fs.Path(s"$path/ingest.parquet")
+    val index =
+      if (rootFs.exists(ingest))
+        baseIndex.unionByName(spark.read.parquet(ingest.toString)
+          .select("n_id", "cell", "codes"))
+      else baseIndex
+    (meta.getAs[Boolean]("residual"), centroids, codebooks, index)
+  }
+
   /** Exact re-rank of shortlisted candidates that REFUSES to silently
     * drop ids missing from `c` (the caller-supplied re-rank corpus):
     * shared by every STORED-index search path, where the corpus argument
@@ -1688,23 +1741,7 @@ object Similarity {
       k: Int, shortlist: Int, nProbe: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.engine.Sinks.recoverSwap(rootFs, root)
-    val centroids = spark.read.parquet(s"$path/centroids.parquet")
-    val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
-    // base codes plus the streaming-ingest delta when one exists
-    // ([[graft.streaming.DocStreams.ivfPqIngestSink]] lands arrivals
-    // under ingest.parquet/batch_id=<id>; a rebuild compacts it away)
-    val baseIndex = spark.read.parquet(s"$path/index.parquet")
-    val ingest = new org.apache.hadoop.fs.Path(s"$path/ingest.parquet")
-    val index =
-      if (rootFs.exists(ingest))
-        baseIndex.unionByName(spark.read.parquet(ingest.toString)
-          .select("n_id", "cell", "codes"))
-      else baseIndex
-    val residual = spark.read.parquet(s"$path/meta.parquet")
-      .select("residual").head().getBoolean(0)
+    val (residual, centroids, codebooks, index) = openStoredIvfPq(spark, path)
     val (cb, _) = collectCodebooks(codebooks)
     val cbF = graft.plans.PqKernels.flatCodebook(cb)
     val ksub = cb.head.length
@@ -1780,19 +1817,7 @@ object Similarity {
     val ps = probes.distinct.sorted
     require(ps.head >= 1, s"every probe budget must be >= 1, got ${ps.head}")
     val maxP = ps.last
-    val meta = readIvfPqMeta(spark, path)
-    val residual = meta.getAs[Boolean]("residual")
-    val centroids = spark.read.parquet(s"$path/centroids.parquet")
-    val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
-    val rootFs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val baseIndex = spark.read.parquet(s"$path/index.parquet")
-    val ingest = new org.apache.hadoop.fs.Path(s"$path/ingest.parquet")
-    val index =
-      if (rootFs.exists(ingest))
-        baseIndex.unionByName(spark.read.parquet(ingest.toString)
-          .select("n_id", "cell", "codes"))
-      else baseIndex
+    val (residual, centroids, codebooks, index) = openStoredIvfPq(spark, path)
     val (cb, _) = collectCodebooks(codebooks)
     val cbF = graft.plans.PqKernels.flatCodebook(cb)
     val ksub = cb.head.length

@@ -73,8 +73,9 @@ object NearestCells {
       }
       c += 1
     }
-    if (filled == keep) UnsafeArrayData.fromPrimitiveArray(bestI)
-    else UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(bestI, filled))
+    // filled always reaches keep: each of the first `keep` iterations
+    // necessarily inserts (pos <= filled < keep), and k >= keep
+    UnsafeArrayData.fromPrimitiveArray(bestI)
   }
 
   import org.apache.spark.sql.Column

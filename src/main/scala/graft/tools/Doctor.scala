@@ -179,9 +179,11 @@ object Doctor {
       "on a time-ordered feed means the table needs re-clustering first")
     refDir.foreach(ref => driftSections(spark, dir, ref).foreach((show _).tupled))
     indexPath.foreach { p =>
-      indexSection(spark, p).foreach((show _).tupled)
-      println(s"[doctor] index verdict: " +
-        indexVerdict(graft.operators.Similarity.ivfPqIndexHealth(spark, p).head()))
+      val secs = indexSection(spark, p)
+      secs.foreach((show _).tupled)
+      // the verdict reads the SAME frame the section just showed — the
+      // health audit (full index scan) must not run twice per report
+      println(s"[doctor] index verdict: ${indexVerdict(secs.head._2.head())}")
     }
     spark.stop()
   }

@@ -989,13 +989,24 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("probe_rank").select("cell").collect().map(_.getLong(0)).toSeq
     assert(kN == wN && kN == Seq(3L, 7L), s"NaN: kernel $kN window $wN")
     // deliberate divergence, pinned as the NEW contract: a NULL vector
-    // row DROPS from the kernel assignment (the window path assigned it
-    // to arbitrary cells through NULL ordering — an accident, and an
-    // embed_integrity defect upstream either way)
+    // FAILS LOUDLY with the offending id (the window path buried it in
+    // arbitrary cells through NULL ordering; silently dropping it would
+    // be an invisible coverage hole in every index build)
     val withNull = Seq((1L, Option(Seq(0.6, 0.8))), (2L, None))
       .toDF("n_id", "n_v")
-    assert(Similarity.assignCellsRanked(withNull, "n_id", "n_v", dupCents, 1)
-      .select("n_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val exN = intercept[Exception](
+      Similarity.assignCellsRanked(withNull, "n_id", "n_v", dupCents, 1)
+        .collect())
+    def chainN(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: chainN(t.getCause)
+    assert(chainN(exN).exists(m => m.contains("NULL vector") &&
+      m.contains("2")), chainN(exN).mkString(" | "))
+    // and a re-fed assignment dump is rejected, not silently clobbered
+    val exC = intercept[IllegalArgumentException](
+      Similarity.assignCellsRanked(
+        Similarity.assignCellsRanked(one, "n_id", "n_v", dupCents, 1),
+        "n_id", "n_v", dupCents, 1))
+    assert(exC.getMessage.contains("assignment dump"), exC.getMessage)
   }
 
   test("ivfPqIndexHealth: a truncated codebook is reported as bad_codebook, not silently absorbed into the bad_codes bounds") {
