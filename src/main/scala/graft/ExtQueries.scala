@@ -980,8 +980,8 @@ object ExtQueries {
         .select("n_probe", "q_id", "n_id").localCheckpoint()
       val storedMax = Similarity.ivfPqStoredTopK(s, idx, e, "vec_id",
         "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
-        nProbe = 8).select("q_id", "n_id")
-      val maxSweep = sweep.filter(col("n_probe") === 8)
+        nProbe = probes.max).select("q_id", "n_id")
+      val maxSweep = sweep.filter(col("n_probe") === probes.max)
         .select("q_id", "n_id")
       val idOk = maxSweep.exceptAll(storedMax).isEmpty &&
         storedMax.exceptAll(maxSweep).isEmpty

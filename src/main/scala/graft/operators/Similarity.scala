@@ -270,8 +270,11 @@ object Similarity {
     // crossJoin plan failed on the duplicate reference — keep the
     // loudness: a df already carrying assignment columns is a re-fed
     // assignment dump, not an input
+    // case-INSENSITIVE match: withColumn resolves case-insensitively
+    // under the default spark.sql.caseSensitive=false, so a column named
+    // "Cell" would be clobbered just the same
     val reserved = Set("cell", "cv", "probe_rank", "__nc", "__pi", "__ci")
-    val clash = df.columns.filter(reserved.contains)
+    val clash = df.columns.filter(c => reserved.contains(c.toLowerCase))
     require(clash.isEmpty,
       s"assignCells: input already carries assignment column(s) " +
         s"${clash.mkString(", ")} — re-feeding an assignment dump?")
@@ -297,7 +300,8 @@ object Similarity {
     val nc = when(col(vecCol).isNotNull,
       graft.plans.NearestCells.topPCol(col(vecCol), flatLit, k, p))
       .otherwise(raise_error(concat(
-        lit("assignCells: NULL vector at id "), col(idCol).cast("string"),
+        lit("assignCells: NULL vector at id "),
+        coalesce(col(idCol).cast("string"), lit("<null id>")),
         lit(" cannot be assigned to a cell — audit the corpus with " +
           "embed_integrity and drop or repair NULL embeddings"))))
     df.withColumn("__nc", nc)
@@ -1317,8 +1321,12 @@ object Similarity {
     * a pre-r18 artifact (meta = the residual flag only, no config/epoch)
     * fails with a clear "rebuild required" instead of an obscure
     * missing-field error from whichever getAs touches it first. Every
-    * meta consumer (append, ingest, compact, health, the sink) reads
-    * through here. */
+    * meta consumer — the serving paths ([[ivfPqStoredTopK]],
+    * [[ivfPqStoredProbeSweep]] via [[openStoredIvfPq]]), append, ingest,
+    * compact, health, and the streaming sink — reads through here, so
+    * a degraded artifact is rejected uniformly (yes, read-only search
+    * too: serving against an unvalidated record risks the exact
+    * torn-pairing silent corruption the record exists to rule out). */
   private[graft] def readIvfPqMeta(
       spark: org.apache.spark.sql.SparkSession, path: String)
       : org.apache.spark.sql.Row = {
@@ -1337,7 +1345,8 @@ object Similarity {
         s"index at $path has a pre-epoch meta.parquet (missing " +
           s"${missing.mkString(", ")}) — an artifact written before the " +
           "publish-record/epoch discipline; rebuild it with " +
-          "writeIvfPqIndex before appending/ingesting/compacting")
+          "writeIvfPqIndex (search, append, ingest, compact, and health " +
+          "all require the full publish record)")
     df.head()
   }
 
