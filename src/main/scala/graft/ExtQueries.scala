@@ -1091,14 +1091,14 @@ object ExtQueries {
       k = 16, iters = 1, assumeUnit = true)
     val assigned = Similarity.assignCell(c, "n_id", "n_v", centroids)
       .localCheckpoint()
-    val hitRows = (1 to 4).map { p =>
-      Similarity.annIvfWithIndex(centroids, assigned,
-          q, "vec_id", "embedding", k = 10, nProbe = p)
-        .select("q_id", "n_id")
-        .join(exact, Seq("q_id", "n_id"))
-        .agg(count(lit(1)).as("__hits"))
-        .select(lit(p).as("n_probe"), col("__hits"))
-    }.reduce(_ unionByName _)
+    // r18: the whole curve from ONE probe pass (annIvfProbeSweep — per-
+    // budget output identical to annIvfWithIndex per cut, spec-pinned);
+    // previously each budget re-ran its own probe join over the corpus
+    val hitRows = Similarity.annIvfProbeSweep(centroids, assigned,
+        q, "vec_id", "embedding", k = 10, probes = (1 to 4))
+      .join(exact.withColumn("__e", lit(1L)), Seq("q_id", "n_id"), "left")
+      .groupBy("n_probe")
+      .agg(sum(coalesce(col("__e"), lit(0L))).as("__hits"))
     val ord = org.apache.spark.sql.expressions.Window.orderBy("n_probe")
     val all = org.apache.spark.sql.expressions.Window
       .orderBy("n_probe").rowsBetween(Long.MinValue, Long.MaxValue)

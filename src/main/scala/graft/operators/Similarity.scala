@@ -139,6 +139,52 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** The nProbe tuning curve of a plain IVF index from ONE probe pass —
+    * [[annIvfWithIndex]] run at every requested budget, answered by a
+    * single max-budget scan (the one-scan sweep discipline shared with
+    * [[ivfPqStoredProbeSweep]] / [[pqStoredShortlistSweep]]): a
+    * candidate is probed under budget p iff its query's cell has
+    * `probe_rank <= p` (one ranked assignment answers every budget),
+    * and its exact rank under p is the running count of budget-p
+    * candidates in the fixed cosine ordering — so every budget's top-k
+    * falls out of one probe join and one window pass instead of
+    * |budgets| of each. Per-budget output is identical to
+    * [[annIvfWithIndex]] at that nProbe (SimilaritySpec pins the
+    * equality). Unlike the PQ sweeps, recall here IS provably monotone
+    * in nProbe: scoring is exact inside probed cells, so more cells
+    * only ever add candidates — the harness's `monotone_ok` is a
+    * theorem check, not a measurement. */
+  def annIvfProbeSweep(
+      centroids: DataFrame, assigned: DataFrame,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, probes: Seq[Int]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes.nonEmpty, "probes must be non-empty")
+    val ps = probes.distinct.sorted
+    require(ps.head >= 1, s"every probe budget must be >= 1, got ${ps.head}")
+    val q = queries.select(col(queryId).as("q_id"),
+      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+    val probed = assignCellsRanked(q, "q_id", "q_v", centroids, p = ps.last)
+      .select("q_id", "q_v", "cell", "probe_rank")
+    val cand = assigned.join(broadcast(probed), "cell")
+      .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 6).desc, col("n_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = ps.foldLeft(cand) { (df, p0) =>
+      df.withColumn(s"__r_$p0",
+        sum(when(col("probe_rank") <= p0, 1L).otherwise(0L)).over(w))
+    }
+    ranked
+      .withColumn("cut", explode(filter(
+        array(ps.map(p0 => struct(lit(p0).as("n_probe"),
+          (col("probe_rank") <= p0).as("inp"),
+          col(s"__r_$p0").cast("int").as("rank"))): _*),
+        cc => cc.getField("inp") && cc.getField("rank") <= lit(k))))
+      .select(col("cut.n_probe").as("n_probe"), col("q_id"), col("n_id"),
+        col("cut.rank").as("rank"), col("cos"))
+  }
+
   /** Spherical k-means centroids over an embedding column — the coarse
     * quantizer behind [[annIvf]] and the clustering step of semantic dedup
     * ([[Dedup.semanticDedup]]), exposed as its own operator. Similarity is

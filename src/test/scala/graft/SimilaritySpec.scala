@@ -1009,6 +1009,45 @@ class SimilaritySpec extends SparkSpec {
     assert(exC.getMessage.contains("assignment dump"), exC.getMessage)
   }
 
+  test("annIvfProbeSweep: one-scan curve equals annIvfWithIndex run per budget, exactly; monotone by theorem") {
+    val c = emb.select(col("vec_id").as("n_id"),
+      graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+    val centroids = Similarity.kmeansCentroids(c, "n_id", "n_v", k = 8,
+      iters = 1, assumeUnit = true)
+    val assigned = Similarity.assignCell(c, "n_id", "n_v", centroids)
+      .select("n_id", "n_v", "cell")
+    val q = emb.filter(col("vec_id") < 5)
+    val budgets = Seq(1, 2, 4, 8)
+    val sweep = Similarity.annIvfProbeSweep(centroids, assigned, q,
+        "vec_id", "embedding", k = 4, probes = budgets)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+      .groupBy(_._1)
+    budgets.foreach { p =>
+      val single = Similarity.annIvfWithIndex(centroids, assigned, q,
+          "vec_id", "embedding", k = 4, nProbe = p)
+        .collect()
+        .map(r => (p, r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3)))
+        .map(t => (t._1, t._2, t._3, t._5, t._4)).toSet
+      assert(sweep(p).toSet == single, s"probe sweep diverges at p=$p")
+    }
+    // exact scoring makes recall monotone in nProbe — a theorem here,
+    // unlike the PQ sweeps (more cells only add exactly-scored
+    // candidates, and a true top-k member always survives)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q,
+        "vec_id", "embedding", k = 4)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = budgets.map(p =>
+      sweep(p).count(t => exact.contains((t._2, t._3))))
+    assert(hits == hits.sorted, s"monotone recall violated: $hits")
+    intercept[IllegalArgumentException](
+      Similarity.annIvfProbeSweep(centroids, assigned, q, "vec_id",
+        "embedding", k = 4, probes = Nil))
+  }
+
   test("ivfPqIndexHealth: a truncated codebook is reported as bad_codebook, not silently absorbed into the bad_codes bounds") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-bcb").toString
     val fs = new org.apache.hadoop.fs.Path(idx)
