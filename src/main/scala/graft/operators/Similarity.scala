@@ -307,7 +307,22 @@ object Similarity {
     * every Lloyd iteration, every index encode pass, and every probe.
     * `cell` and `cv` are recovered from the same constants by index
     * (`element_at`/`slice`), so the whole assignment is projection-only;
-    * [[assignCellsWindowRanked]] is the spec-pinned reference twin. */
+    * [[assignCellsWindowRanked]] is the spec-pinned reference twin.
+    *
+    * The flat centroid constant appears at TWO tree positions (the
+    * kernel's child and the `slice` cv recovery) but ships ONCE: both
+    * reference the single `flatLit` Literal below, built directly in
+    * the kernel's declared input type so no implicit Cast is inserted
+    * (a cast of a foldable literal constant-folds into a brand-new
+    * Literal — the r18 `typedlit`, typed containsNull=false, was
+    * silently duplicated that way, doubling the shipped constant at
+    * production nLists×dim). With one shared instance, codegen's
+    * reference slots point at the same object and Java task
+    * serialization back-references the second occurrence (measured
+    * r19: `[v, v]` serializes 5 bytes larger than `[v]`, where a real
+    * copy adds the full payload). SimilaritySpec pins the
+    * value-identity across all plan occurrences. Callers that drop
+    * `cv` ([[assignCells]]) get the slice pruned entirely. */
   private[graft] def assignCellsRanked(
       df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
       p: Int): DataFrame = {
@@ -332,7 +347,19 @@ object Similarity {
     val dim = rows.head.getSeq[Double](1).length
     require(rows.forall(_.getSeq[Double](1).length == dim),
       s"assignCells: centroid vectors are not uniformly $dim-dimensional")
-    val flatLit = typedlit(rows.flatMap(_.getSeq[Double](1).toArray))
+    // built DIRECTLY as array<double> with nullable elements — the
+    // kernel's declared input type — so ImplicitCastInputTypes inserts
+    // no Cast around it: a cast of a foldable literal CONSTANT-FOLDS
+    // into a brand-new Literal, and the plan would then carry TWO
+    // k×dim arrays (the folded copy inside the kernel, the original at
+    // the cv-recovery slice) — the duplication the sharing spec pins
+    // against (a typedlit here, with containsNull=false, did exactly
+    // that until r19)
+    val flatLit = org.apache.spark.sql.graftshim.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        rows.flatMap(_.getSeq[Double](1)).toSeq,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
     // one literal (not a k-child CreateArray): cells in their native type
     val cellsLit = org.apache.spark.sql.graftshim.Bridge.column(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
@@ -1488,13 +1515,20 @@ object Similarity {
     * (silently absent from the new index) or, worse, lands codes
     * encoded against the OLD codebooks in the NEW index. The publish
     * EPOCH guards the second, silent shape: the epoch is captured with
-    * the model and re-checked at commit time ([[requireIvfPqEpoch]]) —
-    * a rebuild that swapped the root mid-append makes the commit THROW
-    * with nothing landed, instead of corrupting the new index. A
-    * rebuild re-encodes the full corpus, so the failed (or stranded)
-    * append is repaired by re-running the batch after the rebuild;
-    * the residual race window (one metadata read wide) still defers to
-    * upstream single-writer discipline. */
+    * the model, re-checked BEFORE the encode job (fail fast), and —
+    * since r19 — the encode job lands in a dot-prefixed STAGING sibling
+    * (invisible to every reader of `index.parquet`), the epoch is
+    * re-verified AFTER the job completes, and only then do the staged
+    * part files rename into the live table — so a rebuild that swaps
+    * the root at ANY point during the encode/write makes the commit
+    * THROW with nothing visible landed (the pre-r19 guard checked only
+    * before the write job, leaving the entire job duration unguarded).
+    * A swap racing the final renames themselves moves the staging dir
+    * into the superseded `.old` root, so the renames fail loudly too.
+    * A rebuild re-encodes the full corpus, so a failed append is
+    * repaired by re-running the batch after the rebuild; a rebuild
+    * that STARTS after a successful commit supersedes it by design
+    * (rebuilds read the corpus, not the index). */
   def appendIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
@@ -1515,14 +1549,48 @@ object Similarity {
   }
 
   /** Commit half of [[appendIvfPqIndex]], split out so the epoch guard is
-    * independently testable: re-verify the publish epoch, then land the
-    * staged rows. Throws (nothing written) if a rebuild swapped the root
-    * since the model was loaded at `expectedEpoch`. */
+    * independently testable. Stage-then-commit (r19): verify the epoch
+    * (fail fast, before paying the encode), run the encode job into a
+    * dot-prefixed staging dir under the root (parquet readers of
+    * `index.parquet` never see it), re-verify the epoch AFTER the job,
+    * and only then rename the staged part files into the live table —
+    * the unguarded window is the per-file renames, and a swap racing
+    * even those moves the staging dir into the superseded `.old` root
+    * so the renames fail loudly. Throws with nothing visible landed if
+    * a rebuild swapped the root since the model was loaded at
+    * `expectedEpoch`. */
   private[graft] def commitIvfPqAppend(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      rows: DataFrame, expectedEpoch: Long): Unit = {
+      rows: DataFrame, expectedEpoch: Long,
+      afterStage: () => Unit = () => ()): Unit = {
     requireIvfPqEpoch(spark, path, expectedEpoch, "appendIvfPqIndex")
-    rows.write.mode("append").parquet(s"$path/index.parquet")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".append-${java.util.UUID.randomUUID}")
+    try {
+      rows.write.mode("overwrite").parquet(staging.toString)
+      afterStage() // test seam: a rebuild racing the encode job lands here
+      // the encode job is done and invisible; a rebuild that swapped the
+      // root during it must win — nothing has landed, just throw
+      requireIvfPqEpoch(spark, path, expectedEpoch, "appendIvfPqIndex")
+      val dest = new org.apache.hadoop.fs.Path(root, "index.parquet")
+      fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).foreach { p =>
+          // staged part names carry the staging job's own UUID — unique
+          // in dest by construction
+          if (!fs.rename(p, new org.apache.hadoop.fs.Path(dest, p.getName)))
+            throw new IllegalStateException(
+              s"appendIvfPqIndex: commit rename of staged file $p into " +
+                s"$dest failed — a rebuild likely swapped the root " +
+                "mid-commit (the staging moved with the superseded " +
+                "root); re-run the batch against the new index")
+        }
+    } finally {
+      // staging cleanup must not mask a commit failure
+      try fs.delete(staging, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Index one batch of new vectors into the stored index's INGEST DELTA —
@@ -1552,19 +1620,44 @@ object Similarity {
 
   /** Encode-and-land core shared by [[ingestIvfPqBatch]] and the streaming
     * sink (which pre-loads the bounded model tables once and passes them
-    * per batch): epoch re-check, one map pass over the batch, one
-    * delta-partition overwrite. */
+    * per batch): epoch check before the job (fail fast), one map pass
+    * over the batch, one delta-partition overwrite — then (r19) a
+    * POST-write epoch re-check that QUARANTINES the landed batch dir on
+    * mismatch: a rebuild that swapped the root before the write began
+    * would otherwise leave codes encoded against the superseded model
+    * sitting inside the NEW root's delta (the silent corruption the
+    * epoch exists to prevent); the batch dir is deterministic
+    * (`batch_id=<id>`) so the mismatch path deletes exactly what this
+    * commit wrote and throws. A swap DURING/AFTER the write instead
+    * strands the dir in the superseded `.old` root (the delete of the
+    * live path is then a no-op) — same loud outcome, re-run the batch. */
   private[graft] def commitIvfPqIngest(
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String, batchId: Long,
       centroids: DataFrame, codebooks: DataFrame, residual: Boolean,
-      expectedEpoch: Long): Unit = {
+      expectedEpoch: Long, afterCheck: () => Unit = () => ()): Unit = {
     requireIvfPqEpoch(spark, path, expectedEpoch, "ivfPqIngest")
+    afterCheck() // test seam: a rebuild racing the encode job lands here
     val c = batch.select(col(idCol).as("n_id"),
       VectorFns.unitizeNative(col(vecCol)).as("n_v"))
+    val dest = s"$path/ingest.parquet/batch_id=$batchId"
     ivfPqIndexRows(ivfPqTrainRows(c, centroids, residual), codebooks)
-      .write.mode("overwrite")
-      .parquet(s"$path/ingest.parquet/batch_id=$batchId")
+      .write.mode("overwrite").parquet(dest)
+    try requireIvfPqEpoch(spark, path, expectedEpoch, "ivfPqIngest")
+    catch {
+      case e: IllegalStateException =>
+        try {
+          val d = new org.apache.hadoop.fs.Path(dest)
+          val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(d, true)
+          // a quarantine that created the delta root must not leave it
+          // EMPTY — parquet readers fail on a fileless directory
+          val parent = d.getParent
+          if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+            fs.delete(parent, true)
+        } catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
   }
 
   /** Compact a stored composed index: rebuild centroids + codebooks +
@@ -1738,15 +1831,30 @@ object Similarity {
     * candidate count across the join and comparing it to the per-query
     * survivor count, both one window over the post-shortlist frame
     * (≤ shortlist×|queries| rows, partitioning reused). Any shortfall
-    * raises with the query id and the missing count. A query whose
-    * EVERY candidate is missing has no surviving row to raise from and
-    * disappears — that total-disjoint shape means the corpus is the
-    * wrong table entirely, loud in practice. */
+    * raises with the query id and the missing count. The two r18 blind
+    * spots are closed (r19): a query whose ENTIRE candidate set is
+    * missing has no surviving row to raise from, so after the checks the
+    * full query-id set is left-joined back against the survivors (the
+    * survivor frame is ids+cos only — vectors dropped — and bounded by
+    * shortlist×|queries|, so it broadcasts; the join preserves qkeyed
+    * and any unmatched query raises naming itself) — the message also
+    * covers the other zero-survivor cause, a probe that returned no
+    * rows; and a duplicated pair is BLAMED ON THE RIGHT SIDE: the pair
+    * count is taken on the shortlist BEFORE the corpus join (same
+    * window partitioning, no new exchange), so a duplicate already in
+    * the stored index (a replayed [[appendIvfPqIndex]] batch) is
+    * reported as index-side instead of misdirecting the operator at
+    * corpusForRerank. */
   private def rerankChecked(
       cand: DataFrame, c: DataFrame, qkeyed: DataFrame,
       caller: String): DataFrame = {
     val wq = Window.partitionBy("q_id")
-    cand.withColumn("__cand_n", count(lit(1)).over(wq))
+    val checked = cand
+      // pair count on the SHORTLIST side, before the corpus join: > 1
+      // here means the stored index itself carries the id twice
+      .withColumn("__cand_pair_n",
+        count(lit(1)).over(Window.partitionBy("q_id", "n_id")))
+      .withColumn("__cand_n", count(lit(1)).over(wq))
       .join(c, Seq("n_id"))
       .join(broadcast(qkeyed), Seq("q_id"))
       .withColumn("cos", VectorFns.dotNative(col("q_v"), col("n_v")))
@@ -1758,11 +1866,17 @@ object Similarity {
       .withColumn("__pair_n",
         count(lit(1)).over(Window.partitionBy("q_id", "n_id")))
       .where(when(col("__pair_n") === 1, lit(true))
-        .otherwise(raise_error(concat(
+        .otherwise(raise_error(when(col("__cand_pair_n") > 1, concat(
+          lit(s"$caller: the STORED INDEX carries duplicate ids — id "),
+          col("n_id").cast("string"), lit(" appears "),
+          col("__cand_pair_n").cast("string"),
+          lit(" times in the shortlist itself (a replayed append " +
+            "batch?); compact or rebuild the index"))).otherwise(concat(
           lit(s"$caller: corpusForRerank carries duplicate ids — id "),
           col("n_id").cast("string"), lit(" appears "),
-          col("__pair_n").cast("string"),
-          lit(" times; ids must be unique, as at indexing")))))
+          (col("__pair_n") / col("__cand_pair_n")).cast("long")
+            .cast("string"),
+          lit(" times; ids must be unique, as at indexing"))))))
       // with duplicates excluded above, a per-query survivor count below
       // the candidate count means exactly that: missing ids
       .withColumn("__join_n", count(lit(1)).over(wq))
@@ -1776,7 +1890,22 @@ object Similarity {
             "drifted from the stored index (recall would silently " +
             "shrink); re-point at the indexed corpus or rebuild the " +
             "index")))))
-      .drop("__cand_n", "__pair_n", "__join_n", "q_v", "n_v")
+      .drop("__cand_n", "__cand_pair_n", "__pair_n", "__join_n",
+        "q_v", "n_v")
+    // total-disjoint coverage: a query with ZERO survivors vanished from
+    // `checked` entirely and none of the row-level raises could fire.
+    // Preserve the full query-id set with a left-outer join — the
+    // survivor frame is ids+cos (vectors dropped above), bounded by
+    // shortlist×|queries|, so it broadcasts (BuildRight, no exchange) —
+    // and raise from the preserved side naming the vanished query.
+    qkeyed.select("q_id").join(broadcast(checked), Seq("q_id"), "left_outer")
+      .where(when(col("n_id").isNotNull, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$caller: query "), col("q_id").cast("string"),
+          lit(" has no surviving candidates — either its ENTIRE " +
+            "shortlist is missing from corpusForRerank (wrong corpus " +
+            "table?) or its probe returned no rows (all probed cells " +
+            "empty)")))))
   }
 
   /** IVF+PQ search answered ENTIRELY from a stored [[writeIvfPqIndex]]

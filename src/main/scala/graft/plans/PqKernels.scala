@@ -159,9 +159,17 @@ object PqKernels {
   import org.apache.spark.sql.graftshim.Bridge
 
   /** The m×ksub×dsub codebook flattened row-major into one
-    * `array<double>` plan constant — the layout all three kernels read. */
+    * `array<double>` plan constant — the layout all three kernels read.
+    * Built directly in the kernels' declared input type
+    * (`array<double>`, nullable elements) so ImplicitCastInputTypes
+    * inserts no Cast: a cast of a foldable literal constant-folds into
+    * a brand-new Literal, and a plan referencing the constant at more
+    * than one site would ship a full copy per site (the
+    * `Similarity.assignCellsRanked` lesson, pinned there by spec). */
   def flatCodebook(cb: Array[Array[Array[Double]]]): Column =
-    org.apache.spark.sql.functions.typedlit(cb.flatten.flatten)
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.Literal.create(
+      cb.flatten.flatten.toSeq,
+      org.apache.spark.sql.types.ArrayType(DoubleType)))
 
   def encodeCol(v: Column, cb: Column, m: Int, ksub: Int): Column =
     Bridge.column(PqEncodeCodes(Bridge.expression(v), Bridge.expression(cb), m, ksub))

@@ -818,7 +818,130 @@ class SimilaritySpec extends SparkSpec {
       assert(chain(ex3).exists(m => m.contains("duplicate ids") ||
         m.contains("missing from corpusForRerank")),
         chain(ex3).mkString(" | "))
+      // r19: a query whose ENTIRE candidate set is missing used to have
+      // no surviving row to raise from and silently vanished from the
+      // result — the preserved-query-set join now names it
+      val empty = emb.filter(col("vec_id") < 0)
+      val ex4 = intercept[Exception](
+        Similarity.ivfPqStoredTopK(spark, idx, empty, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
+          nProbe = 4).collect())
+      assert(chain(ex4).exists(_.contains("no surviving candidates")),
+        chain(ex4).mkString(" | "))
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("duplicate shortlist pairs are blamed on the side that carries them: a replayed append batch reads as INDEX-side, not corpus drift") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-dup").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      // the replay the append contract warns about: the same batch lands
+      // twice, so every id is coded twice in the stored index
+      Similarity.appendIvfPqIndex(spark, idx, emb, "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") === 0)
+      val ex = intercept[Exception](
+        Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 3, shortlist = 50,
+          nProbe = 4).collect())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+      assert(chain(ex).exists(_.contains("STORED INDEX carries duplicate")),
+        chain(ex).mkString(" | "))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("epoch guard covers the FULL append/ingest job: a rebuild racing the encode throws with nothing visible landed, and a poisoned ingest batch is quarantined") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-race").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val odd = emb.filter(col("vec_id") % 2 === 1)
+      def rebuild(): Unit = Similarity.writeIvfPqIndex(emb, "vec_id",
+        "embedding", idx, nLists = 4, lloydIters = 1, m = 8, ksub = 16,
+        pqIters = 1)
+      Similarity.writeIvfPqIndex(even, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      val staleCentroids = Similarity.localFrame(spark,
+        spark.read.parquet(s"$idx/centroids.parquet").collect(),
+        spark.read.parquet(s"$idx/centroids.parquet").schema)
+      val staleCodebooks = Similarity.localFrame(spark,
+        spark.read.parquet(s"$idx/codebooks.parquet").collect(),
+        spark.read.parquet(s"$idx/codebooks.parquet").schema)
+      val c = odd.select(col("vec_id").as("n_id"),
+        graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+      val staleRows = Similarity.ivfPqIndexRows(
+        Similarity.ivfPqTrainRows(c, staleCentroids, residual = false),
+        staleCodebooks)
+      // (a) the rebuild swaps the root WHILE the append's encode job is
+      // staged but uncommitted — the pre-r19 guard (checked only before
+      // the write) would have let these stale codes land
+      val exA = intercept[IllegalStateException](
+        Similarity.commitIvfPqAppend(spark, idx, staleRows,
+          expectedEpoch = 1L, afterStage = rebuild))
+      assert(exA.getMessage.contains("republished"), exA.getMessage)
+      val rebuiltCount = emb.count()
+      assert(spark.read.parquet(s"$idx/index.parquet").count() == rebuiltCount,
+        "the raced append must land NOTHING visible in the new root")
+      assert(!fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+        .exists(_.getPath.getName.startsWith(".append-")),
+        "no staging debris may survive in the live root")
+      // (b) the rebuild swaps the root between the ingest's fail-fast
+      // check and its write — the batch dir lands INSIDE the new root,
+      // encoded against the superseded model; the post-write re-check
+      // must quarantine exactly that dir
+      Similarity.writeIvfPqIndex(even, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      val epochNow = Similarity.readIvfPqEpoch(spark, idx)
+      val exB = intercept[IllegalStateException](
+        Similarity.commitIvfPqIngest(spark, idx, odd, "vec_id",
+          "embedding", batchId = 5L, centroids = staleCentroids,
+          codebooks = staleCodebooks, residual = false,
+          expectedEpoch = epochNow, afterCheck = rebuild))
+      assert(exB.getMessage.contains("republished"), exB.getMessage)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$idx/ingest.parquet")),
+        "the poisoned batch must be quarantined (and no empty delta " +
+          "root left behind)")
+      assert(spark.read.parquet(s"$idx/index.parquet").count() == rebuiltCount)
+      // the artifact still serves cleanly after both raced commits
+      val q = emb.filter(col("vec_id") === 0)
+      assert(Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
+        nProbe = 4).count() == 3)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("the flat centroid constant ships ONCE: both plan occurrences (kernel child + cv recovery) share one value object") {
+    val c = emb.select(col("vec_id").as("n_id"),
+      graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+    val cents = Similarity.kmeansCentroids(c, "n_id", "n_v", 4, 1,
+      assumeUnit = true)
+    val out = Similarity.assignCellsRanked(c, "n_id", "n_v", cents, 2)
+      .select("n_id", "cell", "probe_rank", "cv") // cv consumed: the
+    // slice recovery survives pruning, so BOTH occurrences are in play
+    val lits = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.expressions.Literal]
+    out.queryExecution.executedPlan.foreach(p =>
+      p.expressions.foreach(_.foreach {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+              l.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+                .elementType == org.apache.spark.sql.types.DoubleType =>
+          lits += l
+        case _ => ()
+      }))
+    assert(lits.size >= 2,
+      s"expected the centroid constant at the kernel AND the cv-recovery " +
+        s"site, found ${lits.size} array<double> literal occurrence(s)")
+    assert(lits.forall(l => l.value.asInstanceOf[AnyRef] eq
+      lits.head.value.asInstanceOf[AnyRef]),
+      "every occurrence of the flat centroid constant must share ONE " +
+        "value object — a second typedlit would double the shipped plan " +
+        "constant at production nLists×dim")
   }
 
   test("pre-epoch artifacts fail meta readers with a clear rebuild-required message, not a missing-field error") {
