@@ -642,6 +642,97 @@ object ExtQueries {
       k = 10, hitsFloor = 15)
   }
 
+  /** [[annRecallCheck]] for FILTERED search: the exact baseline is the
+    * brute-force top-k over the SAME filtered corpus, and the result is
+    * additionally audited for eligibility — `ineligible_hits` counts
+    * result rows whose id fails the predicate (`bad` = the ids the
+    * predicate excludes), pinned to exactly 0: a post-filter-shaped
+    * regression would leak ineligible neighbors here before it ever
+    * moved the recall floor. */
+  private def annFilteredRecallCheck(
+      res: DataFrame, exact: DataFrame, bad: DataFrame,
+      k: Int, hitsFloor: Int): DataFrame = {
+    val flags = exact
+      .join(res.withColumn("__hit", lit(1)), Seq("q_id", "n_id"), "left")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        coalesce(sum(col("__hit")), lit(0L)).as("total_hits"))
+    val inel = res.join(bad, Seq("n_id"), "left_semi")
+      .agg(count(lit(1)).as("ineligible_hits"))
+    flags.crossJoin(inel) // two 1-row frames
+      .select(col("n_queries"), lit(k).as("k"),
+        lit(hitsFloor).as("hits_floor"),
+        when(col("total_hits") >= hitsFloor, 1).otherwise(0).as("floor_met"),
+        col("ineligible_hits"))
+  }
+
+  /** FILTERED plain-IVF search ([[Similarity.annIvfFiltered]]) — top-k
+    * within a stratum (`label` even), the selection-set idiom
+    * (reference: wins_transform_staging.py:168-171 — act on a filtered
+    * view) lifted to the vector index: the coarse quantizer trains on
+    * the FULL corpus (one shared index per corpus, not per stratum),
+    * the predicate lands on the corpus SCAN (PushedFilters — PlanSpec
+    * pins it below the probe join), and only eligible rows are
+    * assigned/probed/ranked — never a recall-losing post-filter of an
+    * unfiltered top-k. Judged against the exact brute force over the
+    * SAME filtered corpus; measured hits, 5 queries × k=10 at
+    * nProbe=4: 22 / 26 / 25 across sf0.001 / 0.01 / 0.1 — the same
+    * weak-cluster cell-coverage ceiling as ann_ivf (its floor 15,
+    * shared here, keeps ≥ 32% margin at the weakest SF);
+    * `ineligible_hits` pinned to exactly 0. */
+  val annFilteredQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val w = col("label") % 2 === 0
+    annFilteredRecallCheck(
+      Similarity.annIvfFiltered(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10, where = w, nLists = 16, nProbe = 4)
+        .select("q_id", "n_id"),
+      Similarity.bruteForceTopK(e.filter(w), "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10).select("q_id", "n_id"),
+      bad = e.filter(!w).select(col("vec_id").as("n_id")),
+      k = 10, hitsFloor = 15)
+  }
+
+  /** FILTERED search against the STORED composed index
+    * ([[Similarity.ivfPqStoredTopKFiltered]]) — the production shape of
+    * the most common real vector-search query: the index is built ONCE
+    * with `label` recorded as a payload column
+    * ([[Similarity.writeIvfPqIndex]]'s r19 payload support), and the
+    * stratum predicate is pushed into the stored code scan BEFORE the
+    * probe join and the ADC kernel, so the shortlist fills with
+    * eligible candidates only (post-filtering the top-k would silently
+    * lose recall in exactly the proportion the stratum is rare).
+    * Judged against the exact brute force over the SAME filtered
+    * corpus; measured hits, 5 queries × k=10, shortlist 80 / nProbe 8:
+    * 43 / 39 / 35 across sf0.001 / 0.01 / 0.1 (the gap to
+    * ivf_pq_stored's 43/43/39 is the thinner per-cell eligible
+    * population — fewer eligible rows inside the probed cells); floor
+    * 28 keeps ≥ 20% margin at the weakest SF. `ineligible_hits` pinned
+    * to exactly 0. EAGER + self-cleaning like ann_ivf_stored. */
+  val ivfPqFilteredQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val w = col("label") % 2 === 0
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-fl").toString
+    try {
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
+        nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
+        residual = false, payload = Seq("label"))
+      val check = annFilteredRecallCheck(
+        Similarity.ivfPqStoredTopKFiltered(s, idx, e, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
+          where = w, nProbe = 8).select("q_id", "n_id"),
+        Similarity.bruteForceTopK(e.filter(w), "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 10).select("q_id", "n_id"),
+        bad = e.filter(!w).select(col("vec_id").as("n_id")),
+        k = 10, hitsFloor = 28)
+      Similarity.localFrame(s, check.collect(), check.schema)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** Product-quantization top-k (ADC shortlist + exact re-rank — the
     * production shape) through the exact recall harness: codebooks
     * trained on the corpus (m=16 subspaces × ksub=64 L2 codewords over
@@ -2039,6 +2130,8 @@ object ExtQueries {
     "topk_sim_agg" -> topkSimAgg,
     "ann_topk" -> annTopk,
     "ann_ivf" -> annIvfTopk,
+    "ann_filtered" -> annFilteredQ,
+    "ivf_pq_filtered" -> ivfPqFilteredQ,
     "pq_topk" -> pqTopkQ,
     "pq_stored" -> pqStoredQ,
     "ivf_pq_topk" -> ivfPqTopkQ,
@@ -2285,6 +2378,18 @@ object ExtQueries {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
         |  CAST(10 AS INTEGER) AS k, CAST(15 AS INTEGER) AS hits_floor,
         |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
+    // filtered variants add the eligibility audit: ineligible_hits is
+    // pinned to exactly 0 (a post-filter regression leaks here first)
+    "ann_filtered" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k, CAST(15 AS INTEGER) AS hits_floor,
+        |  CAST(1 AS INTEGER) AS floor_met,
+        |  CAST(0 AS BIGINT) AS ineligible_hits""".stripMargin,
+    "ivf_pq_filtered" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k, CAST(28 AS INTEGER) AS hits_floor,
+        |  CAST(1 AS INTEGER) AS floor_met,
+        |  CAST(0 AS BIGINT) AS ineligible_hits""".stripMargin,
     // PQ shares the recall-harness oracle shape: DuckDB recounts the
     // query population and pins the measured floor flag
     "pq_topk" ->

@@ -139,6 +139,38 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** FILTERED plain-IVF search — top-k among the corpus rows satisfying
+    * `where` (a predicate over the CORPUS table's own columns), the
+    * selection-set idiom applied to the in-memory index: the coarse
+    * quantizer trains on the FULL corpus (one shared index serves every
+    * stratum — per-stratum clustering would fragment the artifact), but
+    * the assignment pass runs over `corpus.filter(where)`, so the
+    * predicate lands on the corpus SCAN itself (PushedFilters /
+    * row-group pruning at 100 TB) and only eligible rows are ever
+    * assigned, probed, or ranked — never a post-filter of a finished
+    * top-k, which silently loses recall whenever ineligible rows crowd
+    * the k. Scoring inside probed cells is exact, so recall vs the
+    * filtered brute force matches [[annIvf]]'s unfiltered behavior;
+    * queries whose probed cells hold no eligible rows return fewer
+    * than k rows (scarce stratum — legitimate, not an error). */
+  def annIvfFiltered(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, where: Column, nLists: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 1): DataFrame = {
+    val cFull = corpus.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
+    val centroids = kmeansCentroids(cFull, "n_id", "n_v", nLists,
+      lloydIters, assumeUnit = true)
+    // the filter applies BEFORE the id/vector projection so `where` can
+    // reference any corpus column, and lands on the scan
+    val eligible = corpus.filter(where).select(col(corpusId).as("n_id"),
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
+    val assigned = assignCell(eligible, "n_id", "n_v", centroids)
+    annIvfWithIndex(centroids, assigned, queries, queryId, queryVec,
+      k, nProbe)
+  }
+
   /** The nProbe tuning curve of a plain IVF index from ONE probe pass —
     * [[annIvfWithIndex]] run at every requested budget, answered by a
     * single max-budget scan (the one-scan sweep discipline shared with
@@ -1323,19 +1355,34 @@ object Similarity {
     * REAL corpus (the [[annProbeSweep]]/pq_shortlist_sweep discipline)
     * shows the clusters are tight enough to pay.
     *
+    * `payload` names corpus columns to STORE IN THE INDEX beside each
+    * row's (n_id, cell, codes) — the filterable attributes
+    * [[ivfPqStoredTopKFiltered]] pushes into the probe scan (lang,
+    * timestamp, source, ...). They ride the same map-side encode pass
+    * (no join at build, append, or ingest — the names are recorded in
+    * the publish record and every grow path carries them
+    * automatically), cost their column width per indexed row, and make
+    * filtered search a parquet-scan predicate instead of a corpus
+    * join. Names must not clash with the index/search schema
+    * (validated loudly).
+    *
     * Scale shape: clustering/training collect only bounded model tables
     * (nLists and m×ksub rows); assignment, residual subtraction, and
     * encoding are map-side passes over the corpus; the stored index is
-    * m ints + a cell id per vector. The corpus is rescanned per Lloyd
-    * iteration (training is one-time by contract) and never at query
-    * time. */
+    * m ints + a cell id (+ payload) per vector. The corpus is rescanned
+    * per Lloyd iteration (training is one-time by contract) and never
+    * at query time. */
   def writeIvfPqIndex(
       corpus: DataFrame, corpusId: String, corpusVec: String, path: String,
       nLists: Int = 16, lloydIters: Int = 1, m: Int = 8, ksub: Int = 16,
-      pqIters: Int = 2, residual: Boolean = false): Unit = {
+      pqIters: Int = 2, residual: Boolean = false,
+      payload: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
-    val c = corpus.select(col(corpusId).as("n_id"),
-      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
+    requirePayloadCols(corpus, corpusId, corpusVec, payload,
+      "writeIvfPqIndex")
+    val c = corpus.select(col(corpusId).as("n_id") +:
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v") +:
+      payload.map(col): _*)
     val centroids = kmeansCentroids(c, "n_id", "n_v", nLists, lloydIters,
       assumeUnit = true)
     val train = ivfPqTrainRows(c, centroids, residual)
@@ -1353,7 +1400,7 @@ object Similarity {
     val epoch = nextIvfPqEpoch(spark, path)
     val meta = localFrame(spark,
       Array(org.apache.spark.sql.Row(residual, nLists, lloydIters, m, ksub,
-        pqIters, epoch)),
+        pqIters, epoch, payload)),
       org.apache.spark.sql.types.StructType(
         Seq(org.apache.spark.sql.types.StructField("residual",
           org.apache.spark.sql.types.BooleanType)) ++
@@ -1361,7 +1408,10 @@ object Similarity {
           org.apache.spark.sql.types.StructField(n,
             org.apache.spark.sql.types.IntegerType)) :+
         org.apache.spark.sql.types.StructField("epoch",
-          org.apache.spark.sql.types.LongType)))
+          org.apache.spark.sql.types.LongType) :+
+        org.apache.spark.sql.types.StructField("payload_cols",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull = false))))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.engine.Sinks.publishRoot(fs, path) { tmp =>
@@ -1423,6 +1473,40 @@ object Similarity {
     df.head()
   }
 
+  /** The payload columns recorded in an index publish record — empty for
+    * artifacts written before payload support (r19): payload absence is
+    * semantically "no payload", not a degraded record, so pre-payload
+    * artifacts keep serving/appending without a forced rebuild (unlike
+    * the pre-epoch shape, whose absence breaks commit safety). */
+  private[graft] def ivfPqPayloadCols(
+      meta: org.apache.spark.sql.Row): Seq[String] =
+    if (!meta.schema.fieldNames.contains("payload_cols")) Nil
+    else meta.getAs[scala.collection.Seq[String]]("payload_cols").toSeq
+
+  /** Validate a caller-supplied payload column list: present on the
+    * corpus, no duplicates, and no (case-insensitive) clash with the
+    * index's own column names — a payload named `cell` or `codes` would
+    * silently shadow the index structure it is stored beside. */
+  private def requirePayloadCols(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      payload: Seq[String], caller: String): Unit = {
+    val reserved = Set("n_id", "n_v", "t_v", "cell", "cv", "codes",
+      "probe_rank", "q_id", "q_v", "q_lut", "cos", "cos_adc", "rank")
+    val lower = payload.map(_.toLowerCase)
+    require(lower.distinct.length == lower.length,
+      s"$caller: duplicate payload columns in ${payload.mkString(", ")}")
+    val clash = payload.filter(p => reserved.contains(p.toLowerCase) ||
+      p.equalsIgnoreCase(corpusId) || p.equalsIgnoreCase(corpusVec))
+    require(clash.isEmpty,
+      s"$caller: payload column(s) ${clash.mkString(", ")} clash with " +
+        "index/search column names — rename them before indexing")
+    val missing = payload.filterNot(p =>
+      corpus.columns.exists(_.equalsIgnoreCase(p)))
+    require(missing.isEmpty,
+      s"$caller: payload column(s) ${missing.mkString(", ")} not present " +
+        s"on the corpus (has: ${corpus.columns.mkString(", ")})")
+  }
+
   /** The live publish epoch of the index at `path`. */
   private[graft] def readIvfPqEpoch(
       spark: org.apache.spark.sql.SparkSession, path: String): Long =
@@ -1469,18 +1553,22 @@ object Similarity {
   /** Shared assign→(residual-subtract) stage of the composed IVF+PQ
     * index: (n_id, cell, t_v) where t_v is the vector the codebooks
     * see — the cell residual under IVFADC, the unit vector otherwise.
-    * One helper used by BOTH [[writeIvfPqIndex]] and
-    * [[appendIvfPqIndex]] so the two paths cannot drift apart in
-    * encoding convention (appended rows must be bit-identical to what
-    * a rebuild would produce). */
+    * Any OTHER column on `c` (the index's payload columns — see
+    * [[writeIvfPqIndex]]) rides through untouched. One helper used by
+    * BOTH [[writeIvfPqIndex]] and [[appendIvfPqIndex]] so the two
+    * paths cannot drift apart in encoding convention (appended rows
+    * must be bit-identical to what a rebuild would produce). */
   private[graft] def ivfPqTrainRows(
       c: DataFrame, centroids: DataFrame, residual: Boolean): DataFrame = {
+    val extras = c.columns.filterNot(Set("n_id", "n_v").contains).map(col)
     val assigned = assignCell(c, "n_id", "n_v", centroids)
     if (residual)
       assigned.join(broadcast(centroids), Seq("cell"))
-        .select(col("n_id"), col("cell"),
-          zip_with(col("n_v"), col("cv"), (x, y) => x - y).as("t_v"))
-    else assigned.select(col("n_id"), col("cell"), col("n_v").as("t_v"))
+        .select(col("n_id") +: col("cell") +:
+          zip_with(col("n_v"), col("cv"), (x, y) => x - y).as("t_v") +:
+          extras: _*)
+    else assigned.select(col("n_id") +: col("cell") +:
+      col("n_v").as("t_v") +: extras: _*)
   }
 
   /** Encode the (n_id, cell, t_v) stage against stored codebooks as ONE
@@ -1491,9 +1579,11 @@ object Similarity {
   private[graft] def ivfPqIndexRows(train: DataFrame, codebooks: DataFrame): DataFrame = {
     val (cb, _) = collectCodebooks(codebooks)
     val cbF = graft.plans.PqKernels.flatCodebook(cb)
-    train.select(col("n_id"), col("cell"),
+    val extras =
+      train.columns.filterNot(Set("n_id", "cell", "t_v").contains).map(col)
+    train.select(col("n_id") +: col("cell") +:
       graft.plans.PqKernels.encodeCol(col("t_v"), cbF,
-        cb.length, cb.head.length).as("codes"))
+        cb.length, cb.head.length).as("codes") +: extras: _*)
   }
 
   /** Incrementally index new vectors into a stored [[writeIvfPqIndex]]
@@ -1539,10 +1629,13 @@ object Similarity {
     val meta = readIvfPqMeta(spark, path)
     val residual = meta.getAs[Boolean]("residual")
     val epoch = meta.getAs[Long]("epoch")
+    val payload = ivfPqPayloadCols(meta)
+    requirePayloadCols(newVectors, idCol, vecCol, payload,
+      "appendIvfPqIndex")
     val centroids = spark.read.parquet(s"$path/centroids.parquet")
     val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
-    val c = newVectors.select(col(idCol).as("n_id"),
-      VectorFns.unitizeNative(col(vecCol)).as("n_v"))
+    val c = newVectors.select(col(idCol).as("n_id") +:
+      VectorFns.unitizeNative(col(vecCol)).as("n_v") +: payload.map(col): _*)
     commitIvfPqAppend(spark, path,
       ivfPqIndexRows(ivfPqTrainRows(c, centroids, residual), codebooks),
       epoch)
@@ -1615,7 +1708,7 @@ object Similarity {
     val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
     commitIvfPqIngest(spark, path, batch, idCol, vecCol, batchId,
       centroids, codebooks, meta.getAs[Boolean]("residual"),
-      meta.getAs[Long]("epoch"))
+      meta.getAs[Long]("epoch"), ivfPqPayloadCols(meta))
   }
 
   /** Encode-and-land core shared by [[ingestIvfPqBatch]] and the streaming
@@ -1635,11 +1728,13 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String, batchId: Long,
       centroids: DataFrame, codebooks: DataFrame, residual: Boolean,
-      expectedEpoch: Long, afterCheck: () => Unit = () => ()): Unit = {
+      expectedEpoch: Long, payload: Seq[String] = Nil,
+      afterCheck: () => Unit = () => ()): Unit = {
     requireIvfPqEpoch(spark, path, expectedEpoch, "ivfPqIngest")
     afterCheck() // test seam: a rebuild racing the encode job lands here
-    val c = batch.select(col(idCol).as("n_id"),
-      VectorFns.unitizeNative(col(vecCol)).as("n_v"))
+    requirePayloadCols(batch, idCol, vecCol, payload, "ivfPqIngest")
+    val c = batch.select(col(idCol).as("n_id") +:
+      VectorFns.unitizeNative(col(vecCol)).as("n_v") +: payload.map(col): _*)
     val dest = s"$path/ingest.parquet/batch_id=$batchId"
     ivfPqIndexRows(ivfPqTrainRows(c, centroids, residual), codebooks)
       .write.mode("overwrite").parquet(dest)
@@ -1686,7 +1781,8 @@ object Similarity {
       lloydIters = meta.getAs[Int]("lloyd_iters"),
       m = meta.getAs[Int]("m"), ksub = meta.getAs[Int]("ksub"),
       pqIters = meta.getAs[Int]("pq_iters"),
-      residual = meta.getAs[Boolean]("residual"))
+      residual = meta.getAs[Boolean]("residual"),
+      payload = ivfPqPayloadCols(meta))
   }
 
   /** Operational health report for a stored composed IVF+PQ index — the
@@ -1809,12 +1905,18 @@ object Similarity {
     val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
     val rootFs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // explicit column list (structure + recorded payload): base and
+    // delta then union by construction, and a foreign column landed in
+    // either table can never silently ride into the serving plan
+    val cols = (Seq("n_id", "cell", "codes") ++ ivfPqPayloadCols(meta))
+      .map(col)
     val baseIndex = spark.read.parquet(s"$path/index.parquet")
+      .select(cols: _*)
     val ingest = new org.apache.hadoop.fs.Path(s"$path/ingest.parquet")
     val index =
       if (rootFs.exists(ingest))
         baseIndex.unionByName(spark.read.parquet(ingest.toString)
-          .select("n_id", "cell", "codes"))
+          .select(cols: _*))
       else baseIndex
     (meta.getAs[Boolean]("residual"), centroids, codebooks, index)
   }
@@ -1847,7 +1949,7 @@ object Similarity {
     * corpusForRerank. */
   private def rerankChecked(
       cand: DataFrame, c: DataFrame, qkeyed: DataFrame,
-      caller: String): DataFrame = {
+      caller: String, allowVanished: Boolean = false): DataFrame = {
     val wq = Window.partitionBy("q_id")
     val checked = cand
       // pair count on the SHORTLIST side, before the corpus join: > 1
@@ -1892,6 +1994,10 @@ object Similarity {
             "index")))))
       .drop("__cand_n", "__cand_pair_n", "__pair_n", "__join_n",
         "q_v", "n_v")
+    // the FILTERED search path legitimately returns zero rows for a
+    // query whose probed cells hold no eligible candidates — the
+    // vanished-query diagnostic would read that as corruption
+    if (allowVanished) return checked
     // total-disjoint coverage: a query with ZERO survivors vanished from
     // `checked` entirely and none of the row-level raises could fire.
     // Preserve the full query-id set with a left-outer join — the
@@ -1922,10 +2028,56 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       corpusForRerank: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, shortlist: Int, nProbe: Int = 4): DataFrame = {
+      k: Int, shortlist: Int, nProbe: Int = 4): DataFrame =
+    ivfPqStoredTopKCore(spark, path, corpusForRerank, corpusId, corpusVec,
+      queries, queryId, queryVec, k, shortlist, nProbe, where = None,
+      caller = "ivfPqStoredTopK")
+
+  /** FILTERED stored-index search — top-k among the index rows whose
+    * recorded payload columns satisfy `where` (the most common
+    * production vector-search shape: "nearest neighbors among docs with
+    * `lang = 'de'`"), with the predicate pushed INTO the probe scan:
+    * the filter applies to the stored code table BEFORE the probe join
+    * and the ADC kernel, so the `shortlist` fills with ELIGIBLE
+    * candidates only — post-filtering an unfiltered top-k would
+    * silently lose recall whenever ineligible rows crowd the shortlist
+    * (at 1% selectivity an 80-deep shortlist post-filters to ~1 row).
+    * A simple predicate on payload columns reaches the parquet scan as
+    * PushedFilters (row-group pruning at 100 TB — PlanSpec pins the
+    * shape); the index stores payload columns when [[writeIvfPqIndex]]
+    * was given them (recorded in the publish record; append/ingest
+    * carry them automatically).
+    *
+    * Contract deltas vs [[ivfPqStoredTopK]]: a query CAN legitimately
+    * return fewer than k rows — including zero — when its probed cells
+    * hold too few eligible rows (scarce stratum), so the
+    * vanished-query diagnostic is off here; the per-query
+    * missing-id/duplicate checks still raise. Recall is relative to
+    * the exact top-k over the SAME filtered corpus. */
+  def ivfPqStoredTopKFiltered(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpusForRerank: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlist: Int, where: Column,
+      nProbe: Int = 4): DataFrame =
+    ivfPqStoredTopKCore(spark, path, corpusForRerank, corpusId, corpusVec,
+      queries, queryId, queryVec, k, shortlist, nProbe, where = Some(where),
+      caller = "ivfPqStoredTopKFiltered")
+
+  private def ivfPqStoredTopKCore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpusForRerank: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlist: Int, nProbe: Int, where: Option[Column],
+      caller: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val (residual, centroids, codebooks, index) = openStoredIvfPq(spark, path)
+    val (residual, centroids, codebooks, indexAll) =
+      openStoredIvfPq(spark, path)
+    // the predicate lands HERE — on the stored code table, before the
+    // probe join and the ADC kernel: eligibility prunes the scan (and
+    // its parquet row groups), never the finished top-k
+    val index = where.map(indexAll.filter).getOrElse(indexAll)
     val (cb, _) = collectCodebooks(codebooks)
     val cbF = graft.plans.PqKernels.flatCodebook(cb)
     val ksub = cb.head.length
@@ -1959,7 +2111,7 @@ object Similarity {
     val c = corpusForRerank.select(col(corpusId).as("n_id"),
       VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
     val rescored = rerankChecked(cand, c, q.select("q_id", "q_v"),
-      "ivfPqStoredTopK")
+      caller, allowVanished = where.isDefined)
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("cos"), 6).desc, col("n_id"))
     rescored.withColumn("rank", row_number().over(w))

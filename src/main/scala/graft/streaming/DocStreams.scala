@@ -555,6 +555,7 @@ object DocStreams {
     val meta = Sim.readIvfPqMeta(spark, path)
     val residual = meta.getAs[Boolean]("residual")
     val epoch = meta.getAs[Long]("epoch")
+    val payload = Sim.ivfPqPayloadCols(meta)
     val centroids = localCopy(s"$path/centroids.parquet")
     val codebooks = localCopy(s"$path/codebooks.parquet")
     stream.writeStream
@@ -563,7 +564,7 @@ object DocStreams {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           if (!batch.isEmpty)
             Sim.commitIvfPqIngest(spark, path, batch.toDF(), idCol, vecCol,
-              id, centroids, codebooks, residual, epoch)
+              id, centroids, codebooks, residual, epoch, payload)
           (): Unit
       }
       .start()

@@ -433,6 +433,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN: the stratum predicate lands ON THE SCAN — index payload filter below the ADC kernel, corpus filter pushed for the plain path") {
+    covers("ann_filtered", "ivf_pq_filtered")
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft-plan-flt").toString
+    try {
+      graft.operators.Similarity.writeIvfPqIndex(e, "vec_id", "embedding",
+        idx, nLists = 4, lloydIters = 1, m = 8, ksub = 4, pqIters = 1,
+        payload = Seq("label"))
+      val stored = graft.operators.Similarity.ivfPqStoredTopKFiltered(
+        spark, idx, e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 3, shortlist = 6, where = col("label") === 3, nProbe = 2)
+      val p = stored.queryExecution.executedPlan.toString
+      // the eligibility predicate is a DATA FILTER on the stored-index
+      // FileScan itself (equality on a payload column also reaches
+      // PushedFilters for row-group pruning) — NOT a post-shortlist or
+      // post-rerank filter; the probe join stays broadcast, no cartesian
+      val idxScan = p.split("\n").find(l =>
+        l.contains("FileScan parquet") && l.contains("index.parquet"))
+      assert(idxScan.isDefined, p)
+      assert(idxScan.get.contains("EqualTo(label,3)"), idxScan.get)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      // plain path: the corpus scan carries the pushed predicate and the
+      // assignment stays the zero-shuffle kernel (no crossJoin fanout)
+      val plain = graft.operators.Similarity.annIvfFiltered(e, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 3,
+        where = col("label") === 3, nLists = 4, nProbe = 2)
+      val pp = plain.queryExecution.executedPlan.toString
+      val corpusScans = pp.split("\n").filter(l =>
+        l.contains("FileScan parquet") && l.contains("embeddings.parquet"))
+      assert(corpusScans.exists(_.contains("EqualTo(label,3)")), pp)
+      assert(!pp.contains("CartesianProduct"), pp)
+    } finally {
+      val root = new org.apache.hadoop.fs.Path(idx)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    }
+  }
+
   test("pq_shortlist_sweep operator: the whole tuning curve is ONE compressed scan — single ADC/LUT kernel site, rank-limited window, no per-cut re-scan") {
     covers("pq_shortlist_sweep")
     import org.apache.spark.sql.functions.col

@@ -915,6 +915,110 @@ class SimilaritySpec extends SparkSpec {
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
+  test("filtered search: eligibility is exact, scarce strata legitimately return < k without raising, and payload survives the grow paths") {
+    val k = 5
+    val q = emb.filter(col("vec_id") < 3)
+    val even = col("label") % 2 === 0
+    // plain path: results are a subset of the eligible corpus, and the
+    // exact filtered brute force is matched inside probed cells
+    val plain = Similarity.annIvfFiltered(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = k, where = even, nLists = 4,
+      nProbe = 4) // nProbe = nLists: exhaustive probe == exact filtered
+    val exact = Similarity.bruteForceTopK(emb.filter(even), "vec_id",
+      "embedding", q, "vec_id", "embedding", k = k)
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = plain.select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact,
+      "exhaustive-probe filtered IVF must equal the filtered brute force")
+    val idx = java.nio.file.Files.createTempDirectory("graft-flt-life").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // stored path: build on HALF the corpus with payload, grow with the
+      // other half through BOTH grow verbs — payload must ride along
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 4 < 2),
+        "vec_id", "embedding", idx, nLists = 4, lloydIters = 1, m = 8,
+        ksub = 16, pqIters = 1, payload = Seq("label"))
+      Similarity.appendIvfPqIndex(spark, idx,
+        emb.filter(col("vec_id") % 4 === 2), "vec_id", "embedding")
+      Similarity.ingestIvfPqBatch(spark, idx,
+        emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", 0L)
+      // shortlist past the eligible population: the ADC cut then cannot
+      // drop a true neighbor, so the exact re-rank makes the whole
+      // search EXACT and the equality below is a theorem, not a recall
+      // measurement (the registered key owns the recall floor)
+      val deep = emb.filter(even).count().toInt + 1
+      val res = Similarity.ivfPqStoredTopKFiltered(spark, idx, emb,
+        "vec_id", "embedding", q, "vec_id", "embedding", k = k,
+        shortlist = deep, where = even, nProbe = 4)
+      val labels = res.join(emb.select(col("vec_id").as("n_id"),
+        col("label")), Seq("n_id")).select("label").collect()
+        .map(_.getInt(0))
+      assert(labels.nonEmpty && labels.forall(_ % 2 == 0),
+        s"ineligible labels leaked: ${labels.filter(_ % 2 != 0).mkString(",")}")
+      // appended/ingested rows are SEARCHABLE under the filter (payload
+      // was carried): at exhaustive probes with a deep shortlist the
+      // grown index must surface grown-half neighbors too
+      val ids = res.select("n_id").collect().map(_.getLong(0)).toSet
+      val grownExact = Similarity.bruteForceTopK(emb.filter(even),
+        "vec_id", "embedding", q, "vec_id", "embedding", k = k)
+        .select("n_id").collect().map(_.getLong(0)).toSet
+      assert(ids == grownExact,
+        "filtered stored search over the grown index must equal the " +
+          "filtered brute force at exhaustive probes")
+      // scarce stratum: a predicate matching NOTHING returns zero rows —
+      // legitimately, with no vanished-query raise on the filtered path
+      assert(Similarity.ivfPqStoredTopKFiltered(spark, idx, emb,
+        "vec_id", "embedding", q, "vec_id", "embedding", k = k,
+        shortlist = 40, where = col("label") === 9999, nProbe = 4)
+        .count() == 0L)
+      // the missing-id diagnostic still guards the filtered path
+      val drifted = emb.filter(col("vec_id") =!= 0 || col("label") % 2 =!= 0)
+      val q0 = emb.filter(col("vec_id") === 0 && col("label") % 2 === 0)
+      if (q0.count() == 1) { // fixture-dependent: query 0 eligible
+        val ex = intercept[Exception](
+          Similarity.ivfPqStoredTopKFiltered(spark, idx, drifted, "vec_id",
+            "embedding", q0, "vec_id", "embedding", k = 1,
+            shortlist = 40, where = even, nProbe = 4).collect())
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else String.valueOf(t.getMessage) +: chain(t.getCause)
+        assert(chain(ex).exists(_.contains("missing from corpusForRerank")),
+          chain(ex).mkString(" | "))
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("payload validation is loud: reserved-name clash, missing column, and growing without the recorded payload all throw") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-flt-val").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      intercept[IllegalArgumentException](Similarity.writeIvfPqIndex(
+        emb, "vec_id", "embedding", idx, nLists = 4, payload = Seq("cell")))
+      intercept[IllegalArgumentException](Similarity.writeIvfPqIndex(
+        emb, "vec_id", "embedding", idx, nLists = 4,
+        payload = Seq("no_such_col")))
+      intercept[IllegalArgumentException](Similarity.writeIvfPqIndex(
+        emb, "vec_id", "embedding", idx, nLists = 4,
+        payload = Seq("label", "LABEL")))
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1,
+        payload = Seq("label"))
+      // a grow batch MISSING the recorded payload column fails loudly
+      // (silently landing NULL payload would make those rows invisible
+      // to every filtered search)
+      val bare = emb.select("vec_id", "embedding")
+      intercept[IllegalArgumentException](
+        Similarity.appendIvfPqIndex(spark, idx, bare, "vec_id", "embedding"))
+      intercept[IllegalArgumentException](
+        Similarity.ingestIvfPqBatch(spark, idx, bare, "vec_id",
+          "embedding", 0L))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
   test("the flat centroid constant ships ONCE: both plan occurrences (kernel child + cv recovery) share one value object") {
     val c = emb.select(col("vec_id").as("n_id"),
       graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
