@@ -1039,6 +1039,69 @@ object ExtQueries {
     } finally { cleanup(idx); cleanup(fresh) }
   }
 
+  /** Index DELETION ([[Similarity.deleteFromIvfPqIndex]]) — the fourth
+    * lifecycle verb (grow / observe / compact / DELETE), exercised
+    * end-to-end on its sharpest fixture: the QUERIES' OWN ids are
+    * deleted, so every query's previous rank-1 hit (itself, cosine 1)
+    * must vanish from the top-k immediately — no rebuild, no re-encode,
+    * just the tombstone anti-join in the serving path. Oracle-pinned
+    * outcomes: zero deleted ids in any top-k while every query still
+    * fills its k from survivors (exhaustive probes + deep shortlist
+    * make the row count deterministic); health reports the tombstone
+    * arithmetic exactly (5 tombstoned ids suppressing 5 stored rows,
+    * total_indexed unchanged — dead rows still occupy cells until
+    * compaction); and compaction against the FULL grown corpus makes
+    * deletion DURABLE (tombstones anti-joined out of the rebuild
+    * corpus, table dropped with the swap, epoch bumped, totals down by
+    * exactly the deleted count, deleted ids still absent from a fresh
+    * search). Cheap training config — deletion is structural, recall
+    * keys own recall. EAGER + self-cleaning like ann_ivf_stored. */
+  val ivfPqDeleteQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val del = q.select("vec_id")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-del").toString
+    try {
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
+        nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      val epoch0 = Similarity.readIvfPqEpoch(s, idx)
+      Similarity.deleteFromIvfPqIndex(s, idx, del, "vec_id")
+      val h0 = Similarity.ivfPqIndexHealth(s, idx).head()
+      def search() = Similarity.ivfPqStoredTopK(s, idx, e, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
+        nProbe = 16).select("q_id", "n_id").localCheckpoint()
+      val pre = search()
+      val resultRows = pre.count()
+      val deletedInTopk = pre.join(del.withColumnRenamed("vec_id", "n_id"),
+        Seq("n_id")).count()
+      Similarity.compactIvfPqIndex(s, idx, e, "vec_id", "embedding")
+      val h1 = Similarity.ivfPqIndexHealth(s, idx).head()
+      val deletedAbsentPost = search().join(
+        del.withColumnRenamed("vec_id", "n_id"), Seq("n_id")).count()
+      def ok(b: Boolean) = if (b) 1 else 0
+      Similarity.localFrame(s, Array(org.apache.spark.sql.Row(
+        q.count(), resultRows, deletedInTopk,
+        h0.getAs[Long]("total_indexed"),
+        h0.getAs[Long]("tombstone_rows"), h0.getAs[Long]("dead_rows"),
+        h1.getAs[Long]("total_indexed"),
+        h1.getAs[Long]("tombstone_rows"), h1.getAs[Long]("dead_rows"),
+        ok(Similarity.readIvfPqEpoch(s, idx) == epoch0 + 1),
+        deletedAbsentPost)),
+        org.apache.spark.sql.types.StructType(
+          Seq("n_queries", "result_rows", "deleted_in_topk", "pre_total",
+            "tombstones_pre", "dead_pre", "post_total", "tombstones_post",
+            "dead_post").map(n => org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType)) :+
+          org.apache.spark.sql.types.StructField("epoch_bumped",
+            org.apache.spark.sql.types.IntegerType) :+
+          org.apache.spark.sql.types.StructField("deleted_absent_post",
+            org.apache.spark.sql.types.LongType)))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** nProbe tuning curve of the STORED composed index
     * ([[Similarity.ivfPqStoredProbeSweep]]) — the operational read a
     * user takes BEFORE pinning the production probe budget, answered
@@ -2139,6 +2202,7 @@ object ExtQueries {
     "ivf_pq_incr" -> ivfPqIncrQ,
     "ivf_pq_health" -> ivfPqHealthQ,
     "ivf_pq_compact" -> ivfPqCompactQ,
+    "ivf_pq_delete" -> ivfPqDeleteQ,
     "ivf_pq_probe_sweep" -> ivfPqProbeSweepQ,
     "pq_shortlist_sweep" -> pqShortlistSweepQ,
     "ann_ivf_stored" -> annIvfStoredQ,
@@ -2435,6 +2499,20 @@ object ExtQueries {
         |  CAST(0 AS BIGINT) AS post_delta_rows, CAST(0 AS BIGINT) AS bad_codes,
         |  CAST(1 AS INTEGER) AS epoch_bumped, CAST(1 AS INTEGER) AS matches_rebuild
         |FROM embeddings""".stripMargin,
+    // DELETE verb: DuckDB recomputes the query population and the
+    // corpus totals; the tombstone arithmetic and absence flags are the
+    // deterministic contract (exhaustive probes + deep shortlist)
+    "ivf_pq_delete" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST((SELECT count(*) * 10 FROM embeddings WHERE vec_id < 5) AS BIGINT) AS result_rows,
+        |  CAST(0 AS BIGINT) AS deleted_in_topk,
+        |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS pre_total,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS tombstones_pre,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS dead_pre,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id >= 5) AS BIGINT) AS post_total,
+        |  CAST(0 AS BIGINT) AS tombstones_post, CAST(0 AS BIGINT) AS dead_post,
+        |  CAST(1 AS INTEGER) AS epoch_bumped,
+        |  CAST(0 AS BIGINT) AS deleted_absent_post""".stripMargin,
     // stored-PQ path shares pq_topk's floor: the persisted codes are
     // bit-identical to the in-memory encode
     "pq_stored" ->

@@ -1655,26 +1655,42 @@ object Similarity {
   private[graft] def commitIvfPqAppend(
       spark: org.apache.spark.sql.SparkSession, path: String,
       rows: DataFrame, expectedEpoch: Long,
-      afterStage: () => Unit = () => ()): Unit = {
-    requireIvfPqEpoch(spark, path, expectedEpoch, "appendIvfPqIndex")
+      afterStage: () => Unit = () => ()): Unit =
+    stageThenCommit(spark, path, rows, "index.parquet", expectedEpoch,
+      "appendIvfPqIndex", afterStage)
+
+  /** The epoch-guarded stage-then-commit shared by [[commitIvfPqAppend]]
+    * and [[deleteFromIvfPqIndex]]: write the job into a dot-prefixed
+    * staging sibling (invisible to parquet readers of any table under
+    * the root), re-verify the publish epoch AFTER the job, then rename
+    * the staged part files into `destName`. A root swap during the job
+    * fails the re-check with nothing visible landed; a swap racing the
+    * renames moves the staging with the superseded root and the renames
+    * fail loudly. */
+  private def stageThenCommit(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame, destName: String, expectedEpoch: Long,
+      action: String, afterStage: () => Unit = () => ()): Unit = {
+    requireIvfPqEpoch(spark, path, expectedEpoch, action)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(root,
-      s".append-${java.util.UUID.randomUUID}")
+      s".stage-${java.util.UUID.randomUUID}")
     try {
       rows.write.mode("overwrite").parquet(staging.toString)
-      afterStage() // test seam: a rebuild racing the encode job lands here
-      // the encode job is done and invisible; a rebuild that swapped the
-      // root during it must win — nothing has landed, just throw
-      requireIvfPqEpoch(spark, path, expectedEpoch, "appendIvfPqIndex")
-      val dest = new org.apache.hadoop.fs.Path(root, "index.parquet")
+      afterStage() // test seam: a rebuild racing the staged job lands here
+      // the job is done and invisible; a rebuild that swapped the root
+      // during it must win — nothing has landed, just throw
+      requireIvfPqEpoch(spark, path, expectedEpoch, action)
+      val dest = new org.apache.hadoop.fs.Path(root, destName)
+      fs.mkdirs(dest) // first commit of this table (tombstones delta)
       fs.listStatus(staging).map(_.getPath)
         .filter(_.getName.startsWith("part-")).foreach { p =>
           // staged part names carry the staging job's own UUID — unique
           // in dest by construction
           if (!fs.rename(p, new org.apache.hadoop.fs.Path(dest, p.getName)))
             throw new IllegalStateException(
-              s"appendIvfPqIndex: commit rename of staged file $p into " +
+              s"$action: commit rename of staged file $p into " +
                 s"$dest failed — a rebuild likely swapped the root " +
                 "mid-commit (the staging moved with the superseded " +
                 "root); re-run the batch against the new index")
@@ -1684,6 +1700,42 @@ object Similarity {
       try fs.delete(staging, true)
       catch { case scala.util.control.NonFatal(_) => () }
     }
+  }
+
+  /** DELETE rows from a stored composed index — the missing lifecycle
+    * verb beside grow/observe/compact (the reference deletes selected
+    * rows first-class: wins_transform_staging.py:255,265 — a takedown
+    * or a dedup survivor list is exactly such a selection applied to
+    * the index): land the ids as a TOMBSTONE delta under
+    * `tombstones.parquet`; every serving path ([[ivfPqStoredTopK]],
+    * the filtered variant, both sweeps) anti-joins it before the ADC
+    * scan, so deleted ids stop appearing immediately — no rebuild, no
+    * re-encode, the codes stay where they are until compaction drops
+    * them. Deleting an id not (yet) in the index is a no-op by
+    * construction; replaying a delete batch is idempotent (duplicate
+    * tombstones collapse at read). Epoch-guarded with the full
+    * stage-then-commit discipline (a delete SILENTLY lost to a racing
+    * rebuild would be a takedown failure — the one direction this
+    * artifact must never fail quietly).
+    *
+    * Contracts: tombstones suppress BY ID — re-indexing a deleted id
+    * (append/ingest) leaves it suppressed until [[compactIvfPqIndex]]
+    * folds the tombstones away (compact anti-joins them out of the
+    * grown corpus, so deletion is DURABLE across compaction; a raw
+    * [[writeIvfPqIndex]] rebuild, by contrast, resets the index to
+    * whatever corpus it is given). [[ivfPqIndexHealth]] reports
+    * `tombstone_rows` / `dead_rows` — compact when the dead fraction
+    * says so. Scale shape: the tombstone table is bounded by the
+    * deletes between compactions and broadcasts into the serving
+    * anti-join; the delete itself is one tiny staged write. */
+  def deleteFromIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String,
+      afterStage: () => Unit = () => ()): Unit = {
+    val epoch = readIvfPqMeta(spark, path).getAs[Long]("epoch")
+    stageThenCommit(spark, path,
+      ids.select(col(idCol).as("n_id")).distinct(),
+      "tombstones.parquet", epoch, "deleteFromIvfPqIndex", afterStage)
   }
 
   /** Index one batch of new vectors into the stored index's INGEST DELTA —
@@ -1776,7 +1828,20 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       corpus: DataFrame, idCol: String, vecCol: String): Unit = {
     val meta = readIvfPqMeta(spark, path)
-    writeIvfPqIndex(corpus, idCol, vecCol, path,
+    // deletion is DURABLE across compaction: tombstoned ids are
+    // anti-joined out of the grown corpus BEFORE the rebuild, and the
+    // root swap then drops the tombstone table with the ingest delta —
+    // the compacted index neither stores nor suppresses them
+    val tombP = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
+    val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept =
+      if (fs.exists(tombP)) {
+        val tomb = spark.read.parquet(tombP.toString)
+          .select(col("n_id").as("__tomb_id"))
+        corpus.join(broadcast(tomb),
+          corpus(idCol) === col("__tomb_id"), "left_anti")
+      } else corpus
+    writeIvfPqIndex(kept, idCol, vecCol, path,
       nLists = meta.getAs[Int]("n_lists"),
       lloydIters = meta.getAs[Int]("lloyd_iters"),
       m = meta.getAs[Int]("m"), ksub = meta.getAs[Int]("ksub"),
@@ -1810,7 +1875,12 @@ object Similarity {
     *    publish record: not exactly m×ksub distinct (sub, code) rows
     *    covering [0,m)×[0,ksub), or non-uniform codeword length. A
     *    torn/foreign codebooks table is reported HERE instead of
-    *    corrupting the `bad_codes` arithmetic.
+    *    corrupting the `bad_codes` arithmetic;
+    *  - `tombstone_rows` / `dead_rows` — distinct ids deleted via
+    *    [[deleteFromIvfPqIndex]], and how many stored rows they
+    *    suppress (dead rows still occupy cells and probe cost until
+    *    [[compactIvfPqIndex]] drops them — a growing dead fraction is
+    *    the compact-now signal, same as a growing delta).
     *
     * Scale shape: centroids/codebooks are bounded model tables; the
     * index scan folds per-row checks map-side into a groupBy on `cell`
@@ -1849,21 +1919,39 @@ object Similarity {
     val all = (if (delta == null) base.withColumn("is_delta", lit(0L))
                else base.withColumn("is_delta", lit(0L))
                  .unionByName(delta.withColumn("is_delta", lit(1L))))
-    val r = all.select(col("cell"), col("is_delta"),
+    // tombstones: the delete delta ([[deleteFromIvfPqIndex]]). The
+    // distinct-id count and the per-row dead flag ride the same
+    // broadcast the serving anti-join uses; dead rows still count in
+    // the population stats (they occupy the cells until compaction —
+    // probe cost is about stored rows, not live ones).
+    val tombP = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
+    val tomb =
+      if (fs.exists(tombP))
+        spark.read.parquet(tombP.toString).select("n_id").distinct()
+      else null
+    val tombRows = if (tomb == null) 0L else tomb.count()
+    val flagged =
+      if (tomb == null) all.withColumn("__dead", lit(0L))
+      else all.join(broadcast(tomb.withColumn("__dead", lit(1L))),
+        Seq("n_id"), "left")
+        .withColumn("__dead", coalesce(col("__dead"), lit(0L)))
+    val r = flagged.select(col("cell"), col("is_delta"), col("__dead"),
         (size(col("codes")) =!= lit(m.toInt) ||
           exists(col("codes"), c => c < 0 || c >= lit(ksub.toInt)))
           .cast("long").as("bad"))
       .groupBy("cell")
       .agg(count(lit(1)).as("pop"), sum("bad").as("bad"),
-        sum("is_delta").as("d"))
+        sum("is_delta").as("d"), sum("__dead").as("dd"))
       .agg(count(lit(1)).as("cells_used"), sum("pop").as("total"),
         min("pop").as("min_pop"), max("pop").as("max_pop"),
-        sum("bad").as("bad_codes"), sum("d").as("delta_rows")).head()
+        sum("bad").as("bad_codes"), sum("d").as("delta_rows"),
+        sum("dd").as("dead_rows")).head()
     // an empty index aggregates to NULLs (count 0) — report zeros, not NPE
     def lg(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
     val (cellsUsed, total) = (lg(0), lg(1))
     val (minPop, maxPop) = (lg(2), lg(3))
     val (badCodes, deltaRows) = (lg(4), lg(5))
+    val deadRows = lg(6)
     val imbalance =
       if (total > 0) // max/mean over USED cells; 1.0 = perfectly even
         BigDecimal(maxPop.toDouble * cellsUsed / total)
@@ -1872,7 +1960,7 @@ object Similarity {
     localFrame(spark, Array(org.apache.spark.sql.Row(
       total, total - deltaRows, deltaRows, nLists, cellsUsed,
       nLists - cellsUsed, minPop, maxPop, imbalance, badCodes,
-      badCodebook)),
+      badCodebook, tombRows, deadRows)),
       org.apache.spark.sql.types.StructType(
         Seq("total_indexed", "base_rows", "delta_rows", "n_lists",
           "cells_used", "empty_cells", "min_pop", "max_pop").map(n =>
@@ -1883,6 +1971,10 @@ object Similarity {
           org.apache.spark.sql.types.StructField("bad_codes",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("bad_codebook",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tombstone_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dead_rows",
             org.apache.spark.sql.types.LongType))))
   }
 
@@ -1918,7 +2010,18 @@ object Similarity {
         baseIndex.unionByName(spark.read.parquet(ingest.toString)
           .select(cols: _*))
       else baseIndex
-    (meta.getAs[Boolean]("residual"), centroids, codebooks, index)
+    // tombstones ([[deleteFromIvfPqIndex]]) suppress deleted ids at the
+    // one site every serving path shares — BEFORE the probe join and
+    // ADC scan, so dead rows neither appear in results nor waste
+    // shortlist slots. Broadcast anti: the tombstone table is bounded
+    // by the deletes between compactions.
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
+    val served =
+      if (rootFs.exists(tomb))
+        index.join(broadcast(spark.read.parquet(tomb.toString)
+          .select("n_id")), Seq("n_id"), "left_anti")
+      else index
+    (meta.getAs[Boolean]("residual"), centroids, codebooks, served)
   }
 
   /** Exact re-rank of shortlisted candidates that REFUSES to silently

@@ -117,6 +117,11 @@ object Doctor {
       f"COMPACT: ${share * 100}%.0f%% of the index is ingest delta " +
         "encoded by a model that never saw it — compactIvfPqIndex over " +
         "the grown corpus"
+    else if (total > 0 &&
+      h.getAs[Long]("dead_rows").toDouble / total > 0.25)
+      f"COMPACT: ${h.getAs[Long]("dead_rows").toDouble / total * 100}%.0f%% " +
+        "of stored rows are tombstoned — they still cost probe scans; " +
+        "compactIvfPqIndex drops them (deletion stays durable)"
     else if (total > 0 && h.getAs[Double]("imbalance") > 4.0)
       f"RETRAIN: cell imbalance ${h.getAs[Double]("imbalance")}%.1fx " +
         "mean — probe cost and recall are hostage to fat cells; rebuild, " +

@@ -135,12 +135,16 @@ class DoctorSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("bad_codes",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("bad_codebook",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tombstone_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dead_rows",
           org.apache.spark.sql.types.LongType)))
     def row(total: Long, delta: Long, imb: Double, bad: Long,
-        badCb: Long) =
+        badCb: Long, dead: Long = 0L) =
       new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
         Array[Any](total, total - delta, delta, 16L, 16L, 0L, 1L, total,
-          imb, bad, badCb), schema)
+          imb, bad, badCb, dead, dead), schema)
     assert(Doctor.indexVerdict(row(100, 0, 1.2, 0, 0)).startsWith("OK"))
     assert(Doctor.indexVerdict(row(100, 30, 1.2, 0, 0)).startsWith("COMPACT"))
     assert(Doctor.indexVerdict(row(100, 0, 5.0, 0, 0)).startsWith("RETRAIN"))
@@ -149,5 +153,10 @@ class DoctorSpec extends SparkSpec {
     assert(Doctor.indexVerdict(row(100, 90, 9.0, 5, 1)).contains("codebooks"))
     // an empty index is servable-as-is (nothing to compact or retrain)
     assert(Doctor.indexVerdict(row(0, 0, Double.NaN, 0, 0)).startsWith("OK"))
+    // a heavily tombstoned index compacts (dead rows still cost probes)
+    assert(Doctor.indexVerdict(row(100, 0, 1.2, 0, 0, dead = 30L))
+      .contains("tombstoned"))
+    assert(Doctor.indexVerdict(row(100, 0, 1.2, 0, 0, dead = 10L))
+      .startsWith("OK"))
   }
 }

@@ -887,7 +887,7 @@ class SimilaritySpec extends SparkSpec {
       assert(spark.read.parquet(s"$idx/index.parquet").count() == rebuiltCount,
         "the raced append must land NOTHING visible in the new root")
       assert(!fs.listStatus(new org.apache.hadoop.fs.Path(idx))
-        .exists(_.getPath.getName.startsWith(".append-")),
+        .exists(_.getPath.getName.startsWith(".stage-")),
         "no staging debris may survive in the live root")
       // (b) the rebuild swaps the root between the ingest's fail-fast
       // check and its write — the batch dir lands INSIDE the new root,
@@ -988,6 +988,69 @@ class SimilaritySpec extends SparkSpec {
         assert(chain(ex).exists(_.contains("missing from corpusForRerank")),
           chain(ex).mkString(" | "))
       }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("tombstones: deletes suppress every serving path immediately, replay idempotently, outlive re-appends, and must never be lost to a racing rebuild") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-ts").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      val q = emb.filter(col("vec_id") === 0)
+      val del = emb.filter(col("vec_id") === 0).select("vec_id")
+      // (a) a rebuild racing the delete commit must make it THROW with
+      // nothing landed — a silently lost delete is a takedown failure
+      val ex = intercept[IllegalStateException](
+        Similarity.deleteFromIvfPqIndex(spark, idx, del, "vec_id",
+          afterStage = () => Similarity.writeIvfPqIndex(emb, "vec_id",
+            "embedding", idx, nLists = 4, lloydIters = 1, m = 8,
+            ksub = 16, pqIters = 1)))
+      assert(ex.getMessage.contains("republished"), ex.getMessage)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$idx/tombstones.parquet")),
+        "the raced delete must land nothing")
+      // (b) the clean delete suppresses the id in EVERY serving path:
+      // stored top-k, the probe sweep, and the filtered variant
+      Similarity.deleteFromIvfPqIndex(spark, idx, del, "vec_id")
+      assert(Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
+        nProbe = 4).filter(col("n_id") === 0).count() == 0L)
+      assert(Similarity.ivfPqStoredProbeSweep(spark, idx, emb, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
+        probes = Seq(1, 4)).filter(col("n_id") === 0).count() == 0L)
+      assert(Similarity.ivfPqStoredTopKFiltered(spark, idx, emb, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
+        where = lit(true), nProbe = 4).filter(col("n_id") === 0)
+        .count() == 0L)
+      // (c) replaying the delete is idempotent (duplicate tombstones
+      // collapse at read)
+      Similarity.deleteFromIvfPqIndex(spark, idx, del, "vec_id")
+      val h = Similarity.ivfPqIndexHealth(spark, idx).head()
+      assert(h.getAs[Long]("tombstone_rows") == 1L)
+      assert(h.getAs[Long]("dead_rows") == 1L)
+      // (d) tombstones suppress BY ID: re-appending the deleted id
+      // leaves it suppressed (and health counts both stored copies dead)
+      Similarity.appendIvfPqIndex(spark, idx,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding")
+      assert(Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
+        nProbe = 4).filter(col("n_id") === 0).count() == 0L)
+      val h2 = Similarity.ivfPqIndexHealth(spark, idx).head()
+      assert(h2.getAs[Long]("tombstone_rows") == 1L)
+      assert(h2.getAs[Long]("dead_rows") == 2L)
+      // (e) compaction makes the delete durable and folds the table away
+      Similarity.compactIvfPqIndex(spark, idx, emb, "vec_id", "embedding")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$idx/tombstones.parquet")))
+      val h3 = Similarity.ivfPqIndexHealth(spark, idx).head()
+      assert(h3.getAs[Long]("total_indexed") == emb.count() - 1)
+      assert(h3.getAs[Long]("tombstone_rows") == 0L &&
+        h3.getAs[Long]("dead_rows") == 0L)
+      assert(Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
+        nProbe = 4).filter(col("n_id") === 0).count() == 0L)
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
