@@ -22,6 +22,57 @@ object ExtQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Build-once stored-index fixtures shared across the IVF/PQ family's
+    * registered keys (r19, the `*FromPairs` precedent applied to index
+    * builds): before this, the five stored-index keys each trained and
+    * published a fresh index INSIDE their own lambda — ~27 s of the
+    * sf0.1 bench re-paying identical deterministic builds the artifact
+    * discipline exists to avoid. A fixture is keyed by (sfDir, spec)
+    * and built at most once per JVM; READ-ONLY consumers (stored
+    * search, sweeps, filtered search, the compact key's reference
+    * rebuild) share the artifact directly, while MUTATING consumers
+    * (append/ingest/delete/compact) work on a byte-copy [[cloneOf]] —
+    * builds are deterministic, so a clone is bit-identical to the
+    * fresh build the key used to make and per-key OUTPUT is unchanged.
+    * Fixture roots live until JVM exit (shutdown hook deletes them);
+    * clones are per-call and deleted by their key's own finally. */
+  private object IndexFixtures {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      cache.values.forEach { p =>
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).delete(hp, true): Unit
+        } catch { case _: Throwable => () }
+      }
+    }))
+    /** The shared artifact for `key`, built by `build(path)` on first
+      * use (computeIfAbsent: concurrent Verify workers asking for the
+      * same fixture block until the one build finishes). */
+    def shared(dir: String, key: String)(build: String => Unit): String =
+      cache.computeIfAbsent(s"$dir|$key", _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory(s"graft-fx-$key").toString
+        build(p)
+        p
+      })
+    /** A byte-copy of a fixture for a key that MUTATES the artifact. */
+    def cloneOf(s: SparkSession, src: String, prefix: String): String = {
+      val dst = java.nio.file.Files.createTempDirectory(prefix).toString
+      val conf = s.sparkContext.hadoopConfiguration
+      val sp = new org.apache.hadoop.fs.Path(src)
+      val dp = new org.apache.hadoop.fs.Path(dst)
+      val fs = sp.getFileSystem(conf)
+      fs.listStatus(sp).foreach(st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(dp, st.getPath.getName),
+          false, conf): Unit)
+      dst
+    }
+  }
+
   // ------------------------------------------------------------------ dedup
 
   val dedupExact: Q = (s, d) =>
@@ -713,24 +764,20 @@ object ExtQueries {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
     val w = col("label") % 2 === 0
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-fl").toString
-    try {
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
+    // read-only consumer of the shared payload-bearing heavy fixture
+    val idx = IndexFixtures.shared(d, "ivfpq-full-16x3-16x64x3-label")(p =>
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
         nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
-        residual = false, payload = Seq("label"))
-      val check = annFilteredRecallCheck(
-        Similarity.ivfPqStoredTopKFiltered(s, idx, e, "vec_id",
-          "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
-          where = w, nProbe = 8).select("q_id", "n_id"),
-        Similarity.bruteForceTopK(e.filter(w), "vec_id", "embedding",
-          q, "vec_id", "embedding", k = 10).select("q_id", "n_id"),
-        bad = e.filter(!w).select(col("vec_id").as("n_id")),
-        k = 10, hitsFloor = 28)
-      Similarity.localFrame(s, check.collect(), check.schema)
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+        residual = false, payload = Seq("label")))
+    val check = annFilteredRecallCheck(
+      Similarity.ivfPqStoredTopKFiltered(s, idx, e, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
+        where = w, nProbe = 8).select("q_id", "n_id"),
+      Similarity.bruteForceTopK(e.filter(w), "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10).select("q_id", "n_id"),
+      bad = e.filter(!w).select(col("vec_id").as("n_id")),
+      k = 10, hitsFloor = 28)
+    Similarity.localFrame(s, check.collect(), check.schema)
   }
 
   /** Product-quantization top-k (ADC shortlist + exact re-rank — the
@@ -785,21 +832,17 @@ object ExtQueries {
   val annIvfStoredQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    try {
-      Similarity.writeIvfIndex(e, "vec_id", "embedding", idx,
-        nLists = 16, lloydIters = 1)
-      val check = annRecallCheck(
-        Similarity.annIvfStored(s, idx, q, "vec_id", "embedding",
-          k = 10, nProbe = 4).select("q_id", "n_id"),
-        Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
-          "embedding", k = 10).select("q_id", "n_id"),
-        k = 10, hitsFloor = 15)
-      Similarity.localFrame(s, check.collect(), check.schema)
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+    // read-only consumer of the shared plain-IVF fixture (r19 build-once)
+    val idx = IndexFixtures.shared(d, "ivf-full-16x1")(p =>
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", p,
+        nLists = 16, lloydIters = 1))
+    val check = annRecallCheck(
+      Similarity.annIvfStored(s, idx, q, "vec_id", "embedding",
+        k = 10, nProbe = 4).select("q_id", "n_id"),
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10).select("q_id", "n_id"),
+      k = 10, hitsFloor = 15)
+    Similarity.localFrame(s, check.collect(), check.schema)
   }
 
   /** IVF-pruned PQ through the exact harness — both levers composed:
@@ -834,22 +877,18 @@ object ExtQueries {
   val pqStoredQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
-    val idx = java.nio.file.Files.createTempDirectory("graft-pq").toString
-    try {
-      Similarity.writePqIndex(e, "vec_id", "embedding", idx,
-        m = 16, ksub = 64, iters = 3)
-      val check = annRecallCheck(
-        Similarity.pqTopKStored(s, idx, e, "vec_id", "embedding",
-          q, "vec_id", "embedding", k = 10, shortlist = 80)
-          .select("q_id", "n_id"),
-        Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
-          "embedding", k = 10).select("q_id", "n_id"),
-        k = 10, hitsFloor = 40)
-      Similarity.localFrame(s, check.collect(), check.schema)
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+    // read-only consumer of the shared PQ fixture (r19 build-once)
+    val idx = IndexFixtures.shared(d, "pq-full-16x64x3")(p =>
+      Similarity.writePqIndex(e, "vec_id", "embedding", p,
+        m = 16, ksub = 64, iters = 3))
+    val check = annRecallCheck(
+      Similarity.pqTopKStored(s, idx, e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, shortlist = 80)
+        .select("q_id", "n_id"),
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10).select("q_id", "n_id"),
+      k = 10, hitsFloor = 40)
+    Similarity.localFrame(s, check.collect(), check.schema)
   }
 
   /** The COMPOSED stored-index path — the one family member a real user
@@ -866,26 +905,50 @@ object ExtQueries {
     * buys nothing at shortlist 80 and loses at tight shortlists, so the
     * registered production default stays plain. EAGER + self-cleaning
     * like ann_ivf_stored. */
+  /** The shared full-corpus heavy composed index (the ivf_pq_stored
+    * configuration) — read-only home of `ivf_pq_stored` and
+    * `ivf_pq_probe_sweep`. */
+  private def fullHeavyIvfPq(s: SparkSession, d: String): String = {
+    val e = t(s, d, "embeddings")
+    IndexFixtures.shared(d, "ivfpq-full-16x3-16x64x3")(p =>
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
+        nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
+        residual = false))
+  }
+
+  /** The shared full-corpus CHEAP composed index (1 Lloyd / 1 PQ iter) —
+    * `ivf_pq_compact`'s reference rebuild reads it; `ivf_pq_delete`
+    * clones it. */
+  private def fullCheapIvfPq(s: SparkSession, d: String): String = {
+    val e = t(s, d, "embeddings")
+    IndexFixtures.shared(d, "ivfpq-full-16x1-8x16x1")(p =>
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
+        nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1))
+  }
+
+  /** The shared even-half CHEAP composed index — the grow-story
+    * prestate `ivf_pq_health` and `ivf_pq_compact` clone before
+    * ingesting the odd half. */
+  private def evenCheapIvfPq(s: SparkSession, d: String): String = {
+    val e = t(s, d, "embeddings")
+    IndexFixtures.shared(d, "ivfpq-even-16x1-8x16x1")(p =>
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", p,
+        nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1))
+  }
+
   val ivfPqStoredQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
-    try {
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
-        nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
-        residual = false)
-      val check = annRecallCheck(
-        Similarity.ivfPqStoredTopK(s, idx, e, "vec_id", "embedding",
-          q, "vec_id", "embedding", k = 10, shortlist = 80, nProbe = 8)
-          .select("q_id", "n_id"),
-        Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
-          "embedding", k = 10).select("q_id", "n_id"),
-        k = 10, hitsFloor = 30)
-      Similarity.localFrame(s, check.collect(), check.schema)
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+    val idx = fullHeavyIvfPq(s, d) // read-only (r19 build-once)
+    val check = annRecallCheck(
+      Similarity.ivfPqStoredTopK(s, idx, e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, shortlist = 80, nProbe = 8)
+        .select("q_id", "n_id"),
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10).select("q_id", "n_id"),
+      k = 10, hitsFloor = 30)
+    Similarity.localFrame(s, check.collect(), check.schema)
   }
 
   /** The GROWING-corpus path through the composed stored index: train
@@ -904,11 +967,14 @@ object ExtQueries {
   val ivfPqIncrQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-incr").toString
-    try {
+    // the append MUTATES the artifact — clone the shared even-half build
+    // (byte-identical to the fresh build this key used to train itself)
+    val src = IndexFixtures.shared(d, "ivfpq-even-16x3-16x64x3")(p =>
       Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", idx, nLists = 16, lloydIters = 3,
-        m = 16, ksub = 64, pqIters = 3, residual = false)
+        "vec_id", "embedding", p, nLists = 16, lloydIters = 3,
+        m = 16, ksub = 64, pqIters = 3, residual = false))
+    val idx = IndexFixtures.cloneOf(s, src, "graft-ivfpq-incr")
+    try {
       Similarity.appendIvfPqIndex(s, idx,
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
       val check = annRecallCheck(
@@ -945,11 +1011,10 @@ object ExtQueries {
     * self-cleaning like ann_ivf_stored. */
   val ivfPqHealthQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-hl").toString
+    // the ingest MUTATES the artifact — clone the shared grow prestate
+    val idx = IndexFixtures.cloneOf(s, evenCheapIvfPq(s, d),
+      "graft-ivfpq-hl")
     try {
-      Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", idx,
-        nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
       Similarity.ingestIvfPqBatch(s, idx,
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
         batchId = 0L)
@@ -994,19 +1059,17 @@ object ExtQueries {
     * self-cleaning like ann_ivf_stored. */
   val ivfPqCompactQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-cp").toString
-    val fresh = java.nio.file.Files.createTempDirectory("graft-ivfpq-fr").toString
-    // per-element guard: a throw from the first delete must not leak the
-    // second temp index
+    // the ingest+compact MUTATE the artifact — clone the shared grow
+    // prestate; the reference rebuild is the shared full-corpus cheap
+    // fixture (read-only compare: same grown corpus, same config)
+    val idx = IndexFixtures.cloneOf(s, evenCheapIvfPq(s, d),
+      "graft-ivfpq-cp")
     def cleanup(p: String) =
       try {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
       } catch { case scala.util.control.NonFatal(_) => () }
     try {
-      Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", idx,
-        nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
       Similarity.ingestIvfPqBatch(s, idx,
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
         batchId = 0L)
@@ -1018,8 +1081,7 @@ object ExtQueries {
       val epochAfter = Similarity.readIvfPqEpoch(s, idx)
       // reference rebuild: same grown corpus, same config — the compacted
       // index table must match it row for row
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", fresh,
-        nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      val fresh = fullCheapIvfPq(s, d)
       val a = s.read.parquet(s"$idx/index.parquet")
       val b = s.read.parquet(s"$fresh/index.parquet")
       val matches =
@@ -1036,7 +1098,7 @@ object ExtQueries {
           Seq("epoch_bumped", "matches_rebuild").map(n =>
             org.apache.spark.sql.types.StructField(n,
               org.apache.spark.sql.types.IntegerType))))
-    } finally { cleanup(idx); cleanup(fresh) }
+    } finally cleanup(idx)
   }
 
   /** Index DELETION ([[Similarity.deleteFromIvfPqIndex]]) — the fourth
@@ -1060,10 +1122,11 @@ object ExtQueries {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
     val del = q.select("vec_id")
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-del").toString
+    // the delete + compact MUTATE the artifact — clone the shared
+    // full-corpus cheap fixture (r19 build-once)
+    val idx = IndexFixtures.cloneOf(s, fullCheapIvfPq(s, d),
+      "graft-ivfpq-del")
     try {
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
-        nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
       val epoch0 = Similarity.readIvfPqEpoch(s, idx)
       Similarity.deleteFromIvfPqIndex(s, idx, del, "vec_id")
       val h0 = Similarity.ivfPqIndexHealth(s, idx).head()
@@ -1122,11 +1185,10 @@ object ExtQueries {
     val exact = Similarity.bruteForceTopK(
       e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
       .select("q_id", "n_id").localCheckpoint()
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-ps").toString
-    try {
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
-        nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
-        residual = false)
+    // read-only consumer of the shared heavy fixture (r19 build-once) —
+    // the sweep only ever reads the published tables
+    val idx = fullHeavyIvfPq(s, d)
+    locally {
       val probes = Seq(1, 2, 4, 8)
       val sweep = Similarity.ivfPqStoredProbeSweep(s, idx, e, "vec_id",
           "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
@@ -1160,9 +1222,6 @@ object ExtQueries {
             org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("max_equals_stored",
             org.apache.spark.sql.types.IntegerType))))
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 
@@ -1187,10 +1246,11 @@ object ExtQueries {
     val exact = Similarity.bruteForceTopK(
       e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
       .select("q_id", "n_id").localCheckpoint()
-    val idx = java.nio.file.Files.createTempDirectory("graft-pqsweep").toString
-    try {
-      Similarity.writePqIndex(e, "vec_id", "embedding", idx,
-        m = 16, ksub = 64, iters = 3)
+    // read-only consumer of pq_stored's shared fixture (r19 build-once)
+    val idx = IndexFixtures.shared(d, "pq-full-16x64x3")(p =>
+      Similarity.writePqIndex(e, "vec_id", "embedding", p,
+        m = 16, ksub = 64, iters = 3))
+    locally {
       val hitRows = Similarity.pqStoredShortlistSweep(s, idx,
           e, "vec_id", "embedding", q, "vec_id", "embedding",
           k = 10, shortlists = Seq(10, 20, 40, 80))
@@ -1214,9 +1274,6 @@ object ExtQueries {
           col("monotone_ok"), col("final_floor_met"))
         .orderBy("shortlist")
       Similarity.localFrame(s, out.collect(), out.schema)
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 
