@@ -811,6 +811,81 @@ object ExtQueries {
     * aggregate, a sign/normalization regression, or a divergent
     * iteration flips a flag. Loadings and the residual identity are
     * pinned in SimilaritySpec. */
+  /** OPQ-rotated PQ ([[Similarity.pqTopKOpq]] — Ge et al. 2013,
+    * parametric variant): one learned orthonormal rotation (covariance
+    * eigenbasis + balanced eigenvalue allocation across the m
+    * subspaces) applied to corpus and queries before the standard
+    * codebook-train / encode / ADC / exact-re-rank pipeline, at the
+    * SAME m/ksub as pq_topk. Orthonormality preserves every dot
+    * product, so the harness and floor are directly comparable:
+    * measured hits, 5 queries × k=10, shortlist 80: 50 / 50 / 50
+    * across sf0.001 / 0.01 / 0.1 vs pq_topk's 50 / 50 / 48 — the
+    * rotation recovers the plain quantizer's sf0.1 misses; shared
+    * floor 40. `rotation_ok` pins R·Rᵀ = I within 1e-8 (driver-side,
+    * the rotation is a bounded model table). */
+  val pqOpqQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val dim = 64
+    val cU = e.select(col("vec_id").as("n_id"),
+      graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+    val r = Similarity.opqRotation(cU, "n_v", dim, m = 16)
+    var maxErr = 0.0
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var dot = 0.0
+      var p = 0
+      while (p < dim) { dot += r(i * dim + p) * r(j * dim + p); p += 1 }
+      maxErr = math.max(maxErr, math.abs(dot - (if (i == j) 1.0 else 0.0)))
+    }
+    annRecallCheck(
+      Similarity.pqTopKOpq(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10, shortlist = 80, dim = dim, m = 16,
+        ksub = 64, iters = 3, rotation = Some(r)).select("q_id", "n_id"),
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10).select("q_id", "n_id"),
+      k = 10, hitsFloor = 40)
+      .withColumn("rotation_ok", lit(if (maxErr < 1e-8) 1 else 0))
+  }
+
+  /** Top-r PCA ([[Similarity.pcaComponents]] — power iteration with
+    * deflation + per-step re-orthogonalization over the one bounded
+    * covariance pass): the multi-component extension of embed_pca,
+    * feeding whitening/rotation diagnostics beyond the single dominant
+    * direction. Differential convention: loadings are driver-math with
+    * no SQL mirror, so the oracle pins the INVARIANTS — every
+    * component unit-norm, pairwise orthogonal (max |dot| < 1e-6),
+    * eigenvalues non-increasing in component order, per-component and
+    * cumulative explained shares inside (0, 1]. */
+  val embedPcaRQ: Q = (s, d) => {
+    val pc = Similarity.pcaComponents(t(s, d, "embeddings"), "embedding",
+      k = 16, r = 4)
+    val per = pc.groupBy("component").agg(
+      sum(col("loading") * col("loading")).as("__nrm"),
+      first(col("lambda")).as("__lam"),
+      first(col("explained")).as("__exp"),
+      first(col("cum_explained")).as("__cum"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("component")
+    val flags = per
+      .withColumn("__lam_prev", lag(col("__lam"), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_components"),
+        when(max(abs(col("__nrm") - 1.0)) < 1e-9, 1).otherwise(0)
+          .as("unit_ok"),
+        when(min(when(col("__lam_prev").isNull, 1)
+          .otherwise((col("__lam") <= col("__lam_prev") + 1e-9)
+            .cast("int"))) === 1, 1).otherwise(0).as("lambda_desc_ok"),
+        when(min(col("__exp")) > 0 && max(col("__cum")) <= 1.000001, 1)
+          .otherwise(0).as("explained_ok"))
+    val ortho = pc.as("a")
+      .join(pc.as("b"), col("a.pos") === col("b.pos") &&
+        col("a.component") < col("b.component"))
+      .groupBy(col("a.component"), col("b.component"))
+      .agg(abs(sum(col("a.loading") * col("b.loading"))).as("__dot"))
+      .agg(when(max(col("__dot")) < 1e-6, 1).otherwise(0)
+        .as("orthogonal_ok"))
+    flags.crossJoin(ortho) // two 1-row frames
+  }
+
   val embedPcaQ: Q = (s, d) =>
     Similarity.pcaTopComponent(t(s, d, "embeddings"), "embedding", k = 16)
       .agg(count(lit(1)).as("n_dims"),
@@ -2263,7 +2338,9 @@ object ExtQueries {
     "ivf_pq_probe_sweep" -> ivfPqProbeSweepQ,
     "pq_shortlist_sweep" -> pqShortlistSweepQ,
     "ann_ivf_stored" -> annIvfStoredQ,
+    "pq_opq" -> pqOpqQ,
     "embed_pca" -> embedPcaQ,
+    "embed_pca_r" -> embedPcaRQ,
     "ann_probe_sweep" -> annProbeSweep,
     "lang_id" -> langId,
     "text_quality" -> textQuality,
@@ -2580,6 +2657,20 @@ object ExtQueries {
       """SELECT CAST(16 AS BIGINT) AS n_dims, CAST(1 AS INTEGER) AS unit_ok,
         |  CAST(1 AS INTEGER) AS lambda_pos, CAST(1 AS INTEGER) AS explained_ok
         |FROM (SELECT count(*) AS c FROM embeddings)""".stripMargin,
+    // top-r PCA: the oracle pins the eigen-invariants (driver math has
+    // no SQL mirror; a broken deflation flips a flag)
+    "embed_pca_r" ->
+      """SELECT CAST(4 AS BIGINT) AS n_components, CAST(1 AS INTEGER) AS unit_ok,
+        |  CAST(1 AS INTEGER) AS lambda_desc_ok, CAST(1 AS INTEGER) AS explained_ok,
+        |  CAST(1 AS INTEGER) AS orthogonal_ok
+        |FROM (SELECT count(*) AS c FROM embeddings)""".stripMargin,
+    // OPQ shares pq_topk's harness and floor at the same m/ksub; the
+    // rotation's orthonormality is additionally pinned
+    "pq_opq" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k, CAST(40 AS INTEGER) AS hits_floor,
+        |  CAST(1 AS INTEGER) AS floor_met,
+        |  CAST(1 AS INTEGER) AS rotation_ok""".stripMargin,
     // stored-index path shares ann_ivf's floor: the persisted index is
     // bit-identical to the in-memory build (deterministic seeds, exact
     // double round-trip), so recall cannot differ

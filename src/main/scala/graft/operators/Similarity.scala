@@ -777,6 +777,264 @@ object Similarity {
       schema)
   }
 
+  /** Top-`r` principal components of the first `k` embedding dimensions —
+    * [[pcaTopComponent]] extended by DEFLATION: after each converged
+    * component the covariance is reduced by λ·v·vᵀ and the next power
+    * iteration runs on the residual, with an explicit re-orthogonalization
+    * against the found components inside every iteration (deflation alone
+    * lets fp error reintroduce earlier directions). Same determinism
+    * conventions as the top-component probe: fixed uniform start, fixed
+    * iteration count, sequential index-order sums, largest-|loading|
+    * coordinate positive. Returns one row per (component, dimension):
+    * (component, pos, loading, lambda, explained, cum_explained), lambda
+    * the Rayleigh quotient on the ORIGINAL covariance and explained its
+    * share of the trace — the whitening / rotation feed ([[opqRotation]]
+    * uses the same eigen machinery at full width) and the drift
+    * diagnostic beyond the single dominant direction.
+    *
+    * Scale shape: the corpus work is the ONE partial-aggregated
+    * [[covarianceMatrix]] pass; the k×k matrix and all r iterations are
+    * driver-local. EAGER. */
+  def pcaComponents(
+      df: DataFrame, vecCol: String, k: Int, r: Int,
+      iters: Int = 200): DataFrame = {
+    require(r >= 1 && r <= k, s"r must be in [1, $k], got $r")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val tri = covarianceMatrix(df, vecCol, k).collect()
+    val c = Array.ofDim[Double](k, k)
+    tri.foreach { row =>
+      val i = row.getInt(0); val j = row.getInt(1); val v = row.getDouble(2)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    val work = c.map(_.clone())
+    def mul(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(k) { i =>
+        var s = 0.0; var j = 0
+        while (j < k) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+    val comps = Array.ofDim[Double](r, k)
+    val lambdas = new Array[Double](r)
+    val trace = (0 until k).map(i => c(i)(i)).sum
+    for (comp <- 0 until r) {
+      var v = Array.fill(k)(1.0 / math.sqrt(k.toDouble))
+      for (_ <- 0 until iters) {
+        var cv = mul(work, v)
+        // re-orthogonalize against every found component each step
+        for (p <- 0 until comp) {
+          val dot = (0 until k).map(i => cv(i) * comps(p)(i)).sum
+          cv = Array.tabulate(k)(i => cv(i) - dot * comps(p)(i))
+        }
+        val n = math.sqrt(cv.map(x => x * x).sum)
+        if (n > 0) v = cv.map(_ / n)
+      }
+      val pivot = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(pivot) < 0) v = v.map(-_)
+      comps(comp) = v
+      // Rayleigh on the ORIGINAL covariance (orthogonality to earlier
+      // components makes it equal the residual's quotient up to fp)
+      val cv0 = mul(c, v)
+      lambdas(comp) = v.indices.map(i => v(i) * cv0(i)).sum
+      // deflate
+      for (i <- 0 until k; j <- 0 until k)
+        work(i)(j) -= lambdas(comp) * v(i) * v(j)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("loading",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("lambda",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("explained",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cum_explained",
+        org.apache.spark.sql.types.DoubleType)))
+    val cum = lambdas.scanLeft(0.0)(_ + _).tail
+    localFrame(df.sparkSession,
+      (for (p <- 0 until r; i <- 0 until k) yield
+        org.apache.spark.sql.Row(p, i, comps(p)(i), lambdas(p),
+          if (trace > 0) lambdas(p) / trace else Double.NaN,
+          if (trace > 0) cum(p) / trace else Double.NaN)).toArray,
+      schema)
+  }
+
+  /** Population covariance of the first `d` vector dimensions in ONE
+    * bounded-buffer aggregation pass — the full-width twin of
+    * [[covarianceMatrix]], which plans d(d+1)/2 separate `covar_pop`
+    * aggregates and stops codegen-compiling around d≈32 (measured: the
+    * d=64 plan ships a 6 MiB task binary and dies). One
+    * [[GramAggregator]] buffer carries (count, d component sums,
+    * d(d+1)/2 cross sums) — 2 145 doubles at d=64, ~2.4 MB at d=768 —
+    * partial-aggregated map-side, ONE buffer per partition crossing the
+    * wire. Entries rounded to 6 decimals (the [[covarianceMatrix]]
+    * determinism gate). Driver-local result. */
+  private[graft] def gramCovariance(
+      df: DataFrame, vecCol: String, d: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val ds = df.select(col(vecCol).cast(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)).as("v"))
+      .as[Seq[Double]](ExpressionEncoder[Seq[Double]]())
+    val b = ds.select(new GramAggregator(d).toColumn).head()
+    val n = b(0)
+    require(n > 0, "gramCovariance: empty input")
+    val c = Array.ofDim[Double](d, d)
+    var p = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val cov = b(p) / n - (b(1 + i) / n) * (b(1 + j) / n)
+        val r = BigDecimal(cov)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        c(i)(j) = r; c(j)(i) = r
+        j += 1; p += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — driver-local
+    * (the model tables are bounded: d ≤ a few hundred), deterministic
+    * (fixed sweep order, no pivot search randomness). Returns
+    * (eigenvalues, eigenvectors as COLUMNS), unsorted. */
+  private[graft] def jacobiEigen(
+      a0: Array[Array[Double]], sweeps: Int = 50)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 // theta == 0 -> 45-degree rotation
+              case x => x
+            }
+          val cos = 1.0 / math.sqrt(t * t + 1.0)
+          val sin = t * cos
+          var i = 0
+          while (i < d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = cos * aip - sin * aiq
+            a(i)(q) = sin * aip + cos * aiq
+            i += 1
+          }
+          i = 0
+          while (i < d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = cos * api - sin * aqi
+            a(q)(i) = sin * api + cos * aqi
+            i += 1
+          }
+          i = 0
+          while (i < d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = cos * vip - sin * viq
+            v(i)(q) = sin * vip + cos * viq
+            i += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** OPQ rotation (Ge et al., "Optimized Product Quantization", CVPR
+    * 2013 — the PARAMETRIC variant §4.1, public knowledge): an
+    * orthonormal d×d rotation that (1) decorrelates dimensions by
+    * rotating into the covariance eigenbasis and (2) BALANCES variance
+    * across the m PQ subspaces by allocating eigen-directions to
+    * subspaces greedily on the log-eigenvalue sum (equalizing each
+    * subspace's variance product — the independence+balance assumption
+    * under which PQ distortion is minimized). Returned as the FLAT
+    * row-major matrix for the [[graft.plans.MatVec]] kernel: y = R·x,
+    * with rows grouped so subspace s owns output coordinates
+    * [s·dsub, (s+1)·dsub). Rotating both corpus and queries preserves
+    * every dot product (R orthonormal), so exact re-ranks and recall
+    * comparisons are unchanged — only the quantizer sees a friendlier
+    * coordinate system.
+    *
+    * Scale shape: ONE [[gramCovariance]] pass over the corpus (bounded
+    * buffer), then driver-local Jacobi at d×d; the rotation ships as a
+    * plan constant into a map-side kernel. Deterministic end to end. */
+  def opqRotation(
+      df: DataFrame, vecCol: String, d: Int, m: Int): Array[Double] = {
+    require(m >= 1 && d % m == 0, s"d=$d must be divisible by m=$m")
+    val dsub = d / m
+    val (lam, vec) = jacobiEigen(gramCovariance(df, vecCol, d))
+    // eigen indices sorted by descending eigenvalue (index tie-break)
+    val order = (0 until d).sortBy(i => (-lam(i), i))
+    // greedy balanced allocation on log-eigenvalues (floor tiny/negative
+    // eigenvalues: log of a degenerate direction, not a hard error)
+    val logs = lam.map(l => if (l > 1e-12) math.log(l) else math.log(1e-12))
+    val bucketOf = new Array[Int](d)
+    val load = new Array[Double](m)
+    val fill = new Array[Int](m)
+    order.foreach { e =>
+      val b = (0 until m).filter(fill(_) < dsub).minBy(b0 => (load(b0), b0))
+      bucketOf(e) = b
+      load(b) += logs(e)
+      fill(b) += 1
+    }
+    // R rows: subspace-grouped eigenvectors (transposed columns of V)
+    val rows = (0 until m).flatMap(b => order.filter(bucketOf(_) == b))
+    val flat = new Array[Double](d * d)
+    rows.zipWithIndex.foreach { case (e, r) =>
+      var i = 0
+      while (i < d) { flat(r * d + i) = vec(i)(e); i += 1 }
+    }
+    flat
+  }
+
+  /** PQ search with an OPQ pre-rotation — [[pqTopKRerank]] run in the
+    * rotated coordinate system: train the rotation on the unitized
+    * corpus ([[opqRotation]]), rotate corpus and queries with the
+    * [[graft.plans.MatVec]] kernel (a map-side projection — the
+    * rotation is a plan constant), and run the standard
+    * codebook-train / encode / ADC-shortlist / exact-re-rank pipeline
+    * on the rotated vectors. Because the rotation is orthonormal, the
+    * exact re-rank cosines equal the original-space cosines (up to
+    * fp), so output keeps [[bruteForceTopK]]'s contract and recall is
+    * directly comparable with [[pqTopKRerank]] at the same m/ksub —
+    * the rotation only changes what the QUANTIZER sees (decorrelated,
+    * variance-balanced subspaces: the Ge et al. setting where PQ
+    * distortion is provably lower). */
+  def pqTopKOpq(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlist: Int, dim: Int, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, rotation: Option[Array[Double]] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(rotation.forall(_.length == dim * dim),
+      s"rotation must be a flat $dim x $dim matrix")
+    val cU = corpus.select(col(corpusId).as("n_id"),
+      VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
+    val r = rotation.getOrElse(opqRotation(cU, "n_v", dim, m))
+    val rLit = org.apache.spark.sql.graftshim.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        r.toSeq, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    val cRot = cU.select(col("n_id"),
+      graft.plans.MatVec.matVecCol(rLit, col("n_v")).as("n_v"))
+    val qRot = queries.select(col(queryId).as("q_id"),
+      graft.plans.MatVec.matVecCol(rLit,
+        VectorFns.unitizeNative(col(queryVec))).as("q_v"))
+    pqTopKRerank(cRot, "n_id", "n_v", qRot, "q_id", "q_v",
+      k, shortlist, m, ksub, iters)
+  }
+
   /** Driver-local DataFrame from collected rows + schema — the eager
     * small-result idiom shared by [[kmeansCentroids]] (k-row centroid
     * tables) and self-cleaning queries that must materialize a result
@@ -2350,4 +2608,54 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "cos")
   }
+}
+
+/** One-buffer Gram/covariance aggregation: (count, d component sums,
+  * d(d+1)/2 upper-triangle cross sums) in a single flat array — the
+  * bounded-buffer covariance pass behind [[Similarity.gramCovariance]]
+  * (the per-pair `covar_pop` plan stops compiling around d≈32; this is
+  * one partial-aggregated buffer per partition at any d). NULL or
+  * short vectors throw — covar_pop silently drops them, which is the
+  * failure mode `covarianceMatrix`'s guard exists to prevent; same
+  * contract here. */
+private[graft] class GramAggregator(d: Int)
+  extends org.apache.spark.sql.expressions.Aggregator[
+    Seq[Double], Array[Double], Array[Double]] {
+
+  private val size = 1 + d + d * (d + 1) / 2
+
+  override def zero: Array[Double] = new Array[Double](size)
+
+  override def reduce(b: Array[Double], x: Seq[Double]): Array[Double] = {
+    if (x == null || x.length < d)
+      throw new IllegalArgumentException(
+        s"gramCovariance: NULL or <$d-dim vector — fix the feed first " +
+          "(audit with embed_integrity)")
+    val a = new Array[Double](d)
+    var i = 0
+    while (i < d) { a(i) = x(i); i += 1 }
+    b(0) += 1
+    var p = 1 + d
+    i = 0
+    while (i < d) {
+      b(1 + i) += a(i)
+      var j = i
+      while (j < d) { b(p) += a(i) * a(j); j += 1; p += 1 }
+      i += 1
+    }
+    b
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < size) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[Double]): Array[Double] = b
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
 }

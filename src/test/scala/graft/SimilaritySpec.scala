@@ -1082,6 +1082,120 @@ class SimilaritySpec extends SparkSpec {
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
+  test("pcaComponents: orthonormal, eigenvalues descend, r=1 equals the top-component probe, and explained shares stay bounded") {
+    val pc = Similarity.pcaComponents(emb, "embedding", k = 16, r = 4)
+      .collect()
+    val byComp = pc.groupBy(_.getInt(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray).toMap
+    assert(byComp.size == 4)
+    // unit norms + pairwise orthogonality
+    for (p <- 0 until 4) {
+      val v = byComp(p)
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, s"comp $p norm")
+      for (q2 <- p + 1 until 4) {
+        val dot = v.zip(byComp(q2)).map { case (a, b) => a * b }.sum
+        assert(math.abs(dot) < 1e-6, s"components $p,$q2 dot $dot")
+      }
+    }
+    // eigenvalues non-increasing; explained/cumulative bounded
+    val lams = (0 until 4).map(p2 =>
+      pc.find(_.getInt(0) == p2).get.getDouble(3))
+    assert(lams.sliding(2).forall(w => w(0) >= w(1) - 1e-9), lams.toString)
+    val cums = pc.map(_.getDouble(5))
+    assert(cums.forall(c => c > 0 && c <= 1.000001))
+    // r=1 reproduces pcaTopComponent exactly (same start, same math)
+    val top = Similarity.pcaTopComponent(emb, "embedding", k = 16)
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val c0 = byComp(0)
+    assert(top.zip(c0).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("gramCovariance cross-validates covarianceMatrix, and the Jacobi eigenbasis reconstructs it") {
+    val k = 8
+    val viaAgg = Similarity.gramCovariance(emb, "embedding", k)
+    val viaCov = {
+      val c = Array.ofDim[Double](k, k)
+      Similarity.covarianceMatrix(emb, "embedding", k).collect().foreach {
+        r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+             c(r.getInt(1))(r.getInt(0)) = r.getDouble(2) }
+      c
+    }
+    // two independent implementations (per-pair covar_pop vs one flat
+    // buffer); both round to 6 decimals — allow one last-digit flip from
+    // accumulation order
+    for (i <- 0 until k; j <- 0 until k)
+      assert(math.abs(viaAgg(i)(j) - viaCov(i)(j)) <= 2e-6,
+        s"cov($i,$j): ${viaAgg(i)(j)} vs ${viaCov(i)(j)}")
+    val (lam, v) = Similarity.jacobiEigen(viaAgg)
+    // V diag(lam) V^T == C within tolerance, and V orthonormal
+    for (i <- 0 until k; j <- 0 until k) {
+      var s = 0.0; var t = 0.0
+      for (p <- 0 until k) { s += v(i)(p) * lam(p) * v(j)(p); t += v(i)(p) * v(j)(p) }
+      assert(math.abs(s - viaAgg(i)(j)) < 1e-8, s"reconstruct($i,$j)")
+      assert(math.abs(t - (if (i == j) 1.0 else 0.0)) < 1e-10, s"orth($i,$j)")
+    }
+  }
+
+  test("MatVec kernel matches the scala reference, and the OPQ rotation preserves dot products and subspace structure") {
+    import sqlContext.implicits._
+    import org.apache.spark.sql.functions.{col => fcol}
+    val dim = 64
+    val m = 16
+    val cU = emb.select(fcol("vec_id").as("n_id"),
+      graft.functions.VectorFns.unitizeNative(fcol("embedding")).as("n_v"))
+    val r = Similarity.opqRotation(cU, "n_v", dim, m)
+    assert(r.length == dim * dim)
+    // kernel vs driver-side reference on real vectors
+    val rLit = org.apache.spark.sql.graftshim.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        r.toSeq, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    val rows = cU.limit(20)
+      .withColumn("rot", graft.plans.MatVec.matVecCol(rLit, fcol("n_v")))
+      .select("n_v", "rot").collect()
+    rows.foreach { row =>
+      val x = row.getSeq[Double](0).toArray
+      val y = row.getSeq[Double](1).toArray
+      val exp = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => r(i * dim + j) * x(j)).sum)
+      y.zip(exp).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12) }
+      // orthonormal rotation preserves norms (hence all dot products)
+      assert(math.abs(y.map(v2 => v2 * v2).sum - x.map(v2 => v2 * v2).sum)
+        < 1e-9)
+    }
+    // NULL propagates; a torn constant throws loudly
+    val nullRow = Seq((1L, null: Array[Double])).toDF("n_id", "n_v")
+      .withColumn("rot", graft.plans.MatVec.matVecCol(rLit, fcol("n_v")))
+    assert(nullRow.select("rot").head().isNullAt(0))
+    intercept[Exception] {
+      Seq((1L, Array(1.0, 2.0, 3.0))).toDF("n_id", "n_v")
+        .withColumn("rot", graft.plans.MatVec.matVecCol(rLit, fcol("n_v")))
+        .collect()
+    }
+    // OPQ recall on the fixture clears the plain-PQ floor
+    val q = emb.filter(fcol("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10).select("q_id", "n_id").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    val opq = Similarity.pqTopKOpq(emb, "vec_id", "embedding", q,
+      "vec_id", "embedding", k = 10, shortlist = 80, dim = dim, m = 16,
+      ksub = 64, iters = 3, rotation = Some(r))
+    val got = opq.select("q_id", "n_id", "cos").collect()
+    val hits = got.count(row => exact.contains((row.getLong(0), row.getLong(1))))
+    assert(hits >= 80, s"OPQ recall too low: $hits/100")
+    // the output cosine is the ORIGINAL-space cosine (rotation preserves
+    // dots): compare against the exact twin's cos for overlapping pairs
+    val exactCos = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10).select("q_id", "n_id", "cos")
+      .collect().map(row =>
+        (row.getLong(0), row.getLong(1)) -> row.getDouble(2)).toMap
+    got.foreach { row =>
+      exactCos.get((row.getLong(0), row.getLong(1))).foreach { c0 =>
+        assert(math.abs(row.getDouble(2) - c0) < 1e-5) }
+    }
+  }
+
   test("the flat centroid constant ships ONCE: both plan occurrences (kernel child + cv recovery) share one value object") {
     val c = emb.select(col("vec_id").as("n_id"),
       graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
