@@ -570,6 +570,80 @@ object DocStreams {
       .start()
   }
 
+  /** [[ivfPqIngestSink]] + a recall-vs-cost WATCH: the streaming twin of
+    * the tuning curves ([[graft.operators.Similarity
+    * .ivfPqStoredProbeSweep]]), closing the loop the batch sweep opens —
+    * a probe budget pinned at build time silently ages as ingest grows
+    * the delta (arrivals are encoded by a model that never saw them, so
+    * the probes-vs-recall trade drifts batch by batch). Per micro-batch
+    * this sink (1) lands the batch into the index's ingest delta exactly
+    * like [[ivfPqIngestSink]] (same encode stage, same replay-idempotent
+    * `batch_id=` partitions, same epoch guard), (2) lands the batch's
+    * RAW vectors under `outRoot/vectors/batch_id=<id>` (the re-rank
+    * needs true vectors for shortlisted arrivals — the index stores
+    * codes only), and (3) answers the FIXED evaluation query set with
+    * the one-scan probe sweep over the GROWN index (base + delta), the
+    * re-rank corpus being `baseCorpus` ∪ the landed vector deltas,
+    * writing the curve to `outRoot/sweeps/batch_id=<id>` — overwrite
+    * per partition, so redelivery rewrites identical content. Each
+    * batch's sweep is bit-equal to running the batch
+    * `ivfPqStoredProbeSweep` at that moment (StreamingSpec pins the
+    * parity) — operators watch `outRoot/sweeps` to see exactly when the
+    * pinned budget stops clearing the recall bar and compaction is due.
+    *
+    * Scale shape: everything the batch sweep promises (one compressed
+    * scan at the deepest budget per batch, bounded windows) plus the
+    * ingest sink's bounded model tables; the eval query set is small
+    * and fixed by contract — the per-batch cost is ONE sweep, not one
+    * per budget. */
+  def ivfPqSweepIngestSink(
+      stream: DataFrame, path: String, idCol: String, vecCol: String,
+      baseCorpus: DataFrame, evalQueries: DataFrame, k: Int,
+      shortlist: Int, probes: Seq[Int], outRoot: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!evalQueries.isStreaming && !baseCorpus.isStreaming,
+      "baseCorpus/evalQueries must be static tables")
+    val spark = stream.sparkSession
+    val Sim = graft.operators.Similarity
+    def localCopy(p: String) = {
+      val df = spark.read.parquet(p)
+      Sim.localFrame(spark, df.collect(), df.schema)
+    }
+    // epoch before models — the ivfPqIngestSink capture-order contract
+    val meta = Sim.readIvfPqMeta(spark, path)
+    val residual = meta.getAs[Boolean]("residual")
+    val epoch = meta.getAs[Long]("epoch")
+    val payload = Sim.ivfPqPayloadCols(meta)
+    val centroids = localCopy(s"$path/centroids.parquet")
+    val codebooks = localCopy(s"$path/codebooks.parquet")
+    val vecRoot = s"$outRoot/vectors"
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            Sim.commitIvfPqIngest(spark, path, batch.toDF(), idCol, vecCol,
+              id, centroids, codebooks, residual, epoch, payload)
+            batch.toDF().select(col(idCol) +: col(vecCol) +:
+                payload.map(col): _*)
+              .write.mode("overwrite").parquet(s"$vecRoot/batch_id=$id")
+            // re-rank corpus = base + every landed arrival (fresh read
+            // per batch so earlier deltas are visible)
+            val grown = baseCorpus
+              .select(col(idCol) +: col(vecCol) +: payload.map(col): _*)
+              .unionByName(spark.read.parquet(vecRoot)
+                .select(col(idCol) +: col(vecCol) +: payload.map(col): _*))
+            Sim.ivfPqStoredProbeSweep(spark, path, grown, idCol, vecCol,
+                evalQueries, idCol, vecCol, k, shortlist, probes)
+              .write.mode("overwrite")
+              .parquet(s"$outRoot/sweeps/batch_id=$id")
+          }
+          (): Unit
+      }
+      .start()
+  }
+
   def qualityGate(
       stream: DataFrame, cuts: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {

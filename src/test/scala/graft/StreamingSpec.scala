@@ -1212,6 +1212,63 @@ class StreamingSpec extends SparkSpec {
     } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
   }
 
+  test("ivfPqSweepIngestSink: the per-batch recall-vs-cost curve is bit-equal to the batch sweep over the grown index at that moment") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    def vec(i: Int): Array[Double] = Array.tabulate(16)(j =>
+      math.sin(i * 7.0 + j * 3.0) + (if (j % 4 == i % 4) 2.0 else 0.0))
+    val all = (0 until 40).map(i => (i.toLong, vec(i)))
+    val base = all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val arrivals = all.filter(_._1 % 2 == 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-swp").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = s"$dir/idx"
+    val out = s"$dir/out"
+    val probes = Seq(1, 2, 4)
+    val evalQ = all.take(4).toDF("vec_id", "embedding")
+    try {
+      graft.operators.Similarity.writeIvfPqIndex(base, "vec_id",
+        "embedding", idx, nLists = 4, lloydIters = 1, m = 4, ksub = 8,
+        pqIters = 1)
+      val mem = MemoryStream[(Long, Array[Double])]
+      val q = DocStreams.ivfPqSweepIngestSink(
+        mem.toDF().toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+        baseCorpus = base, evalQueries = evalQ, k = 3, shortlist = 100,
+        probes = probes, outRoot = out, checkpointDir = s"$dir/ckpt")
+      try {
+        mem.addData(arrivals.take(10)); q.processAllAvailable()
+        mem.addData(arrivals.drop(10)); q.processAllAvailable()
+      } finally q.stop()
+      // one curve per micro-batch, each in its own replayable partition
+      assert(spark.read.parquet(s"$out/sweeps")
+        .select("batch_id").distinct().count() == 2)
+      def curve(df: org.apache.spark.sql.DataFrame) =
+        df.select("n_probe", "q_id", "n_id", "rank").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+          .toSet
+      // batch-2 parity: the recorded curve equals the batch sweep over
+      // the grown index with the grown re-rank corpus, run NOW
+      val recorded = curve(spark.read.parquet(s"$out/sweeps")
+        .filter(col("batch_id") === 1))
+      val expected = curve(graft.operators.Similarity
+        .ivfPqStoredProbeSweep(spark, idx, all.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", evalQ, "vec_id", "embedding",
+          k = 3, shortlist = 100, probes = probes))
+      assert(recorded == expected,
+        "streamed sweep must equal the batch sweep at the same moment")
+      // the raw arrivals landed beside the curve (the re-rank feed)
+      assert(spark.read.parquet(s"$out/vectors").count() == arrivals.size)
+      // batch-1's curve was computed over base + first cut only — it
+      // must NOT contain any second-cut id (no time travel)
+      val secondCut = arrivals.drop(10).map(_._1).toSet
+      val firstCurveIds = spark.read.parquet(s"$out/sweeps")
+        .filter(col("batch_id") === 0).select("n_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(firstCurveIds.intersect(secondCut).isEmpty)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
   test("ivfPqIngestSink epoch guard: a rebuild swapping the root mid-stream fails the next batch loudly and lands nothing") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
