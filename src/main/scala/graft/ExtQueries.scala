@@ -39,12 +39,19 @@ object ExtQueries {
   private object IndexFixtures {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // java.nio, NOT the Hadoop FileSystem cache: Hadoop's own shutdown
+    // hook may have closed the cached FS before ours runs ("FileSystem
+    // closed" → silently leaked fixture dirs). The fixtures are always
+    // local temp dirs, so a plain recursive delete needs no FS layer.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val conf = new org.apache.hadoop.conf.Configuration()
       cache.values.forEach { p =>
         try {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(conf).delete(hp, true): Unit
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          val root = Paths.get(p)
+          if (Files.exists(root))
+            Files.walk(root).iterator().asScala.toSeq.reverseIterator
+              .foreach(f => Files.deleteIfExists(f): Unit)
         } catch { case _: Throwable => () }
       }
     }))

@@ -887,8 +887,11 @@ object Similarity {
     while (i < d) {
       var j = i
       while (j < d) {
-        val cov = b(p) / n - (b(1 + i) / n) * (b(1 + j) / n)
-        val r = BigDecimal(cov)
+        // the buffer carries the centered CO-MOMENT Σ(xᵢ−μᵢ)(xⱼ−μⱼ)
+        // (Welford/Chan — covar_pop's own algorithm), so this division
+        // is the population covariance with no E[xy]−E[x]E[y]
+        // cancellation on non-centered data
+        val r = BigDecimal(b(p) / n)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         c(i)(j) = r; c(j)(i) = r
         j += 1; p += 1
@@ -1026,11 +1029,21 @@ object Similarity {
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         r.toSeq, org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType)))
-    val cRot = cU.select(col("n_id"),
-      graft.plans.MatVec.matVecCol(rLit, col("n_v")).as("n_v"))
+    // the rotation is only a geometry-preserving change of basis when it
+    // is FULL-width: a dim smaller than the true vector width would pass
+    // MatVec's divisibility guard (dim*dim % width can still be 0) and
+    // silently project into garbage space — unlike pcaComponents/
+    // gramCovariance, there is no meaningful "first dim dims" reading of
+    // a rotated SEARCH, so enforce exact width per row, loudly
+    def rotated(v: Column): Column =
+      when(size(v) === dim, graft.plans.MatVec.matVecCol(rLit, v))
+        .otherwise(raise_error(concat(
+          lit(s"pqTopKOpq: vector width "), size(v).cast("string"),
+          lit(s" != dim $dim — the OPQ rotation must be trained and " +
+            "applied at the full embedding width"))))
+    val cRot = cU.select(col("n_id"), rotated(col("n_v")).as("n_v"))
     val qRot = queries.select(col(queryId).as("q_id"),
-      graft.plans.MatVec.matVecCol(rLit,
-        VectorFns.unitizeNative(col(queryVec))).as("q_v"))
+      rotated(VectorFns.unitizeNative(col(queryVec))).as("q_v"))
     pqTopKRerank(cRot, "n_id", "n_v", qRot, "q_id", "q_v",
       k, shortlist, m, ksub, iters)
   }
@@ -1942,16 +1955,34 @@ object Similarity {
       requireIvfPqEpoch(spark, path, expectedEpoch, action)
       val dest = new org.apache.hadoop.fs.Path(root, destName)
       fs.mkdirs(dest) // first commit of this table (tombstones delta)
+      // track committed files so a rename failing PARTWAY (disk quota,
+      // permissions, or a racing swap) rolls the earlier ones back —
+      // without the rollback, "re-run the batch" on a partial commit
+      // would double-land the already-committed ids (r19 review)
+      val moved = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.Path]
       fs.listStatus(staging).map(_.getPath)
         .filter(_.getName.startsWith("part-")).foreach { p =>
           // staged part names carry the staging job's own UUID — unique
           // in dest by construction
-          if (!fs.rename(p, new org.apache.hadoop.fs.Path(dest, p.getName)))
+          val target = new org.apache.hadoop.fs.Path(dest, p.getName)
+          if (!fs.rename(p, target)) {
+            val undone = moved.forall(m =>
+              try fs.delete(m, false)
+              catch { case scala.util.control.NonFatal(_) => false })
             throw new IllegalStateException(
-              s"$action: commit rename of staged file $p into " +
-                s"$dest failed — a rebuild likely swapped the root " +
-                "mid-commit (the staging moved with the superseded " +
-                "root); re-run the batch against the new index")
+              s"$action: commit rename of staged file $p into $dest " +
+                "failed (a racing rebuild's root swap, or an fs error); " +
+                (if (undone)
+                  "already-committed files were rolled back — nothing " +
+                    "landed; re-run the batch"
+                else
+                  s"rollback of ${moved.size} already-committed file(s) " +
+                    "ALSO failed — the table may hold a partial batch; " +
+                    "verify with ivfPqIndexHealth before re-running " +
+                    "(a blind re-run would double-land those ids)"))
+          }
+          moved += target
         }
     } finally {
       // staging cleanup must not mask a commit failure
@@ -2363,16 +2394,29 @@ object Similarity {
     // `checked` entirely and none of the row-level raises could fire.
     // Preserve the full query-id set with a left-outer join — the
     // survivor frame is ids+cos (vectors dropped above), bounded by
-    // shortlist×|queries|, so it broadcasts (BuildRight, no exchange) —
-    // and raise from the preserved side naming the vanished query.
+    // shortlist×|queries|, so it broadcasts (BuildRight, no exchange).
+    // The raise is SYSTEMIC-only (r19 review): raise when EVERY query
+    // vanished — the wrong-corpus-table shape, where no other check can
+    // fire — but let an ISOLATED vanished query return zero rows, since
+    // that shape is a legitimately empty probe (all nProbe cells empty
+    // or fully tombstoned; health reports empty_cells without alarm)
+    // and one degenerate query must not abort the whole batch or brick
+    // a streaming sweep sink. Honest limit: a corpus missing exactly
+    // one query's ENTIRE shortlist while overlapping every other
+    // query's is indistinguishable from an empty probe and drops
+    // silently — any partial overlap anywhere still raises above.
+    val wAll = Window.partitionBy(lit(1))
     qkeyed.select("q_id").join(broadcast(checked), Seq("q_id"), "left_outer")
+      .withColumn("__any", count(col("n_id")).over(wAll))
       .where(when(col("n_id").isNotNull, lit(true))
+        .when(col("__any") > 0, lit(false)) // isolated empty probe: drop
         .otherwise(raise_error(concat(
-          lit(s"$caller: query "), col("q_id").cast("string"),
-          lit(" has no surviving candidates — either its ENTIRE " +
-            "shortlist is missing from corpusForRerank (wrong corpus " +
-            "table?) or its probe returned no rows (all probed cells " +
-            "empty)")))))
+          lit(s"$caller: EVERY query has zero surviving candidates — " +
+            "corpusForRerank shares no ids with the index (wrong " +
+            "corpus table?) or every probe returned no rows"),
+          lit(" (first query id: "), col("q_id").cast("string"),
+          lit(")")))))
+      .drop("__any")
   }
 
   /** IVF+PQ search answered ENTIRELY from a stored [[writeIvfPqIndex]]
@@ -2610,14 +2654,19 @@ object Similarity {
   }
 }
 
-/** One-buffer Gram/covariance aggregation: (count, d component sums,
-  * d(d+1)/2 upper-triangle cross sums) in a single flat array — the
-  * bounded-buffer covariance pass behind [[Similarity.gramCovariance]]
-  * (the per-pair `covar_pop` plan stops compiling around d≈32; this is
-  * one partial-aggregated buffer per partition at any d). NULL or
-  * short vectors throw — covar_pop silently drops them, which is the
-  * failure mode `covarianceMatrix`'s guard exists to prevent; same
-  * contract here. */
+/** One-buffer covariance aggregation in CENTERED co-moment form:
+  * (count, d running means, d(d+1)/2 upper-triangle co-moments
+  * Σ(xᵢ−μᵢ)(xⱼ−μⱼ)) maintained by the Welford update with Chan's
+  * parallel merge — the same numerically stable algorithm Spark's own
+  * `covar_pop` uses, so [[Similarity.gramCovariance]] really is its
+  * full-width twin (a raw-sum E[xy]−E[x]E[y] layout cancels
+  * catastrophically on non-centered data: component means ~1e4 with
+  * unit variances lose ~8 significant digits — r19 review). One
+  * partial-aggregated buffer per partition at any d (the per-pair
+  * `covar_pop` plan stops compiling around d≈32). NULL or short
+  * vectors throw — covar_pop silently drops them, which is the failure
+  * mode `covarianceMatrix`'s guard exists to prevent; same contract
+  * here. */
 private[graft] class GramAggregator(d: Int)
   extends org.apache.spark.sql.expressions.Aggregator[
     Seq[Double], Array[Double], Array[Double]] {
@@ -2631,24 +2680,47 @@ private[graft] class GramAggregator(d: Int)
       throw new IllegalArgumentException(
         s"gramCovariance: NULL or <$d-dim vector — fix the feed first " +
           "(audit with embed_integrity)")
-    val a = new Array[Double](d)
+    val n = b(0) + 1
+    b(0) = n
+    // delta from the OLD means, then update means, then co-moments with
+    // (x_j − NEW mean_j): the textbook Welford two-variable update
+    val delta = new Array[Double](d)
     var i = 0
-    while (i < d) { a(i) = x(i); i += 1 }
-    b(0) += 1
+    while (i < d) { delta(i) = x(i) - b(1 + i); i += 1 }
+    i = 0
+    while (i < d) { b(1 + i) += delta(i) / n; i += 1 }
     var p = 1 + d
     i = 0
     while (i < d) {
-      b(1 + i) += a(i)
       var j = i
-      while (j < d) { b(p) += a(i) * a(j); j += 1; p += 1 }
+      while (j < d) { b(p) += delta(i) * (x(j) - b(1 + j)); j += 1; p += 1 }
       i += 1
     }
     b
   }
 
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val na = a(0); val nb = b(0)
+    if (nb == 0) return a
+    if (na == 0) { System.arraycopy(b, 0, a, 0, size); return a }
+    val n = na + nb
+    // Chan's parallel combine: M += Mb + outer(d, d) * na*nb/n
+    val dm = new Array[Double](d)
     var i = 0
-    while (i < size) { a(i) += b(i); i += 1 }
+    while (i < d) { dm(i) = b(1 + i) - a(1 + i); i += 1 }
+    var p = 1 + d
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        a(p) += b(p) + dm(i) * dm(j) * na * nb / n
+        j += 1; p += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < d) { a(1 + i) += dm(i) * nb / n; i += 1 }
+    a(0) = n
     a
   }
 

@@ -535,29 +535,40 @@ object DocStreams {
     * loudly instead of silently landing codes encoded against the
     * superseded model inside the new root — restart the sink to pick up
     * the new model. Returns the query; callers own its lifecycle. */
+  /** The ONE model-capture preamble both ingest sinks share (r19 review:
+    * two drifting copies is how the r17 publish bugs happened). Capture
+    * order matters: the EPOCH is read BEFORE the model tables. A swap
+    * completing between the two then pairs the NEW model with the OLD
+    * epoch and the first commit fails loudly on the guard — the safe
+    * direction. The reverse order (models first) would pair the OLD
+    * model with the NEW epoch, and every commit would pass the guard
+    * while landing stale-model codes: the exact silent corruption the
+    * epoch exists to prevent (r18 review finding). Model tables come
+    * back as bounded LOCAL relations — micro-batches re-read nothing
+    * but the 1-row meta at commit time. */
+  private def captureStoredIvfPqModel(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Boolean, Long, Seq[String], DataFrame, DataFrame) = {
+    val Sim = graft.operators.Similarity
+    def localCopy(p: String) = {
+      val df = spark.read.parquet(p)
+      Sim.localFrame(spark, df.collect(), df.schema)
+    }
+    val meta = Sim.readIvfPqMeta(spark, path)
+    (meta.getAs[Boolean]("residual"), meta.getAs[Long]("epoch"),
+      Sim.ivfPqPayloadCols(meta),
+      localCopy(s"$path/centroids.parquet"),
+      localCopy(s"$path/codebooks.parquet"))
+  }
+
   def ivfPqIngestSink(
       stream: DataFrame, path: String, idCol: String, vecCol: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     val spark = stream.sparkSession
     val Sim = graft.operators.Similarity
-    def localCopy(p: String) = {
-      val df = spark.read.parquet(p)
-      Sim.localFrame(spark, df.collect(), df.schema)
-    }
-    // capture order matters: the EPOCH is read BEFORE the model tables.
-    // A swap completing between the two then pairs the NEW model with the
-    // OLD epoch and the first commit fails loudly on the guard — the safe
-    // direction. The reverse order (models first) would pair the OLD
-    // model with the NEW epoch, and every commit would pass the guard
-    // while landing stale-model codes: the exact silent corruption the
-    // epoch exists to prevent (r18 review finding).
-    val meta = Sim.readIvfPqMeta(spark, path)
-    val residual = meta.getAs[Boolean]("residual")
-    val epoch = meta.getAs[Long]("epoch")
-    val payload = Sim.ivfPqPayloadCols(meta)
-    val centroids = localCopy(s"$path/centroids.parquet")
-    val codebooks = localCopy(s"$path/codebooks.parquet")
+    val (residual, epoch, payload, centroids, codebooks) =
+      captureStoredIvfPqModel(spark, path)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
@@ -600,23 +611,29 @@ object DocStreams {
       stream: DataFrame, path: String, idCol: String, vecCol: String,
       baseCorpus: DataFrame, evalQueries: DataFrame, k: Int,
       shortlist: Int, probes: Seq[Int], outRoot: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String, queryIdCol: String = null,
+      queryVecCol: String = null): org.apache.spark.sql.streaming.StreamingQuery = {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     require(!evalQueries.isStreaming && !baseCorpus.isStreaming,
       "baseCorpus/evalQueries must be static tables")
+    // reject mis-wired tables at CONSTRUCTION, not on the first
+    // micro-batch (an AnalysisException inside foreachBatch kills the
+    // running query instead of the deploy step — r19 review)
+    val qid = Option(queryIdCol).getOrElse(idCol)
+    val qvec = Option(queryVecCol).getOrElse(vecCol)
+    require(baseCorpus.columns.contains(idCol) &&
+      baseCorpus.columns.contains(vecCol),
+      s"baseCorpus must carry ($idCol, $vecCol); got " +
+        s"(${baseCorpus.columns.mkString(", ")})")
+    require(evalQueries.columns.contains(qid) &&
+      evalQueries.columns.contains(qvec),
+      s"evalQueries must carry ($qid, $qvec) — pass queryIdCol/" +
+        s"queryVecCol when the query table names differ; got " +
+        s"(${evalQueries.columns.mkString(", ")})")
     val spark = stream.sparkSession
     val Sim = graft.operators.Similarity
-    def localCopy(p: String) = {
-      val df = spark.read.parquet(p)
-      Sim.localFrame(spark, df.collect(), df.schema)
-    }
-    // epoch before models — the ivfPqIngestSink capture-order contract
-    val meta = Sim.readIvfPqMeta(spark, path)
-    val residual = meta.getAs[Boolean]("residual")
-    val epoch = meta.getAs[Long]("epoch")
-    val payload = Sim.ivfPqPayloadCols(meta)
-    val centroids = localCopy(s"$path/centroids.parquet")
-    val codebooks = localCopy(s"$path/codebooks.parquet")
+    val (residual, epoch, payload, centroids, codebooks) =
+      captureStoredIvfPqModel(spark, path)
     val vecRoot = s"$outRoot/vectors"
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -635,7 +652,7 @@ object DocStreams {
               .unionByName(spark.read.parquet(vecRoot)
                 .select(col(idCol) +: col(vecCol) +: payload.map(col): _*))
             Sim.ivfPqStoredProbeSweep(spark, path, grown, idCol, vecCol,
-                evalQueries, idCol, vecCol, k, shortlist, probes)
+                evalQueries, qid, qvec, k, shortlist, probes)
               .write.mode("overwrite")
               .parquet(s"$outRoot/sweeps/batch_id=$id")
           }

@@ -818,15 +818,16 @@ class SimilaritySpec extends SparkSpec {
       assert(chain(ex3).exists(m => m.contains("duplicate ids") ||
         m.contains("missing from corpusForRerank")),
         chain(ex3).mkString(" | "))
-      // r19: a query whose ENTIRE candidate set is missing used to have
-      // no surviving row to raise from and silently vanished from the
-      // result — the preserved-query-set join now names it
+      // r19: a corpus sharing NO ids with the index (wrong table) used
+      // to vanish silently — every query has zero survivors, no
+      // row-level raise could fire; the preserved-query-set join now
+      // raises on the systemic shape
       val empty = emb.filter(col("vec_id") < 0)
       val ex4 = intercept[Exception](
         Similarity.ivfPqStoredTopK(spark, idx, empty, "vec_id",
           "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
           nProbe = 4).collect())
-      assert(chain(ex4).exists(_.contains("no surviving candidates")),
+      assert(chain(ex4).exists(_.contains("zero surviving candidates")),
         chain(ex4).mkString(" | "))
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
@@ -1051,6 +1052,31 @@ class SimilaritySpec extends SparkSpec {
       assert(Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
         "embedding", q, "vec_id", "embedding", k = 3, shortlist = 50,
         nProbe = 4).filter(col("n_id") === 0).count() == 0L)
+      // (f) an ISOLATED empty probe — one query's entire nProbe=1 cell
+      // tombstoned out — returns zero rows for that query WITHOUT
+      // aborting the batch: the vanished-query raise is reserved for
+      // the systemic all-queries shape (r19 review)
+      val cents = spark.read.parquet(s"$idx/centroids.parquet")
+      def cellOf(id: Long): Long = Similarity.assignCell(
+        emb.filter(col("vec_id") === id).select(col("vec_id").as("n_id"),
+          graft.functions.VectorFns.unitizeNative(col("embedding"))
+            .as("n_v")), "n_id", "n_v", cents)
+        .select("cell").head().getLong(0)
+      val deadCell = cellOf(5L)
+      val otherId = (6L to 30L).find(cellOf(_) != deadCell).get
+      Similarity.deleteFromIvfPqIndex(spark, idx,
+        spark.read.parquet(s"$idx/index.parquet")
+          .filter(col("cell") === deadCell).select(col("n_id").as("vec_id")),
+        "vec_id")
+      val mixed = Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
+        "embedding",
+        emb.filter(col("vec_id") === 5 || col("vec_id") === otherId),
+        "vec_id", "embedding", k = 3, shortlist = 50, nProbe = 1)
+        .collect() // must NOT raise
+      assert(!mixed.exists(_.getLong(0) == 5L),
+        "the empty-probe query must return zero rows")
+      assert(mixed.count(_.getLong(0) == otherId) == 3,
+        "the healthy query must be unaffected")
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
