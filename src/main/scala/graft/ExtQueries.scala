@@ -1019,6 +1019,40 @@ object ExtQueries {
         nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1))
   }
 
+  /** The STORED composed index with the OPQ rotation baked into the
+    * artifact ([[Similarity.writeIvfPqIndex]] `opq = true`) — the full
+    * production shape of r19's rotation work: cells, codebooks, and
+    * codes all live in the learned rotated basis, the rotation is a
+    * first-class published table (`rotation.parquet`, audited by
+    * `ivf_pq_health`'s `bad_rotation`), queries rotate against the
+    * STORED matrix at probe time, and every grow path (append / ingest /
+    * streaming sink) rotates arrivals automatically — while the exact
+    * re-rank stays in the ORIGINAL space (orthonormality preserves
+    * dots). Same config and harness as ivf_pq_stored; measured hits,
+    * 5 queries × k=10, shortlist 80 / nProbe 8: 43 / 43 / 41 across
+    * sf0.001 / 0.01 / 0.1 vs plain 43 / 43 / 39 — equal-or-better,
+    * with the gain small on this weakly-clustered fixture because
+    * composed recall is cell-coverage-bound rather than quantizer-bound
+    * (the rotation's clear win shows on the pure-PQ path: pq_opq
+    * 50/50/50 vs pq_topk 50/50/48); shared floor 30, ≥ 36% margin at
+    * the weakest SF. EAGER + read-only on the shared OPQ fixture. */
+  val ivfPqOpqStoredQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val idx = IndexFixtures.shared(d, "ivfpq-full-opq-16x3-16x64x3")(p =>
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
+        nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
+        residual = false, opq = true))
+    val check = annRecallCheck(
+      Similarity.ivfPqStoredTopK(s, idx, e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, shortlist = 80, nProbe = 8)
+        .select("q_id", "n_id"),
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10).select("q_id", "n_id"),
+      k = 10, hitsFloor = 30)
+    Similarity.localFrame(s, check.collect(), check.schema)
+  }
+
   val ivfPqStoredQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
@@ -2338,6 +2372,7 @@ object ExtQueries {
     "pq_stored" -> pqStoredQ,
     "ivf_pq_topk" -> ivfPqTopkQ,
     "ivf_pq_stored" -> ivfPqStoredQ,
+    "ivf_pq_opq" -> ivfPqOpqStoredQ,
     "ivf_pq_incr" -> ivfPqIncrQ,
     "ivf_pq_health" -> ivfPqHealthQ,
     "ivf_pq_compact" -> ivfPqCompactQ,
@@ -2640,6 +2675,12 @@ object ExtQueries {
         |  CAST(0 AS BIGINT) AS post_delta_rows, CAST(0 AS BIGINT) AS bad_codes,
         |  CAST(1 AS INTEGER) AS epoch_bumped, CAST(1 AS INTEGER) AS matches_rebuild
         |FROM embeddings""".stripMargin,
+    // stored-OPQ path shares the composed-index floor (the rotation
+    // changes the quantizer's basis, not the search contract)
+    "ivf_pq_opq" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k, CAST(30 AS INTEGER) AS hits_floor,
+        |  CAST(1 AS INTEGER) AS floor_met""".stripMargin,
     // DELETE verb: DuckDB recomputes the query population and the
     // corpus totals; the tombstone arithmetic and absence flags are the
     // deterministic contract (exhaustive probes + deep shortlist)

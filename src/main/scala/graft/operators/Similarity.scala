@@ -1025,25 +1025,16 @@ object Similarity {
     val cU = corpus.select(col(corpusId).as("n_id"),
       VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
     val r = rotation.getOrElse(opqRotation(cU, "n_v", dim, m))
-    val rLit = org.apache.spark.sql.graftshim.Bridge.column(
-      org.apache.spark.sql.catalyst.expressions.Literal.create(
-        r.toSeq, org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType)))
-    // the rotation is only a geometry-preserving change of basis when it
-    // is FULL-width: a dim smaller than the true vector width would pass
-    // MatVec's divisibility guard (dim*dim % width can still be 0) and
-    // silently project into garbage space — unlike pcaComponents/
-    // gramCovariance, there is no meaningful "first dim dims" reading of
-    // a rotated SEARCH, so enforce exact width per row, loudly
-    def rotated(v: Column): Column =
-      when(size(v) === dim, graft.plans.MatVec.matVecCol(rLit, v))
-        .otherwise(raise_error(concat(
-          lit(s"pqTopKOpq: vector width "), size(v).cast("string"),
-          lit(s" != dim $dim — the OPQ rotation must be trained and " +
-            "applied at the full embedding width"))))
-    val cRot = cU.select(col("n_id"), rotated(col("n_v")).as("n_v"))
+    // full-width enforcement per row ([[rotatedUnit]]): a dim smaller
+    // than the true vector width would pass MatVec's divisibility guard
+    // (dim*dim % width can still be 0) and silently project into
+    // garbage space — there is no meaningful "first dim dims" reading
+    // of a rotated SEARCH
+    val cRot = cU.select(col("n_id"),
+      rotatedUnit(col("n_v"), r, dim, "pqTopKOpq").as("n_v"))
     val qRot = queries.select(col(queryId).as("q_id"),
-      rotated(VectorFns.unitizeNative(col(queryVec))).as("q_v"))
+      rotatedUnit(VectorFns.unitizeNative(col(queryVec)), r, dim,
+        "pqTopKOpq").as("q_v"))
     pqTopKRerank(cRot, "n_id", "n_v", qRot, "q_id", "q_v",
       k, shortlist, m, ksub, iters)
   }
@@ -1647,13 +1638,32 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String, path: String,
       nLists: Int = 16, lloydIters: Int = 1, m: Int = 8, ksub: Int = 16,
       pqIters: Int = 2, residual: Boolean = false,
-      payload: Seq[String] = Nil): Unit = {
+      payload: Seq[String] = Nil, opq: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     requirePayloadCols(corpus, corpusId, corpusVec, payload,
       "writeIvfPqIndex")
-    val c = corpus.select(col(corpusId).as("n_id") +:
+    val cRaw = corpus.select(col(corpusId).as("n_id") +:
       VectorFns.unitizeNative(col(corpusVec)).as("n_v") +:
       payload.map(col): _*)
+    // OPQ (opt-in): learn one orthonormal rotation on the unitized
+    // corpus and build the ENTIRE index — coarse cells, codebooks,
+    // codes — in the rotated space ([[opqRotation]]; rotation preserves
+    // dots, so recall/re-rank semantics are unchanged while the
+    // quantizer sees decorrelated, variance-balanced subspaces). The
+    // rotation is part of the artifact (`rotation.parquet`): queries,
+    // appends, and ingests rotate against the STORED matrix.
+    val rot: Option[(Array[Double], Int)] =
+      if (!opq) None
+      else {
+        val dim = cRaw.select(size(col("n_v"))).head().getInt(0)
+        Some((opqRotation(cRaw, "n_v", dim, m), dim))
+      }
+    val c = rot match {
+      case None => cRaw
+      case Some((r, dim)) =>
+        cRaw.withColumn("n_v", rotatedUnit(col("n_v"), r, dim,
+          "writeIvfPqIndex"))
+    }
     val centroids = kmeansCentroids(c, "n_id", "n_v", nLists, lloydIters,
       assumeUnit = true)
     val train = ivfPqTrainRows(c, centroids, residual)
@@ -1671,7 +1681,7 @@ object Similarity {
     val epoch = nextIvfPqEpoch(spark, path)
     val meta = localFrame(spark,
       Array(org.apache.spark.sql.Row(residual, nLists, lloydIters, m, ksub,
-        pqIters, epoch, payload)),
+        pqIters, epoch, payload, opq)),
       org.apache.spark.sql.types.StructType(
         Seq(org.apache.spark.sql.types.StructField("residual",
           org.apache.spark.sql.types.BooleanType)) ++
@@ -1682,7 +1692,20 @@ object Similarity {
           org.apache.spark.sql.types.LongType) :+
         org.apache.spark.sql.types.StructField("payload_cols",
           org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.StringType, containsNull = false))))
+            org.apache.spark.sql.types.StringType, containsNull = false)) :+
+        org.apache.spark.sql.types.StructField("opq",
+          org.apache.spark.sql.types.BooleanType)))
+    val rotTable = rot.map { case (r, dim) =>
+      localFrame(spark,
+        Array.tabulate(dim)(i => org.apache.spark.sql.Row(
+          i, r.slice(i * dim, (i + 1) * dim).toSeq)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("row",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+    }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.engine.Sinks.publishRoot(fs, path) { tmp =>
@@ -1690,6 +1713,8 @@ object Similarity {
       codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks.parquet")
       index.write.mode("overwrite").parquet(s"$tmp/index.parquet")
       meta.write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+      rotTable.foreach(_.write.mode("overwrite")
+        .parquet(s"$tmp/rotation.parquet"))
     }
   }
 
@@ -1753,6 +1778,46 @@ object Similarity {
       meta: org.apache.spark.sql.Row): Seq[String] =
     if (!meta.schema.fieldNames.contains("payload_cols")) Nil
     else meta.getAs[scala.collection.Seq[String]]("payload_cols").toSeq
+
+  /** Whether an index publish record says the artifact is OPQ-rotated —
+    * false for artifacts written before OPQ support (same back-compat
+    * reading as [[ivfPqPayloadCols]]: absence means "not rotated"). */
+  private[graft] def ivfPqOpqFlag(meta: org.apache.spark.sql.Row): Boolean =
+    meta.schema.fieldNames.contains("opq") && meta.getAs[Boolean]("opq")
+
+  /** The stored OPQ rotation of an index, flat row-major, plus its
+    * width. Loud on a torn table (an OPQ artifact without a valid
+    * rotation cannot be searched or grown — codes are meaningless in
+    * the unrotated space). */
+  private[graft] def loadIvfPqRotation(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[Double], Int) = {
+    val rows = spark.read.parquet(s"$path/rotation.parquet")
+      .orderBy("pos").collect()
+    val dim = rows.length
+    require(dim > 0 && rows.zipWithIndex.forall { case (r, i) =>
+      r.getInt(0) == i && r.getSeq[Double](1).length == dim },
+      s"index at $path has a torn rotation.parquet (${rows.length} rows) " +
+        "— the OPQ artifact is unusable; rebuild with writeIvfPqIndex")
+    (rows.flatMap(_.getSeq[Double](1)), dim)
+  }
+
+  /** Rotate a unit-vector column by a flat row-major rotation constant,
+    * enforcing the full trained width per row: a narrower vector could
+    * pass the kernel's divisibility guard and silently project into
+    * garbage space (r19 review). */
+  private[graft] def rotatedUnit(
+      v: Column, r: Array[Double], dim: Int, caller: String): Column = {
+    val rLit = org.apache.spark.sql.graftshim.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        r.toSeq, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    when(size(v) === dim, graft.plans.MatVec.matVecCol(rLit, v))
+      .otherwise(raise_error(concat(
+        lit(s"$caller: vector width "), size(v).cast("string"),
+        lit(s" != the rotation's trained width $dim — OPQ must be " +
+          "trained and applied at the full embedding width"))))
+  }
 
   /** Validate a caller-supplied payload column list: present on the
     * corpus, no duplicates, and no (case-insensitive) clash with the
@@ -1903,10 +1968,20 @@ object Similarity {
     val payload = ivfPqPayloadCols(meta)
     requirePayloadCols(newVectors, idCol, vecCol, payload,
       "appendIvfPqIndex")
+    val rotation =
+      if (ivfPqOpqFlag(meta)) Some(loadIvfPqRotation(spark, path))
+      else None
     val centroids = spark.read.parquet(s"$path/centroids.parquet")
     val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
-    val c = newVectors.select(col(idCol).as("n_id") +:
+    val c0 = newVectors.select(col(idCol).as("n_id") +:
       VectorFns.unitizeNative(col(vecCol)).as("n_v") +: payload.map(col): _*)
+    // an OPQ artifact's model lives in the rotated space — new arrivals
+    // rotate against the STORED matrix before assign/encode
+    val c = rotation match {
+      case Some((r, dim)) => c0.withColumn("n_v",
+        rotatedUnit(col("n_v"), r, dim, "appendIvfPqIndex"))
+      case None => c0
+    }
     commitIvfPqAppend(spark, path,
       ivfPqIndexRows(ivfPqTrainRows(c, centroids, residual), codebooks),
       epoch)
@@ -2049,7 +2124,9 @@ object Similarity {
     val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
     commitIvfPqIngest(spark, path, batch, idCol, vecCol, batchId,
       centroids, codebooks, meta.getAs[Boolean]("residual"),
-      meta.getAs[Long]("epoch"), ivfPqPayloadCols(meta))
+      meta.getAs[Long]("epoch"), ivfPqPayloadCols(meta),
+      rotation = if (ivfPqOpqFlag(meta)) Some(loadIvfPqRotation(spark, path))
+                 else None)
   }
 
   /** Encode-and-land core shared by [[ingestIvfPqBatch]] and the streaming
@@ -2070,12 +2147,18 @@ object Similarity {
       batch: DataFrame, idCol: String, vecCol: String, batchId: Long,
       centroids: DataFrame, codebooks: DataFrame, residual: Boolean,
       expectedEpoch: Long, payload: Seq[String] = Nil,
+      rotation: Option[(Array[Double], Int)] = None,
       afterCheck: () => Unit = () => ()): Unit = {
     requireIvfPqEpoch(spark, path, expectedEpoch, "ivfPqIngest")
     afterCheck() // test seam: a rebuild racing the encode job lands here
     requirePayloadCols(batch, idCol, vecCol, payload, "ivfPqIngest")
-    val c = batch.select(col(idCol).as("n_id") +:
+    val c0 = batch.select(col(idCol).as("n_id") +:
       VectorFns.unitizeNative(col(vecCol)).as("n_v") +: payload.map(col): _*)
+    val c = rotation match {
+      case Some((r, dim)) => c0.withColumn("n_v",
+        rotatedUnit(col("n_v"), r, dim, "ivfPqIngest"))
+      case None => c0
+    }
     val dest = s"$path/ingest.parquet/batch_id=$batchId"
     ivfPqIndexRows(ivfPqTrainRows(c, centroids, residual), codebooks)
       .write.mode("overwrite").parquet(dest)
@@ -2136,7 +2219,11 @@ object Similarity {
       m = meta.getAs[Int]("m"), ksub = meta.getAs[Int]("ksub"),
       pqIters = meta.getAs[Int]("pq_iters"),
       residual = meta.getAs[Boolean]("residual"),
-      payload = ivfPqPayloadCols(meta))
+      payload = ivfPqPayloadCols(meta),
+      // an OPQ compact retrains the ROTATION too (rebuild semantics:
+      // the grown corpus deserves a fresh basis, same as fresh cells
+      // and codebooks)
+      opq = ivfPqOpqFlag(meta))
   }
 
   /** Operational health report for a stored composed IVF+PQ index — the
@@ -2198,6 +2285,33 @@ object Similarity {
         cbk.getInt(4) == 0 && cbk.getInt(5) == ksub - 1 &&
         cbk.getLong(6) == 1L) 0L
       else 1L
+    // rotation audit: an OPQ artifact needs a well-formed ORTHONORMAL
+    // rotation (codes are meaningless without it); a rotation table on
+    // a non-OPQ artifact is foreign debris. Driver-side — the rotation
+    // is a bounded model table.
+    val badRotation: Long =
+      if (ivfPqOpqFlag(metaRow)) {
+        try {
+          val (r0, dim) = loadIvfPqRotation(spark, path)
+          var worst = 0.0
+          var i = 0
+          while (i < dim) {
+            var j = i
+            while (j < dim) {
+              var s = 0.0
+              var p = 0
+              while (p < dim) { s += r0(i * dim + p) * r0(j * dim + p); p += 1 }
+              worst = math.max(worst,
+                math.abs(s - (if (i == j) 1.0 else 0.0)))
+              j += 1
+            }
+            i += 1
+          }
+          if (worst < 1e-6) 0L else 1L
+        } catch { case scala.util.control.NonFatal(_) => 1L }
+      } else if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/rotation.parquet"))) 1L
+      else 0L
     val base = spark.read.parquet(s"$path/index.parquet")
       .select("n_id", "cell", "codes")
     val ingest = new org.apache.hadoop.fs.Path(s"$path/ingest.parquet")
@@ -2249,7 +2363,7 @@ object Similarity {
     localFrame(spark, Array(org.apache.spark.sql.Row(
       total, total - deltaRows, deltaRows, nLists, cellsUsed,
       nLists - cellsUsed, minPop, maxPop, imbalance, badCodes,
-      badCodebook, tombRows, deadRows)),
+      badCodebook, tombRows, deadRows, badRotation)),
       org.apache.spark.sql.types.StructType(
         Seq("total_indexed", "base_rows", "delta_rows", "n_lists",
           "cells_used", "empty_cells", "min_pop", "max_pop").map(n =>
@@ -2264,6 +2378,8 @@ object Similarity {
           org.apache.spark.sql.types.StructField("tombstone_rows",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("dead_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bad_rotation",
             org.apache.spark.sql.types.LongType))))
   }
 
@@ -2280,8 +2396,12 @@ object Similarity {
     * separate to report the split. */
   private def openStoredIvfPq(
       spark: org.apache.spark.sql.SparkSession, path: String)
-      : (Boolean, DataFrame, DataFrame, DataFrame) = {
+      : (Boolean, Option[(Array[Double], Int)], DataFrame, DataFrame,
+         DataFrame) = {
     val meta = readIvfPqMeta(spark, path)
+    val rotation =
+      if (ivfPqOpqFlag(meta)) Some(loadIvfPqRotation(spark, path))
+      else None
     val centroids = spark.read.parquet(s"$path/centroids.parquet")
     val codebooks = spark.read.parquet(s"$path/codebooks.parquet")
     val rootFs = new org.apache.hadoop.fs.Path(path)
@@ -2310,7 +2430,8 @@ object Similarity {
         index.join(broadcast(spark.read.parquet(tomb.toString)
           .select("n_id")), Seq("n_id"), "left_anti")
       else index
-    (meta.getAs[Boolean]("residual"), centroids, codebooks, served)
+    (meta.getAs[Boolean]("residual"), rotation, centroids, codebooks,
+      served)
   }
 
   /** Exact re-rank of shortlisted candidates that REFUSES to silently
@@ -2477,7 +2598,7 @@ object Similarity {
       caller: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val (residual, centroids, codebooks, indexAll) =
+    val (residual, rotation, centroids, codebooks, indexAll) =
       openStoredIvfPq(spark, path)
     // the predicate lands HERE — on the stored code table, before the
     // probe join and the ADC kernel: eligibility prunes the scan (and
@@ -2486,20 +2607,30 @@ object Similarity {
     val (cb, _) = collectCodebooks(codebooks)
     val cbF = graft.plans.PqKernels.flatCodebook(cb)
     val ksub = cb.head.length
+    // an OPQ artifact's cells/codes live in the rotated space: the
+    // SEARCH vector q_sv rotates against the stored matrix, while q_v
+    // stays in the original space for the exact re-rank (the rotation
+    // preserves dots, so either space gives the same cosines — the
+    // re-rank corpus is original-space, so original is the cheap side)
     val q = queries.select(col(queryId).as("q_id"),
-      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+        VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+      .withColumn("q_sv", rotation match {
+        case Some((r, dim)) => rotatedUnit(col("q_v"), r, dim, caller)
+        case None => col("q_v")
+      })
     // LUT projected BEFORE the probe fanout (once per query row, copied
     // into the nProbe probe rows); the q·c term is inherently per
     // (query, cell) and stays after it
     val qLut = q.withColumn("q_lut", graft.plans.PqKernels.lutCol(
-      col("q_v"), cbF, cb.length, ksub))
-    val probedBase = assignCells(qLut, "q_id", "q_v", centroids, p = nProbe)
+      col("q_sv"), cbF, cb.length, ksub))
+    val probedBase = assignCells(qLut, "q_id", "q_sv", centroids,
+      p = nProbe)
     // the centroid join exists only to recover cv for the residual
     // q·c term — the plain (default) path skips the join entirely
     val scored =
       if (residual) {
         val probed = probedBase.join(broadcast(centroids), Seq("cell"))
-          .withColumn("__qc", VectorFns.dotNative(col("q_v"), col("cv")))
+          .withColumn("__qc", VectorFns.dotNative(col("q_sv"), col("cv")))
           .drop("cv")
         index.join(broadcast(probed), Seq("cell"))
           .withColumn("cos_adc", col("__qc") +
@@ -2558,21 +2689,29 @@ object Similarity {
     val ps = probes.distinct.sorted
     require(ps.head >= 1, s"every probe budget must be >= 1, got ${ps.head}")
     val maxP = ps.last
-    val (residual, centroids, codebooks, index) = openStoredIvfPq(spark, path)
+    val (residual, rotation, centroids, codebooks, index) =
+      openStoredIvfPq(spark, path)
     val (cb, _) = collectCodebooks(codebooks)
     val cbF = graft.plans.PqKernels.flatCodebook(cb)
     val ksub = cb.head.length
+    // OPQ: probe/ADC in the rotated space, exact re-rank in the
+    // original (the ivfPqStoredTopKCore convention)
     val q = queries.select(col(queryId).as("q_id"),
-      VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+        VectorFns.unitizeNative(col(queryVec)).as("q_v"))
+      .withColumn("q_sv", rotation match {
+        case Some((r, dim)) =>
+          rotatedUnit(col("q_v"), r, dim, "ivfPqStoredProbeSweep")
+        case None => col("q_v")
+      })
     val qLut = q.withColumn("q_lut", graft.plans.PqKernels.lutCol(
-      col("q_v"), cbF, cb.length, ksub))
+      col("q_sv"), cbF, cb.length, ksub))
     // the ranked assignment keeps cv from its own centroid fanout, so
     // the residual q·c term needs no second centroid join here
-    val probedR = assignCellsRanked(qLut, "q_id", "q_v", centroids,
+    val probedR = assignCellsRanked(qLut, "q_id", "q_sv", centroids,
       p = maxP)
     val probed =
       if (residual) probedR
-        .withColumn("__qc", VectorFns.dotNative(col("q_v"), col("cv")))
+        .withColumn("__qc", VectorFns.dotNative(col("q_sv"), col("cv")))
         .drop("cv")
       else probedR.drop("cv")
     val scoredBase = index.join(broadcast(probed), Seq("cell"))

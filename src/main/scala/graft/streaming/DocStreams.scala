@@ -548,7 +548,8 @@ object DocStreams {
     * but the 1-row meta at commit time. */
   private def captureStoredIvfPqModel(
       spark: org.apache.spark.sql.SparkSession, path: String)
-      : (Boolean, Long, Seq[String], DataFrame, DataFrame) = {
+      : (Boolean, Long, Seq[String], Option[(Array[Double], Int)],
+         DataFrame, DataFrame) = {
     val Sim = graft.operators.Similarity
     def localCopy(p: String) = {
       val df = spark.read.parquet(p)
@@ -557,6 +558,8 @@ object DocStreams {
     val meta = Sim.readIvfPqMeta(spark, path)
     (meta.getAs[Boolean]("residual"), meta.getAs[Long]("epoch"),
       Sim.ivfPqPayloadCols(meta),
+      if (Sim.ivfPqOpqFlag(meta)) Some(Sim.loadIvfPqRotation(spark, path))
+      else None,
       localCopy(s"$path/centroids.parquet"),
       localCopy(s"$path/codebooks.parquet"))
   }
@@ -567,7 +570,7 @@ object DocStreams {
     require(stream.isStreaming, "stream must be a streaming DataFrame")
     val spark = stream.sparkSession
     val Sim = graft.operators.Similarity
-    val (residual, epoch, payload, centroids, codebooks) =
+    val (residual, epoch, payload, rotation, centroids, codebooks) =
       captureStoredIvfPqModel(spark, path)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -575,7 +578,7 @@ object DocStreams {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           if (!batch.isEmpty)
             Sim.commitIvfPqIngest(spark, path, batch.toDF(), idCol, vecCol,
-              id, centroids, codebooks, residual, epoch, payload)
+              id, centroids, codebooks, residual, epoch, payload, rotation)
           (): Unit
       }
       .start()
@@ -632,7 +635,7 @@ object DocStreams {
         s"(${evalQueries.columns.mkString(", ")})")
     val spark = stream.sparkSession
     val Sim = graft.operators.Similarity
-    val (residual, epoch, payload, centroids, codebooks) =
+    val (residual, epoch, payload, rotation, centroids, codebooks) =
       captureStoredIvfPqModel(spark, path)
     val vecRoot = s"$outRoot/vectors"
     stream.writeStream
@@ -641,7 +644,7 @@ object DocStreams {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           if (!batch.isEmpty) {
             Sim.commitIvfPqIngest(spark, path, batch.toDF(), idCol, vecCol,
-              id, centroids, codebooks, residual, epoch, payload)
+              id, centroids, codebooks, residual, epoch, payload, rotation)
             batch.toDF().select(col(idCol) +: col(vecCol) +:
                 payload.map(col): _*)
               .write.mode("overwrite").parquet(s"$vecRoot/batch_id=$id")

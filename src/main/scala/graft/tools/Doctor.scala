@@ -109,6 +109,10 @@ object Doctor {
     if (h.getAs[Long]("bad_codebook") != 0L)
       "CORRUPT: codebooks table disagrees with the publish record — " +
         "restore from a good publish or rebuild (writeIvfPqIndex)"
+    else if (h.getAs[Long]("bad_rotation") != 0L)
+      "CORRUPT: OPQ rotation is missing, torn, non-orthonormal, or " +
+        "foreign to the publish record — codes are meaningless without " +
+        "it; restore from a good publish or rebuild (writeIvfPqIndex)"
     else if (h.getAs[Long]("bad_codes") != 0L)
       s"CORRUPT: ${h.getAs[Long]("bad_codes")} structurally invalid " +
         "index rows — rebuild (writeIvfPqIndex); audit the corpus with " +

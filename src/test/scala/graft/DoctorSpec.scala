@@ -139,12 +139,14 @@ class DoctorSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("tombstone_rows",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("dead_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bad_rotation",
           org.apache.spark.sql.types.LongType)))
     def row(total: Long, delta: Long, imb: Double, bad: Long,
-        badCb: Long, dead: Long = 0L) =
+        badCb: Long, dead: Long = 0L, badRot: Long = 0L) =
       new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
         Array[Any](total, total - delta, delta, 16L, 16L, 0L, 1L, total,
-          imb, bad, badCb, dead, dead), schema)
+          imb, bad, badCb, dead, dead, badRot), schema)
     assert(Doctor.indexVerdict(row(100, 0, 1.2, 0, 0)).startsWith("OK"))
     assert(Doctor.indexVerdict(row(100, 30, 1.2, 0, 0)).startsWith("COMPACT"))
     assert(Doctor.indexVerdict(row(100, 0, 5.0, 0, 0)).startsWith("RETRAIN"))
@@ -158,5 +160,11 @@ class DoctorSpec extends SparkSpec {
       .contains("tombstoned"))
     assert(Doctor.indexVerdict(row(100, 0, 1.2, 0, 0, dead = 10L))
       .startsWith("OK"))
+    // a bad OPQ rotation is CORRUPT (codes are meaningless without it),
+    // outranked only by the codebook audit
+    assert(Doctor.indexVerdict(row(100, 0, 1.2, 0, 0, badRot = 1L))
+      .contains("rotation"))
+    assert(Doctor.indexVerdict(row(100, 0, 1.2, 0, 1, badRot = 1L))
+      .contains("codebooks"))
   }
 }

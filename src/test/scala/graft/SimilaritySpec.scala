@@ -1222,6 +1222,86 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("stored OPQ index: exhaustive search is exact, the rotation rides every grow path and the sweep, and health audits it") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-opq").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val q = emb.filter(col("vec_id") < 3)
+      val deep = emb.count().toInt + 1
+      // build on half the corpus, grow with the other half through BOTH
+      // verbs — arrivals must rotate against the STORED matrix
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 4 < 2),
+        "vec_id", "embedding", idx, nLists = 4, lloydIters = 1, m = 8,
+        ksub = 16, pqIters = 1, opq = true)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$idx/rotation.parquet")))
+      Similarity.appendIvfPqIndex(spark, idx,
+        emb.filter(col("vec_id") % 4 === 2), "vec_id", "embedding")
+      Similarity.ingestIvfPqBatch(spark, idx,
+        emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", 0L)
+      // exhaustive probes + shortlist past the corpus: the ADC cut
+      // cannot drop anyone, the re-rank is exact in the ORIGINAL space,
+      // so the search equals the brute force exactly — which also
+      // proves every grow path rotated consistently (an unrotated
+      // append would still be scanned and re-ranked correctly here, so
+      // additionally pin the ADC geometry below)
+      def flat(df: org.apache.spark.sql.DataFrame) =
+        df.select("q_id", "n_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val exact = flat(Similarity.bruteForceTopK(emb, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 5))
+      val got = flat(Similarity.ivfPqStoredTopK(spark, idx, emb,
+        "vec_id", "embedding", q, "vec_id", "embedding", k = 5,
+        shortlist = deep, nProbe = 4))
+      assert(got == exact,
+        "exhaustive stored-OPQ search must equal the brute force")
+      // ADC geometry: at a TIGHT shortlist the quantizer must still
+      // surface each query's own id at the top (self-similarity = 1 is
+      // quantization-error-tolerant ONLY if arrivals were rotated —
+      // unrotated codes for a rotated query score near-random)
+      val tight = Similarity.ivfPqStoredTopK(spark, idx, emb, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 1, shortlist = 2,
+        nProbe = 4).collect()
+      assert(tight.forall(r => r.getLong(0) == r.getLong(1)),
+        "self must top the tight-shortlist ADC ranking for every query " +
+          "(build-half AND both grow-path halves)")
+      // the probe sweep rotates queries the same way: max budget equals
+      // the stored search
+      val sweepMax = Similarity.ivfPqStoredProbeSweep(spark, idx, emb,
+        "vec_id", "embedding", q, "vec_id", "embedding", k = 5,
+        shortlist = deep, probes = Seq(1, 4))
+        .filter(col("n_probe") === 4)
+      assert(flat(sweepMax) == exact)
+      // health audits the rotation: clean here...
+      val h = Similarity.ivfPqIndexHealth(spark, idx).head()
+      assert(h.getAs[Long]("bad_rotation") == 0L)
+      // ...torn table -> bad (overwrite with a wrong-width garbage row)
+      import sqlContext.implicits._
+      Seq((0, Array(1.0, 2.0))).toDF("pos", "row")
+        .write.mode("overwrite").parquet(s"$idx/rotation.parquet")
+      assert(Similarity.ivfPqIndexHealth(spark, idx).head()
+        .getAs[Long]("bad_rotation") == 1L)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("a rotation table on a NON-OPQ artifact is flagged as foreign debris") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-rot").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1)
+      assert(Similarity.ivfPqIndexHealth(spark, idx).head()
+        .getAs[Long]("bad_rotation") == 0L)
+      import sqlContext.implicits._
+      Seq((0, Array(1.0))).toDF("pos", "row")
+        .write.mode("overwrite").parquet(s"$idx/rotation.parquet")
+      assert(Similarity.ivfPqIndexHealth(spark, idx).head()
+        .getAs[Long]("bad_rotation") == 1L)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
   test("the flat centroid constant ships ONCE: both plan occurrences (kernel child + cv recovery) share one value object") {
     val c = emb.select(col("vec_id").as("n_id"),
       graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
