@@ -866,11 +866,13 @@ object Similarity {
     * [[covarianceMatrix]], which plans d(d+1)/2 separate `covar_pop`
     * aggregates and stops codegen-compiling around d≈32 (measured: the
     * d=64 plan ships a 6 MiB task binary and dies). One
-    * [[GramAggregator]] buffer carries (count, d component sums,
-    * d(d+1)/2 cross sums) — 2 145 doubles at d=64, ~2.4 MB at d=768 —
-    * partial-aggregated map-side, ONE buffer per partition crossing the
-    * wire. Entries rounded to 6 decimals (the [[covarianceMatrix]]
-    * determinism gate). Driver-local result. */
+    * [[GramAggregator]] buffer carries (count, d running MEANS,
+    * d(d+1)/2 centered CO-MOMENTS — the Welford/Chan layout, the same
+    * numerically stable algorithm covar_pop itself uses) — 2 145
+    * doubles at d=64, ~2.4 MB at d=768 — partial-aggregated map-side,
+    * ONE buffer per partition crossing the wire. Entries rounded to 6
+    * decimals (the [[covarianceMatrix]] determinism gate).
+    * Driver-local result. */
   private[graft] def gramCovariance(
       df: DataFrame, vecCol: String, d: Int): Array[Array[Double]] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -1655,7 +1657,11 @@ object Similarity {
     val rot: Option[(Array[Double], Int)] =
       if (!opq) None
       else {
-        val dim = cRaw.select(size(col("n_v"))).head().getInt(0)
+        val dim = cRaw.select(size(col("n_v"))).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(throw
+            new IllegalArgumentException(
+              "writeIvfPqIndex: empty corpus — cannot train an OPQ " +
+                "rotation (or anything else) on zero vectors"))
         Some((opqRotation(cRaw, "n_v", dim, m), dim))
       }
     val c = rot match {
@@ -1795,8 +1801,11 @@ object Similarity {
     val rows = spark.read.parquet(s"$path/rotation.parquet")
       .orderBy("pos").collect()
     val dim = rows.length
+    // NULL-guard before the getters: a NULL pos/row must produce THIS
+    // diagnostic, not a bare NPE from getInt/getSeq
     require(dim > 0 && rows.zipWithIndex.forall { case (r, i) =>
-      r.getInt(0) == i && r.getSeq[Double](1).length == dim },
+      !r.isNullAt(0) && !r.isNullAt(1) &&
+        r.getInt(0) == i && r.getSeq[Double](1).length == dim },
       s"index at $path has a torn rotation.parquet (${rows.length} rows) " +
         "— the OPQ artifact is unusable; rebuild with writeIvfPqIndex")
     (rows.flatMap(_.getSeq[Double](1)), dim)
@@ -1827,7 +1836,8 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       payload: Seq[String], caller: String): Unit = {
     val reserved = Set("n_id", "n_v", "t_v", "cell", "cv", "codes",
-      "probe_rank", "q_id", "q_v", "q_lut", "cos", "cos_adc", "rank")
+      "probe_rank", "q_id", "q_v", "q_sv", "q_lut", "cos", "cos_adc",
+      "rank", "__any")
     val lower = payload.map(_.toLowerCase)
     require(lower.distinct.length == lower.length,
       s"$caller: duplicate payload columns in ${payload.mkString(", ")}")
@@ -2042,9 +2052,13 @@ object Similarity {
           // in dest by construction
           val target = new org.apache.hadoop.fs.Path(dest, p.getName)
           if (!fs.rename(p, target)) {
-            val undone = moved.forall(m =>
+            // attempt EVERY delete (map-then-forall, not a
+            // short-circuiting forall): one failed delete must not
+            // abandon the rest of the rollback
+            val undone = moved.map(m =>
               try fs.delete(m, false)
               catch { case scala.util.control.NonFatal(_) => false })
+              .forall(identity)
             throw new IllegalStateException(
               s"$action: commit rename of staged file $p into $dest " +
                 "failed (a racing rebuild's root swap, or an fs error); " +
@@ -2621,8 +2635,12 @@ object Similarity {
     // LUT projected BEFORE the probe fanout (once per query row, copied
     // into the nProbe probe rows); the q·c term is inherently per
     // (query, cell) and stays after it
+    // q_v (original space) is NOT needed past this point — the re-rank
+    // re-derives it from `q` — so drop it before the nProbe fanout and
+    // the per-cell broadcast (explicit, though column pruning would
+    // also strip unreferenced vectors from the exchange)
     val qLut = q.withColumn("q_lut", graft.plans.PqKernels.lutCol(
-      col("q_sv"), cbF, cb.length, ksub))
+      col("q_sv"), cbF, cb.length, ksub)).drop("q_v")
     val probedBase = assignCells(qLut, "q_id", "q_sv", centroids,
       p = nProbe)
     // the centroid join exists only to recover cv for the residual
@@ -2703,8 +2721,9 @@ object Similarity {
           rotatedUnit(col("q_v"), r, dim, "ivfPqStoredProbeSweep")
         case None => col("q_v")
       })
+    // q_v dropped before the fanout — the re-rank re-derives it from `q`
     val qLut = q.withColumn("q_lut", graft.plans.PqKernels.lutCol(
-      col("q_sv"), cbF, cb.length, ksub))
+      col("q_sv"), cbF, cb.length, ksub)).drop("q_v")
     // the ranked assignment keeps cv from its own centroid fanout, so
     // the residual q·c term needs no second centroid join here
     val probedR = assignCellsRanked(qLut, "q_id", "q_sv", centroids,

@@ -505,6 +505,35 @@ object DocStreams {
           lit(0L), (acc, x) => acc + x))
   }
 
+  /** The ONE model-capture preamble both ingest sinks share (r19 review:
+    * two drifting copies is how the r17 publish bugs happened). Capture
+    * order matters: the EPOCH is read BEFORE the model tables. A swap
+    * completing between the two then pairs the NEW model with the OLD
+    * epoch and the first commit fails loudly on the guard — the safe
+    * direction. The reverse order (models first) would pair the OLD
+    * model with the NEW epoch, and every commit would pass the guard
+    * while landing stale-model codes: the exact silent corruption the
+    * epoch exists to prevent (r18 review finding). Model tables come
+    * back as bounded LOCAL relations — micro-batches re-read nothing
+    * but the 1-row meta at commit time. */
+  private def captureStoredIvfPqModel(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Boolean, Long, Seq[String], Option[(Array[Double], Int)],
+         DataFrame, DataFrame) = {
+    val Sim = graft.operators.Similarity
+    def localCopy(p: String) = {
+      val df = spark.read.parquet(p)
+      Sim.localFrame(spark, df.collect(), df.schema)
+    }
+    val meta = Sim.readIvfPqMeta(spark, path)
+    (meta.getAs[Boolean]("residual"), meta.getAs[Long]("epoch"),
+      Sim.ivfPqPayloadCols(meta),
+      if (Sim.ivfPqOpqFlag(meta)) Some(Sim.loadIvfPqRotation(spark, path))
+      else None,
+      localCopy(s"$path/centroids.parquet"),
+      localCopy(s"$path/codebooks.parquet"))
+  }
+
   /** Continuous vector ingest into a stored composed IVF+PQ index
     * ([[graft.operators.Similarity.writeIvfPqIndex]]) — the streaming
     * twin of [[graft.operators.Similarity.appendIvfPqIndex]]: each
@@ -535,35 +564,6 @@ object DocStreams {
     * loudly instead of silently landing codes encoded against the
     * superseded model inside the new root — restart the sink to pick up
     * the new model. Returns the query; callers own its lifecycle. */
-  /** The ONE model-capture preamble both ingest sinks share (r19 review:
-    * two drifting copies is how the r17 publish bugs happened). Capture
-    * order matters: the EPOCH is read BEFORE the model tables. A swap
-    * completing between the two then pairs the NEW model with the OLD
-    * epoch and the first commit fails loudly on the guard — the safe
-    * direction. The reverse order (models first) would pair the OLD
-    * model with the NEW epoch, and every commit would pass the guard
-    * while landing stale-model codes: the exact silent corruption the
-    * epoch exists to prevent (r18 review finding). Model tables come
-    * back as bounded LOCAL relations — micro-batches re-read nothing
-    * but the 1-row meta at commit time. */
-  private def captureStoredIvfPqModel(
-      spark: org.apache.spark.sql.SparkSession, path: String)
-      : (Boolean, Long, Seq[String], Option[(Array[Double], Int)],
-         DataFrame, DataFrame) = {
-    val Sim = graft.operators.Similarity
-    def localCopy(p: String) = {
-      val df = spark.read.parquet(p)
-      Sim.localFrame(spark, df.collect(), df.schema)
-    }
-    val meta = Sim.readIvfPqMeta(spark, path)
-    (meta.getAs[Boolean]("residual"), meta.getAs[Long]("epoch"),
-      Sim.ivfPqPayloadCols(meta),
-      if (Sim.ivfPqOpqFlag(meta)) Some(Sim.loadIvfPqRotation(spark, path))
-      else None,
-      localCopy(s"$path/centroids.parquet"),
-      localCopy(s"$path/codebooks.parquet"))
-  }
-
   def ivfPqIngestSink(
       stream: DataFrame, path: String, idCol: String, vecCol: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
