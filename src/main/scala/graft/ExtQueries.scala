@@ -1341,6 +1341,69 @@ object ExtQueries {
     }
   }
 
+  /** The probe tuning curve UNDER A STRATUM PREDICATE
+    * ([[Similarity.ivfPqStoredProbeSweepFiltered]]) — r19's two
+    * flagship features composed: filtered search needs MORE probes than
+    * unfiltered at the same recall (eligible candidates are thinner per
+    * cell), and this is the one-scan read that measures exactly that
+    * before an operator pins the budget for a filtered workload. Same
+    * differential conventions as ivf_pq_probe_sweep (spine +
+    * `max_equals_filtered`: the max-budget slice is IDENTICAL to an
+    * independent [[Similarity.ivfPqStoredTopKFiltered]] run — the
+    * one-scan algebra is an identity under the filter too) plus the
+    * filtered family's eligibility audit (`ineligible_hits` pinned 0)
+    * and ivf_pq_filtered's floor 28 at the max budget. Read-only on the
+    * shared payload fixture. */
+  val ivfPqFilteredSweepQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val w = col("label") % 2 === 0
+    val exact = Similarity.bruteForceTopK(e.filter(w), "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id").localCheckpoint()
+    val idx = IndexFixtures.shared(d, "ivfpq-full-16x3-16x64x3-label")(p =>
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
+        nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
+        residual = false, payload = Seq("label")))
+    val probes = Seq(1, 2, 4, 8)
+    val sweep = Similarity.ivfPqStoredProbeSweepFiltered(s, idx, e,
+        "vec_id", "embedding", q, "vec_id", "embedding", k = 10,
+        shortlist = 80, probes = probes, where = w)
+      .select("n_probe", "q_id", "n_id").localCheckpoint()
+    val storedMax = Similarity.ivfPqStoredTopKFiltered(s, idx, e,
+      "vec_id", "embedding", q, "vec_id", "embedding", k = 10,
+      shortlist = 80, where = w, nProbe = probes.max)
+      .select("q_id", "n_id")
+    val maxSweep = sweep.filter(col("n_probe") === probes.max)
+      .select("q_id", "n_id")
+    val idOk = maxSweep.exceptAll(storedMax).isEmpty &&
+      storedMax.exceptAll(maxSweep).isEmpty
+    val hits = sweep.join(exact, Seq("q_id", "n_id"))
+      .groupBy("n_probe").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val inel = sweep.join(e.filter(!w).select(col("vec_id").as("n_id")),
+      Seq("n_id"), "left_semi").count()
+    val nq = q.count()
+    def ok(b: Boolean) = if (b) 1 else 0
+    val floorMet = ok(hits.getOrElse(probes.max, 0L) >= 28L)
+    Similarity.localFrame(s, probes.map(p =>
+      org.apache.spark.sql.Row(p, nq, 10, floorMet, ok(idOk), inel))
+      .toArray,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_probe",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_queries",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("final_floor_met",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("max_equals_filtered",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("ineligible_hits",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   /** PQ shortlist tuning curve — the re-rank sibling of ann_probe_sweep:
     * hits vs the exact top-k at shortlist 10/20/40/80, codebooks trained
     * and the corpus encoded ONCE (the stored index), and — since r18 —
@@ -2378,6 +2441,7 @@ object ExtQueries {
     "ivf_pq_compact" -> ivfPqCompactQ,
     "ivf_pq_delete" -> ivfPqDeleteQ,
     "ivf_pq_probe_sweep" -> ivfPqProbeSweepQ,
+    "ivf_pq_filtered_sweep" -> ivfPqFilteredSweepQ,
     "pq_shortlist_sweep" -> pqShortlistSweepQ,
     "ann_ivf_stored" -> annIvfStoredQ,
     "pq_opq" -> pqOpqQ,
@@ -2746,6 +2810,17 @@ object ExtQueries {
         |  CAST(10 AS INTEGER) AS k,
         |  CAST(1 AS INTEGER) AS final_floor_met,
         |  CAST(1 AS INTEGER) AS max_equals_stored
+        |FROM (SELECT unnest([1, 2, 4, 8]) AS p)
+        |ORDER BY n_probe""".stripMargin,
+    // the filtered curve: same spine, the filtered family's floor and
+    // eligibility audit
+    "ivf_pq_filtered_sweep" ->
+      """SELECT CAST(p AS INTEGER) AS n_probe,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k,
+        |  CAST(1 AS INTEGER) AS final_floor_met,
+        |  CAST(1 AS INTEGER) AS max_equals_filtered,
+        |  CAST(0 AS BIGINT) AS ineligible_hits
         |FROM (SELECT unnest([1, 2, 4, 8]) AS p)
         |ORDER BY n_probe""".stripMargin,
     // shortlist sweep: same convention — flags pinned, hit counts out

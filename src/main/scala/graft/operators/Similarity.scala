@@ -2700,15 +2700,48 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       corpusForRerank: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, shortlist: Int, probes: Seq[Int]): DataFrame = {
+      k: Int, shortlist: Int, probes: Seq[Int]): DataFrame =
+    ivfPqStoredProbeSweepCore(spark, path, corpusForRerank, corpusId,
+      corpusVec, queries, queryId, queryVec, k, shortlist, probes,
+      where = None, caller = "ivfPqStoredProbeSweep")
+
+  /** The probe tuning curve UNDER A STRATUM PREDICATE — the two r19
+    * features composed: [[ivfPqStoredTopKFiltered]]'s pushed-down
+    * eligibility (the predicate lands on the stored code scan, before
+    * the probe join and ADC kernel) answered at every probe budget from
+    * [[ivfPqStoredProbeSweep]]'s ONE max-budget scan. This is the read
+    * an operator takes before pinning a probe budget for a FILTERED
+    * workload, which needs more probes than the unfiltered one at the
+    * same recall (eligible candidates are thinner on the ground per
+    * cell — exactly what this curve measures). Per-budget output is
+    * identical to [[ivfPqStoredTopKFiltered]] at that nProbe
+    * (spec-pinned); the filtered-search contract carries over: a query
+    * can legitimately hold fewer than k rows at small budgets. */
+  def ivfPqStoredProbeSweepFiltered(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpusForRerank: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlist: Int, probes: Seq[Int], where: Column): DataFrame =
+    ivfPqStoredProbeSweepCore(spark, path, corpusForRerank, corpusId,
+      corpusVec, queries, queryId, queryVec, k, shortlist, probes,
+      where = Some(where), caller = "ivfPqStoredProbeSweepFiltered")
+
+  private def ivfPqStoredProbeSweepCore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpusForRerank: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlist: Int, probes: Seq[Int], where: Option[Column],
+      caller: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     require(probes.nonEmpty, "probes must be non-empty")
     val ps = probes.distinct.sorted
     require(ps.head >= 1, s"every probe budget must be >= 1, got ${ps.head}")
     val maxP = ps.last
-    val (residual, rotation, centroids, codebooks, index) =
+    val (residual, rotation, centroids, codebooks, indexAll) =
       openStoredIvfPq(spark, path)
+    // filtered sweep: eligibility prunes the scan, never the curve
+    val index = where.map(indexAll.filter).getOrElse(indexAll)
     val (cb, _) = collectCodebooks(codebooks)
     val cbF = graft.plans.PqKernels.flatCodebook(cb)
     val ksub = cb.head.length
@@ -2718,7 +2751,7 @@ object Similarity {
         VectorFns.unitizeNative(col(queryVec)).as("q_v"))
       .withColumn("q_sv", rotation match {
         case Some((r, dim)) =>
-          rotatedUnit(col("q_v"), r, dim, "ivfPqStoredProbeSweep")
+          rotatedUnit(col("q_v"), r, dim, caller)
         case None => col("q_v")
       })
     // q_v dropped before the fanout — the re-rank re-derives it from `q`
@@ -2759,7 +2792,7 @@ object Similarity {
     val c = corpusForRerank.select(col(corpusId).as("n_id"),
       VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
     val rescored = rerankChecked(cand, c, q.select("q_id", "q_v"),
-      "ivfPqStoredProbeSweep")
+      caller, allowVanished = where.isDefined)
     val cosW = Window.partitionBy("q_id")
       .orderBy(round(col("cos"), 6).desc, col("n_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
