@@ -772,10 +772,7 @@ object ExtQueries {
     val q = e.filter(col("vec_id") < 5)
     val w = col("label") % 2 === 0
     // read-only consumer of the shared payload-bearing heavy fixture
-    val idx = IndexFixtures.shared(d, "ivfpq-full-16x3-16x64x3-label")(p =>
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
-        nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
-        residual = false, payload = Seq("label")))
+    val idx = fullHeavyLabelIvfPq(s, d)
     val check = annFilteredRecallCheck(
       Similarity.ivfPqStoredTopKFiltered(s, idx, e, "vec_id",
         "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
@@ -1006,6 +1003,19 @@ object ExtQueries {
     IndexFixtures.shared(d, "ivfpq-full-16x1-8x16x1")(p =>
       Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
         nLists = 16, lloydIters = 1, m = 8, ksub = 16, pqIters = 1))
+  }
+
+  /** The shared payload-bearing heavy composed index — read-only home
+    * of `ivf_pq_filtered` and `ivf_pq_filtered_sweep` (single-sourced:
+    * the fixture cache is keyed by STRING, so two inline copies of the
+    * build could silently drift apart in parameters with first-run-wins
+    * semantics). */
+  private def fullHeavyLabelIvfPq(s: SparkSession, d: String): String = {
+    val e = t(s, d, "embeddings")
+    IndexFixtures.shared(d, "ivfpq-full-16x3-16x64x3-label")(p =>
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
+        nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
+        residual = false, payload = Seq("label")))
   }
 
   /** The shared even-half CHEAP composed index — the grow-story
@@ -1361,19 +1371,18 @@ object ExtQueries {
     val exact = Similarity.bruteForceTopK(e.filter(w), "vec_id",
         "embedding", q, "vec_id", "embedding", k = 10)
       .select("q_id", "n_id").localCheckpoint()
-    val idx = IndexFixtures.shared(d, "ivfpq-full-16x3-16x64x3-label")(p =>
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
-        nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
-        residual = false, payload = Seq("label")))
+    val idx = fullHeavyLabelIvfPq(s, d)
     val probes = Seq(1, 2, 4, 8)
     val sweep = Similarity.ivfPqStoredProbeSweepFiltered(s, idx, e,
         "vec_id", "embedding", q, "vec_id", "embedding", k = 10,
         shortlist = 80, probes = probes, where = w)
       .select("n_probe", "q_id", "n_id").localCheckpoint()
+    // checkpointed like its siblings: the two exceptAll actions below
+    // would otherwise re-execute the whole filtered search twice
     val storedMax = Similarity.ivfPqStoredTopKFiltered(s, idx, e,
       "vec_id", "embedding", q, "vec_id", "embedding", k = 10,
       shortlist = 80, where = w, nProbe = probes.max)
-      .select("q_id", "n_id")
+      .select("q_id", "n_id").localCheckpoint()
     val maxSweep = sweep.filter(col("n_probe") === probes.max)
       .select("q_id", "n_id")
     val idOk = maxSweep.exceptAll(storedMax).isEmpty &&

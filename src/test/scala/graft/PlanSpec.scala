@@ -467,6 +467,20 @@ class PlanSpec extends SparkSpec {
         l.contains("FileScan parquet") && l.contains("embeddings.parquet"))
       assert(corpusScans.exists(_.contains("EqualTo(label,3)")), pp)
       assert(!pp.contains("CartesianProduct"), pp)
+      // the filtered SWEEP shares the pushed-predicate shape: its one
+      // max-budget scan carries the filter on the index FileScan too —
+      // the at-scale row-group-pruning contract must not silently
+      // degrade to a post-join filter under the sweep's windows
+      covers("ivf_pq_filtered_sweep")
+      val sw = graft.operators.Similarity.ivfPqStoredProbeSweepFiltered(
+        spark, idx, e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 3, shortlist = 6, probes = Seq(1, 2),
+        where = col("label") === 3)
+      val swScan = sw.queryExecution.executedPlan.toString.split("\n")
+        .find(l => l.contains("FileScan parquet") &&
+          l.contains("index.parquet"))
+      assert(swScan.isDefined && swScan.get.contains("EqualTo(label,3)"),
+        swScan.getOrElse("no index scan line"))
     } finally {
       val root = new org.apache.hadoop.fs.Path(idx)
       root.getFileSystem(spark.sparkContext.hadoopConfiguration)

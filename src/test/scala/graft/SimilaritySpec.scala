@@ -1285,37 +1285,43 @@ class SimilaritySpec extends SparkSpec {
     } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
-  test("ivfPqStoredProbeSweepFiltered: one-scan filtered curve equals ivfPqStoredTopKFiltered run per budget, exactly") {
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-fsw").toString
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
-        nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1,
-        payload = Seq("label"))
-      val q = emb.filter(col("vec_id") < 4)
-      val w = col("label") % 2 === 0
-      val probes = Seq(1, 2, 4)
-      def flat(df: org.apache.spark.sql.DataFrame) =
-        df.select("q_id", "n_id", "rank").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      val sweep = Similarity.ivfPqStoredProbeSweepFiltered(spark, idx,
-        emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 3,
-        shortlist = 20, probes = probes, where = w).localCheckpoint()
-      probes.foreach { p =>
-        val per = flat(Similarity.ivfPqStoredTopKFiltered(spark, idx,
+  test("ivfPqStoredProbeSweepFiltered: one-scan filtered curve equals ivfPqStoredTopKFiltered run per budget, exactly — plain, residual, and OPQ") {
+    val q = emb.filter(col("vec_id") < 4)
+    val w = col("label") % 2 === 0
+    val probes = Seq(1, 2, 4)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // plain + the two production-shaped variants the filter composes
+    // with: the residual q·c join shape and the OPQ query rotation
+    for ((residual, opq) <- Seq((false, false), (true, false),
+        (false, true))) {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-fsw-$residual-$opq").toString
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+          nLists = 4, lloydIters = 1, m = 8, ksub = 16, pqIters = 1,
+          residual = residual, payload = Seq("label"), opq = opq)
+        val sweep = Similarity.ivfPqStoredProbeSweepFiltered(spark, idx,
           emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 3,
-          shortlist = 20, where = w, nProbe = p))
-        assert(flat(sweep.filter(col("n_probe") === p)) == per,
-          s"budget $p: sweep slice must equal the per-budget filtered " +
-            "search")
-      }
-      // eligibility holds across every budget
-      val labels = sweep.join(emb.select(col("vec_id").as("n_id"),
-        col("label")), Seq("n_id")).select("label").collect()
-        .map(_.getInt(0))
-      assert(labels.forall(_ % 2 == 0))
-    } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+          shortlist = 20, probes = probes, where = w).localCheckpoint()
+        probes.foreach { p =>
+          val per = flat(Similarity.ivfPqStoredTopKFiltered(spark, idx,
+            emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 3,
+            shortlist = 20, where = w, nProbe = p))
+          assert(flat(sweep.filter(col("n_probe") === p)) == per,
+            s"residual=$residual opq=$opq budget $p: sweep slice must " +
+              "equal the per-budget filtered search")
+        }
+        // eligibility holds across every budget
+        val labels = sweep.join(emb.select(col("vec_id").as("n_id"),
+          col("label")), Seq("n_id")).select("label").collect()
+          .map(_.getInt(0))
+        assert(labels.forall(_ % 2 == 0), s"residual=$residual opq=$opq")
+      } finally fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    }
   }
 
   test("a rotation table on a NON-OPQ artifact is flagged as foreign debris") {
