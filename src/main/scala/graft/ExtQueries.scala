@@ -890,6 +890,55 @@ object ExtQueries {
     flags.crossJoin(ortho) // two 1-row frames
   }
 
+  /** All-but-the-top whitening ([[Similarity.abttWhiten]] — Mu &
+    * Viswanath 2018): mean-subtract + remove the top-r principal
+    * directions, the standard repair for anisotropic embedding spaces,
+    * as ONE map-side affine kernel fed by one bounded stats pass.
+    * Differential convention (driver math, no SQL mirror): the oracle
+    * pins the algebraic INVARIANTS, each recomputed Spark-side from an
+    * independent stats pass over the whitened output — the post-whitening
+    * mean is ~0 (`post_mean_ok`), the removed directions carry ~zero
+    * residual variance (`removed_var_ok`: uᵀC′u over the original top-r
+    * eigenvectors), and the whitened spectrum's top eigenvalue equals
+    * the ORIGINAL (r+1)-th (`top_matches_next`: P·C·P keeps exactly the
+    * non-removed eigenvalues — an identity, not a heuristic). */
+  val embedAbttQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val dim = 64
+    val r = 2
+    val white = Similarity.abttWhiten(e, "vec_id", "embedding", dim, r)
+      .localCheckpoint()
+    val (_, _, cov0) = Similarity.gramStats(e, "embedding", dim)
+    val (lam0, vec0) = Similarity.jacobiEigen(cov0)
+    val order0 = (0 until dim).sortBy(i => (-lam0(i), i))
+    val (n1, mean1, cov1) = Similarity.gramStats(white, "vec", dim)
+    val (lam1, _) = Similarity.jacobiEigen(cov1)
+    val removedVar = order0.take(r).map { ei =>
+      var s0 = 0.0
+      for (i <- 0 until dim; j <- 0 until dim)
+        s0 += vec0(i)(ei) * vec0(j)(ei) * cov1(i)(j)
+      math.abs(s0)
+    }.max
+    val nextLam = lam0(order0(r))
+    def ok(b: Boolean) = if (b) 1 else 0
+    Similarity.localFrame(s, Array(org.apache.spark.sql.Row(
+      n1, r,
+      ok(mean1.map(math.abs).max < 1e-5),
+      ok(removedVar < 1e-4),
+      ok(math.abs(lam1.max - nextLam) < 1e-3))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_vectors",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("r_removed",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("post_mean_ok",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("removed_var_ok",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("top_matches_next",
+          org.apache.spark.sql.types.IntegerType))))
+  }
+
   val embedPcaQ: Q = (s, d) =>
     Similarity.pcaTopComponent(t(s, d, "embeddings"), "embedding", k = 16)
       .agg(count(lit(1)).as("n_dims"),
@@ -2456,6 +2505,7 @@ object ExtQueries {
     "pq_opq" -> pqOpqQ,
     "embed_pca" -> embedPcaQ,
     "embed_pca_r" -> embedPcaRQ,
+    "embed_abtt" -> embedAbttQ,
     "ann_probe_sweep" -> annProbeSweep,
     "lang_id" -> langId,
     "text_quality" -> textQuality,
@@ -2785,6 +2835,16 @@ object ExtQueries {
         |  CAST(1 AS INTEGER) AS lambda_desc_ok, CAST(1 AS INTEGER) AS explained_ok,
         |  CAST(1 AS INTEGER) AS orthogonal_ok
         |FROM (SELECT count(*) AS c FROM embeddings)""".stripMargin,
+    // ABTT whitening: the oracle pins the algebraic invariants the
+    // Spark side recomputes from an independent post-whitening stats
+    // pass (removed-spectrum identity, zero mean, zero residual var)
+    "embed_abtt" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(2 AS INTEGER) AS r_removed,
+        |  CAST(1 AS INTEGER) AS post_mean_ok,
+        |  CAST(1 AS INTEGER) AS removed_var_ok,
+        |  CAST(1 AS INTEGER) AS top_matches_next
+        |FROM embeddings""".stripMargin,
     // OPQ shares pq_topk's harness and floor at the same m/ksub; the
     // rotation's orthonormality is additionally pinned
     "pq_opq" ->

@@ -874,7 +874,18 @@ object Similarity {
     * decimals (the [[covarianceMatrix]] determinism gate).
     * Driver-local result. */
   private[graft] def gramCovariance(
-      df: DataFrame, vecCol: String, d: Int): Array[Array[Double]] = {
+      df: DataFrame, vecCol: String, d: Int): Array[Array[Double]] =
+    gramStats(df, vecCol, d)._3
+
+  /** The full Welford/Chan statistics behind [[gramCovariance]]:
+    * (count, mean vector, population covariance) from the ONE
+    * bounded-buffer pass — mean and covariance together, for consumers
+    * like [[abttWhiten]] that need both without a second corpus scan.
+    * Means and covariances rounded to 6 decimals (the determinism
+    * gate). */
+  private[graft] def gramStats(
+      df: DataFrame, vecCol: String, d: Int)
+      : (Long, Array[Double], Array[Array[Double]]) = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val ds = df.select(col(vecCol).cast(
       org.apache.spark.sql.types.ArrayType(
@@ -883,6 +894,9 @@ object Similarity {
     val b = ds.select(new GramAggregator(d).toColumn).head()
     val n = b(0)
     require(n > 0, "gramCovariance: empty input")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean = Array.tabulate(d)(i => r6(b(1 + i)))
     val c = Array.ofDim[Double](d, d)
     var p = 1 + d
     var i = 0
@@ -893,14 +907,69 @@ object Similarity {
         // (Welford/Chan — covar_pop's own algorithm), so this division
         // is the population covariance with no E[xy]−E[x]E[y]
         // cancellation on non-centered data
-        val r = BigDecimal(b(p) / n)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val r = r6(b(p) / n)
         c(i)(j) = r; c(j)(i) = r
         j += 1; p += 1
       }
       i += 1
     }
-    c
+    (n.toLong, mean, c)
+  }
+
+  /** All-but-the-top embedding whitening (Mu & Viswanath, ICLR 2018 —
+    * public knowledge): subtract the corpus mean and remove the top-`r`
+    * principal directions, the standard post-processing that repairs
+    * anisotropic embedding spaces (mass concentrated along a few common
+    * directions inflates every cosine — the [[pcaTopComponent]]
+    * diagnostic's fix). The whole transform folds into ONE affine
+    * projection computed driver-side: with U the top-r eigenvectors and
+    * P = I − U·Uᵀ, the output is v′ = P·(v − μ) = [P | −P·μ] · (v ⧺ 1),
+    * applied as a single [[graft.plans.MatVec]] kernel over the
+    * 1-appended vector — so the corpus-side work is ONE stats pass
+    * ([[gramStats]]: bounded Welford buffer, mean and covariance
+    * together) plus one map-side codegen projection; the eigenbasis is
+    * driver-local Jacobi ([[jacobiEigen]]), deterministic end to end.
+    * Returns (id, whitened vector) with every OTHER input column
+    * dropped; rows with NULL or wrong-width vectors raise loudly (the
+    * [[rotatedUnit]] contract). Whiten BEFORE unitizing for
+    * similarity work — the projection does not preserve norms. */
+  def abttWhiten(
+      df: DataFrame, idCol: String, vecCol: String, d: Int,
+      r: Int): DataFrame = {
+    require(r >= 0 && r < d, s"r must be in [0, $d), got $r")
+    val (_, mean, cov) = gramStats(df, vecCol, d)
+    val (lam, vec) = jacobiEigen(cov)
+    val top = (0 until d).sortBy(i => (-lam(i), i)).take(r)
+    // P = I - U U^T, then the affine fold: flat d x (d+1) row-major
+    // [P | -P mu]
+    val p = Array.tabulate(d, d) { (i, j) =>
+      (if (i == j) 1.0 else 0.0) -
+        top.map(e => vec(i)(e) * vec(j)(e)).sum
+    }
+    val flatAug = new Array[Double](d * (d + 1))
+    for (i <- 0 until d) {
+      var c0 = 0.0
+      for (j <- 0 until d) {
+        flatAug(i * (d + 1) + j) = p(i)(j)
+        c0 += p(i)(j) * mean(j)
+      }
+      flatAug(i * (d + 1) + d) = -c0
+    }
+    val mLit = org.apache.spark.sql.graftshim.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        flatAug.toSeq, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    val v = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    df.select(col(idCol).as("id"),
+      when(col(vecCol).isNotNull && size(col(vecCol)) === d,
+        graft.plans.MatVec.matVecCol(mLit,
+          concat(v, array(lit(1.0)))))
+        .otherwise(raise_error(concat(
+          lit(s"abttWhiten: NULL or non-$d-width vector at id "),
+          coalesce(col(idCol).cast("string"), lit("<null id>")),
+          lit(" — audit the corpus with embed_integrity"))))
+        .as("vec"))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — driver-local

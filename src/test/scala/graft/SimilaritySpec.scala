@@ -1136,6 +1136,91 @@ class SimilaritySpec extends SparkSpec {
     assert(top.zip(c0).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("abttWhiten: output differs from centering by a rank-r subspace it is orthogonal to; r=0 is pure centering; bad vectors raise naming the id") {
+    import sqlContext.implicits._
+    val dim = 64
+    val r = 2
+    // NOTE on method: the removed BASIS cannot be recomputed and
+    // compared vector-level — the 1-row stats aggregation merges
+    // partials in task-completion order, so round-6 covariance entries
+    // can flip a last digit between runs and eigenVECTORS rotate freely
+    // inside small-gap eigenspaces (measured: ~0.03 vector drift while
+    // the removed SUBSPACE stays put). So pin the basis-free algebra:
+    // for every row, (centered − whitened) must lie in ONE shared
+    // subspace of rank ≤ r, and the whitened vector must be orthogonal
+    // to that subspace — true for exactly the affine projection
+    // P·(v − μ) and nothing weaker. The registered key owns the
+    // top-variance-ness of the removed subspace (tolerant invariants).
+    val (_, mean, _) = Similarity.gramStats(emb, "embedding", dim)
+    val rows = Similarity.abttWhiten(emb, "vec_id", "embedding", dim, r)
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      .limit(30).collect()
+    // Gram-Schmidt over the per-row removed components: the basis must
+    // not exceed r directions (mean round-6 drift adds ~1e-6 noise per
+    // component — keep the independence threshold well above it)
+    val basis = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def proj(v: Array[Double]): Array[Double] = {
+      var acc = v.clone()
+      basis.foreach { b =>
+        val d0 = acc.zip(b).map { case (a, b2) => a * b2 }.sum
+        acc = acc.zip(b).map { case (a, b2) => a - d0 * b2 }
+      }
+      acc
+    }
+    val pairs = rows.map { row =>
+      val x = row.getSeq[Float](2).map(_.toDouble).toArray
+      val got = row.getSeq[Double](1).toArray
+      val removed = Array.tabulate(dim)(i => x(i) - mean(i) - got(i))
+      (got, removed)
+    }
+    pairs.foreach { case (_, removed) =>
+      val res = proj(removed)
+      val n = math.sqrt(res.map(v => v * v).sum)
+      if (n > 1e-4) basis += res.map(_ / n) // genuinely new direction
+    }
+    assert(basis.size <= r,
+      s"removed components span ${basis.size} directions — more than " +
+        s"the $r the operator claims to project out")
+    // every whitened vector is orthogonal to the removed subspace
+    pairs.foreach { case (got, _) =>
+      basis.foreach { b =>
+        val d0 = got.zip(b).map { case (a, b2) => a * b2 }.sum
+        assert(math.abs(d0) < 1e-4, s"whitened vector has residual $d0 " +
+          "along a removed direction")
+      }
+    }
+    // r = 0: pure mean-centering (tolerance covers a round-6 flip
+    // between this mean read and the operator's own)
+    val c0 = Similarity.abttWhiten(emb, "vec_id", "embedding",
+      dim, 0).join(emb.select(col("vec_id").as("id"), col("embedding")),
+      Seq("id")).limit(5).collect()
+    c0.foreach { row =>
+      val x = row.getSeq[Float](2).map(_.toDouble).toArray
+      val got = row.getSeq[Double](1).toArray
+      got.indices.foreach(i =>
+        assert(math.abs(got(i) - (x(i) - mean(i))) < 5e-6))
+    }
+    // wrong-width vectors raise loudly: an UNDER-width vector dies in
+    // the stats pass with the GramAggregator diagnostic; an OVER-width
+    // one survives stats (first d dims) and must hit the per-row kernel
+    // guard naming the offending id
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+    val short = Seq((99999L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val exShort = intercept[Exception](Similarity.abttWhiten(
+      emb.select(col("vec_id"), col("embedding"))
+        .unionByName(short), "vec_id", "embedding", dim, r).collect())
+    assert(chain(exShort).exists(_.contains("gramCovariance")),
+      chain(exShort).mkString(" | "))
+    val long = Seq((99999L, Array.fill(dim + 8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val exLong = intercept[Exception](Similarity.abttWhiten(
+      emb.select(col("vec_id"), col("embedding"))
+        .unionByName(long), "vec_id", "embedding", dim, r).collect())
+    assert(chain(exLong).exists(m => m.contains("abttWhiten") &&
+      m.contains("99999")), chain(exLong).mkString(" | "))
+  }
+
   test("gramCovariance cross-validates covarianceMatrix, and the Jacobi eigenbasis reconstructs it") {
     val k = 8
     val viaAgg = Similarity.gramCovariance(emb, "embedding", k)
