@@ -906,14 +906,18 @@ object ExtQueries {
     val e = t(s, d, "embeddings")
     val dim = 64
     val r = 2
-    val white = Similarity.abttWhiten(e, "vec_id", "embedding", dim, r)
-      .localCheckpoint()
-    val (_, _, cov0) = Similarity.gramStats(e, "embedding", dim)
-    val (lam0, vec0) = Similarity.jacobiEigen(cov0)
+    // the operator RETURNS the basis it removed — auditing against a
+    // recomputed one is both a redundant corpus scan and fragile
+    // (task-completion merge order can flip round-6 covariance digits
+    // and rotate eigenvectors inside small-gap eigenspaces); the
+    // independence of the check comes from the SECOND stats pass over
+    // the whitened OUTPUT, not from re-deriving the model
+    val (white, _, lam0, vec0, top) =
+      Similarity.abttWhitenWithBasis(e, "vec_id", "embedding", dim, r)
     val order0 = (0 until dim).sortBy(i => (-lam0(i), i))
     val (n1, mean1, cov1) = Similarity.gramStats(white, "vec", dim)
     val (lam1, _) = Similarity.jacobiEigen(cov1)
-    val removedVar = order0.take(r).map { ei =>
+    val removedVar = top.map { ei =>
       var s0 = 0.0
       for (i <- 0 until dim; j <- 0 until dim)
         s0 += vec0(i)(ei) * vec0(j)(ei) * cov1(i)(j)

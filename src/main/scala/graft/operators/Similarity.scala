@@ -884,16 +884,17 @@ object Similarity {
     * Means and covariances rounded to 6 decimals (the determinism
     * gate). */
   private[graft] def gramStats(
-      df: DataFrame, vecCol: String, d: Int)
+      df: DataFrame, vecCol: String, d: Int,
+      caller: String = "gramCovariance")
       : (Long, Array[Double], Array[Array[Double]]) = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val ds = df.select(col(vecCol).cast(
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType)).as("v"))
       .as[Seq[Double]](ExpressionEncoder[Seq[Double]]())
-    val b = ds.select(new GramAggregator(d).toColumn).head()
+    val b = ds.select(new GramAggregator(d, caller).toColumn).head()
     val n = b(0)
-    require(n > 0, "gramCovariance: empty input")
+    require(n > 0, s"$caller: empty input")
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val mean = Array.tabulate(d)(i => r6(b(1 + i)))
@@ -935,9 +936,23 @@ object Similarity {
     * similarity work — the projection does not preserve norms. */
   def abttWhiten(
       df: DataFrame, idCol: String, vecCol: String, d: Int,
-      r: Int): DataFrame = {
+      r: Int): DataFrame =
+    abttWhitenWithBasis(df, idCol, vecCol, d, r)._1
+
+  /** [[abttWhiten]] also returning the model it removed —
+    * (whitened, mean, eigenvalues, eigenvectors-as-columns, removed
+    * eigen indices) — for callers that must audit the output against
+    * the SAME basis the operator used (the registered differential):
+    * recomputing the basis from a second stats pass is both a redundant
+    * corpus scan and fixture-fragile, because the 1-row aggregation
+    * merges partials in task-completion order and round-6 flips let
+    * eigenvectors rotate inside small-gap eigenspaces. */
+  private[graft] def abttWhitenWithBasis(
+      df: DataFrame, idCol: String, vecCol: String, d: Int, r: Int)
+      : (DataFrame, Array[Double], Array[Double], Array[Array[Double]],
+         Seq[Int]) = {
     require(r >= 0 && r < d, s"r must be in [0, $d), got $r")
-    val (_, mean, cov) = gramStats(df, vecCol, d)
+    val (_, mean, cov) = gramStats(df, vecCol, d, "abttWhiten")
     val (lam, vec) = jacobiEigen(cov)
     val top = (0 until d).sortBy(i => (-lam(i), i)).take(r)
     // P = I - U U^T, then the affine fold: flat d x (d+1) row-major
@@ -961,7 +976,7 @@ object Similarity {
           org.apache.spark.sql.types.DoubleType)))
     val v = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
-    df.select(col(idCol).as("id"),
+    val out = df.select(col(idCol).as("id"),
       when(col(vecCol).isNotNull && size(col(vecCol)) === d,
         graft.plans.MatVec.matVecCol(mLit,
           concat(v, array(lit(1.0)))))
@@ -970,6 +985,7 @@ object Similarity {
           coalesce(col(idCol).cast("string"), lit("<null id>")),
           lit(" — audit the corpus with embed_integrity"))))
         .as("vec"))
+    (out, mean, lam, vec, top)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — driver-local
@@ -2927,7 +2943,8 @@ object Similarity {
   * vectors throw — covar_pop silently drops them, which is the failure
   * mode `covarianceMatrix`'s guard exists to prevent; same contract
   * here. */
-private[graft] class GramAggregator(d: Int)
+private[graft] class GramAggregator(d: Int,
+    caller: String = "gramCovariance")
   extends org.apache.spark.sql.expressions.Aggregator[
     Seq[Double], Array[Double], Array[Double]] {
 
@@ -2938,7 +2955,7 @@ private[graft] class GramAggregator(d: Int)
   override def reduce(b: Array[Double], x: Seq[Double]): Array[Double] = {
     if (x == null || x.length < d)
       throw new IllegalArgumentException(
-        s"gramCovariance: NULL or <$d-dim vector — fix the feed first " +
+        s"$caller: NULL or <$d-dim vector — fix the feed first " +
           "(audit with embed_integrity)")
     val n = b(0) + 1
     b(0) = n

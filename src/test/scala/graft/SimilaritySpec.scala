@@ -1200,17 +1200,18 @@ class SimilaritySpec extends SparkSpec {
       got.indices.foreach(i =>
         assert(math.abs(got(i) - (x(i) - mean(i))) < 5e-6))
     }
-    // wrong-width vectors raise loudly: an UNDER-width vector dies in
-    // the stats pass with the GramAggregator diagnostic; an OVER-width
-    // one survives stats (first d dims) and must hit the per-row kernel
-    // guard naming the offending id
+    // wrong-width vectors raise loudly NAMING THE OPERATOR: an
+    // UNDER-width vector dies in the stats pass (caller-parameterized
+    // diagnostic, no id available there); an OVER-width one survives
+    // stats (first d dims) and must hit the per-row kernel guard
+    // naming the offending id
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
     val short = Seq((99999L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
     val exShort = intercept[Exception](Similarity.abttWhiten(
       emb.select(col("vec_id"), col("embedding"))
         .unionByName(short), "vec_id", "embedding", dim, r).collect())
-    assert(chain(exShort).exists(_.contains("gramCovariance")),
+    assert(chain(exShort).exists(_.contains("abttWhiten")),
       chain(exShort).mkString(" | "))
     val long = Seq((99999L, Array.fill(dim + 8)(1.0f)))
       .toDF("vec_id", "embedding")
