@@ -216,6 +216,29 @@ object ExtQueries {
       .select(col("doc_id").as("id"), col("text"), col("n_removed"))
       .orderBy("id")
 
+  /** Benchmark decontamination as the routed pipeline stage
+    * ([[graft.operators.Curation.decontaminate]]): a 10%-of-ids
+    * benchmark slice is stripped OUT of the other 90% span-wise (shared
+    * winnowing fingerprints pair, matched k-gram coverage removed), then
+    * survivors re-gate at 100 remaining chars — [[contaminationQ]] flags
+    * the leak, this REPAIRS it. Cross-dataset contract under oracle: the
+    * fingerprint-df cap is computed on the BENCHMARK index side, and
+    * there is NO same-id pair guard (independent id namespaces — an id
+    * collision must never suppress a strip). Stripped text, removal
+    * counts, and the kept gate are all exact — full hash-match oracle
+    * mirroring the winnowing chain on both sides. */
+  val decontamStripQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Curation.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", k = 16, w = 8, minShared = 3,
+      maxFingerprintDf = 20, minCharsAfter = 100)
+      .select(col("doc_id").as("id"), col("text"), col("n_removed"),
+        col("kept"))
+      .orderBy("id")
+  }
+
   /** The recall side of the winnowing tuning read: per window size w ∈
     * {4, 8, 12} (k fixed at 16), the guaranteed detection floor w+k−1
     * and the corpus pair/doc yield from one fingerprint pass each —
@@ -578,6 +601,17 @@ object ExtQueries {
     Curation.mixStrata(t(s, d, "documents"), "doc_id", "lang",
       Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.2))
       .select("doc_id", "lang").orderBy("doc_id")
+
+  /** The PLANNING read for [[sampleMix]]'s recipe, char-weighted
+    * ([[Curation.mixPlan]]): per stratum, available mass, the maximal
+    * plan `S·w` at `S = min(available/w)`, the take rate, and the
+    * BINDING stratum — what a mixture job reads before paying for the
+    * sample. All arithmetic is one IEEE division per stratum compared
+    * exactly against the window min; DuckDB mirrors it term for term. */
+  val mixPlanQ: Q = (s, d) =>
+    Curation.mixPlan(t(s, d, "documents"), "lang",
+      Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.2), sizeCol = Some("n_chars"))
+      .orderBy("stratum")
 
   /** Temperature-balanced language downsampling (alpha = 0.5) — see
     * [[Curation.temperatureSample]]. Deterministic md5-bucket membership
@@ -2460,6 +2494,7 @@ object ExtQueries {
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_incr" -> dedupSubstringIncr,
     "dedup_substring_strip" -> dedupSubstringStrip,
+    "decontam_strip" -> decontamStripQ,
     "substring_spans" -> substringSpansQ,
     "spans_hist" -> spansHist,
     "substring_sweep" -> substringSweep,
@@ -2486,6 +2521,7 @@ object ExtQueries {
     "dedup_survivor" -> dedupSurvivor,
     "sample_temperature" -> sampleTemperature,
     "sample_mix" -> sampleMix,
+    "mix_plan" -> mixPlanQ,
     "chunk_docs" -> chunkDocsQ,
     "topk_sim" -> topkSim,
     "topk_sim_agg" -> topkSimAgg,
@@ -3944,6 +3980,69 @@ object ExtQueries {
         |    0) AS BIGINT) AS n_removed
         |FROM documents d LEFT JOIN strip s ON s.doc_id = d.doc_id
         |ORDER BY id""".stripMargin,
+    // the strip chain with TWO sides: corpus fingerprints pair against the
+    // df-capped BENCHMARK index (cap on the index side, NO id guard),
+    // benchmark partner grams mark corpus coverage, plus the kept gate
+    "decontam_strip" ->
+      """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |gc AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM corp WHERE text IS NOT NULL AND length(text) >= 16),
+        |hc AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM gc),
+        |gb AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text)-16)) AS pos,
+        |    length(text)-15 AS n, text
+        |  FROM bench WHERE text IS NOT NULL AND length(text) >= 16),
+        |hb AS (SELECT doc_id, pos, n, md5(substr(text, pos+1, 16)) AS h FROM gb),
+        |winc AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM hc),
+        |fpc AS (SELECT DISTINCT doc_id, mn AS h FROM winc
+        |        WHERE pos <= greatest(n - 8, 0)),
+        |winb AS (
+        |  SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM hb),
+        |fpb AS (SELECT DISTINCT doc_id, mn AS h FROM winb
+        |        WHERE pos <= greatest(n - 8, 0)),
+        |dfreq AS (SELECT h, count(*) AS d FROM fpb GROUP BY h),
+        |fpb2 AS (SELECT fpb.doc_id, fpb.h FROM fpb JOIN dfreq USING (h)
+        |         WHERE d <= 20),
+        |pairs AS (
+        |  SELECT c.doc_id AS c_id, b.doc_id AS b_id
+        |  FROM fpc c JOIN fpb2 b ON c.h = b.h
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |allgb AS (SELECT DISTINCT doc_id, h FROM hb),
+        |pg AS (SELECT DISTINCT p.c_id, g.h
+        |       FROM pairs p JOIN allgb g ON g.doc_id = p.b_id),
+        |mpos AS (SELECT DISTINCT hh.doc_id AS c_id, hh.pos
+        |         FROM hc hh JOIN pg ON pg.c_id = hh.doc_id AND pg.h = hh.h),
+        |cov AS (SELECT DISTINCT c_id,
+        |          pos + unnest(generate_series(1, 16)) AS j FROM mpos),
+        |chars AS (
+        |  SELECT d.doc_id, unnest(generate_series(1, length(d.text))) AS j,
+        |    d.text
+        |  FROM corp d
+        |  WHERE d.doc_id IN (SELECT c_id FROM pairs)),
+        |strip AS (
+        |  SELECT c.doc_id,
+        |    coalesce(string_agg(
+        |      CASE WHEN v.j IS NULL THEN substr(c.text, c.j, 1) END,
+        |      '' ORDER BY c.j), '') AS stext
+        |  FROM chars c LEFT JOIN cov v ON v.c_id = c.doc_id AND v.j = c.j
+        |  GROUP BY c.doc_id),
+        |fin AS (
+        |  SELECT d.doc_id AS id,
+        |    CASE WHEN s.doc_id IS NOT NULL THEN s.stext ELSE d.text END AS text,
+        |    CAST(coalesce(length(d.text) -
+        |      length(CASE WHEN s.doc_id IS NOT NULL THEN s.stext ELSE d.text END),
+        |      0) AS BIGINT) AS n_removed
+        |  FROM corp d LEFT JOIN strip s ON s.doc_id = d.doc_id)
+        |SELECT id, text, n_removed,
+        |  CAST(CASE WHEN text IS NOT NULL AND length(text) >= 100
+        |    THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM fin ORDER BY id""".stripMargin,
     // the dedup_ngram pair arithmetic at a lower floor, bucketed on the
     // ROUNDED jaccard (same round-4 gate, identical IEEE floor(j*10) on
     // both engines) with a cumulative over the <= 10 bucket rows
@@ -4034,6 +4133,26 @@ object ExtQueries {
         |      END)) AS i
         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // mix_plan: the sample_mix scale arithmetic read as a REPORT —
+    // char-weighted availability, S = min(available/w), planned = S*w,
+    // rate = round(S*w/available, 6), binding = the argmin row(s) by
+    // exact IEEE equality with the window min
+    "mix_plan" ->
+      """WITH avail AS (
+        |  SELECT lang AS stratum, CAST(sum(n_chars) AS BIGINT) AS available,
+        |    CASE lang WHEN 'en' THEN 0.5e0 WHEN 'de' THEN 0.3e0
+        |      WHEN 'es' THEN 0.2e0 END AS weight
+        |  FROM documents WHERE lang IN ('en', 'de', 'es') GROUP BY lang),
+        |m AS (
+        |  SELECT stratum, available, weight,
+        |    CAST(available AS DOUBLE) / weight AS perw,
+        |    min(CAST(available AS DOUBLE) / weight) OVER () AS scale
+        |  FROM avail)
+        |SELECT stratum, available, weight,
+        |  round(scale * weight, 4) AS planned,
+        |  round(scale * weight / available, 6) AS rate,
+        |  CAST(CASE WHEN perw = scale THEN 1 ELSE 0 END AS INTEGER) AS binding
+        |FROM m ORDER BY stratum""".stripMargin,
     // sample_mix: scale S = min(n_i/w_i) maximizes the mixture; rate_i =
     // round(S*w_i/n_i, 6); same md5-bucket membership; zh/fr not in the
     // recipe and therefore absent

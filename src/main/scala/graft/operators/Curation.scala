@@ -213,6 +213,73 @@ object Curation {
     df.filter(h < thr)
   }
 
+  /** The PLANNING read for [[mixStrata]]: given the same mixture recipe,
+    * report — without sampling anything — what the maximal mixture
+    * achieves on this corpus and which stratum binds it. One row per
+    * recipe stratum: `available` (rows, or `sum(sizeCol)` for
+    * token-/char-weighted planning), the echoed `weight`, `planned`
+    * (`S·w`, the expected kept mass at the maximal scale
+    * `S = min_i(available_i / w_i)`), `rate` (`planned / available`,
+    * rounded to the same 6 decimals [[mixStrata]] buckets with), and
+    * `binding` (1 on the stratum whose availability sets S — the one a
+    * user must GROW to scale the whole mixture; ties all flag). The
+    * read a 100 TB mixture job takes before paying for it: "your recipe
+    * yields 1.9 B of the 10 B available tokens, bound by `code`" is the
+    * difference between re-negotiating the recipe and discovering the
+    * shortfall after the run.
+    *
+    * Same contracts as [[mixStrata]]: weights are a whitelist, positive
+    * and finite, ratios-only; a recipe stratum with no rows (or
+    * all-NULL sizes) fails fast rather than planning a zero-row
+    * mixture. Numeric contract: `scale` and `binding` come from ONE
+    * IEEE division per stratum (`available / weight`) compared exactly
+    * against the minimum — bit-identical cross-engine; `planned` rounds
+    * to 4 decimals, `rate` to 6.
+    *
+    * Scale shape: one partial-aggregated groupBy to ≤ |recipe| rows,
+    * then window-min over that tiny frame — the corpus is scanned once
+    * and never shuffled beyond the aggregate. */
+  def mixPlan(
+      df: DataFrame, stratumCol: String,
+      weights: Map[String, Double],
+      sizeCol: Option[String] = None): DataFrame = {
+    require(weights.nonEmpty, "mixPlan requires at least one stratum weight")
+    require(weights.values.forall(w => w > 0 && !w.isInfinite && !w.isNaN),
+      s"weights must be positive and finite: $weights")
+    val mass = sizeCol.map(c => sum(col(c))).getOrElse(count(lit(1)))
+    val avail = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(mass.cast("long").as("available"))
+    val wCol = weights.foldLeft(lit(null).cast("double")) {
+      case (rest, (s, w)) => when(col("stratum") === s, lit(w)).otherwise(rest)
+    }
+    // count(available) is non-null rows: a stratum whose sizes are all
+    // NULL has no measurable mass and must trip the guard like an absent
+    // one, not plan as a NULL row
+    val missing = lit(weights.size) - count(col("available"))
+      .over(Window.rowsBetween(Long.MinValue, Long.MaxValue))
+    val perW = col("available").cast("double") / col("weight")
+    val scale = min(perW).over(Window.rowsBetween(Long.MinValue, Long.MaxValue))
+    avail
+      .withColumn("weight", wCol)
+      .select(
+        col("stratum"),
+        // fail FAST on absent strata (mixStrata rationale: the only
+        // mixture honoring a zero-row component is empty) — folded into
+        // an OUTPUT column so projection pruning can never silence it,
+        // and every consumer of the plan sees the raise
+        when(missing > 0, raise_error(concat(
+          lit("mixPlan: recipe strata with no rows (or no measurable "),
+          lit("size) in the data — expected "),
+          lit(weights.size).cast("string"), lit(" strata, found "),
+          (lit(weights.size) - missing).cast("string"))))
+          .otherwise(col("available")).as("available"),
+        col("weight"),
+        round(scale * col("weight"), 4).as("planned"),
+        round(scale * col("weight") / col("available"), 6).as("rate"),
+        when(perW === scale, lit(1)).otherwise(lit(0)).as("binding"))
+  }
+
   /** Benchmark-contamination ratio per document: the fraction of the
     * document's distinct word n-gram shingles that also appear anywhere in
     * the benchmark set — the standard eval-set leakage check run before
@@ -246,6 +313,45 @@ object Curation {
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         round(coalesce(col("__hits") / col("__n"), lit(0.0)), 4).as("contamination"))
+  }
+
+  /** Benchmark DECONTAMINATION as the routed pipeline stage: strip every
+    * character a corpus document shares span-wise with the benchmark set
+    * ([[graft.operators.Dedup.stripBenchmarkSpans]] — ≥ `minShared`
+    * winnowing fingerprints pairs, matched k-gram coverage removed), then
+    * RE-GATE the survivors — a document whose remaining text falls below
+    * `minCharsAfter` characters was substantially the benchmark and keeps
+    * nothing trainable, so it routes out instead of shipping a stub. This
+    * is the named decontamination stage of the published pretraining
+    * pipelines (exact-substring decontamination, Lee et al. ACL'22 §4.3):
+    * [[contamination]] is the *flag* twin (shingle-overlap ratio, decide
+    * thresholds), this is the *repair* verb (remove the leak, keep the
+    * document when enough of it survives).
+    *
+    * Returns the corpus with `textCol` stripped, plus `n_removed` (chars
+    * removed, 0 for untouched docs) and `kept` (1 when the surviving text
+    * is non-NULL and ≥ `minCharsAfter` chars — NULL-text documents gate
+    * to 0: nothing trainable). The reject side is `kept = 0` — route it
+    * with the reason column via [[graft.engine.Qa]] like any QA split;
+    * both sides stay one filter away, so the split never re-runs the
+    * strip.
+    *
+    * Scale shape rides the strip ([[graft.operators.Dedup
+    * .stripBenchmarkSpans]] scaladoc): benchmark index built once
+    * (broadcast-sized), corpus hashed map-side, gate is one more map-side
+    * projection. */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20, minCharsAfter: Int = 200): DataFrame = {
+    require(minCharsAfter >= 0,
+      s"minCharsAfter must be >= 0, got $minCharsAfter")
+    Dedup.stripBenchmarkSpans(corpus, benchmark, idCol, textCol,
+        k, w, minShared, maxFingerprintDf)
+      .withColumn("kept",
+        when(col(textCol).isNotNull &&
+          length(col(textCol)) >= minCharsAfter, lit(1)).otherwise(lit(0)))
   }
 
   /** Sequence-packing index (GPT-style concat-and-split pretraining prep):

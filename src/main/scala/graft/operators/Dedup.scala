@@ -1687,15 +1687,33 @@ object Dedup {
   def substringDupPairsAgainst(
       batch: DataFrame, cappedFps: DataFrame,
       idCol: String, textCol: String,
-      k: Int = 16, w: Int = 8, minShared: Int = 3): DataFrame = {
+      k: Int = 16, w: Int = 8, minShared: Int = 3): DataFrame =
+    pairsAgainstCore(batch, cappedFps, idCol, textCol, k, w, minShared,
+      excludeSameId = true)
+
+  /** Shared pair core for the against-a-stored-index family. The one
+    * semantic switch is `excludeSameId`: the INCREMENTAL contract
+    * ([[substringDupPairsAgainst]]) pairs a new batch against an index of
+    * the SAME table, where a batch re-containing a corpus id is the same
+    * document and must never self-pair; the CROSS-DATASET contract
+    * ([[stripBenchmarkSpans]]) pairs two independent id namespaces, where
+    * a coincidental id collision between a training document and a
+    * benchmark document is meaningless and must NOT suppress the match —
+    * an id-guard there would silently skip exactly the leaked rows
+    * decontamination exists to catch. */
+  private def pairsAgainstCore(
+      batch: DataFrame, cappedFps: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, excludeSameId: Boolean): DataFrame = {
     require(Seq("id", "h").forall(cappedFps.columns.contains),
       s"cappedFps must carry (id, h) — the winnowFingerprints schema; " +
         s"got (${cappedFps.columns.mkString(", ")})")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    winnowFingerprints(batch, idCol, textCol, k, w)
+    val joined = winnowFingerprints(batch, idCol, textCol, k, w)
       .toDF("new_id", "h")
       .join(cappedFps.select(col("id").as("corpus_id"), col("h")), Seq("h"))
-      .filter(col("new_id") =!= col("corpus_id"))
+    (if (excludeSameId) joined.filter(col("new_id") =!= col("corpus_id"))
+     else joined)
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
@@ -1706,7 +1724,17 @@ object Dedup {
   def stripAgainstCappedIndex(
       batch: DataFrame, cappedFps: DataFrame, corpusGrams: DataFrame,
       idCol: String, textCol: String,
-      k: Int = 16, w: Int = 8, minShared: Int = 3): DataFrame = {
+      k: Int = 16, w: Int = 8, minShared: Int = 3): DataFrame =
+    stripAgainstIndexCore(batch, cappedFps, corpusGrams, idCol, textCol,
+      k, w, minShared, excludeSameId = true)
+
+  /** Shared strip core — [[pairsAgainstCore]] has the `excludeSameId`
+    * rationale; everything downstream of the pair step is contract-
+    * identical between the incremental and cross-dataset callers. */
+  private def stripAgainstIndexCore(
+      batch: DataFrame, cappedFps: DataFrame, corpusGrams: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, excludeSameId: Boolean): DataFrame = {
     require(Seq("id", "h").forall(cappedFps.columns.contains),
       s"cappedFps must carry (id, h) — the winnowFingerprints schema; " +
         s"got (${cappedFps.columns.mkString(", ")})")
@@ -1716,8 +1744,8 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(!batch.columns.contains("n_removed"),
       "stripAgainstCappedIndex adds an n_removed column; the input already has one")
-    val partners = substringDupPairsAgainst(batch, cappedFps,
-      idCol, textCol, k, w, minShared)
+    val partners = pairsAgainstCore(batch, cappedFps,
+      idCol, textCol, k, w, minShared, excludeSameId)
       .select("new_id", "corpus_id")
     // corpus partner gram sets intersected with the ARRIVAL's own grams
     // before collecting — the stripCopiedSpansFromPairs rationale: a
@@ -1737,6 +1765,66 @@ object Dedup {
     val joined = batch.join(ph, batch(idCol) === ph("__strip_id"), "left")
     stripWithPartnerHashes(joined, textCol, k)
   }
+
+  /** Benchmark DECONTAMINATION strip — the cross-dataset form of
+    * [[stripCopiedSpans]]: every corpus document loses every character
+    * covered by a k-gram it shares with a BENCHMARK document it pairs
+    * with (≥ `minShared` winnowing fingerprints), where the benchmark is
+    * an independent evaluation set, not an earlier slice of the same
+    * corpus. This is the span-level eval-leakage repair every published
+    * pretraining pipeline runs as a named stage (exact-substring
+    * decontamination in Lee et al. ACL'22 §4.3; the n-gram variants in
+    * the Dolma/FineWeb reports): [[graft.operators.Curation
+    * .contamination]] FLAGS the overlap, this REMOVES it, and
+    * [[graft.operators.Curation.decontaminate]] composes the two into
+    * the routed pipeline stage. The reference's own shape for this is
+    * select-then-mutate-in-place on a filtered view
+    * (`/root/reference/src/wins_transform_staging.py:168-171`).
+    *
+    * Contract differences from the incremental strip, both deliberate:
+    * the fingerprint-df cap is computed on the BENCHMARK side (the
+    * boilerplate fan-out guard belongs to the index being probed), and
+    * there is NO same-id exclusion — corpus and benchmark ids are
+    * independent namespaces, so an id collision must not suppress a
+    * strip ([[pairsAgainstCore]] has the full rationale). A corpus
+    * document sharing nothing passes through byte-identical with
+    * `n_removed` 0; the benchmark is read-only throughout.
+    *
+    * Scale shape: the benchmark index is built ONCE here for one-shot
+    * convenience (eval sets are thousands of documents — the tiny side);
+    * a query-many caller should materialize [[capFingerprintIndex]] +
+    * the w=1 gram dump once and go through
+    * [[stripBenchmarkSpansIndexed]]. The corpus is
+    * hashed map-side, the candidate join is hash-keyed against the
+    * broadcast-sized benchmark index, and the strip is the per-row
+    * codegen expression — the corpus never self-joins and its text never
+    * crosses the wire. */
+  def stripBenchmarkSpans(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int,
+      maxFingerprintDf: Int): DataFrame = {
+    val fps = capFingerprintIndex(
+      winnowFingerprints(benchmark, idCol, textCol, k, w), maxFingerprintDf)
+    val grams = benchmark
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
+    stripBenchmarkSpansIndexed(corpus, fps, grams, idCol, textCol,
+      k, w, minShared)
+  }
+
+  /** [[stripBenchmarkSpans]] against an ALREADY-MATERIALIZED benchmark
+    * index — the query-many path (df-capped fingerprints via
+    * [[capFingerprintIndex]] + the WinnowMinima w=1 gram dump, both
+    * build-once tables): no per-call aggregate over the benchmark, same
+    * no-same-id-guard cross-dataset pairing. */
+  def stripBenchmarkSpansIndexed(
+      corpus: DataFrame, benchFpsCapped: DataFrame, benchGrams: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3): DataFrame =
+    stripAgainstIndexCore(corpus, benchFpsCapped, benchGrams, idCol,
+      textCol, k, w, minShared, excludeSameId = false)
 
   // --------------------------------------------- blocking-scheme evaluation
 

@@ -88,6 +88,136 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.25, 4L -> 0.0))
   }
 
+  test("mixPlan: hand-computed plan — binding stratum, rates, planned mass; off-recipe strata absent") {
+    val docs = ((1 to 100).map(i => (i.toLong, "en")) ++
+      (101 to 130).map(i => (i.toLong, "de")) ++
+      (131 to 140).map(i => (i.toLong, "zh"))) // off-recipe
+      .toDF("doc_id", "lang")
+    val plan = Curation.mixPlan(docs, "lang", Map("en" -> 0.5, "de" -> 0.3))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getInt(5)))).toMap
+    // perw: en 100/0.5 = 200, de 30/0.3 = 100 -> scale 100, de binds
+    assert(plan.keySet == Set("en", "de")) // zh is off-recipe
+    assert(plan("en") == ((100L, 0.5, 50.0, 0.5, 0)))
+    assert(plan("de") == ((30L, 0.3, 30.0, 1.0, 1)))
+  }
+
+  test("mixPlan: sizeCol weighs by mass (NULL sizes carry none); ties flag every binding stratum") {
+    val docs = Seq(
+      (1L, "en", Some(60L)), (2L, "en", Some(40L)), (3L, "en", None),
+      (4L, "de", Some(50L))).toDF("doc_id", "lang", "n_tok")
+    val plan = Curation.mixPlan(docs, "lang", Map("en" -> 0.5, "de" -> 0.25),
+      sizeCol = Some("n_tok"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(5)))).toMap
+    // available: en 100, de 50; perw: en 200, de 200 -> a tie, BOTH bind
+    assert(plan == Map("en" -> ((100L, 1)), "de" -> ((50L, 1))))
+  }
+
+  test("mixPlan: a recipe stratum with no rows (or all-NULL sizes) fails loudly, never a truncated plan") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    val docs = Seq((1L, "en", Some(10L))).toDF("doc_id", "lang", "n_tok")
+    val absent = intercept[Exception](
+      Curation.mixPlan(docs, "lang", Map("en" -> 0.5, "de" -> 0.5)).collect())
+    assert(msgs(absent).exists(_.contains("recipe strata with no rows")),
+      msgs(absent).mkString("\n"))
+    val allNull = intercept[Exception](
+      Curation.mixPlan(
+        Seq((1L, "en", Some(10L)), (2L, "de", Option.empty[Long]))
+          .toDF("doc_id", "lang", "n_tok"),
+        "lang", Map("en" -> 0.5, "de" -> 0.5), sizeCol = Some("n_tok"))
+        .collect())
+    assert(msgs(allNull).exists(_.contains("recipe strata with no rows")),
+      msgs(allNull).mkString("\n"))
+    intercept[IllegalArgumentException](
+      Curation.mixPlan(docs, "lang", Map.empty[String, Double]))
+    intercept[IllegalArgumentException](
+      Curation.mixPlan(docs, "lang", Map("en" -> -1.0)))
+  }
+
+  test("decontaminate: benchmark spans stripped exactly, clean docs byte-identical, gate routes hollow docs") {
+    // deterministic distinct texts: seeded Random, alphanumeric — flanks and
+    // span share no 16-gram by construction (distinct random content)
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      Iterator.continually(r.nextPrintableChar()).filter(_.isLetterOrDigit)
+        .take(n).mkString
+    }
+    val span = rnd(1, 80)
+    val clean = rnd(2, 120)
+    val corpus = Seq(
+      (1L, rnd(11, 32) + span + rnd(12, 32)), // planted 80-char benchmark span
+      (2L, clean),                            // shares nothing
+      (3L, null.asInstanceOf[String])         // nothing trainable
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, rnd(21, 32) + span + rnd(22, 32)))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, benchmark, "doc_id", "text",
+      k = 16, w = 8, minShared = 1, maxFingerprintDf = 20, minCharsAfter = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)), r.getLong(2), r.getInt(3)))
+      .toMap
+    // the planted span is removed char-exactly; the flanks survive intact
+    assert(out(1L) == (rnd(11, 32) + rnd(12, 32), 80L, 1))
+    // an untouched document passes byte-identical and keeps
+    assert(out(2L) == (clean, 0L, 1))
+    // NULL text: passthrough, nothing removed, nothing trainable -> routed out
+    assert(out(3L) == (null, 0L, 0))
+    // only corpus rows come back; the benchmark is read-only
+    assert(out.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("decontaminate: an id collision across the two datasets must NOT suppress the strip (the leak case)") {
+    // the corpus re-contains a benchmark document under the SAME id — the
+    // exact eval leakage decontamination exists to catch; an incremental-
+    // style same-id guard would silently keep it
+    val leaked = {
+      val r = new scala.util.Random(31)
+      Iterator.continually(r.nextPrintableChar()).filter(_.isLetterOrDigit)
+        .take(150).mkString
+    }
+    val corpus = Seq((7L, leaked)).toDF("doc_id", "text")
+    val benchmark = Seq((7L, leaked)).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, benchmark, "doc_id", "text",
+      k = 16, w = 8, minShared = 1, maxFingerprintDf = 20, minCharsAfter = 60)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    // fully stripped: the whole document was the benchmark
+    assert(r.getString(1) == "" && r.getLong(2) == 150L && r.getInt(3) == 0)
+  }
+
+  test("decontaminate: gate boundary is >= minCharsAfter; df cap is computed on the BENCHMARK index side") {
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      Iterator.continually(r.nextPrintableChar()).filter(_.isLetterOrDigit)
+        .take(n).mkString
+    }
+    val atCut = rnd(41, 60)
+    val below = rnd(42, 59)
+    val gate = Curation.decontaminate(
+      Seq((1L, atCut), (2L, below)).toDF("doc_id", "text"),
+      Seq((100L, rnd(43, 40))).toDF("doc_id", "text"),
+      "doc_id", "text", minCharsAfter = 60)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(gate == Map(1L -> 1, 2L -> 0))
+    // a span present in MORE than maxFingerprintDf benchmark docs is
+    // benchmark boilerplate: its fingerprints drop from the index before
+    // pairing, so the corpus doc survives unstripped (three byte-identical
+    // benchmark docs -> every index fingerprint has df = 3 > cap 2)
+    val span = rnd(44, 80)
+    val benchText = rnd(47, 32) + span + rnd(48, 32)
+    val bench = (100L to 102L).map(i => (i, benchText)).toDF("doc_id", "text")
+    val corpusDoc = rnd(45, 32) + span + rnd(46, 32)
+    val capped = Curation.decontaminate(
+      Seq((1L, corpusDoc)).toDF("doc_id", "text"), bench,
+      "doc_id", "text", k = 16, w = 8, minShared = 1,
+      maxFingerprintDf = 2, minCharsAfter = 10)
+      .collect().head
+    assert(capped.getString(1) == corpusDoc && capped.getLong(2) == 0L)
+  }
+
   test("temperatureSample: head stratum shrinks toward n^alpha, min stratum keeps all, deterministic, NULL stratum survives") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val counts = docs.groupBy("lang").count()
