@@ -344,14 +344,34 @@ object Curation {
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
-      maxFingerprintDf: Int = 20, minCharsAfter: Int = 200): DataFrame = {
+      maxFingerprintDf: Int = 20, minCharsAfter: Int = 200): DataFrame =
+    withKeptGate(Dedup.stripBenchmarkSpans(corpus, benchmark, idCol,
+      textCol, k, w, minShared, maxFingerprintDf), textCol, minCharsAfter)
+
+  /** [[decontaminate]] against an ALREADY-MATERIALIZED benchmark index
+    * (df-capped fingerprints + w=1 gram dump — the
+    * [[graft.operators.Dedup.stripBenchmarkSpansIndexed]] contract): the
+    * query-many / per-micro-batch path, sharing the strip AND the kept
+    * gate with the one-shot operator so the streaming twin
+    * ([[graft.streaming.DocStreams.decontamArrivalsSink]]) cannot drift
+    * from batch semantics. */
+  def decontaminateIndexed(
+      corpus: DataFrame, benchFpsCapped: DataFrame, benchGrams: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      minCharsAfter: Int = 200): DataFrame =
+    withKeptGate(Dedup.stripBenchmarkSpansIndexed(corpus, benchFpsCapped,
+      benchGrams, idCol, textCol, k, w, minShared), textCol, minCharsAfter)
+
+  /** The ONE home of the decontamination kept gate — both entry points
+    * and the streaming sink ride it, so the routing rule cannot fork. */
+  private def withKeptGate(
+      stripped: DataFrame, textCol: String, minCharsAfter: Int): DataFrame = {
     require(minCharsAfter >= 0,
       s"minCharsAfter must be >= 0, got $minCharsAfter")
-    Dedup.stripBenchmarkSpans(corpus, benchmark, idCol, textCol,
-        k, w, minShared, maxFingerprintDf)
-      .withColumn("kept",
-        when(col(textCol).isNotNull &&
-          length(col(textCol)) >= minCharsAfter, lit(1)).otherwise(lit(0)))
+    stripped.withColumn("kept",
+      when(col(textCol).isNotNull &&
+        length(col(textCol)) >= minCharsAfter, lit(1)).otherwise(lit(0)))
   }
 
   /** Sequence-packing index (GPT-style concat-and-split pretraining prep):

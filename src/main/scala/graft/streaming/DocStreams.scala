@@ -205,20 +205,73 @@ object DocStreams {
       tablePath: String, checkpointDir: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
       maxFingerprintDf: Int = 20): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(stream.isStreaming, "stream must be a streaming DataFrame")
     require(!corpusFps.isStreaming && !corpusGrams.isStreaming,
       "corpusFps/corpusGrams must be static index tables")
-    // the df cap is a corpus-proportional aggregate — apply it ONCE at
-    // construction and persist, never per micro-batch (build-once /
-    // query-many); released with the query, not the session
-    val capped = Dedup.capFingerprintIndex(corpusFps, maxFingerprintDf).persist()
+    cappedIndexBatchSink(stream, corpusFps, maxFingerprintDf, checkpointDir) {
+      (batch, capped, id) =>
+        Dedup.stripAgainstCappedIndex(batch, capped, corpusGrams,
+          idCol, textCol, k, w, minShared)
+          .write.mode("overwrite").parquet(s"$tablePath/batch_id=$id")
+    }
+  }
+
+  /** Benchmark DECONTAMINATION for continuous ingest — the streaming twin
+    * of [[graft.operators.Curation.decontaminate]]: each micro-batch of
+    * arriving documents is stripped of every character span-shared with
+    * the stored BENCHMARK index
+    * ([[graft.operators.Curation.decontaminateIndexed]] — the literal
+    * batch code path, strip and kept-gate included, so arrival-path and
+    * batch decontamination cannot fork), and the gated batch lands under
+    * `tablePath/batch_id=<id>/` with `n_removed` and `kept` columns —
+    * downstream consumers route on `kept` exactly like the batch stage.
+    *
+    * Same mechanics as [[stripArrivalsSink]] (foreachBatch because the
+    * partner-hash aggregation is forbidden in append mode; replay
+    * idempotence via per-batch overwrite partitions; benchmark index
+    * df-capped ONCE at construction and persisted for the query's
+    * lifetime). The cross-dataset contract travels with the index:
+    * `benchFps`/`benchGrams` come from the EVAL set, the cap guards
+    * benchmark boilerplate, and no same-id exclusion applies
+    * ([[graft.operators.Dedup.stripBenchmarkSpans]] rationale). */
+  def decontamArrivalsSink(
+      stream: DataFrame, benchFps: DataFrame, benchGrams: DataFrame,
+      idCol: String, textCol: String,
+      tablePath: String, checkpointDir: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20,
+      minCharsAfter: Int = 200): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!benchFps.isStreaming && !benchGrams.isStreaming,
+      "benchFps/benchGrams must be static index tables")
+    require(minCharsAfter >= 0,
+      s"minCharsAfter must be >= 0, got $minCharsAfter")
+    cappedIndexBatchSink(stream, benchFps, maxFingerprintDf, checkpointDir) {
+      (batch, capped, id) =>
+        graft.operators.Curation.decontaminateIndexed(batch, capped,
+          benchGrams, idCol, textCol, k, w, minShared, minCharsAfter)
+          .write.mode("overwrite").parquet(s"$tablePath/batch_id=$id")
+    }
+  }
+
+  /** Shared scaffolding for the capped-fingerprint-index foreachBatch
+    * sinks: applies the df cap ONCE at construction (a corpus-
+    * proportional aggregate — never per micro-batch), persists the
+    * capped index for the query's lifetime, and releases it EXACTLY once
+    * when the query terminates or when start() itself fails. The
+    * listener must be live BEFORE start(): the listener bus is async, so
+    * a query failing within milliseconds of start() could post its
+    * termination event before a post-start registration — leaking the
+    * cached index forever. The query id is only known after start(), so
+    * the listener records every termination and a shared release checks
+    * the set once the id is known (and on the start() failure path).
+    * Empty micro-batches skip `perBatch` entirely. */
+  private def cappedIndexBatchSink(
+      stream: DataFrame, rawFps: DataFrame, maxFingerprintDf: Int,
+      checkpointDir: String)(
+      perBatch: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    val capped = Dedup.capFingerprintIndex(rawFps, maxFingerprintDf).persist()
     val spark = stream.sparkSession
-    // The listener must be live BEFORE start(): the listener bus is async,
-    // so a query failing within milliseconds of start() could post its
-    // termination event before a post-start registration — leaking the
-    // cached index forever. The query id is only known after start(), so
-    // the listener records every termination and a shared release checks
-    // the set once the id is known (and on the start() failure path).
     val terminated =
       java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     @volatile var queryId: java.util.UUID = null
@@ -245,11 +298,7 @@ object DocStreams {
         .option("checkpointLocation", checkpointDir)
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-            if (!batch.isEmpty) {
-              Dedup.stripAgainstCappedIndex(batch.toDF(), capped, corpusGrams,
-                idCol, textCol, k, w, minShared)
-                .write.mode("overwrite").parquet(s"$tablePath/batch_id=$id")
-            }
+            if (!batch.isEmpty) perBatch(batch.toDF(), capped, id)
             (): Unit
         }
         .start()

@@ -972,6 +972,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamArrivalsSink: arrivals decontaminated + gated identically to the batch stage, id collisions strip") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val span = "QWERTYUIOPASDFGHJKLZ"
+    val benchmark = Seq(
+      (10L, "eval set item one." + span + ".eval tail"),
+      (2L, "another held-out benchmark document"))
+      .toDF("doc_id", "text")
+    val benchFps = graft.operators.Dedup.winnowFingerprints(
+      benchmark, "doc_id", "text", k = 4, w = 2)
+    val benchGrams = benchmark
+      .select(col("doc_id").as("id"),
+        explode(graft.plans.WinnowMinima.minima(col("text"), 4, 1)).as("h"))
+    val arrivals = Seq(
+      // loses the span but keeps enough to pass the 20-char gate
+      (10L, "0123 4567 89ab cdef-" + span + "_0123 4567 89ab cdef"),
+      // id 2 collides with a benchmark id AND is a full leak: the
+      // cross-dataset contract must strip it to nothing -> kept 0
+      (2L, "another held-out benchmark document"),
+      (11L, "clean arrival passes through byte-identical"))
+    val table = java.nio.file.Files.createTempDirectory("dc-sink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("dc-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.decontamArrivalsSink(
+      mem.toDF().toDF("doc_id", "text"), benchFps, benchGrams,
+      "doc_id", "text", table, ckpt,
+      k = 4, w = 2, minShared = 2, minCharsAfter = 20)
+    try {
+      // two batch cuts: per-document against static indexes, so the cut
+      // cannot change any output row
+      mem.addData(arrivals.take(1)); q.processAllAvailable()
+      mem.addData(arrivals.drop(1)); q.processAllAvailable()
+      val out = spark.read.parquet(table)
+      assert(out.columns.contains("batch_id"), "partition column must surface")
+      val got = out.collect()
+        .map(r => (r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("text"), r.getAs[Long]("n_removed"),
+            r.getAs[Int]("kept"))))).toMap
+      val ref = graft.operators.Curation.decontaminate(
+        arrivals.toDF("doc_id", "text"), benchmark, "doc_id", "text",
+        k = 4, w = 2, minShared = 2, minCharsAfter = 20)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+      assert(got == ref, s"streamed $got vs batch $ref")
+      assert(got(10L) ==
+        (("0123 4567 89ab cdef-" + "_0123 4567 89ab cdef",
+          span.length.toLong, 1)))
+      assert(got(2L) == (("", 35L, 0)))  // the same-id leak fully strips
+      assert(got(11L)._2 == 0L && got(11L)._3 == 1)
+    } finally q.stop()
+  }
+
   test("stripArrivalsSink releases its persisted capped index when the query terminates") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext
