@@ -675,6 +675,27 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Retrieval-quality differential of int8 scalar quantization
+    * ([[graft.operators.Similarity.retrievalMetrics]] over
+    * [[graft.operators.Similarity.dequantizeInt8]]): per query,
+    * recall/MRR/nDCG@10 of the SQ8-reconstructed search against the
+    * exact float top-k — the measured answer to "what does the 4×
+    * embedding shrink cost at serving time", the companion read to
+    * [[quantizeEmbed]]'s reconstruction-error audit (an MSE says
+    * nothing about RANKINGS; this does). Both runs are exact brute
+    * force — the quantization is the ONLY variable — so the whole
+    * chain is SQL-expressible and the oracle recomputes it end to end:
+    * quantize, re-unitize, re-rank, and the metric arithmetic. */
+  val retrievalMetricsQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+    val dq = Similarity.dequantizeInt8(e, "vec_id", "embedding")
+    val results = Similarity.bruteForceTopK(dq, "vec_id", "embedding",
+      dq.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+    Similarity.retrievalMetrics(results, truth, k = 10).orderBy("q_id")
+  }
+
   /** Same contract as topk_sim through the bounded TopKAggregator — the
     * physical shape that survives a billion-row corpus (partial top-k
     * map-side instead of a per-query candidate sort). Shares topk_sim's
@@ -2524,6 +2545,7 @@ object ExtQueries {
     "mix_plan" -> mixPlanQ,
     "chunk_docs" -> chunkDocsQ,
     "topk_sim" -> topkSim,
+    "retrieval_metrics" -> retrievalMetricsQ,
     "topk_sim_agg" -> topkSimAgg,
     "ann_topk" -> annTopk,
     "ann_ivf" -> annIvfTopk,
@@ -4201,6 +4223,64 @@ object ExtQueries {
          |  FROM scored)
          |SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, round(cos, 4) AS cos
          |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // the whole SQ8 retrieval differential recomputed end to end: the
+    // quantize_embed round-trip arithmetic (scale rounds to 6 BEFORE
+    // quantizing, codes clamp at ±127), re-unitize, both exact rankings
+    // under the shared round-6 tie gate, then the metric arithmetic —
+    // ratios of exact counts / ≤10-term log2-discount sums, round 6 last
+    "retrieval_metrics" ->
+      s"""WITH $unitCte,
+         |dq0 AS (
+         |  SELECT vec_id, list_transform(e0, x ->
+         |    greatest(least(round(x / scale, 0), CAST(127 AS DOUBLE)),
+         |             CAST(-127 AS DOUBLE)) * scale) AS v0
+         |  FROM (
+         |    SELECT vec_id, e0,
+         |      round(list_max(list_transform(e0, x -> abs(x))) / 127, 6) AS scale
+         |    FROM (SELECT vec_id,
+         |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+         |          FROM embeddings))),
+         |d AS (
+         |  SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM (
+         |    SELECT vec_id, v0, sqrt(list_sum([x * x for x in v0])) AS nrm
+         |    FROM dq0)),
+         |tsc AS (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, $dotExpr AS cos
+         |  FROM (SELECT vec_id, v FROM e) a(vec_id, v)
+         |  CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 50) b(vec_id, v)),
+         |t10 AS (
+         |  SELECT q_id, n_id, rank FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rank
+         |    FROM tsc) WHERE rank <= 10),
+         |rsc AS (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, $dotExpr AS cos
+         |  FROM (SELECT vec_id, v FROM d) a(vec_id, v)
+         |  CROSS JOIN (SELECT vec_id, v FROM d WHERE vec_id < 50) b(vec_id, v)),
+         |r10 AS (
+         |  SELECT q_id, n_id, rank FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rank
+         |    FROM rsc) WHERE rank <= 10),
+         |ts AS (
+         |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth,
+         |    sum(1.0 / log2(rank + 1)) AS idcg
+         |  FROM t10 GROUP BY q_id),
+         |rs AS (
+         |  SELECT r.q_id, CAST(count(tt.n_id) AS BIGINT) AS n_hits,
+         |    min(CASE WHEN tt.n_id IS NOT NULL THEN r.rank END) AS first_hit,
+         |    coalesce(sum(CASE WHEN tt.n_id IS NOT NULL
+         |      THEN 1.0 / log2(r.rank + 1) END), 0.0) AS dcg
+         |  FROM r10 r LEFT JOIN t10 tt ON tt.q_id = r.q_id AND tt.n_id = r.n_id
+         |  GROUP BY r.q_id)
+         |SELECT ts.q_id, ts.n_truth,
+         |  coalesce(rs.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         |  round(coalesce(rs.n_hits, 0) / CAST(ts.n_truth AS DOUBLE), 6) AS recall,
+         |  CASE WHEN rs.first_hit IS NULL THEN 0.0
+         |       ELSE round(1.0 / rs.first_hit, 6) END AS mrr,
+         |  round(coalesce(rs.dcg, 0.0) / ts.idcg, 6) AS ndcg
+         |FROM ts LEFT JOIN rs ON rs.q_id = ts.q_id
+         |ORDER BY ts.q_id""".stripMargin,
     // lang_id: NULL text classifies as NULL on BOTH engines (the CASE's
     // NULL counts would otherwise fall through every WHEN into ELSE 'zh'
     // while Spark returns NULL — regeneration-proofing, fixture has none)

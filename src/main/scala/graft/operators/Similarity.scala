@@ -619,6 +619,107 @@ object Similarity {
           .as("max_err"))
   }
 
+  /** The int8 round-trip (quantize → dequantize) applied IN PLACE to the
+    * vector column: `clamp(round(x / s), ±127) · s` with
+    * `s = round(max|x| / 127, 6)` — [[quantizeInt8]]'s exact arithmetic,
+    * returning the RECONSTRUCTED vectors instead of their error stats:
+    * what a downstream consumer of an SQ8 store actually searches over
+    * (and what the retrieval-quality differential feeds its results
+    * side). Same edge contract as the audit: a TRUE zero vector
+    * round-trips to itself; a nonzero vector whose scale rounds to 0
+    * raises with the id (int8 cannot represent it — the silent
+    * alternative would zero exactly the vectors the shrink destroys);
+    * NULL vectors stay NULL.
+    *
+    * Scale shape: the scale is a PROJECTED column between the two array
+    * transforms (the [[graft.operators.Dedup.kgramHashes]] lesson: a
+    * higher-order lambda re-evaluates its whole argument subtree per
+    * element, so an inlined scale would recompute the array max dim²
+    * times per vector); the whole round-trip stays one map-side pass. */
+  def dequantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val helpers = Seq("__e", "__maxabs", "__scale")
+    val clash = df.columns.filter(helpers.contains)
+    require(clash.isEmpty,
+      s"dequantizeInt8: input already carries helper column(s) ${clash.mkString(", ")}")
+    val underflow = raise_error(concat(
+      lit("dequantizeInt8: nonzero vector with scale rounding to 0 for id "),
+      col(idCol).cast("string"),
+      lit(" — int8 cannot represent magnitudes this small; rescale or " +
+        "filter collapsed embeddings first"))).cast("array<double>")
+    val dq = transform(col("__e"), x =>
+      greatest(least(round(x / col("__scale"), 0), lit(127.0)), lit(-127.0))
+        * col("__scale"))
+    df.withColumn("__e", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("__maxabs", array_max(transform(col("__e"), x => abs(x))))
+      .withColumn("__scale", round(col("__maxabs") / 127, 6))
+      .withColumn(vecCol,
+        when(col("__maxabs") === 0, col("__e"))
+          .when(col("__scale") === 0, underflow)
+          .otherwise(dq))
+      .drop(helpers: _*)
+  }
+
+  /** Standard retrieval-quality metrics of a RESULTS run against a TRUTH
+    * run at binary relevance — per query: `n_truth`, `n_hits`,
+    * `recall` (= hits/|truth@k|), `mrr` (1/rank of the first relevant
+    * result, 0 when none), and `ndcg` (DCG/IDCG at log2 discounts) — the
+    * IR-evaluation read every ANN/quantization trade-off in this family
+    * reports informally as "hits", made first-class and comparable
+    * across runs (Manning et al., IR ch.8 — public-knowledge formulas).
+    *
+    * Both inputs carry (q_id, n_id, rank) with rank 1-based per query —
+    * the shape every search in this family returns; rows ranked deeper
+    * than `k` are ignored on BOTH sides, so callers can pass deeper
+    * runs. A query present in truth with NO result rows scores 0 across
+    * the board (the failure an evaluation must surface, not drop); a
+    * query present ONLY in results raises — truth defines the
+    * evaluation set, and silently scoring a query with no truth would
+    * report 0 for what is actually a harness wiring error.
+    *
+    * Numeric contract: every ratio is a division of exact integer
+    * counts or of ≤ k-term log2-discount sums, rounded to 6 at the END
+    * — the established cross-engine gate. Scale shape: one hash join of
+    * two k·|queries| frames + two partial-aggregated groupBys; nothing
+    * scales with the corpus. */
+  def retrievalMetrics(
+      results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Seq(results -> "results", truth -> "truth").foreach { case (df, n) =>
+      require(Seq("q_id", "n_id", "rank").forall(df.columns.contains),
+        s"$n must carry (q_id, n_id, rank) — the search-result schema; " +
+          s"got (${df.columns.mkString(", ")})")
+    }
+    val t = truth.filter(col("rank") <= k).select("q_id", "n_id", "rank")
+    val r = results.filter(col("rank") <= k).select("q_id", "n_id", "rank")
+    val tstats = t.groupBy("q_id").agg(
+      count(lit(1)).as("n_truth"),
+      sum(lit(1.0) / log2(col("rank") + 1)).as("__idcg"))
+    val rstats = r
+      .join(t.select(col("q_id"), col("n_id")).withColumn("__hit", lit(1)),
+        Seq("q_id", "n_id"), "left")
+      .groupBy("q_id").agg(
+        coalesce(sum(col("__hit")), lit(0)).cast("long").as("n_hits"),
+        min(when(col("__hit").isNotNull, col("rank"))).as("__first"),
+        coalesce(sum(when(col("__hit").isNotNull,
+          lit(1.0) / log2(col("rank") + 1))), lit(0.0)).as("__dcg"))
+    tstats.join(rstats, Seq("q_id"), "full")
+      .select(
+        col("q_id"),
+        // a results-only query is a wiring error, raised in an OUTPUT
+        // column so projection pruning cannot silence it
+        when(col("n_truth").isNull, raise_error(concat(
+          lit("retrievalMetrics: results carry query "),
+          col("q_id").cast("string"),
+          lit(" absent from truth — truth defines the evaluation set"))))
+          .otherwise(col("n_truth")).as("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / col("n_truth"), 6)
+          .as("recall"),
+        when(col("__first").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("__first"), 6)).as("mrr"),
+        round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6).as("ndcg"))
+  }
+
   /** Per-vector alignment with the own-label spherical centroid: cosine
     * between each UNIT vector and its label's mean-of-unit-vectors — the
     * mislabeled-row detector at VECTOR granularity where [[labelCohesion]]

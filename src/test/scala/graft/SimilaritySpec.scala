@@ -153,6 +153,80 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("scale rounding to 0"))
   }
 
+  test("dequantizeInt8: round-trip error bounded by half a step; zero round-trips; underflow raises; NULL stays NULL") {
+    import sqlContext.implicits._
+    val vecs = Seq(
+      (1L, Some(Array(0.5f, -1.0f, 2.54f, 0.0f))),
+      (2L, Some(Array(0f, 0f, 0f, 0f))),
+      (3L, None)).toDF("vec_id", "embedding")
+    val out = Similarity.dequantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    // schema is preserved: the vector column is replaced in place
+    assert(out.head.schema.fieldNames.toSeq == Seq("vec_id", "embedding"))
+    val orig = Array(0.5, -1.0, 2.54, 0.0)
+    val dq = out(0).getSeq[Double](1)
+    val scale = BigDecimal(2.54 / 127)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    orig.zip(dq).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= scale / 2 + 1e-12, s"$x -> $y (scale $scale)")
+    }
+    assert(out(1).getSeq[Double](1) == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(out(2).isNullAt(1))
+    // the quantizeInt8 underflow contract carries over
+    val e = intercept[Exception] {
+      Similarity.dequantizeInt8(
+        Seq((9L, Array(1e-5f, -2e-6f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("scale rounding to 0") &&
+      e.getMessage.contains("9"), e.getMessage)
+  }
+
+  test("retrievalMetrics: hand-computed recall/MRR/nDCG; no-result query scores 0; self-evaluation is all 1") {
+    import sqlContext.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def disc(rank: Int) = 1.0 / (math.log(rank + 1.0) / math.log(2.0))
+    val truth = Seq(
+      (1L, "a", 1), (1L, "b", 2), (1L, "c", 3),
+      (2L, "a", 1), (2L, "b", 2)).toDF("q_id", "n_id", "rank")
+    // q1 results: miss@1, b@2, a@3; q2: no result rows at all
+    val results = Seq((1L, "x", 1), (1L, "b", 2), (1L, "a", 3))
+      .toDF("q_id", "n_id", "rank")
+    val out = Similarity.retrievalMetrics(results, truth, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val dcg1 = disc(2) + disc(3)
+    val idcg1 = disc(1) + disc(2) + disc(3)
+    assert(out(1L) == ((3L, 2L, r6(2.0 / 3), 0.5, r6(dcg1 / idcg1))))
+    assert(out(2L) == ((2L, 0L, 0.0, 0.0, 0.0)))
+    // ranks beyond k are ignored on BOTH sides
+    val shallow = Similarity.retrievalMetrics(results, truth, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(shallow(1L) == 0.5) // only b@2 counts against truth {a,b}
+    // a run evaluated against itself is perfect across the board
+    val self = Similarity.retrievalMetrics(truth, truth, k = 10)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(self.forall(_ == ((1.0, 1.0, 1.0))), self.mkString(", "))
+  }
+
+  test("retrievalMetrics: a results-only query raises (truth defines the evaluation set); bad schema raises") {
+    import sqlContext.implicits._
+    val truth = Seq((1L, "a", 1)).toDF("q_id", "n_id", "rank")
+    val results = Seq((1L, "a", 1), (7L, "a", 1)).toDF("q_id", "n_id", "rank")
+    val e = intercept[Exception](
+      Similarity.retrievalMetrics(results, truth, k = 10).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("absent from truth") && m.contains("7")),
+      msgs(e).mkString("\n"))
+    intercept[IllegalArgumentException](
+      Similarity.retrievalMetrics(results.drop("rank"), truth, k = 10))
+    intercept[IllegalArgumentException](
+      Similarity.retrievalMetrics(results, truth, k = 0))
+  }
+
   test("quantizeInt8: map-side only (no shuffle in the plan)") {
     import sqlContext.implicits._
     val vecs = (1L to 50L).map(i => (i, Array.fill(8)(i.toFloat / 7)))
