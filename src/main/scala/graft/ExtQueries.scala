@@ -688,8 +688,12 @@ object ExtQueries {
     * quantize, re-unitize, re-rank, and the metric arithmetic. */
   val retrievalMetricsQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
+    // checkpointed: retrievalMetrics consumes truth twice (idcg stats +
+    // hit flagging) — without it the exact scorer's product re-executes
+    // (PlanSpec pins the product count)
     val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding",
       e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+      .localCheckpoint()
     val dq = Similarity.dequantizeInt8(e, "vec_id", "embedding")
     val results = Similarity.bruteForceTopK(dq, "vec_id", "embedding",
       dq.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)

@@ -680,7 +680,11 @@ object Similarity {
     * counts or of ≤ k-term log2-discount sums, rounded to 6 at the END
     * — the established cross-engine gate. Scale shape: one hash join of
     * two k·|queries| frames + two partial-aggregated groupBys; nothing
-    * scales with the corpus. */
+    * scales with the corpus. NOTE: `truth` is consumed TWICE (the idcg
+    * stats and the hit flagging) — an expensive truth plan (an exact
+    * scorer) re-executes unless the caller persists or localCheckpoints
+    * it first, as the registered key does (PlanSpec pins its product
+    * count). */
   def retrievalMetrics(
       results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

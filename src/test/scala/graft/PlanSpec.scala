@@ -607,6 +607,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("decontam_strip: every join is hash-keyed — the benchmark index never degenerates to a product") {
+    val p = plan("decontam_strip")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mix_plan: one partial-aggregated pass + a window over the tiny aggregate — the corpus never joins") {
+    val p = plan("mix_plan")
+    assert(!p.contains("Join"), p)
+    assert(p.toLowerCase.contains("partial"), p)
+  }
+
+  test("retrieval_metrics: only the two deliberate exact scorers are products; metric joins stay equi") {
+    val p = plan("retrieval_metrics")
+    assert(!p.contains("CartesianProduct"), p)
+    // one broadcast product per brute-force side (truth + SQ8 results) —
+    // the spec-pinned oracle-exact shape; the metric arithmetic must not
+    // add a third
+    val products = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(products <= 2, s"expected <= 2 deliberate products, got $products:\n$p")
+  }
+
   // Registered LAST: AnyFunSuite runs tests in registration order, so every
   // plan()/covers() call above has recorded by the time this executes.
   test("census: plan-assertion coverage holds its floor and names only real registry keys") {
@@ -619,10 +640,11 @@ class PlanSpec extends SparkSpec {
     // media_neardup, dedup_semantic_incr); 52 with the round-16 families
     // (pq_topk, nb_train/nb_classify, bpe_apply, media_neardup_verify);
     // 53 with round-17's ivf_pq_stored; 54 with round-18's
-    // pq_shortlist_sweep one-scan guard; 55 with ivf_pq_probe_sweep).
+    // pq_shortlist_sweep one-scan guard; 55 with ivf_pq_probe_sweep;
+    // 58 with round-19's decontam_strip / mix_plan / retrieval_metrics).
     // Raising it is cheap when new plan tests land; lowering it means
     // plan coverage regressed — do that consciously, in review.
-    val floor = 55
+    val floor = 58
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")
