@@ -490,6 +490,49 @@ object ExtQueries {
         when(col("n_hits") * 2 >= col("n_exact"), 1).otherwise(0).as("floor_met"))
   }
 
+  /** OR-amplification tuning curve for the embedding LSH
+    * ([[graft.operators.Dedup.cosineLshTableSweep]]): true-pair yield of
+    * the first T ∈ {1,2,4,8,12} hash tables from ONE bucketing pass —
+    * the table-count read taken before committing `dedup_embed_lsh`'s
+    * configuration at scale. Differential convention (the ann sweep
+    * precedent): raw per-budget yields stay OUT of the output (they are
+    * hyperplane internals no SQL can mirror); the oracle pins the spine,
+    * `n_exact` (recomputed independently), and three flags —
+    * `monotone_ok` (yields non-decreasing in T: a theorem of the
+    * first-table algebra, so a 0 is a bug, not a tuning outcome) and
+    * `final_floor_met` (max-budget recall ≥ 0.5, `dedup_embed_lsh`'s
+    * floor at the same config). The max-budget identity with an
+    * independent [[graft.operators.Dedup.cosinePairsLsh]] run is
+    * spec-pinned per budget (DedupSpec) rather than re-verified here —
+    * an in-key identity flag would re-pay a FULL second LSH pass on
+    * every bench run for a deterministic algebraic fact (the build-once
+    * lesson applied to a differential). */
+  val embedLshSweepQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val ts = Seq(1, 2, 4, 8, 12)
+    val sweep = Dedup.cosineLshTableSweep(e, "vec_id", "embedding",
+        minCosine = 0.45, tables = ts, planesPerTable = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    val nExact = Dedup.cosinePairs(e, "vec_id", "embedding",
+      minCosine = 0.45).count()
+    val trues = sweep.map(_._2)
+    def ok(b: Boolean) = if (b) 1 else 0
+    val monotone = ok(trues.zip(trues.tail).forall { case (a, b) => a <= b })
+    val floorMet = ok(trues.last * 2 >= nExact)
+    Similarity.localFrame(s, sweep.map { case (tt, _) =>
+      org.apache.spark.sql.Row(tt, nExact, monotone, floorMet) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_tables",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_exact",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("monotone_ok",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("final_floor_met",
+          org.apache.spark.sql.types.IntegerType))))
+      .orderBy("n_tables")
+  }
+
   /** SemDeDup differential: cluster-blocked semantic pairs (spherical
     * k-means k=8, top-3 soft cell assignment) vs the exact O(n²) scan at
     * the same threshold. Exactness of the within-block dot product makes
@@ -2541,6 +2584,7 @@ object ExtQueries {
     "ngram_novelty" -> ngramNoveltyQ,
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
+    "embed_lsh_sweep" -> embedLshSweepQ,
     "dedup_resolve" -> dedupResolve,
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_survivor" -> dedupSurvivor,
@@ -2987,6 +3031,24 @@ object ExtQueries {
          |  CAST(1 AS INTEGER) AS subset_ok,
          |  CAST(1 AS INTEGER) AS floor_met
          |FROM p WHERE cos >= 0.45e0""".stripMargin,
+    // the dedup_embed_lsh differential swept over table budgets: the
+    // spine is literal, n_exact recomputed independently, both flags
+    // pinned at 1 (monotonicity is a theorem of the one-scan algebra;
+    // the floor is dedup_embed_lsh's; the max-budget identity with an
+    // independent run is DedupSpec's, not re-paid per bench)
+    "embed_lsh_sweep" ->
+      s"""WITH $unitCte,
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dotExpr AS cos
+         |  FROM (SELECT vec_id, v FROM e) a(vec_id, v)
+         |  JOIN (SELECT vec_id, v FROM e) b(vec_id, v) ON a.vec_id < b.vec_id),
+         |x AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM p
+         |      WHERE cos >= 0.45e0)
+         |SELECT t.n_tables, x.n_exact,
+         |  CAST(1 AS INTEGER) AS monotone_ok,
+         |  CAST(1 AS INTEGER) AS final_floor_met
+         |FROM (VALUES (1), (2), (4), (8), (12)) t(n_tables) CROSS JOIN x
+         |ORDER BY t.n_tables""".stripMargin,
     "tfidf_topterms" ->
       """WITH tfc AS (
         |  SELECT doc_id, term, count(*) AS tf FROM (

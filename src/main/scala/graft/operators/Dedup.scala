@@ -533,6 +533,87 @@ object Dedup {
       .select("a_id", "b_id", "cos")
   }
 
+  /** OR-amplification tuning curve for the embedding LSH
+    * ([[cosinePairsLsh]]'s `numTables` knob): per table budget T in
+    * `tables`, the candidate yield and TRUE-pair yield of running only
+    * the FIRST T hash tables — the whole curve from ONE bucketing pass
+    * at max(tables). A pair is live at budget T exactly when its first
+    * co-bucketing table (min over co-bucketed tables, 0-indexed) is
+    * < T, so every budget falls out of the same pair frame by
+    * conditional sums; the exact verification (one dot per candidate)
+    * runs once at the max budget and smaller budgets reuse it (their
+    * candidate sets are subsets by construction — the
+    * `ann_probe_sweep` one-scan algebra applied to pair generation).
+    * The max-budget true-pair set is by construction identical to
+    * [[cosinePairsLsh]] at `numTables = max(tables)` (spec-pinned
+    * identity, not an approximation).
+    *
+    * Returns one row per budget, ascending: (n_tables, n_candidates,
+    * n_true_pairs) — the recall-vs-cost read taken BEFORE pinning the
+    * table count at 100 TB: each extra table buys recall at linear
+    * bucketing cost plus its share of candidate-join fanout, and this
+    * measures where the curve flattens on the corpus at hand.
+    *
+    * Scale shape: one bucketing projection (tMax bucket ids per row),
+    * one (tbl, bkt) equi-join, one pair aggregate carrying min(tbl),
+    * one verify join, ONE final aggregate with 2·|tables| conditional
+    * sums collapsing to a single driver row — nothing re-executes per
+    * budget, and the driver holds |tables| rows. */
+  def cosineLshTableSweep(
+      df: DataFrame, idCol: String, vecCol: String, minCosine: Double,
+      tables: Seq[Int], planesPerTable: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(tables.nonEmpty && tables.forall(_ >= 1),
+      s"tables must be non-empty positive budgets, got $tables")
+    require(tables.distinct.size == tables.size,
+      s"duplicate table budgets: $tables")
+    val ts = tables.sorted
+    val tMax = ts.last
+    val planes = Similarity.hyperplanes(tMax * planesPerTable, dim, seed)
+    // the cosinePairsLsh dim guard, verbatim: a ragged or null vector
+    // must fail loudly, not bucket on a prefix
+    val len = size(col(vecCol))
+    val checked = when(col(vecCol).isNotNull && len === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"cosineLshTableSweep: '$vecCol' must be non-null with " +
+          s"dim=$dim, got length "),
+        coalesce(len.cast("string"), lit("NULL")))))
+    val e = df.select(col(idCol).as("id"),
+      VectorFns.unitizeNative(checked).as("v"))
+    val bucketCols = (0 until tMax).map(t => Similarity.lshBucket(col("v"),
+      planes.slice(t * planesPerTable, (t + 1) * planesPerTable)))
+    val buckets = e.select(col("id"),
+      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bkt")))
+    val pairsFirst = buckets.toDF("a_id", "tbl", "bkt")
+      .join(buckets.toDF("b_id", "tbl", "bkt"), Seq("tbl", "bkt"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(min(col("tbl")).as("first_tbl"))
+    val verified = pairsFirst
+      .join(e.toDF("a_id", "a_v"), "a_id")
+      .join(e.toDF("b_id", "b_v"), "b_id")
+      .withColumn("is_true",
+        (VectorFns.dotNative(col("a_v"), col("b_v")) >= minCosine)
+          .cast("long"))
+    val aggs = ts.flatMap { tt => Seq(
+      sum(when(col("first_tbl") < tt, 1L).otherwise(0L)).as(s"__c$tt"),
+      sum(when(col("first_tbl") < tt, col("is_true")).otherwise(0L))
+        .as(s"__t$tt")) }
+    // one driver row; an empty candidate set sums to NULL -> 0
+    val row = verified.agg(aggs.head, aggs.tail: _*).head()
+    def at(i: Int): Long =
+      if (row.isNullAt(i)) 0L else row.getLong(i)
+    val out = ts.zipWithIndex.map { case (tt, i) =>
+      org.apache.spark.sql.Row(tt, at(2 * i), at(2 * i + 1)) }.toArray
+    Similarity.localFrame(df.sparkSession, out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_tables",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_candidates",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_true_pairs",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   // ------------------------------------------------- cluster resolution (CC)
 
   /** Resolve candidate PAIRS into duplicate CLUSTERS: connected components

@@ -331,6 +331,52 @@ class DedupSpec extends SparkSpec {
     assert(c == Map((1L, 2L) -> 0)) // docs 1,2 identical; nothing else at d=0
   }
 
+  test("cosineLshTableSweep: per-budget yields are an IDENTITY with independent runs; monotone; true <= candidates") {
+    // the seeded hyperplane sequence is prefix-stable (one PRNG filled
+    // sequentially), so an independent cosinePairsLsh at numTables = T
+    // uses exactly the sweep's first T tables — the one-scan algebra must
+    // reproduce it pair-for-pair, not approximately
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ts = Seq(1, 4, 12)
+    val sweep = Dedup.cosineLshTableSweep(e, "vec_id", "embedding",
+        minCosine = 0.45, tables = ts, planesPerTable = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.map(_._1).toSeq == ts) // ascending spine
+    ts.zip(sweep).foreach { case (tt, (_, nCand, nTrue)) =>
+      val independent = Dedup.cosinePairsLsh(e, "vec_id", "embedding",
+        minCosine = 0.45, numTables = tt, planesPerTable = 4).count()
+      assert(nTrue == independent, s"budget $tt: sweep $nTrue vs independent $independent")
+      assert(nTrue <= nCand, s"budget $tt: true $nTrue > candidates $nCand")
+    }
+    val cands = sweep.map(_._2); val trues = sweep.map(_._3)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b }, cands.toSeq)
+    assert(trues.zip(trues.tail).forall { case (a, b) => a <= b }, trues.toSeq)
+    // budgets can arrive unsorted; the spine comes back ascending
+    val shuffled = Dedup.cosineLshTableSweep(e, "vec_id", "embedding",
+        minCosine = 0.45, tables = Seq(12, 1, 4), planesPerTable = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(shuffled.toSeq == sweep.toSeq)
+    intercept[IllegalArgumentException](
+      Dedup.cosineLshTableSweep(e, "vec_id", "embedding", 0.45, Seq(2, 2)))
+    intercept[IllegalArgumentException](
+      Dedup.cosineLshTableSweep(e, "vec_id", "embedding", 0.45, Seq.empty))
+  }
+
+  test("cosineLshTableSweep: empty candidate set reports zeros; ragged dims fail loudly like cosinePairsLsh") {
+    // orthogonal one-hot vectors in distinct buckets can yield no pairs;
+    // force the truly-empty shape with a single row (no a < b exists)
+    val lone = Seq((1L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val z = Dedup.cosineLshTableSweep(lone, "vec_id", "embedding",
+      minCosine = 0.0, tables = Seq(1, 2)).collect()
+    assert(z.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L), z.mkString)
+    val ragged = Seq((1L, Array.fill(64)(1.0f)), (2L, Array.fill(32)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[Exception](
+      Dedup.cosineLshTableSweep(ragged, "vec_id", "embedding",
+        minCosine = 0.0, tables = Seq(1)).collect())
+    assert(err.getMessage.contains("got length 32"))
+  }
+
   test("cosinePairsLsh: dim mismatch fails fast instead of bucketing on a vector prefix") {
     val vecs = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(1.0f)))
       .toDF("vec_id", "embedding")

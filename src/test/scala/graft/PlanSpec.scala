@@ -628,6 +628,19 @@ class PlanSpec extends SparkSpec {
     assert(products <= 2, s"expected <= 2 deliberate products, got $products:\n$p")
   }
 
+  test("embed_lsh_sweep: the swept bucketing/verify shape never degenerates to a product") {
+    // the registered key aggregates eagerly (localFrame output), so the
+    // assertion targets the operator's lazy max-budget identity twin —
+    // cosinePairsLsh at numTables = 12 IS the sweep's join shape
+    // (prefix-stable planes, same bucketing, same verify)
+    covers("embed_lsh_sweep")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.operators.Dedup.cosinePairsLsh(e, "vec_id", "embedding",
+        minCosine = 0.45, numTables = 12, planesPerTable = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   // Registered LAST: AnyFunSuite runs tests in registration order, so every
   // plan()/covers() call above has recorded by the time this executes.
   test("census: plan-assertion coverage holds its floor and names only real registry keys") {
@@ -641,10 +654,11 @@ class PlanSpec extends SparkSpec {
     // (pq_topk, nb_train/nb_classify, bpe_apply, media_neardup_verify);
     // 53 with round-17's ivf_pq_stored; 54 with round-18's
     // pq_shortlist_sweep one-scan guard; 55 with ivf_pq_probe_sweep;
-    // 58 with round-19's decontam_strip / mix_plan / retrieval_metrics).
+    // 58 with round-19's decontam_strip / mix_plan / retrieval_metrics;
+    // 59 with embed_lsh_sweep).
     // Raising it is cheap when new plan tests land; lowering it means
     // plan coverage regressed — do that consciously, in review.
-    val floor = 58
+    val floor = 59
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")
