@@ -214,6 +214,18 @@ object ScaleQueries {
       Seq("lang", "source", "len_bucket"), k = 5)
       .orderBy("lang", "source", "len_bucket")
 
+  /** t-closeness audit of documents on (lang, length-bucket) equivalence
+    * classes with `source` as the sensitive attribute at t = 0.2 —
+    * completes the k-anonymity / l-diversity / t-closeness release triad
+    * (see [[Privacy.tCloseness]]); the oracle mirrors the cell/global
+    * distribution arithmetic and the absent-category folding identity
+    * term for term. */
+  val tClosenessDocs: Q = (s, d) =>
+    Privacy.tCloseness(
+      t(s, d, "documents").withColumn("len_bucket", floor(col("n_chars") / 200)),
+      Seq("lang", "len_bucket"), "source", t = 0.2)
+      .orderBy("lang", "len_bucket")
+
   /** 32-way hash-shard write manifest over documents (see
     * [[Curation.shardManifest]]); load_ratio pins the uniformity of the
     * md5-derived shard assignment. */
@@ -236,6 +248,7 @@ object ScaleQueries {
 
   val all: Map[String, Q] = Map(
     "k_anonymity" -> kAnonymityDocs,
+    "t_closeness" -> tClosenessDocs,
     "shard_manifest" -> shardManifestDocs,
     "interleave_order" -> interleaveOrderDocs,
     "quantize_embed" -> quantizeEmbed,
@@ -269,6 +282,37 @@ object ScaleQueries {
         |  count(*) AS n,
         |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
         |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // t_closeness: cells / window class totals / broadcast global dist,
+    // then the absent-category folding identity ((sd + (1 - sp)) / 2) in
+    // the exact Spark parenthesization; probs are BIGINT/BIGINT true
+    // divisions on both engines; the at_risk gate compares the ROUNDED tvd
+    "t_closeness" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(floor(n_chars / 200) AS BIGINT) AS len_bucket,
+        |    source
+        |  FROM documents),
+        |cells AS (
+        |  SELECT lang, len_bucket, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) /
+        |      CAST(sum(count(*)) OVER () AS BIGINT) AS pg
+        |  FROM d GROUP BY 1),
+        |j AS (
+        |  SELECT cells.lang, cells.len_bucket,
+        |    CAST(sum(cells.c) OVER (PARTITION BY cells.lang, cells.len_bucket)
+        |      AS BIGINT) AS n,
+        |    cells.c, g.pg
+        |  FROM cells JOIN g ON cells.source IS NOT DISTINCT FROM g.source),
+        |agg AS (
+        |  SELECT lang, len_bucket, max(n) AS n,
+        |    round((sum(abs(c / CAST(n AS DOUBLE) - pg)) + (1.0 - sum(pg))) / 2,
+        |      6) AS tvd
+        |  FROM j GROUP BY 1, 2)
+        |SELECT lang, len_bucket, n, tvd,
+        |  CAST(CASE WHEN tvd > 0.2e0 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+        |FROM agg ORDER BY lang, len_bucket""".stripMargin,
     // the shard draw mirrors Curation.shardId: first 4 md5 hex chars as an
     // integer mod nShards ('0x' string cast = spark's conv(..,16,10));
     // sum(BIGINT) cast back from duckdb's HUGEINT

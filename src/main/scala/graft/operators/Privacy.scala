@@ -129,4 +129,59 @@ object Privacy {
         countDistinct(col(sensitiveCol)).as("l_distinct"))
       .withColumn("at_risk", when(col("l_distinct") < l, 1).otherwise(0))
   }
+
+  /** t-closeness audit — the third of the release triad (Li, Li &
+    * Venkatasubramanian, ICDE'07): [[kAnonymity]] bounds
+    * re-identification, [[lDiversity]] bounds disclosure by VARIETY, and
+    * this bounds it by DISTRIBUTION — an equivalence class whose
+    * sensitive values are diverse but heavily skewed away from the
+    * corpus-wide distribution still leaks (the classic class with all
+    * five diagnoses present but 90% one of them). For a CATEGORICAL
+    * sensitive attribute under the paper's unit ground distance, the
+    * Earth Mover's Distance equals total variation:
+    * `tvd = ½ · Σ_v |p_class(v) − p_global(v)|`.
+    *
+    * Returns one row per equivalence class: the quasi columns, `n`,
+    * `tvd` (rounded to 6), `at_risk = 1` when the ROUNDED tvd exceeds
+    * `t` (gating on the rounded value keeps the flag cross-engine
+    * stable). NULL sensitive values form their own category — a skewed
+    * NULL rate is a disclosure too.
+    *
+    * Scale shape: ONE partial-aggregated (quasi × sensitive) cell
+    * aggregate over the corpus; everything after operates on the
+    * |classes·values| cell frame (class totals via a window on it, the
+    * ≤|values|-row global distribution broadcast back). Values ABSENT
+    * from a class never need a spine join: each contributes
+    * `p_global(v)` to the sum, and `Σ_absent p_global = 1 − Σ_present
+    * p_global`, so the identity `tvd = ½·(Σ_present |p_c − p_g| + 1 −
+    * Σ_present p_g)` folds them in from the present cells alone. */
+  def tCloseness(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness requires at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(t > 0 && t < 1, s"t must be in (0, 1), got $t")
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = df.groupBy(col(sensitiveCol).as("__sv"))
+      .agg(count(lit(1)).as("__gc"))
+      .withColumn("__pg", col("__gc") /
+        sum(col("__gc")).over(Window.rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select("__sv", "__pg")
+    cells
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(quasiCols.map(col): _*)))
+      // null-safe: a NULL sensitive category must keep its global prob
+      .join(broadcast(global), col(sensitiveCol) <=> col("__sv"))
+      .withColumn("__diff", abs(col("__c") / col("__n") - col("__pg")))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        sum(col("__diff")).as("__sd"),
+        sum(col("__pg")).as("__sp"))
+      .select(quasiCols.map(col) ++ Seq(col("n"),
+        round((col("__sd") + (lit(1.0) - col("__sp"))) / 2, 6).as("tvd")): _*)
+      .withColumn("at_risk", when(col("tvd") > t, 1).otherwise(0))
+  }
 }

@@ -118,4 +118,47 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](Privacy.lDiversity(df, Seq.empty, "sens", l = 2))
     intercept[IllegalArgumentException](Privacy.lDiversity(df, Seq("q", "sens"), "sens", l = 2))
   }
+
+  test("tCloseness: hand-computed TVD per class; a diverse-but-skewed class is flagged") {
+    // global: x 4/6, y 2/6. A = {x,x,x,y}: ½(|3/4−2/3|+|1/4−1/3|) = 1/12.
+    // B = {x,y}: ½(|1/2−2/3|+|1/2−1/3|) = 1/6 — DIVERSE (l=2) yet at risk
+    // at t=0.1: the exact leak t-closeness exists to catch.
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "y")).toDF("grp", "s")
+    val r = Privacy.tCloseness(df, Seq("grp"), "s", t = 0.1)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getInt(3)))).toMap
+    assert(r("A") == ((4L, 0.083333, 0)), r.toString)
+    assert(r("B") == ((2L, 0.166667, 1)), r.toString)
+  }
+
+  test("tCloseness: absent categories fold in via the identity; NULL sensitive is a category") {
+    // global: x 2/3, y 1/3. D = {x,x}: ½(|1−2/3| + pg(y)) = 1/3.
+    // E = {y}: ½(|1−1/3| + pg(x)) = 2/3 (x absent from the class).
+    val df = Seq(("D", "x"), ("D", "x"), ("E", "y")).toDF("grp", "s")
+    val r = Privacy.tCloseness(df, Seq("grp"), "s", t = 0.5)
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(2), x.getInt(3)))).toMap
+    assert(r("D") == ((0.333333, 0)), r.toString)
+    assert(r("E") == ((0.666667, 1)), r.toString)
+    // NULL sensitive values form their own category: global x 1/3, NULL
+    // 2/3; F = {x, NULL}: ½(|1/2−1/3|+|1/2−2/3|) = 1/6;
+    // G = {NULL}: ½(|1−2/3| + pg(x)) = 1/3
+    val withNull = Seq(("F", Some("x")), ("F", None), ("G", None))
+      .toDF("grp", "s")
+    val rn = Privacy.tCloseness(withNull, Seq("grp"), "s", t = 0.25)
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(2), x.getInt(3)))).toMap
+    assert(rn("F") == ((0.166667, 0)), rn.toString)
+    assert(rn("G") == ((0.333333, 1)), rn.toString)
+  }
+
+  test("tCloseness: degenerate parameters rejected") {
+    val df = Seq(("a", "s")).toDF("q", "sens")
+    intercept[IllegalArgumentException](Privacy.tCloseness(df, Seq("q"), "sens", t = 0.0))
+    intercept[IllegalArgumentException](Privacy.tCloseness(df, Seq("q"), "sens", t = 1.0))
+    intercept[IllegalArgumentException](Privacy.tCloseness(df, Seq.empty, "sens", t = 0.2))
+    intercept[IllegalArgumentException](Privacy.tCloseness(df, Seq("q", "sens"), "sens", t = 0.2))
+  }
 }
