@@ -490,6 +490,50 @@ object ExtQueries {
         when(col("n_hits") * 2 >= col("n_exact"), 1).otherwise(0).as("floor_met"))
   }
 
+  /** Banding S-curve sweep for the minhash family
+    * ([[graft.operators.Dedup.minhashBandSweep]]): true-pair yield of
+    * band configurations b ∈ {1,2,4,8} at numHashes = 16 (r = 16,8,4,2
+    * rows per band) against exact n-gram-jaccard ≥ 0.5 truth — the
+    * (b, r) S-curve read before committing `dedup_minhash`'s banding.
+    * Differential convention (the embed_lsh_sweep precedent): the
+    * hash-dependent yields stay out of the output; the oracle recomputes
+    * `n_exact` (the dedup_ngram pair arithmetic at the same threshold)
+    * and pins the spine plus `monotone_ok` (the divisibility-chain
+    * nesting theorem — a 0 is a bug) and `final_floor_met` (r = 2
+    * recall ≥ 0.8: a jaccard-0.5 pair matches a 2-row band with
+    * prob s² = 0.25, so eight bands miss with prob 0.75⁸ ≈ 0.1, and the
+    * fixture's true pairs sit well above the threshold). */
+  val minhashBandSweepQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    // checkpointed: consumed by the sweep intersection AND counted for
+    // the flags — without it the exact jaccard join re-executes
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
+      .select("a_id", "b_id").localCheckpoint()
+    val sweep = Dedup.minhashBandSweep(docs, "doc_id", "text", truth,
+        numHashes = 16, bandConfigs = Seq(1, 2, 4, 8), shingleN = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(3)))
+    val nExact = truth.count()
+    val trues = sweep.map(_._3)
+    def ok(b: Boolean) = if (b) 1 else 0
+    val monotone = ok(trues.zip(trues.tail).forall { case (x, y) => x <= y })
+    val floorMet = ok(trues.last * 5 >= nExact * 4)
+    Similarity.localFrame(s, sweep.map { case (bb, r, _) =>
+      org.apache.spark.sql.Row(bb, r, nExact, monotone, floorMet) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bands",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("rows_per_band",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_exact",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("monotone_ok",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("final_floor_met",
+          org.apache.spark.sql.types.IntegerType))))
+      .orderBy("bands")
+  }
+
   /** OR-amplification tuning curve for the embedding LSH
     * ([[graft.operators.Dedup.cosineLshTableSweep]]): true-pair yield of
     * the first T ∈ {1,2,4,8,12} hash tables from ONE bucketing pass —
@@ -2585,6 +2629,7 @@ object ExtQueries {
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "embed_lsh_sweep" -> embedLshSweepQ,
+    "minhash_band_sweep" -> minhashBandSweepQ,
     "dedup_resolve" -> dedupResolve,
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_survivor" -> dedupSurvivor,
@@ -3505,6 +3550,31 @@ object ExtQueries {
          |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND a.band_val <> ''
          |ORDER BY new_id, corpus_id""".stripMargin,
+    // the dedup_ngram pair arithmetic at the same 0.5 threshold, rolled
+    // up to a count and crossed with the literal banding spine; flags
+    // pinned 1 (monotonicity is the divisibility-chain nesting theorem;
+    // the floor is the r=2 S-curve bound, fixture-measured at 3 SFs)
+    "minhash_band_sweep" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS DOUBLE) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |x AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM inter
+        |  JOIN sz na ON na.doc_id = a_id
+        |  JOIN sz nb ON nb.doc_id = b_id
+        |  WHERE i / (na.n + nb.n - i) >= 0.5e0)
+        |SELECT t.bands, CAST(16 / t.bands AS INTEGER) AS rows_per_band,
+        |  x.n_exact,
+        |  CAST(1 AS INTEGER) AS monotone_ok,
+        |  CAST(1 AS INTEGER) AS final_floor_met
+        |FROM (VALUES (1), (2), (4), (8)) t(bands) CROSS JOIN x
+        |ORDER BY t.bands""".stripMargin,
     "dedup_ngram" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,

@@ -187,6 +187,98 @@ object Dedup {
   /** 64-bit FNV-1a of a UTF-16 string — the shingle hash behind simhash.
     * Plain JVM code: only internal consistency matters (there is no DuckDB
     * twin to mirror), so the hash family is free to be fast. */
+  /** Banding S-curve sweep for the minhash LSH ([[minhashCandidates]]'s
+    * (numHashes, bands) knob): per configuration b in `bandConfigs`
+    * (r = numHashes / b rows per band), the candidate yield and the
+    * true-pair yield against a caller-supplied TRUTH pair set — the
+    * (b, r) trade (the classic S-curve 1 − (1 − s^r)^b, Leskovec/
+    * Rajaraman/Ullman MMDS ch.3, made empirical for the corpus at hand)
+    * read BEFORE committing a banding at 100 TB: more bands buy recall
+    * and pay in candidate-join fanout, and the curve says where that
+    * stops being worth it on real data. The signature is computed ONCE
+    * (the numHashes minima array, projected so the per-config regrouping
+    * never re-evaluates it — the kgramHashes HOF lesson) and every
+    * configuration's bands derive from it map-side by consecutive
+    * regrouping, exactly [[bandsUdf]]'s slice-and-join arithmetic; ONE
+    * tagged (cfg, band_idx, band_val) self-join answers all
+    * configurations together, and ONE truth intersection scores them.
+    *
+    * When the configurations form a DIVISIBILITY CHAIN (each dividing
+    * the next, e.g. 1 | 2 | 4 | 8), narrower bands partition wider
+    * ones, so candidate sets are NESTED and both yields are
+    * non-decreasing in b — a theorem, which makes the chain the right
+    * default sweep (arbitrary divisor sets are accepted; the monotone
+    * guarantee then binds only along divisibility edges). The default
+    * chain deliberately stops at r = 2: single-row bands (r = 1) pair
+    * every co-owner of any one minimum — on a corpus with popular
+    * shingles that is a quadratic bucket blowup for a recall the r = 2
+    * point already approaches.
+    *
+    * `truthPairs` carries canonical (a_id < b_id) pairs — typically
+    * [[ngramJaccardPairs]] at the target similarity threshold. Returns
+    * one row per configuration, ascending b: (bands, rows_per_band,
+    * n_candidates, n_true_pairs); a configuration generating no
+    * candidates reports zeros. Docs too short to shingle produce no
+    * band rows under any configuration ([[minhashBands]] contract). */
+  def minhashBandSweep(
+      df: DataFrame, idCol: String, textCol: String, truthPairs: DataFrame,
+      numHashes: Int = 16, bandConfigs: Seq[Int] = Seq(1, 2, 4, 8),
+      shingleN: Int = 3, family: HashFamily = Fnv64Family): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(bandConfigs.nonEmpty &&
+      bandConfigs.forall(b => b >= 1 && numHashes % b == 0),
+      s"every band config must be >= 1 and divide numHashes=$numHashes, " +
+        s"got $bandConfigs")
+    require(bandConfigs.distinct.size == bandConfigs.size,
+      s"duplicate band configs: $bandConfigs")
+    require(Seq("a_id", "b_id").forall(truthPairs.columns.contains),
+      s"truthPairs must carry (a_id, b_id) — the canonical pair schema; " +
+        s"got (${truthPairs.columns.mkString(", ")})")
+    val bs = bandConfigs.sorted
+    val sig = df.select(col(idCol).as("id"),
+      bandsUdf(numHashes, numHashes, shingleN, family)
+        .asNondeterministic()(col(textCol)).as("__sig"))
+    val tagged = bs.map { b =>
+      val r = numHashes / b
+      transform(sequence(lit(0), lit(b - 1)), j =>
+        struct(lit(b).as("cfg"), j.as("idx"),
+          concat_ws("|", slice(col("__sig"), j * r + 1, lit(r))).as("bv")))
+    }
+    val exploded = sig.filter(col("__sig").isNotNull)
+      .select(col("id"), explode(flatten(array(tagged: _*))).as("bd"))
+      .select(col("id"), col("bd.cfg").as("cfg"), col("bd.idx").as("idx"),
+        col("bd.bv").as("bv"))
+    val a = exploded.toDF("a_id", "cfg", "idx", "bv")
+    val b = exploded.toDF("b_id", "cfg", "idx", "bv")
+    // shuffle-hash hint: both sides are the same exploded frame (the
+    // ngramJaccardPairs rationale — nothing to broadcast, no point SMJ)
+    val cand = a.join(b.hint("shuffle_hash"), Seq("cfg", "idx", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select("cfg", "a_id", "b_id").distinct()
+    val scored = cand
+      .join(truthPairs.select(col("a_id"), col("b_id"))
+        .withColumn("__tp", lit(1L)), Seq("a_id", "b_id"), "left")
+      .groupBy("cfg").agg(
+        count(lit(1)).as("__nc"),
+        coalesce(sum(col("__tp")), lit(0L)).as("__nt"))
+      .collect().map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    val out = bs.map { bb =>
+      val (nc, nt) = scored.getOrElse(bb, (0L, 0L))
+      org.apache.spark.sql.Row(bb, numHashes / bb, nc, nt)
+    }.toArray
+    Similarity.localFrame(df.sparkSession, out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bands",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("rows_per_band",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_candidates",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_true_pairs",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   private def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0

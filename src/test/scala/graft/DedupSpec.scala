@@ -331,6 +331,47 @@ class DedupSpec extends SparkSpec {
     assert(c == Map((1L, 2L) -> 0)) // docs 1,2 identical; nothing else at d=0
   }
 
+  test("minhashBandSweep: per-config candidates are an IDENTITY with independent bandings; chain yields nest") {
+    import sqlContext.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
+      .select("a_id", "b_id").localCheckpoint()
+    val cfgs = Seq(1, 2, 4, 8)
+    val sweep = Dedup.minhashBandSweep(docs, "doc_id", "text", truth,
+        numHashes = 16, bandConfigs = cfgs, shingleN = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(sweep.map(_._1).toSeq == cfgs && sweep.map(_._2).toSeq == Seq(16, 8, 4, 2))
+    // identity: the regrouped signature reproduces an independent
+    // minhashCandidates run at (numHashes=16, bands=b) pair-for-pair
+    cfgs.zip(sweep).foreach { case (b, (_, _, nCand, nTrue)) =>
+      val independent = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 16, bands = b, shingleN = 3).count()
+      assert(nCand == independent, s"bands $b: sweep $nCand vs independent $independent")
+      assert(nTrue <= nCand)
+    }
+    // divisibility chain -> nested candidate sets -> monotone yields
+    val cands = sweep.map(_._3); val trues = sweep.map(_._4)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b }, cands.toSeq)
+    assert(trues.zip(trues.tail).forall { case (a, b) => a <= b }, trues.toSeq)
+    // guards: non-divisor config, duplicates, bad truth schema
+    intercept[IllegalArgumentException](
+      Dedup.minhashBandSweep(docs, "doc_id", "text", truth,
+        numHashes = 16, bandConfigs = Seq(3)))
+    intercept[IllegalArgumentException](
+      Dedup.minhashBandSweep(docs, "doc_id", "text", truth,
+        numHashes = 16, bandConfigs = Seq(2, 2)))
+    intercept[IllegalArgumentException](
+      Dedup.minhashBandSweep(docs, "doc_id", "text", truth.toDF("x", "y"),
+        numHashes = 16, bandConfigs = Seq(2)))
+    // docs too short to shingle produce no band rows under any config
+    val short = Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text")
+    val z = Dedup.minhashBandSweep(short, "doc_id", "text",
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"),
+      numHashes = 4, bandConfigs = Seq(1, 2), shingleN = 3).collect()
+    assert(z.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L), z.mkString)
+  }
+
   test("cosineLshTableSweep: per-budget yields are an IDENTITY with independent runs; monotone; true <= candidates") {
     // the seeded hyperplane sequence is prefix-stable (one PRNG filled
     // sequentially), so an independent cosinePairsLsh at numTables = T

@@ -55,6 +55,15 @@ class PlanSpec extends SparkSpec {
   test("minhash candidates use one equi-join on bands, never a cross product") {
     val p = plan("dedup_minhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the banding sweep's tagged multi-config join IS this shape with a
+    // cfg column prepended to the key (its registered key aggregates
+    // eagerly, so the lazy assertion rides the operator it regroups)
+    covers("minhash_band_sweep")
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    val sw = graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 16, bands = 4)
+      .queryExecution.executedPlan.toString
+    assert(!sw.contains("BroadcastNestedLoopJoin") && !sw.contains("CartesianProduct"), sw)
   }
 
   test("topk_sim window ranking is group-limited before the shuffle (WindowGroupLimit)") {
@@ -655,10 +664,10 @@ class PlanSpec extends SparkSpec {
     // 53 with round-17's ivf_pq_stored; 54 with round-18's
     // pq_shortlist_sweep one-scan guard; 55 with ivf_pq_probe_sweep;
     // 58 with round-19's decontam_strip / mix_plan / retrieval_metrics;
-    // 59 with embed_lsh_sweep).
+    // 59 with embed_lsh_sweep; 60 with minhash_band_sweep).
     // Raising it is cheap when new plan tests land; lowering it means
     // plan coverage regressed — do that consciously, in review.
-    val floor = 59
+    val floor = 60
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")
