@@ -133,6 +133,77 @@ object Doctor {
     else "OK: serve as-is"
   }
 
+  /** Benchmark-leakage sections vs an eval set at `benchPath` (a parquet
+    * table carrying the same (doc_id, text) shape as `documents`): the
+    * shingle-contamination survey ([[graft.operators.Curation
+    * .contamination]] rolled up to threshold shares) and the span
+    * DECONTAMINATION plan ([[graft.operators.Curation.decontaminate]]
+    * rolled up to docs-touched / chars-removed / docs-gated-out) — what
+    * running the repair stage would actually do, answered before running
+    * it. Same packaging contract as [[sections]]: registered,
+    * DuckDB-verified arithmetic under the hood, one-row summaries on
+    * top. */
+  def benchmarkSections(
+      spark: SparkSession, dir: String,
+      benchPath: String): Seq[(String, DataFrame)] = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bench = spark.read.parquet(benchPath)
+    require(Seq("doc_id", "text").forall(bench.columns.contains),
+      s"benchmark at $benchPath must carry (doc_id, text) — " +
+        s"got (${bench.columns.mkString(", ")})")
+    val scores = graft.operators.Curation.contamination(
+      docs, bench, "doc_id", "text")
+    val survey = scores.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("contamination") >= 0.1, 1L).otherwise(0L)).as("n_c10"),
+      sum(when(col("contamination") >= 0.5, 1L).otherwise(0L)).as("n_c50"),
+      sum(when(col("contamination") >= 0.9, 1L).otherwise(0L)).as("n_c90"),
+      round(avg(col("contamination")), 4).as("mean_contamination"))
+    // docs_gated_out counts docs the gate drops BECAUSE stripping hollowed
+    // them (kept = 0 AND touched) — an untouched document under the length
+    // gate is a quality-filter concern, not leakage, and attributing it
+    // here would inflate the verdict on any corpus with short docs
+    val plan = graft.operators.Curation.decontaminate(
+        docs, bench, "doc_id", "text")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("docs_touched"),
+        sum(col("n_removed")).as("chars_removed"),
+        sum(when(col("kept") === 0 && col("n_removed") > 0, 1L).otherwise(0L))
+          .as("docs_gated_out"))
+    Seq(
+      s"benchmark contamination survey ($benchPath; shingle-overlap shares)" ->
+        survey,
+      "span decontamination plan (what Curation.decontaminate would remove)" ->
+        plan)
+  }
+
+  /** The operational verdict over the decontamination-plan row — the
+    * [[indexVerdict]] discipline applied to eval leakage: advisory
+    * thresholds, surfaced so an operator can overrule. Any doc the gate
+    * would drop, or more than 1% of documents span-touched, says run the
+    * stage; a trickle of touched docs is normal shared-boilerplate
+    * background. Pure function of the row, so DoctorSpec pins every
+    * branch. */
+  def benchmarkVerdict(p: org.apache.spark.sql.Row): String = {
+    val n = p.getAs[Long]("n_docs")
+    val touched = p.getAs[Long]("docs_touched")
+    val gated = p.getAs[Long]("docs_gated_out")
+    if (n == 0L) "EMPTY: no corpus documents to audit"
+    else if (gated > 0L)
+      s"DECONTAMINATE: $gated document(s) are substantially the benchmark " +
+        "(stripped below the keep gate) — run Curation.decontaminate and " +
+        "route kept = 0 out before training"
+    else if (touched.toDouble / n > 0.01)
+      f"DECONTAMINATE: ${touched.toDouble / n * 100}%.1f%% of documents " +
+        "share spans with the benchmark — run Curation.decontaminate " +
+        "(strip repairs them in place)"
+    else if (touched > 0L)
+      s"OK: $touched document(s) share trace spans with the benchmark — " +
+        "background boilerplate; decontaminate if eval hygiene demands zero"
+    else "OK: no span overlap with the benchmark"
+  }
+
   /** The drift battery vs a reference snapshot, same (title, frame)
     * contract as [[sections]]. */
   def driftSections(
@@ -158,16 +229,23 @@ object Doctor {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: Doctor <sfDir> [refDir] [--index <ivfPqIndexPath>]")
-    // --index <path> can sit anywhere after sfDir; positional parsing
-    // ignores the pair
-    val idxAt = args.indexOf("--index")
-    require(idxAt != 0, "usage: Doctor <sfDir> [refDir] [--index <path>]")
-    val indexPath =
-      if (idxAt > 0) Some(args.lift(idxAt + 1).getOrElse(
-        throw new IllegalArgumentException("--index needs a path")))
-      else None
-    val excluded = if (idxAt >= 0) Set(idxAt, idxAt + 1) else Set.empty[Int]
+      "usage: Doctor <sfDir> [refDir] [--index <ivfPqIndexPath>] " +
+        "[--benchmark <benchParquet>]")
+    // flag pairs can sit anywhere after sfDir; positional parsing
+    // ignores them
+    def flagValue(flag: String): (Option[String], Set[Int]) = {
+      val at = args.indexOf(flag)
+      require(at != 0,
+        "usage: Doctor <sfDir> [refDir] [--index <path>] [--benchmark <path>]")
+      if (at > 0)
+        (Some(args.lift(at + 1).getOrElse(
+          throw new IllegalArgumentException(s"$flag needs a path"))),
+          Set(at, at + 1))
+      else (None, Set.empty)
+    }
+    val (indexPath, idxIdx) = flagValue("--index")
+    val (benchPath, benchIdx) = flagValue("--benchmark")
+    val excluded = idxIdx ++ benchIdx
     val positional = args.zipWithIndex.collect {
       case (a, i) if !excluded.contains(i) => a
     }
@@ -193,6 +271,13 @@ object Doctor {
       // the verdict reads the SAME frame the section just showed — the
       // health audit (full index scan) must not run twice per report
       println(s"[doctor] index verdict: ${indexVerdict(secs.head._2.head())}")
+    }
+    benchPath.foreach { p =>
+      val secs = benchmarkSections(spark, dir, p)
+      secs.foreach((show _).tupled)
+      // same single-evaluation discipline: the plan frame (a winnowing
+      // pass over the corpus) feeds the verdict it just showed
+      println(s"[doctor] benchmark verdict: ${benchmarkVerdict(secs.last._2.head())}")
     }
     spark.stop()
   }

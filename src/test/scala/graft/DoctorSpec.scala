@@ -167,4 +167,57 @@ class DoctorSpec extends SparkSpec {
     assert(Doctor.indexVerdict(row(100, 0, 1.2, 0, 1, badRot = 1L))
       .contains("codebooks"))
   }
+
+  test("benchmarkSections: survey + plan shapes; a planted leak surfaces in both and flips the verdict") {
+    import sqlContext.implicits._
+    // benchmark = a real fixture doc's text — the corpus provably overlaps
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val benchText = docs.filter(col("text").isNotNull &&
+      length(col("text")) >= 100).select("text").head().getString(0)
+    val benchDir = java.nio.file.Files.createTempDirectory("doctor-bench").toString
+    Seq((900001L, benchText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(benchDir)
+    val secs = Doctor.benchmarkSections(spark, dir, benchDir)
+    assert(secs.map(_._1).distinct.size == 2)
+    val survey = secs.head._2.head()
+    assert(survey.schema.fieldNames.toSeq == Seq(
+      "n_docs", "n_c10", "n_c50", "n_c90", "mean_contamination"))
+    val plan = secs.last._2.head()
+    assert(plan.schema.fieldNames.toSeq == Seq(
+      "n_docs", "docs_touched", "chars_removed", "docs_gated_out"))
+    assert(plan.getAs[Long]("n_docs") == docs.count())
+    // the source doc of the benchmark text IS a full-coverage leak: it
+    // strips to nothing and gates out
+    assert(plan.getAs[Long]("docs_touched") >= 1L)
+    assert(plan.getAs[Long]("chars_removed") >= benchText.length.toLong)
+    assert(plan.getAs[Long]("docs_gated_out") >= 1L)
+    assert(Doctor.benchmarkVerdict(plan).startsWith("DECONTAMINATE"))
+    // a benchmark column-shape violation is loud
+    val badDir = java.nio.file.Files.createTempDirectory("doctor-bad").toString
+    Seq((1L, "x")).toDF("id", "body").write.mode("overwrite").parquet(badDir)
+    val e = intercept[IllegalArgumentException](
+      Doctor.benchmarkSections(spark, dir, badDir))
+    assert(e.getMessage.contains("doc_id"))
+  }
+
+  test("benchmarkVerdict: every branch pinned") {
+    def row(n: Long, touched: Long, gated: Long) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](n, touched, touched, gated),
+        org.apache.spark.sql.types.StructType(Seq(
+          "n_docs", "docs_touched", "chars_removed", "docs_gated_out").map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.LongType))))
+    assert(Doctor.benchmarkVerdict(row(0, 0, 0)).startsWith("EMPTY"))
+    assert(Doctor.benchmarkVerdict(row(1000, 0, 0)) == "OK: no span overlap with the benchmark")
+    // gated docs dominate: even one is a whole-document leak
+    assert(Doctor.benchmarkVerdict(row(1000, 5, 1)).startsWith("DECONTAMINATE"))
+    assert(Doctor.benchmarkVerdict(row(1000, 5, 1)).contains("substantially"))
+    // >1% touched without gating still says run the stage
+    assert(Doctor.benchmarkVerdict(row(1000, 11, 0)).startsWith("DECONTAMINATE"))
+    assert(Doctor.benchmarkVerdict(row(1000, 11, 0)).contains("share spans"))
+    // a trickle is background boilerplate
+    assert(Doctor.benchmarkVerdict(row(1000, 10, 0)).startsWith("OK"))
+    assert(Doctor.benchmarkVerdict(row(1000, 10, 0)).contains("trace"))
+  }
 }
