@@ -231,14 +231,20 @@ object Curation {
     * Same contracts as [[mixStrata]]: weights are a whitelist, positive
     * and finite, ratios-only; a recipe stratum with no rows (or
     * all-NULL sizes) fails fast rather than planning a zero-row
-    * mixture. Numeric contract: `scale` and `binding` come from ONE
-    * IEEE division per stratum (`available / weight`) compared exactly
-    * against the minimum — bit-identical cross-engine; `planned` rounds
-    * to 4 decimals, `rate` to 6.
+    * mixture — including when EVERY stratum is absent (a mistyped table
+    * or column), which is why the ≤ |recipe|-row aggregate collects
+    * eagerly like [[mixStrata]]'s counts: an in-plan guard has no row
+    * to ride on an empty aggregate and would return a silently EMPTY
+    * plan instead. Numeric contract: `scale` and `binding` come from
+    * ONE IEEE division per stratum (`available / weight`) compared
+    * exactly against the minimum — bit-identical cross-engine;
+    * `planned` rounds to 4 decimals, `rate` to 6 (the same HALF_UP the
+    * in-plan round applies, so the DuckDB mirror lands identically).
     *
-    * Scale shape: one partial-aggregated groupBy to ≤ |recipe| rows,
-    * then window-min over that tiny frame — the corpus is scanned once
-    * and never shuffled beyond the aggregate. */
+    * Scale shape: one partial-aggregated groupBy collapsing the corpus
+    * to ≤ |recipe| driver rows; the plan arithmetic is driver-side over
+    * that bounded map — the corpus is scanned once, nothing else
+    * shuffles. */
   def mixPlan(
       df: DataFrame, stratumCol: String,
       weights: Map[String, Double],
@@ -247,37 +253,54 @@ object Curation {
     require(weights.values.forall(w => w > 0 && !w.isInfinite && !w.isNaN),
       s"weights must be positive and finite: $weights")
     val mass = sizeCol.map(c => sum(col(c))).getOrElse(count(lit(1)))
+    // EAGER, the mixStrata precedent: the aggregate is ≤ |recipe| rows
+    // and the coverage guard must fire even when EVERY recipe stratum is
+    // absent — an in-plan raise has no row to ride on an empty aggregate,
+    // and a silently EMPTY plan for a mistyped table/column is exactly
+    // the failure this read exists to make loud
     val avail = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(stratumCol).as("stratum"))
       .agg(mass.cast("long").as("available"))
-    val wCol = weights.foldLeft(lit(null).cast("double")) {
-      case (rest, (s, w)) => when(col("stratum") === s, lit(w)).otherwise(rest)
-    }
-    // count(available) is non-null rows: a stratum whose sizes are all
-    // NULL has no measurable mass and must trip the guard like an absent
-    // one, not plan as a NULL row
-    val missing = lit(weights.size) - count(col("available"))
-      .over(Window.rowsBetween(Long.MinValue, Long.MaxValue))
-    val perW = col("available").cast("double") / col("weight")
-    val scale = min(perW).over(Window.rowsBetween(Long.MinValue, Long.MaxValue))
-    avail
-      .withColumn("weight", wCol)
-      .select(
-        col("stratum"),
-        // fail FAST on absent strata (mixStrata rationale: the only
-        // mixture honoring a zero-row component is empty) — folded into
-        // an OUTPUT column so projection pruning can never silence it,
-        // and every consumer of the plan sees the raise
-        when(missing > 0, raise_error(concat(
-          lit("mixPlan: recipe strata with no rows (or no measurable "),
-          lit("size) in the data — expected "),
-          lit(weights.size).cast("string"), lit(" strata, found "),
-          (lit(weights.size) - missing).cast("string"))))
-          .otherwise(col("available")).as("available"),
-        col("weight"),
-        round(scale * col("weight"), 4).as("planned"),
-        round(scale * col("weight") / col("available"), 6).as("rate"),
-        when(perW === scale, lit(1)).otherwise(lit(0)).as("binding"))
+      .collect()
+      .flatMap(r => if (r.isNullAt(1)) None
+        else Some(String.valueOf(r.get(0)) -> r.getLong(1)))
+      .toMap
+    // a stratum whose sizes are all NULL collected a NULL mass — no
+    // measurable size, same failure as absent
+    val missing = weights.keys.filterNot(avail.contains)
+    require(missing.isEmpty,
+      s"mixPlan: recipe strata with no rows (or no measurable size) in " +
+        s"the data: ${missing.toSeq.sorted.mkString(", ")} — the only " +
+        "mixture honoring a zero-mass component is empty; drop it from " +
+        "the recipe or fix the upstream filter")
+    val perW = weights.map { case (s, w) => s -> avail(s).toDouble / w }
+    val scale = perW.values.min
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val rows = weights.keys.toSeq.sorted.map { s =>
+      val w = weights(s)
+      org.apache.spark.sql.Row(s, avail(s), w,
+        round4(scale * w), round6(scale * w / avail(s)),
+        if (perW(s) == scale) 1 else 0)
+    }.toArray
+    graft.operators.Similarity.localFrame(df.sparkSession, rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stratum",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("available",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("weight",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("planned",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rate",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("binding",
+          org.apache.spark.sql.types.IntegerType))))
   }
 
   /** Benchmark-contamination ratio per document: the fraction of the

@@ -130,6 +130,14 @@ class CurationSpec extends SparkSpec {
         .collect())
     assert(msgs(allNull).exists(_.contains("recipe strata with no rows")),
       msgs(allNull).mkString("\n"))
+    // EVERY stratum absent (mistyped table/column) must raise too — an
+    // in-plan guard has no row to ride on an empty aggregate, and a
+    // silently empty plan is the exact failure the guard exists for
+    val allAbsent = intercept[Exception](
+      Curation.mixPlan(docs, "lang", Map("xx" -> 0.5, "yy" -> 0.5)))
+    assert(msgs(allAbsent).exists(m =>
+      m.contains("recipe strata with no rows") && m.contains("xx")),
+      msgs(allAbsent).mkString("\n"))
     intercept[IllegalArgumentException](
       Curation.mixPlan(docs, "lang", Map.empty[String, Double]))
     intercept[IllegalArgumentException](

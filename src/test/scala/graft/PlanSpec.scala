@@ -621,10 +621,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("mix_plan: one partial-aggregated pass + a window over the tiny aggregate — the corpus never joins") {
+  test("mix_plan: the returned plan is a bounded local relation — corpus work happened in ONE eager aggregate") {
+    // mixPlan collapses the corpus through one partial-aggregated groupBy
+    // into <= |recipe| driver rows at CALL time (the mixStrata eager
+    // precedent — the coverage guard must fire even on an empty
+    // aggregate), so the registered frame must be a local relation with
+    // no residual corpus work hanging off it
     val p = plan("mix_plan")
-    assert(!p.contains("Join"), p)
-    assert(p.toLowerCase.contains("partial"), p)
+    assert(p.contains("LocalTableScan"), p)
+    // the key's deterministic orderBy adds a range exchange over the
+    // |recipe|-row local table — harmless; what must NOT appear is any
+    // residual corpus work (a scan or a join)
+    assert(!p.contains("Join") && !p.contains("FileScan"), p)
   }
 
   test("retrieval_metrics: only the two deliberate exact scorers are products; metric joins stay equi") {
