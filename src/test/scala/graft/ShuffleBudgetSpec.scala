@@ -55,6 +55,17 @@ class ShuffleBudgetSpec extends AnyFunSuite
     assert(kb <= 2048, s"dedup_minhash shuffled $kb KB")
   }
 
+  test("decontam_strip ships fingerprints and ids, never per-pair text fan-out (<= 1 MB at sf0.001)") {
+    // measured 369 KB at sf0.001 (winnowing fingerprints + pair keys +
+    // the partner-hash arrays of the handful of touched docs). The
+    // failure mode this guards: a regression that fans corpus TEXT or
+    // full benchmark gram sets out per candidate pair multiplies the
+    // traffic, it does not add to it — a 2.8x ceiling catches that while
+    // tolerating partitioning drift.
+    val kb = shuffleKb("decontam_strip")
+    assert(kb <= 1024, s"decontam_strip shuffled $kb KB — per-pair payload fan-out?")
+  }
+
   test("hist_bins aggregates map-side (<= 32 KB)") {
     val kb = shuffleKb("hist_bins")
     assert(kb <= 32, s"hist_bins shuffled $kb KB")
