@@ -387,11 +387,18 @@ object Curation {
       benchGrams, idCol, textCol, k, w, minShared), textCol, minCharsAfter)
 
   /** The ONE home of the decontamination kept gate — both entry points
-    * and the streaming sink ride it, so the routing rule cannot fork. */
+    * and the streaming sink ride it, so the routing rule cannot fork. A
+    * corpus already carrying `kept` is an upstream routing decision this
+    * gate would silently OVERWRITE (rejected docs flowing back into
+    * training) — the stripAgainstCappedIndex `n_removed` rationale, so
+    * the same loud require. */
   private def withKeptGate(
       stripped: DataFrame, textCol: String, minCharsAfter: Int): DataFrame = {
     require(minCharsAfter >= 0,
       s"minCharsAfter must be >= 0, got $minCharsAfter")
+    require(!stripped.columns.exists(_.equalsIgnoreCase("kept")),
+      "decontaminate adds a kept column; the input already has one — " +
+        "an upstream routing decision would be silently overwritten")
     stripped.withColumn("kept",
       when(col(textCol).isNotNull &&
         length(col(textCol)) >= minCharsAfter, lit(1)).otherwise(lit(0)))

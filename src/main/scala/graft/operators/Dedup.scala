@@ -638,7 +638,11 @@ object Dedup {
     * `ann_probe_sweep` one-scan algebra applied to pair generation).
     * The max-budget true-pair set is by construction identical to
     * [[cosinePairsLsh]] at `numTables = max(tables)` (spec-pinned
-    * identity, not an approximation).
+    * identity, not an approximation) — PROVIDED the two calls share
+    * (planesPerTable, dim, seed); the defaults match cosinePairsLsh's
+    * exactly so a defaults-vs-defaults pairing cannot diverge, and a
+    * tuning read taken at one planesPerTable must deploy at the same
+    * one (the bucket width is part of the curve being measured).
     *
     * Returns one row per budget, ascending: (n_tables, n_candidates,
     * n_true_pairs) — the recall-vs-cost read taken BEFORE pinning the
@@ -653,7 +657,7 @@ object Dedup {
     * budget, and the driver holds |tables| rows. */
   def cosineLshTableSweep(
       df: DataFrame, idCol: String, vecCol: String, minCosine: Double,
-      tables: Seq[Int], planesPerTable: Int = 4, dim: Int = 64,
+      tables: Seq[Int], planesPerTable: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     require(tables.nonEmpty && tables.forall(_ >= 1),
       s"tables must be non-empty positive budgets, got $tables")

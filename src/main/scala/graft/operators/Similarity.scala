@@ -672,9 +672,13 @@ object Similarity {
     * than `k` are ignored on BOTH sides, so callers can pass deeper
     * runs. A query present in truth with NO result rows scores 0 across
     * the board (the failure an evaluation must surface, not drop); a
-    * query present ONLY in results raises — truth defines the
-    * evaluation set, and silently scoring a query with no truth would
-    * report 0 for what is actually a harness wiring error.
+    * query present ONLY in results raises AT CALL TIME — truth defines
+    * the evaluation set, and silently scoring a query with no truth
+    * would report 0 for what is actually a harness wiring error. The
+    * check is an EAGER anti-join take(1) (both inputs are k·|queries|
+    * frames by contract, so the job is tiny): the round-19 mixPlan
+    * lesson — a raise riding an output column is silenced by projection
+    * pruning the moment a caller selects a column subset.
     *
     * Numeric contract: every ratio is a division of exact integer
     * counts or of ≤ k-term log2-discount sums, rounded to 6 at the END
@@ -695,6 +699,20 @@ object Similarity {
     }
     val t = truth.filter(col("rank") <= k).select("q_id", "n_id", "rank")
     val r = results.filter(col("rank") <= k).select("q_id", "n_id", "rank")
+    // EAGER wiring check — see the scaladoc: an in-plan raise riding an
+    // output column is prunable; results-only queries must fail here,
+    // before any metric is computed. Compares the UNFILTERED results
+    // against the unfiltered truth: a results query whose truth exists
+    // only beyond rank k is still a wired query, not an orphan.
+    val orphans = results.select("q_id").distinct()
+      .join(truth.select("q_id").distinct(), Seq("q_id"), "left_anti")
+      .take(4)
+    require(orphans.isEmpty,
+      "retrievalMetrics: results carry quer" +
+        s"${if (orphans.length == 1) "y" else "ies"} " +
+        orphans.map(x => String.valueOf(x.get(0))).mkString(", ") +
+        (if (orphans.length == 4) ", …" else "") +
+        " absent from truth — truth defines the evaluation set")
     val tstats = t.groupBy("q_id").agg(
       count(lit(1)).as("n_truth"),
       sum(lit(1.0) / log2(col("rank") + 1)).as("__idcg"))
@@ -706,16 +724,12 @@ object Similarity {
         min(when(col("__hit").isNotNull, col("rank"))).as("__first"),
         coalesce(sum(when(col("__hit").isNotNull,
           lit(1.0) / log2(col("rank") + 1))), lit(0.0)).as("__dcg"))
-    tstats.join(rstats, Seq("q_id"), "full")
+    // a LEFT join suffices after the eager orphan check above: every
+    // rstats q_id is guaranteed present in tstats
+    tstats.join(rstats, Seq("q_id"), "left")
       .select(
         col("q_id"),
-        // a results-only query is a wiring error, raised in an OUTPUT
-        // column so projection pruning cannot silence it
-        when(col("n_truth").isNull, raise_error(concat(
-          lit("retrievalMetrics: results carry query "),
-          col("q_id").cast("string"),
-          lit(" absent from truth — truth defines the evaluation set"))))
-          .otherwise(col("n_truth")).as("n_truth"),
+        col("n_truth"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         round(coalesce(col("n_hits"), lit(0L)) / col("n_truth"), 6)
           .as("recall"),

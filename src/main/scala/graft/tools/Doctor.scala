@@ -153,24 +153,32 @@ object Doctor {
         s"got (${bench.columns.mkString(", ")})")
     val scores = graft.operators.Curation.contamination(
       docs, bench, "doc_id", "text")
-    val survey = scores.agg(
+    // EAGER: each section is collected once into a local relation — the
+    // --index precedent's single-evaluation property came for free from
+    // ivfPqIndexHealth's localFrame; these aggregates are lazy plans over
+    // a corpus winnowing pass, so show() + a later verdict head() would
+    // otherwise run the heaviest frame in the report TWICE
+    def local1(df: DataFrame): DataFrame =
+      graft.operators.Similarity.localFrame(
+        df.sparkSession, Array(df.head()), df.schema)
+    val survey = local1(scores.agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("contamination") >= 0.1, 1L).otherwise(0L)).as("n_c10"),
       sum(when(col("contamination") >= 0.5, 1L).otherwise(0L)).as("n_c50"),
       sum(when(col("contamination") >= 0.9, 1L).otherwise(0L)).as("n_c90"),
-      round(avg(col("contamination")), 4).as("mean_contamination"))
+      round(avg(col("contamination")), 4).as("mean_contamination")))
     // docs_gated_out counts docs the gate drops BECAUSE stripping hollowed
     // them (kept = 0 AND touched) — an untouched document under the length
     // gate is a quality-filter concern, not leakage, and attributing it
     // here would inflate the verdict on any corpus with short docs
-    val plan = graft.operators.Curation.decontaminate(
+    val plan = local1(graft.operators.Curation.decontaminate(
         docs, bench, "doc_id", "text")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("docs_touched"),
         sum(col("n_removed")).as("chars_removed"),
         sum(when(col("kept") === 0 && col("n_removed") > 0, 1L).otherwise(0L))
-          .as("docs_gated_out"))
+          .as("docs_gated_out")))
     Seq(
       s"benchmark contamination survey ($benchPath; shingle-overlap shares)" ->
         survey,

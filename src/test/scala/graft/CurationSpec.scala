@@ -174,6 +174,13 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == (null, 0L, 0))
     // only corpus rows come back; the benchmark is read-only
     assert(out.keySet == Set(1L, 2L, 3L))
+    // a corpus already carrying `kept` is an upstream routing decision
+    // this gate must not silently overwrite
+    val clash = intercept[IllegalArgumentException](
+      Curation.decontaminate(
+        corpus.withColumn("kept", org.apache.spark.sql.functions.lit(1)),
+        benchmark, "doc_id", "text"))
+    assert(clash.getMessage.contains("kept"), clash.getMessage)
   }
 
   test("decontaminate: an id collision across the two datasets must NOT suppress the strip (the leak case)") {

@@ -211,16 +211,17 @@ class SimilaritySpec extends SparkSpec {
     assert(self.forall(_ == ((1.0, 1.0, 1.0))), self.mkString(", "))
   }
 
-  test("retrievalMetrics: a results-only query raises (truth defines the evaluation set); bad schema raises") {
+  test("retrievalMetrics: a results-only query raises AT CALL TIME (pruning-proof); bad schema raises") {
     import sqlContext.implicits._
     val truth = Seq((1L, "a", 1)).toDF("q_id", "n_id", "rank")
     val results = Seq((1L, "a", 1), (7L, "a", 1)).toDF("q_id", "n_id", "rank")
-    val e = intercept[Exception](
-      Similarity.retrievalMetrics(results, truth, k = 10).collect())
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
-    assert(msgs(e).exists(m => m.contains("absent from truth") && m.contains("7")),
-      msgs(e).mkString("\n"))
+    // the check is eager (the mixPlan lesson: an output-column raise is
+    // silenced by projection pruning) — the CALL itself must throw,
+    // before any caller can select a metric subset
+    val e = intercept[IllegalArgumentException](
+      Similarity.retrievalMetrics(results, truth, k = 10))
+    assert(e.getMessage.contains("absent from truth") && e.getMessage.contains("7"),
+      e.getMessage)
     intercept[IllegalArgumentException](
       Similarity.retrievalMetrics(results.drop("rank"), truth, k = 10))
     intercept[IllegalArgumentException](
