@@ -226,6 +226,17 @@ object ScaleQueries {
       Seq("lang", "len_bucket"), "source", t = 0.2)
       .orderBy("lang", "len_bucket")
 
+  /** Ordered t-closeness of customers per market segment with the numeric
+    * nation key as the sensitive attribute at t = 0.05 — the paper's
+    * ordered-distance EMD for salary-style columns (see
+    * [[Privacy.tClosenessOrdered]]); the oracle mirrors the spine /
+    * class-expansion / cumulative-difference arithmetic window for
+    * window. */
+  val tClosenessOrd: Q = (s, d) =>
+    Privacy.tClosenessOrdered(
+      t(s, d, "customer"), Seq("c_mktsegment"), "c_nationkey", t = 0.05)
+      .orderBy("c_mktsegment")
+
   /** 32-way hash-shard write manifest over documents (see
     * [[Curation.shardManifest]]); load_ratio pins the uniformity of the
     * md5-derived shard assignment. */
@@ -249,6 +260,7 @@ object ScaleQueries {
   val all: Map[String, Q] = Map(
     "k_anonymity" -> kAnonymityDocs,
     "t_closeness" -> tClosenessDocs,
+    "t_closeness_ord" -> tClosenessOrd,
     "shard_manifest" -> shardManifestDocs,
     "interleave_order" -> interleaveOrderDocs,
     "quantize_embed" -> quantizeEmbed,
@@ -313,6 +325,48 @@ object ScaleQueries {
         |SELECT lang, len_bucket, n, tvd,
         |  CAST(CASE WHEN tvd > 0.2e0 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
         |FROM agg ORDER BY lang, len_bucket""".stripMargin,
+    // t_closeness_ord: the ordered-distance EMD — global value spine with
+    // cumulative-mass windows, class × spine expansion (absent cells
+    // contribute p_c = 0 but the global mass still moves), per-class
+    // cumsum in spine order, normalized by (m − 1); probs are
+    // BIGINT/BIGINT true divisions and the cumsum accumulates in the same
+    // spine order on both engines, so only the final sum-of-|cum| crosses
+    // the round-6 gate
+    "t_closeness_ord" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment AS q, CAST(c_nationkey AS DOUBLE) AS v
+        |  FROM customer WHERE c_nationkey IS NOT NULL),
+        |spine AS (
+        |  SELECT v,
+        |    CAST(count(*) AS BIGINT) /
+        |      CAST(sum(count(*)) OVER () AS BIGINT) AS pg,
+        |    row_number() OVER (ORDER BY v) AS pos,
+        |    count(*) OVER () AS m
+        |  FROM v GROUP BY v),
+        |cells AS (
+        |  SELECT q, v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |classes AS (
+        |  SELECT q, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |j AS (
+        |  SELECT classes.q, classes.n, spine.pg, spine.pos, spine.m, cells.c
+        |  FROM classes CROSS JOIN spine
+        |  LEFT JOIN cells ON cells.q IS NOT DISTINCT FROM classes.q
+        |    AND cells.v = spine.v),
+        |cum AS (
+        |  SELECT q, n, pos, m,
+        |    sum(coalesce(c, 0) / CAST(n AS DOUBLE) - pg) OVER (
+        |      PARTITION BY q ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+        |  FROM j),
+        |agg AS (
+        |  SELECT q AS c_mktsegment, max(n) AS n,
+        |    round(coalesce(
+        |      sum(CASE WHEN pos < m THEN abs(cumv) END) / (max(m) - 1),
+        |      0.0), 6) AS emd
+        |  FROM cum GROUP BY q)
+        |SELECT c_mktsegment, n, emd,
+        |  CAST(CASE WHEN emd > 0.05e0 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+        |FROM agg ORDER BY c_mktsegment""".stripMargin,
     // the shard draw mirrors Curation.shardId: first 4 md5 hex chars as an
     // integer mod nShards ('0x' string cast = spark's conv(..,16,10));
     // sum(BIGINT) cast back from duckdb's HUGEINT

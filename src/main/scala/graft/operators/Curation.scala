@@ -303,6 +303,79 @@ object Curation {
           org.apache.spark.sql.types.IntegerType))))
   }
 
+  /** Materialize [[mixPlan]]'s maximal mixture with EXACT per-stratum
+    * counts — the EXECUTION verb after the planning read: where
+    * [[mixStrata]] samples by hash-threshold (counts are expected values,
+    * right for the 100 TB pipeline where ±√n jitter is irrelevant and
+    * membership must be a pure map-side filter), this emits exactly
+    * `take_i` rows per stratum — the contract an eval-set or
+    * fixed-budget carve needs, where "50/30/20" must mean the delivered
+    * file counts, not their expectation. `take_i = available_i` on the
+    * BINDING stratum (kept whole — exact IEEE equality with the scale
+    * minimum, [[mixPlan]]'s `binding` arithmetic) and
+    * `min(available_i, floor(S·w_i))` elsewhere (the min guards the
+    * one-ulp case where `(n/w)·w` rounds above n).
+    *
+    * Selection per stratum is the [[sampleFixed]] machinery: the take_i
+    * rows with the smallest SALTED md5 draw (salt "mixapply", so the
+    * carve composes with splits/samples upstream — the [[hashDraw]]
+    * nesting rationale), ties by id — deterministic under relayout,
+    * row order, and cluster size, and mostly stable as the corpus
+    * grows (a member leaves only when displaced or when the plan
+    * itself moves). Strata outside the recipe drop (whitelist); NULL
+    * ids are EXCLUDED from both the availability counts and the carve
+    * (no stable draw — the [[sampleFixed]] NULL stance), so the binding
+    * stratum's "kept whole" is exact over selectable rows. A recipe
+    * stratum with no rows fails fast ([[mixStrata]]'s contract).
+    *
+    * Scale shape: ONE eager ≤|recipe|-row counts aggregate (the
+    * [[mixStrata]] precedent — the takes become plan CONSTANTS), then
+    * one row_number window per stratum whose `rank <= lit(max take)`
+    * conjunct Spark rewrites to WindowGroupLimit — map tasks forward at
+    * most max-take rows per stratum to the shuffle, never the corpus
+    * (the [[Profile.sampleKPerGroup]] plan shape, PlanSpec-pinned); the
+    * exact per-stratum cut is the companion when-chain conjunct. No
+    * global sort, no TakeOrdered-per-stratum re-scan. Takes are
+    * DRIVER-MERGEABLE sizes by construction (a carve, not a split) —
+    * the window partition holding a stratum sees available_i rows
+    * regardless, same as any per-stratum operator. */
+  def mixApply(
+      df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double], salt: String = "mixapply"): DataFrame = {
+    require(weights.nonEmpty, "mixApply requires at least one stratum weight")
+    require(weights.values.forall(w => w > 0 && !w.isInfinite && !w.isNaN),
+      s"weights must be positive and finite: $weights")
+    val selectable = df.filter(
+      col(stratumCol).isin(weights.keys.toSeq: _*) && col(idCol).isNotNull)
+    val countByStratum = selectable
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val absent = weights.keys.filterNot(countByStratum.contains)
+    require(absent.isEmpty,
+      s"mixApply: recipe strata with no selectable rows in the data: " +
+        s"${absent.toSeq.sorted.mkString(", ")} — the only mixture honoring " +
+        "a zero-row component is empty; drop it from the recipe or fix " +
+        "the upstream filter")
+    val perW = weights.map { case (s, w) => s -> countByStratum(s) / w }
+    val scale = perW.values.min
+    val take = weights.map { case (s, w) =>
+      s -> (if (perW(s) == scale) countByStratum(s)
+            else math.min(countByStratum(s), math.floor(scale * w).toLong))
+    }
+    val draw = md5(concat(col(idCol).cast("string"), lit("|" + salt)))
+    val rn = row_number().over(Window.partitionBy(col(stratumCol))
+      .orderBy(draw, col(idCol)))
+    val lim = take.foldLeft(lit(0L)) { case (rest, (s, n)) =>
+      when(col(stratumCol) === s, lit(n)).otherwise(rest)
+    }
+    // the literal conjunct is what InferWindowGroupLimit keys on (a
+    // when-chain bound is not extractable); the when-chain then applies
+    // the exact per-stratum cut on the ≤ max-take survivors
+    selectable.withColumn("__rn", rn)
+      .filter(col("__rn") <= lit(take.values.max) && col("__rn") <= lim)
+      .drop("__rn")
+  }
+
   /** Benchmark-contamination ratio per document: the fraction of the
     * document's distinct word n-gram shingles that also appear anywhere in
     * the benchmark set — the standard eval-set leakage check run before
@@ -385,6 +458,24 @@ object Curation {
       minCharsAfter: Int = 200): DataFrame =
     withKeptGate(Dedup.stripBenchmarkSpansIndexed(corpus, benchFpsCapped,
       benchGrams, idCol, textCol, k, w, minShared), textCol, minCharsAfter)
+
+  /** [[decontaminate]] against N benchmarks in ONE corpus pass with
+    * per-benchmark span attribution
+    * ([[graft.operators.Dedup.stripBenchmarkSpansMulti]]): the union of
+    * the per-benchmark capped indexes is probed once, the strip removes
+    * every character ANY benchmark covers, `n_removed_<name>` reports
+    * each benchmark's own coverage on the original text (the "which eval
+    * set leaks" read), and the kept gate routes on the UNION-stripped
+    * text — one gate decision, not N. Same per-benchmark semantics as N
+    * [[decontaminate]] runs (per-benchmark df caps, per-pair minShared,
+    * no same-id suppression within or across benchmarks). */
+  def decontaminateMulti(
+      corpus: DataFrame, benchmarks: Seq[(String, DataFrame)],
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20, minCharsAfter: Int = 200): DataFrame =
+    withKeptGate(Dedup.stripBenchmarkSpansMulti(corpus, benchmarks, idCol,
+      textCol, k, w, minShared, maxFingerprintDf), textCol, minCharsAfter)
 
   /** The ONE home of the decontamination kept gate — both entry points
     * and the streaming sink ride it, so the routing rule cannot fork. A

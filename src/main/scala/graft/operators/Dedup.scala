@@ -1954,9 +1954,9 @@ object Dedup {
     * the Dolma/FineWeb reports): [[graft.operators.Curation
     * .contamination]] FLAGS the overlap, this REMOVES it, and
     * [[graft.operators.Curation.decontaminate]] composes the two into
-    * the routed pipeline stage. The reference's own shape for this is
-    * select-then-mutate-in-place on a filtered view
-    * (`/root/reference/src/wins_transform_staging.py:168-171`).
+    * the routed pipeline stage. (Extension scope: the reference has no
+    * decontamination stage — the technique is the published one, Lee et
+    * al. ACL'22.)
     *
     * Contract differences from the incremental strip, both deliberate:
     * the fingerprint-df cap is computed on the BENCHMARK side (the
@@ -2002,6 +2002,115 @@ object Dedup {
       k: Int = 16, w: Int = 8, minShared: Int = 3): DataFrame =
     stripAgainstIndexCore(corpus, benchFpsCapped, benchGrams, idCol,
       textCol, k, w, minShared, excludeSameId = false)
+
+  /** [[stripBenchmarkSpans]] against N benchmarks in ONE pass, with
+    * per-benchmark span ATTRIBUTION: the corpus is fingerprinted once and
+    * probed against the UNION of the per-benchmark capped indexes (each
+    * tagged with its benchmark name), the strip removes every character
+    * any benchmark's matched grams cover, and for each benchmark `b` an
+    * `n_removed_<b>` column reports the characters THAT benchmark's
+    * grams cover on the original text — the answer to "which eval set is
+    * leaking into my corpus" without N corpus passes. Attribution is
+    * per-benchmark COVERAGE: a span two benchmarks both contain counts
+    * toward both (so `Σ n_removed_<b> ≥ n_removed`); the union strip
+    * itself removes it once.
+    *
+    * Semantics equal N single-benchmark [[stripBenchmarkSpans]] runs
+    * composed: the df cap is computed PER BENCHMARK (each eval set's own
+    * boilerplate fan-out guard — a gram frequent in benchmark A must not
+    * be df-evicted because benchmark B also carries it), the ≥
+    * `minShared` pairing threshold applies per (corpus doc, benchmark
+    * doc) pair, and ids are namespaced per benchmark before the union,
+    * so an id collision ACROSS benchmarks can neither merge two
+    * documents' fingerprint counts nor suppress a strip (the
+    * [[pairsAgainstCore]] cross-dataset contract, extended).
+    *
+    * Scale shape: [[stripBenchmarkSpans]]' — the corpus is hashed
+    * map-side ONCE, the candidate join is hash-keyed against the
+    * union index (still benchmark-sized, i.e. tiny), partner gram sets
+    * collapse per (document, benchmark), and both the union strip and
+    * the N coverage measurements are per-row codegen expressions over
+    * the collected arrays (N+1 strip evaluations per TOUCHED row,
+    * map-side; untouched rows pass through the NULL guard). The corpus
+    * never self-joins; its text never crosses the wire. */
+  def stripBenchmarkSpansMulti(
+      corpus: DataFrame, benchmarks: Seq[(String, DataFrame)],
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxFingerprintDf: Int = 20): DataFrame = {
+    require(benchmarks.nonEmpty, "stripBenchmarkSpansMulti requires at " +
+      "least one benchmark; use stripBenchmarkSpans for exactly one")
+    val names = benchmarks.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate benchmark names: $names")
+    require(names.forall(_.matches("[A-Za-z0-9_]+")),
+      s"benchmark names must be [A-Za-z0-9_]+ (they become column " +
+        s"suffixes): $names")
+    require(!corpus.columns.contains("n_removed"),
+      "stripBenchmarkSpansMulti adds n_removed columns; the input " +
+        "already has one")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // per-benchmark capped index, ids namespaced as <bench>\u0001<id> so
+    // cross-benchmark id collisions cannot alias
+    def tagged(b: String, id: Column) =
+      concat(lit(b + "\u0001"), id.cast("string"))
+    val fps = benchmarks.map { case (b, df) =>
+      capFingerprintIndex(
+        winnowFingerprints(df, idCol, textCol, k, w), maxFingerprintDf)
+        .select(tagged(b, col("id")).as("corpus_id"), col("h"))
+    }.reduce(_ unionByName _)
+    val grams = benchmarks.map { case (b, df) =>
+      df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+        .select(tagged(b, col(idCol)).as("corpus_id"),
+          explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
+    }.reduce(_ unionByName _)
+    val partners = winnowFingerprints(corpus, idCol, textCol, k, w)
+      .toDF("new_id", "h")
+      .join(fps, Seq("h"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("__ns"))
+      .filter(col("__ns") >= minShared)
+      .select("new_id", "corpus_id")
+    val batchGrams = corpus
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol).as("new_id"),
+        explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
+    // matched grams per (document, benchmark): the partner's gram set
+    // cut to grams the document itself carries (the
+    // stripCopiedSpansFromPairs shrink), benchmark recovered from the
+    // namespaced id
+    val perBench = partners
+      .join(grams, Seq("corpus_id"))
+      .join(batchGrams, Seq("new_id", "h"), "left_semi")
+      .withColumn("__bench", substring_index(col("corpus_id"), "\u0001", 1))
+      .groupBy("new_id", "__bench").agg(collect_set(col("h")).as("__hs"))
+    val ph = perBench.groupBy("new_id").agg(
+      map_from_entries(collect_list(struct(col("__bench"), col("__hs"))))
+        .as("__phm"),
+      array_distinct(flatten(collect_list(col("__hs")))).as("__ph"))
+      .select(col("new_id").as("__strip_id"), col("__phm"), col("__ph"))
+    val joined = corpus.join(ph, corpus(idCol) === ph("__strip_id"), "left")
+    val strippedAll = when(col("__ph").isNotNull && col(textCol).isNotNull,
+      graft.plans.StripMatchedGrams.stripCol(col(textCol), col("__ph"), k))
+      .otherwise(col(textCol))
+    // per-benchmark coverage measured on the ORIGINAL text (added before
+    // the textCol overwrite below)
+    val benchCols = benchmarks.map { case (b, _) =>
+      val hb = element_at(col("__phm"), b)
+      s"n_removed_$b" -> coalesce(
+        when(hb.isNotNull && col(textCol).isNotNull,
+          length(col(textCol)) - length(
+            graft.plans.StripMatchedGrams.stripCol(col(textCol), hb, k))),
+        lit(0)).cast("long")
+    }
+    joined
+      .withColumn("__stripped", strippedAll)
+      .withColumns(benchCols.toMap)
+      .withColumn("n_removed",
+        coalesce(length(col(textCol)) - length(col("__stripped")), lit(0))
+          .cast("long"))
+      .withColumn(textCol, col("__stripped"))
+      .drop("__stripped", "__ph", "__phm", "__strip_id")
+  }
 
   // --------------------------------------------- blocking-scheme evaluation
 

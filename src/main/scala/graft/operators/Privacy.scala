@@ -184,4 +184,82 @@ object Privacy {
         round((col("__sd") + (lit(1.0) - col("__sp"))) / 2, 6).as("tvd")): _*)
       .withColumn("at_risk", when(col("tvd") > t, 1).otherwise(0))
   }
+
+  /** t-closeness for a NUMERIC (ordered) sensitive attribute — the paper's
+    * ordered-distance EMD (Li, Li & Venkatasubramanian, ICDE'07 §3): where
+    * [[tCloseness]]'s unit ground distance treats "salary 3k vs 4k" and
+    * "3k vs 11k" as equally distant, the ordered distance charges mass by
+    * how FAR along the value spine it must move —
+    * `emd = (1/(m−1)) · Σ_{i=1}^{m−1} |Σ_{j≤i} (p_class(v_j) − p_global(v_j))|`
+    * over the m distinct global values in ascending order. This is the
+    * right audit for salary-style columns, where a class skewed toward
+    * adjacent values is far less disclosive than one skewed to an extreme
+    * (the paper's worked example: a {3k,4k,5k} class against a uniform
+    * 3k–11k global scores 0.375 — pinned in PrivacySpec).
+    *
+    * Returns one row per equivalence class: the quasi columns, `n` (class
+    * size over rows with a non-NULL sensitive value), `emd` (rounded to
+    * 6), `at_risk = 1` when the ROUNDED emd exceeds `t`. A single-value
+    * domain (m = 1) has no spine to move mass along and scores 0 for every
+    * class. NULL sensitive values are EXCLUDED from both distributions —
+    * NULL has no position on an ordered spine; a skewed NULL RATE is
+    * [[tCloseness]]'s (categorical) disclosure to catch.
+    *
+    * Scale shape: one (quasi × sensitive) cell aggregate + one
+    * ≤|values|-row global spine (its unpartitioned windows run over that
+    * bounded frame only), then the class set expands against the
+    * broadcast spine — the cumulative sum needs EVERY spine position per
+    * class (between two values a class holds, p_global still moves), so
+    * unlike the categorical twin absent cells cannot fold away; the
+    * intermediate is |classes|·|values| rows, bounded by the audit's own
+    * output size times the sensitive cardinality, never by the corpus.
+    * The per-class cumsum windows partition by class (≤ m rows each). */
+  def tClosenessOrdered(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(quasiCols.nonEmpty,
+      "tClosenessOrdered requires at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(t > 0 && t < 1, s"t must be in (0, 1), got $t")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(sensitiveCol).isNotNull)
+      .select(quasiCols.map(col) :+
+        col(sensitiveCol).cast("double").as("__v"): _*)
+    val all = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    // ≤|values| rows: the unpartitioned windows are deliberate and safe
+    val spine = vals.groupBy(col("__v")).agg(count(lit(1)).as("__gc"))
+      .select(col("__v"),
+        (col("__gc") / sum(col("__gc")).over(all)).as("__pg"),
+        row_number().over(Window.orderBy(col("__v"))).as("__pos"),
+        count(lit(1)).over(all).as("__m"))
+    val cells = vals.groupBy(quasiCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val classes = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__n"))
+    // every class × every spine position; absent cells contribute p_c = 0
+    // but still move the cumulative global mass. Null-safe on the quasi
+    // keys: a NULL quasi value is a legitimate class (the kAnonymity
+    // contract) and a plain equi-join would orphan its cells.
+    val cc = cells.select(
+      quasiCols.map(c => col(c).as(s"__q_$c")) ++
+        Seq(col("__v").as("__cv"), col("__c")): _*)
+    val joined = classes.crossJoin(broadcast(spine))
+      .join(cc, quasiCols.map(c => col(c) <=> col(s"__q_$c"))
+        .reduce(_ && _) && col("__v") === col("__cv"), "left")
+    val wcum = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("__pos")).rowsBetween(Long.MinValue, 0)
+    // the cumsum accumulates in spine order on both engines (the window
+    // is sequential), so only the final per-class sum-of-|cum| crosses
+    // partial-aggregation order — the established round-6 gate covers it
+    joined
+      .withColumn("__cum",
+        sum(coalesce(col("__c"), lit(0L)) / col("__n") - col("__pg")).over(wcum))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        round(coalesce(
+          sum(when(col("__pos") < col("__m"), abs(col("__cum")))) /
+            (max(col("__m")) - 1), lit(0.0)), 6).as("emd"))
+      .withColumn("at_risk", when(col("emd") > t, 1).otherwise(0))
+  }
 }

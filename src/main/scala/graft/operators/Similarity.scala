@@ -672,7 +672,12 @@ object Similarity {
     * than `k` are ignored on BOTH sides, so callers can pass deeper
     * runs. A query present in truth with NO result rows scores 0 across
     * the board (the failure an evaluation must surface, not drop); a
-    * query present ONLY in results raises AT CALL TIME — truth defines
+    * query whose truth sits ENTIRELY deeper than rank k still emits a
+    * row — `n_truth` 0, `n_hits` 0, `recall`/`ndcg` NULL (0/0 has no
+    * defined value), `mrr` 0 — so the evaluation set can never silently
+    * shrink (the r19 advice item: the old tstats-driven join dropped
+    * such queries entirely). A query present ONLY in results raises AT
+    * CALL TIME — truth defines
     * the evaluation set, and silently scoring a query with no truth
     * would report 0 for what is actually a harness wiring error. The
     * check is an EAGER anti-join take(1) (both inputs are k·|queries|
@@ -724,18 +729,125 @@ object Similarity {
         min(when(col("__hit").isNotNull, col("rank"))).as("__first"),
         coalesce(sum(when(col("__hit").isNotNull,
           lit(1.0) / log2(col("rank") + 1))), lit(0.0)).as("__dcg"))
-    // a LEFT join suffices after the eager orphan check above: every
-    // rstats q_id is guaranteed present in tstats
-    tstats.join(rstats, Seq("q_id"), "left")
+    // the UNFILTERED truth's query set is the spine — a query whose
+    // truth sits entirely deeper than k must still emit (with NULL/0
+    // metrics), not vanish with its missing tstats row; rstats q_ids
+    // are a subset of the spine after the eager orphan check above
+    // 0/0 has no defined value: the n_truth = 0 row emits NULL recall
+    // (explicit when-guard — ANSI mode raises on a literal zero divisor)
+    // and NULL ndcg (division by the absent tstats row's NULL idcg)
+    truth.select("q_id").distinct()
+      .join(tstats, Seq("q_id"), "left")
+      .join(rstats, Seq("q_id"), "left")
       .select(
         col("q_id"),
-        col("n_truth"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)) / col("n_truth"), 6)
+        when(coalesce(col("n_truth"), lit(0L)) > 0,
+          round(coalesce(col("n_hits"), lit(0L)) / col("n_truth"), 6))
           .as("recall"),
         when(col("__first").isNull, lit(0.0))
           .otherwise(round(lit(1.0) / col("__first"), 6)).as("mrr"),
         round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6).as("ndcg"))
+  }
+
+  /** GRADED-relevance retrieval metrics — [[retrievalMetrics]]' sibling
+    * for truth runs carrying a relevance LEVEL (`rel` column, numeric
+    * > 0): per query `n_truth`, `n_hits`, `recall`, `mrr` (binary — a
+    * hit is a hit), graded `ndcg` (gain = the relevance level itself,
+    * the linear-gain form; DCG = Σ rel/log2(rank+1) over hits, IDCG =
+    * the same sum over the truth set re-sorted by rel DESC — the best
+    * any ranking could do), and `ap` (average precision: mean over
+    * truth@k of precision-at-each-hit-rank, the MAP summand; TREC-style
+    * normalizer min(|truth@k|, k) = |truth@k| since truth is already
+    * rank-filtered). The binary twin stays bit-identical — this is a
+    * separate reader, not a flag on it.
+    *
+    * Contracts shared with the binary twin: both runs filtered to rank
+    * ≤ k; results-only queries raise eagerly; truth-only queries score
+    * 0; empty-truth@k queries emit NULL/0 rows. Additional contract:
+    * NULL or non-positive `rel` raises eagerly (a zero-gain "relevant"
+    * row would silently deflate the AP normalizer and contribute
+    * nothing to DCG — judged-irrelevant rows belong OUT of the truth
+    * run, not in it at grade 0). Ideal-order ties (equal rel) break by
+    * truth rank then n_id, so IDCG is deterministic.
+    *
+    * Numeric contract and scale shape: [[retrievalMetrics]]' — ratios
+    * of exact counts and ≤ k-term log2 sums rounded to 6 at the end;
+    * one hash join of two k·|queries| frames, per-query windows over ≤
+    * k rows, nothing scaling with the corpus. `truth` is consumed
+    * three times (spine, ideal-order stats, hit flagging) — persist or
+    * localCheckpoint an expensive truth plan first. */
+  def retrievalMetricsGraded(
+      results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(Seq("q_id", "n_id", "rank").forall(results.columns.contains),
+      s"results must carry (q_id, n_id, rank) — the search-result schema; " +
+        s"got (${results.columns.mkString(", ")})")
+    require(Seq("q_id", "n_id", "rank", "rel").forall(truth.columns.contains),
+      s"truth must carry (q_id, n_id, rank, rel) — the graded-truth " +
+        s"schema; got (${truth.columns.mkString(", ")})")
+    val badRel = truth.filter(col("rel").isNull || col("rel") <= 0)
+      .select("q_id", "n_id").take(1)
+    require(badRel.isEmpty,
+      "retrievalMetricsGraded: NULL or non-positive rel for (q_id, n_id) " +
+        badRel.map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ") +
+        " — graded truth rows must carry positive gains; judged-irrelevant " +
+        "rows belong out of the truth run")
+    val orphans = results.select("q_id").distinct()
+      .join(truth.select("q_id").distinct(), Seq("q_id"), "left_anti")
+      .take(4)
+    require(orphans.isEmpty,
+      "retrievalMetricsGraded: results carry quer" +
+        s"${if (orphans.length == 1) "y" else "ies"} " +
+        orphans.map(x => String.valueOf(x.get(0))).mkString(", ") +
+        (if (orphans.length == 4) ", …" else "") +
+        " absent from truth — truth defines the evaluation set")
+    val t = truth.filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        col("rel").cast("double").as("__rel"))
+    val r = results.filter(col("rank") <= k).select("q_id", "n_id", "rank")
+    import org.apache.spark.sql.expressions.Window
+    // ideal positions: the truth set re-sorted by gain (≤ k rows/query)
+    val idealPos = row_number().over(Window.partitionBy(col("q_id"))
+      .orderBy(col("__rel").desc, col("rank"), col("n_id")))
+    val tstats = t.withColumn("__ipos", idealPos)
+      .groupBy("q_id").agg(
+        count(lit(1)).as("n_truth"),
+        sum(col("__rel") / log2(col("__ipos") + 1)).as("__idcg"))
+    val flagged = r
+      .join(t.select(col("q_id"), col("n_id"), col("__rel")),
+        Seq("q_id", "n_id"), "left")
+    // cumulative hits up to each rank drive precision@rank (≤ k rows
+    // per query under the window)
+    val cumHits = sum(when(col("__rel").isNotNull, 1L).otherwise(0L))
+      .over(Window.partitionBy(col("q_id")).orderBy(col("rank"))
+        .rowsBetween(Long.MinValue, 0))
+    val rstats = flagged.withColumn("__cum", cumHits)
+      .groupBy("q_id").agg(
+        sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("__rel").isNotNull, col("rank"))).as("__first"),
+        coalesce(sum(when(col("__rel").isNotNull,
+          col("__rel") / log2(col("rank") + 1))), lit(0.0)).as("__dcg"),
+        coalesce(sum(when(col("__rel").isNotNull,
+          col("__cum").cast("double") / col("rank"))), lit(0.0)).as("__psum"))
+    // the binary twin's spine semantics, ANSI-safe when-guards included
+    truth.select("q_id").distinct()
+      .join(tstats, Seq("q_id"), "left")
+      .join(rstats, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_truth"), lit(0L)) > 0,
+          round(coalesce(col("n_hits"), lit(0L)) / col("n_truth"), 6))
+          .as("recall"),
+        when(col("__first").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("__first"), 6)).as("mrr"),
+        round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6).as("ndcg"),
+        when(coalesce(col("n_truth"), lit(0L)) > 0,
+          round(coalesce(col("__psum"), lit(0.0)) / col("n_truth"), 6))
+          .as("ap"))
   }
 
   /** Per-vector alignment with the own-label spherical centroid: cosine

@@ -267,9 +267,10 @@ object TextAnalysis {
   /** The term-identity tag a bm25Stats row carries (`__terms`): scoring
     * against stats trained on different or reordered terms would apply one
     * term's df as another's idf with no visible error, so the consumer
-    * checks this tag in-plan. Space-joined — unambiguous, since query
-    * terms are whitespace tokens and cannot themselves contain a space. */
-  def bm25TermsTag(queryTerms: Seq[String]): String = queryTerms.mkString(" ")
+    * checks this tag in-plan. NUL-joined (U+0000) — unambiguous, since
+    * query terms are whitespace-split tokens and a NUL can never survive
+    * tokenization into a term. */
+  def bm25TermsTag(queryTerms: Seq[String]): String = queryTerms.mkString("\u0000")
 
   def bm25Stats(
       df: DataFrame, idCol: String, textCol: String,

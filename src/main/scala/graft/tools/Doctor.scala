@@ -203,9 +203,13 @@ object Doctor {
         "(stripped below the keep gate) — run Curation.decontaminate and " +
         "route kept = 0 out before training"
     else if (touched.toDouble / n > 0.01)
-      f"DECONTAMINATE: ${touched.toDouble / n * 100}%.1f%% of documents " +
-        "share spans with the benchmark — run Curation.decontaminate " +
-        "(strip repairs them in place)"
+      // Locale.ROOT pins the decimal separator: under e.g. a German
+      // default locale the f interpolator prints "1,2%" and any
+      // downstream parse of the verdict line breaks
+      String.format(java.util.Locale.ROOT,
+        "DECONTAMINATE: %.1f%% of documents share spans with the " +
+          "benchmark — run Curation.decontaminate (strip repairs them " +
+          "in place)", touched.toDouble / n * 100)
     else if (touched > 0L)
       s"OK: $touched document(s) share trace spans with the benchmark — " +
         "background boilerplate; decontaminate if eval hygiene demands zero"
@@ -245,11 +249,16 @@ object Doctor {
       val at = args.indexOf(flag)
       require(at != 0,
         "usage: Doctor <sfDir> [refDir] [--index <path>] [--benchmark <path>]")
-      if (at > 0)
-        (Some(args.lift(at + 1).getOrElse(
-          throw new IllegalArgumentException(s"$flag needs a path"))),
-          Set(at, at + 1))
-      else (None, Set.empty)
+      if (at > 0) {
+        val v = args.lift(at + 1).getOrElse(
+          throw new IllegalArgumentException(s"$flag needs a path"))
+        // a following flag token is a MISSING value, not a path — failing
+        // here beats deferring to a confusing parquet-read error on a
+        // "--benchmark"-named file
+        if (v.startsWith("--"))
+          throw new IllegalArgumentException(s"$flag needs a path, got '$v'")
+        (Some(v), Set(at, at + 1))
+      } else (None, Set.empty)
     }
     val (indexPath, idxIdx) = flagValue("--index")
     val (benchPath, benchIdx) = flagValue("--benchmark")

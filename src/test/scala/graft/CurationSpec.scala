@@ -183,6 +183,57 @@ class CurationSpec extends SparkSpec {
     assert(clash.getMessage.contains("kept"), clash.getMessage)
   }
 
+  test("decontaminateMulti: union strip with per-benchmark attribution; shared spans count toward both; cross-benchmark id collisions don't alias") {
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      Iterator.continually(r.nextPrintableChar()).filter(_.isLetterOrDigit)
+        .take(n).mkString
+    }
+    // corpus flanks carry non-alphanumeric BOUNDARY chars so no k-gram
+    // crossing a span edge can collide with a benchmark gram by a
+    // 1-in-62 boundary-char coincidence (the planted coverage must be
+    // char-exact for the attribution assertions)
+    def flank(seed: Int) = "(" + rnd(seed, 30) + ")"
+    val spanA = rnd(41, 80); val spanB = rnd(42, 80); val shared = rnd(43, 80)
+    val corpus = Seq(
+      (1L, flank(51) + spanA + flank(52)),  // leaks benchmark a only
+      (2L, flank(53) + spanB + flank(54)),  // leaks benchmark b only
+      (3L, flank(55) + spanA + flank(56) + spanB + flank(57)), // both
+      (4L, flank(58) + shared + flank(59)), // a span BOTH benchmarks hold
+      (5L, rnd(60, 120))                    // clean
+    ).toDF("doc_id", "text")
+    // both benchmarks reuse id 100 — the per-benchmark namespacing must
+    // keep their fingerprint counts apart
+    val bA = Seq((100L, rnd(61, 32) + spanA + rnd(62, 32)),
+      (101L, rnd(63, 32) + shared + rnd(64, 32))).toDF("doc_id", "text")
+    val bB = Seq((100L, rnd(65, 32) + spanB + rnd(66, 32)),
+      (102L, rnd(67, 32) + shared + rnd(68, 32))).toDF("doc_id", "text")
+    val out = Curation.decontaminateMulti(corpus,
+      Seq("a" -> bA, "b" -> bB), "doc_id", "text",
+      k = 16, w = 8, minShared = 1, maxFingerprintDf = 20, minCharsAfter = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_removed_a"), r.getAs[Long]("n_removed_b"),
+          r.getAs[Int]("kept")))).toMap
+    assert(out(1L) == ((flank(51) + flank(52), 80L, 80L, 0L, 1)), out(1L))
+    assert(out(2L) == ((flank(53) + flank(54), 80L, 0L, 80L, 1)), out(2L))
+    // disjoint spans from two benchmarks: union = sum
+    assert(out(3L) ==
+      ((flank(55) + flank(56) + flank(57), 160L, 80L, 80L, 1)), out(3L))
+    // the SAME span held by both: removed once, attributed to both
+    // (Σ n_removed_<b> > n_removed is the documented overlap semantics)
+    assert(out(4L) == ((flank(58) + flank(59), 80L, 80L, 80L, 1)), out(4L))
+    assert(out(5L) == ((rnd(60, 120), 0L, 0L, 0L, 1)), out(5L))
+    intercept[IllegalArgumentException](
+      Curation.decontaminateMulti(corpus, Seq.empty, "doc_id", "text"))
+    intercept[IllegalArgumentException](
+      Curation.decontaminateMulti(corpus,
+        Seq("a" -> bA, "a" -> bB), "doc_id", "text"))
+    intercept[IllegalArgumentException](
+      Curation.decontaminateMulti(corpus,
+        Seq("a-b" -> bA), "doc_id", "text"))
+  }
+
   test("decontaminate: an id collision across the two datasets must NOT suppress the strip (the leak case)") {
     // the corpus re-contains a benchmark document under the SAME id — the
     // exact eval leakage decontamination exists to catch; an incremental-
@@ -310,6 +361,57 @@ class CurationSpec extends SparkSpec {
       Curation.mixStrata(docs, "doc_id", "lang",
         Map("en" -> 0.5, "xx" -> 0.5)))
     assert(eAbsent.getMessage.contains("xx"))
+  }
+
+  test("mixApply: exact per-stratum counts, binding kept whole, deterministic under relayout") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val weights = Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.2)
+    val counts = docs.filter(col("lang").isin("en", "de", "es"))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perW = weights.map { case (l, w) => l -> counts(l) / w }
+    val scale = perW.values.min
+    val expected = weights.map { case (l, w) =>
+      l -> (if (perW(l) == scale) counts(l)
+            else math.min(counts(l), math.floor(scale * w).toLong))
+    }
+    val kept = Curation.mixApply(docs, "doc_id", "lang", weights)
+    val keptCounts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // EXACT counts — not mixStrata's expectation-with-jitter
+    assert(keptCounts == expected, s"got $keptCounts, want $expected")
+    val binding = perW.minBy(_._2)._1
+    assert(keptCounts(binding) == counts(binding), "binding stratum not kept whole")
+    // membership is identical under a hostile relayout
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Curation.mixApply(
+        docs.repartition(13, col("n_chars")).sortWithinPartitions(col("text")),
+        "doc_id", "lang", weights)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2, "selection not layout-stable")
+    intercept[IllegalArgumentException](
+      Curation.mixApply(docs, "doc_id", "lang", Map.empty))
+    intercept[IllegalArgumentException](
+      Curation.mixApply(docs, "doc_id", "lang", Map("en" -> 0.0)))
+    val eAbsent = intercept[IllegalArgumentException](
+      Curation.mixApply(docs, "doc_id", "lang", Map("en" -> 0.5, "xx" -> 0.5)))
+    assert(eAbsent.getMessage.contains("xx"))
+  }
+
+  test("mixApply: NULL ids are excluded from availability and carve; binding stays exact over selectable rows") {
+    // en: 4 selectable (+1 NULL id), de: 2 — weights 0.5/0.5 make de bind
+    // (2/0.5 = 4 < 8); en takes floor(4*0.5) = 2. The NULL-id row must
+    // not inflate en's availability (it can never be carved).
+    val docs = Seq(
+      (Some(1L), "en"), (Some(2L), "en"), (Some(3L), "en"), (Some(4L), "en"),
+      (None, "en"), (Some(10L), "de"), (Some(11L), "de"))
+      .toDF("doc_id", "lang")
+    val kept = Curation.mixApply(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5))
+    val keptCounts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptCounts == Map("en" -> 2L, "de" -> 2L), keptCounts.toString)
+    assert(kept.filter(col("doc_id").isNull).count() == 0L)
   }
 
   test("mixStrata composes with assignSplits: the salted draw keeps recipe ratios inside a split") {

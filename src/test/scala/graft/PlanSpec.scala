@@ -158,6 +158,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"group-limit rewrite missing:\n$p")
   }
 
+  test("mix_apply: the literal max-take conjunct rewrites to WindowGroupLimit (map tasks forward <= max-take rows per stratum)") {
+    val p = plan("mix_apply")
+    assert(p.contains("WindowGroupLimit"), s"group-limit rewrite missing:\n$p")
+  }
+
   test("dedup_lines: segment frequency shuffles 8-byte hashes with partial aggregation, not text") {
     val p = plan("dedup_lines")
     // the countDistinct partial aggregate must sit below the exchange

@@ -161,4 +161,54 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException](Privacy.tCloseness(df, Seq.empty, "sens", t = 0.2))
     intercept[IllegalArgumentException](Privacy.tCloseness(df, Seq("q", "sens"), "sens", t = 0.2))
   }
+
+  test("tClosenessOrdered: the ICDE'07 worked example — {3k,4k,5k} vs uniform 3k–11k scores 0.375") {
+    // Li, Li & Venkatasubramanian ICDE'07 §3: salaries 3k–11k, one record
+    // each, three classes of three. {3k,4k,5k} (adjacent low values)
+    // scores 0.375; {6k,8k,11k} (spread) scores 1/6 ≈ 0.167 — the
+    // paper's point that ordered distance ranks the ADJACENT-skew class
+    // as the worse disclosure. Hand check of the third: cum diffs
+    // (1+2+3+4+2+3+1+1)/9 / 8 = 17/72 ≈ 0.236111.
+    val df = Seq(
+      ("c1", 3000), ("c1", 4000), ("c1", 5000),
+      ("c2", 6000), ("c2", 8000), ("c2", 11000),
+      ("c3", 7000), ("c3", 9000), ("c3", 10000)).toDF("grp", "sal")
+    val r = Privacy.tClosenessOrdered(df, Seq("grp"), "sal", t = 0.2)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getInt(3)))).toMap
+    assert(r("c1") == ((3L, 0.375, 1)), r.toString)
+    assert(r("c2") == ((3L, 0.166667, 0)), r.toString)
+    assert(r("c3") == ((3L, 0.236111, 1)), r.toString)
+  }
+
+  test("tClosenessOrdered: NULL sensitive excluded from both distributions; m=1 domain scores 0") {
+    // NULLs have no spine position: global over non-NULL {1,2} is
+    // uniform; class A's NULL row drops from n and from p_class.
+    val withNull = Seq(("A", Some(1)), ("A", None), ("B", Some(2)))
+      .toDF("grp", "s")
+    val rn = Privacy.tClosenessOrdered(withNull, Seq("grp"), "s", t = 0.3)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getInt(3)))).toMap
+    assert(rn("A") == ((1L, 0.5, 1)), rn.toString)
+    assert(rn("B") == ((1L, 0.5, 1)), rn.toString)
+    // a single-value domain has no spine to move mass along
+    val flat = Seq(("A", 7), ("A", 7), ("B", 7)).toDF("grp", "s")
+    val rf = Privacy.tClosenessOrdered(flat, Seq("grp"), "s", t = 0.3)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(rf == Map("A" -> 0.0, "B" -> 0.0), rf.toString)
+  }
+
+  test("tClosenessOrdered: NULL quasi values form their own class; degenerate parameters rejected") {
+    val df = Seq((Some("A"), 1), (None, 2), (None, 3)).toDF("grp", "s")
+    val r = Privacy.tClosenessOrdered(df, Seq("grp"), "s", t = 0.5)
+      .collect().map(x => (if (x.isNullAt(0)) "<null>" else x.getString(0)) ->
+        x.getLong(1)).toMap
+    assert(r == Map("A" -> 1L, "<null>" -> 2L), r.toString)
+    intercept[IllegalArgumentException](
+      Privacy.tClosenessOrdered(df, Seq("grp"), "s", t = 0.0))
+    intercept[IllegalArgumentException](
+      Privacy.tClosenessOrdered(df, Seq.empty, "s", t = 0.2))
+    intercept[IllegalArgumentException](
+      Privacy.tClosenessOrdered(df, Seq("grp", "s"), "s", t = 0.2))
+  }
 }

@@ -228,6 +228,73 @@ class SimilaritySpec extends SparkSpec {
       Similarity.retrievalMetrics(results, truth, k = 0))
   }
 
+  test("retrievalMetrics: truth entirely deeper than k still emits (n_truth 0, NULL recall/ndcg) — the eval set never shrinks") {
+    import sqlContext.implicits._
+    val truth = Seq((1L, "a", 1), (3L, "z", 5)).toDF("q_id", "n_id", "rank")
+    val results = Seq((1L, "a", 1), (3L, "y", 1)).toDF("q_id", "n_id", "rank")
+    val out = Similarity.retrievalMetrics(results, truth, k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 3L), s"query 3 vanished: ${out.keySet}")
+    val q3 = out(3L)
+    assert(q3.getLong(1) == 0L && q3.getLong(2) == 0L) // n_truth, n_hits
+    assert(q3.isNullAt(3) && q3.isNullAt(5), // recall, ndcg: 0/0 is NULL
+      s"expected NULL recall/ndcg, got $q3")
+    assert(q3.getDouble(4) == 0.0) // mrr
+  }
+
+  test("retrievalMetricsGraded: hand-computed graded nDCG and AP; binary metrics match; ideal-order self run is perfect") {
+    import sqlContext.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def disc(rank: Int) = 1.0 / (math.log(rank + 1.0) / math.log(2.0))
+    // q1 truth: a@1 rel 3, b@2 rel 1, c@3 rel 2 — the ideal ORDER is by
+    // gain (a, c, b), not by truth rank
+    val truth = Seq(
+      (1L, "a", 1, 3), (1L, "b", 2, 1), (1L, "c", 3, 2))
+      .toDF("q_id", "n_id", "rank", "rel")
+    // results: miss@1, c@2 (gain 2), a@3 (gain 3)
+    val results = Seq((1L, "x", 1), (1L, "c", 2), (1L, "a", 3))
+      .toDF("q_id", "n_id", "rank")
+    val out = Similarity.retrievalMetricsGraded(results, truth, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    val dcg = 2 * disc(2) + 3 * disc(3)
+    val idcg = 3 * disc(1) + 2 * disc(2) + 1 * disc(3)
+    val ap = (1.0 / 2 + 2.0 / 3) / 3 // P@2, P@3 over |truth| = 3
+    assert(out(1L) ==
+      ((3L, 2L, r6(2.0 / 3), 0.5, r6(dcg / idcg), r6(ap))), out.toString)
+    // a truth already sorted by gain evaluated against itself: all 1
+    val mono = Seq((2L, "a", 1, 3), (2L, "b", 2, 2), (2L, "c", 3, 1))
+      .toDF("q_id", "n_id", "rank", "rel")
+    val self = Similarity.retrievalMetricsGraded(
+        mono.select("q_id", "n_id", "rank"), mono, k = 10)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))
+    assert(self.forall(_ == ((1.0, 1.0, 1.0, 1.0))), self.mkString(", "))
+  }
+
+  test("retrievalMetricsGraded: non-positive or NULL rel raises eagerly; schema and orphan contracts hold") {
+    import sqlContext.implicits._
+    val results = Seq((1L, "a", 1)).toDF("q_id", "n_id", "rank")
+    val zeroRel = Seq((1L, "a", 1, 0)).toDF("q_id", "n_id", "rank", "rel")
+    val e = intercept[IllegalArgumentException](
+      Similarity.retrievalMetricsGraded(results, zeroRel, k = 10))
+    assert(e.getMessage.contains("non-positive"), e.getMessage)
+    val nullRel = Seq((1L, "a", 1, Option.empty[Int]))
+      .toDF("q_id", "n_id", "rank", "rel")
+    intercept[IllegalArgumentException](
+      Similarity.retrievalMetricsGraded(results, nullRel, k = 10))
+    val truth = Seq((1L, "a", 1, 2)).toDF("q_id", "n_id", "rank", "rel")
+    intercept[IllegalArgumentException](
+      Similarity.retrievalMetricsGraded(results, truth.drop("rel"), k = 10))
+    val orphaned = Seq((1L, "a", 1), (9L, "a", 1)).toDF("q_id", "n_id", "rank")
+    val eo = intercept[IllegalArgumentException](
+      Similarity.retrievalMetricsGraded(orphaned, truth, k = 10))
+    assert(eo.getMessage.contains("absent from truth") &&
+      eo.getMessage.contains("9"), eo.getMessage)
+  }
+
   test("quantizeInt8: map-side only (no shuffle in the plan)") {
     import sqlContext.implicits._
     val vecs = (1L to 50L).map(i => (i, Array.fill(8)(i.toFloat / 7)))
