@@ -1314,6 +1314,83 @@ object ExtQueries {
     Similarity.localFrame(s, check.collect(), check.schema)
   }
 
+  /** The OPQ COVERAGE READ the r19 verdict prescribed: plain-vs-rotated
+    * probe curves at fixed compute from ONE sweep scan per arm
+    * ([[Similarity.ivfPqStoredProbeSweep]] on the two shared stored
+    * fixtures — same nLists/m/ksub/shortlist, the rotation is the ONLY
+    * variable), so the OPQ config is committed from a measurement
+    * rather than faith. Measured hits (5 queries × k=10, shortlist 80,
+    * probes 1/2/4/8/16) across sf0.001 / 0.01 / 0.1:
+    * plain 9-17-29-43-50 / 10-16-25-43-50 / 17-24-30-39-48,
+    * OPQ   9-17-29-43-50 / 10-16-25-43-50 / 17-24-30-41-50 —
+    * the two arms are IDENTICAL while coarse-cell coverage binds (every
+    * probe at the small SFs; probes ≤ 4 at sf0.1) and the rotation's
+    * gain appears exactly where coverage stops binding (sf0.1: +2 at
+    * probe 8, +2 and PERFECT 50/50 at full probe) — quantitatively the
+    * r19 hypothesis that composed recall was coverage-bound, not
+    * quantizer-bound. Differential convention: raw hit counts stay out
+    * (probe-dependent sketch internals); the oracle pins the spine,
+    * `full_opq_ge_plain` (rotation never loses once every cell is
+    * probed — the Ge et al. claim at the measurable operating point),
+    * `full_floor_met` (both arms ≥ 30 at full probe, the composed
+    * family's floor), and `max_equals_stored` (the OPQ sweep's
+    * max-budget arm is IDENTICAL to an independent
+    * [[Similarity.ivfPqStoredTopK]] run on the OPQ index — the
+    * one-scan algebra holds on the rotated path too). EAGER +
+    * read-only on the two shared build-once fixtures. */
+  val ivfPqOpqSweepQ: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id").localCheckpoint()
+    val plainIdx = fullHeavyIvfPq(s, d)
+    val opqIdx = IndexFixtures.shared(d, "ivfpq-full-opq-16x3-16x64x3")(p =>
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
+        nLists = 16, lloydIters = 3, m = 16, ksub = 64, pqIters = 3,
+        residual = false, opq = true))
+    val probes = Seq(1, 2, 4, 8, 16)
+    def sweep(idx: String) = Similarity.ivfPqStoredProbeSweep(s, idx, e,
+      "vec_id", "embedding", q, "vec_id", "embedding", k = 10,
+      shortlist = 80, probes = probes)
+      .select("n_probe", "q_id", "n_id").localCheckpoint()
+    def hits(sw: DataFrame) = sw.join(exact, Seq("q_id", "n_id"))
+      .groupBy("n_probe").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val so = sweep(opqIdx)
+    val hp = hits(sweep(plainIdx))
+    val ho = hits(so)
+    val storedMaxO = Similarity.ivfPqStoredTopK(s, opqIdx, e, "vec_id",
+      "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
+      nProbe = probes.max).select("q_id", "n_id")
+    val maxSweepO = so.filter(col("n_probe") === probes.max)
+      .select("q_id", "n_id")
+    val idOk = maxSweepO.exceptAll(storedMaxO).isEmpty &&
+      storedMaxO.exceptAll(maxSweepO).isEmpty
+    val nq = q.count()
+    def ok(b: Boolean) = if (b) 1 else 0
+    val fullGe = ok(ho.getOrElse(probes.max, 0L) >=
+      hp.getOrElse(probes.max, 0L))
+    val floorMet = ok(ho.getOrElse(probes.max, 0L) >= 30L &&
+      hp.getOrElse(probes.max, 0L) >= 30L)
+    Similarity.localFrame(s, probes.sorted.map(p =>
+      org.apache.spark.sql.Row(p, nq, 10, fullGe, floorMet,
+        ok(idOk))).toArray,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_probe",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_queries",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("full_opq_ge_plain",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("full_floor_met",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("max_equals_stored",
+          org.apache.spark.sql.types.IntegerType))))
+  }
+
   val ivfPqStoredQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
@@ -2695,6 +2772,7 @@ object ExtQueries {
     "ivf_pq_compact" -> ivfPqCompactQ,
     "ivf_pq_delete" -> ivfPqDeleteQ,
     "ivf_pq_probe_sweep" -> ivfPqProbeSweepQ,
+    "ivf_pq_opq_sweep" -> ivfPqOpqSweepQ,
     "ivf_pq_filtered_sweep" -> ivfPqFilteredSweepQ,
     "pq_shortlist_sweep" -> pqShortlistSweepQ,
     "ann_ivf_stored" -> annIvfStoredQ,
@@ -3075,6 +3153,19 @@ object ExtQueries {
         |  CAST(1 AS INTEGER) AS final_floor_met,
         |  CAST(1 AS INTEGER) AS max_equals_stored
         |FROM (SELECT unnest([1, 2, 4, 8]) AS p)
+        |ORDER BY n_probe""".stripMargin,
+    // the OPQ coverage read: spine + the three stable flags (rotation
+    // never loses at full probe, both arms clear the composed floor,
+    // sweep max-arm identity on the rotated path); per-probe hit curves
+    // are recorded in the operator doc, measured across all three SFs
+    "ivf_pq_opq_sweep" ->
+      """SELECT CAST(p AS INTEGER) AS n_probe,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        |  CAST(10 AS INTEGER) AS k,
+        |  CAST(1 AS INTEGER) AS full_opq_ge_plain,
+        |  CAST(1 AS INTEGER) AS full_floor_met,
+        |  CAST(1 AS INTEGER) AS max_equals_stored
+        |FROM (SELECT unnest([1, 2, 4, 8, 16]) AS p)
         |ORDER BY n_probe""".stripMargin,
     // the filtered curve: same spine, the filtered family's floor and
     // eligibility audit
