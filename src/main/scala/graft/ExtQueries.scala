@@ -382,6 +382,28 @@ object ExtQueries {
     TextAnalysis.bpeVocab(t(s, d, "documents"), "text", nMerges = 8)
       .orderBy("symbol")
 
+  /** Unigram-LM (SentencePiece-style) vocabulary induction
+    * ([[TextAnalysis.unigramVocab]], Kudo ACL'18 hard-EM variant):
+    * candidate seeding from substring frequencies (chars + top-60
+    * multi-char pieces ≤ 4 chars), 2 EM rounds of Viterbi-segment /
+    * usage-count / prune-to-40 / Laplace re-estimate, all decisions in
+    * exact integer micro-nats. The generated oracle replays the WHOLE
+    * induction in SQL — the unrolled Viterbi DP included (the
+    * bpe_merges precedent for learned-artifact keys). */
+  val unigramVocabQ: Q = (s, d) =>
+    TextAnalysis.unigramVocab(t(s, d, "documents"), "text",
+      vocabSize = 40, iters = 2, maxPieceLen = 4, maxCandidates = 60)
+      .orderBy("piece")
+
+  /** Tokenize the corpus against the induced unigram vocabulary —
+    * per-doc whitespace word count and Viterbi piece count, exact
+    * integers against an oracle sharing unigram_vocab's induction
+    * CTEs. */
+  val unigramEncodeQ: Q = (s, d) =>
+    TextAnalysis.unigramEncode(t(s, d, "documents"), "doc_id", "text",
+      vocabSize = 40, iters = 2, maxPieceLen = 4, maxCandidates = 60)
+      .orderBy("doc_id")
+
   /** Stored-tokenizer apply on a HELD-OUT slice: 8 merges learned from
     * the even-doc_id half only, then [[TextAnalysis.bpeApply]] tokenizes
     * the odd half against that frozen table — the learn-once/apply-many
@@ -2730,6 +2752,8 @@ object ExtQueries {
     "substring_floor_sweep" -> substringFloorSweep,
     "substring_floor_recall" -> substringFloorRecall,
     "bpe_merges" -> bpeMergesQ,
+    "unigram_vocab" -> unigramVocabQ,
+    "unigram_encode" -> unigramEncodeQ,
     "bpe_encode" -> bpeEncodeQ,
     "bpe_vocab" -> bpeVocabQ,
     "bpe_apply" -> bpeApplyQ,
@@ -2963,6 +2987,146 @@ object ExtQueries {
          |FROM adw JOIN atok USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** The unigram-LM oracles, GENERATED (the bpe precedent): the same
+    * induction the operator runs — candidate seeding, then per EM round
+    * an UNROLLED Viterbi DP (positions 1..16, lookback = maxPieceLen,
+    * integer micro-nat costs, smallest-predecessor tie-break realized
+    * as an ordered CASE over the candidate transitions), usage count,
+    * prune (chars unconditional, used multi-char pieces ranked
+    * usage desc / piece asc up to the vocab budget), Laplace
+    * re-estimate — as chained MATERIALIZED CTEs. Words longer than 16
+    * characters would fall outside the unroll (fs stays NULL); the
+    * fixture's longest word is 8 at every SF, and the operator itself
+    * has no such bound. */
+  private val UniMaxP = 4
+  private val UniMaxCand = 60
+  private val UniVocab = 40
+  private val UniIters = 2
+  private val UniMaxW = 16
+  private val UniBig = 1L << 60
+
+  /** One unrolled Viterbi pass of every word type against vocab CTE
+    * `vname`; emits `seg<tag>` (word, freq, seg VARCHAR[]). Each
+    * position j carries only the last maxPieceLen−1 (d, s) columns plus
+    * the new one, and `fs` latches the segmentation at the word's own
+    * length. */
+  private def uniDpRound(vname: String, tag: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += s"dp${tag}_0 AS MATERIALIZED (SELECT word, freq, " +
+      "CAST(0 AS BIGINT) AS d0, CAST([] AS VARCHAR[]) AS s0, " +
+      "CAST(NULL AS VARCHAR[]) AS fs FROM types)"
+    for (j <- 1 to UniMaxW) {
+      val is = math.max(0, j - UniMaxP) until j
+      val terms = is.map { i =>
+        val pc = s"(SELECT cost FROM $vname WHERE piece = " +
+          s"substr(w.word, ${i + 1}, ${j - i}))"
+        s"CASE WHEN length(w.word) >= $j THEN w.d$i + coalesce($pc, " +
+          s"$UniBig) ELSE NULL END AS t$i"
+      }.mkString(", ")
+      val least = "least(" +
+        is.map(i => s"coalesce(t$i, $UniBig)").mkString(", ") + ")"
+      val cases = is.map(i => s"WHEN t$i = d$j THEN list_append(s$i, " +
+        s"substr(word, ${i + 1}, ${j - i}))").mkString(" ")
+      val carry = (math.max(0, j - UniMaxP + 1) until j)
+        .map(x => s"d$x, s$x").mkString(", ")
+      val carryC = if (carry.isEmpty) "" else carry + ", "
+      parts += s"dp${tag}_${j}a AS MATERIALIZED (SELECT w.*, $terms " +
+        s"FROM dp${tag}_${j - 1} w),\n" +
+        s"dp${tag}_${j}b AS MATERIALIZED (SELECT word, freq, fs, " +
+        s"$carryC$least AS d$j, CASE $cases ELSE NULL END AS s$j " +
+        s"FROM dp${tag}_${j}a),\n" +
+        s"dp${tag}_$j AS MATERIALIZED (SELECT word, freq, ${carryC}d$j, " +
+        s"s$j, coalesce(fs, CASE WHEN length(word) = $j THEN s$j END) " +
+        s"AS fs FROM dp${tag}_${j}b)"
+    }
+    parts += s"seg$tag AS MATERIALIZED (SELECT word, freq, fs AS seg " +
+      s"FROM dp${tag}_$UniMaxW)"
+    parts.mkString(",\n")
+  }
+
+  /** Usage count + prune + Laplace re-estimate: seg<tag> × vocab
+    * `vname` → vocab `nextv`. */
+  private def uniUsagePrune(vname: String, tag: String, nextv: String): String =
+    s"""use$tag AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS usage
+       |  FROM (SELECT freq, unnest(seg) AS piece FROM seg$tag) GROUP BY 1),
+       |keep$tag AS MATERIALIZED (
+       |  SELECT piece FROM $vname WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece FROM (
+       |    SELECT u.piece, row_number() OVER (ORDER BY u.usage DESC, u.piece) AS rn
+       |    FROM use$tag u JOIN $vname v USING (piece)
+       |    WHERE length(u.piece) > 1 AND u.usage > 0)
+       |  WHERE rn <= $UniVocab -
+       |    (SELECT count(*) FROM $vname WHERE length(piece) = 1)),
+       |$nextv AS MATERIALIZED (
+       |  SELECT k.piece,
+       |    CAST(round(-ln((coalesce(u.usage, 0) + 1) /
+       |      ((SELECT CAST(sum(coalesce(u2.usage, 0)) AS DOUBLE)
+       |        FROM keep$tag k2 LEFT JOIN use$tag u2 USING (piece)) +
+       |       (SELECT count(*) FROM keep$tag))) * 1000000) AS BIGINT) AS cost
+       |  FROM keep$tag k LEFT JOIN use$tag u USING (piece))""".stripMargin
+
+  /** The shared induction CTE chain: types → candidate seed → v0 →
+    * (`UniIters` EM rounds) → v<iters> → segfin. */
+  private val uniCtes: String = {
+    val head =
+      s"""WITH types AS MATERIALIZED (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |        FROM documents WHERE text IS NOT NULL)
+         |  WHERE w <> '' GROUP BY 1),
+         |subs AS MATERIALIZED (
+         |  SELECT substr(word, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM types,
+         |    unnest(generate_series(1, length(word))) AS t1(i),
+         |    unnest(generate_series(1, $UniMaxP)) AS t2(l)
+         |  WHERE i + l - 1 <= length(word)
+         |  GROUP BY 1),
+         |cand AS MATERIALIZED (
+         |  SELECT piece, cnt FROM subs WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM subs WHERE length(piece) > 1)
+         |  WHERE rn <= $UniMaxCand),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(round(-ln(cnt / (SELECT CAST(sum(cnt) AS DOUBLE) FROM cand))
+         |      * 1000000) AS BIGINT) AS cost
+         |  FROM cand)""".stripMargin
+    val rounds = (0 until UniIters).map { r =>
+      uniDpRound(s"v$r", s"r$r") + ",\n" +
+        uniUsagePrune(s"v$r", s"r$r", s"v${r + 1}")
+    }.mkString(",\n")
+    s"$head,\n$rounds,\n${uniDpRound(s"v$UniIters", "fin")}"
+  }
+
+  private val unigramVocabOracleSql: String =
+    uniCtes +
+      s""",
+         |usefin AS (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occurrences
+         |  FROM (SELECT freq, unnest(seg) AS piece FROM segfin) GROUP BY 1)
+         |SELECT v.piece,
+         |  coalesce(u.n_occurrences, CAST(0 AS BIGINT)) AS n_occurrences
+         |FROM v$UniIters v LEFT JOIN usefin u USING (piece)
+         |ORDER BY v.piece""".stripMargin
+
+  private val unigramEncodeOracleSql: String =
+    uniCtes +
+      s""",
+         |nsym AS MATERIALIZED (
+         |  SELECT word, CAST(len(seg) AS BIGINT) AS n_sym FROM segfin),
+         |dw AS MATERIALIZED (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE word <> '')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_tokens
+         |FROM dw JOIN nsym USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** ngram-Jaccard pair edges → transitive closure, shared by the
     * dedup_resolve / dedup_survivor oracles (use inside WITH RECURSIVE). */
@@ -3786,6 +3950,8 @@ object ExtQueries {
     "bpe_encode" -> bpeEncodeOracleSql,
     "bpe_vocab" -> bpeVocabOracleSql,
     "bpe_apply" -> bpeApplyOracleSql,
+    "unigram_vocab" -> unigramVocabOracleSql,
+    "unigram_encode" -> unigramEncodeOracleSql,
     // incremental CTPH: same fixture-recount + pinned flags as
     // media_neardup, batch-vs-stored-index populations — see mediaNearDupIncrQ
     "media_neardup_incr" ->

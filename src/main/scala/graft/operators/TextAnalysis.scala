@@ -1218,4 +1218,171 @@ object TextAnalysis {
     }
     (merges.result(), seqs)
   }
+
+  // ------------------------------------------------- unigram-LM vocabulary
+  // (Kudo, ACL 2018 — the SentencePiece unigram model), hard-EM variant:
+  // seed candidates from substring frequencies, iterate
+  // Viterbi-segment → count usage → prune → re-estimate, with integer
+  // micro-nat costs so every decision is exact cross-engine.
+
+  /** The word-TYPE frequency table — the corpus collapse every tokenizer
+    * stage here starts from (one shuffle, Zipf-bounded: types grow
+    * sublinearly in corpus size). */
+  private def unigramTypes(df: DataFrame, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** quantized cost: round(−ln(p)·10⁶) as Long — HALF_UP like the
+    * oracle's round() */
+  private def microNat(p: Double): Long =
+    java.math.BigDecimal.valueOf(-math.log(p) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Shared induction loop: returns (final piece costs, checkpointed
+    * type table). Model state is DRIVER-side by design — every collect
+    * here is bounded by `maxCandidates + |alphabet|` rows (a model
+    * artifact, the kmeansCentroids discipline), never by the corpus. */
+  private def unigramTrain(
+      df: DataFrame, textCol: String, vocabSize: Int, iters: Int,
+      maxPieceLen: Int, maxCandidates: Int): (Map[String, Long], DataFrame) = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(maxCandidates >= 1, s"maxCandidates must be >= 1, got $maxCandidates")
+    // reused iters+2 times — checkpoint once, never re-derive
+    val types = unigramTypes(df, textCol).localCheckpoint()
+    // candidate seeding: every substring occurrence of length
+    // 1..maxPieceLen, weighted by word frequency — bounded per word by
+    // len·maxPieceLen, one partial-aggregated shuffle over the types
+    val subs = types
+      .withColumn("i", explode(sequence(lit(1), length(col("word")))))
+      .withColumn("l", explode(sequence(lit(1), lit(maxPieceLen))))
+      .filter(col("i") + col("l") - 1 <= length(col("word")))
+      .select(expr("substring(word, i, l)").as("piece"), col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+    // every single character is ALWAYS in the vocabulary (coverage: no
+    // word may become unsegmentable); multi-char candidates are the
+    // top maxCandidates by (count desc, piece asc) via TakeOrdered
+    val chars = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(maxCandidates)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val cand = (chars ++ multi).toMap
+    val total = cand.values.sum.toDouble
+    var cost: Map[String, Long] =
+      cand.map { case (p, c) => p -> microNat(c / total) }
+    var it = 0
+    while (it < iters) {
+      // E-step: Viterbi usage under the current costs (one kernel pass
+      // over the types + one bounded piece shuffle)
+      val usage = types
+        .select(col("freq"),
+          explode(graft.plans.UnigramSegment.segment(
+            col("word"), cost.toSeq.sortBy(_._1), maxPieceLen)).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // prune: chars unconditionally; used multi-char pieces ranked by
+      // (usage desc, piece asc) up to the vocab budget
+      val charsKept = cost.keys.filter(_.length == 1).toSeq
+      val multiKept = cost.keys
+        .filter(p => p.length > 1 && usage.getOrElse(p, 0L) > 0L)
+        .toSeq
+        .sortBy(p => (-usage(p), p))
+        .take(math.max(0, vocabSize - charsKept.size))
+      val kept = charsKept ++ multiKept
+      // M-step with Laplace smoothing: zero-usage characters stay
+      // finitely costed (coverage again)
+      val totU = kept.map(p => usage.getOrElse(p, 0L)).sum.toDouble
+      cost = kept.map(p =>
+        p -> microNat((usage.getOrElse(p, 0L) + 1) / (totU + kept.size))).toMap
+      it += 1
+    }
+    (cost, types)
+  }
+
+  /** Unigram-LM (SentencePiece-style) vocabulary induction — the
+    * complement to [[bpeMerges]]' merge-based learner (Kudo, ACL 2018,
+    * hard-EM/Viterbi variant): seed a candidate set from substring
+    * frequencies (every single character, plus the `maxCandidates` most
+    * frequent multi-character substrings up to `maxPieceLen` — the
+    * bounded candidate set), then `iters` rounds of
+    * Viterbi-segment every word type → count piece usage → prune to
+    * `vocabSize` (characters always survive; multi-char pieces ranked
+    * by usage desc, piece asc; zero-usage pieces drop) → re-estimate
+    * piece costs from usage with Laplace smoothing. Costs are INTEGER
+    * micro-nats throughout ([[graft.plans.UnigramSegment]]), so every
+    * segmentation decision, prune rank, and therefore the final
+    * vocabulary is reproducible bit-for-bit cross-engine — the BPE
+    * exact-integer-argmax discipline carried to the lattice model.
+    *
+    * Returns the final vocabulary with its usage under the final costs:
+    * (piece, n_occurrences) — zero for characters the final
+    * segmentation never chooses (kept for coverage). The generated
+    * DuckDB oracle replays the ENTIRE induction — candidate seeding,
+    * every EM round's unrolled Viterbi DP (positions 1..16, smallest-
+    * predecessor tie-break as an ordered CASE), prune, re-estimate —
+    * the bpe_merges precedent for learned-artifact keys.
+    *
+    * Scale shape: the corpus collapses ONCE to the Zipf-bounded word-
+    * type table; each round is one map-side kernel pass over the types
+    * plus one partial-aggregated piece shuffle (≤ |types|·avg pieces
+    * rows); model state (≤ maxCandidates + |alphabet| rows) lives
+    * driver-side like any centroid table. The corpus text is scanned
+    * exactly once. */
+  def unigramVocab(
+      df: DataFrame, textCol: String, vocabSize: Int, iters: Int = 2,
+      maxPieceLen: Int = 4, maxCandidates: Int = 200): DataFrame = {
+    val (cost, types) = unigramTrain(df, textCol, vocabSize, iters,
+      maxPieceLen, maxCandidates)
+    val usage = types
+      .select(col("freq"),
+        explode(graft.plans.UnigramSegment.segment(
+          col("word"), cost.toSeq.sortBy(_._1), maxPieceLen)).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("__u"))
+    val spine = df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(
+          cost.keys.toSeq.sorted.map(org.apache.spark.sql.Row(_)): _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("piece",
+          org.apache.spark.sql.types.StringType))))
+    spine.join(usage, Seq("piece"), "left")
+      .select(col("piece"),
+        coalesce(col("__u"), lit(0L)).as("n_occurrences"))
+  }
+
+  /** Tokenize the corpus against its own induced unigram vocabulary —
+    * [[bpeEncode]]'s shape for the lattice model: per document the
+    * whitespace word count and the Viterbi piece count under the
+    * final [[unigramVocab]] costs. Self-referential by design (the
+    * vocabulary covers every character of every word type, so no word
+    * is OOV); documents with no countable word emit no row.
+    *
+    * Scale shape: the induction loop above, then ONE equi-join of the
+    * corpus's (doc, word) pairs against the |types|-row piece-count
+    * table (AQE broadcasts it when small) and one partial-aggregated
+    * per-doc rollup — the corpus text is never rescanned per round. */
+  def unigramEncode(
+      df: DataFrame, idCol: String, textCol: String, vocabSize: Int,
+      iters: Int = 2, maxPieceLen: Int = 4,
+      maxCandidates: Int = 200): DataFrame = {
+    val (cost, types) = unigramTrain(df, textCol, vocabSize, iters,
+      maxPieceLen, maxCandidates)
+    val tok = types.select(col("word"),
+      size(graft.plans.UnigramSegment.segment(
+        col("word"), cost.toSeq.sortBy(_._1), maxPieceLen))
+        .cast("long").as("__nsym"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(tok, Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("__nsym")).as("n_tokens"))
+  }
 }

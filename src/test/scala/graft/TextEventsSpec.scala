@@ -1051,4 +1051,65 @@ class TextEventsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.bm25Rank(docs, "doc_id", "text", Seq("a b", "c"), 5))
   }
+
+  test("UnigramSegment kernel: Viterbi optimum, longest-last-piece tie-break, NULL on uncovered, code points") {
+    import graft.plans.UnigramSegment
+    def seg(word: String, pieces: Seq[(String, Long)], maxLen: Int = 4) = {
+      val r = Seq(Tuple1(word)).toDF("w")
+        .select(UnigramSegment.segment(col("w"), pieces, maxLen).as("s"))
+        .collect().head
+      if (r.isNullAt(0)) null else r.getSeq[String](0).toList
+    }
+    // cheaper composite wins over char path
+    assert(seg("abab", Seq("a" -> 10L, "b" -> 10L, "ab" -> 5L)) ==
+      List("ab", "ab"))
+    // four equal-cost paths over "abc": the smallest-predecessor scan
+    // picks the LONGEST last piece at every position -> [abc]
+    assert(seg("abc", Seq("a" -> 10L, "b" -> 10L, "c" -> 10L,
+      "ab" -> 20L, "bc" -> 20L, "abc" -> 30L)) == List("abc"))
+    // a character outside the vocab -> no segmentation -> NULL
+    assert(seg("axb", Seq("a" -> 1L, "b" -> 1L)) == null)
+    // empty word -> empty array; code points (surrogate pair) segment
+    // on character boundaries, never bytes
+    assert(seg("", Seq("a" -> 1L)) == List())
+    assert(seg("😀a", Seq("😀" -> 5L, "a" -> 5L)) ==
+      List("😀", "a"))
+    // maxPieceLen bounds the lookback: "abcd" piece unusable at maxLen 3
+    assert(seg("abcd", Seq("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L,
+      "abcd" -> 0L), maxLen = 3) == List("a", "b", "c", "d"))
+  }
+
+  test("unigramVocab: hand-computed induction — chars always kept, used pieces win the budget, zero-usage chars report 0") {
+    // types ab:3, c:1. Seed: chars a/b/c + multi ab. One EM round:
+    // "ab" -> [ab] (one piece beats two), "c" -> [c]; usage ab:3, c:1;
+    // prune keeps chars + ab; Laplace re-estimate; final usage under the
+    // re-estimated costs is unchanged -> (a,0),(ab,3),(b,0),(c,1).
+    val docs = Seq("ab ab c", "ab").toDF("text")
+    val v = TextAnalysis.unigramVocab(docs, "text", vocabSize = 4,
+      iters = 1, maxPieceLen = 2, maxCandidates = 10)
+      .orderBy("piece")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(v == Seq("a" -> 0L, "ab" -> 3L, "b" -> 0L, "c" -> 1L), v.toString)
+    // budget binds: 4 single chars + ONE multi slot; ab (usage 2) beats
+    // cd (usage 1), so cd falls back to chars
+    val docs2 = Seq("ab cd ab").toDF("text")
+    val v2 = TextAnalysis.unigramVocab(docs2, "text", vocabSize = 5,
+      iters = 1, maxPieceLen = 2, maxCandidates = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(v2 == Set("a", "b", "c", "d", "ab"), v2.toString)
+    intercept[IllegalArgumentException](
+      TextAnalysis.unigramVocab(docs, "text", vocabSize = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.unigramVocab(docs, "text", vocabSize = 4, iters = 0))
+  }
+
+  test("unigramEncode: per-doc Viterbi piece counts under the induced vocabulary") {
+    val docs = Seq((1L, "ab ab c"), (2L, "ab")).toDF("doc_id", "text")
+    val e = TextAnalysis.unigramEncode(docs, "doc_id", "text",
+      vocabSize = 4, iters = 1, maxPieceLen = 2, maxCandidates = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: words ab/ab/c -> pieces [ab],[ab],[c] = 3 tokens of 3 words;
+    // doc 2: [ab] = 1 of 1
+    assert(e == Map(1L -> ((3L, 3L)), 2L -> ((1L, 1L))), e.toString)
+  }
 }
