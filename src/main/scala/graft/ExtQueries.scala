@@ -404,6 +404,24 @@ object ExtQueries {
       vocabSize = 40, iters = 2, maxPieceLen = 4, maxCandidates = 60)
       .orderBy("doc_id")
 
+  /** Stored unigram tokenizer applied to a HELD-OUT slice: the model
+    * induced from the even-doc_id half only ([[TextAnalysis
+    * .unigramModel]]), then [[TextAnalysis.unigramApply]] tokenizes the
+    * odd half against that frozen (piece, cost) table with the
+    * single-character unk fallback — the learn-once/apply-many contract
+    * (bpe_apply's shape for the lattice model). Oracle shares the
+    * induction CTEs trained on the same even slice and runs one more
+    * unrolled Viterbi pass over the odd slice's own word types. */
+  val unigramApplyQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val vocab = TextAnalysis.unigramModel(
+      docs.filter(col("doc_id") % 2 === 0), "text",
+      vocabSize = 40, iters = 2, maxPieceLen = 4, maxCandidates = 60)
+    TextAnalysis.unigramApply(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", vocab, maxPieceLen = 4)
+      .orderBy("doc_id")
+  }
+
   /** Stored-tokenizer apply on a HELD-OUT slice: 8 merges learned from
     * the even-doc_id half only, then [[TextAnalysis.bpeApply]] tokenizes
     * the odd half against that frozen table — the learn-once/apply-many
@@ -2754,6 +2772,7 @@ object ExtQueries {
     "bpe_merges" -> bpeMergesQ,
     "unigram_vocab" -> unigramVocabQ,
     "unigram_encode" -> unigramEncodeQ,
+    "unigram_apply" -> unigramApplyQ,
     "bpe_encode" -> bpeEncodeQ,
     "bpe_vocab" -> bpeVocabQ,
     "bpe_apply" -> bpeApplyQ,
@@ -3010,19 +3029,28 @@ object ExtQueries {
     * `vname`; emits `seg<tag>` (word, freq, seg VARCHAR[]). Each
     * position j carries only the last maxPieceLen−1 (d, s) columns plus
     * the new one, and `fs` latches the segmentation at the word's own
-    * length. */
-  private def uniDpRound(vname: String, tag: String): String = {
+    * length. `typesCte` selects the word table (the apply oracle runs
+    * over the batch's own types); `unk` is the serving-path fallback —
+    * a single-character span absent from the vocab costs `unk` instead
+    * of being unreachable (mirrors [[graft.plans.UnigramSegment]]'s
+    * unkCost). */
+  private def uniDpRound(
+      vname: String, tag: String, typesCte: String = "types",
+      unk: Option[Long] = None): String = {
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     parts += s"dp${tag}_0 AS MATERIALIZED (SELECT word, freq, " +
       "CAST(0 AS BIGINT) AS d0, CAST([] AS VARCHAR[]) AS s0, " +
-      "CAST(NULL AS VARCHAR[]) AS fs FROM types)"
+      s"CAST(NULL AS VARCHAR[]) AS fs FROM $typesCte)"
     for (j <- 1 to UniMaxW) {
       val is = math.max(0, j - UniMaxP) until j
       val terms = is.map { i =>
         val pc = s"(SELECT cost FROM $vname WHERE piece = " +
           s"substr(w.word, ${i + 1}, ${j - i}))"
+        val fallback =
+          if (unk.isDefined && i == j - 1) unk.get.toString
+          else UniBig.toString
         s"CASE WHEN length(w.word) >= $j THEN w.d$i + coalesce($pc, " +
-          s"$UniBig) ELSE NULL END AS t$i"
+          s"$fallback) ELSE NULL END AS t$i"
       }.mkString(", ")
       val least = "least(" +
         is.map(i => s"coalesce(t$i, $UniBig)").mkString(", ") + ")"
@@ -3069,13 +3097,15 @@ object ExtQueries {
        |  FROM keep$tag k LEFT JOIN use$tag u USING (piece))""".stripMargin
 
   /** The shared induction CTE chain: types → candidate seed → v0 →
-    * (`UniIters` EM rounds) → v<iters> → segfin. */
-  private val uniCtes: String = {
+    * (`UniIters` EM rounds) → v<iters> → segfin. `trainPred` narrows
+    * the training slice (the bpeCtes convention — the apply oracle
+    * trains on the even half). */
+  private def uniCtes(trainPred: String = ""): String = {
     val head =
       s"""WITH types AS MATERIALIZED (
          |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w
-         |        FROM documents WHERE text IS NOT NULL)
+         |        FROM documents WHERE text IS NOT NULL$trainPred)
          |  WHERE w <> '' GROUP BY 1),
          |subs AS MATERIALIZED (
          |  SELECT substr(word, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
@@ -3104,7 +3134,7 @@ object ExtQueries {
   }
 
   private val unigramVocabOracleSql: String =
-    uniCtes +
+    uniCtes() +
       s""",
          |usefin AS (
          |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occurrences
@@ -3115,7 +3145,7 @@ object ExtQueries {
          |ORDER BY v.piece""".stripMargin
 
   private val unigramEncodeOracleSql: String =
-    uniCtes +
+    uniCtes() +
       s""",
          |nsym AS MATERIALIZED (
          |  SELECT word, CAST(len(seg) AS BIGINT) AS n_sym FROM segfin),
@@ -3126,6 +3156,35 @@ object ExtQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(n_sym) AS BIGINT) AS n_tokens
          |FROM dw JOIN nsym USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** unigram_apply oracle: induction trained on the EVEN doc_id slice,
+    * then ONE more unrolled Viterbi pass over the ODD slice's own word
+    * types against the stored costs with the single-character unk
+    * fallback (the final vocab CTE after UniIters rounds is
+    * v<UniIters>; segfin — the training-side final pass — is unused
+    * here but harmless). */
+  private val unigramApplyOracleSql: String =
+    uniCtes(" AND doc_id % 2 = 0") +
+      s""",
+         |atypes AS MATERIALIZED (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |        FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)
+         |  WHERE w <> '' GROUP BY 1),
+         |""".stripMargin +
+      uniDpRound(s"v$UniIters", "app", typesCte = "atypes",
+        unk = Some(graft.operators.TextAnalysis.UnigramUnkCost)) +
+      s""",
+         |ansym AS MATERIALIZED (
+         |  SELECT word, CAST(len(seg) AS BIGINT) AS n_sym FROM segapp),
+         |adw AS MATERIALIZED (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)
+         |  WHERE word <> '')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_tokens
+         |FROM adw JOIN ansym USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** ngram-Jaccard pair edges → transitive closure, shared by the
@@ -3952,6 +4011,7 @@ object ExtQueries {
     "bpe_apply" -> bpeApplyOracleSql,
     "unigram_vocab" -> unigramVocabOracleSql,
     "unigram_encode" -> unigramEncodeOracleSql,
+    "unigram_apply" -> unigramApplyOracleSql,
     // incremental CTPH: same fixture-recount + pinned flags as
     // media_neardup, batch-vs-stored-index populations — see mediaNearDupIncrQ
     "media_neardup_incr" ->

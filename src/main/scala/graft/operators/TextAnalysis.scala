@@ -1385,4 +1385,109 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum(col("__nsym")).as("n_tokens"))
   }
+
+  /** The induced unigram model AS A TABLE — (piece, cost BIGINT
+    * micro-nats), the persistable artifact behind
+    * [[writeUnigramModel]]/[[unigramApply]]. Same induction as
+    * [[unigramVocab]]; this returns the COSTS (what serving needs)
+    * where that returns the usage inventory (what a budget planner
+    * reads). */
+  def unigramModel(
+      df: DataFrame, textCol: String, vocabSize: Int, iters: Int = 2,
+      maxPieceLen: Int = 4, maxCandidates: Int = 200): DataFrame = {
+    val (cost, _) = unigramTrain(df, textCol, vocabSize, iters,
+      maxPieceLen, maxCandidates)
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(cost.toSeq.sorted.map { case (p, c) =>
+          org.apache.spark.sql.Row(p, c) }: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("piece",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cost",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Publish a trained unigram tokenizer — the [[writeBpeModel]]
+    * contract for the lattice model: one `vocab.parquet` table
+    * (piece, cost), one atomic root swap. Train once, then
+    * [[unigramApply]] batches and the streaming twin score arrivals
+    * against [[readUnigramModel]]'s table across restarts; the corpus
+    * is never re-read. */
+  def writeUnigramModel(
+      df: DataFrame, textCol: String, path: String, vocabSize: Int,
+      iters: Int = 2, maxPieceLen: Int = 4,
+      maxCandidates: Int = 200): Unit = {
+    val vocab = unigramModel(df, textCol, vocabSize, iters, maxPieceLen,
+      maxCandidates)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    graft.engine.Sinks.publishRoot(fs, path) { tmp =>
+      vocab.write.mode("overwrite").parquet(s"$tmp/vocab.parquet")
+    }
+  }
+
+  /** Load a stored [[writeUnigramModel]] vocabulary (recovering any
+    * half-finished swap first). */
+  def readUnigramModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.engine.Sinks.recoverSwap(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    spark.read.parquet(s"$path/vocab.parquet")
+  }
+
+  /** Schema-check + collect a (piece, cost) vocab table — a bounded
+    * MODEL artifact (the collectMerges discipline), shared by
+    * [[unigramApply]] and the streaming twin so validation cannot
+    * fork. */
+  private[graft] def collectUnigramModel(
+      vocab: DataFrame): Seq[(String, Long)] = {
+    require(Seq("piece", "cost").forall(vocab.columns.contains),
+      s"vocab must carry (piece, cost) — the unigramModel schema; " +
+        s"got (${vocab.columns.mkString(", ")})")
+    vocab.select(col("piece"), col("cost").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+  }
+
+  /** The SentencePiece <unk> score used when a stored vocabulary meets
+    * a character its training corpus never saw: 20 nats ≈ probability
+    * 2·10⁻⁹ — costly enough that known pieces always win, finite so the
+    * word still COUNTS (an OOV word must never vanish from a token
+    * budget). */
+  val UnigramUnkCost: Long = 20000000L
+
+  /** Stored-tokenizer apply — tokenize NEW text against a SAVED unigram
+    * vocabulary without re-running induction ([[bpeApply]]'s contract
+    * for the lattice model): per batch document the whitespace word
+    * count and the Viterbi piece count under the stored costs. OOV
+    * contract: the batch's own word types are segmented with the
+    * [[UnigramUnkCost]] single-character fallback, so a word containing
+    * characters the training corpus never saw still counts (one piece
+    * per unknown character in the worst case), never drops — and never
+    * NULLs, so the sum survives.
+    *
+    * Scale shape: the vocab is a bounded model artifact collected once
+    * driver-side; the batch collapses to its word-TYPE table
+    * (Zipf-bounded), each type is segmented by ONE fused kernel pass,
+    * and the payoff is one equi-join of the batch's (doc, word) pairs
+    * against the type table plus one partial-aggregated per-doc
+    * rollup — zero passes over the training corpus. */
+  def unigramApply(
+      batch: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val pieces = collectUnigramModel(vocab)
+    val types = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tok = types.select("word").distinct()
+      .select(col("word"),
+        size(graft.plans.UnigramSegment.segment(col("word"), pieces,
+          maxPieceLen, unkCost = Some(UnigramUnkCost)))
+          .cast("long").as("__nsym"))
+    types.join(tok, Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("__nsym")).as("n_tokens"))
+  }
 }

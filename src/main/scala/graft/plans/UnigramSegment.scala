@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * serialized plan, shared by every row. Per-row cost is
   * O(len · maxPieceLen) hash probes; fully codegen-compatible. */
 case class UnigramSegment(
-    child: Expression, pieces: Seq[(String, Long)], maxPieceLen: Int)
+    child: Expression, pieces: Seq[(String, Long)], maxPieceLen: Int,
+    unkCost: Option[Long] = None)
   extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(StringType)
@@ -44,7 +45,7 @@ case class UnigramSegment(
   override def prettyName: String = "graft_unigram_segment"
 
   @transient private lazy val prepared =
-    UnigramSegment.prepare(pieces, maxPieceLen)
+    UnigramSegment.prepare(pieces, maxPieceLen, unkCost)
 
   override def nullSafeEval(w: Any): Any =
     UnigramSegment.segment(w.asInstanceOf[UTF8String], prepared)
@@ -68,21 +69,34 @@ object UnigramSegment {
   import org.apache.spark.sql.graftshim.Bridge
 
   /** Column wrapper: the Viterbi-optimal piece array of `word` under the
-    * integer-cost vocabulary, NULL when the word is not coverable. */
+    * integer-cost vocabulary, NULL when the word is not coverable.
+    * `unkCost` (serving-path option): an out-of-vocabulary SINGLE
+    * character segments as its own piece at this cost instead of making
+    * the word uncoverable — the SentencePiece `<unk>` fallback, for
+    * applying a STORED vocabulary to text whose alphabet the training
+    * corpus never saw. Induction callers leave it None: there every
+    * character is in the vocabulary by construction, and a silent
+    * fallback would mask a model bug. */
   def segment(
-      word: Column, pieces: Seq[(String, Long)], maxPieceLen: Int): Column =
-    Bridge.column(UnigramSegment(Bridge.expression(word), pieces, maxPieceLen))
+      word: Column, pieces: Seq[(String, Long)], maxPieceLen: Int,
+      unkCost: Option[Long] = None): Column =
+    Bridge.column(UnigramSegment(Bridge.expression(word), pieces,
+      maxPieceLen, unkCost))
 
   final class Prepared(
       val costs: java.util.HashMap[String, java.lang.Long],
-      val maxLen: Int)
+      val maxLen: Int, val unk: Long, val hasUnk: Boolean)
     extends Serializable
 
-  def prepare(pieces: Seq[(String, Long)], maxPieceLen: Int): Prepared = {
+  def prepare(
+      pieces: Seq[(String, Long)], maxPieceLen: Int,
+      unkCost: Option[Long] = None): Prepared = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(unkCost.forall(c => c >= 0 && c < Big),
+      s"unkCost must be in [0, 2^60), got $unkCost")
     val m = new java.util.HashMap[String, java.lang.Long]()
     pieces.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
-    new Prepared(m, maxPieceLen)
+    new Prepared(m, maxPieceLen, unkCost.getOrElse(0L), unkCost.isDefined)
   }
 
   private val Big = 1L << 60
@@ -117,6 +131,12 @@ object UnigramSegment {
           val c = p.costs.get(s.substring(bounds.get(i), bounds.get(j)))
           if (c != null) {
             val t = d(i) + c.longValue()
+            if (t < best) { best = t; bi = i }
+          } else if (p.hasUnk && i == j - 1) {
+            // serving fallback: an OOV single character is its own
+            // piece at the unk cost (never multi-char spans — those
+            // decompose to their characters)
+            val t = d(i) + p.unk
             if (t < best) { best = t; bi = i }
           }
         }

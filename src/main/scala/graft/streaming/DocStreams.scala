@@ -513,6 +513,38 @@ object DocStreams {
       .drop("__scores", "__pos")
   }
 
+  /** Unigram-LM token accounting for continuous ingest — the streaming
+    * twin of [[graft.operators.TextAnalysis.unigramApply]] against a
+    * STORED (piece, cost) vocabulary: appends `n_words` and `n_tokens`
+    * (Viterbi pieces under the stored costs, single-character unk
+    * fallback so OOV alphabets count, never drop or NULL) to every
+    * arriving row; NULL-text and zero-word rows drop, as the batch
+    * apply emits no row for them.
+    *
+    * STATELESS, the [[bpeCountArrivals]] shape: the bounded vocab rides
+    * as a plan reference object inside the SAME
+    * [[graft.plans.UnigramSegment]] kernel the batch apply uses (parity
+    * by construction, validated by the shared
+    * [[graft.operators.TextAnalysis.collectUnigramModel]]); the
+    * per-word lattice DP replaces the batch side's word-type join. */
+  def unigramCountArrivals(
+      stream: DataFrame, vocab: DataFrame, textCol: String,
+      maxPieceLen: Int = 4): DataFrame = {
+    require(stream.isStreaming, "stream must be a streaming DataFrame")
+    require(!vocab.isStreaming, "vocab must be a static unigramModel table")
+    val pieces = graft.operators.TextAnalysis.collectUnigramModel(vocab)
+    val unk = Some(graft.operators.TextAnalysis.UnigramUnkCost)
+    val toks = filter(split(col(textCol), " "), w => w =!= "")
+    stream.filter(col(textCol).isNotNull)
+      .withColumn("n_words", size(toks).cast("long"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_tokens",
+        aggregate(
+          transform(toks, w => size(graft.plans.UnigramSegment.segment(
+            w, pieces, maxPieceLen, unk)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+  }
+
   /** BPE token accounting for continuous ingest — the streaming twin of
     * [[graft.operators.TextAnalysis.bpeApply]] against a STORED merge
     * table: appends `n_words` (whitespace words, sentinel-bearing ones

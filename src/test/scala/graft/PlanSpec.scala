@@ -677,10 +677,11 @@ class PlanSpec extends SparkSpec {
     // 53 with round-17's ivf_pq_stored; 54 with round-18's
     // pq_shortlist_sweep one-scan guard; 55 with ivf_pq_probe_sweep;
     // 58 with round-19's decontam_strip / mix_plan / retrieval_metrics;
-    // 59 with embed_lsh_sweep; 60 with minhash_band_sweep).
+    // 59 with embed_lsh_sweep; 60 with minhash_band_sweep; 61 with
+    // round-20's mix_apply WindowGroupLimit guard).
     // Raising it is cheap when new plan tests land; lowering it means
     // plan coverage regressed — do that consciously, in review.
-    val floor = 60
+    val floor = 61
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")

@@ -446,6 +446,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/streaming parity: unigram token accounting matches the stored-vocab batch apply, OOV alphabet included") {
+    import sqlContext.implicits._
+    implicit val sq = spark.sqlContext
+    val train = Seq("ab ab c", "ab").toDF("text")
+    val vocab = graft.operators.TextAnalysis.unigramModel(
+      train, "text", vocabSize = 4, iters = 1, maxPieceLen = 2,
+      maxCandidates = 10)
+    // 'z' is OOV for the stored alphabet — the unk fallback must count
+    // it, never drop the word or NULL the sum
+    val arrivals = Seq(
+      (10L, "ab zc"), (11L, "zzz"), (12L, ""), (13L, "ab ab"))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.unigramCountArrivals(
+        mem.toDF().toDF("doc_id", "text"), vocab, "text", maxPieceLen = 2)
+      .writeStream.format("memory").queryName("uni_counted")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arrivals.take(2)); q.processAllAvailable()
+      mem.addData(arrivals.drop(2)); q.processAllAvailable()
+      val got = spark.table("uni_counted")
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
+      assert(got.keySet == Set(10L, 11L, 13L), got.toString)
+      val batch = graft.operators.TextAnalysis.unigramApply(
+          arrivals.toDF("doc_id", "text"), "doc_id", "text", vocab,
+          maxPieceLen = 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == batch, s"stream $got != batch $batch")
+      // the OOV word's pieces: z(unk)+c for doc 10, three unk chars for 11
+      assert(got(10L) == ((2L, 3L)) && got(11L) == ((1L, 3L)), got.toString)
+    } finally q.stop()
+  }
+
   test("burstEvents: sub-threshold gaps emit with exact micros; first events and slow cadence don't; state spans batches") {
     import sqlContext.implicits._
     implicit val sq = spark.sqlContext

@@ -1103,6 +1103,35 @@ class TextEventsSpec extends SparkSpec {
       TextAnalysis.unigramVocab(docs, "text", vocabSize = 4, iters = 0))
   }
 
+  test("unigramApply + write/readUnigramModel: stored vocab applies with the unk fallback; round-trip identical") {
+    val train = Seq("ab ab c", "ab").toDF("text")
+    val vocab = TextAnalysis.unigramModel(train, "text", vocabSize = 4,
+      iters = 1, maxPieceLen = 2, maxCandidates = 10)
+    // 'z' is OOV: it costs UnigramUnkCost as its own piece and the word
+    // still counts; "abc" -> [ab, c] under the induced costs
+    val batch = Seq((1L, "ab zc"), (2L, "abc")).toDF("doc_id", "text")
+    def apply(v: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.unigramApply(batch, "doc_id", "text", v, maxPieceLen = 2)
+        .collect().map(x => x.getLong(0) ->
+          ((x.getLong(1), x.getLong(2)))).toMap
+    val r = apply(vocab)
+    assert(r == Map(1L -> ((2L, 3L)), 2L -> ((1L, 2L))), r.toString)
+    val dir = java.nio.file.Files.createTempDirectory("uni-model").toString
+    try {
+      TextAnalysis.writeUnigramModel(train, "text", dir, vocabSize = 4,
+        iters = 1, maxPieceLen = 2, maxCandidates = 10)
+      val loaded = TextAnalysis.readUnigramModel(spark, dir)
+      assert(apply(loaded) == r, "stored model must apply identically")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f): Unit)
+    }
+    intercept[IllegalArgumentException](
+      TextAnalysis.unigramApply(batch, "doc_id", "text", vocab.drop("cost")))
+  }
+
   test("unigramEncode: per-doc Viterbi piece counts under the induced vocabulary") {
     val docs = Seq((1L, "ab ab c"), (2L, "ab")).toDF("doc_id", "text")
     val e = TextAnalysis.unigramEncode(docs, "doc_id", "text",
