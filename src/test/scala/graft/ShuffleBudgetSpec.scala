@@ -70,4 +70,15 @@ class ShuffleBudgetSpec extends AnyFunSuite
     val kb = shuffleKb("hist_bins")
     assert(kb <= 32, s"hist_bins shuffled $kb KB")
   }
+
+  test("decontam_multi stays fingerprint-traffic across N benchmarks (<= 2 MB at sf0.001)") {
+    // measured 593 KB at sf0.001 (the strip's 369 KB plus the second
+    // benchmark's tagged index and the per-(doc, benchmark) hash
+    // arrays). The guard is decontam_strip's extended to the
+    // multi-benchmark pass: a regression fanning text or full gram sets
+    // per pair MULTIPLIES the traffic past any ceiling, it does not add
+    // to it — 3.5x headroom tolerates partitioning drift.
+    val kb = shuffleKb("decontam_multi")
+    assert(kb <= 2048, s"decontam_multi shuffled $kb KB — per-pair payload fan-out?")
+  }
 }
