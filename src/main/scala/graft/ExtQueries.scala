@@ -260,6 +260,16 @@ object ExtQueries {
       .orderBy("id")
   }
 
+  /** Token-budget mixture carve ([[Curation.mixApplyBudget]]): the same
+    * en/de/es recipe delivered by CHAR MASS — per stratum the greedy
+    * draw-order prefix within the maximal plan's budget, binding
+    * stratum kept whole. Oracle recomputes the mass plan and the
+    * cumulative-sum cut row for row. */
+  val mixApplyBudgetQ: Q = (s, d) =>
+    Curation.mixApplyBudget(t(s, d, "documents"), "doc_id", "lang",
+      "n_chars", Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.2))
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
   /** The recall side of the winnowing tuning read: per window size w ∈
     * {4, 8, 12} (k fixed at 16), the guaranteed detection floor w+k−1
     * and the corpus pair/doc yield from one fingerprint pass each —
@@ -2796,6 +2806,7 @@ object ExtQueries {
     "sample_mix" -> sampleMix,
     "mix_plan" -> mixPlanQ,
     "mix_apply" -> mixApplyQ,
+    "mix_apply_budget" -> mixApplyBudgetQ,
     "chunk_docs" -> chunkDocsQ,
     "topk_sim" -> topkSim,
     "retrieval_metrics" -> retrievalMetricsQ,
@@ -4791,6 +4802,32 @@ object ExtQueries {
         |    AND doc_id IS NOT NULL)
         |SELECT doc_id, lang FROM r JOIN tk USING (lang)
         |WHERE rn <= take ORDER BY doc_id""".stripMargin,
+    // mix_apply_budget: the mass plan (budget_i = S*w_i, binding = exact
+    // integer mass) + the greedy cumulative-size prefix in salted draw
+    // order; same IEEE doubles both engines, long-vs-double compare
+    // promotes identically
+    "mix_apply_budget" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS m,
+        |    CASE lang WHEN 'en' THEN 0.5e0 WHEN 'de' THEN 0.3e0
+        |      WHEN 'es' THEN 0.2e0 END AS w
+        |  FROM documents WHERE lang IN ('en', 'de', 'es')
+        |    AND doc_id IS NOT NULL AND n_chars IS NOT NULL GROUP BY lang),
+        |s AS (SELECT min(m / w) AS scale FROM c),
+        |tk AS (
+        |  SELECT lang,
+        |    CASE WHEN m / w = scale THEN CAST(m AS DOUBLE)
+        |         ELSE scale * w END AS budget
+        |  FROM c CROSS JOIN s),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars, sum(n_chars) OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|mixapply'), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents WHERE lang IN ('en', 'de', 'es')
+        |    AND doc_id IS NOT NULL AND n_chars IS NOT NULL)
+        |SELECT doc_id, lang, n_chars FROM r JOIN tk USING (lang)
+        |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
     // sample_mix: scale S = min(n_i/w_i) maximizes the mixture; rate_i =
     // round(S*w_i/n_i, 6); same md5-bucket membership; zh/fr not in the
     // recipe and therefore absent

@@ -376,6 +376,72 @@ object Curation {
       .drop("__rn")
   }
 
+  /** [[mixApply]] by MASS instead of rows — the token-budget carve: a
+    * mixture recipe at 100 TB is a TOKEN budget ("50% web / 30% code /
+    * 20% academic of a 1 B-token run"), and delivering it by row count
+    * silently skews toward short-document strata. Per stratum the
+    * maximal plan is [[mixPlan]]'s with `sizeCol` mass
+    * (`S = min_i(mass_i / w_i)`, budget_i = S·w_i, the binding stratum's
+    * budget is its EXACT mass so it keeps everything), and the carve is
+    * the greedy PREFIX of the salted-md5 draw order whose cumulative
+    * size stays within the budget — deterministic under relayout,
+    * undershooting by less than one document per stratum (documents
+    * don't split; [[graft.operators.TextAnalysis.chunkDocs]] upstream if
+    * sub-document granularity matters).
+    *
+    * Exclusions, all loud in the scaladoc because each skews a budget:
+    * NULL ids (no stable draw — the [[mixApply]] contract), NULL sizes
+    * (no measurable mass — a NULL would poison every later cumulative
+    * sum in its stratum), off-recipe strata (whitelist). A recipe
+    * stratum with no selectable mass fails fast ([[mixStrata]]).
+    *
+    * Scale shape: one eager ≤|recipe|-row mass aggregate (budgets
+    * become plan constants), then ONE shuffle on the stratum key with a
+    * per-stratum ordered cumulative-sum window. Unlike [[mixApply]]'s
+    * rank cut there is no WindowGroupLimit rewrite — a budget cut needs
+    * the running mass, so each stratum's partition carries its full
+    * selectable rows; at extreme per-stratum scale prefer the
+    * rate-based [[mixStrata]] (expectation semantics) or pre-shard the
+    * stratum. */
+  def mixApplyBudget(
+      df: DataFrame, idCol: String, stratumCol: String, sizeCol: String,
+      weights: Map[String, Double], salt: String = "mixapply"): DataFrame = {
+    require(weights.nonEmpty, "mixApplyBudget requires at least one stratum weight")
+    require(weights.values.forall(w => w > 0 && !w.isInfinite && !w.isNaN),
+      s"weights must be positive and finite: $weights")
+    val selectable = df.filter(
+      col(stratumCol).isin(weights.keys.toSeq: _*) &&
+        col(idCol).isNotNull && col(sizeCol).isNotNull)
+    val massByStratum = selectable
+      .groupBy(col(stratumCol))
+      .agg(sum(col(sizeCol)).cast("long").as("__m"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val absent = weights.keys.filterNot(massByStratum.contains)
+    require(absent.isEmpty,
+      s"mixApplyBudget: recipe strata with no selectable mass in the data: " +
+        s"${absent.toSeq.sorted.mkString(", ")} — the only mixture honoring " +
+        "a zero-mass component is empty; drop it from the recipe or fix " +
+        "the upstream filter")
+    val perW = weights.map { case (s, w) => s -> massByStratum(s) / w }
+    val scale = perW.values.min
+    // the binding stratum's budget is its EXACT integer mass (the
+    // one-ulp (m/w)·w guard, mixApply's floor rationale in mass form)
+    val budget: Map[String, Double] = weights.map { case (s, w) =>
+      s -> (if (perW(s) == scale) massByStratum(s).toDouble else scale * w)
+    }
+    val draw = md5(concat(col(idCol).cast("string"), lit("|" + salt)))
+    val cum = sum(col(sizeCol).cast("long")).over(
+      Window.partitionBy(col(stratumCol)).orderBy(draw, col(idCol))
+        .rowsBetween(Long.MinValue, 0))
+    val lim = budget.foldLeft(lit(null).cast("double")) {
+      case (rest, (s, b)) =>
+        when(col(stratumCol) === s, lit(b)).otherwise(rest)
+    }
+    selectable.withColumn("__cum", cum)
+      .filter(col("__cum") <= lim)
+      .drop("__cum")
+  }
+
   /** Benchmark-contamination ratio per document: the fraction of the
     * document's distinct word n-gram shingles that also appear anywhere in
     * the benchmark set — the standard eval-set leakage check run before

@@ -398,6 +398,41 @@ class CurationSpec extends SparkSpec {
     assert(eAbsent.getMessage.contains("xx"))
   }
 
+  test("mixApplyBudget: greedy prefix within the mass budget, binding stratum whole, NULL sizes excluded") {
+    // en mass 40 (4×10), de mass 10 (2×5); weights .5/.5 → perW en 80,
+    // de 20 → de binds (scale 20): budget en = 10.0, de = 10 exact.
+    // Greedy prefix: en keeps exactly ONE 10-char row, de keeps both.
+    val docs = Seq(
+      (Some(1L), "en", Some(10L)), (Some(2L), "en", Some(10L)),
+      (Some(3L), "en", Some(10L)), (Some(4L), "en", Some(10L)),
+      (Some(5L), "en", None),      // NULL size: unselectable mass
+      (None, "en", Some(10L)),     // NULL id: no stable draw
+      (Some(10L), "de", Some(5L)), (Some(11L), "de", Some(5L)),
+      (Some(20L), "zh", Some(9L))) // off-recipe
+      .toDF("doc_id", "lang", "sz")
+    val kept = Curation.mixApplyBudget(docs, "doc_id", "lang", "sz",
+      Map("en" -> 0.5, "de" -> 0.5))
+    val byLang = kept.groupBy("lang").agg(
+        count(lit(1)).as("n"), sum("sz").as("m"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byLang == Map("en" -> ((1L, 10L)), "de" -> ((2L, 10L))),
+      byLang.toString)
+    assert(kept.filter(col("doc_id").isNull || col("sz").isNull).count() == 0)
+    // deterministic under relayout
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Curation.mixApplyBudget(
+        docs.repartition(7, col("sz")), "doc_id", "lang", "sz",
+        Map("en" -> 0.5, "de" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2, "budget carve not layout-stable")
+    val eAbsent = intercept[IllegalArgumentException](
+      Curation.mixApplyBudget(docs, "doc_id", "lang", "sz",
+        Map("en" -> 0.5, "xx" -> 0.5)))
+    assert(eAbsent.getMessage.contains("xx"))
+    intercept[IllegalArgumentException](
+      Curation.mixApplyBudget(docs, "doc_id", "lang", "sz", Map.empty))
+  }
+
   test("mixApply: NULL ids are excluded from availability and carve; binding stays exact over selectable rows") {
     // en: 4 selectable (+1 NULL id), de: 2 — weights 0.5/0.5 make de bind
     // (2/0.5 = 4 < 8); en takes floor(4*0.5) = 2. The NULL-id row must
