@@ -412,10 +412,25 @@ object Curation {
     val selectable = df.filter(
       col(stratumCol).isin(weights.keys.toSeq: _*) &&
         col(idCol).isNotNull && col(sizeCol).isNotNull)
-    val massByStratum = selectable
+    // min rides the same eager aggregate: a NEGATIVE size makes the
+    // cumulative sum non-monotone, so the "greedy prefix" filter would
+    // select a gap-ridden non-prefix set and silently overshoot the
+    // budget — fail loudly instead (zero sizes are fine: a free
+    // document never breaks monotonicity)
+    val stats = selectable
       .groupBy(col(stratumCol))
-      .agg(sum(col(sizeCol)).cast("long").as("__m"))
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+      .agg(sum(col(sizeCol)).cast("long").as("__m"),
+        min(col(sizeCol)).cast("long").as("__min"))
+      .collect()
+    val negative = stats.filter(_.getLong(2) < 0L)
+      .map(r => String.valueOf(r.get(0)))
+    require(negative.isEmpty,
+      s"mixApplyBudget: negative '$sizeCol' values in strat" +
+        s"${if (negative.length == 1) "um" else "a"} " +
+        s"${negative.sorted.mkString(", ")} — a negative size makes the " +
+        "cumulative budget cut non-monotone; fix the sizes first")
+    val massByStratum =
+      stats.map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val absent = weights.keys.filterNot(massByStratum.contains)
     require(absent.isEmpty,
       s"mixApplyBudget: recipe strata with no selectable mass in the data: " +

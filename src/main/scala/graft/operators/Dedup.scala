@@ -2046,9 +2046,12 @@ object Dedup {
     require(names.forall(_.matches("[A-Za-z0-9_]+")),
       s"benchmark names must be [A-Za-z0-9_]+ (they become column " +
         s"suffixes): $names")
-    require(!corpus.columns.contains("n_removed"),
-      "stripBenchmarkSpansMulti adds n_removed columns; the input " +
-        "already has one")
+    val clash = ("n_removed" +: names.map(b => s"n_removed_$b"))
+      .filter(corpus.columns.contains)
+    require(clash.isEmpty,
+      s"stripBenchmarkSpansMulti adds ${clash.mkString(", ")}; the input " +
+        "already carries them — a prior pass's attribution would be " +
+        "silently overwritten")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     // per-benchmark capped index, ids namespaced as <bench>\u0001<id> so
     // cross-benchmark id collisions cannot alias

@@ -709,14 +709,16 @@ object Similarity {
     // before any metric is computed. Compares the UNFILTERED results
     // against the unfiltered truth: a results query whose truth exists
     // only beyond rank k is still a wired query, not an orphan.
+    // take(5)/show-4: the ellipsis must mean "more exist", so it only
+    // prints when a fifth orphan was actually fetched
     val orphans = results.select("q_id").distinct()
       .join(truth.select("q_id").distinct(), Seq("q_id"), "left_anti")
-      .take(4)
+      .take(5)
     require(orphans.isEmpty,
       "retrievalMetrics: results carry quer" +
         s"${if (orphans.length == 1) "y" else "ies"} " +
-        orphans.map(x => String.valueOf(x.get(0))).mkString(", ") +
-        (if (orphans.length == 4) ", …" else "") +
+        orphans.take(4).map(x => String.valueOf(x.get(0))).mkString(", ") +
+        (if (orphans.length == 5) ", …" else "") +
         " absent from truth — truth defines the evaluation set")
     val tstats = t.groupBy("q_id").agg(
       count(lit(1)).as("n_truth"),
@@ -796,12 +798,12 @@ object Similarity {
         "rows belong out of the truth run")
     val orphans = results.select("q_id").distinct()
       .join(truth.select("q_id").distinct(), Seq("q_id"), "left_anti")
-      .take(4)
+      .take(5)
     require(orphans.isEmpty,
       "retrievalMetricsGraded: results carry quer" +
         s"${if (orphans.length == 1) "y" else "ies"} " +
-        orphans.map(x => String.valueOf(x.get(0))).mkString(", ") +
-        (if (orphans.length == 4) ", …" else "") +
+        orphans.take(4).map(x => String.valueOf(x.get(0))).mkString(", ") +
+        (if (orphans.length == 5) ", …" else "") +
         " absent from truth — truth defines the evaluation set")
     val t = truth.filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"),

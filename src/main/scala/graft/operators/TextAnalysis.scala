@@ -224,9 +224,10 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "BM25 requires at least one query term")
     require(queryTerms.distinct.size == queryTerms.size,
       s"duplicate query terms would double-count: $queryTerms")
-    // tokens are whitespace-split, so a space-containing "term" can never
-    // match anything — and it would also make the space-joined __terms
-    // identity tag ambiguous (["a b","c"] vs ["a","b c"])
+    // tokens are whitespace-split, so a space-containing "term" can
+    // never match anything (the __terms identity tag itself is
+    // NUL-joined — see bm25TermsTag — so it stays unambiguous either
+    // way; this guard is about the terms being matchable at all)
     require(queryTerms.forall(!_.contains(" ")),
       s"query terms are single whitespace tokens; these contain spaces: " +
         queryTerms.filter(_.contains(" ")).mkString("[", ", ", "]"))
@@ -1288,11 +1289,25 @@ object TextAnalysis {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // prune: chars unconditionally; used multi-char pieces ranked by
       // (usage desc, piece asc) up to the vocab budget
-      val charsKept = cost.keys.filter(_.length == 1).toSeq
+      // CODE-POINT length, not UTF-16 String.length: the seeding, the
+      // kernel, and the oracle all count code points, so a
+      // supplementary-plane character (emoji, CJK Ext-B) is a "single
+      // character" here too — classifying it by its 2 UTF-16 units
+      // would route it through the multi-char prune and could drop it,
+      // breaking the coverage invariant. Ties rank in UTF-8 BYTE order
+      // (UTF8String.compareTo), matching both engines' string sort —
+      // Java String.compareTo is UTF-16 code-unit order, which flips
+      // astral vs U+E000-range pieces.
+      def cpLen(p: String): Int = p.codePointCount(0, p.length)
+      def u8(p: String) = org.apache.spark.unsafe.types.UTF8String.fromString(p)
+      val charsKept = cost.keys.filter(cpLen(_) == 1).toSeq
       val multiKept = cost.keys
-        .filter(p => p.length > 1 && usage.getOrElse(p, 0L) > 0L)
+        .filter(p => cpLen(p) > 1 && usage.getOrElse(p, 0L) > 0L)
         .toSeq
-        .sortBy(p => (-usage(p), p))
+        .sortWith { (a, b) =>
+          val ua = usage(a); val ub = usage(b)
+          if (ua != ub) ua > ub else u8(a).compareTo(u8(b)) < 0
+        }
         .take(math.max(0, vocabSize - charsKept.size))
       val kept = charsKept ++ multiKept
       // M-step with Laplace smoothing: zero-usage characters stay

@@ -232,6 +232,13 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.decontaminateMulti(corpus,
         Seq("a-b" -> bA), "doc_id", "text"))
+    // feeding a prior pass's output back through must not silently
+    // overwrite its per-benchmark attribution columns
+    val rePass = intercept[IllegalArgumentException](
+      Curation.decontaminateMulti(
+        corpus.withColumn("n_removed_a", org.apache.spark.sql.functions.lit(0L)),
+        Seq("a" -> bA), "doc_id", "text"))
+    assert(rePass.getMessage.contains("n_removed_a"), rePass.getMessage)
   }
 
   test("decontaminate: an id collision across the two datasets must NOT suppress the strip (the leak case)") {
@@ -431,6 +438,15 @@ class CurationSpec extends SparkSpec {
     assert(eAbsent.getMessage.contains("xx"))
     intercept[IllegalArgumentException](
       Curation.mixApplyBudget(docs, "doc_id", "lang", "sz", Map.empty))
+    // a negative size makes the cumulative cut non-monotone (the carve
+    // would no longer be a prefix) — loud, naming the stratum
+    val neg = docs.union(Seq((Some(99L), "de", Some(-7L)))
+      .toDF("doc_id", "lang", "sz"))
+    val eNeg = intercept[IllegalArgumentException](
+      Curation.mixApplyBudget(neg, "doc_id", "lang", "sz",
+        Map("en" -> 0.5, "de" -> 0.5)))
+    assert(eNeg.getMessage.contains("negative") &&
+      eNeg.getMessage.contains("de"), eNeg.getMessage)
   }
 
   test("mixApply: NULL ids are excluded from availability and carve; binding stays exact over selectable rows") {
