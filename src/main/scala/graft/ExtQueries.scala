@@ -260,6 +260,20 @@ object ExtQueries {
       .orderBy("id")
   }
 
+  /** The stored-plan apply path ([[Curation.mixStrataFromPlan]]): plan
+    * the mixture once, apply its frozen rates as a map-side filter —
+    * on the same corpus the result is IDENTICAL to [[Curation
+    * .mixStrata]] with the recipe (both round rates to 6 before
+    * bucketing, same salted draw), so this key shares sample_mix's
+    * oracle arithmetic and pins the plan→apply equivalence. */
+  val mixPlanApplyQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val plan = Curation.mixPlan(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.2))
+    Curation.mixStrataFromPlan(docs, "doc_id", "lang", plan)
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
   /** Token-budget mixture carve ([[Curation.mixApplyBudget]]): the same
     * en/de/es recipe delivered by CHAR MASS — per stratum the greedy
     * draw-order prefix within the maximal plan's budget, binding
@@ -2807,6 +2821,7 @@ object ExtQueries {
     "mix_plan" -> mixPlanQ,
     "mix_apply" -> mixApplyQ,
     "mix_apply_budget" -> mixApplyBudgetQ,
+    "mix_plan_apply" -> mixPlanApplyQ,
     "chunk_docs" -> chunkDocsQ,
     "topk_sim" -> topkSim,
     "retrieval_metrics" -> retrievalMetricsQ,
@@ -4828,6 +4843,24 @@ object ExtQueries {
         |    AND doc_id IS NOT NULL AND n_chars IS NOT NULL)
         |SELECT doc_id, lang, n_chars FROM r JOIN tk USING (lang)
         |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+    // mix_plan_apply: shares sample_mix's arithmetic exactly — the plan's
+    // round-6 rate bucketed to the same threshold, same salted draw; the
+    // key exists to pin the plan-then-apply path's equivalence
+    "mix_plan_apply" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n,
+        |    CASE lang WHEN 'en' THEN 0.5e0 WHEN 'de' THEN 0.3e0 WHEN 'es' THEN 0.2e0 END AS w
+        |  FROM documents WHERE lang IN ('en', 'de', 'es') GROUP BY lang),
+        |s AS (SELECT min(n / w) AS scale FROM c),
+        |t AS (SELECT lang,
+        |        CASE WHEN CAST(round(round(scale * w / n, 6) * 65536) AS BIGINT) >= 65536
+        |             THEN 'g000'
+        |             ELSE printf('%04x', CAST(round(round(scale * w / n, 6) * 65536) AS BIGINT))
+        |        END AS thr
+        |      FROM c CROSS JOIN s)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 4) < thr
+        |ORDER BY d.doc_id""".stripMargin,
     // sample_mix: scale S = min(n_i/w_i) maximizes the mixture; rate_i =
     // round(S*w_i/n_i, 6); same md5-bucket membership; zh/fr not in the
     // recipe and therefore absent

@@ -376,6 +376,44 @@ object Curation {
       .drop("__rn")
   }
 
+  /** [[mixStrata]] against a STORED [[mixPlan]] — the
+    * learn-once/apply-many verb for the mixing family: plan the mixture
+    * once on a corpus snapshot (persist the plan table), then apply its
+    * RATES as a pure map-side threshold filter to any batch — including
+    * a STREAMING one: the plan collapses to plan constants at
+    * composition time, so the filter is stateless and
+    * `readStream.transform(...)` composes directly, no sink machinery.
+    * On the same corpus the output is IDENTICAL to
+    * [[mixStrata]] with the plan's recipe (both round rates to 6
+    * decimals before bucketing and draw with the "mix" salt — the
+    * registered differential pins the equality); on a LATER batch it
+    * applies the frozen rates, which is exactly what a reproducible
+    * mixture wants (re-planning per batch would let the recipe drift
+    * with arrival mix).
+    *
+    * `plan` carries (stratum, rate) — [[mixPlan]]'s schema (extra
+    * columns ignored); ≤ |recipe| rows by construction, collected
+    * driver-side like every model artifact here. Strata outside the
+    * plan drop (whitelist); NULL ids drop (NULL draw). */
+  def mixStrataFromPlan(
+      df: DataFrame, idCol: String, stratumCol: String,
+      plan: DataFrame): DataFrame = {
+    require(Seq("stratum", "rate").forall(plan.columns.contains),
+      s"plan must carry (stratum, rate) — the mixPlan schema; " +
+        s"got (${plan.columns.mkString(", ")})")
+    val rates = plan.select(col("stratum"), col("rate").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(rates.nonEmpty, "mixStrataFromPlan: the plan has no strata")
+    require(rates.values.forall(r => r >= 0 && r <= 1 && !r.isNaN),
+      s"plan rates must be in [0, 1]: $rates")
+    val h = hashDraw(idCol, salt = "mix")
+    val thr = rates.foldLeft(lit(null).cast("string")) {
+      case (rest, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(thresholdHex(r))).otherwise(rest)
+    }
+    df.filter(h < thr)
+  }
+
   /** [[mixApply]] by MASS instead of rows — the token-budget carve: a
     * mixture recipe at 100 TB is a TOKEN budget ("50% web / 30% code /
     * 20% academic of a 1 B-token run"), and delivering it by row count

@@ -405,6 +405,27 @@ class CurationSpec extends SparkSpec {
     assert(eAbsent.getMessage.contains("xx"))
   }
 
+  test("mixStrataFromPlan: stored plan applies identically to mixStrata; frozen rates don't re-plan on a grown batch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val weights = Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.2)
+    val plan = Curation.mixPlan(docs, "lang", weights)
+    val viaPlan = Curation.mixStrataFromPlan(docs, "doc_id", "lang", plan)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val direct = Curation.mixStrata(docs, "doc_id", "lang", weights)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaPlan == direct, "plan->apply must equal the direct mix")
+    // frozen rates: applying the SAME plan to a half-sized batch keeps
+    // exactly the intersection (a re-plan would change every rate)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val onHalf = Curation.mixStrataFromPlan(half, "doc_id", "lang", plan)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(onHalf == direct.filter(_ % 2 == 0), "rates re-planned?")
+    intercept[IllegalArgumentException](
+      Curation.mixStrataFromPlan(docs, "doc_id", "lang", plan.drop("rate")))
+    intercept[IllegalArgumentException](
+      Curation.mixStrataFromPlan(docs, "doc_id", "lang", plan.limit(0)))
+  }
+
   test("mixApplyBudget: greedy prefix within the mass budget, binding stratum whole, NULL sizes excluded") {
     // en mass 40 (4×10), de mass 10 (2×5); weights .5/.5 → perW en 80,
     // de 20 → de binds (scale 20): budget en = 10.0, de = 10 exact.

@@ -1132,6 +1132,26 @@ class TextEventsSpec extends SparkSpec {
       TextAnalysis.unigramApply(batch, "doc_id", "text", vocab.drop("cost")))
   }
 
+  test("unigram prune protects supplementary-plane characters (code-point length, not UTF-16 units)") {
+    // "😀" is 2 UTF-16 units but ONE code point: a prune classifying by
+    // String.length routed it through the multi-char budget, where zero
+    // usage (the whole-word piece covers it) dropped it — and the word
+    // then segmented to NULL and vanished from every count. vocabSize =
+    // |alphabet| leaves zero multi slots, so survival proves the char
+    // went through the unconditional chars path.
+    val docs = Seq((1L, "x😀 ab ab")).toDF("doc_id", "text")
+    val v = TextAnalysis.unigramVocab(docs, "text", vocabSize = 4,
+      iters = 1, maxPieceLen = 2, maxCandidates = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v.keySet == Set("x", "😀", "a", "b"), v.toString)
+    val e = TextAnalysis.unigramEncode(docs, "doc_id", "text",
+      vocabSize = 4, iters = 1, maxPieceLen = 2, maxCandidates = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // x😀 -> [x, 😀], ab -> [a, b] twice: 3 words, 6 pieces — nothing
+    // vanished
+    assert(e == Map(1L -> ((3L, 6L))), e.toString)
+  }
+
   test("unigramEncode: per-doc Viterbi piece counts under the induced vocabulary") {
     val docs = Seq((1L, "ab ab c"), (2L, "ab")).toDF("doc_id", "text")
     val e = TextAnalysis.unigramEncode(docs, "doc_id", "text",
