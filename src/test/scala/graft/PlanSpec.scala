@@ -163,6 +163,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"group-limit rewrite missing:\n$p")
   }
 
+  test("mix_plan_apply: the stored plan's rates are plan CONSTANTS — no join, no aggregate in the apply") {
+    // the learn-once/apply-many claim made executable: the apply side
+    // must be a pure map-side threshold filter (the plan collapsed at
+    // composition time); a regression re-joining the plan table or
+    // re-deriving counts shows up as a Join/Aggregate here
+    val p = plan("mix_plan_apply")
+    assert(!p.contains("Join"), s"the stored plan leaked back in as a join:\n$p")
+    assert(!p.contains("HashAggregate"), s"apply side re-aggregates:\n$p")
+  }
+
+  test("t_closeness_ord: the value spine broadcasts to the class expansion — no CartesianProduct") {
+    // |classes| x |values| is the documented bounded expansion; it must
+    // ride a broadcast of the <=|values|-row spine, never a shuffled
+    // cartesian of two distributed relations
+    val p = plan("t_closeness_ord")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"spine not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"distributed cartesian:\n$p")
+  }
+
   test("dedup_lines: segment frequency shuffles 8-byte hashes with partial aggregation, not text") {
     val p = plan("dedup_lines")
     // the countDistinct partial aggregate must sit below the exchange
@@ -678,10 +697,12 @@ class PlanSpec extends SparkSpec {
     // pq_shortlist_sweep one-scan guard; 55 with ivf_pq_probe_sweep;
     // 58 with round-19's decontam_strip / mix_plan / retrieval_metrics;
     // 59 with embed_lsh_sweep; 60 with minhash_band_sweep; 61 with
-    // round-20's mix_apply WindowGroupLimit guard).
+    // round-20's mix_apply WindowGroupLimit guard; 63 with
+    // mix_plan_apply's no-join/no-aggregate constants guard and
+    // t_closeness_ord's broadcast-spine guard).
     // Raising it is cheap when new plan tests land; lowering it means
     // plan coverage regressed — do that consciously, in review.
-    val floor = 61
+    val floor = 63
     assert(planAsserted.size >= floor,
       s"plan-assertion census fell to ${planAsserted.size} keys (floor $floor): " +
         s"covered = ${planAsserted.toSeq.sorted.mkString(", ")}")
