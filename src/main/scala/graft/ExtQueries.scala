@@ -428,6 +428,34 @@ object ExtQueries {
       vocabSize = 40, iters = 2, maxPieceLen = 4, maxCandidates = 60)
       .orderBy("doc_id")
 
+  /** Tokenizer-selection read: corpus-level FERTILITY (tokens per
+    * whitespace word) of the two induced tokenizer families side by
+    * side — BPE at 8 merges vs unigram-LM at vocab 40, each summed over
+    * its own encode path ([[TextAnalysis.bpeEncode]] /
+    * [[TextAnalysis.unigramEncode]]). Fertility is THE number a
+    * pretraining budget converts corpora with (tokens = words ×
+    * fertility), and comparing the two learners on the same corpus is
+    * the read taken before committing a tokenizer. Scope note, mirrored
+    * by the oracle: each tokenizer counts the words ITS family counts
+    * (BPE excludes sentinel-bearing words by contract; unigram counts
+    * every non-empty word). The oracle concatenates both families'
+    * generated derivation CTEs (names are disjoint by construction)
+    * and reduces each to one corpus row. */
+  val tokenizerCompareQ: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    def tot(df: DataFrame, name: String) = df
+      .agg(sum(col("n_words")).as("__w"), sum(col("n_tokens")).as("__t"))
+      .select(lit(name).as("tokenizer"),
+        col("__w").cast("long").as("n_words"),
+        col("__t").cast("long").as("n_tokens"),
+        round(col("__t").cast("double") / col("__w"), 6).as("fertility"))
+    tot(TextAnalysis.bpeEncode(docs, "doc_id", "text", nMerges = 8), "bpe_8")
+      .unionByName(tot(TextAnalysis.unigramEncode(docs, "doc_id", "text",
+        vocabSize = 40, iters = 2, maxPieceLen = 4, maxCandidates = 60),
+        "unigram_40"))
+      .orderBy("tokenizer")
+  }
+
   /** Stored unigram tokenizer applied to a HELD-OUT slice: the model
     * induced from the even-doc_id half only ([[TextAnalysis
     * .unigramModel]]), then [[TextAnalysis.unigramApply]] tokenizes the
@@ -2797,6 +2825,7 @@ object ExtQueries {
     "unigram_vocab" -> unigramVocabQ,
     "unigram_encode" -> unigramEncodeQ,
     "unigram_apply" -> unigramApplyQ,
+    "tokenizer_compare" -> tokenizerCompareQ,
     "bpe_encode" -> bpeEncodeQ,
     "bpe_vocab" -> bpeVocabQ,
     "bpe_apply" -> bpeApplyQ,
@@ -3212,6 +3241,42 @@ object ExtQueries {
          |  CAST(sum(n_sym) AS BIGINT) AS n_tokens
          |FROM adw JOIN ansym USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+
+  /** tokenizer_compare oracle: both families' derivation CTE chains
+    * concatenated (bpeCtes names w, s0.., x.., p.., pc.., m..; uniCtes
+    * names types, subs, cand, v.., dp.., seg.., use.., keep.. —
+    * disjoint by construction), each reduced to one corpus fertility
+    * row over its own word scope. */
+  private val tokenizerCompareOracleSql: String =
+    bpeCtes(8) + ",\n" + uniCtes().stripPrefix("WITH ") +
+      s""",
+         |btok AS MATERIALIZED (SELECT word,
+         |  len(string_split(substr(seq, 2, length(seq) - 2), chr(2) || chr(1)))
+         |    AS n_sym FROM s8),
+         |bdw AS MATERIALIZED (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE word <> '' AND strpos(word, chr(1)) = 0
+         |    AND strpos(word, chr(2)) = 0),
+         |bagg AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_tokens
+         |  FROM bdw JOIN btok USING (word)),
+         |utok AS MATERIALIZED (SELECT word, CAST(len(seg) AS BIGINT) AS n_sym
+         |  FROM segfin),
+         |udw AS MATERIALIZED (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE word <> ''),
+         |uagg AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_tokens
+         |  FROM udw JOIN utok USING (word))
+         |SELECT 'bpe_8' AS tokenizer, n_words, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility FROM bagg
+         |UNION ALL
+         |SELECT 'unigram_40' AS tokenizer, n_words, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility FROM uagg
+         |ORDER BY tokenizer""".stripMargin
 
   /** ngram-Jaccard pair edges → transitive closure, shared by the
     * dedup_resolve / dedup_survivor oracles (use inside WITH RECURSIVE). */
@@ -4038,6 +4103,7 @@ object ExtQueries {
     "unigram_vocab" -> unigramVocabOracleSql,
     "unigram_encode" -> unigramEncodeOracleSql,
     "unigram_apply" -> unigramApplyOracleSql,
+    "tokenizer_compare" -> tokenizerCompareOracleSql,
     // incremental CTPH: same fixture-recount + pinned flags as
     // media_neardup, batch-vs-stored-index populations — see mediaNearDupIncrQ
     "media_neardup_incr" ->
