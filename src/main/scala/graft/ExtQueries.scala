@@ -3278,6 +3278,27 @@ object ExtQueries {
          |  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility FROM uagg
          |ORDER BY tokenizer""".stripMargin
 
+  /** The sample_mix membership arithmetic, shared verbatim by the
+    * mix_plan_apply oracle — mixStrataFromPlan on a plan of the same
+    * recipe must produce the IDENTICAL row set (both round rates to 6
+    * before bucketing, same salted draw), so one oracle string pins
+    * both keys and the arithmetic can never fork. */
+  private val sampleMixOracleSql: String =
+    """WITH c AS (
+        |  SELECT lang, count(*) AS n,
+        |    CASE lang WHEN 'en' THEN 0.5e0 WHEN 'de' THEN 0.3e0 WHEN 'es' THEN 0.2e0 END AS w
+        |  FROM documents WHERE lang IN ('en', 'de', 'es') GROUP BY lang),
+        |s AS (SELECT min(n / w) AS scale FROM c),
+        |t AS (SELECT lang,
+        |        CASE WHEN CAST(round(round(scale * w / n, 6) * 65536) AS BIGINT) >= 65536
+        |             THEN 'g000'
+        |             ELSE printf('%04x', CAST(round(round(scale * w / n, 6) * 65536) AS BIGINT))
+        |        END AS thr
+        |      FROM c CROSS JOIN s)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 4) < thr
+        |ORDER BY d.doc_id""".stripMargin
+
   /** ngram-Jaccard pair edges → transitive closure, shared by the
     * dedup_resolve / dedup_survivor oracles (use inside WITH RECURSIVE). */
   private val clusterWalkCte =
@@ -4912,39 +4933,11 @@ object ExtQueries {
     // mix_plan_apply: shares sample_mix's arithmetic exactly — the plan's
     // round-6 rate bucketed to the same threshold, same salted draw; the
     // key exists to pin the plan-then-apply path's equivalence
-    "mix_plan_apply" ->
-      """WITH c AS (
-        |  SELECT lang, count(*) AS n,
-        |    CASE lang WHEN 'en' THEN 0.5e0 WHEN 'de' THEN 0.3e0 WHEN 'es' THEN 0.2e0 END AS w
-        |  FROM documents WHERE lang IN ('en', 'de', 'es') GROUP BY lang),
-        |s AS (SELECT min(n / w) AS scale FROM c),
-        |t AS (SELECT lang,
-        |        CASE WHEN CAST(round(round(scale * w / n, 6) * 65536) AS BIGINT) >= 65536
-        |             THEN 'g000'
-        |             ELSE printf('%04x', CAST(round(round(scale * w / n, 6) * 65536) AS BIGINT))
-        |        END AS thr
-        |      FROM c CROSS JOIN s)
-        |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
-        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 4) < thr
-        |ORDER BY d.doc_id""".stripMargin,
+    "mix_plan_apply" -> sampleMixOracleSql,
     // sample_mix: scale S = min(n_i/w_i) maximizes the mixture; rate_i =
     // round(S*w_i/n_i, 6); same md5-bucket membership; zh/fr not in the
     // recipe and therefore absent
-    "sample_mix" ->
-      """WITH c AS (
-        |  SELECT lang, count(*) AS n,
-        |    CASE lang WHEN 'en' THEN 0.5e0 WHEN 'de' THEN 0.3e0 WHEN 'es' THEN 0.2e0 END AS w
-        |  FROM documents WHERE lang IN ('en', 'de', 'es') GROUP BY lang),
-        |s AS (SELECT min(n / w) AS scale FROM c),
-        |t AS (SELECT lang,
-        |        CASE WHEN CAST(round(round(scale * w / n, 6) * 65536) AS BIGINT) >= 65536
-        |             THEN 'g000'
-        |             ELSE printf('%04x', CAST(round(round(scale * w / n, 6) * 65536) AS BIGINT))
-        |        END AS thr
-        |      FROM c CROSS JOIN s)
-        |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
-        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 4) < thr
-        |ORDER BY d.doc_id""".stripMargin,
+    "sample_mix" -> sampleMixOracleSql,
     // sample_temperature: per-language keep rate (nmin/n)^(1-alpha) rounded
     // to 6 decimals before bucketing (pow may differ in the last ulp across
     // engines; both land on the same integer threshold after rounding), then

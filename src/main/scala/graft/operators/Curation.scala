@@ -401,8 +401,16 @@ object Curation {
     require(Seq("stratum", "rate").forall(plan.columns.contains),
       s"plan must carry (stratum, rate) — the mixPlan schema; " +
         s"got (${plan.columns.mkString(", ")})")
-    val rates = plan.select(col("stratum"), col("rate").cast("double"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val planRows = plan.select(col("stratum"), col("rate").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    // a duplicated stratum (an accidental union of two plans) must not
+    // let partition order pick the winning rate silently — the
+    // stripBenchmarkSpansMulti distinct-names discipline
+    val dup = planRows.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty,
+      s"mixStrataFromPlan: duplicate plan strata ${dup.toSeq.sorted.mkString(", ")} — " +
+        "two rates for one stratum is two plans; merge them upstream")
+    val rates = planRows.toMap
     require(rates.nonEmpty, "mixStrataFromPlan: the plan has no strata")
     require(rates.values.forall(r => r >= 0 && r <= 1 && !r.isNaN),
       s"plan rates must be in [0, 1]: $rates")

@@ -1152,6 +1152,24 @@ class TextEventsSpec extends SparkSpec {
     assert(e == Map(1L -> ((3L, 6L))), e.toString)
   }
 
+  test("unigram prune ties rank in UTF-8 byte order (astral vs U+E000 — the order UTF-16 flips)") {
+    // "a\uE000" (61 EE 80 80) sorts BELOW "a<emoji U+1F600>"
+    // (61 F0 9F 98 80) in UTF-8 bytes but ABOVE it in UTF-16 code units
+    // (E000 > D83D). Equal usage + one multi slot makes the tie the
+    // deciding factor: the UTF-8-smaller piece must win, matching both
+    // engines' ORDER BY (binary collation).
+    val e = "\uE000"; val g = new String(Character.toChars(0x1F600))
+    val docs = Seq((1L, s"a$e a$g a$e a$g a$e a$g"))
+      .toDF("doc_id", "text")
+    // alphabet {a, U+E000, U+1F600} = 3 chars; vocabSize 4 leaves ONE
+    // multi slot; both whole-word pieces are used 3x each in round 1
+    val v = TextAnalysis.unigramVocab(docs, "text", vocabSize = 4,
+      iters = 1, maxPieceLen = 2, maxCandidates = 10)
+      .collect().map(r => r.getString(0)).toSet
+    assert(v.contains(s"a$e") && !v.contains(s"a$g"),
+      s"tie must break by UTF-8 byte order: $v")
+  }
+
   test("unigramEncode: per-doc Viterbi piece counts under the induced vocabulary") {
     val docs = Seq((1L, "ab ab c"), (2L, "ab")).toDF("doc_id", "text")
     val e = TextAnalysis.unigramEncode(docs, "doc_id", "text",

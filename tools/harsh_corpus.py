@@ -10,25 +10,30 @@ The fixture corpus has 31 short ASCII words (max 8 chars) at every SF, so
 the text-family oracles never see their hard edges there. This corpus
 does: word lengths up to 16 characters (the unigram oracle's DP-unroll
 boundary — longer words are outside that oracle's documented contract),
-supplementary-plane and U+E000-range characters (code-point vs UTF-16
-classification, UTF-8 vs UTF-16 tie ordering), heavy shared-substring /
-equal-frequency ties (argmax and prune tie-breaks), punctuation and
-hyphens. Round 20 verified 12 keys against it (bpe_* , unigram_*, mix_*,
-sample_mix, t_closeness): 12/12 hash-match.
+supplementary-plane characters (code-point vs UTF-16 classification),
+heavy shared-substring / equal-frequency ties (argmax and prune
+tie-breaks), punctuation and hyphens. (The UTF-8-vs-UTF-16 prune-tie
+ORDERING is pinned deterministically by the TextEventsSpec
+astral-vs-U+E000 unit test — a random corpus cannot guarantee the tie
+engages.) Round 20 verified 13 keys against it — bpe_merges, bpe_encode,
+bpe_vocab, bpe_apply, unigram_vocab, unigram_encode, unigram_apply,
+tokenizer_compare, mix_apply, mix_apply_budget, mix_plan_apply,
+sample_mix, t_closeness — 13/13 hash-match.
 
 Only documents.parquet is written; compare.py registers whatever tables
 exist, so keys touching other tables are out of scope here.
 """
-import sys, random
+import os, sys, random
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 def main(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
     random.seed(7)
     words = [
         "a", "b", "ab", "ba", "aab", "abab", "ababab", "abababab",
         "abababababab", "abababababababab",            # 16 chars: boundary
-        "x\U0001F600", "\U0001F600x", "a", "a",
+        "x\U0001F600", "\U0001F600x", "q\uE000", "a", "a",
         "don't", "re-run", "co-op", "naive", "née",
         "zzzzzzzz", "zzzz", "zz", "qqqqqqqqqqqqqqqq",  # 16 chars
         "mixmixmixmixmix", "mix", "mixmix",
@@ -51,4 +56,6 @@ def main(out_dir: str) -> None:
     print(f"wrote {t.num_rows} docs to {out_dir}/documents.parquet")
 
 if __name__ == "__main__":
+    if len(sys.argv) != 2:
+        sys.exit("usage: python3 tools/harsh_corpus.py <out_dir>")
     main(sys.argv[1])
