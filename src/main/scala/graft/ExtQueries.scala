@@ -2136,7 +2136,10 @@ object ExtQueries {
     * text) intact so downstream stages can keep processing. */
   private def englishSurvivors(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, d, "documents")
+    // fan the small single-split scan out before the per-row lang-id +
+    // quality kernels (graft.engine.Fan — identity at production sizes;
+    // all downstream decisions here are exact/per-row deterministic)
+    val docs = graft.engine.Fan.out(t(s, d, "documents"))
     val en = TextAnalysis.withLangId(docs, "text").filter(col("lang_pred") === "en")
     val good = TextAnalysis.withQualityScore(en, "text")
       .filter(col("quality_score") >= 0.5)

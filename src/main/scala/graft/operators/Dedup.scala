@@ -1294,7 +1294,10 @@ object Dedup {
       k: Int = 16, w: Int = 8): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
-    df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+    // fan a small single-split scan out before the per-k-gram md5 kernel
+    // (graft.engine.Fan scaladoc) — identity at production scan sizes
+    graft.engine.Fan.out(
+        df.filter(col(textCol).isNotNull && length(col(textCol)) >= k))
       .select(col(idCol).as("id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, w)).as("h"))
   }
@@ -1510,19 +1513,25 @@ object Dedup {
     // a-side joins the (AQE-broadcast-able) candidate frame directly, and
     // the b-side is semi-filtered to candidate documents before the
     // (b_id, h) exchange
-    def grams = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
-      .select(col(idCol).as("id"),
+    // semi-cut to candidate docs FIRST (cheap id probe in the scan stage),
+    // THEN fan the small scan out (graft.engine.Fan — identity at
+    // production scan sizes), THEN run the gram kernel: the md5 explode is
+    // the expensive part and must sit above the fan-out, not in the
+    // single-split scan task
+    def gramsFor(ids: DataFrame) = graft.engine.Fan.out(
+        df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+          .select(col(idCol).as("id"), col(textCol))
+          .join(ids, Seq("id"), "left_semi"))
+      .select(col("id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
     val bIds = c.select(col("b_id").as("id")).distinct()
-    val gramsB = grams.join(bIds, Seq("id"), "left_semi")
-      .select(col("id").as("b_id"), col("h"))
+    val gramsB = gramsFor(bIds).select(col("id").as("b_id"), col("h"))
     // the a-side is semi-cut too: the inner join against cand filters the
     // same rows, but only AFTER shuffling — without the cut, a candidate
     // frame too large to broadcast would sort-merge the CORPUS gram table
     // by a_id (the semi keeps the guarantee structural, not AQE-dependent)
     val aIds = c.select(col("a_id").as("id")).distinct()
-    val gramsA = grams.join(aIds, Seq("id"), "left_semi")
-      .select(col("id").as("a_id"), col("h"))
+    val gramsA = gramsFor(aIds).select(col("id").as("a_id"), col("h"))
     c.select("a_id", "b_id", "n_shared_fp")
       .join(gramsA, Seq("a_id"))
       .join(gramsB, Seq("b_id", "h"))
@@ -1633,12 +1642,19 @@ object Dedup {
       .select("a_id", "b_id")
     // a-side distinct grams (coverage source), b-side POSITIONAL grams —
     // both semi-cut to candidate docs before any exchange
-    val aGrams = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
-      .select(col(idCol).as("a_id"),
+    // semi-cut FIRST, then fan the small scan out (graft.engine.Fan —
+    // identity at production scan sizes), then the gram kernels: the md5
+    // explodes must sit above the fan-out, not in the single-split scan
+    val aGrams = graft.engine.Fan.out(
+        df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+          .select(col(idCol).as("a_id"), col(textCol))
+          .join(c.select("a_id").distinct(), Seq("a_id"), "left_semi"))
+      .select(col("a_id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
-      .join(c.select("a_id").distinct(), Seq("a_id"), "left_semi")
-    val bPos = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
-      .join(c.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val bPos = graft.engine.Fan.out(
+        df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+          .join(c.select(col("b_id").as(idCol)).distinct(), Seq(idCol),
+            "left_semi"))
       .select(col(idCol).as("b_id"),
         posexplode(graft.plans.KgramHashes.grams(col(textCol), k)))
       .withColumnRenamed("col", "h")
@@ -1750,14 +1766,17 @@ object Dedup {
       .select("a_id", "b_id")
     // distinct grams of each EARLIER partner's original text, semi-cut to
     // partner docs before the pair fan-out
-    def grams = df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
-      .select(col(idCol).as("id"),
+    // (semi-cut FIRST, then fan the small scan out — graft.engine.Fan,
+    // identity at production scan sizes — then the md5 gram kernel)
+    def gramsFor(ids: DataFrame) = graft.engine.Fan.out(
+        df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+          .select(col(idCol).as("id"), col(textCol))
+          .join(ids, Seq("id"), "left_semi"))
+      .select(col("id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
-    val aGrams = grams.join(c.select(col("a_id").as("id")).distinct(),
-        Seq("id"), "left_semi")
+    val aGrams = gramsFor(c.select(col("a_id").as("id")).distinct())
       .select(col("id").as("a_id"), col("h"))
-    val bGrams = grams.join(c.select(col("b_id").as("id")).distinct(),
-        Seq("id"), "left_semi")
+    val bGrams = gramsFor(c.select(col("b_id").as("id")).distinct())
       .select(col("id").as("b_id"), col("h"))
     // the partner set is intersected with the LATER doc's own gram set
     // BEFORE collecting: a partner gram absent from b can never match
@@ -1770,7 +1789,10 @@ object Dedup {
       .join(bGrams, Seq("b_id", "h"), "left_semi")
       .groupBy("b_id").agg(collect_set(col("h")).as("__ph"))
       .select(col("b_id").as("__strip_id"), col("__ph"))
-    val joined = df.join(ph, df(idCol) === ph("__strip_id"), "left")
+    // fan the output side too: the strip expression re-hashes every doc's
+    // grams per row, which otherwise runs inside the single-split scan
+    val base = graft.engine.Fan.out(df)
+    val joined = base.join(ph, base(idCol) === ph("__strip_id"), "left")
     stripWithPartnerHashes(joined, textCol, k)
   }
 
@@ -1929,8 +1951,8 @@ object Dedup {
     // partner gram the arrival lacks can never match, and the cut shrinks
     // the per-arrival array from full corpus-doc gram sets to the copied
     // spans' (one extra map-side scan of the small batch side)
-    val batchGrams = batch
-      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+    val batchGrams = graft.engine.Fan.out(batch
+        .filter(col(textCol).isNotNull && length(col(textCol)) >= k))
       .select(col(idCol).as("new_id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
     val ph = partners
@@ -1939,7 +1961,8 @@ object Dedup {
       .join(batchGrams, Seq("new_id", "h"), "left_semi")
       .groupBy("new_id").agg(collect_set(col("h")).as("__ph"))
       .select(col("new_id").as("__strip_id"), col("__ph"))
-    val joined = batch.join(ph, batch(idCol) === ph("__strip_id"), "left")
+    val base = graft.engine.Fan.out(batch)
+    val joined = base.join(ph, base(idCol) === ph("__strip_id"), "left")
     stripWithPartnerHashes(joined, textCol, k)
   }
 
@@ -1983,8 +2006,8 @@ object Dedup {
       maxFingerprintDf: Int): DataFrame = {
     val fps = capFingerprintIndex(
       winnowFingerprints(benchmark, idCol, textCol, k, w), maxFingerprintDf)
-    val grams = benchmark
-      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+    val grams = graft.engine.Fan.out(benchmark
+        .filter(col(textCol).isNotNull && length(col(textCol)) >= k))
       .select(col(idCol).as("id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
     stripBenchmarkSpansIndexed(corpus, fps, grams, idCol, textCol,
@@ -2063,7 +2086,8 @@ object Dedup {
         .select(tagged(b, col("id")).as("corpus_id"), col("h"))
     }.reduce(_ unionByName _)
     val grams = benchmarks.map { case (b, df) =>
-      df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+      graft.engine.Fan.out(
+          df.filter(col(textCol).isNotNull && length(col(textCol)) >= k))
         .select(tagged(b, col(idCol)).as("corpus_id"),
           explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
     }.reduce(_ unionByName _)
@@ -2073,8 +2097,8 @@ object Dedup {
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("__ns"))
       .filter(col("__ns") >= minShared)
       .select("new_id", "corpus_id")
-    val batchGrams = corpus
-      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+    val batchGrams = graft.engine.Fan.out(corpus
+        .filter(col(textCol).isNotNull && length(col(textCol)) >= k))
       .select(col(idCol).as("new_id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
     // matched grams per (document, benchmark): the partner's gram set
@@ -2091,7 +2115,8 @@ object Dedup {
         .as("__phm"),
       array_distinct(flatten(collect_list(col("__hs")))).as("__ph"))
       .select(col("new_id").as("__strip_id"), col("__phm"), col("__ph"))
-    val joined = corpus.join(ph, corpus(idCol) === ph("__strip_id"), "left")
+    val base = graft.engine.Fan.out(corpus)
+    val joined = base.join(ph, base(idCol) === ph("__strip_id"), "left")
     val strippedAll = when(col("__ph").isNotNull && col(textCol).isNotNull,
       graft.plans.StripMatchedGrams.stripCol(col(textCol), col("__ph"), k))
       .otherwise(col(textCol))
