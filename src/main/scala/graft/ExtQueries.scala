@@ -1433,9 +1433,6 @@ object ExtQueries {
   val ivfPqOpqSweepQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
-    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
-      q, "vec_id", "embedding", k = 10)
-      .select("q_id", "n_id").localCheckpoint()
     val plainIdx = fullHeavyIvfPq(s, d)
     val opqIdx = IndexFixtures.shared(d, "ivfpq-full-opq-16x3-16x64x3")(p =>
       Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
@@ -1446,19 +1443,35 @@ object ExtQueries {
       "vec_id", "embedding", q, "vec_id", "embedding", k = 10,
       shortlist = 80, probes = probes)
       .select("n_probe", "q_id", "n_id").localCheckpoint()
-    def hits(sw: DataFrame) = sw.join(exact, Seq("q_id", "n_id"))
-      .groupBy("n_probe").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val so = sweep(opqIdx)
-    val hp = hits(sweep(plainIdx))
-    val ho = hits(so)
-    val storedMaxO = Similarity.ivfPqStoredTopK(s, opqIdx, e, "vec_id",
-      "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
-      nProbe = probes.max).select("q_id", "n_id")
+    // the four arms (exact truth, the two sweep scans, the independent
+    // stored-topk run) are independent job chains of small stages —
+    // previously ~83 driver-sequential jobs; overlap them (guide §2.6)
+    val (exact, sp, so, storedMaxO) = graft.engine.Overlap.par4(
+      Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+        .select("q_id", "n_id").localCheckpoint(),
+      sweep(plainIdx),
+      sweep(opqIdx),
+      Similarity.ivfPqStoredTopK(s, opqIdx, e, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
+        nProbe = probes.max).select("q_id", "n_id").localCheckpoint())
+    // ONE collect answers BOTH arms' probe curves (the tagged union of
+    // the two per-arm joins — identical counts, half the action count)
+    val hitRows = sp.withColumn("__arm", lit("p"))
+      .unionByName(so.withColumn("__arm", lit("o")))
+      .join(exact, Seq("q_id", "n_id"))
+      .groupBy("__arm", "n_probe").count().collect()
+    def armHits(a: String) = hitRows.collect {
+      case r if r.getString(0) == a => r.getInt(1) -> r.getLong(2)
+    }.toMap
+    val hp = armHits("p")
+    val ho = armHits("o")
     val maxSweepO = so.filter(col("n_probe") === probes.max)
       .select("q_id", "n_id")
-    val idOk = maxSweepO.exceptAll(storedMaxO).isEmpty &&
-      storedMaxO.exceptAll(maxSweepO).isEmpty
+    // symmetric-difference emptiness in ONE action (A\B ∪ B\A = ∅ iff
+    // both are — the two serial exceptAll jobs computed exactly this)
+    val idOk = maxSweepO.exceptAll(storedMaxO)
+      .unionAll(storedMaxO.exceptAll(maxSweepO)).isEmpty
     val nq = q.count()
     def ok(b: Boolean) = if (b) 1 else 0
     val fullGe = ok(ho.getOrElse(probes.max, 0L) >=
@@ -1521,15 +1534,20 @@ object ExtQueries {
         m = 16, ksub = 64, pqIters = 3, residual = false))
     val idx = IndexFixtures.cloneOf(s, src, "graft-ivfpq-incr")
     try {
-      Similarity.appendIvfPqIndex(s, idx,
-        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
-      val check = annRecallCheck(
-        Similarity.ivfPqStoredTopK(s, idx, e, "vec_id", "embedding",
-          q, "vec_id", "embedding", k = 10, shortlist = 80, nProbe = 8)
-          .select("q_id", "n_id"),
+      // the exact truth never reads the index — overlap it with the
+      // append + grown-index search chain (guide §2.6); both arms are
+      // checkpointed so the recall aggregate below reads them once
+      val (exact, ann) = graft.engine.Overlap.par(
         Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
-          "embedding", k = 10).select("q_id", "n_id"),
-        k = 10, hitsFloor = 30)
+          "embedding", k = 10).select("q_id", "n_id").localCheckpoint(),
+        {
+          Similarity.appendIvfPqIndex(s, idx,
+            e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+          Similarity.ivfPqStoredTopK(s, idx, e, "vec_id", "embedding",
+            q, "vec_id", "embedding", k = 10, shortlist = 80, nProbe = 8)
+            .select("q_id", "n_id").localCheckpoint()
+        })
+      val check = annRecallCheck(ann, exact, k = 10, hitsFloor = 30)
       Similarity.localFrame(s, check.collect(), check.schema)
     } finally {
       val p = new org.apache.hadoop.fs.Path(idx)
@@ -1619,19 +1637,28 @@ object ExtQueries {
       Similarity.ingestIvfPqBatch(s, idx,
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
         batchId = 0L)
-      val preDelta = Similarity.ivfPqIndexHealth(s, idx).head()
-        .getAs[Long]("delta_rows")
-      val epochBefore = Similarity.readIvfPqEpoch(s, idx)
+      // pre-compaction reads are independent of each other — overlap
+      // (guide §2.6)
+      val (preH, epochBefore) = graft.engine.Overlap.par(
+        Similarity.ivfPqIndexHealth(s, idx).head(),
+        Similarity.readIvfPqEpoch(s, idx))
+      val preDelta = preH.getAs[Long]("delta_rows")
       Similarity.compactIvfPqIndex(s, idx, e, "vec_id", "embedding")
-      val h = Similarity.ivfPqIndexHealth(s, idx).head()
-      val epochAfter = Similarity.readIvfPqEpoch(s, idx)
       // reference rebuild: same grown corpus, same config — the compacted
-      // index table must match it row for row
+      // index table must match it row for row. The three post-compaction
+      // reads (health, epoch, the table compare) are independent; the
+      // compare runs as ONE symmetric-difference action (A\B ∪ B\A = ∅
+      // iff both are — the two serial exceptAll jobs computed exactly
+      // this)
       val fresh = fullCheapIvfPq(s, d)
-      val a = s.read.parquet(s"$idx/index.parquet")
-      val b = s.read.parquet(s"$fresh/index.parquet")
-      val matches =
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val (h, epochAfter, matches) = graft.engine.Overlap.par3(
+        Similarity.ivfPqIndexHealth(s, idx).head(),
+        Similarity.readIvfPqEpoch(s, idx),
+        {
+          val a = s.read.parquet(s"$idx/index.parquet")
+          val b = s.read.parquet(s"$fresh/index.parquet")
+          a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
+        })
       def ok(bb: Boolean) = if (bb) 1 else 0
       Similarity.localFrame(s, Array(org.apache.spark.sql.Row(
         h.getAs[Long]("total_indexed"), preDelta,
@@ -1675,15 +1702,25 @@ object ExtQueries {
       "graft-ivfpq-del")
     try {
       Similarity.deleteFromIvfPqIndex(s, idx, del, "vec_id")
-      val h0 = Similarity.ivfPqIndexHealth(s, idx).head()
-      val post = Similarity.ivfPqStoredTopK(s, idx, e, "vec_id",
-        "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
-        nProbe = 16).select("q_id", "n_id").localCheckpoint()
-      val resultRows = post.count()
-      val deletedInTopk = post.join(del.withColumnRenamed("vec_id", "n_id"),
-        Seq("n_id")).count()
+      // the three post-delete reads (health dashboard, the tombstone-aware
+      // search, the query count) are independent job chains — overlap
+      // them (guide §2.6)
+      val (h0, post, nQueries) = graft.engine.Overlap.par3(
+        Similarity.ivfPqIndexHealth(s, idx).head(),
+        Similarity.ivfPqStoredTopK(s, idx, e, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
+          nProbe = 16).select("q_id", "n_id").localCheckpoint(),
+        q.count())
+      // result rows and deleted-id hits from ONE aggregation job (del's
+      // ids are unique, so the left join cannot fan out a result row —
+      // the two serial counts read exactly these numbers)
+      val cRow = post.join(del.withColumnRenamed("vec_id", "n_id")
+          .withColumn("__d", lit(1)), Seq("n_id"), "left")
+        .agg(count(lit(1)).as("rr"), count(col("__d")).as("dit")).head()
+      val resultRows = cRow.getLong(0)
+      val deletedInTopk = cRow.getLong(1)
       Similarity.localFrame(s, Array(org.apache.spark.sql.Row(
-        q.count(), resultRows, deletedInTopk,
+        nQueries, resultRows, deletedInTopk,
         h0.getAs[Long]("total_indexed"),
         h0.getAs[Long]("tombstone_rows"), h0.getAs[Long]("dead_rows"))),
         org.apache.spark.sql.types.StructType(
@@ -1714,25 +1751,32 @@ object ExtQueries {
   val ivfPqProbeSweepQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
-    val exact = Similarity.bruteForceTopK(
-      e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
-      .select("q_id", "n_id").localCheckpoint()
     // read-only consumer of the shared heavy fixture (r19 build-once) —
     // the sweep only ever reads the published tables
     val idx = fullHeavyIvfPq(s, d)
     locally {
       val probes = Seq(1, 2, 4, 8)
-      val sweep = Similarity.ivfPqStoredProbeSweep(s, idx, e, "vec_id",
+      // three independent job chains (exact truth, the sweep scan, the
+      // independent stored-topk run) — overlap them (guide §2.6); the
+      // stored arm is checkpointed so the symmetric-difference check
+      // below executes the search once, not once per exceptAll side
+      val (exact, sweep, storedMax) = graft.engine.Overlap.par3(
+        Similarity.bruteForceTopK(
+          e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+          .select("q_id", "n_id").localCheckpoint(),
+        Similarity.ivfPqStoredProbeSweep(s, idx, e, "vec_id",
           "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
           probes = probes)
-        .select("n_probe", "q_id", "n_id").localCheckpoint()
-      val storedMax = Similarity.ivfPqStoredTopK(s, idx, e, "vec_id",
-        "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
-        nProbe = probes.max).select("q_id", "n_id")
+          .select("n_probe", "q_id", "n_id").localCheckpoint(),
+        Similarity.ivfPqStoredTopK(s, idx, e, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 10, shortlist = 80,
+          nProbe = probes.max).select("q_id", "n_id").localCheckpoint())
       val maxSweep = sweep.filter(col("n_probe") === probes.max)
         .select("q_id", "n_id")
-      val idOk = maxSweep.exceptAll(storedMax).isEmpty &&
-        storedMax.exceptAll(maxSweep).isEmpty
+      // symmetric-difference emptiness in ONE action (A\B ∪ B\A = ∅ iff
+      // both are — the two serial exceptAll jobs computed exactly this)
+      val idOk = maxSweep.exceptAll(storedMax)
+        .unionAll(storedMax.exceptAll(maxSweep)).isEmpty
       val hits = sweep.join(exact, Seq("q_id", "n_id"))
         .groupBy("n_probe").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -1774,31 +1818,39 @@ object ExtQueries {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 5)
     val w = col("label") % 2 === 0
-    val exact = Similarity.bruteForceTopK(e.filter(w), "vec_id",
-        "embedding", q, "vec_id", "embedding", k = 10)
-      .select("q_id", "n_id").localCheckpoint()
     val idx = fullHeavyLabelIvfPq(s, d)
     val probes = Seq(1, 2, 4, 8)
-    val sweep = Similarity.ivfPqStoredProbeSweepFiltered(s, idx, e,
+    // three independent job chains (exact filtered truth, the filtered
+    // sweep scan, the independent filtered stored-topk run) — overlap
+    // them (guide §2.6); each checkpointed so the downstream checks
+    // execute each arm once
+    val (exact, sweep, storedMax) = graft.engine.Overlap.par3(
+      Similarity.bruteForceTopK(e.filter(w), "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 10)
+        .select("q_id", "n_id").localCheckpoint(),
+      Similarity.ivfPqStoredProbeSweepFiltered(s, idx, e,
+          "vec_id", "embedding", q, "vec_id", "embedding", k = 10,
+          shortlist = 80, probes = probes, where = w)
+        .select("n_probe", "q_id", "n_id").localCheckpoint(),
+      Similarity.ivfPqStoredTopKFiltered(s, idx, e,
         "vec_id", "embedding", q, "vec_id", "embedding", k = 10,
-        shortlist = 80, probes = probes, where = w)
-      .select("n_probe", "q_id", "n_id").localCheckpoint()
-    // checkpointed like its siblings: the two exceptAll actions below
-    // would otherwise re-execute the whole filtered search twice
-    val storedMax = Similarity.ivfPqStoredTopKFiltered(s, idx, e,
-      "vec_id", "embedding", q, "vec_id", "embedding", k = 10,
-      shortlist = 80, where = w, nProbe = probes.max)
-      .select("q_id", "n_id").localCheckpoint()
+        shortlist = 80, where = w, nProbe = probes.max)
+        .select("q_id", "n_id").localCheckpoint())
     val maxSweep = sweep.filter(col("n_probe") === probes.max)
       .select("q_id", "n_id")
-    val idOk = maxSweep.exceptAll(storedMax).isEmpty &&
-      storedMax.exceptAll(maxSweep).isEmpty
-    val hits = sweep.join(exact, Seq("q_id", "n_id"))
-      .groupBy("n_probe").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val inel = sweep.join(e.filter(!w).select(col("vec_id").as("n_id")),
-      Seq("n_id"), "left_semi").count()
-    val nq = q.count()
+    // symmetric-difference emptiness in ONE action (A\B ∪ B\A = ∅ iff
+    // both are — the two serial exceptAll jobs computed exactly this)
+    val idOk = maxSweep.exceptAll(storedMax)
+      .unionAll(storedMax.exceptAll(maxSweep)).isEmpty
+    // the three residual reads are tiny independent jobs over the
+    // checkpointed arms — overlap those too
+    val (hitRows, inel, nq) = graft.engine.Overlap.par3(
+      sweep.join(exact, Seq("q_id", "n_id"))
+        .groupBy("n_probe").count().collect(),
+      sweep.join(e.filter(!w).select(col("vec_id").as("n_id")),
+        Seq("n_id"), "left_semi").count(),
+      q.count())
+    val hits = hitRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     def ok(b: Boolean) = if (b) 1 else 0
     val floorMet = ok(hits.getOrElse(probes.max, 0L) >= 28L)
     Similarity.localFrame(s, probes.map(p =>
