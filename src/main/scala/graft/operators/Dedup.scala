@@ -1658,9 +1658,17 @@ object Dedup {
       .select(col(idCol).as("b_id"),
         posexplode(graft.plans.KgramHashes.grams(col(textCol), k)))
       .withColumnRenamed("col", "h")
+    // NO distinct barrier: (a_id, b_id, pos) is UNIQUE by construction —
+    // aGrams is per-doc DISTINCT ([[graft.plans.WinnowMinima]] dedupes its
+    // minima) and (b_id, pos) determines its single gram hash, so the join
+    // cannot emit a position twice for a pair (requires `cand` pairs be
+    // unique — the substringDupPairs output shape every caller passes).
+    // The distinct previously forced an extra (a_id, b_id, pos) exchange
+    // before the windows' (a_id, b_id) exchange for identical rows
+    // (optimization round 21; DedupSpec pins FromPairs ≡ internal-pairs).
     val matched = c.join(aGrams, Seq("a_id"))
       .join(bPos, Seq("b_id", "h"))
-      .select("a_id", "b_id", "pos").distinct()
+      .select("a_id", "b_id", "pos")
     // islands pass 1: maximal runs of CONSECUTIVE matched positions
     val wPair = Window.partitionBy("a_id", "b_id").orderBy("pos")
     val runs = matched
@@ -1686,6 +1694,99 @@ object Dedup {
       .agg((max(col("ce")) - min(col("cs")) + lit(1)).cast("long").as("span_chars"))
       .select("a_id", "b_id", "span_chars")
     spans
+  }
+
+  /** The threshold-picking REPORT — [[substringExtentFromPairs]] joined
+    * with the per-pair rollup of [[substringSpanLengthsFromPairs]] —
+    * fused into ONE plan over a shared matched-gram join (optimization
+    * round 21): per candidate pair the sampled fingerprint count, exact
+    * distinct-gram overlap, merged span count, longest span, and copied
+    * char mass.
+    *
+    * Why fused: composed, the two consumers each scanned and
+    * gram-exploded the corpus independently (4 scans + 2 join trees for
+    * one report). The extent's distinct-gram overlap is derivable from
+    * the SAME (pair, h, pos) matched frame the islands chain reads:
+    * n_shared_grams = |distinct shared h| per pair = max(dense_rank over
+    * h) — one extra window pass on the (a_id, b_id) partitioning already
+    * in place (no new exchange) instead of a second corpus scan + join +
+    * aggregate. Output is row-identical to the composition (DedupSpec
+    * pins it); same uniqueness contract as the spans chain (`cand` pairs
+    * unique — the substringDupPairs output shape). */
+  def substringReportFromPairs(
+      df: DataFrame, cand: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c0 = normalizedPairs(cand, "substringReportFromPairs",
+      Seq("n_shared" -> "n_shared_fp"))
+    require(c0.columns.contains("n_shared_fp"),
+      "substringReportFromPairs needs the shared-fingerprint count " +
+        s"(n_shared or n_shared_fp); got (${cand.columns.mkString(", ")})")
+    val c = c0.select("a_id", "b_id", "n_shared_fp")
+    // the two gram scans of the spans chain, verbatim (semi-cut first,
+    // then the scale-adaptive fan, then the gram kernels)
+    val aGrams = graft.engine.Fan.out(
+        df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+          .select(col(idCol).as("a_id"), col(textCol))
+          .join(c.select("a_id").distinct(), Seq("a_id"), "left_semi"))
+      .select(col("a_id"),
+        explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
+    val bPos = graft.engine.Fan.out(
+        df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+          .join(c.select(col("b_id").as(idCol)).distinct(), Seq(idCol),
+            "left_semi"))
+      .select(col(idCol).as("b_id"),
+        posexplode(graft.plans.KgramHashes.grams(col(textCol), k)))
+      .withColumnRenamed("col", "h")
+    // (a_id, b_id, h, pos) is unique by the spans-chain argument (aGrams
+    // per-doc distinct; (b_id, pos) determines h), so no distinct barrier
+    val matched = c.join(aGrams, Seq("a_id")).join(bPos, Seq("b_id", "h"))
+      .select("a_id", "b_id", "n_shared_fp", "h", "pos")
+    val wPairH = Window.partitionBy("a_id", "b_id").orderBy("h")
+    val wPairAll = Window.partitionBy("a_id", "b_id")
+    val wPairPos = Window.partitionBy("a_id", "b_id").orderBy("pos")
+    // the extent read: distinct shared grams per pair as max(dense_rank)
+    // — same (a_id, b_id) partitioning as the islands windows below, so
+    // the whole chain is one exchange
+    val withNsg = matched
+      .withColumn("__hr", dense_rank().over(wPairH))
+      .withColumn("__nsg", max(col("__hr")).over(wPairAll).cast("long"))
+    // islands pass 1 (the spans-chain semantics, with the pair constants
+    // riding through the aggregates)
+    val runs = withNsg
+      .withColumn("__grp", col("pos") - row_number().over(wPairPos))
+      .groupBy("a_id", "b_id", "__grp")
+      .agg(min(col("pos")).as("__s"), max(col("pos")).as("__e"),
+        max(col("n_shared_fp")).as("n_shared_fp"),
+        max(col("__nsg")).as("n_shared_grams"))
+      .select(col("a_id"), col("b_id"), col("n_shared_fp"),
+        col("n_shared_grams"),
+        col("__s").as("cs"), (col("__e") + lit(k - 1)).as("ce"))
+    // islands pass 2 + the per-pair report rollup
+    val wRun = Window.partitionBy("a_id", "b_id").orderBy("cs")
+    runs
+      .withColumn("__pmax",
+        max(col("ce")).over(wRun.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("cs") > col("__pmax") + 1, 1)
+          .otherwise(0))
+      .withColumn("__span", sum(col("__new")).over(wRun))
+      .groupBy("a_id", "b_id", "__span")
+      .agg(max(col("n_shared_fp")).as("n_shared_fp"),
+        max(col("n_shared_grams")).as("n_shared_grams"),
+        (max(col("ce")) - min(col("cs")) + lit(1)).cast("long")
+          .as("span_chars"))
+      .groupBy("a_id", "b_id")
+      // the coalesce fallbacks never fire (every group is non-empty and
+      // the carried pair constants are non-null); they exist to pin the
+      // NON-NULLABLE schema of the composition this fused plan replaces
+      .agg(coalesce(max(col("n_shared_fp")), lit(0L)).as("n_shared_fp"),
+        coalesce(max(col("n_shared_grams")), lit(0L)).as("n_shared_grams"),
+        count(lit(1)).as("n_spans"),
+        max(col("span_chars")).cast("long").as("max_span_chars"),
+        sum(col("span_chars")).cast("long").as("copied_chars"))
+      .select("a_id", "b_id", "n_shared_fp", "n_shared_grams",
+        "n_spans", "max_span_chars", "copied_chars")
   }
 
   /** Copied-span REMOVAL — the payoff stage of exact-substring dedup

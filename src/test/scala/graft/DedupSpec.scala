@@ -762,6 +762,22 @@ class DedupSpec extends SparkSpec {
         k = 4)) ==
       sorted(Dedup.stripCopiedSpans(docs, "doc_id", "text",
         k = 4, w = 2, minShared = 2)))
+    // the fused report (r21) is row-identical to the extent ⋈ span-rollup
+    // composition it replaced in the substring_report key
+    val fused = Dedup.substringReportFromPairs(docs, pairs, "doc_id", "text",
+      k = 4)
+    val composed = Dedup.substringExtentFromPairs(docs, pairs, "doc_id",
+        "text", k = 4)
+      .join(Dedup.substringSpanLengthsFromPairs(docs, pairs, "doc_id",
+          "text", k = 4)
+        .groupBy("a_id", "b_id").agg(
+          count(lit(1)).as("n_spans"),
+          max(col("span_chars")).cast("long").as("max_span_chars"),
+          sum(col("span_chars")).cast("long").as("copied_chars")),
+        Seq("a_id", "b_id"))
+    assert(fused.columns.toSeq == composed.columns.toSeq)
+    assert(fused.schema == composed.schema)
+    assert(sorted(fused) == sorted(composed))
     // schema guards are loud: missing pair ids, missing shared-fp count
     intercept[IllegalArgumentException](
       Dedup.stripCopiedSpansFromPairs(docs,
