@@ -2189,8 +2189,18 @@ object ExtQueries {
     // quality kernels (graft.engine.Fan — identity at production sizes;
     // all downstream decisions here are exact/per-row deterministic)
     val docs = graft.engine.Fan.out(t(s, d, "documents"))
-    val en = TextAnalysis.withLangId(docs, "text").filter(col("lang_pred") === "en")
-    val good = TextAnalysis.withQualityScore(en, "text")
+    // the computed gate columns are FENCED (graft.plans.EvalOnce): without
+    // the fence the optimizer substitutes each filter's alias with its
+    // defining expression and pushes the filter below the fan repartition
+    // into the indivisible single-split scan task — the lang-id + quality
+    // kernels then run serially on one core AND run a second time in the
+    // surviving projection (guide §4.4's duplicated-evaluation shape).
+    // Fenced, each kernel evaluates exactly once, above the fan-out.
+    def fence(df: DataFrame, c: String) =
+      df.withColumn(c, graft.plans.EvalOnce.once(col(c)))
+    val en = fence(TextAnalysis.withLangId(docs, "text"), "lang_pred")
+      .filter(col("lang_pred") === "en")
+    val good = fence(TextAnalysis.withQualityScore(en, "text"), "quality_score")
       .filter(col("quality_score") >= 0.5)
     // staged once before the multi-pass dedup: both the pair generation and
     // the final anti-join consume it — the standard staging point a
@@ -2199,10 +2209,16 @@ object ExtQueries {
     // checkpoint blocks are reclaimed by the ContextCleaner once the
     // returned plan is unreferenced, where a CacheManager entry would pin
     // the session's memory for good.
-    val exact = good
+    // Fan BEFORE the checkpoint: the md5-dedup window's exchange is
+    // AQE-coalesced to ~one partition at this byte size, so without the
+    // re-fan the checkpointed RDD has one partition and every downstream
+    // CPU-dense pass (shingle explode, winnow kernels) runs single-task;
+    // an explicit-N repartition is preserved by AQE and is the identity
+    // at production sizes (the Fan guard).
+    val exact = graft.engine.Fan.out(good
       .withColumn("__rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") === 1).drop("__rn"))
       .localCheckpoint()
     val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
       shingleN = 3, minJaccard = 0.5)
@@ -2225,8 +2241,13 @@ object ExtQueries {
     // barrier the survivor chain: the strip consumes its input df three
     // times (fingerprint scan, partner-gram scan, final join) — without
     // this the whole lang-id/quality/dedup pipeline re-executes 3x (the
-    // englishSurvivors-internal `exact` checkpoint rationale)
-    val survivors = englishSurvivors(s, d).select("doc_id", "lang", "text")
+    // englishSurvivors-internal `exact` checkpoint rationale).
+    // Fan BEFORE the checkpoint (the englishSurvivors `exact` rationale):
+    // the survivor anti-join's exchange is AQE-coalesced to ~one partition
+    // at this byte size, and the strip's three consumers would otherwise
+    // all read a single-partition RDD single-task.
+    val survivors = graft.engine.Fan.out(
+        englishSurvivors(s, d).select("doc_id", "lang", "text"))
       .localCheckpoint()
     // pairs-reuse wiring: the winnow+pair stage runs ONCE and the
     // materialized candidate frame feeds the strip (and would feed the
