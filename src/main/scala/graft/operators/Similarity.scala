@@ -1404,8 +1404,14 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.engine.Sinks.publishRoot(fs, path) { tmp =>
-      centroids.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
-      assigned.write.mode("overwrite").parquet(s"$tmp/assigned.parquet")
+      // centroids are a LOCAL model table (nLists rows) — one file, not
+      // min(rows, cores) one-row files (guide §6); the two writes are
+      // independent staging jobs — overlap them (guide §2.6)
+      graft.engine.Overlap.par(
+        centroids.coalesce(1).write.mode("overwrite")
+          .parquet(s"$tmp/centroids.parquet"),
+        assigned.write.mode("overwrite").parquet(s"$tmp/assigned.parquet"))
+      ()
     }
   }
 
@@ -1717,8 +1723,14 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.engine.Sinks.publishRoot(fs, path) { tmp =>
-      codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks.parquet")
-      codes.write.mode("overwrite").parquet(s"$tmp/codes.parquet")
+      // codebooks are a LOCAL model table (m×ksub rows) — one file, not
+      // min(rows, cores) one-row files (guide §6); the two writes are
+      // independent staging jobs — overlap them (guide §2.6)
+      graft.engine.Overlap.par(
+        codebooks.coalesce(1).write.mode("overwrite")
+          .parquet(s"$tmp/codebooks.parquet"),
+        codes.write.mode("overwrite").parquet(s"$tmp/codes.parquet"))
+      ()
     }
   }
 
@@ -2033,12 +2045,28 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.engine.Sinks.publishRoot(fs, path) { tmp =>
-      centroids.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
-      codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks.parquet")
-      index.write.mode("overwrite").parquet(s"$tmp/index.parquet")
-      meta.write.mode("overwrite").parquet(s"$tmp/meta.parquet")
-      rotTable.foreach(_.write.mode("overwrite")
-        .parquet(s"$tmp/rotation.parquet"))
+      // model tables are model-artifact-sized (nLists rows, m×ksub rows,
+      // one meta row, dim rotation rows) but are LOCAL relations, which
+      // write as min(rows, core count) part files — every subsequent open
+      // of the stored index then listed + footer-read dozens of one-row
+      // files (optimization guide §6: small files hurt twice). ONE file
+      // per model table; the corpus-sized index table keeps its natural
+      // partitioning. The writes land in independent staging subdirs, so
+      // they overlap (guide §2.6) — the root swap still happens only
+      // after all of them complete.
+      graft.engine.Overlap.par4(
+        centroids.coalesce(1).write.mode("overwrite")
+          .parquet(s"$tmp/centroids.parquet"),
+        codebooks.coalesce(1).write.mode("overwrite")
+          .parquet(s"$tmp/codebooks.parquet"),
+        {
+          meta.coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/meta.parquet")
+          rotTable.foreach(_.coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/rotation.parquet"))
+        },
+        index.write.mode("overwrite").parquet(s"$tmp/index.parquet"))
+      ()
     }
   }
 
