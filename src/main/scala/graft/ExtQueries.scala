@@ -620,10 +620,14 @@ object ExtQueries {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleN = 3, minJaccard = 0.5)
       .select("a_id", "b_id").localCheckpoint()
-    val sweep = Dedup.minhashBandSweep(docs, "doc_id", "text", truth,
+    // the banding sweep and the truth count are independent reads of the
+    // checkpointed truth frame — overlap them (guide §2.6)
+    val (sweepRows, nExact) = graft.engine.Overlap.par(
+      Dedup.minhashBandSweep(docs, "doc_id", "text", truth,
         numHashes = 16, bandConfigs = Seq(1, 2, 4, 8), shingleN = 3)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(3)))
-    val nExact = truth.count()
+        .collect(),
+      truth.count())
+    val sweep = sweepRows.map(r => (r.getInt(0), r.getInt(1), r.getLong(3)))
     val trues = sweep.map(_._3)
     def ok(b: Boolean) = if (b) 1 else 0
     val monotone = ok(trues.zip(trues.tail).forall { case (x, y) => x <= y })
@@ -664,11 +668,14 @@ object ExtQueries {
   val embedLshSweepQ: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val ts = Seq(1, 2, 4, 8, 12)
-    val sweep = Dedup.cosineLshTableSweep(e, "vec_id", "embedding",
-        minCosine = 0.45, tables = ts, planesPerTable = 4)
-      .collect().map(r => (r.getInt(0), r.getLong(2)))
-    val nExact = Dedup.cosinePairs(e, "vec_id", "embedding",
-      minCosine = 0.45).count()
+    // the LSH sweep and the exact O(N²) baseline are independent job
+    // chains — overlap them (guide §2.6)
+    val (sweepRows, nExact) = graft.engine.Overlap.par(
+      Dedup.cosineLshTableSweep(e, "vec_id", "embedding",
+        minCosine = 0.45, tables = ts, planesPerTable = 4).collect(),
+      Dedup.cosinePairs(e, "vec_id", "embedding",
+        minCosine = 0.45).count())
+    val sweep = sweepRows.map(r => (r.getInt(0), r.getLong(2)))
     val trues = sweep.map(_._2)
     def ok(b: Boolean) = if (b) 1 else 0
     val monotone = ok(trues.zip(trues.tail).forall { case (a, b) => a <= b })

@@ -117,7 +117,9 @@ object Dedup {
       family: HashFamily = Fnv64Family): DataFrame = {
     val arr = bandsUdf(numHashes, numHashes, shingleN, family)
       .asNondeterministic()(col(textCol))
-    val withArr = df.withColumn("__mhs", arr)
+    // fan before the signature UDF (graft.engine.Fan scaladoc — exact
+    // hash output, identity at production scan sizes)
+    val withArr = graft.engine.Fan.out(df).withColumn("__mhs", arr)
     (0 until numHashes).foldLeft(withArr) { (d, i) =>
       d.withColumn(s"mh_$i", element_at(col("__mhs"), i + 1))
     }.drop("__mhs")
@@ -138,7 +140,10 @@ object Dedup {
       shingleN: Int = 3,
       family: HashFamily = Fnv64Family): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    df.select(col(idCol).as("doc_id"),
+    // fan a small single-split scan out before the per-shingle hash-minima
+    // kernel (graft.engine.Fan — identity at production scan sizes; bands
+    // are exact hash strings, layout-independent downstream)
+    graft.engine.Fan.out(df).select(col(idCol).as("doc_id"),
       posexplode(bandsUdf(numHashes, bands, shingleN, family)(col(textCol)))
         .as(Seq("band_idx", "band_val")))
   }
@@ -235,7 +240,9 @@ object Dedup {
       s"truthPairs must carry (a_id, b_id) — the canonical pair schema; " +
         s"got (${truthPairs.columns.mkString(", ")})")
     val bs = bandConfigs.sorted
-    val sig = df.select(col(idCol).as("id"),
+    // fan before the signature UDF (graft.engine.Fan scaladoc — exact
+    // hash output, identity at production scan sizes)
+    val sig = graft.engine.Fan.out(df).select(col(idCol).as("id"),
       bandsUdf(numHashes, numHashes, shingleN, family)
         .asNondeterministic()(col(textCol)).as("__sig"))
     val tagged = bs.map { b =>
@@ -406,7 +413,9 @@ object Dedup {
       shingleN: Int = 3,
       minJaccard: Double = 0.5,
       maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"),
+    // fan before the shingle kernel (graft.engine.Fan scaladoc — exact
+    // hash/count output, identity at production scan sizes)
+    val base = graft.engine.Fan.out(df).select(col(idCol).as("doc_id"),
       array_distinct(TextFns.shinglesFast(col(textCol), shingleN)).as("ss"))
     // the self-join and frequency aggregate key on the shingle's 64-bit
     // xxhash, never the shingle TEXT: the join result is identical (a
@@ -484,7 +493,9 @@ object Dedup {
       shingleN: Int = 3,
       minContainment: Double = 0.8,
       maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"),
+    // fan before the shingle kernel (graft.engine.Fan scaladoc — exact
+    // hash/count output, identity at production scan sizes)
+    val base = graft.engine.Fan.out(df).select(col(idCol).as("doc_id"),
       array_distinct(TextFns.shinglesFast(col(textCol), shingleN)).as("ss"))
     val sh = base.select(col("doc_id"), explode(col("ss")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
@@ -557,7 +568,13 @@ object Dedup {
             "product, use cosinePairsLsh for the scale path, or raise " +
             "maxUnblockedRows if the quadratic baseline is truly intended")
         val e = df.select(col(idCol).as("id"), VectorFns.unitizeNative(col(vecCol)).as("v"))
-        e.toDF("a_id", "a_v").crossJoin(e.toDF("b_id", "b_v"))
+        // fan ONE side of the cartesian (graft.engine.Fan): a single-split
+        // scan otherwise makes CartesianProductExec 1×1 partitions — the
+        // whole N² dot-product scored in ONE task. Fanning only the a-side
+        // keeps the task count at fan×1 (fanning both would square it).
+        // Per-pair dots are layout-independent, so results are unchanged.
+        graft.engine.Fan.out(e).toDF("a_id", "a_v")
+          .crossJoin(e.toDF("b_id", "b_v"))
     }
     joined.filter(col("a_id") < col("b_id"))
       .withColumn("cos", VectorFns.dotNative(col("a_v"), col("b_v")))
@@ -608,7 +625,12 @@ object Dedup {
       .otherwise(raise_error(concat(
         lit(s"cosinePairsLsh: '$vecCol' must be non-null with dim=$dim, got length "),
         coalesce(len.cast("string"), lit("NULL")))))
-    val e = df.select(col(idCol).as("id"), VectorFns.unitizeNative(checked).as("v"))
+    // fan before the hyperplane-bucketing kernel (numTables × planes dot
+    // products per row — graft.engine.Fan scaladoc; buckets are exact
+    // integers and the verify dot is per-pair, so layout cannot change
+    // results)
+    val e = graft.engine.Fan.out(df)
+      .select(col(idCol).as("id"), VectorFns.unitizeNative(checked).as("v"))
     val bucketCols = (0 until numTables).map(t =>
       Similarity.lshBucket(col("v"), planes.slice(t * planesPerTable, (t + 1) * planesPerTable)))
     val buckets = e.select(col("id"),
@@ -674,8 +696,11 @@ object Dedup {
         lit(s"cosineLshTableSweep: '$vecCol' must be non-null with " +
           s"dim=$dim, got length "),
         coalesce(len.cast("string"), lit("NULL")))))
-    val e = df.select(col(idCol).as("id"),
-      VectorFns.unitizeNative(checked).as("v"))
+    // fan before the hyperplane-bucketing kernel (the cosinePairsLsh
+    // rationale — exact buckets, per-pair verify dots)
+    val e = graft.engine.Fan.out(df)
+      .select(col(idCol).as("id"),
+        VectorFns.unitizeNative(checked).as("v"))
     val bucketCols = (0 until tMax).map(t => Similarity.lshBucket(col("v"),
       planes.slice(t * planesPerTable, (t + 1) * planesPerTable)))
     val buckets = e.select(col("id"),
