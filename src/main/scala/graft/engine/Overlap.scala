@@ -58,4 +58,14 @@ object Overlap {
     (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
       Await.result(fc, Duration.Inf), rd)
   }
+
+  /** N independent arms, results in input order (the par/par3/par4 shape
+    * for a runtime-sized arm list, e.g. a per-window-size sweep). The
+    * LAST arm runs on the caller thread like the fixed-arity forms. */
+  def all[A](thunks: Seq[() => A]): Seq[A] = {
+    if (thunks.isEmpty) return Nil
+    val fs = thunks.init.map(t => Future(t())(pool))
+    val last = thunks.last()
+    fs.map(Await.result(_, Duration.Inf)) :+ last
+  }
 }

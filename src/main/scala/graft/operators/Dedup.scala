@@ -1443,7 +1443,10 @@ object Dedup {
       maxFingerprintDf: Int = 20): DataFrame = {
     require(ws.nonEmpty, "substringFloorSweep needs at least one window size")
     require(ws.distinct == ws, s"duplicate window sizes: ${ws.mkString(", ")}")
-    ws.map { w =>
+    // the per-w winnow+pair passes are independent job chains that each
+    // end in an eager pair checkpoint — overlap them (guide §2.6); each
+    // branch's own plan (and therefore its result) is unchanged
+    graft.engine.Overlap.all(ws.map { w => () =>
       val pairs = substringDupPairs(df, idCol, textCol, k, w, minShared,
         maxFingerprintDf).select("a_id", "b_id").localCheckpoint()
       val docsPaired = pairs.select(col("a_id").as("id"))
@@ -1453,7 +1456,7 @@ object Dedup {
         .select(lit(k).as("k"), lit(w).as("w"),
           lit(w + k - 1).cast("long").as("floor_chars"),
           col("n_pairs"), col("n_docs_paired"))
-    }.reduce(_.unionByName(_))
+    }).reduce(_.unionByName(_))
   }
 
   /** The VERIFY stage over [[substringDupPairs]] candidates: for each

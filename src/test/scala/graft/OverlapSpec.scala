@@ -31,6 +31,14 @@ class OverlapSpec extends SparkSpec {
     assert(cp.count() == 10L)
   }
 
+  test("all: N arms return positionally; empty input returns empty") {
+    assert(Overlap.all(Seq(() => 1, () => 2, () => 3)) == Seq(1, 2, 3))
+    assert(Overlap.all(Seq.empty[() => Int]) == Nil)
+    val counts = Overlap.all((1 to 5).map(n => () =>
+      (1L to 100L).toDF("x").filter($"x" <= n * 10).count()))
+    assert(counts == Seq(10L, 20L, 30L, 40L, 50L))
+  }
+
   test("an arm's exception propagates to the caller") {
     val e = intercept[RuntimeException] {
       Overlap.par(throw new RuntimeException("arm failed"), 1)
