@@ -1980,21 +1980,25 @@ object ExtQueries {
 
   // ---------------------------------------------------------- text analysis
 
+  // (r21) sort the SOURCE and compute above it: a map-only projection
+  // below a global orderBy is executed twice (the range partitioner's
+  // sampling job re-runs the scan+compute child) — sorting first computes
+  // each expensive kernel once, after the exchange; same rows, same order.
   val langId: Q = (s, d) =>
-    TextAnalysis.withLangId(t(s, d, "documents"), "text")
-      .select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+    TextAnalysis.withLangId(t(s, d, "documents").orderBy("doc_id"), "text")
+      .select("doc_id", "lang", "lang_pred")
 
-  val textQuality: Q = (s, d) =>
-    TextAnalysis.withQualityScore(t(s, d, "documents"), "text")
-      .select("doc_id", "quality_score").orderBy("doc_id")
+  val textQuality: Q = (s, d) => // sort-first: the langId rationale
+    TextAnalysis.withQualityScore(t(s, d, "documents").orderBy("doc_id"), "text")
+      .select("doc_id", "quality_score")
 
-  val textTokens: Q = (s, d) =>
-    TextAnalysis.withTokenStats(t(s, d, "documents"), "text")
-      .select("doc_id", "n_tok", "n_distinct", "n_bpeish").orderBy("doc_id")
+  val textTokens: Q = (s, d) => // sort-first: the langId rationale
+    TextAnalysis.withTokenStats(t(s, d, "documents").orderBy("doc_id"), "text")
+      .select("doc_id", "n_tok", "n_distinct", "n_bpeish")
 
-  val textFingerprint: Q = (s, d) =>
-    TextAnalysis.withFingerprint(t(s, d, "documents"), "text")
-      .select("doc_id", "fingerprint").orderBy("doc_id")
+  val textFingerprint: Q = (s, d) => // sort-first: the langId rationale
+    TextAnalysis.withFingerprint(t(s, d, "documents").orderBy("doc_id"), "text")
+      .select("doc_id", "fingerprint")
 
   // ------------------------------------------------------------- multimodal
 
@@ -2351,11 +2355,13 @@ object ExtQueries {
       lit("-555-"), (col("doc_id") % 9000 + 1000).cast("string"),
       lit(" from 10."), (col("doc_id") % 256).cast("string"),
       lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
-    val withPii = t(s, d, "documents").select(col("doc_id"), planted.as("pii_text"))
+    // sort-first: the langId rationale (three regex passes below a sort
+    // would run twice via the range sampler)
+    val withPii = t(s, d, "documents").orderBy("doc_id")
+      .select(col("doc_id"), planted.as("pii_text"))
     Privacy.redactPii(withPii, "pii_text")
       .select(col("doc_id"), col("pii_text_redacted").as("red"),
         col("n_email"), col("n_ip"), col("n_phone"))
-      .orderBy("doc_id")
   }
 
   /** Per-source PII exposure: every third document gets a planted email
@@ -2371,9 +2377,9 @@ object ExtQueries {
   }
 
   /** Intra-document repetition ratios (boilerplate/spam signal). */
-  val textRepetition: Q = (s, d) =>
-    TextAnalysis.withRepetition(t(s, d, "documents"), "text")
-      .select("doc_id", "dup_token_ratio", "dup_bigram_ratio").orderBy("doc_id")
+  val textRepetition: Q = (s, d) => // sort-first: the langId rationale
+    TextAnalysis.withRepetition(t(s, d, "documents").orderBy("doc_id"), "text")
+      .select("doc_id", "dup_token_ratio", "dup_bigram_ratio")
 
   /** Benchmark-contamination sweep: every 100th document plays the held-out
     * benchmark; contamination = fraction of each doc's distinct 3-gram
@@ -2393,13 +2399,12 @@ object ExtQueries {
 
   // ----------------------------------------------------------------- events
 
-  val jsonExtract: Q = (s, d) =>
-    t(s, d, "events").select(
+  val jsonExtract: Q = (s, d) => // sort-first: the langId rationale
+    t(s, d, "events").orderBy("event_id").select(
       col("event_id"),
       from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k INT"))
         .getField("k").as("k"))
-      .orderBy("event_id")
 
   val tumblingCounts: Q = (s, d) =>
     Events.tumblingCounts(Tables.loadEvents(s, d), "ts", "event_type", "hour")
@@ -2517,17 +2522,16 @@ object ExtQueries {
       .orderBy("doc_id", "rank")
 
   /** Per-doc character entropy — the compression-proxy quality signal. */
-  val charEntropy: Q = (s, d) =>
-    TextAnalysis.withCharEntropy(t(s, d, "documents"), "text")
-      .select("doc_id", "char_entropy").orderBy("doc_id")
+  val charEntropy: Q = (s, d) => // sort-first: the langId rationale
+    TextAnalysis.withCharEntropy(t(s, d, "documents").orderBy("doc_id"), "text")
+      .select("doc_id", "char_entropy")
 
   /** Gopher-style rule audit with a word-count floor chosen to split the
     * fixture corpus (some docs under 35 words), so every flag column is
     * exercised on both values. */
-  val gopherRulesQ: Q = (s, d) =>
-    TextAnalysis.gopherRules(t(s, d, "documents"), "doc_id", "text",
-      minWords = 35, maxMeanLen = 4.8)
-      .orderBy("doc_id")
+  val gopherRulesQ: Q = (s, d) => // sort-first: the langId rationale
+    TextAnalysis.gopherRules(t(s, d, "documents").orderBy("doc_id"), "doc_id",
+      "text", minWords = 35, maxMeanLen = 4.8)
 
   /** Embedding-corpus alignment audit over deliberately mismatched slices
     * (docs under id 400 vs non-zero-label vectors), so doc-only and
@@ -2811,12 +2815,13 @@ object ExtQueries {
   val cleanText: Q = (s, d) => {
     val soh = 1.toChar.toString   // a stripped control char
     val del = 127.toChar.toString // DEL, also stripped
-    val dirty = t(s, d, "documents").select(col("doc_id"),
+    // sort-first: the langId rationale
+    val dirty = t(s, d, "documents").orderBy("doc_id").select(col("doc_id"),
       concat(lit("  " + soh),
         regexp_replace(col("text"), " ", "  "),
         lit("\t\t x " + del + "  ")).as("text"))
     TextAnalysis.withCleanText(dirty, "text")
-      .select("doc_id", "clean_text").orderBy("doc_id")
+      .select("doc_id", "clean_text")
   }
 
   /** Per-language z-score of document length. */

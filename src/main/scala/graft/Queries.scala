@@ -232,12 +232,11 @@ object Queries {
   /** JSON extraction over a JSON-in-string column (events.props). The
     * string is parsed ONCE; the int view casts the extracted column instead
     * of re-parsing the JSON. */
-  val exprJson: Q = (s, d) =>
-    t(s, d, "events").select(
+  val exprJson: Q = (s, d) => // sort-first: the exprMath rationale
+    t(s, d, "events").orderBy("event_id").select(
       col("event_id"),
       get_json_object(col("props"), "$.k").as("k_str"))
       .withColumn("k_int", col("k_str").cast("int"))
-      .orderBy("event_id")
 
   /** Top-k with deterministic tie-break. */
   val topk: Q = (s, d) =>
@@ -246,8 +245,12 @@ object Queries {
 
   /** Math expression surface (rounded where libm implementations could
     * differ in the last ulp). */
+  // (r21) sort the SOURCE and compute above it: a map-only projection
+  // below a global orderBy is executed twice (the range partitioner's
+  // sampling job re-runs the scan+compute child) — sorting first computes
+  // the expression surface once, after the exchange; same rows, same order.
   val exprMath: Q = (s, d) =>
-    t(s, d, "lineitem").select(
+    t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").select(
       col("l_orderkey"), col("l_linenumber"),
       abs(col("l_discount") - col("l_tax")).as("adiff"),
       ceil(col("l_quantity")).as("qceil"),
@@ -255,16 +258,14 @@ object Queries {
       round(sqrt(col("l_quantity")), 6).as("qsqrt"),
       round(log(col("l_extendedprice") + 1), 6).as("pln"),
       pmod(col("l_orderkey"), lit(97)).as("kmod"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** Regex surface: extract group, replace, rlike. */
-  val exprRegex: Q = (s, d) =>
-    t(s, d, "orders").select(
+  val exprRegex: Q = (s, d) => // sort-first: the exprMath rationale
+    t(s, d, "orders").orderBy("o_orderkey").select(
       col("o_orderkey"),
       regexp_extract(col("o_orderpriority"), "(\\d)-(\\w+)", 2).as("pri_word"),
       regexp_replace(col("o_orderstatus"), "[FO]", "_").as("status_masked"),
       col("o_orderpriority").rlike("^[12]-").as("is_high"))
-      .orderBy("o_orderkey")
 
   /** Array function surface over tokenized text (split/sort/distinct/
     * element access/contains). */
