@@ -1943,15 +1943,22 @@ object ExtQueries {
     // checkpointed: the sweep varies only the cheap query-side probe
     // plan — without this, every probe branch re-ran the O(n²) exact
     // top-k AND the eager kmeans clustering (4x each per evaluation)
-    val exact = Similarity.bruteForceTopK(
-      e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
-      .select("q_id", "n_id").localCheckpoint()
-    val c = e.select(col("vec_id").as("n_id"),
-      graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
-    val centroids = Similarity.kmeansCentroids(c, "n_id", "n_v",
-      k = 16, iters = 1, assumeUnit = true)
-    val assigned = Similarity.assignCell(c, "n_id", "n_v", centroids)
-      .localCheckpoint()
+    // the exact truth and the train+assign chain are independent job
+    // chains — overlap them (guide §2.6); each arm's own plan (including
+    // the kmeans collects) is exactly the serial one
+    val (exact, assignedWithCentroids) = graft.engine.Overlap.par(
+      Similarity.bruteForceTopK(
+        e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+        .select("q_id", "n_id").localCheckpoint(),
+      {
+        val c = e.select(col("vec_id").as("n_id"),
+          graft.functions.VectorFns.unitizeNative(col("embedding")).as("n_v"))
+        val cents = Similarity.kmeansCentroids(c, "n_id", "n_v",
+          k = 16, iters = 1, assumeUnit = true)
+        (cents, Similarity.assignCell(c, "n_id", "n_v", cents)
+          .localCheckpoint())
+      })
+    val (centroids, assigned) = assignedWithCentroids
     // r18: the whole curve from ONE probe pass (annIvfProbeSweep — per-
     // budget output identical to annIvfWithIndex per cut, spec-pinned);
     // previously each budget re-ran its own probe join over the corpus

@@ -307,8 +307,17 @@ object MultiModal {
       blockSize: Int = 8, gramLen: Int = 7, minShared: Int = 2,
       maxGramDf: Int = 20): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    // FENCE the signature column (graft.plans.EvalOnce): the winnowing
+    // stage's length filter would otherwise be pushed down with the CTPH
+    // expression substituted — the whole-payload rolling hash evaluated
+    // twice (the corpus-pipeline lesson). Deliberately NOT fanned: the
+    // signature is a payload→small-string REDUCTION, so computing it in
+    // the scan task keeps the heavy bytes off the network (guide §8 —
+    // measured: fanning shipped the blobs through the exchange and made
+    // the key slower).
     val sigs = df.select(col(idCol),
-      ctphSignature(col(binCol), blockSize).as("__sig"))
+      graft.plans.EvalOnce.once(
+        ctphSignature(col(binCol), blockSize)).as("__sig"))
     graft.operators.Dedup.substringDupPairs(sigs, idCol, "__sig",
       k = gramLen, w = 1, minShared = minShared, maxFingerprintDf = maxGramDf)
   }
@@ -324,8 +333,10 @@ object MultiModal {
   def mediaSignatureIndex(
       df: DataFrame, idCol: String, binCol: String,
       blockSize: Int = 8, gramLen: Int = 7, maxGramDf: Int = 20): DataFrame = {
+    // fence (not fan): the mediaNearDup rationale
     val sigs = df.select(col(idCol),
-      ctphSignature(col(binCol), blockSize).as("__sig"))
+      graft.plans.EvalOnce.once(
+        ctphSignature(col(binCol), blockSize)).as("__sig"))
     graft.operators.Dedup.capFingerprintIndex(
       graft.operators.Dedup.winnowFingerprints(sigs, idCol, "__sig",
         k = gramLen, w = 1),
@@ -344,8 +355,10 @@ object MultiModal {
   def mediaNearDupAgainst(
       batch: DataFrame, cappedIndex: DataFrame, idCol: String, binCol: String,
       blockSize: Int = 8, gramLen: Int = 7, minShared: Int = 2): DataFrame = {
+    // fence (not fan): the mediaNearDup rationale (batch side)
     val sigs = batch.select(col(idCol),
-      ctphSignature(col(binCol), blockSize).as("__sig"))
+      graft.plans.EvalOnce.once(
+        ctphSignature(col(binCol), blockSize)).as("__sig"))
     graft.operators.Dedup.substringDupPairsAgainst(sigs, cappedIndex,
       idCol, "__sig", k = gramLen, w = 1, minShared = minShared)
   }
@@ -380,7 +393,9 @@ object MultiModal {
     val piecesUdf = udf((b: Array[Byte]) => Ctph.pieces(b, blockSize))
     val ids = pairs.select(col("a_id").as(idCol))
       .unionByName(pairs.select(col("b_id").as(idCol))).distinct()
-    val pieces = df.join(ids, Seq(idCol), "left_semi")
+    // semi-cut first, then fan the single-split payload scan before the
+    // per-payload CTPH piece kernel (exact bytes — layout-independent)
+    val pieces = graft.engine.Fan.out(df.join(ids, Seq(idCol), "left_semi"))
       .select(col(idCol),
         array_distinct(piecesUdf(col(binCol))).as("__pieces"))
     pairs.select(col("a_id"), col("b_id"))
