@@ -583,8 +583,23 @@ object Curation {
       idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
       minCharsAfter: Int = 200): DataFrame =
-    withKeptGate(Dedup.stripBenchmarkSpansIndexed(corpus, benchFpsCapped,
-      benchGrams, idCol, textCol, k, w, minShared), textCol, minCharsAfter)
+    decontaminateIndexedManaged(corpus, benchFpsCapped, benchGrams, idCol,
+      textCol, k, w, minShared, minCharsAfter)._1
+
+  /** [[decontaminateIndexed]] plus the release handle for the strip's
+    * internal partner-pair checkpoint
+    * ([[graft.operators.Dedup.stripBenchmarkSpansIndexedManaged]]):
+    * per-micro-batch callers (the decontamination streaming sink) release
+    * after materializing; one-shot callers may discard the handle. */
+  def decontaminateIndexedManaged(
+      corpus: DataFrame, benchFpsCapped: DataFrame, benchGrams: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      minCharsAfter: Int = 200): (DataFrame, () => Unit) = {
+    val (stripped, release) = Dedup.stripBenchmarkSpansIndexedManaged(
+      corpus, benchFpsCapped, benchGrams, idCol, textCol, k, w, minShared)
+    (withKeptGate(stripped, textCol, minCharsAfter), release)
+  }
 
   /** [[decontaminate]] against N benchmarks in ONE corpus pass with
     * per-benchmark span attribution

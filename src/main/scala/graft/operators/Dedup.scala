@@ -1875,8 +1875,9 @@ object Dedup {
       k, w, minShared, maxFingerprintDf)
     val (cand, candRdd) = checkpointTracked(
       pairs.select("a_id", "b_id"), reliable = false)
-    (stripCopiedSpansFromPairs(df, cand, idCol, textCol, k),
-      () => { freePairs(); free(candRdd) })
+    val (out, freeGrams) = stripCopiedSpansFromPairsManaged(df, cand,
+      idCol, textCol, k)
+    (out, () => { freePairs(); free(candRdd); freeGrams() })
   }
 
   /** [[stripCopiedSpans]] over a PRE-COMPUTED candidate pair frame — the
@@ -1888,25 +1889,44 @@ object Dedup {
     * passes through byte-identical). */
   def stripCopiedSpansFromPairs(
       df: DataFrame, cand: DataFrame, idCol: String, textCol: String,
-      k: Int = 16): DataFrame = {
+      k: Int = 16): DataFrame =
+    stripCopiedSpansFromPairsManaged(df, cand, idCol, textCol, k)._1
+
+  /** [[stripCopiedSpansFromPairs]] plus the release handle for its
+    * internal pair-doc gram checkpoint — the [[stripCopiedSpansManaged]]
+    * contract (release only after the result is materialized). */
+  def stripCopiedSpansFromPairsManaged(
+      df: DataFrame, cand: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): (DataFrame, () => Unit) = {
     require(!df.columns.contains("n_removed"),
       "stripCopiedSpansFromPairs adds an n_removed column; the input already has one")
     val c = normalizedPairs(cand, "stripCopiedSpansFromPairs")
       .select("a_id", "b_id")
-    // distinct grams of each EARLIER partner's original text, semi-cut to
-    // partner docs before the pair fan-out
-    // (semi-cut FIRST, then fan the small scan out — graft.engine.Fan,
-    // identity at production scan sizes — then the md5 gram kernel)
-    def gramsFor(ids: DataFrame) = graft.engine.Fan.out(
-        df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
-          .select(col(idCol).as("id"), col(textCol))
-          .join(ids, Seq("id"), "left_semi"))
-      .select(col("id"),
-        explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
-    val aGrams = gramsFor(c.select(col("a_id").as("id")).distinct())
-      .select(col("id").as("a_id"), col("h"))
-    val bGrams = gramsFor(c.select(col("b_id").as("id")).distinct())
-      .select(col("id").as("b_id"), col("h"))
+    // distinct grams of every doc on EITHER side of a pair, in ONE gram
+    // pass: a- and b-sides overlap heavily (a doc is routinely both an
+    // earlier partner and a later doc), and each side previously ran its
+    // own semi-cut scan + w=1 md5 kernel over the corpus — the union scan
+    // hashes each partner doc once and is materialized once (matched-doc
+    // sized, the extent verify-join shape ~12 MB at sf0.1) so both
+    // consumers below read it without re-running the kernel (guide §1.2
+    // don't-compute-twice). Semi-cut FIRST, then fan the small scan out
+    // (graft.engine.Fan, identity at production scan sizes), then the
+    // kernel.
+    val pairDocIds = c.select(col("a_id").as("id"))
+      .union(c.select(col("b_id").as("id"))).distinct()
+    val (grams, gramsRdd) = checkpointTracked(
+      graft.engine.Fan.out(
+          df.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+            .select(col(idCol).as("id"), col(textCol))
+            .join(pairDocIds, Seq("id"), "left_semi"))
+        .select(col("id"),
+          explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h")),
+      reliable = false)
+    // the inner join on a_id / left-semi probe on b_id each see only their
+    // own side's ids, so reading the UNION dump on both sides is
+    // row-identical to the per-side scans it replaces
+    val aGrams = grams.select(col("id").as("a_id"), col("h"))
+    val bGrams = grams.select(col("id").as("b_id"), col("h"))
     // the partner set is intersected with the LATER doc's own gram set
     // BEFORE collecting: a partner gram absent from b can never match
     // during the strip, so dropping it is semantics-free — and it shrinks
@@ -1918,11 +1938,13 @@ object Dedup {
       .join(bGrams, Seq("b_id", "h"), "left_semi")
       .groupBy("b_id").agg(collect_set(col("h")).as("__ph"))
       .select(col("b_id").as("__strip_id"), col("__ph"))
-    // fan the output side too: the strip expression re-hashes every doc's
-    // grams per row, which otherwise runs inside the single-split scan
-    val base = graft.engine.Fan.out(df)
-    val joined = base.join(ph, base(idCol) === ph("__strip_id"), "left")
-    stripWithPartnerHashes(joined, textCol, k)
+    // payload side NOT fanned: the strip expression only re-hashes docs
+    // with a non-NULL __ph (the b-side of some pair — a small fraction),
+    // so a round-robin exchange of the full text corpus costs more than
+    // the kernel it parallelizes (the round-21 decontam_strip regression;
+    // guide §2.3/§8)
+    val joined = df.join(ph, df(idCol) === ph("__strip_id"), "left")
+    (stripWithPartnerHashes(joined, textCol, k), () => free(gramsRdd))
   }
 
   /** Shared tail of the strip family: a frame carrying `textCol` and the
@@ -2053,16 +2075,34 @@ object Dedup {
       batch: DataFrame, cappedFps: DataFrame, corpusGrams: DataFrame,
       idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3): DataFrame =
+    stripAgainstCappedIndexManaged(batch, cappedFps, corpusGrams, idCol,
+      textCol, k, w, minShared)._1
+
+  /** [[stripAgainstCappedIndex]] plus the release handle for its internal
+    * partner-pair checkpoint — the [[stripCopiedSpansManaged]] contract.
+    * Long-lived callers (the streaming sinks, one strip per micro-batch)
+    * must release after materializing or the per-batch checkpoints
+    * accumulate for the query's lifetime. */
+  def stripAgainstCappedIndexManaged(
+      batch: DataFrame, cappedFps: DataFrame, corpusGrams: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3): (DataFrame, () => Unit) =
     stripAgainstIndexCore(batch, cappedFps, corpusGrams, idCol, textCol,
       k, w, minShared, excludeSameId = true)
 
   /** Shared strip core — [[pairsAgainstCore]] has the `excludeSameId`
     * rationale; everything downstream of the pair step is contract-
-    * identical between the incremental and cross-dataset callers. */
+    * identical between the incremental and cross-dataset callers.
+    * Returns the strip frame plus the release handle for the internal
+    * partner-pair checkpoint (the [[stripCopiedSpansManaged]] contract):
+    * call it only after the result is materialized — the streaming sinks
+    * do, per micro-batch; one-shot batch callers may discard it (the
+    * ContextCleaner reclaims the blocks once the frame is unreferenced). */
   private def stripAgainstIndexCore(
       batch: DataFrame, cappedFps: DataFrame, corpusGrams: DataFrame,
       idCol: String, textCol: String,
-      k: Int, w: Int, minShared: Int, excludeSameId: Boolean): DataFrame = {
+      k: Int, w: Int, minShared: Int,
+      excludeSameId: Boolean): (DataFrame, () => Unit) = {
     require(Seq("id", "h").forall(cappedFps.columns.contains),
       s"cappedFps must carry (id, h) — the winnowFingerprints schema; " +
         s"got (${cappedFps.columns.mkString(", ")})")
@@ -2072,17 +2112,29 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(!batch.columns.contains("n_removed"),
       "stripAgainstCappedIndex adds an n_removed column; the input already has one")
-    val partners = pairsAgainstCore(batch, cappedFps,
-      idCol, textCol, k, w, minShared, excludeSameId)
-      .select("new_id", "corpus_id")
+    // the partner pair frame is tiny (matched docs only) and is consumed
+    // twice below (the ph chain and the gram-side semi-cut), so it is
+    // materialized once — without the barrier the whole batch-side winnow
+    // fingerprint pass would re-run per consumer
+    val (partners, partnersRdd) = checkpointTracked(
+      pairsAgainstCore(batch, cappedFps,
+        idCol, textCol, k, w, minShared, excludeSameId)
+        .select("new_id", "corpus_id"),
+      reliable = false)
     // corpus partner gram sets intersected with the ARRIVAL's own grams
     // before collecting — the stripCopiedSpansFromPairs rationale: a
     // partner gram the arrival lacks can never match, and the cut shrinks
     // the per-arrival array from full corpus-doc gram sets to the copied
-    // spans' (one extra map-side scan of the small batch side)
+    // spans' (one extra map-side scan of the small batch side).
+    // Semi-cut FIRST (guide §2.3): only arrivals that actually pair can
+    // contribute to the left-semi probe below, so the w=1 gram kernel
+    // runs over the matched docs only, never the whole batch
     val batchGrams = graft.engine.Fan.out(batch
-        .filter(col(textCol).isNotNull && length(col(textCol)) >= k))
-      .select(col(idCol).as("new_id"),
+        .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+        .select(col(idCol).as("new_id"), col(textCol))
+        .join(partners.select("new_id").distinct(), Seq("new_id"),
+          "left_semi"))
+      .select(col("new_id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
     val ph = partners
       .join(corpusGrams.select(col("id").as("corpus_id"), col("h")),
@@ -2090,9 +2142,14 @@ object Dedup {
       .join(batchGrams, Seq("new_id", "h"), "left_semi")
       .groupBy("new_id").agg(collect_set(col("h")).as("__ph"))
       .select(col("new_id").as("__strip_id"), col("__ph"))
-    val base = graft.engine.Fan.out(batch)
-    val joined = base.join(ph, base(idCol) === ph("__strip_id"), "left")
-    stripWithPartnerHashes(joined, textCol, k)
+    // the payload side is NOT fanned: the strip expression only does real
+    // work on rows with a non-NULL __ph (matched docs — a small fraction),
+    // so a round-robin exchange of the full text corpus costs more than
+    // the kernel it would parallelize (the round-21 decontam_strip
+    // regression, guide §2.3/§8: don't ship heavy payloads to parallelize
+    // work that lives on a few rows)
+    val joined = batch.join(ph, batch(idCol) === ph("__strip_id"), "left")
+    (stripWithPartnerHashes(joined, textCol, k), () => free(partnersRdd))
   }
 
   /** Benchmark DECONTAMINATION strip — the cross-dataset form of
@@ -2133,8 +2190,13 @@ object Dedup {
       idCol: String, textCol: String,
       k: Int, w: Int, minShared: Int,
       maxFingerprintDf: Int): DataFrame = {
+    // the benchmark fingerprint dump feeds the df cap twice (the count
+    // aggregate and the semi-join back) — materialize the tiny
+    // benchmark-sized frame once instead of running the winnow kernel
+    // twice over the benchmark
     val fps = capFingerprintIndex(
-      winnowFingerprints(benchmark, idCol, textCol, k, w), maxFingerprintDf)
+      winnowFingerprints(benchmark, idCol, textCol, k, w).localCheckpoint(),
+      maxFingerprintDf)
     val grams = graft.engine.Fan.out(benchmark
         .filter(col(textCol).isNotNull && length(col(textCol)) >= k))
       .select(col(idCol).as("id"),
@@ -2152,6 +2214,17 @@ object Dedup {
       corpus: DataFrame, benchFpsCapped: DataFrame, benchGrams: DataFrame,
       idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3): DataFrame =
+    stripBenchmarkSpansIndexedManaged(corpus, benchFpsCapped, benchGrams,
+      idCol, textCol, k, w, minShared)._1
+
+  /** [[stripBenchmarkSpansIndexed]] plus the release handle for its
+    * internal partner-pair checkpoint — the
+    * [[stripAgainstCappedIndexManaged]] contract (the decontamination
+    * streaming sink strips once per micro-batch). */
+  def stripBenchmarkSpansIndexedManaged(
+      corpus: DataFrame, benchFpsCapped: DataFrame, benchGrams: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3): (DataFrame, () => Unit) =
     stripAgainstIndexCore(corpus, benchFpsCapped, benchGrams, idCol,
       textCol, k, w, minShared, excludeSameId = false)
 
@@ -2210,8 +2283,13 @@ object Dedup {
     def tagged(b: String, id: Column) =
       concat(lit(b + "\u0001"), id.cast("string"))
     val fps = benchmarks.map { case (b, df) =>
+      // per-benchmark fingerprint dump materialized once: the df cap
+      // consumes it twice (count aggregate + semi-join back), and the
+      // frame is benchmark-sized (tiny) — the stripBenchmarkSpans
+      // rationale, per benchmark
       capFingerprintIndex(
-        winnowFingerprints(df, idCol, textCol, k, w), maxFingerprintDf)
+        winnowFingerprints(df, idCol, textCol, k, w).localCheckpoint(),
+        maxFingerprintDf)
         .select(tagged(b, col("id")).as("corpus_id"), col("h"))
     }.reduce(_ unionByName _)
     val grams = benchmarks.map { case (b, df) =>
@@ -2220,15 +2298,25 @@ object Dedup {
         .select(tagged(b, col(idCol)).as("corpus_id"),
           explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
     }.reduce(_ unionByName _)
+    // partner pairs materialized once (tiny frame, two consumers below:
+    // the per-bench chain and the gram-side semi-cut) — the
+    // stripAgainstIndexCore rationale
     val partners = winnowFingerprints(corpus, idCol, textCol, k, w)
       .toDF("new_id", "h")
       .join(fps, Seq("h"))
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("__ns"))
       .filter(col("__ns") >= minShared)
       .select("new_id", "corpus_id")
+      .localCheckpoint()
+    // semi-cut FIRST (guide §2.3): the w=1 gram kernel runs over matched
+    // corpus docs only — it feeds a left-semi probe whose left side only
+    // carries partner new_ids, so non-partner grams can never match
     val batchGrams = graft.engine.Fan.out(corpus
-        .filter(col(textCol).isNotNull && length(col(textCol)) >= k))
-      .select(col(idCol).as("new_id"),
+        .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+        .select(col(idCol).as("new_id"), col(textCol))
+        .join(partners.select("new_id").distinct(), Seq("new_id"),
+          "left_semi"))
+      .select(col("new_id"),
         explode(graft.plans.WinnowMinima.minima(col(textCol), k, 1)).as("h"))
     // matched grams per (document, benchmark): the partner's gram set
     // cut to grams the document itself carries (the
@@ -2244,8 +2332,11 @@ object Dedup {
         .as("__phm"),
       array_distinct(flatten(collect_list(col("__hs")))).as("__ph"))
       .select(col("new_id").as("__strip_id"), col("__phm"), col("__ph"))
-    val base = graft.engine.Fan.out(corpus)
-    val joined = base.join(ph, base(idCol) === ph("__strip_id"), "left")
+    // payload side NOT fanned: the N+1 strip expressions only do real work
+    // on matched rows (NULL-__ph rows short-circuit), so a round-robin
+    // exchange of the full text corpus costs more than it parallelizes
+    // (the round-21 decontam_strip regression; guide §2.3/§8)
+    val joined = corpus.join(ph, corpus(idCol) === ph("__strip_id"), "left")
     val strippedAll = when(col("__ph").isNotNull && col(textCol).isNotNull,
       graft.plans.StripMatchedGrams.stripCol(col(textCol), col("__ph"), k))
       .otherwise(col(textCol))
