@@ -368,7 +368,16 @@ object Queries {
       .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
 
   /** Statistical aggregates: exact interpolated percentiles, sample
-    * stddev/variance, correlation/covariance. */
+    * stddev/variance, correlation/covariance.
+    *
+    * The 3-row aggregate is CHECKPOINTED before the orderBy (optimization
+    * round 22): the range partitioner's sampling job otherwise re-executes
+    * the whole final aggregate — the exact-percentile merge of every
+    * partial buffer ran twice per bench run (profiled: two identical
+    * ~0.7 s reduce jobs over the same 10 MB exchange). The aggregate's own
+    * plan, partitioning, and partial-merge order are byte-untouched (the
+    * FP fence this family requires); only the already-rounded 3-row result
+    * is materialized once and then sorted. */
   val aggStats: Q = (s, d) =>
     t(s, d, "lineitem").groupBy("l_returnflag").agg(
       round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
@@ -377,6 +386,7 @@ object Queries {
       round(var_samp(col("l_quantity")), 6).as("qvar"),
       round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
       round(covar_samp(col("l_discount"), col("l_tax")), 8).as("dt_cov"))
+      .localCheckpoint()
       .orderBy("l_returnflag")
 
   /** Sketch aggregates: HyperLogLog++ distinct counts and t-digest-style

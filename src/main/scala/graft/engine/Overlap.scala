@@ -3,6 +3,7 @@ package graft.engine
 import java.util.concurrent.Executors
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
+import scala.util.Try
 
 /** Overlap INDEPENDENT Spark actions from a small driver-side thread pool
   * (optimization guide §2.6 "Overlap independent jobs"): Spark's scheduler
@@ -23,6 +24,19 @@ import scala.concurrent.duration.Duration
   * independent arms: nothing here may mutate state another arm reads
   * (lifecycle keys overlap only their post-mutation reads).
   *
+  * Thread hygiene (round 22): pool arms run with the CALLER's active
+  * SparkSession and job-group / description / scheduler-pool local
+  * properties re-established — a lazily created pool thread otherwise
+  * inherits whatever thread-locals the FIRST caller had, so later callers
+  * in multi-session processes (or under setJobGroup-based cancellation)
+  * could run arms against a stale session or escape their job group.
+  *
+  * Failure hygiene (round 22): every form AWAITS ALL arms before
+  * rethrowing the first failure in declaration order. Abandoning in-flight
+  * arms on a sibling failure let detached jobs outlive the caller's scope
+  * — in the index writers, a publishRoot failure handler could delete a
+  * .tmp staging dir a zombie write was still filling.
+  *
   * The LAST arm runs on the caller thread (no pool round-trip and the
   * pool can never be the bottleneck for a single par call); the rest run
   * on daemon threads. Do NOT nest par calls — the pool is fixed-size and
@@ -37,35 +51,71 @@ object Overlap {
         t
       }))
 
+  // Local properties a Spark job reads from the SUBMITTING thread; the
+  // public per-key get/set API is the supported surface for copying them.
+  private val inheritedProps = Seq(
+    "spark.jobGroup.id", "spark.job.description",
+    "spark.job.interruptOnCancel", "spark.scheduler.pool")
+
+  /** Submit one arm to the pool with the caller's session and job-scoped
+    * local properties re-established on the pool thread. */
+  private def submit[A](body: => A): Future[A] = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    val props = session.map(s =>
+      inheritedProps.map(k => k -> s.sparkContext.getLocalProperty(k)))
+    Future {
+      session.foreach { s =>
+        org.apache.spark.sql.SparkSession.setActiveSession(s)
+        props.foreach(_.foreach { case (k, v) =>
+          s.sparkContext.setLocalProperty(k, v) })
+      }
+      body
+    }(pool)
+  }
+
+  // Every form wraps each arm in Try and AWAITS every future before the
+  // first .get — so a failure cannot abandon a sibling in flight, and the
+  // first failure in declaration order is the one rethrown.
+
   def par[A, B](a: => A, b: => B): (A, B) = {
-    val fa = Future(a)(pool)
-    val rb = b
-    (Await.result(fa, Duration.Inf), rb)
+    val fa = submit(a)
+    val rb = Try(b)
+    val ra = Try(Await.result(fa, Duration.Inf))
+    (ra.get, rb.get)
   }
 
   def par3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
-    val fa = Future(a)(pool)
-    val fb = Future(b)(pool)
-    val rc = c
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf), rc)
+    val fa = submit(a)
+    val fb = submit(b)
+    val rc = Try(c)
+    val ra = Try(Await.result(fa, Duration.Inf))
+    val rb = Try(Await.result(fb, Duration.Inf))
+    (ra.get, rb.get, rc.get)
   }
 
   def par4[A, B, C, D](a: => A, b: => B, c: => C, d: => D): (A, B, C, D) = {
-    val fa = Future(a)(pool)
-    val fb = Future(b)(pool)
-    val fc = Future(c)(pool)
-    val rd = d
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
-      Await.result(fc, Duration.Inf), rd)
+    val fa = submit(a)
+    val fb = submit(b)
+    val fc = submit(c)
+    val rd = Try(d)
+    val ra = Try(Await.result(fa, Duration.Inf))
+    val rb = Try(Await.result(fb, Duration.Inf))
+    val rc = Try(Await.result(fc, Duration.Inf))
+    (ra.get, rb.get, rc.get, rd.get)
   }
 
   /** N independent arms, results in input order (the par/par3/par4 shape
     * for a runtime-sized arm list, e.g. a per-window-size sweep). The
-    * LAST arm runs on the caller thread like the fixed-arity forms. */
+    * LAST arm runs on the caller thread like the fixed-arity forms. The
+    * sequence is FORCED before submission — a lazy collection (view /
+    * LazyList) would otherwise create each future only as Await walks it,
+    * silently serializing the arms. */
   def all[A](thunks: Seq[() => A]): Seq[A] = {
-    if (thunks.isEmpty) return Nil
-    val fs = thunks.init.map(t => Future(t())(pool))
-    val last = thunks.last()
-    fs.map(Await.result(_, Duration.Inf)) :+ last
+    val ts = thunks.toVector
+    if (ts.isEmpty) return Nil
+    val fs = ts.init.map(t => submit(t()))
+    val last = Try(ts.last())
+    val rs = fs.map(f => Try(Await.result(f, Duration.Inf)))
+    (rs :+ last).map(_.get)
   }
 }

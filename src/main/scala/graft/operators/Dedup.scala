@@ -864,6 +864,14 @@ object Dedup {
         val nbrContrib = edges
           .join(labels.select(col("id").as("dst"), col("cluster_id").as("nlbl")), "dst")
           .select(col("src"), col("nlbl"), lit(false).as("own"))
+        // the convergence count rides the checkpoint job as an OBSERVED
+        // metric (CollectMetrics) instead of a second count() job per pass
+        // (optimization guide §1.2: don't run two actions where one
+        // computes both) — the metric is collected WHILE the eager
+        // checkpoint materializes the pass, so each pass is one job, not
+        // two. Results are untouched: observe() is a pass-through node and
+        // the changed-row predicate is the old count()'s filter verbatim.
+        val obs = new org.apache.spark.sql.Observation()
         val (updated, updatedRdd) = checkpointTracked(nbrContrib
           .union(labels.select(col("id").as("src"), col("cluster_id").as("nlbl"),
             lit(true).as("own")))
@@ -871,7 +879,10 @@ object Dedup {
             min("nlbl").as("cluster_id"),
             // exactly one own-tagged row per node, so max picks it out
             max(when(col("own"), col("nlbl"))).as("prev"))
-          .withColumnRenamed("src", "id"))
+          .withColumnRenamed("src", "id")
+          .observe(obs, coalesce(sum(
+            when(col("cluster_id") =!= col("prev"), 1L).otherwise(0L)),
+            lit(0L)).as("changed")))
         // localCheckpoint above is EAGER, so `updated` no longer references
         // the prior pass's blocks — free them and take ownership of this
         // pass's checkpoint BEFORE the convergence count, so a throwing
@@ -880,7 +891,14 @@ object Dedup {
         free(labelRdd)
         labelRdd = updatedRdd
         labels = updated.select("id", "cluster_id")
-        done = updated.filter(col("cluster_id") =!= col("prev")).count() == 0L
+        done = observedChanged(obs) match {
+          case Some(changed) => changed == 0L
+          // the metric rides the async listener bus; if it has not landed
+          // within the grace window, fall back to the exact count() job the
+          // metric replaced — never guess convergence
+          case None =>
+            updated.filter(col("cluster_id") =!= col("prev")).count() == 0L
+        }
         it += 1
       }
       // an unconverged result is NOT a usable approximation: it splits true
@@ -896,6 +914,21 @@ object Dedup {
       free(halfRdd) // the returned labels reference only their OWN checkpoint
       if (!done) free(labelRdd) // failure exit — the result is never returned
     }
+  }
+
+  // The observed convergence metric lands on the async listener bus some
+  // milliseconds after the checkpoint action returns — poll briefly instead
+  // of Observation.get (which blocks forever if the action was not tracked)
+  // and let the caller fall back to the exact count() when the window
+  // expires. The window is generous next to a per-pass job (~100 ms) and
+  // irrelevant to results: both paths compute the same predicate.
+  private def observedChanged(
+      obs: org.apache.spark.sql.Observation): Option[Long] = {
+    val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+    while (!obs.future.isCompleted && System.nanoTime() < deadline)
+      Thread.sleep(2)
+    if (!obs.future.isCompleted) None
+    else obs.get.get("changed").map(_.asInstanceOf[Long])
   }
 
   // localCheckpoint persists its backing RDD OUTSIDE the CacheManager, so
@@ -2386,11 +2419,20 @@ object Dedup {
   def blockingQuality(
       df: DataFrame, idCol: String,
       candidates: DataFrame, truth: DataFrame): DataFrame = {
+    // each pair frame feeds TWO consumers (its own count + the caught
+    // join), so without a barrier the whole candidate-generation pipeline
+    // (a minhash banding chain, a shingle self-join) executes twice inside
+    // the one combined plan (guide §1.2 don't-compute-twice). Materialize
+    // each once — pair-frame sized — and overlap the two independent
+    // materializations (guide §2.6).
+    val (cand, tr) = graft.engine.Overlap.par(
+      candidates.select("a_id", "b_id").localCheckpoint(),
+      truth.select("a_id", "b_id").localCheckpoint())
     val n = df.filter(col(idCol).isNotNull)
       .agg(count(lit(1)).as("n_entities"))
-    val nc = candidates.agg(count(lit(1)).as("n_candidates"))
-    val nt = truth.agg(count(lit(1)).as("n_truth"))
-    val caught = candidates.join(truth, Seq("a_id", "b_id"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = tr.agg(count(lit(1)).as("n_truth"))
+    val caught = cand.join(tr, Seq("a_id", "b_id"))
       .agg(count(lit(1)).as("n_caught"))
     n.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
       .crossJoin(broadcast(caught))

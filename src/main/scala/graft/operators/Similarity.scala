@@ -1883,10 +1883,15 @@ object Similarity {
       s"nProbe $nProbe must be in [1, $nLists]")
     val c = corpus.select(col(corpusId).as("n_id"),
       VectorFns.unitizeNative(col(corpusVec)).as("n_v"))
-    val centroids = kmeansCentroids(c, "n_id", "n_v", nLists, iters,
-      assumeUnit = true)
-    val codebooks = pqCodebooks(c, "n_id", "n_v", m, ksub, iters,
-      assumeUnit = true)
+    // the two training loops are INDEPENDENT driver-sequential job chains
+    // over the same read-only corpus (coarse k-means reads n_v; plain —
+    // non-residual — PQ codebooks read n_v): overlap their submission
+    // (guide §2.6). Each loop's own plans, collects, and therefore trained
+    // models are exactly the serial ones — profiled at sf0.1, this key was
+    // a 43-job storm of 10-120 ms jobs with 15-90 ms driver gaps.
+    val (centroids, codebooks) = graft.engine.Overlap.par(
+      kmeansCentroids(c, "n_id", "n_v", nLists, iters, assumeUnit = true),
+      pqCodebooks(c, "n_id", "n_v", m, ksub, iters, assumeUnit = true))
     val (cb, _) = collectCodebooks(codebooks)
     val cbF = graft.plans.PqKernels.flatCodebook(cb)
     val index = assignCell(c, "n_id", "n_v", centroids)

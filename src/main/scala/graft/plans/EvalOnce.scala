@@ -34,6 +34,12 @@ import org.apache.spark.sql.types.DataType
   */
 case class EvalOnce(child: Expression) extends UnaryExpression {
   override lazy val deterministic: Boolean = false
+  // UnaryExpression would inherit foldable = child.foldable, and a foldable
+  // child lets ConstantFolding silently DELETE the fence (folding is
+  // gated on foldable, not deterministic) — the fence must be
+  // unconditional, so a future caller wrapping a literal-derived column
+  // keeps the single-evaluation guarantee instead of losing it silently.
+  override val foldable: Boolean = false
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_eval_once"
