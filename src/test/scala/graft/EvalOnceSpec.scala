@@ -43,4 +43,19 @@ class EvalOnceSpec extends SparkSpec {
     assert(q(fenced = true).collect().map(_.toString).sorted.toSeq ==
       q(fenced = false).collect().map(_.toString).sorted.toSeq)
   }
+
+  test("EvalOnce survives constant folding on a foldable child (round 22)") {
+    // UnaryExpression would inherit foldable = child.foldable, letting
+    // ConstantFolding evaluate-and-delete the fence around a
+    // literal-derived column; the fence must be unconditional
+    val e = graft.plans.EvalOnce(
+      org.apache.spark.sql.catalyst.expressions.Literal("const"))
+    assert(!e.foldable, "EvalOnce must never be foldable")
+    val df = spark.range(1, 3).toDF("x")
+      .withColumn("c", graft.plans.EvalOnce.once(concat(lit("a"), lit("b"))))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_eval_once"),
+      s"the fence was folded away over a foldable child:\n$plan")
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("ab", "ab"))
+  }
 }

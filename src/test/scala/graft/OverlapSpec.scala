@@ -50,4 +50,58 @@ class OverlapSpec extends SparkSpec {
     }
     assert(e2.getMessage == "caller arm failed")
   }
+
+  test("a failing arm never abandons a sibling in flight (round 22)") {
+    // the caller arm throws immediately; the pool arm keeps running — the
+    // form must AWAIT it before rethrowing, so by the time the exception
+    // surfaces the sibling has completed its side effect (the index
+    // writers' publishRoot cleanup depends on exactly this: no zombie
+    // write may outlive the failing scope)
+    val sibling = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[RuntimeException] {
+      Overlap.par(
+        { Thread.sleep(200); sibling.set(true); 1 },
+        throw new RuntimeException("caller fails first"))
+    }
+    assert(e.getMessage == "caller fails first")
+    assert(sibling.get, "in-flight pool arm was abandoned on caller failure")
+    // and the N-ary form
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[RuntimeException] {
+      Overlap.all(Seq(
+        () => { Thread.sleep(200); done.incrementAndGet() },
+        () => { Thread.sleep(100); done.incrementAndGet() },
+        () => throw new RuntimeException("last arm fails")))
+    }
+    assert(done.get == 2, "in-flight arms were abandoned on a sibling failure")
+  }
+
+  test("all() forces a lazy sequence before submission (round 22)") {
+    // a view's thunks would otherwise be created only as Await walks them,
+    // silently serializing the arms; forcing makes them all submit up
+    // front — observed here as overlapping sleeps finishing well under the
+    // serial sum
+    val t0 = System.nanoTime()
+    val rs = Overlap.all(LazyList.from(1).take(4).map(n => () => {
+      Thread.sleep(150); n
+    }))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(rs == Seq(1, 2, 3, 4))
+    assert(ms < 450, s"arms ran serially (${ms}ms for 4 x 150ms sleeps)")
+  }
+
+  test("pool arms see the caller's active session and job description (round 22)") {
+    val sc = spark.sparkContext
+    sc.setJobDescription("overlap-propagation-probe")
+    try {
+      val (desc, sess) = Overlap.par(
+        (org.apache.spark.SparkContext.getOrCreate()
+          .getLocalProperty("spark.job.description"),
+          org.apache.spark.sql.SparkSession.getActiveSession.orNull),
+        0) match { case (pair, _) => pair }
+      assert(desc == "overlap-propagation-probe",
+        s"pool arm saw job description '$desc'")
+      assert(sess eq spark, "pool arm saw a stale active session")
+    } finally sc.setJobDescription(null)
+  }
 }

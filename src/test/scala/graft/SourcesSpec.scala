@@ -11,6 +11,18 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("Tables.load schema memo is invisible: schema and rows equal a direct read (round 22)") {
+    // the memo skips the per-construction footer-inference JOB, never data:
+    // the explicit schema must be byte-identical to inference, and every
+    // row must still come from the file
+    Seq("nation", "documents", "events").foreach { name =>
+      val memoized = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", name)
+      val direct = spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+      assert(memoized.schema == direct.schema, s"$name schema diverged")
+      assert(memoized.count() == direct.count(), s"$name row count diverged")
+    }
+  }
+
   test("loadValidated: a table read under the wrong name fails fast with a column-level report") {
     val e = intercept[Sources.SchemaMismatch] {
       // read orders parquet while claiming it is lineitem
