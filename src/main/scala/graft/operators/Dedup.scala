@@ -1694,7 +1694,15 @@ object Dedup {
   /** [[substringSpanLengthsManaged]] over a PRE-COMPUTED candidate pair
     * frame — the pairs-reuse entry point (contract, materialization
     * requirement, and the one-pair-stage-many-consumers rationale:
-    * [[substringExtentFromPairs]]). Only (a_id, b_id) is consumed. */
+    * [[substringExtentFromPairs]]). Only (a_id, b_id) is consumed.
+    *
+    * CONTRACT: `cand` pairs must be UNIQUE (a_id, b_id) rows — the
+    * [[substringDupPairs]] output shape. A duplicated pair would emit its
+    * matched positions twice, and duplicate pos rows break the
+    * pos-minus-row_number run grouping the islands pass builds on (the
+    * absorbed-by-distinct safety was deliberately traded away in
+    * optimization round 21: the distinct cost a full exchange for rows
+    * that are unique by construction from every in-tree caller). */
   def substringSpanLengthsFromPairs(
       df: DataFrame, cand: DataFrame, idCol: String, textCol: String,
       k: Int = 16): DataFrame = {
@@ -1772,8 +1780,12 @@ object Dedup {
     * h) — one extra window pass on the (a_id, b_id) partitioning already
     * in place (no new exchange) instead of a second corpus scan + join +
     * aggregate. Output is row-identical to the composition (DedupSpec
-    * pins it); same uniqueness contract as the spans chain (`cand` pairs
-    * unique — the substringDupPairs output shape). */
+    * pins it).
+    *
+    * CONTRACT: `cand` pairs must be UNIQUE (a_id, b_id) rows — the
+    * [[substringDupPairs]] output shape
+    * ([[substringSpanLengthsFromPairs]] has the duplicate-pair failure
+    * mode this uniqueness requirement exists to exclude). */
   def substringReportFromPairs(
       df: DataFrame, cand: DataFrame, idCol: String, textCol: String,
       k: Int = 16): DataFrame = {
